@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import graft.io.{GraphSink, OwlReader}
+import graft.ops.{GraphOps, TripleOps, UriOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The flagship two-pass ETL DAG (SURVEY.md §3.1,
+  * reference: OntologyGraphBuilder.main, OntologyGraphBuilder.java:491-626):
+  *
+  * pass 1 ("ontologies"): all OWL files (ro.owl as label dictionary only) →
+  * unique triples → vertices + attributes + edges → graph store + text sinks.
+  * pass 2 ("phenotypes"): cl.owl only, testObject=true, RO dictionary
+  * injected (reference :577) → CL-only subgraph.
+  *
+  * Unlike the reference — which re-parses cl.owl from scratch for pass 2 —
+  * the parsed raw statements are cached and reused (SURVEY §3.2).
+  *
+  * The entry point takes (oboDir, outDir) parameters, which the reference's
+  * integration test implies but its main ignores (SURVEY §3.1 discrepancy
+  * note, OntologyGraphBuilderTest.java:347-348).
+  */
+object OntologyPipeline {
+
+  /** CLI entry point: `runMain graft.pipeline.OntologyPipeline <oboDir> <outDir>
+    * [phenotypePattern]` — the engine's analog of OntologyGraphBuilder.main
+    * with the (dir, db) parameters its integration test implies.
+    */
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: OntologyPipeline <oboDir> <outDir> [phenotypePattern]")
+    val pattern = if (args.length >= 3) args(2) else "cl\\.owl"
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-ontology-pipeline")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args(0), args(1), phenotypePattern = pattern)
+    finally spark.stop()
+  }
+
+  /** Result handles of one pipeline pass. */
+  final case class GraphResult(
+      vertices: DataFrame, // kept vertices with attrs map
+      deprecated: DataFrame, // routed-out vertices
+      edges: DataFrame, // RI-checked edges
+      edgeLabels: DataFrame)
+
+  /** One parameterized pass (reference runs it twice with different params). */
+  def buildGraph(
+      raw: DataFrame,
+      meta: DataFrame,
+      roTerms: DataFrame,
+      testObject: Boolean,
+      lastWins: Boolean = false): GraphResult = {
+    val collected = TripleOps.collectTriples(raw, meta, testObject)
+    val unique = TripleOps.uniqueTriples(collected)
+    val verts = GraphOps.vertices(unique)
+    val attrs = GraphOps.vertexAttributes(unique, roTerms, lastWins)
+    val (kept, deprecated) = GraphOps.routeDeprecated(verts, attrs)
+    val allEdges = GraphOps.edges(unique, roTerms)
+    val labels = GraphOps.edgeLabels(allEdges)
+    val edges = GraphOps.edgesWithIntegrity(allEdges, kept)
+    GraphResult(kept, deprecated, edges, labels)
+  }
+
+  /** Full two-pass run over a directory of OWL files, writing the graph store
+    * and side outputs beneath `outDir` (`ontologies/`, `phenotypes/`).
+    * `phenotypePattern` selects pass-2's file set (the reference hard-codes
+    * "cl.owl", OntologyGraphBuilder.java:566; its integration test runs on a
+    * fixture dir without cl.owl, so the pattern is a parameter here).
+    */
+  def run(spark: SparkSession, oboDir: String, outDir: String,
+          lastWins: Boolean = false, phenotypePattern: String = "cl\\.owl"): Unit = {
+    val allFiles = OwlReader.listFilesMatchingPattern(oboDir, ".*\\.owl")
+    require(allFiles.nonEmpty, s"No OBO files found in $oboDir")
+    val phenotypeRegex = phenotypePattern.r
+
+    // Source stage: parse once, reuse across both passes.
+    val raw = OwlReader.triples(spark, allFiles).toDF().cache()
+    val meta = OwlReader.meta(spark, allFiles).toDF().cache()
+    val terms = OwlReader.terms(spark, allFiles).toDF()
+    val roTerms = terms
+      .filter(UriOps.fileStemCol(col("srcFile")) === "ro")
+      .select("term", "label")
+      .cache()
+
+    // Pass 1: full ontology graph (testObject = false).
+    val pass1 = buildGraph(raw, meta, roTerms, testObject = false, lastWins)
+    GraphSink.writeVertices(pass1.vertices, s"$outDir/ontologies")
+    GraphSink.writeEdges(pass1.edges, s"$outDir/ontologies")
+    GraphSink.writeDeprecatedTerms(pass1.deprecated, s"$outDir/ontologies")
+    GraphSink.writeEdgeLabels(pass1.edgeLabels, s"$outDir/ontologies")
+
+    // Pass 2: CL-only phenotype subgraph (testObject = true, RO dict injected).
+    val phenoFiles = allFiles.map(f => f.substring(f.lastIndexOf('/') + 1))
+      .filter(n => phenotypeRegex.pattern.matcher(n).matches())
+    val clRaw = raw.filter(col("srcFile").isin(phenoFiles: _*))
+    val clMeta = meta.filter(col("srcFile").isin(phenoFiles: _*))
+    if (phenoFiles.nonEmpty) {
+      val pass2 = buildGraph(clRaw, clMeta, roTerms, testObject = true, lastWins)
+      GraphSink.writeVertices(pass2.vertices, s"$outDir/phenotypes")
+      GraphSink.writeEdges(pass2.edges, s"$outDir/phenotypes")
+      GraphSink.writeDeprecatedTerms(pass2.deprecated, s"$outDir/phenotypes")
+      GraphSink.writeEdgeLabels(pass2.edgeLabels, s"$outDir/phenotypes")
+    }
+    raw.unpersist(); meta.unpersist(); roTerms.unpersist()
+  }
+}

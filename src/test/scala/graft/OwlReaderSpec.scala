@@ -1,0 +1,112 @@
+package graft
+
+import graft.io.OwlReader
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-JVM parser tests mirroring the reference's element/downloader suites
+  * (OntologyElementParserTest.java, OntologyDownloaderTest.java) — no Spark
+  * needed because parseTriples/parseElements are pure functions that Spark
+  * merely distributes.
+  */
+class OwlReaderSpec extends AnyFunSuite {
+  private def triples(name: String) = OwlReader.parseTriples(name, TestSpark.readFixture(name))
+  private def elements(name: String) = OwlReader.parseElements(name, TestSpark.readFixture(name))
+
+  test("macrophage raw parse yields rdf:type owl:Class statements") {
+    val ts = triples("macrophage.owl")
+    val classes = ts.filter(t => t.predicate == OwlReader.RdfType && t.objectStr == OwlReader.OwlClass)
+      .map(_.subject).toSet
+    assert(classes.contains("http://purl.obolibrary.org/obo/CL_0000235"))
+    assert(classes.contains("http://purl.obolibrary.org/obo/CL_0000000"))
+  }
+
+  test("macrophage named subClassOf statements present") {
+    val ts = triples("macrophage.owl")
+    val objs = ts.filter(t => t.subject == "http://purl.obolibrary.org/obo/CL_0000235" &&
+      t.predicate == OwlReader.SubClassOf && t.objIsUri).map(_.objectStr).toSet
+    assert(objs == Set(
+      "http://purl.obolibrary.org/obo/CL_0000113",
+      "http://purl.obolibrary.org/obo/CL_0000145",
+      "http://purl.obolibrary.org/obo/CL_0000766"))
+  }
+
+  test("macrophage restriction blank nodes carry onProperty and someValuesFrom") {
+    val ts = triples("macrophage.owl")
+    val blanks = ts.filter(t => t.subject == "http://purl.obolibrary.org/obo/CL_0000235" &&
+      t.predicate == OwlReader.SubClassOf && t.objIsBlank).map(_.objectStr)
+    assert(blanks.size == 3)
+    val onProps = ts.filter(t => blanks.contains(t.subject) && t.predicate == OwlReader.OnProperty)
+      .map(_.objectStr).toSet
+    assert(onProps == Set(
+      "http://purl.obolibrary.org/obo/RO_0002202",
+      "http://purl.obolibrary.org/obo/RO_0002215",
+      "http://purl.obolibrary.org/obo/RO_0002175"))
+  }
+
+  test("macrophage literal statements carry lexical forms in document order") {
+    val ts = triples("macrophage.owl")
+    val xrefs = ts.filter(t => t.subject == "http://purl.obolibrary.org/obo/CL_0000235" &&
+      t.predicate == "http://www.geneontology.org/formats/oboInOwl#hasDbXref")
+      .sortBy(_.stmtIdx).map(_.objLexical)
+    assert(xrefs == Seq("ZFA:0009141", "CALOHA:TS-0587", "MESH:D008264", "FMA:83585", "BTO:0000801", "FMA:63261"))
+  }
+
+  // --- element harvest (reference: OntologyElementParserTest.java) ---
+
+  test("macrophage element harvest: terms, ids, valid filtered") {
+    val (terms, ids, meta) = elements("macrophage.owl")
+    val byTerm = terms.map(t => t.term -> t).toMap
+    assert(byTerm("CL_0000235").label == "macrophage")
+    assert(byTerm("CL_0000235").purl == "http://purl.obolibrary.org/obo/CL_0000235")
+    assert(byTerm("CL_0000000").label == "cell")
+    assert(byTerm("CL_0000576").label == "monocyte")
+    assert(ids.map(_.id).contains("CL"))
+    assert(!ids.map(_.id).contains("valid"))
+    assert(meta.title == null && meta.description == null)
+    assert(meta.purl == "http://purl.obolibrary.org/obo/cl.owl")
+    assert(meta.versionIri == "http://purl.obolibrary.org/obo/cl/releases/2024-09-26/cl.owl")
+    assert(meta.root == "http://purl.obolibrary.org/obo/CL_0000000")
+  }
+
+  test("ro element harvest: RO and IAO ids, relation labels") {
+    val (terms, ids, meta) = elements("ro.owl")
+    val byTerm = terms.map(t => t.term -> t).toMap
+    assert(ids.map(_.id).toSet.contains("RO"))
+    assert(ids.map(_.id).toSet.contains("IAO"))
+    assert(byTerm("RO_0002202").label == "develops from")
+    assert(byTerm("RO_0002215").label == "capable of")
+    assert(byTerm("IAO_0000115").label == "definition")
+    assert(meta.purl == "http://purl.obolibrary.org/obo/ro.owl")
+    assert(meta.versionIri == "http://purl.obolibrary.org/obo/ro/releases/2024-04-24/ro.owl")
+  }
+
+  // --- version sniffing (reference: OntologyDownloaderTest.java:19-44, N6) ---
+
+  private def sniffVersion(name: String): String = {
+    val m = elements(name)._3
+    val date = "(\\d{4}-\\d{2}-\\d{2})".r
+    Option(m.versionInfo).flatMap(v => date.findFirstIn(v))
+      .orElse(Option(m.versionIri).flatMap(v => date.findFirstIn(v)))
+      .orNull
+  }
+
+  test("version from versionInfo") { assert(sniffVersion("version-info-test.owl") == "2024-01-15") }
+  test("version falls back to versionIRI") { assert(sniffVersion("macrophage.owl") == "2024-09-26") }
+  test("versionInfo preferred over versionIRI") { assert(sniffVersion("ro.owl") == "2024-04-24") }
+  test("no version yields null") { assert(sniffVersion("no-version-test.owl") == null) }
+
+  // --- file listing (reference: PathUtilitiesTest.java:20-59, S1) ---
+
+  test("listFilesMatchingPattern finds exactly the 5 fixtures") {
+    val files = OwlReader.listFilesMatchingPattern(TestSpark.oboDir, ".*\\.owl")
+    assert(files.size == 5)
+    assert(files.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet == Set(
+      "macrophage.owl", "ro.owl", "no-IAO_0000700-test.owl", "version-info-test.owl", "no-version-test.owl"))
+  }
+
+  test("listFilesMatchingPattern throws on bad dir") {
+    intercept[java.io.IOException] {
+      OwlReader.listFilesMatchingPattern("/nonexistent/dir", ".*")
+    }
+  }
+}

@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local SparkSession for all suites. */
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Absolute path of the OWL fixture directory on the test classpath. */
+  lazy val oboDir: String =
+    new java.io.File(getClass.getClassLoader.getResource("obo/macrophage.owl").getFile)
+      .getParentFile.getAbsolutePath
+
+  def fixture(name: String): String = s"$oboDir/$name"
+
+  def readFixture(name: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(fixture(name)))
+}
