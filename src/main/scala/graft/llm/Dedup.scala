@@ -1,0 +1,126 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines: exact,
+  * n-gram Jaccard, MinHash+LSH, and SimHash. All are `DataFrame` transforms
+  * built from codegen'd built-ins — no UDFs — and all hashing is md5-based so
+  * results are portable across engines (the DuckDB oracle computes identical
+  * values).
+  *
+  * Scale notes (100 TB): exact dedup is one hash-aggregate shuffle on a
+  * 16-byte digest; shingle/minhash stages shuffle on (shingle) or (band key)
+  * — both uniformly distributed by construction (md5), so no skew; candidate
+  * pair generation is a self-join on band keys whose fan-out is bounded by
+  * band width, not corpus size.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content digest, keep the smallest id as canonical
+    * (deterministic), count members. One map-side-combinable aggregate.
+    */
+  def exactGroups(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_members"))
+
+  /** Word n-gram shingles: (id, shingle) distinct. Shingles are
+    * space-joined word windows — `transform` over a `sequence` keeps the whole
+    * computation inside whole-stage codegen.
+    */
+  def wordShingles(docs: DataFrame, n: Int, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val words = split(col(textCol), " ")
+    // NB: Spark's sequence(1, 0) DESCENDS instead of returning empty — guard.
+    val nShingles = size(words) - (n - 1)
+    val idxs = when(nShingles >= 1, sequence(lit(1), nShingles))
+      .otherwise(array().cast("array<int>"))
+    docs.select(col(idCol).as("id"),
+        explode(transform(idxs, i => concat_ws(" ", slice(words, i, lit(n))))).as("shingle"))
+      .distinct()
+  }
+
+  /** n-gram Jaccard near-dup pairs: inverted-index self-join on shingle →
+    * per-pair intersection counts → |A∩B| / (|A|+|B|-|A∩B|) ≥ `minJaccard`.
+    * The division is exact-integer-in, so the double is bit-identical across
+    * engines. Pairs are emitted once (id_a < id_b).
+    */
+  def jaccardPairs(shingles: DataFrame, minJaccard: Double): DataFrame = {
+    val sizes = shingles.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val a = shingles.select(col("id").as("id_a"), col("shingle"))
+    val b = shingles.select(col("id").as("id_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), Seq("id_a"))
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")), Seq("id_b"))
+      .withColumn("jaccard", col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "n_inter", "sz_a", "sz_b", "jaccard")
+  }
+
+  /** Portable per-seed shingle hash: first 8 hex chars of md5("<seed>:<s>").
+    * Lexicographic MIN over fixed-width lowercase hex == numeric min — no
+    * integer conversion needed, and identical in any engine with md5.
+    */
+  def shingleHash(seed: Int, shingle: Column): Column =
+    substring(md5(concat(lit(seed.toString), lit(":"), shingle)), 1, 8)
+
+  /** MinHash signatures: (id, h0..h{k-1}) — k min-hashes per document.
+    * One aggregate over the shingle table; each hash is an independent
+    * min, combined map-side.
+    */
+  def minhashSignatures(shingles: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(j => min(shingleHash(j, col("shingle"))).as(s"h$j"))
+    shingles.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: signature → (band, band_key) rows; documents sharing a
+    * band key are candidate pairs. `rowsPerBand` hashes concatenate into one
+    * key; numHashes = bands * rowsPerBand.
+    */
+  def lshBands(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), concat(parts: _*).as("band_key"))
+    }
+    signatures.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  /** Candidate near-dup pairs from LSH: distinct (id_a < id_b) sharing any
+    * band key. The self-join key (band, band_key) is md5-uniform → no skew.
+    */
+  def lshCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandsDf = lshBands(signatures, bands, rowsPerBand)
+    val a = bandsDf.withColumnsRenamed(Map("id" -> "id_a"))
+    val b = bandsDf.withColumnsRenamed(Map("id" -> "id_b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** SimHash: `bits`-bit signature from word tokens (weight = term count).
+    * Bit b of a token = bit (b mod 4) of hex digit (b div 4) of md5(token);
+    * the signature bit is 1 iff the weighted sum of (2*bit-1) is positive.
+    * Everything is integer arithmetic — portable and exact.
+    */
+  def simhash(docs: DataFrame, bits: Int = 16, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(bits <= 32 && bits % 4 == 0, "bits must be a multiple of 4, <= 32")
+    val tokens = docs
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("w"))
+      .withColumn("hex", substring(md5(col("token")), 1, bits / 4))
+    val bitCols = (0 until bits).map { b =>
+      val hexDigit = substring(col("hex"), b / 4 + 1, 1)
+      val v = instr(lit("0123456789abcdef"), hexDigit) - 1
+      val bit = floor(v / math.pow(2, b % 4).toInt).cast("long") % 2
+      sum(col("w") * (bit * 2 - 1)).as(s"s$b")
+    }
+    tokens.groupBy("id").agg(bitCols.head, bitCols.tail: _*)
+      .select(col("id"),
+        (0 until bits).map(b => when(col(s"s$b") > 0, math.pow(2, b).toLong).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+}

@@ -1,0 +1,116 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Exact-determinism strategy: embeddings are quantized to integers
+  * (round(x*scale)) before any arithmetic, so dot products are exact integer
+  * sums (all < 2^53 — exact in doubles too) and the derived cosine doubles
+  * are bit-identical across engines — which is what lets the DuckDB oracle
+  * hash-match floating-point similarity scores.
+  *
+  * Scale notes: brute-force is O(|Q|·|C|·d) — the right baseline for small
+  * query sets and re-ranking; the LSH sign-bucket variant shrinks candidates
+  * by ~2^bits with deterministic md5-derived hyperplanes, turning the
+  * all-pairs shuffle into a bucket-key co-partitioned join.
+  */
+object Similarity {
+
+  /** Quantize an array<float> to array<long> by round(x * scale). */
+  def quantize(emb: Column, scale: Int = 1000): Column =
+    transform(emb, x => round(x * scale).cast("long"))
+
+  /** Exact integer dot product of two array<long>. */
+  def dotLong(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+
+  /** Cosine similarity from quantized vectors: exact int dot / sqrt-norm
+    * product. Division and sqrt are IEEE-deterministic on exact inputs.
+    */
+  def cosineQ(qa: Column, qb: Column): Column =
+    dotLong(qa, qb).cast("double") /
+      (sqrt(dotLong(qa, qa).cast("double")) * sqrt(dotLong(qb, qb).cast("double")))
+
+  /** Brute-force top-k cosine neighbors of `queries` within `corpus`.
+    * Input columns: (idCol, embCol). Output: query_id, neighbor_id, cosine,
+    * rank (1..k), deterministically tie-broken by neighbor id.
+    * The corpus side is broadcast when small; otherwise Spark picks a
+    * shuffle-replicate-NL join — at scale, prefer [[lshTopK]].
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id", embCol: String = "embedding",
+                     scale: Int = 1000): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(embCol), scale).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(embCol), scale).as("cv"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineQ(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * md5-derived value in [-8, 8). Gives sign-LSH planes with no RNG state.
+    */
+  private def planeComponent(plane: Int, dim: Column): Column = {
+    val h = substring(md5(concat(lit(s"plane$plane:"), dim.cast("string"))), 1, 4)
+    (conv(h, 16, 10).cast("long") - lit(32768L)).cast("double") / 4096.0
+  }
+
+  /** Sign-LSH bucket key: one bit per hyperplane = sign of <v, plane>. */
+  def lshBucket(emb: Column, numPlanes: Int): Column = {
+    val bits = (0 until numPlanes).map { p =>
+      val dotted = aggregate(
+        zip_with(emb, transform(sequence(lit(0), size(emb) - 1), d => planeComponent(p, d)),
+          (x, pl) => x.cast("double") * pl),
+        lit(0.0d), _ + _)
+      when(dotted >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k: queries join only candidates in the
+    * same sign-bucket, then exact cosine rank within the bucket. Recall is
+    * traded for a 2^numPlanes candidate reduction; co-partitioned equi-join
+    * on the bucket key replaces the cross join.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, numPlanes: Int = 8,
+              idCol: String = "vec_id", embCol: String = "embedding",
+              scale: Int = 1000): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(embCol), scale).as("qv"),
+      lshBucket(col(embCol), numPlanes).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(embCol), scale).as("cv"),
+      lshBucket(col(embCol), numPlanes).as("bucket"))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineQ(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= tau) —
+    * the "embedding near-dup" dedup mode, brute-force within LSH buckets.
+    */
+  def cosineDupPairs(vectors: DataFrame, tau: Double, numPlanes: Int = 6,
+                     idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), quantize(col(embCol)).as("qv"),
+      lshBucket(col(embCol), numPlanes).as("bucket"))
+    val a = v.withColumnsRenamed(Map("id" -> "id_a", "qv" -> "qa"))
+    val b = v.withColumnsRenamed(Map("id" -> "id_b", "qv" -> "qb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosineQ(col("qa"), col("qb")))
+      .filter(col("cosine") >= tau)
+      .select("id_a", "id_b", "cosine")
+      .distinct()
+  }
+}

@@ -1,0 +1,143 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language identification, and document fingerprinting.
+  * All arithmetic is exact (integer counts, integer-ratio doubles) so the
+  * DuckDB oracle matches bit-for-bit.
+  */
+object TextStats {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish subword count: tokens matched by a wordpiece-style regex —
+    * letter runs, digit runs, or single non-space symbols. A cheap proxy for
+    * tokenizer budget estimation at corpus scale.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[\\.,;:!\\?'\"()\\[\\]{}-]"), lit(0)))
+
+  /** Default stopword set for quality scoring (public, engine-internal). */
+  val Stopwords: Seq[String] = Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
+
+  /** Stopword token count against `words` (array column). */
+  def stopwordCount(words: Column, stopwords: Seq[String] = Stopwords): Column =
+    size(filter(words, w => stopwords.map(s => w === s).reduce(_ || _)))
+
+  /** Per-document quality stats: exact counts + integer-ratio doubles.
+    * Columns appended: n_tokens, n_chars_m, avg_word_len, punct_ratio,
+    * stopword_ratio, quality_score.
+    */
+  def qualityStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = split(col(textCol), " ")
+    docs
+      .withColumn("n_tokens", size(words).cast("long"))
+      .withColumn("n_chars_m", length(col(textCol)).cast("long"))
+      .withColumn("avg_word_len",
+        (col("n_chars_m") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+      .withColumn("punct_ratio", punctCount(col(textCol)).cast("double") / col("n_chars_m"))
+      .withColumn("stopword_ratio", stopwordCount(words).cast("double") / col("n_tokens"))
+      // crude composite: long-enough docs with moderate punctuation score higher
+      .withColumn("quality_score",
+        when(col("n_tokens") >= 5, lit(1.0)).otherwise(lit(0.0))
+          + when(col("punct_ratio") <= 0.2, lit(1.0)).otherwise(lit(0.0))
+          + when(col("avg_word_len") >= 3.0 && col("avg_word_len") <= 12.0, lit(1.0)).otherwise(lit(0.0)))
+  }
+
+  /** Tiny built-in stopword profiles for language ID. Real deployments swap
+    * in larger profiles; the mechanism (marker-hit scoring) is the operator.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "la", "et", "est", "les"),
+    "es" -> Seq("el", "la", "y", "es", "los"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Language-ID by stopword-marker scoring: the language with the highest
+    * marker hit count wins; ties and zero scores fall back to "und"
+    * (undetermined). Deterministic: languages compared in profile order.
+    */
+  def langId(text: Column, profiles: Seq[(String, Seq[String])] = LangProfiles): Column = {
+    val words = split(lower(text), " ")
+    val scored = profiles.map { case (lang, markers) =>
+      (lang, size(filter(words, w => markers.map(m => w === m).reduce(_ || _))))
+    }
+    val best = scored.foldLeft((lit("und"), lit(0))) { case ((bl, bs), (lang, s)) =>
+      (when(s > bs, lang).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    best._1
+  }
+
+  /** Canonical content fingerprint: md5 of the sorted distinct word set —
+    * invariant to word order and duplication, portable across engines.
+    */
+  def wordSetFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(split(text, " ")))))
+
+  /** Karp–Rabin rolling hash of the whole string (base 257, mod 2^61-1),
+    * and [[rollingWindowHashes]] for window fingerprints — the classic
+    * content-defined-chunking primitive. Exposed as deterministic UDFs (the
+    * per-character loop has no builtin equivalent); promote to a codegen
+    * Expression if profiling shows it hot.
+    */
+  val Mod: Long = (1L << 61) - 1
+  val Base: Long = 257L
+
+  def rollingHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      // (h * Base + c) mod (2^61-1) without overflow: split h into hi/lo
+      h = mulMod(h, Base) + s.charAt(i).toLong
+      if (h >= Mod) h -= Mod
+      i += 1
+    }
+    h
+  }
+
+  private def mulMod(a: Long, b: Long): Long = {
+    // a * b mod 2^61-1 via 128-bit product (Math.multiplyHigh, JDK 9+):
+    // with value = hi*2^64 + lo and 2^61 ≡ 1 (mod M): value ≡ 8*hi + (lo & M) + (lo >>> 61)
+    val lo = a * b
+    val hi = Math.multiplyHigh(a, b)
+    var r = (hi << 3) + (lo & Mod) + (lo >>> 61)
+    while (r >= Mod) r -= Mod
+    r
+  }
+
+  /** All rolling window hashes of length `w` over the string (UDF). */
+  def windowHashes(s: String, w: Int): Array[Long] = {
+    if (s == null || s.length < w) return Array.empty
+    var pow = 1L
+    (1 until w).foreach(_ => pow = mulMod(pow, Base))
+    val out = new Array[Long](s.length - w + 1)
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      h = mulMod(h, Base) + s.charAt(i).toLong
+      if (h >= Mod) h -= Mod
+      if (i >= w) {
+        val drop = mulMod(pow, s.charAt(i - w).toLong)
+        h = h - drop
+        if (h < 0) h += Mod
+      }
+      if (i >= w - 1) out(i - w + 1) = h
+      i += 1
+    }
+    out
+  }
+
+  val rollingHashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => if (s == null) null else java.lang.Long.valueOf(rollingHash(s)))
+
+  val windowHashesUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String, w: Int) => windowHashes(s, w))
+}

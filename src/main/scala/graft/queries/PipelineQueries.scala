@@ -1,0 +1,238 @@
+package graft.queries
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ops.TextIndex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline and search operators as oracle-checked queries over
+  * the driver's `documents` / `embeddings` tables. All hashing is md5
+  * (identical in DuckDB), all float math goes through exact integer
+  * quantization, so even cosine scores hash-match.
+  */
+object PipelineQueries {
+
+  import RelationalQueries.Entry
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    RelationalQueries.t(s, dir, name)
+
+  /** Shared SQL fragment: word 3-gram shingles of documents. */
+  private val ShinglesSql =
+    """SELECT DISTINCT doc_id AS id,
+      |        array_to_string(words[i:i+2], ' ') AS shingle
+      | FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w,
+      |      LATERAL (SELECT unnest(generate_series(1, greatest(len(w.words)-2, 0))) AS i) g""".stripMargin
+
+  val all: Seq[Entry] = Seq(
+
+    // ---- exact dedup ----------------------------------------------------
+    ("d1_dedup_exact",
+      (s, d) => Dedup.exactGroups(t(s, d, "documents")).orderBy("content_hash"),
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_members
+        | FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin),
+
+    // ---- n-gram Jaccard near-dup pairs ---------------------------------
+    ("d2_jaccard_pairs",
+      (s, d) => Dedup.jaccardPairs(Dedup.wordShingles(t(s, d, "documents"), 3), 0.2)
+        .orderBy("id_a", "id_b"),
+      s"""WITH sh AS ($ShinglesSql),
+         | sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+         | inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+         |           FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id
+         |           GROUP BY 1, 2)
+         | SELECT id_a, id_b, n_inter, sa.sz AS sz_a, sb.sz AS sz_b,
+         |        n_inter / (sa.sz + sb.sz - n_inter) AS jaccard
+         | FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+         | WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.2
+         | ORDER BY id_a, id_b""".stripMargin),
+
+    // ---- MinHash + LSH candidate pairs ---------------------------------
+    ("d3_minhash_lsh",
+      (s, d) => Dedup.lshCandidates(
+        Dedup.minhashSignatures(Dedup.wordShingles(t(s, d, "documents"), 3), 12),
+        bands = 4, rowsPerBand = 3)
+        .orderBy("id_a", "id_b"),
+      s"""WITH sh AS ($ShinglesSql),
+         | hx AS (SELECT id, j, MIN(substr(md5(j::VARCHAR || ':' || shingle), 1, 8)) AS h
+         |        FROM sh, LATERAL (SELECT unnest(generate_series(0, 11)) AS j) t
+         |        GROUP BY id, j),
+         | sig AS (SELECT id,
+         |   ${(0 until 12).map(j => s"MAX(CASE WHEN j=$j THEN h END) AS h$j").mkString(", ")}
+         |   FROM hx GROUP BY id),
+         | bands AS (
+         |   ${(0 until 4).map(b => s"SELECT id, $b AS band, h${b * 3} || h${b * 3 + 1} || h${b * 3 + 2} AS band_key FROM sig").mkString(" UNION ALL ")}
+         | )
+         | SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         | FROM bands a JOIN bands b USING (band, band_key)
+         | WHERE a.id < b.id ORDER BY id_a, id_b""".stripMargin),
+
+    // ---- SimHash signatures --------------------------------------------
+    ("d4_simhash",
+      (s, d) => Dedup.simhash(t(s, d, "documents"), bits = 16).orderBy("id"),
+      """WITH tok AS (SELECT doc_id AS id, word AS token, COUNT(*) AS w
+        |             FROM (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents)
+        |             GROUP BY 1, 2),
+        | bits AS (
+        |   SELECT id, b,
+        |          CAST(SUM(w * (2 * (CAST(floor((strpos('0123456789abcdef',
+        |                 substr(substr(md5(token),1,4), (b // 4) + 1, 1)) - 1)
+        |                 / power(2, b % 4)) AS BIGINT) % 2) - 1)) AS BIGINT) AS s
+        |   FROM tok, LATERAL (SELECT unnest(generate_series(0, 15)) AS b) t
+        |   GROUP BY id, b)
+        | SELECT id, CAST(SUM(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        | FROM bits GROUP BY id ORDER BY id""".stripMargin),
+
+    // ---- brute-force cosine top-k (ANN baseline) ------------------------
+    ("sim_topk_bruteforce",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.bruteForceTopK(e.filter(col("vec_id") < 20), e, k = 5)
+          .orderBy("query_id", "rank")
+      },
+      """WITH q AS (SELECT vec_id AS query_id,
+        |                  list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS qv
+        |           FROM embeddings WHERE vec_id < 20),
+        |      c AS (SELECT vec_id AS neighbor_id,
+        |                  list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS cv
+        |           FROM embeddings),
+        |      sc AS (SELECT query_id, neighbor_id,
+        |                    list_dot_product(qv, cv) /
+        |                    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+        |             FROM q CROSS JOIN c WHERE query_id <> neighbor_id)
+        | SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+        | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |                                    ORDER BY cosine DESC, neighbor_id) AS rank FROM sc)
+        | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    // ---- sign-LSH buckets (ANN scale path) ------------------------------
+    ("sim_lsh_buckets",
+      (s, d) => t(s, d, "embeddings")
+        .select(col("vec_id"), Similarity.lshBucket(col("embedding"), 6).as("bucket"))
+        .orderBy("vec_id"),
+      """WITH planes AS (
+        |   SELECT p, dd,
+        |          ((strpos('0123456789abcdef', substr(h,1,1))-1)*4096
+        |         + (strpos('0123456789abcdef', substr(h,2,1))-1)*256
+        |         + (strpos('0123456789abcdef', substr(h,3,1))-1)*16
+        |         + (strpos('0123456789abcdef', substr(h,4,1))-1) - 32768) / 4096.0 AS comp
+        |   FROM (SELECT p, dd, substr(md5('plane' || p || ':' || dd), 1, 4) AS h
+        |         FROM (SELECT unnest(generate_series(0,5)) AS p),
+        |              (SELECT unnest(generate_series(0,63)) AS dd))),
+        | dots AS (
+        |   SELECT e.vec_id, pl.p, SUM(e.embedding[g.i] * pl.comp) AS dot
+        |   FROM '__EMB__' e,
+        |        LATERAL (SELECT unnest(generate_series(1,64)) AS i) g,
+        |        planes pl
+        |   WHERE pl.dd = g.i - 1
+        |   GROUP BY e.vec_id, pl.p)
+        | SELECT vec_id, CAST(SUM(CASE WHEN dot >= 0 THEN CAST(power(2,p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        | FROM dots GROUP BY vec_id ORDER BY vec_id""".replace("'__EMB__'", "embeddings").stripMargin),
+
+    // ---- embedding-cosine near-dup pairs (bucketed) ---------------------
+    ("sim_dup_pairs",
+      (s, d) => Similarity.cosineDupPairs(t(s, d, "embeddings"), tau = 0.2, numPlanes = 4)
+        .orderBy("id_a", "id_b"),
+      null), // bucket+cosine composite; validated rows-only (bucket logic oracle'd above)
+
+    // ---- text quality stats ---------------------------------------------
+    ("t_quality_stats",
+      (s, d) => TextStats.qualityStats(t(s, d, "documents"))
+        .select("doc_id", "n_tokens", "avg_word_len", "punct_ratio", "stopword_ratio", "quality_score")
+        .orderBy("doc_id"),
+      """SELECT doc_id,
+        |        CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |        CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+        |          / len(string_split(text,' ')) AS avg_word_len,
+        |        CAST(len(regexp_extract_all(text, '[\.,;:!\?''"()\[\]{}-]')) AS DOUBLE)
+        |          / length(text) AS punct_ratio,
+        |        CAST(len(list_filter(string_split(text,' '),
+        |               w -> w IN ('the','a','an','of','to','and','in','is','it','that'))) AS DOUBLE)
+        |          / len(string_split(text,' ')) AS stopword_ratio,
+        |        (CASE WHEN len(string_split(text,' ')) >= 5 THEN 1.0 ELSE 0.0 END
+        |       + CASE WHEN CAST(len(regexp_extract_all(text, '[\.,;:!\?''"()\[\]{}-]')) AS DOUBLE) / length(text) <= 0.2 THEN 1.0 ELSE 0.0 END
+        |       + CASE WHEN CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE) / len(string_split(text,' '))
+        |              BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END) AS quality_score
+        | FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ---- language id ----------------------------------------------------
+    ("t_langid",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), TextStats.langId(col("text")).as("guess"))
+        .orderBy("doc_id"),
+      s"""WITH scored AS (SELECT doc_id, lang,
+         |   ${TextStats.LangProfiles.zipWithIndex.map { case ((_, ms), i) =>
+               s"len(list_filter(string_split(lower(text),' '), w -> w IN (${ms.map(m => s"'$m'").mkString(",")}))) AS s$i"
+             }.mkString(", ")}
+         | FROM documents)
+         | SELECT doc_id, lang,
+         |   CASE WHEN ${(0 until 5).map(i => s"s$i").mkString("greatest(", ",", ")")} <= 0 THEN 'und'
+         |   ${TextStats.LangProfiles.zipWithIndex.map { case ((lg, _), i) =>
+               s"WHEN s$i = ${(0 until 5).map(j => s"s$j").mkString("greatest(", ",", ")")} THEN '$lg'"
+             }.mkString(" ")}
+         |   END AS guess
+         | FROM scored ORDER BY doc_id""".stripMargin),
+
+    // ---- document fingerprint (canonical word-set md5) ------------------
+    ("t_fingerprint",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TextStats.wordSetFingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fp
+        | FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ---- rolling-hash winnowing fingerprint (UDF surface; rows-only) ----
+    ("t_rolling_winnow",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          array_min(TextStats.windowHashesUdf(col("text"), lit(16))).as("winnow"))
+        .orderBy("doc_id"),
+      null),
+
+    // ---- X1: n-gram analyzer token counts -------------------------------
+    ("x1_ngram_tokens",
+      (s, d) => t(s, d, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("s"))
+        .select(col("doc_id"),
+          size(TextIndex.charNgrams(col("s"), 3, 4, preserveOriginal = true)).cast("long").as("n_tokens"))
+        .orderBy("doc_id"),
+      """WITH s AS (SELECT doc_id, substr(text, 1, 40) AS s FROM documents WHERE doc_id < 100),
+        | toks AS (
+        |   SELECT doc_id, substr(s, i, 3) AS tok FROM s,
+        |        LATERAL (SELECT unnest(generate_series(1, greatest(length(s.s)-2,0))) AS i) g
+        |   UNION
+        |   SELECT doc_id, substr(s, i, 4) AS tok FROM s,
+        |        LATERAL (SELECT unnest(generate_series(1, greatest(length(s.s)-3,0))) AS i) g
+        |   UNION
+        |   SELECT doc_id, s AS tok FROM s)
+        | SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // ---- X1: edge-ngram analyzer ----------------------------------------
+    ("x1_edge_ngram",
+      (s, d) => t(s, d, "part")
+        .filter(col("p_partkey") < 100)
+        .select(col("p_partkey"),
+          size(array_distinct(TextIndex.edgeNgramsPerWord(col("p_name")))).cast("long").as("n_tokens"))
+        .orderBy("p_partkey"),
+      """WITH words AS (SELECT p_partkey, unnest(string_split(lower(p_name), ' ')) AS w
+        |               FROM part WHERE p_partkey < 100),
+        | toks AS (
+        |   SELECT p_partkey, substr(w, 1, n) AS tok FROM words,
+        |        LATERAL (SELECT unnest(generate_series(3, greatest(least(length(words.w),12),3))) AS n) g
+        |   UNION
+        |   SELECT p_partkey, w AS tok FROM words)
+        | SELECT p_partkey, COUNT(*) AS n_tokens FROM toks GROUP BY p_partkey ORDER BY p_partkey""".stripMargin),
+
+    // ---- multimodal plumbing: binary payloads + stub features ----------
+    ("m_media_features",
+      (s, d) => Multimodal.extractFeatures(Multimodal.documentsAsMedia(t(s, d, "documents")))
+        .select("media_id", "byte_len", "content_hash", "frame_count")
+        .orderBy("media_id"),
+      """SELECT doc_id AS media_id,
+        |        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |        md5(text) AS content_hash,
+        |        CAST(1 AS INTEGER) AS frame_count
+        | FROM documents ORDER BY media_id""".stripMargin)
+  )
+}

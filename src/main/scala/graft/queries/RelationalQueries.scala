@@ -1,0 +1,404 @@
+package graft.queries
+
+import graft.io.GraphSink
+import graft.ops.Normalize
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY.md §2 operator inventory expressed as named queries over the
+  * driver's TPC-H-ish tables, each with a DuckDB oracle (SparkEntry contract).
+  *
+  * Determinism rules used throughout (so the oracle hash-matches):
+  *  - money sums go through DECIMAL (exact, order-independent) and are cast
+  *    back to DOUBLE; pure-integral doubles (quantities, counts) sum exactly;
+  *  - every query ends in a total ORDER BY on a unique key;
+  *  - every computed column is aliased identically in Spark and SQL.
+  */
+object RelationalQueries {
+
+  /** (name, spark fn, oracle SQL or null for rows-only checks). */
+  type Entry = (String, (SparkSession, String) => DataFrame, String)
+
+  private[queries] def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by default;
+    // read nanos as long (none of the queries emit raw event timestamps).
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  // exact money sum: double -> decimal(18,2) -> sum -> double
+  private def moneySum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  val all: Seq[Entry] = Seq(
+
+    // ---- S1/F: scan with projection + pushed filter --------------------
+    ("s1_scan_project",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber"),
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        | WHERE l_shipdate < TIMESTAMP '1996-01-01'
+        | ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // ---- F2: namespace-prefix whitelist (OR of startsWith) -------------
+    ("f2_prefix_whitelist",
+      (s, d) => t(s, d, "part")
+        .filter(col("p_type").startsWith("PRO") || col("p_type").startsWith("ECO"))
+        .select("p_partkey", "p_type")
+        .orderBy("p_partkey"),
+      """SELECT p_partkey, p_type FROM part
+        | WHERE p_type LIKE 'PRO%' OR p_type LIKE 'ECO%'
+        | ORDER BY p_partkey""".stripMargin),
+
+    // ---- F3: valid-triple gate (subject && (!uri || contains)) ---------
+    ("f3_object_gate",
+      (s, d) => t(s, d, "documents")
+        .filter(col("source") === "src1" && (col("lang") === "en" || col("n_chars") < 200))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id"),
+      """SELECT doc_id, lang, n_chars FROM documents
+        | WHERE source = 'src1' AND (lang = 'en' OR n_chars < 200)
+        | ORDER BY doc_id""".stripMargin),
+
+    // ---- F8: routed filter (split, not drop) ---------------------------
+    ("f8_routed_split",
+      (s, d) => t(s, d, "customer")
+        .withColumn("route", when(col("c_acctbal") < 0, "deprecated").otherwise("kept"))
+        .groupBy("route")
+        .agg(count(lit(1)).as("n"), moneySum(col("c_acctbal")).as("bal"))
+        .orderBy("route"),
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'deprecated' ELSE 'kept' END AS route,
+        |        COUNT(*) AS n,
+        |        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        | FROM customer GROUP BY 1 ORDER BY route""".stripMargin),
+
+    // ---- J1: restriction flattening as double self-join ----------------
+    // events modeled as triples (subject=user_id, predicate=event_type,
+    // object=value): users with a 'click' statement get their max 'view'
+    // and max 'purchase' objects flattened into one row.
+    ("j1_restriction_flatten",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click").select(col("user_id")).distinct()
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(max(col("value")).as("view_value"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id").agg(max(col("value")).as("purchase_value"))
+        clicks.join(views, Seq("user_id")).join(purchases, Seq("user_id"))
+          .orderBy("user_id")
+      },
+      """SELECT c.user_id, v.view_value, p.purchase_value
+        | FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'click') c
+        | JOIN (SELECT user_id, MAX(value) AS view_value FROM events
+        |        WHERE event_type = 'view' GROUP BY 1) v USING (user_id)
+        | JOIN (SELECT user_id, MAX(value) AS purchase_value FROM events
+        |        WHERE event_type = 'purchase' GROUP BY 1) p USING (user_id)
+        | ORDER BY user_id""".stripMargin),
+
+    // ---- J2: broadcast dimension joins --------------------------------
+    ("j2_broadcast_dim",
+      (s, d) => t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"), moneySum(col("c_acctbal")).as("total_bal"))
+        .orderBy("r_name"),
+      """SELECT r_name, COUNT(*) AS n_customers,
+        |        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        | FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |               JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY r_name ORDER BY r_name""".stripMargin),
+
+    // ---- J3: semi-join (EXISTS) — the RI-check shape -------------------
+    ("j3_semijoin_exists",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      """SELECT c_custkey, c_name FROM customer
+        | WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        | ORDER BY c_custkey""".stripMargin),
+
+    // ---- J4: anti-join (NOT EXISTS) ------------------------------------
+    ("j4_antijoin_not_exists",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey"),
+      """SELECT c_custkey, c_acctbal FROM customer
+        | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        | ORDER BY c_custkey""".stripMargin),
+
+    // ---- J6: equi + range (theta) join ---------------------------------
+    ("j6_range_join",
+      (s, d) => {
+        val sup = t(s, d, "supplier")
+        val cust = t(s, d, "customer")
+        sup.join(cust,
+          col("s_nationkey") === col("c_nationkey") &&
+            col("c_acctbal") >= col("s_acctbal") - 100 &&
+            col("c_acctbal") <= col("s_acctbal") + 100)
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("s_nationkey")
+      },
+      """SELECT s_nationkey, COUNT(*) AS n_pairs
+        | FROM supplier JOIN customer
+        |   ON s_nationkey = c_nationkey
+        |  AND c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100
+        | GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin),
+
+    // ---- A1: global distinct (triple-dedup shape) ----------------------
+    ("a1_distinct",
+      (s, d) => t(s, d, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus"),
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        | ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // ---- A2: the flagship grouped aggregate (TPC-H Q1 shape) -----------
+    ("a2_flagship_agg",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)"))
+            .cast("double").as("sum_disc"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      """SELECT l_returnflag, l_linestatus,
+        |        SUM(l_quantity) AS sum_qty,
+        |        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc,
+        |        SUM(l_quantity) / COUNT(*) AS avg_qty,
+        |        COUNT(*) AS n_rows
+        | FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        | GROUP BY l_returnflag, l_linestatus
+        | ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // ---- A3: deterministic last-wins (latest order per customer) -------
+    ("a3_lastwins_latest",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        t(s, d, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("o_custkey", "o_orderkey", "o_orderdate")
+          .orderBy("o_custkey")
+      },
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        |   SELECT o_custkey, o_orderkey, o_orderdate,
+        |          ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |   FROM orders) WHERE rn = 1
+        | ORDER BY o_custkey""".stripMargin),
+
+    // ---- A5: first-wins dictionary build -------------------------------
+    ("a5_first_dict",
+      (s, d) => t(s, d, "part")
+        .groupBy("p_brand")
+        .agg(min(col("p_name")).as("first_name"), count(lit(1)).as("n_parts"))
+        .orderBy("p_brand"),
+      """SELECT p_brand, MIN(p_name) AS first_name, COUNT(*) AS n_parts
+        | FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+
+    // ---- A6: distinct prefix ids (substring + distinct) ----------------
+    ("a6_distinct_prefixes",
+      (s, d) => t(s, d, "part")
+        .select(substring_index(col("p_name"), " ", 1).as("prefix"))
+        .distinct()
+        .orderBy("prefix"),
+      """SELECT DISTINCT split_part(p_name, ' ', 1) AS prefix FROM part
+        | ORDER BY prefix""".stripMargin),
+
+    // ---- U1: pivot (dynamic attribute columns) -------------------------
+    ("u1_pivot_status",
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(moneySum(col("o_totalprice")))
+        .withColumnsRenamed(Map("O" -> "sum_o", "F" -> "sum_f", "P" -> "sum_p"))
+        .orderBy("o_orderpriority"),
+      """SELECT o_orderpriority,
+        |        CAST(SUM(CASE WHEN o_orderstatus='O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_o,
+        |        CAST(SUM(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_f,
+        |        CAST(SUM(CASE WHEN o_orderstatus='P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_p
+        | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // ---- S8: upsert as full-outer merge --------------------------------
+    ("s8_upsert_merge",
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val base = orders.filter(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val updates = orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (col("o_totalprice") * 2).as("o_totalprice"))
+        GraphSink.upsert(base, updates, Seq("o_orderkey"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |        COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+        |        COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice
+        | FROM (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0) b
+        | FULL OUTER JOIN (SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+        |                  FROM orders WHERE o_orderkey % 2 = 0) u USING (o_orderkey)
+        | ORDER BY o_orderkey""".stripMargin),
+
+    // ---- W1: rank / top-k per group ------------------------------------
+    ("w1_rank_topk",
+      (s, d) => {
+        val c = t(s, d, "customer").select("c_custkey", "c_mktsegment")
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, d, "orders")
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("c_mktsegment", "rn", "o_orderkey", "o_totalprice")
+          .orderBy("c_mktsegment", "rn")
+      },
+      """SELECT c_mktsegment, CAST(rn AS INTEGER) AS rn, o_orderkey, o_totalprice FROM (
+        |   SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |          ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |   FROM orders JOIN customer ON o_custkey = c_custkey)
+        | WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin),
+
+    // ---- W2: running sum (frame window) --------------------------------
+    ("w2_running_sum",
+      (s, d) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "lineitem")
+          .filter(col("l_suppkey") < 10)
+          .withColumn("run_qty", sum(col("l_quantity")).over(w))
+          .select("l_suppkey", "l_orderkey", "l_linenumber", "run_qty")
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      },
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |        SUM(l_quantity) OVER (PARTITION BY l_suppkey
+        |                              ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |                              ROWS UNBOUNDED PRECEDING) AS run_qty
+        | FROM lineitem WHERE l_suppkey < 10
+        | ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin),
+
+    // ---- top-k global sort ---------------------------------------------
+    ("topk_global",
+      (s, d) => t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10),
+      """SELECT o_orderkey, o_totalprice FROM orders
+        | ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+
+    // ---- set ops: intersect / except, tagged ---------------------------
+    ("set_ops_tagged",
+      (s, d) => {
+        val withOrders = t(s, d, "orders").select(col("o_custkey").as("custkey")).distinct()
+        val negative = t(s, d, "customer").filter(col("c_acctbal") < 0)
+          .select(col("c_custkey").as("custkey"))
+        withOrders.intersect(negative).withColumn("tag", lit("both"))
+          .union(withOrders.exceptAll(negative).withColumn("tag", lit("orders_only")))
+          .select("tag", "custkey")
+          .orderBy("tag", "custkey")
+      },
+      """WITH w AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+        |      n AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0)
+        | SELECT 'both' AS tag, custkey FROM (SELECT custkey FROM w INTERSECT SELECT custkey FROM n)
+        | UNION ALL
+        | SELECT 'orders_only' AS tag, custkey FROM (SELECT custkey FROM w EXCEPT ALL SELECT custkey FROM n)
+        | ORDER BY tag, custkey""".stripMargin),
+
+    // ---- rollup (grouping sets) ----------------------------------------
+    ("rollup_agg",
+      (s, d) => t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy("rf", "ls"),
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |        SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+        | FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        | ORDER BY rf, ls""".stripMargin),
+
+    // ---- N2: URI -> vtuple columns + N7 doc-id split -------------------
+    ("n2_uri_vtuple",
+      (s, d) => t(s, d, "nation")
+        .withColumn("uri", concat(lit("http://purl.obolibrary.org/obo/"), col("n_name")))
+        .withColumn("term", substring_index(col("uri"), "/", -1))
+        .withColumn("id", element_at(split(col("term"), "_"), 1))
+        .withColumn("number", element_at(split(col("term"), "_"), 2))
+        .withColumn("docid", concat(col("id"), lit("/"), col("number")))
+        .withColumn("coll", substring_index(col("docid"), "/", 1))
+        .select("n_nationkey", "term", "id", "number", "docid", "coll")
+        .orderBy("n_nationkey"),
+      """SELECT n_nationkey,
+        |        regexp_extract('http://purl.obolibrary.org/obo/' || n_name, '([^/]*)$', 1) AS term,
+        |        split_part(n_name, '_', 1) AS id,
+        |        split_part(n_name, '_', 2) AS number,
+        |        split_part(n_name, '_', 1) || '/' || split_part(n_name, '_', 2) AS docid,
+        |        split_part(n_name, '_', 1) AS coll
+        | FROM nation ORDER BY n_nationkey""".stripMargin),
+
+    // ---- N4/N5: normalization when-chains ------------------------------
+    ("n4_case_normalize",
+      (s, d) => t(s, d, "orders")
+        .withColumn("norm",
+          when(col("o_orderpriority") === "1-URGENT", "URGENT")
+            .otherwise(upper(regexp_replace(col("o_orderpriority"), " ", "_"))))
+        .groupBy("norm").agg(count(lit(1)).as("n"))
+        .orderBy("norm"),
+      """SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'URGENT'
+        |             ELSE upper(replace(o_orderpriority, ' ', '_')) END AS norm,
+        |        COUNT(*) AS n
+        | FROM orders GROUP BY 1 ORDER BY norm""".stripMargin),
+
+    // ---- N6: date extraction + lexical compare -------------------------
+    ("n6_date_extract",
+      (s, d) => t(s, d, "orders")
+        .withColumn("ds", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        .withColumn("year", substring(col("ds"), 1, 4))
+        .filter(col("ds") > "1997-06-15") // lexical compare of ISO dates
+        .groupBy("year").agg(count(lit(1)).as("n"))
+        .orderBy("year"),
+      """SELECT substr(strftime(o_orderdate, '%Y-%m-%d'), 1, 4) AS year, COUNT(*) AS n
+        | FROM orders WHERE strftime(o_orderdate, '%Y-%m-%d') > '1997-06-15'
+        | GROUP BY 1 ORDER BY year""".stripMargin),
+
+    // ---- arrays: split + explode + count -------------------------------
+    ("x_array_wordcount",
+      (s, d) => t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(20),
+      """SELECT word, COUNT(*) AS n
+        | FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        | GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin),
+
+    // ---- JSON: extraction from string column ---------------------------
+    ("x_json_extract",
+      (s, d) => t(s, d, "events")
+        .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      """SELECT event_type,
+        |        CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        |        COUNT(*) AS n
+        | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+  )
+}
