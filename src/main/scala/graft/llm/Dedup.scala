@@ -59,20 +59,29 @@ object Dedup {
       .select("id_a", "id_b", "n_inter", "sz_a", "sz_b", "jaccard")
   }
 
-  /** Portable per-seed shingle hash: first 8 hex chars of md5("<seed>:<s>").
-    * Lexicographic MIN over fixed-width lowercase hex == numeric min — no
-    * integer conversion needed, and identical in any engine with md5.
+  /** Portable shingle hash j: 8 hex chars of md5("<j/4>:<s>") at piece j%4 —
+    * one md5 yields four independent 32-bit hashes, so k hashes cost only
+    * ceil(k/4) digests. Lexicographic MIN over fixed-width lowercase hex ==
+    * numeric min — no integer conversion, identical in any engine with md5.
     */
-  def shingleHash(seed: Int, shingle: Column): Column =
-    substring(md5(concat(lit(seed.toString), lit(":"), shingle)), 1, 8)
+  def shingleHash(j: Int, shingle: Column): Column =
+    substring(md5(concat(lit((j / 4).toString), lit(":"), shingle)),
+      1 + 8 * (j % 4), 8)
 
   /** MinHash signatures: (id, h0..h{k-1}) — k min-hashes per document.
-    * One aggregate over the shingle table; each hash is an independent
-    * min, combined map-side.
+    *
+    * Hashes are computed on the DISTINCT shingle dictionary and joined back
+    * before the per-document min — at any scale the dictionary is far
+    * smaller than the (id, shingle) table (vocabulary vs corpus), so this
+    * trades one (usually broadcast) join for a >10× cut in digest work; the
+    * per-document min still combines map-side.
     */
   def minhashSignatures(shingles: DataFrame, numHashes: Int): DataFrame = {
-    val aggs = (0 until numHashes).map(j => min(shingleHash(j, col("shingle"))).as(s"h$j"))
-    shingles.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val dict = shingles.select("shingle").distinct()
+      .select(col("shingle") +:
+        (0 until numHashes).map(j => shingleHash(j, col("shingle")).as(s"h$j")): _*)
+    val aggs = (0 until numHashes).map(j => min(col(s"h$j")).as(s"h$j"))
+    shingles.join(dict, Seq("shingle")).groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: signature → (band, band_key) rows; documents sharing a

@@ -56,19 +56,26 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * md5-derived value in [-8, 8). Gives sign-LSH planes with no RNG state.
+    * md5-derived value in [-8, 8). Computed DRIVER-SIDE (the planes are
+    * constants — recomputing md5 per data row would dominate the scan) and
+    * embedded as literals; the formula matches the SQL oracle's in-database
+    * derivation exactly.
     */
-  private def planeComponent(plane: Int, dim: Column): Column = {
-    val h = substring(md5(concat(lit(s"plane$plane:"), dim.cast("string"))), 1, 4)
-    (conv(h, 16, 10).cast("long") - lit(32768L)).cast("double") / 4096.0
+  def planeComponent(plane: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plane$plane:$dim".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 4)
+    (java.lang.Integer.parseInt(hex, 16) - 32768).toDouble / 4096.0
   }
 
-  /** Sign-LSH bucket key: one bit per hyperplane = sign of <v, plane>. */
-  def lshBucket(emb: Column, numPlanes: Int): Column = {
+  /** Sign-LSH bucket key: one bit per hyperplane = sign of <v, plane>.
+    * `dims` must equal the embedding length.
+    */
+  def lshBucket(emb: Column, numPlanes: Int, dims: Int = 64): Column = {
     val bits = (0 until numPlanes).map { p =>
+      val plane = typedlit((0 until dims).map(d => planeComponent(p, d)))
       val dotted = aggregate(
-        zip_with(emb, transform(sequence(lit(0), size(emb) - 1), d => planeComponent(p, d)),
-          (x, pl) => x.cast("double") * pl),
+        zip_with(emb, plane, (x, pl) => x.cast("double") * pl),
         lit(0.0d), _ + _)
       when(dotted >= 0, lit(1L << p)).otherwise(lit(0L))
     }

@@ -17,6 +17,17 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     RelationalQueries.t(s, dir, name)
 
+  /** The driver's testdata parquet files have a SINGLE row group, so Spark
+    * cannot split them — every scan is one task. For queries whose pre-shuffle
+    * stage is CPU-heavy (shingle/token explodes, hashing), redistribute the
+    * (tiny) input first; the round-robin exchange also becomes the shared
+    * materialization point reused by self-join branches. On a real cluster
+    * the input would already arrive in thousands of splits and this is a
+    * near-no-op relative to the downstream work.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Shared SQL fragment: word 3-gram shingles of documents. */
   private val ShinglesSql =
     """SELECT DISTINCT doc_id AS id,
@@ -34,7 +45,7 @@ object PipelineQueries {
 
     // ---- n-gram Jaccard near-dup pairs ---------------------------------
     ("d2_jaccard_pairs",
-      (s, d) => Dedup.jaccardPairs(Dedup.wordShingles(t(s, d, "documents"), 3), 0.2)
+      (s, d) => Dedup.jaccardPairs(Dedup.wordShingles(spread(t(s, d, "documents")), 3), 0.2)
         .orderBy("id_a", "id_b"),
       s"""WITH sh AS ($ShinglesSql),
          | sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
@@ -50,11 +61,11 @@ object PipelineQueries {
     // ---- MinHash + LSH candidate pairs ---------------------------------
     ("d3_minhash_lsh",
       (s, d) => Dedup.lshCandidates(
-        Dedup.minhashSignatures(Dedup.wordShingles(t(s, d, "documents"), 3), 12),
+        Dedup.minhashSignatures(Dedup.wordShingles(spread(t(s, d, "documents")), 3), 12),
         bands = 4, rowsPerBand = 3)
         .orderBy("id_a", "id_b"),
       s"""WITH sh AS ($ShinglesSql),
-         | hx AS (SELECT id, j, MIN(substr(md5(j::VARCHAR || ':' || shingle), 1, 8)) AS h
+         | hx AS (SELECT id, j, MIN(substr(md5((j // 4)::VARCHAR || ':' || shingle), 1 + 8 * (j % 4), 8)) AS h
          |        FROM sh, LATERAL (SELECT unnest(generate_series(0, 11)) AS j) t
          |        GROUP BY id, j),
          | sig AS (SELECT id,
@@ -69,7 +80,7 @@ object PipelineQueries {
 
     // ---- SimHash signatures --------------------------------------------
     ("d4_simhash",
-      (s, d) => Dedup.simhash(t(s, d, "documents"), bits = 16).orderBy("id"),
+      (s, d) => Dedup.simhash(spread(t(s, d, "documents")), bits = 16).orderBy("id"),
       """WITH tok AS (SELECT doc_id AS id, word AS token, COUNT(*) AS w
         |             FROM (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents)
         |             GROUP BY 1, 2),
@@ -157,7 +168,7 @@ object PipelineQueries {
 
     // ---- language id ----------------------------------------------------
     ("t_langid",
-      (s, d) => t(s, d, "documents")
+      (s, d) => spread(t(s, d, "documents"))
         .select(col("doc_id"), col("lang"), TextStats.langId(col("text")).as("guess"))
         .orderBy("doc_id"),
       s"""WITH scored AS (SELECT doc_id, lang,
@@ -226,7 +237,7 @@ object PipelineQueries {
 
     // ---- multimodal plumbing: binary payloads + stub features ----------
     ("m_media_features",
-      (s, d) => Multimodal.extractFeatures(Multimodal.documentsAsMedia(t(s, d, "documents")))
+      (s, d) => Multimodal.extractFeatures(Multimodal.documentsAsMedia(spread(t(s, d, "documents"))))
         .select("media_id", "byte_len", "content_hash", "frame_count")
         .orderBy("media_id"),
       """SELECT doc_id AS media_id,
