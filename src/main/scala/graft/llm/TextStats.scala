@@ -116,8 +116,9 @@ object TextStats {
   /** All rolling window hashes of length `w` over the string (UDF). */
   def windowHashes(s: String, w: Int): Array[Long] = {
     if (s == null || s.length < w) return Array.empty
+    // dropped char coefficient is Base^w: the multiply-by-Base happens before the drop
     var pow = 1L
-    (1 until w).foreach(_ => pow = mulMod(pow, Base))
+    (0 until w).foreach(_ => pow = mulMod(pow, Base))
     val out = new Array[Long](s.length - w + 1)
     var h = 0L
     var i = 0

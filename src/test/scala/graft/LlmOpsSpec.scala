@@ -1,0 +1,167 @@
+package graft
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit specs for the training-data-pipeline operators. */
+class LlmOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+  // ------------------------------------------------------------- dedup
+
+  test("exact dedup groups identical texts") {
+    val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val g = Dedup.exactGroups(d).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(g.length == 2)
+    val dup = g.find(_._2 == 1L).get
+    assert(dup._3 == 2L) // two members, canonical id 1
+  }
+
+  test("word shingles of size 3") {
+    val sh = Dedup.wordShingles(docs(1L -> "a b c d"), 3)
+      .collect().map(_.getString(1)).toSet
+    assert(sh == Set("a b c", "b c d"))
+  }
+
+  test("word shingles shorter than n yield none") {
+    assert(Dedup.wordShingles(docs(1L -> "a b"), 3).count() == 0)
+  }
+
+  test("jaccard pairs exact value") {
+    // shingles: doc1 {a b c, b c d}, doc2 {b c d, c d e} -> inter=1, union=3
+    val d = docs(1L -> "a b c d", 2L -> "b c d e")
+    val p = Dedup.jaccardPairs(Dedup.wordShingles(d, 3), 0.0).collect()
+    assert(p.length == 1)
+    val r = p(0)
+    assert(r.getAs[Long]("n_inter") == 1 && r.getAs[Double]("jaccard") == 1.0 / 3.0)
+  }
+
+  test("minhash: identical docs share signatures and become LSH candidates") {
+    val d = docs(1L -> "a b c d e f g h", 2L -> "a b c d e f g h", 3L -> "q r s t u v w x")
+    val sig = Dedup.minhashSignatures(Dedup.wordShingles(d, 3), 12)
+    val rows = sig.collect().map(r => r.getLong(0) -> (1 to 12).map(i => r.getString(i)))
+    val m = rows.toMap
+    assert(m(1L) == m(2L) && m(1L) != m(3L))
+    val cands = Dedup.lshCandidates(sig, 4, 3).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cands.toSet == Set((1L, 2L)))
+  }
+
+  test("simhash: identical texts equal, disjoint texts differ") {
+    val d = docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta", 3L -> "zz yy xx ww vv uu")
+    val m = Dedup.simhash(d, 16).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    assert(m(1L) != m(3L))
+    assert(m.values.forall(v => v >= 0 && v < (1 << 16)))
+  }
+
+  // --------------------------------------------------------- similarity
+
+  private def vecs(rows: (Long, Seq[Float])*) = rows.toSeq.toDF("vec_id", "embedding")
+
+  test("cosine top-k finds the aligned vector first") {
+    val v = vecs(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(0.9f, 0.1f, 0f, 0f),
+      2L -> Seq(0f, 1f, 0f, 0f),
+      3L -> Seq(-1f, 0f, 0f, 0f))
+    val top = Similarity.bruteForceTopK(v.filter($"vec_id" === 0), v, k = 2)
+      .orderBy("rank").collect()
+    assert(top(0).getAs[Long]("neighbor_id") == 1L)
+    assert(top(0).getAs[Double]("cosine") > 0.99)
+    assert(top(1).getAs[Long]("neighbor_id") == 2L) // orthogonal beats opposite
+  }
+
+  test("lsh bucket: identical vectors collide, opposite vectors do not") {
+    val v = vecs(
+      0L -> Seq.fill(64)(0.5f),
+      1L -> Seq.fill(64)(0.5f),
+      2L -> Seq.fill(64)(-0.5f))
+    val b = v.select($"vec_id", Similarity.lshBucket($"embedding", 8).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(0L) == b(1L))
+    assert(b(0L) != b(2L)) // every plane's sign flips
+  }
+
+  test("cosineDupPairs finds exact duplicates") {
+    val v = vecs(
+      0L -> Seq.fill(64)(0.25f),
+      1L -> Seq.fill(64)(0.25f),
+      2L -> (Seq.fill(32)(1f) ++ Seq.fill(32)(-1f)))
+    val pairs = Similarity.cosineDupPairs(v, tau = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((0L, 1L)))
+  }
+
+  // ---------------------------------------------------------- text stats
+
+  test("rolling hash matches BigInt reference model") {
+    val mod = BigInt(2).pow(61) - 1
+    def ref(s: String): Long =
+      s.foldLeft(BigInt(0))((h, c) => (h * 257 + c.toInt) % mod).toLong
+    for (s <- Seq("", "a", "hello world", "The quick brown fox", "é世界" * 7))
+      assert(TextStats.rollingHash(s) == ref(s), s"mismatch for '$s'")
+  }
+
+  test("window hashes: full-length window equals rolling hash; sliding is consistent") {
+    val s = "abcdefghij"
+    assert(TextStats.windowHashes(s, s.length).toSeq == Seq(TextStats.rollingHash(s)))
+    val w4 = TextStats.windowHashes(s, 4)
+    assert(w4.length == 7)
+    assert(w4(0) == TextStats.rollingHash("abcd"))
+    assert(w4(6) == TextStats.rollingHash("ghij"))
+  }
+
+  test("quality stats exact counts") {
+    val r = TextStats.qualityStats(docs(1L -> "the cat sat on a mat.")).collect()(0)
+    assert(r.getAs[Long]("n_tokens") == 6)
+    assert(r.getAs[Long]("n_chars_m") == 21)
+    assert(r.getAs[Double]("stopword_ratio") == 2.0 / 6.0) // the, a
+    assert(r.getAs[Double]("punct_ratio") == 1.0 / 21.0) // the period
+  }
+
+  test("langId picks English for an English sentence, und for no markers") {
+    val d = docs(1L -> "the cat and the dog of the house", 2L -> "qwerty asdf zxcv")
+    val m = d.select($"doc_id", TextStats.langId($"text").as("g"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "en" && m(2L) == "und")
+  }
+
+  test("word-set fingerprint invariant to order and duplication") {
+    val d = docs(1L -> "b a c a", 2L -> "c b a", 3L -> "c b a d")
+    val m = d.select($"doc_id", TextStats.wordSetFingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == m(2L) && m(1L) != m(3L))
+  }
+
+  // ---------------------------------------------------------- multimodal
+
+  test("media features: md5 and byte length match reference impls") {
+    val media = Multimodal.documentsAsMedia(docs(7L -> "hello"))
+    val f = Multimodal.extractFeatures(media).collect()(0)
+    assert(f.media_id == 7L)
+    assert(f.byte_len == 5L)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = md.digest("hello".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(f.content_hash == expect)
+    assert(f.feature.length == 8 && math.abs(f.feature.sum - 1.0f) < 1e-5)
+  }
+
+  test("resize truncates payload and stamps dimensions") {
+    val media = Multimodal.documentsAsMedia(docs(1L -> ("x" * 100)))
+    val r = Multimodal.resize(media, 4, 5).collect()(0)
+    assert(r.bytes.length == 20 && r.width == 4 && r.height == 5)
+  }
+
+  test("frame sampling yields one frame per interval for video") {
+    val v = Multimodal.documentsAsMedia(docs(1L -> ("y" * 100)))
+      .map(_.copy(media_type = "video", duration_ms = 200L))(
+        org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val frames = Multimodal.sampleFrames(v, everyMs = 40L).collect()
+    assert(frames.length == 5)
+    assert(frames.map(_.getInt(1)).toSet == Set(0, 1, 2, 3, 4))
+  }
+}
