@@ -42,7 +42,7 @@ object GraphOps {
     */
   def vertices(triples: DataFrame): DataFrame = {
     val nodes = triples.select(explode(array(col("subject"), col("object"))).as("node"))
-    val vt = UriOps.vtupleUdf(col("node"))
+    val vt = graft.functions.VTupleParse.vtuple(col("node"))
     nodes
       .select(vt.getField("id").as("id"), vt.getField("number").as("number"),
         vt.getField("isValidVertex").as("valid"))
@@ -65,7 +65,7 @@ object GraphOps {
     */
   def vertexAttributes(triples: DataFrame, roTerms: DataFrame, lastWins: Boolean = false): DataFrame = {
     val lits = triples.filter(col("obj_is_literal"))
-    val vt = UriOps.vtupleUdf(col("subject"))
+    val vt = graft.functions.VTupleParse.vtuple(col("subject"))
     val subj = lits
       .withColumn("id", vt.getField("id"))
       .withColumn("number", vt.getField("number"))
@@ -131,8 +131,8 @@ object GraphOps {
     * the deterministic last-wins scalars (reference semantics).
     */
   def edges(triples: DataFrame, roTerms: DataFrame): DataFrame = {
-    val sv = UriOps.vtupleUdf(col("subject"))
-    val ov = UriOps.vtupleUdf(col("object"))
+    val sv = graft.functions.VTupleParse.vtuple(col("subject"))
+    val ov = graft.functions.VTupleParse.vtuple(col("object"))
     val both = triples
       .withColumn("from_id", sv.getField("id"))
       .withColumn("from_number", sv.getField("number"))

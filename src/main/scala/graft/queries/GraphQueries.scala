@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.ops.GraphOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle coverage for the graph-build operators themselves (SURVEY §2.3 J2,
+  * §2.4 A2/A3, U1/U2): triples synthesized from the driver's tables flow
+  * through the REAL GraphOps pipeline (native vtuple_parse expression, label
+  * normalization, identity rules), and the DuckDB oracle recomputes the
+  * expected graph relationally.
+  *
+  * Model: orders become URI-URI statements `CL_<custkey> --status--> GO_<orderkey>`
+  * (both prefixes whitelisted); customers contribute literal-object
+  * statements (label, nation) for the attribute pivot.
+  */
+object GraphQueries {
+
+  import RelationalQueries.Entry
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    RelationalQueries.t(s, dir, name)
+
+  private val Obo = "http://purl.obolibrary.org/obo/"
+
+  /** Synthetic triple set in the engine's raw-triple shape. */
+  private def syntheticTriples(s: SparkSession, d: String): DataFrame = {
+    val edges = t(s, d, "orders").select(
+      lit("orders").as("src_file"),
+      col("o_orderkey").as("stmt_idx"),
+      concat(lit(Obo + "CL_"), col("o_custkey")).as("subject"),
+      concat(lit("http://example.org/rel#status_"), col("o_orderstatus")).as("predicate"),
+      concat(lit(Obo + "GO_"), col("o_orderkey")).as("object"),
+      lit(true).as("obj_is_uri"), lit(false).as("obj_is_literal"),
+      lit(false).as("obj_is_blank"), lit(null).cast("string").as("obj_lexical"))
+    val cust = t(s, d, "customer")
+    val labels = cust.select(
+      lit("customer").as("src_file"),
+      col("c_custkey").as("stmt_idx"),
+      concat(lit(Obo + "CL_"), col("c_custkey")).as("subject"),
+      lit("http://example.org/attr#label").as("predicate"),
+      concat(lit("\""), col("c_name"), lit("\"")).as("object"),
+      lit(false).as("obj_is_uri"), lit(true).as("obj_is_literal"),
+      lit(false).as("obj_is_blank"), col("c_name").as("obj_lexical"))
+    val nations = cust.select(
+      lit("customer").as("src_file"),
+      (col("c_custkey") + 10000000L).as("stmt_idx"),
+      concat(lit(Obo + "CL_"), col("c_custkey")).as("subject"),
+      lit("http://example.org/attr#nation").as("predicate"),
+      concat(lit("\""), col("c_nationkey").cast("string"), lit("\"")).as("object"),
+      lit(false).as("obj_is_uri"), lit(true).as("obj_is_literal"),
+      lit(false).as("obj_is_blank"), col("c_nationkey").cast("string").as("obj_lexical"))
+    edges.union(labels).union(nations)
+  }
+
+  private def emptyRoTerms(s: SparkSession, d: String): DataFrame =
+    t(s, d, "nation").select(col("n_name").as("term"), col("n_name").as("label")).limit(0)
+
+  val all: Seq[Entry] = Seq(
+
+    // ---- A2/U2 through GraphOps.vertices (native vtuple_parse) ----------
+    ("g_vertices",
+      (s, d) => GraphOps.vertices(syntheticTriples(s, d)).orderBy("id", "number"),
+      """SELECT id, number FROM (
+        |   SELECT DISTINCT 'CL' AS id, CAST(c_custkey AS VARCHAR) AS number FROM customer
+        |   UNION
+        |   SELECT DISTINCT 'CL' AS id, CAST(o_custkey AS VARCHAR) AS number FROM orders
+        |   UNION
+        |   SELECT DISTINCT 'GO' AS id, CAST(o_orderkey AS VARCHAR) AS number FROM orders)
+        | ORDER BY id, number""".stripMargin),
+
+    // ---- A3/J2/N4 through GraphOps.edges --------------------------------
+    ("g_edges",
+      (s, d) => GraphOps.edges(syntheticTriples(s, d), emptyRoTerms(s, d))
+        .select("from_id", "from_number", "to_id", "to_number", "label", "source")
+        .orderBy("to_number"),
+      """SELECT 'CL' AS from_id, CAST(o_custkey AS VARCHAR) AS from_number,
+        |        'GO' AS to_id, CAST(o_orderkey AS VARCHAR) AS to_number,
+        |        'STATUS_' || o_orderstatus AS label, 'CL' AS source
+        | FROM orders ORDER BY to_number""".stripMargin),
+
+    // ---- U1 attribute pivot through GraphOps.vertexAttributes(Wide) -----
+    ("g_attrs_pivot",
+      (s, d) => GraphOps.vertexAttributesWide(
+        GraphOps.vertexAttributes(syntheticTriples(s, d), emptyRoTerms(s, d), lastWins = true),
+        lastWins = true)
+        .orderBy("number"),
+      """SELECT 'CL' AS id, CAST(c_custkey AS VARCHAR) AS number,
+        |        c_name AS label, CAST(c_nationkey AS VARCHAR) AS nation
+        | FROM customer ORDER BY number""".stripMargin),
+
+    // ---- A7 exact counters ----------------------------------------------
+    ("a7_counts",
+      (s, d) => t(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts")),
+      """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orders,
+        |        COUNT(DISTINCT l_partkey) AS n_parts FROM lineitem""".stripMargin),
+
+    // ---- approximate aggregates (engine-specific sketches; rows-only) ---
+    ("a7_approx",
+      (s, d) => t(s, d, "lineitem").agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        expr("approx_percentile(l_extendedprice, 0.5)").as("p50_price")),
+      null)
+  )
+}

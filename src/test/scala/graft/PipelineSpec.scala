@@ -34,6 +34,15 @@ class PipelineSpec extends AnyFunSuite {
     val depLines = spark.read.text(s"$out/ontologies/deprecated_terms.txt").collect()
     assert(depLines.isEmpty)
 
+    // S10 catalog: register as SQL-queryable views, then drop (idempotent)
+    graft.io.GraphCatalog.registerGraph(spark, s"$out/ontologies", "onto")
+    val viaSql = spark.sql(
+      "SELECT count(*) FROM onto_edges WHERE from_id = 'CL' AND to_id = 'GO'").collect()(0).getLong(0)
+    assert(viaSql == 1)
+    graft.io.GraphCatalog.dropGraph(spark, "onto")
+    graft.io.GraphCatalog.dropGraph(spark, "onto") // idempotent
+    assert(graft.io.GraphCatalog.edgeCollectionName("CL", "GO") == "CL-GO")
+
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
 

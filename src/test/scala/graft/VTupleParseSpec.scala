@@ -1,0 +1,57 @@
+package graft
+
+import graft.functions.VTupleParse
+import graft.ops.UriOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native vtuple_parse Expression: equivalence with the UDF, codegen path,
+  * and SQL registration via SparkSessionExtensions.
+  */
+class VTupleParseSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val uris = Seq(
+    "http://purl.obolibrary.org/obo/CL_0000235",
+    "http://purl.obolibrary.org/obo/BFO_0000002",
+    "http://www.w3.org/2000/01/rdf-schema#subClassOf",
+    "http://purl.obolibrary.org/obo/pcl/CS12345",
+    "_:file#b1",
+    "\"a literal\"",
+    null)
+
+  test("expression matches the UDF on the full matrix") {
+    val df = uris.toDF("uri")
+    val both = df.select(
+      VTupleParse.vtuple($"uri").as("e"),
+      UriOps.vtupleUdf($"uri").as("u"))
+    both.collect().foreach { r =>
+      val e = r.getStruct(0); val u = r.getStruct(1)
+      assert(e.getString(0) == u.getString(0) && e.getString(1) == u.getString(1) &&
+        e.getString(2) == u.getString(2) && e.getBoolean(3) == u.getBoolean(3))
+    }
+  }
+
+  test("null and invalid input yield the invalid struct, not null") {
+    val rows = Seq(null.asInstanceOf[String]).toDF("uri")
+      .select(VTupleParse.vtuple($"uri").as("v")).collect()
+    assert(!rows(0).isNullAt(0) && !rows(0).getStruct(0).getBoolean(3))
+  }
+
+  test("expression participates in whole-stage codegen (no ScalaUDF in plan)") {
+    val df = uris.toDF("uri").select(VTupleParse.vtuple($"uri").as("v"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"))
+    // force execution through the codegen path
+    assert(df.collect().length == uris.length)
+  }
+
+  test("registered for SQL via GraftExtensions.register") {
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT vtuple_parse('http://purl.obolibrary.org/obo/GO_0031268') AS v")
+      .select("v.id", "v.number", "v.isValidVertex").collect()(0)
+    assert(r.getString(0) == "GO" && r.getString(1) == "0031268" && r.getBoolean(2))
+  }
+}
