@@ -46,8 +46,11 @@ object Dedup {
     */
   def jaccardPairs(shingles: DataFrame, minJaccard: Double): DataFrame = {
     val sizes = shingles.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val a = shingles.select(col("id").as("id_a"), col("shingle"))
-    val b = shingles.select(col("id").as("id_b"), col("shingle"))
+    // join on a 64-bit shingle hash: same pairs (collisions ~2^-64), but the
+    // inverted-index shuffle carries 8-byte keys instead of strings
+    val hashed = shingles.select(col("id"), xxhash64(col("shingle")).as("shingle"))
+    val a = hashed.select(col("id").as("id_a"), col("shingle"))
+    val b = hashed.select(col("id").as("id_b"), col("shingle"))
     val inter = a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
@@ -98,15 +101,26 @@ object Dedup {
   }
 
   /** Candidate near-dup pairs from LSH: distinct (id_a < id_b) sharing any
-    * band key. The self-join key (band, band_key) is md5-uniform → no skew.
+    * band key.
+    *
+    * Implemented as ONE shuffle — groupBy bucket, then pair generation
+    * inside the collected (sorted) id array — rather than a bucket self-join:
+    * a self-join re-executes the whole signature pipeline on both sides
+    * whenever exchange reuse fails (observed under AQE), and buckets are
+    * near-duplicate groups, i.e. small by construction, so in-array pairing
+    * is bounded. Band keys are md5-uniform → no shuffle skew.
     */
   def lshCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandsDf = lshBands(signatures, bands, rowsPerBand)
-    val a = bandsDf.withColumnsRenamed(Map("id" -> "id_a"))
-    val b = bandsDf.withColumnsRenamed(Map("id" -> "id_b"))
-    a.join(b, Seq("band", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    val buckets = bandsDf.groupBy("band", "band_key")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairs = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+    buckets
+      .select(explode(pairs).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
   }
 

@@ -109,15 +109,22 @@ object Similarity {
     */
   def cosineDupPairs(vectors: DataFrame, tau: Double, numPlanes: Int = 6,
                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    // groupBy-bucket + in-array pairing (single shuffle) instead of a bucket
+    // self-join — avoids re-executing the bucket computation on both join
+    // sides when exchange reuse fails (see Dedup.lshCandidates).
     val v = vectors.select(col(idCol).as("id"), quantize(col(embCol)).as("qv"),
       lshBucket(col(embCol), numPlanes).as("bucket"))
-    val a = v.withColumnsRenamed(Map("id" -> "id_a", "qv" -> "qa"))
-    val b = v.withColumnsRenamed(Map("id" -> "id_b", "qv" -> "qb"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", cosineQ(col("qa"), col("qb")))
+    val buckets = v.groupBy("bucket")
+      .agg(sort_array(collect_list(struct(col("id"), col("qv")))).as("vs"))
+      .filter(size(col("vs")) > 1)
+    val pairs = flatten(transform(col("vs"), (x, i) =>
+      transform(slice(col("vs"), i + 2, size(col("vs"))),
+        y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+          cosineQ(x.getField("qv"), y.getField("qv")).as("cosine")))))
+    buckets
+      .select(explode(pairs).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.cosine").as("cosine"))
       .filter(col("cosine") >= tau)
-      .select("id_a", "id_b", "cosine")
       .distinct()
   }
 }

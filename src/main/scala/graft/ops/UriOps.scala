@@ -28,12 +28,13 @@ object UriOps {
   // --------------------------------------------------------------- N1
 
   /** Provisional-cell-ontology URI rewrites, first occurrence only
-    * (reference: OntologyElementParser.java:77-87).
+    * (reference: OntologyElementParser.java:77-87). Patterns are literal, so
+    * plain indexOf/replace beats per-call regex compilation on the hot path.
     */
   def rewriteUri(uri: String): String = {
-    val pcl = uri.replaceFirst("/pcl/CS", "/PCLCS_")
-    if (pcl != uri) pcl
-    else uri.replaceFirst("/ensembl/ENSG", "/ENSG_")
+    if (uri.contains("/pcl/CS")) uri.replaceFirst("/pcl/CS", "/PCLCS_")
+    else if (uri.contains("/ensembl/ENSG")) uri.replaceFirst("/ensembl/ENSG", "/ENSG_")
+    else uri
   }
 
   /** Column form of [[rewriteUri]]: two regexp_replace passes (the two
@@ -52,22 +53,41 @@ object UriOps {
     * rendering: blank (`_:...`) and literal (`"..."`) renderings parse to the
     * invalid tuple, mirroring `!n.isURI()`.
     */
+  private val Invalid = VTuple(null, null, null, isValidVertex = false)
+
   def createVTuple(uriStr: String): VTuple = {
-    val invalid = VTuple(null, null, null, isValidVertex = false)
-    if (uriStr == null || uriStr.startsWith("_:") || uriStr.startsWith("\"")) return invalid
-    val uri =
-      try java.net.URI.create(rewriteUri(uriStr))
-      catch { case _: RuntimeException => return invalid }
-    val path = uri.getPath
-    if (path == null || path.isEmpty) return invalid
-    val trimmed = if (path.endsWith("/")) path.substring(0, path.length - 1) else path
-    val term = trimmed.substring(trimmed.lastIndexOf('/') + 1)
-    if (term.isEmpty) return invalid
+    if (uriStr == null || uriStr.startsWith("_:") || uriStr.startsWith("\"")) return Invalid
+    val rewritten = rewriteUri(uriStr)
+    // Fast path for the overwhelmingly common shape — plain http(s) URI with
+    // no fragment/query/escapes: the path is everything after the authority,
+    // and java.net.URI would neither decode nor reject anything. Anything
+    // else falls back to full java.net.URI semantics (the reference's).
+    val term: String = {
+      val simple = rewritten.startsWith("http://") || rewritten.startsWith("https://")
+      if (simple && rewritten.indexOf('#') < 0 && rewritten.indexOf('?') < 0 &&
+          rewritten.indexOf('%') < 0 && rewritten.indexOf(' ') < 0) {
+        val authStart = rewritten.indexOf("//") + 2
+        val pathStart = rewritten.indexOf('/', authStart)
+        if (pathStart < 0) return Invalid // no path
+        val end = if (rewritten.endsWith("/")) rewritten.length - 1 else rewritten.length
+        if (end <= pathStart) return Invalid
+        rewritten.substring(rewritten.lastIndexOf('/', end - 1) + 1, end)
+      } else {
+        val uri =
+          try java.net.URI.create(rewritten)
+          catch { case _: RuntimeException => return Invalid }
+        val path = uri.getPath
+        if (path == null || path.isEmpty) return Invalid
+        val trimmed = if (path.endsWith("/")) path.substring(0, path.length - 1) else path
+        trimmed.substring(trimmed.lastIndexOf('/') + 1)
+      }
+    }
+    if (term.isEmpty) return Invalid
     val tokens: Array[String] =
-      if (term.contains("_")) term.split("_")
-      else if (term.contains(":")) term.split(":")
+      if (term.indexOf('_') >= 0) term.split("_")
+      else if (term.indexOf(':') >= 0) term.split(":")
       else null
-    if (tokens == null || tokens.length != 2) invalid
+    if (tokens == null || tokens.length != 2) Invalid
     else VTuple(term, tokens(0), tokens(1), validSet.contains(tokens(0)))
   }
 

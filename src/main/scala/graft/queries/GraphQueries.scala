@@ -23,9 +23,14 @@ object GraphQueries {
 
   private val Obo = "http://purl.obolibrary.org/obo/"
 
-  /** Synthetic triple set in the engine's raw-triple shape. */
+  /** Synthetic triple set in the engine's raw-triple shape. Inputs are
+    * redistributed first: the testdata parquet is single-row-group (one task
+    * otherwise) and the downstream vtuple parse is the CPU-heavy stage.
+    */
   private def syntheticTriples(s: SparkSession, d: String): DataFrame = {
-    val edges = t(s, d, "orders").select(
+    def spread(df: DataFrame): DataFrame =
+      df.repartition(s.sparkContext.defaultParallelism)
+    val edges = spread(t(s, d, "orders")).select(
       lit("orders").as("src_file"),
       col("o_orderkey").as("stmt_idx"),
       concat(lit(Obo + "CL_"), col("o_custkey")).as("subject"),
@@ -33,7 +38,7 @@ object GraphQueries {
       concat(lit(Obo + "GO_"), col("o_orderkey")).as("object"),
       lit(true).as("obj_is_uri"), lit(false).as("obj_is_literal"),
       lit(false).as("obj_is_blank"), lit(null).cast("string").as("obj_lexical"))
-    val cust = t(s, d, "customer")
+    val cust = spread(t(s, d, "customer"))
     val labels = cust.select(
       lit("customer").as("src_file"),
       col("c_custkey").as("stmt_idx"),
