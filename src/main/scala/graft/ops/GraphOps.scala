@@ -99,6 +99,29 @@ object GraphOps {
     values.groupBy("id", "number").pivot("attribute").agg(first("v"))
   }
 
+  /** Single-shuffle wide pivot with an EXPLICIT attribute list — the at-scale
+    * variant (SURVEY §7.5): no second pass to discover attribute names, no
+    * intermediate map, deterministic last-wins via max_by on provenance.
+    * Unlisted attributes are dropped; use [[vertexAttributes]] for the
+    * unbounded map representation.
+    */
+  def vertexAttributesWideDirect(triples: DataFrame, roTerms: DataFrame,
+                                 attrNames: Seq[String]): DataFrame = {
+    val lits = triples.filter(col("obj_is_literal"))
+    val vt = graft.functions.VTupleParse.vtuple(col("subject"))
+    val subj = lits
+      .withColumn("id", vt.getField("id"))
+      .withColumn("number", vt.getField("number"))
+      .withColumn("__valid", vt.getField("isValidVertex"))
+      .filter(col("__valid"))
+    resolvePredicateLabels(subj, roTerms)
+      .select(col("id"), col("number"), col("label").as("attribute"),
+        col("obj_lexical").as("value"), col("src_file"), col("stmt_idx"))
+      .groupBy("id", "number")
+      .pivot("attribute", attrNames)
+      .agg(max_by(col("value"), struct(col("src_file"), col("stmt_idx"))))
+  }
+
   /** F8: deprecated-vertex predicate over the attrs map
     * (reference: OntologyGraphBuilder.java:254-261): any `deprecated` value
     * containing "true" or any `label` value containing "obsolete".

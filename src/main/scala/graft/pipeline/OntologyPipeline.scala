@@ -41,14 +41,23 @@ object OntologyPipeline {
     finally spark.stop()
   }
 
-  /** Result handles of one pipeline pass. */
+  /** Result handles of one pipeline pass. `unpersist()` after the outputs
+    * are written.
+    */
   final case class GraphResult(
       vertices: DataFrame, // kept vertices with attrs map
       deprecated: DataFrame, // routed-out vertices
       edges: DataFrame, // RI-checked edges
-      edgeLabels: DataFrame)
+      edgeLabels: DataFrame,
+      cached: Seq[DataFrame]) {
+    def unpersist(): Unit = cached.foreach(_.unpersist())
+  }
 
-  /** One parameterized pass (reference runs it twice with different params). */
+  /** One parameterized pass (reference runs it twice with different params).
+    * The deduplicated triple set and the kept-vertex set are consumed by
+    * several independent sink writes — cache both so each write doesn't
+    * re-run the parse/dedup DAG.
+    */
   def buildGraph(
       raw: DataFrame,
       meta: DataFrame,
@@ -56,14 +65,15 @@ object OntologyPipeline {
       testObject: Boolean,
       lastWins: Boolean = false): GraphResult = {
     val collected = TripleOps.collectTriples(raw, meta, testObject)
-    val unique = TripleOps.uniqueTriples(collected)
+    val unique = TripleOps.uniqueTriples(collected).cache()
     val verts = GraphOps.vertices(unique)
     val attrs = GraphOps.vertexAttributes(unique, roTerms, lastWins)
-    val (kept, deprecated) = GraphOps.routeDeprecated(verts, attrs)
+    val (kept0, deprecated) = GraphOps.routeDeprecated(verts, attrs)
+    val kept = kept0.cache()
     val allEdges = GraphOps.edges(unique, roTerms)
     val labels = GraphOps.edgeLabels(allEdges)
     val edges = GraphOps.edgesWithIntegrity(allEdges, kept)
-    GraphResult(kept, deprecated, edges, labels)
+    GraphResult(kept, deprecated, edges, labels, Seq(unique, kept))
   }
 
   /** Full two-pass run over a directory of OWL files, writing the graph store
@@ -78,8 +88,14 @@ object OntologyPipeline {
     require(allFiles.nonEmpty, s"No OBO files found in $oboDir")
     val phenotypeRegex = phenotypePattern.r
 
-    // Source stage: parse once, reuse across both passes.
-    val raw = OwlReader.triples(spark, allFiles).toDF().cache()
+    // Source stage: parse once, reuse across both passes. Parsing yields one
+    // partition per FILE (RDF/XML is not splittable); when files are fewer
+    // than cores, spread the parsed triples before caching so every
+    // downstream stage is parallel. At cluster scale (files >> cores) this
+    // branch never fires and no extra shuffle is paid.
+    val parallelism = spark.sparkContext.defaultParallelism
+    val parsed = OwlReader.triples(spark, allFiles).toDF()
+    val raw = (if (allFiles.size < parallelism) parsed.repartition(parallelism) else parsed).cache()
     val meta = OwlReader.meta(spark, allFiles).toDF().cache()
     val terms = OwlReader.terms(spark, allFiles).toDF()
     val roTerms = terms
@@ -93,6 +109,7 @@ object OntologyPipeline {
     GraphSink.writeEdges(pass1.edges, s"$outDir/ontologies")
     GraphSink.writeDeprecatedTerms(pass1.deprecated, s"$outDir/ontologies")
     GraphSink.writeEdgeLabels(pass1.edgeLabels, s"$outDir/ontologies")
+    pass1.unpersist()
 
     // Pass 2: CL-only phenotype subgraph (testObject = true, RO dict injected).
     val phenoFiles = allFiles.map(f => f.substring(f.lastIndexOf('/') + 1))
@@ -105,6 +122,7 @@ object OntologyPipeline {
       GraphSink.writeEdges(pass2.edges, s"$outDir/phenotypes")
       GraphSink.writeDeprecatedTerms(pass2.deprecated, s"$outDir/phenotypes")
       GraphSink.writeEdgeLabels(pass2.edgeLabels, s"$outDir/phenotypes")
+      pass2.unpersist()
     }
     raw.unpersist(); meta.unpersist(); roTerms.unpersist()
   }

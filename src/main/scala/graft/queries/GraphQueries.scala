@@ -86,9 +86,8 @@ object GraphQueries {
 
     // ---- U1 attribute pivot through GraphOps.vertexAttributes(Wide) -----
     ("g_attrs_pivot",
-      (s, d) => GraphOps.vertexAttributesWide(
-        GraphOps.vertexAttributes(syntheticTriples(s, d), emptyRoTerms(s, d), lastWins = true),
-        lastWins = true)
+      (s, d) => GraphOps.vertexAttributesWideDirect(
+        syntheticTriples(s, d), emptyRoTerms(s, d), Seq("label", "nation"))
         .orderBy("number"),
       """SELECT 'CL' AS id, CAST(c_custkey AS VARCHAR) AS number,
         |        c_name AS label, CAST(c_nationkey AS VARCHAR) AS nation

@@ -292,6 +292,26 @@ object RelationalQueries {
         | FROM lineitem WHERE l_suppkey < 10
         | ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin),
 
+    // ---- W: lag/lead offsets -------------------------------------------
+    ("w3_lag_lead",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, d, "orders")
+          .filter(col("o_custkey") < 100)
+          .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+          .withColumn("next_status", lead(col("o_orderstatus"), 1).over(w))
+          .select("o_custkey", "o_orderkey", "prev_price", "next_status")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      """SELECT o_custkey, o_orderkey,
+        |        LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |                                   ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        |        LEAD(o_orderstatus, 1) OVER (PARTITION BY o_custkey
+        |                                     ORDER BY o_orderdate, o_orderkey) AS next_status
+        | FROM orders WHERE o_custkey < 100
+        | ORDER BY o_custkey, o_orderkey""".stripMargin),
+
     // ---- top-k global sort ---------------------------------------------
     ("topk_global",
       (s, d) => t(s, d, "orders")

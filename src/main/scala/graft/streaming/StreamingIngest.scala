@@ -54,4 +54,18 @@ object StreamingIngest {
   def readStore(spark: SparkSession, storeDir: String) =
     spark.read.parquet(storeDir).withColumnRenamed("src_file", "srcFile").as[TripleRow](
       org.apache.spark.sql.Encoders.product[TripleRow])
+
+  /** Event-time windowed aggregation with a watermark — the generalized
+    * streaming surface (SURVEY §2.7): tumbling/sliding window counts + sums
+    * per event type. `events` must carry a timestamp column `ts`; late data
+    * beyond `watermark` is dropped, bounding state.
+    */
+  def windowedEventCounts(events: DataFrame, windowDur: String, slide: String,
+                          watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n"), col("total"))
 }

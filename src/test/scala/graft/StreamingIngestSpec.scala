@@ -54,4 +54,34 @@ class StreamingIngestSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
     }
   }
+
+  test("event-time windowed aggregation with watermark matches batch result") {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = Files.createTempDirectory("graft-win")
+    try {
+      // stage the driver's events table as a streaming file source
+      Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+        base.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      val schema = spark.read.parquet(base.toString).schema
+      def asTs(df: org.apache.spark.sql.DataFrame) = // nanos-long -> timestamp
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+
+      val stream = asTs(spark.readStream.schema(schema).parquet(base.toString))
+      val agg = StreamingIngest.windowedEventCounts(stream, "1 hour", "1 hour", "10 minutes")
+      val q = agg.writeStream.outputMode("complete").format("memory")
+        .queryName("win_counts").start()
+      try {
+        q.processAllAvailable()
+        val streamed = spark.table("win_counts")
+          .select("win_start", "event_type", "n")
+          .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+        val batch = asTs(spark.read.parquet(base.toString))
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getStruct(0).getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+        assert(streamed == batch && streamed.nonEmpty)
+      } finally q.stop()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
 }
