@@ -25,6 +25,17 @@ object GraphSink {
   def writeEdges(edges: DataFrame, outDir: String): Unit =
     edges.write.mode(SaveMode.Overwrite).partitionBy("from_id", "to_id").parquet(s"$outDir/edges")
 
+  /** S8 at scale: bucketed vertex table — bucketBy the graph key so repeated
+    * upserts/joins on (id, number) are co-located and plan WITHOUT a shuffle
+    * exchange (verified in GraphSinkSpec). Requires a catalog table (bucket
+    * metadata lives in the metastore).
+    */
+  def writeVerticesBucketed(vertices: DataFrame, table: String, numBuckets: Int): Unit =
+    vertices.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(numBuckets, "id", "number")
+      .sortBy("id", "number")
+      .saveAsTable(table)
+
   /** S6: deprecated-terms text sink — `id_number` lines
     * (reference: OntologyGraphBuilder.java:246-259). Sorted for determinism
     * (the reference iterates HashMaps).

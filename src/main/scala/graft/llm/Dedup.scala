@@ -46,14 +46,21 @@ object Dedup {
     */
   def jaccardPairs(shingles: DataFrame, minJaccard: Double): DataFrame = {
     val sizes = shingles.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    // join on a 64-bit shingle hash: same pairs (collisions ~2^-64), but the
-    // inverted-index shuffle carries 8-byte keys instead of strings
-    val hashed = shingles.select(col("id"), xxhash64(col("shingle")).as("shingle"))
-    val a = hashed.select(col("id").as("id_a"), col("shingle"))
-    val b = hashed.select(col("id").as("id_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    // Inverted index WITHOUT a self-join: group the posting list per shingle
+    // (64-bit hashed key — collisions ~2^-64) and emit ordered pairs from the
+    // sorted id array, then count co-occurrences. One wide shuffle instead of
+    // a join + pair shuffle; posting lists are document-frequency-bounded.
+    val postings = shingles
+      .groupBy(xxhash64(col("shingle")).as("sh"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairCol = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+    val inter = postings
+      .select(explode(pairCol).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), Seq("id_a"))
       .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")), Seq("id_b"))

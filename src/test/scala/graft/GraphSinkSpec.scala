@@ -1,0 +1,41 @@
+package graft
+
+import graft.io.GraphSink
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bucketed graph tables: co-located joins and upserts plan without shuffle
+  * exchanges on the bucket keys — the scale path documented in PLANS.md.
+  */
+class GraphSinkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bucketed vertex tables join and upsert without exchanges") {
+    val current = (1 to 1000).map(i => ("CL", i.toString, s"label$i")).toDF("id", "number", "label")
+    val updates = (500 to 1500).map(i => ("CL", i.toString, s"new$i")).toDF("id", "number", "label")
+    GraphSink.writeVerticesBucketed(current, "verts_cur", 8)
+    GraphSink.writeVerticesBucketed(updates, "verts_upd", 8)
+    try {
+      val cur = spark.table("verts_cur")
+      val upd = spark.table("verts_upd")
+
+      // co-located equi-join: no shuffle exchange on either side
+      val joined = cur.join(upd, Seq("id", "number"))
+      val joinPlan = joined.queryExecution.executedPlan.toString
+      assert(!joinPlan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$joinPlan")
+      assert(joined.count() == 501)
+
+      // bucketed upsert merge: exchange-free full-outer merge
+      val merged = GraphSink.upsert(cur, upd, Seq("id", "number"))
+      val mergePlan = merged.queryExecution.executedPlan.toString
+      assert(!mergePlan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$mergePlan")
+      assert(merged.count() == 1500)
+      val m = merged.filter(col("number") === "700").collect()(0).getAs[String]("label")
+      assert(m == "new700")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS verts_cur")
+      spark.sql("DROP TABLE IF EXISTS verts_upd")
+    }
+  }
+}

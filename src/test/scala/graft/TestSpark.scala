@@ -4,14 +4,19 @@ import org.apache.spark.sql.SparkSession
 
 /** One shared local SparkSession for all suites. */
 object TestSpark {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.adaptive.enabled", "true")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-warehouse")
+    System.setProperty("derby.system.home", wh.toString)
+    SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", wh.resolve("warehouse").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
 
   /** Absolute path of the OWL fixture directory on the test classpath. */
   lazy val oboDir: String =
