@@ -104,6 +104,53 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** IVF (inverted-file) approximate top-k: corpus vectors are partitioned
+    * into `nCentroids` Voronoi cells by seeded KMeans; each query probes only
+    * its `nProbe` nearest cells and ranks exact cosine within them. The
+    * coarse quantizer turns the all-pairs cross join into an equi-join on
+    * cell id — the centroid table is tiny and broadcast. Complements
+    * [[lshTopK]]: IVF adapts to the data distribution, LSH is data-independent.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", embCol: String = "embedding",
+              scale: Int = 1000): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featurized = corpus.select(col(idCol).as("neighbor_id"),
+      quantize(col(embCol), scale).as("cv"),
+      array_to_vector(col(embCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
+      .fit(featurized)
+    val assigned = model.transform(featurized)
+      .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
+
+    // centroid table: tiny, becomes a broadcast literal via crossJoin
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.toSeq) }
+    val centDf = queries.sparkSession.createDataFrame(centroids).toDF("cell", "centroid")
+
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(embCol), scale).as("qv"),
+      col(embCol).cast("array<double>").as("qd"))
+    // nProbe nearest cells per query by squared L2 to the centroid
+    val dist2 = aggregate(zip_with(col("qd"), col("centroid"), (a, b) => (a - b) * (a - b)),
+      lit(0.0d), _ + _)
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("dist2"), col("cell"))
+    val probed = q.crossJoin(broadcast(centDf))
+      .withColumn("dist2", dist2)
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select("query_id", "qv", "cell")
+
+    val scored = probed.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineQ(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= tau) —
     * the "embedding near-dup" dedup mode, brute-force within LSH buckets.
     */

@@ -61,19 +61,33 @@ object TextStats {
     "es" -> Seq("el", "la", "y", "es", "los"),
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
-  /** Language-ID by stopword-marker scoring: the language with the highest
-    * marker hit count wins; ties and zero scores fall back to "und"
-    * (undetermined). Deterministic: languages compared in profile order.
+  /** Language-ID by stopword-marker scoring: the first language attaining
+    * the maximum marker hit count wins; zero scores fall back to "und".
+    *
+    * Single pass over the token array: one `aggregate` folds all profile
+    * counters at once (the naive per-profile `filter` recomputes the split
+    * per language — lambda expressions are excluded from Spark's
+    * subexpression elimination). The final argmax binds the folded counter
+    * struct ONCE as a lambda variable via the `transform(array(x), f => …)`
+    * let-binding idiom, again avoiding subtree duplication.
     */
   def langId(text: Column, profiles: Seq[(String, Seq[String])] = LangProfiles): Column = {
     val words = split(lower(text), " ")
-    val scored = profiles.map { case (lang, markers) =>
-      (lang, size(filter(words, w => markers.map(m => w === m).reduce(_ || _))))
+    val zero = struct(profiles.indices.map(i => lit(0).as(s"s$i")): _*)
+    val folded = aggregate(words, zero, (a, w) =>
+      struct(profiles.zipWithIndex.map { case ((_, markers), i) =>
+        (a.getField(s"s$i") +
+          when(markers.map(m => w === m).reduce(_ || _), 1).otherwise(0)).as(s"s$i")
+      }: _*))
+    val pick = (f: Column) => {
+      val scores = profiles.indices.map(i => f.getField(s"s$i"))
+      val maxScore = greatest(scores: _*)
+      when(maxScore <= 0, "und").otherwise(
+        profiles.zipWithIndex.foldRight(lit("und")) { case (((lang, _), i), acc) =>
+          when(scores(i) === maxScore, lang).otherwise(acc)
+        })
     }
-    val best = scored.foldLeft((lit("und"), lit(0))) { case ((bl, bs), (lang, s)) =>
-      (when(s > bs, lang).otherwise(bl), when(s > bs, s).otherwise(bs))
-    }
-    best._1
+    element_at(transform(array(folded), f => pick(f)), 1)
   }
 
   /** Canonical content fingerprint: md5 of the sorted distinct word set —

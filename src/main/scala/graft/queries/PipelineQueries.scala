@@ -140,6 +140,16 @@ object PipelineQueries {
         | SELECT vec_id, CAST(SUM(CASE WHEN dot >= 0 THEN CAST(power(2,p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
         | FROM dots GROUP BY vec_id ORDER BY vec_id""".replace("'__EMB__'", "embeddings").stripMargin),
 
+    // ---- IVF approximate top-k (data-adaptive ANN scale path) ----------
+    ("sim_ivf_topk",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.ivfTopK(e.filter(col("vec_id") < 20), e, k = 5)
+          .orderBy("query_id", "rank")
+      },
+      null), // KMeans centroids are engine-internal; validated rows-only +
+             // recall-vs-bruteforce in LlmOpsSpec
+
     // ---- embedding-cosine near-dup pairs (bucketed) ---------------------
     ("sim_dup_pairs",
       (s, d) => Similarity.cosineDupPairs(t(s, d, "embeddings"), tau = 0.2, numPlanes = 4)

@@ -86,6 +86,17 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(b(0L) != b(2L)) // every plane's sign flips
   }
 
+  test("ivf top-k recovers most brute-force neighbors on real embeddings") {
+    val e = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(queries, e, k = 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(queries, e, k = 5, nCentroids = 8, nProbe = 4)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+
   test("cosineDupPairs finds exact duplicates") {
     val v = vecs(
       0L -> Seq.fill(64)(0.25f),
