@@ -104,6 +104,21 @@ class OwlReaderSpec extends AnyFunSuite {
       "macrophage.owl", "ro.owl", "no-IAO_0000700-test.owl", "version-info-test.owl", "no-version-test.owl"))
   }
 
+  test("DOCTYPE internal entity references resolve (real OBO files use &obo; etc.)") {
+    val path = getClass.getClassLoader.getResource("obo-extra/entity-refs.owl").getFile
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val ts = OwlReader.parseTriples("entity-refs.owl", bytes)
+    assert(ts.exists(t => t.subject == "http://purl.obolibrary.org/obo/CL_0000001" &&
+      t.predicate == OwlReader.SubClassOf &&
+      t.objectStr == "http://purl.obolibrary.org/obo/CL_0000000"))
+    assert(ts.exists(t => t.objLexical == "entity ref class & more"))
+    val (terms, _, meta) = OwlReader.parseElements("entity-refs.owl", bytes)
+    assert(terms.exists(t => t.term == "CL_0000001" &&
+      t.purl == "http://purl.obolibrary.org/obo/CL_0000001"))
+    assert(meta.purl == "http://purl.obolibrary.org/obo/cl.owl")
+    assert(meta.root == "http://purl.obolibrary.org/obo/CL_0000000")
+  }
+
   test("listFilesMatchingPattern throws on bad dir") {
     intercept[java.io.IOException] {
       OwlReader.listFilesMatchingPattern("/nonexistent/dir", ".*")
