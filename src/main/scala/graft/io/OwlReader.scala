@@ -38,11 +38,33 @@ object OwlReader {
   /** All raw triples from the OWL files in `dir` matching `pattern`
     * (reference directory scan: PathUtilities.java:24-30). Distributed:
     * one task per file via the binaryFile source.
+    *
+    * `permissive=true` routes unparseable files to a skip (logged on the
+    * executor) instead of failing the job — at corpus scale one corrupt file
+    * must not kill the run; pair with [[corruptFiles]] to audit what was
+    * dropped. Default is fail-fast, matching the reference.
     */
-  def triples(spark: SparkSession, paths: Seq[String]): Dataset[TripleRow] = {
+  def triples(spark: SparkSession, paths: Seq[String], permissive: Boolean = false): Dataset[TripleRow] = {
     import spark.implicits._
-    binaryFiles(spark, paths)
-      .flatMap { case (name, bytes) => parseTriples(name, bytes) }
+    binaryFiles(spark, paths).flatMap { case (name, bytes) =>
+      if (!permissive) parseTriples(name, bytes)
+      else
+        try parseTriples(name, bytes)
+        catch {
+          case e: Exception =>
+            System.err.println(s"[OwlReader] skipping corrupt file $name: ${e.getMessage}")
+            Seq.empty[TripleRow]
+        }
+    }
+  }
+
+  /** Audit of unparseable files: (src_file, error). Empty when all parse. */
+  def corruptFiles(spark: SparkSession, paths: Seq[String]): Dataset[(String, String)] = {
+    import spark.implicits._
+    binaryFiles(spark, paths).flatMap { case (name, bytes) =>
+      try { parseTriples(name, bytes); None }
+      catch { case e: Exception => Some((name, String.valueOf(e.getMessage))) }
+    }
   }
 
   /** Harvested term dictionary rows (reference: OntologyElementParser.java:121-126). */

@@ -119,6 +119,25 @@ class OwlReaderSpec extends AnyFunSuite {
     assert(meta.root == "http://purl.obolibrary.org/obo/CL_0000000")
   }
 
+  test("permissive mode skips corrupt files; corruptFiles audits them") {
+    val spark = TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-corrupt")
+    try {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(TestSpark.fixture("macrophage.owl")), dir.resolve("good.owl"))
+      java.nio.file.Files.write(dir.resolve("bad.owl"), "<rdf:RDF <broken".getBytes("UTF-8"))
+      val files = OwlReader.listFilesMatchingPattern(dir.toString, ".*\\.owl")
+      // fail-fast default: job dies on the corrupt file
+      intercept[org.apache.spark.SparkException] {
+        OwlReader.triples(spark, files).count()
+      }
+      // permissive: good file's triples survive
+      assert(OwlReader.triples(spark, files, permissive = true).count() > 0)
+      val corrupt = OwlReader.corruptFiles(spark, files).collect()
+      assert(corrupt.map(_._1).toSeq == Seq("bad.owl"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("listFilesMatchingPattern throws on bad dir") {
     intercept[java.io.IOException] {
       OwlReader.listFilesMatchingPattern("/nonexistent/dir", ".*")

@@ -43,6 +43,12 @@ class PipelineSpec extends AnyFunSuite {
     graft.io.GraphCatalog.dropGraph(spark, "onto") // idempotent
     assert(graft.io.GraphCatalog.edgeCollectionName("CL", "GO") == "CL-GO")
 
+    // S11: bulk export of one collection as JSON, read back
+    graft.io.GraphSink.exportCollection(spark, s"$out/ontologies", "CL", s"$out/export-cl")
+    val exported = spark.read.json(s"$out/export-cl")
+    assert(exported.count() == 6)
+    assert(exported.columns.contains("number"))
+
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
 
