@@ -110,6 +110,36 @@ class GraphOpsSpec extends AnyFunSuite {
       Set(("CL", "3", "GO", "9")))
   }
 
+  test("edge identity drops the predicate: two predicates between one pair collapse") {
+    import spark.implicits._
+    // reference: OntologyGraphBuilder.java:382-401 — key is (from,to) only;
+    // last label wins (deterministic here via (src_file, stmt_idx))
+    val tr = Seq(
+      ("a.owl", 1L, "http://x/CL_1", "http://www.w3.org/2000/01/rdf-schema#subClassOf", "http://x/CL_2", true, false, false, null.asInstanceOf[String]),
+      ("a.owl", 2L, "http://x/CL_1", "http://x/RO_0002202", "http://x/CL_2", true, false, false, null.asInstanceOf[String]))
+      .toDF("src_file", "stmt_idx", "subject", "predicate", "object",
+        "obj_is_uri", "obj_is_literal", "obj_is_blank", "obj_lexical")
+    val ro = Seq(("RO_0002202", "develops from")).toDF("term", "label")
+    val e = graft.ops.GraphOps.edges(tr, ro).collect()
+    assert(e.length == 1)
+    val row = e(0)
+    assert(row.getAs[String]("label") == "DEVELOPS_FROM") // last by stmt_idx wins
+    assert(row.getSeq[String](row.fieldIndex("labels")) == Seq("SUB_CLASS_OF", "DEVELOPS_FROM"))
+  }
+
+  test("attribute last-wins mode keeps the last literal per (vertex, attribute)") {
+    import spark.implicits._
+    val tr = Seq(
+      ("a.owl", 1L, "http://x/CL_1", "http://y#label", "\"first\"", false, true, false, "first"),
+      ("b.owl", 2L, "http://x/CL_1", "http://y#label", "\"second\"", false, true, false, "second"))
+      .toDF("src_file", "stmt_idx", "subject", "predicate", "object",
+        "obj_is_uri", "obj_is_literal", "obj_is_blank", "obj_lexical")
+    val ro = Seq.empty[(String, String)].toDF("term", "label")
+    val attrs = graft.ops.GraphOps.vertexAttributes(tr, ro, lastWins = true).collect()(0)
+    val m = attrs.getMap[String, scala.collection.Seq[String]](attrs.fieldIndex("attrs"))
+    assert(m("label").toSeq == Seq("second"))
+  }
+
   test("phenotype pass keeps only CL-internal edges") {
     val raw = OwlReader.triples(spark, Seq(TestSpark.fixture("macrophage.owl"))).toDF()
     val meta = OwlReader.meta(spark, Seq(TestSpark.fixture("macrophage.owl"))).toDF()
