@@ -18,6 +18,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftExtensions.register(spark)
     // session warm-up so the first timed query doesn't absorb JVM/codegen init
     spark.range(1000).selectExpr("sum(id)").collect()
     // optional args: query names to run (default all) — isolation/profiling aid

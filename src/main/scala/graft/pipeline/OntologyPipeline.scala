@@ -37,6 +37,7 @@ object OntologyPipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftExtensions.register(spark)
     try run(spark, args(0), args(1), phenotypePattern = pattern)
     finally spark.stop()
   }

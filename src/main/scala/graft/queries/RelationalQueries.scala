@@ -354,6 +354,22 @@ object RelationalQueries {
         | FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         | ORDER BY rf, ls""".stripMargin),
 
+    // ---- cube (full grouping sets) -------------------------------------
+    ("cube_agg",
+      (s, d) => t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pr"),
+          col("n"), col("total"))
+        .orderBy("st", "pr"),
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS st, COALESCE(o_orderpriority, 'ALL') AS pr,
+        |        COUNT(*) AS n,
+        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        | FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        | ORDER BY st, pr""".stripMargin),
+
     // ---- N2: URI -> vtuple columns + N7 doc-id split -------------------
     ("n2_uri_vtuple",
       (s, d) => t(s, d, "nation")
