@@ -131,6 +131,34 @@ object Dedup {
       .distinct()
   }
 
+  /** End-to-end near-duplicate REMOVAL: MinHash/LSH candidates → exact
+    * Jaccard verification ≥ `minJaccard` → greedy keep-lowest-id (for every
+    * confirmed pair the higher id is dropped). Returns the deduplicated
+    * corpus. This is the standard two-stage scale pattern: candidates from
+    * the cheap sketch, exact similarity only on the candidate set.
+    */
+  def removeNearDuplicates(docs: DataFrame, shingleN: Int = 3, minJaccard: Double = 0.8,
+                           numHashes: Int = 12, bands: Int = 4,
+                           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val shingles = wordShingles(docs, shingleN, textCol, idCol)
+    val candidates = lshCandidates(minhashSignatures(shingles, numHashes), bands, numHashes / bands)
+    val sizes = shingles.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    // exact jaccard on candidates only (semi-join-restricted posting lists)
+    val candIds = candidates.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val candShingles = shingles.join(candIds, Seq("id"), "left_semi")
+    val inter = candShingles.select(col("id").as("id_a"), col("shingle"))
+      .join(candShingles.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .join(candidates, Seq("id_a", "id_b"), "left_semi")
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    val confirmed = inter
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), Seq("id_a"))
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")), Seq("id_b"))
+      .filter(col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")) >= minJaccard)
+    val dropIds = confirmed.select(col("id_b").as(idCol)).distinct()
+    docs.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** SimHash: `bits`-bit signature from word tokens (weight = term count).
     * Bit b of a token = bit (b mod 4) of hex digit (b div 4) of md5(token);
     * the signature bit is 1 iff the weighted sum of (2*bit-1) is positive.

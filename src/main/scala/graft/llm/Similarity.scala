@@ -117,9 +117,10 @@ object Similarity {
               scale: Int = 1000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // cache: KMeans re-scans its input once per iteration
     val featurized = corpus.select(col(idCol).as("neighbor_id"),
       quantize(col(embCol), scale).as("cv"),
-      array_to_vector(col(embCol).cast("array<double>")).as("features"))
+      array_to_vector(col(embCol).cast("array<double>")).as("features")).cache()
     val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
       .fit(featurized)
     val assigned = model.transform(featurized)

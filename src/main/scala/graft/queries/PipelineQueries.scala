@@ -78,6 +78,36 @@ object PipelineQueries {
          | FROM bands a JOIN bands b USING (band, band_key)
          | WHERE a.id < b.id ORDER BY id_a, id_b""".stripMargin),
 
+    // ---- end-to-end near-dup removal (candidates -> verify -> drop) -----
+    ("d5_dedup_near_remove",
+      (s, d) => Dedup.removeNearDuplicates(spread(t(s, d, "documents")), minJaccard = 0.2)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id"),
+      s"""WITH sh AS ($ShinglesSql),
+         | hx AS (SELECT id, j, MIN(substr(md5((j // 4)::VARCHAR || ':' || shingle), 1 + 8 * (j % 4), 8)) AS h
+         |        FROM sh, LATERAL (SELECT unnest(generate_series(0, 11)) AS j) t
+         |        GROUP BY id, j),
+         | sig AS (SELECT id,
+         |   ${(0 until 12).map(j => s"MAX(CASE WHEN j=$j THEN h END) AS h$j").mkString(", ")}
+         |   FROM hx GROUP BY id),
+         | bands AS (
+         |   ${(0 until 4).map(b => s"SELECT id, $b AS band, h${b * 3} || h${b * 3 + 1} || h${b * 3 + 2} AS band_key FROM sig").mkString(" UNION ALL ")}
+         | ),
+         | cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |          FROM bands a JOIN bands b USING (band, band_key) WHERE a.id < b.id),
+         | sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+         | inter AS (SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS n_inter
+         |           FROM sh x JOIN sh y USING (shingle)
+         |           JOIN cand c ON c.id_a = x.id AND c.id_b = y.id
+         |           GROUP BY 1, 2),
+         | confirmed AS (SELECT id_a, id_b FROM inter
+         |               JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+         |               WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.2),
+         | drops AS (SELECT DISTINCT id_b AS doc_id FROM confirmed)
+         | SELECT d.doc_id, d.lang, d.source FROM documents d
+         | WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.doc_id = d.doc_id)
+         | ORDER BY d.doc_id""".stripMargin),
+
     // ---- SimHash signatures --------------------------------------------
     ("d4_simhash",
       (s, d) => Dedup.simhash(spread(t(s, d, "documents")), bits = 16).orderBy("id"),

@@ -50,6 +50,17 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(cands.toSet == Set((1L, 2L)))
   }
 
+  test("removeNearDuplicates drops confirmed near-dups, keeps lowest id") {
+    val d = docs(
+      1L -> "a b c d e f g h i j",
+      2L -> "a b c d e f g h i j", // exact dup of 1 -> dropped
+      3L -> "a b c d e f g h i x", // near dup of 1 (jaccard 7/9 < 0.8? shingles differ)
+      4L -> "q r s t u v w x y z")
+    val kept = Dedup.removeNearDuplicates(d, minJaccard = 0.6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && !kept.contains(2L) && kept.contains(4L))
+  }
+
   test("simhash: identical texts equal, disjoint texts differ") {
     val d = docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta", 3L -> "zz yy xx ww vv uu")
     val m = Dedup.simhash(d, 16).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
