@@ -85,6 +85,42 @@ object OwlReader {
     binaryFiles(spark, paths).map { case (name, bytes) => parseElements(name, bytes)._3 }
   }
 
+  /** StAX factory hardened for untrusted corpora: internal DTD entities keep
+    * working (real OBO files declare `&obo;` etc.), but external entity and
+    * external-DTD resolution are blocked — a DOCTYPE with a SYSTEM subset must
+    * not trigger network fetches from executors — and entity expansion is
+    * explicitly bounded rather than relying on JDK defaults.
+    */
+  private def secureInputFactory(): XMLInputFactory = {
+    val factory = XMLInputFactory.newInstance()
+    factory.setProperty(XMLInputFactory.IS_COALESCING, java.lang.Boolean.TRUE)
+    factory.setProperty(XMLInputFactory.IS_NAMESPACE_AWARE, java.lang.Boolean.TRUE)
+    factory.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, java.lang.Boolean.FALSE)
+    // property names vary across StAX implementations — best-effort set
+    def trySet(name: String, value: AnyRef): Unit =
+      try factory.setProperty(name, value) catch { case _: IllegalArgumentException => }
+    trySet(javax.xml.XMLConstants.ACCESS_EXTERNAL_DTD, "")
+    trySet("http://www.oracle.com/xml/jaxp/properties/entityExpansionLimit", Integer.valueOf(1000000))
+    trySet("jdk.xml.entityExpansionLimit", Integer.valueOf(1000000))
+    // belt-and-braces: some StAX implementations ignore ACCESS_EXTERNAL_DTD —
+    // a resolver that returns an empty stream blocks every external fetch
+    // (DOCTYPE SYSTEM subsets included) while internal entities keep working
+    factory.setXMLResolver(new javax.xml.stream.XMLResolver {
+      override def resolveEntity(publicID: String, systemID: String,
+                                 baseURI: String, namespace: String): AnyRef =
+        new ByteArrayInputStream(Array.emptyByteArray)
+    })
+    factory
+  }
+
+  private val XmlNs = "http://www.w3.org/XML/1998/namespace"
+
+  /** xml:lang scoping: an explicit attribute overrides the inherited value;
+    * the empty string resets to "no language" (XML 1.0 §2.12).
+    */
+  private def effLang(own: String, inherited: String): String =
+    if (own == null) inherited else if (own.isEmpty) null else own
+
   private def binaryFiles(spark: SparkSession, paths: Seq[String]): Dataset[(String, Array[Byte])] = {
     import spark.implicits._
     spark.read
@@ -142,11 +178,7 @@ object OwlReader {
       emit(s, p, rendered, isUri = false, isLit = true, isBlank = false, lex, lang, dt)
     }
 
-    val factory = XMLInputFactory.newInstance()
-    factory.setProperty(XMLInputFactory.IS_COALESCING, java.lang.Boolean.TRUE)
-    factory.setProperty(XMLInputFactory.IS_NAMESPACE_AWARE, java.lang.Boolean.TRUE)
-    factory.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, java.lang.Boolean.FALSE)
-    val r = factory.createXMLStreamReader(new ByteArrayInputStream(bytes))
+    val r = secureInputFactory().createXMLStreamReader(new ByteArrayInputStream(bytes))
 
     def qnameUri(nsUri: String, local: String): String =
       if (nsUri == null) local else nsUri + local
@@ -164,9 +196,12 @@ object OwlReader {
 
     /** Parse a node element (subject position). Reader is ON its START_ELEMENT;
       * consumes through its END_ELEMENT. Returns the node's id (URI or blank).
+      * `inheritedLang` is the in-scope xml:lang from ancestor elements
+      * (RDF/XML inherits xml:lang; Jena applies the nearest ancestor value).
       */
-    def parseNodeElement(): (String, Boolean) = { // (id, isBlank)
+    def parseNodeElement(inheritedLang: String): (String, Boolean) = { // (id, isBlank)
       val tagUri = qnameUri(r.getNamespaceURI, r.getLocalName)
+      val nodeLang = effLang(plainAttr(XmlNs, "lang"), inheritedLang)
       val about = rdfAttr("about")
       val nodeId = rdfAttr("nodeID")
       val rdfId = rdfAttr("ID")
@@ -187,7 +222,8 @@ object OwlReader {
         val isSyntax = ns == RdfNs && (ln == "about" || ln == "nodeID" || ln == "ID" || ln == "parseType" || ln == "resource" || ln == "datatype")
         val isXml = ns != null && ns.startsWith("http://www.w3.org/XML/1998/namespace")
         if (!isSyntax && !isXml) {
-          emitLit(subj, qnameUri(ns, ln), r.getAttributeValue(i), null, null)
+          // property attributes yield plain literals with the in-scope language
+          emitLit(subj, qnameUri(ns, ln), r.getAttributeValue(i), nodeLang, null)
         }
         i += 1
       }
@@ -196,7 +232,7 @@ object OwlReader {
       while (depth > 0 && r.hasNext) {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT =>
-            parsePropertyElement(subj)
+            parsePropertyElement(subj, nodeLang)
           case XMLStreamConstants.END_ELEMENT =>
             depth -= 1
           case _ =>
@@ -208,13 +244,13 @@ object OwlReader {
     /** Parse a property element of `subj`. Reader ON its START_ELEMENT;
       * consumes through its END_ELEMENT.
       */
-    def parsePropertyElement(subj: String): Unit = {
+    def parsePropertyElement(subj: String, inheritedLang: String): Unit = {
       val pred = qnameUri(r.getNamespaceURI, r.getLocalName)
       val resource = rdfAttr("resource")
       val nodeId = rdfAttr("nodeID")
       val parseType = rdfAttr("parseType")
       val datatype = rdfAttr("datatype")
-      val lang = plainAttr("http://www.w3.org/XML/1998/namespace", "lang")
+      val lang = effLang(plainAttr(XmlNs, "lang"), inheritedLang)
 
       if (resource != null) {
         emitUri(subj, pred, resource)
@@ -228,7 +264,7 @@ object OwlReader {
         var depth = 1
         while (depth > 0 && r.hasNext) {
           r.next() match {
-            case XMLStreamConstants.START_ELEMENT => parsePropertyElement(b)
+            case XMLStreamConstants.START_ELEMENT => parsePropertyElement(b, lang)
             case XMLStreamConstants.END_ELEMENT => depth -= 1
             case _ =>
           }
@@ -244,7 +280,7 @@ object OwlReader {
               val cell = freshBlank()
               if (head == null) { head = cell; emitBlank(subj, pred, cell) }
               else emitBlank(prev, RdfNs + "rest", cell)
-              val (member, memberBlank) = parseNodeElement()
+              val (member, memberBlank) = parseNodeElement(lang)
               if (memberBlank) emitBlank(cell, RdfNs + "first", member)
               else emitUri(cell, RdfNs + "first", member)
               prev = cell
@@ -265,7 +301,7 @@ object OwlReader {
         while (!done && r.hasNext) {
           r.next() match {
             case XMLStreamConstants.START_ELEMENT =>
-              val (obj, objBlank) = parseNodeElement()
+              val (obj, objBlank) = parseNodeElement(lang)
               if (objBlank) emitBlank(subj, pred, obj) else emitUri(subj, pred, obj)
               emitted = true
             case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
@@ -307,13 +343,15 @@ object OwlReader {
     }
 
     try {
-      // advance to the root element (rdf:RDF), then parse its node children
+      // advance to the root element (rdf:RDF), then parse its node children;
+      // xml:lang on the root (or any ancestor) is inherited by descendants
       while (r.hasNext && r.getEventType != XMLStreamConstants.START_ELEMENT) r.next()
       if (r.getEventType == XMLStreamConstants.START_ELEMENT) {
+        val rootLang = effLang(plainAttr(XmlNs, "lang"), null)
         var depth = 1
         while (depth > 0 && r.hasNext) {
           r.next() match {
-            case XMLStreamConstants.START_ELEMENT => parseNodeElement()
+            case XMLStreamConstants.START_ELEMENT => parseNodeElement(rootLang)
             case XMLStreamConstants.END_ELEMENT => depth -= 1
             case _ =>
           }
@@ -344,11 +382,7 @@ object OwlReader {
     var root: String = null
     var ontologyDepth = -1 // depth of the FIRST owl:Ontology element while open
 
-    val factory = XMLInputFactory.newInstance()
-    factory.setProperty(XMLInputFactory.IS_COALESCING, java.lang.Boolean.TRUE)
-    factory.setProperty(XMLInputFactory.IS_NAMESPACE_AWARE, java.lang.Boolean.TRUE)
-    factory.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, java.lang.Boolean.FALSE)
-    val r = factory.createXMLStreamReader(new ByteArrayInputStream(bytes))
+    val r = secureInputFactory().createXMLStreamReader(new ByteArrayInputStream(bytes))
 
     def rdfAttr(local: String): String = {
       var i = 0
@@ -429,8 +463,13 @@ object OwlReader {
                   }
                 }
               }
-              if (qn == "rdfs:label" && owlStack.nonEmpty && owlStack.top.label == null) {
-                owlStack.top.label = textOfElement(); depth -= 1
+              if (qn == "rdfs:label" && owlStack.exists(_.label == null)) {
+                // DOM descendant semantics (reference getElementsByTagName,
+                // OntologyElementParser.java:121-126): this label is the
+                // first-in-document-order descendant of EVERY open owl frame
+                // that has not yet seen one — fill them all, not just the top.
+                val lbl = textOfElement(); depth -= 1
+                owlStack.foreach(f => if (f.label == null) f.label = lbl)
               }
             }
           case XMLStreamConstants.END_ELEMENT =>

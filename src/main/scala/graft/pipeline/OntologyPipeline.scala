@@ -23,12 +23,20 @@ import org.apache.spark.sql.functions._
 object OntologyPipeline {
 
   /** CLI entry point: `runMain graft.pipeline.OntologyPipeline <oboDir> <outDir>
-    * [phenotypePattern]` — the engine's analog of OntologyGraphBuilder.main
-    * with the (dir, db) parameters its integration test implies.
+    * [phenotypePattern] [--last-wins]` — the engine's analog of
+    * OntologyGraphBuilder.main with the (dir, db) parameters its integration
+    * test implies. `--last-wins` selects the reference's single-value
+    * attribute semantics (HashMap put, OntologyGraphBuilder.java:224-229), so
+    * the deprecated gate tests only the FINAL value of each attribute; the
+    * default keeps the integration test's intended multi-value lists.
     */
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: OntologyPipeline <oboDir> <outDir> [phenotypePattern]")
-    val pattern = if (args.length >= 3) args(2) else "cl\\.owl"
+    val flags = args.filter(_.startsWith("--")).toSet
+    val pos = args.filterNot(_.startsWith("--"))
+    require(pos.length >= 2,
+      "usage: OntologyPipeline <oboDir> <outDir> [phenotypePattern] [--last-wins]")
+    val lastWins = flags.contains("--last-wins")
+    val pattern = if (pos.length >= 3) pos(2) else "cl\\.owl"
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-ontology-pipeline")
@@ -38,7 +46,7 @@ object OntologyPipeline {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftExtensions.register(spark)
-    try run(spark, args(0), args(1), phenotypePattern = pattern)
+    try run(spark, pos(0), pos(1), lastWins = lastWins, phenotypePattern = pattern)
     finally spark.stop()
   }
 

@@ -138,6 +138,81 @@ class OwlReaderSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  // --- round-2 parser fidelity (ADVICE.md items) ---
+
+  test("xml:lang inherits from ancestor elements (rdf:RDF and node element)") {
+    val doc =
+      """<?xml version="1.0"?>
+        |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+        |         xmlns:owl="http://www.w3.org/2002/07/owl#" xml:lang="en">
+        |  <owl:Class rdf:about="http://ex.org/A">
+        |    <rdfs:label>inherited from root</rdfs:label>
+        |    <rdfs:comment xml:lang="fr">explicit wins</rdfs:comment>
+        |    <rdfs:seeAlso xml:lang="">reset to none</rdfs:seeAlso>
+        |  </owl:Class>
+        |  <owl:Class rdf:about="http://ex.org/B" xml:lang="de">
+        |    <rdfs:label>inherited from node</rdfs:label>
+        |  </owl:Class>
+        |</rdf:RDF>""".stripMargin
+    val ts = OwlReader.parseTriples("lang.owl", doc.getBytes("UTF-8"))
+    def lit(subj: String, pred: String) =
+      ts.find(t => t.subject == subj && t.predicate.endsWith(pred)).get
+    assert(lit("http://ex.org/A", "label").lang == "en")
+    assert(lit("http://ex.org/A", "label").objectStr == "\"inherited from root\"@en")
+    assert(lit("http://ex.org/A", "comment").lang == "fr")
+    assert(lit("http://ex.org/A", "seeAlso").lang == null)
+    assert(lit("http://ex.org/B", "label").lang == "de")
+  }
+
+  test("nested owl elements each get their first descendant label (DOM semantics)") {
+    // Outer owl element has no direct label of its own before the nested one:
+    // getElementsByTagName in the reference still assigns it the nested
+    // element's label (first descendant in document order).
+    val doc =
+      """<?xml version="1.0"?>
+        |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+        |         xmlns:owl="http://www.w3.org/2002/07/owl#">
+        |  <owl:Class rdf:about="http://ex.org/obo/OUTER_0000001">
+        |    <rdfs:subClassOf>
+        |      <owl:Restriction rdf:about="http://ex.org/obo/INNER_0000002">
+        |        <rdfs:label>inner label</rdfs:label>
+        |      </owl:Restriction>
+        |    </rdfs:subClassOf>
+        |    <rdfs:label>outer label</rdfs:label>
+        |  </owl:Class>
+        |</rdf:RDF>""".stripMargin
+    val (terms, _, _) = OwlReader.parseElements("nested.owl", doc.getBytes("UTF-8"))
+    val byTerm = terms.map(t => t.term -> t.label).toMap
+    assert(byTerm("INNER_0000002") == "inner label")
+    // first-descendant-wins: the outer frame takes the inner's label, which
+    // precedes the outer's own label in document order
+    assert(byTerm("OUTER_0000001") == "inner label")
+  }
+
+  test("external DTD subsets are blocked (no executor-side fetches)") {
+    val dtd = java.nio.file.Files.createTempFile("graft-evil", ".dtd")
+    try {
+      java.nio.file.Files.write(dtd, "<!ENTITY ext \"EXTERNAL-CONTENT\">".getBytes("UTF-8"))
+      val doc =
+        s"""<?xml version="1.0"?>
+           |<!DOCTYPE rdf:RDF SYSTEM "${dtd.toUri}">
+           |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+           |         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+           |         xmlns:owl="http://www.w3.org/2002/07/owl#">
+           |  <owl:Class rdf:about="http://ex.org/A"><rdfs:label>&ext;</rdfs:label></owl:Class>
+           |</rdf:RDF>""".stripMargin
+      // blocked external subset => either the undeclared entity fails the
+      // parse, or it resolves empty — its content must never appear
+      val leaked =
+        try OwlReader.parseTriples("evil.owl", doc.getBytes("UTF-8"))
+          .exists(t => t.objLexical != null && t.objLexical.contains("EXTERNAL-CONTENT"))
+        catch { case _: Exception => false }
+      assert(!leaked)
+    } finally java.nio.file.Files.deleteIfExists(dtd)
+  }
+
   test("listFilesMatchingPattern throws on bad dir") {
     intercept[java.io.IOException] {
       OwlReader.listFilesMatchingPattern("/nonexistent/dir", ".*")
