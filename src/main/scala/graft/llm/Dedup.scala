@@ -43,17 +43,35 @@ object Dedup {
     * per-pair intersection counts → |A∩B| / (|A|+|B|-|A∩B|) ≥ `minJaccard`.
     * The division is exact-integer-in, so the double is bit-identical across
     * engines. Pairs are emitted once (id_a < id_b).
+    *
+    * `maxDF` bounds posting-list fan-out: a shingle contained in df documents
+    * emits O(df²) pairs from ONE reducer row, so a single stop-word-ish
+    * 3-gram ("one of the") is both a straggler and an OOM at corpus scale.
+    * Shingles with df > maxDF are dropped BEFORE pairing — high-DF shingles
+    * carry ~no Jaccard signal (they are in everything) but note the metric is
+    * no longer the exact set Jaccard when the cap fires. The drop is never
+    * silent: the count of dropped shingles is published as observed metric
+    * `jaccard_maxdf` (no extra job — collected during the real execution;
+    * read it from QueryExecution.observedMetrics or a QueryExecutionListener).
+    * Default = unbounded (exact semantics).
     */
-  def jaccardPairs(shingles: DataFrame, minJaccard: Double): DataFrame = {
+  def jaccardPairs(shingles: DataFrame, minJaccard: Double,
+                   maxDF: Long = Long.MaxValue): DataFrame = {
     val sizes = shingles.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     // Inverted index WITHOUT a self-join: group the posting list per shingle
     // (64-bit hashed key — collisions ~2^-64) and emit ordered pairs from the
     // sorted id array, then count co-occurrences. One wide shuffle instead of
-    // a join + pair shuffle; posting lists are document-frequency-bounded.
-    val postings = shingles
+    // a join + pair shuffle.
+    val allPostings = shingles
       .groupBy(xxhash64(col("shingle")).as("sh"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
+    val postings =
+      if (maxDF == Long.MaxValue) allPostings
+      else allPostings
+        .observe("jaccard_maxdf",
+          sum(when(size(col("ids")) > maxDF, 1L).otherwise(0L)).as("dropped_shingles"))
+        .filter(size(col("ids")) <= maxDF)
     val pairCol = flatten(transform(col("ids"), (x, i) =>
       transform(slice(col("ids"), i + 2, size(col("ids"))),
         y => struct(x.as("id_a"), y.as("id_b")))))
@@ -117,11 +135,22 @@ object Dedup {
     * near-duplicate groups, i.e. small by construction, so in-array pairing
     * is bounded. Band keys are md5-uniform → no shuffle skew.
     */
-  def lshCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  def lshCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int,
+                    maxBucket: Long = Long.MaxValue): DataFrame = {
     val bandsDf = lshBands(signatures, bands, rowsPerBand)
-    val buckets = bandsDf.groupBy("band", "band_key")
+    val allBuckets = bandsDf.groupBy("band", "band_key")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
+    // `maxBucket` caps pathological buckets (e.g. a massive exact-duplicate
+    // cluster collapsing every copy into one band key → O(n²) pair fan-out
+    // from one row). Dropped buckets are published as observed metric
+    // `lsh_maxbucket` — no silent caps. Default = unbounded.
+    val buckets =
+      if (maxBucket == Long.MaxValue) allBuckets
+      else allBuckets
+        .observe("lsh_maxbucket",
+          sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"))
+        .filter(size(col("ids")) <= maxBucket)
     val pairs = flatten(transform(col("ids"), (x, i) =>
       transform(slice(col("ids"), i + 2, size(col("ids"))),
         y => struct(x.as("id_a"), y.as("id_b")))))
@@ -139,9 +168,11 @@ object Dedup {
     */
   def removeNearDuplicates(docs: DataFrame, shingleN: Int = 3, minJaccard: Double = 0.8,
                            numHashes: Int = 12, bands: Int = 4,
-                           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                           textCol: String = "text", idCol: String = "doc_id",
+                           maxBucket: Long = Long.MaxValue): DataFrame = {
     val shingles = wordShingles(docs, shingleN, textCol, idCol)
-    val candidates = lshCandidates(minhashSignatures(shingles, numHashes), bands, numHashes / bands)
+    val candidates = lshCandidates(minhashSignatures(shingles, numHashes), bands,
+      numHashes / bands, maxBucket)
     val sizes = shingles.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     // exact jaccard on candidates only (semi-join-restricted posting lists)
     val candIds = candidates.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()

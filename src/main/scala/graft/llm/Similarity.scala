@@ -71,13 +71,21 @@ object Similarity {
   /** Sign-LSH bucket key: one bit per hyperplane = sign of <v, plane>.
     * `dims` must equal the embedding length.
     */
-  def lshBucket(emb: Column, numPlanes: Int, dims: Int = 64): Column = {
-    val bits = (0 until numPlanes).map { p =>
+  def lshBucket(emb: Column, numPlanes: Int, dims: Int = 64): Column =
+    lshBandBucket(emb, band = 0, planesPerBand = numPlanes, dims = dims)
+
+  /** Sign-LSH bucket key for ONE band: bit i = sign of <v, plane> for global
+    * plane id `band * planesPerBand + i`. Band 0 with planesPerBand = n is
+    * exactly [[lshBucket]](n) — the plane family is shared.
+    */
+  def lshBandBucket(emb: Column, band: Int, planesPerBand: Int, dims: Int = 64): Column = {
+    val bits = (0 until planesPerBand).map { i =>
+      val p = band * planesPerBand + i
       val plane = typedlit((0 until dims).map(d => planeComponent(p, d)))
       val dotted = aggregate(
         zip_with(emb, plane, (x, pl) => x.cast("double") * pl),
         lit(0.0d), _ + _)
-      when(dotted >= 0, lit(1L << p)).otherwise(lit(0L))
+      when(dotted >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
@@ -114,15 +122,22 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id", embCol: String = "embedding",
-              scale: Int = 1000): DataFrame = {
+              scale: Int = 1000, fitFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    // cache: KMeans re-scans its input once per iteration
     val featurized = corpus.select(col(idCol).as("neighbor_id"),
       quantize(col(embCol), scale).as("cv"),
-      array_to_vector(col(embCol).cast("array<double>")).as("features")).cache()
+      array_to_vector(col(embCol).cast("array<double>")).as("features"))
+    // KMeans.fit persists an UNCACHED input internally for its iterations and
+    // unpersists when done — no explicit .cache() here (an explicit one would
+    // outlive this query and squat on executor storage; observed contaminating
+    // subsequent benchmark queries). At corpus scale, fit the coarse quantizer
+    // on a sample: centroid quality converges long before the full pass.
+    val fitInput =
+      if (fitFraction < 1.0) featurized.sample(withReplacement = false, fitFraction, 42L)
+      else featurized
     val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
-      .fit(featurized)
+      .fit(fitInput)
     val assigned = model.transform(featurized)
       .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
 
@@ -153,16 +168,29 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= tau) —
-    * the "embedding near-dup" dedup mode, brute-force within LSH buckets.
+    * the "embedding near-dup" dedup mode, brute-force within BANDED sign-LSH
+    * buckets (MinHash-LSH banding applied to hyperplane bits).
+    *
+    * Scale shape: the group key is (band, bucket) with `bands * 2^planesPerBand`
+    * distinct values — at the default 4×2^16 that is ~256k fine-grained groups,
+    * so no single reducer ever sees more than one bucket's vectors and
+    * parallelism scales with the key space, unlike a single global
+    * 2^numPlanes-way grouping. A pair is a candidate when ALL bits of ANY band
+    * agree (higher recall than one wide key at equal total planes); candidates
+    * found by several bands are collapsed by the final distinct. Groupby +
+    * in-array pairing keeps it ONE shuffle (see Dedup.lshCandidates for why
+    * not a self-join).
     */
-  def cosineDupPairs(vectors: DataFrame, tau: Double, numPlanes: Int = 6,
+  def cosineDupPairs(vectors: DataFrame, tau: Double, bands: Int = 4,
+                     planesPerBand: Int = 16,
                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    // groupBy-bucket + in-array pairing (single shuffle) instead of a bucket
-    // self-join — avoids re-executing the bucket computation on both join
-    // sides when exchange reuse fails (see Dedup.lshCandidates).
-    val v = vectors.select(col(idCol).as("id"), quantize(col(embCol)).as("qv"),
-      lshBucket(col(embCol), numPlanes).as("bucket"))
-    val buckets = v.groupBy("bucket")
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"), lshBandBucket(col(embCol), b, planesPerBand).as("bucket")))
+    val v = vectors
+      .select(col(idCol).as("id"), quantize(col(embCol)).as("qv"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("qv"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val buckets = v.groupBy("band", "bucket")
       .agg(sort_array(collect_list(struct(col("id"), col("qv")))).as("vs"))
       .filter(size(col("vs")) > 1)
     val pairs = flatten(transform(col("vs"), (x, i) =>

@@ -43,6 +43,32 @@ object TextIndex {
         array(w))))
   }
 
+  /** Minimal English stemmer for the reference's `text_en` analyzer
+    * (ArangoDbUtilities.java:305 attaches "text_en" — lowercase + stem — as
+    * the first analyzer of every view field). Two sequential rule stages, a
+    * deliberately small Porter subset (1a plurals, then 1b -ing/-ed) kept
+    * codegen-friendly and mirrorable in plain SQL:
+    *   stage 1: sses→ss, ies→i, ss→ss, s→∅
+    *   stage 2: -ing stripped when the remainder keeps ≥3 chars,
+    *            -ed stripped when the remainder keeps ≥3 chars
+    * so "develops"→"develop" and "developing"→"develop" collide as intended.
+    * Input must already be lowercased.
+    */
+  def stemEn(w: Column): Column = {
+    val s1 = when(endswith(w, lit("sses")), w.substr(lit(1), length(w) - 2))
+      .when(endswith(w, lit("ies")), w.substr(lit(1), length(w) - 2))
+      .when(endswith(w, lit("ss")), w)
+      .when(endswith(w, lit("s")), w.substr(lit(1), length(w) - 1))
+      .otherwise(w)
+    when(endswith(s1, lit("ing")) && length(s1) > 5, s1.substr(lit(1), length(s1) - 3))
+      .when(endswith(s1, lit("ed")) && length(s1) > 4, s1.substr(lit(1), length(s1) - 2))
+      .otherwise(s1)
+  }
+
+  /** `text_en` analyzer: lowercase words, stemmed — one token per word. */
+  def textEnTokens(s: Column): Column =
+    transform(split(lower(s), "\\s+"), w => stemEn(w))
+
   /** Build the search token table for a set of (collection, field) links —
     * the engine's ArangoSearch view. `fieldsByCollection` mirrors the
     * collection-maps JSON consumed by createView
@@ -75,8 +101,43 @@ object TextIndex {
       explode(edgeNgramsPerWord(col("value"))).as("token"))
     val identity = exploded.select(col("collection"), col("key"), col("field"),
       lit("identity").as("analyzer"), col("value").as("token"))
+    val textEn = exploded.select(col("collection"), col("key"), col("field"),
+      lit("text_en").as("analyzer"),
+      explode(textEnTokens(col("value"))).as("token"))
 
-    ngram.union(edge).union(identity).distinct()
+    ngram.union(edge).union(identity).union(textEn).distinct()
+  }
+
+  /** Parse the reference's collection-maps JSON into the
+    * `fieldsByCollection` argument of [[buildTokenTable]]. Shape
+    * (ArangoDbUtilities.java:282-308):
+    * {{{
+    * {"maps": [["CL", {"individual_fields": [{"field_to_display": "label"}, …]}], …]}
+    * }}}
+    * Reference skip rules reproduced exactly: entries named "edges",
+    * "TEST_DOCUMENT_COLLECTION" or "TEST_EDGE_COLLECTION" are not linked.
+    * Driver-side only (config parsing), order-preserving.
+    */
+  def linksFromJson(json: String): Map[String, Seq[String]] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val skip = Set("edges", "TEST_DOCUMENT_COLLECTION", "TEST_EDGE_COLLECTION")
+    val maps = JsonMethods.parse(json) \ "maps" match {
+      case JArray(ms) => ms
+      case _ => Nil
+    }
+    val pairs = maps.collect {
+      case JArray(JString(name) :: spec :: _) if !skip.contains(name) =>
+        val fields = spec \ "individual_fields" match {
+          case JArray(fs) => fs.collect {
+            case f if (f \ "field_to_display").isInstanceOf[JString] =>
+              (f \ "field_to_display").asInstanceOf[JString].s
+          }
+          case _ => Nil
+        }
+        name -> fields
+    }
+    scala.collection.immutable.ListMap(pairs: _*)
   }
 
   /** Search: exact token lookup against the token table (any analyzer). */

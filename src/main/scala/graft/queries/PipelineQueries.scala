@@ -180,11 +180,46 @@ object PipelineQueries {
       null), // KMeans centroids are engine-internal; validated rows-only +
              // recall-vs-bruteforce in LlmOpsSpec
 
-    // ---- embedding-cosine near-dup pairs (bucketed) ---------------------
+    // ---- embedding-cosine near-dup pairs (banded sign-LSH) --------------
+    // 2 bands x 4 planes here keeps the oracle's plane table small; at scale
+    // the defaults (4 x 16) give ~256k fine-grained group keys.
     ("sim_dup_pairs",
-      (s, d) => Similarity.cosineDupPairs(t(s, d, "embeddings"), tau = 0.2, numPlanes = 4)
+      (s, d) => Similarity.cosineDupPairs(t(s, d, "embeddings"), tau = 0.2,
+          bands = 2, planesPerBand = 4)
         .orderBy("id_a", "id_b"),
-      null), // bucket+cosine composite; validated rows-only (bucket logic oracle'd above)
+      """WITH planes AS (
+        |   SELECT p, dd,
+        |          ((strpos('0123456789abcdef', substr(h,1,1))-1)*4096
+        |         + (strpos('0123456789abcdef', substr(h,2,1))-1)*256
+        |         + (strpos('0123456789abcdef', substr(h,3,1))-1)*16
+        |         + (strpos('0123456789abcdef', substr(h,4,1))-1) - 32768) / 4096.0 AS comp
+        |   FROM (SELECT p, dd, substr(md5('plane' || p || ':' || dd), 1, 4) AS h
+        |         FROM (SELECT unnest(generate_series(0,7)) AS p),
+        |              (SELECT unnest(generate_series(0,63)) AS dd))),
+        | dots AS (
+        |   SELECT e.vec_id, pl.p, SUM(e.embedding[g.i] * pl.comp) AS dot
+        |   FROM embeddings e,
+        |        LATERAL (SELECT unnest(generate_series(1,64)) AS i) g,
+        |        planes pl
+        |   WHERE pl.dd = g.i - 1
+        |   GROUP BY e.vec_id, pl.p),
+        | buckets AS (
+        |   SELECT vec_id, p // 4 AS band,
+        |          CAST(SUM(CASE WHEN dot >= 0 THEN CAST(power(2, p % 4) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |   FROM dots GROUP BY vec_id, p // 4),
+        | qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS qv
+        |        FROM embeddings),
+        | cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |          FROM buckets a JOIN buckets b USING (band, bucket)
+        |          WHERE a.vec_id < b.vec_id),
+        | scored AS (SELECT id_a, id_b,
+        |                   list_dot_product(qa.qv, qb.qv) /
+        |                   (sqrt(list_dot_product(qa.qv, qa.qv)) * sqrt(list_dot_product(qb.qv, qb.qv))) AS cosine
+        |            FROM cand
+        |            JOIN qv qa ON id_a = qa.vec_id
+        |            JOIN qv qb ON id_b = qb.vec_id)
+        | SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.2
+        | ORDER BY id_a, id_b""".stripMargin),
 
     // ---- text quality stats ---------------------------------------------
     ("t_quality_stats",
@@ -232,13 +267,28 @@ object PipelineQueries {
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fp
         | FROM documents ORDER BY doc_id""".stripMargin),
 
-    // ---- rolling-hash winnowing fingerprint (UDF surface; rows-only) ----
+    // ---- rolling-hash winnowing fingerprint -----------------------------
+    // Oracle recomputes each 16-char window's Karp-Rabin hash directly:
+    // hash(i) = sum_k ord(text[i+k]) * 257^(15-k) mod 2^61-1, exact in
+    // DuckDB HUGEINT (max term < 2^77), powers premod'ed here driver-side.
     ("t_rolling_winnow",
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"),
           array_min(TextStats.windowHashesUdf(col("text"), lit(16))).as("winnow"))
         .orderBy("doc_id"),
-      null),
+      s"""WITH pw(k, p) AS (VALUES ${
+            val m = (BigInt(1) << 61) - 1
+            (0 to 15).map(k => s"($k, ${BigInt(257).modPow(BigInt(15 - k), m)})").mkString(", ")
+          }),
+         | w AS (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text)-15, 0))) AS i
+         |       FROM documents),
+         | h AS (SELECT doc_id, i,
+         |              SUM(CAST(ord(substr(text, i + k, 1)) AS HUGEINT) * p)
+         |                % CAST(2305843009213693951 AS HUGEINT) AS hh
+         |       FROM w CROSS JOIN pw
+         |       GROUP BY doc_id, i)
+         | SELECT doc_id, CAST(MIN(hh) AS BIGINT) AS winnow
+         | FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     // ---- X1: n-gram analyzer token counts -------------------------------
     ("x1_ngram_tokens",
@@ -274,6 +324,32 @@ object PipelineQueries {
         |   UNION
         |   SELECT p_partkey, w AS tok FROM words)
         | SELECT p_partkey, COUNT(*) AS n_tokens FROM toks GROUP BY p_partkey ORDER BY p_partkey""".stripMargin),
+
+    // ---- X1: stemmed text_en analyzer -----------------------------------
+    // the reference's fourth view analyzer ("text_en" = lowercase + stem,
+    // ArangoDbUtilities.java:305): distinct stemmed tokens per document.
+    ("x1_text_en",
+      (s, d) => t(s, d, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          explode(array_distinct(TextIndex.textEnTokens(col("text")))).as("token"))
+        .distinct()
+        .orderBy("doc_id", "token"),
+      """WITH words AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |               FROM documents WHERE doc_id < 100),
+        | st1 AS (SELECT doc_id,
+        |   CASE WHEN w LIKE '%sses' THEN substr(w, 1, length(w)-2)
+        |        WHEN w LIKE '%ies'  THEN substr(w, 1, length(w)-2)
+        |        WHEN w LIKE '%ss'   THEN w
+        |        WHEN w LIKE '%s'    THEN substr(w, 1, length(w)-1)
+        |        ELSE w END AS s1
+        |   FROM words),
+        | toks AS (SELECT DISTINCT doc_id,
+        |   CASE WHEN s1 LIKE '%ing' AND length(s1) > 5 THEN substr(s1, 1, length(s1)-3)
+        |        WHEN s1 LIKE '%ed'  AND length(s1) > 4 THEN substr(s1, 1, length(s1)-2)
+        |        ELSE s1 END AS token
+        |   FROM st1)
+        | SELECT doc_id, token FROM toks ORDER BY doc_id, token""".stripMargin),
 
     // ---- multimodal plumbing: binary payloads + stub features ----------
     ("m_media_features",

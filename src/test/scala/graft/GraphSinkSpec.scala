@@ -38,4 +38,22 @@ class GraphSinkSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS verts_upd")
     }
   }
+
+  test("exportCollection round-trips one collection as JSON (S11)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-export").toString
+    val verts = Seq(
+      ("CL", "0000235", "macrophage"),
+      ("CL", "0000236", "B cell"),
+      ("GO", "0031268", "pseudopodium organization")).toDF("id", "number", "label")
+    GraphSink.writeVertices(verts, dir)
+    GraphSink.exportCollection(spark, dir, "CL", s"$dir/export_cl")
+    val back = spark.read.json(s"$dir/export_cl")
+    assert(back.count() == 2)
+    assert(back.columns.toSet == Set("id", "number", "label"))
+    val labels = back.select("number", "label").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels == Map("0000235" -> "macrophage", "0000236" -> "B cell"))
+    // only the requested collection is exported
+    assert(back.filter(col("id") =!= "CL").count() == 0)
+  }
 }

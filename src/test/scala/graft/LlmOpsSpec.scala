@@ -133,9 +133,55 @@ class LlmOpsSpec extends AnyFunSuite {
       0L -> Seq.fill(64)(0.25f),
       1L -> Seq.fill(64)(0.25f),
       2L -> (Seq.fill(32)(1f) ++ Seq.fill(32)(-1f)))
-    val pairs = Similarity.cosineDupPairs(v, tau = 0.99)
+    val pairs = Similarity.cosineDupPairs(v, tau = 0.99, bands = 2, planesPerBand = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSet == Set((0L, 1L)))
+  }
+
+  test("cosineDupPairs bands agree: any-band candidates include all-plane bucket pairs") {
+    // near-identical cluster + distinct vectors; pairs surfaced via banded
+    // keys must contain every pair the single wide key (8 planes) finds,
+    // since agreeing on all 8 bits implies agreeing on both 4-bit bands.
+    val mk = (base: Float, id: Long) =>
+      (id, Seq.tabulate(64)(d => base + 0.0001f * ((id + d) % 5)))
+    val v = vecs(((0L until 6L).map(i => mk(0.4f, i)) ++ (6L until 12L).map(i => mk(-0.4f, i))): _*)
+    val banded = Similarity.cosineDupPairs(v, tau = 0.9, bands = 2, planesPerBand = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // within-cluster pairs are near-duplicates and must all be found
+    val expected = (for (a <- 0L until 6L; b <- a + 1 until 6L) yield (a, b)).toSet ++
+      (for (a <- 6L until 12L; b <- a + 1 until 12L) yield (a, b)).toSet
+    assert(banded == expected)
+  }
+
+  test("jaccardPairs maxDF drops hot shingles, bounds fan-out, and reports the drop") {
+    // 6 docs share the hot shingle "x y z" (df=6 -> 15 pairs from one row);
+    // docs 0 and 1 additionally share 3 rare shingles.
+    val hot = "x y z"
+    val d = docs(
+      (0L, s"a b c d e $hot"), (1L, s"a b c d e $hot"),
+      (2L, s"p q r $hot"), (3L, s"s t u $hot"),
+      (4L, s"v w j $hot"), (5L, s"k l m $hot"))
+    val sh = Dedup.wordShingles(d, 3)
+    val capped = Dedup.jaccardPairs(sh, minJaccard = 0.0, maxDF = 5)
+    val rows = capped.collect()
+    // only the (0,1) pair survives: every cross-pair co-occurred ONLY via the
+    // hot shingle, which the cap removed before pairing
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
+    // the drop is observed, not silent
+    val metrics = capped.queryExecution.observedMetrics
+    assert(metrics("jaccard_maxdf").getLong(0) == 1L)
+    // and uncapped finds all 15 pairs
+    assert(Dedup.jaccardPairs(sh, 0.0).count() == 15L)
+  }
+
+  test("lshCandidates maxBucket caps pathological duplicate clusters") {
+    // 8 identical docs -> identical signatures -> one bucket of 8 per band
+    val d = docs((0L until 8L).map(i => (i, "all the same words here okay")): _*)
+    val sig = Dedup.minhashSignatures(Dedup.wordShingles(d, 3), 12)
+    val capped = Dedup.lshCandidates(sig, 4, 3, maxBucket = 4)
+    assert(capped.count() == 0L)
+    val full = Dedup.lshCandidates(sig, 4, 3)
+    assert(full.count() == 28L) // C(8,2)
   }
 
   // ---------------------------------------------------------- text stats

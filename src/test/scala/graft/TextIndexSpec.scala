@@ -30,6 +30,50 @@ class TextIndexSpec extends AnyFunSuite {
     assert(got == Set("hel", "hell", "hello", "hi"))
   }
 
+  test("text_en stemmer matrix: plural and -ing/-ed collapse, guards hold") {
+    val cases = Seq(
+      "develops" -> "develop",     // 1a: -s
+      "developing" -> "develop",   // 1b: -ing
+      "developed" -> "develop",    // 1b: -ed
+      "classes" -> "class",        // 1a: -sses -> -ss
+      "bodies" -> "bodi",          // 1a: -ies -> -i
+      "process" -> "process",      // 1a: -ss kept
+      "sing" -> "sing",            // 1b guard: remainder too short
+      "red" -> "red",              // 1b guard: remainder too short
+      "cell" -> "cell")            // no rule
+    val got = cases.map(_._1).toDF("w")
+      .select($"w", TextIndex.stemEn($"w").as("stem"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (w, want) => assert(got(w) == want, s"stem($w)") }
+  }
+
+  test("text_en analyzer joins inflected query and document forms") {
+    val toks = Seq("The cell develops rapidly").toDF("s")
+      .select(explode(TextIndex.textEnTokens($"s")).as("token"))
+      .collect().map(_.getString(0)).toSet
+    // "developing" stems to the same token a doc containing "develops" produced
+    assert(toks.contains("develop"))
+    val q = Seq("developing").toDF("s")
+      .select(explode(TextIndex.textEnTokens($"s")).as("token"))
+      .collect().map(_.getString(0)).toSet
+    assert((toks & q) == Set("develop"))
+  }
+
+  test("linksFromJson parses the reference maps shape and applies skip rules") {
+    val json =
+      """{"maps": [
+        |  ["CL", {"individual_fields": [{"field_to_display": "label"},
+        |                                {"field_to_display": "definition"}]}],
+        |  ["edges", {"individual_fields": [{"field_to_display": "label"}]}],
+        |  ["TEST_DOCUMENT_COLLECTION", {"individual_fields": [{"field_to_display": "x"}]}],
+        |  ["TEST_EDGE_COLLECTION", {"individual_fields": [{"field_to_display": "x"}]}],
+        |  ["GO", {"individual_fields": [{"field_to_display": "label"}]}]
+        |]}""".stripMargin
+    val links = TextIndex.linksFromJson(json)
+    assert(links == Map("CL" -> Seq("label", "definition"), "GO" -> Seq("label")))
+    assert(links.keys.toSeq == Seq("CL", "GO")) // order preserved
+  }
+
   test("token table builds per configured collection/field links and search hits") {
     val verts = Seq(
       ("CL", "0000235", Map("label" -> Seq("macrophage"), "definition" -> Seq("a phagocyte"))),
@@ -51,5 +95,23 @@ class TextIndexSpec extends AnyFunSuite {
     val hits2 = TextIndex.search(tokens, "pseudo").select("collection").distinct()
       .collect().map(_.getString(0)).toSet
     assert(hits2 == Set("GO"))
+    // text_en analyzer: stemmed token present so inflected queries match
+    val verts2 = Seq(("CL", "1", Map("label" -> Seq("developing phagocytes"))))
+      .toDF("id", "number", "attrs")
+    val tokens2 = TextIndex.buildTokenTable(verts2, Map("CL" -> Seq("label")))
+    val stemmed = tokens2.filter($"analyzer" === "text_en").select("token")
+      .collect().map(_.getString(0)).toSet
+    assert(stemmed == Set("develop", "phagocyte"))
+  }
+
+  test("buildTokenTable accepts the maps-JSON config end to end") {
+    val verts = Seq(("CL", "7", Map("label" -> Seq("macrophage"))))
+      .toDF("id", "number", "attrs")
+    val links = TextIndex.linksFromJson(
+      """{"maps": [["CL", {"individual_fields": [{"field_to_display": "label"}]}],
+        |          ["edges", {"individual_fields": [{"field_to_display": "label"}]}]]}""".stripMargin)
+    val tokens = TextIndex.buildTokenTable(verts, links)
+    assert(tokens.filter($"analyzer" === "identity").count() == 1)
+    assert(TextIndex.search(tokens, "macrophage").count() == 4) // all four analyzers hit
   }
 }
