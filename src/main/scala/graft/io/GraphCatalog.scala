@@ -41,4 +41,60 @@ object GraphCatalog {
     * (reference: ArangoDbUtilities.java:187).
     */
   def edgeCollectionName(fromId: String, toId: String): String = s"$fromId-$toId"
+
+  // --- collection-granular DDL (reference: ArangoDbUtilities.java:115-212) --
+  // A collection is one partition directory of the graph store
+  // (vertices/id=<name>, edges/from_id=<f>/to_id=<t>), so create-or-get is a
+  // mkdir and delete is a single directory removal — partition-pruned, never
+  // a rewrite of the other collections' data. This is what keeps per-
+  // collection ops O(collection) instead of O(graph) at scale.
+
+  /** Create-or-get a vertex collection partition. Idempotent; returns path. */
+  def createOrGetVertexCollection(graphDir: String, name: String): String = {
+    val p = java.nio.file.Paths.get(graphDir, "vertices", s"id=$name")
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
+  /** Delete one vertex collection — drops only its partition directory
+    * (reference deleteVertexCollection with dropCollection=true).
+    */
+  def deleteVertexCollection(graphDir: String, name: String): Unit = {
+    val f = new java.io.File(s"$graphDir/vertices/id=$name")
+    if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+  }
+
+  /** Create-or-get the "{from}-{to}" edge collection partition. */
+  def createOrGetEdgeCollection(graphDir: String, fromId: String, toId: String): String = {
+    val p = java.nio.file.Paths.get(graphDir, "edges", s"from_id=$fromId", s"to_id=$toId")
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
+  /** Delete one edge collection partition (reference deleteEdgeCollection
+    * with dropCollections=true).
+    */
+  def deleteEdgeCollection(graphDir: String, fromId: String, toId: String): Unit = {
+    val f = new java.io.File(s"$graphDir/edges/from_id=$fromId/to_id=$toId")
+    if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+  }
+
+  /** Vertex collection names present in the store (partition listing). */
+  def listVertexCollections(graphDir: String): Seq[String] = {
+    val d = new java.io.File(s"$graphDir/vertices")
+    if (!d.exists()) Nil
+    else d.listFiles().toSeq.filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("id=")).map(_.stripPrefix("id=")).sorted
+  }
+
+  /** Edge collection "{from}-{to}" names present in the store. */
+  def listEdgeCollections(graphDir: String): Seq[String] = {
+    val d = new java.io.File(s"$graphDir/edges")
+    if (!d.exists()) Nil
+    else (for {
+      fd <- d.listFiles().toSeq.filter(_.isDirectory) if fd.getName.startsWith("from_id=")
+      td <- fd.listFiles().toSeq.filter(_.isDirectory) if td.getName.startsWith("to_id=")
+    } yield edgeCollectionName(fd.getName.stripPrefix("from_id="),
+      td.getName.stripPrefix("to_id="))).sorted
+  }
 }

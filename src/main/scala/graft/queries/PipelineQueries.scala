@@ -174,7 +174,9 @@ object PipelineQueries {
     ("sim_ivf_topk",
       (s, d) => {
         val e = t(s, d, "embeddings")
-        Similarity.ivfTopK(e.filter(col("vec_id") < 20), e, k = 5)
+        // fitFraction < 1: the coarse quantizer trains on a half sample — the
+        // scale posture (centroid quality converges well before a full pass)
+        Similarity.ivfTopK(e.filter(col("vec_id") < 20), e, k = 5, fitFraction = 0.5)
           .orderBy("query_id", "rank")
       },
       null), // KMeans centroids are engine-internal; validated rows-only +

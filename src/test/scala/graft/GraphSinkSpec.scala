@@ -56,4 +56,34 @@ class GraphSinkSpec extends AnyFunSuite {
     // only the requested collection is exported
     assert(back.filter(col("id") =!= "CL").count() == 0)
   }
+
+  test("collection-granular DDL: delete one collection, others untouched (S10)") {
+    import graft.io.GraphCatalog
+    val dir = java.nio.file.Files.createTempDirectory("graft-ddl").toString
+    val verts = Seq(
+      ("CL", "1", "a"), ("GO", "2", "b"), ("UBERON", "3", "c")).toDF("id", "number", "label")
+    val edges = Seq(
+      ("CL", "CL", "1", "2"), ("CL", "GO", "1", "3")).toDF("from_id", "to_id", "from_number", "to_number")
+    GraphSink.writeVertices(verts, dir)
+    GraphSink.writeEdges(edges, dir)
+    assert(GraphCatalog.listVertexCollections(dir) == Seq("CL", "GO", "UBERON"))
+    assert(GraphCatalog.listEdgeCollections(dir) == Seq("CL-CL", "CL-GO"))
+
+    // drop ONE vertex collection: its partition dir only
+    GraphCatalog.deleteVertexCollection(dir, "GO")
+    assert(GraphCatalog.listVertexCollections(dir) == Seq("CL", "UBERON"))
+    val remaining = spark.read.parquet(s"$dir/vertices")
+    assert(remaining.select("id").distinct().collect().map(_.getString(0)).toSet == Set("CL", "UBERON"))
+
+    // drop one edge collection; the other pair survives intact
+    GraphCatalog.deleteEdgeCollection(dir, "CL", "GO")
+    assert(GraphCatalog.listEdgeCollections(dir) == Seq("CL-CL"))
+    assert(spark.read.parquet(s"$dir/edges").count() == 1)
+
+    // create-or-get is idempotent and registers an empty partition
+    val p1 = GraphCatalog.createOrGetVertexCollection(dir, "NCBITaxon")
+    val p2 = GraphCatalog.createOrGetVertexCollection(dir, "NCBITaxon")
+    assert(p1 == p2)
+    assert(GraphCatalog.listVertexCollections(dir).contains("NCBITaxon"))
+  }
 }

@@ -128,6 +128,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("ivfTopKWithCentroids: offline quantizer reproduces in-cluster neighbors") {
+    // two tight clusters, centroids supplied (no KMeans fit job at all)
+    val mk = (base: Float, id: Long) =>
+      (id, Seq.tabulate(64)(d => base + 0.001f * ((id + d) % 7)))
+    val v = vecs(((0L until 8L).map(i => mk(0.5f, i)) ++ (8L until 16L).map(i => mk(-0.5f, i))): _*)
+    val cents = Seq(Seq.fill(64)(0.5), Seq.fill(64)(-0.5))
+    val got = Similarity.ivfTopKWithCentroids(v, v, k = 3, cents, nProbe = 1)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceTopK(v, v, k = 3)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact) // nProbe=1 suffices: neighbors never cross clusters
+  }
+
   test("cosineDupPairs finds exact duplicates") {
     val v = vecs(
       0L -> Seq.fill(64)(0.25f),
