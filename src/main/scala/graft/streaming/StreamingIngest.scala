@@ -68,4 +68,20 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("event_type"), col("n"), col("total"))
+
+  /** Streaming exact dedup — the incremental analog of
+    * [[graft.llm.Dedup.exactGroups]]: re-arrivals of byte-identical content
+    * within the watermark horizon are dropped; the first arrival wins.
+    * State is BOUNDED: `dropDuplicatesWithinWatermark` evicts a content
+    * hash once the watermark passes its event time, so a continuously
+    * ingesting 100 TB pipeline holds only one horizon's worth of 16-byte
+    * digests per partition, not the full history. `docs` must be a streaming
+    * DataFrame carrying `tsCol` (event time).
+    */
+  def streamingExactDedup(docs: DataFrame, watermark: String = "10 minutes",
+                          textCol: String = "text", tsCol: String = "ts"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
 }

@@ -55,6 +55,35 @@ class StreamingIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming exact dedup drops re-arrived content within the watermark") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-sdedup")
+    val in = base.resolve("in"); Files.createDirectories(in)
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+      // batch 1: two distinct docs
+      Seq((1L, "alpha beta", ts(0)), (2L, "gamma delta", ts(1)))
+        .toDF("doc_id", "text", "ts").write.parquet(s"$in/b1")
+      val schema = spark.read.parquet(s"$in/b1").schema
+      val stream = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(in.toString)
+      val dedup = StreamingIngest.streamingExactDedup(stream, "30 minutes")
+      val q = dedup.writeStream.outputMode("append").format("memory")
+        .queryName("sdedup").start()
+      try {
+        q.processAllAvailable()
+        // batch 2: one exact duplicate (dropped), one fresh doc (kept)
+        Seq((3L, "alpha beta", ts(2)), (4L, "epsilon", ts(3)))
+          .toDF("doc_id", "text", "ts").write.parquet(s"$in/b2")
+        q.processAllAvailable()
+        val got = spark.table("sdedup").select("doc_id")
+          .collect().map(_.getLong(0)).toSet
+        assert(got == Set(1L, 2L, 4L)) // 3 was a within-watermark duplicate
+      } finally q.stop()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
   test("event-time windowed aggregation with watermark matches batch result") {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
