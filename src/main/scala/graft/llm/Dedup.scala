@@ -173,15 +173,28 @@ object Dedup {
     val shingles = wordShingles(docs, shingleN, textCol, idCol)
     val candidates = lshCandidates(minhashSignatures(shingles, numHashes), bands,
       numHashes / bands, maxBucket)
-    val sizes = shingles.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    // exact jaccard on candidates only (semi-join-restricted posting lists)
+    // exact jaccard on candidates only (semi-join-restricted posting lists).
+    // Pairing uses the same single-shuffle groupBy-postings + in-array pattern
+    // as [[jaccardPairs]] — a shingle self-join here would re-execute the
+    // shingle pipeline on both sides whenever exchange reuse fails, and at
+    // sf0.1 measurably did. Sizes come from the candidate-restricted shingles:
+    // the semi-join restricts DOCS, not their shingles, so per-doc counts are
+    // identical for every doc that can appear in a confirmed pair.
     val candIds = candidates.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val candShingles = shingles.join(candIds, Seq("id"), "left_semi")
-    val inter = candShingles.select(col("id").as("id_a"), col("shingle"))
-      .join(candShingles.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
+    val sizes = candShingles.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val postings = candShingles
+      .groupBy(xxhash64(col("shingle")).as("sh"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairCol = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+    val inter = postings
+      .select(explode(pairCol).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
       .join(candidates, Seq("id_a", "id_b"), "left_semi")
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
     val confirmed = inter
       .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), Seq("id_a"))
       .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")), Seq("id_b"))
