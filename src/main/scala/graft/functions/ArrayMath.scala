@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native codegen kernels for the similarity hot path.
+  *
+  * The composable form — `aggregate(zip_with(a, b, _ * _), 0, _ + _)` — is
+  * semantically right but Spark evaluates higher-order functions interpreted,
+  * one lambda dispatch per element; inside a candidate-pair scorer that is
+  * millions of pairs × 3 dot products × 64 dims of lambda overhead. These
+  * expressions emit a plain fused loop (`s += a[i] * b[i]`) into whole-stage
+  * codegen instead — same results bit-for-bit (left-to-right accumulation,
+  * exact integer math for the long form, IEEE order preserved for the double
+  * form), ~an order of magnitude less per-element cost.
+  *
+  * Both expect equal-length arrays with non-null elements (quantized
+  * embeddings / literal hyperplanes); extra elements of a longer array are
+  * ignored (min-length loop).
+  */
+object ArrayMath {
+
+  def dotLong(x: ArrayData, y: ArrayData): Long = {
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  def dotDouble(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0d
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  /** Column API: exact integer dot product of two array<long>. */
+  def dotLong(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotLongExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Column API: double dot product of two array<double>. */
+  def dotDouble(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotDoubleExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}
+
+case class DotLongExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_long"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayMath.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = graft.functions.ArrayMath.dotLong($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class DotDoubleExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_double"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayMath.dotDouble(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = graft.functions.ArrayMath.dotDouble($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

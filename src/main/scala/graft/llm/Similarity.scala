@@ -23,9 +23,13 @@ object Similarity {
   def quantize(emb: Column, scale: Int = 1000): Column =
     transform(emb, x => round(x * scale).cast("long"))
 
-  /** Exact integer dot product of two array<long>. */
+  /** Exact integer dot product of two array<long> — a native codegen
+    * expression (plain fused loop); the composable
+    * `aggregate(zip_with(...))` form evaluates interpreted per element and
+    * was the measured hot spot of candidate-pair scoring.
+    */
   def dotLong(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+    graft.functions.ArrayMath.dotLong(a, b)
 
   /** Cosine similarity from quantized vectors: exact int dot / sqrt-norm
     * product. Division and sqrt are IEEE-deterministic on exact inputs.
@@ -79,12 +83,13 @@ object Similarity {
     * exactly [[lshBucket]](n) — the plane family is shared.
     */
   def lshBandBucket(emb: Column, band: Int, planesPerBand: Int, dims: Int = 64): Column = {
+    val embD = emb.cast("array<double>")
     val bits = (0 until planesPerBand).map { i =>
       val p = band * planesPerBand + i
       val plane = typedlit((0 until dims).map(d => planeComponent(p, d)))
-      val dotted = aggregate(
-        zip_with(emb, plane, (x, pl) => x.cast("double") * pl),
-        lit(0.0d), _ + _)
+      // native fused-loop dot (codegen); accumulation order matches the
+      // previous aggregate(zip_with(...)) fold, so signs are bit-identical
+      val dotted = graft.functions.ArrayMath.dotDouble(embD, plane)
       when(dotted >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

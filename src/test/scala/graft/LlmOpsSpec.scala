@@ -128,6 +128,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("native dot kernels match the higher-order-function formulas bit-for-bit") {
+    val e = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50)
+      .select($"vec_id", Similarity.quantize($"embedding").as("qv"),
+        $"embedding".cast("array<double>").as("dv"))
+    val cmp = e.select(
+      graft.functions.ArrayMath.dotLong($"qv", $"qv").as("native_l"),
+      aggregate(zip_with($"qv", $"qv", _ * _), lit(0L), _ + _).as("hof_l"),
+      graft.functions.ArrayMath.dotDouble($"dv", $"dv").as("native_d"),
+      aggregate(zip_with($"dv", $"dv", _ * _), lit(0.0d), _ + _).as("hof_d"))
+      .collect()
+    cmp.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3))) // same IEEE order
+    }
+    // null array -> null result (both kernels)
+    val n = docs(1L -> "x").select(
+      graft.functions.ArrayMath.dotLong(lit(null).cast("array<bigint>"), array(lit(1L))).as("a"))
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("ivfTopKWithCentroids: offline quantizer reproduces in-cluster neighbors") {
     // two tight clusters, centroids supplied (no KMeans fit job at all)
     val mk = (base: Float, id: Long) =>
