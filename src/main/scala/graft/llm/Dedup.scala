@@ -72,12 +72,11 @@ object Dedup {
         .observe("jaccard_maxdf",
           sum(when(size(col("ids")) > maxDF, 1L).otherwise(0L)).as("dropped_shingles"))
         .filter(size(col("ids")) <= maxDF)
-    val pairCol = flatten(transform(col("ids"), (x, i) =>
-      transform(slice(col("ids"), i + 2, size(col("ids"))),
-        y => struct(x.as("id_a"), y.as("id_b")))))
+    // streamed pair generation (constant memory per posting row) — see
+    // graft.functions.OrderedPairsExpr for why not explode(flatten(transform))
     val inter = postings
-      .select(explode(pairCol).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .select(graft.functions.OrderedPairs.orderedPairs(col("ids")).as(Seq("id_a", "id_b")))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), Seq("id_a"))
@@ -151,12 +150,8 @@ object Dedup {
         .observe("lsh_maxbucket",
           sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"))
         .filter(size(col("ids")) <= maxBucket)
-    val pairs = flatten(transform(col("ids"), (x, i) =>
-      transform(slice(col("ids"), i + 2, size(col("ids"))),
-        y => struct(x.as("id_a"), y.as("id_b")))))
     buckets
-      .select(explode(pairs).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .select(graft.functions.OrderedPairs.orderedPairs(col("ids")).as(Seq("id_a", "id_b")))
       .distinct()
   }
 
@@ -187,12 +182,9 @@ object Dedup {
       .groupBy(xxhash64(col("shingle")).as("sh"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-    val pairCol = flatten(transform(col("ids"), (x, i) =>
-      transform(slice(col("ids"), i + 2, size(col("ids"))),
-        y => struct(x.as("id_a"), y.as("id_b")))))
     val inter = postings
-      .select(explode(pairCol).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .select(graft.functions.OrderedPairs.orderedPairs(col("ids")).as(Seq("id_a", "id_b")))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_inter"))
       .join(candidates, Seq("id_a", "id_b"), "left_semi")
     val confirmed = inter

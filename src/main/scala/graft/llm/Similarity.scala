@@ -246,13 +246,10 @@ object Similarity {
     val buckets = v.groupBy("band", "bucket")
       .agg(sort_array(collect_list(struct(col("id"), col("qv")))).as("vs"))
       .filter(size(col("vs")) > 1)
-    val pairs = flatten(transform(col("vs"), (x, i) =>
-      transform(slice(col("vs"), i + 2, size(col("vs"))),
-        y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
-          cosineQ(x.getField("qv"), y.getField("qv")).as("cosine")))))
     buckets
-      .select(explode(pairs).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.cosine").as("cosine"))
+      .select(graft.functions.OrderedPairs.orderedPairs(col("vs")).as(Seq("pa", "pb")))
+      .select(col("pa.id").as("id_a"), col("pb.id").as("id_b"),
+        cosineQ(col("pa.qv"), col("pb.qv")).as("cosine"))
       .filter(col("cosine") >= tau)
       .distinct()
   }
