@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Generator emitting word n-gram shingles of a text column — each output
+  * row is one space-joined window of `n` consecutive words.
+  *
+  * Exactly equivalent to
+  * `explode(transform(sequence(...), i => concat_ws(" ", slice(split(text, " "), i, n))))`
+  * (split keeps trailing empty strings, Java `split(" ", -1)` semantics —
+  * the DuckDB oracles depend on this), but streams windows instead of
+  * allocating a slice array + joined string through four interpreted
+  * higher-order/collection ops per window. Since windows of a space-split
+  * string are substrings of the original, each shingle is a single substring
+  * copy — no per-window array allocation at all.
+  */
+case class WordShinglesExpr(child: Expression, n: Int)
+  extends UnaryExpression with Generator with CodegenFallback {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def elementSchema: StructType =
+    StructType(Seq(StructField("shingle", StringType)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val data = child.eval(input)
+    if (data == null) return Iterator.empty
+    val s = data.asInstanceOf[UTF8String].toString
+    // word-start/end offsets under split(" ", -1) semantics: fields between
+    // single-space delimiters, empties (from doubled/trailing spaces) kept
+    val starts = scala.collection.mutable.ArrayBuffer(0)
+    var i = s.indexOf(' ')
+    while (i >= 0) { starts += i + 1; i = s.indexOf(' ', i + 1) }
+    val words = starts.length // fields = delimiters + 1
+    if (words < n) return Iterator.empty
+    Iterator.range(0, words - n + 1).map { w =>
+      // window of n fields = substring from field w's start to field
+      // (w+n-1)'s end — identical bytes to concat_ws(" ", slice(...))
+      val from = starts(w)
+      val until = if (w + n < words) starts(w + n) - 1 else s.length
+      InternalRow(UTF8String.fromString(s.substring(from, until)))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  /** Column API: select(wordShingles(col, n)) yields rows (shingle). */
+  def wordShingles(c: Column, n: Int): Column =
+    GraftColumnBridge.column(WordShinglesExpr(GraftColumnBridge.expression(c), n))
+}

@@ -25,19 +25,15 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_members"))
 
   /** Word n-gram shingles: (id, shingle) distinct. Shingles are
-    * space-joined word windows — `transform` over a `sequence` keeps the whole
-    * computation inside whole-stage codegen.
+    * space-joined word windows, streamed by a native generator
+    * ([[graft.functions.WordShinglesExpr]]) — one substring per window
+    * instead of a split-array + slice + concat_ws chain of interpreted
+    * higher-order functions per window.
     */
-  def wordShingles(docs: DataFrame, n: Int, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val words = split(col(textCol), " ")
-    // NB: Spark's sequence(1, 0) DESCENDS instead of returning empty — guard.
-    val nShingles = size(words) - (n - 1)
-    val idxs = when(nShingles >= 1, sequence(lit(1), nShingles))
-      .otherwise(array().cast("array<int>"))
+  def wordShingles(docs: DataFrame, n: Int, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs.select(col(idCol).as("id"),
-        explode(transform(idxs, i => concat_ws(" ", slice(words, i, lit(n))))).as("shingle"))
+        graft.functions.WordShingles.wordShingles(col(textCol), n).as("shingle"))
       .distinct()
-  }
 
   /** n-gram Jaccard near-dup pairs: inverted-index self-join on shingle →
     * per-pair intersection counts → |A∩B| / (|A|+|B|-|A∩B|) ≥ `minJaccard`.

@@ -128,6 +128,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("ordered-pairs generator: empty, singleton, and struct elements") {
+    import graft.functions.OrderedPairs.orderedPairs
+    val df = Seq(
+      (1L, Seq.empty[Long]), (2L, Seq(7L)), (3L, Seq(1L, 2L, 3L)))
+      .toDF("k", "ids")
+    val got = df.select($"k", orderedPairs($"ids").as(Seq("a", "b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((3L, 1L, 2L), (3L, 1L, 3L), (3L, 2L, 3L)))
+  }
+
+  test("word-shingle generator matches split/slice/concat_ws semantics exactly") {
+    import graft.functions.WordShingles.wordShingles
+    // includes doubled + trailing spaces: split(" ", -1) keeps empty fields
+    val texts = Seq("a b c d", "a  b c", "ab", "", "x y z ", " lead")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val native = df.select($"id", wordShingles($"text", 3).as("shingle"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val words = split($"text", " ")
+    val nSh = size(words) - 2
+    val idxs = when(nSh >= 1, sequence(lit(1), nSh)).otherwise(array().cast("array<int>"))
+    val hof = df.select($"id",
+        explode(transform(idxs, i => concat_ws(" ", slice(words, i, lit(3))))).as("shingle"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(native == hof)
+    assert(native.contains((1L, "a  b"))) // empty middle field preserved
+    assert(native.contains((4L, "y z "))) // trailing empty field preserved
+  }
+
   test("native dot kernels match the higher-order-function formulas bit-for-bit") {
     val e = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(50)
