@@ -144,4 +144,19 @@ object TextIndex {
   def search(tokens: DataFrame, query: String): DataFrame =
     tokens.filter(col("token") === lower(lit(query)) || col("token") === lit(query))
       .select("collection", "key", "field", "analyzer").distinct()
+
+  /** Persist the token table bucketed by token — the scale path for point
+    * lookups: a search for one token prunes to `1/numBuckets` of the files
+    * (bucket pruning shows as `SelectedBucketsCount: 1 out of N` in the scan)
+    * and repeated token-key joins plan without a shuffle exchange. Mirrors
+    * GraphSink.writeVerticesBucketed; requires a catalog table. NB for
+    * scan-only lookups set
+    * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false` — Spark's
+    * heuristic only auto-enables bucketed reading around joins/aggregates.
+    */
+  def writeTokenTableBucketed(tokens: DataFrame, table: String, numBuckets: Int): Unit =
+    tokens.write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      .bucketBy(numBuckets, "token")
+      .sortBy("token")
+      .saveAsTable(table)
 }

@@ -104,6 +104,32 @@ class TextIndexSpec extends AnyFunSuite {
     assert(stemmed == Set("develop", "phagocyte"))
   }
 
+  test("bucketed token table prunes point lookups to one bucket") {
+    val verts = (1 to 200).map(i => ("CL", i.toString, Map("label" -> Seq(s"term$i word$i"))))
+      .toDF("id", "number", "attrs")
+    val tokens = TextIndex.buildTokenTable(verts, Map("CL" -> Seq("label")))
+    TextIndex.writeTokenTableBucketed(tokens, "tok_idx", 8)
+    // Spark's autoBucketedScan heuristic turns bucketed reading OFF for
+    // scan-only queries (it only auto-enables around joins/aggregates);
+    // point-lookup bucket pruning needs it forced on.
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val idx = spark.table("tok_idx")
+      val hit = TextIndex.search(idx, "term42")
+      assert(hit.collect().map(_.getString(1)).toSet == Set("42"))
+      // the scan reads ONE bucket, not the whole table
+      val plan = hit.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"), s"no bucket pruning:\n$plan")
+      // token-key self-join plans without a shuffle exchange on either side
+      val joined = idx.join(idx.select(col("token"), col("key").as("k2")), Seq("token"))
+      val jplan = joined.queryExecution.executedPlan.toString
+      assert(!jplan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$jplan")
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql("DROP TABLE IF EXISTS tok_idx")
+    }
+  }
+
   test("buildTokenTable accepts the maps-JSON config end to end") {
     val verts = Seq(("CL", "7", Map("label" -> Seq("macrophage"))))
       .toDF("id", "number", "attrs")
