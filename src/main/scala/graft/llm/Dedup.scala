@@ -124,11 +124,13 @@ object Dedup {
     * band key.
     *
     * Implemented as ONE shuffle — groupBy bucket, then pair generation
-    * inside the collected (sorted) id array — rather than a bucket self-join:
+    * streamed from the collected (sorted) id array — rather than a bucket
+    * self-join:
     * a self-join re-executes the whole signature pipeline on both sides
     * whenever exchange reuse fails (observed under AQE), and buckets are
-    * near-duplicate groups, i.e. small by construction, so in-array pairing
-    * is bounded. Band keys are md5-uniform → no shuffle skew.
+    * near-duplicate groups, i.e. small by construction, and pair generation
+    * streams (OrderedPairsExpr) so memory stays constant even on a
+    * pathological bucket. Band keys are md5-uniform → no shuffle skew.
     */
   def lshCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int,
                     maxBucket: Long = Long.MaxValue): DataFrame = {
@@ -165,7 +167,7 @@ object Dedup {
     val candidates = lshCandidates(minhashSignatures(shingles, numHashes), bands,
       numHashes / bands, maxBucket)
     // exact jaccard on candidates only (semi-join-restricted posting lists).
-    // Pairing uses the same single-shuffle groupBy-postings + in-array pattern
+    // Pairing uses the same single-shuffle groupBy-postings + streamed-pairs pattern
     // as [[jaccardPairs]] — a shingle self-join here would re-execute the
     // shingle pipeline on both sides whenever exchange reuse fails, and at
     // sf0.1 measurably did. Sizes come from the candidate-restricted shingles:

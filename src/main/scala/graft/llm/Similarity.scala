@@ -231,8 +231,8 @@ object Similarity {
     * 2^numPlanes-way grouping. A pair is a candidate when ALL bits of ANY band
     * agree (higher recall than one wide key at equal total planes); candidates
     * found by several bands are collapsed by the final distinct. Groupby +
-    * in-array pairing keeps it ONE shuffle (see Dedup.lshCandidates for why
-    * not a self-join).
+    * streamed pairing (OrderedPairsExpr) keeps it ONE shuffle at constant
+    * memory per bucket (see Dedup.lshCandidates for why not a self-join).
     */
   def cosineDupPairs(vectors: DataFrame, tau: Double, bands: Int = 4,
                      planesPerBand: Int = 16,
