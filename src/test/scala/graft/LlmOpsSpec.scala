@@ -156,6 +156,37 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(native.contains((4L, "y z "))) // trailing empty field preserved
   }
 
+  test("generators match built-in formulas on 300 random texts/arrays (seeded)") {
+    val rnd = new scala.util.Random(7)
+    // texts over a tiny alphabet with frequent/leading/trailing/doubled spaces
+    val chars = "ab é"
+    val texts = (0 until 300).map { i =>
+      (i.toLong, (0 until rnd.nextInt(30)).map(_ => chars(rnd.nextInt(chars.length))).mkString)
+    }
+    val df = texts.toDF("id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val native = df.select($"id", graft.functions.WordShingles.wordShingles($"text", n).as("s"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      val words = split($"text", " ")
+      val nSh = size(words) - (n - 1)
+      val idxs = when(nSh >= 1, sequence(lit(1), nSh)).otherwise(array().cast("array<int>"))
+      val hof = df.select($"id",
+          explode(transform(idxs, i => concat_ws(" ", slice(words, i, lit(n))))).as("s"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      assert(native == hof, s"shingle mismatch at n=$n")
+    }
+    // ordered pairs over random-length arrays vs the nested-transform formula
+    val arrs = (0 until 300).map(i => (i.toLong, Seq.fill(rnd.nextInt(8))(rnd.nextLong())))
+    val adf = arrs.toDF("id", "ids")
+    val np = adf.select($"id", graft.functions.OrderedPairs.orderedPairs($"ids").as(Seq("a", "b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val hp = adf.select($"id", explode(flatten(transform($"ids", (x, i) =>
+        transform(slice($"ids", i + 2, size($"ids")), y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select($"id", $"p.a", $"p.b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(np == hp)
+  }
+
   test("native dot kernels match the higher-order-function formulas bit-for-bit") {
     val e = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(50)
