@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runMain output normally pipes through sbt's logger, which prefixes
+// every stdout line with "[info] " — breaking line-oriented JSON parsing of
+// Bench/Verify output. StdoutOutput makes the fork inherit the parent's raw
+// stdout/stderr instead (Spark logs go to stderr; the bench JSON line lands
+// bare on stdout).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -40,11 +40,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    println(json)
-    // sbt's logger prefixes stdout with "[info] ", which breaks line-oriented
-    // JSON parsing downstream — also emit (a) a bare line straight to the
-    // process's file descriptor, bypassing any System.out capture, and (b) a
-    // file copy at SPARK_GRAFT_BENCH_OUT (default bench_out.json in cwd).
+    // ONE bare line on the process's real stdout: java.io.FileDescriptor.out
+    // bypasses sbt's System.out capture (whose "[info] " prefix breaks
+    // line-oriented JSON parsing downstream) and IS System.out everywhere
+    // else — never a duplicate. Plus a file copy at SPARK_GRAFT_BENCH_OUT
+    // (default bench_out.json in cwd).
     val fd = new java.io.PrintStream(new java.io.FileOutputStream(java.io.FileDescriptor.out), true, "UTF-8")
     fd.println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -55,6 +55,14 @@ case class DotLongExpr(left: Expression, right: Expression) extends BinaryExpres
   override def dataType: DataType = LongType
   override def prettyName: String = "dot_long"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_long requires two array<bigint> inputs, got ${l.catalogString} and ${r.catalogString}")
+    }
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
     ArrayMath.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
@@ -68,6 +76,14 @@ case class DotLongExpr(left: Expression, right: Expression) extends BinaryExpres
 case class DotDoubleExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_double"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_double requires two array<double> inputs, got ${l.catalogString} and ${r.catalogString}")
+    }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     ArrayMath.dotDouble(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

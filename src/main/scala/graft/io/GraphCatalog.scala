@@ -48,10 +48,18 @@ object GraphCatalog {
   // mkdir and delete is a single directory removal — partition-pruned, never
   // a rewrite of the other collections' data. This is what keeps per-
   // collection ops O(collection) instead of O(graph) at scale.
+  // Partition VALUES go through Spark's path escaping (escapePathName) so
+  // these ops agree with directories written by DataFrame.write.partitionBy
+  // even for names containing '/', ':', spaces, etc.
+
+  private def esc(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
+  private def unesc(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
 
   /** Create-or-get a vertex collection partition. Idempotent; returns path. */
   def createOrGetVertexCollection(graphDir: String, name: String): String = {
-    val p = java.nio.file.Paths.get(graphDir, "vertices", s"id=$name")
+    val p = java.nio.file.Paths.get(graphDir, "vertices", s"id=${esc(name)}")
     java.nio.file.Files.createDirectories(p)
     p.toString
   }
@@ -60,13 +68,14 @@ object GraphCatalog {
     * (reference deleteVertexCollection with dropCollection=true).
     */
   def deleteVertexCollection(graphDir: String, name: String): Unit = {
-    val f = new java.io.File(s"$graphDir/vertices/id=$name")
+    val f = new java.io.File(s"$graphDir/vertices/id=${esc(name)}")
     if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
   }
 
   /** Create-or-get the "{from}-{to}" edge collection partition. */
   def createOrGetEdgeCollection(graphDir: String, fromId: String, toId: String): String = {
-    val p = java.nio.file.Paths.get(graphDir, "edges", s"from_id=$fromId", s"to_id=$toId")
+    val p = java.nio.file.Paths.get(graphDir, "edges",
+      s"from_id=${esc(fromId)}", s"to_id=${esc(toId)}")
     java.nio.file.Files.createDirectories(p)
     p.toString
   }
@@ -75,7 +84,7 @@ object GraphCatalog {
     * with dropCollections=true).
     */
   def deleteEdgeCollection(graphDir: String, fromId: String, toId: String): Unit = {
-    val f = new java.io.File(s"$graphDir/edges/from_id=$fromId/to_id=$toId")
+    val f = new java.io.File(s"$graphDir/edges/from_id=${esc(fromId)}/to_id=${esc(toId)}")
     if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
   }
 
@@ -84,7 +93,7 @@ object GraphCatalog {
     val d = new java.io.File(s"$graphDir/vertices")
     if (!d.exists()) Nil
     else d.listFiles().toSeq.filter(_.isDirectory).map(_.getName)
-      .filter(_.startsWith("id=")).map(_.stripPrefix("id=")).sorted
+      .filter(_.startsWith("id=")).map(n => unesc(n.stripPrefix("id="))).sorted
   }
 
   /** Edge collection "{from}-{to}" names present in the store. */
@@ -94,7 +103,7 @@ object GraphCatalog {
     else (for {
       fd <- d.listFiles().toSeq.filter(_.isDirectory) if fd.getName.startsWith("from_id=")
       td <- fd.listFiles().toSeq.filter(_.isDirectory) if td.getName.startsWith("to_id=")
-    } yield edgeCollectionName(fd.getName.stripPrefix("from_id="),
-      td.getName.stripPrefix("to_id="))).sorted
+    } yield edgeCollectionName(unesc(fd.getName.stripPrefix("from_id=")),
+      unesc(td.getName.stripPrefix("to_id=")))).sorted
   }
 }

@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // observe() names must be unique within one query plan — a fixed name
+  // would fail analysis when two capped operators meet in one DAG (e.g. a
+  // union of jaccardPairs calls). Prefix stays stable for listeners that
+  // match on startsWith.
+  private val metricSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def metricName(prefix: String): String =
+    s"${prefix}_${metricSeq.incrementAndGet()}"
+
   /** Exact dedup: group by content digest, keep the smallest id as canonical
     * (deterministic), count members. One map-side-combinable aggregate.
     */
@@ -65,7 +73,7 @@ object Dedup {
     val postings =
       if (maxDF == Long.MaxValue) allPostings
       else allPostings
-        .observe("jaccard_maxdf",
+        .observe(metricName("jaccard_maxdf"),
           sum(when(size(col("ids")) > maxDF, 1L).otherwise(0L)).as("dropped_shingles"))
         .filter(size(col("ids")) <= maxDF)
     // streamed pair generation (constant memory per posting row) — see
@@ -145,7 +153,7 @@ object Dedup {
     val buckets =
       if (maxBucket == Long.MaxValue) allBuckets
       else allBuckets
-        .observe("lsh_maxbucket",
+        .observe(metricName("lsh_maxbucket"),
           sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"))
         .filter(size(col("ids")) <= maxBucket)
     buckets

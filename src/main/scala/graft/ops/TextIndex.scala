@@ -35,7 +35,8 @@ object TextIndex {
     * edge-ngram 3..12, preserveOriginal).
     */
   def edgeNgramsPerWord(s: Column, minN: Int = 3, maxN: Int = 12): Column = {
-    val words = split(lower(s), "\\s+")
+    // literal-space split for engine/oracle fidelity (see textEnTokens)
+    val words = split(lower(s), " ")
     flatten(transform(words, w =>
       array_union(
         transform(sequence(lit(minN), greatest(least(length(w), lit(maxN)), lit(minN))),
@@ -58,16 +59,21 @@ object TextIndex {
     val s1 = when(endswith(w, lit("sses")), w.substr(lit(1), length(w) - 2))
       .when(endswith(w, lit("ies")), w.substr(lit(1), length(w) - 2))
       .when(endswith(w, lit("ss")), w)
-      .when(endswith(w, lit("s")), w.substr(lit(1), length(w) - 1))
+      .when(endswith(w, lit("s")) && length(w) > 1, w.substr(lit(1), length(w) - 1))
       .otherwise(w)
     when(endswith(s1, lit("ing")) && length(s1) > 5, s1.substr(lit(1), length(s1) - 3))
       .when(endswith(s1, lit("ed")) && length(s1) > 4, s1.substr(lit(1), length(s1) - 2))
       .otherwise(s1)
   }
 
-  /** `text_en` analyzer: lowercase words, stemmed — one token per word. */
+  /** `text_en` analyzer: lowercase words, stemmed — one token per word.
+    * Splits on a literal single space (like the shingle operators and their
+    * SQL oracles — DuckDB string_split has no regex form), NOT `\s+`:
+    * doubled spaces therefore yield empty tokens here; [[buildTokenTable]]
+    * filters them out of the index.
+    */
   def textEnTokens(s: Column): Column =
-    transform(split(lower(s), "\\s+"), w => stemEn(w))
+    transform(split(lower(s), " "), w => stemEn(w))
 
   /** Build the search token table for a set of (collection, field) links —
     * the engine's ArangoSearch view. `fieldsByCollection` mirrors the
@@ -105,7 +111,11 @@ object TextIndex {
       lit("text_en").as("analyzer"),
       explode(textEnTokens(col("value"))).as("token"))
 
-    ngram.union(edge).union(identity).union(textEn).distinct()
+    // doubled/leading spaces in values produce empty word tokens in the
+    // word-based analyzers — noise in an index, and search("") must not hit
+    ngram.union(edge).union(identity).union(textEn)
+      .filter(col("token") =!= "")
+      .distinct()
   }
 
   /** Parse the reference's collection-maps JSON into the

@@ -289,8 +289,9 @@ object PipelineQueries {
          |                % CAST(2305843009213693951 AS HUGEINT) AS hh
          |       FROM w CROSS JOIN pw
          |       GROUP BY doc_id, i)
-         | SELECT doc_id, CAST(MIN(hh) AS BIGINT) AS winnow
-         | FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+         | SELECT d.doc_id, CAST(MIN(hh) AS BIGINT) AS winnow
+         | FROM documents d LEFT JOIN h USING (doc_id)
+         | GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
 
     // ---- X1: n-gram analyzer token counts -------------------------------
     ("x1_ngram_tokens",
@@ -343,7 +344,7 @@ object PipelineQueries {
         |   CASE WHEN w LIKE '%sses' THEN substr(w, 1, length(w)-2)
         |        WHEN w LIKE '%ies'  THEN substr(w, 1, length(w)-2)
         |        WHEN w LIKE '%ss'   THEN w
-        |        WHEN w LIKE '%s'    THEN substr(w, 1, length(w)-1)
+        |        WHEN w LIKE '%s' AND length(w) > 1 THEN substr(w, 1, length(w)-1)
         |        ELSE w END AS s1
         |   FROM words),
         | toks AS (SELECT DISTINCT doc_id,

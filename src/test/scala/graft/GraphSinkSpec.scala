@@ -85,5 +85,13 @@ class GraphSinkSpec extends AnyFunSuite {
     val p2 = GraphCatalog.createOrGetVertexCollection(dir, "NCBITaxon")
     assert(p1 == p2)
     assert(GraphCatalog.listVertexCollections(dir).contains("NCBITaxon"))
+
+    // names with path-hostile characters agree with Spark's partition
+    // escaping: write via partitionBy, then delete/list by the RAW name
+    val odd = Seq(("NCBITaxon:9606", "1", "human")).toDF("id", "number", "label")
+    odd.write.mode("append").partitionBy("id").parquet(s"$dir/vertices")
+    assert(GraphCatalog.listVertexCollections(dir).contains("NCBITaxon:9606"))
+    GraphCatalog.deleteVertexCollection(dir, "NCBITaxon:9606")
+    assert(!GraphCatalog.listVertexCollections(dir).contains("NCBITaxon:9606"))
   }
 }

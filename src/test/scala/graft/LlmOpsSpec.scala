@@ -262,9 +262,11 @@ class LlmOpsSpec extends AnyFunSuite {
     // only the (0,1) pair survives: every cross-pair co-occurred ONLY via the
     // hot shingle, which the cap removed before pairing
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
-    // the drop is observed, not silent
+    // the drop is observed, not silent (name carries a per-call suffix so
+    // two capped operators can meet in one plan)
     val metrics = capped.queryExecution.observedMetrics
-    assert(metrics("jaccard_maxdf").getLong(0) == 1L)
+    val key = metrics.keys.find(_.startsWith("jaccard_maxdf")).get
+    assert(metrics(key).getLong(0) == 1L)
     // and uncapped finds all 15 pairs
     assert(Dedup.jaccardPairs(sh, 0.0).count() == 15L)
   }
