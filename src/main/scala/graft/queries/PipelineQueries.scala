@@ -354,6 +354,55 @@ object PipelineQueries {
         |   FROM st1)
         | SELECT doc_id, token FROM toks ORDER BY doc_id, token""".stripMargin),
 
+    // ---- X1: full search-view token table (all four analyzers) ----------
+    // documents as a pseudo-collection (id=DOC, key=doc_id, field=text):
+    // exercises buildTokenTable end to end — link selection, all four
+    // analyzer branches, empty-token filtering — against a DuckDB oracle
+    // composed from the per-analyzer fragments proven above.
+    ("x1_token_table",
+      (s, d) => {
+        val verts = t(s, d, "documents")
+          .filter(col("doc_id") < 30)
+          .select(lit("DOC").as("id"), col("doc_id").cast("string").as("number"),
+            map(lit("text"), array(substring(col("text"), 1, 60))).as("attrs"))
+        TextIndex.buildTokenTable(verts, Map("DOC" -> Seq("text"), "edges" -> Seq("skipped")))
+          .orderBy("key", "analyzer", "token")
+      },
+      """WITH s AS (SELECT doc_id::VARCHAR AS key, substr(text, 1, 60) AS v
+        |           FROM documents WHERE doc_id < 30),
+        | ngram AS (
+        |   SELECT key, 'n-gram' AS analyzer, substr(v, i, 3) AS token FROM s,
+        |        LATERAL (SELECT unnest(generate_series(1, greatest(length(s.v)-2,0))) AS i) g
+        |   UNION
+        |   SELECT key, 'n-gram', substr(v, i, 4) FROM s,
+        |        LATERAL (SELECT unnest(generate_series(1, greatest(length(s.v)-3,0))) AS i) g
+        |   UNION
+        |   SELECT key, 'n-gram', v FROM s),
+        | words AS (SELECT key, unnest(string_split(lower(v), ' ')) AS w FROM s),
+        | edge AS (
+        |   SELECT key, 'text_en_no_stem' AS analyzer, substr(w, 1, n) AS token FROM words,
+        |        LATERAL (SELECT unnest(generate_series(3, greatest(least(length(words.w),12),3))) AS n) g
+        |   UNION
+        |   SELECT key, 'text_en_no_stem', w FROM words),
+        | st1 AS (SELECT key,
+        |   CASE WHEN w LIKE '%sses' THEN substr(w, 1, length(w)-2)
+        |        WHEN w LIKE '%ies'  THEN substr(w, 1, length(w)-2)
+        |        WHEN w LIKE '%ss'   THEN w
+        |        WHEN w LIKE '%s' AND length(w) > 1 THEN substr(w, 1, length(w)-1)
+        |        ELSE w END AS s1
+        |   FROM words),
+        | stem AS (SELECT key, 'text_en' AS analyzer,
+        |   CASE WHEN s1 LIKE '%ing' AND length(s1) > 5 THEN substr(s1, 1, length(s1)-3)
+        |        WHEN s1 LIKE '%ed'  AND length(s1) > 4 THEN substr(s1, 1, length(s1)-2)
+        |        ELSE s1 END AS token
+        |   FROM st1),
+        | ident AS (SELECT key, 'identity' AS analyzer, v AS token FROM s),
+        | allt AS (SELECT * FROM ngram UNION SELECT * FROM edge
+        |          UNION SELECT * FROM stem UNION SELECT * FROM ident)
+        | SELECT DISTINCT 'DOC' AS collection, key, 'text' AS field, analyzer, token
+        | FROM allt WHERE token <> ''
+        | ORDER BY key, analyzer, token""".stripMargin),
+
     // ---- multimodal plumbing: binary payloads + stub features ----------
     ("m_media_features",
       (s, d) => Multimodal.extractFeatures(Multimodal.documentsAsMedia(spread(t(s, d, "documents"))))
