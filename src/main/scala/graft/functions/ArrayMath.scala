@@ -1,11 +1,22 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.types._
+
+/** Shared input validation for the engine's custom expressions —
+  * `ExpectsInputTypes` is closed to third parties (its `AbstractDataType` is
+  * private[sql]), so this is the minimal equivalent: a clean analysis-time
+  * failure instead of a ClassCastException during planning.
+  */
+private[functions] object InputCheck {
+  def require(ok: Boolean, msg: => String): TypeCheckResult =
+    if (ok) TypeCheckResult.TypeCheckSuccess else TypeCheckResult.TypeCheckFailure(msg)
+}
 
 /** Native codegen kernels for the similarity hot path.
   *
@@ -55,13 +66,13 @@ case class DotLongExpr(left: Expression, right: Expression) extends BinaryExpres
   override def dataType: DataType = LongType
   override def prettyName: String = "dot_long"
 
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.require(
     (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"dot_long requires two array<bigint> inputs, got ${l.catalogString} and ${r.catalogString}")
-    }
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => true
+      case _ => false
+    },
+    s"dot_long requires two array<bigint> inputs, got " +
+      s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     ArrayMath.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -77,13 +88,13 @@ case class DotDoubleExpr(left: Expression, right: Expression) extends BinaryExpr
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_double"
 
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.require(
     (left.dataType, right.dataType) match {
-      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"dot_double requires two array<double> inputs, got ${l.catalogString} and ${r.catalogString}")
-    }
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => true
+      case _ => false
+    },
+    s"dot_double requires two array<double> inputs, got " +
+      s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     ArrayMath.dotDouble(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -27,11 +27,8 @@ case class OrderedPairsExpr(child: Expression)
   private lazy val elType: DataType = child.dataType.asInstanceOf[ArrayType].elementType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case _: ArrayType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"ordered_pairs requires an array input, got ${other.catalogString}")
-    }
+    InputCheck.require(child.dataType.isInstanceOf[ArrayType],
+      s"ordered_pairs requires an array input, got ${child.dataType.catalogString}")
 
   override def elementSchema: StructType = StructType(Seq(
     StructField("left", elType), StructField("right", elType)))

@@ -26,11 +26,8 @@ case class WordShinglesExpr(child: Expression, n: Int)
   require(n >= 1, "shingle size must be >= 1")
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"word_shingles requires a string input, got ${other.catalogString}")
-    }
+    InputCheck.require(child.dataType == StringType,
+      s"word_shingles requires a string input, got ${child.dataType.catalogString}")
 
   override def elementSchema: StructType =
     StructType(Seq(StructField("shingle", StringType)))

@@ -65,12 +65,15 @@ object GraphCatalog {
   }
 
   /** Delete one vertex collection — drops only its partition directory
-    * (reference deleteVertexCollection with dropCollection=true).
+    * (reference deleteVertexCollection with dropCollection=true). Falls back
+    * to the raw (unescaped) directory name for stores written before
+    * partition-value escaping.
     */
-  def deleteVertexCollection(graphDir: String, name: String): Unit = {
-    val f = new java.io.File(s"$graphDir/vertices/id=${esc(name)}")
-    if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
-  }
+  def deleteVertexCollection(graphDir: String, name: String): Unit =
+    Seq(esc(name), name).distinct.foreach { n =>
+      val f = new java.io.File(s"$graphDir/vertices/id=$n")
+      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    }
 
   /** Create-or-get the "{from}-{to}" edge collection partition. */
   def createOrGetEdgeCollection(graphDir: String, fromId: String, toId: String): String = {
@@ -81,12 +84,13 @@ object GraphCatalog {
   }
 
   /** Delete one edge collection partition (reference deleteEdgeCollection
-    * with dropCollections=true).
+    * with dropCollections=true). Same raw-name fallback as the vertex form.
     */
-  def deleteEdgeCollection(graphDir: String, fromId: String, toId: String): Unit = {
-    val f = new java.io.File(s"$graphDir/edges/from_id=${esc(fromId)}/to_id=${esc(toId)}")
-    if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
-  }
+  def deleteEdgeCollection(graphDir: String, fromId: String, toId: String): Unit =
+    Seq((esc(fromId), esc(toId)), (fromId, toId)).distinct.foreach { case (f0, t0) =>
+      val f = new java.io.File(s"$graphDir/edges/from_id=$f0/to_id=$t0")
+      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    }
 
   /** Vertex collection names present in the store (partition listing). */
   def listVertexCollections(graphDir: String): Seq[String] = {

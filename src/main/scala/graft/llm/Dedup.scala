@@ -54,9 +54,11 @@ object Dedup {
     * Shingles with df > maxDF are dropped BEFORE pairing — high-DF shingles
     * carry ~no Jaccard signal (they are in everything) but note the metric is
     * no longer the exact set Jaccard when the cap fires. The drop is never
-    * silent: the count of dropped shingles is published as observed metric
-    * `jaccard_maxdf` (no extra job — collected during the real execution;
-    * read it from QueryExecution.observedMetrics or a QueryExecutionListener).
+    * silent: the count of dropped shingles is published as an observed
+    * metric named `jaccard_maxdf_<n>` (per-call suffix — fixed names fail
+    * analysis when two capped operators meet in one plan; no extra job,
+    * collected during the real execution; find it by prefix in
+    * QueryExecution.observedMetrics or a QueryExecutionListener).
     * Default = unbounded (exact semantics).
     */
   def jaccardPairs(shingles: DataFrame, minJaccard: Double,
@@ -149,7 +151,8 @@ object Dedup {
     // `maxBucket` caps pathological buckets (e.g. a massive exact-duplicate
     // cluster collapsing every copy into one band key → O(n²) pair fan-out
     // from one row). Dropped buckets are published as observed metric
-    // `lsh_maxbucket` — no silent caps. Default = unbounded.
+    // `lsh_maxbucket_<n>` (per-call suffix, match by prefix) — no silent
+    // caps. Default = unbounded.
     val buckets =
       if (maxBucket == Long.MaxValue) allBuckets
       else allBuckets

@@ -35,8 +35,11 @@ object TextIndex {
     * edge-ngram 3..12, preserveOriginal).
     */
   def edgeNgramsPerWord(s: Column, minN: Int = 3, maxN: Int = 12): Column = {
-    // literal-space split for engine/oracle fidelity (see textEnTokens)
-    val words = split(lower(s), " ")
+    // \s+ split: reference text analyzers tokenize on ANY whitespace (tabs,
+    // newlines in OWL definition literals); oracles mirror this with
+    // DuckDB's regexp_split_to_array, which has identical empty-field
+    // semantics to Java split("\\s+", -1)
+    val words = split(lower(s), "\\s+")
     flatten(transform(words, w =>
       array_union(
         transform(sequence(lit(minN), greatest(least(length(w), lit(maxN)), lit(minN))),
@@ -67,13 +70,12 @@ object TextIndex {
   }
 
   /** `text_en` analyzer: lowercase words, stemmed — one token per word.
-    * Splits on a literal single space (like the shingle operators and their
-    * SQL oracles — DuckDB string_split has no regex form), NOT `\s+`:
-    * doubled spaces therefore yield empty tokens here; [[buildTokenTable]]
-    * filters them out of the index.
+    * Splits on `\s+` like the reference's text analyzers (leading/trailing
+    * whitespace still yields empty fields, which [[buildTokenTable]] filters
+    * out of the index; oracles mirror via regexp_split_to_array).
     */
   def textEnTokens(s: Column): Column =
-    transform(split(lower(s), " "), w => stemEn(w))
+    transform(split(lower(s), "\\s+"), w => stemEn(w))
 
   /** Build the search token table for a set of (collection, field) links —
     * the engine's ArangoSearch view. `fieldsByCollection` mirrors the

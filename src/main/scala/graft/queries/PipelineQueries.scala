@@ -319,7 +319,7 @@ object PipelineQueries {
         .select(col("p_partkey"),
           size(array_distinct(TextIndex.edgeNgramsPerWord(col("p_name")))).cast("long").as("n_tokens"))
         .orderBy("p_partkey"),
-      """WITH words AS (SELECT p_partkey, unnest(string_split(lower(p_name), ' ')) AS w
+      """WITH words AS (SELECT p_partkey, unnest(regexp_split_to_array(lower(p_name), '\s+')) AS w
         |               FROM part WHERE p_partkey < 100),
         | toks AS (
         |   SELECT p_partkey, substr(w, 1, n) AS tok FROM words,
@@ -338,7 +338,7 @@ object PipelineQueries {
           explode(array_distinct(TextIndex.textEnTokens(col("text")))).as("token"))
         .distinct()
         .orderBy("doc_id", "token"),
-      """WITH words AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      """WITH words AS (SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
         |               FROM documents WHERE doc_id < 100),
         | st1 AS (SELECT doc_id,
         |   CASE WHEN w LIKE '%sses' THEN substr(w, 1, length(w)-2)
@@ -378,7 +378,7 @@ object PipelineQueries {
         |        LATERAL (SELECT unnest(generate_series(1, greatest(length(s.v)-3,0))) AS i) g
         |   UNION
         |   SELECT key, 'n-gram', v FROM s),
-        | words AS (SELECT key, unnest(string_split(lower(v), ' ')) AS w FROM s),
+        | words AS (SELECT key, unnest(regexp_split_to_array(lower(v), '\s+')) AS w FROM s),
         | edge AS (
         |   SELECT key, 'text_en_no_stem' AS analyzer, substr(w, 1, n) AS token FROM words,
         |        LATERAL (SELECT unnest(generate_series(3, greatest(least(length(words.w),12),3))) AS n) g
