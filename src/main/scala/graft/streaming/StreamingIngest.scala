@@ -84,4 +84,32 @@ object StreamingIngest {
       .withColumn("content_hash", md5(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Custom streaming state via `mapGroupsWithState`: per-source running
+    * corpus statistics (doc count, total whitespace tokens), updated every
+    * micro-batch — the arbitrary-stateful surface that windowed aggregation
+    * can't express (state is cumulative over the whole stream, not a
+    * window). Emit in `update` output mode; state is one (long, long) pair
+    * per source, so memory is bounded by source cardinality.
+    */
+  def runningSourceStats(docs: DataFrame, textCol: String = "text",
+                         srcCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.{Encoders, Row}
+    val pairs = docs.select(col(srcCol).cast("string").as("source"),
+      size(split(col(textCol), "\\s+")).as("n_tokens"))
+    implicit val inEnc = Encoders.product[(String, Int)]
+    implicit val stEnc = Encoders.product[(Long, Long)]
+    implicit val outEnc = Encoders.product[(String, Long, Long)]
+    pairs.as[(String, Int)]
+      .groupByKey(_._1)(Encoders.STRING)
+      .mapGroupsWithState[(Long, Long), (String, Long, Long)](GroupStateTimeout.NoTimeout) {
+        case (src, rows, state) =>
+          var (n, t) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { r => n += 1; t += r._2 }
+          state.update((n, t))
+          (src, n, t)
+      }
+      .toDF("source", "n_docs", "total_tokens")
+  }
 }

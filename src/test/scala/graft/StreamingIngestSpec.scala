@@ -84,6 +84,36 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
   }
 
+  test("mapGroupsWithState running stats accumulate across micro-batches") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-state")
+    val in = base.resolve("in"); Files.createDirectories(in)
+    try {
+      Seq((1L, "a b c", "web"), (2L, "d e", "web"), (3L, "f", "book"))
+        .toDF("doc_id", "text", "source").write.parquet(s"$in/b1")
+      val schema = spark.read.parquet(s"$in/b1").schema
+      val stream = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(in.toString)
+      val stats = StreamingIngest.runningSourceStats(stream)
+      val q = stats.writeStream.outputMode("update").format("memory")
+        .queryName("src_stats").start()
+      try {
+        q.processAllAvailable()
+        // second batch arrives: state must CARRY OVER, not reset
+        Seq((4L, "g h i j", "web")).toDF("doc_id", "text", "source")
+          .write.parquet(s"$in/b2")
+        q.processAllAvailable()
+        // update mode appends one row per touched source per batch — the
+        // row with the highest running count per source is the latest state
+        val last = spark.table("src_stats")
+          .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+          .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+        assert(last("web") == (3L, 9L))  // 3 docs, 3+2+4 tokens
+        assert(last("book") == (1L, 1L))
+      } finally q.stop()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
   test("event-time windowed aggregation with watermark matches batch result") {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
