@@ -101,9 +101,11 @@ object TextIndex {
         explode_outer(coalesce(col("attrs")(col("link.field")), array())).as("value"))
       .filter(col("value").isNotNull)
 
+    // streamed gram generation (vs materialize-array-then-explode): the
+    // trailing distinct gives the same token set — see CharNgramsExpr
     val ngram = exploded.select(col("collection"), col("key"), col("field"),
       lit("n-gram").as("analyzer"),
-      explode(charNgrams(col("value"), 3, 4, preserveOriginal = true)).as("token"))
+      graft.functions.CharNgrams.charNgramTokens(col("value"), 3, 4, preserveOriginal = true).as("token"))
     val edge = exploded.select(col("collection"), col("key"), col("field"),
       lit("text_en_no_stem").as("analyzer"),
       explode(edgeNgramsPerWord(col("value"))).as("token"))

@@ -30,6 +30,18 @@ class TextIndexSpec extends AnyFunSuite {
     assert(got == Set("hel", "hell", "hello", "hi"))
   }
 
+  test("char-ngram generator yields the same token set as the array form") {
+    val rnd = new scala.util.Random(11)
+    val texts = (0 until 200).map(i =>
+      (i.toLong, (0 until rnd.nextInt(12)).map(_ => "abc ".charAt(rnd.nextInt(4))).mkString))
+    val df = texts.toDF("id", "s")
+    val gen = df.select($"id", graft.functions.CharNgrams.charNgramTokens($"s", 3, 4, true).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val arr = df.select($"id", explode(TextIndex.charNgrams($"s", 3, 4, preserveOriginal = true)).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(gen == arr)
+  }
+
   test("text_en stemmer matrix: plural and -ing/-ed collapse, guards hold") {
     val cases = Seq(
       "develops" -> "develop",     // 1a: -s
