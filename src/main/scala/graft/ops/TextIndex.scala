@@ -108,7 +108,7 @@ object TextIndex {
       graft.functions.CharNgrams.charNgramTokens(col("value"), 3, 4, preserveOriginal = true).as("token"))
     val edge = exploded.select(col("collection"), col("key"), col("field"),
       lit("text_en_no_stem").as("analyzer"),
-      explode(edgeNgramsPerWord(col("value"))).as("token"))
+      graft.functions.EdgeNgrams.edgeNgramTokens(col("value")).as("token"))
     val identity = exploded.select(col("collection"), col("key"), col("field"),
       lit("identity").as("analyzer"), col("value").as("token"))
     val textEn = exploded.select(col("collection"), col("key"), col("field"),

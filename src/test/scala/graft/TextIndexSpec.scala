@@ -42,6 +42,18 @@ class TextIndexSpec extends AnyFunSuite {
     assert(gen == arr)
   }
 
+  test("edge-ngram generator yields the same token set as the array form") {
+    val rnd = new scala.util.Random(13)
+    val texts = (0 until 200).map(i =>
+      (i.toLong, (0 until rnd.nextInt(30)).map(_ => "aBcDefghijklm  ".charAt(rnd.nextInt(15))).mkString))
+    val df = texts.toDF("id", "s")
+    val gen = df.select($"id", graft.functions.EdgeNgrams.edgeNgramTokens($"s").as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val arr = df.select($"id", explode(TextIndex.edgeNgramsPerWord($"s")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(gen == arr)
+  }
+
   test("text_en stemmer matrix: plural and -ing/-ed collapse, guards hold") {
     val cases = Seq(
       "develops" -> "develop",     // 1a: -s
