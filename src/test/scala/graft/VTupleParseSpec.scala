@@ -54,4 +54,23 @@ class VTupleParseSpec extends AnyFunSuite {
       .select("v.id", "v.number", "v.isValidVertex").collect()(0)
     assert(r.getString(0) == "GO" && r.getString(1) == "0031268" && r.getBoolean(2))
   }
+
+  test("all engine kernels are callable from SQL") {
+    graft.functions.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT dot_long(array(1L,2L), array(3L,4L))").collect()(0).getLong(0) == 11L)
+    assert(spark.sql("SELECT dot_double(array(0.5d,2.0d), array(2.0d,1.5d))")
+      .collect()(0).getDouble(0) == 4.0)
+    val pairs = spark.sql("SELECT ordered_pairs(array(1L,2L,3L))")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val shingles = spark.sql("SELECT word_shingles('a b c d', 3)")
+      .collect().map(_.getString(0)).toSet
+    assert(shingles == Set("a b c", "b c d"))
+    val grams = spark.sql("SELECT char_ngrams('abcd', 3, 4, true)")
+      .collect().map(_.getString(0)).toSet
+    assert(grams == Set("abc", "bcd", "abcd"))
+    val edges = spark.sql("SELECT DISTINCT token FROM (SELECT edge_ngrams('Hello', 3, 12) AS token)")
+      .collect().map(_.getString(0)).toSet
+    assert(edges == Set("hel", "hell", "hello"))
+  }
 }
