@@ -29,26 +29,39 @@ private[functions] object InputCheck {
   * exact integer math for the long form, IEEE order preserved for the double
   * form), ~an order of magnitude less per-element cost.
   *
-  * Both expect equal-length arrays with non-null elements (quantized
-  * embeddings / literal hyperplanes); extra elements of a longer array are
-  * ignored (min-length loop).
+  * Null fidelity matches the replaced HOF form: a null input array, a null
+  * element, or a length mismatch all yield NULL (zip_with pads the shorter
+  * array with nulls and the product-sum propagates them) — never a silently
+  * truncated or fabricated dot.
   */
 object ArrayMath {
 
-  def dotLong(x: ArrayData, y: ArrayData): Long = {
-    val n = math.min(x.numElements(), y.numElements())
+  /** Null semantics mirror the HOF form they replaced: a null element or a
+    * length mismatch yields NULL (zip_with pads/propagates null through the
+    * product-sum), never a fabricated partial dot.
+    */
+  def dotLong(x: ArrayData, y: ArrayData): java.lang.Long = {
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0L
     var i = 0
-    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
-    s
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getLong(i) * y.getLong(i); i += 1
+    }
+    java.lang.Long.valueOf(s)
   }
 
-  def dotDouble(x: ArrayData, y: ArrayData): Double = {
-    val n = math.min(x.numElements(), y.numElements())
+  def dotDouble(x: ArrayData, y: ArrayData): java.lang.Double = {
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0d
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
-    s
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i); i += 1
+    }
+    java.lang.Double.valueOf(s)
   }
 
   /** Column API: exact integer dot product of two array<long>. */
@@ -66,6 +79,8 @@ case class DotLongExpr(left: Expression, right: Expression) extends BinaryExpres
   override def dataType: DataType = LongType
   override def prettyName: String = "dot_long"
 
+  override def nullable: Boolean = true // null elements / length mismatch
+
   override def checkInputDataTypes(): TypeCheckResult = InputCheck.require(
     (left.dataType, right.dataType) match {
       case (ArrayType(LongType, _), ArrayType(LongType, _)) => true
@@ -78,7 +93,10 @@ case class DotLongExpr(left: Expression, right: Expression) extends BinaryExpres
     ArrayMath.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = graft.functions.ArrayMath.dotLong($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Long ${ev.value}_r = graft.functions.ArrayMath.dotLong($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.longValue(); }""")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -87,6 +105,8 @@ case class DotLongExpr(left: Expression, right: Expression) extends BinaryExpres
 case class DotDoubleExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_double"
+
+  override def nullable: Boolean = true // null elements / length mismatch
 
   override def checkInputDataTypes(): TypeCheckResult = InputCheck.require(
     (left.dataType, right.dataType) match {
@@ -100,7 +120,10 @@ case class DotDoubleExpr(left: Expression, right: Expression) extends BinaryExpr
     ArrayMath.dotDouble(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = graft.functions.ArrayMath.dotDouble($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = graft.functions.ArrayMath.dotDouble($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }""")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

@@ -18,27 +18,40 @@ object GraftExtensions {
   private type FunctionDescription =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
-  private def fn(name: String, clazz: Class[_],
+  private def fn(name: String, clazz: Class[_], arity: Int,
                  builder: Seq[Expression] => Expression): FunctionDescription =
-    (new FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
+    (new FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name),
+      (es: Seq[Expression]) => {
+        require(es.length == arity,
+          s"$name expects $arity argument(s), got ${es.length}")
+        builder(es)
+      })
 
-  private def intArg(e: Expression): Int =
+  // generator config args must be foldable literals — validated here so a
+  // column reference fails with a clear message at function resolution, not
+  // an internal "cannot evaluate expression" error at runtime
+  private def intArg(name: String, e: Expression): Int = {
+    require(e.foldable, s"$name config arguments must be literals")
     e.eval(null).asInstanceOf[Number].intValue()
-  private def boolArg(e: Expression): Boolean =
+  }
+  private def boolArg(name: String, e: Expression): Boolean = {
+    require(e.foldable, s"$name config arguments must be literals")
     e.eval(null).asInstanceOf[Boolean]
+  }
 
   private[functions] val All: Seq[FunctionDescription] = Seq(
-    fn("vtuple_parse", classOf[VTupleParseExpr], es => VTupleParseExpr(es.head)),
-    fn("dot_long", classOf[DotLongExpr], es => DotLongExpr(es(0), es(1))),
-    fn("dot_double", classOf[DotDoubleExpr], es => DotDoubleExpr(es(0), es(1))),
-    fn("ordered_pairs", classOf[OrderedPairsExpr], es => OrderedPairsExpr(es.head)),
-    // generator args beyond the column must be foldable literals
-    fn("word_shingles", classOf[WordShinglesExpr],
-      es => WordShinglesExpr(es(0), intArg(es(1)))),
-    fn("char_ngrams", classOf[CharNgramsExpr],
-      es => CharNgramsExpr(es(0), intArg(es(1)), intArg(es(2)), boolArg(es(3)))),
-    fn("edge_ngrams", classOf[EdgeNgramsExpr],
-      es => EdgeNgramsExpr(es(0), intArg(es(1)), intArg(es(2)))))
+    fn("vtuple_parse", classOf[VTupleParseExpr], 1, es => VTupleParseExpr(es.head)),
+    fn("dot_long", classOf[DotLongExpr], 2, es => DotLongExpr(es(0), es(1))),
+    fn("dot_double", classOf[DotDoubleExpr], 2, es => DotDoubleExpr(es(0), es(1))),
+    fn("ordered_pairs", classOf[OrderedPairsExpr], 1, es => OrderedPairsExpr(es.head)),
+    fn("word_shingles", classOf[WordShinglesExpr], 2,
+      es => WordShinglesExpr(es(0), intArg("word_shingles", es(1)))),
+    fn("char_ngrams", classOf[CharNgramsExpr], 4,
+      es => CharNgramsExpr(es(0), intArg("char_ngrams", es(1)),
+        intArg("char_ngrams", es(2)), boolArg("char_ngrams", es(3)))),
+    fn("edge_ngrams", classOf[EdgeNgramsExpr], 3,
+      es => EdgeNgramsExpr(es(0), intArg("edge_ngrams", es(1)),
+        intArg("edge_ngrams", es(2)))))
 
   /** Register the engine functions on an ALREADY-RUNNING session (extensions
     * only apply at session construction; a same-JVM getOrCreate reuses the

@@ -61,13 +61,16 @@ object Dedup {
     * QueryExecution.observedMetrics or a QueryExecutionListener).
     * Default = unbounded (exact semantics).
     */
-  def jaccardPairs(shingles: DataFrame, minJaccard: Double,
-                   maxDF: Long = Long.MaxValue): DataFrame = {
-    val sizes = shingles.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    // Inverted index WITHOUT a self-join: group the posting list per shingle
-    // (64-bit hashed key — collisions ~2^-64) and emit ordered pairs from the
-    // sorted id array, then count co-occurrences. One wide shuffle instead of
-    // a join + pair shuffle.
+  /** Shared pairing core: inverted index WITHOUT a self-join — group the
+    * posting list per shingle (64-bit hashed key, collisions ~2^-64), emit
+    * streamed ordered pairs from the sorted id array (constant memory per
+    * posting row — see graft.functions.OrderedPairsExpr), count
+    * co-occurrences. One wide shuffle instead of a join + pair shuffle.
+    * Used by both [[jaccardPairs]] and [[removeNearDuplicates]] so the
+    * maxDF cap + drop metric exist exactly once.
+    */
+  private def pairCounts(shingles: DataFrame, maxDF: Long,
+                         metricPrefix: String): DataFrame = {
     val allPostings = shingles
       .groupBy(xxhash64(col("shingle")).as("sh"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
@@ -75,15 +78,20 @@ object Dedup {
     val postings =
       if (maxDF == Long.MaxValue) allPostings
       else allPostings
-        .observe(metricName("jaccard_maxdf"),
-          sum(when(size(col("ids")) > maxDF, 1L).otherwise(0L)).as("dropped_shingles"))
+        .observe(metricName(metricPrefix),
+          coalesce(sum(when(size(col("ids")) > maxDF, 1L).otherwise(0L)), lit(0L))
+            .as("dropped"))
         .filter(size(col("ids")) <= maxDF)
-    // streamed pair generation (constant memory per posting row) — see
-    // graft.functions.OrderedPairsExpr for why not explode(flatten(transform))
-    val inter = postings
+    postings
       .select(graft.functions.OrderedPairs.orderedPairs(col("ids")).as(Seq("id_a", "id_b")))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_inter"))
+  }
+
+  def jaccardPairs(shingles: DataFrame, minJaccard: Double,
+                   maxDF: Long = Long.MaxValue): DataFrame = {
+    val sizes = shingles.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = pairCounts(shingles, maxDF, "jaccard_maxdf")
     inter
       .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), Seq("id_a"))
       .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")), Seq("id_b"))
@@ -157,7 +165,8 @@ object Dedup {
       if (maxBucket == Long.MaxValue) allBuckets
       else allBuckets
         .observe(metricName("lsh_maxbucket"),
-          sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"))
+          coalesce(sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L)), lit(0L))
+            .as("dropped_buckets"))
         .filter(size(col("ids")) <= maxBucket)
     buckets
       .select(graft.functions.OrderedPairs.orderedPairs(col("ids")).as(Seq("id_a", "id_b")))
@@ -173,28 +182,22 @@ object Dedup {
   def removeNearDuplicates(docs: DataFrame, shingleN: Int = 3, minJaccard: Double = 0.8,
                            numHashes: Int = 12, bands: Int = 4,
                            textCol: String = "text", idCol: String = "doc_id",
-                           maxBucket: Long = Long.MaxValue): DataFrame = {
+                           maxBucket: Long = Long.MaxValue,
+                           maxDF: Long = Long.MaxValue): DataFrame = {
     val shingles = wordShingles(docs, shingleN, textCol, idCol)
     val candidates = lshCandidates(minhashSignatures(shingles, numHashes), bands,
       numHashes / bands, maxBucket)
     // exact jaccard on candidates only (semi-join-restricted posting lists).
-    // Pairing uses the same single-shuffle groupBy-postings + streamed-pairs pattern
-    // as [[jaccardPairs]] — a shingle self-join here would re-execute the
-    // shingle pipeline on both sides whenever exchange reuse fails, and at
-    // sf0.1 measurably did. Sizes come from the candidate-restricted shingles:
-    // the semi-join restricts DOCS, not their shingles, so per-doc counts are
-    // identical for every doc that can appear in a confirmed pair.
+    // Pairing shares [[pairCounts]] with jaccardPairs — a shingle self-join
+    // here would re-execute the shingle pipeline on both sides whenever
+    // exchange reuse fails, and at sf0.1 measurably did. Sizes come from the
+    // candidate-restricted shingles: the semi-join restricts DOCS, not their
+    // shingles, so per-doc counts are identical for every doc that can appear
+    // in a confirmed pair.
     val candIds = candidates.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val candShingles = shingles.join(candIds, Seq("id"), "left_semi")
     val sizes = candShingles.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val postings = candShingles
-      .groupBy(xxhash64(col("shingle")).as("sh"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    val inter = postings
-      .select(graft.functions.OrderedPairs.orderedPairs(col("ids")).as(Seq("id_a", "id_b")))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
+    val inter = pairCounts(candShingles, maxDF, "neardup_maxdf")
       .join(candidates, Seq("id_a", "id_b"), "left_semi")
     val confirmed = inter
       .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), Seq("id_a"))

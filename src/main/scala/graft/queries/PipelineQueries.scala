@@ -160,13 +160,12 @@ object PipelineQueries {
         |   FROM (SELECT p, dd, substr(md5('plane' || p || ':' || dd), 1, 4) AS h
         |         FROM (SELECT unnest(generate_series(0,5)) AS p),
         |              (SELECT unnest(generate_series(0,63)) AS dd))),
+        | plv AS (SELECT p, list(comp ORDER BY dd) AS plane FROM planes GROUP BY p),
         | dots AS (
-        |   SELECT e.vec_id, pl.p, SUM(e.embedding[g.i] * pl.comp) AS dot
-        |   FROM '__EMB__' e,
-        |        LATERAL (SELECT unnest(generate_series(1,64)) AS i) g,
-        |        planes pl
-        |   WHERE pl.dd = g.i - 1
-        |   GROUP BY e.vec_id, pl.p)
+        |   SELECT e.vec_id, pl.p,
+        |          list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+        |                           pl.plane) AS dot
+        |   FROM '__EMB__' e, plv pl)
         | SELECT vec_id, CAST(SUM(CASE WHEN dot >= 0 THEN CAST(power(2,p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
         | FROM dots GROUP BY vec_id ORDER BY vec_id""".replace("'__EMB__'", "embeddings").stripMargin),
 
@@ -198,13 +197,12 @@ object PipelineQueries {
         |   FROM (SELECT p, dd, substr(md5('plane' || p || ':' || dd), 1, 4) AS h
         |         FROM (SELECT unnest(generate_series(0,7)) AS p),
         |              (SELECT unnest(generate_series(0,63)) AS dd))),
+        | plv AS (SELECT p, list(comp ORDER BY dd) AS plane FROM planes GROUP BY p),
         | dots AS (
-        |   SELECT e.vec_id, pl.p, SUM(e.embedding[g.i] * pl.comp) AS dot
-        |   FROM embeddings e,
-        |        LATERAL (SELECT unnest(generate_series(1,64)) AS i) g,
-        |        planes pl
-        |   WHERE pl.dd = g.i - 1
-        |   GROUP BY e.vec_id, pl.p),
+        |   SELECT e.vec_id, pl.p,
+        |          list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+        |                           pl.plane) AS dot
+        |   FROM embeddings e, plv pl),
         | buckets AS (
         |   SELECT vec_id, p // 4 AS band,
         |          CAST(SUM(CASE WHEN dot >= 0 THEN CAST(power(2, p % 4) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
