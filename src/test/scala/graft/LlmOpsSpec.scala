@@ -203,11 +203,21 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
         java.lang.Double.doubleToLongBits(r.getDouble(3))) // same IEEE order
     }
-    // null array -> null result (both kernels)
+    // null array, null ELEMENT, and length mismatch -> null (HOF fidelity)
     val n = docs(1L -> "x").select(
-      graft.functions.ArrayMath.dotLong(lit(null).cast("array<bigint>"), array(lit(1L))).as("a"))
+      graft.functions.ArrayMath.dotLong(lit(null).cast("array<bigint>"), array(lit(1L))).as("a"),
+      graft.functions.ArrayMath.dotLong(
+        array(lit(1L), lit(null).cast("bigint")), array(lit(2L), lit(3L))).as("b"),
+      graft.functions.ArrayMath.dotLong(array(lit(1L)), array(lit(2L), lit(3L))).as("c"),
+      graft.functions.ArrayMath.dotDouble(
+        array(lit(1.0d)), array(lit(2.0d), lit(3.0d))).as("d"))
       .collect()(0)
-    assert(n.isNullAt(0))
+    assert(n.isNullAt(0) && n.isNullAt(1) && n.isNullAt(2) && n.isNullAt(3))
+    // and the HOF form agrees on the mismatch cases
+    val h = docs(1L -> "x").select(
+      aggregate(zip_with(array(lit(1L)), array(lit(2L), lit(3L)), _ * _), lit(0L), _ + _).as("a"))
+      .collect()(0)
+    assert(h.isNullAt(0))
   }
 
   test("ivfTopKWithCentroids: offline quantizer reproduces in-cluster neighbors") {
