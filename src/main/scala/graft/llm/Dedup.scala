@@ -207,6 +207,28 @@ object Dedup {
     docs.join(dropIds, Seq(idCol), "left_anti")
   }
 
+  /** Incremental near-dup candidates: pairs that INVOLVE an incoming
+    * document — incoming×corpus plus incoming×incoming, never
+    * corpus×corpus. This is the continuous-ingestion shape at 100 TB: the
+    * corpus signatures are computed once and persisted; each increment
+    * re-sketches only itself, and the incoming band table (tiny) broadcasts
+    * against the corpus band table, so the per-increment cost is
+    * O(|incoming| · bands) with no corpus shuffle at all.
+    * Emits distinct (id_a < id_b); ids must be unique across both inputs.
+    */
+  def incrementalCandidates(corpusSigs: DataFrame, incomingSigs: DataFrame,
+                            bands: Int, rowsPerBand: Int): DataFrame = {
+    val bCorp = lshBands(corpusSigs, bands, rowsPerBand)
+    val bIn = lshBands(incomingSigs, bands, rowsPerBand)
+      .withColumnRenamed("id", "id_in")
+    val cross = bCorp.join(broadcast(bIn), Seq("band", "band_key"))
+      .select(least(col("id"), col("id_in")).as("id_a"),
+        greatest(col("id"), col("id_in")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val within = lshCandidates(incomingSigs, bands, rowsPerBand)
+    cross.union(within).distinct()
+  }
+
   /** SimHash: `bits`-bit signature from word tokens (weight = term count).
     * Bit b of a token = bit (b mod 4) of hex digit (b div 4) of md5(token);
     * the signature bit is 1 iff the weighted sum of (2*bit-1) is positive.

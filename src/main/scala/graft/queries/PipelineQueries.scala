@@ -108,6 +108,36 @@ object PipelineQueries {
          | WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.doc_id = d.doc_id)
          | ORDER BY d.doc_id""".stripMargin),
 
+    // ---- incremental (increment-vs-corpus) candidate pairs --------------
+    // incoming = docs with doc_id % 10 == 0 (scale-independent split);
+    // result = LSH candidates touching >= 1 incoming doc, corpus-internal
+    // pairs excluded — per-doc minhash is independent, so split-then-sketch
+    // equals sketch-then-filter, which is what the oracle computes.
+    ("d6_incremental_candidates",
+      (s, d) => {
+        val docsDf = spread(t(s, d, "documents"))
+        val corpusSigs = Dedup.minhashSignatures(
+          Dedup.wordShingles(docsDf.filter(col("doc_id") % 10 =!= 0), 3), 12)
+        val incSigs = Dedup.minhashSignatures(
+          Dedup.wordShingles(docsDf.filter(col("doc_id") % 10 === 0), 3), 12)
+        Dedup.incrementalCandidates(corpusSigs, incSigs, bands = 4, rowsPerBand = 3)
+          .orderBy("id_a", "id_b")
+      },
+      s"""WITH sh AS ($ShinglesSql),
+         | hx AS (SELECT id, j, MIN(substr(md5((j // 4)::VARCHAR || ':' || shingle), 1 + 8 * (j % 4), 8)) AS h
+         |        FROM sh, LATERAL (SELECT unnest(generate_series(0, 11)) AS j) t
+         |        GROUP BY id, j),
+         | sig AS (SELECT id,
+         |   ${(0 until 12).map(j => s"MAX(CASE WHEN j=$j THEN h END) AS h$j").mkString(", ")}
+         |   FROM hx GROUP BY id),
+         | bands AS (
+         |   ${(0 until 4).map(b => s"SELECT id, $b AS band, h${b * 3} || h${b * 3 + 1} || h${b * 3 + 2} AS band_key FROM sig").mkString(" UNION ALL ")}
+         | )
+         | SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         | FROM bands a JOIN bands b USING (band, band_key)
+         | WHERE a.id < b.id AND (a.id % 10 = 0 OR b.id % 10 = 0)
+         | ORDER BY id_a, id_b""".stripMargin),
+
     // ---- SimHash signatures --------------------------------------------
     ("d4_simhash",
       (s, d) => Dedup.simhash(spread(t(s, d, "documents")), bits = 16).orderBy("id"),

@@ -281,6 +281,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Dedup.jaccardPairs(sh, 0.0).count() == 15L)
   }
 
+  test("incrementalCandidates: only pairs touching the increment, corpus side broadcast") {
+    // corpus: two identical docs (1,2) + distinct doc 3; incoming: dup of
+    // corpus doc 1 (id 10) + fresh doc 11
+    val corpus = docs((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "one two three four"))
+    val incoming = docs((10L, "alpha beta gamma delta"), (11L, "five six seven eight"))
+    val sc = Dedup.minhashSignatures(Dedup.wordShingles(corpus, 3), 12)
+    val si = Dedup.minhashSignatures(Dedup.wordShingles(incoming, 3), 12)
+    val cand = Dedup.incrementalCandidates(sc, si, bands = 4, rowsPerBand = 3)
+    val got = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (1,2) is corpus-internal -> MUST be absent; incoming dup pairs present
+    assert(got == Set((1L, 10L), (2L, 10L)))
+    // the incoming band table broadcasts against the corpus side
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
   test("lshCandidates maxBucket caps pathological duplicate clusters") {
     // 8 identical docs -> identical signatures -> one bucket of 8 per band
     val d = docs((0L until 8L).map(i => (i, "all the same words here okay")): _*)
