@@ -33,10 +33,16 @@ case class CharNgramsExpr(child: Expression, minN: Int, maxN: Int, preserveOrigi
     val data = child.eval(input)
     if (data == null) return Iterator.empty
     val s = data.asInstanceOf[UTF8String].toString
+    // gram windows count CODE POINTS, not UTF-16 units, to match the array
+    // form (Column.substr → UTF8String.substringSQL counts code points) and
+    // the DuckDB oracles; indexing by char would split surrogate pairs on
+    // supplementary-plane text (emoji) into invalid lone-surrogate tokens
+    val starts = CodePoints.starts(s)
+    val cpCount = starts.length - 1
     val grams = for {
       n <- Iterator.range(minN, maxN + 1)
-      i <- Iterator.range(0, math.max(s.length - n + 1, 0))
-    } yield InternalRow(UTF8String.fromString(s.substring(i, i + n)))
+      i <- Iterator.range(0, math.max(cpCount - n + 1, 0))
+    } yield InternalRow(UTF8String.fromString(s.substring(starts(i), starts(i + n))))
     if (preserveOriginal) grams ++ Iterator(InternalRow(UTF8String.fromString(s)))
     else grams
   }

@@ -35,9 +35,14 @@ case class EdgeNgramsExpr(child: Expression, minN: Int, maxN: Int)
     // matches Spark lower() + split(s, "\\s+") = Java split("\\s+", -1)
     val words = data.asInstanceOf[UTF8String].toLowerCase.toString.split("\\s+", -1)
     words.iterator.flatMap { w =>
-      val hi = math.max(math.min(w.length, maxN), minN)
+      // prefix lengths count CODE POINTS to match the array form (Column
+      // .substr counts code points) and the DuckDB oracles; char-indexed
+      // prefixes would cut surrogate pairs on supplementary-plane text
+      val starts = CodePoints.starts(w)
+      val wcp = starts.length - 1
+      val hi = math.max(math.min(wcp, maxN), minN)
       Iterator.range(minN, hi + 1).map(n =>
-        InternalRow(UTF8String.fromString(w.substring(0, math.min(n, w.length))))) ++
+        InternalRow(UTF8String.fromString(w.substring(0, starts(math.min(n, wcp)))))) ++
         Iterator(InternalRow(UTF8String.fromString(w)))
     }
   }

@@ -28,16 +28,27 @@ object GraftExtensions {
       })
 
   // generator config args must be foldable literals — validated here so a
-  // column reference fails with a clear message at function resolution, not
-  // an internal "cannot evaluate expression" error at runtime
-  private def intArg(name: String, e: Expression): Int = {
-    require(e.foldable, s"$name config arguments must be literals")
-    e.eval(null).asInstanceOf[Number].intValue()
+  // column reference, a NULL, or a mistyped literal all fail with a clear
+  // message at function resolution, not an internal "cannot evaluate
+  // expression" / NPE / ClassCastException at runtime
+  private def configArg(name: String, expected: String, e: Expression): Any = {
+    require(e.foldable, s"$name: config arguments must be $expected literals")
+    val v = e.eval(null)
+    require(v != null, s"$name: config argument must be a non-null $expected literal")
+    v
   }
-  private def boolArg(name: String, e: Expression): Boolean = {
-    require(e.foldable, s"$name config arguments must be literals")
-    e.eval(null).asInstanceOf[Boolean]
-  }
+  private def intArg(name: String, e: Expression): Int =
+    configArg(name, "integer", e) match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$name: expected an integer literal, got '$other' (${other.getClass.getSimpleName})")
+    }
+  private def boolArg(name: String, e: Expression): Boolean =
+    configArg(name, "boolean", e) match {
+      case b: Boolean => b
+      case other => throw new IllegalArgumentException(
+        s"$name: expected a boolean literal, got '$other' (${other.getClass.getSimpleName})")
+    }
 
   private[functions] val All: Seq[FunctionDescription] = Seq(
     fn("vtuple_parse", classOf[VTupleParseExpr], 1, es => VTupleParseExpr(es.head)),

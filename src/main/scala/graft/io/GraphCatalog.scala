@@ -1,5 +1,7 @@
 package graft.io
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
 /** S10: idempotent database/graph/collection DDL
@@ -7,19 +9,34 @@ import org.apache.spark.sql.SparkSession
   * parquet collection tables; create-or-get/delete map to filesystem ops plus
   * catalog view registration so collections are queryable by name via
   * `spark.sql`.
+  *
+  * All filesystem ops go through the Hadoop [[FileSystem]] resolved from the
+  * store path's scheme — the store is written by Spark against any Hadoop FS
+  * (hdfs://, s3a://, file:…), so DDL must address the same namespace; raw
+  * java.io/NIO would silently operate on the local disk only.
   */
 object GraphCatalog {
 
+  /** Hadoop conf: the active session's (so fs.* settings apply), else fresh. */
+  private def hadoopConf: Configuration =
+    SparkSession.getActiveSession.map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private def fsFor(p: Path): FileSystem = p.getFileSystem(hadoopConf)
+
   /** Create-or-get a graph database directory. Idempotent. */
   def createOrGetDatabase(dir: String): String = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val p = new Path(dir)
+    fsFor(p).mkdirs(p)
     dir
   }
 
   /** Delete a graph database (reference deleteDatabase — ignore-if-absent). */
   def deleteDatabase(dir: String): Unit = {
-    val f = new java.io.File(dir)
-    if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    val p = new Path(dir)
+    val fs = fsFor(p)
+    if (fs.exists(p)) fs.delete(p, true)
+    ()
   }
 
   /** Register a written graph store's tables as catalog views:
@@ -57,57 +74,79 @@ object GraphCatalog {
   private def unesc(v: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
 
+  /** The raw-name fallback (for stores written before partition-value
+    * escaping) builds a path from the UNESCAPED collection name, so a name
+    * containing a path separator or a '..' segment could resolve outside the
+    * graph store; such names are never produced by partitionBy un-escaped, so
+    * the fallback simply skips them rather than risk deleting a foreign path.
+    */
+  private def rawNameSafe(n: String): Boolean =
+    !n.contains("/") && !n.contains("\\") && n != "." && n != ".."
+
+  private def deleteDir(path: String): Unit = {
+    val p = new Path(path)
+    val fs = fsFor(p)
+    if (fs.exists(p)) fs.delete(p, true)
+    ()
+  }
+
   /** Create-or-get a vertex collection partition. Idempotent; returns path. */
   def createOrGetVertexCollection(graphDir: String, name: String): String = {
-    val p = java.nio.file.Paths.get(graphDir, "vertices", s"id=${esc(name)}")
-    java.nio.file.Files.createDirectories(p)
+    val p = new Path(graphDir, s"vertices/id=${esc(name)}")
+    fsFor(p).mkdirs(p)
     p.toString
   }
 
   /** Delete one vertex collection — drops only its partition directory
     * (reference deleteVertexCollection with dropCollection=true). Falls back
     * to the raw (unescaped) directory name for stores written before
-    * partition-value escaping.
+    * partition-value escaping, but only when that name is path-safe.
     */
   def deleteVertexCollection(graphDir: String, name: String): Unit =
-    Seq(esc(name), name).distinct.foreach { n =>
-      val f = new java.io.File(s"$graphDir/vertices/id=$n")
-      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+    (esc(name) +: (if (rawNameSafe(name)) Seq(name) else Nil)).distinct.foreach { n =>
+      deleteDir(s"$graphDir/vertices/id=$n")
     }
 
   /** Create-or-get the "{from}-{to}" edge collection partition. */
   def createOrGetEdgeCollection(graphDir: String, fromId: String, toId: String): String = {
-    val p = java.nio.file.Paths.get(graphDir, "edges",
-      s"from_id=${esc(fromId)}", s"to_id=${esc(toId)}")
-    java.nio.file.Files.createDirectories(p)
+    val p = new Path(graphDir, s"edges/from_id=${esc(fromId)}/to_id=${esc(toId)}")
+    fsFor(p).mkdirs(p)
     p.toString
   }
 
   /** Delete one edge collection partition (reference deleteEdgeCollection
-    * with dropCollections=true). Same raw-name fallback as the vertex form.
+    * with dropCollections=true). Same guarded raw-name fallback as the
+    * vertex form.
     */
-  def deleteEdgeCollection(graphDir: String, fromId: String, toId: String): Unit =
-    Seq((esc(fromId), esc(toId)), (fromId, toId)).distinct.foreach { case (f0, t0) =>
-      val f = new java.io.File(s"$graphDir/edges/from_id=$f0/to_id=$t0")
-      if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
+  def deleteEdgeCollection(graphDir: String, fromId: String, toId: String): Unit = {
+    val escaped = (esc(fromId), esc(toId))
+    val raw =
+      if (rawNameSafe(fromId) && rawNameSafe(toId)) Seq((fromId, toId)) else Nil
+    (escaped +: raw).distinct.foreach { case (f0, t0) =>
+      deleteDir(s"$graphDir/edges/from_id=$f0/to_id=$t0")
     }
+  }
 
   /** Vertex collection names present in the store (partition listing). */
   def listVertexCollections(graphDir: String): Seq[String] = {
-    val d = new java.io.File(s"$graphDir/vertices")
-    if (!d.exists()) Nil
-    else d.listFiles().toSeq.filter(_.isDirectory).map(_.getName)
+    val d = new Path(s"$graphDir/vertices")
+    val fs = fsFor(d)
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq.filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.startsWith("id=")).map(n => unesc(n.stripPrefix("id="))).sorted
   }
 
   /** Edge collection "{from}-{to}" names present in the store. */
   def listEdgeCollections(graphDir: String): Seq[String] = {
-    val d = new java.io.File(s"$graphDir/edges")
-    if (!d.exists()) Nil
+    val d = new Path(s"$graphDir/edges")
+    val fs = fsFor(d)
+    if (!fs.exists(d)) Nil
     else (for {
-      fd <- d.listFiles().toSeq.filter(_.isDirectory) if fd.getName.startsWith("from_id=")
-      td <- fd.listFiles().toSeq.filter(_.isDirectory) if td.getName.startsWith("to_id=")
-    } yield edgeCollectionName(unesc(fd.getName.stripPrefix("from_id=")),
-      unesc(td.getName.stripPrefix("to_id=")))).sorted
+      fd <- fs.listStatus(d).toSeq.filter(_.isDirectory)
+      if fd.getPath.getName.startsWith("from_id=")
+      td <- fs.listStatus(fd.getPath).toSeq.filter(_.isDirectory)
+      if td.getPath.getName.startsWith("to_id=")
+    } yield edgeCollectionName(unesc(fd.getPath.getName.stripPrefix("from_id=")),
+      unesc(td.getPath.getName.stripPrefix("to_id=")))).sorted
   }
 }

@@ -52,47 +52,60 @@ object Dedup {
     * emits O(df²) pairs from ONE reducer row, so a single stop-word-ish
     * 3-gram ("one of the") is both a straggler and an OOM at corpus scale.
     * Shingles with df > maxDF are dropped BEFORE pairing — high-DF shingles
-    * carry ~no Jaccard signal (they are in everything) but note the metric is
-    * no longer the exact set Jaccard when the cap fires. The drop is never
-    * silent: the count of dropped shingles is published as an observed
-    * metric named `jaccard_maxdf_<n>` (per-call suffix — fixed names fail
-    * analysis when two capped operators meet in one plan; no extra job,
-    * collected during the real execution; find it by prefix in
+    * carry ~no Jaccard signal (they are in everything). When the cap fires,
+    * per-document sizes are computed over the SAME retained (df ≤ maxDF)
+    * shingle universe as the intersections, so the `jaccard` column is the
+    * exact Jaccard of the capped shingle sets — self-consistent, never an
+    * under-estimate against its own universe. The drop is never silent: the
+    * count of dropped shingles is published as an observed metric named
+    * `jaccard_maxdf_<n>` (per-call suffix — fixed names fail analysis when
+    * two capped operators meet in one plan; no extra job, collected during
+    * the real execution; find it by prefix in
     * QueryExecution.observedMetrics or a QueryExecutionListener).
-    * Default = unbounded (exact semantics).
+    * Default = unbounded (exact semantics over the full shingle sets).
     */
   /** Shared pairing core: inverted index WITHOUT a self-join — group the
     * posting list per shingle (64-bit hashed key, collisions ~2^-64), emit
     * streamed ordered pairs from the sorted id array (constant memory per
     * posting row — see graft.functions.OrderedPairsExpr), count
     * co-occurrences. One wide shuffle instead of a join + pair shuffle.
-    * Used by both [[jaccardPairs]] and [[removeNearDuplicates]] so the
-    * maxDF cap + drop metric exist exactly once.
     */
-  private def pairCounts(shingles: DataFrame, maxDF: Long,
-                         metricPrefix: String): DataFrame = {
-    val allPostings = shingles
+  private def pairCounts(shingles: DataFrame): DataFrame =
+    shingles
       .groupBy(xxhash64(col("shingle")).as("sh"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-    val postings =
-      if (maxDF == Long.MaxValue) allPostings
-      else allPostings
-        .observe(metricName(metricPrefix),
-          coalesce(sum(when(size(col("ids")) > maxDF, 1L).otherwise(0L)), lit(0L))
-            .as("dropped"))
-        .filter(size(col("ids")) <= maxDF)
-    postings
       .select(graft.functions.OrderedPairs.orderedPairs(col("ids")).as(Seq("id_a", "id_b")))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_inter"))
-  }
+
+  /** The (pairing input, per-doc sizes) for a shingle table under `maxDF`:
+    * unbounded → the input as-is with plain per-doc counts (one map-side-
+    * combinable aggregate, no joins); capped → both restricted to the
+    * retained (df ≤ maxDF) shingle universe via a semi-join against the
+    * document-frequency table, so intersections and sizes describe the SAME
+    * sets. The capped branch costs one extra shuffle + semi-join — paid only
+    * when the cap is requested. Used by both [[jaccardPairs]] and
+    * [[removeNearDuplicates]] so the cap + drop metric exist exactly once.
+    */
+  private def cappedUniverse(shingles: DataFrame, maxDF: Long,
+                             metricPrefix: String): (DataFrame, DataFrame) =
+    if (maxDF == Long.MaxValue)
+      (shingles, shingles.groupBy(col("id")).agg(count(lit(1)).as("sz")))
+    else {
+      val dfs = shingles.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .observe(metricName(metricPrefix),
+          coalesce(sum(when(col("df") > maxDF, 1L).otherwise(0L)), lit(0L))
+            .as("dropped"))
+      val retained = shingles.join(
+        dfs.filter(col("df") <= maxDF).select("shingle"), Seq("shingle"), "left_semi")
+      (retained, retained.groupBy(col("id")).agg(count(lit(1)).as("sz")))
+    }
 
   def jaccardPairs(shingles: DataFrame, minJaccard: Double,
                    maxDF: Long = Long.MaxValue): DataFrame = {
-    val sizes = shingles.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = pairCounts(shingles, maxDF, "jaccard_maxdf")
-    inter
+    val (pairable, sizes) = cappedUniverse(shingles, maxDF, "jaccard_maxdf")
+    pairCounts(pairable)
       .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), Seq("id_a"))
       .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")), Seq("id_b"))
       .withColumn("jaccard", col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")))
@@ -188,16 +201,18 @@ object Dedup {
     val candidates = lshCandidates(minhashSignatures(shingles, numHashes), bands,
       numHashes / bands, maxBucket)
     // exact jaccard on candidates only (semi-join-restricted posting lists).
-    // Pairing shares [[pairCounts]] with jaccardPairs — a shingle self-join
-    // here would re-execute the shingle pipeline on both sides whenever
-    // exchange reuse fails, and at sf0.1 measurably did. Sizes come from the
-    // candidate-restricted shingles: the semi-join restricts DOCS, not their
-    // shingles, so per-doc counts are identical for every doc that can appear
-    // in a confirmed pair.
+    // Pairing shares [[pairCounts]]/[[cappedUniverse]] with jaccardPairs — a
+    // shingle self-join here would re-execute the shingle pipeline on both
+    // sides whenever exchange reuse fails, and at sf0.1 measurably did.
+    // Sizes come from the candidate-restricted shingles: the semi-join
+    // restricts DOCS, not their shingles, so per-doc counts are identical for
+    // every doc that can appear in a confirmed pair; under maxDF they are
+    // further restricted to the retained shingle universe, consistently with
+    // the intersections.
     val candIds = candidates.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val candShingles = shingles.join(candIds, Seq("id"), "left_semi")
-    val sizes = candShingles.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = pairCounts(candShingles, maxDF, "neardup_maxdf")
+    val (pairable, sizes) = cappedUniverse(candShingles, maxDF, "neardup_maxdf")
+    val inter = pairCounts(pairable)
       .join(candidates, Seq("id_a", "id_b"), "left_semi")
     val confirmed = inter
       .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), Seq("id_a"))

@@ -93,5 +93,18 @@ class GraphSinkSpec extends AnyFunSuite {
     assert(GraphCatalog.listVertexCollections(dir).contains("NCBITaxon:9606"))
     GraphCatalog.deleteVertexCollection(dir, "NCBITaxon:9606")
     assert(!GraphCatalog.listVertexCollections(dir).contains("NCBITaxon:9606"))
+
+    // a collection name with path separators or '..' segments must never
+    // resolve outside the store via the raw-name fallback
+    val outside = new java.io.File(s"$dir/../graft-ddl-outside")
+    outside.mkdirs()
+    val marker = new java.io.File(outside, "keep.txt")
+    java.nio.file.Files.writeString(marker.toPath, "keep")
+    try {
+      // raw path would normalize to <parent-of-store>/graft-ddl-outside
+      GraphCatalog.deleteVertexCollection(dir, "x/../../../graft-ddl-outside")
+      GraphCatalog.deleteEdgeCollection(dir, "x/../../..", "../../graft-ddl-outside")
+      assert(marker.exists(), "path-traversal name escaped the graph store")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(outside)
   }
 }

@@ -54,6 +54,40 @@ class TextIndexSpec extends AnyFunSuite {
     assert(gen == arr)
   }
 
+  test("char-ngram generator matches the array form on supplementary-plane text") {
+    // alphabet of STRINGS so the random texts contain whole surrogate pairs
+    val alpha = Vector("a", "b", "c", "😀" /* 😀 */, "𝄞" /* 𝄞 */, " ")
+    val rnd = new scala.util.Random(17)
+    val texts = (0 until 100).map(i =>
+      (i.toLong, (0 until rnd.nextInt(10)).map(_ => alpha(rnd.nextInt(alpha.size))).mkString))
+    val df = texts.toDF("id", "s")
+    val gen = df.select($"id", graft.functions.CharNgrams.charNgramTokens($"s", 3, 4, true).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val arr = df.select($"id", explode(TextIndex.charNgrams($"s", 3, 4, preserveOriginal = true)).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(gen == arr)
+    // no emitted token may contain a lone surrogate (a split pair)
+    gen.foreach { case (_, t) =>
+      assert(t.codePoints().noneMatch(cp => cp >= 0xD800 && cp <= 0xDFFF), s"lone surrogate in '$t'")
+    }
+  }
+
+  test("edge-ngram generator matches the array form on supplementary-plane words") {
+    val alpha = Vector("a", "B", "c", "😀", "𝄞", " ", " ")
+    val rnd = new scala.util.Random(19)
+    val texts = (0 until 100).map(i =>
+      (i.toLong, (0 until rnd.nextInt(20)).map(_ => alpha(rnd.nextInt(alpha.size))).mkString))
+    val df = texts.toDF("id", "s")
+    val gen = df.select($"id", graft.functions.EdgeNgrams.edgeNgramTokens($"s").as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val arr = df.select($"id", explode(TextIndex.edgeNgramsPerWord($"s")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(gen == arr)
+    gen.foreach { case (_, t) =>
+      assert(t.codePoints().noneMatch(cp => cp >= 0xD800 && cp <= 0xDFFF), s"lone surrogate in '$t'")
+    }
+  }
+
   test("text_en stemmer matrix: plural and -ing/-ed collapse, guards hold") {
     val cases = Seq(
       "develops" -> "develop",     // 1a: -s

@@ -73,4 +73,27 @@ class VTupleParseSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(edges == Set("hel", "hell", "hello"))
   }
+
+  test("mistyped or null SQL config args fail with a clear message, not a raw NPE/CCE") {
+    graft.functions.GraftExtensions.register(spark)
+    def messageOf(sql: String): String = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      // analysis may wrap the builder's exception — search the cause chain
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    }
+    // string literal where an int is expected
+    val m1 = messageOf("SELECT word_shingles('a b c', '3')")
+    assert(m1.contains("word_shingles") && m1.contains("integer"), m1)
+    // null literal
+    val m2 = messageOf("SELECT char_ngrams('abc', NULL, 4, true)")
+    assert(m2.contains("char_ngrams") && m2.contains("non-null"), m2)
+    // non-literal (column reference)
+    val m3 = messageOf(
+      "SELECT edge_ngrams(s, 3, n) FROM (SELECT 'a' AS s, 5 AS n)")
+    assert(m3.contains("edge_ngrams") && m3.contains("literal"), m3)
+    // string where a boolean is expected
+    val m4 = messageOf("SELECT char_ngrams('abc', 3, 4, 'yes')")
+    assert(m4.contains("char_ngrams") && m4.contains("boolean"), m4)
+  }
 }
