@@ -149,8 +149,19 @@ object Similarity {
     val assigned = model.transform(featurized)
       .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
     val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
-    probeAndRank(queries, assigned, centroids, k, nProbe, idCol, embCol, scale)
+    probeAndRank(queries, assigned, quantizeCentroids(centroids, scale), k, nProbe,
+      idCol, embCol, scale)
   }
+
+  /** Driver-side centroid quantization with Spark `round` semantics
+    * (BigDecimal HALF_UP), so a quantized centroid equals what
+    * `quantize(col)` would produce on the same values — the premise that
+    * lets IVF scoring stay exact-integer end to end.
+    */
+  private def quantizeCentroids(centroids: Seq[Seq[Double]], scale: Int): Seq[Seq[Long]] =
+    centroids.map(_.map(x =>
+      java.math.BigDecimal.valueOf(x * scale)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()))
 
   /** IVF top-k against a PRECOMPUTED coarse quantizer: `centroids(i)` is the
     * center of cell i. This is the steady-state 100 TB path — the quantizer
@@ -161,21 +172,45 @@ object Similarity {
   def ivfTopKWithCentroids(queries: DataFrame, corpus: DataFrame, k: Int,
                            centroids: Seq[Seq[Double]], nProbe: Int = 4,
                            idCol: String = "vec_id", embCol: String = "embedding",
-                           scale: Int = 1000): DataFrame = {
+                           scale: Int = 1000): DataFrame =
+    ivfTopKWithQuantizedCentroids(queries, corpus, k,
+      quantizeCentroids(centroids, scale), nProbe, idCol, embCol, scale)
+
+  /** [[ivfTopKWithCentroids]] with the coarse quantizer ALREADY in quantized
+    * integer space (each centroid = what `quantize(embCol, scale)` yields on
+    * its values). Cell assignment and probing are then exact integer argmin —
+    * fully deterministic and expressible in any engine, which is what lets
+    * the registry's IVF query carry a DuckDB oracle.
+    */
+  def ivfTopKWithQuantizedCentroids(queries: DataFrame, corpus: DataFrame, k: Int,
+                                    centroidsQ: Seq[Seq[Long]], nProbe: Int = 4,
+                                    idCol: String = "vec_id", embCol: String = "embedding",
+                                    scale: Int = 1000): DataFrame = {
+    require(centroidsQ.nonEmpty, "ivfTopK: centroid list must be non-empty")
+    val dims = centroidsQ.head.length
+    require(centroidsQ.forall(_.length == dims),
+      s"ivfTopK: all centroids must have the same dimension, got lengths " +
+        centroidsQ.map(_.length).distinct.mkString(", "))
     // corpus → cell: argmin_i ||v - c_i||² as a map-side-only kernel over the
     // broadcast-closure centroids — zero shuffle, zero join. A plain-loop UDF
     // beats the equivalent nested higher-order-function expression here
     // (HOFs evaluate interpreted per element; this is nCentroids × dims of
-    // tight double arithmetic per row — measured ~2× on the bench corpus).
-    // Ties break to the lowest cell id (strict < against the running best).
-    val cents: Array[Array[Double]] = centroids.map(_.toArray).toArray
-    val assignCell = udf { (v: Seq[Double]) =>
+    // tight arithmetic per row — measured ~2× on the bench corpus).
+    // Ties break to the lowest cell id (strict < against the running best);
+    // the early-exit (`d < bestD`) only skips additions that could not have
+    // changed the comparison, so results are identical to the full sum.
+    val cents: Array[Array[Long]] = centroidsQ.map(_.toArray).toArray
+    val assignCell = udf { (v: Seq[Long]) =>
+      require(v != null,
+        "ivfTopK: null embedding — filter null vectors before similarity search")
+      require(v.length == dims,
+        s"ivfTopK: embedding length ${v.length} != centroid dimension $dims")
       val x = v.toArray
-      var best = 0; var bestD = Double.MaxValue
+      var best = 0; var bestD = Long.MaxValue
       var i = 0
       while (i < cents.length) {
         val c = cents(i)
-        var d = 0.0; var j = 0
+        var d = 0L; var j = 0
         while (j < x.length && d < bestD) { val t = x(j) - c(j); d += t * t; j += 1 }
         if (d < bestD) { bestD = d; best = i }
         i += 1
@@ -183,26 +218,26 @@ object Similarity {
       best
     }
     val assigned = corpus
-      .select(col(idCol).as("neighbor_id"), quantize(col(embCol), scale).as("cv"),
-        col(embCol).cast("array<double>").as("cd"))
-      .withColumn("cell", assignCell(col("cd")))
-      .select(col("neighbor_id"), col("cv"), col("cell"))
-    probeAndRank(queries, assigned, centroids, k, nProbe, idCol, embCol, scale)
+      .select(col(idCol).as("neighbor_id"), quantize(col(embCol), scale).as("cv"))
+      .withColumn("cell", assignCell(col("cv")))
+    probeAndRank(queries, assigned, centroidsQ, k, nProbe, idCol, embCol, scale)
   }
 
   /** Shared IVF tail: probe each query's `nProbe` nearest cells (broadcast
     * centroid table), equi-join the cell-assigned corpus, exact cosine rank.
+    * Probe distance is the exact-integer expansion
+    * |q|² − 2⟨q,c⟩ + |c|² over quantized vectors via the native dot kernel.
     */
   private def probeAndRank(queries: DataFrame, assigned: DataFrame,
-                           centroids: Seq[Seq[Double]], k: Int, nProbe: Int,
+                           centroidsQ: Seq[Seq[Long]], k: Int, nProbe: Int,
                            idCol: String, embCol: String, scale: Int): DataFrame = {
     val centDf = queries.sparkSession.createDataFrame(
-      centroids.zipWithIndex.map { case (c, i) => (i, c) }).toDF("cell", "centroid")
-    val q = queries.select(col(idCol).as("query_id"), quantize(col(embCol), scale).as("qv"),
-      col(embCol).cast("array<double>").as("qd"))
+      centroidsQ.zipWithIndex.map { case (c, i) => (i, c) }).toDF("cell", "qcent")
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(embCol), scale).as("qv"))
     // nProbe nearest cells per query by squared L2 to the centroid
-    val dist2 = aggregate(zip_with(col("qd"), col("centroid"), (a, b) => (a - b) * (a - b)),
-      lit(0.0d), _ + _)
+    val dist2 = dotLong(col("qv"), col("qv")) -
+      lit(2L) * dotLong(col("qv"), col("qcent")) +
+      dotLong(col("qcent"), col("qcent"))
     val probeW = Window.partitionBy(col("query_id")).orderBy(col("dist2"), col("cell"))
     val probed = q.crossJoin(broadcast(centDf))
       .withColumn("dist2", dist2)

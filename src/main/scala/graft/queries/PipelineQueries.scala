@@ -199,17 +199,55 @@ object PipelineQueries {
         | SELECT vec_id, CAST(SUM(CASE WHEN dot >= 0 THEN CAST(power(2,p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
         | FROM dots GROUP BY vec_id ORDER BY vec_id""".replace("'__EMB__'", "embeddings").stripMargin),
 
-    // ---- IVF approximate top-k (data-adaptive ANN scale path) ----------
+    // ---- IVF approximate top-k (steady-state offline-quantizer path) ----
+    // The registry exercises [[Similarity.ivfTopKWithQuantizedCentroids]] —
+    // the 100 TB shape, where the coarse quantizer is fit ONCE offline and
+    // every query batch reuses it. Here the "offline" quantizer is the first
+    // 16 corpus vectors, Spark-quantized and collected driver-side, so both
+    // engine and oracle derive identical integer centroids from the data and
+    // the whole query (argmin assignment, probe, cosine rank) is exact —
+    // hence the DuckDB oracle. The KMeans-fit variant ([[Similarity.ivfTopK]])
+    // stays covered by the recall spec in LlmOpsSpec (centroids are
+    // engine-internal, inherently not oracle-expressible).
     ("sim_ivf_topk",
       (s, d) => {
         val e = t(s, d, "embeddings")
-        // fitFraction < 1: the coarse quantizer trains on a half sample — the
-        // scale posture (centroid quality converges well before a full pass)
-        Similarity.ivfTopK(e.filter(col("vec_id") < 20), e, k = 5, fitFraction = 0.5)
+        val cents: Seq[Seq[Long]] = e.filter(col("vec_id") < 16).orderBy("vec_id")
+          .select(Similarity.quantize(col("embedding")).as("qc"))
+          .collect().map(_.getSeq[Long](0).toSeq).toSeq
+        Similarity.ivfTopKWithQuantizedCentroids(
+            e.filter(col("vec_id") < 20), e, k = 5, cents, nProbe = 4)
           .orderBy("query_id", "rank")
       },
-      null), // KMeans centroids are engine-internal; validated rows-only +
-             // recall-vs-bruteforce in LlmOpsSpec
+      """WITH cents AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+        |                      list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS ce
+        |               FROM embeddings WHERE vec_id < 16),
+        | corp AS (SELECT vec_id AS neighbor_id,
+        |                 list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS cv
+        |          FROM embeddings),
+        | asg AS (SELECT neighbor_id, cv, cell FROM (
+        |    SELECT c.neighbor_id, c.cv, ce.cell,
+        |           ROW_NUMBER() OVER (PARTITION BY c.neighbor_id ORDER BY
+        |             list_dot_product(c.cv, c.cv) - 2*list_dot_product(c.cv, ce.ce)
+        |               + list_dot_product(ce.ce, ce.ce), ce.cell) AS rn
+        |    FROM corp c CROSS JOIN cents ce) WHERE rn = 1),
+        | q AS (SELECT vec_id AS query_id,
+        |              list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS qv
+        |       FROM embeddings WHERE vec_id < 20),
+        | probed AS (SELECT query_id, qv, cell FROM (
+        |    SELECT q.query_id, q.qv, ce.cell,
+        |           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        |             list_dot_product(q.qv, q.qv) - 2*list_dot_product(q.qv, ce.ce)
+        |               + list_dot_product(ce.ce, ce.ce), ce.cell) AS pr
+        |    FROM q CROSS JOIN cents ce) WHERE pr <= 4),
+        | sc AS (SELECT query_id, neighbor_id,
+        |               list_dot_product(qv, cv) /
+        |               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+        |        FROM probed JOIN asg USING (cell) WHERE query_id <> neighbor_id)
+        | SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+        | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |                                    ORDER BY cosine DESC, neighbor_id) AS rank FROM sc)
+        | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
     // ---- embedding-cosine near-dup pairs (banded sign-LSH) --------------
     // 2 bands x 4 planes here keeps the oracle's plane table small; at scale

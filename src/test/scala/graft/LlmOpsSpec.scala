@@ -233,6 +233,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got == exact) // nProbe=1 suffices: neighbors never cross clusters
   }
 
+  test("ivf validates centroids and embeddings, failing fast with clear messages") {
+    def causeMessages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val v = vecs(1L -> Seq.fill(64)(0.1f), 2L -> Seq.fill(64)(0.2f))
+    // ragged centroid list rejected driver-side, before any job
+    val ragged = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKWithCentroids(v, v, k = 1,
+        Seq(Seq.fill(64)(0.0), Seq.fill(32)(0.0)))
+    }
+    assert(ragged.getMessage.contains("same dimension"))
+    val empty = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKWithCentroids(v, v, k = 1, Nil)
+    }
+    assert(empty.getMessage.contains("non-empty"))
+    // embedding shorter than the centroid dims -> clear message, not AIOOBE
+    val short = vecs(1L -> Seq.fill(32)(0.1f), 2L -> Seq.fill(32)(0.2f))
+    val mismatch = intercept[Exception] {
+      Similarity.ivfTopKWithCentroids(short, short, k = 1, Seq(Seq.fill(64)(0.0))).collect()
+    }
+    assert(causeMessages(mismatch).contains("centroid dimension"))
+    // null embedding -> clear message, not an NPE
+    val withNull = Seq((1L, Seq.fill(64)(0.1f)), (2L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val nul = intercept[Exception] {
+      Similarity.ivfTopKWithCentroids(withNull, withNull, k = 1, Seq(Seq.fill(64)(0.0))).collect()
+    }
+    assert(causeMessages(nul).contains("null embedding"))
+  }
+
   test("cosineDupPairs finds exact duplicates") {
     val v = vecs(
       0L -> Seq.fill(64)(0.25f),
@@ -277,6 +307,12 @@ class LlmOpsSpec extends AnyFunSuite {
     val metrics = capped.queryExecution.observedMetrics
     val key = metrics.keys.find(_.startsWith("jaccard_maxdf")).get
     assert(metrics(key).getLong(0) == 1L)
+    // the reported jaccard is SELF-CONSISTENT: sizes come from the same
+    // retained (df<=maxDF) universe as the intersections, so docs 0 and 1 —
+    // identical up to the dropped hot shingle — score exactly 1.0
+    val r01 = rows.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L).get
+    assert(r01.getAs[Long]("sz_a") == 5L && r01.getAs[Long]("sz_b") == 5L)
+    assert(r01.getAs[Long]("n_inter") == 5L && r01.getAs[Double]("jaccard") == 1.0)
     // and uncapped finds all 15 pairs
     assert(Dedup.jaccardPairs(sh, 0.0).count() == 15L)
   }
