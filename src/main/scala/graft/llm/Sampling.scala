@@ -1,0 +1,99 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling, split assignment, and sequence packing for
+  * training-data pipelines.
+  *
+  * All randomness is content-hash-derived (md5 of the row's id plus a salt):
+  * the same row always lands in the same split/sample regardless of
+  * partitioning, cluster size, or engine — reproducible train/val/test
+  * membership is a correctness property for training corpora, and Spark's
+  * `sample()`/`sampleBy()` (seeded per-partition RNG) cannot provide it.
+  * Everything is a narrow map-side transform: zero shuffles.
+  *
+  * Thresholds compare 8-hex-char md5 prefixes LEXICOGRAPHICALLY — on
+  * fixed-width lowercase hex that equals numeric order (the MinHash trick),
+  * so no engine-specific hex→int conversion is needed and any md5-capable
+  * engine reproduces membership bit-for-bit.
+  */
+object Sampling {
+
+  /** Fraction → 8-hex threshold: keep iff md5-prefix < threshold. Fraction
+    * 1.0 returns "g", which sorts after every hex string — keeps ALL rows
+    * (a "ffffffff" cap would drop the one-in-2^32 key equal to it).
+    */
+  def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1]: $fraction")
+    if (fraction == 1.0) "g"
+    else f"${(fraction * 4294967296.0).toLong}%08x"
+  }
+
+  /** The row's deterministic 8-hex sampling key. */
+  def hashKey(idCol: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), lit(":"), idCol.cast("string"))), 1, 8)
+
+  /** Train/val/test (or any K-way) split assignment: `cuts` are cumulative
+    * fractions with their labels, e.g.
+    * `Seq(0.8 -> "train", 0.9 -> "val", 1.0 -> "test")` (must be
+    * monotonically increasing, last = 1.0). Adds `splitCol` with the label.
+    */
+  def assignSplit(df: DataFrame, idCol: String, cuts: Seq[(Double, String)],
+                  salt: String = "split", splitCol: String = "split"): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._1 == 1.0, "last cut must be 1.0")
+    require(cuts.map(_._1) == cuts.map(_._1).sorted, "cuts must be increasing")
+    val key = hashKey(col(idCol), salt)
+    val labeled = cuts.init.foldRight(lit(cuts.last._2)) { case ((frac, label), rest) =>
+      when(key < lit(hexThreshold(frac)), lit(label)).otherwise(rest)
+    }
+    df.withColumn(splitCol, labeled)
+  }
+
+  /** Deterministic uniform sample: keep each row iff its hash key falls
+    * under `fraction`. Same contract as `df.sample` but reproducible and
+    * partitioning-independent.
+    */
+  def deterministicSample(df: DataFrame, idCol: String, fraction: Double,
+                          salt: String = "sample"): DataFrame =
+    df.filter(hashKey(col(idCol), salt) < lit(hexThreshold(fraction)))
+
+  /** Stratified deterministic sample: per-stratum keep rates (e.g. a target
+    * domain mix — downsample common-crawl, keep all of books). Strata absent
+    * from `rates` use `defaultRate`. The rate lookup is a literal when-chain
+    * (broadcast-free, codegen'd); membership is as reproducible as
+    * [[deterministicSample]].
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Double], defaultRate: Double = 1.0,
+                       salt: String = "strata"): DataFrame = {
+    val threshold = rates.toSeq.sortBy(_._1).foldRight(lit(hexThreshold(defaultRate))) {
+      case ((stratum, rate), rest) =>
+        when(col(stratumCol) === lit(stratum), lit(hexThreshold(rate))).otherwise(rest)
+    }
+    df.filter(hashKey(col(idCol), salt) < threshold)
+  }
+
+  /** Pack documents into fixed-capacity training sequences: docs are laid
+    * out in (`shardCol`, order-by `idCol`) order and assigned
+    * `pack_id = floor(preceding_tokens / capacity)` within their shard —
+    * first-fit-in-order packing where a doc whose tokens straddle a boundary
+    * goes to (and may overflow) the earlier pack. Overflow is bounded by one
+    * doc; exact never-exceed-capacity packing needs a sequential scan per
+    * shard (flatMapGroups) and loses the pure-window shape — at corpus scale
+    * the bounded-overflow form is what sequence-packing pipelines use, and
+    * it stays one shuffle on the shard key.
+    * Emits the input plus `n_tokens` and `pack_id`.
+    */
+  def packSequences(docs: DataFrame, idCol: String, shardCol: String,
+                    tokensCol: Column, capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tokens", tokensCol)
+      .withColumn("pack_id",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / capacity))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time operators Spark lacks as builtins: backward as-of join and
+  * gap-based sessionization. Both are implemented as ONE shuffle on the
+  * entity key — the shape that scales: no range-join explosion, no
+  * driver-side state, skew bounded by the hottest single entity.
+  *
+  * Time is taken as a LONG (epoch nanos here — the driver's events table
+  * carries TIMESTAMP(NANOS), read via nanosAsLong); any monotonic numeric
+  * works.
+  */
+object TemporalOps {
+
+  /** Backward as-of join: for every left row, the value of the LATEST right
+    * row with `right.ts <= left.ts` for the same key (null when no prior
+    * right row exists) — the "most recent quote for each trade" shape.
+    *
+    * Implemented as union + one window pass rather than a join: right rows
+    * sort before left rows at equal ts (tag 0 vs 1) and
+    * `last(value, ignoreNulls)` carries the latest right value forward. One
+    * shuffle on the key, linear in |left|+|right|; a range join would
+    * re-scan candidate windows per left row and explode on hot keys.
+    * `rightTieCol` breaks ordering ties between right rows sharing a
+    * timestamp (last one wins, deterministically).
+    *
+    * Left columns are preserved; the carried value lands in `asOfCol`.
+    */
+  def asofJoinBackward(left: DataFrame, right: DataFrame,
+                       keyCol: String, tsCol: String,
+                       valueCol: String, asOfCol: String,
+                       rightTieCol: String): DataFrame = {
+    val leftCols = left.columns
+    val l = left.select(
+      col(keyCol), col(tsCol), lit(1).as("__tag"), lit(null).cast("long").as("__tie"),
+      lit(null).cast(right.schema(valueCol).dataType).as("__v"),
+      struct(leftCols.map(col): _*).as("__row"))
+    val r = right.select(
+      col(keyCol), col(tsCol), lit(0).as("__tag"), col(rightTieCol).cast("long").as("__tie"),
+      col(valueCol).as("__v"), lit(null).cast(l.schema("__row").dataType).as("__row"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__tag"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn(asOfCol, last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(leftCols.map(c => col(s"__row.$c").as(c)) :+ col(asOfCol): _*)
+  }
+
+  /** Gap-based sessionization: within each key, a new session starts when
+    * the gap to the previous event exceeds `gap` (same units as `tsCol`).
+    * Returns the input plus `session_no` (1-based per key, in time order).
+    * One shuffle on the key; the lag + running-sum pair is the batch
+    * equivalent of Structured Streaming's session_window (the streaming
+    * module covers the incremental form).
+    * `tieCol` makes ordering — and therefore session numbering — total and
+    * deterministic when events share a timestamp.
+    */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+                 gap: Long, tieCol: String): DataFrame = {
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__prev", lag(col(tsCol), 1).over(ord))
+      .withColumn("__new",
+        when(col("__prev").isNull || col(tsCol) - col("__prev") > gap, 1L).otherwise(0L))
+      .withColumn("session_no", sum(col("__new")).over(run))
+      .drop("__prev", "__new")
+  }
+
+  /** Per-session aggregates over [[sessionize]] output: event count and
+    * span bounds — the typical downstream of sessionization.
+    */
+  def sessionStats(sessions: DataFrame, keyCol: String, tsCol: String): DataFrame =
+    sessions.groupBy(col(keyCol), col("session_no"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("start_ts"),
+        max(col(tsCol)).as("end_ts"))
+
+  /** A table's timestamp column as epoch nanos, robust to how the parquet
+    * was read: TIMESTAMP(NANOS) arrives as LongType under nanosAsLong
+    * (pass-through), while a TimestampType column is converted from micros.
+    * (Schema-dispatched — an unresolved Column carries no type.)
+    */
+  def epochNanos(df: DataFrame, colName: String): Column =
+    df.schema(colName).dataType match {
+      case org.apache.spark.sql.types.LongType => col(colName)
+      case _ => unix_micros(col(colName)) * 1000L
+    }
+
+  /** Epoch MICROS — the cross-engine-safe grain (DuckDB and most engines
+    * truncate nanosecond parquet timestamps to µs; comparing at ns on one
+    * side and µs on the other silently flips at-tie as-of matches). Integer
+    * `div` keeps the full 64-bit value exact — a double division of an
+    * epoch-nanos long would round above 2^53.
+    */
+  def epochMicros(df: DataFrame, colName: String): Column =
+    df.schema(colName).dataType match {
+      case org.apache.spark.sql.types.LongType => expr(s"$colName div 1000")
+      case _ => unix_micros(col(colName))
+    }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextStats}
 import graft.ops.TextIndex
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -468,6 +468,56 @@ object PipelineQueries {
         | SELECT DISTINCT 'DOC' AS collection, key, 'text' AS field, analyzer, token
         | FROM allt WHERE token <> ''
         | ORDER BY key, analyzer, token""".stripMargin),
+
+    // ---- deterministic train/val/test split -----------------------------
+    // content-hash membership (md5 of salted id, lexicographic hex-prefix
+    // thresholds): the same doc lands in the same split on any engine, any
+    // partitioning — Spark's seeded sample() cannot promise that.
+    ("t_split_assign",
+      (s, d) => Sampling.assignSplit(t(s, d, "documents"), "doc_id",
+          Seq(0.8 -> "train", 0.9 -> "val", 1.0 -> "test"))
+        .select("doc_id", "split")
+        .orderBy("doc_id"),
+      s"""SELECT doc_id,
+         |        CASE WHEN substr(md5('split:' || doc_id), 1, 8) < '${Sampling.hexThreshold(0.8)}' THEN 'train'
+         |             WHEN substr(md5('split:' || doc_id), 1, 8) < '${Sampling.hexThreshold(0.9)}' THEN 'val'
+         |             ELSE 'test' END AS split
+         | FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ---- stratified deterministic sample (target domain mix) ------------
+    ("t_stratified_sample",
+      (s, d) => Sampling.stratifiedSample(t(s, d, "documents"), "doc_id", "source",
+          Map("src0" -> 0.25, "src1" -> 0.5), defaultRate = 1.0)
+        .select("doc_id", "source")
+        .orderBy("doc_id"),
+      s"""SELECT doc_id, source FROM documents
+         | WHERE substr(md5('strata:' || doc_id), 1, 8) <
+         |   CASE WHEN source = 'src0' THEN '${Sampling.hexThreshold(0.25)}'
+         |        WHEN source = 'src1' THEN '${Sampling.hexThreshold(0.5)}'
+         |        ELSE '${Sampling.hexThreshold(1.0)}' END
+         | ORDER BY doc_id""".stripMargin),
+
+    // ---- sequence packing (fixed-capacity context windows) --------------
+    // first-fit-in-order with bounded overflow: pack_id = floor(preceding
+    // shard tokens / capacity) — pure window arithmetic, one shuffle on the
+    // shard key (see Sampling.packSequences for the exact-capacity
+    // trade-off).
+    ("t_pack_sequences",
+      (s, d) => Sampling.packSequences(
+          t(s, d, "documents").withColumn("shard", col("doc_id") % 8),
+          idCol = "doc_id", shardCol = "shard",
+          tokensCol = size(split(col("text"), " ")).cast("long"), capacity = 256L)
+        .select("doc_id", "shard", "n_tokens", "pack_id")
+        .orderBy("doc_id"),
+      """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        | c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |                                     ROWS UNBOUNDED PRECEDING) AS cum
+        |       FROM d)
+        | SELECT doc_id, shard, n_tokens,
+        |        CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS pack_id
+        | FROM c ORDER BY doc_id""".stripMargin),
 
     // ---- multimodal plumbing: binary payloads + stub features ----------
     ("m_media_features",

@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.ops.TemporalOps
+import org.apache.spark.sql.functions._
+
+/** Event-time operators (as-of join, sessionization) as oracle-checked
+  * queries over the driver's `events` table. Timestamps are epoch MICROS on
+  * both sides (Spark reads TIMESTAMP(NANOS) as long and integer-divides;
+  * DuckDB truncates ns parquet timestamps to µs natively), so all
+  * arithmetic is exact integers at a grain both engines can represent.
+  */
+object TemporalQueries {
+
+  import RelationalQueries.Entry
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, name: String) =
+    RelationalQueries.t(s, dir, name)
+
+  val all: Seq[Entry] = Seq(
+
+    // ---- backward as-of join -------------------------------------------
+    // every purchase gets the most recent click value at-or-before it, per
+    // user. The oracle is DuckDB's NATIVE ASOF JOIN — an independent
+    // algorithm confirming the union+window implementation. Click rows are
+    // pre-aggregated per (user, ts) so the at-tie winner is well-defined in
+    // both engines.
+    ("ts_asof_join",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val tsn = TemporalOps.epochMicros(ev, "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), tsn.as("tsn"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), tsn.as("tsn"))
+          .agg(max(col("value")).as("click_value"))
+        TemporalOps.asofJoinBackward(purchases, clicks,
+            keyCol = "user_id", tsCol = "tsn",
+            valueCol = "click_value", asOfCol = "click_value", rightTieCol = "tsn")
+          .select("user_id", "event_id", "click_value")
+          .orderBy("event_id")
+      },
+      """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS tsn
+        |           FROM events WHERE event_type = 'purchase'),
+        |      c AS (SELECT user_id, epoch_us(ts) AS tsn, MAX(value) AS click_value
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        | SELECT p.user_id, p.event_id, c.click_value
+        | FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tsn >= c.tsn
+        | ORDER BY p.event_id""".stripMargin),
+
+    // ---- gap-based sessionization --------------------------------------
+    // 30-minute inactivity gap per user; per-session event count and span.
+    ("ts_sessionize",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val e = ev.select(col("user_id"), col("event_id"),
+          TemporalOps.epochMicros(ev, "ts").as("tsn"))
+        val sess = TemporalOps.sessionize(e, keyCol = "user_id", tsCol = "tsn",
+          gap = 1800000000L, tieCol = "event_id")
+        TemporalOps.sessionStats(sess, "user_id", "tsn")
+          .select(col("user_id"), col("session_no"), col("n_events"),
+            col("start_ts").as("start_us"), col("end_ts").as("end_us"))
+          .orderBy("user_id", "session_no")
+      },
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsn FROM events),
+        | lagd AS (SELECT *, LAG(tsn) OVER (PARTITION BY user_id
+        |                                   ORDER BY tsn, event_id) AS prev FROM e),
+        | flag AS (SELECT *, CASE WHEN prev IS NULL OR tsn - prev > 1800000000
+        |                         THEN 1 ELSE 0 END AS new_sess FROM lagd),
+        | sess AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+        |                                        ORDER BY tsn, event_id
+        |                                        ROWS UNBOUNDED PRECEDING) AS session_no
+        |          FROM flag)
+        | SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+        |        COUNT(*) AS n_events, MIN(tsn) AS start_us, MAX(tsn) AS end_us
+        | FROM sess GROUP BY user_id, session_no
+        | ORDER BY user_id, session_no""".stripMargin)
+  )
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.llm.Sampling
+import graft.ops.TemporalOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** As-of join, sessionization, and deterministic sampling/packing. */
+class TemporalOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("asof join carries the latest right value at-or-before each left row") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), (2L, 50L, "d"))
+      .toDF("k", "tsn", "tag")
+    val right = Seq((1L, 10L, 1.0), (1L, 15L, 2.0), (2L, 60L, 9.0))
+      .toDF("k", "tsn", "v")
+    val got = TemporalOps.asofJoinBackward(left, right, "k", "tsn", "v", "asof_v", "tsn")
+      .select("tag", "asof_v").collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(got("a") == 1.0) // equal ts: right row at 10 is included (<=)
+    assert(got("b") == 2.0) // latest prior (15), not first (10)
+    assert(got("c") == null) // no right row at or before 5
+    assert(got("d") == null) // other key's rows invisible; 60 > 50
+  }
+
+  test("asof join breaks right-side timestamp ties deterministically (last tie wins)") {
+    val left = Seq((1L, 10L, 100L)).toDF("k", "tsn", "event_id")
+    val right = Seq((1L, 10L, 1L, 5.0), (1L, 10L, 2L, 7.0)).toDF("k", "tsn", "rid", "v")
+    val got = TemporalOps.asofJoinBackward(left, right, "k", "tsn", "v", "asof_v", "rid")
+      .select("asof_v").collect()(0).getDouble(0)
+    assert(got == 7.0)
+  }
+
+  test("sessionize splits on gap and numbers sessions 1..n per key") {
+    // key 1: events at 0, 10, 1000, 1005 with gap 100 -> sessions 1,1,2,2
+    val e = Seq((1L, 0L, 1L), (1L, 10L, 2L), (1L, 1000L, 3L), (1L, 1005L, 4L),
+      (2L, 0L, 5L)).toDF("k", "tsn", "eid")
+    val sess = TemporalOps.sessionize(e, "k", "tsn", gap = 100L, tieCol = "eid")
+    val got = sess.select("eid", "session_no").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+    val stats = TemporalOps.sessionStats(sess, "k", "tsn")
+      .filter($"k" === 1 && $"session_no" === 2).collect()(0)
+    assert(stats.getAs[Long]("n_events") == 2L)
+    assert(stats.getAs[Long]("start_ts") == 1000L && stats.getAs[Long]("end_ts") == 1005L)
+  }
+
+  test("split assignment is deterministic, complete, and roughly proportional") {
+    val df = spark.range(2000).toDF("id")
+    val cuts = Seq(0.8 -> "train", 0.9 -> "val", 1.0 -> "test")
+    val a = Sampling.assignSplit(df, "id", cuts).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = Sampling.assignSplit(df, "id", cuts).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b) // deterministic
+    assert(a.values.sum == 2000) // complete: every row labeled
+    assert(a("train") > 1400 && a("train") < 1800) // ~80%
+    assert(a("val") > 100 && a("test") > 100)
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(df, "id", Seq(0.5 -> "a", 0.9 -> "b"))
+    }
+  }
+
+  test("stratified sample: rate 1.0 keeps every row, rate 0.0 drops the stratum") {
+    val df = (0L until 500L).map(i => (i, if (i % 2 == 0) "keep" else "drop"))
+      .toDF("id", "stratum")
+    val kept = Sampling.stratifiedSample(df, "id", "stratum",
+      Map("keep" -> 1.0, "drop" -> 0.0))
+      .select("stratum").collect().map(_.getString(0))
+    assert(kept.length == 250 && kept.forall(_ == "keep"))
+    assert(Sampling.hexThreshold(1.0) == "g") // sorts after all hex keys
+  }
+
+  test("sequence packing assigns first-fit bins with bounded overflow") {
+    // one shard, capacity 10, tokens 4,4,4,4 -> preceding cums 0,4,8,12 ->
+    // packs 0,0,0,1 (third doc overflows pack 0 by 2 — bounded by one doc)
+    val docs = Seq((1L, "a a a a"), (2L, "b b b b"), (3L, "c c c c"), (4L, "d d d d"))
+      .toDF("doc_id", "text").withColumn("shard", lit(0))
+    val packed = Sampling.packSequences(docs, "doc_id", "shard",
+        size(split(col("text"), " ")).cast("long"), capacity = 10L)
+      .select("doc_id", "pack_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(packed == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
+    // packs never start past capacity: every pack's first doc begins within it
+  }
+}
