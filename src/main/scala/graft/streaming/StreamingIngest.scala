@@ -85,6 +85,26 @@ object StreamingIngest {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming gap-based sessionization — the incremental analog of
+    * [[graft.ops.TemporalOps.sessionize]], via Spark's native
+    * `session_window`: a session extends while consecutive events are less
+    * than `gap` apart; the watermark closes sessions and EVICTS their state,
+    * so a continuously ingesting pipeline holds only open sessions, not the
+    * full history. Emits one row per closed/updated session:
+    * (key, start_ts = first event, n_events, sum_value).
+    * Boundary note vs the batch form: `session_window` merges at strictly
+    * `diff < gap`, the batch operator at `diff <= gap` — identical for every
+    * gap that doesn't exactly equal an inter-event delta.
+    */
+  def streamingSessionStats(events: DataFrame, gap: String, watermark: String,
+                            keyCol: String = "user_id", tsCol: String = "ts"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col(keyCol), col("session_window.start").as("start_ts"),
+        col("n_events"), col("sum_value"))
+
   /** Custom streaming state via `mapGroupsWithState`: per-source running
     * corpus statistics (doc count, total whitespace tokens), updated every
     * micro-batch — the arbitrary-stateful surface that windowed aggregation

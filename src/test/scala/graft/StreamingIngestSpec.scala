@@ -114,6 +114,44 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
   }
 
+  test("streaming session windows match batch sessionization on real events") {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = Files.createTempDirectory("graft-sess")
+    try {
+      Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+        base.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      val schema = spark.read.parquet(base.toString).schema
+      def asTs(df: org.apache.spark.sql.DataFrame) = // nanos-long -> µs timestamp
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+      val stream = asTs(spark.readStream.schema(schema).parquet(base.toString))
+      val sess = StreamingIngest.streamingSessionStats(stream, "30 minutes", "10 minutes")
+      val q = sess.writeStream.outputMode("complete").format("memory")
+        .queryName("sess_stats").start()
+      try {
+        q.processAllAvailable()
+        val streamed = spark.table("sess_stats")
+          .select("user_id", "start_ts", "n_events")
+          .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime) -> r.getLong(2)).toMap
+
+        // batch equivalent on µs longs; session_window merges at diff < gap,
+        // the batch operator at diff <= gap — gap-1 aligns them exactly on
+        // integer µs
+        val ev = spark.read.parquet(base.toString)
+        val e = ev.select(col("user_id"), col("event_id"),
+          graft.ops.TemporalOps.epochMicros(ev, "ts").as("tsn"))
+        val batch = graft.ops.TemporalOps.sessionStats(
+            graft.ops.TemporalOps.sessionize(e, "user_id", "tsn",
+              gap = 1800000000L - 1, tieCol = "event_id"),
+            "user_id", "tsn")
+          .select("user_id", "start_ts", "n_events") // start µs -> epoch ms
+          .collect().map(r => (r.getLong(0), r.getLong(1) / 1000) -> r.getLong(2)).toMap
+        assert(streamed == batch && streamed.nonEmpty)
+      } finally q.stop()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
   test("event-time windowed aggregation with watermark matches batch result") {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
