@@ -244,6 +244,32 @@ object Dedup {
     cross.union(within).distinct()
   }
 
+  /** Benchmark decontamination: remove training documents that share ANY
+    * word n-gram with an evaluation corpus (the standard 13-gram rule for
+    * keeping eval benchmarks out of training data; default lowered only by
+    * callers whose documents are short).
+    *
+    * Scale shape: the eval side is tiny relative to the corpus (benchmarks
+    * are thousands of docs, the corpus is billions), so its distinct shingle
+    * set is BROADCAST and the contamination probe is map-side — the corpus
+    * is scanned once, streamed through the shingle generator WITHOUT the
+    * per-doc distinct (duplicates are irrelevant to a semi-join), and never
+    * shuffled on shingle. Only the (small) contaminated-id set reaches a
+    * shuffle, in the final anti-join.
+    */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, n: Int = 13,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val docShingles = docs.select(col(idCol).as("id"),
+      graft.functions.WordShingles.wordShingles(col(textCol), n).as("shingle"))
+    val evalShingles = evalDocs
+      .select(graft.functions.WordShingles.wordShingles(col(textCol), n).as("shingle"))
+      .distinct()
+    val contaminated = docShingles
+      .join(broadcast(evalShingles), Seq("shingle"), "left_semi")
+      .select(col("id").as(idCol)).distinct()
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** SimHash: `bits`-bit signature from word tokens (weight = term count).
     * Bit b of a token = bit (b mod 4) of hex digit (b div 4) of md5(token);
     * the signature bit is 1 iff the weighted sum of (2*bit-1) is positive.

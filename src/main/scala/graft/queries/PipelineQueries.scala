@@ -138,6 +138,30 @@ object PipelineQueries {
          | WHERE a.id < b.id AND (a.id % 10 = 0 OR b.id % 10 = 0)
          | ORDER BY id_a, id_b""".stripMargin),
 
+    // ---- benchmark decontamination --------------------------------------
+    // eval set = doc_id % 20 == 0 (scale-independent pseudo-benchmark);
+    // training docs sharing any word 5-gram with it are dropped. The eval
+    // shingle set broadcasts; the corpus is never shuffled on shingle.
+    ("d7_decontaminate",
+      (s, d) => {
+        val docsDf = spread(t(s, d, "documents"))
+        Dedup.decontaminate(
+            docsDf.filter(col("doc_id") % 20 =!= 0),
+            docsDf.filter(col("doc_id") % 20 === 0), n = 5)
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      },
+      """WITH sh5 AS (SELECT doc_id AS id, array_to_string(words[i:i+4], ' ') AS shingle
+        |             FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w,
+        |                  LATERAL (SELECT unnest(generate_series(1, greatest(len(w.words)-4, 0))) AS i) g),
+        | ev AS (SELECT DISTINCT shingle FROM sh5 WHERE id % 20 = 0),
+        | bad AS (SELECT DISTINCT id FROM sh5
+        |         WHERE id % 20 <> 0 AND shingle IN (SELECT shingle FROM ev))
+        | SELECT d.doc_id, d.source FROM documents d
+        | WHERE d.doc_id % 20 <> 0
+        |   AND NOT EXISTS (SELECT 1 FROM bad WHERE bad.id = d.doc_id)
+        | ORDER BY d.doc_id""".stripMargin),
+
     // ---- SimHash signatures --------------------------------------------
     ("d4_simhash",
       (s, d) => Dedup.simhash(spread(t(s, d, "documents")), bits = 16).orderBy("id"),

@@ -61,6 +61,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(kept.contains(1L) && !kept.contains(2L) && kept.contains(4L))
   }
 
+  test("decontaminate drops docs sharing an n-gram with the eval set, map-side") {
+    val eval = docs(100L -> "the quick brown fox jumps")
+    val train = docs(
+      1L -> "something quick brown fox other words", // shares "quick brown fox"
+      2L -> "entirely different content here now",
+      3L -> "quick brown wolf not a match")          // no shared 3-gram
+    val kept = Dedup.decontaminate(train, eval, n = 3)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    // the contamination probe broadcasts the eval shingles — no corpus shuffle
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast probe:\n$plan")
+  }
+
   test("simhash: identical texts equal, disjoint texts differ") {
     val d = docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta", 3L -> "zz yy xx ww vv uu")
     val m = Dedup.simhash(d, 16).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
