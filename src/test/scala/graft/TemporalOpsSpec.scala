@@ -46,6 +46,44 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(stats.getAs[Long]("start_ts") == 1000L && stats.getAs[Long]("end_ts") == 1005L)
   }
 
+  test("asof join matches a naive per-row reference on random data") {
+    val rnd = new scala.util.Random(23)
+    val left = (0 until 300).map(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, i.toLong)).toDF("k", "tsn", "lid")
+    val rightRows = (0 until 300).map(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, i.toLong, rnd.nextDouble()))
+    val right = rightRows.toDF("k", "tsn", "rid", "v")
+    val got = TemporalOps.asofJoinBackward(left, right, "k", "tsn", "v", "asof_v", "rid")
+      .select("lid", "asof_v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // reference: for each left row, the right row with max (tsn, rid) among
+    // those at-or-before — mirrors the operator's last-tie-wins contract
+    val byKey = rightRows.groupBy(_._1)
+    left.collect().foreach { lr =>
+      val (k, tsn, lid) = (lr.getLong(0), lr.getLong(1), lr.getLong(2))
+      val want = byKey.getOrElse(k, Nil).filter(_._2 <= tsn)
+        .sortBy(r => (r._2, r._3)).lastOption.map(_._4)
+      assert(got(lid) == want, s"lid=$lid k=$k tsn=$tsn")
+    }
+  }
+
+  test("sessionize matches a naive sequential reference on random data") {
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 400).map(i =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(5000).toLong, i.toLong))
+    val got = TemporalOps.sessionize(rows.toDF("k", "tsn", "eid"), "k", "tsn",
+        gap = 50L, tieCol = "eid")
+      .select("eid", "session_no").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (_, evs) =>
+      var prev = Long.MinValue; var sess = 0L
+      evs.sortBy(e => (e._2, e._3)).foreach { case (_, tsn, eid) =>
+        if (prev == Long.MinValue || tsn - prev > 50L) sess += 1
+        prev = tsn
+        assert(got(eid) == sess, s"eid=$eid")
+      }
+    }
+  }
+
   test("split assignment is deterministic, complete, and roughly proportional") {
     val df = spark.range(2000).toDF("id")
     val cuts = Seq(0.8 -> "train", 0.9 -> "val", 1.0 -> "test")
