@@ -89,6 +89,8 @@ object Sampling {
   def packSequences(docs: DataFrame, idCol: String, shardCol: String,
                     tokensCol: Column, capacity: Long): DataFrame = {
     require(capacity > 0, "capacity must be positive")
+    require(!docs.columns.contains("n_tokens") && !docs.columns.contains("pack_id"),
+      "packSequences: input already has an 'n_tokens' or 'pack_id' column")
     val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs

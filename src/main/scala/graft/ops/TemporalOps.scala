@@ -33,6 +33,8 @@ object TemporalOps {
                        keyCol: String, tsCol: String,
                        valueCol: String, asOfCol: String,
                        rightTieCol: String): DataFrame = {
+    require(!left.columns.contains(asOfCol),
+      s"asofJoinBackward: left already has a column named '$asOfCol' — pick another asOfCol")
     val leftCols = left.columns
     val l = left.select(
       col(keyCol), col(tsCol), lit(1).as("__tag"), lit(null).cast("long").as("__tie"),
@@ -61,6 +63,9 @@ object TemporalOps {
     */
   def sessionize(events: DataFrame, keyCol: String, tsCol: String,
                  gap: Long, tieCol: String): DataFrame = {
+    require(gap >= 0, s"sessionize: gap must be non-negative, got $gap")
+    require(!events.columns.contains("session_no"),
+      "sessionize: input already has a 'session_no' column")
     val ord = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
     val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events

@@ -97,11 +97,12 @@ object StreamingIngest {
     * gap that doesn't exactly equal an inter-event delta.
     */
   def streamingSessionStats(events: DataFrame, gap: String, watermark: String,
-                            keyCol: String = "user_id", tsCol: String = "ts"): DataFrame =
+                            keyCol: String = "user_id", tsCol: String = "ts",
+                            valueCol: String = "value"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
       .groupBy(session_window(col(tsCol), gap), col(keyCol))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("sum_value"))
       .select(col(keyCol), col("session_window.start").as("start_ts"),
         col("n_events"), col("sum_value"))
 
