@@ -31,6 +31,30 @@ object TextStats {
   def stopwordCount(words: Column, stopwords: Seq[String] = Stopwords): Column =
     size(filter(words, w => stopwords.map(s => w === s).reduce(_ || _)))
 
+  /** Split documents into fixed-size overlapping word chunks — the standard
+    * context-window preparation step (long docs become multiple training
+    * examples; `overlap` preserves cross-boundary context). Emits
+    * (input columns…, chunk_id 0-based, chunk_text); the final chunk may be
+    * short. Narrow map-side transform: the per-doc chunk fan-out is a
+    * generator over a few window starts (not per-token work), so it chains
+    * after filtering/dedup without adding a shuffle.
+    */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int, overlap: Int,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens): got $overlap of $chunkTokens")
+    val stride = chunkTokens - overlap
+    val words = split(col(textCol), " ")
+    // chunks cover every token: ceil((n - overlap) / stride), at least one
+    val nChunks = greatest(lit(1),
+      ceil((size(words) - lit(overlap)).cast("double") / stride).cast("int"))
+    docs.select(col(idCol),
+      posexplode(transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(words, i * stride + 1, lit(chunkTokens)), " "))))
+      .withColumnsRenamed(Map("pos" -> "chunk_id", "col" -> "chunk_text"))
+  }
+
   /** Per-document quality stats: exact counts + integer-ratio doubles.
     * Columns appended: n_tokens, n_chars_m, avg_word_len, punct_ratio,
     * stopword_ratio, quality_score.

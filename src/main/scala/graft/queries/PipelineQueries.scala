@@ -359,6 +359,20 @@ object PipelineQueries {
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fp
         | FROM documents ORDER BY doc_id""".stripMargin),
 
+    // ---- document chunking (context-window preparation) -----------------
+    // 30-token chunks with 5-token overlap (stride 25); every token covered,
+    // final chunk may be short.
+    ("t_chunk_documents",
+      (s, d) => TextStats.chunkDocuments(t(s, d, "documents"), chunkTokens = 30, overlap = 5)
+        .orderBy("doc_id", "chunk_id"),
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        | c AS (SELECT doc_id, i,
+        |              array_to_string(words[(i*25+1):(i*25+30)], ' ') AS chunk_text
+        |       FROM w, LATERAL (SELECT unnest(generate_series(0,
+        |              CAST(greatest(1, ceil((len(w.words) - 5) / 25.0)) AS INT) - 1)) AS i) g)
+        | SELECT doc_id, CAST(i AS INT) AS chunk_id, chunk_text
+        | FROM c ORDER BY doc_id, chunk_id""".stripMargin),
+
     // ---- rolling-hash winnowing fingerprint -----------------------------
     // Oracle recomputes each 16-char window's Karp-Rabin hash directly:
     // hash(i) = sum_k ord(text[i+k]) * 257^(15-k) mod 2^61-1, exact in

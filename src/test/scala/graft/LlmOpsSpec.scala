@@ -61,6 +61,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(kept.contains(1L) && !kept.contains(2L) && kept.contains(4L))
   }
 
+  test("chunkDocuments covers every token with overlap; final chunk may be short") {
+    val d = docs(1L -> (1 to 10).map(i => s"w$i").mkString(" "))
+    val chunks = TextStats.chunkDocuments(d, chunkTokens = 4, overlap = 1)
+      .orderBy("chunk_id").collect().map(r => (r.getInt(1), r.getString(2)))
+    assert(chunks.toSeq == Seq(
+      0 -> "w1 w2 w3 w4", 1 -> "w4 w5 w6 w7", 2 -> "w7 w8 w9 w10"))
+    // doc shorter than one chunk -> single short chunk
+    val one = TextStats.chunkDocuments(docs(2L -> "a b"), 4, 1).collect()
+    assert(one.length == 1 && one(0).getString(2) == "a b")
+    intercept[IllegalArgumentException](TextStats.chunkDocuments(d, 4, 4))
+  }
+
   test("decontaminate drops docs sharing an n-gram with the eval set, map-side") {
     val eval = docs(100L -> "the quick brown fox jumps")
     val train = docs(
