@@ -66,9 +66,9 @@ object GraphSink {
     * exchange.
     */
   def upsert(current: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
-    val cur = current.select(current.columns.map(c =>
+    val cur = current.select(current.columns.toIndexedSeq.map(c =>
       if (keys.contains(c)) col(c) else col(c).as(s"__cur_$c")): _*)
-    val upd = updates.select(updates.columns.map(c =>
+    val upd = updates.select(updates.columns.toIndexedSeq.map(c =>
       if (keys.contains(c)) col(c) else col(c).as(s"__upd_$c")): _*)
     val merged = cur.join(upd, keys, "full_outer")
     val valueCols = current.columns.filterNot(keys.contains)

@@ -39,7 +39,7 @@ object TemporalOps {
     val l = left.select(
       col(keyCol), col(tsCol), lit(1).as("__tag"), lit(null).cast("long").as("__tie"),
       lit(null).cast(right.schema(valueCol).dataType).as("__v"),
-      struct(leftCols.map(col): _*).as("__row"))
+      struct(leftCols.toIndexedSeq.map(col): _*).as("__row"))
     val r = right.select(
       col(keyCol), col(tsCol), lit(0).as("__tag"), col(rightTieCol).cast("long").as("__tie"),
       col(valueCol).as("__v"), lit(null).cast(l.schema("__row").dataType).as("__row"))
@@ -49,7 +49,7 @@ object TemporalOps {
     l.unionByName(r)
       .withColumn(asOfCol, last(col("__v"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
-      .select(leftCols.map(c => col(s"__row.$c").as(c)) :+ col(asOfCol): _*)
+      .select(leftCols.toIndexedSeq.map(c => col(s"__row.$c").as(c)) :+ col(asOfCol): _*)
   }
 
   /** Gap-based sessionization: within each key, a new session starts when

@@ -23,7 +23,7 @@ class SkewOpsSpec extends AnyFunSuite {
     val plain = skewed.join(dim, Seq("key"))
     val salted = SkewOps.saltedJoin(skewed, dim, Seq("key"), saltFactor = 8)
     assert(salted.count() == plain.count())
-    assert(salted.exceptAll(plain.select(salted.columns.map(col): _*)).isEmpty)
+    assert(salted.exceptAll(plain.select(salted.columns.toIndexedSeq.map(col): _*)).isEmpty)
   }
 
   test("skew profile surfaces the hub key") {
