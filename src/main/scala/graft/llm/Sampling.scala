@@ -31,7 +31,11 @@ object Sampling {
     else f"${(fraction * 4294967296.0).toLong}%08x"
   }
 
-  /** The row's deterministic 8-hex sampling key. */
+  /** The row's deterministic 8-hex sampling key. `idCol` should be a string
+    * or integral column: integral→string casts render identically across
+    * engines, while float/double formatting does not — hash a stable id,
+    * never a measurement.
+    */
   def hashKey(idCol: Column, salt: String): Column =
     substring(md5(concat(lit(salt), lit(":"), idCol.cast("string"))), 1, 8)
 
