@@ -19,9 +19,15 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Quantize an array<float> to array<long> by round(x * scale). */
+  /** Quantize an array<float> to array<long> by round(x * scale), with the
+    * multiply in DOUBLE. Without the cast Spark multiplies float32×int in
+    * FLOAT, and a value like 0.31949999928474426f × 1000f rounds to exactly
+    * 319.5f → 320, while double arithmetic (DuckDB, most engines) gives
+    * 319.4999… → 319 — a one-ulp quantization flip that surfaced as score
+    * mismatches at sf0.1.
+    */
   def quantize(emb: Column, scale: Int = 1000): Column =
-    transform(emb, x => round(x * scale).cast("long"))
+    transform(emb, x => round(x.cast("double") * scale).cast("long"))
 
   /** Exact integer dot product of two array<long> — a native codegen
     * expression (plain fused loop); the composable

@@ -186,10 +186,10 @@ object PipelineQueries {
           .orderBy("query_id", "rank")
       },
       """WITH q AS (SELECT vec_id AS query_id,
-        |                  list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS qv
+        |                  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
         |           FROM embeddings WHERE vec_id < 20),
         |      c AS (SELECT vec_id AS neighbor_id,
-        |                  list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS cv
+        |                  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS cv
         |           FROM embeddings),
         |      sc AS (SELECT query_id, neighbor_id,
         |                    list_dot_product(qv, cv) /
@@ -244,10 +244,10 @@ object PipelineQueries {
           .orderBy("query_id", "rank")
       },
       """WITH cents AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
-        |                      list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS ce
+        |                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS ce
         |               FROM embeddings WHERE vec_id < 16),
         | corp AS (SELECT vec_id AS neighbor_id,
-        |                 list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS cv
+        |                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS cv
         |          FROM embeddings),
         | asg AS (SELECT neighbor_id, cv, cell FROM (
         |    SELECT c.neighbor_id, c.cv, ce.cell,
@@ -256,7 +256,7 @@ object PipelineQueries {
         |               + list_dot_product(ce.ce, ce.ce), ce.cell) AS rn
         |    FROM corp c CROSS JOIN cents ce) WHERE rn = 1),
         | q AS (SELECT vec_id AS query_id,
-        |              list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS qv
+        |              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
         |       FROM embeddings WHERE vec_id < 20),
         | probed AS (SELECT query_id, qv, cell FROM (
         |    SELECT q.query_id, q.qv, ce.cell,
@@ -299,7 +299,7 @@ object PipelineQueries {
         |   SELECT vec_id, p // 4 AS band,
         |          CAST(SUM(CASE WHEN dot >= 0 THEN CAST(power(2, p % 4) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
         |   FROM dots GROUP BY vec_id, p // 4),
-        | qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS qv
+        | qv AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
         |        FROM embeddings),
         | cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         |          FROM buckets a JOIN buckets b USING (band, bucket)

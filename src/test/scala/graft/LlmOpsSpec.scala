@@ -98,6 +98,16 @@ class LlmOpsSpec extends AnyFunSuite {
 
   private def vecs(rows: (Long, Seq[Float])*) = rows.toSeq.toDF("vec_id", "embedding")
 
+  test("quantize multiplies in double: float-boundary values round like other engines") {
+    // 0.31949999928474426f * 1000f is EXACTLY 319.5f in float arithmetic
+    // (rounds to 320); double arithmetic gives 319.4999… -> 319, which is
+    // what md5/SQL engines compute — regression for a real sf0.1 mismatch
+    val v = vecs(1L -> Seq(0.31949999928474426f))
+    val q = v.select(Similarity.quantize(col("embedding")).as("q"))
+      .collect()(0).getSeq[Long](0)
+    assert(q == Seq(319L))
+  }
+
   test("cosine top-k finds the aligned vector first") {
     val v = vecs(
       0L -> Seq(1f, 0f, 0f, 0f),
