@@ -27,14 +27,24 @@ object TemporalOps {
     * `rightTieCol` breaks ordering ties between right rows sharing a
     * timestamp (last one wins, deterministically).
     *
+    * `tolerance` (same units as `tsCol`) ages out stale matches: the carried
+    * value is nulled when `left.ts - right.ts > tolerance`. The latest prior
+    * right row is the only candidate, so "latest within tolerance" needs no
+    * extra search. Matching is ROW-based like SQL ASOF JOIN: a right row
+    * whose value is null matches as null — it does not fall through to an
+    * older non-null value.
+    *
     * Left columns are preserved; the carried value lands in `asOfCol`.
     */
   def asofJoinBackward(left: DataFrame, right: DataFrame,
                        keyCol: String, tsCol: String,
                        valueCol: String, asOfCol: String,
-                       rightTieCol: String): DataFrame = {
+                       rightTieCol: String,
+                       tolerance: Option[Long] = None): DataFrame = {
     require(!left.columns.contains(asOfCol),
       s"asofJoinBackward: left already has a column named '$asOfCol' — pick another asOfCol")
+    tolerance.foreach(t => require(t >= 0,
+      s"asofJoinBackward: tolerance must be non-negative, got $t"))
     val leftCols = left.columns
     val l = left.select(
       col(keyCol), col(tsCol), lit(1).as("__tag"), lit(null).cast("long").as("__tie"),
@@ -46,9 +56,20 @@ object TemporalOps {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("__tag"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
-      .withColumn(asOfCol, last(col("__v"), ignoreNulls = true).over(w))
+    // carry (value, its timestamp) together so a tolerance can age out the
+    // match: the latest prior right row is the ONLY candidate — if it is too
+    // old, no in-tolerance match exists
+    val carried = l.unionByName(r)
+      .withColumn("__cv",
+        last(when(col("__tag") === 0, struct(col("__v"), col(tsCol).as("__vts"))),
+          ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
+    val value = tolerance match {
+      case None => col("__cv.__v")
+      case Some(t) => when(col(tsCol) - col("__cv.__vts") <= t, col("__cv.__v"))
+    }
+    carried
+      .withColumn(asOfCol, value)
       .select(leftCols.toIndexedSeq.map(c => col(s"__row.$c").as(c)) :+ col(asOfCol): _*)
   }
 

@@ -47,6 +47,35 @@ object TemporalQueries {
         | FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tsn >= c.tsn
         | ORDER BY p.event_id""".stripMargin),
 
+    // ---- as-of join with tolerance --------------------------------------
+    // same shape, but matches older than 10 minutes are aged out to null —
+    // the "quote must be fresh" variant. The latest prior right row is the
+    // only candidate, so the oracle is native ASOF plus a staleness CASE.
+    ("ts_asof_tolerance",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val tsn = TemporalOps.epochMicros(ev, "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), tsn.as("tsn"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), tsn.as("tsn"))
+          .agg(max(col("value")).as("click_value"))
+        TemporalOps.asofJoinBackward(purchases, clicks,
+            keyCol = "user_id", tsCol = "tsn",
+            valueCol = "click_value", asOfCol = "click_value", rightTieCol = "tsn",
+            tolerance = Some(600000000L)) // 10 min in µs
+          .select("user_id", "event_id", "click_value")
+          .orderBy("event_id")
+      },
+      """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS tsn
+        |           FROM events WHERE event_type = 'purchase'),
+        |      c AS (SELECT user_id, epoch_us(ts) AS tsn, MAX(value) AS click_value
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        | SELECT p.user_id, p.event_id,
+        |        CASE WHEN p.tsn - c.tsn <= 600000000 THEN c.click_value END AS click_value
+        | FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tsn >= c.tsn
+        | ORDER BY p.event_id""".stripMargin),
+
     // ---- gap-based sessionization --------------------------------------
     // 30-minute inactivity gap per user; per-session event count and span.
     ("ts_sessionize",

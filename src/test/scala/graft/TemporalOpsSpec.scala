@@ -32,6 +32,26 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(got == 7.0)
   }
 
+  test("asof join tolerance ages out stale matches; null right values match as null") {
+    val left = Seq((1L, 100L, "fresh"), (1L, 500L, "stale")).toDF("k", "tsn", "tag")
+    val right = Seq((1L, 90L, 10L, Some(1.5)), (1L, 80L, 11L, Some(9.9)))
+      .toDF("k", "tsn", "rid", "v")
+    val got = TemporalOps.asofJoinBackward(left, right, "k", "tsn", "v", "av", "rid",
+        tolerance = Some(50L))
+      .select("tag", "av").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(got("fresh") == 1.5)  // 100-90=10 <= 50
+    assert(got("stale") == null) // 500-90=410 > 50: latest match too old
+    // a null-VALUED right row matches as null (row semantics, like SQL ASOF),
+    // not falling through to the older non-null value
+    val rightNull = Seq((1L, 90L, 10L, None), (1L, 80L, 11L, Some(9.9)))
+      .toDF("k", "tsn", "rid", "v")
+    val gotNull = TemporalOps.asofJoinBackward(left, rightNull, "k", "tsn", "v", "av", "rid")
+      .select("tag", "av").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(gotNull("fresh") == null)
+  }
+
   test("sessionize splits on gap and numbers sessions 1..n per key") {
     // key 1: events at 0, 10, 1000, 1005 with gap 100 -> sessions 1,1,2,2
     val e = Seq((1L, 0L, 1L), (1L, 10L, 2L), (1L, 1000L, 3L), (1L, 1005L, 4L),
