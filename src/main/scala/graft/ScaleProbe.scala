@@ -1,0 +1,70 @@
+package graft
+
+import graft.llm.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-behavior probe: multiply the documents corpus N× (half exact
+  * copies — stressing duplicate-cluster fan-out — half perturbed) and time
+  * the dedup pipeline on it, with and without the posting-list caps. This
+  * is how the "would it survive a scale-up" claims in PLANS.md get measured
+  * instead of asserted: candidate counts and runtimes should grow near-
+  * linearly with the corpus, and the capped variants should hold the tail.
+  *
+  * Usage: runMain graft.ScaleProbe <sfDir> [multiplier]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val n0 = base.count()
+    // copies 0..mult-1: even copies byte-identical (duplicate clusters of
+    // size ~mult/2 per doc), odd copies perturbed by an appended marker word
+    val scaled = (0 until mult).map { k =>
+      val shifted = base.withColumn("doc_id", col("doc_id") + lit(k.toLong * 10000000L))
+      if (k % 2 == 1) shifted.withColumn("text", concat(col("text"), lit(s" copyv$k")))
+      else shifted
+    }.reduce(_ union _).cache()
+    val n = scaled.count() // materialize once; probes then share the input
+    println(s"corpus: $n0 -> $n docs (x$mult)")
+
+    def timed(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = body
+      println(f"$name%-34s ${(System.nanoTime() - t0) / 1e9}%8.1f s   rows=$rows")
+    }
+
+    timed("exactGroups") {
+      Dedup.exactGroups(scaled).count()
+    }
+    timed("lshCandidates (unbounded)") {
+      Dedup.lshCandidates(
+        Dedup.minhashSignatures(Dedup.wordShingles(scaled, 3), 12), 4, 3).count()
+    }
+    timed(s"lshCandidates (maxBucket=64)") {
+      Dedup.lshCandidates(
+        Dedup.minhashSignatures(Dedup.wordShingles(scaled, 3), 12), 4, 3,
+        maxBucket = 64).count()
+    }
+    timed("jaccardPairs (maxDF=512)") {
+      Dedup.jaccardPairs(Dedup.wordShingles(scaled, 3), 0.2, maxDF = 512).count()
+    }
+    timed("removeNearDuplicates") {
+      Dedup.removeNearDuplicates(scaled, minJaccard = 0.2).count()
+    }
+    scaled.unpersist()
+    spark.stop()
+  }
+}

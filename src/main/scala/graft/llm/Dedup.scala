@@ -64,50 +64,69 @@ object Dedup {
     * QueryExecution.observedMetrics or a QueryExecutionListener).
     * Default = unbounded (exact semantics over the full shingle sets).
     */
-  /** Shared pairing core: inverted index WITHOUT a self-join — group the
-    * posting list per shingle (64-bit hashed key, collisions ~2^-64), emit
-    * streamed ordered pairs from the sorted id array (constant memory per
-    * posting row — see graft.functions.OrderedPairsExpr), count
-    * co-occurrences. One wide shuffle instead of a join + pair shuffle.
+  /** Posting lists: one row per 64-bit-hashed shingle (collisions ~2^-64)
+    * with the sorted list of containing doc ids — singletons included (they
+    * contribute to doc sizes under the cap). One wide shuffle.
     */
-  private def pairCounts(shingles: DataFrame): DataFrame =
+  private def groupedPostings(shingles: DataFrame): DataFrame =
     shingles
       .groupBy(xxhash64(col("shingle")).as("sh"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
+
+  /** Pair co-occurrence counts from a posting table: streamed ordered pairs
+    * from each sorted id array (constant memory per posting row — see
+    * graft.functions.OrderedPairsExpr), then a count. No self-join.
+    */
+  private def pairsFromPostings(postings: DataFrame): DataFrame =
+    postings
       .filter(size(col("ids")) > 1)
       .select(graft.functions.OrderedPairs.orderedPairs(col("ids")).as(Seq("id_a", "id_b")))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_inter"))
 
-  /** The (pairing input, per-doc sizes) for a shingle table under `maxDF`:
-    * unbounded → the input as-is with plain per-doc counts (one map-side-
-    * combinable aggregate, no joins); capped → both restricted to the
-    * retained (df ≤ maxDF) shingle universe via a semi-join against the
-    * document-frequency table, so intersections and sizes describe the SAME
-    * sets. The capped branch costs one extra shuffle + semi-join — paid only
-    * when the cap is requested. Used by both [[jaccardPairs]] and
+  /** The (posting lists, per-doc sizes) for a shingle table under `maxDF`:
+    * unbounded → plain groupings (per-doc sizes are one map-side-combinable
+    * aggregate on the raw shingles); capped → BOTH derive from the same
+    * grouped posting table with df > maxDF rows removed, so intersections
+    * and sizes describe the same retained universe. Deliberately NO join
+    * against a document-frequency table: that table is vocabulary-sized,
+    * and a planner that mis-estimates it as broadcastable OOMs the driver —
+    * observed at a 10× corpus in ScaleProbe. Deriving sizes by exploding
+    * the retained postings keeps everything a shuffle of data that is
+    * already grouped (and the grouping exchange is shared by both
+    * consumers). Used by both [[jaccardPairs]] and
     * [[removeNearDuplicates]] so the cap + drop metric exist exactly once.
     */
   private def cappedUniverse(shingles: DataFrame, maxDF: Long,
                              metricPrefix: String): (DataFrame, DataFrame) =
     if (maxDF == Long.MaxValue)
-      (shingles, shingles.groupBy(col("id")).agg(count(lit(1)).as("sz")))
+      (groupedPostings(shingles),
+        shingles.groupBy(col("id")).agg(count(lit(1)).as("sz")))
     else {
-      val dfs = shingles.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      val retained = groupedPostings(shingles)
         .observe(metricName(metricPrefix),
-          coalesce(sum(when(col("df") > maxDF, 1L).otherwise(0L)), lit(0L))
+          coalesce(sum(when(size(col("ids")) > maxDF, 1L).otherwise(0L)), lit(0L))
             .as("dropped"))
-      val retained = shingles.join(
-        dfs.filter(col("df") <= maxDF).select("shingle"), Seq("shingle"), "left_semi")
-      (retained, retained.groupBy(col("id")).agg(count(lit(1)).as("sz")))
+        .filter(size(col("ids")) <= maxDF)
+      val sizes = retained.select(explode(col("ids")).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("sz"))
+      (retained, sizes)
     }
 
   def jaccardPairs(shingles: DataFrame, minJaccard: Double,
                    maxDF: Long = Long.MaxValue): DataFrame = {
-    val (pairable, sizes) = cappedUniverse(shingles, maxDF, "jaccard_maxdf")
-    pairCounts(pairable)
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), Seq("id_a"))
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")), Seq("id_b"))
+    val (postings, sizes) = cappedUniverse(shingles, maxDF, "jaccard_maxdf")
+    // MERGE hints: the pair table is O(Σ df²) — data-dependent and unbounded
+    // — but the planner's size ESTIMATE for it collapses (projections drop
+    // the wide text column early), so static planning picks a broadcast
+    // build side and the driver OOMs building it; observed at a 10× corpus
+    // in ScaleProbe. Sort-merge is the only shape that is always safe here,
+    // and AQE still handles skew within it.
+    pairsFromPostings(postings)
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")).hint("merge"),
+        Seq("id_a"))
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")).hint("merge"),
+        Seq("id_b"))
       .withColumn("jaccard", col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "n_inter", "sz_a", "sz_b", "jaccard")
@@ -209,17 +228,24 @@ object Dedup {
     // every doc that can appear in a confirmed pair; under maxDF they are
     // further restricted to the retained shingle universe, consistently with
     // the intersections.
+    // MERGE hints throughout: candidate, pair, and drop-id tables are all
+    // data-dependent (dup-density-bound) — static size estimates for them
+    // are meaningless, and a mis-planned broadcast OOMs the driver (see
+    // jaccardPairs). AQE re-promotes to broadcast nothing here; it still
+    // splits skewed merge joins.
     val candIds = candidates.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-    val candShingles = shingles.join(candIds, Seq("id"), "left_semi")
-    val (pairable, sizes) = cappedUniverse(candShingles, maxDF, "neardup_maxdf")
-    val inter = pairCounts(pairable)
-      .join(candidates, Seq("id_a", "id_b"), "left_semi")
+    val candShingles = shingles.join(candIds.hint("merge"), Seq("id"), "left_semi")
+    val (postings, sizes) = cappedUniverse(candShingles, maxDF, "neardup_maxdf")
+    val inter = pairsFromPostings(postings)
+      .join(candidates.hint("merge"), Seq("id_a", "id_b"), "left_semi")
     val confirmed = inter
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), Seq("id_a"))
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")), Seq("id_b"))
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")).hint("merge"),
+        Seq("id_a"))
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")).hint("merge"),
+        Seq("id_b"))
       .filter(col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")) >= minJaccard)
     val dropIds = confirmed.select(col("id_b").as(idCol)).distinct()
-    docs.join(dropIds, Seq(idCol), "left_anti")
+    docs.join(dropIds.hint("merge"), Seq(idCol), "left_anti")
   }
 
   /** Incremental near-dup candidates: pairs that INVOLVE an incoming
