@@ -65,6 +65,34 @@ object ScaleProbe {
       Dedup.removeNearDuplicates(scaled, minJaccard = 0.2).count()
     }
     scaled.unpersist()
+
+    // similarity path at the same multiplier: exact copies (even k) again
+    // stress bucket fan-out; odd copies get one element nudged
+    val baseV = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val vecs = (0 until mult).map { k =>
+      val shifted = baseV.withColumn("vec_id", col("vec_id") + lit(k.toLong * 10000000L))
+      if (k % 2 == 1)
+        shifted.withColumn("embedding",
+          transform(col("embedding"), x => x + lit(k * 0.001f)))
+      else shifted
+    }.reduce(_ union _).cache()
+    println(s"vectors: ${vecs.count()}")
+
+    timed("cosineDupPairs (tau=0.95)") {
+      graft.llm.Similarity.cosineDupPairs(vecs, tau = 0.95).count()
+    }
+    timed("lshTopK (k=5, 64 queries)") {
+      graft.llm.Similarity.lshTopK(vecs.filter(col("vec_id") < 64), vecs, k = 5).count()
+    }
+    timed("ivfTopKWithQuantizedCentroids (k=5)") {
+      val cents = vecs.filter(col("vec_id") < 16).orderBy("vec_id")
+        .select(graft.llm.Similarity.quantize(col("embedding")).as("qc"))
+        .collect().map(_.getSeq[Long](0).toSeq).toSeq
+      graft.llm.Similarity.ivfTopKWithQuantizedCentroids(
+        vecs.filter(col("vec_id") < 64), vecs, k = 5, cents).count()
+    }
+    vecs.unpersist()
     spark.stop()
   }
 }
