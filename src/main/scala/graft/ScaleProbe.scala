@@ -93,6 +93,33 @@ object ScaleProbe {
         vecs.filter(col("vec_id") < 64), vecs, k = 5, cents).count()
     }
     vecs.unpersist()
+
+    // graph path at the same multiplier: orders become URI-URI statements
+    // (the GraphQueries model); duplicate copies stress edge last-wins
+    val obo = "http://purl.obolibrary.org/obo/"
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val triples = (0 until mult).map { k =>
+      orders.select(
+        lit(s"orders$k").as("src_file"),
+        (col("o_orderkey") + lit(k.toLong * 100000000L)).as("stmt_idx"),
+        concat(lit(obo + "CL_"), col("o_custkey")).as("subject"),
+        concat(lit("http://example.org/rel#status_"), col("o_orderstatus")).as("predicate"),
+        concat(lit(obo + "GO_"), col("o_orderkey")).as("object"),
+        lit(true).as("obj_is_uri"), lit(false).as("obj_is_literal"),
+        lit(false).as("obj_is_blank"), lit(null).cast("string").as("obj_lexical"))
+    }.reduce(_ union _).cache()
+    println(s"triples: ${triples.count()}")
+    val emptyRo = orders.select(col("o_orderstatus").as("term"),
+      col("o_orderstatus").as("label")).limit(0)
+
+    timed("GraphOps.vertices") {
+      graft.ops.GraphOps.vertices(triples).count()
+    }
+    timed("GraphOps.edges (last-wins)") {
+      graft.ops.GraphOps.edges(triples, emptyRo).count()
+    }
+    triples.unpersist()
     spark.stop()
   }
 }
