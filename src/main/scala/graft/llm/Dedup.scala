@@ -296,6 +296,42 @@ object Dedup {
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Chunk-granular global dedup (the C4-style rule at fixed word windows):
+    * split every document into non-overlapping `chunkTokens`-word chunks,
+    * keep only the GLOBAL first occurrence of each distinct chunk text
+    * (ordered by (doc_id, chunk_id) — deterministic on any partitioning),
+    * and reassemble. Emits per document: `n_chunks`, `n_kept`, and
+    * `text_kept` (surviving chunks rejoined in order; empty string when
+    * every chunk was seen earlier). Boilerplate-heavy corpora (headers,
+    * license blocks, navigation chrome) dedup at this granularity where
+    * whole-document hashing sees distinct texts.
+    *
+    * Scale shape: TWO shuffles — one window partition on the 128-bit chunk
+    * digest (uniform by construction; the per-digest group is the
+    * duplication count of that chunk, bounded by `maxBucket`-style
+    * dup-density, and row_number streams it), one per-doc rollup. No UDFs;
+    * the chunker is the shared [[TextStats.chunkDocuments]] generator.
+    */
+  def chunkDedup(docs: DataFrame, chunkTokens: Int = 20,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val chunks = TextStats.chunkDocuments(docs, chunkTokens, overlap = 0, textCol, idCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("chunk_text")))
+      .orderBy(col(idCol), col("chunk_id"))
+    chunks
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("rn") === 1,
+              struct(col("chunk_id"), col("chunk_text"))))),
+            s => s.getField("chunk_text")),
+          " ").as("text_kept"))
+  }
+
   /** SimHash: `bits`-bit signature from word tokens (weight = term count).
     * Bit b of a token = bit (b mod 4) of hex digit (b div 4) of md5(token);
     * the signature bit is 1 iff the weighted sum of (2*bit-1) is positive.

@@ -44,6 +44,30 @@ object Similarity {
     dotLong(qa, qb).cast("double") /
       (sqrt(dotLong(qa, qa).cast("double")) * sqrt(dotLong(qb, qb).cast("double")))
 
+  /** Per-label centroid aggregation in quantized space: one row per
+    * (label, dimension) with the exact integer component sum, member count,
+    * and the mean component (`sum/count` — one double division on exact
+    * integers, bit-identical across engines). The standard
+    * prototype-embedding / class-centroid step of an embedding pipeline,
+    * and the offline producer of [[ivfTopKWithQuantizedCentroids]]'s coarse
+    * quantizer.
+    *
+    * Scale shape: posexplode → ONE map-side-combinable hash aggregate on
+    * (label, dim) — dimension-parallel, no vector materializes on a single
+    * reducer, output is |labels|·d rows. This is the shape that survives a
+    * billion-vector corpus; an `aggregate`-HOF fold over collected arrays
+    * would put whole partitions' vectors through one reducer row.
+    */
+  def labelCentroids(vectors: DataFrame, labelCol: String = "label",
+                     embCol: String = "embedding", scale: Int = 1000): DataFrame =
+    vectors
+      .select(col(labelCol), posexplode(quantize(col(embCol), scale)).as(Seq("dim", "q")))
+      .groupBy(col(labelCol), col("dim"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .select(col(labelCol), col("dim"),
+        col("s"), col("n"),
+        (col("s").cast("double") / col("n")).as("mean_q"))
+
   /** Brute-force top-k cosine neighbors of `queries` within `corpus`.
     * Input columns: (idCol, embCol). Output: query_id, neighbor_id, cosine,
     * rank (1..k), deterministically tie-broken by neighbor id.

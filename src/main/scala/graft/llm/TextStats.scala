@@ -75,6 +75,68 @@ object TextStats {
           + when(col("avg_word_len") >= 3.0 && col("avg_word_len") <= 12.0, lit(1.0)).otherwise(lit(0.0)))
   }
 
+  /** Within-document repetition signals (Gopher-style quality filters:
+    * heavily self-repeating documents are low-quality training data).
+    * Emits per document: `n_words`, `dup_word_fraction`
+    * (1 − distinct/total words), `top_bigram_count` and
+    * `top_bigram_fraction` (most frequent word bigram's share of all
+    * bigram occurrences; 0.0 for docs with < 2 words). All ratios are
+    * exact integer divisions.
+    *
+    * Scale shape: word-level signals are pure map-side array expressions;
+    * the bigram mode needs per-(doc, bigram) counts — ONE fine-grained
+    * uniform shuffle on (id, bigram) plus the per-doc rollup, instead of a
+    * quadratic per-doc HOF fold. Chains after any filter without driver
+    * state.
+    */
+  def repetitionStats(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val words = split(col(textCol), " ")
+    val base = docs.select(col(idCol),
+      size(words).cast("long").as("n_words"),
+      size(array_distinct(words)).cast("long").as("n_distinct"))
+    val bigramCounts = docs.select(col(idCol),
+        graft.functions.WordShingles.wordShingles(col(textCol), 2).as("bigram"))
+      .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("c"))
+    val top = bigramCounts.groupBy(col(idCol))
+      .agg(max(col("c")).as("top_bigram_count"), sum(col("c")).as("n_bigrams"))
+    base.join(top, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_words")).as("dup_word_fraction"),
+        coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"),
+        coalesce(col("top_bigram_count").cast("double") / col("n_bigrams"), lit(0.0))
+          .as("top_bigram_fraction"))
+  }
+
+  /** PII redaction patterns — deliberately restricted to a regex subset
+    * with identical semantics in Java regex (Spark codegen) and RE2
+    * (DuckDB, Go tooling): no backreferences, no lookaround, explicit
+    * character classes. Swap in stricter patterns per deployment; the
+    * operator is the mechanism.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+[0-9]{7,15}"
+
+  /** Scrub PII from text: emails → `<EMAIL>`, IPv4 addresses → `<IP>`,
+    * international-format phone numbers → `<PHONE>`. Pure map-side codegen'd
+    * `regexp_replace` chain — no shuffle, no UDF; safe to run inline in any
+    * ingest pipeline. Email replacement runs FIRST so the host part of an
+    * address is never re-matched as a bare IP.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Count of PII matches per kind, for redaction-rate monitoring. */
+  def piiCounts(text: Column): (Column, Column, Column) =
+    (size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long"),
+      size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).cast("long"),
+      size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long"))
+
   /** Tiny built-in stopword profiles for language ID. Real deployments swap
     * in larger profiles; the mechanism (marker-hit scoring) is the operator.
     */

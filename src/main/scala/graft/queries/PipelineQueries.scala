@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextStats}
-import graft.ops.TextIndex
+import graft.ops.{ConnectedComponents, TextIndex}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -566,6 +566,124 @@ object PipelineQueries {
         |        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |        md5(text) AS content_hash,
         |        CAST(1 AS INTEGER) AS frame_count
-        | FROM documents ORDER BY media_id""".stripMargin)
+        | FROM documents ORDER BY media_id""".stripMargin),
+
+    // ---- connected components over the near-dup pair graph --------------
+    // large-star/small-star contraction resolving jaccard pairs into
+    // duplicate CLUSTERS (pairwise drops are not transitive); every corpus
+    // doc gets a component label = min doc_id of its cluster (singletons
+    // label themselves). The oracle is an independent algorithm: DuckDB
+    // recursive-CTE transitive closure + min-reachable-id.
+    ("d8_cc_components",
+      (s, d) => {
+        val docsDf = spread(t(s, d, "documents"))
+        val pairs = Dedup.jaccardPairs(Dedup.wordShingles(docsDf, 3), 0.2)
+        ConnectedComponents.components(pairs, "id_a", "id_b",
+            vertices = Some(docsDf.select(col("doc_id").as("id"))))
+          .orderBy("id")
+      },
+      s"""WITH RECURSIVE sh AS ($ShinglesSql),
+         | sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+         | inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+         |           FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id
+         |           GROUP BY 1, 2),
+         | pairs AS (SELECT id_a, id_b FROM inter
+         |           JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+         |           WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.2),
+         | edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |           UNION SELECT id_b AS u, id_a AS v FROM pairs),
+         | reach AS (SELECT u, v FROM edges
+         |           UNION
+         |           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |           WHERE e.v <> r.u),
+         | comp AS (SELECT u AS id, MIN(v) AS mn FROM reach GROUP BY u)
+         | SELECT d.doc_id AS id, COALESCE(LEAST(c.id, c.mn), d.doc_id) AS component
+         | FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         | ORDER BY id""".stripMargin),
+
+    // ---- chunk-granular global dedup (C4-style) -------------------------
+    // 20-word non-overlapping chunks; only the global first occurrence of
+    // each distinct chunk survives (ordered by doc_id, chunk_id).
+    ("d9_chunk_dedup",
+      (s, d) => Dedup.chunkDedup(spread(t(s, d, "documents")), chunkTokens = 20)
+        .orderBy("doc_id"),
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        | c AS (SELECT doc_id, i AS chunk_id,
+        |              array_to_string(words[(i*20+1):(i*20+20)], ' ') AS chunk_text
+        |       FROM w, LATERAL (SELECT unnest(generate_series(0,
+        |              CAST(greatest(1, ceil(len(w.words) / 20.0)) AS INT) - 1)) AS i) g),
+        | r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+        |                                    ORDER BY doc_id, chunk_id) AS rn FROM c)
+        | SELECT doc_id, COUNT(*) AS n_chunks,
+        |        CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |        COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' '
+        |                            ORDER BY chunk_id), '') AS text_kept
+        | FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // ---- within-doc repetition signals (Gopher-style quality filters) ---
+    ("t_repetition_stats",
+      (s, d) => TextStats.repetitionStats(spread(t(s, d, "documents")))
+        .orderBy("doc_id"),
+      """WITH wds AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        | base AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+        |                 CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct
+        |          FROM wds),
+        | bg AS (SELECT doc_id, array_to_string(words[i:i+1], ' ') AS bigram
+        |        FROM wds, LATERAL (SELECT unnest(generate_series(1,
+        |               greatest(len(wds.words) - 1, 0))) AS i) g),
+        | bgc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        | top AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bigrams
+        |         FROM bgc GROUP BY 1)
+        | SELECT b.doc_id, n_words,
+        |        1.0 - n_distinct / CAST(n_words AS DOUBLE) AS dup_word_fraction,
+        |        CAST(COALESCE(top_c, 0) AS BIGINT) AS top_bigram_count,
+        |        COALESCE(top_c / CAST(n_bigrams AS DOUBLE), 0.0) AS top_bigram_fraction
+        | FROM base b LEFT JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin),
+
+    // ---- PII scrubbing --------------------------------------------------
+    // PII is synthesized deterministically from doc_id on BOTH engines (the
+    // corpus itself is clean word salad) so the scrub is non-trivial: one
+    // email, one IPv4, one international phone per document, prepended to
+    // the real text. Patterns are the Java-regex/RE2-common subset.
+    ("t_pii_scrub",
+      (s, d) => {
+        val doc = t(s, d, "documents")
+        val synth = concat(lit("reach me at u"), col("doc_id"),
+          lit("@mail.example.com or 10.0."), col("doc_id") % 256,
+          lit(".7 or +1555000"), col("doc_id"), lit(" "), col("text"))
+        val (ne, ni, np) = TextStats.piiCounts(synth)
+        doc.select(col("doc_id"), TextStats.scrubPii(synth).as("clean"),
+            ne.as("n_emails"), ni.as("n_ips"), np.as("n_phones"))
+          .orderBy("doc_id")
+      },
+      s"""WITH s AS (SELECT doc_id,
+         |   'reach me at u' || doc_id || '@mail.example.com or 10.0.' ||
+         |   (doc_id % 256) || '.7 or +1555000' || doc_id || ' ' || text AS synth
+         |   FROM documents)
+         | SELECT doc_id,
+         |   regexp_replace(regexp_replace(regexp_replace(synth,
+         |     '${TextStats.EmailRe}', '<EMAIL>', 'g'),
+         |     '${TextStats.Ipv4Re}', '<IP>', 'g'),
+         |     '${TextStats.PhoneRe}', '<PHONE>', 'g') AS clean,
+         |   CAST(len(regexp_extract_all(synth, '${TextStats.EmailRe}')) AS BIGINT) AS n_emails,
+         |   CAST(len(regexp_extract_all(synth, '${TextStats.Ipv4Re}')) AS BIGINT) AS n_ips,
+         |   CAST(len(regexp_extract_all(synth, '${TextStats.PhoneRe}')) AS BIGINT) AS n_phones
+         | FROM s ORDER BY doc_id""".stripMargin),
+
+    // ---- per-label embedding centroids ----------------------------------
+    // dimension-parallel class-centroid aggregation in quantized integer
+    // space; the mean is one double division on exact integers so it
+    // hash-matches.
+    ("sim_label_centroids",
+      (s, d) => Similarity.labelCentroids(t(s, d, "embeddings"))
+        .orderBy("label", "dim"),
+      """WITH q AS (SELECT label,
+        |                  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        | e AS (SELECT label, i AS dim, qv[i + 1] AS q
+        |       FROM q, LATERAL (SELECT unnest(generate_series(0, len(q.qv) - 1)) AS i) g)
+        | SELECT label, CAST(dim AS INTEGER) AS dim, CAST(SUM(q) AS BIGINT) AS s,
+        |        COUNT(*) AS n, CAST(SUM(q) AS DOUBLE) / COUNT(*) AS mean_q
+        | FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin)
   )
 }

@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.ConnectedComponents
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Large-star/small-star connected components vs a driver-side union-find
+  * reference, plus convergence and cluster-dedup semantics.
+  */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Naive union-find over the same edges. */
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
+  test("random graphs match union-find (components = min reachable id)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 60
+      val edges = Seq.fill(50 + trial * 20)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val expect = unionFind(n, edges)
+      val got = ConnectedComponents.components(
+          edges.toDF("src", "dst"),
+          vertices = Some((0 until n).map(_.toLong).toDF("id")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size == n)
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
+  test("path graph (worst-case diameter) converges and collapses to node 0") {
+    val n = 200
+    val edges = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
+    val got = ConnectedComponents.components(edges).collect()
+    assert(got.length == n)
+    assert(got.forall(_.getLong(1) == 0L))
+  }
+
+  test("isolated vertices label as their own singleton component") {
+    val edges = Seq((10L, 11L)).toDF("src", "dst")
+    val verts = Seq(10L, 11L, 99L).toDF("id")
+    val got = ConnectedComponents.components(edges, vertices = Some(verts))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
+  test("dedupByComponents is transitive where pairwise greedy is not") {
+    // cluster {1,2,3} confirmed only through pairs (1,3),(2,3): greedy
+    // pairwise drop removes only 3; component resolution keeps only root 1.
+    val docs = Seq((1L, "x"), (2L, "y"), (3L, "z"), (7L, "w")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = ConnectedComponents.dedupByComponents(docs, pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 7L))
+  }
+
+  test("non-convergence within maxIter fails fast instead of mislabeling") {
+    val edges = (0 until 64).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      ConnectedComponents.components(edges, maxIter = 1)
+    }
+  }
+}

@@ -108,6 +108,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(q == Seq(319L))
   }
 
+  test("labelCentroids: exact per-(label, dim) sums, counts, and means") {
+    val v = Seq(
+      (0, Seq(1.0f, 2.0f)),
+      (0, Seq(3.0f, 4.0f)),
+      (1, Seq(-1.0f, 0.5f))
+    ).toDF("label", "embedding")
+    val got = Similarity.labelCentroids(v).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got((0, 0)) == ((4000L, 2L, 2000.0)))
+    assert(got((0, 1)) == ((6000L, 2L, 3000.0)))
+    assert(got((1, 0)) == ((-1000L, 1L, -1000.0)))
+    assert(got((1, 1)) == ((500L, 1L, 500.0)))
+  }
+
   test("cosine top-k finds the aligned vector first") {
     val v = vecs(
       0L -> Seq(1f, 0f, 0f, 0f),

@@ -1,0 +1,69 @@
+package graft
+
+import graft.llm.{Dedup, TextStats}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-4 text-pipeline additions: repetition signals, PII scrubbing, and
+  * chunk-granular global dedup.
+  */
+class TextPipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("repetitionStats: exact fractions on hand-computed docs") {
+    val docs = Seq(
+      (1L, "a b a b a"),    // 5 words, 2 distinct; bigrams: "a b"x2,"b a"x2 -> top 2 of 4
+      (2L, "x y z w"),      // all distinct; 3 bigrams each once
+      (3L, "solo")          // 1 word, no bigrams
+    ).toDF("doc_id", "text")
+    val got = TextStats.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got(1L) == ((5L, 1.0 - 2.0 / 5, 2L, 2.0 / 4)))
+    assert(got(2L) == ((4L, 0.0, 1L, 1.0 / 3)))
+    assert(got(3L) == ((1L, 0.0, 0L, 0.0)))
+  }
+
+  test("scrubPii redacts emails, IPv4s, and phones; counts agree") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@sub.example.org and 192.168.0.1 call +4915512345678 done"),
+      (2L, "no pii here 1234 dots. end"),
+      (3L, "two ips 10.0.0.1 8.8.8.8 and a@b.co")
+    ).toDF("id", "text")
+    val (ne, ni, np) = TextStats.piiCounts(col("text"))
+    val got = df.select(col("id"), TextStats.scrubPii(col("text")).as("clean"),
+        ne.as("e"), ni.as("i"), np.as("p"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(1L)._1 == "mail <EMAIL> and <IP> call <PHONE> done")
+    assert((got(1L)._2, got(1L)._3, got(1L)._4) == ((1L, 1L, 1L)))
+    assert(got(2L)._1 == "no pii here 1234 dots. end") // untouched
+    assert(got(3L)._1 == "two ips <IP> <IP> and <EMAIL>")
+    // email host is consumed by the email pass, never re-matched as an IP
+    assert((got(3L)._3, got(3L)._2) == ((2L, 1L)))
+  }
+
+  test("chunkDedup keeps only the global first occurrence of each chunk") {
+    // 2-word chunks. doc 1: [a b][c d]; doc 2: [c d][e f] -> [c d] dropped;
+    // doc 3 duplicates doc 1 entirely -> nothing kept.
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "c d e f"),
+      (3L, "a b c d")
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(docs, chunkTokens = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((2L, 2L, "a b c d")))
+    assert(got(2L) == ((2L, 1L, "e f")))
+    assert(got(3L) == ((2L, 0L, "")))
+  }
+
+  test("chunkDedup short-final-chunk and single-chunk docs round-trip") {
+    val docs = Seq((1L, "p q r"), (2L, "z")).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(docs, chunkTokens = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((2L, 2L, "p q r"))) // [p q][r] both kept, rejoined in order
+    assert(got(2L) == ((1L, 1L, "z")))
+  }
+}
