@@ -64,6 +64,18 @@ object ScaleProbe {
     timed("removeNearDuplicates") {
       Dedup.removeNearDuplicates(scaled, minJaccard = 0.2).count()
     }
+    timed("components (LSH cand graph)") {
+      // cluster resolution over the candidate pair graph: the duplicate
+      // clusters of size ~mult/2 exercise both star ops' hub handling and
+      // the per-round convergence fingerprint at real pair volumes
+      val pairs = Dedup.lshCandidates(
+        Dedup.minhashSignatures(Dedup.wordShingles(scaled, 3), 12), 4, 3,
+        maxBucket = 64)
+      graft.ops.ConnectedComponents.components(pairs, "id_a", "id_b").count()
+    }
+    timed("chunkDedup (20-word chunks)") {
+      Dedup.chunkDedup(scaled, chunkTokens = 20).count()
+    }
     scaled.unpersist()
 
     // similarity path at the same multiplier: exact copies (even k) again

@@ -102,6 +102,28 @@ object GraphQueries {
       """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orders,
         |        COUNT(DISTINCT l_partkey) AS n_parts FROM lineitem""".stripMargin),
 
+    // ---- bounded BFS traversal (k-hop neighborhood) ---------------------
+    // binary-tree-shaped edges derived from customer keys (parent k/2 ->
+    // child k): deep, deterministic, and identical on both engines. BFS
+    // from node 1 within 5 hops labels each reachable key with floor(log2)
+    // depth; the oracle is an independent recursive-CTE walk + MIN(level).
+    ("g_bfs_levels",
+      (s, d) => {
+        val edges = t(s, d, "customer").select(
+          floor(col("c_custkey") / 2).cast("long").as("src"),
+          col("c_custkey").as("dst"))
+        val sources = s.range(1, 2).toDF("id")
+        graft.ops.GraphTraversal.bfsLevels(edges, sources, maxHops = 5)
+          .orderBy("id")
+      },
+      """WITH RECURSIVE e AS (SELECT c_custkey // 2 AS src, c_custkey AS dst
+        |                     FROM customer),
+        | walk AS (SELECT CAST(1 AS BIGINT) AS id, 0 AS level
+        |          UNION
+        |          SELECT e.dst AS id, w.level + 1 AS level
+        |          FROM walk w JOIN e ON e.src = w.id WHERE w.level < 5)
+        | SELECT id, MIN(level) AS level FROM walk GROUP BY id ORDER BY id""".stripMargin),
+
     // ---- approximate aggregates (engine-specific sketches; rows-only) ---
     ("a7_approx",
       (s, d) => t(s, d, "lineitem").agg(

@@ -64,6 +64,19 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 7L))
   }
 
+  test("bfsLevels: min-hop levels under cycles; hop bound; unreachable absent") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (4L, 5L), (9L, 10L))
+      .toDF("src", "dst")
+    val got = graft.ops.GraphTraversal.bfsLevels(edges, Seq(1L).toDF("id"), maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // node 5 is 3 hops away (beyond bound); 9/10 unreachable; the 3->1
+    // cycle must not relabel node 1
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 2))
+    val full = graft.ops.GraphTraversal.bfsLevels(edges, Seq(1L).toDF("id"), maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(full == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 3))
+  }
+
   test("non-convergence within maxIter fails fast instead of mislabeling") {
     val edges = (0 until 64).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
     intercept[IllegalStateException] {
