@@ -90,6 +90,61 @@ object Sampling {
     * it stays one shuffle on the shard key.
     * Emits the input plus `n_tokens` and `pack_id`.
     */
+  /** Token-budget domain mixing: keep, per domain, a deterministic
+    * pseudo-random prefix of documents whose token counts fill that domain's
+    * budget (the "sample common-crawl down to N billion tokens, keep all of
+    * books" step that turns a raw corpus into a training mix). Documents are
+    * ordered by their salted content-hash key (reproducible on any engine /
+    * partitioning, like every sampler here); a doc is kept iff it STARTS
+    * before its domain's budget is exhausted, so each domain overshoots by
+    * at most one document (the [[packSequences]] boundary convention).
+    * Emits the kept rows plus `n_tokens` and `cum_tokens` (running domain
+    * total through this doc).
+    *
+    * Scale shape: the naive form is one window over `partitionBy(domain)` —
+    * a HANDFUL of fat keys, i.e. one reducer per domain sorting billions of
+    * rows at 100 TB. Instead the hash key's first `bucketHexChars` chars
+    * split every domain into 16^bucketHexChars ordered sub-buckets:
+    * per-(domain, bucket) token sums are ONE map-combinable aggregate on a
+    * tiny result; a window over that summary (thousands of rows) yields each
+    * bucket's base offset; the per-doc running sum then runs inside
+    * (domain, bucket) — fine-grained uniform keys — and adds the broadcast
+    * base offset. Same answer as the flat window (bucket = key prefix, so
+    * (bucket, key) order IS key order), but every shuffle is uniform.
+    */
+  def tokenBudgetMix(docs: DataFrame, idCol: String, domainCol: String,
+                     tokensCol: Column, budgets: Map[String, Long],
+                     defaultBudget: Long = Long.MaxValue, salt: String = "mix",
+                     bucketHexChars: Int = 2): DataFrame = {
+    require(bucketHexChars >= 1 && bucketHexChars <= 7,
+      s"bucketHexChars must be in [1,7]: $bucketHexChars")
+    val reserved = Seq("n_tokens", "cum_tokens", "mix_key", "mix_bucket", "base_tokens")
+    require(!docs.columns.exists(reserved.contains),
+      s"tokenBudgetMix: input already has one of ${reserved.mkString(", ")}")
+    val base = docs
+      .withColumn("mix_key", hashKey(col(idCol), salt))
+      .withColumn("mix_bucket", substring(col("mix_key"), 1, bucketHexChars))
+      .withColumn("n_tokens", tokensCol.cast("long"))
+    val bucketSums = base.groupBy(col(domainCol), col("mix_bucket"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+    val offsets = bucketSums
+      .withColumn("base_tokens",
+        coalesce(sum(col("bucket_tokens")).over(
+          Window.partitionBy(col(domainCol)).orderBy(col("mix_bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("bucket_tokens")
+    val inBucket = Window.partitionBy(col(domainCol), col("mix_bucket"))
+      .orderBy(col("mix_key"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budgetCol = budgets.toSeq.sortBy(_._1).foldRight(lit(defaultBudget)) {
+      case ((domain, b), rest) => when(col(domainCol) === lit(domain), lit(b)).otherwise(rest)
+    }
+    base.join(broadcast(offsets), Seq(domainCol, "mix_bucket"))
+      .withColumn("cum_tokens", col("base_tokens") + sum(col("n_tokens")).over(inBucket))
+      .filter(col("cum_tokens") - col("n_tokens") < budgetCol)
+      .drop("mix_key", "mix_bucket", "base_tokens")
+  }
+
   def packSequences(docs: DataFrame, idCol: String, shardCol: String,
                     tokensCol: Column, capacity: Long): DataFrame = {
     require(capacity > 0, "capacity must be positive")

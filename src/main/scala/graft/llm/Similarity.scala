@@ -216,25 +216,35 @@ object Similarity {
                                     centroidsQ: Seq[Seq[Long]], nProbe: Int = 4,
                                     idCol: String = "vec_id", embCol: String = "embedding",
                                     scale: Int = 1000): DataFrame = {
-    require(centroidsQ.nonEmpty, "ivfTopK: centroid list must be non-empty")
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), quantize(col(embCol), scale).as("cv"))
+      .withColumn("cell", assignCellUdf(centroidsQ)(col("cv")))
+    probeAndRank(queries, assigned, centroidsQ, k, nProbe, idCol, embCol, scale)
+  }
+
+  /** vector → nearest-cell assignment kernel: argmin_i ||v - c_i||² as a
+    * map-side-only UDF over the broadcast-closure centroids — zero shuffle,
+    * zero join. A plain-loop UDF beats the equivalent nested
+    * higher-order-function expression here (HOFs evaluate interpreted per
+    * element; this is nCentroids × dims of tight arithmetic per row —
+    * measured ~2× on the bench corpus).
+    * Ties break to the lowest cell id (strict < against the running best);
+    * the early-exit (`d < bestD`) only skips additions that could not have
+    * changed the comparison, so results are identical to the full sum.
+    */
+  private def assignCellUdf(centroidsQ: Seq[Seq[Long]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(centroidsQ.nonEmpty, "centroid list must be non-empty")
     val dims = centroidsQ.head.length
     require(centroidsQ.forall(_.length == dims),
-      s"ivfTopK: all centroids must have the same dimension, got lengths " +
+      s"all centroids must have the same dimension, got lengths " +
         centroidsQ.map(_.length).distinct.mkString(", "))
-    // corpus → cell: argmin_i ||v - c_i||² as a map-side-only kernel over the
-    // broadcast-closure centroids — zero shuffle, zero join. A plain-loop UDF
-    // beats the equivalent nested higher-order-function expression here
-    // (HOFs evaluate interpreted per element; this is nCentroids × dims of
-    // tight arithmetic per row — measured ~2× on the bench corpus).
-    // Ties break to the lowest cell id (strict < against the running best);
-    // the early-exit (`d < bestD`) only skips additions that could not have
-    // changed the comparison, so results are identical to the full sum.
     val cents: Array[Array[Long]] = centroidsQ.map(_.toArray).toArray
-    val assignCell = udf { (v: Seq[Long]) =>
+    udf { (v: Seq[Long]) =>
       require(v != null,
-        "ivfTopK: null embedding — filter null vectors before similarity search")
+        "cell assignment: null embedding — filter null vectors before similarity search")
       require(v.length == dims,
-        s"ivfTopK: embedding length ${v.length} != centroid dimension $dims")
+        s"cell assignment: embedding length ${v.length} != centroid dimension $dims")
       val x = v.toArray
       var best = 0; var bestD = Long.MaxValue
       var i = 0
@@ -247,10 +257,46 @@ object Similarity {
       }
       best
     }
-    val assigned = corpus
-      .select(col(idCol).as("neighbor_id"), quantize(col(embCol), scale).as("cv"))
-      .withColumn("cell", assignCell(col("cv")))
-    probeAndRank(queries, assigned, centroidsQ, k, nProbe, idCol, embCol, scale)
+  }
+
+  /** SemDeDup-style semantic dedup: assign every vector to its nearest
+    * coarse-quantizer cell (same offline-centroid contract as
+    * [[ivfTopKWithQuantizedCentroids]] — integer-exact argmin), compare all
+    * pairs WITHIN a cell by exact quantized cosine, and greedily drop the
+    * higher id of every pair with cosine ≥ `tau`. Returns the kept vectors
+    * as (idCol, cell). Near-duplicate *meanings* — paraphrases, re-crawls,
+    * translations embedded close together — dedup here where n-gram methods
+    * see distinct texts.
+    *
+    * Scale shape: assignment is map-side (no fit job, no shuffle); the
+    * within-cell pairing is a merge-hinted self-equi-join on `cell` — cell
+    * populations are corpus/k, so k must grow with the corpus (the SemDeDup
+    * operating point) to bound the O(Σ cell²) pair table; sort-merge spills
+    * where a per-cell collect_list would OOM one reducer. The pair and drop
+    * tables are data-dependent (dup-density-bound), hence MERGE hints
+    * throughout (static size estimates for them are meaningless — the
+    * mis-planned-broadcast lesson).
+    */
+  def semanticDedup(vectors: DataFrame, centroidsQ: Seq[Seq[Long]], tau: Double,
+                    idCol: String = "vec_id", embCol: String = "embedding",
+                    scale: Int = 1000): DataFrame = {
+    // assigned feeds three consumers (both self-join sides + the anti-join
+    // base): materialize once — otherwise each branch re-scans the corpus
+    // and re-runs the nCentroids×dims assignment kernel (there is no
+    // upstream exchange for AQE to reuse; map-side work re-executes
+    // per-branch). On a multi-executor cluster prefer reliable checkpoints.
+    val assigned = vectors
+      .select(col(idCol).as("id"), quantize(col(embCol), scale).as("qv"))
+      .withColumn("cell", assignCellUdf(centroidsQ)(col("qv")))
+      .localCheckpoint(true)
+    val left = assigned.select(col("cell"), col("id").as("id_a"), col("qv").as("qa"))
+    val right = assigned.select(col("cell"), col("id").as("id_b"), col("qv").as("qb"))
+    val drops = left.join(right.hint("merge"), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosineQ(col("qa"), col("qb")) >= tau)
+      .select(col("id_b").as("id")).distinct()
+    assigned.join(drops.hint("merge"), Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("cell"))
   }
 
   /** Shared IVF tail: probe each query's `nProbe` nearest cells (broadcast

@@ -108,6 +108,65 @@ object TextStats {
           .as("top_bigram_fraction"))
   }
 
+  /** Thresholds for [[qualityFilter]] — the Gopher-style rule set (word
+    * count bounds, mean word length bounds, alphabetic-word floor, stopword
+    * evidence, repetition ceilings). Defaults are scaled-down versions of
+    * the published heuristics, tuned for short synthetic docs; production
+    * corpora swap in the paper values (50–100k words, etc.).
+    */
+  final case class QualityThresholds(
+      minTokens: Long = 5, maxTokens: Long = 100000,
+      minAvgWordLen: Double = 3.0, maxAvgWordLen: Double = 12.0,
+      minAlphaWordFraction: Double = 0.8,
+      minDistinctStopwords: Long = 2,
+      maxDupWordFraction: Double = 0.3,
+      maxTopBigramFraction: Double = 0.2)
+
+  /** Composite document-quality verdict (Gopher-style filtering): evaluates
+    * every rule in [[QualityThresholds]] and emits per document the signals,
+    * `fail_reasons` (comma-joined rule names in fixed order, empty when
+    * clean) and `keep`. Documents are never dropped here — routing the
+    * verdict (like the reference's deprecated-entity split) lets a pipeline
+    * quarantine rejects for audit instead of silently discarding them.
+    *
+    * Scale shape: every signal except the top-bigram share is a map-side
+    * array expression over one text scan; the bigram share needs ONE
+    * fine-grained uniform (id, bigram) shuffle plus a per-doc rollup
+    * (see [[repetitionStats]]). The final signals⋈repetition join is a
+    * per-doc-table join — output bounded by input, planner keeps freedom.
+    */
+  def qualityFilter(docs: DataFrame, t: QualityThresholds = QualityThresholds(),
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val words = split(col(textCol), " ")
+    val base = docs.select(
+      col(idCol),
+      size(words).cast("long").as("n_tokens"),
+      ((length(col(textCol)) - (size(words) - 1)).cast("double") / size(words))
+        .as("avg_word_len"),
+      (size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / size(words))
+        .as("alpha_word_fraction"),
+      size(array_distinct(filter(words,
+        w => Stopwords.map(s => w === s).reduce(_ || _)))).cast("long")
+        .as("n_distinct_stopwords"))
+    val joined = base.join(repetitionStats(docs, textCol, idCol)
+      .select(col(idCol), col("dup_word_fraction"), col("top_bigram_fraction")), Seq(idCol))
+    val rules: Seq[(String, Column)] = Seq(
+      "too_short" -> (col("n_tokens") >= t.minTokens),
+      "too_long" -> (col("n_tokens") <= t.maxTokens),
+      "word_len" -> (col("avg_word_len") >= t.minAvgWordLen &&
+        col("avg_word_len") <= t.maxAvgWordLen),
+      "non_alpha" -> (col("alpha_word_fraction") >= t.minAlphaWordFraction),
+      "no_stopwords" -> (col("n_distinct_stopwords") >= t.minDistinctStopwords),
+      "dup_words" -> (col("dup_word_fraction") <= t.maxDupWordFraction),
+      "rep_bigram" -> (col("top_bigram_fraction") <= t.maxTopBigramFraction))
+    val reasons = array_compact(array(rules.map { case (name, pass) =>
+      when(!pass, lit(name)).otherwise(lit(null).cast("string"))
+    }: _*))
+    joined
+      .withColumn("fail_reasons", array_join(reasons, ","))
+      .withColumn("keep", col("fail_reasons") === "")
+  }
+
   /** PII redaction patterns — deliberately restricted to a regex subset
     * with identical semantics in Java regex (Spark codegen) and RE2
     * (DuckDB, Go tooling): no backreferences, no lookaround, explicit

@@ -56,4 +56,67 @@ object GraphTraversal {
     }
     visited
   }
+
+  /** Per-vertex triangle counts over an UNDIRECTED graph (edge direction and
+    * duplicates are normalized away; self-loops dropped). Output: one row per
+    * vertex — (`id`, `n_triangles`), including zero-triangle vertices.
+    *
+    * Algorithm: degree-ordered orientation + wedge closing. Every undirected
+    * edge is oriented from its lower-(degree, id) endpoint to the higher one
+    * (a total order, so orientation is deterministic and acyclic); each
+    * triangle is then found EXACTLY once as a wedge u→v, u→w (ordered
+    * v before w in the same total order) closed by the oriented edge v→w.
+    *
+    * Scale notes (100 TB): orientation is THE trick that survives skew — a
+    * degree-d hub fans out d² wedges in a naive formulation, but oriented
+    * out-degrees are bounded by O(√m) on any graph (arboricity bound), so
+    * total wedge count is O(m^1.5) regardless of hubs. The wedge self-join
+    * and the closing join are pair tables — data-dependent sizes whose
+    * static estimates are meaningless — so both carry MERGE hints (the
+    * mis-planned-broadcast lesson); all joins are equi-joins on vertex keys.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String = "src",
+                     dstCol: String = "dst"): DataFrame = {
+    // und feeds two consumers (degrees + orientation) and oriented feeds
+    // THREE (both wedge sides + the closing-edge probe): materialize each
+    // once with eager localCheckpoint — the formatted plan otherwise
+    // re-executes the whole normalize/degree subtree per consumer whenever
+    // exchange reuse fails (the lshCandidates lesson; on a multi-executor
+    // cluster prefer reliable checkpoints).
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // orient a—b from lower (deg, id) to higher; keep the head's (deg, id)
+    // so wedges can order their two far endpoints by the SAME total order
+    val aFirst = und
+      .join(deg.withColumnsRenamed(Map("v" -> "a", "deg" -> "deg_a")), Seq("a"))
+      .join(deg.withColumnsRenamed(Map("v" -> "b", "deg" -> "deg_b")), Seq("b"))
+      .withColumn("fwd",
+        col("deg_a") < col("deg_b") || (col("deg_a") === col("deg_b") && col("a") < col("b")))
+    val oriented = aFirst.select(
+      when(col("fwd"), col("a")).otherwise(col("b")).as("u"),
+      when(col("fwd"), col("b")).otherwise(col("a")).as("v"),
+      when(col("fwd"), col("deg_b")).otherwise(col("deg_a")).as("deg_v"))
+      .localCheckpoint(true)
+    val w1 = oriented.select(col("u"), col("v").as("x"), col("deg_v").as("deg_x"))
+    val w2 = oriented.select(col("u"), col("v").as("y"), col("deg_v").as("deg_y"))
+    val wedges = w1.join(w2.hint("merge"), Seq("u"))
+      .filter(col("deg_x") < col("deg_y") ||
+        (col("deg_x") === col("deg_y") && col("x") < col("y")))
+    val triangles = wedges
+      .join(oriented.select(col("u").as("x"), col("v").as("y")).hint("merge"),
+        Seq("x", "y"), "left_semi")
+      .select("u", "x", "y")
+    val perVertex = triangles
+      .select(explode(array(col("u"), col("x"), col("y"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_triangles"))
+    deg.select(col("v").as("id"))
+      .join(perVertex.withColumnRenamed("v", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
 }

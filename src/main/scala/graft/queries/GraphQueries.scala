@@ -124,6 +124,47 @@ object GraphQueries {
         |          FROM walk w JOIN e ON e.src = w.id WHERE w.level < 5)
         | SELECT id, MIN(level) AS level FROM walk GROUP BY id ORDER BY id""".stripMargin),
 
+    // ---- per-vertex triangle counts -------------------------------------
+    // successor edges k -> k+d (d in 1..3) over customer keys: every interior
+    // key closes triangles with its near successors, so counts are dense and
+    // non-uniform at the range edges. Engine = degree-ordered orientation +
+    // wedge closing (O(m^1.5) bound); oracle = direct 3-way join over the
+    // canonical undirected edge set with the SAME orientation spelled out.
+    ("g_triangles",
+      (s, d) => {
+        val k = col("c_custkey")
+        val edges = (1 to 3).map(delta =>
+            t(s, d, "customer").select(k.as("src"), (k + delta).as("dst")))
+          .reduce(_ union _)
+        graft.ops.GraphTraversal.triangleCounts(edges)
+          .orderBy("id")
+      },
+      """WITH e0 AS (SELECT c_custkey AS src, c_custkey + d AS dst
+        |            FROM customer, LATERAL (SELECT unnest(generate_series(1, 3)) AS d) g),
+        | und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |         FROM e0 WHERE src <> dst),
+        | deg AS (SELECT v, COUNT(*) AS deg
+        |         FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+        |         GROUP BY v),
+        | o AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+        |                   THEN a ELSE b END AS u,
+        |              CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+        |                   THEN b ELSE a END AS v,
+        |              CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+        |                   THEN db.deg ELSE da.deg END AS deg_v
+        |       FROM und JOIN deg da ON da.v = a JOIN deg db ON db.v = b),
+        | tri AS (SELECT o1.u, o1.v AS x, o2.v AS y
+        |         FROM o o1 JOIN o o2 ON o1.u = o2.u
+        |          AND (o1.deg_v < o2.deg_v OR (o1.deg_v = o2.deg_v AND o1.v < o2.v))
+        |         JOIN o oc ON oc.u = o1.v AND oc.v = o2.v),
+        | pv AS (SELECT v, COUNT(*) AS c
+        |        FROM (SELECT u AS v FROM tri UNION ALL SELECT x AS v FROM tri
+        |              UNION ALL SELECT y AS v FROM tri)
+        |        GROUP BY v)
+        | SELECT deg.v AS id, COALESCE(pv.c, 0) AS n_triangles
+        | FROM deg LEFT JOIN pv ON pv.v = deg.v
+        | ORDER BY id""".stripMargin),
+
     // ---- approximate aggregates (engine-specific sketches; rows-only) ---
     ("a7_approx",
       (s, d) => t(s, d, "lineitem").agg(

@@ -684,6 +684,109 @@ object PipelineQueries {
         |       FROM q, LATERAL (SELECT unnest(generate_series(0, len(q.qv) - 1)) AS i) g)
         | SELECT label, CAST(dim AS INTEGER) AS dim, CAST(SUM(q) AS BIGINT) AS s,
         |        COUNT(*) AS n, CAST(SUM(q) AS DOUBLE) / COUNT(*) AS mean_q
-        | FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin)
+        | FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin),
+
+    // ---- composite quality verdict (Gopher-style rule routing) ----------
+    // every rule evaluated, failures named in fixed order — a routed split
+    // (audit the rejects), never a silent drop.
+    ("t_quality_filter",
+      (s, d) => TextStats.qualityFilter(spread(t(s, d, "documents")))
+        .select("doc_id", "n_tokens", "avg_word_len", "alpha_word_fraction",
+          "n_distinct_stopwords", "dup_word_fraction", "top_bigram_fraction",
+          "fail_reasons", "keep")
+        .orderBy("doc_id"),
+      """WITH wds AS (SELECT doc_id, string_split(text, ' ') AS words, text FROM documents),
+        | base AS (SELECT doc_id,
+        |            CAST(len(words) AS BIGINT) AS n_tokens,
+        |            CAST(length(text) - (len(words) - 1) AS DOUBLE) / len(words) AS avg_word_len,
+        |            CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |              / len(words) AS alpha_word_fraction,
+        |            CAST(len(list_distinct(list_filter(words,
+        |              w -> w IN ('the','a','an','of','to','and','in','is','it','that')))) AS BIGINT)
+        |              AS n_distinct_stopwords,
+        |            CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
+        |            CAST(len(words) AS BIGINT) AS n_words
+        |          FROM wds),
+        | bg AS (SELECT doc_id, array_to_string(words[i:i+1], ' ') AS bigram
+        |        FROM wds, LATERAL (SELECT unnest(generate_series(1,
+        |               greatest(len(wds.words) - 1, 0))) AS i) g),
+        | bgc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        | top AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bigrams FROM bgc GROUP BY 1),
+        | sig AS (SELECT b.doc_id, n_tokens, avg_word_len, alpha_word_fraction,
+        |                n_distinct_stopwords,
+        |                1.0 - n_distinct / CAST(n_words AS DOUBLE) AS dup_word_fraction,
+        |                COALESCE(top_c / CAST(n_bigrams AS DOUBLE), 0.0) AS top_bigram_fraction
+        |         FROM base b LEFT JOIN top USING (doc_id)),
+        | v AS (SELECT *,
+        |         COALESCE(array_to_string(list_filter([
+        |           CASE WHEN NOT (n_tokens >= 5) THEN 'too_short' END,
+        |           CASE WHEN NOT (n_tokens <= 100000) THEN 'too_long' END,
+        |           CASE WHEN NOT (avg_word_len >= 3.0 AND avg_word_len <= 12.0) THEN 'word_len' END,
+        |           CASE WHEN NOT (alpha_word_fraction >= 0.8) THEN 'non_alpha' END,
+        |           CASE WHEN NOT (n_distinct_stopwords >= 2) THEN 'no_stopwords' END,
+        |           CASE WHEN NOT (dup_word_fraction <= 0.3) THEN 'dup_words' END,
+        |           CASE WHEN NOT (top_bigram_fraction <= 0.2) THEN 'rep_bigram' END
+        |         ], x -> x IS NOT NULL), ','), '') AS fail_reasons
+        |       FROM sig)
+        | SELECT doc_id, n_tokens, avg_word_len, alpha_word_fraction,
+        |        n_distinct_stopwords, dup_word_fraction, top_bigram_fraction,
+        |        fail_reasons, fail_reasons = '' AS keep
+        | FROM v ORDER BY doc_id""".stripMargin),
+
+    // ---- token-budget domain mixing -------------------------------------
+    // per-domain budgets in tokens; membership is hash-ordered and exact —
+    // the oracle's flat per-domain window equals the engine's bucketed
+    // two-level form because the bucket is a prefix of the ordering key.
+    ("t_domain_mix",
+      (s, d) => Sampling.tokenBudgetMix(t(s, d, "documents"),
+          idCol = "doc_id", domainCol = "source",
+          tokensCol = size(split(col("text"), " ")),
+          budgets = Map("src0" -> 2000L, "src1" -> 5000L), defaultBudget = 10000L)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .orderBy("doc_id"),
+      """WITH d AS (SELECT doc_id, source,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |                  substr(md5('mix:' || doc_id), 1, 8) AS k
+        |           FROM documents),
+        | c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY k, doc_id
+        |                                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |       FROM d)
+        | SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens FROM c
+        | WHERE cum_tokens - n_tokens <
+        |   CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 5000 ELSE 10000 END
+        | ORDER BY doc_id""".stripMargin),
+
+    // ---- semantic dedup (SemDeDup: cluster, then drop close meanings) ----
+    // same offline first-16-vector quantizer as sim_ivf_topk; within-cell
+    // exact quantized cosine >= tau drops the higher id of each close pair.
+    ("sim_semantic_dedup",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cents: Seq[Seq[Long]] = e.filter(col("vec_id") < 16).orderBy("vec_id")
+          .select(Similarity.quantize(col("embedding")).as("qc"))
+          .collect().map(_.getSeq[Long](0).toSeq).toSeq
+        Similarity.semanticDedup(e, cents, tau = 0.15)
+          .orderBy("vec_id")
+      },
+      """WITH cents AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+        |                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS ce
+        |               FROM embeddings WHERE vec_id < 16),
+        | corp AS (SELECT vec_id AS id,
+        |                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+        |          FROM embeddings),
+        | asg AS (SELECT id, qv, cell FROM (
+        |    SELECT c.id, c.qv, ce.cell,
+        |           ROW_NUMBER() OVER (PARTITION BY c.id ORDER BY
+        |             list_dot_product(c.qv, c.qv) - 2*list_dot_product(c.qv, ce.ce)
+        |               + list_dot_product(ce.ce, ce.ce), ce.cell) AS rn
+        |    FROM corp c CROSS JOIN cents ce) WHERE rn = 1),
+        | drops AS (SELECT DISTINCT b.id FROM asg a JOIN asg b USING (cell)
+        |           WHERE a.id < b.id
+        |             AND list_dot_product(a.qv, b.qv) /
+        |                 (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv)))
+        |               >= 0.15)
+        | SELECT id AS vec_id, CAST(cell AS INTEGER) AS cell FROM asg
+        | WHERE id NOT IN (SELECT id FROM drops)
+        | ORDER BY vec_id""".stripMargin)
   )
 }

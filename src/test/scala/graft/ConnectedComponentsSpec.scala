@@ -83,4 +83,38 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       ConnectedComponents.components(edges, maxIter = 1)
     }
   }
+
+  test("triangleCounts: K4 normalizes direction/dups/self-loops; 4 triangles") {
+    // K4 given messily: mixed directions, a duplicate edge, a self-loop
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (4L, 1L), (2L, 3L), (4L, 2L),
+      (3L, 4L), (3L, 4L), (2L, 2L)).toDF("src", "dst")
+    val got = graft.ops.GraphTraversal.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each K4 vertex is in C(3,2)=3 of the 4 triangles
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: triangle-free path graph counts zero everywhere") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = graft.ops.GraphTraversal.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+  }
+
+  test("triangleCounts matches a brute-force count on a pseudo-random graph") {
+    val raw = (0 until 120).map(i => ((i * 7 % 24).toLong, (i * 13 % 24).toLong))
+    val und = raw.collect { case (a, b) if a != b => (a min b, a max b) }.distinct
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      .withDefaultValue(Set.empty[Long])
+    val naive = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      (a, b) <- und
+      c <- adj(b) if adj(a).contains(c) // a<b<c with edges ab, bc, ac
+    } { naive(a) += 1; naive(b) += 1; naive(c) += 1 }
+    val vertices = und.flatMap(e => Seq(e._1, e._2)).distinct
+    val expected = vertices.map(v => v -> naive(v)).toMap
+    val got = graft.ops.GraphTraversal.triangleCounts(raw.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
 }

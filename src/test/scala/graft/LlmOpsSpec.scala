@@ -338,6 +338,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(banded == expected)
   }
 
+  test("semanticDedup drops within-cell near-duplicates, keeps lowest id") {
+    val e1 = (d: Int) => if (d == 0) 1f else 0f
+    val e2 = (d: Int) => if (d == 1) 1f else 0f
+    val v = vecs(
+      1L -> Seq.tabulate(8)(e1),
+      2L -> Seq.tabulate(8)(d => 0.9f * e1(d) + 0.1f * e2(d)), // cos≈0.994 to id 1
+      3L -> Seq.tabulate(8)(e2),
+      4L -> Seq.tabulate(8)(d => 0.05f * e1(d) + 0.95f * e2(d)), // cos≈0.999 to id 3
+      // boundary straddlers: nearly identical but argmin puts them in
+      // different cells, so SemDeDup never compares them (the method's
+      // documented blind spot — recall is bounded by quantizer granularity)
+      6L -> Seq.tabulate(8)(d => 0.51f * e1(d) + 0.49f * e2(d)),
+      7L -> Seq.tabulate(8)(d => 0.49f * e1(d) + 0.51f * e2(d)))
+    val cents = Seq(Seq(1000L, 0L, 0L, 0L, 0L, 0L, 0L, 0L),
+      Seq(0L, 1000L, 0L, 0L, 0L, 0L, 0L, 0L))
+    val kept = Similarity.semanticDedup(v, cents, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(kept == Map(1L -> 0, 3L -> 1, 6L -> 0, 7L -> 1))
+    // tau above every attainable cosine: nothing drops
+    val all = Similarity.semanticDedup(v, cents, tau = 1.01)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L, 2L, 3L, 4L, 6L, 7L))
+  }
+
   test("jaccardPairs maxDF drops hot shingles, bounds fan-out, and reports the drop") {
     // 6 docs share the hot shingle "x y z" (df=6 -> 15 pairs from one row);
     // docs 0 and 1 additionally share 3 rare shingles.

@@ -141,4 +141,46 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(packed == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
     // packs never start past capacity: every pack's first doc begins within it
   }
+
+  test("tokenBudgetMix equals the flat per-domain window at any bucket width") {
+    val docs = (0L until 300L)
+      .map(i => (i, s"dom${i % 3}", "w " * (i.toInt % 17 + 1)))
+      .toDF("doc_id", "domain", "text")
+    val budgets = Map("dom0" -> 200L, "dom1" -> 450L)
+    // independent naive formulation: one flat window per domain over the
+    // same hash order, evaluated driver-side
+    val keyed = docs.select(col("doc_id"), col("domain"),
+        size(split(col("text"), " ")).cast("long").as("n"),
+        Sampling.hashKey(col("doc_id"), "mix").as("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val expected = keyed.groupBy(_._2).toSeq.flatMap { case (dom, rows) =>
+      val budget = budgets.getOrElse(dom, 100L)
+      var cum = 0L
+      rows.sortBy(r => (r._4, r._1)).toSeq.flatMap { case (id, _, n, _) =>
+        val start = cum; cum += n
+        if (start < budget) Some(id -> (cum: java.lang.Long)) else None
+      }
+    }.toMap
+    for (width <- Seq(1, 2)) {
+      val got = Sampling.tokenBudgetMix(docs, "doc_id", "domain",
+          size(split(col("text"), " ")), budgets, defaultBudget = 100L,
+          bucketHexChars = width)
+        .select("doc_id", "cum_tokens").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1): java.lang.Long)).toMap
+      assert(got == expected, s"bucketHexChars=$width")
+    }
+  }
+
+  test("tokenBudgetMix: overshoot is bounded by one document per domain") {
+    val docs = (0L until 200L).map(i => (i, "d", "t " * 10)).toDF("doc_id", "domain", "text")
+    val kept = Sampling.tokenBudgetMix(docs, "doc_id", "domain",
+        size(split(col("text"), " ")), Map("d" -> 101L))
+      .select("n_tokens").collect().map(_.getLong(0))
+    // 11-token docs; budget 101: docs starting at 0,11,...,99 kept -> 10 docs
+    assert(kept.length == 10 && kept.sum == 110L) // overshoot 9 < one doc
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetMix(docs.withColumn("n_tokens", lit(1L)),
+        "doc_id", "domain", lit(1L), Map("d" -> 10L))
+    }
+  }
 }

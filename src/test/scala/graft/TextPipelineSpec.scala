@@ -66,4 +66,34 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got(1L) == ((2L, 2L, "p q r"))) // [p q][r] both kept, rejoined in order
     assert(got(2L) == ((1L, 1L, "z")))
   }
+
+  test("qualityFilter: clean doc keeps; failed rules named in fixed order") {
+    val docs = Seq(
+      // 12 tokens, avg_word_len 51/12=4.25, all alphabetic, stopwords
+      // {the, that}, dup 1/12, 11 once-each bigrams -> clean
+      (1L, "the quick brown foxes jumped over the lazy dogs near that barn"),
+      // 2 tokens: too_short; no stopwords; single bigram has share 1.0
+      (2L, "tiny doc"),
+      // numeric: avg_word_len 17/6 < 3, zero alpha words, zero stopwords
+      (3L, "12 34 5678 999 000 111"),
+      // "the"x5 + "is": avg 17/6 < 3, dup 1-2/6 > 0.3, top bigram 4/5 > 0.2
+      (4L, "the the the the the is")
+    ).toDF("doc_id", "text")
+    val got = TextStats.qualityFilter(docs).select("doc_id", "fail_reasons", "keep")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(got(1L) == (("", true)))
+    assert(got(2L) == (("too_short,no_stopwords,rep_bigram", false)))
+    assert(got(3L) == (("word_len,non_alpha,no_stopwords", false)))
+    assert(got(4L) == (("word_len,dup_words,rep_bigram", false)))
+  }
+
+  test("qualityFilter: thresholds are configurable per rule") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    // 6 tokens, no stopwords: default rejects; relaxed stopword floor keeps
+    val strict = TextStats.qualityFilter(docs).select("keep").collect().head.getBoolean(0)
+    val relaxed = TextStats.qualityFilter(docs,
+        TextStats.QualityThresholds(minDistinctStopwords = 0))
+      .select("keep").collect().head.getBoolean(0)
+    assert(!strict && relaxed)
+  }
 }
