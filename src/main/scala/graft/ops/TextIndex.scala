@@ -159,6 +159,51 @@ object TextIndex {
     tokens.filter(col("token") === lower(lit(query)) || col("token") === lit(query))
       .select("collection", "key", "field", "analyzer").distinct()
 
+  /** Ranked multi-term retrieval over the `text_en` analyzer: top-`k`
+    * documents by a deterministic integer tf-idf. Query terms are stemmed
+    * ENGINE-side with the same [[stemEn]] the index uses (so "develops"
+    * matches "developing"); per (doc, term) tf is the stemmed-occurrence
+    * count, and each term contributes
+    * `round(tf · (2N − 2·df + 1) · scale / (2·df + 1))` — the BM25 odds
+    * ratio `(N − df + ½)/(df + ½)` as an exact integer ratio, scaled and
+    * rounded to a LONG. Why no log: libm `ln` is not bit-identical across
+    * engines, but here every input is an exact integer < 2^53, IEEE
+    * division is correctly rounded, ties at .5 are impossible (the
+    * denominator is odd), and the LONG sum is order-independent — so scores
+    * and ranks reproduce bit-for-bit on any engine. Rank ties break by id.
+    *
+    * Scale shape: the query-stem table is a handful of rows, BROADCAST and
+    * semi-joined BEFORE the tf shuffle — only rows containing a query term
+    * ever reach an exchange; df derives from the tf table (tiny: matching
+    * docs × |query|); top-k is sort+limit (TakeOrderedAndProject — each
+    * partition keeps k, no global sort), and the rank window runs on k rows.
+    */
+  def rankDocuments(docs: DataFrame, queryTerms: Seq[String], k: Int,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    scale: Long = 1000000L): DataFrame = {
+    require(queryTerms.nonEmpty, "rankDocuments: query terms must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qt = queryTerms.toDF("raw")
+      .select(stemEn(lower(col("raw"))).as("term")).distinct()
+    val tok = docs.select(col(idCol),
+        explode(textEnTokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tok.join(broadcast(qt), Seq("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val termScore = round(col("tf") * (lit(2) * col("n_docs") - lit(2) * col("df") + 1)
+      * lit(scale) / (lit(2) * col("df") + 1)).cast("long")
+    val scored = tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
+      .groupBy(col(idCol)).agg(sum(termScore).as("score"))
+      .orderBy(col("score").desc, col(idCol)).limit(k)
+    scored.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col(idCol))))
+  }
+
   /** Persist the token table bucketed by token — the scale path for point
     * lookups: a search for one token prunes to `1/numBuckets` of the files
     * (bucket pruning shows as `SelectedBucketsCount: 1 out of N` in the scan)

@@ -507,6 +507,42 @@ object PipelineQueries {
         | FROM allt WHERE token <> ''
         | ORDER BY key, analyzer, token""".stripMargin),
 
+    // ---- X1: ranked multi-term retrieval (integer tf-idf) ---------------
+    // query stems arrive PRE-stemmed in the oracle ('joins' -> 'join'): a
+    // stemming bug engine-side would shift tf/df and fail the hash, so the
+    // literal stems make the oracle stricter, not weaker. Score = summed
+    // round(tf*(2N-2df+1)*1e6/(2df+1)) — exact-integer BM25 odds ratio
+    // (log-free: libm ln is not bit-portable; see TextIndex.rankDocuments).
+    ("x1_search_rank",
+      (s, d) => TextIndex.rankDocuments(t(s, d, "documents"),
+          Seq("joins", "vector", "the"), k = 10)
+        .orderBy("doc_id"),
+      """WITH words AS (SELECT doc_id, w
+        |   FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |         FROM documents) WHERE w <> ''),
+        | st1 AS (SELECT doc_id,
+        |   CASE WHEN w LIKE '%sses' THEN substr(w, 1, length(w)-2)
+        |        WHEN w LIKE '%ies'  THEN substr(w, 1, length(w)-2)
+        |        WHEN w LIKE '%ss'   THEN w
+        |        WHEN w LIKE '%s' AND length(w) > 1 THEN substr(w, 1, length(w)-1)
+        |        ELSE w END AS s1
+        |   FROM words),
+        | tok AS (SELECT doc_id,
+        |   CASE WHEN s1 LIKE '%ing' AND length(s1) > 5 THEN substr(s1, 1, length(s1)-3)
+        |        WHEN s1 LIKE '%ed'  AND length(s1) > 4 THEN substr(s1, 1, length(s1)-2)
+        |        ELSE s1 END AS term
+        |   FROM st1),
+        | tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |        WHERE term IN ('join', 'vector', 'the') GROUP BY 1, 2),
+        | dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        | n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        | sc AS (SELECT doc_id,
+        |          CAST(SUM(CAST(round(tf * (2*n_docs - 2*df + 1) * 1000000 / (2*df + 1)) AS BIGINT)) AS BIGINT) AS score
+        |        FROM tf JOIN dfx USING (term) CROSS JOIN n GROUP BY 1)
+        | SELECT doc_id, score, CAST(rank AS INTEGER) AS rank FROM (
+        |   SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
+        | WHERE rank <= 10 ORDER BY doc_id""".stripMargin),
+
     // ---- deterministic train/val/test split -----------------------------
     // content-hash membership (md5 of salted id, lexicographic hex-prefix
     // thresholds): the same doc lands in the same split on any engine, any

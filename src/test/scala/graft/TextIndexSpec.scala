@@ -188,6 +188,25 @@ class TextIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("rankDocuments: exact integer tf-idf scores, stemmed query match, top-k") {
+    val docs = Seq(
+      (1L, "join join vector"),
+      (2L, "joins the the"),
+      (3L, "scan merge")
+    ).toDF("doc_id", "text")
+    // query "joins" stems to "join" engine-side; N=3
+    // join: df=2 -> odds (2*3-4+1)/5 = 3/5; the: df=1 -> odds 5/3
+    // doc1: round(2*3e6/5) = 1200000
+    // doc2: round(1*3e6/5) + round(2*5e6/3) = 600000 + 3333333 = 3933333
+    val got = TextIndex.rankDocuments(docs, Seq("joins", "the"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((2L, 3933333L, 1), (1L, 1200000L, 2)))
+    // k bounds the result deterministically (ties break by id)
+    val top1 = TextIndex.rankDocuments(docs, Seq("joins", "the"), k = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top1 == Seq(2L))
+  }
+
   test("buildTokenTable accepts the maps-JSON config end to end") {
     val verts = Seq(("CL", "7", Map("label" -> Seq("macrophage"))))
       .toDF("id", "number", "attrs")
