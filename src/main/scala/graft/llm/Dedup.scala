@@ -259,14 +259,19 @@ object Dedup {
     */
   def incrementalCandidates(corpusSigs: DataFrame, incomingSigs: DataFrame,
                             bands: Int, rowsPerBand: Int): DataFrame = {
+    // incoming sigs feed TWO consumers (the broadcast cross probe and the
+    // within-increment candidates): materialize once — the increment is tiny
+    // by contract, and without this the whole incoming shingle+minhash
+    // pipeline re-executes per consumer (measured ~2 extra stages at sf0.1)
+    val inSigs = incomingSigs.localCheckpoint(true)
     val bCorp = lshBands(corpusSigs, bands, rowsPerBand)
-    val bIn = lshBands(incomingSigs, bands, rowsPerBand)
+    val bIn = lshBands(inSigs, bands, rowsPerBand)
       .withColumnRenamed("id", "id_in")
     val cross = bCorp.join(broadcast(bIn), Seq("band", "band_key"))
       .select(least(col("id"), col("id_in")).as("id_a"),
         greatest(col("id"), col("id_in")).as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
-    val within = lshCandidates(incomingSigs, bands, rowsPerBand)
+    val within = lshCandidates(inSigs, bands, rowsPerBand)
     cross.union(within).distinct()
   }
 

@@ -106,6 +106,46 @@ object StreamingIngest {
       .select(col(keyCol), col("session_window.start").as("start_ts"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming near-duplicate candidate detection — the continuous-ingestion
+    * dedup loop at 100 TB: each micro-batch of documents is sketched ONCE
+    * (shingles → MinHash via [[graft.llm.Dedup.minhashSignatures]]), probed
+    * against the PERSISTED corpus signature store with
+    * [[graft.llm.Dedup.incrementalCandidates]] (incoming bands broadcast
+    * against the store — the corpus is never re-sketched and never shuffled),
+    * candidate pairs are appended to `pairsDir`, and the batch's signatures
+    * are appended to the store so later batches dedup against everything
+    * before them. The first batch (no store yet) runs within-batch LSH only.
+    * Downstream, a periodic batch job verifies candidates with exact Jaccard
+    * (the [[graft.llm.Dedup.removeNearDuplicates]] tail) — candidates are
+    * additive, so streaming-append semantics are exactly right.
+    */
+  def startNearDupCandidateStream(docs: DataFrame, sigStoreDir: String,
+                                  pairsDir: String, checkpointDir: String,
+                                  shingleN: Int = 3, numHashes: Int = 12,
+                                  bands: Int = 4, textCol: String = "text",
+                                  idCol: String = "doc_id"): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        // materialized once: probed for candidates AND appended to the store
+        val incSigs = graft.llm.Dedup.minhashSignatures(
+          graft.llm.Dedup.wordShingles(batch, shingleN, textCol, idCol), numHashes)
+          .localCheckpoint(true)
+        val store = new org.apache.hadoop.fs.Path(sigStoreDir)
+        val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val pairs =
+          if (fs.exists(store))
+            graft.llm.Dedup.incrementalCandidates(
+              spark.read.parquet(sigStoreDir), incSigs, bands, numHashes / bands)
+          else
+            graft.llm.Dedup.lshCandidates(incSigs, bands, numHashes / bands)
+        pairs.write.mode("append").parquet(pairsDir)
+        incSigs.write.mode("append").parquet(sigStoreDir)
+        ()
+      }
+      .start()
+
   /** Custom streaming state via `mapGroupsWithState`: per-source running
     * corpus statistics (doc count, total whitespace tokens), updated every
     * micro-batch — the arbitrary-stateful surface that windowed aggregation

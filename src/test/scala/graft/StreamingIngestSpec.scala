@@ -84,6 +84,36 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
   }
 
+  test("streaming near-dup candidates probe the persisted signature store") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-sneardup")
+    val in = base.resolve("in"); Files.createDirectories(in)
+    val sigs = s"$base/sigs"; val pairs = s"$base/pairs"; val ckpt = s"$base/ckpt"
+    try {
+      // batch 1: two distinct docs -> no pairs, 2 signatures persisted
+      Seq((1L, "a b c d e f"), (2L, "u v w x y z"))
+        .toDF("doc_id", "text").write.parquet(s"$in/b1")
+      val schema = spark.read.parquet(s"$in/b1").schema
+      val stream = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(in.toString)
+      val q = StreamingIngest.startNearDupCandidateStream(stream, sigs, pairs, ckpt)
+      try {
+        q.processAllAvailable()
+        assert(spark.read.parquet(sigs).count() == 2)
+        // batch 2: a duplicate of doc 1 plus a fresh doc -> cross-batch pair
+        // (1,3) found WITHOUT re-sketching the corpus; fresh doc pairs with
+        // nothing
+        Seq((3L, "a b c d e f"), (4L, "m n o p q r"))
+          .toDF("doc_id", "text").write.parquet(s"$in/b2")
+        q.processAllAvailable()
+        val got = spark.read.parquet(pairs)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == Set((1L, 3L)))
+        assert(spark.read.parquet(sigs).count() == 4) // store grew with batch 2
+      } finally q.stop()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
   test("mapGroupsWithState running stats accumulate across micro-batches") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-state")
