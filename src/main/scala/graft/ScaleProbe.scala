@@ -76,6 +76,28 @@ object ScaleProbe {
     timed("chunkDedup (20-word chunks)") {
       Dedup.chunkDedup(scaled, chunkTokens = 20).count()
     }
+    timed("triangleCounts (LSH cand graph)") {
+      // duplicate clusters are near-cliques: the densest triangle topology
+      // the dedup pipeline can produce — exercises orientation + wedge
+      // closing at real pair volumes
+      val pairs = Dedup.lshCandidates(
+        Dedup.minhashSignatures(Dedup.wordShingles(scaled, 3), 12), 4, 3,
+        maxBucket = 64)
+      graft.ops.GraphTraversal.triangleCounts(pairs, "id_a", "id_b").count()
+    }
+    timed("qualityFilter") {
+      graft.llm.TextStats.qualityFilter(scaled).count()
+    }
+    timed("tokenBudgetMix (3 domains)") {
+      graft.llm.Sampling.tokenBudgetMix(scaled, "doc_id", "source",
+        size(split(col("text"), " ")),
+        budgets = Map("src0" -> 100000L, "src1" -> 200000L),
+        defaultBudget = 300000L).count()
+    }
+    timed("rankDocuments (3 terms, k=100)") {
+      graft.ops.TextIndex.rankDocuments(scaled,
+        Seq("joins", "vector", "the"), k = 100).count()
+    }
     scaled.unpersist()
 
     // similarity path at the same multiplier: exact copies (even k) again
@@ -103,6 +125,15 @@ object ScaleProbe {
         .collect().map(_.getSeq[Long](0).toSeq).toSeq
       graft.llm.Similarity.ivfTopKWithQuantizedCentroids(
         vecs.filter(col("vec_id") < 64), vecs, k = 5, cents).count()
+    }
+    timed("semanticDedup (64 cells, tau=0.95)") {
+      // 64 cells over mult x 2000 vectors: cells of ~(n/64) with the exact
+      // copies collapsing into the same cell — the within-cell pair join is
+      // the stress, exactly SemDeDup's operating regime
+      val cents = vecs.filter(col("vec_id") < 64).orderBy("vec_id")
+        .select(graft.llm.Similarity.quantize(col("embedding")).as("qc"))
+        .collect().map(_.getSeq[Long](0).toSeq).toSeq
+      graft.llm.Similarity.semanticDedup(vecs, cents, tau = 0.95).count()
     }
     vecs.unpersist()
 

@@ -331,6 +331,34 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Exact integer second-moment (scatter) matrix of the quantized
+    * embeddings: one row per dimension pair (dim_i ≤ dim_j) with
+    * Σ q_i·q_j, the component sums, and the vector count — everything
+    * needed to mean-center driver-side
+    * (cov_ij = (sum_prod − sum_i·sum_j/n)/n). This is the offline
+    * statistic behind PCA whitening / random-projection calibration of an
+    * embedding corpus, kept in exact integer space so any engine
+    * reproduces it bit-for-bit.
+    *
+    * Scale shape: generate→generate→filter→partial-aggregate, all inside
+    * one codegen stage — the d² per-row fan-out never materializes, and
+    * the only exchange carries d(d+1)/2 ≈ 2k groups (d=64). Work is
+    * O(n·d²) — inherent to a scatter matrix, and embarrassingly parallel.
+    */
+  def secondMoments(vectors: DataFrame, embCol: String = "embedding",
+                    scale: Int = 1000): DataFrame = {
+    val q = vectors.select(quantize(col(embCol), scale).as("qv"))
+    val ei = q.select(col("qv"), posexplode(col("qv")).as(Seq("i", "qi")))
+    ei.select(col("i"), col("qi"), posexplode(col("qv")).as(Seq("j", "qj")))
+      .filter(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("qi") * col("qj")).as("sum_prod"),
+        sum(col("qi")).as("sum_i"), sum(col("qj")).as("sum_j"),
+        count(lit(1)).as("n"))
+      .select(col("i").as("dim_i"), col("j").as("dim_j"),
+        col("sum_prod"), col("sum_i"), col("sum_j"), col("n"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= tau) —
     * the "embedding near-dup" dedup mode, brute-force within BANDED sign-LSH
     * buckets (MinHash-LSH banding applied to hyperplane bits).

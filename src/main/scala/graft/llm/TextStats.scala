@@ -235,6 +235,42 @@ object TextStats {
     element_at(transform(array(folded), f => pick(f)), 1)
   }
 
+  /** Exact per-group quantiles of an integral measure (PERCENTILE_DISC
+    * semantics: the smallest value whose cumulative count reaches
+    * ceil(p·n)) — corpus length-distribution monitoring without sketches,
+    * so any engine reproduces the numbers bit-for-bit (`a7_approx` stays
+    * the only engine-specific aggregate).
+    *
+    * Scale shape: ONE map-combinable (group, value) count whose output is
+    * bounded by groups × distinct values — for token counts that is
+    * thousands, not corpus-sized — then the cumulative window runs over
+    * that SUMMARY. Never a per-row global sort (the naive
+    * percentile-by-sort is a total exchange of the corpus).
+    * Quantile labels: p50 for 0.5 etc.; fractions must be in (0, 1] and
+    * map to distinct labels.
+    */
+  def exactQuantiles(df: DataFrame, groupCol: String, valueCol: Column,
+                     ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"quantile fractions must be in (0,1]: $ps")
+    val names = ps.map(p => s"p${(p * 100).toInt}")
+    require(names.distinct == names, s"quantile labels collide: $names")
+    val counts = df.groupBy(col(groupCol), valueCol.as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+    val aggs = ps.zip(names).map { case (p, name) =>
+      min(when(col("cum") >= ceil(lit(p) * col("n")), col("v"))).as(name)
+    }
+    cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Canonical content fingerprint: md5 of the sorted distinct word set —
     * invariant to word order and duplication, portable across engines.
     */

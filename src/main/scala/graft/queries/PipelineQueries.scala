@@ -722,6 +722,46 @@ object PipelineQueries {
         |        COUNT(*) AS n, CAST(SUM(q) AS DOUBLE) / COUNT(*) AS mean_q
         | FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin),
 
+    // ---- exact length quantiles per source (corpus monitoring) ----------
+    // PERCENTILE_DISC without sketches: summary-sized window, never a
+    // per-row global sort. a7_approx remains the only engine-specific
+    // aggregate.
+    ("t_length_quantiles",
+      (s, d) => TextStats.exactQuantiles(t(s, d, "documents"), "source",
+          size(split(col("text"), " ")).cast("long"), Seq(0.5, 0.9, 0.99))
+        .orderBy("source"),
+      """WITH d AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+        |           FROM documents),
+        | c AS (SELECT source, v, COUNT(*) AS c FROM d GROUP BY 1, 2),
+        | x AS (SELECT *,
+        |         SUM(c) OVER (PARTITION BY source ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |         SUM(c) OVER (PARTITION BY source) AS n
+        |       FROM c)
+        | SELECT source,
+        |   MIN(CASE WHEN cum >= ceil(0.5 * n) THEN v END) AS p50,
+        |   MIN(CASE WHEN cum >= ceil(0.9 * n) THEN v END) AS p90,
+        |   MIN(CASE WHEN cum >= ceil(0.99 * n) THEN v END) AS p99
+        | FROM x GROUP BY source ORDER BY source""".stripMargin),
+
+    // ---- exact scatter matrix of the embedding corpus -------------------
+    // integer second moments per (dim_i <= dim_j): the offline PCA/whitening
+    // statistic; mean-centering is driver-side arithmetic on exact sums.
+    ("sim_covariance",
+      (s, d) => Similarity.secondMoments(t(s, d, "embeddings"))
+        .orderBy("dim_i", "dim_j"),
+      """WITH q AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        | e AS (SELECT vec_id, i, qv[i + 1] AS qi
+        |       FROM q, LATERAL (SELECT unnest(generate_series(0, len(q.qv) - 1)) AS i) g),
+        | p AS (SELECT a.i AS dim_i, b.i AS dim_j, a.qi AS qi, b.qi AS qj
+        |       FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i)
+        | SELECT CAST(dim_i AS INTEGER) AS dim_i, CAST(dim_j AS INTEGER) AS dim_j,
+        |        CAST(SUM(qi * qj) AS BIGINT) AS sum_prod,
+        |        CAST(SUM(qi) AS BIGINT) AS sum_i, CAST(SUM(qj) AS BIGINT) AS sum_j,
+        |        COUNT(*) AS n
+        | FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     // ---- composite quality verdict (Gopher-style rule routing) ----------
     // every rule evaluated, failures named in fixed order — a routed split
     // (audit the rejects), never a silent drop.

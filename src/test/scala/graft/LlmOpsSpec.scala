@@ -338,6 +338,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(banded == expected)
   }
 
+  test("secondMoments: exact scatter matrix on hand-computed vectors") {
+    val v = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, -1.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.secondMoments(v).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // q = [1000,2000], [3000,-1000]
+    assert(got((0, 0)) == ((10000000L, 4000L, 4000L, 2L)))
+    assert(got((0, 1)) == ((-1000000L, 4000L, 1000L, 2L)))
+    assert(got((1, 1)) == ((5000000L, 1000L, 1000L, 2L)))
+    assert(got.size == 3) // upper triangle only
+  }
+
   test("semanticDedup drops within-cell near-duplicates, keeps lowest id") {
     val e1 = (d: Int) => if (d == 0) 1f else 0f
     val e2 = (d: Int) => if (d == 1) 1f else 0f

@@ -87,6 +87,19 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got(4L) == (("word_len,dup_words,rep_bigram", false)))
   }
 
+  test("exactQuantiles: PERCENTILE_DISC semantics per group, duplicates included") {
+    val df = ((1 to 10).map(v => ("a", v.toLong)) ++
+      Seq(("b", 2L), ("b", 2L), ("b", 2L), ("b", 4L))).toDF("g", "v")
+    val got = TextStats.exactQuantiles(df, "g", col("v"), Seq(0.5, 0.9, 0.99))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got("a") == ((5L, 9L, 10L))) // ceil(.5*10)=5th, ceil(.9*10)=9th, ceil(.99*10)=10th
+    assert(got("b") == ((2L, 4L, 4L))) // cum(2)=3>=2; cum(2)=3<ceil(3.6)=4 -> 4
+    intercept[IllegalArgumentException] {
+      TextStats.exactQuantiles(df, "g", col("v"), Seq(0.0))
+    }
+  }
+
   test("qualityFilter: thresholds are configurable per rule") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     // 6 tokens, no stopwords: default rejects; relaxed stopword floor keeps
