@@ -157,4 +157,44 @@ object Sampling {
       .withColumn("pack_id",
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / capacity))
   }
+
+  /** End-to-end training-shard export: assign splits, shard by content
+    * hash, pack into fixed-capacity sequences, and materialize as
+    * `outDir/split=…/shard=…/part-*.parquet` with rows sorted by
+    * (pack_id, id) inside every file — a reader streams whole packs
+    * contiguously. The shard key derives from the same md5 machinery as
+    * every sampler here, so the layout is reproducible on any engine or
+    * cluster size.
+    *
+    * Scale shape: ONE algorithmic shuffle (the pack window on (split,
+    * shard) keys — numShards × |cuts| uniform groups; scale parallelism by
+    * raising numShards) feeding a repartition aligned with the directory
+    * layout, so every write task produces exactly one partition directory;
+    * `maxRecordsPerFile` bounds file sizes against skew.
+    */
+  def writeTrainingShards(docs: DataFrame, outDir: String, idCol: String,
+                          tokensCol: Column, capacity: Long,
+                          cuts: Seq[(Double, String)] = Seq(0.9 -> "train", 1.0 -> "val"),
+                          numShards: Int = 8,
+                          maxRecordsPerFile: Long = 0L): Unit = {
+    require(numShards > 0, "numShards must be positive")
+    require(!docs.columns.exists(Seq("split", "shard").contains),
+      "writeTrainingShards: input already has a 'split' or 'shard' column")
+    val sharded = assignSplit(docs, idCol, cuts)
+      .withColumn("shard",
+        conv(substring(hashKey(col(idCol), "shard"), 1, 4), 16, 10)
+          .cast("int") % numShards)
+    // pack within (split, shard) so every emitted pack lives in one file
+    val packed = packSequences(
+      sharded.withColumn("shard_key", concat_ws("/", col("split"), col("shard"))),
+      idCol, "shard_key", tokensCol, capacity).drop("shard_key")
+    packed
+      .repartition(col("split"), col("shard"))
+      .sortWithinPartitions(col("pack_id"), col(idCol))
+      .write
+      .partitionBy("split", "shard")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(outDir)
+  }
 }

@@ -142,6 +142,34 @@ class TemporalOpsSpec extends AnyFunSuite {
     // packs never start past capacity: every pack's first doc begins within it
   }
 
+  test("writeTrainingShards: layout, conservation, bounded overflow, determinism") {
+    val base = java.nio.file.Files.createTempDirectory("graft-shards")
+    try {
+      val docs = (0L until 400L).map(i => (i, ("w " * (i.toInt % 13 + 1)).trim))
+        .toDF("doc_id", "text")
+      val tokens = size(split(col("text"), " ")).cast("long")
+      Sampling.writeTrainingShards(docs, s"$base/out1", "doc_id", tokens,
+        capacity = 64L, numShards = 4)
+      val back = spark.read.parquet(s"$base/out1")
+      assert(back.count() == 400) // conservation: every doc lands exactly once
+      assert(back.select("split").distinct().collect().map(_.getString(0)).toSet
+        == Set("train", "val"))
+      assert(back.select("shard").distinct().collect().map(_.getInt(0)).forall(s => s >= 0 && s < 4))
+      // bounded overflow: any pack minus its largest member fits capacity
+      val viol = back.groupBy("split", "shard", "pack_id")
+        .agg(sum("n_tokens").as("s"), max("n_tokens").as("m"))
+        .filter(col("s") - col("m") >= 64).count()
+      assert(viol == 0)
+      // reproducible layout: a second write yields identical assignments
+      Sampling.writeTrainingShards(docs, s"$base/out2", "doc_id", tokens,
+        capacity = 64L, numShards = 4)
+      val key = (d: String) => spark.read.parquet(d)
+        .select("doc_id", "split", "shard", "pack_id").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getLong(3)))).toMap
+      assert(key(s"$base/out1") == key(s"$base/out2"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
   test("tokenBudgetMix equals the flat per-domain window at any bucket width") {
     val docs = (0L until 300L)
       .map(i => (i, s"dom${i % 3}", "w " * (i.toInt % 17 + 1)))
