@@ -97,8 +97,13 @@ object Dedup {
     * consumers). Used by both [[jaccardPairs]] and
     * [[removeNearDuplicates]] so the cap + drop metric exist exactly once.
     */
-  private def cappedUniverse(shingles: DataFrame, maxDF: Long,
-                             metricPrefix: String): (DataFrame, DataFrame) =
+  private def cappedUniverse(shingles0: DataFrame, maxDF: Long,
+                             metricPrefix: String): (DataFrame, DataFrame) = {
+    // both return values consume the shingle table (postings group + sizes):
+    // materialize the INPUT once. Deliberately not the observed frame — a
+    // checkpoint above the observe() would strand the maxDF drop metric in a
+    // sub-query invisible to the caller's QueryExecution.observedMetrics.
+    val shingles = shingles0.localCheckpoint(true)
     if (maxDF == Long.MaxValue)
       (groupedPostings(shingles),
         shingles.groupBy(col("id")).agg(count(lit(1)).as("sz")))
@@ -112,6 +117,7 @@ object Dedup {
         .groupBy(col("id")).agg(count(lit(1)).as("sz"))
       (retained, sizes)
     }
+  }
 
   def jaccardPairs(shingles: DataFrame, minJaccard: Double,
                    maxDF: Long = Long.MaxValue): DataFrame = {
@@ -216,9 +222,13 @@ object Dedup {
                            textCol: String = "text", idCol: String = "doc_id",
                            maxBucket: Long = Long.MaxValue,
                            maxDF: Long = Long.MaxValue): DataFrame = {
-    val shingles = wordShingles(docs, shingleN, textCol, idCol)
+    // shingles feed the sketch AND the exact-verify posting lists, and the
+    // candidate table feeds the id set AND the pair semi-join: materialize
+    // each once (the un-checkpointed plan re-executed the shingle pipeline
+    // per consumer — the same reuse failure lshCandidates' scaladoc records)
+    val shingles = wordShingles(docs, shingleN, textCol, idCol).localCheckpoint(true)
     val candidates = lshCandidates(minhashSignatures(shingles, numHashes), bands,
-      numHashes / bands, maxBucket)
+      numHashes / bands, maxBucket).localCheckpoint(true)
     // exact jaccard on candidates only (semi-join-restricted posting lists).
     // Pairing shares [[pairCounts]]/[[cappedUniverse]] with jaccardPairs — a
     // shingle self-join here would re-execute the shingle pipeline on both

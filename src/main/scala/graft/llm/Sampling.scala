@@ -177,7 +177,8 @@ object Sampling {
                           cuts: Seq[(Double, String)] = Seq(0.9 -> "train", 1.0 -> "val"),
                           numShards: Int = 8,
                           maxRecordsPerFile: Long = 0L): Unit = {
-    require(numShards > 0, "numShards must be positive")
+    require(numShards > 0 && numShards <= 65536,
+      s"numShards must be in [1, 65536] (the shard key has 16 bits): $numShards")
     require(!docs.columns.exists(Seq("split", "shard").contains),
       "writeTrainingShards: input already has a 'split' or 'shard' column")
     val sharded = assignSplit(docs, idCol, cuts)

@@ -137,8 +137,13 @@ object TextStats {
     */
   def qualityFilter(docs: DataFrame, t: QualityThresholds = QualityThresholds(),
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // NULL text must fail, not vacuously pass: a null signal makes every
+    // rule comparison NULL, when(!NULL) skips the reason, and the doc would
+    // sail through as "clean". Normalize to "" up front — an empty text then
+    // fails too_short/word_len like any other junk row.
+    val docsNn = docs.withColumn(textCol, coalesce(col(textCol), lit("")))
     val words = split(col(textCol), " ")
-    val base = docs.select(
+    val base = docsNn.select(
       col(idCol),
       size(words).cast("long").as("n_tokens"),
       ((length(col(textCol)) - (size(words) - 1)).cast("double") / size(words))
@@ -148,7 +153,7 @@ object TextStats {
       size(array_distinct(filter(words,
         w => Stopwords.map(s => w === s).reduce(_ || _)))).cast("long")
         .as("n_distinct_stopwords"))
-    val joined = base.join(repetitionStats(docs, textCol, idCol)
+    val joined = base.join(repetitionStats(docsNn, textCol, idCol)
       .select(col(idCol), col("dup_word_fraction"), col("top_bigram_fraction")), Seq(idCol))
     val rules: Seq[(String, Column)] = Seq(
       "too_short" -> (col("n_tokens") >= t.minTokens),

@@ -182,6 +182,7 @@ object TextIndex {
                     textCol: String = "text", idCol: String = "doc_id",
                     scale: Long = 1000000L): DataFrame = {
     require(queryTerms.nonEmpty, "rankDocuments: query terms must be non-empty")
+    require(k > 0, s"rankDocuments: k must be positive: $k")
     val spark = docs.sparkSession
     import spark.implicits._
     val qt = queryTerms.toDF("raw")

@@ -100,6 +100,14 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("qualityFilter: null text fails like junk, never vacuously passes") {
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""))
+      .toDF("doc_id", "text")
+    val got = TextStats.qualityFilter(docs).select("doc_id", "keep")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> false, 2L -> false))
+  }
+
   test("qualityFilter: thresholds are configurable per rule") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     // 6 tokens, no stopwords: default rejects; relaxed stopword floor keeps
