@@ -276,6 +276,41 @@ object TextStats {
     cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Exact per-group top-`k` most frequent tokens (vocabulary heavy
+    * hitters) — corpus drift monitoring without CMS sketches, so the
+    * numbers are engine-portable.
+    *
+    * Scale shape: per-(group, token) counts are ONE map-combinable
+    * aggregate on uniform fine keys; the top-k then runs TWO-LEVEL — first
+    * within (group, token-hash-bucket) partitions (each token's count is
+    * complete inside its bucket, so any global top-k token is also
+    * top-k in its bucket — no candidate is lost), then over the ≤
+    * k·nBuckets survivors per group. A single per-group window would put
+    * the whole vocabulary of a group through one reducer; the bucket level
+    * keeps every partition small. The bucket hash is engine-local
+    * (never part of the result). Ties break lexicographically.
+    */
+  def topTokens(docs: DataFrame, k: Int, groupCol: String = "source",
+                textCol: String = "text", nBuckets: Int = 64): DataFrame = {
+    require(k > 0 && nBuckets > 0, s"k and nBuckets must be positive: $k, $nBuckets")
+    val w = org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col(groupCol), explode(split(coalesce(col(textCol), lit("")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("n"))
+    val order = Seq(col("n").desc, col("token"))
+    val survivors = counts
+      .withColumn("bkt", pmod(xxhash64(col("token")), lit(nBuckets)))
+      .withColumn("r1", row_number().over(
+        w.partitionBy(col(groupCol), col("bkt")).orderBy(order: _*)))
+      .filter(col("r1") <= k)
+    survivors
+      .withColumn("rank", row_number().over(
+        w.partitionBy(col(groupCol)).orderBy(order: _*)))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col("token"), col("n"), col("rank"))
+  }
+
   /** Canonical content fingerprint: md5 of the sorted distinct word set —
     * invariant to word order and duplication, portable across engines.
     */
@@ -311,6 +346,37 @@ object TextStats {
     var r = (hi << 3) + (lo & Mod) + (lo >>> 61)
     while (r >= Mod) r -= Mod
     r
+  }
+
+  /** Content-defined chunk boundary statistics: a position is a boundary
+    * when its `w`-char Karp–Rabin window hash matches the mask
+    * (hash % 2^maskBits == 0) — the classic CDC primitive (expected chunk
+    * length 2^maskBits) that keeps chunk boundaries stable under inserts,
+    * where fixed-width chunking ([[chunkDocuments]]) shifts every boundary
+    * after an edit. Emits per document: `n_boundaries`, `first_boundary`
+    * (1-based window start, NULL when none), and `n_chunks`
+    * (= boundaries + 1). Deterministic integer arithmetic end to end —
+    * the DuckDB oracle reproduces the mod-2^61−1 fold in HUGEINT.
+    *
+    * Scale shape: pure map-side (UDF fold + array filter per row, no
+    * generator blow-up, no shuffle beyond the final per-doc projection);
+    * chains inline in any ingest pipeline.
+    */
+  def cdcBoundaryStats(docs: DataFrame, w: Int = 16, maskBits: Int = 6,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(w > 0, "window must be positive")
+    require(maskBits >= 0 && maskBits < 61, s"maskBits must be in [0, 61): $maskBits")
+    val modulus = 1L << maskBits
+    val hashes = windowHashesUdf(coalesce(col(textCol), lit("")), lit(w))
+    val bPos = filter(
+      transform(hashes, (h, i) => when(h % modulus === 0, i + 1)),
+      p => p.isNotNull)
+    docs
+      .withColumn("b", bPos)
+      .select(col(idCol),
+        size(col("b")).cast("long").as("n_boundaries"),
+        array_min(col("b")).cast("long").as("first_boundary"),
+        (size(col("b")) + 1).cast("long").as("n_chunks"))
   }
 
   /** All rolling window hashes of length `w` over the string (UDF). */

@@ -722,6 +722,46 @@ object PipelineQueries {
         |        COUNT(*) AS n, CAST(SUM(q) AS DOUBLE) / COUNT(*) AS mean_q
         | FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin),
 
+    // ---- content-defined chunk boundaries (Karp-Rabin mask match) -------
+    // boundary = 16-char window hash % 64 == 0; the oracle reproduces the
+    // mod-2^61-1 fold in HUGEINT (same CTE family as t_rolling_winnow).
+    ("t_cdc_chunks",
+      (s, d) => TextStats.cdcBoundaryStats(t(s, d, "documents"), w = 16, maskBits = 6)
+        .orderBy("doc_id"),
+      s"""WITH pw(k, p) AS (VALUES ${
+            val m = (BigInt(1) << 61) - 1
+            (0 to 15).map(k => s"($k, ${BigInt(257).modPow(BigInt(15 - k), m)})").mkString(", ")
+          }),
+         | w AS (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text)-15, 0))) AS i
+         |       FROM documents),
+         | h AS (SELECT doc_id, i,
+         |              SUM(CAST(ord(substr(text, i + k, 1)) AS HUGEINT) * p)
+         |                % CAST(2305843009213693951 AS HUGEINT) AS hh
+         |       FROM w CROSS JOIN pw
+         |       GROUP BY doc_id, i),
+         | b AS (SELECT doc_id, COUNT(*) AS nb, MIN(i) AS fb
+         |       FROM h WHERE hh % 64 = 0 GROUP BY doc_id)
+         | SELECT d.doc_id, CAST(COALESCE(nb, 0) AS BIGINT) AS n_boundaries,
+         |        CAST(fb AS BIGINT) AS first_boundary,
+         |        CAST(COALESCE(nb, 0) + 1 AS BIGINT) AS n_chunks
+         | FROM documents d LEFT JOIN b USING (doc_id)
+         | ORDER BY d.doc_id""".stripMargin),
+
+    // ---- exact per-source heavy hitters ---------------------------------
+    // two-level top-k engine-side (bucket pre-top-k -> group top-k); the
+    // oracle is the flat window — identical results, the bucket level only
+    // bounds reducer partitions.
+    ("t_top_tokens",
+      (s, d) => TextStats.topTokens(t(s, d, "documents"), k = 5)
+        .orderBy("source", "rank"),
+      """WITH c AS (SELECT source, w AS token, COUNT(*) AS n
+        |           FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        |           WHERE w <> '' GROUP BY 1, 2),
+        | r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |                                    ORDER BY n DESC, token) AS rank FROM c)
+        | SELECT source, token, n, CAST(rank AS INTEGER) AS rank
+        | FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin),
+
     // ---- exact length quantiles per source (corpus monitoring) ----------
     // PERCENTILE_DISC without sketches: summary-sized window, never a
     // per-row global sort. a7_approx remains the only engine-specific

@@ -87,6 +87,47 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got(4L) == (("word_len,dup_words,rep_bigram", false)))
   }
 
+  test("cdcBoundaryStats matches the model and boundaries survive inserts") {
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again and again"),
+      (2L, "short"), // shorter than the window: no hashes at all
+      (3L, "a" * 100))
+    val w = 16; val mod = 64L
+    def model(s: String): Seq[Int] =
+      TextStats.windowHashes(s, w).toSeq.zipWithIndex
+        .collect { case (h, i) if h % mod == 0 => i + 1 }
+    val got = TextStats.cdcBoundaryStats(texts.toDF("doc_id", "text"), w, 6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))).toMap
+    texts.foreach { case (id, s) =>
+      val b = model(s)
+      assert(got(id) == ((b.length.toLong, b.headOption.map(_.toLong), b.length + 1L)), s"doc $id")
+    }
+    // content-defined stability: an insert shifts LATER boundaries by its
+    // length but does not move them relative to content (fixed-width
+    // chunking would re-cut everything after the edit)
+    val base = ("abcdefgh" * 40).zipWithIndex.map { case (c, i) => (c + i % 7).toChar }.mkString
+    val ins = 100
+    val edited = base.substring(0, ins) + "XYZ" + base.substring(ins)
+    val after = model(base).filter(_ > ins + w).map(_ + 3)
+    assert(model(edited).filter(_ > ins + w + 3) == after)
+  }
+
+  test("topTokens: exact heavy hitters; two-level equals flat top-k") {
+    val docs = Seq(
+      ("a", "x x x y y z"), ("a", "y w"), ("b", "q q r")
+    ).toDF("source", "text")
+    val got = TextStats.topTokens(docs, k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSet == Set(("a", "x", 3L, 1), ("a", "y", 3L, 2), ("b", "q", 2L, 1), ("b", "r", 1L, 2)))
+    // bucketing never changes the answer, only the partition sizes
+    val many = (0 until 200).map(i => (s"s${i % 2}", s"t${i % 17} t${i % 5} t${i % 17}"))
+      .toDF("source", "text")
+    val flat = TextStats.topTokens(many, k = 4, nBuckets = 1).collect().toSet
+    val bucketed = TextStats.topTokens(many, k = 4, nBuckets = 64).collect().toSet
+    assert(flat == bucketed)
+  }
+
   test("exactQuantiles: PERCENTILE_DISC semantics per group, duplicates included") {
     val df = ((1 to 10).map(v => ("a", v.toLong)) ++
       Seq(("b", 2L), ("b", 2L), ("b", 2L), ("b", 4L))).toDF("g", "v")
