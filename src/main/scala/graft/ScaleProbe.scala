@@ -30,10 +30,14 @@ object ScaleProbe {
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
     val n0 = base.count()
+    // id offset derives from the actual max id: a fixed stride would make
+    // copies collide (and silently corrupt the duplicate-cluster topology
+    // the probe measures) on any base corpus with ids past the stride
+    val docStride = base.agg(max(col("doc_id"))).head.getLong(0) + 1L
     // copies 0..mult-1: even copies byte-identical (duplicate clusters of
     // size ~mult/2 per doc), odd copies perturbed by an appended marker word
     val scaled = (0 until mult).map { k =>
-      val shifted = base.withColumn("doc_id", col("doc_id") + lit(k.toLong * 10000000L))
+      val shifted = base.withColumn("doc_id", col("doc_id") + lit(k.toLong * docStride))
       if (k % 2 == 1) shifted.withColumn("text", concat(col("text"), lit(s" copyv$k")))
       else shifted
     }.reduce(_ union _).cache()
@@ -104,8 +108,9 @@ object ScaleProbe {
     // stress bucket fan-out; odd copies get one element nudged
     val baseV = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
+    val vecStride = baseV.agg(max(col("vec_id"))).head.getLong(0) + 1L
     val vecs = (0 until mult).map { k =>
-      val shifted = baseV.withColumn("vec_id", col("vec_id") + lit(k.toLong * 10000000L))
+      val shifted = baseV.withColumn("vec_id", col("vec_id") + lit(k.toLong * vecStride))
       if (k % 2 == 1)
         shifted.withColumn("embedding",
           transform(col("embedding"), x => x + lit(k * 0.001f)))
@@ -120,9 +125,7 @@ object ScaleProbe {
       graft.llm.Similarity.lshTopK(vecs.filter(col("vec_id") < 64), vecs, k = 5).count()
     }
     timed("ivfTopKWithQuantizedCentroids (k=5)") {
-      val cents = vecs.filter(col("vec_id") < 16).orderBy("vec_id")
-        .select(graft.llm.Similarity.quantize(col("embedding")).as("qc"))
-        .collect().map(_.getSeq[Long](0).toSeq).toSeq
+      val cents = graft.llm.Similarity.collectQuantizedCentroids(vecs, 16)
       graft.llm.Similarity.ivfTopKWithQuantizedCentroids(
         vecs.filter(col("vec_id") < 64), vecs, k = 5, cents).count()
     }
@@ -130,9 +133,7 @@ object ScaleProbe {
       // 64 cells over mult x 2000 vectors: cells of ~(n/64) with the exact
       // copies collapsing into the same cell — the within-cell pair join is
       // the stress, exactly SemDeDup's operating regime
-      val cents = vecs.filter(col("vec_id") < 64).orderBy("vec_id")
-        .select(graft.llm.Similarity.quantize(col("embedding")).as("qc"))
-        .collect().map(_.getSeq[Long](0).toSeq).toSeq
+      val cents = graft.llm.Similarity.collectQuantizedCentroids(vecs, 64)
       graft.llm.Similarity.semanticDedup(vecs, cents, tau = 0.95).count()
     }
     vecs.unpersist()

@@ -97,13 +97,17 @@ object Dedup {
     * consumers). Used by both [[jaccardPairs]] and
     * [[removeNearDuplicates]] so the cap + drop metric exist exactly once.
     */
-  private def cappedUniverse(shingles0: DataFrame, maxDF: Long,
+  private def cappedUniverse(shingles: DataFrame, maxDF: Long,
                              metricPrefix: String): (DataFrame, DataFrame) = {
-    // both return values consume the shingle table (postings group + sizes):
-    // materialize the INPUT once. Deliberately not the observed frame — a
-    // checkpoint above the observe() would strand the maxDF drop metric in a
-    // sub-query invisible to the caller's QueryExecution.observedMetrics.
-    val shingles = shingles0.localCheckpoint(true)
+    // both return values consume the shingle table (postings group + sizes)
+    // and its upstream generator re-executes once per consumer — accepted
+    // DELIBERATELY: the re-executed subtree is map-side only (scan +
+    // generator; each consumer owns its shuffle either way), while an eager
+    // localCheckpoint here would pin a CORPUS-scale (id, shingle) table in
+    // executor block storage — non-evictable, lost with an executor — which
+    // is the worse failure mode at the 100 TB design point. Materialize-once
+    // is reserved for small data over big subtrees (candidate tables,
+    // incoming-increment sketches).
     if (maxDF == Long.MaxValue)
       (groupedPostings(shingles),
         shingles.groupBy(col("id")).agg(count(lit(1)).as("sz")))
@@ -222,11 +226,14 @@ object Dedup {
                            textCol: String = "text", idCol: String = "doc_id",
                            maxBucket: Long = Long.MaxValue,
                            maxDF: Long = Long.MaxValue): DataFrame = {
-    // shingles feed the sketch AND the exact-verify posting lists, and the
-    // candidate table feeds the id set AND the pair semi-join: materialize
-    // each once (the un-checkpointed plan re-executed the shingle pipeline
-    // per consumer — the same reuse failure lshCandidates' scaladoc records)
-    val shingles = wordShingles(docs, shingleN, textCol, idCol).localCheckpoint(true)
+    // the candidate table feeds the id set AND the pair semi-join, and its
+    // upstream is the whole multi-shuffle sketch pipeline: materialize it
+    // once — it is SMALL (dup-density-bound pairs), so this is the
+    // small-data-over-big-subtree case where localCheckpoint is the right
+    // trade. The corpus-scale shingle table is deliberately NOT
+    // checkpointed (see cappedUniverse) — its re-executed subtree is a
+    // map-side scan, not a shuffle.
+    val shingles = wordShingles(docs, shingleN, textCol, idCol)
     val candidates = lshCandidates(minhashSignatures(shingles, numHashes), bands,
       numHashes / bands, maxBucket).localCheckpoint(true)
     // exact jaccard on candidates only (semi-join-restricted posting lists).

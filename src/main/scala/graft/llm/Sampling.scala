@@ -79,17 +79,6 @@ object Sampling {
     df.filter(hashKey(col(idCol), salt) < threshold)
   }
 
-  /** Pack documents into fixed-capacity training sequences: docs are laid
-    * out in (`shardCol`, order-by `idCol`) order and assigned
-    * `pack_id = floor(preceding_tokens / capacity)` within their shard —
-    * first-fit-in-order packing where a doc whose tokens straddle a boundary
-    * goes to (and may overflow) the earlier pack. Overflow is bounded by one
-    * doc; exact never-exceed-capacity packing needs a sequential scan per
-    * shard (flatMapGroups) and loses the pure-window shape — at corpus scale
-    * the bounded-overflow form is what sequence-packing pipelines use, and
-    * it stays one shuffle on the shard key.
-    * Emits the input plus `n_tokens` and `pack_id`.
-    */
   /** Token-budget domain mixing: keep, per domain, a deterministic
     * pseudo-random prefix of documents whose token counts fill that domain's
     * budget (the "sample common-crawl down to N billion tokens, keep all of
@@ -145,6 +134,17 @@ object Sampling {
       .drop("mix_key", "mix_bucket", "base_tokens")
   }
 
+  /** Pack documents into fixed-capacity training sequences: docs are laid
+    * out in (`shardCol`, order-by `idCol`) order and assigned
+    * `pack_id = floor(preceding_tokens / capacity)` within their shard —
+    * first-fit-in-order packing where a doc whose tokens straddle a boundary
+    * goes to (and may overflow) the earlier pack. Overflow is bounded by one
+    * doc; exact never-exceed-capacity packing needs a sequential scan per
+    * shard (flatMapGroups) and loses the pure-window shape — at corpus scale
+    * the bounded-overflow form is what sequence-packing pipelines use, and
+    * it stays one shuffle on the shard key.
+    * Emits the input plus `n_tokens` and `pack_id`.
+    */
   def packSequences(docs: DataFrame, idCol: String, shardCol: String,
                     tokensCol: Column, capacity: Long): DataFrame = {
     require(capacity > 0, "capacity must be positive")

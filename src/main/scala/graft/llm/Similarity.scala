@@ -259,6 +259,21 @@ object Similarity {
     }
   }
 
+  /** The `id < n` corpus prefix, quantized and collected driver-side as an
+    * offline coarse quantizer — the ONE definition of the
+    * "first-n-vectors" quantizer shared by the IVF/SemDeDup registry
+    * queries, their oracles' `WHERE vec_id < n` CTEs, and the scale
+    * probes, so centroid count and scale can never drift apart between
+    * call sites.
+    */
+  def collectQuantizedCentroids(vectors: DataFrame, n: Int,
+                                idCol: String = "vec_id",
+                                embCol: String = "embedding",
+                                scale: Int = 1000): Seq[Seq[Long]] =
+    vectors.filter(col(idCol) < n).orderBy(idCol)
+      .select(quantize(col(embCol), scale).as("qc"))
+      .collect().map(_.getSeq[Long](0).toSeq).toSeq
+
   /** SemDeDup-style semantic dedup: assign every vector to its nearest
     * coarse-quantizer cell (same offline-centroid contract as
     * [[ivfTopKWithQuantizedCentroids]] — integer-exact argmin), compare all
@@ -281,10 +296,15 @@ object Similarity {
                     idCol: String = "vec_id", embCol: String = "embedding",
                     scale: Int = 1000): DataFrame = {
     // assigned feeds three consumers (both self-join sides + the anti-join
-    // base): materialize once — otherwise each branch re-scans the corpus
-    // and re-runs the nCentroids×dims assignment kernel (there is no
-    // upstream exchange for AQE to reuse; map-side work re-executes
-    // per-branch). On a multi-executor cluster prefer reliable checkpoints.
+    // base): materialize once — otherwise each branch re-runs the
+    // nCentroids×dims assignment kernel, the CPU-dominant stage (there is
+    // no upstream exchange for AQE to reuse; map-side work re-executes
+    // per-branch). This pins a corpus-scale (id, qv, cell) table in block
+    // storage — at true corpus scale run the assignment as its own pipeline
+    // stage persisted to a table (the SemDeDup operating shape) and feed
+    // that table here; the inline checkpoint serves the self-contained
+    // operator form. On a multi-executor cluster prefer reliable
+    // checkpoints.
     val assigned = vectors
       .select(col(idCol).as("id"), quantize(col(embCol), scale).as("qv"))
       .withColumn("cell", assignCellUdf(centroidsQ)(col("qv")))

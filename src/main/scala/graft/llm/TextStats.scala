@@ -34,7 +34,8 @@ object TextStats {
   /** Split documents into fixed-size overlapping word chunks — the standard
     * context-window preparation step (long docs become multiple training
     * examples; `overlap` preserves cross-boundary context). Emits
-    * (input columns…, chunk_id 0-based, chunk_text); the final chunk may be
+    * (idCol, chunk_id 0-based, chunk_text) — other input columns are
+    * dropped; join them back on idCol when needed. The final chunk may be
     * short. Narrow map-side transform: the per-doc chunk fan-out is a
     * generator over a few window starts (not per-token work), so it chains
     * after filtering/dedup without adding a shuffle.
@@ -258,7 +259,9 @@ object TextStats {
                      ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
       s"quantile fractions must be in (0,1]: $ps")
-    val names = ps.map(p => s"p${(p * 100).toInt}")
+    // round, don't truncate: 0.29*100 is 28.999... in doubles and .toInt
+    // would label the 29th percentile "p28"
+    val names = ps.map(p => s"p${math.round(p * 100)}")
     require(names.distinct == names, s"quantile labels collide: $names")
     val counts = df.groupBy(col(groupCol), valueCol.as("v"))
       .agg(count(lit(1)).as("c"))

@@ -46,12 +46,16 @@ object TemporalOps {
     tolerance.foreach(t => require(t >= 0,
       s"asofJoinBackward: tolerance must be non-negative, got $t"))
     val leftCols = left.columns
+    // the tie column keeps ITS OWN type: casting to long would null out
+    // non-numeric tie keys (string event ids) and silently demote the
+    // documented deterministic last-tie-wins to arbitrary order
+    val tieType = right.schema(rightTieCol).dataType
     val l = left.select(
-      col(keyCol), col(tsCol), lit(1).as("__tag"), lit(null).cast("long").as("__tie"),
+      col(keyCol), col(tsCol), lit(1).as("__tag"), lit(null).cast(tieType).as("__tie"),
       lit(null).cast(right.schema(valueCol).dataType).as("__v"),
       struct(leftCols.toIndexedSeq.map(col): _*).as("__row"))
     val r = right.select(
-      col(keyCol), col(tsCol), lit(0).as("__tag"), col(rightTieCol).cast("long").as("__tie"),
+      col(keyCol), col(tsCol), lit(0).as("__tag"), col(rightTieCol).as("__tie"),
       col(valueCol).as("__v"), lit(null).cast(l.schema("__row").dataType).as("__row"))
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("__tag"), col("__tie"))
@@ -105,17 +109,6 @@ object TemporalOps {
       .agg(count(lit(1)).as("n_events"),
         min(col(tsCol)).as("start_ts"),
         max(col(tsCol)).as("end_ts"))
-
-  /** A table's timestamp column as epoch nanos, robust to how the parquet
-    * was read: TIMESTAMP(NANOS) arrives as LongType under nanosAsLong
-    * (pass-through), while a TimestampType column is converted from micros.
-    * (Schema-dispatched — an unresolved Column carries no type.)
-    */
-  def epochNanos(df: DataFrame, colName: String): Column =
-    df.schema(colName).dataType match {
-      case org.apache.spark.sql.types.LongType => col(colName)
-      case _ => unix_micros(col(colName)) * 1000L
-    }
 
   /** Epoch MICROS — the cross-engine-safe grain (DuckDB and most engines
     * truncate nanosecond parquet timestamps to µs; comparing at ns on one

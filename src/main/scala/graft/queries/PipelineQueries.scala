@@ -236,9 +236,7 @@ object PipelineQueries {
     ("sim_ivf_topk",
       (s, d) => {
         val e = t(s, d, "embeddings")
-        val cents: Seq[Seq[Long]] = e.filter(col("vec_id") < 16).orderBy("vec_id")
-          .select(Similarity.quantize(col("embedding")).as("qc"))
-          .collect().map(_.getSeq[Long](0).toSeq).toSeq
+        val cents = Similarity.collectQuantizedCentroids(e, 16)
         Similarity.ivfTopKWithQuantizedCentroids(
             e.filter(col("vec_id") < 20), e, k = 5, cents, nProbe = 4)
           .orderBy("query_id", "rank")
@@ -878,9 +876,7 @@ object PipelineQueries {
     ("sim_semantic_dedup",
       (s, d) => {
         val e = t(s, d, "embeddings")
-        val cents: Seq[Seq[Long]] = e.filter(col("vec_id") < 16).orderBy("vec_id")
-          .select(Similarity.quantize(col("embedding")).as("qc"))
-          .collect().map(_.getSeq[Long](0).toSeq).toSeq
+        val cents = Similarity.collectQuantizedCentroids(e, 16)
         Similarity.semanticDedup(e, cents, tau = 0.15)
           .orderBy("vec_id")
       },

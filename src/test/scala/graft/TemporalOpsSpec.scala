@@ -32,6 +32,17 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(got == 7.0)
   }
 
+  test("asof join tie column keeps its own type: string event ids stay deterministic") {
+    // a long-cast of a string tie id would be NULL for every row and the
+    // documented last-tie-wins would silently become arbitrary
+    val left = Seq((1L, 10L, 100L)).toDF("k", "tsn", "event_id")
+    val right = Seq((1L, 10L, "ev-a", 5.0), (1L, 10L, "ev-b", 7.0))
+      .toDF("k", "tsn", "rid", "v")
+    val got = TemporalOps.asofJoinBackward(left, right, "k", "tsn", "v", "asof_v", "rid")
+      .select("asof_v").collect()(0).getDouble(0)
+    assert(got == 7.0) // "ev-b" sorts last lexically -> its value carries
+  }
+
   test("asof join tolerance ages out stale matches; null right values match as null") {
     val left = Seq((1L, 100L, "fresh"), (1L, 500L, "stale")).toDF("k", "tsn", "tag")
     val right = Seq((1L, 90L, 10L, Some(1.5)), (1L, 80L, 11L, Some(9.9)))
