@@ -11,12 +11,16 @@ import org.apache.spark.sql.functions._
   * instead of asserted: candidate counts and runtimes should grow near-
   * linearly with the corpus, and the capped variants should hold the tail.
   *
-  * Usage: runMain graft.ScaleProbe <sfDir> [multiplier]
+  * Usage: runMain graft.ScaleProbe <sfDir> [multiplier] [probeSubstring...]
+  * (probe-name substrings select which probes run — at high multipliers the
+  * quadratic-output jaccard probes dominate wall-clock; filtering lets the
+  * linear-path probes be measured on their own)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mult = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val only = args.drop(2).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,11 +48,12 @@ object ScaleProbe {
     val n = scaled.count() // materialize once; probes then share the input
     println(s"corpus: $n0 -> $n docs (x$mult)")
 
-    def timed(name: String)(body: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val rows = body
-      println(f"$name%-34s ${(System.nanoTime() - t0) / 1e9}%8.1f s   rows=$rows")
-    }
+    def timed(name: String)(body: => Long): Unit =
+      if (only.isEmpty || only.exists(name.contains)) {
+        val t0 = System.nanoTime()
+        val rows = body
+        println(f"$name%-34s ${(System.nanoTime() - t0) / 1e9}%8.1f s   rows=$rows")
+      }
 
     timed("exactGroups") {
       Dedup.exactGroups(scaled).count()

@@ -125,6 +125,30 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Random projection to `outDims` dimensions using the same md5-derived
+    * hyperplane family as [[lshBucket]] (plane p = the projection's row p) —
+    * deterministic dimensionality reduction for embedding pipelines
+    * (Johnson–Lindenstrauss style distance preservation without a fitted
+    * model). Output: the input id plus `r0..r{outDims-1}` doubles. The dot
+    * products accumulate in a fixed left-to-right order on both engines
+    * (native fused-loop kernel here, list_dot_product in the oracle), so
+    * the raw doubles are bit-identical — no quantization needed.
+    *
+    * Scale shape: map-side only — the plane matrix is a driver-side
+    * literal; zero shuffles, chains inline before any bucketing/storage.
+    */
+  def randomProjection(vectors: DataFrame, outDims: Int,
+                       idCol: String = "vec_id", embCol: String = "embedding",
+                       dims: Int = 64): DataFrame = {
+    require(outDims > 0, s"outDims must be positive: $outDims")
+    val embD = col(embCol).cast("array<double>")
+    val comps = (0 until outDims).map { p =>
+      val plane = typedlit((0 until dims).map(d => planeComponent(p, d)))
+      graft.functions.ArrayMath.dotDouble(embD, plane).as(s"r$p")
+    }
+    vectors.select(col(idCol) +: comps: _*)
+  }
+
   /** LSH-bucketed approximate top-k: queries join only candidates in the
     * same sign-bucket, then exact cosine rank within the bucket. Recall is
     * traded for a 2^numPlanes candidate reduction; co-partitioned equi-join

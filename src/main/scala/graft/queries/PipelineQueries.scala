@@ -271,6 +271,34 @@ object PipelineQueries {
         |                                    ORDER BY cosine DESC, neighbor_id) AS rank FROM sc)
         | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
+    // ---- random projection (JL-style dimensionality reduction) ----------
+    // same md5-derived plane family as the LSH queries; raw doubles hash-
+    // match because both engines fold the dot product left-to-right.
+    ("sim_random_projection",
+      (s, d) => Similarity.randomProjection(t(s, d, "embeddings"), outDims = 8)
+        .orderBy("vec_id"),
+      """WITH planes AS (
+        |   SELECT p, dd,
+        |          ((strpos('0123456789abcdef', substr(h,1,1))-1)*4096
+        |         + (strpos('0123456789abcdef', substr(h,2,1))-1)*256
+        |         + (strpos('0123456789abcdef', substr(h,3,1))-1)*16
+        |         + (strpos('0123456789abcdef', substr(h,4,1))-1) - 32768) / 4096.0 AS comp
+        |   FROM (SELECT p, dd, substr(md5('plane' || p || ':' || dd), 1, 4) AS h
+        |         FROM (SELECT unnest(generate_series(0,7)) AS p),
+        |              (SELECT unnest(generate_series(0,63)) AS dd))),
+        | plv AS (SELECT p, list(comp ORDER BY dd) AS plane FROM planes GROUP BY p),
+        | dots AS (
+        |   SELECT e.vec_id, pl.p,
+        |          list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+        |                           pl.plane) AS dot
+        |   FROM embeddings e, plv pl)
+        | SELECT vec_id,
+        |   MAX(CASE WHEN p = 0 THEN dot END) AS r0, MAX(CASE WHEN p = 1 THEN dot END) AS r1,
+        |   MAX(CASE WHEN p = 2 THEN dot END) AS r2, MAX(CASE WHEN p = 3 THEN dot END) AS r3,
+        |   MAX(CASE WHEN p = 4 THEN dot END) AS r4, MAX(CASE WHEN p = 5 THEN dot END) AS r5,
+        |   MAX(CASE WHEN p = 6 THEN dot END) AS r6, MAX(CASE WHEN p = 7 THEN dot END) AS r7
+        | FROM dots GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+
     // ---- embedding-cosine near-dup pairs (banded sign-LSH) --------------
     // 2 bands x 4 planes here keeps the oracle's plane table small; at scale
     // the defaults (4 x 16) give ~256k fine-grained group keys.

@@ -338,6 +338,17 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(banded == expected)
   }
 
+  test("randomProjection matches a driver-side fold bit-for-bit") {
+    val emb = Seq.tabulate(64)(d => (0.01f * ((d * 7) % 13)) - 0.05f)
+    val v = vecs(1L -> emb)
+    val got = Similarity.randomProjection(v, outDims = 3).collect()(0)
+    (0 until 3).foreach { p =>
+      var acc = 0.0
+      (0 until 64).foreach(d => acc += emb(d).toDouble * Similarity.planeComponent(p, d))
+      assert(got.getDouble(p + 1) == acc, s"component $p")
+    }
+  }
+
   test("secondMoments: exact scatter matrix on hand-computed vectors") {
     val v = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, -1.0f))).toDF("vec_id", "embedding")
     val got = Similarity.secondMoments(v).collect()
