@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextStats}
+import graft.llm.{Bpe, Dedup, Multimodal, Sampling, Similarity, TextStats}
 import graft.ops.{ConnectedComponents, TextIndex}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -827,6 +827,15 @@ object PipelineQueries {
         |        CAST(SUM(qi) AS BIGINT) AS sum_i, CAST(SUM(qj) AS BIGINT) AS sum_j,
         |        COUNT(*) AS n
         | FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // ---- BPE merge training (rows-only: iterative argmax is not SQL) ----
+    // correctness is pinned by TextPipelineSpec's hand-computed merge
+    // sequence; the registry entry exercises the corpus->vocab->iterate
+    // shape end to end at bench scale.
+    ("t_bpe_merges",
+      (s, d) => Bpe.trainMergesDf(s, t(s, d, "documents"), numMerges = 8)
+        .orderBy("rank"),
+      null),
 
     // ---- composite quality verdict (Gopher-style rule routing) ----------
     // every rule evaluated, failures named in fixed order — a routed split

@@ -87,6 +87,24 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got(4L) == (("word_len,dup_words,rep_bigram", false)))
   }
 
+  test("BPE trainMerges learns the hand-computed sequence; tokenize replays it") {
+    import graft.llm.Bpe
+    val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val rules = Bpe.trainMerges(docs, numMerges = 5)
+    // round 1 pairs: (l,o)=3 (o,w)=3 (w,e)=1 (e,r)=1 -> tie breaks
+    // lexicographically to (l,o); round 2: (lo,w)=3; round 3: every pair
+    // occurs once -> early stop at 2 rules despite numMerges=5
+    assert(rules.map(r => (r._2, r._3, r._5)) == Seq(("l", "o", 3L), ("lo", "w", 3L)))
+    val toks = docs.select(Bpe.tokenize(rules.map(r => (r._2, r._3)))(col("text")).as("t"))
+      .collect()(0).getSeq[String](0)
+    assert(toks == Seq("low", "low", "low", "e", "r"))
+    // greedy left-to-right: "aaa" under (a,a) merges the FIRST pair only
+    val aaa = Seq((1L, "aaa")).toDF("doc_id", "text")
+      .select(Bpe.tokenize(Seq(("a", "a")))(col("text")).as("t"))
+      .collect()(0).getSeq[String](0)
+    assert(aaa == Seq("aa", "a"))
+  }
+
   test("cdcBoundaryStats matches the model and boundaries survive inserts") {
     val texts = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again and again"),
