@@ -314,6 +314,44 @@ object TextStats {
       .select(col(groupCol), col("token"), col("n"), col("rank"))
   }
 
+  /** Unigram-LM surprisal scoring (the CCNet-style "how unlike the
+    * reference corpus is this document" quality signal) in EXACT integer
+    * arithmetic. Each token's surprisal is the integer
+    * floor(log2((N+V)/(count+1))) — add-one smoothed, so out-of-vocabulary
+    * tokens get the maximum finite cost — computed as
+    * `length(bin(a div b)) - 1`, which equals floor(log2(a/b)) for every
+    * a ≥ b ≥ 1 (a/b ≥ 2^k ⟺ a div b ≥ 2^k, both directions by integer
+    * monotonicity), so any engine with binary rendering reproduces it
+    * bit-for-bit; per-document sum/count are exact longs and the mean is
+    * one double division of exact integers. Bit-granular by design — the
+    * portable surrogate of −log2 p (a float log would hang the oracle on
+    * libm ulp luck, the [[graft.ops.TextIndex.rankDocuments]] lesson).
+    *
+    * Emits (idCol, n_tokens, sum_surprisal, avg_surprisal). Scale shape:
+    * one reference scan → (token, count) vocabulary table; one corpus scan
+    * → fine-grained token join (vocabulary side is a candidate broadcast —
+    * left to the planner, it is genuinely count-estimable) → per-doc
+    * map-combinable rollup.
+    */
+  def unigramSurprisal(docs: DataFrame, refDocs: DataFrame,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def tok(df: DataFrame) = df
+      .select(col(idCol), explode(split(coalesce(col(textCol), lit("")), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val ref = tok(refDocs).groupBy("token").agg(count(lit(1)).as("cnt"))
+    val tot = ref.agg(sum(col("cnt")).as("n_total"), count(lit(1)).as("v_size"))
+    tok(docs)
+      .join(ref, Seq("token"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("s",
+        length(bin(expr("(n_total + v_size) div (coalesce(cnt, 0L) + 1)"))) - 1)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("s")).cast("long").as("sum_surprisal"))
+      .withColumn("avg_surprisal",
+        col("sum_surprisal").cast("double") / col("n_tokens"))
+  }
+
   /** Canonical content fingerprint: md5 of the sorted distinct word set —
     * invariant to word order and duplication, portable across engines.
     */

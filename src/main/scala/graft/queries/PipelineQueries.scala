@@ -828,6 +828,28 @@ object PipelineQueries {
         |        COUNT(*) AS n
         | FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
+    // ---- unigram-LM surprisal (CCNet-style quality signal) --------------
+    // reference model = even doc_ids; integer floor-log2 via bin-length so
+    // the oracle reproduces surprisal exactly (no libm log anywhere).
+    ("t_unigram_surprisal",
+      (s, d) => {
+        val docsDf = t(s, d, "documents")
+        TextStats.unigramSurprisal(docsDf, docsDf.filter(col("doc_id") % 2 === 0))
+          .orderBy("doc_id")
+      },
+      """WITH tok AS (SELECT doc_id, w AS token
+        |             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |             WHERE w <> ''),
+        | ref AS (SELECT token, COUNT(*) AS cnt FROM tok WHERE doc_id % 2 = 0 GROUP BY token),
+        | tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS v FROM ref),
+        | sc AS (SELECT t.doc_id,
+        |               length(bin((tot.n + tot.v) // (COALESCE(ref.cnt, 0) + 1))) - 1 AS s
+        |        FROM tok t LEFT JOIN ref USING (token) CROSS JOIN tot)
+        | SELECT doc_id, COUNT(*) AS n_tokens,
+        |        CAST(SUM(s) AS BIGINT) AS sum_surprisal,
+        |        CAST(SUM(s) AS DOUBLE) / COUNT(*) AS avg_surprisal
+        | FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     // ---- BPE merge training (rows-only: iterative argmax is not SQL) ----
     // correctness is pinned by TextPipelineSpec's hand-computed merge
     // sequence; the registry entry exercises the corpus->vocab->iterate

@@ -87,6 +87,18 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got(4L) == (("word_len,dup_words,rep_bigram", false)))
   }
 
+  test("unigramSurprisal: exact integer floor-log2 with add-one smoothing") {
+    val ref = Seq((0L, "a a b")).toDF("doc_id", "text")
+    // N=3 occurrences, V=2 types -> numerator 5
+    // a: floor(log2(5/3)) via 5 div 3 = 1 -> 0 bits
+    // b: 5 div 2 = 2 -> 1 bit; OOV c: 5 div 1 = 5 -> 2 bits
+    val scored = Seq((1L, "a b c"), (2L, "a a")).toDF("doc_id", "text")
+    val got = TextStats.unigramSurprisal(scored, ref).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((3L, 3L, 1.0)))
+    assert(got(2L) == ((2L, 0L, 0.0)))
+  }
+
   test("BPE trainMerges learns the hand-computed sequence; tokenize replays it") {
     import graft.llm.Bpe
     val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
