@@ -57,6 +57,57 @@ object GraphTraversal {
     visited
   }
 
+  /** PageRank over a directed edge table: `iterations` rounds of the
+    * standard damped update
+    * `rank = (1−d)/N + d·(Σ inbound rank/outdeg + danglingMass/N)`,
+    * dangling (no-outlink) mass redistributed uniformly so total rank stays
+    * 1.0 every round (asserted cheaply via the returned ranks in specs).
+    *
+    * Scale shape per round: ONE equi-join shuffle (ranks ⋈ edges on src —
+    * pre-bucket the edge table on `srcCol` at billion-edge scale so every
+    * round reuses the bucketing, as with [[bfsLevels]]) + one
+    * map-combinable sum on dst; the dangling-mass term is a scalar
+    * aggregate broadcast back. Per-round localCheckpoint truncates lineage
+    * (rank table is vertex-sized — the small side; same discipline as
+    * [[ConnectedComponents]]).
+    *
+    * No DuckDB oracle: iterative floating-point sums are not
+    * portable-exact (addition order differs by partitioning); the spec
+    * checks against a driver-side dense reference at 1e-9.
+    */
+  def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
+               srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    require(damping >= 0.0 && damping <= 1.0, s"damping must be in [0,1]: $damping")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      .localCheckpoint(true)
+    val vertices = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+    val n = vertices.count()
+    val outDeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    var ranks = vertices.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    var i = 0
+    while (i < iterations) {
+      val withDeg = ranks.join(outDeg, Seq("id"), "left")
+      // dangling mass: rank held by vertices with no outlinks
+      val dangling = withDeg.filter(col("outdeg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+      val contribs = withDeg.filter(col("outdeg").isNotNull)
+        .select(col("id").as("src"), (col("rank") / col("outdeg")).as("c"))
+        .join(e, Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("c")).as("inbound"))
+      ranks = vertices
+        .join(contribs, Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("inbound"), lit(0.0)) + col("dm") / n)).as("rank"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    ranks
+  }
+
   /** Per-vertex triangle counts over an UNDIRECTED graph (edge direction and
     * duplicates are normalized away; self-loops dropped). Output: one row per
     * vertex — (`id`, `n_triangles`), including zero-triangle vertices.

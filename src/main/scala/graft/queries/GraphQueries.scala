@@ -165,6 +165,20 @@ object GraphQueries {
         | FROM deg LEFT JOIN pv ON pv.v = deg.v
         | ORDER BY id""".stripMargin),
 
+    // ---- PageRank (rows-only: iterative float sums are not portable) ----
+    // same successor graph as g_triangles; correctness is pinned by the
+    // dense-reference spec at 1e-9, mass conservation asserted there too.
+    ("g_pagerank",
+      (s, d) => {
+        val k = col("c_custkey")
+        val edges = (1 to 3).map(delta =>
+            t(s, d, "customer").select(k.as("src"), (k + delta).as("dst")))
+          .reduce(_ union _)
+        graft.ops.GraphTraversal.pageRank(edges, iterations = 8)
+          .orderBy("id")
+      },
+      null),
+
     // ---- approximate aggregates (engine-specific sketches; rows-only) ---
     ("a7_approx",
       (s, d) => t(s, d, "lineitem").agg(

@@ -84,6 +84,30 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("pageRank matches a driver-side dense reference; mass conserves") {
+    // directed graph with a dangling node (4) and a cycle
+    val edgeList = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 4L))
+    val iters = 12; val d = 0.85
+    val got = graft.ops.GraphTraversal.pageRank(edgeList.toDF("src", "dst"), iters, d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // dense reference
+    val vs = edgeList.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = vs.length
+    val out = edgeList.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var rank = vs.map(_ -> 1.0 / n).toMap
+    (0 until iters).foreach { _ =>
+      val dm = vs.filterNot(out.contains).map(rank).sum
+      val inbound = vs.map(v => v -> 0.0).toMap ++
+        out.toSeq.flatMap { case (s, ds) => ds.map(_ -> rank(s) / ds.length) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      rank = vs.map(v => v -> ((1.0 - d) / n + d * (inbound(v) + dm / n))).toMap
+    }
+    vs.foreach(v => assert(math.abs(got(v) - rank(v)) < 1e-9, s"vertex $v"))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9) // mass conservation
+    // the cycle hub (3: two inbound links) outranks the dangling leaf's source
+    assert(got(3L) > got(2L))
+  }
+
   test("triangleCounts: K4 normalizes direction/dups/self-loops; 4 triangles") {
     // K4 given messily: mixed directions, a duplicate edge, a self-loop
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (4L, 1L), (2L, 3L), (4L, 2L),
