@@ -31,6 +31,20 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    def enabled(name: String): Boolean = only.isEmpty || only.exists(name.contains)
+    def timed(name: String)(body: => Long): Unit =
+      if (enabled(name)) {
+        val t0 = System.nanoTime()
+        val rows = body
+        println(f"$name%-34s ${(System.nanoTime() - t0) / 1e9}%8.1f s   rows=$rows")
+      }
+
+    // group setup is gated like the probes themselves: a filtered run must
+    // not pay cache+count materialization for groups with nothing selected
+    val docProbes = Seq("exactGroups", "lshCandidates", "jaccardPairs",
+      "removeNearDuplicates", "components", "chunkDedup", "triangleCounts",
+      "qualityFilter", "tokenBudgetMix", "rankDocuments")
+    if (docProbes.exists(enabled)) {
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
     val n0 = base.count()
@@ -47,13 +61,6 @@ object ScaleProbe {
     }.reduce(_ union _).cache()
     val n = scaled.count() // materialize once; probes then share the input
     println(s"corpus: $n0 -> $n docs (x$mult)")
-
-    def timed(name: String)(body: => Long): Unit =
-      if (only.isEmpty || only.exists(name.contains)) {
-        val t0 = System.nanoTime()
-        val rows = body
-        println(f"$name%-34s ${(System.nanoTime() - t0) / 1e9}%8.1f s   rows=$rows")
-      }
 
     timed("exactGroups") {
       Dedup.exactGroups(scaled).count()
@@ -108,9 +115,12 @@ object ScaleProbe {
         Seq("joins", "vector", "the"), k = 100).count()
     }
     scaled.unpersist()
+    }
 
     // similarity path at the same multiplier: exact copies (even k) again
     // stress bucket fan-out; odd copies get one element nudged
+    val vecProbes = Seq("cosineDupPairs", "lshTopK", "ivfTopK", "semanticDedup")
+    if (vecProbes.exists(enabled)) {
     val baseV = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
     val vecStride = baseV.agg(max(col("vec_id"))).head.getLong(0) + 1L
@@ -142,9 +152,12 @@ object ScaleProbe {
       graft.llm.Similarity.semanticDedup(vecs, cents, tau = 0.95).count()
     }
     vecs.unpersist()
+    }
 
     // graph path at the same multiplier: orders become URI-URI statements
     // (the GraphQueries model); duplicate copies stress edge last-wins
+    val graphProbes = Seq("GraphOps.vertices", "GraphOps.edges")
+    if (graphProbes.exists(enabled)) {
     val obo = "http://purl.obolibrary.org/obo/"
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
@@ -169,6 +182,7 @@ object ScaleProbe {
       graft.ops.GraphOps.edges(triples, emptyRo).count()
     }
     triples.unpersist()
+    }
     spark.stop()
   }
 }

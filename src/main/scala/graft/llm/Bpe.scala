@@ -81,9 +81,14 @@ object Bpe {
         val r = top(0).getString(1)
         val t = top(0).getLong(2)
         rules += ((rank, l, r, l + r, t))
+        // checkpoint the new round, then release the superseded copy —
+        // otherwise numMerges (often tens of thousands) vocabulary copies
+        // accumulate in non-evictable block storage over the training loop
+        val prev = vocab
         vocab = vocab
           .withColumn("symbols", mergeUdf(col("symbols"), lit(l), lit(r)))
           .localCheckpoint(true)
+        prev.unpersist()
         rank += 1
       }
     }
@@ -91,24 +96,49 @@ object Bpe {
   }
 
   /** Learned rules as a DataFrame — the registry/bench surface. */
-  def trainMergesDf(spark: SparkSession, docs: DataFrame, numMerges: Int,
+  def trainMergesDf(docs: DataFrame, numMerges: Int,
                     textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     trainMerges(docs, numMerges, textCol)
       .toDF("rank", "left", "right", "merged", "pair_count")
   }
 
-  /** Tokenize with a learned rule sequence: every word is split to chars
-    * and the merges replay in rank order — the standard BPE encode. Pure
-    * function of (text, rules); exposed as a map-side UDF column.
+  /** Tokenize with a learned rule sequence — the standard BPE encode
+    * (the min-rank loop every production tokenizer uses): repeatedly merge
+    * the LOWEST-rank adjacent pair present in the word until none remains.
+    * Per-word cost is proportional to the word, not the vocabulary — a
+    * 32k-rule vocabulary must not mean 32k array scans per word on a
+    * corpus-scale map path. New pairs created by a merge contain the
+    * merged symbol, so in the common case (merged strings unambiguous
+    * across rules) this reproduces an in-order rule replay exactly; where
+    * two rules yield the same merged string the min-rank loop is the
+    * canonical semantics. Pure function of (text, rules); exposed as a
+    * map-side UDF column.
     */
-  def tokenize(merges: Seq[(String, String)]): org.apache.spark.sql.expressions.UserDefinedFunction =
+  def tokenize(merges: Seq[(String, String)]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val rank: Map[(String, String), Int] = merges.zipWithIndex.toMap
     udf { (text: String) =>
       if (text == null) Seq.empty[String]
       else text.split(" ").filter(_.nonEmpty).toSeq.flatMap { w =>
         var symbols: Seq[String] = w.split("").toSeq
-        merges.foreach { case (l, r) => symbols = mergeOnce(symbols, l, r) }
+        var done = false
+        while (!done && symbols.length >= 2) {
+          var bestRank = Int.MaxValue
+          var i = 0
+          while (i < symbols.length - 1) {
+            val p = rank.getOrElse((symbols(i), symbols(i + 1)), Int.MaxValue)
+            if (p < bestRank) bestRank = p
+            i += 1
+          }
+          if (bestRank == Int.MaxValue) done = true
+          else {
+            val (l, r) = merges(bestRank)
+            symbols = mergeOnce(symbols, l, r)
+          }
+        }
         symbols
       }
     }
+  }
 }

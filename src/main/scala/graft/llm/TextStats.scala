@@ -327,11 +327,16 @@ object TextStats {
     * portable surrogate of −log2 p (a float log would hang the oracle on
     * libm ulp luck, the [[graft.ops.TextIndex.rankDocuments]] lesson).
     *
-    * Emits (idCol, n_tokens, sum_surprisal, avg_surprisal). Scale shape:
-    * one reference scan → (token, count) vocabulary table; one corpus scan
-    * → fine-grained token join (vocabulary side is a candidate broadcast —
-    * left to the planner, it is genuinely count-estimable) → per-doc
-    * map-combinable rollup.
+    * Emits (idCol, n_tokens, sum_surprisal, avg_surprisal) for EVERY input
+    * document — token-less docs (null/empty/whitespace text) score
+    * (0, 0, null) rather than vanishing, so quality routing can
+    * distinguish "unscoreable" from "lost" (the same routed-not-dropped
+    * discipline as [[qualityFilter]]). Scale shape: one reference scan →
+    * (token, count) vocabulary table, materialized ONCE (it feeds both the
+    * totals aggregate and the token join — a vocabulary-sized result over
+    * a corpus-scale subtree); one corpus scan → fine-grained token join
+    * (vocabulary side is a candidate broadcast — left to the planner, it
+    * is genuinely count-estimable) → per-doc map-combinable rollup.
     */
   def unigramSurprisal(docs: DataFrame, refDocs: DataFrame,
                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -339,8 +344,9 @@ object TextStats {
       .select(col(idCol), explode(split(coalesce(col(textCol), lit("")), " ")).as("token"))
       .filter(col("token") =!= "")
     val ref = tok(refDocs).groupBy("token").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val tot = ref.agg(sum(col("cnt")).as("n_total"), count(lit(1)).as("v_size"))
-    tok(docs)
+    val scored = tok(docs)
       .join(ref, Seq("token"), "left")
       .crossJoin(broadcast(tot))
       .withColumn("s",
@@ -348,8 +354,11 @@ object TextStats {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("s")).cast("long").as("sum_surprisal"))
-      .withColumn("avg_surprisal",
-        col("sum_surprisal").cast("double") / col("n_tokens"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sum_surprisal"), lit(0L)).as("sum_surprisal"),
+        (col("sum_surprisal").cast("double") / col("n_tokens")).as("avg_surprisal"))
   }
 
   /** Canonical content fingerprint: md5 of the sorted distinct word set —

@@ -63,12 +63,17 @@ object GraphTraversal {
     * dangling (no-outlink) mass redistributed uniformly so total rank stays
     * 1.0 every round (asserted cheaply via the returned ranks in specs).
     *
-    * Scale shape per round: ONE equi-join shuffle (ranks ⋈ edges on src —
-    * pre-bucket the edge table on `srcCol` at billion-edge scale so every
-    * round reuses the bucketing, as with [[bfsLevels]]) + one
-    * map-combinable sum on dst; the dangling-mass term is a scalar
-    * aggregate broadcast back. Per-round localCheckpoint truncates lineage
-    * (rank table is vertex-sized — the small side; same discipline as
+    * Scale shape per round: one vertex-sized ranks ⋈ outdeg join, ONE
+    * edge-scale equi-join shuffle (contribs ⋈ edges on src — pre-bucket the
+    * edge table on `srcCol` at billion-edge scale so every round reuses the
+    * bucketing, as with [[bfsLevels]]) + one map-combinable sum on dst; the
+    * dangling-mass term is a scalar aggregate broadcast back. The
+    * loop-invariant out-degree table is materialized ONCE before the loop
+    * (vertex-sized result over an edge-scale aggregate — the
+    * small-data-over-big-subtree case; it feeds two branches every round).
+    * Per-round localCheckpoint truncates lineage, and each round's rank
+    * table unpersists its predecessor so block storage holds one copy, not
+    * `iterations` (rank table is vertex-sized; same discipline as
     * [[ConnectedComponents]]).
     *
     * No DuckDB oracle: iterative floating-point sums are not
@@ -85,6 +90,7 @@ object GraphTraversal {
       .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
     val n = vertices.count()
     val outDeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
     var ranks = vertices.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
     var i = 0
     while (i < iterations) {
@@ -96,6 +102,7 @@ object GraphTraversal {
         .select(col("id").as("src"), (col("rank") / col("outdeg")).as("c"))
         .join(e, Seq("src"))
         .groupBy(col("dst").as("id")).agg(sum(col("c")).as("inbound"))
+      val prev = ranks
       ranks = vertices
         .join(contribs, Seq("id"), "left")
         .crossJoin(broadcast(dangling))
@@ -103,6 +110,7 @@ object GraphTraversal {
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("inbound"), lit(0.0)) + col("dm") / n)).as("rank"))
         .localCheckpoint(true)
+      prev.unpersist()
       i += 1
     }
     ranks

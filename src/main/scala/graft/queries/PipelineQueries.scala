@@ -844,18 +844,20 @@ object PipelineQueries {
         | tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS v FROM ref),
         | sc AS (SELECT t.doc_id,
         |               length(bin((tot.n + tot.v) // (COALESCE(ref.cnt, 0) + 1))) - 1 AS s
-        |        FROM tok t LEFT JOIN ref USING (token) CROSS JOIN tot)
-        | SELECT doc_id, COUNT(*) AS n_tokens,
-        |        CAST(SUM(s) AS BIGINT) AS sum_surprisal,
-        |        CAST(SUM(s) AS DOUBLE) / COUNT(*) AS avg_surprisal
-        | FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+        |        FROM tok t LEFT JOIN ref USING (token) CROSS JOIN tot),
+        | agg AS (SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(s) AS BIGINT) AS sum_surprisal
+        |         FROM sc GROUP BY doc_id)
+        | SELECT d.doc_id, CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+        |        CAST(COALESCE(sum_surprisal, 0) AS BIGINT) AS sum_surprisal,
+        |        CAST(sum_surprisal AS DOUBLE) / n_tokens AS avg_surprisal
+        | FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin),
 
     // ---- BPE merge training (rows-only: iterative argmax is not SQL) ----
     // correctness is pinned by TextPipelineSpec's hand-computed merge
     // sequence; the registry entry exercises the corpus->vocab->iterate
     // shape end to end at bench scale.
     ("t_bpe_merges",
-      (s, d) => Bpe.trainMergesDf(s, t(s, d, "documents"), numMerges = 8)
+      (s, d) => Bpe.trainMergesDf(t(s, d, "documents"), numMerges = 8)
         .orderBy("rank"),
       null),
 

@@ -92,11 +92,16 @@ class TextPipelineSpec extends AnyFunSuite {
     // N=3 occurrences, V=2 types -> numerator 5
     // a: floor(log2(5/3)) via 5 div 3 = 1 -> 0 bits
     // b: 5 div 2 = 2 -> 1 bit; OOV c: 5 div 1 = 5 -> 2 bits
-    val scored = Seq((1L, "a b c"), (2L, "a a")).toDF("doc_id", "text")
+    val scored = Seq((1L, "a b c"), (2L, "a a"), (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
     val got = TextStats.unigramSurprisal(scored, ref).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
-    assert(got(1L) == ((3L, 3L, 1.0)))
-    assert(got(2L) == ((2L, 0L, 0.0)))
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got(1L) == ((3L, 3L, Some(1.0))))
+    assert(got(2L) == ((2L, 0L, Some(0.0))))
+    // token-less docs are emitted as unscoreable, never silently dropped
+    assert(got(3L) == ((0L, 0L, None)))
+    assert(got(4L) == ((0L, 0L, None)))
   }
 
   test("BPE trainMerges learns the hand-computed sequence; tokenize replays it") {
