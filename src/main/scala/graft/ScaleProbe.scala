@@ -156,7 +156,7 @@ object ScaleProbe {
 
     // graph path at the same multiplier: orders become URI-URI statements
     // (the GraphQueries model); duplicate copies stress edge last-wins
-    val graphProbes = Seq("GraphOps.vertices", "GraphOps.edges")
+    val graphProbes = Seq("GraphOps.vertices", "GraphOps.edges", "pageRank")
     if (graphProbes.exists(enabled)) {
     val obo = "http://purl.obolibrary.org/obo/"
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
@@ -180,6 +180,13 @@ object ScaleProbe {
     }
     timed("GraphOps.edges (last-wins)") {
       graft.ops.GraphOps.edges(triples, emptyRo).count()
+    }
+    timed("pageRank (8 iters, URI graph)") {
+      // string-keyed statement graph: per-round join keys are URIs, the
+      // realistic shape for ranking entities in the loaded property graph
+      graft.ops.GraphTraversal.pageRank(
+        triples.select(col("subject").as("src"), col("object").as("dst")),
+        iterations = 8).count()
     }
     triples.unpersist()
     }

@@ -125,6 +125,17 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
   }
 
+  test("degenerate graphs: empty edge tables yield empty results, not errors") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.ops.GraphTraversal.triangleCounts(empty).count() == 0)
+    assert(graft.ops.GraphTraversal.pageRank(empty, iterations = 3).count() == 0)
+    assert(graft.ops.GraphTraversal
+      .bfsLevels(empty, Seq(1L).toDF("id"), maxHops = 3).count() == 1) // source itself
+    // self-loops only: no undirected edges survive normalization
+    val loops = Seq((1L, 1L), (2L, 2L)).toDF("src", "dst")
+    assert(graft.ops.GraphTraversal.triangleCounts(loops).count() == 0)
+  }
+
   test("triangleCounts matches a brute-force count on a pseudo-random graph") {
     val raw = (0 until 120).map(i => ((i * 7 % 24).toLong, (i * 13 % 24).toLong))
     val und = raw.collect { case (a, b) if a != b => (a min b, a max b) }.distinct

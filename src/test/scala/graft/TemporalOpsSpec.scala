@@ -210,6 +210,20 @@ class TemporalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenBudgetMix degenerate inputs: zero budget drops all; absent domain uses default") {
+    val docs = Seq((1L, "a", "w w"), (2L, "b", "w w w")).toDF("doc_id", "domain", "text")
+    val tokens = size(split(col("text"), " "))
+    // zero budget: no doc STARTS inside it
+    val none = Sampling.tokenBudgetMix(docs, "doc_id", "domain", tokens, Map("a" -> 0L, "b" -> 0L))
+    assert(none.count() == 0)
+    // domain absent from the map: defaultBudget applies (MaxValue keeps all)
+    val all = Sampling.tokenBudgetMix(docs, "doc_id", "domain", tokens, Map("a" -> 100L))
+    assert(all.count() == 2)
+    // empty input frame round-trips
+    val empty = Sampling.tokenBudgetMix(docs.limit(0), "doc_id", "domain", tokens, Map.empty)
+    assert(empty.count() == 0)
+  }
+
   test("tokenBudgetMix: overshoot is bounded by one document per domain") {
     val docs = (0L until 200L).map(i => (i, "d", "t " * 10)).toDF("doc_id", "domain", "text")
     val kept = Sampling.tokenBudgetMix(docs, "doc_id", "domain",
