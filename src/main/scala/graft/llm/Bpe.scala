@@ -51,7 +51,6 @@ object Bpe {
   def trainMerges(docs: DataFrame, numMerges: Int,
                   textCol: String = "text"): Seq[(Int, String, String, String, Long)] = {
     require(numMerges > 0, s"numMerges must be positive: $numMerges")
-    val spark = docs.sparkSession
     // ONE corpus pass: word frequency table with initial per-char symbols
     var vocab = docs
       .select(explode(split(coalesce(col(textCol), lit("")), " ")).as("word"))

@@ -274,13 +274,20 @@ object Dedup {
     * O(|incoming| · bands) with no corpus shuffle at all.
     * Emits distinct (id_a < id_b); ids must be unique across both inputs.
     */
+  /** `materializeIncoming = false` skips the internal localCheckpoint —
+    * for callers that already materialized the incoming signatures (the
+    * streaming loop checkpoints them once for its own probe+append reuse;
+    * a second copy per micro-batch would pin redundant block storage).
+    */
   def incrementalCandidates(corpusSigs: DataFrame, incomingSigs: DataFrame,
-                            bands: Int, rowsPerBand: Int): DataFrame = {
+                            bands: Int, rowsPerBand: Int,
+                            materializeIncoming: Boolean = true): DataFrame = {
     // incoming sigs feed TWO consumers (the broadcast cross probe and the
     // within-increment candidates): materialize once — the increment is tiny
     // by contract, and without this the whole incoming shingle+minhash
     // pipeline re-executes per consumer (measured ~2 extra stages at sf0.1)
-    val inSigs = incomingSigs.localCheckpoint(true)
+    val inSigs = if (materializeIncoming) incomingSigs.localCheckpoint(true)
+                 else incomingSigs
     val bCorp = lshBands(corpusSigs, bands, rowsPerBand)
     val bIn = lshBands(inSigs, bands, rowsPerBand)
       .withColumnRenamed("id", "id_in")

@@ -142,9 +142,15 @@ object Similarity {
                        dims: Int = 64): DataFrame = {
     require(outDims > 0, s"outDims must be positive: $outDims")
     val embD = col(embCol).cast("array<double>")
+    // fail loudly on a dimension mismatch: the dot kernel returns NULL for
+    // ragged inputs, which here would emit an all-NULL projection for the
+    // whole corpus with no error (same per-row discipline as assignCellUdf)
+    val checked = when(size(embD) === dims, embD).otherwise(raise_error(
+      concat(lit(s"randomProjection: embedding length "), size(embD).cast("string"),
+        lit(s" != dims $dims"))))
     val comps = (0 until outDims).map { p =>
       val plane = typedlit((0 until dims).map(d => planeComponent(p, d)))
-      graft.functions.ArrayMath.dotDouble(embD, plane).as(s"r$p")
+      graft.functions.ArrayMath.dotDouble(checked, plane).as(s"r$p")
     }
     vectors.select(col(idCol) +: comps: _*)
   }

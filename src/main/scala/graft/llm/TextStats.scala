@@ -259,9 +259,12 @@ object TextStats {
                      ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
       s"quantile fractions must be in (0,1]: $ps")
-    // round, don't truncate: 0.29*100 is 28.999... in doubles and .toInt
-    // would label the 29th percentile "p28"
-    val names = ps.map(p => s"p${math.round(p * 100)}")
+    // decimal-faithful labels: BigDecimal renders the double's shortest
+    // decimal form, so 0.29 -> p29 (never p28 by double truncation) and
+    // sub-percent fractions stay distinct — 0.999 -> p99_9, 0.001 -> p0_1
+    // ('.' is not column-name-friendly; '_' stands in)
+    val names = ps.map(p => "p" + (BigDecimal(p) * 100).bigDecimal
+      .stripTrailingZeros.toPlainString.replace(".", "_"))
     require(names.distinct == names, s"quantile labels collide: $names")
     val counts = df.groupBy(col(groupCol), valueCol.as("v"))
       .agg(count(lit(1)).as("c"))

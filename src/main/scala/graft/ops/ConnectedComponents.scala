@@ -110,6 +110,10 @@ object ConnectedComponents {
       val nfp = fingerprint(next)
       converged = nfp == fp
       fp = nfp
+      // release the superseded round's blocks — otherwise up to maxIter
+      // edge-scale copies pin non-evictable executor storage (the pageRank
+      // discipline)
+      e.unpersist()
       e = next
       it += 1
     }

@@ -39,6 +39,7 @@ object GraphTraversal {
     var visited = sources.select(col(idCol).as("id")).distinct()
       .withColumn("level", lit(0)).localCheckpoint(true)
     var frontier = visited.select("id")
+    var frontierCp: Option[DataFrame] = None // checkpointed frame backing frontier
     var h = 0
     var exhausted = false
     while (h < maxHops && !exhausted) {
@@ -48,12 +49,20 @@ object GraphTraversal {
         .join(visited.select("id"), Seq("id"), "left_anti")
         .withColumn("level", lit(h))
         .localCheckpoint(true)
-      if (next.isEmpty) exhausted = true
+      if (next.isEmpty) { next.unpersist(); exhausted = true }
       else {
+        // each round keeps ONE visited-set copy and ONE frontier copy in
+        // block storage, releasing the superseded ones (the pageRank
+        // discipline — without this up to maxHops copies pin storage)
+        val prevVisited = visited
         visited = visited.union(next).localCheckpoint(true)
+        prevVisited.unpersist()
+        frontierCp.foreach(_.unpersist())
+        frontierCp = Some(next)
         frontier = next.select("id")
       }
     }
+    frontierCp.foreach(_.unpersist())
     visited
   }
 

@@ -89,8 +89,9 @@ object TemporalOps {
   def sessionize(events: DataFrame, keyCol: String, tsCol: String,
                  gap: Long, tieCol: String): DataFrame = {
     require(gap >= 0, s"sessionize: gap must be non-negative, got $gap")
-    require(!events.columns.contains("session_no"),
-      "sessionize: input already has a 'session_no' column")
+    val reserved = Seq("session_no", "__prev", "__new")
+    require(!events.columns.exists(reserved.contains),
+      s"sessionize: input already has one of ${reserved.mkString(", ")}")
     val ord = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
     val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events

@@ -165,12 +165,17 @@ object TextIndex {
     * matches "developing"); per (doc, term) tf is the stemmed-occurrence
     * count, and each term contributes
     * `round(tf · (2N − 2·df + 1) · scale / (2·df + 1))` — the BM25 odds
-    * ratio `(N − df + ½)/(df + ½)` as an exact integer ratio, scaled and
-    * rounded to a LONG. Why no log: libm `ln` is not bit-identical across
-    * engines, but here every input is an exact integer < 2^53, IEEE
-    * division is correctly rounded, ties at .5 are impossible (the
-    * denominator is odd), and the LONG sum is order-independent — so scores
-    * and ranks reproduce bit-for-bit on any engine. Rank ties break by id.
+    * ratio `(N − df + ½)/(df + ½)`, scaled and rounded to a LONG. Why no
+    * log: libm `ln` is not bit-identical across engines. Each FACTOR is an
+    * exact integer held in a double (tf, 2N−2df+1, scale — every one
+    * < 2^53 at any real corpus count), the product and division are
+    * left-associated IEEE double ops identical on any engine, round() on
+    * the same double decides the same way everywhere, and the LONG sum is
+    * order-independent — so scores and ranks reproduce bit-for-bit. The
+    * arithmetic runs in DOUBLE, not LONG: a long product
+    * tf·(2N−2df+1)·scale overflows 2^63 at web-corpus N with spammy tf,
+    * which under ANSI mode (the Spark 4 default) kills the query.
+    * Rank ties break by id.
     *
     * Scale shape: the query-stem table is a handful of rows, BROADCAST and
     * semi-joined BEFORE the tf shuffle — only rows containing a query term
@@ -194,8 +199,9 @@ object TextIndex {
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val termScore = round(col("tf") * (lit(2) * col("n_docs") - lit(2) * col("df") + 1)
-      * lit(scale) / (lit(2) * col("df") + 1)).cast("long")
+    val termScore = round(col("tf").cast("double")
+      * (lit(2) * col("n_docs") - lit(2) * col("df") + 1).cast("double")
+      * lit(scale).cast("double") / (lit(2) * col("df") + 1).cast("double")).cast("long")
     val scored = tf.join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(n))
       .groupBy(col(idCol)).agg(sum(termScore).as("score"))

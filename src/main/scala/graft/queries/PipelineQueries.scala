@@ -563,7 +563,8 @@ object PipelineQueries {
         | dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
         | n AS (SELECT COUNT(*) AS n_docs FROM documents),
         | sc AS (SELECT doc_id,
-        |          CAST(SUM(CAST(round(tf * (2*n_docs - 2*df + 1) * 1000000 / (2*df + 1)) AS BIGINT)) AS BIGINT) AS score
+        |          CAST(SUM(CAST(round(CAST(tf AS DOUBLE) * CAST(2*n_docs - 2*df + 1 AS DOUBLE)
+        |                              * CAST(1000000 AS DOUBLE) / CAST(2*df + 1 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS score
         |        FROM tf JOIN dfx USING (term) CROSS JOIN n GROUP BY 1)
         | SELECT doc_id, score, CAST(rank AS INTEGER) AS rank FROM (
         |   SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)

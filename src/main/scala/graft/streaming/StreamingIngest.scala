@@ -128,20 +128,26 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        // materialized once: probed for candidates AND appended to the store
+        // materialized ONCE per batch (probed for candidates AND appended
+        // to the store — incrementalCandidates is told not to re-checkpoint)
+        // and released when the batch is done: a streaming loop that pins a
+        // copy per micro-batch leaks block storage over continuous ingestion
         val incSigs = graft.llm.Dedup.minhashSignatures(
           graft.llm.Dedup.wordShingles(batch, shingleN, textCol, idCol), numHashes)
           .localCheckpoint(true)
-        val store = new org.apache.hadoop.fs.Path(sigStoreDir)
-        val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val pairs =
-          if (fs.exists(store))
-            graft.llm.Dedup.incrementalCandidates(
-              spark.read.parquet(sigStoreDir), incSigs, bands, numHashes / bands)
-          else
-            graft.llm.Dedup.lshCandidates(incSigs, bands, numHashes / bands)
-        pairs.write.mode("append").parquet(pairsDir)
-        incSigs.write.mode("append").parquet(sigStoreDir)
+        try {
+          val store = new org.apache.hadoop.fs.Path(sigStoreDir)
+          val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val pairs =
+            if (fs.exists(store))
+              graft.llm.Dedup.incrementalCandidates(
+                spark.read.parquet(sigStoreDir), incSigs, bands, numHashes / bands,
+                materializeIncoming = false)
+            else
+              graft.llm.Dedup.lshCandidates(incSigs, bands, numHashes / bands)
+          pairs.write.mode("append").parquet(pairsDir)
+          incSigs.write.mode("append").parquet(sigStoreDir)
+        } finally incSigs.unpersist()
         ()
       }
       .start()
