@@ -189,6 +189,39 @@ object GraphOps {
       .distinct()
       .withColumn("normalized", Normalize.normalizeEdgeLabel(col("raw_label")))
 
+  /** Snapshot diff between two builds of a collection — the
+    * ontology-release comparison a graph-store user runs after the
+    * download/rebuild cycle ("what changed between CL 2024-01 and
+    * 2024-04"): one row per key present in either snapshot with
+    * `change` ∈ added | removed | changed | unchanged and both value
+    * tuples. Keys are `keyCols`; `valueCols` define equality (null-safe:
+    * a null-to-value transition is `changed`, not a match).
+    *
+    * Scale shape: ONE full-outer co-partitioned equi-join on the key —
+    * snapshots are same-generation tables so neither side broadcasts at
+    * scale and AQE handles skewed keys; everything else is a map-side
+    * projection. Filter `change != 'unchanged'` upstream of any sink to
+    * ship only the delta.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keyCols: Seq[String], valueCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff: keyCols must be non-empty")
+    val o = oldSnap.select((keyCols ++ valueCols).map(col): _*)
+      .withColumn("__in_old", lit(true))
+      .withColumnsRenamed(valueCols.map(c => c -> s"old_$c").toMap)
+    val n = newSnap.select((keyCols ++ valueCols).map(col): _*)
+      .withColumn("__in_new", lit(true))
+      .withColumnsRenamed(valueCols.map(c => c -> s"new_$c").toMap)
+    val same = valueCols.map(c => col(s"old_$c") <=> col(s"new_$c")).reduce(_ && _)
+    o.join(n, keyCols, "full_outer")
+      .withColumn("change",
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(same, "unchanged")
+          .otherwise("changed"))
+      .drop("__in_old", "__in_new")
+  }
+
   /** J3: referential-integrity check — keep edges whose BOTH endpoints exist
     * in the kept vertex set (reference: OntologyGraphBuilder.java:463-466).
     * Two semi-joins; the vertex side is broadcast when small enough,

@@ -165,6 +165,36 @@ object GraphQueries {
         | FROM deg LEFT JOIN pv ON pv.v = deg.v
         | ORDER BY id""".stripMargin),
 
+    // ---- snapshot diff between two collection builds --------------------
+    // the ontology-release comparison: old = keys <= 1200, new = keys
+    // <= 1250 minus every 10th, with every 7th value bumped — all four
+    // change states present at any scale factor.
+    ("g_snapshot_diff",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val oldSnap = c.filter(col("c_custkey") <= 1200)
+          .select(col("c_custkey").as("key"), col("c_nationkey").as("nation"))
+        val newSnap = c.filter(col("c_custkey") <= 1250 && col("c_custkey") % 10 =!= 0)
+          .select(col("c_custkey").as("key"),
+            (col("c_nationkey") +
+              when(col("c_custkey") % 7 === 0, 1).otherwise(0)).as("nation"))
+        GraphOps.snapshotDiff(oldSnap, newSnap, Seq("key"), Seq("nation"))
+          .orderBy("key")
+      },
+      """WITH o AS (SELECT c_custkey AS key, c_nationkey AS nation
+        |           FROM customer WHERE c_custkey <= 1200),
+        | n AS (SELECT c_custkey AS key,
+        |              c_nationkey + CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END AS nation
+        |       FROM customer WHERE c_custkey <= 1250 AND c_custkey % 10 <> 0)
+        | SELECT COALESCE(o.key, n.key) AS key,
+        |        o.nation AS old_nation, n.nation AS new_nation,
+        |        CASE WHEN o.key IS NULL THEN 'added'
+        |             WHEN n.key IS NULL THEN 'removed'
+        |             WHEN o.nation = n.nation THEN 'unchanged'
+        |             ELSE 'changed' END AS change
+        | FROM o FULL OUTER JOIN n ON o.key = n.key
+        | ORDER BY key""".stripMargin),
+
     // ---- PageRank (rows-only: iterative float sums are not portable) ----
     // same successor graph as g_triangles; correctness is pinned by the
     // dense-reference spec at 1e-9, mass conservation asserted there too.

@@ -150,4 +150,21 @@ class GraphOpsSpec extends AnyFunSuite {
     val pairs = e.select("to_id").distinct().collect().map(_.getString(0)).toSet
     assert(pairs == Set("CL"))
   }
+  test("snapshotDiff: all four change states; null-safe value comparison") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, Some("a")), (2L, None), (3L, Some("c")), (4L, Some("d")),
+      (6L, None)).toDF("key", "v")
+    val newSnap = Seq((1L, Some("a")), (2L, Some("x")), (3L, None), (5L, Some("e")),
+      (6L, None)).toDF("key", "v")
+    val got = graft.ops.GraphOps.snapshotDiff(oldSnap, newSnap, Seq("key"), Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got == Map(
+      1L -> "unchanged",
+      2L -> "changed",   // null -> x is a change, not a match
+      3L -> "changed",   // c -> null likewise
+      4L -> "removed",
+      5L -> "added",
+      6L -> "unchanged"  // null <=> null matches (null-safe equality)
+    ))
+  }
 }
