@@ -62,7 +62,9 @@ object GraftExtensions {
         intArg("char_ngrams", es(2)), boolArg("char_ngrams", es(3)))),
     fn("edge_ngrams", classOf[EdgeNgramsExpr], 3,
       es => EdgeNgramsExpr(es(0), intArg("edge_ngrams", es(1)),
-        intArg("edge_ngrams", es(2)))))
+        intArg("edge_ngrams", es(2)))),
+    fn("window_hashes", classOf[WindowHashesExpr], 2,
+      es => WindowHashesExpr(es(0), intArg("window_hashes", es(1)))))
 
   /** Register the engine functions on an ALREADY-RUNNING session (extensions
     * only apply at session construction; a same-JVM getOrCreate reuses the

@@ -370,36 +370,19 @@ object TextStats {
   def wordSetFingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(split(text, " ")))))
 
-  /** Karp–Rabin rolling hash of the whole string (base 257, mod 2^61-1),
-    * and [[rollingWindowHashes]] for window fingerprints — the classic
-    * content-defined-chunking primitive. Exposed as deterministic UDFs (the
-    * per-character loop has no builtin equivalent); promote to a codegen
-    * Expression if profiling shows it hot.
+  /** Karp–Rabin rolling hash of the whole string (base 257, mod 2^61-1)
+    * and all-window hashes — the classic content-defined-chunking
+    * primitive. The arithmetic lives in the native codegen expression
+    * ([[graft.functions.RollingHash]] — the CDC/winnowing paths run it
+    * over every character of the corpus, so it earned the promotion its
+    * original UDF scaladoc promised); these delegates and the UDF forms
+    * below remain as the reference implementation the equivalence specs
+    * pin the expression against.
     */
-  val Mod: Long = (1L << 61) - 1
-  val Base: Long = 257L
+  val Mod: Long = graft.functions.RollingHash.Mod
+  val Base: Long = graft.functions.RollingHash.Base
 
-  def rollingHash(s: String): Long = {
-    var h = 0L
-    var i = 0
-    while (i < s.length) {
-      // (h * Base + c) mod (2^61-1) without overflow: split h into hi/lo
-      h = mulMod(h, Base) + s.charAt(i).toLong
-      if (h >= Mod) h -= Mod
-      i += 1
-    }
-    h
-  }
-
-  private def mulMod(a: Long, b: Long): Long = {
-    // a * b mod 2^61-1 via 128-bit product (Math.multiplyHigh, JDK 9+):
-    // with value = hi*2^64 + lo and 2^61 ≡ 1 (mod M): value ≡ 8*hi + (lo & M) + (lo >>> 61)
-    val lo = a * b
-    val hi = Math.multiplyHigh(a, b)
-    var r = (hi << 3) + (lo & Mod) + (lo >>> 61)
-    while (r >= Mod) r -= Mod
-    r
-  }
+  def rollingHash(s: String): Long = graft.functions.RollingHash.rollingHash(s)
 
   /** Content-defined chunk boundary statistics: a position is a boundary
     * when its `w`-char Karp–Rabin window hash matches the mask
@@ -411,16 +394,17 @@ object TextStats {
     * (= boundaries + 1). Deterministic integer arithmetic end to end —
     * the DuckDB oracle reproduces the mod-2^61−1 fold in HUGEINT.
     *
-    * Scale shape: pure map-side (UDF fold + array filter per row, no
-    * generator blow-up, no shuffle beyond the final per-doc projection);
-    * chains inline in any ingest pipeline.
+    * Scale shape: pure map-side (native codegen hash fold + array filter
+    * per row, no generator blow-up, no shuffle beyond the final per-doc
+    * projection); chains inline in any ingest pipeline.
     */
   def cdcBoundaryStats(docs: DataFrame, w: Int = 16, maskBits: Int = 6,
                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(w > 0, "window must be positive")
     require(maskBits >= 0 && maskBits < 61, s"maskBits must be in [0, 61): $maskBits")
     val modulus = 1L << maskBits
-    val hashes = windowHashesUdf(coalesce(col(textCol), lit("")), lit(w))
+    val hashes = graft.functions.RollingHash.windowHashesCol(
+      coalesce(col(textCol), lit("")), w)
     val bPos = filter(
       transform(hashes, (h, i) => when(h % modulus === 0, i + 1)),
       p => p.isNotNull)
@@ -432,28 +416,9 @@ object TextStats {
         (size(col("b")) + 1).cast("long").as("n_chunks"))
   }
 
-  /** All rolling window hashes of length `w` over the string (UDF). */
-  def windowHashes(s: String, w: Int): Array[Long] = {
-    if (s == null || s.length < w) return Array.empty
-    // dropped char coefficient is Base^w: the multiply-by-Base happens before the drop
-    var pow = 1L
-    (0 until w).foreach(_ => pow = mulMod(pow, Base))
-    val out = new Array[Long](s.length - w + 1)
-    var h = 0L
-    var i = 0
-    while (i < s.length) {
-      h = mulMod(h, Base) + s.charAt(i).toLong
-      if (h >= Mod) h -= Mod
-      if (i >= w) {
-        val drop = mulMod(pow, s.charAt(i - w).toLong)
-        h = h - drop
-        if (h < 0) h += Mod
-      }
-      if (i >= w - 1) out(i - w + 1) = h
-      i += 1
-    }
-    out
-  }
+  /** All rolling window hashes of length `w` over the string. */
+  def windowHashes(s: String, w: Int): Array[Long] =
+    graft.functions.RollingHash.windowHashes(s, w)
 
   val rollingHashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((s: String) => if (s == null) null else java.lang.Long.valueOf(rollingHash(s)))

@@ -406,7 +406,8 @@ object PipelineQueries {
     ("t_rolling_winnow",
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"),
-          array_min(TextStats.windowHashesUdf(col("text"), lit(16))).as("winnow"))
+          array_min(graft.functions.RollingHash.windowHashesCol(col("text"), 16))
+            .as("winnow"))
         .orderBy("doc_id"),
       s"""WITH pw(k, p) AS (VALUES ${
             val m = (BigInt(1) << 61) - 1

@@ -460,6 +460,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(w4(6) == TextStats.rollingHash("ghij"))
   }
 
+  test("native window_hashes expression equals the UDF reference; SQL-registered") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "short"), (3L, ""), (4L, "exactly16chars!!")).toDF("id", "text")
+    val both = df.select(col("id"),
+        graft.functions.RollingHash.windowHashesCol(col("text"), 16).as("native"),
+        TextStats.windowHashesUdf(col("text"), lit(16)).as("viaUdf"))
+      .collect()
+    both.foreach(r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"id=${r.getLong(0)}"))
+    // null input: expression yields NULL (standard null-through)
+    val nul = Seq((1L, null.asInstanceOf[String])).toDF("id", "text")
+      .select(graft.functions.RollingHash.windowHashesCol(col("text"), 4)).collect()(0)
+    assert(nul.isNullAt(0))
+    // registered for SQL use through GraftExtensions
+    graft.functions.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT window_hashes('abcdefghij', 4) AS h").collect()(0).getSeq[Long](0)
+    assert(viaSql == TextStats.windowHashes("abcdefghij", 4).toSeq)
+  }
+
   test("quality stats exact counts") {
     val r = TextStats.qualityStats(docs(1L -> "the cat sat on a mat.")).collect()(0)
     assert(r.getAs[Long]("n_tokens") == 6)
