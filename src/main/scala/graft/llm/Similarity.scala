@@ -246,47 +246,13 @@ object Similarity {
                                     centroidsQ: Seq[Seq[Long]], nProbe: Int = 4,
                                     idCol: String = "vec_id", embCol: String = "embedding",
                                     scale: Int = 1000): DataFrame = {
+    // map-side-only assignment over the codegen reference-object centroids —
+    // zero shuffle, zero join, no UDF row conversion; see
+    // [[graft.functions.CellAssign]] for the argmin kernel + tie contract
     val assigned = corpus
       .select(col(idCol).as("neighbor_id"), quantize(col(embCol), scale).as("cv"))
-      .withColumn("cell", assignCellUdf(centroidsQ)(col("cv")))
+      .withColumn("cell", graft.functions.CellAssign.assignCol(col("cv"), centroidsQ))
     probeAndRank(queries, assigned, centroidsQ, k, nProbe, idCol, embCol, scale)
-  }
-
-  /** vector → nearest-cell assignment kernel: argmin_i ||v - c_i||² as a
-    * map-side-only UDF over the broadcast-closure centroids — zero shuffle,
-    * zero join. A plain-loop UDF beats the equivalent nested
-    * higher-order-function expression here (HOFs evaluate interpreted per
-    * element; this is nCentroids × dims of tight arithmetic per row —
-    * measured ~2× on the bench corpus).
-    * Ties break to the lowest cell id (strict < against the running best);
-    * the early-exit (`d < bestD`) only skips additions that could not have
-    * changed the comparison, so results are identical to the full sum.
-    */
-  private def assignCellUdf(centroidsQ: Seq[Seq[Long]])
-      : org.apache.spark.sql.expressions.UserDefinedFunction = {
-    require(centroidsQ.nonEmpty, "centroid list must be non-empty")
-    val dims = centroidsQ.head.length
-    require(centroidsQ.forall(_.length == dims),
-      s"all centroids must have the same dimension, got lengths " +
-        centroidsQ.map(_.length).distinct.mkString(", "))
-    val cents: Array[Array[Long]] = centroidsQ.map(_.toArray).toArray
-    udf { (v: Seq[Long]) =>
-      require(v != null,
-        "cell assignment: null embedding — filter null vectors before similarity search")
-      require(v.length == dims,
-        s"cell assignment: embedding length ${v.length} != centroid dimension $dims")
-      val x = v.toArray
-      var best = 0; var bestD = Long.MaxValue
-      var i = 0
-      while (i < cents.length) {
-        val c = cents(i)
-        var d = 0L; var j = 0
-        while (j < x.length && d < bestD) { val t = x(j) - c(j); d += t * t; j += 1 }
-        if (d < bestD) { bestD = d; best = i }
-        i += 1
-      }
-      best
-    }
   }
 
   /** The `id < n` corpus prefix, quantized and collected driver-side as an
@@ -337,7 +303,7 @@ object Similarity {
     // checkpoints.
     val assigned = vectors
       .select(col(idCol).as("id"), quantize(col(embCol), scale).as("qv"))
-      .withColumn("cell", assignCellUdf(centroidsQ)(col("qv")))
+      .withColumn("cell", graft.functions.CellAssign.assignCol(col("qv"), centroidsQ))
       .localCheckpoint(true)
     val left = assigned.select(col("cell"), col("id").as("id_a"), col("qv").as("qa"))
     val right = assigned.select(col("cell"), col("id").as("id_b"), col("qv").as("qb"))
