@@ -87,6 +87,41 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got(4L) == (("word_len,dup_words,rep_bigram", false)))
   }
 
+  test("the full training-data pipeline composes: quality -> dedup -> decontaminate -> mix -> shards") {
+    import graft.llm.Sampling
+    val base = java.nio.file.Files.createTempDirectory("graft-e2e")
+    try {
+      val good = (1L to 20L).map(i => (i, f"the quick item d$i%02d of set with that tag$i%02d"))
+      val dups = Seq(101L, 102L, 103L).map(i => (i, good.head._2)) // copies of doc 1
+      val junk = Seq((201L, "12 34"), (202L, "the the the the the is"))
+      val contaminated = Seq((301L, "the worst of copies alpha beta gamma delta epsilon here"))
+      val docs = (good ++ dups ++ junk ++ contaminated).toDF("doc_id", "text")
+      val evalDocs = Seq((9001L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+
+      // 1. route on quality, keep the clean side
+      val kept = docs.join(
+        TextStats.qualityFilter(docs).filter(col("keep")).select("doc_id"), Seq("doc_id"))
+      // 2. near-duplicate removal (keeps the lowest id of each cluster)
+      val deduped = Dedup.removeNearDuplicates(kept, minJaccard = 0.8)
+      // 3. benchmark decontamination (5-gram overlap with the eval set)
+      val clean = Dedup.decontaminate(deduped, evalDocs, n = 5)
+      // 4. token-budget mix + split + pack + shard export
+      val mixed = Sampling.tokenBudgetMix(clean.withColumn("domain", lit("web")),
+        "doc_id", "domain",
+        graft.llm.TextStats.tokenCount(col("text")), Map.empty, defaultBudget = Long.MaxValue)
+      Sampling.writeTrainingShards(mixed.drop("n_tokens", "cum_tokens"),
+        s"$base/shards", "doc_id", TextStats.tokenCount(col("text")).cast("long"),
+        capacity = 32L, numShards = 2)
+
+      val back = spark.read.parquet(s"$base/shards")
+      val ids = back.select("doc_id").collect().map(_.getLong(0)).toSet
+      // every good doc exactly once; dup copies, junk, and the
+      // contaminated doc are gone; nothing else invented
+      assert(ids == (1L to 20L).toSet)
+      assert(back.count() == 20)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
   test("unigramSurprisal: exact integer floor-log2 with add-one smoothing") {
     val ref = Seq((0L, "a a b")).toDF("doc_id", "text")
     // N=3 occurrences, V=2 types -> numerator 5
