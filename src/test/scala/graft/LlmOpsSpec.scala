@@ -480,6 +480,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(viaSql == TextStats.windowHashes("abcdefghij", 4).toSeq)
   }
 
+  test("native kernels compile under CODEGEN_ONLY (no silent interpreter fallback)") {
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val wh = Seq((1L, "abcdefghij")).toDF("id", "text")
+        .select(graft.functions.RollingHash.windowHashesCol(col("text"), 4).as("h"))
+        .collect()(0).getSeq[Long](0)
+      assert(wh == TextStats.windowHashes("abcdefghij", 4).toSeq)
+      val cells = Seq((1L, Array(900L, 100L)), (2L, Array(0L, 1000L))).toDF("id", "qv")
+        .select(col("id"), graft.functions.CellAssign.assignCol(col("qv"),
+          Seq(Seq(1000L, 0L), Seq(0L, 1000L))).as("cell"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(cells == Map(1L -> 0, 2L -> 1))
+    } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
   test("quality stats exact counts") {
     val r = TextStats.qualityStats(docs(1L -> "the cat sat on a mat.")).collect()(0)
     assert(r.getAs[Long]("n_tokens") == 6)
