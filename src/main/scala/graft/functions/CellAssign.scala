@@ -24,20 +24,31 @@ import org.apache.spark.sql.types._
   */
 object CellAssign {
 
-  /** Codegen entry point. `cents` is the quantized centroid matrix. */
+  /** Codegen entry point. `cents` is the quantized centroid matrix.
+    * Null ELEMENTS fail loudly up front (getLong on an unsafe array's null
+    * slot silently reads 0 — a wrong cell, not an error; the ArrayMath
+    * kernels' per-element isNullAt precedent, hoisted out of the hot loop
+    * since any null is fatal here rather than null-propagating).
+    */
   def assign(v: ArrayData, cents: Array[Array[Long]]): Int = {
     val dims = cents(0).length
     if (v.numElements() != dims)
       throw new IllegalArgumentException(
         s"cell assignment: embedding length ${v.numElements()} != centroid dimension $dims")
+    var j = 0
+    while (j < dims) {
+      if (v.isNullAt(j)) throw new IllegalArgumentException(
+        "cell assignment: null embedding element — filter null vectors before similarity search")
+      j += 1
+    }
     var best = 0
     var bestD = Long.MaxValue
     var i = 0
     while (i < cents.length) {
       val c = cents(i)
       var d = 0L
-      var j = 0
-      while (j < dims && d < bestD) { val t = v.getLong(j) - c(j); d += t * t; j += 1 }
+      var k = 0
+      while (k < dims && d < bestD) { val t = v.getLong(k) - c(k); d += t * t; k += 1 }
       if (d < bestD) { bestD = d; best = i }
       i += 1
     }
@@ -51,13 +62,21 @@ object CellAssign {
     require(centroidsQ.forall(_.length == dims),
       s"all centroids must have the same dimension, got lengths " +
         centroidsQ.map(_.length).distinct.mkString(", "))
-    GraftColumnBridge.column(CellAssignExpr(
-      GraftColumnBridge.expression(qv), centroidsQ.map(_.toArray).toArray))
+    GraftColumnBridge.column(CellAssignExpr(GraftColumnBridge.expression(qv), centroidsQ))
   }
 }
 
-case class CellAssignExpr(child: Expression, cents: Array[Array[Long]])
+/** `centroidsQ` stays a Seq so case-class equality is by VALUE — an Array
+  * field would compare by reference and two logically identical
+  * assignments would never be semanticEqual (defeating subexpression
+  * elimination and plan reuse). The primitive matrix is derived lazily for
+  * the kernel/codegen reference object.
+  */
+case class CellAssignExpr(child: Expression, centroidsQ: Seq[Seq[Long]])
     extends UnaryExpression {
+
+  @transient private lazy val cents: Array[Array[Long]] =
+    centroidsQ.map(_.toArray).toArray
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "cell_assign"

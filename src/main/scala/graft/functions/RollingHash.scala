@@ -74,9 +74,13 @@ object RollingHash {
     out
   }
 
-  /** Codegen entry point: UTF8String in, Catalyst array out. */
+  /** Codegen entry point: UTF8String in, Catalyst array out. Unsafe
+    * primitive packing — GenericArrayData would box every hash on exactly
+    * the per-character hot path this expression exists to de-box.
+    */
   def windowHashesData(s: UTF8String, w: Int): ArrayData =
-    new GenericArrayData(windowHashes(s.toString, w))
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(windowHashes(s.toString, w))
 
   /** Column API: array<long> of all `w`-char window hashes. */
   def windowHashesCol(text: Column, w: Int): Column =

@@ -144,7 +144,8 @@ object Similarity {
     val embD = col(embCol).cast("array<double>")
     // fail loudly on a dimension mismatch: the dot kernel returns NULL for
     // ragged inputs, which here would emit an all-NULL projection for the
-    // whole corpus with no error (same per-row discipline as assignCellUdf)
+    // whole corpus with no error (same per-row discipline as
+    // graft.functions.CellAssign)
     val checked = when(size(embD) === dims, embD).otherwise(raise_error(
       concat(lit(s"randomProjection: embedding length "), size(embD).cast("string"),
         lit(s" != dims $dims"))))
@@ -247,8 +248,9 @@ object Similarity {
                                     idCol: String = "vec_id", embCol: String = "embedding",
                                     scale: Int = 1000): DataFrame = {
     // map-side-only assignment over the codegen reference-object centroids —
-    // zero shuffle, zero join, no UDF row conversion; see
-    // [[graft.functions.CellAssign]] for the argmin kernel + tie contract
+    // zero shuffle, zero join, no UDF row conversion; the argmin kernel,
+    // tie contract, and fail-fast validation live in
+    // [[graft.functions.CellAssign]]
     val assigned = corpus
       .select(col(idCol).as("neighbor_id"), quantize(col(embCol), scale).as("cv"))
       .withColumn("cell", graft.functions.CellAssign.assignCol(col("cv"), centroidsQ))

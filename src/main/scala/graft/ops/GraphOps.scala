@@ -212,7 +212,10 @@ object GraphOps {
     val n = newSnap.select((keyCols ++ valueCols).map(col): _*)
       .withColumn("__in_new", lit(true))
       .withColumnsRenamed(valueCols.map(c => c -> s"new_$c").toMap)
-    val same = valueCols.map(c => col(s"old_$c") <=> col(s"new_$c")).reduce(_ && _)
+    // foldLeft, not reduce: an empty valueCols is a valid presence-only
+    // diff (added/removed/unchanged; 'changed' unreachable by construction)
+    val same = valueCols.map(c => col(s"old_$c") <=> col(s"new_$c"))
+      .foldLeft(lit(true))(_ && _)
     o.join(n, keyCols, "full_outer")
       .withColumn("change",
         when(col("__in_old").isNull, "added")

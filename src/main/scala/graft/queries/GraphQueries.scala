@@ -166,15 +166,16 @@ object GraphQueries {
         | ORDER BY id""".stripMargin),
 
     // ---- snapshot diff between two collection builds --------------------
-    // the ontology-release comparison: old = keys <= 1200, new = keys
-    // <= 1250 minus every 10th, with every 7th value bumped — all four
-    // change states present at any scale factor.
+    // the ontology-release comparison, with MODULAR membership so all four
+    // change states exist at every scale factor: old = keys with
+    // key%10 != 1, new = keys with key%10 != 2, every 7th value bumped —
+    // added = %10==1, removed = %10==2, changed = %7==0 of the overlap.
     ("g_snapshot_diff",
       (s, d) => {
         val c = t(s, d, "customer")
-        val oldSnap = c.filter(col("c_custkey") <= 1200)
+        val oldSnap = c.filter(col("c_custkey") % 10 =!= 1)
           .select(col("c_custkey").as("key"), col("c_nationkey").as("nation"))
-        val newSnap = c.filter(col("c_custkey") <= 1250 && col("c_custkey") % 10 =!= 0)
+        val newSnap = c.filter(col("c_custkey") % 10 =!= 2)
           .select(col("c_custkey").as("key"),
             (col("c_nationkey") +
               when(col("c_custkey") % 7 === 0, 1).otherwise(0)).as("nation"))
@@ -182,10 +183,10 @@ object GraphQueries {
           .orderBy("key")
       },
       """WITH o AS (SELECT c_custkey AS key, c_nationkey AS nation
-        |           FROM customer WHERE c_custkey <= 1200),
+        |           FROM customer WHERE c_custkey % 10 <> 1),
         | n AS (SELECT c_custkey AS key,
         |              c_nationkey + CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END AS nation
-        |       FROM customer WHERE c_custkey <= 1250 AND c_custkey % 10 <> 0)
+        |       FROM customer WHERE c_custkey % 10 <> 2)
         | SELECT COALESCE(o.key, n.key) AS key,
         |        o.nation AS old_nation, n.nation AS new_nation,
         |        CASE WHEN o.key IS NULL THEN 'added'
