@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   * of rows at web scale, not corpus-sized — and every merge iteration runs
   * on that table alone: one map-combinable pair-count aggregate over the
   * vocabulary, one driver-side argmax of a tiny (pair, total) result, one
-  * map-side merge rewrite. Iteration state is localCheckpointed per round
-  * (vocabulary-sized — cheap; the same lineage-truncation discipline as
-  * [[graft.ops.ConnectedComponents]]).
+  * map-side merge rewrite. Iteration state is checkpointed per round via
+  * the pluggable [[graft.ops.Checkpointer]] (vocabulary-sized — cheap; the
+  * same lineage-truncation discipline as
+  * [[graft.ops.ConnectedComponents]]; Auto upgrades to reliable
+  * checkpoints once a checkpoint dir is configured — essential here, since
+  * a 32k-merge training loop on a cluster WILL see an executor loss).
   *
   * Determinism: ties on pair frequency break lexicographically on
   * (left, right), so the learned merge sequence is identical on any
@@ -49,15 +52,15 @@ object Bpe {
     * order. Training stops early when no adjacent pair occurs twice.
     */
   def trainMerges(docs: DataFrame, numMerges: Int,
-                  textCol: String = "text"): Seq[(Int, String, String, String, Long)] = {
+                  textCol: String = "text",
+                  cp: graft.ops.Checkpointer = graft.ops.Checkpointer.Auto): Seq[(Int, String, String, String, Long)] = {
     require(numMerges > 0, s"numMerges must be positive: $numMerges")
     // ONE corpus pass: word frequency table with initial per-char symbols
-    var vocab = docs
+    var vocab = cp(docs
       .select(explode(split(coalesce(col(textCol), lit("")), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("n"))
-      .select(split(col("word"), "").as("symbols"), col("n"))
-      .localCheckpoint(true)
+      .select(split(col("word"), "").as("symbols"), col("n")))
     val mergeUdf = udf((symbols: Seq[String], l: String, r: String) => mergeOnce(symbols, l, r))
     val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var rank = 0
@@ -84,10 +87,9 @@ object Bpe {
         // otherwise numMerges (often tens of thousands) vocabulary copies
         // accumulate in non-evictable block storage over the training loop
         val prev = vocab
-        vocab = vocab
-          .withColumn("symbols", mergeUdf(col("symbols"), lit(l), lit(r)))
-          .localCheckpoint(true)
-        prev.unpersist()
+        vocab = cp(vocab
+          .withColumn("symbols", mergeUdf(col("symbols"), lit(l), lit(r))))
+        cp.release(prev)
         rank += 1
       }
     }
@@ -96,10 +98,11 @@ object Bpe {
 
   /** Learned rules as a DataFrame — the registry/bench surface. */
   def trainMergesDf(docs: DataFrame, numMerges: Int,
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text",
+                    cp: graft.ops.Checkpointer = graft.ops.Checkpointer.Auto): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    trainMerges(docs, numMerges, textCol)
+    trainMerges(docs, numMerges, textCol, cp)
       .toDF("rank", "left", "right", "merged", "pair_count")
   }
 

@@ -225,17 +225,18 @@ object Dedup {
                            numHashes: Int = 12, bands: Int = 4,
                            textCol: String = "text", idCol: String = "doc_id",
                            maxBucket: Long = Long.MaxValue,
-                           maxDF: Long = Long.MaxValue): DataFrame = {
+                           maxDF: Long = Long.MaxValue,
+                           cp: graft.ops.Checkpointer = graft.ops.Checkpointer.Auto): DataFrame = {
     // the candidate table feeds the id set AND the pair semi-join, and its
     // upstream is the whole multi-shuffle sketch pipeline: materialize it
     // once — it is SMALL (dup-density-bound pairs), so this is the
-    // small-data-over-big-subtree case where localCheckpoint is the right
+    // small-data-over-big-subtree case where the Checkpointer is the right
     // trade. The corpus-scale shingle table is deliberately NOT
     // checkpointed (see cappedUniverse) — its re-executed subtree is a
     // map-side scan, not a shuffle.
     val shingles = wordShingles(docs, shingleN, textCol, idCol)
-    val candidates = lshCandidates(minhashSignatures(shingles, numHashes), bands,
-      numHashes / bands, maxBucket).localCheckpoint(true)
+    val candidates = cp(lshCandidates(minhashSignatures(shingles, numHashes), bands,
+      numHashes / bands, maxBucket))
     // exact jaccard on candidates only (semi-join-restricted posting lists).
     // Pairing shares [[pairCounts]]/[[cappedUniverse]] with jaccardPairs — a
     // shingle self-join here would re-execute the shingle pipeline on both

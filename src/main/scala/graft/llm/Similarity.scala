@@ -292,7 +292,8 @@ object Similarity {
     */
   def semanticDedup(vectors: DataFrame, centroidsQ: Seq[Seq[Long]], tau: Double,
                     idCol: String = "vec_id", embCol: String = "embedding",
-                    scale: Int = 1000): DataFrame = {
+                    scale: Int = 1000,
+                    cp: graft.ops.Checkpointer = graft.ops.Checkpointer.Auto): DataFrame = {
     // assigned feeds three consumers (both self-join sides + the anti-join
     // base): materialize once — otherwise each branch re-runs the
     // nCentroids×dims assignment kernel, the CPU-dominant stage (there is
@@ -301,12 +302,11 @@ object Similarity {
     // storage — at true corpus scale run the assignment as its own pipeline
     // stage persisted to a table (the SemDeDup operating shape) and feed
     // that table here; the inline checkpoint serves the self-contained
-    // operator form. On a multi-executor cluster prefer reliable
-    // checkpoints.
-    val assigned = vectors
+    // operator form. Checkpointer.Auto upgrades to a reliable checkpoint
+    // once a checkpoint dir is configured.
+    val assigned = cp(vectors
       .select(col(idCol).as("id"), quantize(col(embCol), scale).as("qv"))
-      .withColumn("cell", graft.functions.CellAssign.assignCol(col("qv"), centroidsQ))
-      .localCheckpoint(true)
+      .withColumn("cell", graft.functions.CellAssign.assignCol(col("qv"), centroidsQ)))
     val left = assigned.select(col("cell"), col("id").as("id_a"), col("qv").as("qa"))
     val right = assigned.select(col("cell"), col("id").as("id_b"), col("qv").as("qb"))
     val drops = left.join(right.hint("merge"), Seq("cell"))

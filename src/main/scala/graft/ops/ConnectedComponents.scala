@@ -25,11 +25,12 @@ import org.apache.spark.sql.functions._
   * high-degree fringes directly at the running minimum, so hub skew decays
   * geometrically over rounds — the paper's load-balancing argument); AQE
   * skew-split covers the first-round hubs. Lineage across iterations is
-  * truncated by `localCheckpoint` (eager) each round — without it the plan
-  * doubles per iteration and the driver, not the data, becomes the
-  * bottleneck. On a multi-executor cluster prefer a reliable
-  * `spark.sparkContext.setCheckpointDir` + `.checkpoint()`; local
-  * checkpoints die with an executor, acceptable in local[] mode.
+  * truncated each round via the pluggable [[Checkpointer]] (`cp` param;
+  * default [[Checkpointer.Auto]] — eager localCheckpoint in local[] mode,
+  * reliable `df.checkpoint()` automatically once
+  * `spark.sparkContext.setCheckpointDir` is configured, so an executor
+  * loss mid-loop on a cluster recomputes from the last round instead of
+  * killing the job).
   *
   * Reference provenance: the reference has no graph algorithms (its graph
   * is stored, not traversed — `OntologyGraphBuilder.java` builds
@@ -100,20 +101,20 @@ object ConnectedComponents {
     */
   def components(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
                  vertices: Option[DataFrame] = None, idCol: String = "id",
-                 maxIter: Int = 30): DataFrame = {
-    var e = canonical(edges, srcCol, dstCol).localCheckpoint(true)
+                 maxIter: Int = 30, cp: Checkpointer = Checkpointer.Auto): DataFrame = {
+    var e = cp(canonical(edges, srcCol, dstCol))
     var fp = fingerprint(e)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = cp(smallStar(largeStar(e)))
       val nfp = fingerprint(next)
       converged = nfp == fp
       fp = nfp
-      // release the superseded round's blocks — otherwise up to maxIter
+      // release the superseded round's state — otherwise up to maxIter
       // edge-scale copies pin non-evictable executor storage (the pageRank
       // discipline)
-      e.unpersist()
+      cp.release(e)
       e = next
       it += 1
     }
@@ -145,8 +146,9 @@ object ConnectedComponents {
     */
   def dedupByComponents(docs: DataFrame, pairs: DataFrame,
                         idCol: String = "doc_id",
-                        pairACol: String = "id_a", pairBCol: String = "id_b"): DataFrame = {
-    val comp = components(pairs, pairACol, pairBCol)
+                        pairACol: String = "id_a", pairBCol: String = "id_b",
+                        cp: Checkpointer = Checkpointer.Auto): DataFrame = {
+    val comp = components(pairs, pairACol, pairBCol, cp = cp)
     // merge-hint: the component table is duplicate-density-bound — size
     // estimates for it are meaningless, and a mis-planned broadcast of a
     // pathological cluster set OOMs the driver (same taxonomy as the

@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   * against the edge table, anti-joins the already-visited set (so every
   * node is labeled with its FIRST — minimum — hop count), and stops early
   * when the frontier empties. Rounds are bounded by `maxHops`, lineage is
-  * truncated per round with eager `localCheckpoint` (same discipline as
-  * [[ConnectedComponents]]; on a multi-executor cluster prefer reliable
-  * checkpoints).
+  * truncated per round via the pluggable [[Checkpointer]] (`cp` param; same
+  * discipline as [[ConnectedComponents]] — [[Checkpointer.Auto]] upgrades
+  * to reliable checkpoints automatically once a checkpoint dir is set, so a
+  * cluster executor loss recomputes from the last round).
   *
   * Scale notes (100 TB): the per-round work is ONE equi-join shuffle on the
   * frontier key (broadcast when the frontier is small — the common case for
@@ -33,36 +34,35 @@ object GraphTraversal {
     */
   def bfsLevels(edges: DataFrame, sources: DataFrame, maxHops: Int,
                 srcCol: String = "src", dstCol: String = "dst",
-                idCol: String = "id"): DataFrame = {
+                idCol: String = "id", cp: Checkpointer = Checkpointer.Auto): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
     val e = edges.select(col(srcCol).as("id"), col(dstCol).as("nid"))
-    var visited = sources.select(col(idCol).as("id")).distinct()
-      .withColumn("level", lit(0)).localCheckpoint(true)
+    var visited = cp(sources.select(col(idCol).as("id")).distinct()
+      .withColumn("level", lit(0)))
     var frontier = visited.select("id")
     var frontierCp: Option[DataFrame] = None // checkpointed frame backing frontier
     var h = 0
     var exhausted = false
     while (h < maxHops && !exhausted) {
       h += 1
-      val next = e.join(frontier, Seq("id"))
+      val next = cp(e.join(frontier, Seq("id"))
         .select(col("nid").as("id")).distinct()
         .join(visited.select("id"), Seq("id"), "left_anti")
-        .withColumn("level", lit(h))
-        .localCheckpoint(true)
-      if (next.isEmpty) { next.unpersist(); exhausted = true }
+        .withColumn("level", lit(h)))
+      if (next.isEmpty) { cp.release(next); exhausted = true }
       else {
-        // each round keeps ONE visited-set copy and ONE frontier copy in
-        // block storage, releasing the superseded ones (the pageRank
+        // each round keeps ONE visited-set copy and ONE frontier copy of
+        // per-round state, releasing the superseded ones (the pageRank
         // discipline — without this up to maxHops copies pin storage)
         val prevVisited = visited
-        visited = visited.union(next).localCheckpoint(true)
-        prevVisited.unpersist()
-        frontierCp.foreach(_.unpersist())
+        visited = cp(visited.union(next))
+        cp.release(prevVisited)
+        frontierCp.foreach(cp.release)
         frontierCp = Some(next)
         frontier = next.select("id")
       }
     }
-    frontierCp.foreach(_.unpersist())
+    frontierCp.foreach(cp.release)
     visited
   }
 
@@ -80,27 +80,26 @@ object GraphTraversal {
     * loop-invariant out-degree table is materialized ONCE before the loop
     * (vertex-sized result over an edge-scale aggregate — the
     * small-data-over-big-subtree case; it feeds two branches every round).
-    * Per-round localCheckpoint truncates lineage, and each round's rank
-    * table unpersists its predecessor so block storage holds one copy, not
-    * `iterations` (rank table is vertex-sized; same discipline as
-    * [[ConnectedComponents]]).
+    * The per-round [[Checkpointer]] (`cp` param) truncates lineage, and
+    * each round's rank table releases its predecessor so state storage
+    * holds one copy, not `iterations` (rank table is vertex-sized; same
+    * discipline as [[ConnectedComponents]]).
     *
     * No DuckDB oracle: iterative floating-point sums are not
     * portable-exact (addition order differs by partitioning); the spec
     * checks against a driver-side dense reference at 1e-9.
     */
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
-               srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+               srcCol: String = "src", dstCol: String = "dst",
+               cp: Checkpointer = Checkpointer.Auto): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
     require(damping >= 0.0 && damping <= 1.0, s"damping must be in [0,1]: $damping")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
-      .localCheckpoint(true)
-    val vertices = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+    val e = cp(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    val vertices = cp(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
     val n = vertices.count()
-    val outDeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(true)
-    var ranks = vertices.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    val outDeg = cp(e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg")))
+    var ranks = cp(vertices.withColumn("rank", lit(1.0 / n)))
     var i = 0
     while (i < iterations) {
       val withDeg = ranks.join(outDeg, Seq("id"), "left")
@@ -112,14 +111,13 @@ object GraphTraversal {
         .join(e, Seq("src"))
         .groupBy(col("dst").as("id")).agg(sum(col("c")).as("inbound"))
       val prev = ranks
-      ranks = vertices
+      ranks = cp(vertices
         .join(contribs, Seq("id"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("id"),
           (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("inbound"), lit(0.0)) + col("dm") / n)).as("rank"))
-        .localCheckpoint(true)
-      prev.unpersist()
+            lit(damping) * (coalesce(col("inbound"), lit(0.0)) + col("dm") / n)).as("rank")))
+      cp.release(prev)
       i += 1
     }
     ranks
@@ -144,19 +142,19 @@ object GraphTraversal {
     * mis-planned-broadcast lesson); all joins are equi-joins on vertex keys.
     */
   def triangleCounts(edges: DataFrame, srcCol: String = "src",
-                     dstCol: String = "dst"): DataFrame = {
+                     dstCol: String = "dst",
+                     cp: Checkpointer = Checkpointer.Auto): DataFrame = {
     // und feeds two consumers (degrees + orientation) and oriented feeds
     // THREE (both wedge sides + the closing-edge probe): materialize each
-    // once with eager localCheckpoint — the formatted plan otherwise
-    // re-executes the whole normalize/degree subtree per consumer whenever
-    // exchange reuse fails (the lshCandidates lesson; on a multi-executor
-    // cluster prefer reliable checkpoints).
-    val und = edges
+    // once via the Checkpointer — the formatted plan otherwise re-executes
+    // the whole normalize/degree subtree per consumer whenever exchange
+    // reuse fails (the lshCandidates lesson; Checkpointer.Auto upgrades to
+    // reliable checkpoints once a checkpoint dir is configured).
+    val und = cp(edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     // orient a—b from lower (deg, id) to higher; keep the head's (deg, id)
@@ -166,11 +164,10 @@ object GraphTraversal {
       .join(deg.withColumnsRenamed(Map("v" -> "b", "deg" -> "deg_b")), Seq("b"))
       .withColumn("fwd",
         col("deg_a") < col("deg_b") || (col("deg_a") === col("deg_b") && col("a") < col("b")))
-    val oriented = aFirst.select(
+    val oriented = cp(aFirst.select(
       when(col("fwd"), col("a")).otherwise(col("b")).as("u"),
       when(col("fwd"), col("b")).otherwise(col("a")).as("v"),
-      when(col("fwd"), col("deg_b")).otherwise(col("deg_a")).as("deg_v"))
-      .localCheckpoint(true)
+      when(col("fwd"), col("deg_b")).otherwise(col("deg_a")).as("deg_v")))
     val w1 = oriented.select(col("u"), col("v").as("x"), col("deg_v").as("deg_x"))
     val w2 = oriented.select(col("u"), col("v").as("y"), col("deg_v").as("deg_y"))
     val wedges = w1.join(w2.hint("merge"), Seq("u"))

@@ -1,0 +1,112 @@
+package graft
+
+import graft.ops.{Checkpointer, ConnectedComponents, GraphTraversal}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The pluggable lineage-truncation strategy: reliable-checkpoint mode must
+  * produce byte-identical results to local-checkpoint mode (it only changes
+  * WHERE materialized rounds live, never what they contain), must fail fast
+  * when no checkpoint dir is configured, and Auto must actually write
+  * reliable checkpoint files once a dir is set.
+  */
+class CheckpointerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def withCheckpointDir[A](body: java.io.File => A): A = {
+    val sc = spark.sparkContext
+    val prev = sc.getCheckpointDir
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    sc.setCheckpointDir(dir.getAbsolutePath)
+    try body(dir)
+    finally {
+      // restore "no checkpoint dir" for the other suites (Auto must keep
+      // resolving to Local outside this spec); SparkContext has no unset
+      // API, so clear the underlying conf entry it reads through.
+      prev match {
+        case Some(p) => sc.setCheckpointDir(p)
+        case None =>
+          val f = sc.getClass.getDeclaredMethod("checkpointDir_$eq", classOf[Option[String]])
+          f.invoke(sc, None)
+      }
+    }
+  }
+
+  private val edges = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(150)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+  }
+
+  test("Reliable fails fast when no checkpoint dir is configured") {
+    assert(spark.sparkContext.getCheckpointDir.isEmpty,
+      "precondition: suite ordering must leave no checkpoint dir configured")
+    val ex = intercept[IllegalArgumentException] {
+      ConnectedComponents.components(edges.toDF("src", "dst"), cp = Checkpointer.Reliable)
+    }
+    assert(ex.getMessage.contains("setCheckpointDir"))
+  }
+
+  test("connected components: Reliable == Local, and checkpoint files are written") {
+    val df = edges.toDF("src", "dst")
+    val local = ConnectedComponents.components(df, cp = Checkpointer.Local)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    withCheckpointDir { dir =>
+      val reliable = ConnectedComponents.components(df, cp = Checkpointer.Reliable)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(reliable == local)
+      // the rounds actually hit the fault-tolerant dir (rdd-* subdirs)
+      def rddDirs(f: java.io.File): Int =
+        Option(f.listFiles()).toSeq.flatten
+          .map(c => (if (c.getName.startsWith("rdd-")) 1 else 0) + rddDirs(c)).sum
+      assert(rddDirs(dir) > 0, "no reliable checkpoint files written")
+    }
+  }
+
+  test("pageRank: Reliable ranks are identical to Local (same plan, same order)") {
+    val df = edges.toDF("src", "dst")
+    val local = GraphTraversal.pageRank(df, iterations = 6, cp = Checkpointer.Local)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    withCheckpointDir { _ =>
+      val reliable = GraphTraversal.pageRank(df, iterations = 6, cp = Checkpointer.Reliable)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(reliable.keySet == local.keySet)
+      local.foreach { case (id, r) =>
+        assert(math.abs(reliable(id) - r) < 1e-12, s"vertex $id") }
+    }
+  }
+
+  test("bfsLevels + BPE training: Reliable == Local") {
+    val df = edges.toDF("src", "dst")
+    val srcs = Seq(0L).toDF("id")
+    val localBfs = GraphTraversal.bfsLevels(df, srcs, maxHops = 5, cp = Checkpointer.Local)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val docs = Seq("low lower lowest", "new newer newest", "low low new")
+      .toDF("text")
+    val localBpe = graft.llm.Bpe.trainMerges(docs, numMerges = 6, cp = Checkpointer.Local)
+    withCheckpointDir { _ =>
+      val relBfs = GraphTraversal.bfsLevels(df, srcs, maxHops = 5, cp = Checkpointer.Reliable)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(relBfs == localBfs)
+      val relBpe = graft.llm.Bpe.trainMerges(docs, numMerges = 6, cp = Checkpointer.Reliable)
+      assert(relBpe == localBpe)
+    }
+  }
+
+  test("Auto dispatches on checkpoint-dir presence") {
+    val df = edges.toDF("src", "dst")
+    // without a dir: Auto == Local (no exception, no files anywhere)
+    val auto = ConnectedComponents.components(df, cp = Checkpointer.Auto)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    withCheckpointDir { dir =>
+      // with a dir: Auto == Reliable — files appear
+      val auto2 = ConnectedComponents.components(df, cp = Checkpointer.Auto)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(auto2 == auto)
+      def rddDirs(f: java.io.File): Int =
+        Option(f.listFiles()).toSeq.flatten
+          .map(c => (if (c.getName.startsWith("rdd-")) 1 else 0) + rddDirs(c)).sum
+      assert(rddDirs(dir) > 0, "Auto did not upgrade to reliable checkpoints")
+    }
+  }
+}
