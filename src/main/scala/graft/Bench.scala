@@ -1,11 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Driver-run benchmark: every registry query on SPARK_GRAFT_SF_DIR, one
-  * JSON line on stdout. Queries are forced through the noop sink so the full
-  * plan executes (a bare count() would let Catalyst skip projected work).
+  * COMPACT JSON line on stdout (the driver tails a bounded window of stdout;
+  * an 80-query map overflows it, so per-query timings and observed metrics
+  * go to the bench_out.json file — SPARK_GRAFT_BENCH_OUT — instead).
+  * Queries are forced through the noop sink so the full plan executes (a
+  * bare count() would let Catalyst skip projected work).
   */
 object Bench {
+
+  /** JSON string escape for names/messages. */
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -19,37 +29,81 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftExtensions.register(spark)
+
+    // Observed metrics (the silent-cap audit trail: jaccard_maxdf_*,
+    // lsh_maxbucket_*, neardup_maxdf_* drop counts) are delivered via the
+    // async ExecutionListener bus; collect them into one map keyed by their
+    // globally-unique names and attribute to queries by key-set diffing
+    // with a bounded poll (only for plans that actually carry
+    // CollectMetrics nodes — everything else pays zero wait).
+    val observed = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    spark.listenerManager.register(new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          val fields = row.schema.fieldNames.zipWithIndex.map { case (f, i) =>
+            jstr(f) + ":" + row.get(i)
+          }
+          observed.put(name, fields.mkString("{", ",", "}"))
+        }
+      override def onFailure(funcName: String, qe: QueryExecution, ex: Exception): Unit = ()
+    })
+
     // session warm-up so the first timed query doesn't absorb JVM/codegen init
     spark.range(1000).selectExpr("sum(id)").collect()
     // optional args: query names to run (default all) — isolation/profiling aid
     val selected = if (args.nonEmpty) SparkEntry.queries.filter(q => args.contains(q._1))
                    else SparkEntry.queries
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val before = new java.util.HashSet(observed.keySet())
       val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); None }
-                catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      var expectMetrics = 0
+      val err = try {
+        val df = fn(spark, sfDir)
+        expectMetrics = df.queryExecution.analyzed.collect {
+          case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => c
+        }.size
+        df.write.mode("overwrite").format("noop").save()
+        None
+      } catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // bounded poll for this query's metric rows (listener bus is async)
+      if (err.isEmpty && expectMetrics > 0) {
+        val deadline = System.nanoTime() + 3000000000L
+        while (observed.keySet().size - before.size < expectMetrics &&
+               System.nanoTime() < deadline) Thread.sleep(20)
+      }
+      val newKeys = new java.util.HashSet(observed.keySet())
+      newKeys.removeAll(before)
+      val metrics = newKeys.toArray(Array.empty[String]).sorted
+        .map(k => jstr(k) + ":" + observed.get(k))
+      (name, elapsed, err, metrics)
     }
     // failed queries are reported with negative elapsed time AND in an errors
     // map, so a crash can never masquerade as a fast success in bench totals
-    val qs = results.map { case (k, v, err) =>
-      "\"" + k + "\":" + (if (err.isDefined) -v else v)
+    val qs = results.map { case (k, v, err, _) =>
+      jstr(k) + ":" + (if (err.isDefined) -v else v)
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) =>
-      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val errs = results.collect { case (k, _, Some(e), _) =>
+      jstr(k) + ":" + jstr(e)
+    }.mkString("{", ",", "}")
+    val om = results.collect { case (k, _, _, ms) if ms.nonEmpty =>
+      jstr(k) + ":" + ms.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val nErr = results.count(_._3.isDefined)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // stdout gets the COMPACT line (fits any tail window: totals + errors +
+    // a pointer); the file gets the full per-query detail.
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","nQueries":${results.size},"errors":$errs,"nErrors":$nErr,"sf":${jstr(sfDir)},"perQuery":${jstr(outPath)}}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"observedMetrics":$om,"sf":${jstr(sfDir)}}"""
     // ONE bare line on the process's real stdout: java.io.FileDescriptor.out
     // bypasses sbt's System.out capture (whose "[info] " prefix breaks
     // line-oriented JSON parsing downstream) and IS System.out everywhere
-    // else — never a duplicate. Plus a file copy at SPARK_GRAFT_BENCH_OUT
-    // (default bench_out.json in cwd).
+    // else — never a duplicate.
     val fd = new java.io.PrintStream(new java.io.FileOutputStream(java.io.FileDescriptor.out), true, "UTF-8")
-    fd.println(json)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    fd.println(compact)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes("UTF-8"))
+      (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"bench: could not write $outPath: $e") }
     spark.stop()
   }

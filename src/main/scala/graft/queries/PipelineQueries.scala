@@ -58,6 +58,31 @@ object PipelineQueries {
          | WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.2
          | ORDER BY id_a, id_b""".stripMargin),
 
+    // ---- capped-universe Jaccard (the 100 TB operating point) ----------
+    // maxDF drops high-document-frequency shingles BEFORE pairing (a df-d
+    // shingle emits O(d²) pairs from one reducer row); sizes are computed
+    // over the same retained universe so the score is the exact Jaccard of
+    // the capped shingle sets. The cap is fully SQL-expressible, so unlike
+    // the internal drop metric this whole path is oracle-checked — and the
+    // observed `jaccard_maxdf_*` drop count this query emits is surfaced in
+    // bench_out.json's observedMetrics (the silent-cap audit trail).
+    ("d2_jaccard_capped",
+      (s, d) => Dedup.jaccardPairs(Dedup.wordShingles(spread(t(s, d, "documents")), 3), 0.2,
+        maxDF = 4)
+        .orderBy("id_a", "id_b"),
+      s"""WITH sh AS ($ShinglesSql),
+         | dfx AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+         | ret AS (SELECT sh.id, sh.shingle FROM sh JOIN dfx USING (shingle) WHERE df <= 4),
+         | sizes AS (SELECT id, COUNT(*) AS sz FROM ret GROUP BY id),
+         | inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+         |           FROM ret a JOIN ret b USING (shingle) WHERE a.id < b.id
+         |           GROUP BY 1, 2)
+         | SELECT id_a, id_b, n_inter, sa.sz AS sz_a, sb.sz AS sz_b,
+         |        n_inter / (sa.sz + sb.sz - n_inter) AS jaccard
+         | FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+         | WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.2
+         | ORDER BY id_a, id_b""".stripMargin),
+
     // ---- MinHash + LSH candidate pairs ---------------------------------
     ("d3_minhash_lsh",
       (s, d) => Dedup.lshCandidates(
