@@ -884,7 +884,7 @@ object PipelineQueries {
     // sequence; the registry entry exercises the corpus->vocab->iterate
     // shape end to end at bench scale.
     ("t_bpe_merges",
-      (s, d) => Bpe.trainMergesDf(t(s, d, "documents"), numMerges = 8)
+      (s, d) => Bpe.trainMergesDf(t(s, d, "documents"), numMerges = 8, maxBatch = 4)
         .orderBy("rank"),
       null),
 

@@ -157,6 +157,46 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(aaa == Seq("aa", "a"))
   }
 
+  test("batched BPE training learns the exact single-merge sequence") {
+    import graft.llm.Bpe
+    // adversarial corpus: naive "top-K disjoint" batching diverges here —
+    // after merging (a,b), the created pair (ab,c) ties (c,d) at count n
+    // and wins the lexicographic tie-break, so rule 2 is (ab,c), NOT the
+    // disjoint candidate (c,d). The safe-prefix walk must stop the batch.
+    val tricky = Seq.tabulate(5)(i => (i.toLong, "xabcd")).toDF("doc_id", "text")
+    val single = Bpe.trainMerges(tricky, numMerges = 6, maxBatch = 1)
+    val batched = Bpe.trainMerges(tricky, numMerges = 6, maxBatch = 4)
+    assert(single.map(r => (r._2, r._3)).take(2) == Seq(("a", "b"), ("ab", "c")))
+    assert(batched == single)
+
+    // pseudo-random corpora: batched == single for several batch widths
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcde"
+    for (trial <- 0 until 3) {
+      val docs = Seq.tabulate(30) { i =>
+        val words = Seq.fill(3 + rnd.nextInt(4))(
+          Seq.fill(2 + rnd.nextInt(5))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+        (i.toLong, words.mkString(" "))
+      }.toDF("doc_id", "text")
+      val base = Bpe.trainMerges(docs, numMerges = 10, maxBatch = 1)
+      for (k <- Seq(2, 4, 8)) {
+        assert(Bpe.trainMerges(docs, numMerges = 10, maxBatch = k) == base,
+          s"trial $trial maxBatch $k")
+      }
+    }
+
+    // batching actually batches: a corpus of independent frequent pairs
+    // trains in fewer rounds than rules
+    val flat = Seq.tabulate(8)(i => (i.toLong, "ab cd ef gh ab cd ef gh"))
+      .toDF("doc_id", "text")
+    // pairs live WITHIN words: four independent 2-char words give four
+    // equal-count disjoint candidates with no trigrams -> one round
+    val (rules, rounds) = Bpe.trainMergesWithRounds(flat, numMerges = 4, maxBatch = 4)
+    assert(rules.length == 4)
+    assert(rounds < rules.length, s"rounds=$rounds not < rules=${rules.length}")
+    assert(rules == Bpe.trainMerges(flat, numMerges = 4, maxBatch = 1))
+  }
+
   test("cdcBoundaryStats matches the model and boundaries survive inserts") {
     val texts = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again and again"),
