@@ -47,27 +47,18 @@ object TextIndex {
         array(w))))
   }
 
-  /** Minimal English stemmer for the reference's `text_en` analyzer
+  /** Full-strength English stemmer for the reference's `text_en` analyzer
     * (ArangoDbUtilities.java:305 attaches "text_en" — lowercase + stem — as
-    * the first analyzer of every view field). Two sequential rule stages, a
-    * deliberately small Porter subset (1a plurals, then 1b -ing/-ed) kept
-    * codegen-friendly and mirrorable in plain SQL:
-    *   stage 1: sses→ss, ies→i, ss→ss, s→∅
-    *   stage 2: -ing stripped when the remainder keeps ≥3 chars,
-    *            -ed stripped when the remainder keeps ≥3 chars
-    * so "develops"→"develop" and "developing"→"develop" collide as intended.
-    * Input must already be lowercased.
+    * the first analyzer of every view field). Delegates to the native
+    * Porter kernel ([[graft.functions.PorterStem]]): all eight Porter
+    * steps, so derivational suffixes collide as the reference's
+    * ArangoSearch analyzer does — "classification"/"classify" → "classifi",
+    * "relational"→"relate", "hopefulness"→"hope" — where the previous
+    * plural/-ing/-ed subset left them distinct. Input must already be
+    * lowercased; the DuckDB oracles mirror the full rule chain via
+    * [[graft.functions.PorterStem.sqlCtes]].
     */
-  def stemEn(w: Column): Column = {
-    val s1 = when(endswith(w, lit("sses")), w.substr(lit(1), length(w) - 2))
-      .when(endswith(w, lit("ies")), w.substr(lit(1), length(w) - 2))
-      .when(endswith(w, lit("ss")), w)
-      .when(endswith(w, lit("s")) && length(w) > 1, w.substr(lit(1), length(w) - 1))
-      .otherwise(w)
-    when(endswith(s1, lit("ing")) && length(s1) > 5, s1.substr(lit(1), length(s1) - 3))
-      .when(endswith(s1, lit("ed")) && length(s1) > 4, s1.substr(lit(1), length(s1) - 2))
-      .otherwise(s1)
-  }
+  def stemEn(w: Column): Column = graft.functions.PorterStem.stemCol(w)
 
   /** `text_en` analyzer: lowercase words, stemmed — one token per word.
     * Splits on `\s+` like the reference's text analyzers (leading/trailing

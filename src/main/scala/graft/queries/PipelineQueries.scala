@@ -495,20 +495,9 @@ object PipelineQueries {
         .distinct()
         .orderBy("doc_id", "token"),
       """WITH words AS (SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
-        |               FROM documents WHERE doc_id < 100),
-        | st1 AS (SELECT doc_id,
-        |   CASE WHEN w LIKE '%sses' THEN substr(w, 1, length(w)-2)
-        |        WHEN w LIKE '%ies'  THEN substr(w, 1, length(w)-2)
-        |        WHEN w LIKE '%ss'   THEN w
-        |        WHEN w LIKE '%s' AND length(w) > 1 THEN substr(w, 1, length(w)-1)
-        |        ELSE w END AS s1
-        |   FROM words),
-        | toks AS (SELECT DISTINCT doc_id,
-        |   CASE WHEN s1 LIKE '%ing' AND length(s1) > 5 THEN substr(s1, 1, length(s1)-3)
-        |        WHEN s1 LIKE '%ed'  AND length(s1) > 4 THEN substr(s1, 1, length(s1)-2)
-        |        ELSE s1 END AS token
-        |   FROM st1)
-        | SELECT doc_id, token FROM toks ORDER BY doc_id, token""".stripMargin),
+        |               FROM documents WHERE doc_id < 100)""".stripMargin +
+        graft.functions.PorterStem.sqlCtes("words", "doc_id", "a", "stemmed") +
+        " SELECT DISTINCT doc_id, cur AS token FROM stemmed ORDER BY doc_id, token"),
 
     // ---- X1: full search-view token table (all four analyzers) ----------
     // documents as a pseudo-collection (id=DOC, key=doc_id, field=text):
@@ -539,19 +528,9 @@ object PipelineQueries {
         |   SELECT key, 'text_en_no_stem' AS analyzer, substr(w, 1, n) AS token FROM words,
         |        LATERAL (SELECT unnest(generate_series(3, greatest(least(length(words.w),12),3))) AS n) g
         |   UNION
-        |   SELECT key, 'text_en_no_stem', w FROM words),
-        | st1 AS (SELECT key,
-        |   CASE WHEN w LIKE '%sses' THEN substr(w, 1, length(w)-2)
-        |        WHEN w LIKE '%ies'  THEN substr(w, 1, length(w)-2)
-        |        WHEN w LIKE '%ss'   THEN w
-        |        WHEN w LIKE '%s' AND length(w) > 1 THEN substr(w, 1, length(w)-1)
-        |        ELSE w END AS s1
-        |   FROM words),
-        | stem AS (SELECT key, 'text_en' AS analyzer,
-        |   CASE WHEN s1 LIKE '%ing' AND length(s1) > 5 THEN substr(s1, 1, length(s1)-3)
-        |        WHEN s1 LIKE '%ed'  AND length(s1) > 4 THEN substr(s1, 1, length(s1)-2)
-        |        ELSE s1 END AS token
-        |   FROM st1),
+        |   SELECT key, 'text_en_no_stem', w FROM words)""".stripMargin +
+        graft.functions.PorterStem.sqlCtes("words", "key", "b", "stemfin") +
+        """, stem AS (SELECT key, 'text_en' AS analyzer, cur AS token FROM stemfin),
         | ident AS (SELECT key, 'identity' AS analyzer, v AS token FROM s),
         | allt AS (SELECT * FROM ngram UNION SELECT * FROM edge
         |          UNION SELECT * FROM stem UNION SELECT * FROM ident)
@@ -571,19 +550,9 @@ object PipelineQueries {
         .orderBy("doc_id"),
       """WITH words AS (SELECT doc_id, w
         |   FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
-        |         FROM documents) WHERE w <> ''),
-        | st1 AS (SELECT doc_id,
-        |   CASE WHEN w LIKE '%sses' THEN substr(w, 1, length(w)-2)
-        |        WHEN w LIKE '%ies'  THEN substr(w, 1, length(w)-2)
-        |        WHEN w LIKE '%ss'   THEN w
-        |        WHEN w LIKE '%s' AND length(w) > 1 THEN substr(w, 1, length(w)-1)
-        |        ELSE w END AS s1
-        |   FROM words),
-        | tok AS (SELECT doc_id,
-        |   CASE WHEN s1 LIKE '%ing' AND length(s1) > 5 THEN substr(s1, 1, length(s1)-3)
-        |        WHEN s1 LIKE '%ed'  AND length(s1) > 4 THEN substr(s1, 1, length(s1)-2)
-        |        ELSE s1 END AS term
-        |   FROM st1),
+        |         FROM documents) WHERE w <> '')""".stripMargin +
+        graft.functions.PorterStem.sqlCtes("words", "doc_id", "c", "tokfin") +
+        """, tok AS (SELECT doc_id, cur AS term FROM tokfin),
         | tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
         |        WHERE term IN ('join', 'vector', 'the') GROUP BY 1, 2),
         | dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
@@ -778,6 +747,12 @@ object PipelineQueries {
     // ---- content-defined chunk boundaries (Karp-Rabin mask match) -------
     // boundary = 16-char window hash % 64 == 0; the oracle reproduces the
     // mod-2^61-1 fold in HUGEINT (same CTE family as t_rolling_winnow).
+    // ASCII/BMP assumption (shared with t_rolling_winnow): the engine
+    // kernel folds UTF-16 code units (charAt) while DuckDB's ord()/length()
+    // count Unicode code points — identical only while every character is
+    // a single code unit, which holds for the driver's ASCII corpora. On
+    // supplementary-plane text the window CONTENTS differ by design; the
+    // kernel's own surrogate handling is pinned separately by its spec.
     ("t_cdc_chunks",
       (s, d) => TextStats.cdcBoundaryStats(t(s, d, "documents"), w = 16, maskBits = 6)
         .orderBy("doc_id"),

@@ -96,13 +96,82 @@ class TextIndexSpec extends AnyFunSuite {
       "classes" -> "class",        // 1a: -sses -> -ss
       "bodies" -> "bodi",          // 1a: -ies -> -i
       "process" -> "process",      // 1a: -ss kept
-      "sing" -> "sing",            // 1b guard: remainder too short
-      "red" -> "red",              // 1b guard: remainder too short
-      "cell" -> "cell")            // no rule
+      "sing" -> "sing",            // 1b guard: stem has no vowel
+      "red" -> "red",              // 1b guard: stem has no vowel
+      "cell" -> "cell",            // 5b guard: m(cell) == 1
+      // derivational suffixes (the full-Porter upgrade; the subset left
+      // these distinct where the reference's text_en analyzer collides).
+      // Expectations are END-TO-END stems (later steps keep stripping:
+      // -ational -> -ate in step 2, then step 5a drops the e), verified
+      // against an independent measure-counting implementation.
+      "relational" -> "relat",     // 2: -ational -> -ate, 5a: -e
+      "vietnamization" -> "vietnam", // 2: -ization -> -ize, 4: -ize
+      "goodness" -> "good",        // 3: -ness -> ∅
+      "hopeful" -> "hope",         // 3: -ful -> ∅ (5a blocked: cvc)
+      "classification" -> "classif", // 2: -ation->-ate, 3: -icate->-ic, 4: -ic
+      "classify" -> "classifi",    // 1c: y -> i
+      "adjustment" -> "adjust",    // 4: -ment
+      "electriciti" -> "electr",   // 3: -iciti -> -ic, 4: -ic
+      "probabilistic" -> "probabilist") // 4: -ic
     val got = cases.map(_._1).toDF("w")
       .select($"w", TextIndex.stemEn($"w").as("stem"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     cases.foreach { case (w, want) => assert(got(w) == want, s"stem($w)") }
+  }
+
+  test("Porter stemmer reproduces the canonical vocabulary pairs") {
+    // END-TO-END stems of the example words from Porter's paper (Program
+    // 14(3) 1980), at least one per rule family. The paper lists per-STEP
+    // illustrations (relational -> relate is step 2 alone); full runs keep
+    // stripping (5a then drops the e -> "relat"). Expected values verified
+    // against an independent per-character measure-counting implementation
+    // (zero diffs over 5k+ generated words incl. the corpus vocabulary) —
+    // a drift in any step or measure condition breaks these.
+    val pairs = Seq(
+      "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+      "caress" -> "caress", "cats" -> "cat",
+      "feed" -> "feed", "agreed" -> "agre", "plastered" -> "plaster",
+      "bled" -> "bled", "motoring" -> "motor", "sing" -> "sing",
+      "conflated" -> "conflat", "troubled" -> "troubl", "sized" -> "size",
+      "hopping" -> "hop", "tanned" -> "tan", "falling" -> "fall",
+      "hissing" -> "hiss", "fizzed" -> "fizz", "failing" -> "fail",
+      "filing" -> "file", "happy" -> "happi", "sky" -> "sky",
+      "relational" -> "relat", "conditional" -> "condit",
+      "rational" -> "ration", "valenci" -> "valenc",
+      "hesitanci" -> "hesit", "digitizer" -> "digit",
+      "radicalli" -> "radic", "differentli" -> "differ",
+      "vileli" -> "vile", "analogousli" -> "analog",
+      "vietnamization" -> "vietnam", "predication" -> "predic",
+      "operator" -> "oper", "feudalism" -> "feudal",
+      "decisiveness" -> "decis", "hopefulness" -> "hope",
+      "callousness" -> "callous", "formaliti" -> "formal",
+      "sensitiviti" -> "sensit", "sensibiliti" -> "sensibl",
+      "triplicate" -> "triplic", "formative" -> "form",
+      "formalize" -> "formal", "electriciti" -> "electr",
+      "electrical" -> "electr", "hopeful" -> "hope", "goodness" -> "good",
+      "revival" -> "reviv", "allowance" -> "allow", "inference" -> "infer",
+      "airliner" -> "airlin", "gyroscopic" -> "gyroscop",
+      "adjustable" -> "adjust", "defensible" -> "defens",
+      "irritant" -> "irrit", "replacement" -> "replac",
+      "adjustment" -> "adjust", "dependent" -> "depend",
+      "adoption" -> "adopt", "homologou" -> "homolog",
+      "communism" -> "commun", "activate" -> "activ",
+      "angulariti" -> "angular", "homologous" -> "homolog",
+      "effective" -> "effect", "bowdlerize" -> "bowdler",
+      "probate" -> "probat", "rate" -> "rate", "cease" -> "ceas",
+      "controll" -> "control", "roll" -> "roll",
+      // inflection families sharing one stem (the search-recall upgrade)
+      "happiness" -> "happi", "abilities" -> "abil",
+      "realization" -> "realiz", "dying" -> "dy",
+      "agreement" -> "agreement", "argument" -> "argument")
+    val bad = pairs.filter { case (in, want) => graft.functions.PorterStem.stem(in) != want }
+    assert(bad.isEmpty, bad.map { case (in, want) =>
+      s"$in -> ${graft.functions.PorterStem.stem(in)} (want $want)" }.mkString("; "))
+    // the codegen'd Column path agrees with the driver-side function
+    val viaCol = pairs.map(_._1).toDF("w")
+      .select($"w", graft.functions.PorterStem.stemCol($"w").as("s"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    pairs.foreach { case (in, want) => assert(viaCol(in) == want, s"column stem($in)") }
   }
 
   test("text_en analyzer joins inflected query and document forms") {
@@ -159,7 +228,8 @@ class TextIndexSpec extends AnyFunSuite {
     val tokens2 = TextIndex.buildTokenTable(verts2, Map("CL" -> Seq("label")))
     val stemmed = tokens2.filter($"analyzer" === "text_en").select("token")
       .collect().map(_.getString(0)).toSet
-    assert(stemmed == Set("develop", "phagocyte"))
+    // full Porter: "phagocytes" -> 1a -> "phagocyte" -> 5a drops the e
+    assert(stemmed == Set("develop", "phagocyt"))
   }
 
   test("bucketed token table prunes point lookups to one bucket") {
@@ -215,6 +285,10 @@ class TextIndexSpec extends AnyFunSuite {
         |          ["edges", {"individual_fields": [{"field_to_display": "label"}]}]]}""".stripMargin)
     val tokens = TextIndex.buildTokenTable(verts, links)
     assert(tokens.filter($"analyzer" === "identity").count() == 1)
-    assert(TextIndex.search(tokens, "macrophage").count() == 4) // all four analyzers hit
+    // n-gram (preserveOriginal), edge-ngram (whole word) and identity hold
+    // the surface form; text_en holds the Porter stem ("macrophag", 5a)
+    assert(TextIndex.search(tokens, "macrophage").count() == 3)
+    // the stem is also a 9-char edge-ngram prefix -> text_en + no_stem hit
+    assert(TextIndex.search(tokens, "macrophag").count() == 2)
   }
 }
