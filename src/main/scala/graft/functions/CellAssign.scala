@@ -29,6 +29,15 @@ object CellAssign {
     * slot silently reads 0 — a wrong cell, not an error; the ArrayMath
     * kernels' per-element isNullAt precedent, hoisted out of the hot loop
     * since any null is fatal here rather than null-propagating).
+    *
+    * Magnitude contract: the squared-L2 accumulation is raw Long
+    * arithmetic with no overflow guard — safe by construction under the
+    * quantization contract (unit-norm embeddings at scale=1000 give
+    * components ≤ ~1000, so the d-term sum stays < 2^31 even at 4096
+    * dims), but caller-supplied values must keep |component difference|
+    * below ~2^27 for 64 dims (generally sqrt(2^63 / dims)); beyond that
+    * the sum wraps silently and returns a WRONG cell rather than failing.
+    * Validate magnitudes upstream if feeding unquantized user data.
     */
   def assign(v: ArrayData, cents: Array[Array[Long]]): Int = {
     val dims = cents(0).length

@@ -277,7 +277,13 @@ object TextStats {
       .withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("n", sum(col("c")).over(wAll))
     val aggs = ps.zip(names).map { case (p, name) =>
-      min(when(col("cum") >= ceil(lit(p) * col("n")), col("v"))).as(name)
+      // the target rank ceil(p·n) in EXACT decimal arithmetic: the binary
+      // double p*n overshoots for some fractions (0.07*100 =
+      // 7.000000000000001 -> ceil lands one rank high, off-spec for the
+      // documented PERCENTILE_DISC semantics). BigDecimal(p) renders the
+      // double's shortest decimal form, and decimal x long stays exact —
+      // matching DuckDB, whose bare numeric literals are DECIMAL already.
+      min(when(col("cum") >= ceil(lit(BigDecimal(p)) * col("n")), col("v"))).as(name)
     }
     cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }

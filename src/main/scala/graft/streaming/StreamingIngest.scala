@@ -118,6 +118,15 @@ object StreamingIngest {
     * Downstream, a periodic batch job verifies candidates with exact Jaccard
     * (the [[graft.llm.Dedup.removeNearDuplicates]] tail) — candidates are
     * additive, so streaming-append semantics are exactly right.
+    *
+    * Idempotence under at-least-once replay: foreachBatch can re-run a
+    * batch after a failure/restart, and a plain append would then duplicate
+    * BOTH sinks — duplicated store rows are the worse half, re-amplifying
+    * candidate output for every later batch. Each batch therefore
+    * OVERWRITES its own `batch=<id>` subdirectory (batchId is stable across
+    * replays — Spark's foreachBatch contract), so a replay replaces the
+    * same files instead of adding new ones; readers see the directories as
+    * a hive partition column, which the store probe drops.
     */
   def startNearDupCandidateStream(docs: DataFrame, sigStoreDir: String,
                                   pairsDir: String, checkpointDir: String,
@@ -126,7 +135,7 @@ object StreamingIngest {
                                   idCol: String = "doc_id"): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         // materialized ONCE per batch (probed for candidates AND appended
         // to the store — incrementalCandidates is told not to re-checkpoint)
@@ -141,12 +150,13 @@ object StreamingIngest {
           val pairs =
             if (fs.exists(store))
               graft.llm.Dedup.incrementalCandidates(
-                spark.read.parquet(sigStoreDir), incSigs, bands, numHashes / bands,
-                materializeIncoming = false)
+                spark.read.parquet(sigStoreDir).drop("batch"), incSigs,
+                bands, numHashes / bands, materializeIncoming = false)
             else
               graft.llm.Dedup.lshCandidates(incSigs, bands, numHashes / bands)
-          pairs.write.mode("append").parquet(pairsDir)
-          incSigs.write.mode("append").parquet(sigStoreDir)
+          // overwrite-per-batch = idempotent under foreachBatch replay
+          pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+          incSigs.write.mode("overwrite").parquet(s"$sigStoreDir/batch=$batchId")
         } finally incSigs.unpersist()
         ()
       }

@@ -249,6 +249,12 @@ class TextPipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TextStats.exactQuantiles(df, "g", col("v"), Seq(0.0))
     }
+    // decimal-exact rank: binary-double 0.07*100 = 7.000000000000001 would
+    // ceil one rank too high (value 8); PERCENTILE_DISC says rank 7
+    val hundred = (1 to 100).map(v => ("c", v.toLong)).toDF("g", "v")
+    val p07 = TextStats.exactQuantiles(hundred, "g", col("v"), Seq(0.07))
+      .collect()(0).getLong(1)
+    assert(p07 == 7L, s"ceil(0.07*100) must be exact-decimal 7, got rank value $p07")
   }
 
   test("qualityFilter: null text fails like junk, never vacuously passes") {
