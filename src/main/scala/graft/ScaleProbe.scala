@@ -190,6 +190,43 @@ object ScaleProbe {
     }
     triples.unpersist()
     }
+
+    // graph algorithms on a DISTINCT mult-scaled edge set: the triples
+    // above share (subject, object) across copies, so pageRank's initial
+    // distinct collapses them back to the base graph — fine for measuring
+    // the distinct itself, useless for round-scaling. Here every copy gets
+    // its own object (orderkey offset) while subjects stay shared, giving
+    // mult x |orders| REAL edges with CL hubs of degree ~mult x orders/cust.
+    val bigGraphProbes = Seq("pageRankDistinct", "componentsDistinct", "trianglesDistinct")
+    if (bigGraphProbes.exists(enabled)) {
+    val obo = "http://purl.obolibrary.org/obo/"
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val orderStride = orders.agg(max(col("o_orderkey"))).head.getLong(0) + 1L
+    val edges = (0 until mult).map { k =>
+      orders.select(
+        concat(lit(obo + "CL_"), col("o_custkey")).as("src"),
+        concat(lit(obo + "GO_"), col("o_orderkey") + lit(k.toLong * orderStride)).as("dst"))
+    }.reduce(_ union _).cache()
+    println(s"distinct-graph edges: ${edges.count()}")
+
+    timed("pageRankDistinct (8 iters)") {
+      val (ranks, iters) = graft.ops.GraphTraversal.pageRankWithStats(edges, iterations = 8)
+      val rows = ranks.count()
+      println(f"  rounds=$iters")
+      rows
+    }
+    timed("componentsDistinct") {
+      graft.ops.ConnectedComponents.components(edges).count()
+    }
+    timed("trianglesDistinct") {
+      // bipartite CL->GO graph has no triangles; the probe measures the
+      // orientation + wedge machinery at full edge volume with hub skew
+      // (wedges per CL hub ~ (mult x orders/cust)^2 before orientation)
+      graft.ops.GraphTraversal.triangleCounts(edges).count()
+    }
+    edges.unpersist()
+    }
     spark.stop()
   }
 }

@@ -91,17 +91,62 @@ object GraphTraversal {
     */
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
                srcCol: String = "src", dstCol: String = "dst",
-               cp: Checkpointer = Checkpointer.Auto): DataFrame = {
+               cp: Checkpointer = Checkpointer.Auto,
+               tolerance: Option[Double] = None): DataFrame =
+    pageRankWithStats(edges, iterations, damping, srcCol, dstCol, cp, tolerance)._1
+
+  /** [[pageRank]] plus the number of update rounds actually executed — the
+    * early-stop observability surface. `tolerance` (when set) stops as soon
+    * as the per-round L1 rank delta Σ|rank − prev| falls below it: one
+    * extra scalar aggregate per round over the co-partitioned
+    * (prev ⋈ next) rank tables — vertex-sized, no new edge-scale work —
+    * instead of always paying a fixed `iterations` regardless of how fast
+    * the graph mixes.
+    */
+  def pageRankWithStats(edges: DataFrame, iterations: Int, damping: Double = 0.85,
+                        srcCol: String = "src", dstCol: String = "dst",
+                        cp: Checkpointer = Checkpointer.Auto,
+                        tolerance: Option[Double] = None): (DataFrame, Int) = {
     require(iterations >= 0, "iterations must be >= 0")
     require(damping >= 0.0 && damping <= 1.0, s"damping must be in [0,1]: $damping")
-    val e = cp(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
-    val vertices = cp(e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct())
-    val n = vertices.count()
+    require(tolerance.forall(_ > 0.0), s"tolerance must be positive: $tolerance")
+    val eRaw = cp(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    val verticesRaw = cp(eRaw.select(col("src").as("id"))
+      .union(eRaw.select(col("dst").as("id"))).distinct())
+    // Dictionary-encode non-integral vertex keys (URI graphs) to dense
+    // longs BEFORE the loop: every round shuffles the edge table on its
+    // keys, and at 15M 60-byte URI edges the key bytes dominate exchange
+    // volume (measured mildly superlinear at the 100x probe). Two
+    // edge-scale joins ONCE buy 8-byte keys for every round — the GraphX
+    // vertex-id discipline. monotonically_increasing_id is stable here
+    // because the dictionary is materialized by the Checkpointer before
+    // either consumer reads it. Integral keys skip the encode entirely.
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
+    val encode = !integral.contains(eRaw.schema("src").dataType)
+    val dict = if (encode)
+      Some(cp(verticesRaw.withColumn("vid", monotonically_increasing_id())))
+    else None
+    val e = dict match {
+      case Some(d) => cp(eRaw
+        .join(d.select(col("id").as("src"), col("vid").as("vsrc")), Seq("src"))
+        .join(d.select(col("id").as("dst"), col("vid").as("vdst")), Seq("dst"))
+        .select(col("vsrc").as("src"), col("vdst").as("dst")))
+      case None => eRaw
+    }
+    val vertices = dict match {
+      case Some(d) => d.select(col("vid").as("id"))
+      case None => verticesRaw
+    }
+    val n = verticesRaw.count()
+    if (encode) cp.release(eRaw) // loop reads only the encoded edge table
+    if (encode) cp.release(verticesRaw) // dict carries the id mapping
     val outDeg = cp(e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg")))
     var ranks = cp(vertices.withColumn("rank", lit(1.0 / n)))
     var i = 0
-    while (i < iterations) {
+    var converged = false
+    while (i < iterations && !converged) {
       val withDeg = ranks.join(outDeg, Seq("id"), "left")
       // dangling mass: rank held by vertices with no outlinks
       val dangling = withDeg.filter(col("outdeg").isNull)
@@ -117,10 +162,23 @@ object GraphTraversal {
         .select(col("id"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("inbound"), lit(0.0)) + col("dm") / n)).as("rank")))
-      cp.release(prev)
       i += 1
+      tolerance.foreach { tol =>
+        val delta = ranks
+          .join(prev.withColumnRenamed("rank", "prev_rank"), Seq("id"))
+          .agg(coalesce(sum(abs(col("rank") - col("prev_rank"))), lit(0.0)))
+          .head().getDouble(0)
+        if (delta < tol) converged = true
+      }
+      cp.release(prev)
     }
-    ranks
+    // decode back to the caller's vertex keys (vertex-sized join, once)
+    val out = dict match {
+      case Some(d) => ranks.withColumnRenamed("id", "vid")
+        .join(d, Seq("vid")).select(col("id"), col("rank"))
+      case None => ranks
+    }
+    (out, i)
   }
 
   /** Per-vertex triangle counts over an UNDIRECTED graph (edge direction and

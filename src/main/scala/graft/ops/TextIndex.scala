@@ -102,9 +102,14 @@ object TextIndex {
       graft.functions.EdgeNgrams.edgeNgramTokens(col("value")).as("token"))
     val identity = exploded.select(col("collection"), col("key"), col("field"),
       lit("identity").as("analyzer"), col("value").as("token"))
-    val textEn = exploded.select(col("collection"), col("key"), col("field"),
-      lit("text_en").as("analyzer"),
-      explode(textEnTokens(col("value"))).as("token"))
+    // explode-then-stem (not explode(textEnTokens(...))): a stem inside a
+    // transform() lambda runs on ArrayTransform's interpreted path, while a
+    // stem over the exploded column stays a codegen'd kernel call per token
+    val textEn = exploded
+      .select(col("collection"), col("key"), col("field"),
+        explode(split(lower(col("value")), "\\s+")).as("word"))
+      .select(col("collection"), col("key"), col("field"),
+        lit("text_en").as("analyzer"), stemEn(col("word")).as("token"))
 
     // doubled/leading spaces in values produce empty word tokens in the
     // word-based analyzers — noise in an index, and search("") must not hit
@@ -183,9 +188,13 @@ object TextIndex {
     import spark.implicits._
     val qt = queryTerms.toDF("raw")
       .select(stemEn(lower(col("raw"))).as("term")).distinct()
+    // explode-then-stem keeps the Porter kernel in whole-stage codegen on
+    // the corpus-scale path (inside textEnTokens' transform() lambda it
+    // would run interpreted per token — see buildTokenTable)
     val tok = docs.select(col(idCol),
-        explode(textEnTokens(col(textCol))).as("term"))
-      .filter(col("term") =!= "")
+        explode(split(lower(coalesce(col(textCol), lit(""))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .select(col(idCol), stemEn(col("word")).as("term"))
     val tf = tok.join(broadcast(qt), Seq("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

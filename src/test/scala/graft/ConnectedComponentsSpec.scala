@@ -108,6 +108,43 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got(3L) > got(2L))
   }
 
+  test("pageRank on string (URI) keys matches the long-keyed ranks exactly") {
+    // the URI path dictionary-encodes keys to longs for the loop and
+    // decodes at the end — ranks must be identical to the structurally
+    // equal long-keyed graph (same topology, bijective key mapping)
+    val edgeList = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 4L))
+    val longRanks = graft.ops.GraphTraversal
+      .pageRank(edgeList.toDF("src", "dst"), iterations = 12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val uri = (v: Long) => s"http://purl.obolibrary.org/obo/CL_$v"
+    val strRanks = graft.ops.GraphTraversal
+      .pageRank(edgeList.map { case (a, b) => (uri(a), uri(b)) }.toDF("src", "dst"),
+        iterations = 12)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(strRanks.keySet == longRanks.keySet.map(uri))
+    longRanks.foreach { case (v, r) =>
+      assert(math.abs(strRanks(uri(v)) - r) < 1e-12, s"vertex $v") }
+  }
+
+  test("pageRank tolerance stops early on a mixed graph with identical ranks") {
+    // a graph that converges quickly: tolerance triggers well before the
+    // iteration cap, and the early-stopped ranks match the fixed-iteration
+    // run at the convergence scale
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val (full, fullIters) = graft.ops.GraphTraversal
+      .pageRankWithStats(edges, iterations = 60)
+    assert(fullIters == 60)
+    val (early, earlyIters) = graft.ops.GraphTraversal
+      .pageRankWithStats(edges, iterations = 60, tolerance = Some(1e-12))
+    assert(earlyIters < 60, s"tolerance did not stop early: $earlyIters rounds")
+    val f = full.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val e = early.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(f.keySet == e.keySet)
+    f.foreach { case (id, r) => assert(math.abs(e(id) - r) < 1e-9, s"vertex $id") }
+    assert(math.abs(e.values.sum - 1.0) < 1e-9) // mass still conserves
+  }
+
   test("triangleCounts: K4 normalizes direction/dups/self-loops; 4 triangles") {
     // K4 given messily: mixed directions, a duplicate edge, a self-loop
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (4L, 1L), (2L, 3L), (4L, 2L),

@@ -178,6 +178,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("ivfTopK online fit is deterministic at fixed partitioning (seeded KMeans)") {
+    // the online path (seed 42, fixed maxIter) must reproduce bit-identical
+    // results run-to-run at the same partitioning — pins the recall claim
+    // against Spark-version / plan drift; the offline-quantizer path is
+    // already hash-pinned by the sim_ivf_topk oracle
+    val e = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .repartition(4).cache()
+    e.count()
+    try {
+      def run() = Similarity.ivfTopK(e.filter($"vec_id" < 10), e, k = 5,
+          nCentroids = 8, nProbe = 4)
+        .select("query_id", "neighbor_id", "cosine")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val a = run()
+      val b = run()
+      assert(a == b, "seeded online IVF fit diverged between identical runs")
+      assert(a.nonEmpty)
+    } finally { e.unpersist(); () }
+  }
+
   test("ordered-pairs generator: empty, singleton, and struct elements") {
     import graft.functions.OrderedPairs.orderedPairs
     val df = Seq(
