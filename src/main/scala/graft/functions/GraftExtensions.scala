@@ -65,7 +65,8 @@ object GraftExtensions {
         intArg("edge_ngrams", es(2)))),
     fn("window_hashes", classOf[WindowHashesExpr], 2,
       es => WindowHashesExpr(es(0), intArg("window_hashes", es(1)))),
-    fn("porter_stem", classOf[PorterStemExpr], 1, es => PorterStemExpr(es.head)))
+    fn("porter_stem", classOf[PorterStemExpr], 1, es => PorterStemExpr(es.head)),
+    fn("accent_fold", classOf[AccentFoldExpr], 1, es => AccentFoldExpr(es.head)))
 
   /** Register the engine functions on an ALREADY-RUNNING session (extensions
     * only apply at session construction; a same-JVM getOrCreate reuses the

@@ -60,13 +60,21 @@ object TextIndex {
     */
   def stemEn(w: Column): Column = graft.functions.PorterStem.stemCol(w)
 
-  /** `text_en` analyzer: lowercase words, stemmed — one token per word.
-    * Splits on `\s+` like the reference's text analyzers (leading/trailing
-    * whitespace still yields empty fields, which [[buildTokenTable]] filters
-    * out of the index; oracles mirror via regexp_split_to_array).
+  /** Accent folding (NFD + strip combining marks): "café" and "cafe" index
+    * to the same token, mirrored in oracles by DuckDB's `strip_accents`
+    * (same NFD semantics — both leave non-decomposable "ø" alone).
+    */
+  def foldAccents(w: Column): Column = graft.functions.AccentFold.foldCol(w)
+
+  /** `text_en` analyzer: lowercase words, accent-folded, stemmed — one
+    * token per word (the reference's full text_en behavior:
+    * lowercase + accent fold + English stem). Splits on `\s+` like the
+    * reference's text analyzers (leading/trailing whitespace still yields
+    * empty fields, which [[buildTokenTable]] filters out of the index;
+    * oracles mirror via regexp_split_to_array).
     */
   def textEnTokens(s: Column): Column =
-    transform(split(lower(s), "\\s+"), w => stemEn(w))
+    transform(split(lower(s), "\\s+"), w => stemEn(foldAccents(w)))
 
   /** Build the search token table for a set of (collection, field) links —
     * the engine's ArangoSearch view. `fieldsByCollection` mirrors the
@@ -109,7 +117,7 @@ object TextIndex {
       .select(col("collection"), col("key"), col("field"),
         explode(split(lower(col("value")), "\\s+")).as("word"))
       .select(col("collection"), col("key"), col("field"),
-        lit("text_en").as("analyzer"), stemEn(col("word")).as("token"))
+        lit("text_en").as("analyzer"), stemEn(foldAccents(col("word"))).as("token"))
 
     // doubled/leading spaces in values produce empty word tokens in the
     // word-based analyzers — noise in an index, and search("") must not hit
@@ -187,14 +195,14 @@ object TextIndex {
     val spark = docs.sparkSession
     import spark.implicits._
     val qt = queryTerms.toDF("raw")
-      .select(stemEn(lower(col("raw"))).as("term")).distinct()
+      .select(stemEn(foldAccents(lower(col("raw")))).as("term")).distinct()
     // explode-then-stem keeps the Porter kernel in whole-stage codegen on
     // the corpus-scale path (inside textEnTokens' transform() lambda it
     // would run interpreted per token — see buildTokenTable)
     val tok = docs.select(col(idCol),
         explode(split(lower(coalesce(col(textCol), lit(""))), "\\s+")).as("word"))
       .filter(col("word") =!= "")
-      .select(col(idCol), stemEn(col("word")).as("term"))
+      .select(col(idCol), stemEn(foldAccents(col("word"))).as("term"))
     val tf = tok.join(broadcast(qt), Seq("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

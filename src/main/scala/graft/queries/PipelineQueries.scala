@@ -494,8 +494,9 @@ object PipelineQueries {
           explode(array_distinct(TextIndex.textEnTokens(col("text")))).as("token"))
         .distinct()
         .orderBy("doc_id", "token"),
-      """WITH words AS (SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
-        |               FROM documents WHERE doc_id < 100)""".stripMargin +
+      """WITH words AS (SELECT DISTINCT doc_id, strip_accents(w) AS w FROM (
+        |   SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |   FROM documents WHERE doc_id < 100))""".stripMargin +
         graft.functions.PorterStem.sqlCtes("words", "doc_id", "a", "stemmed") +
         " SELECT DISTINCT doc_id, cur AS token FROM stemmed ORDER BY doc_id, token"),
 
@@ -523,12 +524,13 @@ object PipelineQueries {
         |        LATERAL (SELECT unnest(generate_series(1, greatest(length(s.v)-3,0))) AS i) g
         |   UNION
         |   SELECT key, 'n-gram', v FROM s),
-        | words AS (SELECT key, unnest(regexp_split_to_array(lower(v), '\s+')) AS w FROM s),
+        | rawwords AS (SELECT key, unnest(regexp_split_to_array(lower(v), '\s+')) AS w FROM s),
+        | words AS (SELECT key, strip_accents(w) AS w FROM rawwords),
         | edge AS (
-        |   SELECT key, 'text_en_no_stem' AS analyzer, substr(w, 1, n) AS token FROM words,
-        |        LATERAL (SELECT unnest(generate_series(3, greatest(least(length(words.w),12),3))) AS n) g
+        |   SELECT key, 'text_en_no_stem' AS analyzer, substr(w, 1, n) AS token FROM rawwords,
+        |        LATERAL (SELECT unnest(generate_series(3, greatest(least(length(rawwords.w),12),3))) AS n) g
         |   UNION
-        |   SELECT key, 'text_en_no_stem', w FROM words)""".stripMargin +
+        |   SELECT key, 'text_en_no_stem', w FROM rawwords)""".stripMargin +
         graft.functions.PorterStem.sqlCtes("words", "key", "b", "stemfin") +
         """, stem AS (SELECT key, 'text_en' AS analyzer, cur AS token FROM stemfin),
         | ident AS (SELECT key, 'identity' AS analyzer, v AS token FROM s),
@@ -548,7 +550,7 @@ object PipelineQueries {
       (s, d) => TextIndex.rankDocuments(t(s, d, "documents"),
           Seq("joins", "vector", "the"), k = 10)
         .orderBy("doc_id"),
-      """WITH words AS (SELECT doc_id, w
+      """WITH words AS (SELECT doc_id, strip_accents(w) AS w
         |   FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
         |         FROM documents) WHERE w <> '')""".stripMargin +
         graft.functions.PorterStem.sqlCtes("words", "doc_id", "c", "tokfin") +

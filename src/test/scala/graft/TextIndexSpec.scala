@@ -174,6 +174,29 @@ class TextIndexSpec extends AnyFunSuite {
     pairs.foreach { case (in, want) => assert(viaCol(in) == want, s"column stem($in)") }
   }
 
+  test("accent folding: NFD + mark stripping, ASCII fast path, stem composes") {
+    val cases = Seq(
+      "café" -> "cafe", "naïve" -> "naive", "müller" -> "muller",
+      "résumé" -> "resume", "señor" -> "senor",
+      "ø" -> "ø",          // non-decomposable: kept (same as strip_accents)
+      "plain" -> "plain")
+    cases.foreach { case (in, want) =>
+      assert(graft.functions.AccentFold.fold(in) == want, s"fold($in)") }
+    // ASCII fast path returns the same instance (no allocation)
+    val s = "ascii-only"
+    assert(graft.functions.AccentFold.fold(s) eq s)
+    // the analyzer folds BEFORE stemming: développé -> developpe -> developp
+    val toks = Seq("Café Développé").toDF("s")
+      .select(explode(TextIndex.textEnTokens($"s")).as("token"))
+      .collect().map(_.getString(0)).toSet
+    assert(toks == Set("cafe", "developp"))
+    // accented query matches unaccented document through rankDocuments
+    val docs = Seq((1L, "cafe menu"), (2L, "tea list")).toDF("doc_id", "text")
+    val hits = TextIndex.rankDocuments(docs, Seq("Café"), k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(hits == Seq(1L))
+  }
+
   test("text_en analyzer joins inflected query and document forms") {
     val toks = Seq("The cell develops rapidly").toDF("s")
       .select(explode(TextIndex.textEnTokens($"s")).as("token"))
