@@ -136,31 +136,51 @@ object StreamingIngest {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        // materialized ONCE per batch (probed for candidates AND appended
-        // to the store — incrementalCandidates is told not to re-checkpoint)
-        // and released when the batch is done: a streaming loop that pins a
-        // copy per micro-batch leaks block storage over continuous ingestion
-        val incSigs = graft.llm.Dedup.minhashSignatures(
-          graft.llm.Dedup.wordShingles(batch, shingleN, textCol, idCol), numHashes)
-          .localCheckpoint(true)
-        try {
-          val store = new org.apache.hadoop.fs.Path(sigStoreDir)
-          val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val pairs =
-            if (fs.exists(store))
-              graft.llm.Dedup.incrementalCandidates(
-                spark.read.parquet(sigStoreDir).drop("batch"), incSigs,
-                bands, numHashes / bands, materializeIncoming = false)
-            else
-              graft.llm.Dedup.lshCandidates(incSigs, bands, numHashes / bands)
-          // overwrite-per-batch = idempotent under foreachBatch replay
-          pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
-          incSigs.write.mode("overwrite").parquet(s"$sigStoreDir/batch=$batchId")
-        } finally incSigs.unpersist()
-        ()
+        processNearDupBatch(batch, batchId, sigStoreDir, pairsDir,
+          shingleN, numHashes, bands, textCol, idCol)
       }
       .start()
+
+  /** One micro-batch of the near-dup loop, exposed so the replay contract
+    * is testable directly: calling this twice with the SAME batchId must
+    * leave both sinks exactly as a single call would (the at-least-once
+    * idempotence the stream relies on).
+    */
+  private[graft] def processNearDupBatch(batch: DataFrame, batchId: Long,
+                                             sigStoreDir: String, pairsDir: String,
+                                             shingleN: Int = 3, numHashes: Int = 12,
+                                             bands: Int = 4, textCol: String = "text",
+                                             idCol: String = "doc_id"): Unit = {
+    val spark = batch.sparkSession
+    // materialized ONCE per batch (probed for candidates AND appended
+    // to the store — incrementalCandidates is told not to re-checkpoint)
+    // and released when the batch is done: a streaming loop that pins a
+    // copy per micro-batch leaks block storage over continuous ingestion
+    val incSigs = graft.llm.Dedup.minhashSignatures(
+      graft.llm.Dedup.wordShingles(batch, shingleN, textCol, idCol), numHashes)
+      .localCheckpoint(true)
+    try {
+      val store = new org.apache.hadoop.fs.Path(sigStoreDir)
+      val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a replayed batch must not probe its OWN previous partial write:
+      // exclude this batch's subdirectory from the corpus-store read
+      val pastBatches = if (fs.exists(store))
+        fs.listStatus(store).map(_.getPath.getName)
+          .filter(n => n.startsWith("batch=") && n != s"batch=$batchId")
+          .map(n => s"$sigStoreDir/$n").toSeq
+      else Seq.empty
+      val pairs =
+        if (pastBatches.nonEmpty)
+          graft.llm.Dedup.incrementalCandidates(
+            spark.read.parquet(pastBatches: _*), incSigs,
+            bands, numHashes / bands, materializeIncoming = false)
+        else
+          graft.llm.Dedup.lshCandidates(incSigs, bands, numHashes / bands)
+      // overwrite-per-batch = idempotent under foreachBatch replay
+      pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+      incSigs.write.mode("overwrite").parquet(s"$sigStoreDir/batch=$batchId")
+    } finally { incSigs.unpersist(); () }
+  }
 
   /** Custom streaming state via `mapGroupsWithState`: per-source running
     * corpus statistics (doc count, total whitespace tokens), updated every

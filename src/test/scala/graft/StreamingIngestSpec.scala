@@ -114,6 +114,38 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
   }
 
+  test("near-dup batch replay is idempotent: same batchId overwrites, never duplicates") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-replay")
+    val sigs = s"$base/sigs"; val pairs = s"$base/pairs"
+    try {
+      val b0 = Seq((1L, "a b c d e f"), (2L, "u v w x y z")).toDF("doc_id", "text")
+      StreamingIngest.processNearDupBatch(b0, 0L, sigs, pairs)
+      assert(spark.read.parquet(sigs).count() == 2)
+      // batch 1 with a near-dup of doc 1
+      val b1 = Seq((3L, "a b c d e f")).toDF("doc_id", "text")
+      StreamingIngest.processNearDupBatch(b1, 1L, sigs, pairs)
+      val once = spark.read.parquet(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(once == Set((1L, 3L)))
+      assert(spark.read.parquet(sigs).count() == 3)
+      // REPLAY batch 1 (at-least-once): both sinks must be unchanged —
+      // before the overwrite-per-batch fix this doubled store rows and
+      // re-amplified candidates for every later batch
+      StreamingIngest.processNearDupBatch(b1, 1L, sigs, pairs)
+      assert(spark.read.parquet(sigs).count() == 3, "store rows duplicated on replay")
+      val replayed = spark.read.parquet(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(replayed == once, "pair rows changed on replay")
+      // and the replayed batch did not probe its own partial store write
+      val b2 = Seq((4L, "u v w x y z")).toDF("doc_id", "text")
+      StreamingIngest.processNearDupBatch(b2, 2L, sigs, pairs)
+      val after = spark.read.parquet(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after == Set((1L, 3L), (2L, 4L)))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
   test("mapGroupsWithState running stats accumulate across micro-batches") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-state")
