@@ -865,6 +865,26 @@ object PipelineQueries {
         .orderBy("rank"),
       null),
 
+    // ---- BPE tokenization at corpus scale (native codegen encoder) ------
+    // train-then-apply: the rules learned above encode every document via
+    // the min-rank merge loop (BpeEncodeExpr — rank table as a codegen
+    // reference object). rows-only like t_bpe_merges: the sequential
+    // min-rank rewrite is not SQL-expressible; the kernel is pinned to the
+    // UDF reference implementation by spec instead.
+    ("t_bpe_tokenize",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val rules = Bpe.trainMerges(docs, numMerges = 8, maxBatch = 4)
+          .map(r => (r._2, r._3))
+        docs.select(col("doc_id"),
+            graft.functions.BpeEncode.encodeCol(col("text"), rules).as("toks"))
+          .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+            // try_: an empty document has no first token (ANSI element_at throws)
+            try_element_at(col("toks"), lit(1)).as("first_token"))
+          .orderBy("doc_id")
+      },
+      null),
+
     // ---- composite quality verdict (Gopher-style rule routing) ----------
     // every rule evaluated, failures named in fixed order — a routed split
     // (audit the rejects), never a silent drop.

@@ -197,6 +197,43 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(rules == Bpe.trainMerges(flat, numMerges = 4, maxBatch = 1))
   }
 
+  test("native BPE encoder matches the UDF reference implementation") {
+    import graft.llm.Bpe
+    val docs = Seq((1L, "low low lower lowest"), (2L, "new newer newest"),
+      (3L, ""), (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val rules = Bpe.trainMerges(docs, numMerges = 6).map(r => (r._2, r._3))
+    val viaKernel = docs
+      .select(col("doc_id"), graft.functions.BpeEncode.encodeCol(col("text"), rules).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val viaUdf = docs
+      .select(col("doc_id"), Bpe.tokenize(rules)(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(viaKernel == viaUdf)
+    assert(viaKernel(3L) == Seq.empty && viaKernel(4L) == Seq.empty)
+    // greedy min-rank semantics survive the kernel: "aaa" under (a,a)
+    val aaa = Seq("aaa").toDF("s")
+      .select(graft.functions.BpeEncode.encodeCol(col("s"), Seq(("a", "a"))).as("t"))
+      .collect()(0).getSeq[String](0)
+    assert(aaa == Seq("aa", "a"))
+    // the kernel symbols by CODE POINT: an astral-plane char stays one
+    // symbol (never split into lone surrogates)
+    val emoji = Seq("a😀b").toDF("s")
+      .select(graft.functions.BpeEncode.encodeCol(col("s"), Seq(("x", "y"))).as("t"))
+      .collect()(0).getSeq[String](0)
+    assert(emoji == Seq("a", "😀", "b"))
+    // real corpus: kernel == UDF over every document
+    val corpus = TestSpark.spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpusRules = Bpe.trainMerges(corpus, numMerges = 8, maxBatch = 4)
+      .map(r => (r._2, r._3))
+    val mismatch = corpus
+      .select(col("doc_id"),
+        graft.functions.BpeEncode.encodeCol(col("text"), corpusRules).as("k"),
+        Bpe.tokenize(corpusRules)(col("text")).as("u"))
+      .filter(col("k") =!= col("u"))
+      .count()
+    assert(mismatch == 0L)
+  }
+
   test("cdcBoundaryStats matches the model and boundaries survive inserts") {
     val texts = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again and again"),
