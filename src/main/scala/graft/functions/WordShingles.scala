@@ -19,8 +19,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * higher-order/collection ops per window. Since windows of a space-split
   * string are substrings of the original, each shingle is a single substring
   * copy — no per-window array allocation at all.
+  *
+  * With `withPos = true` each row also carries the 0-based word index the
+  * window starts at — the positional form span-level dedup needs (the
+  * duplicated gram's position is what gets removed, not the gram itself).
   */
-case class WordShinglesExpr(child: Expression, n: Int)
+case class WordShinglesExpr(child: Expression, n: Int, withPos: Boolean = false)
   extends UnaryExpression with Generator with CodegenFallback {
 
   require(n >= 1, "shingle size must be >= 1")
@@ -30,7 +34,10 @@ case class WordShinglesExpr(child: Expression, n: Int)
       s"word_shingles requires a string input, got ${child.dataType.catalogString}")
 
   override def elementSchema: StructType =
-    StructType(Seq(StructField("shingle", StringType)))
+    if (withPos)
+      StructType(Seq(StructField("pos", IntegerType), StructField("shingle", StringType)))
+    else
+      StructType(Seq(StructField("shingle", StringType)))
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val data = child.eval(input)
@@ -48,7 +55,8 @@ case class WordShinglesExpr(child: Expression, n: Int)
       // (w+n-1)'s end — identical bytes to concat_ws(" ", slice(...))
       val from = starts(w)
       val until = if (w + n < words) starts(w + n) - 1 else s.length
-      InternalRow(UTF8String.fromString(s.substring(from, until)))
+      val shingle = UTF8String.fromString(s.substring(from, until))
+      if (withPos) InternalRow(w, shingle) else InternalRow(shingle)
     }
   }
 
@@ -60,4 +68,10 @@ object WordShingles {
   /** Column API: select(wordShingles(col, n)) yields rows (shingle). */
   def wordShingles(c: Column, n: Int): Column =
     GraftColumnBridge.column(WordShinglesExpr(GraftColumnBridge.expression(c), n))
+
+  /** Column API: select(wordShinglesWithPos(col, n)) yields rows
+    * (pos, shingle) — pos = 0-based index of the window's first word.
+    */
+  def wordShinglesWithPos(c: Column, n: Int): Column =
+    GraftColumnBridge.column(WordShinglesExpr(GraftColumnBridge.expression(c), n, withPos = true))
 }

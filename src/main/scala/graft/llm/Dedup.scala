@@ -362,6 +362,65 @@ object Dedup {
           " ").as("text_kept"))
   }
 
+  /** ExactSubstr-style duplicated-span removal (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022 — the suffix-array
+    * criterion re-expressed at k-gram granularity): any word `spanTokens`-gram
+    * occurring >= 2 times ANYWHERE in the corpus (across documents or repeated
+    * within one) marks its k word positions as duplicated; overlapping and
+    * adjacent marks merge into maximal spans, which are dropped from the kept
+    * text. Returns one row per document:
+    * (idCol, n_words, dup_words, n_dup_spans, dup_fraction, text_kept).
+    *
+    * Differs from [[chunkDedup]] (C4-style) in granularity and alignment:
+    * chunk dedup keeps the FIRST occurrence of fixed, stride-aligned chunks,
+    * while span removal drops EVERY occurrence of any duplicated window at
+    * any offset — the ExactSubstr finding is that removing all copies of
+    * duplicated text beats keeping one.
+    *
+    * Scale shape: gram frequency is one map-combinable aggregate on uniform
+    * md5 keys and the gram->frequency join shuffles on the same keys; the
+    * duplicated-start table is |duplicated positions| << corpus tokens when
+    * duplication is rare, so the per-position join is corpus x small;
+    * coverage and span merging are two chained window passes over ONE
+    * (doc, pos) exchange — per-doc state is bounded by document length. Cost
+    * is linear in total tokens + duplicated positions; the global sort of
+    * every corpus position that a true suffix array needs never happens.
+    */
+  def removeDuplicateSpans(docs: DataFrame, spanTokens: Int = 10,
+                           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens must be >= 2: got $spanTokens")
+    val k = spanTokens
+    val wp = docs.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "word")))
+    val grams = docs.select(col(idCol).as("id"),
+        graft.functions.WordShingles.wordShinglesWithPos(col(textCol), k).as(Seq("pos", "gram")))
+      .withColumn("gram", md5(col("gram"))) // fixed-width uniform shuffle key
+    val dupGrams = grams.groupBy("gram").agg(count(lit(1)).as("df")).filter(col("df") >= 2)
+    val dupStarts = grams.join(dupGrams, Seq("gram"))
+      .select(col("id"), col("pos"), lit(1).as("dup"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
+    // a position is covered iff some duplicated gram STARTS within the k-1
+    // positions before it (or at it); positions are dense ints, so the range
+    // frame is exact. Span starts = covered with an uncovered predecessor.
+    val flagged = wp.join(dupStarts, Seq("id", "pos"), "left")
+      .withColumn("covered",
+        coalesce(max(col("dup")).over(byDoc.rangeBetween(-(k - 1), 0)), lit(0)))
+      .withColumn("span_start",
+        when(col("covered") === 1 &&
+          coalesce(lag(col("covered"), 1).over(byDoc), lit(0)) === 0, 1).otherwise(0))
+    flagged.groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("covered")).cast("long").as("dup_words"),
+        sum(col("span_start")).cast("long").as("n_dup_spans"),
+        (sum(col("covered")).cast("double") / count(lit(1))).as("dup_fraction"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("covered") === 0, struct(col("pos"), col("word"))))),
+            s => s.getField("word")),
+          " ").as("text_kept"))
+  }
+
   /** SimHash: `bits`-bit signature from word tokens (weight = term count).
     * Bit b of a token = bit (b mod 4) of hex digit (b div 4) of md5(token);
     * the signature bit is 1 iff the weighted sum of (2*bit-1) is positive.

@@ -680,6 +680,39 @@ object PipelineQueries {
         |                            ORDER BY chunk_id), '') AS text_kept
         | FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // ---- duplicated-span removal (ExactSubstr-style) --------------------
+    // any 8-word gram occurring >= 2 times in the corpus (cross- OR
+    // within-doc) marks its positions; marks merge into maximal spans that
+    // are dropped from text_kept. Unlike d9 (first-occurrence chunk keep),
+    // EVERY copy of duplicated text is removed — the ExactSubstr contract.
+    ("d10_dup_spans",
+      (s, d) => Dedup.removeDuplicateSpans(spread(t(s, d, "documents")), spanTokens = 8)
+        .orderBy("doc_id"),
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        | wp AS (SELECT doc_id, i - 1 AS pos, words[i] AS word
+        |        FROM w, LATERAL (SELECT unnest(generate_series(1, len(w.words))) AS i) g),
+        | gr AS (SELECT doc_id, i - 1 AS pos, md5(array_to_string(words[i:i+7], ' ')) AS gram
+        |        FROM w, LATERAL (SELECT unnest(generate_series(1,
+        |               greatest(len(w.words) - 7, 0))) AS i) g),
+        | dfx AS (SELECT gram FROM gr GROUP BY gram HAVING COUNT(*) >= 2),
+        | ds AS (SELECT gr.doc_id, gr.pos, 1 AS dup FROM gr JOIN dfx USING (gram)),
+        | fl AS (SELECT wp.doc_id, wp.pos, wp.word, COALESCE(ds.dup, 0) AS dup
+        |        FROM wp LEFT JOIN ds ON wp.doc_id = ds.doc_id AND wp.pos = ds.pos),
+        | cov AS (SELECT doc_id, pos, word,
+        |                MAX(dup) OVER (PARTITION BY doc_id ORDER BY pos
+        |                  RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered
+        |         FROM fl),
+        | isl AS (SELECT *, CASE WHEN covered = 1 AND COALESCE(LAG(covered) OVER (
+        |                 PARTITION BY doc_id ORDER BY pos), 0) = 0 THEN 1 ELSE 0 END AS span_start
+        |         FROM cov)
+        | SELECT doc_id, COUNT(*) AS n_words,
+        |        CAST(SUM(covered) AS BIGINT) AS dup_words,
+        |        CAST(SUM(span_start) AS BIGINT) AS n_dup_spans,
+        |        SUM(covered) / CAST(COUNT(*) AS DOUBLE) AS dup_fraction,
+        |        COALESCE(string_agg(CASE WHEN covered = 0 THEN word END, ' '
+        |                            ORDER BY pos), '') AS text_kept
+        | FROM isl GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     // ---- within-doc repetition signals (Gopher-style quality filters) ---
     ("t_repetition_stats",
       (s, d) => TextStats.repetitionStats(spread(t(s, d, "documents")))

@@ -44,6 +44,62 @@ class TextPipelineSpec extends AnyFunSuite {
     assert((got(3L)._3, got(3L)._2) == ((2L, 1L)))
   }
 
+  test("removeDuplicateSpans drops every copy of a cross-doc duplicated gram") {
+    // k=4: "a b c d" occurs in both docs -> BOTH occurrences removed
+    // (ExactSubstr semantics), unlike chunkDedup's first-occurrence keep.
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y a b c d q")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, spanTokens = 4).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getString(5))))
+      .toMap
+    assert(got(1L) == ((6L, 4L, 1L, 4.0 / 6, "e f")))
+    assert(got(2L) == ((7L, 4L, 1L, 4.0 / 7, "x y q")))
+  }
+
+  test("removeDuplicateSpans marks within-doc repeats and keeps disjoint spans separate") {
+    // "p q r s" repeats at pos 0 and 5 -> covered [0,3] and [5,8];
+    // pos 4 't' and pos 9 'u' survive between/after the two spans.
+    val docs = Seq((3L, "p q r s t p q r s u")).toDF("doc_id", "text")
+    val r = Dedup.removeDuplicateSpans(docs, spanTokens = 4).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(5)) == ((10L, 8L, 2L, "t u")))
+  }
+
+  test("removeDuplicateSpans merges overlapping marks into one maximal span") {
+    val docs = Seq(
+      (4L, "m n o p q r"),
+      (5L, "m n o p q z"),
+      (6L, "n o p q r w")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, spanTokens = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getString(5)))).toMap
+    assert(got(4L) == ((6L, 1L, "")))  // fully covered: ONE merged span, empty text
+    assert(got(5L) == ((5L, 1L, "z")))
+    assert(got(6L) == ((5L, 1L, "w")))
+  }
+
+  test("removeDuplicateSpans leaves short and unique docs untouched") {
+    val docs = Seq(
+      (7L, "s t"), // shorter than the gram: no grams, nothing marked
+      (8L, "unique words only here truly nothing shared")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, spanTokens = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(5)))).toMap
+    assert(got(7L) == ((0L, "s t")))
+    assert(got(8L) == ((0L, "unique words only here truly nothing shared")))
+    intercept[IllegalArgumentException](Dedup.removeDuplicateSpans(docs, spanTokens = 1))
+  }
+
+  test("wordShinglesWithPos positions align with the shingle windows") {
+    val df = Seq((1L, "a b c d"), (2L, "x")).toDF("id", "text")
+    val rows = df.select($"id",
+        graft.functions.WordShingles.wordShinglesWithPos($"text", 2).as(Seq("pos", "shingle")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(rows == Set((1L, 0, "a b"), (1L, 1, "b c"), (1L, 2, "c d")))
+  }
+
   test("chunkDedup keeps only the global first occurrence of each chunk") {
     // 2-word chunks. doc 1: [a b][c d]; doc 2: [c d][e f] -> [c d] dropped;
     // doc 3 duplicates doc 1 entirely -> nothing kept.
