@@ -42,8 +42,8 @@ object ScaleProbe {
     // group setup is gated like the probes themselves: a filtered run must
     // not pay cache+count materialization for groups with nothing selected
     val docProbes = Seq("exactGroups", "lshCandidates", "jaccardPairs",
-      "removeNearDuplicates", "components", "chunkDedup", "triangleCounts",
-      "qualityFilter", "tokenBudgetMix", "rankDocuments")
+      "removeNearDuplicates", "components", "chunkDedup", "dupSpanRemoval",
+      "triangleCounts", "qualityFilter", "tokenBudgetMix", "rankDocuments")
     if (docProbes.exists(enabled)) {
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
@@ -91,6 +91,12 @@ object ScaleProbe {
     }
     timed("chunkDedup (20-word chunks)") {
       Dedup.chunkDedup(scaled, chunkTokens = 20).count()
+    }
+    timed("dupSpanRemoval (8-word grams)") {
+      // the half-exact-copy corpus makes nearly every gram duplicated —
+      // worst case for the duplicated-start table (≈ corpus positions),
+      // so this bounds the per-position join from above
+      Dedup.removeDuplicateSpans(scaled, spanTokens = 8).count()
     }
     timed("triangleCounts (LSH cand graph)") {
       // duplicate clusters are near-cliques: the densest triangle topology
