@@ -16,6 +16,22 @@ object Bench {
   private def jstr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
+  /** JSON-safe rendering of an observed-metric value: numbers bare (but
+    * NaN/Infinity quoted — bare they are invalid JSON), everything else as
+    * an escaped string. All current metrics are longs; this guards the day
+    * one isn't.
+    */
+  private def jval(v: Any): String = v match {
+    case null => "null"
+    case b: Boolean => b.toString
+    case d: Double if java.lang.Double.isFinite(d) => d.toString
+    case f: Float if java.lang.Float.isFinite(f) => f.toString
+    case n @ (_: Byte | _: Short | _: Int | _: Long) => n.toString
+    case bd: java.math.BigDecimal => bd.toString
+    case bd: BigDecimal => bd.toString
+    case other => jstr(String.valueOf(other))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -33,15 +49,16 @@ object Bench {
     // Observed metrics (the silent-cap audit trail: jaccard_maxdf_*,
     // lsh_maxbucket_*, neardup_maxdf_* drop counts) are delivered via the
     // async ExecutionListener bus; collect them into one map keyed by their
-    // globally-unique names and attribute to queries by key-set diffing
-    // with a bounded poll (only for plans that actually carry
-    // CollectMetrics nodes — everything else pays zero wait).
+    // globally-unique names and attribute to queries by key-set diffing.
+    // The bus is DRAINED between queries (GraftListenerBridge) so the diff
+    // is exact — a bounded poll alone raced: a metric arriving after the
+    // poll deadline landed in the NEXT query's diff.
     val observed = new java.util.concurrent.ConcurrentHashMap[String, String]()
     spark.listenerManager.register(new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
         qe.observedMetrics.foreach { case (name, row) =>
           val fields = row.schema.fieldNames.zipWithIndex.map { case (f, i) =>
-            jstr(f) + ":" + row.get(i)
+            jstr(f) + ":" + jval(row.get(i))
           }
           observed.put(name, fields.mkString("{", ",", "}"))
         }
@@ -56,22 +73,15 @@ object Bench {
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val before = new java.util.HashSet(observed.keySet())
       val t0 = System.nanoTime()
-      var expectMetrics = 0
       val err = try {
-        val df = fn(spark, sfDir)
-        expectMetrics = df.queryExecution.analyzed.collect {
-          case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => c
-        }.size
-        df.write.mode("overwrite").format("noop").save()
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         None
       } catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
       val elapsed = (System.nanoTime() - t0) / 1e9
-      // bounded poll for this query's metric rows (listener bus is async)
-      if (err.isEmpty && expectMetrics > 0) {
-        val deadline = System.nanoTime() + 3000000000L
-        while (observed.keySet().size - before.size < expectMetrics &&
-               System.nanoTime() < deadline) Thread.sleep(20)
-      }
+      // flush listener delivery AFTER timing, so every event this query
+      // posted is in `observed` before the diff — and no straggler can
+      // leak into the next query's snapshot
+      org.apache.spark.GraftListenerBridge.drain(spark.sparkContext, 10000L)
       val newKeys = new java.util.HashSet(observed.keySet())
       newKeys.removeAll(before)
       val metrics = newKeys.toArray(Array.empty[String]).sorted

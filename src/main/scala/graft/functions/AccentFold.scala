@@ -39,7 +39,14 @@ case class AccentFoldExpr(child: Expression) extends UnaryExpression {
 
 object AccentFold {
 
-  /** NFD + strip combining marks. ASCII fast path returns the input. */
+  /** NFD + strip combining marks. ASCII fast path returns the input.
+    * ALL THREE mark categories go — Mn (non-spacing), Mc (spacing
+    * combining, e.g. Devanagari vowel signs), Me (enclosing) — matching
+    * utf8proc's STRIPMARK, which is what DuckDB's `strip_accents`
+    * applies (verified empirically against all three categories).
+    * Stripping Mn alone diverges from the oracle on Indic and
+    * enclosing-mark text.
+    */
   def fold(s: String): String = {
     if (s == null) return null
     var i = 0
@@ -50,7 +57,10 @@ object AccentFold {
         var j = 0
         while (j < d.length) {
           val c = d.charAt(j)
-          if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+          val t = Character.getType(c)
+          if (t != Character.NON_SPACING_MARK &&
+              t != Character.COMBINING_SPACING_MARK &&
+              t != Character.ENCLOSING_MARK) sb.append(c)
           j += 1
         }
         return sb.toString

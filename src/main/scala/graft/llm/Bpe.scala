@@ -202,7 +202,11 @@ object Bpe {
     * map-side UDF column.
     */
   def tokenize(merges: Seq[(String, String)]): org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val rank: Map[(String, String), Int] = merges.zipWithIndex.toMap
+    // first occurrence wins on a duplicated (left, right) rule — training
+    // can never emit one (a merged pair's count drops to zero), but a
+    // hand-supplied table can, and the native BpeEncoder resolves to the
+    // FIRST rank; plain .toMap would keep the LAST and silently diverge
+    val rank: Map[(String, String), Int] = merges.zipWithIndex.reverse.toMap
     udf { (text: String) =>
       if (text == null) Seq.empty[String]
       else text.split(" ").filter(_.nonEmpty).toSeq.flatMap { w =>

@@ -390,10 +390,14 @@ object Dedup {
                            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(spanTokens >= 2, s"spanTokens must be >= 2: got $spanTokens")
     val k = spanTokens
+    // null text folds to "" so the doc still yields its output row (the
+    // "one row per document" contract): posexplode of a null array would
+    // silently drop the document from the result
+    val text = coalesce(col(textCol), lit(""))
     val wp = docs.select(col(idCol).as("id"),
-      posexplode(split(col(textCol), " ")).as(Seq("pos", "word")))
+      posexplode(split(text, " ")).as(Seq("pos", "word")))
     val grams = docs.select(col(idCol).as("id"),
-        graft.functions.WordShingles.wordShinglesWithPos(col(textCol), k).as(Seq("pos", "gram")))
+        graft.functions.WordShingles.wordShinglesWithPos(text, k).as(Seq("pos", "gram")))
       .withColumn("gram", md5(col("gram"))) // fixed-width uniform shuffle key
     val dupGrams = grams.groupBy("gram").agg(count(lit(1)).as("df")).filter(col("df") >= 2)
     val dupStarts = grams.join(dupGrams, Seq("gram"))

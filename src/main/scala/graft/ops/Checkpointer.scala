@@ -47,9 +47,11 @@ sealed trait Checkpointer {
     * Reliable the data lives in checkpoint FILES, not block storage; the
     * files are removed by the ContextCleaner when the backing RDD is
     * garbage-collected (set `spark.cleaner.referenceTracking.cleanCheckpoints=true`)
-    * or by the application's own checkpoint-dir lifecycle.
+    * or by the application's own checkpoint-dir lifecycle — `unpersist`
+    * still drops any blocks the materialization cached, and is the same
+    * correct action under every strategy, hence one shared implementation.
     */
-  def release(df: DataFrame): Unit
+  final def release(df: DataFrame): Unit = { df.unpersist(); () }
 }
 
 object Checkpointer {
@@ -59,7 +61,6 @@ object Checkpointer {
     */
   case object Local extends Checkpointer {
     def apply(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
-    def release(df: DataFrame): Unit = { df.unpersist(); () }
   }
 
   /** Eager reliable `checkpoint` against the session's configured
@@ -73,7 +74,6 @@ object Checkpointer {
           "(a fault-tolerant FS path) before running the iterative operator")
       df.checkpoint(eager = true)
     }
-    def release(df: DataFrame): Unit = { df.unpersist(); () }
   }
 
   /** Per-frame dispatch: Reliable when a checkpoint dir is configured,
@@ -83,6 +83,5 @@ object Checkpointer {
     private def resolve(df: DataFrame): Checkpointer =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) Reliable else Local
     def apply(df: DataFrame): DataFrame = resolve(df)(df)
-    def release(df: DataFrame): Unit = resolve(df).release(df)
   }
 }

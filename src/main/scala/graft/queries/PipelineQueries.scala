@@ -688,7 +688,7 @@ object PipelineQueries {
     ("d10_dup_spans",
       (s, d) => Dedup.removeDuplicateSpans(spread(t(s, d, "documents")), spanTokens = 8)
         .orderBy("doc_id"),
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      """WITH w AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS words FROM documents),
         | wp AS (SELECT doc_id, i - 1 AS pos, words[i] AS word
         |        FROM w, LATERAL (SELECT unnest(generate_series(1, len(w.words))) AS i) g),
         | gr AS (SELECT doc_id, i - 1 AS pos, md5(array_to_string(words[i:i+7], ' ')) AS gram

@@ -163,12 +163,23 @@ object StreamingIngest {
       val store = new org.apache.hadoop.fs.Path(sigStoreDir)
       val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
       // a replayed batch must not probe its OWN previous partial write:
-      // exclude this batch's subdirectory from the corpus-store read
-      val pastBatches = if (fs.exists(store))
-        fs.listStatus(store).map(_.getPath.getName)
-          .filter(n => n.startsWith("batch=") && n != s"batch=$batchId")
-          .map(n => s"$sigStoreDir/$n").toSeq
-      else Seq.empty
+      // exclude this batch's subdirectory from the corpus-store read.
+      // Anything in the store that is NOT a batch= subdirectory (e.g. a
+      // flat-layout store written before per-batch partitioning) would be
+      // silently skipped by the probe — every near-dup of a historical
+      // document missed with no error — so a mixed layout fails loudly
+      // with a migration path instead.
+      val pastBatches = if (fs.exists(store)) {
+        val entries = fs.listStatus(store).map(_.getPath.getName)
+          .filterNot(n => n.startsWith("_") || n.startsWith("."))
+        val legacy = entries.filterNot(_.startsWith("batch="))
+        require(legacy.isEmpty,
+          s"signature store $sigStoreDir contains non-batch-partitioned entries " +
+            s"(${legacy.take(3).mkString(", ")}): a flat-layout store's history " +
+            "would be silently skipped by the candidate probe — move legacy " +
+            "files into a batch=<n> subdirectory (e.g. batch=-1) first")
+        entries.filter(n => n != s"batch=$batchId").map(n => s"$sigStoreDir/$n").toSeq
+      } else Seq.empty
       val pairs =
         if (pastBatches.nonEmpty)
           graft.llm.Dedup.incrementalCandidates(

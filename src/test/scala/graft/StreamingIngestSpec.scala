@@ -114,6 +114,22 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
   }
 
+  test("near-dup store rejects a legacy flat layout instead of skipping its history") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-legacy")
+    val sigs = s"$base/sigs"; val pairs = s"$base/pairs"
+    try {
+      // a flat-layout store (pre-batch-partitioning): parquet directly in root
+      Seq((1L, "a b c d e f")).toDF("doc_id", "text").write.parquet(sigs)
+      val b = Seq((2L, "a b c d e f")).toDF("doc_id", "text")
+      val e = intercept[IllegalArgumentException] {
+        StreamingIngest.processNearDupBatch(b, 0L, sigs, pairs)
+      }
+      // silently probing nothing would miss every historical near-dup
+      assert(e.getMessage.contains("batch="))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
   test("near-dup batch replay is idempotent: same batchId overwrites, never duplicates") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-replay")

@@ -179,7 +179,12 @@ class TextIndexSpec extends AnyFunSuite {
       "café" -> "cafe", "naïve" -> "naive", "müller" -> "muller",
       "résumé" -> "resume", "señor" -> "senor",
       "ø" -> "ø",          // non-decomposable: kept (same as strip_accents)
-      "plain" -> "plain")
+      "plain" -> "plain",
+      // ALL THREE mark categories strip, matching utf8proc STRIPMARK
+      // (= DuckDB strip_accents, verified empirically): Mn alone missed
+      // spacing-combining (Mc, Devanagari vowel signs) and enclosing (Me)
+      "का" -> "क", // KA + vowel sign AA (Mc)
+      "a⃝b" -> "ab")         // combining enclosing circle (Me)
     cases.foreach { case (in, want) =>
       assert(graft.functions.AccentFold.fold(in) == want, s"fold($in)") }
     // ASCII fast path returns the same instance (no allocation)

@@ -83,12 +83,14 @@ class TextPipelineSpec extends AnyFunSuite {
   test("removeDuplicateSpans leaves short and unique docs untouched") {
     val docs = Seq(
       (7L, "s t"), // shorter than the gram: no grams, nothing marked
-      (8L, "unique words only here truly nothing shared")
+      (8L, "unique words only here truly nothing shared"),
+      (9L, null.asInstanceOf[String]) // null text must still yield its row
     ).toDF("doc_id", "text")
     val got = Dedup.removeDuplicateSpans(docs, spanTokens = 4).collect()
       .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(5)))).toMap
     assert(got(7L) == ((0L, "s t")))
     assert(got(8L) == ((0L, "unique words only here truly nothing shared")))
+    assert(got(9L) == ((0L, ""))) // one row per document, even null text
     intercept[IllegalArgumentException](Dedup.removeDuplicateSpans(docs, spanTokens = 1))
   }
 
@@ -271,6 +273,17 @@ class TextPipelineSpec extends AnyFunSuite {
       .select(graft.functions.BpeEncode.encodeCol(col("s"), Seq(("a", "a"))).as("t"))
       .collect()(0).getSeq[String](0)
     assert(aaa == Seq("aa", "a"))
+    // a duplicated (left,right) rule resolves to its FIRST rank in BOTH
+    // implementations — .toMap in the UDF kept the LAST and diverged from
+    // the kernel on caller-supplied tables with repeats
+    val dupRules = Seq(("a", "b"), ("b", "c"), ("a", "b"))
+    val dupKernel = Seq("abc").toDF("s")
+      .select(graft.functions.BpeEncode.encodeCol(col("s"), dupRules).as("t"))
+      .collect()(0).getSeq[String](0)
+    val dupUdf = Seq("abc").toDF("s")
+      .select(Bpe.tokenize(dupRules)(col("s")).as("t"))
+      .collect()(0).getSeq[String](0)
+    assert(dupKernel == Seq("ab", "c") && dupUdf == dupKernel)
     // the kernel symbols by CODE POINT: an astral-plane char stays one
     // symbol (never split into lone surrogates)
     val emoji = Seq("a😀b").toDF("s")
