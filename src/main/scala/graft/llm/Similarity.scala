@@ -272,6 +272,83 @@ object Similarity {
       .select(quantize(col(embCol), scale).as("qc"))
       .collect().map(_.getSeq[Long](0).toSeq).toSeq
 
+  /** Product-quantization codebooks from the corpus prefix: codebook m's
+    * `numCodewords` codewords are the first vectors' m-th contiguous
+    * subvector slices — the same offline-quantizer convention as
+    * [[collectQuantizedCentroids]], shared with the DuckDB oracles. At
+    * production scale codebooks come from a per-subspace k-means fit; the
+    * prefix derivation is the deterministic stand-in that keeps every
+    * engine bit-equal.
+    */
+  def collectPqCodebooks(vectors: DataFrame, numCodewords: Int, numSubspaces: Int,
+                         idCol: String = "vec_id", embCol: String = "embedding",
+                         scale: Int = 1000): Seq[Seq[Seq[Long]]] = {
+    val full = collectQuantizedCentroids(vectors, numCodewords, idCol, embCol, scale)
+    require(full.nonEmpty, s"corpus has no vectors with $idCol < $numCodewords")
+    val d = full.head.length
+    require(numSubspaces >= 1 && d % numSubspaces == 0,
+      s"embedding dimension $d must divide evenly into numSubspaces=$numSubspaces")
+    val sub = d / numSubspaces
+    (0 until numSubspaces).map(m => full.map(_.slice(m * sub, (m + 1) * sub)))
+  }
+
+  /** PQ encode (Jégou et al., TPAMI 2011): (idCol, codes) where codes[m] =
+    * index of the nearest codeword (exact integer squared-L2 argmin, tie →
+    * lowest index — the [[graft.functions.CellAssign]] contract) of the
+    * m-th contiguous subvector. Map-side only, zero shuffles: at 100 TB
+    * this is the compression pass that turns a d-dim float corpus into M
+    * small ints per row (64 dims → 8 codes ≈ 30× smaller), the
+    * representation the ADC scan reads instead of the vectors.
+    */
+  def pqEncode(vectors: DataFrame, codebooks: Seq[Seq[Seq[Long]]],
+               idCol: String = "vec_id", embCol: String = "embedding",
+               scale: Int = 1000): DataFrame = {
+    graft.functions.Pq.validateCodebooks(codebooks)
+    val sub = codebooks.head.head.length
+    vectors.select(col(idCol), quantize(col(embCol), scale).as("qv"))
+      .select(col(idCol),
+        array(codebooks.zipWithIndex.map { case (cbm, m) =>
+          graft.functions.CellAssign.assignCol(slice(col("qv"), m * sub + 1, sub), cbm)
+        }: _*).as("codes"))
+  }
+
+  /** PQ top-k by asymmetric distance (ADC): the query stays an exact
+    * vector; each corpus row is scored as Σ_m lut[m][codes[m]] where the
+    * per-query LUT holds the squared L2 from each query subvector to every
+    * codeword — M table lookups per pair instead of d multiplies, over a
+    * corpus that is only codes. Output: (query_id, neighbor_id, adc,
+    * rank 1..k), ranked ascending by distance, ties to the lowest id.
+    *
+    * Scale shape: queries (with LUTs) broadcast; the encoded corpus is
+    * scanned once, map-side — the scan is the ENTIRE search, no
+    * candidate-generation shuffle at all, which is the right trade when
+    * the corpus fits memory only as codes. Both the LUT build and the ADC
+    * sum are native codegen kernels ([[graft.functions.Pq]]); everything
+    * is exact integer arithmetic, so ranks reproduce on any engine.
+    * Accuracy is bounded by quantizer granularity (distances are to
+    * reconstructed codewords, not true vectors) — compose with an exact
+    * re-rank of the top candidates where recall matters.
+    */
+  def pqTopKWithCodebooks(queries: DataFrame, corpus: DataFrame, k: Int,
+                          codebooks: Seq[Seq[Seq[Long]]],
+                          idCol: String = "vec_id", embCol: String = "embedding",
+                          scale: Int = 1000): DataFrame = {
+    graft.functions.Pq.validateCodebooks(codebooks)
+    val kw = codebooks.head.length
+    val codes = pqEncode(corpus, codebooks, idCol, embCol, scale)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val q = queries.select(col(idCol).as("query_id"),
+      graft.functions.Pq.lutCol(quantize(col(embCol), scale), codebooks).as("lut"))
+    val scored = broadcast(q).crossJoin(codes)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", graft.functions.Pq.adcCol(col("lut"), col("codes"), kw))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adc", "rank")
+  }
+
   /** SemDeDup-style semantic dedup: assign every vector to its nearest
     * coarse-quantizer cell (same offline-centroid contract as
     * [[ivfTopKWithQuantizedCentroids]] — integer-exact argmin), compare all

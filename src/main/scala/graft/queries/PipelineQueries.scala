@@ -989,6 +989,47 @@ object PipelineQueries {
         | ORDER BY doc_id""".stripMargin),
 
     // ---- semantic dedup (SemDeDup: cluster, then drop close meanings) ----
+    // ---- product-quantization ANN (ADC over codes) ----------------------
+    // codebooks = first-16-vector subvector slices (8 subspaces x 8 dims);
+    // corpus rows are scored from their CODES alone via the per-query LUT —
+    // everything exact integer, so ranks hash-match the independent
+    // SQL re-derivation (which recomputes assignment and ADC from scratch).
+    ("sim_pq_topk",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cbs = Similarity.collectPqCodebooks(e, numCodewords = 16, numSubspaces = 8)
+        Similarity.pqTopKWithCodebooks(e.filter(col("vec_id") < 20), e, k = 5, cbs)
+          .orderBy("query_id", "rank")
+      },
+      """WITH corp AS (SELECT vec_id,
+        |          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+        |        FROM embeddings),
+        | cw AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, qv FROM corp WHERE vec_id < 16),
+        | ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+        | sub AS (SELECT m, j, qv[m*8+1 : m*8+8] AS c FROM cw, ms),
+        | csub AS (SELECT vec_id, m, qv[m*8+1 : m*8+8] AS v FROM corp, ms),
+        | dist AS (SELECT vec_id, m, j,
+        |                 list_dot_product(v, v) - 2*list_dot_product(v, c)
+        |                   + list_dot_product(c, c) AS d2
+        |          FROM csub JOIN sub USING (m)),
+        | asg AS (SELECT vec_id, m, j FROM (
+        |           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn
+        |           FROM dist) WHERE rn = 1),
+        | qsub AS (SELECT vec_id AS query_id, m, v FROM csub WHERE vec_id < 20),
+        | adcp AS (SELECT qs.query_id, a.vec_id AS neighbor_id,
+        |                 CAST(SUM(list_dot_product(qs.v, qs.v)
+        |                   - 2*list_dot_product(qs.v, s.c)
+        |                   + list_dot_product(s.c, s.c)) AS BIGINT) AS adc
+        |          FROM qsub qs
+        |          JOIN asg a ON qs.m = a.m
+        |          JOIN sub s ON s.m = a.m AND s.j = a.j
+        |          WHERE qs.query_id <> a.vec_id
+        |          GROUP BY 1, 2)
+        | SELECT query_id, neighbor_id, adc, CAST(rank AS INTEGER) AS rank
+        | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |                                    ORDER BY adc, neighbor_id) AS rank FROM adcp)
+        | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
     // same offline first-16-vector quantizer as sim_ivf_topk; within-cell
     // exact quantized cosine >= tau drops the higher id of each close pair.
     ("sim_semantic_dedup",

@@ -512,7 +512,60 @@ class LlmOpsSpec extends AnyFunSuite {
           Seq(Seq(1000L, 0L), Seq(0L, 1000L))).as("cell"))
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
       assert(cells == Map(1L -> 0, 2L -> 1))
+      // PQ: LUT build + ADC scoring both stay in codegen
+      val cb = Seq(Seq(Seq(0L, 0L), Seq(10L, 10L)), Seq(Seq(5L, 5L), Seq(0L, 0L)))
+      val adc = Seq((1L, Array(1L, 1L, 5L, 5L))).toDF("id", "qv")
+        .select(graft.functions.Pq.lutCol(col("qv"), cb).as("lut"))
+        .select(graft.functions.Pq.adcCol(col("lut"),
+          typedLit(Seq(0, 0)), numCodewords = 2).as("adc"))
+        .collect()(0).getLong(0)
+      // lut[0][0] = 1+1 = 2; lut[1][0] = 0+0 = 0 -> adc 2
+      assert(adc == 2L)
     } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
+  test("pqEncode/pqTopK: hand-computed codes and exact ADC distances") {
+    import graft.llm.Similarity
+    // 4-dim vectors, 2 subspaces of 2 dims; codebooks = first-2-vector slices
+    val vecs = Seq(
+      (0L, Seq(0.001f, 0.0f, 0.01f, 0.01f)),   // quantized [1,0,10,10]
+      (1L, Seq(0.01f, 0.01f, 0.0f, 0.001f)),   // quantized [10,10,0,1]
+      (2L, Seq(0.002f, 0.0f, 0.001f, 0.002f)), // quantized [2,0,1,2]
+      (3L, Seq(0.009f, 0.011f, 0.0f, 0.0f))    // quantized [9,11,0,0]
+    ).toDF("vec_id", "embedding")
+    val cbs = Similarity.collectPqCodebooks(vecs, numCodewords = 2, numSubspaces = 2)
+    assert(cbs == Seq(Seq(Seq(1L, 0L), Seq(10L, 10L)), Seq(Seq(10L, 10L), Seq(0L, 1L))))
+    val codes = Similarity.pqEncode(vecs, cbs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // vec 2 [2,0|1,2]: sub0 d²(=[1,0])=1 < d²(=[10,10])=164 -> 0;
+    //                  sub1 d²(=[10,10])=145 > d²(=[0,1])=2 -> 1
+    assert(codes(0L) == Seq(0, 0) && codes(1L) == Seq(1, 1))
+    assert(codes(2L) == Seq(0, 1) && codes(3L) == Seq(1, 1))
+    // ADC from query 2: vs 0 (codes 0,0 -> [1,0],[10,10]): 1 + 145 = 146;
+    // vs 1 and 3 (codes 1,1 -> [10,10],[0,1]): 164 + 2 = 166 — the tie
+    // breaks to the lower neighbor id
+    val top = Similarity.pqTopKWithCodebooks(vecs.filter($"vec_id" === 2), vecs, k = 3, cbs)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2))).toList
+    assert(top == List((0L, 146L), (1L, 166L), (3L, 166L)))
+    // dimension must divide evenly into subspaces
+    intercept[IllegalArgumentException](Similarity.collectPqCodebooks(vecs, 2, 3))
+  }
+
+  test("pqTopK: a corpus twin of the query wins with the minimal ADC") {
+    import graft.llm.Similarity
+    // twin shares every code with the query, so its ADC equals the query's
+    // own quantization residual — the minimum any corpus row can achieve
+    val vecs = Seq(
+      (0L, Seq(0.0f, 0.0f, 0.01f, 0.01f)),
+      (1L, Seq(0.01f, 0.01f, 0.0f, 0.0f)),
+      (2L, Seq(0.0041f, 0.0f, 0.0f, 0.0f)),  // the query
+      (3L, Seq(0.0041f, 0.0f, 0.0f, 0.0f)),  // its exact twin
+      (4L, Seq(0.01f, 0.009f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cbs = Similarity.collectPqCodebooks(vecs, numCodewords = 2, numSubspaces = 2)
+    val top = Similarity.pqTopKWithCodebooks(vecs.filter($"vec_id" === 2), vecs, k = 1, cbs)
+      .collect()(0)
+    assert(top.getLong(1) == 3L)
   }
 
   test("quality stats exact counts") {
