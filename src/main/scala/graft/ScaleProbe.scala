@@ -125,7 +125,7 @@ object ScaleProbe {
 
     // similarity path at the same multiplier: exact copies (even k) again
     // stress bucket fan-out; odd copies get one element nudged
-    val vecProbes = Seq("cosineDupPairs", "lshTopK", "ivfTopK", "semanticDedup")
+    val vecProbes = Seq("cosineDupPairs", "lshTopK", "ivfTopK", "semanticDedup", "pqTopK")
     if (vecProbes.exists(enabled)) {
     val baseV = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
@@ -149,6 +149,13 @@ object ScaleProbe {
       val cents = graft.llm.Similarity.collectQuantizedCentroids(vecs, 16)
       graft.llm.Similarity.ivfTopKWithQuantizedCentroids(
         vecs.filter(col("vec_id") < 64), vecs, k = 5, cents).count()
+    }
+    timed("pqTopKWithCodebooks (k=5, 64 queries)") {
+      // the memory-bound path: the whole corpus is scanned as codes,
+      // scored by M LUT lookups per (query, row) — cost is the scan itself
+      val cbs = graft.llm.Similarity.collectPqCodebooks(vecs, 16, 8)
+      graft.llm.Similarity.pqTopKWithCodebooks(
+        vecs.filter(col("vec_id") < 64), vecs, k = 5, cbs).count()
     }
     timed("semanticDedup (64 cells, tau=0.95)") {
       // 64 cells over mult x 2000 vectors: cells of ~(n/64) with the exact
