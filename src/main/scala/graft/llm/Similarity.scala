@@ -349,6 +349,37 @@ object Similarity {
       .select("query_id", "neighbor_id", "adc", "rank")
   }
 
+  /** PQ shortlist + exact re-rank — the standard PQ deployment shape: ADC
+    * retrieves `shortlist` candidates per query from codes alone, then the
+    * shortlist (|Q|·shortlist rows, tiny) joins back to the full vectors
+    * for exact quantized-cosine ranking. Recall now depends only on the
+    * true neighbors LANDING in the shortlist, not on ADC's distance
+    * fidelity; with shortlist = |corpus| the output equals
+    * [[bruteForceTopK]] exactly (the spec pins this). Output matches
+    * bruteForceTopK: (query_id, neighbor_id, cosine, rank).
+    *
+    * Scale shape: the ADC pass is the corpus scan ([[pqTopKWithCodebooks]]);
+    * the re-rank joins the BROADCAST shortlist against the vector table on
+    * id — one hash join probe per corpus row, no shuffle of the vectors.
+    */
+  def pqTopKReranked(queries: DataFrame, corpus: DataFrame, k: Int, shortlist: Int,
+                     codebooks: Seq[Seq[Seq[Long]]],
+                     idCol: String = "vec_id", embCol: String = "embedding",
+                     scale: Int = 1000): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val short = pqTopKWithCodebooks(queries, corpus, shortlist, codebooks, idCol, embCol, scale)
+      .select("query_id", "neighbor_id")
+    val qv = queries.select(col(idCol).as("query_id"), quantize(col(embCol), scale).as("qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), quantize(col(embCol), scale).as("cv"))
+    val scored = broadcast(short.join(qv, "query_id")).join(cv, "neighbor_id")
+      .withColumn("cosine", cosineQ(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** SemDeDup-style semantic dedup: assign every vector to its nearest
     * coarse-quantizer cell (same offline-centroid contract as
     * [[ivfTopKWithQuantizedCentroids]] — integer-exact argmin), compare all

@@ -1030,6 +1030,57 @@ object PipelineQueries {
         |                                    ORDER BY adc, neighbor_id) AS rank FROM adcp)
         | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
+    // ---- PQ shortlist + exact re-rank (the deployment shape) ------------
+    // ADC shortlists 20 candidates per query from codes; the shortlist
+    // joins back to the vectors for exact quantized-cosine ranking —
+    // recall depends on shortlist membership, not ADC distance fidelity.
+    ("sim_pq_rerank",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cbs = Similarity.collectPqCodebooks(e, numCodewords = 16, numSubspaces = 8)
+        Similarity.pqTopKReranked(e.filter(col("vec_id") < 20), e, k = 5,
+            shortlist = 20, cbs)
+          .orderBy("query_id", "rank")
+      },
+      """WITH corp AS (SELECT vec_id,
+        |          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+        |        FROM embeddings),
+        | cw AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, qv FROM corp WHERE vec_id < 16),
+        | ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+        | sub AS (SELECT m, j, qv[m*8+1 : m*8+8] AS c FROM cw, ms),
+        | csub AS (SELECT vec_id, m, qv[m*8+1 : m*8+8] AS v FROM corp, ms),
+        | dist AS (SELECT vec_id, m, j,
+        |                 list_dot_product(v, v) - 2*list_dot_product(v, c)
+        |                   + list_dot_product(c, c) AS d2
+        |          FROM csub JOIN sub USING (m)),
+        | asg AS (SELECT vec_id, m, j FROM (
+        |           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn
+        |           FROM dist) WHERE rn = 1),
+        | qsub AS (SELECT vec_id AS query_id, m, v FROM csub WHERE vec_id < 20),
+        | adcp AS (SELECT qs.query_id, a.vec_id AS neighbor_id,
+        |                 SUM(list_dot_product(qs.v, qs.v)
+        |                   - 2*list_dot_product(qs.v, s.c)
+        |                   + list_dot_product(s.c, s.c)) AS adc
+        |          FROM qsub qs
+        |          JOIN asg a ON qs.m = a.m
+        |          JOIN sub s ON s.m = a.m AND s.j = a.j
+        |          WHERE qs.query_id <> a.vec_id
+        |          GROUP BY 1, 2),
+        | short AS (SELECT query_id, neighbor_id FROM (
+        |            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |                                         ORDER BY adc, neighbor_id) AS sr FROM adcp)
+        |           WHERE sr <= 20),
+        | rr AS (SELECT sh.query_id, sh.neighbor_id,
+        |               list_dot_product(q.qv, c.qv) /
+        |               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.qv, c.qv))) AS cosine
+        |        FROM short sh
+        |        JOIN corp q ON q.vec_id = sh.query_id
+        |        JOIN corp c ON c.vec_id = sh.neighbor_id)
+        | SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+        | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |                                    ORDER BY cosine DESC, neighbor_id) AS rank FROM rr)
+        | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
     // same offline first-16-vector quantizer as sim_ivf_topk; within-cell
     // exact quantized cosine >= tau drops the higher id of each close pair.
     ("sim_semantic_dedup",

@@ -551,6 +551,28 @@ class LlmOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Similarity.collectPqCodebooks(vecs, 2, 3))
   }
 
+  test("pqTopKReranked with a full shortlist equals bruteForceTopK exactly") {
+    import graft.llm.Similarity
+    val vecs = Seq(
+      (0L, Seq(0.001f, 0.0f, 0.01f, 0.01f)),
+      (1L, Seq(0.01f, 0.01f, 0.0f, 0.001f)),
+      (2L, Seq(0.002f, 0.0f, 0.001f, 0.002f)),
+      (3L, Seq(0.009f, 0.011f, 0.0f, 0.0f)),
+      (4L, Seq(0.003f, 0.001f, 0.002f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cbs = Similarity.collectPqCodebooks(vecs, numCodewords = 2, numSubspaces = 2)
+    val q = vecs.filter($"vec_id" < 2)
+    // shortlist = whole corpus -> the ADC stage cannot lose a neighbor, so
+    // the exact re-rank must reproduce brute force bit-for-bit
+    val rr = Similarity.pqTopKReranked(q, vecs, k = 3, shortlist = 5, cbs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val bf = Similarity.bruteForceTopK(q, vecs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(rr == bf)
+    intercept[IllegalArgumentException](
+      Similarity.pqTopKReranked(q, vecs, k = 5, shortlist = 3, cbs))
+  }
+
   test("pqTopK: a corpus twin of the query wins with the minimal ADC") {
     import graft.llm.Similarity
     // twin shares every code with the query, so its ADC equals the query's
