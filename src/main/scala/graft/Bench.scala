@@ -70,18 +70,32 @@ object Bench {
     // optional args: query names to run (default all) — isolation/profiling aid
     val selected = if (args.nonEmpty) SparkEntry.queries.filter(q => args.contains(q._1))
                    else SparkEntry.queries
+    // Attribution contract: only queries whose plans carry CollectMetrics
+    // can contribute to `observed`, so only THOSE pay a bus drain — once
+    // before their snapshot (flushes any straggler event from earlier
+    // queries out of the diff window) and once after execution (their own
+    // events land before the diff). Draining after EVERY query would
+    // serialize the bench against the appStatus queue, which lags seconds
+    // behind task-heavy queries — measured as a ~2x whole-suite slowdown.
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val before = new java.util.HashSet(observed.keySet())
       val t0 = System.nanoTime()
+      var hasMetrics = false
       val err = try {
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        val df = fn(spark, sfDir)
+        hasMetrics = df.queryExecution.analyzed.collect {
+          case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => c
+        }.nonEmpty
+        if (hasMetrics) {
+          org.apache.spark.GraftListenerBridge.drain(spark.sparkContext, 10000L)
+          before.clear(); before.addAll(observed.keySet())
+        }
+        df.write.mode("overwrite").format("noop").save()
         None
       } catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
       val elapsed = (System.nanoTime() - t0) / 1e9
-      // flush listener delivery AFTER timing, so every event this query
-      // posted is in `observed` before the diff — and no straggler can
-      // leak into the next query's snapshot
-      org.apache.spark.GraftListenerBridge.drain(spark.sparkContext, 10000L)
+      if (hasMetrics)
+        org.apache.spark.GraftListenerBridge.drain(spark.sparkContext, 10000L)
       val newKeys = new java.util.HashSet(observed.keySet())
       newKeys.removeAll(before)
       val metrics = newKeys.toArray(Array.empty[String]).sorted
