@@ -12,9 +12,19 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object Bench {
 
-  /** JSON string escape for names/messages. */
-  private def jstr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  /** JSON string escape for names/messages — backslash, quote, and ALL
+    * control chars (< 0x20): an embedded newline/tab in an error message or
+    * string metric would otherwise break the line-oriented JSON parser.
+    */
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 
   /** JSON-safe rendering of an observed-metric value: numbers bare (but
     * NaN/Infinity quoted — bare they are invalid JSON), everything else as
@@ -78,28 +88,39 @@ object Bench {
     // serialize the bench against the appStatus queue, which lags seconds
     // behind task-heavy queries — measured as a ~2x whole-suite slowdown.
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val before = new java.util.HashSet(observed.keySet())
-      val t0 = System.nanoTime()
-      var hasMetrics = false
-      val err = try {
+      // plan construction, metric detection, and the pre-drain all happen
+      // BEFORE t0: the pre-drain can absorb a multi-second appStatus
+      // backlog from an earlier task-heavy query, and that wait is bus
+      // bookkeeping, not this query's work
+      var drainedOk = true
+      val prep: Either[String, (org.apache.spark.sql.DataFrame, Boolean)] = try {
         val df = fn(spark, sfDir)
-        hasMetrics = df.queryExecution.analyzed.collect {
+        val hm = df.queryExecution.analyzed.collect {
           case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => c
         }.nonEmpty
-        if (hasMetrics) {
-          org.apache.spark.GraftListenerBridge.drain(spark.sparkContext, 10000L)
-          before.clear(); before.addAll(observed.keySet())
-        }
-        df.write.mode("overwrite").format("noop").save()
-        None
-      } catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
+        if (hm) drainedOk &= org.apache.spark.GraftListenerBridge.drain(spark.sparkContext, 10000L)
+        Right((df, hm))
+      } catch { case e: Throwable => Left(e.toString.takeWhile(_ != '\n').take(200)) }
+      val before = new java.util.HashSet(observed.keySet())
+      val t0 = System.nanoTime()
+      val err = prep match {
+        case Left(m) => Some(m)
+        case Right((df, _)) =>
+          try { df.write.mode("overwrite").format("noop").save(); None }
+          catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
+      }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      val hasMetrics = prep.fold(_ => false, _._2)
       if (hasMetrics)
-        org.apache.spark.GraftListenerBridge.drain(spark.sparkContext, 10000L)
+        drainedOk &= org.apache.spark.GraftListenerBridge.drain(spark.sparkContext, 10000L)
       val newKeys = new java.util.HashSet(observed.keySet())
       newKeys.removeAll(before)
+      // a drain timeout means the diff window is no longer exact — say so
+      // in the output instead of reporting exact-looking attribution
+      val degraded = if (hasMetrics && !drainedOk)
+        Seq(jstr("_attribution_degraded") + ":true") else Seq.empty
       val metrics = newKeys.toArray(Array.empty[String]).sorted
-        .map(k => jstr(k) + ":" + observed.get(k))
+        .map(k => jstr(k) + ":" + observed.get(k)) ++ degraded
       (name, elapsed, err, metrics)
     }
     // failed queries are reported with negative elapsed time AND in an errors

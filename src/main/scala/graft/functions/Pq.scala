@@ -43,6 +43,14 @@ object Pq {
     val d = qv.numElements()
     if (d != m * sub) throw new IllegalArgumentException(
       s"pq_lut: query dimension $d != numSubspaces $m * subDim $sub")
+    // null scan hoisted out of the codeword loops (the CellAssign shape):
+    // any null is fatal, so each element is checked ONCE, not K times
+    var e = 0
+    while (e < d) {
+      if (qv.isNullAt(e)) throw new IllegalArgumentException(
+        "pq_lut: null embedding element — filter null vectors before similarity search")
+      e += 1
+    }
     val out = new Array[Long](m * k)
     var mi = 0
     while (mi < m) {
@@ -53,8 +61,6 @@ object Pq {
         var s = 0L
         var i = 0
         while (i < sub) {
-          if (qv.isNullAt(base + i)) throw new IllegalArgumentException(
-            "pq_lut: null embedding element — filter null vectors before similarity search")
           val t = qv.getLong(base + i) - c(i)
           s += t * t
           i += 1

@@ -392,11 +392,18 @@ object Dedup {
     val k = spanTokens
     // null text folds to "" so the doc still yields its output row (the
     // "one row per document" contract): posexplode of a null array would
-    // silently drop the document from the result
+    // silently drop the document from the result. A null ID, by contrast,
+    // FAILS: the (id, pos) join would silently drop its duplicate marks
+    // (SQL equality never matches null) while groupBy merged every null-id
+    // doc into one garbled row — wrong output with no error, so reject it
+    // map-side instead (one branch per row, no extra job).
+    val id = when(col(idCol).isNull, raise_error(lit(
+      s"removeDuplicateSpans: null $idCol — span dedup needs non-null document ids")))
+      .otherwise(col(idCol))
     val text = coalesce(col(textCol), lit(""))
-    val wp = docs.select(col(idCol).as("id"),
+    val wp = docs.select(id.as("id"),
       posexplode(split(text, " ")).as(Seq("pos", "word")))
-    val grams = docs.select(col(idCol).as("id"),
+    val grams = docs.select(id.as("id"),
         graft.functions.WordShingles.wordShinglesWithPos(text, k).as(Seq("pos", "gram")))
       .withColumn("gram", md5(col("gram"))) // fixed-width uniform shuffle key
     val dupGrams = grams.groupBy("gram").agg(count(lit(1)).as("df")).filter(col("df") >= 2)

@@ -92,6 +92,14 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got(8L) == ((0L, "unique words only here truly nothing shared")))
     assert(got(9L) == ((0L, ""))) // one row per document, even null text
     intercept[IllegalArgumentException](Dedup.removeDuplicateSpans(docs, spanTokens = 1))
+    // a null ID would silently lose its duplicate marks (the (id, pos)
+    // join never matches null) and merge with other null-id docs — reject
+    val badIds = Seq((java.lang.Long.valueOf(10L), "a b c d"),
+      (null.asInstanceOf[java.lang.Long], "a b c d")).toDF("doc_id", "text")
+    val ex = intercept[Exception](
+      Dedup.removeDuplicateSpans(badIds, spanTokens = 4).collect())
+    assert(ex.toString.contains("null doc_id") ||
+      Option(ex.getCause).exists(_.toString.contains("null doc_id")))
   }
 
   test("wordShinglesWithPos positions align with the shingle windows") {
