@@ -125,7 +125,8 @@ object ScaleProbe {
 
     // similarity path at the same multiplier: exact copies (even k) again
     // stress bucket fan-out; odd copies get one element nudged
-    val vecProbes = Seq("cosineDupPairs", "lshTopK", "ivfTopK", "semanticDedup", "pqTopK")
+    val vecProbes = Seq("cosineDupPairs", "lshTopK", "ivfTopK", "semanticDedup",
+      "pqTopK", "ivfPqTopK")
     if (vecProbes.exists(enabled)) {
     val baseV = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
@@ -156,6 +157,13 @@ object ScaleProbe {
       val cbs = graft.llm.Similarity.collectPqCodebooks(vecs, 16, 8)
       graft.llm.Similarity.pqTopKWithCodebooks(
         vecs.filter(col("vec_id") < 64), vecs, k = 5, cbs).count()
+    }
+    timed("ivfPqTopK (16 cells, nProbe=4, k=5)") {
+      // pruned AND compressed: only probed cells' code rows are scored
+      val coarse = graft.llm.Similarity.collectQuantizedCentroids(vecs, 16)
+      val rcbs = graft.llm.Similarity.collectPqResidualCodebooks(vecs, coarse, 16, 8)
+      graft.llm.Similarity.ivfPqTopK(
+        vecs.filter(col("vec_id") < 64), vecs, k = 5, coarse, rcbs, nProbe = 4).count()
     }
     timed("semanticDedup (64 cells, tau=0.95)") {
       // 64 cells over mult x 2000 vectors: cells of ~(n/64) with the exact

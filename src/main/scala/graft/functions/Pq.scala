@@ -73,6 +73,27 @@ object Pq {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Residual kernel: out[i] = qv[i] − cents[cell][i], fail-loud on nulls,
+    * dimension mismatch, or an out-of-range cell.
+    */
+  def residual(qv: ArrayData, cell: Int, cents: Array[Array[Long]]): ArrayData = {
+    if (cell < 0 || cell >= cents.length) throw new IllegalArgumentException(
+      s"cell_residual: cell $cell out of range [0, ${cents.length})")
+    val c = cents(cell)
+    val d = qv.numElements()
+    if (d != c.length) throw new IllegalArgumentException(
+      s"cell_residual: vector dimension $d != centroid dimension ${c.length}")
+    val out = new Array[Long](d)
+    var i = 0
+    while (i < d) {
+      if (qv.isNullAt(i)) throw new IllegalArgumentException(
+        "cell_residual: null vector element — filter null vectors before similarity search")
+      out(i) = qv.getLong(i) - c(i)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** ADC score: Σ_m lut[m*K + codes[m]]. */
   def adc(lut: ArrayData, codes: ArrayData, k: Int): Long = {
     val m = codes.numElements()
@@ -97,6 +118,20 @@ object Pq {
   def lutCol(qv: Column, codebooks: Seq[Seq[Seq[Long]]]): Column = {
     validateCodebooks(codebooks)
     GraftColumnBridge.column(PqLutExpr(GraftColumnBridge.expression(qv), codebooks))
+  }
+
+  /** Column API: residual vs a coarse centroid — `qv - centroids[cell]`,
+    * the IVF-PQ encode/search input (PQ codebooks live in residual space,
+    * where vectors cluster around the origin and codewords spend their
+    * precision on the fine structure instead of the cell offset).
+    */
+  def residualCol(qv: Column, cell: Column, centroidsQ: Seq[Seq[Long]]): Column = {
+    require(centroidsQ.nonEmpty, "centroid list must be non-empty")
+    val dims = centroidsQ.head.length
+    require(centroidsQ.forall(_.length == dims),
+      "all centroids must have the same dimension")
+    GraftColumnBridge.column(CellResidualExpr(
+      GraftColumnBridge.expression(qv), GraftColumnBridge.expression(cell), centroidsQ))
   }
 
   /** Column API: ADC distance from a query LUT and a corpus code array. */
@@ -165,6 +200,58 @@ case class PqLutExpr(child: Expression, codebooks: Seq[Seq[Seq[Long]]])
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Residual vs the row's assigned coarse centroid: out[i] = qv[i] −
+  * centroids[cell][i]. Same fail-loud contract and Seq-for-value-equality
+  * shape as [[CellAssignExpr]]; runs once per corpus row at IVF-PQ encode
+  * and once per (query, probed cell) at search.
+  */
+case class CellResidualExpr(left: Expression, right: Expression, centroidsQ: Seq[Seq[Long]])
+    extends BinaryExpression {
+
+  @transient private lazy val cents: Array[Array[Long]] =
+    centroidsQ.map(_.toArray).toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cell_residual"
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = InputCheck.require(
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), IntegerType) => true
+      case _ => false
+    },
+    s"cell_residual requires (array<bigint> vector, int cell), got " +
+      s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = left.eval(input)
+    val c = right.eval(input)
+    if (v == null || c == null) throw new IllegalArgumentException(
+      "cell_residual: null vector or cell — filter nulls before similarity search")
+    Pq.residual(v.asInstanceOf[ArrayData], c.asInstanceOf[Int], cents)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val centsRef = ctx.addReferenceObj("residCents", cents, "long[][]")
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    ev.copy(isNull = FalseLiteral, code = code"""
+      ${l.code}
+      ${r.code}
+      if (${l.isNull} || ${r.isNull}) {
+        throw new IllegalArgumentException(
+          "cell_residual: null vector or cell — filter nulls before similarity search");
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.functions.Pq.residual(${l.value}, ${r.value}, $centsRef);""")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 case class PqAdcExpr(left: Expression, right: Expression, numCodewords: Int)

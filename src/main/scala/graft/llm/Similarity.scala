@@ -349,6 +349,96 @@ object Similarity {
       .select("query_id", "neighbor_id", "adc", "rank")
   }
 
+  /** Residual PQ codebooks for IVF-PQ: assign each of the first
+    * `numCodewords` corpus vectors to its nearest coarse centroid, take the
+    * RESIDUAL (vector − centroid), and slice the residuals into
+    * per-subspace codewords — the same deterministic corpus-prefix
+    * convention as [[collectPqCodebooks]], in the space IVF-PQ actually
+    * quantizes (residuals cluster around the origin, so codewords spend
+    * their precision on fine structure instead of cell offsets).
+    */
+  def collectPqResidualCodebooks(vectors: DataFrame, coarseQ: Seq[Seq[Long]],
+                                 numCodewords: Int, numSubspaces: Int,
+                                 idCol: String = "vec_id", embCol: String = "embedding",
+                                 scale: Int = 1000): Seq[Seq[Seq[Long]]] = {
+    val rows = vectors.filter(col(idCol) < numCodewords).orderBy(idCol)
+      .select(quantize(col(embCol), scale).as("qv"))
+      .withColumn("cell", graft.functions.CellAssign.assignCol(col("qv"), coarseQ))
+      .select(graft.functions.Pq.residualCol(col("qv"), col("cell"), coarseQ).as("r"))
+      .collect().map(_.getSeq[Long](0).toSeq).toSeq
+    require(rows.nonEmpty, s"corpus has no vectors with $idCol < $numCodewords")
+    val d = rows.head.length
+    require(numSubspaces >= 1 && d % numSubspaces == 0,
+      s"embedding dimension $d must divide evenly into numSubspaces=$numSubspaces")
+    val sub = d / numSubspaces
+    (0 until numSubspaces).map(m => rows.map(_.slice(m * sub, (m + 1) * sub)))
+  }
+
+  /** IVF-PQ top-k (the FAISS-style composition, Jégou et al. 2011 §IV):
+    * the coarse quantizer prunes (only `nProbe` cells per query are
+    * scanned) AND product quantization compresses (scanned rows are M
+    * codes, not vectors). Corpus rows store (cell, residual codes); a
+    * query builds one LUT per probed cell from its residual vs that cell's
+    * centroid, so the ADC sum is the EXACT squared L2 between the query
+    * and each row's reconstruction (centroid + codeword) — distances are
+    * comparable across cells and fully deterministic.
+    *
+    * Scale shape: encode is map-side (coarse argmin → residual → M
+    * sub-argmins, all native codegen kernels, zero shuffles); search
+    * broadcasts |Q|·nProbe LUT rows and equi-joins them against the
+    * code table on `cell` — the corpus shuffles ONCE on cell (or never,
+    * if the code table is pre-partitioned/bucketed by cell, the steady
+    * state at 100 TB), and only probed cells' rows are scored at M
+    * lookups each. This is the memory-bound AND pruned operating point:
+    * neither IVF's full-vector cells nor flat PQ's whole-corpus scan.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                coarseQ: Seq[Seq[Long]], codebooks: Seq[Seq[Seq[Long]]],
+                nProbe: Int = 4,
+                idCol: String = "vec_id", embCol: String = "embedding",
+                scale: Int = 1000): DataFrame = {
+    graft.functions.Pq.validateCodebooks(codebooks)
+    val kw = codebooks.head.length
+    val sub = codebooks.head.head.length
+    require(coarseQ.nonEmpty && coarseQ.head.length == codebooks.length * sub,
+      s"coarse centroid dims ${coarseQ.headOption.map(_.length).getOrElse(0)} must equal " +
+        s"numSubspaces ${codebooks.length} * subDim $sub")
+    // corpus: (neighbor_id, cell, residual codes) — map-side only
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), quantize(col(embCol), scale).as("cv"))
+      .withColumn("cell", graft.functions.CellAssign.assignCol(col("cv"), coarseQ))
+      .withColumn("r", graft.functions.Pq.residualCol(col("cv"), col("cell"), coarseQ))
+      .select(col("neighbor_id"), col("cell"),
+        array(codebooks.zipWithIndex.map { case (cbm, m) =>
+          graft.functions.CellAssign.assignCol(slice(col("r"), m * sub + 1, sub), cbm)
+        }: _*).as("codes"))
+    // queries: nProbe nearest cells each, one LUT per (query, cell) from
+    // the query's residual vs that cell's centroid
+    val centDf = queries.sparkSession.createDataFrame(
+      coarseQ.zipWithIndex.map { case (c, i) => (i, c) }).toDF("cell", "qcent")
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(embCol), scale).as("qv"))
+    val dist2 = dotLong(col("qv"), col("qv")) -
+      lit(2L) * dotLong(col("qv"), col("qcent")) +
+      dotLong(col("qcent"), col("qcent"))
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("dist2"), col("cell"))
+    val luts = q.crossJoin(broadcast(centDf))
+      .withColumn("dist2", dist2)
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("cell"),
+        graft.functions.Pq.lutCol(
+          graft.functions.Pq.residualCol(col("qv"), col("cell"), coarseQ),
+          codebooks).as("lut"))
+    val scored = broadcast(luts).join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", graft.functions.Pq.adcCol(col("lut"), col("codes"), kw))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adc", "rank")
+  }
+
   /** PQ shortlist + exact re-rank — the standard PQ deployment shape: ADC
     * retrieves `shortlist` candidates per query from codes alone, then the
     * shortlist (|Q|·shortlist rows, tiny) joins back to the full vectors

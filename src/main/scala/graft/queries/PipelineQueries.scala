@@ -1030,6 +1030,76 @@ object PipelineQueries {
         |                                    ORDER BY adc, neighbor_id) AS rank FROM adcp)
         | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
+    // ---- IVF-PQ: coarse pruning + residual codes (the FAISS shape) ------
+    // 4 coarse cells (first-4-vector centroids), nProbe=2; residual PQ
+    // codebooks from the first 16 vectors' residuals (8 subspaces). ADC =
+    // exact squared L2 to each row's reconstruction (centroid + codeword),
+    // comparable across cells; the oracle re-derives every stage from
+    // scratch, residuals via DuckDB's indexed list lambdas.
+    ("sim_ivfpq_topk",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val coarse = Similarity.collectQuantizedCentroids(e, 4)
+        val cbs = Similarity.collectPqResidualCodebooks(e, coarse,
+          numCodewords = 16, numSubspaces = 8)
+        Similarity.ivfPqTopK(e.filter(col("vec_id") < 20), e, k = 5, coarse, cbs,
+            nProbe = 2)
+          .orderBy("query_id", "rank")
+      },
+      """WITH corp AS (SELECT vec_id,
+        |          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+        |        FROM embeddings),
+        | coarse AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, qv AS ce
+        |            FROM corp WHERE vec_id < 4),
+        | casg AS (SELECT vec_id, cell FROM (
+        |    SELECT c.vec_id, co.cell,
+        |           ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+        |             list_dot_product(c.qv, c.qv) - 2*list_dot_product(c.qv, co.ce)
+        |               + list_dot_product(co.ce, co.ce), co.cell) AS rn
+        |    FROM corp c CROSS JOIN coarse co) WHERE rn = 1),
+        | resid AS (SELECT c.vec_id, a.cell,
+        |                  list_transform(c.qv, (x, i) -> x - co.ce[i]) AS r
+        |           FROM corp c JOIN casg a USING (vec_id)
+        |           JOIN coarse co ON co.cell = a.cell),
+        | cw AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, r
+        |        FROM resid WHERE vec_id < 16),
+        | ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+        | sub AS (SELECT m, j, r[m*8+1 : m*8+8] AS c FROM cw, ms),
+        | rsub AS (SELECT vec_id, cell, m, r[m*8+1 : m*8+8] AS v FROM resid, ms),
+        | dist AS (SELECT vec_id, m, j,
+        |                 list_dot_product(v, v) - 2*list_dot_product(v, c)
+        |                   + list_dot_product(c, c) AS d2
+        |          FROM rsub JOIN sub USING (m)),
+        | asg AS (SELECT vec_id, m, j FROM (
+        |           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn
+        |           FROM dist) WHERE rn = 1),
+        | q AS (SELECT vec_id AS query_id, qv FROM corp WHERE vec_id < 20),
+        | probed AS (SELECT query_id, cell FROM (
+        |    SELECT q.query_id, co.cell,
+        |           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        |             list_dot_product(q.qv, q.qv) - 2*list_dot_product(q.qv, co.ce)
+        |               + list_dot_product(co.ce, co.ce), co.cell) AS pr
+        |    FROM q CROSS JOIN coarse co) WHERE pr <= 2),
+        | qres AS (SELECT p.query_id, p.cell,
+        |                 list_transform(q.qv, (x, i) -> x - co.ce[i]) AS qr
+        |          FROM probed p JOIN q ON q.query_id = p.query_id
+        |          JOIN coarse co ON co.cell = p.cell),
+        | qrsub AS (SELECT query_id, cell, m, qr[m*8+1 : m*8+8] AS v FROM qres, ms),
+        | adcp AS (SELECT qs.query_id, a2.vec_id AS neighbor_id,
+        |                 CAST(SUM(list_dot_product(qs.v, qs.v)
+        |                   - 2*list_dot_product(qs.v, s.c)
+        |                   + list_dot_product(s.c, s.c)) AS BIGINT) AS adc
+        |          FROM qrsub qs
+        |          JOIN casg ca ON ca.cell = qs.cell
+        |          JOIN asg a2 ON a2.vec_id = ca.vec_id AND a2.m = qs.m
+        |          JOIN sub s ON s.m = a2.m AND s.j = a2.j
+        |          WHERE qs.query_id <> a2.vec_id
+        |          GROUP BY 1, 2)
+        | SELECT query_id, neighbor_id, adc, CAST(rank AS INTEGER) AS rank
+        | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |                                    ORDER BY adc, neighbor_id) AS rank FROM adcp)
+        | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
     // ---- PQ shortlist + exact re-rank (the deployment shape) ------------
     // ADC shortlists 20 candidates per query from codes; the shortlist
     // joins back to the vectors for exact quantized-cosine ranking —

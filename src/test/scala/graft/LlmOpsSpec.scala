@@ -573,6 +573,51 @@ class LlmOpsSpec extends AnyFunSuite {
       Similarity.pqTopKReranked(q, vecs, k = 5, shortlist = 3, cbs))
   }
 
+  test("ivfPqTopK with one zero centroid degenerates to flat PQ exactly") {
+    import graft.llm.Similarity
+    // a single origin centroid makes every residual the vector itself, so
+    // residual codebooks == flat codebooks and IVF-PQ == flat PQ ADC
+    val vecs = Seq(
+      (0L, Seq(0.001f, 0.0f, 0.01f, 0.01f)),
+      (1L, Seq(0.01f, 0.01f, 0.0f, 0.001f)),
+      (2L, Seq(0.002f, 0.0f, 0.001f, 0.002f)),
+      (3L, Seq(0.009f, 0.011f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val origin = Seq(Seq(0L, 0L, 0L, 0L))
+    val rcbs = Similarity.collectPqResidualCodebooks(vecs, origin, 2, 2)
+    val fcbs = Similarity.collectPqCodebooks(vecs, 2, 2)
+    assert(rcbs == fcbs)
+    val q = vecs.filter($"vec_id" === 2)
+    val ivfpq = Similarity.ivfPqTopK(q, vecs, k = 3, origin, rcbs, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val flat = Similarity.pqTopKWithCodebooks(q, vecs, k = 3, fcbs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(ivfpq == flat)
+  }
+
+  test("ivfPqTopK prunes to probed cells and ranks by exact reconstruction distance") {
+    import graft.llm.Similarity
+    // two well-separated clusters; coarse centroids = one per cluster
+    // (first 2 vectors). nProbe=1 scans ONLY the query's cluster: the
+    // cross-cluster vector 4 must not appear even though k allows it.
+    val vecs = Seq(
+      (0L, Seq(0.0f, 0.0f, 0.001f, 0.0f)),     // cluster A anchor
+      (1L, Seq(0.1f, 0.1f, 0.1f, 0.1f)),       // cluster B anchor
+      (2L, Seq(0.001f, 0.0f, 0.0f, 0.0f)),     // A
+      (3L, Seq(0.0f, 0.001f, 0.0f, 0.001f)),   // A
+      (4L, Seq(0.1f, 0.101f, 0.1f, 0.099f))    // B
+    ).toDF("vec_id", "embedding")
+    val coarse = Similarity.collectQuantizedCentroids(vecs, 2)
+    val cbs = Similarity.collectPqResidualCodebooks(vecs, coarse, 4, 2)
+    val got = Similarity.ivfPqTopK(vecs.filter($"vec_id" === 2), vecs, k = 4,
+        coarse, cbs, nProbe = 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(got.subsetOf(Set(0L, 3L))) // only cluster A, never 1L or 4L
+    // coarse/codebook dimension mismatch fails loudly
+    intercept[IllegalArgumentException](
+      Similarity.ivfPqTopK(vecs, vecs, 1, Seq(Seq(0L, 0L)), cbs))
+  }
+
   test("pqTopK: a corpus twin of the query wins with the minimal ADC") {
     import graft.llm.Similarity
     // twin shares every code with the query, so its ADC equals the query's
