@@ -573,6 +573,51 @@ class LlmOpsSpec extends AnyFunSuite {
       Similarity.pqTopKReranked(q, vecs, k = 5, shortlist = 3, cbs))
   }
 
+  test("PQ and IVF-PQ ADC equal driver-computed reconstruction distances on random vectors") {
+    import graft.llm.Similarity
+    val rnd = new scala.util.Random(42)
+    val dims = 8
+    val vecs = (0L until 24L).map { id =>
+      id -> Seq.fill(dims)((rnd.nextInt(21) - 10) / 1000.0f)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val qv = vecs.toMap.view.mapValues(_.map(x => math.round(x.toDouble * 1000))).toMap
+    def sq(a: Seq[Long], b: Seq[Long]): Long = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+    // flat PQ: reference codes by per-subspace argmin, ADC = distance to reconstruction
+    val m = 4; val sub = dims / m; val nCw = 8
+    val cbs = Similarity.collectPqCodebooks(df, nCw, m)
+    def codesOf(v: Seq[Long], books: Seq[Seq[Seq[Long]]]): Seq[Int] =
+      books.zipWithIndex.map { case (cb, mi) =>
+        val s = v.slice(mi * sub, (mi + 1) * sub)
+        cb.zipWithIndex.minBy { case (w, j) => (sq(s, w), j) }._2
+      }
+    val gotFlat = Similarity.pqTopKWithCodebooks(df.filter($"vec_id" < 3), df, k = 24, cbs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (q <- 0L until 3L; n <- 0L until 24L if q != n) {
+      val recon = codesOf(qv(n), cbs).zipWithIndex.flatMap { case (c, mi) => cbs(mi)(c) }
+      assert(gotFlat((q, n)) == sq(qv(q), recon), s"flat adc ($q,$n)")
+    }
+
+    // IVF-PQ with enough probes to cover every cell: ADC = distance to
+    // (centroid + residual codeword) reconstruction
+    val coarse = Similarity.collectQuantizedCentroids(df, 4)
+    val rcbs = Similarity.collectPqResidualCodebooks(df, coarse, nCw, m)
+    def cellOf(v: Seq[Long]): Int =
+      coarse.zipWithIndex.minBy { case (c, j) => (sq(v, c), j) }._2
+    val gotIvf = Similarity.ivfPqTopK(df.filter($"vec_id" < 3), df, k = 24, coarse, rcbs,
+        nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (q <- 0L until 3L; n <- 0L until 24L if q != n) {
+      val cell = cellOf(qv(n))
+      val resid = qv(n).zip(coarse(cell)).map { case (x, c) => x - c }
+      val recon = codesOf(resid, rcbs).zipWithIndex.flatMap { case (c, mi) =>
+        rcbs(mi)(c).zip(coarse(cell).slice(mi * sub, (mi + 1) * sub)).map { case (w, cc) => w + cc }
+      }
+      assert(gotIvf((q, n)) == sq(qv(q), recon), s"ivfpq adc ($q,$n)")
+    }
+  }
+
   test("ivfPqTopK with one zero centroid degenerates to flat PQ exactly") {
     import graft.llm.Similarity
     // a single origin centroid makes every residual the vector itself, so

@@ -102,6 +102,37 @@ class TextPipelineSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.toString.contains("null doc_id")))
   }
 
+  test("removeDuplicateSpans matches a naive driver-side reference on random corpora") {
+    // independent re-implementation: brute-force gram counting + interval
+    // merge over plain Scala collections, compared field-by-field
+    val rnd = new scala.util.Random(20260813)
+    val vocab = Array("a", "b", "c", "d", "e")
+    for (trial <- 1 to 5) {
+      val k = 2 + rnd.nextInt(3) // 2..4
+      val corpus = (1L to 12L).map { id =>
+        id -> (0 until (1 + rnd.nextInt(12))).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      }
+      val grams = corpus.flatMap { case (id, text) =>
+        val w = text.split(" ", -1)
+        (0 to w.length - k).map(p => (id, p, w.slice(p, p + k).mkString(" ")))
+      }
+      val dupGrams = grams.groupBy(_._3).filter(_._2.size >= 2).keySet
+      val expect = corpus.map { case (id, text) =>
+        val w = text.split(" ", -1)
+        val starts = (0 to w.length - k).filter(p => dupGrams(w.slice(p, p + k).mkString(" ")))
+        val covered = w.indices.map(p => starts.exists(s => s <= p && p <= s + k - 1))
+        val spans = w.indices.count(p => covered(p) && (p == 0 || !covered(p - 1)))
+        (id, (w.length.toLong, covered.count(identity).toLong, spans.toLong,
+          w.indices.filterNot(covered).map(w).mkString(" ")))
+      }.toMap
+      val got = Dedup.removeDuplicateSpans(corpus.toDF("doc_id", "text"), spanTokens = k)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(5))))
+        .toMap
+      assert(got == expect, s"trial $trial (k=$k)")
+    }
+  }
+
   test("wordShinglesWithPos positions align with the shingle windows") {
     val df = Seq((1L, "a b c d"), (2L, "x")).toDF("id", "text")
     val rows = df.select($"id",
