@@ -285,11 +285,19 @@ object Similarity {
                          scale: Int = 1000): Seq[Seq[Seq[Long]]] = {
     val full = collectQuantizedCentroids(vectors, numCodewords, idCol, embCol, scale)
     require(full.nonEmpty, s"corpus has no vectors with $idCol < $numCodewords")
-    val d = full.head.length
+    sliceIntoCodebooks(full, numSubspaces)
+  }
+
+  /** The one definition of the per-subspace slicing convention shared by
+    * flat-PQ and residual codebooks (and mirrored by their oracles):
+    * codebook m = each row's m-th contiguous `d / numSubspaces` slice.
+    */
+  private def sliceIntoCodebooks(rows: Seq[Seq[Long]], numSubspaces: Int): Seq[Seq[Seq[Long]]] = {
+    val d = rows.head.length
     require(numSubspaces >= 1 && d % numSubspaces == 0,
       s"embedding dimension $d must divide evenly into numSubspaces=$numSubspaces")
     val sub = d / numSubspaces
-    (0 until numSubspaces).map(m => full.map(_.slice(m * sub, (m + 1) * sub)))
+    (0 until numSubspaces).map(m => rows.map(_.slice(m * sub, (m + 1) * sub)))
   }
 
   /** PQ encode (Jégou et al., TPAMI 2011): (idCol, codes) where codes[m] =
@@ -367,11 +375,7 @@ object Similarity {
       .select(graft.functions.Pq.residualCol(col("qv"), col("cell"), coarseQ).as("r"))
       .collect().map(_.getSeq[Long](0).toSeq).toSeq
     require(rows.nonEmpty, s"corpus has no vectors with $idCol < $numCodewords")
-    val d = rows.head.length
-    require(numSubspaces >= 1 && d % numSubspaces == 0,
-      s"embedding dimension $d must divide evenly into numSubspaces=$numSubspaces")
-    val sub = d / numSubspaces
-    (0 until numSubspaces).map(m => rows.map(_.slice(m * sub, (m + 1) * sub)))
+    sliceIntoCodebooks(rows, numSubspaces)
   }
 
   /** IVF-PQ top-k (the FAISS-style composition, Jégou et al. 2011 §IV):
@@ -412,19 +416,10 @@ object Similarity {
         array(codebooks.zipWithIndex.map { case (cbm, m) =>
           graft.functions.CellAssign.assignCol(slice(col("r"), m * sub + 1, sub), cbm)
         }: _*).as("codes"))
-    // queries: nProbe nearest cells each, one LUT per (query, cell) from
-    // the query's residual vs that cell's centroid
-    val centDf = queries.sparkSession.createDataFrame(
-      coarseQ.zipWithIndex.map { case (c, i) => (i, c) }).toDF("cell", "qcent")
-    val q = queries.select(col(idCol).as("query_id"), quantize(col(embCol), scale).as("qv"))
-    val dist2 = dotLong(col("qv"), col("qv")) -
-      lit(2L) * dotLong(col("qv"), col("qcent")) +
-      dotLong(col("qcent"), col("qcent"))
-    val probeW = Window.partitionBy(col("query_id")).orderBy(col("dist2"), col("cell"))
-    val luts = q.crossJoin(broadcast(centDf))
-      .withColumn("dist2", dist2)
-      .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= nProbe)
+    // queries: nProbe nearest cells each ([[probeCells]] — the one probe
+    // contract shared with IVF), one LUT per (query, cell) from the
+    // query's residual vs that cell's centroid
+    val luts = probeCells(queries, coarseQ, nProbe, idCol, embCol, scale)
       .select(col("query_id"), col("cell"),
         graft.functions.Pq.lutCol(
           graft.functions.Pq.residualCol(col("qv"), col("cell"), coarseQ),
@@ -515,28 +510,36 @@ object Similarity {
       .select(col("id").as(idCol), col("cell"))
   }
 
-  /** Shared IVF tail: probe each query's `nProbe` nearest cells (broadcast
-    * centroid table), equi-join the cell-assigned corpus, exact cosine rank.
-    * Probe distance is the exact-integer expansion
-    * |q|² − 2⟨q,c⟩ + |c|² over quantized vectors via the native dot kernel.
+  /** THE probe contract, shared by IVF and IVF-PQ (and mirrored by their
+    * oracles): each query's `nProbe` nearest cells by the exact-integer
+    * expansion |q|² − 2⟨q,c⟩ + |c|² over quantized vectors (native dot
+    * kernel), ties to the LOWEST cell. Returns (query_id, qv, cell) —
+    * one row per probed cell. Centroids broadcast; never a corpus touch.
     */
-  private def probeAndRank(queries: DataFrame, assigned: DataFrame,
-                           centroidsQ: Seq[Seq[Long]], k: Int, nProbe: Int,
-                           idCol: String, embCol: String, scale: Int): DataFrame = {
+  private def probeCells(queries: DataFrame, centroidsQ: Seq[Seq[Long]], nProbe: Int,
+                         idCol: String, embCol: String, scale: Int): DataFrame = {
     val centDf = queries.sparkSession.createDataFrame(
       centroidsQ.zipWithIndex.map { case (c, i) => (i, c) }).toDF("cell", "qcent")
     val q = queries.select(col(idCol).as("query_id"), quantize(col(embCol), scale).as("qv"))
-    // nProbe nearest cells per query by squared L2 to the centroid
     val dist2 = dotLong(col("qv"), col("qv")) -
       lit(2L) * dotLong(col("qv"), col("qcent")) +
       dotLong(col("qcent"), col("qcent"))
     val probeW = Window.partitionBy(col("query_id")).orderBy(col("dist2"), col("cell"))
-    val probed = q.crossJoin(broadcast(centDf))
+    q.crossJoin(broadcast(centDf))
       .withColumn("dist2", dist2)
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nProbe)
       .select("query_id", "qv", "cell")
+  }
 
+  /** Shared IVF tail: probe each query's `nProbe` nearest cells
+    * ([[probeCells]]), equi-join the cell-assigned corpus, exact cosine
+    * rank.
+    */
+  private def probeAndRank(queries: DataFrame, assigned: DataFrame,
+                           centroidsQ: Seq[Seq[Long]], k: Int, nProbe: Int,
+                           idCol: String, embCol: String, scale: Int): DataFrame = {
+    val probed = probeCells(queries, centroidsQ, nProbe, idCol, embCol, scale)
     val scored = probed.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineQ(col("qv"), col("cv")))
