@@ -43,7 +43,8 @@ object ScaleProbe {
     // not pay cache+count materialization for groups with nothing selected
     val docProbes = Seq("exactGroups", "lshCandidates", "jaccardPairs",
       "removeNearDuplicates", "components", "chunkDedup", "dupSpanRemoval",
-      "triangleCounts", "qualityFilter", "tokenBudgetMix", "rankDocuments")
+      "triangleCounts", "qualityFilter", "tokenBudgetMix", "rankDocuments",
+      "dsirSelect")
     if (docProbes.exists(enabled)) {
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
@@ -115,6 +116,13 @@ object ScaleProbe {
         size(split(col("text"), " ")),
         budgets = Map("src0" -> 100000L, "src1" -> 200000L),
         defaultBudget = 300000L).count()
+    }
+    timed("dsirSelect (k=1000)") {
+      // target = 2 of 20 sources; both model fits collapse to <=256 rows
+      // regardless of mult, so only the per-doc rollup scales with corpus
+      graft.llm.Sampling.dsirSelect(scaled,
+        scaled.filter(col("source").isin("src0", "src1")), scaled, k = 1000)
+        .filter(col("selected")).count()
     }
     timed("rankDocuments (3 terms, k=100)") {
       graft.ops.TextIndex.rankDocuments(scaled,

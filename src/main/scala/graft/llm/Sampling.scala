@@ -158,6 +158,109 @@ object Sampling {
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / capacity))
   }
 
+  /** Hashed-n-gram importance scores (DSIR — Xie et al., NeurIPS 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * featurize every document as hashed unigram+bigram occurrences in
+    * `buckets` buckets, fit bag-of-features models over the TARGET corpus
+    * (what training data should look like) and the RAW corpus (what it does
+    * look like), and score each doc by how much more surprising it is under
+    * the raw model than the target model — high score = target-like.
+    *
+    * The paper's log-likelihood ratio Σ_f n_f·(log p_f − log q_f) is
+    * computed in the engine's portable integer surrogate (the
+    * [[TextStats.unigramSurprisal]] bit convention): per feature occurrence,
+    * `floor(log2((N_model + buckets) / (cnt_model + 1)))` bits under each
+    * add-one-smoothed model, summed per document, score = raw_bits −
+    * target_bits. Bit-granular by design — any md5-capable engine (and the
+    * DuckDB oracle) reproduces scores exactly, where a float log would
+    * hash-mismatch on libm ulps. Feature buckets are
+    * `int(md5(gram)[0:8]) % buckets` — the fixed feature space that makes
+    * BOTH model tables ≤ `buckets` rows no matter the corpus size.
+    *
+    * Emits (idCol, n_feats, raw_bits, target_bits, score) for EVERY input
+    * document; feature-less docs (null/empty text) score (0,0,0,0) rather
+    * than vanishing. Scale shape: the two model fits are map-combinable
+    * aggregates collapsing to ≤ `buckets` rows each (broadcast by
+    * construction); scoring is ONE corpus pass — streamed shingle
+    * generators, broadcast model join, per-doc map-combinable rollup — so
+    * the only corpus-scale shuffle is the final per-doc aggregate.
+    */
+  def importanceScores(docs: DataFrame, targetDocs: DataFrame, rawDocs: DataFrame,
+                       buckets: Int = 256, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(buckets >= 1, s"buckets must be positive: $buckets")
+    def features(df: DataFrame): DataFrame = {
+      def grams(n: Int) = df.select(
+        col(idCol).as("id"),
+        graft.functions.WordShingles.wordShingles(col(textCol), n).as("g"))
+      grams(1).union(grams(2)).select(col("id"),
+        (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % buckets).as("b"))
+    }
+    val model = features(targetDocs).groupBy("b").agg(count(lit(1)).as("t_cnt"))
+      .join(features(rawDocs).groupBy("b").agg(count(lit(1)).as("r_cnt")),
+        Seq("b"), "full_outer")
+      .select(col("b"), coalesce(col("t_cnt"), lit(0L)).as("t_cnt"),
+        coalesce(col("r_cnt"), lit(0L)).as("r_cnt"))
+      // ≤ buckets rows over two corpus-scale subtrees; cut the lineage so
+      // the totals agg and the scoring join don't re-run the fits
+      .localCheckpoint(true)
+    val totals = model.agg(coalesce(sum(col("t_cnt")), lit(0L)).as("t_n"),
+      coalesce(sum(col("r_cnt")), lit(0L)).as("r_n"))
+    val scored = features(docs)
+      .join(broadcast(model), Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("t_c", coalesce(col("t_cnt"), lit(0L)))
+      .withColumn("r_c", coalesce(col("r_cnt"), lit(0L)))
+      .withColumn("s_t", length(bin(expr(s"(t_n + $buckets) div (t_c + 1)"))) - 1)
+      .withColumn("s_r", length(bin(expr(s"(r_n + $buckets) div (r_c + 1)"))) - 1)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("s_r")).cast("long").as("raw_bits"),
+        sum(col("s_t")).cast("long").as("target_bits"))
+    docs.select(col(idCol)).join(scored, col(idCol) === col("id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("raw_bits"), lit(0L)).as("raw_bits"),
+        coalesce(col("target_bits"), lit(0L)).as("target_bits"),
+        (coalesce(col("raw_bits"), lit(0L)) -
+          coalesce(col("target_bits"), lit(0L))).as("score"))
+  }
+
+  /** DSIR selection: [[importanceScores]] plus a `selected` flag on the
+    * global top-`k` documents by (score DESC, idCol ASC) — the paper's
+    * top-k ablation of importance resampling, made deterministic (ties and
+    * membership are content-derived, never partitioning-derived).
+    *
+    * Scale shape: a flat `ORDER BY score DESC LIMIT k` is a global sort;
+    * instead docs hash into 16^`bucketHexChars` sub-buckets, a per-bucket
+    * window keeps each bucket's local top-k (fine-grained uniform keys —
+    * any globally-top-k row is top-k in its own bucket), and only the
+    * ≤ 16^bucketHexChars·k survivors meet the single tiny global window
+    * (the [[tokenBudgetMix]] two-level discipline). The k chosen ids then
+    * broadcast back onto the full scored frame.
+    */
+  def dsirSelect(docs: DataFrame, targetDocs: DataFrame, rawDocs: DataFrame,
+                 k: Int, buckets: Int = 256, textCol: String = "text",
+                 idCol: String = "doc_id", salt: String = "dsir",
+                 bucketHexChars: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(bucketHexChars >= 1 && bucketHexChars <= 7,
+      s"bucketHexChars must be in [1,7]: $bucketHexChars")
+    val scoredAll = importanceScores(docs, targetDocs, rawDocs, buckets, textCol, idCol)
+    val wLocal = Window.partitionBy(col("sel_bucket"))
+      .orderBy(col("score").desc, col(idCol))
+    // bounded rows (16^bucketHexChars * k) — the unpartitioned window is fine
+    val wGlobal = Window.orderBy(col("score").desc, col(idCol))
+    val chosen = scoredAll
+      .withColumn("sel_bucket", substring(hashKey(col(idCol), salt), 1, bucketHexChars))
+      .withColumn("lr", row_number().over(wLocal)).filter(col("lr") <= k)
+      .withColumn("gr", row_number().over(wGlobal)).filter(col("gr") <= k)
+      .select(col(idCol).as("sel_id"))
+    scoredAll.join(broadcast(chosen), col(idCol) === col("sel_id"), "left")
+      .withColumn("selected", col("sel_id").isNotNull)
+      .drop("sel_id")
+  }
+
   /** End-to-end training-shard export: assign splits, shard by content
     * hash, pack into fixed-capacity sequences, and materialize as
     * `outDir/split=…/shard=…/part-*.parquet` with rows sorted by

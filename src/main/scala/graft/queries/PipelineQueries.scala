@@ -617,6 +617,50 @@ object PipelineQueries {
         |        CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS pack_id
         | FROM c ORDER BY doc_id""".stripMargin),
 
+    // ---- DSIR importance selection (hashed-ngram likelihood ratio) ------
+    // target model = src0/src1 docs, raw model = whole corpus; integer
+    // bit-surprisal ratio (the surprisal convention) so scores hash-match;
+    // selected = deterministic global top-100 via the two-level window.
+    ("t_dsir_select",
+      (s, d) => {
+        val docsDf = spread(t(s, d, "documents"))
+        Sampling.dsirSelect(docsDf,
+            docsDf.filter(col("source").isin("src0", "src1")), docsDf, k = 100)
+          .orderBy("doc_id")
+      },
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        | grams AS (SELECT doc_id, source, unnest(w) AS g FROM toks
+        |           UNION ALL
+        |           SELECT doc_id, source, array_to_string(w[i:i+1], ' ') AS g
+        |           FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks.w)-1, 0))) AS i) s),
+        | feats AS (SELECT doc_id, source,
+        |                  CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 256 AS b
+        |           FROM grams),
+        | tgtf AS (SELECT b, COUNT(*) AS tc FROM feats
+        |          WHERE source IN ('src0', 'src1') GROUP BY b),
+        | rawf AS (SELECT b, COUNT(*) AS rc FROM feats GROUP BY b),
+        | mt AS (SELECT COALESCE(SUM(tc), 0) AS tn FROM tgtf),
+        | mr AS (SELECT COALESCE(SUM(rc), 0) AS rn FROM rawf),
+        | sc AS (SELECT f.doc_id,
+        |               length(bin((mr.rn + 256) // (COALESCE(rawf.rc, 0) + 1))) - 1 AS sr,
+        |               length(bin((mt.tn + 256) // (COALESCE(tgtf.tc, 0) + 1))) - 1 AS st
+        |        FROM feats f LEFT JOIN tgtf USING (b) LEFT JOIN rawf USING (b)
+        |        CROSS JOIN mt CROSS JOIN mr),
+        | agg AS (SELECT doc_id, COUNT(*) AS n_feats,
+        |                SUM(sr) AS raw_bits, SUM(st) AS target_bits
+        |         FROM sc GROUP BY doc_id),
+        | allsc AS (SELECT d.doc_id,
+        |                 CAST(COALESCE(n_feats, 0) AS BIGINT) AS n_feats,
+        |                 CAST(COALESCE(raw_bits, 0) AS BIGINT) AS raw_bits,
+        |                 CAST(COALESCE(target_bits, 0) AS BIGINT) AS target_bits,
+        |                 CAST(COALESCE(raw_bits, 0) - COALESCE(target_bits, 0) AS BIGINT) AS score
+        |          FROM documents d LEFT JOIN agg USING (doc_id)),
+        | sel AS (SELECT doc_id FROM
+        |           (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r FROM allsc)
+        |         WHERE r <= 100)
+        | SELECT f.*, (f.doc_id IN (SELECT doc_id FROM sel)) AS selected
+        | FROM allsc f ORDER BY doc_id""".stripMargin),
+
     // ---- multimodal plumbing: binary payloads + stub features ----------
     ("m_media_features",
       (s, d) => Multimodal.extractFeatures(Multimodal.documentsAsMedia(spread(t(s, d, "documents"))))

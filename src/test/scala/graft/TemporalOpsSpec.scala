@@ -236,4 +236,48 @@ class TemporalOpsSpec extends AnyFunSuite {
         "doc_id", "domain", lit(1L), Map("d" -> 10L))
     }
   }
+
+  test("importanceScores ranks target-like docs above background docs") {
+    // target speaks only of cats; raw corpus is cats + dogs. A cat doc's
+    // features are cheap under the target model and ordinary under the raw
+    // model; a dog doc's features are impossible under the target model.
+    val docs = Seq(
+      (1L, "cat cat likes cat"), (2L, "dog dog likes dog"),
+      (3L, "cat likes dog"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val target = Seq((10L, "cat likes cat"), (11L, "cat cat cat")).toDF("doc_id", "text")
+    val got = Sampling.importanceScores(docs, target, docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L)._4 > got(3L)._4, "all-cat doc must outscore the mixed doc")
+    assert(got(3L)._4 > got(2L)._4, "mixed doc must outscore the all-dog doc")
+    assert(got(4L) == ((0L, 0L, 0L, 0L)), "null-text doc scores zeros, not dropped")
+    // n_feats = unigrams + bigrams = 4 + 3 for a 4-word doc
+    assert(got(1L)._1 == 7L)
+    // the model join is a broadcast — scoring never shuffles on feature keys
+    val plan = Sampling.importanceScores(docs, target, docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast model join:\n$plan")
+  }
+
+  test("dsirSelect two-level top-k equals the flat global window at any bucket width") {
+    val rnd = new scala.util.Random(41)
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val docs = (0L until 300L).map { i =>
+      (i, Seq.fill(5 + rnd.nextInt(10))(words(rnd.nextInt(words.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") % 7 === 0)
+    val flat = Sampling.importanceScores(docs, target, docs)
+      .orderBy(col("score").desc, col("doc_id")).limit(25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    for (hex <- Seq(1, 2, 3)) {
+      val sel = Sampling.dsirSelect(docs, target, docs, k = 25, bucketHexChars = hex)
+        .filter(col("selected")).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(sel == flat, s"bucketHexChars=$hex")
+    }
+    // selection is partitioning-independent
+    val sel7 = Sampling.dsirSelect(docs.repartition(7), target, docs, k = 25)
+      .filter(col("selected")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sel7 == flat)
+  }
 }
