@@ -44,7 +44,7 @@ object ScaleProbe {
     val docProbes = Seq("exactGroups", "lshCandidates", "jaccardPairs",
       "removeNearDuplicates", "components", "chunkDedup", "dupSpanRemoval",
       "triangleCounts", "qualityFilter", "tokenBudgetMix", "rankDocuments",
-      "dsirSelect")
+      "dsirSelect", "bloomDecontaminate")
     if (docProbes.exists(enabled)) {
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
@@ -116,6 +116,13 @@ object ScaleProbe {
         size(split(col("text"), " ")),
         budgets = Map("src0" -> 100000L, "src1" -> 200000L),
         defaultBudget = 300000L).count()
+    }
+    timed("bloomDecontaminate (8-gram, 2^22)") {
+      // eval = 1/20 of the scaled corpus: at 100x that is ~25k docs of
+      // grams compressed into one 512 KiB bitset — the build side is the
+      // scaling stress, the probe side stays a map-side scan
+      Dedup.bloomDecontaminate(scaled,
+        scaled.filter(col("doc_id") % 20 === 0), n = 8, mBits = 22).count()
     }
     timed("dsirSelect (k=1000)") {
       // target = 2 of 20 sources; both model fits collapse to <=256 rows

@@ -326,6 +326,41 @@ object Dedup {
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Bloom-filter decontamination — [[decontaminate]]'s scale path when the
+    * eval suite itself is large. The exact probe must broadcast every
+    * distinct eval shingle; here the eval grams compress into a `2^mBits`-bit
+    * bloom bitset (fixed size NO MATTER how many eval grams), and the corpus
+    * probe is one map-side native kernel
+    * ([[graft.functions.BloomCountContaminatedExpr]]) that walks each
+    * document's n-gram windows and drops docs with any fully-set probe —
+    * ZERO corpus-side shuffles before the final filter projection.
+    *
+    * Bloom semantics are one-sided: every truly contaminated document is
+    * dropped, plus a deterministic false-positive fringe (rate
+    * ≈ (set_bits / 2^mBits)^numHashes — size mBits for the eval-gram
+    * volume). The hash schedule is the engine-portable md5-prefix
+    * double-hash ([[graft.functions.BloomProbe.positionsCol]]), so the
+    * DuckDB oracle reproduces survivors — false positives included —
+    * bit-for-bit; survivors are always a SUBSET of [[decontaminate]]'s.
+    *
+    * The build side stays distributed (positions computed per eval gram in
+    * expressions, distinct'd engine-side); the driver materializes only
+    * distinct bit positions — bounded by 2^mBits regardless of eval size.
+    */
+  def bloomDecontaminate(docs: DataFrame, evalDocs: DataFrame, n: Int = 13,
+                         mBits: Int = 22, numHashes: Int = 4,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val positions = evalDocs
+      .select(graft.functions.WordShingles.wordShingles(col(textCol), n).as("gram"))
+      .select(explode(graft.functions.BloomProbe.positionsCol(
+        col("gram"), mBits, numHashes)).as("pos"))
+      .distinct()
+      .collect().map(_.getLong(0))
+    val bloom = graft.functions.BloomProbe.buildBits(positions, mBits, numHashes)
+    docs.filter(
+      graft.functions.BloomProbe.countContaminatedCol(col(textCol), n, bloom) === 0)
+  }
+
   /** Chunk-granular global dedup (the C4-style rule at fixed word windows):
     * split every document into non-overlapping `chunkTokens`-word chunks,
     * keep only the GLOBAL first occurrence of each distinct chunk text

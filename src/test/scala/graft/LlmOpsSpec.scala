@@ -86,6 +86,73 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast probe:\n$plan")
   }
 
+  test("bloomDecontaminate drops every truly contaminated doc, map-side") {
+    val eval = docs(100L -> "the quick brown fox jumps")
+    val train = docs(
+      1L -> "something quick brown fox other words", // shares "quick brown fox"
+      2L -> "entirely different content here now",
+      3L -> "quick brown wolf not a match",          // no shared 3-gram
+      4L -> null.asInstanceOf[String],               // gram-free, must survive
+      5L -> "ab")                                    // < n words, must survive
+    val kept = Dedup.bloomDecontaminate(train, eval, n = 3, mBits = 20)
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    // one-sided: doc 1 ALWAYS dropped; 2/3/4/5 survive unless a false
+    // positive fires (deterministic given the data — at 2^20 bits over 3
+    // eval grams it does not)
+    assert(ids == Set(2L, 3L, 4L, 5L))
+    // the probe is a pure map-side filter: no shuffle anywhere in the plan
+    // (planned over a range-derived frame — a LocalRelation would be
+    // constant-folded away and show neither the kernel nor an Exchange)
+    val ranged = spark.range(100).select(col("id").as("doc_id"),
+      concat_ws(" ", lit("quick brown fox idx"), col("id").cast("string")).as("text"))
+    val plan = Dedup.bloomDecontaminate(ranged, eval, n = 3, mBits = 20)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bloom probe shuffled:\n$plan")
+    assert(plan.contains("bloom_count_contaminated"), plan)
+  }
+
+  test("bloom survivors are a subset of exact decontaminate survivors") {
+    val rnd = new scala.util.Random(53)
+    val words = Array("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    def corpus(ids: Range) = ids.map { i =>
+      (i.toLong, Seq.fill(12)(words(rnd.nextInt(words.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val train = corpus(0 until 300)
+    val eval = corpus(1000 until 1020)
+    val exact = Dedup.decontaminate(train, eval, n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // mBits=10 (1024 bits) forces a real false-positive fringe on this
+    // dense gram space; the fringe must only ever SHRINK the survivor set
+    val bloom = Dedup.bloomDecontaminate(train, eval, n = 4, mBits = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bloom.subsetOf(exact), s"bloom kept a contaminated doc: ${bloom -- exact}")
+    assert(bloom.size < exact.size, "expected false positives at 1024 bits; got none")
+    // and at a generous bitset the fringe vanishes: bloom == exact
+    val wide = Dedup.bloomDecontaminate(train, eval, n = 4, mBits = 24)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(wide == exact)
+  }
+
+  test("bloom kernel byte arithmetic matches the expression-side hash schedule") {
+    // BloomBits parses md5 BYTES; positionsCol parses md5 HEX via conv —
+    // two independent routes to the same schedule. Build a bloom from half
+    // the grams, then check the kernel's membership verdict for every gram
+    // against positions computed by the expression side.
+    val rnd = new scala.util.Random(67)
+    val grams = (0 until 200).map(_ => Seq.fill(3)(rnd.alphanumeric.take(4).mkString).mkString(" "))
+    val mBits = 12
+    val gdf = grams.toDF("gram")
+    val posOf = gdf.select(col("gram"),
+        graft.functions.BloomProbe.positionsCol(col("gram"), mBits, 4).as("ps"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    val setBits = grams.take(100).flatMap(posOf).toSet
+    val bloom = graft.functions.BloomProbe.buildBits(setBits.toSeq, mBits, 4)
+    grams.foreach { g =>
+      val expected = posOf(g).subsetOf(setBits)
+      assert(bloom.mightContain(g) == expected, s"gram '$g'")
+    }
+  }
+
   test("simhash: identical texts equal, disjoint texts differ") {
     val d = docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta", 3L -> "zz yy xx ww vv uu")
     val m = Dedup.simhash(d, 16).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
