@@ -73,7 +73,9 @@ final class BloomBits(val bits: Array[Long], val mBits: Int, val numHashes: Int)
 
   require(mBits >= 3 && mBits <= 30, s"mBits must be in [3, 30]: $mBits")
   require(numHashes >= 1, s"numHashes must be positive: $numHashes")
-  require(bits.length == (1 << (mBits - 6)).max(1),
+  // (mBits - 6).max(0): a bare 1 << (mBits - 6) wraps for mBits < 6
+  // (Java shifts are mod 32) and would demand a multi-GiB array
+  require(bits.length == (1 << (mBits - 6).max(0)),
     s"bitset length ${bits.length} != 2^$mBits bits")
 
   private val mask = (1L << mBits) - 1L
@@ -111,17 +113,14 @@ final class BloomBits(val bits: Array[Long], val mBits: Int, val numHashes: Int)
   def countContaminated(text: UTF8String, n: Int): Int = {
     if (text == null) return 0
     val s = text.toString
-    val starts = scala.collection.mutable.ArrayBuffer(0)
-    var i = s.indexOf(' ')
-    while (i >= 0) { starts += i + 1; i = s.indexOf(' ', i + 1) }
+    val starts = WordShingles.wordStarts(s)
     val words = starts.length
     if (words < n) return 0
     var hits = 0
     var w = 0
     while (w <= words - n) {
-      val from = starts(w)
-      val until = if (w + n < words) starts(w + n) - 1 else s.length
-      if (mightContain(s.substring(from, until))) hits += 1
+      if (mightContain(s.substring(starts(w), WordShingles.windowEnd(s, starts, w, n))))
+        hits += 1
       w += 1
     }
     hits
@@ -135,7 +134,7 @@ object BloomProbe {
     * either works).
     */
   def buildBits(positions: Iterable[Long], mBits: Int, numHashes: Int): BloomBits = {
-    val words = (1 << (mBits - 6)).max(1)
+    val words = 1 << (mBits - 6).max(0)
     val bits = new Array[Long](words)
     val mask = (1L << mBits) - 1L
     positions.foreach { p =>

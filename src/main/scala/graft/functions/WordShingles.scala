@@ -43,19 +43,14 @@ case class WordShinglesExpr(child: Expression, n: Int, withPos: Boolean = false)
     val data = child.eval(input)
     if (data == null) return Iterator.empty
     val s = data.asInstanceOf[UTF8String].toString
-    // word-start/end offsets under split(" ", -1) semantics: fields between
-    // single-space delimiters, empties (from doubled/trailing spaces) kept
-    val starts = scala.collection.mutable.ArrayBuffer(0)
-    var i = s.indexOf(' ')
-    while (i >= 0) { starts += i + 1; i = s.indexOf(' ', i + 1) }
+    val starts = WordShingles.wordStarts(s)
     val words = starts.length // fields = delimiters + 1
     if (words < n) return Iterator.empty
     Iterator.range(0, words - n + 1).map { w =>
       // window of n fields = substring from field w's start to field
       // (w+n-1)'s end — identical bytes to concat_ws(" ", slice(...))
-      val from = starts(w)
-      val until = if (w + n < words) starts(w + n) - 1 else s.length
-      val shingle = UTF8String.fromString(s.substring(from, until))
+      val shingle = UTF8String.fromString(
+        s.substring(starts(w), WordShingles.windowEnd(s, starts, w, n)))
       if (withPos) InternalRow(w, shingle) else InternalRow(shingle)
     }
   }
@@ -65,6 +60,24 @@ case class WordShinglesExpr(child: Expression, n: Int, withPos: Boolean = false)
 }
 
 object WordShingles {
+
+  /** Word-start offsets under split(" ", -1) semantics: fields between
+    * single-space delimiters, empties (from doubled/trailing spaces) kept.
+    * THE tokenization convention — shared by the shingle generator and the
+    * bloom probe kernel ([[BloomBits.countContaminated]]) so the two can
+    * never desynchronize on what a "word window" is.
+    */
+  private[functions] def wordStarts(s: String): Array[Int] = {
+    val starts = scala.collection.mutable.ArrayBuffer(0)
+    var i = s.indexOf(' ')
+    while (i >= 0) { starts += i + 1; i = s.indexOf(' ', i + 1) }
+    starts.toArray
+  }
+
+  /** Exclusive end offset of the `n`-word window starting at field `w`. */
+  private[functions] def windowEnd(s: String, starts: Array[Int], w: Int, n: Int): Int =
+    if (w + n < starts.length) starts(w + n) - 1 else s.length
+
   /** Column API: select(wordShingles(col, n)) yields rows (shingle). */
   def wordShingles(c: Column, n: Int): Column =
     GraftColumnBridge.column(WordShinglesExpr(GraftColumnBridge.expression(c), n))

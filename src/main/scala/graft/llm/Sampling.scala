@@ -189,11 +189,14 @@ object Sampling {
                        buckets: Int = 256, textCol: String = "text",
                        idCol: String = "doc_id"): DataFrame = {
     require(buckets >= 1, s"buckets must be positive: $buckets")
+    // the internal scored-side alias must not collide with the caller's id
+    // column in the final rejoin (the tokenBudgetMix reserved-name rule)
+    require(idCol != "dsir_id", "importanceScores: idCol 'dsir_id' is reserved")
     def features(df: DataFrame): DataFrame = {
       def grams(n: Int) = df.select(
-        col(idCol).as("id"),
+        col(idCol).as("dsir_id"),
         graft.functions.WordShingles.wordShingles(col(textCol), n).as("g"))
-      grams(1).union(grams(2)).select(col("id"),
+      grams(1).union(grams(2)).select(col("dsir_id"),
         (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % buckets).as("b"))
     }
     val model = features(targetDocs).groupBy("b").agg(count(lit(1)).as("t_cnt"))
@@ -213,11 +216,11 @@ object Sampling {
       .withColumn("r_c", coalesce(col("r_cnt"), lit(0L)))
       .withColumn("s_t", length(bin(expr(s"(t_n + $buckets) div (t_c + 1)"))) - 1)
       .withColumn("s_r", length(bin(expr(s"(r_n + $buckets) div (r_c + 1)"))) - 1)
-      .groupBy(col("id"))
+      .groupBy(col("dsir_id"))
       .agg(count(lit(1)).as("n_feats"),
         sum(col("s_r")).cast("long").as("raw_bits"),
         sum(col("s_t")).cast("long").as("target_bits"))
-    docs.select(col(idCol)).join(scored, col(idCol) === col("id"), "left")
+    docs.select(col(idCol)).join(scored, col(idCol) === col("dsir_id"), "left")
       .select(col(idCol),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         coalesce(col("raw_bits"), lit(0L)).as("raw_bits"),
@@ -246,6 +249,7 @@ object Sampling {
     require(k >= 1, s"k must be positive: $k")
     require(bucketHexChars >= 1 && bucketHexChars <= 7,
       s"bucketHexChars must be in [1,7]: $bucketHexChars")
+    require(idCol != "sel_id", "dsirSelect: idCol 'sel_id' is reserved")
     val scoredAll = importanceScores(docs, targetDocs, rawDocs, buckets, textCol, idCol)
     val wLocal = Window.partitionBy(col("sel_bucket"))
       .orderBy(col("score").desc, col(idCol))

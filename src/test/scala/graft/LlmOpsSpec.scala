@@ -131,6 +131,12 @@ class LlmOpsSpec extends AnyFunSuite {
     val wide = Dedup.bloomDecontaminate(train, eval, n = 4, mBits = 24)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(wide == exact)
+    // sub-word-size tables (mBits < 6) allocate ONE long, not a wrapped
+    // 2^(mBits-6 mod 32) array; everything collides into 8 bits -> most
+    // docs probe positive, but the call must not blow up
+    val tiny = Dedup.bloomDecontaminate(train, eval, n = 4, mBits = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tiny.subsetOf(exact))
   }
 
   test("bloom kernel byte arithmetic matches the expression-side hash schedule") {

@@ -258,6 +258,15 @@ class TemporalOpsSpec extends AnyFunSuite {
     val plan = Sampling.importanceScores(docs, target, docs)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast model join:\n$plan")
+    // an id column literally named "id" must not collide with internals
+    val renamed = docs.withColumnRenamed("doc_id", "id")
+    val viaId = Sampling.importanceScores(renamed,
+        target.withColumnRenamed("doc_id", "id"), renamed, idCol = "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(viaId(1L) == got(1L)._4 && viaId(2L) == got(2L)._4)
+    intercept[IllegalArgumentException] {
+      Sampling.importanceScores(docs, target, docs, idCol = "dsir_id")
+    }
   }
 
   test("dsirSelect two-level top-k equals the flat global window at any bucket width") {
