@@ -44,7 +44,7 @@ object ScaleProbe {
     val docProbes = Seq("exactGroups", "lshCandidates", "jaccardPairs",
       "removeNearDuplicates", "components", "chunkDedup", "dupSpanRemoval",
       "triangleCounts", "qualityFilter", "tokenBudgetMix", "rankDocuments",
-      "dsirSelect", "bloomDecontaminate")
+      "dsirSelect", "bloomDecontaminate", "perplexityBuckets")
     if (docProbes.exists(enabled)) {
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
@@ -130,6 +130,12 @@ object ScaleProbe {
       graft.llm.Sampling.dsirSelect(scaled,
         scaled.filter(col("source").isin("src0", "src1")), scaled, k = 1000)
         .filter(col("selected")).count()
+    }
+    timed("perplexityBuckets (even-id ref)") {
+      // the ref bigram table is the corpus-vocabulary-sized join side; the
+      // tercile rank is the two-level window — no flat global sort anywhere
+      graft.llm.TextStats.perplexityBuckets(scaled,
+        scaled.filter(col("doc_id") % 2 === 0)).count()
     }
     timed("rankDocuments (3 terms, k=100)") {
       graft.ops.TextIndex.rankDocuments(scaled,

@@ -370,6 +370,106 @@ object TextStats {
         (col("sum_surprisal").cast("double") / col("n_tokens")).as("avg_surprisal"))
   }
 
+  /** Conditional bigram-LM surprisal (the CCNet-style perplexity signal one
+    * model order up from [[unigramSurprisal]]): train an add-one-smoothed
+    * bigram model on `refDocs` and charge each document
+    * `floor(log2((ctx(w_{i-1}) + V) / (cnt(w_{i-1} w_i) + 1)))` bits per
+    * transition, where ctx = how often the left token starts a reference
+    * bigram, cnt = the reference bigram count, and V = the reference's
+    * distinct-unigram vocabulary (the add-one denominator). Same portable
+    * bin()-length floor-log2 surrogate as [[unigramSurprisal]] — exact
+    * integers end to end, so the oracle reproduces every score. Only
+    * transitions are charged (docs with < 2 tokens score 0 transitions —
+    * emitted, never dropped).
+    *
+    * Scale shape: ONE reference pass builds the bigram table (the corpus-
+    * vocabulary-sized join side — this is the [[unigramSurprisal]] token
+    * join one order up), from which the context table is a cheap second
+    * aggregate and V one scalar; ONE corpus pass streams bigrams through
+    * the shingle generator, joins the model on the bigram string
+    * (fine-grained uniform keys), and rolls up per document map-combinably.
+    * The left token of a window is `substring_index(g, ' ', 1)` — exact,
+    * because a 2-field window is left||' '||right by construction.
+    */
+  def bigramSurprisal(docs: DataFrame, refDocs: DataFrame,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def bigrams(df: DataFrame, id: Column) = df.select(id.as("bsid"),
+      graft.functions.WordShingles.wordShingles(col(textCol), 2).as("g"))
+    val refBig = bigrams(refDocs, lit(0L)).groupBy("g").agg(count(lit(1)).as("big_cnt"))
+      // corpus-vocabulary-sized result over a corpus-scale subtree,
+      // feeding three consumers — materialize once (surprisal precedent)
+      .localCheckpoint(true)
+    val refCtx = refBig
+      .select(substring_index(col("g"), " ", 1).as("l"), col("big_cnt"))
+      .groupBy("l").agg(sum(col("big_cnt")).as("ctx_cnt"))
+    val vocab = refDocs.select(
+        graft.functions.WordShingles.wordShingles(col(textCol), 1).as("t"))
+      .agg(count_distinct(col("t")).as("v_size"))
+    val scored = bigrams(docs, col(idCol))
+      .join(refBig, Seq("g"), "left")
+      .withColumn("l", substring_index(col("g"), " ", 1))
+      .join(refCtx, Seq("l"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("s", length(bin(expr(
+        "(coalesce(ctx_cnt, 0L) + v_size) div (coalesce(big_cnt, 0L) + 1)"))) - 1)
+      .groupBy(col("bsid"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("s")).cast("long").as("sum_surprisal"))
+    docs.select(col(idCol)).join(scored, col(idCol) === col("bsid"), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_surprisal"), lit(0L)).as("sum_surprisal"),
+        (col("sum_surprisal").cast("double") / col("n_bigrams")).as("avg_surprisal"))
+  }
+
+  /** CCNet's head/middle/tail routing: label every document by which
+    * perplexity tercile its [[bigramSurprisal]] average falls in (head =
+    * most reference-like third, tail = least; transition-less docs route to
+    * 'unscored' — the routed-not-dropped discipline). Thresholds are
+    * PERCENTILE_DISC values at exact integer ranks ceil(n/3) and
+    * ceil(2n/3) — no float percentile arithmetic anywhere.
+    *
+    * Scale shape: a flat percentile is a global sort; instead scores
+    * coarse-bucket by `floor(avg · bucketScale)` (a bounded integer domain —
+    * surprisal averages live in [0, ~64] bits), per-bucket counts make a
+    * TINY summary whose running sum yields each bucket's base rank, and the
+    * deterministic global rank = base + a row_number inside the
+    * fine-grained (bucket) window — the [[Sampling.tokenBudgetMix]]
+    * two-level discipline. The two threshold rows then broadcast back.
+    */
+  def perplexityBuckets(docs: DataFrame, refDocs: DataFrame, bucketScale: Int = 64,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketScale >= 1, s"bucketScale must be positive: $bucketScale")
+    val scored = bigramSurprisal(docs, refDocs, textCol, idCol)
+      // doc-count-sized result over the corpus-scale scoring subtree; it
+      // feeds the rank path twice (counts + ranked rows) and the output join
+      .localCheckpoint(true)
+    val sc = scored.filter(col("n_bigrams") > 0)
+      .withColumn("pb", floor(col("avg_surprisal") * bucketScale).cast("long"))
+    val offs = sc.groupBy("pb").agg(count(lit(1)).as("bucket_n"))
+      .withColumn("base",
+        coalesce(sum(col("bucket_n")).over(
+          Window.orderBy(col("pb")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("bucket_n")
+    val nTotal = sc.agg(count(lit(1)).as("nn"))
+    val ranked = sc.join(broadcast(offs), Seq("pb"))
+      .crossJoin(broadcast(nTotal))
+      .withColumn("rn", col("base") + row_number().over(
+        Window.partitionBy(col("pb")).orderBy(col("avg_surprisal"), col(idCol))))
+    val thresholds = ranked
+      .filter(col("rn") === expr("(nn + 2) div 3") ||
+        col("rn") === expr("(2 * nn + 2) div 3"))
+      .agg(min(col("avg_surprisal")).as("t1"), max(col("avg_surprisal")).as("t2"))
+    scored.crossJoin(broadcast(thresholds))
+      .withColumn("bucket",
+        when(col("n_bigrams") === 0, lit("unscored"))
+          .when(col("avg_surprisal") <= col("t1"), lit("head"))
+          .when(col("avg_surprisal") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("t1", "t2")
+  }
+
   /** Canonical content fingerprint: md5 of the sorted distinct word set —
     * invariant to word order and duplication, portable across engines.
     */

@@ -970,6 +970,46 @@ object PipelineQueries {
         |        CAST(sum_surprisal AS DOUBLE) / n_tokens AS avg_surprisal
         | FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin),
 
+    // ---- bigram-LM perplexity buckets (CCNet head/middle/tail) ----------
+    // reference model = even doc_ids; add-one conditional bigram surprisal
+    // in the integer bin() convention; terciles at exact integer ranks via
+    // the two-level rank (coarse avg-bucket + per-bucket window engine-side,
+    // flat window in the oracle — identical thresholds).
+    ("t_bigram_lm",
+      (s, d) => {
+        val docsDf = spread(t(s, d, "documents"))
+        TextStats.perplexityBuckets(docsDf, docsDf.filter(col("doc_id") % 2 === 0))
+          .orderBy("doc_id")
+      },
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | big AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+        |         FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks.w)-1, 0))) AS i) s),
+        | refb AS (SELECT g, COUNT(*) AS bc FROM big WHERE doc_id % 2 = 0 GROUP BY g),
+        | refc AS (SELECT split_part(g, ' ', 1) AS l, SUM(bc) AS cc FROM refb GROUP BY l),
+        | vs AS (SELECT COUNT(DISTINCT t) AS v
+        |        FROM (SELECT unnest(w) AS t FROM toks WHERE doc_id % 2 = 0)),
+        | scs AS (SELECT b.doc_id,
+        |                length(bin((COALESCE(cc, 0) + vs.v) // (COALESCE(bc, 0) + 1))) - 1 AS s
+        |         FROM big b LEFT JOIN refb USING (g)
+        |              LEFT JOIN refc ON split_part(b.g, ' ', 1) = refc.l
+        |              CROSS JOIN vs),
+        | agg AS (SELECT doc_id, COUNT(*) AS nb, SUM(s) AS ss FROM scs GROUP BY doc_id),
+        | sc AS (SELECT d.doc_id, CAST(COALESCE(nb, 0) AS BIGINT) AS n_bigrams,
+        |               CAST(COALESCE(ss, 0) AS BIGINT) AS sum_surprisal,
+        |               CAST(ss AS DOUBLE) / nb AS avg_surprisal
+        |        FROM documents d LEFT JOIN agg USING (doc_id)),
+        | pos AS (SELECT avg_surprisal, ROW_NUMBER() OVER (ORDER BY avg_surprisal, doc_id) AS rn
+        |         FROM sc WHERE n_bigrams > 0),
+        | nn AS (SELECT COUNT(*) AS n FROM pos),
+        | th AS (SELECT MIN(avg_surprisal) AS t1, MAX(avg_surprisal) AS t2
+        |        FROM pos CROSS JOIN nn WHERE rn = (n + 2) // 3 OR rn = (2 * n + 2) // 3)
+        | SELECT sc.doc_id, n_bigrams, sum_surprisal, avg_surprisal,
+        |        CASE WHEN n_bigrams = 0 THEN 'unscored'
+        |             WHEN avg_surprisal <= t1 THEN 'head'
+        |             WHEN avg_surprisal <= t2 THEN 'middle'
+        |             ELSE 'tail' END AS bucket
+        | FROM sc CROSS JOIN th ORDER BY sc.doc_id""".stripMargin),
+
     // ---- BPE merge training (rows-only: iterative argmax is not SQL) ----
     // correctness is pinned by TextPipelineSpec's hand-computed merge
     // sequence; the registry entry exercises the corpus->vocab->iterate

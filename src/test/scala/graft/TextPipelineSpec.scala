@@ -236,6 +236,54 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got(4L) == ((0L, 0L, None)))
   }
 
+  test("bigramSurprisal: exact conditional bits with add-one smoothing") {
+    // ref "a b a": bigrams {a b: 1, b a: 1}; contexts {a: 1, b: 1}; V = 2
+    val ref = Seq((0L, "a b a")).toDF("doc_id", "text")
+    val scored = Seq(
+      (1L, "a b a c"), // "a b": (1+2)div2=1 -> 0 bits; "b a": 0; "a c": (1+2)div1=3 -> 1
+      (2L, "z z"),     // OOV context: (0+2)div1=2 -> 1 bit
+      (3L, "a"),       // no transitions
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextStats.bigramSurprisal(scored, ref).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got(1L) == ((3L, 1L, Some(1.0 / 3.0))))
+    assert(got(2L) == ((1L, 1L, Some(1.0))))
+    assert(got(3L) == ((0L, 0L, None)))
+    assert(got(4L) == ((0L, 0L, None)))
+  }
+
+  test("perplexityBuckets: two-level terciles equal the flat ranking; unscored routed") {
+    val rnd = new scala.util.Random(71)
+    val words = Array("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh", "ii", "jj")
+    val docs = ((0L until 200L).map { i =>
+      (i, Seq.fill(4 + rnd.nextInt(20))(words(rnd.nextInt(words.length))).mkString(" "))
+    } :+ (999L, "solo")).toDF("doc_id", "text") // 1-token doc -> unscored
+    val ref = docs.filter(col("doc_id") % 3 === 0)
+    val got = TextStats.perplexityBuckets(docs, ref).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3), r.getString(4)))
+    // flat reference: sort scoreable averages, thresholds at exact ranks
+    val avgs = got.filter(_._1 != 999L).sortBy(x => (x._2, x._1)).map(_._2)
+    val n = avgs.length
+    val (t1, t2) = (avgs((n + 2) / 3 - 1), avgs((2 * n + 2) / 3 - 1))
+    got.foreach { case (id, avg, bucket) =>
+      val want = if (id == 999L) "unscored"
+        else if (avg <= t1) "head" else if (avg <= t2) "middle" else "tail"
+      assert(bucket == want, s"doc $id avg=$avg")
+    }
+    val sizes = got.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes("head") + sizes("middle") + sizes("tail") == n && sizes("unscored") == 1)
+    // head holds at least a third (count(<= t1) >= ceil(n/3) by the
+    // PERCENTILE_DISC rank; ties can only grow it, never shrink it)
+    assert(sizes("head") >= n / 3)
+    // partitioning-independent
+    val re = TextStats.perplexityBuckets(docs.repartition(7), ref).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    got.foreach { case (id, _, b) => assert(re(id) == b) }
+  }
+
   test("BPE trainMerges learns the hand-computed sequence; tokenize replays it") {
     import graft.llm.Bpe
     val docs = Seq((1L, "low low lower")).toDF("doc_id", "text")
