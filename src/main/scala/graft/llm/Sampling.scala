@@ -250,6 +250,11 @@ object Sampling {
     require(bucketHexChars >= 1 && bucketHexChars <= 7,
       s"bucketHexChars must be in [1,7]: $bucketHexChars")
     require(idCol != "sel_id", "dsirSelect: idCol 'sel_id' is reserved")
+    // scoredAll feeds BOTH the top-k rank path and the output join. The
+    // static plan shows the scoring subtree twice, but AQE's stage reuse
+    // (canonical-plan keyed) shares the per-doc rollup shuffle at runtime;
+    // an eager localCheckpoint was A/B-probed at 10x and lost as often as
+    // it won (box noise dominates), so the no-pinned-storage shape wins.
     val scoredAll = importanceScores(docs, targetDocs, rawDocs, buckets, textCol, idCol)
     val wLocal = Window.partitionBy(col("sel_bucket"))
       .orderBy(col("score").desc, col(idCol))
