@@ -42,7 +42,7 @@ object ScaleProbe {
     // group setup is gated like the probes themselves: a filtered run must
     // not pay cache+count materialization for groups with nothing selected
     val docProbes = Seq("exactGroups", "lshCandidates", "jaccardPairs",
-      "removeNearDuplicates", "components", "chunkDedup", "dupSpanRemoval",
+      "removeNearDuplicates", "components", "chunkDedup", "dupSpanRemoval", "containmentPairs",
       "triangleCounts", "qualityFilter", "tokenBudgetMix", "rankDocuments",
       "dsirSelect", "bloomDecontaminate", "perplexityBuckets")
     if (docProbes.exists(enabled)) {
@@ -77,6 +77,9 @@ object ScaleProbe {
     }
     timed("jaccardPairs (maxDF=512)") {
       Dedup.jaccardPairs(Dedup.wordShingles(scaled, 3), 0.2, maxDF = 512).count()
+    }
+    timed("containmentPairs (maxDF=512)") {
+      Dedup.containmentPairs(Dedup.wordShingles(scaled, 3), 0.5, maxDF = 512).count()
     }
     timed("removeNearDuplicates") {
       Dedup.removeNearDuplicates(scaled, minJaccard = 0.2).count()

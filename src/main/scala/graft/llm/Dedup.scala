@@ -142,6 +142,34 @@ object Dedup {
       .select("id_a", "id_b", "n_inter", "sz_a", "sz_b", "jaccard")
   }
 
+  /** Asymmetric containment near-dup pairs: score = |A∩B| / min(|A|,|B|) —
+    * the "one document is (mostly) inside the other" measure. Jaccard
+    * normalizes by the UNION, so a short document quoted verbatim inside a
+    * long one scores near zero (the union is dominated by the long side)
+    * and survives Jaccard dedup; containment scores it 1.0. The classic
+    * complement to [[jaccardPairs]] for boilerplate quoting, article
+    * aggregation, and doc-in-doc duplication.
+    *
+    * Same machinery and scale shape as [[jaccardPairs]] — the shared
+    * capped-universe posting lists (cap metric `containment_maxdf_<n>`),
+    * streamed ordered pairing, merge-hinted size joins; the score is
+    * exact-integer-in so the double hash-matches any engine. Pairs emitted
+    * once (id_a < id_b); the score is direction-free (max over the two
+    * directional containments = the min-denominator form).
+    */
+  def containmentPairs(shingles: DataFrame, minContainment: Double,
+                       maxDF: Long = Long.MaxValue): DataFrame = {
+    val (postings, sizes) = cappedUniverse(shingles, maxDF, "containment_maxdf")
+    pairsFromPostings(postings)
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")).hint("merge"),
+        Seq("id_a"))
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")).hint("merge"),
+        Seq("id_b"))
+      .withColumn("containment", col("n_inter") / least(col("sz_a"), col("sz_b")))
+      .filter(col("containment") >= minContainment)
+      .select("id_a", "id_b", "n_inter", "sz_a", "sz_b", "containment")
+  }
+
   /** Portable shingle hash j: 8 hex chars of md5("<j/4>:<s>") at piece j%4 —
     * one md5 yields four independent 32-bit hashes, so k hashes cost only
     * ceil(k/4) digests. Lexicographic MIN over fixed-width lowercase hex ==

@@ -58,6 +58,23 @@ object PipelineQueries {
          | WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.2
          | ORDER BY id_a, id_b""".stripMargin),
 
+    // ---- asymmetric containment near-dup pairs --------------------------
+    // |A∩B| / min(|A|,|B|): catches a short doc quoted inside a long one,
+    // which Jaccard scores near zero (union dominated by the long side).
+    ("d12_containment_pairs",
+      (s, d) => Dedup.containmentPairs(Dedup.wordShingles(spread(t(s, d, "documents")), 3), 0.5)
+        .orderBy("id_a", "id_b"),
+      s"""WITH sh AS ($ShinglesSql),
+         | sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+         | inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+         |           FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id
+         |           GROUP BY 1, 2)
+         | SELECT id_a, id_b, n_inter, sa.sz AS sz_a, sb.sz AS sz_b,
+         |        n_inter / least(sa.sz, sb.sz) AS containment
+         | FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+         | WHERE n_inter / least(sa.sz, sb.sz) >= 0.5
+         | ORDER BY id_a, id_b""".stripMargin),
+
     // ---- capped-universe Jaccard (the 100 TB operating point) ----------
     // maxDF drops high-document-frequency shingles BEFORE pairing (a df-d
     // shingle emits O(d²) pairs from one reducer row); sizes are computed

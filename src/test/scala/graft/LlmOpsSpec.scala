@@ -86,6 +86,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast probe:\n$plan")
   }
 
+  test("containment catches doc-in-doc duplication that jaccard misses") {
+    // doc 2's text is verbatim inside doc 1, which is much longer.
+    // shingles(3): doc 2 has 2, both shared; doc 1 has 10.
+    val d = docs(
+      1L -> "x1 x2 x3 x4 x5 a b c d x6 x7 x8",
+      2L -> "a b c d")
+    val sh = Dedup.wordShingles(d, 3)
+    val jac = Dedup.jaccardPairs(sh, 0.0).collect()
+    assert(jac.length == 1 && jac(0).getAs[Double]("jaccard") == 2.0 / 10.0)
+    val con = Dedup.containmentPairs(sh, 0.0).collect()
+    assert(con.length == 1)
+    val r = con(0)
+    assert(r.getAs[Long]("n_inter") == 2 && r.getAs[Double]("containment") == 1.0)
+    // threshold routes on the containment, not the jaccard
+    assert(Dedup.containmentPairs(sh, 0.9).count() == 1)
+    assert(Dedup.jaccardPairs(sh, 0.9).count() == 0)
+    // capped universe: dropping the shared shingles (df=2 > maxDF=1)
+    // removes the pair entirely rather than mis-scoring it
+    assert(Dedup.containmentPairs(sh, 0.0, maxDF = 1).count() == 0)
+  }
+
   test("bloomDecontaminate drops every truly contaminated doc, map-side") {
     val eval = docs(100L -> "the quick brown fox jumps")
     val train = docs(
