@@ -44,7 +44,7 @@ object ScaleProbe {
     val docProbes = Seq("exactGroups", "lshCandidates", "jaccardPairs",
       "removeNearDuplicates", "components", "chunkDedup", "dupSpanRemoval", "containmentPairs",
       "triangleCounts", "qualityFilter", "tokenBudgetMix", "rankDocuments",
-      "dsirSelect", "bloomDecontaminate", "perplexityBuckets")
+      "dsirSelect", "bloomDecontaminate", "perplexityBuckets", "bm25Rank")
     if (docProbes.exists(enabled)) {
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
@@ -142,6 +142,10 @@ object ScaleProbe {
     }
     timed("rankDocuments (3 terms, k=100)") {
       graft.ops.TextIndex.rankDocuments(scaled,
+        Seq("joins", "vector", "the"), k = 100).count()
+    }
+    timed("bm25Rank (3 terms, k=100)") {
+      graft.ops.TextIndex.bm25Rank(scaled,
         Seq("joins", "vector", "the"), k = 100).count()
     }
     scaled.unpersist()

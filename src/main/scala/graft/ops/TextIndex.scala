@@ -219,6 +219,72 @@ object TextIndex {
         .orderBy(col("score").desc, col(idCol))))
   }
 
+  /** Full BM25 ranked retrieval (Robertson–Spärck Jones): [[rankDocuments]]'
+    * odds-ratio idf extended with tf SATURATION and document-LENGTH
+    * normalization —
+    * `idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` — so a term's 50th
+    * occurrence adds ~nothing and long documents stop winning on bulk.
+    * k1/b arrive as integer tenths/hundredths (default 12/75 = the classic
+    * 1.2/0.75) and avgdl is folded as dl·N/totalLen, making every factor an
+    * exact integer held in a double: the whole score is one left-associated
+    * IEEE chain both engines reproduce bit-for-bit (the [[rankDocuments]]
+    * no-libm-log discipline; k1 and b as floats would poison it).
+    *
+    * Scale shape: identical to [[rankDocuments]] (broadcast query stems,
+    * semi-join before the tf shuffle, TakeOrderedAndProject top-k) plus
+    * BM25's corpus statistics: dl is a map-side projection of the text
+    * column joined to the (matching-docs-sized) tf table, and
+    * (totalLen, N) is one scalar aggregate — no new corpus-scale shuffle.
+    */
+  def bm25Rank(docs: DataFrame, queryTerms: Seq[String], k: Int,
+               k1Tenths: Int = 12, bHundredths: Int = 75,
+               textCol: String = "text", idCol: String = "doc_id",
+               scale: Long = 1000000L): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Rank: query terms must be non-empty")
+    require(k > 0, s"bm25Rank: k must be positive: $k")
+    require(k1Tenths >= 0, s"bm25Rank: k1Tenths must be >= 0: $k1Tenths")
+    require(bHundredths >= 0 && bHundredths <= 100,
+      s"bm25Rank: bHundredths must be in [0,100]: $bHundredths")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qt = queryTerms.toDF("raw")
+      .select(stemEn(foldAccents(lower(col("raw")))).as("term")).distinct()
+    val tok = docs.select(col(idCol),
+        explode(split(lower(coalesce(col(textCol), lit(""))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .select(col(idCol), stemEn(foldAccents(col("word"))).as("term"))
+    val tf = tok.join(broadcast(qt), Seq("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // dl = non-empty whitespace token count, map-side from the text column
+    val dls = docs.select(col(idCol),
+      size(filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
+        w => w =!= "")).cast("long").as("dl"))
+    val totals = dls.agg(sum(col("dl")).as("total_len"),
+      count(lit(1)).as("n_docs"))
+    // exact-rational fold (num/den both integers in doubles):
+    //   num = scale · (2N−2df+1) · 100(10+k1T) · tf · totalLen
+    //   den = (2df+1) · (1000·totalLen·tf + k1T(100−bH)·totalLen + k1T·bH·dl·N)
+    val termScore = round(
+      lit(scale).cast("double")
+        * (lit(2) * col("n_docs") - lit(2) * col("df") + 1).cast("double")
+        * lit(100L * (10 + k1Tenths)).cast("double")
+        * col("tf").cast("double") * col("total_len").cast("double")
+      / ((lit(2) * col("df") + 1).cast("double")
+        * (lit(1000L).cast("double") * col("total_len").cast("double") * col("tf").cast("double")
+          + lit(k1Tenths.toLong * (100 - bHundredths)).cast("double") * col("total_len").cast("double")
+          + lit(k1Tenths.toLong * bHundredths).cast("double") * col("dl").cast("double") * col("n_docs").cast("double")))
+    ).cast("long")
+    val scored = tf.join(broadcast(dfT), Seq("term"))
+      .join(dls, Seq(idCol))
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol)).agg(sum(termScore).as("score"))
+      .orderBy(col("score").desc, col(idCol)).limit(k)
+    scored.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col(idCol))))
+  }
+
   /** Persist the token table bucketed by token — the scale path for point
     * lookups: a search for one token prunes to `1/numBuckets` of the files
     * (bucket pruning shows as `SelectedBucketsCount: 1 out of N` in the scan)

@@ -621,6 +621,45 @@ object PipelineQueries {
         |   SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
         | WHERE rank <= 10 ORDER BY doc_id""".stripMargin),
 
+    // ---- full BM25 ranked retrieval -------------------------------------
+    // tf saturation + length normalization over the same stemmed index;
+    // k1=1.2 / b=0.75 folded as exact integer rationals (avgdl = dl·N /
+    // totalLen) so the IEEE double chain reproduces on both engines.
+    ("x1_bm25_rank",
+      (s, d) => TextIndex.bm25Rank(t(s, d, "documents"),
+          Seq("joins", "vector", "the"), k = 10)
+        .orderBy("doc_id"),
+      """WITH words AS (SELECT doc_id, strip_accents(w) AS w
+        |   FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |         FROM documents) WHERE w <> '')""".stripMargin +
+        graft.functions.PorterStem.sqlCtes("words", "doc_id", "c", "tokfin") +
+        """, tok AS (SELECT doc_id, cur AS term FROM tokfin),
+        | tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |        WHERE term IN ('join', 'vector', 'the') GROUP BY 1, 2),
+        | dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        | dls AS (SELECT doc_id,
+        |           CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                                w -> w <> '')) AS BIGINT) AS dl
+        |         FROM documents),
+        | tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS total_len, COUNT(*) AS n_docs FROM dls),
+        | sc AS (SELECT tf.doc_id,
+        |          CAST(SUM(CAST(round(
+        |            CAST(1000000 AS DOUBLE)
+        |              * CAST(2*n_docs - 2*df + 1 AS DOUBLE)
+        |              * CAST(2200 AS DOUBLE)
+        |              * CAST(tf AS DOUBLE) * CAST(total_len AS DOUBLE)
+        |            / (CAST(2*df + 1 AS DOUBLE)
+        |              * (CAST(1000 AS DOUBLE) * CAST(total_len AS DOUBLE) * CAST(tf AS DOUBLE)
+        |                + CAST(300 AS DOUBLE) * CAST(total_len AS DOUBLE)
+        |                + CAST(900 AS DOUBLE) * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+        |          ) AS BIGINT)) AS BIGINT) AS score
+        |        FROM tf JOIN dfx USING (term) JOIN dls ON tf.doc_id = dls.doc_id
+        |             CROSS JOIN tot
+        |        GROUP BY 1)
+        | SELECT doc_id, score, CAST(rank AS INTEGER) AS rank FROM (
+        |   SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
+        | WHERE rank <= 10 ORDER BY doc_id""".stripMargin),
+
     // ---- deterministic train/val/test split -----------------------------
     // content-hash membership (md5 of salted id, lexicographic hex-prefix
     // thresholds): the same doc lands in the same split on any engine, any
