@@ -123,23 +123,35 @@ object Dedup {
     }
   }
 
-  def jaccardPairs(shingles: DataFrame, minJaccard: Double,
-                   maxDF: Long = Long.MaxValue): DataFrame = {
-    val (postings, sizes) = cappedUniverse(shingles, maxDF, "jaccard_maxdf")
-    // MERGE hints: the pair table is O(Σ df²) — data-dependent and unbounded
-    // — but the planner's size ESTIMATE for it collapses (projections drop
-    // the wide text column early), so static planning picks a broadcast
-    // build side and the driver OOMs building it; observed at a 10× corpus
-    // in ScaleProbe. Sort-merge is the only shape that is always safe here,
-    // and AQE still handles skew within it.
-    pairsFromPostings(postings)
+  /** Shared scoring tail for set-overlap pair operators: merge-hinted size
+    * joins, score column, threshold filter, canonical column order.
+    * MERGE hints: the pair table is O(Σ df²) — data-dependent and unbounded
+    * — but the planner's size ESTIMATE for it collapses (projections drop
+    * the wide text column early), so static planning picks a broadcast
+    * build side and the driver OOMs building it; observed at a 10× corpus
+    * in ScaleProbe. Sort-merge is the only shape that is always safe here,
+    * and AQE still handles skew within it. The ONE copy of this rationale —
+    * [[jaccardPairs]], [[containmentPairs]], and [[removeNearDuplicates]]
+    * all route through here.
+    */
+  private def scorePairs(pairs: DataFrame, sizes: DataFrame, scoreName: String,
+                         score: (Column, Column, Column) => Column,
+                         threshold: Double): DataFrame =
+    pairs
       .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")).hint("merge"),
         Seq("id_a"))
       .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")).hint("merge"),
         Seq("id_b"))
-      .withColumn("jaccard", col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")))
-      .filter(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "n_inter", "sz_a", "sz_b", "jaccard")
+      .withColumn(scoreName, score(col("n_inter"), col("sz_a"), col("sz_b")))
+      .filter(col(scoreName) >= threshold)
+      .select("id_a", "id_b", "n_inter", "sz_a", "sz_b", scoreName)
+
+  private def jaccardOf(n: Column, a: Column, b: Column): Column = n / (a + b - n)
+
+  def jaccardPairs(shingles: DataFrame, minJaccard: Double,
+                   maxDF: Long = Long.MaxValue): DataFrame = {
+    val (postings, sizes) = cappedUniverse(shingles, maxDF, "jaccard_maxdf")
+    scorePairs(pairsFromPostings(postings), sizes, "jaccard", jaccardOf, minJaccard)
   }
 
   /** Asymmetric containment near-dup pairs: score = |A∩B| / min(|A|,|B|) —
@@ -160,14 +172,8 @@ object Dedup {
   def containmentPairs(shingles: DataFrame, minContainment: Double,
                        maxDF: Long = Long.MaxValue): DataFrame = {
     val (postings, sizes) = cappedUniverse(shingles, maxDF, "containment_maxdf")
-    pairsFromPostings(postings)
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")).hint("merge"),
-        Seq("id_a"))
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")).hint("merge"),
-        Seq("id_b"))
-      .withColumn("containment", col("n_inter") / least(col("sz_a"), col("sz_b")))
-      .filter(col("containment") >= minContainment)
-      .select("id_a", "id_b", "n_inter", "sz_a", "sz_b", "containment")
+    scorePairs(pairsFromPostings(postings), sizes, "containment",
+      (n, a, b) => n / least(a, b), minContainment)
   }
 
   /** Portable shingle hash j: 8 hex chars of md5("<j/4>:<s>") at piece j%4 —
@@ -277,19 +283,14 @@ object Dedup {
     // MERGE hints throughout: candidate, pair, and drop-id tables are all
     // data-dependent (dup-density-bound) — static size estimates for them
     // are meaningless, and a mis-planned broadcast OOMs the driver (see
-    // jaccardPairs). AQE re-promotes to broadcast nothing here; it still
+    // scorePairs). AQE re-promotes to broadcast nothing here; it still
     // splits skewed merge joins.
     val candIds = candidates.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val candShingles = shingles.join(candIds.hint("merge"), Seq("id"), "left_semi")
     val (postings, sizes) = cappedUniverse(candShingles, maxDF, "neardup_maxdf")
     val inter = pairsFromPostings(postings)
       .join(candidates.hint("merge"), Seq("id_a", "id_b"), "left_semi")
-    val confirmed = inter
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")).hint("merge"),
-        Seq("id_a"))
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")).hint("merge"),
-        Seq("id_b"))
-      .filter(col("n_inter") / (col("sz_a") + col("sz_b") - col("n_inter")) >= minJaccard)
+    val confirmed = scorePairs(inter, sizes, "jaccard", jaccardOf, minJaccard)
     val dropIds = confirmed.select(col("id_b").as(idCol)).distinct()
     docs.join(dropIds.hint("merge"), Seq(idCol), "left_anti")
   }

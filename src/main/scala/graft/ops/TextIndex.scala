@@ -192,32 +192,55 @@ object TextIndex {
                     scale: Long = 1000000L): DataFrame = {
     require(queryTerms.nonEmpty, "rankDocuments: query terms must be non-empty")
     require(k > 0, s"rankDocuments: k must be positive: $k")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val qt = queryTerms.toDF("raw")
-      .select(stemEn(foldAccents(lower(col("raw")))).as("term")).distinct()
-    // explode-then-stem keeps the Porter kernel in whole-stage codegen on
-    // the corpus-scale path (inside textEnTokens' transform() lambda it
-    // would run interpreted per token — see buildTokenTable)
-    val tok = docs.select(col(idCol),
-        explode(split(lower(coalesce(col(textCol), lit(""))), "\\s+")).as("word"))
-      .filter(col("word") =!= "")
-      .select(col(idCol), stemEn(foldAccents(col("word"))).as("term"))
-    val tf = tok.join(broadcast(qt), Seq("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = stemmedQueryTf(docs, queryTerms, textCol, idCol, withDl = false)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val termScore = round(col("tf").cast("double")
       * (lit(2) * col("n_docs") - lit(2) * col("df") + 1).cast("double")
       * lit(scale).cast("double") / (lit(2) * col("df") + 1).cast("double")).cast("long")
-    val scored = tf.join(broadcast(df), Seq("term"))
+    rankTopK(tf.join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(n))
-      .groupBy(col(idCol)).agg(sum(termScore).as("score"))
-      .orderBy(col("score").desc, col(idCol)).limit(k)
-    scored.withColumn("rank",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("score").desc, col(idCol))))
+      .groupBy(col(idCol)).agg(sum(termScore).as("score")), k, idCol)
   }
+
+  /** The shared retrieval head: broadcast stemmed query-term table,
+    * explode-then-stem tokenization (keeps the Porter kernel in whole-stage
+    * codegen on the corpus-scale path — inside textEnTokens' transform()
+    * lambda it would run interpreted per token, see buildTokenTable),
+    * semi-join BEFORE the tf shuffle. With `withDl` the per-document token
+    * count rides the same projection and aggregate (max of a per-id
+    * constant), so BM25's length statistic costs no extra join or shuffle.
+    */
+  private def stemmedQueryTf(docs: DataFrame, queryTerms: Seq[String],
+                             textCol: String, idCol: String,
+                             withDl: Boolean): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qt = queryTerms.toDF("raw")
+      .select(stemEn(foldAccents(lower(col("raw")))).as("term")).distinct()
+    val words = split(lower(coalesce(col(textCol), lit(""))), "\\s+")
+    val base =
+      if (withDl)
+        docs.select(col(idCol),
+          size(filter(words, w => w =!= "")).cast("long").as("dl"),
+          explode(words).as("word"))
+      else docs.select(col(idCol), explode(words).as("word"))
+    val tok = base.filter(col("word") =!= "")
+      .withColumn("term", stemEn(foldAccents(col("word")))).drop("word")
+    val grouped = tok.join(broadcast(qt), Seq("term"))
+      .groupBy(col(idCol), col("term"))
+    if (withDl) grouped.agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    else grouped.agg(count(lit(1)).as("tf"))
+  }
+
+  /** Shared ranking tail: per-partition top-k (TakeOrderedAndProject — no
+    * global sort), then the rank window on ≤ k rows.
+    */
+  private def rankTopK(scored: DataFrame, k: Int, idCol: String): DataFrame =
+    scored.orderBy(col("score").desc, col(idCol)).limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col(idCol))))
 
   /** Full BM25 ranked retrieval (Robertson–Spärck Jones): [[rankDocuments]]'
     * odds-ratio idf extended with tf SATURATION and document-LENGTH
@@ -230,11 +253,12 @@ object TextIndex {
     * IEEE chain both engines reproduce bit-for-bit (the [[rankDocuments]]
     * no-libm-log discipline; k1 and b as floats would poison it).
     *
-    * Scale shape: identical to [[rankDocuments]] (broadcast query stems,
-    * semi-join before the tf shuffle, TakeOrderedAndProject top-k) plus
-    * BM25's corpus statistics: dl is a map-side projection of the text
-    * column joined to the (matching-docs-sized) tf table, and
-    * (totalLen, N) is one scalar aggregate — no new corpus-scale shuffle.
+    * Scale shape: identical to [[rankDocuments]] (shared retrieval head and
+    * ranking tail — [[stemmedQueryTf]]/[[rankTopK]]) plus BM25's corpus
+    * statistics: dl rides the tokenization projection and the tf aggregate
+    * (no join against a corpus-sized length table — a mis-estimated
+    * broadcast there is the scorePairs OOM class), and (totalLen, N) is one
+    * scalar aggregate — no new corpus-scale shuffle or join.
     */
   def bm25Rank(docs: DataFrame, queryTerms: Seq[String], k: Int,
                k1Tenths: Int = 12, bHundredths: Int = 75,
@@ -245,23 +269,12 @@ object TextIndex {
     require(k1Tenths >= 0, s"bm25Rank: k1Tenths must be >= 0: $k1Tenths")
     require(bHundredths >= 0 && bHundredths <= 100,
       s"bm25Rank: bHundredths must be in [0,100]: $bHundredths")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val qt = queryTerms.toDF("raw")
-      .select(stemEn(foldAccents(lower(col("raw")))).as("term")).distinct()
-    val tok = docs.select(col(idCol),
-        explode(split(lower(coalesce(col(textCol), lit(""))), "\\s+")).as("word"))
-      .filter(col("word") =!= "")
-      .select(col(idCol), stemEn(foldAccents(col("word"))).as("term"))
-    val tf = tok.join(broadcast(qt), Seq("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = stemmedQueryTf(docs, queryTerms, textCol, idCol, withDl = true)
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // dl = non-empty whitespace token count, map-side from the text column
-    val dls = docs.select(col(idCol),
-      size(filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
-        w => w =!= "")).cast("long").as("dl"))
-    val totals = dls.agg(sum(col("dl")).as("total_len"),
-      count(lit(1)).as("n_docs"))
+    val totals = docs.select(
+        size(filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
+          w => w =!= "")).cast("long").as("dl"))
+      .agg(sum(col("dl")).as("total_len"), count(lit(1)).as("n_docs"))
     // exact-rational fold (num/den both integers in doubles):
     //   num = scale · (2N−2df+1) · 100(10+k1T) · tf · totalLen
     //   den = (2df+1) · (1000·totalLen·tf + k1T(100−bH)·totalLen + k1T·bH·dl·N)
@@ -275,14 +288,9 @@ object TextIndex {
           + lit(k1Tenths.toLong * (100 - bHundredths)).cast("double") * col("total_len").cast("double")
           + lit(k1Tenths.toLong * bHundredths).cast("double") * col("dl").cast("double") * col("n_docs").cast("double")))
     ).cast("long")
-    val scored = tf.join(broadcast(dfT), Seq("term"))
-      .join(dls, Seq(idCol))
+    rankTopK(tf.join(broadcast(dfT), Seq("term"))
       .crossJoin(broadcast(totals))
-      .groupBy(col(idCol)).agg(sum(termScore).as("score"))
-      .orderBy(col("score").desc, col(idCol)).limit(k)
-    scored.withColumn("rank",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("score").desc, col(idCol))))
+      .groupBy(col(idCol)).agg(sum(termScore).as("score")), k, idCol)
   }
 
   /** Persist the token table bucketed by token — the scale path for point
