@@ -305,22 +305,69 @@ object TextStats {
   def topTokens(docs: DataFrame, k: Int, groupCol: String = "source",
                 textCol: String = "text", nBuckets: Int = 64): DataFrame = {
     require(k > 0 && nBuckets > 0, s"k and nBuckets must be positive: $k, $nBuckets")
-    val w = org.apache.spark.sql.expressions.Window
-    val counts = docs
+    groupedTopK(tokenCounts(docs, groupCol, textCol),
+      groupCol, Seq(col("n").desc, col("token")), k, nBuckets)
+      .select(col(groupCol), col("token"), col("n"), col("rank"))
+  }
+
+  /** Per-(group, token) counts — the shared head of [[topTokens]] and
+    * [[topKeywords]]. One uniform (group, token) shuffle.
+    */
+  private def tokenCounts(docs: DataFrame, groupCol: String, textCol: String): DataFrame =
+    docs
       .select(col(groupCol), explode(split(coalesce(col(textCol), lit("")), " ")).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("n"))
-    val order = Seq(col("n").desc, col("token"))
-    val survivors = counts
+
+  /** Two-level per-group top-k over a scored summary: per-(group,
+    * token-hash-bucket) pre-top-k bounds every window partition, then the
+    * real rank runs on ≤ nBuckets·k rows per group — identical results to
+    * the flat per-group window (any globally-top-k row is top-k in its own
+    * bucket), but no fat-key reducer ever sorts a whole group's vocabulary.
+    */
+  private def groupedTopK(scored: DataFrame, groupCol: String,
+                          order: Seq[Column], k: Int, nBuckets: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    scored
       .withColumn("bkt", pmod(xxhash64(col("token")), lit(nBuckets)))
       .withColumn("r1", row_number().over(
         w.partitionBy(col(groupCol), col("bkt")).orderBy(order: _*)))
       .filter(col("r1") <= k)
-    survivors
       .withColumn("rank", row_number().over(
         w.partitionBy(col(groupCol)).orderBy(order: _*)))
       .filter(col("rank") <= k)
-      .select(col(groupCol), col("token"), col("n"), col("rank"))
+  }
+
+  /** Per-group CHARACTERISTIC terms — [[topTokens]] reweighted by the
+    * cross-group odds-ratio idf `(2G − 2·gdf + 1)/(2·gdf + 1)`,
+    * where gdf = how many groups contain the term and G = total group
+    * count: a term every source uses ("the") scores near tf·scale/(2G),
+    * while a term unique to one source keeps ~tf·scale·2G — the corpus-
+    * governance view ("what is src7 actually full of?"). Same no-libm-log
+    * exact-rational discipline as [[graft.ops.TextIndex.rankDocuments]]:
+    * every factor an exact integer in a double, one left-associated IEEE
+    * chain, round() to a long.
+    *
+    * Scale shape: the (group, token) count shuffle is shared with
+    * [[topTokens]]; the group-frequency table derives from it (vocabulary-
+    * sized, merge-hinted — the scorePairs mis-broadcast class); G is one
+    * scalar; the top-k is the same two-level window.
+    */
+  def topKeywords(docs: DataFrame, k: Int, groupCol: String = "source",
+                  textCol: String = "text", nBuckets: Int = 64,
+                  scale: Long = 1000000L): DataFrame = {
+    require(k > 0 && nBuckets > 0, s"k and nBuckets must be positive: $k, $nBuckets")
+    val counts = tokenCounts(docs, groupCol, textCol)
+    val gdf = counts.groupBy(col("token")).agg(count(lit(1)).as("gdf"))
+    val g = docs.agg(count_distinct(col(groupCol)).as("n_groups"))
+    val score = round(col("n").cast("double")
+      * (lit(2) * col("n_groups") - lit(2) * col("gdf") + 1).cast("double")
+      * lit(scale).cast("double") / (lit(2) * col("gdf") + 1).cast("double")).cast("long")
+    val scored = counts.join(gdf.hint("merge"), Seq("token"))
+      .crossJoin(broadcast(g))
+      .withColumn("score", score)
+    groupedTopK(scored, groupCol, Seq(col("score").desc, col("token")), k, nBuckets)
+      .select(col(groupCol), col("token"), col("n"), col("score"), col("rank"))
   }
 
   /** Unigram-LM surprisal scoring (the CCNet-style "how unlike the

@@ -962,6 +962,29 @@ object PipelineQueries {
         | SELECT source, token, n, CAST(rank AS INTEGER) AS rank
         | FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin),
 
+    // ---- per-source characteristic keywords (tf-idf over sources) -------
+    // topTokens reweighted by the cross-source odds-ratio idf: "the" (in
+    // every source) sinks, source-specific vocabulary surfaces. Flat window
+    // in the oracle == two-level window engine-side.
+    ("t_source_keywords",
+      (s, d) => TextStats.topKeywords(t(s, d, "documents"), k = 5)
+        .orderBy("source", "rank"),
+      """WITH c AS (SELECT source, w AS token, COUNT(*) AS n
+        |           FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        |           WHERE w <> '' GROUP BY 1, 2),
+        | gdf AS (SELECT token, COUNT(*) AS gdf FROM c GROUP BY 1),
+        | g AS (SELECT COUNT(DISTINCT source) AS n_groups FROM documents),
+        | s AS (SELECT source, token, n,
+        |         CAST(round(CAST(n AS DOUBLE)
+        |                    * CAST(2*n_groups - 2*gdf + 1 AS DOUBLE)
+        |                    * CAST(1000000 AS DOUBLE)
+        |                    / CAST(2*gdf + 1 AS DOUBLE)) AS BIGINT) AS score
+        |       FROM c JOIN gdf USING (token) CROSS JOIN g),
+        | r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |                                    ORDER BY score DESC, token) AS rank FROM s)
+        | SELECT source, token, n, score, CAST(rank AS INTEGER) AS rank
+        | FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin),
+
     // ---- exact length quantiles per source (corpus monitoring) ----------
     // PERCENTILE_DISC without sketches: summary-sized window, never a
     // per-row global sort. a7_approx remains the only engine-specific

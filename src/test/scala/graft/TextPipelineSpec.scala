@@ -431,6 +431,28 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(flat == bucketed)
   }
 
+  test("topKeywords: idf sinks universal terms, surfaces group-specific ones") {
+    // "the" appears in BOTH sources with high tf; "quark"/"gluon" are
+    // unique to source a, "tort"/"lien" to source b, each at tf=2
+    val docs = Seq(
+      ("a", "the the the quark gluon quark gluon"),
+      ("b", "the the the tort lien tort lien")
+    ).toDF("source", "text")
+    val kw = TextStats.topKeywords(docs, k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(kw == Set(("a", "gluon"), ("a", "quark"), ("b", "lien"), ("b", "tort")),
+      s"universal 'the' must not outrank group-specific terms: $kw")
+    // raw topTokens on the same corpus puts "the" first in both groups
+    val tt = TextStats.topTokens(docs, k = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(tt == Map("a" -> "the", "b" -> "the"))
+    // two-level equals flat under heavier vocabulary
+    val many = (0 until 200).map(i => (s"s${i % 3}", s"t${i % 23} shared t${i % 7}"))
+      .toDF("source", "text")
+    val flat = TextStats.topKeywords(many, k = 4, nBuckets = 1).collect().toSet
+    assert(flat == TextStats.topKeywords(many, k = 4, nBuckets = 64).collect().toSet)
+  }
+
   test("exactQuantiles: PERCENTILE_DISC semantics per group, duplicates included") {
     val df = ((1 to 10).map(v => ("a", v.toLong)) ++
       Seq(("b", 2L), ("b", 2L), ("b", 2L), ("b", 4L))).toDF("g", "v")
