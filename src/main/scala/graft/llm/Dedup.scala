@@ -378,16 +378,28 @@ object Dedup {
     */
   def bloomDecontaminate(docs: DataFrame, evalDocs: DataFrame, n: Int = 13,
                          mBits: Int = 22, numHashes: Int = 4,
-                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.filter(graft.functions.BloomProbe.countContaminatedCol(col(textCol), n,
+      buildBloom(evalDocs, n, mBits, numHashes, textCol)) === 0)
+
+  /** Build the eval-gram bloom bitset — the reusable half of
+    * [[bloomDecontaminate]] (a long-lived bitset serves every batch run AND
+    * [[graft.streaming.StreamingIngest.streamingDecontaminate]] micro-batch
+    * without rebuilding). Positions are computed per eval gram in
+    * expressions (distributed, distinct'd engine-side); the driver
+    * materializes only distinct bit positions — bounded by 2^mBits
+    * regardless of eval-corpus size.
+    */
+  def buildBloom(evalDocs: DataFrame, n: Int = 13, mBits: Int = 22,
+                 numHashes: Int = 4,
+                 textCol: String = "text"): graft.functions.BloomBits = {
     val positions = evalDocs
       .select(graft.functions.WordShingles.wordShingles(col(textCol), n).as("gram"))
       .select(explode(graft.functions.BloomProbe.positionsCol(
         col("gram"), mBits, numHashes)).as("pos"))
       .distinct()
       .collect().map(_.getLong(0))
-    val bloom = graft.functions.BloomProbe.buildBits(positions, mBits, numHashes)
-    docs.filter(
-      graft.functions.BloomProbe.countContaminatedCol(col(textCol), n, bloom) === 0)
+    graft.functions.BloomProbe.buildBits(positions, mBits, numHashes)
   }
 
   /** Chunk-granular global dedup (the C4-style rule at fixed word windows):

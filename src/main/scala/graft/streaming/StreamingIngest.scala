@@ -193,6 +193,23 @@ object StreamingIngest {
     } finally { incSigs.unpersist(); () }
   }
 
+  /** Streaming benchmark decontamination: the bloom probe
+    * ([[graft.functions.BloomCountContaminatedExpr]]) is a stateless
+    * map-side filter — no shuffle, no watermark, no state store — so the
+    * SAME kernel chains into a streaming ingest unchanged: build the bitset
+    * once from the (batch) eval corpus via
+    * [[graft.llm.Dedup.buildBloom]], then every micro-batch drops
+    * contaminated documents at scan speed. The fixed-size bitset is what
+    * makes this streamable: a broadcast eval-shingle SET would need
+    * re-broadcast machinery as the eval suite grows, while 2^mBits bits
+    * ride in the continuous query as one codegen reference object.
+    * Stream-equals-batch by construction (the spec pins it).
+    */
+  def streamingDecontaminate(docs: DataFrame, bloom: graft.functions.BloomBits,
+                             n: Int = 13, textCol: String = "text"): DataFrame =
+    docs.filter(
+      graft.functions.BloomProbe.countContaminatedCol(col(textCol), n, bloom) === 0)
+
   /** Custom streaming state via `mapGroupsWithState`: per-source running
     * corpus statistics (doc count, total whitespace tokens), updated every
     * micro-batch — the arbitrary-stateful surface that windowed aggregation

@@ -192,6 +192,41 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
   }
 
+  test("streaming bloom decontamination equals the batch filter across micro-batches") {
+    import spark.implicits._
+    import graft.llm.Dedup
+    val base = Files.createTempDirectory("graft-bloom-stream")
+    val in = base.resolve("in"); Files.createDirectories(in)
+    try {
+      val evalDocs = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+      val b1 = Seq(
+        (1L, "something quick brown fox other words"), // contaminated
+        (2L, "entirely different content here now"))
+      val b2 = Seq(
+        (3L, "quick brown wolf not a match"),
+        (4L, "the quick brown fox jumps again"))       // contaminated
+      val bloom = Dedup.buildBloom(evalDocs, n = 3, mBits = 20)
+      b1.toDF("doc_id", "text").write.parquet(s"$in/b1")
+      val schema = spark.read.parquet(s"$in/b1").schema
+      val stream = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(in.toString)
+      val q = StreamingIngest.streamingDecontaminate(stream, bloom, n = 3)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("bloom_clean").start()
+      try {
+        q.processAllAvailable()
+        b2.toDF("doc_id", "text").write.parquet(s"$in/b2")
+        q.processAllAvailable()
+        val streamed = spark.table("bloom_clean")
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        val batch = Dedup.bloomDecontaminate(
+            (b1 ++ b2).toDF("doc_id", "text"), evalDocs, n = 3, mBits = 20)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        assert(streamed == batch && batch == Set(2L, 3L))
+      } finally q.stop()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
   test("streaming session windows match batch sessionization on real events") {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
