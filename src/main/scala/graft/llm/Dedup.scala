@@ -295,6 +295,38 @@ object Dedup {
     docs.join(dropIds.hint("merge"), Seq(idCol), "left_anti")
   }
 
+  /** MinHash Jaccard estimate for candidate pairs: the fraction of the k
+    * signature components the two documents share — the classic unbiased
+    * estimator (P[min-hash agrees] = true Jaccard, so E[est] = J with
+    * stderr ≈ 1/√k). The cheap verify step between LSH candidacy and the
+    * exact [[jaccardPairs]] intersection: signatures are already computed,
+    * so scoring a pair costs k string compares instead of a shingle-set
+    * join — use it to triage candidate volume before the exact pass, or in
+    * place of it where a ±1/√k score suffices.
+    *
+    * Scale shape: two merge-hinted joins of the (data-dependent) pair table
+    * against the signature table — the [[scorePairs]] discipline; the
+    * component comparison is a map-side literal fold. Signatures are
+    * md5-hex derived, so the estimate is engine-portable and the oracle
+    * reproduces it exactly.
+    */
+  def estimateJaccard(signatures: DataFrame, pairs: DataFrame,
+                      numHashes: Int): DataFrame = {
+    require(numHashes >= 1, s"numHashes must be positive: $numHashes")
+    def side(suffix: String) = signatures.select(
+      col("id").as(s"id_$suffix") +:
+        (0 until numHashes).map(j => col(s"h$j").as(s"${suffix}_h$j")): _*)
+    val agree = (0 until numHashes)
+      .map(j => when(col(s"a_h$j") === col(s"b_h$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.select("id_a", "id_b")
+      .join(side("a").hint("merge"), Seq("id_a"))
+      .join(side("b").hint("merge"), Seq("id_b"))
+      .withColumn("n_agree", agree.cast("long"))
+      .withColumn("est_jaccard", col("n_agree") / numHashes)
+      .select("id_a", "id_b", "n_agree", "est_jaccard")
+  }
+
   /** Incremental near-dup candidates: pairs that INVOLVE an incoming
     * document — incoming×corpus plus incoming×incoming, never
     * corpus×corpus. This is the continuous-ingestion shape at 100 TB: the

@@ -120,6 +120,37 @@ object PipelineQueries {
          | FROM bands a JOIN bands b USING (band, band_key)
          | WHERE a.id < b.id ORDER BY id_a, id_b""".stripMargin),
 
+    // ---- minhash Jaccard estimate over the LSH candidates ---------------
+    // the cheap verify tier: k component agreements per pair instead of a
+    // shingle-set join; est_jaccard is md5-derived so the oracle reproduces
+    // it exactly (estimator vs exact d2 comparable row by row).
+    ("d3_jaccard_estimate",
+      (s, d) => {
+        val sigs = Dedup.minhashSignatures(
+          Dedup.wordShingles(spread(t(s, d, "documents")), 3), 12)
+        Dedup.estimateJaccard(sigs,
+            Dedup.lshCandidates(sigs, bands = 4, rowsPerBand = 3), 12)
+          .orderBy("id_a", "id_b")
+      },
+      s"""WITH sh AS ($ShinglesSql),
+         | hx AS (SELECT id, j, MIN(substr(md5((j // 4)::VARCHAR || ':' || shingle), 1 + 8 * (j % 4), 8)) AS h
+         |        FROM sh, LATERAL (SELECT unnest(generate_series(0, 11)) AS j) t
+         |        GROUP BY id, j),
+         | sig AS (SELECT id,
+         |   ${(0 until 12).map(j => s"MAX(CASE WHEN j=$j THEN h END) AS h$j").mkString(", ")}
+         |   FROM hx GROUP BY id),
+         | bands AS (
+         |   ${(0 until 4).map(b => s"SELECT id, $b AS band, h${b * 3} || h${b * 3 + 1} || h${b * 3 + 2} AS band_key FROM sig").mkString(" UNION ALL ")}
+         | ),
+         | cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |          FROM bands a JOIN bands b USING (band, band_key)
+         |          WHERE a.id < b.id)
+         | SELECT id_a, id_b,
+         |   CAST(${(0 until 12).map(j => s"(CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS n_agree,
+         |   CAST(${(0 until 12).map(j => s"(CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END)").mkString(" + ")} AS DOUBLE) / 12 AS est_jaccard
+         | FROM cand JOIN sig sa ON id_a = sa.id JOIN sig sb ON id_b = sb.id
+         | ORDER BY id_a, id_b""".stripMargin),
+
     // ---- end-to-end near-dup removal (candidates -> verify -> drop) -----
     ("d5_dedup_near_remove",
       (s, d) => Dedup.removeNearDuplicates(spread(t(s, d, "documents")), minJaccard = 0.2)

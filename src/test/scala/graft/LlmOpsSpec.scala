@@ -86,6 +86,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast probe:\n$plan")
   }
 
+  test("estimateJaccard: exact extremes and estimator accuracy on random corpora") {
+    import org.apache.spark.sql.DataFrame
+    val d = docs(
+      1L -> "a b c d e f", 2L -> "a b c d e f", // identical -> est 1.0
+      3L -> "q r s t u v")                      // disjoint from 1 -> est 0.0
+    val sigs = Dedup.minhashSignatures(Dedup.wordShingles(d, 3), 12)
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val est = Dedup.estimateJaccard(sigs, pairs, 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(est((1L, 2L)) == 1.0)
+    assert(est((1L, 3L)) == 0.0)
+    // random corpus: the estimator tracks exact jaccard within ~2 stderr
+    val rnd = new scala.util.Random(83)
+    val words = Array("aa", "bb", "cc", "dd", "ee")
+    val many = (0L until 60L).map { i =>
+      (i, Seq.fill(10)(words(rnd.nextInt(words.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val sh = Dedup.wordShingles(many, 3)
+    val exact = Dedup.jaccardPairs(sh, 0.0).select("id_a", "id_b", "jaccard")
+    val sigs2 = Dedup.minhashSignatures(sh, 12)
+    val joined = Dedup.estimateJaccard(sigs2, exact.select("id_a", "id_b"), 12)
+      .join(exact, Seq("id_a", "id_b"))
+      .select(avg(abs(col("est_jaccard") - col("jaccard"))))
+      .head.getDouble(0)
+    assert(joined < 2.0 / math.sqrt(12), s"mean |est - exact| too high: $joined")
+  }
+
   test("containment catches doc-in-doc duplication that jaccard misses") {
     // doc 2's text is verbatim inside doc 1, which is much longer.
     // shingles(3): doc 2 has 2, both shared; doc 1 has 10.
