@@ -29,6 +29,55 @@ object Similarity {
   def quantize(emb: Column, scale: Int = 1000): Column =
     transform(emb, x => round(x.cast("double") * scale).cast("long"))
 
+  /** Per-dimension affine (scalar) quantization stats: (min, max) of each
+    * embedding dimension over the corpus — ONE summary aggregate on d
+    * uniform keys, collected as 2·d doubles. The offline-fit half of
+    * [[scalarQuantize]]; fit once, reuse across batches (the
+    * [[collectQuantizedCentroids]] amortization discipline).
+    */
+  def collectScalarQuantStats(vectors: DataFrame,
+                              embCol: String = "embedding"): (Seq[Double], Seq[Double]) = {
+    val stats = vectors
+      .select(posexplode(col(embCol)).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .orderBy("i")
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    (stats.map(_._1).toSeq, stats.map(_._2).toSeq)
+  }
+
+  /** Scalar quantization of embeddings — the storage companion to PQ: each
+    * dimension maps affinely onto `levels`+1 integer codes,
+    * `code_i = round((x_i − min_i) · levels / (max_i − min_i))` (constant
+    * dimensions code to 0), cutting a float32 corpus ~4× at one byte per
+    * dimension for `levels` = 255 while keeping per-dimension resolution —
+    * where PQ spends its budget on cross-dimension structure. Codes are
+    * deterministic IEEE arithmetic on exact inputs, so the DuckDB oracle
+    * reproduces every code.
+    *
+    * Scale shape: the stats fit is one d-key summary aggregate (or passed
+    * in, fit offline on a sample); encoding is a pure MAP-SIDE transform
+    * against the 2·d-double literal — zero shuffles, chains inline in any
+    * ingest pipeline. Emits (idCol, codes, code_sum).
+    */
+  def scalarQuantize(vectors: DataFrame, mins: Seq[Double], maxs: Seq[Double],
+                     levels: Int = 255, idCol: String = "vec_id",
+                     embCol: String = "embedding"): DataFrame = {
+    require(levels >= 1, s"levels must be positive: $levels")
+    require(mins.length == maxs.length && mins.nonEmpty,
+      s"mins/maxs must be non-empty and equal length: ${mins.length}/${maxs.length}")
+    val mnLit = typedlit(mins)
+    val spanLit = typedlit(mins.indices.map(i => maxs(i) - mins(i)))
+    val codes = transform(col(embCol), (x, i) => {
+      val span = element_at(spanLit, i + 1)
+      when(span === 0.0, lit(0)).otherwise(
+        round((x.cast("double") - element_at(mnLit, i + 1)) * levels / span).cast("int"))
+    })
+    vectors.select(col(idCol), codes.as("codes"))
+      .withColumn("code_sum",
+        aggregate(col("codes"), lit(0L), (acc, c) => acc + c))
+  }
+
   /** Exact integer dot product of two array<long> — a native codegen
     * expression (plain fused loop); the composable
     * `aggregate(zip_with(...))` form evaluates interpreted per element and

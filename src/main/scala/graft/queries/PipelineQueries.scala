@@ -1037,6 +1037,26 @@ object PipelineQueries {
         |   MIN(CASE WHEN cum >= ceil(0.99 * n) THEN v END) AS p99
         | FROM x GROUP BY source ORDER BY source""".stripMargin),
 
+    // ---- scalar quantization of the embedding corpus --------------------
+    // per-dim affine int8-style codes (the SQ storage companion to PQ);
+    // stats fit engine-side, codes map-side; the oracle re-derives both.
+    ("sim_scalar_quant",
+      (s, d) => {
+        val vecs = t(s, d, "embeddings")
+        val (mins, maxs) = Similarity.collectScalarQuantStats(vecs)
+        Similarity.scalarQuantize(vecs, mins, maxs).orderBy("vec_id")
+      },
+      """WITH e AS (SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS v
+        |           FROM embeddings, LATERAL (SELECT unnest(generate_series(0, len(embeddings.embedding) - 1)) AS i) g),
+        | st AS (SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM e GROUP BY i),
+        | c AS (SELECT vec_id, e.i,
+        |         CASE WHEN mx - mn = 0 THEN 0
+        |              ELSE CAST(round((v - mn) * 255 / (mx - mn)) AS INTEGER) END AS code
+        |       FROM e JOIN st ON e.i = st.i)
+        | SELECT vec_id, list(code ORDER BY i) AS codes,
+        |        CAST(SUM(code) AS BIGINT) AS code_sum
+        | FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+
     // ---- exact scatter matrix of the embedding corpus -------------------
     // integer second moments per (dim_i <= dim_j): the offline PCA/whitening
     // statistic; mean-centering is driver-side arithmetic on exact sums.

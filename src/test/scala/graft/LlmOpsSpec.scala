@@ -207,6 +207,35 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("scalarQuantize: round-trip error bounded by half a step; edges exact") {
+    val vecs = Seq(
+      (0L, Array(0.0f, 5.0f, 7.0f)),
+      (1L, Array(1.0f, 5.0f, 3.0f)),
+      (2L, Array(0.5f, 5.0f, -2.0f)))
+      .toDF("vec_id", "embedding")
+    val (mins, maxs) = Similarity.collectScalarQuantStats(vecs)
+    assert(mins == Seq(0.0, 5.0, -2.0) && maxs == Seq(1.0, 5.0, 7.0))
+    val got = Similarity.scalarQuantize(vecs, mins, maxs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // range edges hit the code extremes exactly; constant dim codes to 0
+    assert(got(0L) == Seq(0, 0, 255))
+    assert(got(1L) == Seq(255, 0, math.round((3.0 - -2.0) / 9.0 * 255.0).toInt))
+    assert(got(2L)(0) == 128) // 0.5 of the span -> round(127.5) = 128
+    // round-trip: dequantized value within half a quantization step
+    val dims = mins.indices
+    for ((id, codes) <- got; i <- dims if maxs(i) > mins(i)) {
+      val span = maxs(i) - mins(i)
+      val deq = mins(i) + codes(i) * span / 255.0
+      val orig = vecs.collect().find(_.getLong(0) == id).get
+        .getSeq[Float](1)(i).toDouble
+      assert(math.abs(deq - orig) <= span / 510.0 + 1e-9, s"vec $id dim $i")
+    }
+    // finer levels shrink the step: levels=1023 quantizes strictly tighter
+    val fine = Similarity.scalarQuantize(vecs, mins, maxs, levels = 1023)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(fine(2L)(0) == 512)
+  }
+
   test("simhash: identical texts equal, disjoint texts differ") {
     val d = docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta", 3L -> "zz yy xx ww vv uu")
     val m = Dedup.simhash(d, 16).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
