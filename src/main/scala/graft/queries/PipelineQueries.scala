@@ -35,6 +35,46 @@ object PipelineQueries {
       | FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w,
       |      LATERAL (SELECT unnest(generate_series(1, greatest(len(w.words)-2, 0))) AS i) g""".stripMargin
 
+  /** Quality-verdict CTE chain (wds..v) over `srcRel` — shared by
+    * t_quality_filter and the composite corpus-preparation pipeline. CTE
+    * `v` carries the per-doc signals plus `fail_reasons`; callers append
+    * further CTEs (", x AS (...)") and the final SELECT.
+    */
+  def qualityCtes(srcRel: String, maxDupWordFraction: String = "0.3"): String =
+    s"""WITH wds AS (SELECT doc_id, string_split(text, ' ') AS words, text FROM $srcRel),
+       | base AS (SELECT doc_id,
+       |            CAST(len(words) AS BIGINT) AS n_tokens,
+       |            CAST(length(text) - (len(words) - 1) AS DOUBLE) / len(words) AS avg_word_len,
+       |            CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+       |              / len(words) AS alpha_word_fraction,
+       |            CAST(len(list_distinct(list_filter(words,
+       |              w -> w IN ('the','a','an','of','to','and','in','is','it','that')))) AS BIGINT)
+       |              AS n_distinct_stopwords,
+       |            CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
+       |            CAST(len(words) AS BIGINT) AS n_words
+       |          FROM wds),
+       | bg AS (SELECT doc_id, array_to_string(words[i:i+1], ' ') AS bigram
+       |        FROM wds, LATERAL (SELECT unnest(generate_series(1,
+       |               greatest(len(wds.words) - 1, 0))) AS i) g),
+       | bgc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+       | top AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bigrams FROM bgc GROUP BY 1),
+       | sig AS (SELECT b.doc_id, n_tokens, avg_word_len, alpha_word_fraction,
+       |                n_distinct_stopwords,
+       |                1.0 - n_distinct / CAST(n_words AS DOUBLE) AS dup_word_fraction,
+       |                COALESCE(top_c / CAST(n_bigrams AS DOUBLE), 0.0) AS top_bigram_fraction
+       |         FROM base b LEFT JOIN top USING (doc_id)),
+       | v AS (SELECT *,
+       |         COALESCE(array_to_string(list_filter([
+       |           CASE WHEN NOT (n_tokens >= 5) THEN 'too_short' END,
+       |           CASE WHEN NOT (n_tokens <= 100000) THEN 'too_long' END,
+       |           CASE WHEN NOT (avg_word_len >= 3.0 AND avg_word_len <= 12.0) THEN 'word_len' END,
+       |           CASE WHEN NOT (alpha_word_fraction >= 0.8) THEN 'non_alpha' END,
+       |           CASE WHEN NOT (n_distinct_stopwords >= 2) THEN 'no_stopwords' END,
+       |           CASE WHEN NOT (dup_word_fraction <= $maxDupWordFraction) THEN 'dup_words' END,
+       |           CASE WHEN NOT (top_bigram_fraction <= 0.2) THEN 'rep_bigram' END
+       |         ], x -> x IS NOT NULL), ','), '') AS fail_reasons
+       |       FROM sig)""".stripMargin
+
   val all: Seq[Entry] = Seq(
 
     // ---- exact dedup ----------------------------------------------------
@@ -1178,43 +1218,57 @@ object PipelineQueries {
           "n_distinct_stopwords", "dup_word_fraction", "top_bigram_fraction",
           "fail_reasons", "keep")
         .orderBy("doc_id"),
-      """WITH wds AS (SELECT doc_id, string_split(text, ' ') AS words, text FROM documents),
-        | base AS (SELECT doc_id,
-        |            CAST(len(words) AS BIGINT) AS n_tokens,
-        |            CAST(length(text) - (len(words) - 1) AS DOUBLE) / len(words) AS avg_word_len,
-        |            CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
-        |              / len(words) AS alpha_word_fraction,
-        |            CAST(len(list_distinct(list_filter(words,
-        |              w -> w IN ('the','a','an','of','to','and','in','is','it','that')))) AS BIGINT)
-        |              AS n_distinct_stopwords,
-        |            CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
-        |            CAST(len(words) AS BIGINT) AS n_words
-        |          FROM wds),
-        | bg AS (SELECT doc_id, array_to_string(words[i:i+1], ' ') AS bigram
-        |        FROM wds, LATERAL (SELECT unnest(generate_series(1,
-        |               greatest(len(wds.words) - 1, 0))) AS i) g),
-        | bgc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
-        | top AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bigrams FROM bgc GROUP BY 1),
-        | sig AS (SELECT b.doc_id, n_tokens, avg_word_len, alpha_word_fraction,
-        |                n_distinct_stopwords,
-        |                1.0 - n_distinct / CAST(n_words AS DOUBLE) AS dup_word_fraction,
-        |                COALESCE(top_c / CAST(n_bigrams AS DOUBLE), 0.0) AS top_bigram_fraction
-        |         FROM base b LEFT JOIN top USING (doc_id)),
-        | v AS (SELECT *,
-        |         COALESCE(array_to_string(list_filter([
-        |           CASE WHEN NOT (n_tokens >= 5) THEN 'too_short' END,
-        |           CASE WHEN NOT (n_tokens <= 100000) THEN 'too_long' END,
-        |           CASE WHEN NOT (avg_word_len >= 3.0 AND avg_word_len <= 12.0) THEN 'word_len' END,
-        |           CASE WHEN NOT (alpha_word_fraction >= 0.8) THEN 'non_alpha' END,
-        |           CASE WHEN NOT (n_distinct_stopwords >= 2) THEN 'no_stopwords' END,
-        |           CASE WHEN NOT (dup_word_fraction <= 0.3) THEN 'dup_words' END,
-        |           CASE WHEN NOT (top_bigram_fraction <= 0.2) THEN 'rep_bigram' END
-        |         ], x -> x IS NOT NULL), ','), '') AS fail_reasons
-        |       FROM sig)
+      qualityCtes("documents") +
+        """
         | SELECT doc_id, n_tokens, avg_word_len, alpha_word_fraction,
         |        n_distinct_stopwords, dup_word_fraction, top_bigram_fraction,
         |        fail_reasons, fail_reasons = '' AS keep
         | FROM v ORDER BY doc_id""".stripMargin),
+
+    // ---- END-TO-END corpus preparation (the switch-over composition) ----
+    // quality filter -> exact dedup (keep canonical) -> 5-gram
+    // decontamination vs the eval slice -> deterministic split assignment:
+    // four operators chained exactly as a training-data pipeline would run
+    // them, oracle-checked as ONE composed query (each stage's SQL chained
+    // as CTEs). Proves the operators compose under the same hash contract
+    // they pass individually.
+    ("t_corpus_prepare",
+      (s, d) => {
+        val docsDf = spread(t(s, d, "documents"))
+        val corpus = docsDf.filter(col("doc_id") % 20 =!= 0).select("doc_id", "text")
+        val evalDocs = docsDf.filter(col("doc_id") % 20 === 0)
+        val keepIds = TextStats.qualityFilter(corpus,
+          TextStats.QualityThresholds(maxDupWordFraction = 0.75))
+          .filter(col("keep")).select("doc_id")
+        val kept = corpus.join(keepIds, Seq("doc_id"), "left_semi")
+        val canonIds = Dedup.exactGroups(kept).select(col("canonical_id").as("doc_id"))
+        val canon = kept.join(canonIds, Seq("doc_id"), "left_semi")
+        val survivors = Dedup.decontaminate(canon, evalDocs, n = 5)
+        Sampling.assignSplit(survivors, "doc_id",
+            Seq(0.8 -> "train", 0.9 -> "val", 1.0 -> "test"))
+          .select("doc_id", "split")
+          .orderBy("doc_id")
+      },
+      qualityCtes("(SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0)", maxDupWordFraction = "0.75") +
+        s"""
+          |, qk AS (SELECT doc_id FROM v WHERE fail_reasons = ''),
+          | kept AS (SELECT d.doc_id, d.text FROM documents d JOIN qk USING (doc_id)),
+          | canon AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+          | kd AS (SELECT kept.doc_id, kept.text FROM kept JOIN canon USING (doc_id)),
+          | shc AS (SELECT doc_id AS id, array_to_string(words[i:i+4], ' ') AS shingle
+          |         FROM (SELECT doc_id, string_split(text, ' ') AS words FROM kd) w,
+          |              LATERAL (SELECT unnest(generate_series(1, greatest(len(w.words)-4, 0))) AS i) g),
+          | she AS (SELECT DISTINCT array_to_string(words[i:i+4], ' ') AS shingle
+          |         FROM (SELECT string_split(text, ' ') AS words FROM documents
+          |               WHERE doc_id % 20 = 0) w,
+          |              LATERAL (SELECT unnest(generate_series(1, greatest(len(w.words)-4, 0))) AS i) g),
+          | bad AS (SELECT DISTINCT id FROM shc WHERE shingle IN (SELECT shingle FROM she))
+          | SELECT doc_id,
+          |        CASE WHEN substr(md5('split:' || doc_id), 1, 8) < '${Sampling.hexThreshold(0.8)}' THEN 'train'
+          |             WHEN substr(md5('split:' || doc_id), 1, 8) < '${Sampling.hexThreshold(0.9)}' THEN 'val'
+          |             ELSE 'test' END AS split
+          | FROM kd WHERE doc_id NOT IN (SELECT id FROM bad)
+          | ORDER BY doc_id""".stripMargin),
 
     // ---- token-budget domain mixing -------------------------------------
     // per-domain budgets in tokens; membership is hash-ordered and exact —
