@@ -26,10 +26,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * an even stride on a power-of-two table would cycle through at most
   * 2^mBits / 2 positions.
   */
-case class BloomCountContaminatedExpr(child: Expression, n: Int, bloom: BloomBits)
+case class BloomCountContaminatedExpr(child: Expression, bloom: BloomBits)
   extends UnaryExpression {
-
-  require(n >= 1, "shingle size must be >= 1")
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "bloom_count_contaminated"
@@ -44,7 +42,7 @@ case class BloomCountContaminatedExpr(child: Expression, n: Int, bloom: BloomBit
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
-    bloom.countContaminated(if (v == null) null else v.asInstanceOf[UTF8String], n)
+    bloom.countContaminated(if (v == null) null else v.asInstanceOf[UTF8String])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -55,7 +53,7 @@ case class BloomCountContaminatedExpr(child: Expression, n: Int, bloom: BloomBit
       code = code"""
         ${childGen.code}
         int ${ev.value} =
-          $b.countContaminated(${childGen.isNull} ? null : ${childGen.value}, $n);
+          $b.countContaminated(${childGen.isNull} ? null : ${childGen.value});
         """,
       isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
@@ -68,9 +66,10 @@ case class BloomCountContaminatedExpr(child: Expression, n: Int, bloom: BloomBit
   * ordinary long[] (2^30 bits = 128 MiB — already past any sensible
   * broadcast size); `numHashes` is the classic k.
   */
-final class BloomBits(val bits: Array[Long], val mBits: Int, val numHashes: Int)
-  extends Serializable {
+final class BloomBits(val bits: Array[Long], val n: Int, val mBits: Int,
+                      val numHashes: Int) extends Serializable {
 
+  require(n >= 1, s"shingle size must be >= 1: $n")
   require(mBits >= 3 && mBits <= 30, s"mBits must be in [3, 30]: $mBits")
   require(numHashes >= 1, s"numHashes must be positive: $numHashes")
   // (mBits - 6).max(0): a bare 1 << (mBits - 6) wraps for mBits < 6
@@ -106,11 +105,14 @@ final class BloomBits(val bits: Array[Long], val mBits: Int, val numHashes: Int)
     true
   }
 
-  /** Count of n-word windows of `text` that probe fully set — the
+  /** Count of `n`-word windows of `text` that probe fully set — the
     * [[WordShinglesExpr]] window walk (split(" ", -1) fields, empties
-    * kept) fused with the probe.
+    * kept) fused with the probe. The gram size is the one the bitset was
+    * BUILT with — carrying it here (not as a probe-side argument) makes a
+    * build/probe n mismatch, which would silently pass every contaminated
+    * document, unrepresentable.
     */
-  def countContaminated(text: UTF8String, n: Int): Int = {
+  def countContaminated(text: UTF8String): Int = {
     if (text == null) return 0
     val s = text.toString
     val starts = WordShingles.wordStarts(s)
@@ -133,7 +135,8 @@ object BloomProbe {
     * [[positionsCol]] over the eval grams — already deduplicated or not,
     * either works).
     */
-  def buildBits(positions: Iterable[Long], mBits: Int, numHashes: Int): BloomBits = {
+  def buildBits(positions: Iterable[Long], n: Int, mBits: Int,
+                numHashes: Int): BloomBits = {
     val words = 1 << (mBits - 6).max(0)
     val bits = new Array[Long](words)
     val mask = (1L << mBits) - 1L
@@ -141,7 +144,7 @@ object BloomProbe {
       require(p >= 0 && p <= mask, s"position out of range for mBits=$mBits: $p")
       bits((p >>> 6).toInt) |= 1L << (p & 63L)
     }
-    new BloomBits(bits, mBits, numHashes)
+    new BloomBits(bits, n, mBits, numHashes)
   }
 
   /** Column form of the probe-position schedule: array of `numHashes`
@@ -159,10 +162,10 @@ object BloomProbe {
     transform(sequence(lit(0), lit(numHashes - 1)), i => (h1 + i * h2) % m)
   }
 
-  /** Column API: count of `n`-word windows of `text` whose bloom probes
-    * all hit.
+  /** Column API: count of `bloom.n`-word windows of `text` whose bloom
+    * probes all hit.
     */
-  def countContaminatedCol(text: Column, n: Int, bloom: BloomBits): Column =
+  def countContaminatedCol(text: Column, bloom: BloomBits): Column =
     GraftColumnBridge.column(
-      BloomCountContaminatedExpr(GraftColumnBridge.expression(text), n, bloom))
+      BloomCountContaminatedExpr(GraftColumnBridge.expression(text), bloom))
 }

@@ -319,10 +319,16 @@ object Dedup {
     val agree = (0 until numHashes)
       .map(j => when(col(s"a_h$j") === col(s"b_h$j"), 1).otherwise(0))
       .reduce(_ + _)
+    // LEFT joins: a pair whose id is missing from the signature table (a
+    // stale persisted store vs newer candidates) must surface as a NULL
+    // estimate, never vanish — an inner join would silently drop it and a
+    // triage caller would read the absence as below-threshold
     pairs.select("id_a", "id_b")
-      .join(side("a").hint("merge"), Seq("id_a"))
-      .join(side("b").hint("merge"), Seq("id_b"))
-      .withColumn("n_agree", agree.cast("long"))
+      .join(side("a").hint("merge"), Seq("id_a"), "left")
+      .join(side("b").hint("merge"), Seq("id_b"), "left")
+      .withColumn("n_agree",
+        when(col("a_h0").isNull || col("b_h0").isNull, lit(null).cast("long"))
+          .otherwise(agree.cast("long")))
       .withColumn("est_jaccard", col("n_agree") / numHashes)
       .select("id_a", "id_b", "n_agree", "est_jaccard")
   }
@@ -411,8 +417,19 @@ object Dedup {
   def bloomDecontaminate(docs: DataFrame, evalDocs: DataFrame, n: Int = 13,
                          mBits: Int = 22, numHashes: Int = 4,
                          textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docs.filter(graft.functions.BloomProbe.countContaminatedCol(col(textCol), n,
-      buildBloom(evalDocs, n, mBits, numHashes, textCol)) === 0)
+    applyBloomFilter(docs, buildBloom(evalDocs, n, mBits, numHashes, textCol), textCol)
+
+  /** THE bloom probe predicate — drop every document with any fully-set
+    * `bloom.n`-gram probe. One copy, shared by [[bloomDecontaminate]] and
+    * the streaming twin
+    * [[graft.streaming.StreamingIngest.streamingDecontaminate]]; the gram
+    * size travels INSIDE the bitset, so a build/probe mismatch cannot be
+    * expressed.
+    */
+  def applyBloomFilter(docs: DataFrame, bloom: graft.functions.BloomBits,
+                       textCol: String = "text"): DataFrame =
+    docs.filter(
+      graft.functions.BloomProbe.countContaminatedCol(col(textCol), bloom) === 0)
 
   /** Build the eval-gram bloom bitset — the reusable half of
     * [[bloomDecontaminate]] (a long-lived bitset serves every batch run AND
@@ -431,7 +448,7 @@ object Dedup {
         col("gram"), mBits, numHashes)).as("pos"))
       .distinct()
       .collect().map(_.getLong(0))
-    graft.functions.BloomProbe.buildBits(positions, mBits, numHashes)
+    graft.functions.BloomProbe.buildBits(positions, n, mBits, numHashes)
   }
 
   /** Chunk-granular global dedup (the C4-style rule at fixed word windows):

@@ -70,10 +70,24 @@ object Similarity {
     val spanLit = typedlit(mins.indices.map(i => maxs(i) - mins(i)))
     val codes = transform(col(embCol), (x, i) => {
       val span = element_at(spanLit, i + 1)
+      // clamp to [0, levels]: sample-fit stats (the documented offline
+      // mode) can miss corpus extremes, and an out-of-range value must
+      // saturate (the FAISS SQ convention), not break the one-byte contract
       when(span === 0.0, lit(0)).otherwise(
-        round((x.cast("double") - element_at(mnLit, i + 1)) * levels / span).cast("int"))
+        greatest(lit(0), least(lit(levels),
+          round((x.cast("double") - element_at(mnLit, i + 1)) * levels / span)
+            .cast("int"))))
     })
-    vectors.select(col(idCol), codes.as("codes"))
+    vectors
+      // fail loudly on a stats/vector dimension mismatch (schema drift) —
+      // element_at past the stats array would otherwise yield silent NULL
+      // codes under non-ANSI evaluation
+      .withColumn("codes",
+        when(size(col(embCol)) === mins.length, codes)
+          .otherwise(raise_error(concat(
+            lit(s"scalarQuantize: stats have ${mins.length} dims, vector has "),
+            size(col(embCol)).cast("string")))))
+      .select(col(idCol), col("codes"))
       .withColumn("code_sum",
         aggregate(col("codes"), lit(0L), (acc, c) => acc + c))
   }

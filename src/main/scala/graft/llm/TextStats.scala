@@ -357,7 +357,11 @@ object TextStats {
                   textCol: String = "text", nBuckets: Int = 64,
                   scale: Long = 1000000L): DataFrame = {
     require(k > 0 && nBuckets > 0, s"k and nBuckets must be positive: $k, $nBuckets")
-    val counts = tokenCounts(docs, groupCol, textCol)
+    // vocabulary-sized result over the corpus-scale tokenize — materialize
+    // once (the unigramSurprisal ref-table precedent): it feeds both the
+    // group-frequency aggregate and the scored join, and AQE exchange reuse
+    // across those consumers is not guaranteed
+    val counts = tokenCounts(docs, groupCol, textCol).localCheckpoint(true)
     val gdf = counts.groupBy(col("token")).agg(count(lit(1)).as("gdf"))
     val g = docs.agg(count_distinct(col(groupCol)).as("n_groups"))
     val score = round(col("n").cast("double")

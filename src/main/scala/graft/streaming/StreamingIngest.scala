@@ -206,9 +206,8 @@ object StreamingIngest {
     * Stream-equals-batch by construction (the spec pins it).
     */
   def streamingDecontaminate(docs: DataFrame, bloom: graft.functions.BloomBits,
-                             n: Int = 13, textCol: String = "text"): DataFrame =
-    docs.filter(
-      graft.functions.BloomProbe.countContaminatedCol(col(textCol), n, bloom) === 0)
+                             textCol: String = "text"): DataFrame =
+    graft.llm.Dedup.applyBloomFilter(docs, bloom, textCol)
 
   /** Custom streaming state via `mapGroupsWithState`: per-source running
     * corpus statistics (doc count, total whitespace tokens), updated every

@@ -111,6 +111,11 @@ class LlmOpsSpec extends AnyFunSuite {
       .select(avg(abs(col("est_jaccard") - col("jaccard"))))
       .head.getDouble(0)
     assert(joined < 2.0 / math.sqrt(12), s"mean |est - exact| too high: $joined")
+    // a pair referencing an id with no signature surfaces as NULL, not a drop
+    val withGhost = Seq((1L, 2L), (1L, 999L)).toDF("id_a", "id_b")
+    val ghost = Dedup.estimateJaccard(sigs, withGhost, 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.isNullAt(3)).toMap
+    assert(ghost.size == 2 && !ghost((1L, 2L)) && ghost((1L, 999L)))
   }
 
   test("containment catches doc-in-doc duplication that jaccard misses") {
@@ -200,7 +205,7 @@ class LlmOpsSpec extends AnyFunSuite {
         graft.functions.BloomProbe.positionsCol(col("gram"), mBits, 4).as("ps"))
       .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
     val setBits = grams.take(100).flatMap(posOf).toSet
-    val bloom = graft.functions.BloomProbe.buildBits(setBits.toSeq, mBits, 4)
+    val bloom = graft.functions.BloomProbe.buildBits(setBits.toSeq, 3, mBits, 4)
     grams.foreach { g =>
       val expected = posOf(g).subsetOf(setBits)
       assert(bloom.mightContain(g) == expected, s"gram '$g'")
@@ -234,6 +239,21 @@ class LlmOpsSpec extends AnyFunSuite {
     val fine = Similarity.scalarQuantize(vecs, mins, maxs, levels = 1023)
       .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     assert(fine(2L)(0) == 512)
+    // sample-fit stats: out-of-range values CLAMP to [0, levels] (the
+    // one-byte storage contract), never overflow or go negative
+    val wild = Seq((9L, Array(3.0f, 5.0f, 20.0f)), (10L, Array(-4.0f, 5.0f, -9.0f)))
+      .toDF("vec_id", "embedding")
+    val clamped = Similarity.scalarQuantize(wild, mins, maxs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(clamped(9L) == Seq(255, 0, 255))
+    assert(clamped(10L) == Seq(0, 0, 0))
+    // dimension drift fails loudly, never silent-NULL codes
+    val bad = Seq((11L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.scalarQuantize(bad, mins, maxs).collect()
+    }
+    assert(e.getMessage.contains("scalarQuantize") ||
+      Option(e.getCause).exists(_.getMessage.contains("scalarQuantize")), e.getMessage)
   }
 
   test("simhash: identical texts equal, disjoint texts differ") {

@@ -210,7 +210,7 @@ class StreamingIngestSpec extends AnyFunSuite {
       val schema = spark.read.parquet(s"$in/b1").schema
       val stream = spark.readStream.schema(schema)
         .option("recursiveFileLookup", "true").parquet(in.toString)
-      val q = StreamingIngest.streamingDecontaminate(stream, bloom, n = 3)
+      val q = StreamingIngest.streamingDecontaminate(stream, bloom)
         .writeStream.outputMode("append").format("memory")
         .queryName("bloom_clean").start()
       try {
