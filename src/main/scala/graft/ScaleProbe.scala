@@ -154,7 +154,7 @@ object ScaleProbe {
     // similarity path at the same multiplier: exact copies (even k) again
     // stress bucket fan-out; odd copies get one element nudged
     val vecProbes = Seq("cosineDupPairs", "lshTopK", "ivfTopK", "semanticDedup",
-      "pqTopK", "ivfPqTopK")
+      "pqTopK", "ivfPqTopK", "sqTopK")
     if (vecProbes.exists(enabled)) {
     val baseV = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
@@ -192,6 +192,13 @@ object ScaleProbe {
       val rcbs = graft.llm.Similarity.collectPqResidualCodebooks(vecs, coarse, 16, 8)
       graft.llm.Similarity.ivfPqTopK(
         vecs.filter(col("vec_id") < 64), vecs, k = 5, coarse, rcbs, nProbe = 4).count()
+    }
+    timed("sqTopK (k=5, 64 queries)") {
+      // symmetric integer L2 over SQ codes: the corpus scan is the search,
+      // same memory-bound discipline as pqTopK but per-dim codes
+      val (mins, maxs) = graft.llm.Similarity.collectScalarQuantStats(vecs)
+      graft.llm.Similarity.sqTopK(
+        vecs.filter(col("vec_id") < 64), vecs, k = 5, mins, maxs).count()
     }
     timed("semanticDedup (64 cells, tau=0.95)") {
       // 64 cells over mult x 2000 vectors: cells of ~(n/64) with the exact

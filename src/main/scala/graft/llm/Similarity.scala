@@ -420,6 +420,44 @@ object Similarity {
       .select("query_id", "neighbor_id", "adc", "rank")
   }
 
+  /** Symmetric scalar-quantized top-k: both sides encode through the SAME
+    * [[scalarQuantize]] affine map and rank by exact integer squared L2
+    * over the codes — the FAISS `IndexScalarQuantizer` search mode, and
+    * the search half of the SQ storage path (PQ:ADC :: SQ:this). Symmetric
+    * (query also quantized) keeps the distance a pure integer — engine-
+    * portable and oracle-exact — at the cost of one extra half-step of
+    * query-side quantization noise vs asymmetric scoring.
+    *
+    * Scale shape: the [[pqTopKWithCodebooks]] memory-bound discipline —
+    * query codes BROADCAST, the corpus scanned once as codes with the
+    * distance in one map-side project, and the per-partition window prunes
+    * to k before the single query_id exchange; the corpus is never
+    * shuffled. dist2 bounds: levels² · d ≤ 2^20·d — long-safe for any
+    * real dimensionality.
+    */
+  def sqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             mins: Seq[Double], maxs: Seq[Double], levels: Int = 255,
+             idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    def longCodes(df: DataFrame, as: String) =
+      scalarQuantize(df, mins, maxs, levels, idCol, embCol)
+        .select(col(idCol).as(as),
+          transform(col("codes"), _.cast("long")).as(s"${as}_c"))
+    val q = longCodes(queries, "query_id")
+    val c = longCodes(corpus, "neighbor_id")
+    // |a−b|² = |a|² − 2a·b + |b|² via the native integer dot kernel
+    val dist2 = dotLong(col("query_id_c"), col("query_id_c")) -
+      lit(2L) * dotLong(col("query_id_c"), col("neighbor_id_c")) +
+      dotLong(col("neighbor_id_c"), col("neighbor_id_c"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist2"), col("neighbor_id"))
+    broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist2", dist2)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "dist2", "rank")
+  }
+
   /** Residual PQ codebooks for IVF-PQ: assign each of the first
     * `numCodewords` corpus vectors to its nearest coarse centroid, take the
     * RESIDUAL (vector − centroid), and slice the residuals into

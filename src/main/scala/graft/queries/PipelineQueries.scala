@@ -1097,6 +1097,34 @@ object PipelineQueries {
         |        CAST(SUM(code) AS BIGINT) AS code_sum
         | FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin),
 
+    // ---- symmetric SQ search over the quantized corpus ------------------
+    // both sides through the same affine map, exact integer L2 over codes
+    // (PQ:ADC :: SQ:this); oracle re-derives stats, codes, and ranks.
+    ("sim_sq_topk",
+      (s, d) => {
+        val vecs = t(s, d, "embeddings")
+        val (mins, maxs) = Similarity.collectScalarQuantStats(vecs)
+        Similarity.sqTopK(vecs.filter(col("vec_id") < 20), vecs, k = 5, mins, maxs)
+          .orderBy("query_id", "rank")
+      },
+      """WITH e AS (SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS v
+        |           FROM embeddings, LATERAL (SELECT unnest(generate_series(0, len(embeddings.embedding) - 1)) AS i) g),
+        | st AS (SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM e GROUP BY i),
+        | c AS (SELECT vec_id, e.i,
+        |         CASE WHEN mx - mn = 0 THEN 0
+        |              ELSE CAST(round((v - mn) * 255 / (mx - mn)) AS BIGINT) END AS code
+        |       FROM e JOIN st ON e.i = st.i),
+        | d2 AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+        |               SUM((q.code - x.code) * (q.code - x.code)) AS dist2
+        |        FROM c q JOIN c x ON q.i = x.i
+        |        WHERE q.vec_id < 20 AND q.vec_id <> x.vec_id
+        |        GROUP BY 1, 2),
+        | r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |                                    ORDER BY dist2, neighbor_id) AS rank FROM d2)
+        | SELECT query_id, neighbor_id, CAST(dist2 AS BIGINT) AS dist2,
+        |        CAST(rank AS INTEGER) AS rank
+        | FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
     // ---- exact scatter matrix of the embedding corpus -------------------
     // integer second moments per (dim_i <= dim_j): the offline PCA/whitening
     // statistic; mean-centering is driver-side arithmetic on exact sums.

@@ -256,6 +256,29 @@ class LlmOpsSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("scalarQuantize")), e.getMessage)
   }
 
+  test("sqTopK: duplicate vectors at distance zero; top-1 tracks exact L2") {
+    val rnd = new scala.util.Random(91)
+    val dim = 16
+    val base = (0L until 100L).map(i => (i, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    // vec 100 duplicates vec 7 exactly
+    val vecs = (base :+ (100L, base(7)._2.clone)).toDF("vec_id", "embedding")
+    val (mins, maxs) = Similarity.collectScalarQuantStats(vecs)
+    val got = Similarity.sqTopK(vecs.filter(col("vec_id") === 100L), vecs, k = 1, mins, maxs)
+      .collect()
+    assert(got.length == 1 && got(0).getLong(1) == 7L && got(0).getLong(2) == 0L)
+    // top-1 agreement with exact double L2 on the raw vectors
+    val exact = base.map { case (qid, qv) =>
+      qid -> base.filter(_._1 != qid).minBy { case (nid, nv) =>
+        (qv.zip(nv).map { case (a, b) => (a - b).toDouble * (a - b) }.sum, nid)
+      }._1
+    }.toMap
+    val sq1 = Similarity.sqTopK(vecs.filter(col("vec_id") < 100L), vecs.filter(col("vec_id") < 100L),
+        k = 1, mins, maxs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agree = exact.count { case (q, n) => sq1(q) == n }
+    assert(agree >= 80, s"top-1 agreement too low: $agree/100")
+  }
+
   test("simhash: identical texts equal, disjoint texts differ") {
     val d = docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta", 3L -> "zz yy xx ww vv uu")
     val m = Dedup.simhash(d, 16).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
