@@ -79,6 +79,45 @@ object Sampling {
     df.filter(hashKey(col(idCol), salt) < threshold)
   }
 
+  /** Exact-k per-group deterministic sample: the first `k` rows of each
+    * group in salted-content-hash order — what rate-based sampling
+    * ([[stratifiedSample]]) cannot promise (a rate gives BINOMIAL counts;
+    * eval-set construction and per-domain caps need exactly k). Membership
+    * is content-derived: the same row is sampled on any engine, cluster
+    * size, or partitioning, and adding new rows to a group only displaces
+    * rows at the hash-order boundary.
+    *
+    * Scale shape: the naive form is one window over `partitionBy(group)` —
+    * a fat-key reducer sorting a whole group at corpus scale. Instead the
+    * hash key's first `bucketHexChars` chars pre-split every group into
+    * 16^h ordered sub-buckets (the [[tokenBudgetMix]] two-level
+    * discipline): a per-(group, bucket) window keeps each bucket's local
+    * top-k (any group-wide top-k row is top-k in its own bucket), and the
+    * real rank runs on ≤ 16^h·k rows per group.
+    */
+  def sampleExactK(df: DataFrame, idCol: String, groupCol: String, k: Int,
+                   salt: String = "exactk", bucketHexChars: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(bucketHexChars >= 1 && bucketHexChars <= 7,
+      s"bucketHexChars must be in [1,7]: $bucketHexChars")
+    val reserved = Seq("ek_key", "ek_bucket", "ek_r1", "ek_rank")
+    require(!df.columns.exists(reserved.contains),
+      s"sampleExactK: input already has one of ${reserved.mkString(", ")}")
+    val w = Window
+    val keyed = df
+      .withColumn("ek_key", hashKey(col(idCol), salt))
+      .withColumn("ek_bucket", substring(col("ek_key"), 1, bucketHexChars))
+    keyed
+      .withColumn("ek_r1", row_number().over(
+        w.partitionBy(col(groupCol), col("ek_bucket"))
+          .orderBy(col("ek_key"), col(idCol))))
+      .filter(col("ek_r1") <= k)
+      .withColumn("ek_rank", row_number().over(
+        w.partitionBy(col(groupCol)).orderBy(col("ek_key"), col(idCol))))
+      .filter(col("ek_rank") <= k)
+      .drop("ek_key", "ek_bucket", "ek_r1", "ek_rank")
+  }
+
   /** Token-budget domain mixing: keep, per domain, a deterministic
     * pseudo-random prefix of documents whose token counts fill that domain's
     * budget (the "sample common-crawl down to N billion tokens, keep all of

@@ -759,6 +759,20 @@ object PipelineQueries {
          |        ELSE '${Sampling.hexThreshold(1.0)}' END
          | ORDER BY doc_id""".stripMargin),
 
+    // ---- exact-k per-source deterministic sample ------------------------
+    // exactly k rows per group in salted-hash order (rates give binomial
+    // counts; eval sets need exact); two-level window engine-side == the
+    // oracle's flat per-group window.
+    ("t_exact_k_sample",
+      (s, d) => Sampling.sampleExactK(t(s, d, "documents"), "doc_id", "source", k = 7)
+        .select("doc_id", "source")
+        .orderBy("doc_id"),
+      """WITH r AS (SELECT doc_id, source,
+        |             ROW_NUMBER() OVER (PARTITION BY source
+        |               ORDER BY substr(md5('exactk:' || doc_id), 1, 8), doc_id) AS rn
+        |           FROM documents)
+        | SELECT doc_id, source FROM r WHERE rn <= 7 ORDER BY doc_id""".stripMargin),
+
     // ---- sequence packing (fixed-capacity context windows) --------------
     // first-fit-in-order with bounded overflow: pack_id = floor(preceding
     // shard tokens / capacity) — pure window arithmetic, one shuffle on the

@@ -237,6 +237,30 @@ class TemporalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sampleExactK: exact per-group counts, stable membership, two-level == flat") {
+    val df = (0L until 500L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val got = Sampling.sampleExactK(df, "id", "grp", k = 10)
+    val counts = got.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("g0" -> 10L, "g1" -> 10L, "g2" -> 10L))
+    // partitioning-independent membership; wider buckets change nothing
+    val ids = got.select("id").collect().map(_.getLong(0)).toSet
+    val re = Sampling.sampleExactK(df.repartition(7), "id", "grp", k = 10, bucketHexChars = 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(re == ids)
+    // groups smaller than k keep every row
+    val tiny = Sampling.sampleExactK(df.filter(col("id") < 4), "id", "grp", k = 10)
+    assert(tiny.count() == 4)
+    // adding rows only displaces at the hash-order boundary: the new sample
+    // is NOT forced to contain the old one, but stays exactly k per group
+    // and k-stable for untouched groups
+    val grown = Sampling.sampleExactK(
+      df.union(Seq((900L, "g0")).toDF("id", "grp")), "id", "grp", k = 10)
+    assert(grown.filter(col("grp") === "g0").count() == 10)
+    assert(grown.filter(col("grp") === "g1").select("id").collect().map(_.getLong(0)).toSet ==
+      got.filter(col("grp") === "g1").select("id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("importanceScores ranks target-like docs above background docs") {
     // target speaks only of cats; raw corpus is cats + dogs. A cat doc's
     // features are cheap under the target model and ordinary under the raw
