@@ -1098,7 +1098,14 @@ object PipelineQueries {
       (s, d) => {
         val vecs = t(s, d, "embeddings")
         val (mins, maxs) = Similarity.collectScalarQuantStats(vecs)
-        Similarity.scalarQuantize(vecs, mins, maxs).orderBy("vec_id")
+        // codes projected to a comma-joined string: the oracle harness
+        // sort/hashes scalar cells, so the array column must be rendered.
+        Similarity.scalarQuantize(vecs, mins, maxs)
+          .select(
+            col("vec_id"),
+            expr("array_join(transform(codes, x -> cast(x as string)), ',')").as("codes"),
+            col("code_sum"))
+          .orderBy("vec_id")
       },
       """WITH e AS (SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS v
         |           FROM embeddings, LATERAL (SELECT unnest(generate_series(0, len(embeddings.embedding) - 1)) AS i) g),
@@ -1107,7 +1114,8 @@ object PipelineQueries {
         |         CASE WHEN mx - mn = 0 THEN 0
         |              ELSE CAST(round((v - mn) * 255 / (mx - mn)) AS INTEGER) END AS code
         |       FROM e JOIN st ON e.i = st.i)
-        | SELECT vec_id, list(code ORDER BY i) AS codes,
+        | SELECT vec_id,
+        |        string_agg(CAST(code AS VARCHAR), ',' ORDER BY i) AS codes,
         |        CAST(SUM(code) AS BIGINT) AS code_sum
         | FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin),
 
