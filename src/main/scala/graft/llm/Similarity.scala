@@ -131,6 +131,35 @@ object Similarity {
         col("s"), col("n"),
         (col("s").cast("double") / col("n")).as("mean_q"))
 
+  /** Two-level per-query top-k rank: appends `rank` (1..k) over `order`
+    * within each `query_id` and keeps only rank <= k — the same rows as a
+    * flat `Window.partitionBy(query_id)` row_number (any query-wide top-k
+    * row is top-k in its own sub-bucket), but no reducer ever sorts one
+    * query's whole candidate set. The neighbor-id hash pre-splits every
+    * query into `nBuckets` uniform sub-keys for the first window (the
+    * [[graft.llm.Sampling.sampleExactK]] two-level discipline); the second
+    * window ranks <= nBuckets·k survivors per query. With a handful of
+    * queries against a 100x corpus, the flat form funnels |corpus| rows
+    * through one reducer per query — the fat-key shape this avoids.
+    * `order` must totally order candidates within a query (tie-break on
+    * neighbor_id) so both levels agree deterministically.
+    */
+  private def rankTopK(scored: DataFrame, k: Int, order: Seq[Column],
+                       nBuckets: Int = 256): DataFrame = {
+    val reserved = Seq("tk_bucket", "tk_r1", "rank")
+    require(!scored.columns.exists(reserved.contains),
+      s"rankTopK: input already has one of ${reserved.mkString(", ")}")
+    scored
+      .withColumn("tk_bucket", pmod(xxhash64(col("neighbor_id")), lit(nBuckets)))
+      .withColumn("tk_r1", row_number().over(
+        Window.partitionBy(col("query_id"), col("tk_bucket")).orderBy(order: _*)))
+      .filter(col("tk_r1") <= k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(order: _*)))
+      .filter(col("rank") <= k)
+      .drop("tk_bucket", "tk_r1")
+  }
+
   /** Brute-force top-k cosine neighbors of `queries` within `corpus`.
     * Input columns: (idCol, embCol). Output: query_id, neighbor_id, cosine,
     * rank (1..k), deterministically tie-broken by neighbor id.
@@ -145,10 +174,7 @@ object Similarity {
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineQ(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k, Seq(col("cosine").desc, col("neighbor_id")))
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
@@ -234,10 +260,7 @@ object Similarity {
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineQ(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k, Seq(col("cosine").desc, col("neighbor_id")))
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
@@ -413,10 +436,7 @@ object Similarity {
     val scored = broadcast(q).crossJoin(codes)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", graft.functions.Pq.adcCol(col("lut"), col("codes"), kw))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k, Seq(col("adc"), col("neighbor_id")))
       .select("query_id", "neighbor_id", "adc", "rank")
   }
 
@@ -430,10 +450,10 @@ object Similarity {
     *
     * Scale shape: the [[pqTopKWithCodebooks]] memory-bound discipline —
     * query codes BROADCAST, the corpus scanned once as codes with the
-    * distance in one map-side project, and the per-partition window prunes
-    * to k before the single query_id exchange; the corpus is never
-    * shuffled. dist2 bounds: levels² · d ≤ 2^20·d — long-safe for any
-    * real dimensionality.
+    * distance in one map-side project, and the [[rankTopK]] two-level
+    * window bounding every reducer's sort before the final per-query
+    * rank; the corpus vectors are never shuffled. dist2 bounds:
+    * levels² · d ≤ 2^20·d — long-safe for any real dimensionality.
     */
   def sqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
              mins: Seq[Double], maxs: Seq[Double], levels: Int = 255,
@@ -449,12 +469,10 @@ object Similarity {
     val dist2 = dotLong(col("query_id_c"), col("query_id_c")) -
       lit(2L) * dotLong(col("query_id_c"), col("neighbor_id_c")) +
       dotLong(col("neighbor_id_c"), col("neighbor_id_c"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("dist2"), col("neighbor_id"))
-    broadcast(q).crossJoin(c)
+    val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("dist2", dist2)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k, Seq(col("dist2"), col("neighbor_id")))
       .select("query_id", "neighbor_id", "dist2", "rank")
   }
 
@@ -528,10 +546,7 @@ object Similarity {
     val scored = broadcast(luts).join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc", graft.functions.Pq.adcCol(col("lut"), col("codes"), kw))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k, Seq(col("adc"), col("neighbor_id")))
       .select("query_id", "neighbor_id", "adc", "rank")
   }
 
@@ -559,10 +574,7 @@ object Similarity {
     val cv = corpus.select(col(idCol).as("neighbor_id"), quantize(col(embCol), scale).as("cv"))
     val scored = broadcast(short.join(qv, "query_id")).join(cv, "neighbor_id")
       .withColumn("cosine", cosineQ(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k, Seq(col("cosine").desc, col("neighbor_id")))
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
@@ -625,6 +637,9 @@ object Similarity {
     val dist2 = dotLong(col("qv"), col("qv")) -
       lit(2L) * dotLong(col("qv"), col("qcent")) +
       dotLong(col("qcent"), col("qcent"))
+    // flat per-query window is fine HERE (unlike the candidate rankers,
+    // which go through rankTopK): the frame is |q| x nCells centroid rows,
+    // bounded by the coarse quantizer's size, never by the corpus
     val probeW = Window.partitionBy(col("query_id")).orderBy(col("dist2"), col("cell"))
     q.crossJoin(broadcast(centDf))
       .withColumn("dist2", dist2)
@@ -644,10 +659,7 @@ object Similarity {
     val scored = probed.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosineQ(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k, Seq(col("cosine").desc, col("neighbor_id")))
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 

@@ -279,6 +279,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(agree >= 80, s"top-1 agreement too low: $agree/100")
   }
 
+  test("two-level rankTopK equals an independent flat top-k (every rank, every query)") {
+    // the rankers pre-split each query's candidates into hash sub-buckets
+    // before the per-query rank; this pins the result to a from-scratch
+    // flat sort — k deliberately NOT a multiple of the bucket fill so
+    // boundary ranks cross buckets
+    val rnd = new scala.util.Random(17)
+    val dim = 8
+    val base = (0L until 200L).map(i => (i, Array.fill(dim)(rnd.nextFloat() * 2 - 1).toSeq))
+    val v = base.toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(v.filter(col("vec_id") < 5), v, k = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val qa = a.map(x => math.round(x.toDouble * 1000.0))
+      val qb = b.map(x => math.round(x.toDouble * 1000.0))
+      val dot = qa.zip(qb).map { case (x, y) => x * y }.sum.toDouble
+      dot / (math.sqrt(qa.map(x => x * x).sum.toDouble) *
+        math.sqrt(qb.map(x => x * x).sum.toDouble))
+    }
+    val byId = base.toMap
+    val expect = (0L until 5L).flatMap { q =>
+      base.filter(_._1 != q)
+        .map { case (n, nv) => (n, cos(byId(q), nv)) }
+        .sortBy { case (n, c) => (-c, n) }
+        .take(7).zipWithIndex.map { case ((n, _), i) => (q, n, i + 1) }
+    }.toSet
+    assert(got == expect)
+  }
+
   test("simhash: identical texts equal, disjoint texts differ") {
     val d = docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta", 3L -> "zz yy xx ww vv uu")
     val m = Dedup.simhash(d, 16).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
