@@ -79,6 +79,19 @@ final class BloomBits(val bits: Array[Long], val n: Int, val mBits: Int,
 
   private val mask = (1L << mBits) - 1L
 
+  // content-based equality: BloomCountContaminatedExpr is a case class, so
+  // two probes against identical bitsets must compare EQUAL for Catalyst
+  // canonicalization / common-subexpression elimination to merge them —
+  // reference identity here would silently defeat both (the CellAssignExpr
+  // lesson; see PqLutExpr's Seq-field note)
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomBits => n == b.n && mBits == b.mBits &&
+      numHashes == b.numHashes && java.util.Arrays.equals(bits, b.bits)
+    case _ => false
+  }
+  override def hashCode: Int =
+    ((n * 31 + mBits) * 31 + numHashes) * 31 + java.util.Arrays.hashCode(bits)
+
   @transient private lazy val md5 = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")

@@ -411,8 +411,8 @@ object Dedup {
     * bit-for-bit; survivors are always a SUBSET of [[decontaminate]]'s.
     *
     * The build side stays distributed (positions computed per eval gram in
-    * expressions, distinct'd engine-side); the driver materializes only
-    * distinct bit positions — bounded by 2^mBits regardless of eval size.
+    * expressions, OR-folded to bitset words engine-side); the driver
+    * materializes only the 2^mBits/64 bitset words regardless of eval size.
     */
   def bloomDecontaminate(docs: DataFrame, evalDocs: DataFrame, n: Int = 13,
                          mBits: Int = 22, numHashes: Int = 4,
@@ -435,20 +435,31 @@ object Dedup {
     * [[bloomDecontaminate]] (a long-lived bitset serves every batch run AND
     * [[graft.streaming.StreamingIngest.streamingDecontaminate]] micro-batch
     * without rebuilding). Positions are computed per eval gram in
-    * expressions (distributed, distinct'd engine-side); the driver
-    * materializes only distinct bit positions — bounded by 2^mBits
-    * regardless of eval-corpus size.
+    * expressions (distributed), then OR-folded into 64-bit bitset words
+    * executor-side (one map-combinable bit_or aggregate on the word index),
+    * so the driver materializes at most 2^mBits/64 (word, bits) rows — the
+    * footprint of the bitset itself, never a per-position Array[Long]
+    * (which at mBits=30 would be up to 64x the bitset it builds).
     */
   def buildBloom(evalDocs: DataFrame, n: Int = 13, mBits: Int = 22,
                  numHashes: Int = 4,
                  textCol: String = "text"): graft.functions.BloomBits = {
-    val positions = evalDocs
+    val words = evalDocs
       .select(graft.functions.WordShingles.wordShingles(col(textCol), n).as("gram"))
       .select(explode(graft.functions.BloomProbe.positionsCol(
         col("gram"), mBits, numHashes)).as("pos"))
-      .distinct()
-      .collect().map(_.getLong(0))
-    graft.functions.BloomProbe.buildBits(positions, n, mBits, numHashes)
+      .select(shiftright(col("pos"), 6).cast("int").as("w"),
+        expr("shiftleft(1L, cast(pos % 64 AS int))").as("m"))
+      .groupBy("w").agg(expr("bit_or(m)").as("bits"))
+      .collect()
+    val bits = new Array[Long](1 << (mBits - 6).max(0))
+    words.foreach { r =>
+      val w = r.getInt(0)
+      require(w >= 0 && w < bits.length,
+        s"bloom word index out of range for mBits=$mBits: $w")
+      bits(w) |= r.getLong(1)
+    }
+    new graft.functions.BloomBits(bits, n, mBits, numHashes)
   }
 
   /** Chunk-granular global dedup (the C4-style rule at fixed word windows):

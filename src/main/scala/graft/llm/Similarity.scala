@@ -79,14 +79,19 @@ object Similarity {
             .cast("int"))))
     })
     vectors
-      // fail loudly on a stats/vector dimension mismatch (schema drift) —
-      // element_at past the stats array would otherwise yield silent NULL
-      // codes under non-ANSI evaluation
+      // fail loudly on a stats/vector dimension mismatch (schema drift) AND
+      // on null elements — element_at past the stats array or arithmetic on
+      // a null element would otherwise yield silent NULL codes under
+      // non-ANSI evaluation, surfacing far downstream (e.g. as an sqTopK
+      // kernel error) instead of here
       .withColumn("codes",
-        when(size(col(embCol)) === mins.length, codes)
-          .otherwise(raise_error(concat(
+        when(col(embCol).isNull || size(col(embCol)) =!= mins.length,
+          raise_error(concat(
             lit(s"scalarQuantize: stats have ${mins.length} dims, vector has "),
-            size(col(embCol)).cast("string")))))
+            coalesce(size(col(embCol)).cast("string"), lit("null")))))
+        .when(exists(col(embCol), _.isNull),
+          raise_error(lit("scalarQuantize: embedding contains a null element")))
+        .otherwise(codes))
       .select(col(idCol), col("codes"))
       .withColumn("code_sum",
         aggregate(col("codes"), lit(0L), (acc, c) => acc + c))

@@ -254,6 +254,16 @@ class LlmOpsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("scalarQuantize") ||
       Option(e.getCause).exists(_.getMessage.contains("scalarQuantize")), e.getMessage)
+    // a NULL ELEMENT (right size) must also fail loudly — under non-ANSI
+    // eval it would otherwise yield NULL codes that surface as a distant
+    // downstream kernel error instead of an actionable message here
+    val withNull = Seq((12L, Array[java.lang.Float](1.0f, null, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[Exception] {
+      Similarity.scalarQuantize(withNull, mins, maxs).collect()
+    }
+    assert(e2.getMessage.contains("null element") ||
+      Option(e2.getCause).exists(_.getMessage.contains("null element")), e2.getMessage)
   }
 
   test("sqTopK: duplicate vectors at distance zero; top-1 tracks exact L2") {
