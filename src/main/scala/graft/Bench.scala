@@ -42,6 +42,106 @@ object Bench {
     case other => jstr(String.valueOf(other))
   }
 
+
+  /** Locale-proof fixed-point rendering (Locale.ROOT): "%.3f".format uses
+    * the default locale, whose decimal comma would break the JSON line.
+    */
+  private def jnum(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
+  /** Box-speed calibration: a FIXED synthetic shuffle+agg whose definition
+    * never changes across rounds, timed with the same clock as the battery.
+    * This box's absolute bench totals swing ~2x between sessions with
+    * byte-identical code (round-5 forensics), so cross-round comparisons
+    * must normalize by a workload that cannot have regressed — the ratio
+    * total/calibration is comparable across rounds; raw totals are not.
+    * Two runs, second reported (the first absorbs codegen/JIT for this
+    * shape; the session is already warm for Spark init).
+    */
+  private def calibrate(spark: SparkSession): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 50000000L, 1L, 32)
+        .selectExpr("id % 1000000 AS k", "id AS v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v").as("s"))
+        .selectExpr("sum(s)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once(); once()
+  }
+
+  /** Same-session A/B against the previous round's commit: check out that
+    * commit into a scratch worktree (reused across runs — compile cache),
+    * run ITS Bench on `abSf` via a child sbt, and return
+    * (ref, per-query seconds). The ratio current/prior measured minutes
+    * apart on the same box is the only regression signal the ~2x
+    * session-to-session drift can't fake. Recursion is cut by
+    * SPARK_GRAFT_AB=0 in the child env; failures degrade to Left(msg) —
+    * the official bench numbers must never depend on the A/B succeeding.
+    */
+  private def runPriorBench(abSf: String, cpus: String): Either[String, (String, Map[String, Double])] = {
+    def exec(cmd: Seq[String], cwd: java.io.File, env: Map[String, String],
+             timeoutSec: Long): Either[String, String] = {
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.directory(cwd)
+      pb.redirectErrorStream(false)
+      env.foreach { case (k, v) => pb.environment().put(k, v) }
+      val p = pb.start()
+      // drain stdout on this thread (bounded output); discard stderr async
+      val errDrain = new Thread(() => {
+        val buf = new Array[Byte](8192)
+        while (p.getErrorStream.read(buf) >= 0) ()
+      })
+      errDrain.setDaemon(true); errDrain.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      if (!p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
+        p.destroyForcibly()
+        Left(s"timeout after ${timeoutSec}s: ${cmd.mkString(" ")}")
+      } else if (p.exitValue() != 0)
+        Left(s"exit ${p.exitValue()}: ${cmd.mkString(" ")}: ${out.takeRight(200)}")
+      else Right(out)
+    }
+    try {
+      val repo = new java.io.File(".").getCanonicalFile
+      val ref = sys.env.get("SPARK_GRAFT_AB_REF").map(Right(_)).getOrElse(
+        exec(Seq("git", "log", "--grep=^round [0-9]*:", "-1", "--format=%H"),
+          repo, Map.empty, 30).map(_.trim))
+      ref.flatMap { sha =>
+        if (sha.isEmpty) Left("no prior round commit found")
+        else {
+          val wt = new java.io.File(s"/tmp/graft-ab-${sha.take(12)}")
+          val added =
+            if (wt.isDirectory) Right("")
+            else exec(Seq("git", "worktree", "add", "--detach", wt.getPath, sha),
+              repo, Map.empty, 60)
+          added.flatMap { _ =>
+            val benchOut = new java.io.File(wt, "bench_ab.json")
+            exec(Seq("sbt", "-batch", "runMain graft.Bench"), wt, Map(
+              "SPARK_GRAFT_SF_DIR" -> abSf,
+              "SPARK_GRAFT_BENCH_OUT" -> benchOut.getPath,
+              "SPARK_GRAFT_CPUS" -> cpus,
+              "SPARK_GRAFT_AB" -> "0"), 900)
+              .flatMap { _ =>
+                if (!benchOut.isFile) Left("prior bench wrote no output file")
+                else {
+                  val om = new com.fasterxml.jackson.databind.ObjectMapper()
+                  val root = om.readTree(java.nio.file.Files.readAllBytes(benchOut.toPath))
+                  val qs = root.get("queries")
+                  if (qs == null) Left("prior bench output has no queries map")
+                  else {
+                    val it = qs.fields()
+                    val m = scala.collection.mutable.Map.empty[String, Double]
+                    while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asDouble() }
+                    Right((sha, m.toMap))
+                  }
+                }
+              }
+          }
+        }
+      }
+    } catch { case e: Throwable => Left(e.toString.takeWhile(_ != '\n').take(200)) }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -87,14 +187,15 @@ object Bench {
     // events land before the diff). Draining after EVERY query would
     // serialize the bench against the appStatus queue, which lags seconds
     // behind task-heavy queries — measured as a ~2x whole-suite slowdown.
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def runBattery(dir: String): Seq[(String, Double, Option[String], Seq[String])] =
+      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // plan construction, metric detection, and the pre-drain all happen
       // BEFORE t0: the pre-drain can absorb a multi-second appStatus
       // backlog from an earlier task-heavy query, and that wait is bus
       // bookkeeping, not this query's work
       var drainedOk = true
       val prep: Either[String, (org.apache.spark.sql.DataFrame, Boolean)] = try {
-        val df = fn(spark, sfDir)
+        val df = fn(spark, dir)
         val hm = df.queryExecution.analyzed.collect {
           case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => c
         }.nonEmpty
@@ -123,6 +224,36 @@ object Bench {
         .map(k => jstr(k) + ":" + observed.get(k)) ++ degraded
       (name, elapsed, err, metrics)
     }
+    val results = runBattery(sfDir)
+    // box-speed constant + same-session prior-commit A/B (see scaladocs):
+    // the calibration always runs; the A/B runs unless disabled
+    // (SPARK_GRAFT_AB=0) or a query-name filter was passed (profiling mode).
+    val calibration = calibrate(spark)
+    val abEnabled = sys.env.getOrElse("SPARK_GRAFT_AB", "1") != "0" && args.isEmpty
+    val abJson: String = if (!abEnabled) "null" else {
+      // A/B at a smaller SF than the official number: both sides pay one
+      // full-battery pass there (bounded minutes), and the ratio carries
+      // the regression signal — sibling sf0.01 when the official dir is
+      // sf0.1, else the official dir itself.
+      val abSf = sys.env.getOrElse("SPARK_GRAFT_AB_SF", {
+        val sib = sfDir.replaceAll("sf0\\.1/?$", "sf0.01")
+        if (sib != sfDir && new java.io.File(sib).isDirectory) sib else sfDir
+      })
+      runPriorBench(abSf, cpus) match {
+        case Left(msg) => s"""{"error":${jstr(msg)}}"""
+        case Right((sha, prior)) =>
+          val cur = runBattery(abSf)
+          val curOk = cur.collect { case (n, t, None, _) => n -> t }.toMap
+          val priorOk = prior.filter(_._2 >= 0) // negative = prior-side error
+          val common = curOk.keySet.intersect(priorOk.keySet).toSeq.sorted
+          val c = common.map(curOk).sum
+          val p = common.map(priorOk).sum
+          val ratio = if (p > 0) c / p else Double.NaN
+          s"""{"sf":${jstr(abSf)},"prior_ref":${jstr(sha)},"common":${common.size},""" +
+            s""""current":${jnum(c)},"prior_commit":${jnum(p)},""" +
+            s""""ratio":${if (java.lang.Double.isFinite(ratio)) jnum(ratio) else "null"}}"""
+      }
+    }
     // failed queries are reported with negative elapsed time AND in an errors
     // map, so a crash can never masquerade as a fast success in bench totals
     val qs = results.map { case (k, v, err, _) =>
@@ -139,8 +270,8 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     // stdout gets the COMPACT line (fits any tail window: totals + errors +
     // a pointer); the file gets the full per-query detail.
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","nQueries":${results.size},"errors":$errs,"nErrors":$nErr,"sf":${jstr(sfDir)},"perQuery":${jstr(outPath)}}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"observedMetrics":$om,"sf":${jstr(sfDir)}}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","nQueries":${results.size},"errors":$errs,"nErrors":$nErr,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},"ab":$abJson,"perQuery":${jstr(outPath)}}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"observedMetrics":$om,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},"ab":$abJson}"""
     // ONE bare line on the process's real stdout: java.io.FileDescriptor.out
     // bypasses sbt's System.out capture (whose "[info] " prefix breaks
     // line-oriented JSON parsing downstream) and IS System.out everywhere
