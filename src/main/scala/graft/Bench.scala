@@ -70,37 +70,88 @@ object Bench {
     once(); once()
   }
 
+  private def exec(cmd: Seq[String], cwd: java.io.File, env: Map[String, String],
+                   timeoutSec: Long): Either[String, String] = {
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.directory(cwd)
+    pb.redirectErrorStream(false)
+    env.foreach { case (k, v) => pb.environment().put(k, v) }
+    val p = pb.start()
+    // drain stdout on this thread (bounded output); discard stderr async
+    val errDrain = new Thread(() => {
+      val buf = new Array[Byte](8192)
+      while (p.getErrorStream.read(buf) >= 0) ()
+    })
+    errDrain.setDaemon(true); errDrain.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    if (!p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
+      p.destroyForcibly()
+      Left(s"timeout after ${timeoutSec}s: ${cmd.mkString(" ")}")
+    } else if (p.exitValue() != 0)
+      Left(s"exit ${p.exitValue()}: ${cmd.mkString(" ")}: ${out.takeRight(200)}")
+    else Right(out)
+  }
+
+  /** JDK-17 module opens Spark needs outside spark-submit — mirrors
+    * build.sbt's jdk17AddOpens (child java processes don't go through sbt).
+    */
+  private val AddOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Run graft.Bench from `classpath` in a FRESH child java process (A/B
+    * legs must be symmetric: both pay identical JVM/codegen warm-up; running
+    * one leg in the already-hot session made it look 2-4x faster than an
+    * identical cold leg). Returns the per-query seconds map from the child's
+    * bench-out file.
+    */
+  private def runChildBench(classpath: String, cwd: java.io.File, abSf: String,
+                            cpus: String): Either[String, Map[String, Double]] = {
+    val benchOut = java.io.File.createTempFile("bench_ab_", ".json")
+    benchOut.deleteOnExit()
+    val javaBin = new java.io.File(new java.io.File(sys.props("java.home"), "bin"), "java").getPath
+    val cmd = Seq(javaBin) ++ AddOpens ++ Seq(
+      s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", classpath, "graft.Bench")
+    exec(cmd, cwd, Map(
+      "SPARK_GRAFT_SF_DIR" -> abSf,
+      "SPARK_GRAFT_BENCH_OUT" -> benchOut.getPath,
+      "SPARK_GRAFT_CPUS" -> cpus,
+      "SPARK_GRAFT_AB" -> "0"), 900).flatMap { _ =>
+      if (!benchOut.isFile || benchOut.length() == 0) Left("child bench wrote no output")
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(java.nio.file.Files.readAllBytes(benchOut.toPath))
+        val qs = root.get("queries")
+        if (qs == null) Left("child bench output has no queries map")
+        else {
+          val it = qs.fields()
+          val m = scala.collection.mutable.Map.empty[String, Double]
+          while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asDouble() }
+          Right(m.toMap)
+        }
+      }
+    }
+  }
+
   /** Same-session A/B against the previous round's commit: check out that
     * commit into a scratch worktree (reused across runs — compile cache),
-    * run ITS Bench on `abSf` via a child sbt, and return
-    * (ref, per-query seconds). The ratio current/prior measured minutes
-    * apart on the same box is the only regression signal the ~2x
-    * session-to-session drift can't fake. Recursion is cut by
-    * SPARK_GRAFT_AB=0 in the child env; failures degrade to Left(msg) —
-    * the official bench numbers must never depend on the A/B succeeding.
+    * `sbt compile` it once, then run BOTH its Bench and the current build's
+    * Bench as fresh child JVMs on `abSf`. The ratio current/prior measured
+    * minutes apart on the same box with symmetric cold starts is the only
+    * regression signal the ~2x session-to-session drift can't fake.
+    * Recursion is cut by SPARK_GRAFT_AB=0 in the child env; failures
+    * degrade to Left(msg) — the official bench numbers never depend on the
+    * A/B succeeding.
     */
-  private def runPriorBench(abSf: String, cpus: String): Either[String, (String, Map[String, Double])] = {
-    def exec(cmd: Seq[String], cwd: java.io.File, env: Map[String, String],
-             timeoutSec: Long): Either[String, String] = {
-      val pb = new ProcessBuilder(cmd: _*)
-      pb.directory(cwd)
-      pb.redirectErrorStream(false)
-      env.foreach { case (k, v) => pb.environment().put(k, v) }
-      val p = pb.start()
-      // drain stdout on this thread (bounded output); discard stderr async
-      val errDrain = new Thread(() => {
-        val buf = new Array[Byte](8192)
-        while (p.getErrorStream.read(buf) >= 0) ()
-      })
-      errDrain.setDaemon(true); errDrain.start()
-      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-      if (!p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
-        p.destroyForcibly()
-        Left(s"timeout after ${timeoutSec}s: ${cmd.mkString(" ")}")
-      } else if (p.exitValue() != 0)
-        Left(s"exit ${p.exitValue()}: ${cmd.mkString(" ")}: ${out.takeRight(200)}")
-      else Right(out)
-    }
+  private def runAb(abSf: String, cpus: String): Either[String, (String, Map[String, Double], Map[String, Double])] =
     try {
       val repo = new java.io.File(".").getCanonicalFile
       val ref = sys.env.get("SPARK_GRAFT_AB_REF").map(Right(_)).getOrElse(
@@ -114,33 +165,16 @@ object Bench {
             if (wt.isDirectory) Right("")
             else exec(Seq("git", "worktree", "add", "--detach", wt.getPath, sha),
               repo, Map.empty, 60)
-          added.flatMap { _ =>
-            val benchOut = new java.io.File(wt, "bench_ab.json")
-            exec(Seq("sbt", "-batch", "runMain graft.Bench"), wt, Map(
-              "SPARK_GRAFT_SF_DIR" -> abSf,
-              "SPARK_GRAFT_BENCH_OUT" -> benchOut.getPath,
-              "SPARK_GRAFT_CPUS" -> cpus,
-              "SPARK_GRAFT_AB" -> "0"), 900)
-              .flatMap { _ =>
-                if (!benchOut.isFile) Left("prior bench wrote no output file")
-                else {
-                  val om = new com.fasterxml.jackson.databind.ObjectMapper()
-                  val root = om.readTree(java.nio.file.Files.readAllBytes(benchOut.toPath))
-                  val qs = root.get("queries")
-                  if (qs == null) Left("prior bench output has no queries map")
-                  else {
-                    val it = qs.fields()
-                    val m = scala.collection.mutable.Map.empty[String, Double]
-                    while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asDouble() }
-                    Right((sha, m.toMap))
-                  }
-                }
-              }
-          }
+          for {
+            _ <- added
+            _ <- exec(Seq("sbt", "-batch", "compile"), wt, Map.empty, 600)
+            priorCp = s"${wt.getPath}/target/scala-2.13/classes:/opt/spark/jars/*"
+            prior <- runChildBench(priorCp, wt, abSf, cpus)
+            cur <- runChildBench(sys.props("java.class.path"), repo, abSf, cpus)
+          } yield (sha, prior, cur)
         }
       }
     } catch { case e: Throwable => Left(e.toString.takeWhile(_ != '\n').take(200)) }
-  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -239,12 +273,11 @@ object Bench {
         val sib = sfDir.replaceAll("sf0\\.1/?$", "sf0.01")
         if (sib != sfDir && new java.io.File(sib).isDirectory) sib else sfDir
       })
-      runPriorBench(abSf, cpus) match {
+      runAb(abSf, cpus) match {
         case Left(msg) => s"""{"error":${jstr(msg)}}"""
-        case Right((sha, prior)) =>
-          val cur = runBattery(abSf)
-          val curOk = cur.collect { case (n, t, None, _) => n -> t }.toMap
-          val priorOk = prior.filter(_._2 >= 0) // negative = prior-side error
+        case Right((sha, prior, cur)) =>
+          val curOk = cur.filter(_._2 >= 0) // negative elapsed = errored query
+          val priorOk = prior.filter(_._2 >= 0)
           val common = curOk.keySet.intersect(priorOk.keySet).toSeq.sorted
           val c = common.map(curOk).sum
           val p = common.map(priorOk).sum
