@@ -196,9 +196,13 @@ object GraphQueries {
         | FROM o FULL OUTER JOIN n ON o.key = n.key
         | ORDER BY key""".stripMargin),
 
-    // ---- PageRank (rows-only: iterative float sums are not portable) ----
-    // same successor graph as g_triangles; correctness is pinned by the
-    // dense-reference spec at 1e-9, mass conservation asserted there too.
+    // ---- PageRank -------------------------------------------------------
+    // same successor graph as g_triangles. Iterative float sums are not
+    // bit-portable across engines (addition order differs), but they ARE
+    // stable to ~1e-14 relative (dense-reference spec pins 1e-9), so ranks
+    // ROUNDED to micro-units hash-match an oracle that unrolls the same 8
+    // damped rounds as chained CTEs — dangling-mass redistribution and all.
+    // floor(x*1e6 + 0.5) on both sides avoids engine-specific round() ties.
     ("g_pagerank",
       (s, d) => {
         val k = col("c_custkey")
@@ -206,9 +210,32 @@ object GraphQueries {
             t(s, d, "customer").select(k.as("src"), (k + delta).as("dst")))
           .reduce(_ union _)
         graft.ops.GraphTraversal.pageRank(edges, iterations = 8)
+          .select(col("id"),
+            floor(col("rank") * lit(1e6) + lit(0.5)).cast("long").as("rank_micro"))
           .orderBy("id")
       },
-      null),
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |     ${(1 to 3).map(dlt =>
+                s"SELECT c_custkey AS src, c_custkey + $dlt AS dst FROM customer")
+                .mkString(" UNION ALL ")})),
+         | v AS MATERIALIZED (SELECT DISTINCT id FROM
+         |     (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         | nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+         | od AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS outdeg
+         |     FROM e GROUP BY src),
+         | r0 AS MATERIALIZED (SELECT id, 1.0 / nn.n AS rank FROM v, nn)${(1 to 8).map(it =>
+            s""",
+         | d$it AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0) AS dm
+         |     FROM r${it - 1} r LEFT JOIN od ON od.id = r.id WHERE od.id IS NULL),
+         | c$it AS MATERIALIZED (SELECT e.dst AS id, SUM(r.rank / od.outdeg) AS inbound
+         |     FROM r${it - 1} r JOIN od ON od.id = r.id JOIN e ON e.src = r.id
+         |     GROUP BY e.dst),
+         | r$it AS MATERIALIZED (SELECT v.id,
+         |       (1 - 0.85) / nn.n + 0.85 * (COALESCE(c.inbound, 0) + d.dm / nn.n) AS rank
+         |     FROM v CROSS JOIN nn CROSS JOIN d$it d LEFT JOIN c$it c ON c.id = v.id)""")
+            .mkString}
+         | SELECT id, CAST(floor(rank * 1e6 + 0.5) AS BIGINT) AS rank_micro
+         | FROM r8 ORDER BY id""".stripMargin),
 
     // ---- approximate aggregates (engine-specific sketches; rows-only) ---
     ("a7_approx",
