@@ -6,11 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed in batched per-partition passes.
   *
-  * The Spark-side plumbing — schema, batch iteration, partitioning, feature
-  * schema — is real and tested; the actual codec calls are STUBBED with a
-  * deterministic fake (`fakeDecode`) because no image/audio libraries exist
-  * in this environment. Swapping `fakeDecode` for a real JNI/library call is
-  * the only change needed in production.
+  * IMAGE decode is REAL: `javax.imageio` (public JDK API, no external libs)
+  * parses PNG/BMP/GIF/JPEG payloads into width/height/pixel statistics on
+  * the executor. Audio/video decode remains STUBBED with a deterministic
+  * fake (`fakeDecode`) because no such codecs exist in this environment —
+  * swapping the stub for a JNI/library call is the only change needed in
+  * production; undecodable image payloads also fall back to the stub rather
+  * than failing the batch (corrupt blobs are data, not bugs, at corpus
+  * scale).
   *
   * Scale notes: `mapPartitions` processes one partition's blobs as a stream
   * (no per-row lambda dispatch); media tables should be written with
@@ -30,20 +33,63 @@ object Multimodal {
       height: Int,
       duration_ms: Long)
 
-  /** Extracted feature row (decode → feature-extract output). */
+  /** Extracted feature row (decode → feature-extract output). `decoded`
+    * marks rows whose image fields came from a REAL javax.imageio parse
+    * (img_w/img_h/px_sum valid, feature = luminance histogram); on false
+    * the image fields are -1 and `feature` is the payload-histogram stub.
+    */
   final case class MediaFeatures(
       media_id: Long,
       media_type: String,
       byte_len: Long,
       content_hash: String,
-      // stub "decoded" signals — deterministic functions of the payload
       mean_byte: Double,
       frame_count: Int,
-      feature: Array[Float])
+      feature: Array[Float],
+      img_w: Int,
+      img_h: Int,
+      px_sum: Long,
+      decoded: Boolean)
 
-  /** STUB decoder: a real implementation would call an image/audio codec.
-    * This fake is deterministic in the payload so tests and oracles are
-    * stable: an 8-dim "embedding" from byte histogram octants.
+  /** REAL image decode via javax.imageio (PNG/BMP/GIF/JPEG — the formats
+    * the JDK ships readers for). Returns (width, height, px_sum, feature):
+    * px_sum = Σ(r+g+b) over all pixels (an exact integer an oracle can
+    * recompute for a synthetic image), feature = 8-bin luminance histogram
+    * normalized by pixel count. None when the payload is not a decodable
+    * image — callers fall back to [[fakeDecode]].
+    */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Long, Array[Float])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val hist = new Array[Long](8)
+        var pxSum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            pxSum += r + g + b
+            // integer BT.601 luma; >>5 buckets 0..255 into 8 bins
+            hist((r * 299 + g * 587 + b * 114) / 1000 >> 5) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = math.max(w * h, 1).toDouble
+        Some((w, h, pxSum, hist.map(v => (v / n).toFloat)))
+      }
+    } catch { case _: Exception => None }
+
+  /** STUB decoder for media the sandbox has no codecs for (audio/video) and
+    * undecodable image payloads. Deterministic in the payload so tests and
+    * oracles are stable: an 8-dim "embedding" from byte histogram octants.
     */
   def fakeDecode(bytes: Array[Byte]): Array[Float] = {
     val hist = new Array[Long](8)
@@ -54,7 +100,8 @@ object Multimodal {
   }
 
   /** Decode + feature-extract over a media dataset. Batched per partition;
-    * the decode is the stub above.
+    * image rows go through the REAL [[decodeImage]], everything else (and
+    * undecodable payloads) through the [[fakeDecode]] stub.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -65,9 +112,15 @@ object Multimodal {
         val digest = md.digest(r.bytes).map("%02x".format(_)).mkString
         val sum = r.bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
         val frames = if (r.media_type == "video") math.max(1, (r.duration_ms / 40).toInt) else 1
+        val img = if (r.media_type == "image") decodeImage(r.bytes) else None
         MediaFeatures(r.media_id, r.media_type, r.bytes.length.toLong, digest,
           if (r.bytes.isEmpty) 0.0 else sum.toDouble / r.bytes.length,
-          frames, fakeDecode(r.bytes))
+          frames,
+          img.map(_._4).getOrElse(fakeDecode(r.bytes)),
+          img.map(_._1).getOrElse(-1),
+          img.map(_._2).getOrElse(-1),
+          img.map(_._3).getOrElse(-1L),
+          img.isDefined)
       }
     }
   }
@@ -101,6 +154,52 @@ object Multimodal {
         (r.media_id, i, java.util.Arrays.copyOfRange(r.bytes, from, until))
       }
     }.toDF("media_id", "frame_idx", "frame_bytes")
+  }
+
+  /** A REAL 24-bit uncompressed BMP whose pixels are a pure function of
+    * `docId`: width 4 + docId%5, height 3 + docId%3, and logical (top-down,
+    * row-major) pixel i carries channels R,G,B = (docId·31 + i·7 + c·13) mod
+    * 256 for c = 0,1,2. The byte layout is assembled by hand (bottom-up rows,
+    * BGR order, 4-byte row padding — the details a real decoder must get
+    * right), so javax.imageio performs a genuine parse, while an oracle can
+    * recompute width/height/px_sum arithmetically from docId alone.
+    */
+  def syntheticBmp(docId: Long): Array[Byte] = {
+    val w = (4 + docId % 5).toInt
+    val h = (3 + docId % 3).toInt
+    def v(i: Int, c: Int): Int = (((docId * 31 + i * 7 + c * 13) % 256) + 256).toInt % 256
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val out = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54) // reserved, pixel-data offset
+    out.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var j = 0
+    while (j < h) {
+      val y = h - 1 - j // positive-height BMP stores rows bottom-up
+      var x = 0
+      while (x < w) {
+        val i = y * w + x
+        out.put(v(i, 2).toByte).put(v(i, 1).toByte).put(v(i, 0).toByte)
+        x += 1
+      }
+      var pad = rowSize - 3 * w
+      while (pad > 0) { out.put(0.toByte); pad -= 1 }
+      j += 1
+    }
+    out.array()
+  }
+
+  /** One synthetic BMP [[MediaRow]] per document id — the oracle-checkable
+    * real-decode path (see [[syntheticBmp]]).
+    */
+  def syntheticBmps(docs: DataFrame, idCol: String = "doc_id"): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol)).as[Long].map { id =>
+      MediaRow(id, "image", "image/bmp", syntheticBmp(id), -1, -1, 0L)
+    }
   }
 
   /** Wrap a text corpus as opaque media payloads — lets the multimodal

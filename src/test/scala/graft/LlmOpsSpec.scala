@@ -960,4 +960,57 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(frames.length == 5)
     assert(frames.map(_.getInt(1)).toSet == Set(0, 1, 2, 3, 4))
   }
+
+  test("decodeImage parses a PNG written by an independent encoder exactly") {
+    // fixture produced by ImageIO.WRITE (an independent encode path, not
+    // our BMP assembler): 3x2 with known channel values per pixel
+    val img = new java.awt.image.BufferedImage(3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = Array(
+      (10, 20, 30), (200, 100, 50), (0, 0, 0),
+      (255, 255, 255), (1, 2, 3), (128, 64, 32))
+    for (y <- 0 until 2; x <- 0 until 3) {
+      val (r, g, b) = px(y * 3 + x)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val Some((w, h, pxSum, hist)) = Multimodal.decodeImage(bos.toByteArray)
+    assert(w == 3 && h == 2)
+    assert(pxSum == px.map { case (r, g, b) => r + g + b }.sum.toLong)
+    val lum = px.map { case (r, g, b) => (r * 299 + g * 587 + b * 114) / 1000 >> 5 }
+    val expectHist = (0 until 8).map(bin => lum.count(_ == bin) / 6.0f).toArray
+    assert(hist.toSeq == expectHist.toSeq)
+  }
+
+  test("syntheticBmp decodes to the formula pixels, orientation included") {
+    val id = 42L
+    val bytes = Multimodal.syntheticBmp(id)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "JDK BMP reader rejected the hand-assembled payload")
+    val w = (4 + id % 5).toInt
+    val h = (3 + id % 3).toInt
+    assert(img.getWidth == w && img.getHeight == h)
+    def v(i: Int, c: Int): Int = ((id * 31 + i * 7 + c * 13) % 256).toInt
+    // every pixel position-exact — a bottom-up/BGR mixup cannot pass this
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = y * w + x
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff) == ((v(i, 0), v(i, 1), v(i, 2))),
+        s"pixel ($x,$y)")
+    }
+    // and the aggregate surface matches extractFeatures' real-decode branch
+    val feats = Multimodal.extractFeatures(Multimodal.syntheticBmps(
+      docs(id -> "ignored"))).collect()(0)
+    assert(feats.decoded && feats.img_w == w && feats.img_h == h)
+    val expSum = (0 until w * h).flatMap(i => Seq(v(i, 0), v(i, 1), v(i, 2))).map(_.toLong).sum
+    assert(feats.px_sum == expSum)
+  }
+
+  test("non-image and undecodable payloads fall back to the stub, flagged") {
+    val f = Multimodal.extractFeatures(
+      Multimodal.documentsAsMedia(docs(9L -> "plain text, not an image")))
+      .collect()(0)
+    assert(!f.decoded && f.img_w == -1 && f.img_h == -1 && f.px_sum == -1L)
+    assert(f.feature.length == 8) // the stub histogram, still well-formed
+  }
 }
