@@ -170,7 +170,13 @@ object Bench {
             _ <- exec(Seq("sbt", "-batch", "compile"), wt, Map.empty, 600)
             priorCp = s"${wt.getPath}/target/scala-2.13/classes:/opt/spark/jars/*"
             prior <- runChildBench(priorCp, wt, abSf, cpus)
-            cur <- runChildBench(sys.props("java.class.path"), repo, abSf, cpus)
+            // NOT sys.props("java.class.path"): under `sbt runMain` that is
+            // the sbt launcher jar (sbt runs user code in a layered
+            // classloader), and a child launched from it cannot see
+            // graft.*. The compiled classes dir + spark jars is the real
+            // runtime classpath, and keeps the legs symmetric.
+            curCp = s"${repo.getPath}/target/scala-2.13/classes:/opt/spark/jars/*"
+            cur <- runChildBench(curCp, repo, abSf, cpus)
           } yield (sha, prior, cur)
         }
       }

@@ -568,6 +568,67 @@ object Dedup {
           " ").as("text_kept"))
   }
 
+  /** Edit-distance verification tier over candidate pairs: fetch both texts
+    * by id and score each pair with banded Levenshtein. The third dedup
+    * verification tier alongside exact Jaccard ([[jaccardPairs]]) and the
+    * MinHash estimate ([[estimateJaccard]]) — character-level, so it catches
+    * small in-word edits (typos, entity swaps, template fills) that word
+    * n-gram Jaccard either misses or over-penalizes.
+    *
+    * `maxDist` is the scale control: Spark's 3-arg `levenshtein` runs the
+    * band-limited DP (O(maxDist·len) per pair, not O(len²)) and returns -1
+    * above the bound — at a 100 TB corpus unbounded edit distance on a
+    * false-positive candidate pair (two unrelated 100 KB docs) is the cost
+    * bomb, and a verifier only needs "≤ maxDist or not". `edit_sim`
+    * (1 − dist/max(len)) is NULL on capped pairs: unknowable is not 0.
+    *
+    * Shape: candidate pairs are sketch-bounded (LSH band width), corpus-
+    * scale only in the id columns — two equi-joins against the doc table on
+    * its id (co-partitioned if the corpus is bucketed by id; AQE broadcasts
+    * the pair side when it is small). The texts never pair-shuffle more than
+    * the candidate set itself.
+    */
+  def editVerify(docs: DataFrame, pairs: DataFrame, maxDist: Int = Int.MaxValue,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val d = docs.select(col(idCol), col(textCol))
+    val dist =
+      if (maxDist == Int.MaxValue) levenshtein(col("text_a"), col("text_b"))
+      else levenshtein(col("text_a"), col("text_b"), maxDist)
+    pairs.select("id_a", "id_b")
+      .join(d.select(col(idCol).as("id_a"), col(textCol).as("text_a")), Seq("id_a"))
+      .join(d.select(col(idCol).as("id_b"), col(textCol).as("text_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), dist.as("edit_dist"),
+        length(col("text_a")).as("len_a"), length(col("text_b")).as("len_b"))
+      .withColumn("edit_sim",
+        when(col("edit_dist") >= 0,
+          lit(1.0) - col("edit_dist") / greatest(col("len_a"), col("len_b"), lit(1))))
+      .select("id_a", "id_b", "edit_dist", "len_a", "len_b", "edit_sim")
+  }
+
+  /** Sketch-quality measurement: how well a candidate pair set (e.g.
+    * [[lshCandidates]]) covers a ground-truth pair set (e.g. [[jaccardPairs]]
+    * at the target threshold). One governance row — n_truth, n_candidates,
+    * n_hits, precision, recall — the number a pipeline owner tunes
+    * bands/rows against before spending the verify tier's compute.
+    *
+    * Both inputs are pair tables (id_a < id_b convention), sketch-bounded —
+    * tiny next to the corpus; the full outer join on the pair key and the
+    * single global count run on candidate-sized data. Ratios are
+    * exact-integer-in, so the doubles hash-match any engine.
+    */
+  def lshQuality(truthPairs: DataFrame, candidatePairs: DataFrame): DataFrame = {
+    val t = truthPairs.select(col("id_a"), col("id_b"), lit(1L).as("in_truth"))
+    val c = candidatePairs.select(col("id_a"), col("id_b"), lit(1L).as("in_cand"))
+    t.join(c, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        sum("in_truth").cast("long").as("n_truth"),
+        sum("in_cand").cast("long").as("n_candidates"),
+        sum(col("in_truth") * col("in_cand")).cast("long").as("n_hits"))
+      .select(col("n_truth"), col("n_candidates"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_candidates")).as("precision"),
+        (col("n_hits").cast("double") / col("n_truth")).as("recall"))
+  }
+
   /** SimHash: `bits`-bit signature from word tokens (weight = term count).
     * Bit b of a token = bit (b mod 4) of hex digit (b div 4) of md5(token);
     * the signature bit is 1 iff the weighted sum of (2*bit-1) is positive.

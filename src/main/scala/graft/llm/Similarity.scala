@@ -183,6 +183,28 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** ANN quality measurement: per-query recall of an approximate top-k
+    * result (`approx`) against the exact one (`exact`) — both in the
+    * (query_id, neighbor_id, rank) shape every ranker here emits. The
+    * governance row a pipeline owner tunes nProbe / planes / codebook size
+    * against: recall@k = |approx ∩ exact| / |exact| per query.
+    *
+    * Both inputs are top-k tables — bounded at k rows per query by
+    * construction — so the join and per-query aggregate run on
+    * (num_queries · k) rows regardless of corpus size. Exact-integer
+    * counts in, so the recall double hash-matches any engine.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val a = approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    e.join(a, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum("hit"), lit(0L)).as("n_hits"))
+      .select(col("query_id"), col("n_exact"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_exact")).as("recall"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * md5-derived value in [-8, 8). Computed DRIVER-SIDE (the planes are
     * constants — recomputing md5 per data row would dominate the scan) and

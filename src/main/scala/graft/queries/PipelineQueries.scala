@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.llm.{Bpe, Dedup, Multimodal, Sampling, Similarity, TextStats}
+import graft.llm.{Bpe, Dedup, Multimodal, Retrieval, Sampling, Similarity, TextStats}
 import graft.ops.{ConnectedComponents, TextIndex}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -116,6 +116,59 @@ object PipelineQueries {
     }
     (head +: steps).mkString(",\n")
   }
+
+  /** Shared SQL fragment: the MinHash(12)/LSH(4×3) candidate chain ending in
+    * CTE `cand` (id_a < id_b) — the same derivation the d3/d5 oracles carry
+    * inline; factored for entries that CONSUME candidates (d13/d14).
+    */
+  private val LshCandCtes: String =
+    s"""WITH sh AS ($ShinglesSql),
+       | hx AS (SELECT id, j, MIN(substr(md5((j // 4)::VARCHAR || ':' || shingle), 1 + 8 * (j % 4), 8)) AS h
+       |        FROM sh, LATERAL (SELECT unnest(generate_series(0, 11)) AS j) t
+       |        GROUP BY id, j),
+       | sig AS (SELECT id,
+       |   ${(0 until 12).map(j => s"MAX(CASE WHEN j=$j THEN h END) AS h$j").mkString(", ")}
+       |   FROM hx GROUP BY id),
+       | bands AS (
+       |   ${(0 until 4).map(b => s"SELECT id, $b AS band, h${b * 3} || h${b * 3 + 1} || h${b * 3 + 2} AS band_key FROM sig").mkString(" UNION ALL ")}
+       | ),
+       | cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |          FROM bands a JOIN bands b USING (band, band_key)
+       |          WHERE a.id < b.id)""".stripMargin
+
+  /** Shared SQL fragment: the full BM25 derivation (accent-folded stemmed
+    * tokens → tf/df/doc-length → exact-integer-rational scores) ending in
+    * CTE `sc` (doc_id, score) — consumed by x1_bm25_rank and the hybrid
+    * fusion entry.
+    */
+  private val Bm25Ctes: String =
+    """WITH words AS (SELECT doc_id, strip_accents(w) AS w
+      |   FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+      |         FROM documents) WHERE w <> '')""".stripMargin +
+      graft.functions.PorterStem.sqlCtes("words", "doc_id", "c", "tokfin") +
+      """, tok AS (SELECT doc_id, cur AS term FROM tokfin),
+      | tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      |        WHERE term IN ('join', 'vector', 'the') GROUP BY 1, 2),
+      | dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      | dls AS (SELECT doc_id,
+      |           CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                                w -> w <> '')) AS BIGINT) AS dl
+      |         FROM documents),
+      | tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS total_len, COUNT(*) AS n_docs FROM dls),
+      | sc AS (SELECT tf.doc_id,
+      |          CAST(SUM(CAST(round(
+      |            CAST(1000000 AS DOUBLE)
+      |              * CAST(2*n_docs - 2*df + 1 AS DOUBLE)
+      |              * CAST(2200 AS DOUBLE)
+      |              * CAST(tf AS DOUBLE) * CAST(total_len AS DOUBLE)
+      |            / (CAST(2*df + 1 AS DOUBLE)
+      |              * (CAST(1000 AS DOUBLE) * CAST(total_len AS DOUBLE) * CAST(tf AS DOUBLE)
+      |                + CAST(300 AS DOUBLE) * CAST(total_len AS DOUBLE)
+      |                + CAST(900 AS DOUBLE) * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+      |          ) AS BIGINT)) AS BIGINT) AS score
+      |        FROM tf JOIN dfx USING (term) JOIN dls ON tf.doc_id = dls.doc_id
+      |             CROSS JOIN tot
+      |        GROUP BY 1)""".stripMargin
 
   val all: Seq[Entry] = Seq(
 
@@ -237,6 +290,65 @@ object PipelineQueries {
          |   CAST(${(0 until 12).map(j => s"(CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END)").mkString(" + ")} AS DOUBLE) / 12 AS est_jaccard
          | FROM cand JOIN sig sa ON id_a = sa.id JOIN sig sb ON id_b = sb.id
          | ORDER BY id_a, id_b""".stripMargin),
+
+    // ---- edit-distance verification tier over LSH candidates ------------
+    // character-level banded Levenshtein on the candidate pairs: the third
+    // verify tier (exact word Jaccard / minhash estimate / char edit), and
+    // the one that catches in-word edits. maxDist=6 exercises BOTH branches
+    // at every verify SF (candidate distances measured {4,8,12}): capped
+    // pairs report -1 dist and NULL sim — unknowable is not zero.
+    ("d13_edit_verify",
+      (s, d) => {
+        val docs = spread(t(s, d, "documents"))
+        Dedup.editVerify(docs,
+            Dedup.lshCandidates(
+              Dedup.minhashSignatures(Dedup.wordShingles(docs, 3), 12),
+              bands = 4, rowsPerBand = 3),
+            maxDist = 6)
+          .orderBy("id_a", "id_b")
+      },
+      s"""$LshCandCtes,
+         | tx AS (SELECT cand.id_a, cand.id_b, da.text AS text_a, db.text AS text_b
+         |        FROM cand JOIN documents da ON cand.id_a = da.doc_id
+         |                  JOIN documents db ON cand.id_b = db.doc_id),
+         | sc AS (SELECT id_a, id_b,
+         |          CASE WHEN levenshtein(text_a, text_b) <= 6
+         |               THEN levenshtein(text_a, text_b) ELSE -1 END AS edit_dist,
+         |          length(text_a) AS len_a, length(text_b) AS len_b
+         |        FROM tx)
+         | SELECT id_a, id_b, CAST(edit_dist AS INTEGER) AS edit_dist,
+         |        CAST(len_a AS INTEGER) AS len_a, CAST(len_b AS INTEGER) AS len_b,
+         |        CASE WHEN edit_dist >= 0
+         |             THEN 1.0 - edit_dist / greatest(len_a, len_b, 1) END AS edit_sim
+         | FROM sc ORDER BY id_a, id_b""".stripMargin),
+
+    // ---- sketch quality: LSH candidates vs exact-Jaccard ground truth ----
+    // the tuning row for bands/rowsPerBand: how many true >=0.2 pairs the
+    // sketch surfaces (recall) and how much verify compute it wastes
+    // (precision). Both sides sketch-bounded; one governance row out.
+    ("d14_lsh_quality",
+      (s, d) => {
+        val shingles = Dedup.wordShingles(spread(t(s, d, "documents")), 3)
+        Dedup.lshQuality(
+          Dedup.jaccardPairs(shingles, 0.2),
+          Dedup.lshCandidates(Dedup.minhashSignatures(shingles, 12),
+            bands = 4, rowsPerBand = 3))
+      },
+      s"""$LshCandCtes,
+         | sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+         | inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+         |           FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id
+         |           GROUP BY 1, 2),
+         | tr AS (SELECT id_a, id_b
+         |        FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+         |        WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.2),
+         | agg AS (SELECT (SELECT COUNT(*) FROM tr) AS n_truth,
+         |                (SELECT COUNT(*) FROM cand) AS n_candidates,
+         |                (SELECT COUNT(*) FROM tr JOIN cand USING (id_a, id_b)) AS n_hits)
+         | SELECT n_truth, n_candidates, n_hits,
+         |        n_hits / CAST(n_candidates AS DOUBLE) AS precision,
+         |        n_hits / CAST(n_truth AS DOUBLE) AS recall
+         | FROM agg""".stripMargin),
 
     // ---- end-to-end near-dup removal (candidates -> verify -> drop) -----
     ("d5_dedup_near_remove",
@@ -467,6 +579,63 @@ object PipelineQueries {
         | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |                                    ORDER BY cosine DESC, neighbor_id) AS rank FROM sc)
         | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    // ---- ANN quality: per-query recall of IVF vs exact brute force -------
+    // the tuning row for nProbe/centroids: both top-5 tables are bounded at
+    // k rows per query by construction, so the recall join costs
+    // (num_queries x k) regardless of corpus size. The oracle re-derives
+    // BOTH rankers and the join from scratch.
+    ("sim_ann_recall",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cents = Similarity.collectQuantizedCentroids(e, 16)
+        Similarity.recallAtK(
+            Similarity.bruteForceTopK(e.filter(col("vec_id") < 20), e, k = 5),
+            Similarity.ivfTopKWithQuantizedCentroids(
+              e.filter(col("vec_id") < 20), e, k = 5, cents, nProbe = 4))
+          .orderBy("query_id")
+      },
+      """WITH qv AS (SELECT vec_id AS query_id,
+        |              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+        |            FROM embeddings WHERE vec_id < 20),
+        | cv AS (SELECT vec_id AS neighbor_id,
+        |              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS cv
+        |        FROM embeddings),
+        | bfr AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+        |             list_dot_product(qv, cv) /
+        |             (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC,
+        |             neighbor_id) AS rank
+        |    FROM qv CROSS JOIN cv WHERE query_id <> neighbor_id) WHERE rank <= 5),
+        | cents AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+        |                  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS ce
+        |           FROM embeddings WHERE vec_id < 16),
+        | asg AS (SELECT neighbor_id, cv, cell FROM (
+        |    SELECT c.neighbor_id, c.cv, ce.cell,
+        |           ROW_NUMBER() OVER (PARTITION BY c.neighbor_id ORDER BY
+        |             list_dot_product(c.cv, c.cv) - 2*list_dot_product(c.cv, ce.ce)
+        |               + list_dot_product(ce.ce, ce.ce), ce.cell) AS rn
+        |    FROM cv c CROSS JOIN cents ce) WHERE rn = 1),
+        | probed AS (SELECT query_id, qv, cell FROM (
+        |    SELECT q.query_id, q.qv, ce.cell,
+        |           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        |             list_dot_product(q.qv, q.qv) - 2*list_dot_product(q.qv, ce.ce)
+        |               + list_dot_product(ce.ce, ce.ce), ce.cell) AS pr
+        |    FROM qv q CROSS JOIN cents ce) WHERE pr <= 4),
+        | ivr AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+        |             list_dot_product(qv, cv) /
+        |             (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC,
+        |             neighbor_id) AS rank
+        |    FROM probed JOIN asg USING (cell) WHERE query_id <> neighbor_id) WHERE rank <= 5)
+        | SELECT b.query_id, COUNT(*) AS n_exact,
+        |        CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |        SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |          / CAST(COUNT(*) AS DOUBLE) AS recall
+        | FROM bfr b LEFT JOIN ivr i USING (query_id, neighbor_id)
+        | GROUP BY b.query_id ORDER BY b.query_id""".stripMargin),
 
     // ---- random projection (JL-style dimensionality reduction) ----------
     // same md5-derived plane family as the LSH queries; raw doubles hash-
@@ -747,36 +916,58 @@ object PipelineQueries {
       (s, d) => TextIndex.bm25Rank(t(s, d, "documents"),
           Seq("joins", "vector", "the"), k = 10)
         .orderBy("doc_id"),
-      """WITH words AS (SELECT doc_id, strip_accents(w) AS w
-        |   FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
-        |         FROM documents) WHERE w <> '')""".stripMargin +
-        graft.functions.PorterStem.sqlCtes("words", "doc_id", "c", "tokfin") +
-        """, tok AS (SELECT doc_id, cur AS term FROM tokfin),
-        | tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
-        |        WHERE term IN ('join', 'vector', 'the') GROUP BY 1, 2),
-        | dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-        | dls AS (SELECT doc_id,
-        |           CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |                                w -> w <> '')) AS BIGINT) AS dl
-        |         FROM documents),
-        | tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS total_len, COUNT(*) AS n_docs FROM dls),
-        | sc AS (SELECT tf.doc_id,
-        |          CAST(SUM(CAST(round(
-        |            CAST(1000000 AS DOUBLE)
-        |              * CAST(2*n_docs - 2*df + 1 AS DOUBLE)
-        |              * CAST(2200 AS DOUBLE)
-        |              * CAST(tf AS DOUBLE) * CAST(total_len AS DOUBLE)
-        |            / (CAST(2*df + 1 AS DOUBLE)
-        |              * (CAST(1000 AS DOUBLE) * CAST(total_len AS DOUBLE) * CAST(tf AS DOUBLE)
-        |                + CAST(300 AS DOUBLE) * CAST(total_len AS DOUBLE)
-        |                + CAST(900 AS DOUBLE) * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)))
-        |          ) AS BIGINT)) AS BIGINT) AS score
-        |        FROM tf JOIN dfx USING (term) JOIN dls ON tf.doc_id = dls.doc_id
-        |             CROSS JOIN tot
-        |        GROUP BY 1)
+      s"""$Bm25Ctes
         | SELECT doc_id, score, CAST(rank AS INTEGER) AS rank FROM (
         |   SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
         | WHERE rank <= 10 ORDER BY doc_id""".stripMargin),
+
+    // ---- hybrid retrieval: BM25 x dense cosine via reciprocal-rank fusion -
+    // each retriever keeps its own plan (stemmed lexical scoring / quantized
+    // cosine); only the two top-10 lists meet. Fusion terms are exact
+    // integer micro-units, so the fused ordering hash-matches any engine
+    // (a float sum's value depends on aggregation order). The dense query
+    // is vec 0's embedding; documents and embeddings share ids 1:1.
+    ("x1_hybrid_rrf",
+      (s, d) => {
+        val lex = TextIndex.bm25Rank(t(s, d, "documents"),
+          Seq("joins", "vector", "the"), k = 10)
+        val e = t(s, d, "embeddings")
+        val den = Similarity.bruteForceTopK(e.filter(col("vec_id") === 0), e, k = 10)
+          .select(col("neighbor_id").as("doc_id"), col("rank"))
+        Retrieval.rrfFuse(
+            Seq("lex" -> lex.select("doc_id", "rank"), "dense" -> den), k = 10)
+          .orderBy("rank")
+      },
+      s"""$Bm25Ctes,
+        | lex AS (SELECT doc_id, rank FROM (
+        |   SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
+        |   WHERE rank <= 10),
+        | bfq AS (SELECT vec_id AS query_id,
+        |                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+        |         FROM embeddings WHERE vec_id = 0),
+        | bfc AS (SELECT vec_id AS neighbor_id,
+        |                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS cv
+        |         FROM embeddings),
+        | bfsc AS (SELECT query_id, neighbor_id,
+        |                 list_dot_product(qv, cv) /
+        |                 (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+        |          FROM bfq CROSS JOIN bfc WHERE query_id <> neighbor_id),
+        | den AS (SELECT neighbor_id AS doc_id, rank FROM (
+        |   SELECT neighbor_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, neighbor_id) AS rank
+        |   FROM bfsc) WHERE rank <= 10),
+        | fo AS (SELECT COALESCE(l.doc_id, dn.doc_id) AS doc_id,
+        |               l.rank AS rank_lex, dn.rank AS rank_dense
+        |        FROM lex l FULL OUTER JOIN den dn ON l.doc_id = dn.doc_id),
+        | fs AS (SELECT doc_id,
+        |               COALESCE(CAST(round(1000000.0 / (60 + rank_lex)) AS BIGINT), 0)
+        |             + COALESCE(CAST(round(1000000.0 / (60 + rank_dense)) AS BIGINT), 0) AS rrf_micro,
+        |               rank_lex, rank_dense
+        |        FROM fo)
+        | SELECT doc_id, rrf_micro, CAST(rnk AS INTEGER) AS rank,
+        |        CAST(rank_lex AS INTEGER) AS rank_lex,
+        |        CAST(rank_dense AS INTEGER) AS rank_dense
+        | FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id) AS rnk FROM fs)
+        | WHERE rnk <= 10 ORDER BY rnk""".stripMargin),
 
     // ---- deterministic train/val/test split -----------------------------
     // content-hash membership (md5 of salted id, lexicographic hex-prefix
