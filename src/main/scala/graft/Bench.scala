@@ -154,8 +154,13 @@ object Bench {
   private def runAb(abSf: String, cpus: String): Either[String, (String, Map[String, Double], Map[String, Double])] =
     try {
       val repo = new java.io.File(".").getCanonicalFile
+      // search from HEAD~1, NOT HEAD: the driver benches right after
+      // committing this round's snapshot, so a lookup from HEAD finds the
+      // current round and the A/B compares identical code with itself
+      // (round-6 forensics: self-"ratio" 1.146 = pure box noise). From
+      // HEAD~1 the latest round-tagged ancestor is the PREVIOUS round.
       val ref = sys.env.get("SPARK_GRAFT_AB_REF").map(Right(_)).getOrElse(
-        exec(Seq("git", "log", "--grep=^round [0-9]*:", "-1", "--format=%H"),
+        exec(Seq("git", "log", "--grep=^round [0-9]*:", "-1", "--format=%H", "HEAD~1"),
           repo, Map.empty, 30).map(_.trim))
       ref.flatMap { sha =>
         if (sha.isEmpty) Left("no prior round commit found")

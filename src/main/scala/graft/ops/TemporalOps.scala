@@ -1,17 +1,21 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Event-time operators Spark lacks as builtins: backward as-of join and
   * gap-based sessionization. Both are implemented as ONE shuffle on the
   * entity key — the shape that scales: no range-join explosion, no
   * driver-side state, skew bounded by the hottest single entity.
   *
-  * Time is taken as a LONG (epoch nanos here — the driver's events table
-  * carries TIMESTAMP(NANOS), read via nanosAsLong); any monotonic numeric
-  * works.
+  * Time inside the operators is a LONG (epoch micros); [[epochMicros]] /
+  * [[asTimestamp]] normalize an event-time column from ANY physical grain a
+  * parquet writer might have used — epoch-nanos long (TIMESTAMP(NANOS) under
+  * `nanosAsLong`), TIMESTAMP, or TIMESTAMP_NTZ (pandas/pyarrow's default
+  * µs-no-timezone output) — so an upstream regeneration of the data with a
+  * different writer cannot break the operators.
   */
 object TemporalOps {
 
@@ -116,10 +120,50 @@ object TemporalOps {
     * side and µs on the other silently flips at-tie as-of matches). Integer
     * `div` keeps the full 64-bit value exact — a double division of an
     * epoch-nanos long would round above 2^53.
+    *
+    * Grain-robust: a long column is epoch NANOS (the `nanosAsLong` read of
+    * TIMESTAMP(NANOS) parquet); TIMESTAMP goes through `unix_micros`
+    * directly; TIMESTAMP_NTZ — what Spark infers for `timestamp[us]`
+    * parquet written without UTC adjustment (pandas/pyarrow default) — is
+    * cast to TIMESTAMP first, which under the session's pinned UTC zone is
+    * an exact relabeling and matches DuckDB's grain-agnostic `epoch_us(ts)`.
     */
   def epochMicros(df: DataFrame, colName: String): Column =
     df.schema(colName).dataType match {
-      case org.apache.spark.sql.types.LongType => expr(s"$colName div 1000")
-      case _ => unix_micros(col(colName))
+      case LongType => expr(s"$colName div 1000")
+      case TimestampType => unix_micros(col(colName))
+      case TimestampNTZType => unix_micros(col(colName).cast(TimestampType))
+      case other => throw new IllegalArgumentException(
+        s"epochMicros: column '$colName' has unsupported event-time type $other " +
+          "(expected epoch-nanos LONG, TIMESTAMP, or TIMESTAMP_NTZ)")
     }
+
+  /** The same normalization to a TIMESTAMP column — for Structured
+    * Streaming operators (`window`/`session_window`/watermarks require
+    * TimestampType, not a long). Exact µs relabeling under a UTC session
+    * zone, mirroring [[epochMicros]] case-for-case.
+    */
+  def asTimestamp(df: DataFrame, colName: String): Column =
+    df.schema(colName).dataType match {
+      case LongType => timestamp_micros(expr(s"$colName div 1000"))
+      case TimestampType => col(colName)
+      case TimestampNTZType => col(colName).cast(TimestampType)
+      case other => throw new IllegalArgumentException(
+        s"asTimestamp: column '$colName' has unsupported event-time type $other " +
+          "(expected epoch-nanos LONG, TIMESTAMP, or TIMESTAMP_NTZ)")
+    }
+
+  /** The driver's events table with `ts` normalized to a `ts_us` epoch-µs
+    * LONG column — the single ingestion point for event-time queries, so a
+    * testdata regeneration that changes the physical timestamp grain (it
+    * happened: TIMESTAMP(NANOS) → timestamp[us] NTZ between rounds) is
+    * absorbed here instead of breaking every temporal query.
+    */
+  def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    // TIMESTAMP(NANOS) parquet is rejected by default; read nanos as long
+    // (a no-op for µs/NTZ files)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    ev.withColumn("ts_us", epochMicros(ev, "ts"))
+  }
 }

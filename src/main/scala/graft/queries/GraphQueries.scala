@@ -237,11 +237,27 @@ object GraphQueries {
          | SELECT id, CAST(floor(rank * 1e6 + 0.5) AS BIGINT) AS rank_micro
          | FROM r8 ORDER BY id""".stripMargin),
 
-    // ---- approximate aggregates (engine-specific sketches; rows-only) ---
+    // ---- approximate aggregates (engine-specific sketches) --------------
+    // The sketch values themselves are engine-specific (HLL++ register
+    // layout, KLL accuracy), so the checked contract is (a) the EXACT
+    // distinct count both engines compute independently and (b) an
+    // error-bound assertion evaluated inside the query: rsd=0.01 puts the
+    // 5% bound at 5 sigma and approx_percentile's default accuracy puts the
+    // median within rank error 1e-4, so both booleans are deterministically
+    // TRUE — which the oracle reproduces literally.
     ("a7_approx",
       (s, d) => t(s, d, "lineitem").agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        expr("approx_percentile(l_extendedprice, 0.5)").as("p50_price")),
-      null)
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          expr("approx_percentile(l_extendedprice, 0.5)").as("p50_approx"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50_exact"))
+        .select(col("exact_orders"),
+          (abs(col("approx_orders") - col("exact_orders"))
+            <= col("exact_orders") * 0.05).as("orders_within_5pct"),
+          (abs(col("p50_approx") - col("p50_exact"))
+            <= abs(col("p50_exact")) * 0.05).as("p50_within_5pct")),
+      """SELECT COUNT(DISTINCT l_orderkey) AS exact_orders,
+        | TRUE AS orders_within_5pct, TRUE AS p50_within_5pct
+        | FROM lineitem""".stripMargin)
   )
 }

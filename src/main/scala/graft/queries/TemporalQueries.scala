@@ -4,17 +4,15 @@ import graft.ops.TemporalOps
 import org.apache.spark.sql.functions._
 
 /** Event-time operators (as-of join, sessionization) as oracle-checked
-  * queries over the driver's `events` table. Timestamps are epoch MICROS on
-  * both sides (Spark reads TIMESTAMP(NANOS) as long and integer-divides;
-  * DuckDB truncates ns parquet timestamps to µs natively), so all
+  * queries over the driver's `events` table. Timestamps are normalized to
+  * epoch MICROS on both sides via [[TemporalOps.loadEvents]] (grain-robust:
+  * nanos-long, TIMESTAMP, or TIMESTAMP_NTZ parquet all land on the same µs
+  * longs; DuckDB's `epoch_us(ts)` is likewise grain-agnostic), so all
   * arithmetic is exact integers at a grain both engines can represent.
   */
 object TemporalQueries {
 
   import RelationalQueries.Entry
-
-  private def t(s: org.apache.spark.sql.SparkSession, dir: String, name: String) =
-    RelationalQueries.t(s, dir, name)
 
   val all: Seq[Entry] = Seq(
 
@@ -26,12 +24,11 @@ object TemporalQueries {
     // both engines.
     ("ts_asof_join",
       (s, d) => {
-        val ev = t(s, d, "events")
-        val tsn = TemporalOps.epochMicros(ev, "ts")
+        val ev = TemporalOps.loadEvents(s, d)
         val purchases = ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("event_id"), tsn.as("tsn"))
+          .select(col("user_id"), col("event_id"), col("ts_us").as("tsn"))
         val clicks = ev.filter(col("event_type") === "click")
-          .groupBy(col("user_id"), tsn.as("tsn"))
+          .groupBy(col("user_id"), col("ts_us").as("tsn"))
           .agg(max(col("value")).as("click_value"))
         TemporalOps.asofJoinBackward(purchases, clicks,
             keyCol = "user_id", tsCol = "tsn",
@@ -53,12 +50,11 @@ object TemporalQueries {
     // only candidate, so the oracle is native ASOF plus a staleness CASE.
     ("ts_asof_tolerance",
       (s, d) => {
-        val ev = t(s, d, "events")
-        val tsn = TemporalOps.epochMicros(ev, "ts")
+        val ev = TemporalOps.loadEvents(s, d)
         val purchases = ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("event_id"), tsn.as("tsn"))
+          .select(col("user_id"), col("event_id"), col("ts_us").as("tsn"))
         val clicks = ev.filter(col("event_type") === "click")
-          .groupBy(col("user_id"), tsn.as("tsn"))
+          .groupBy(col("user_id"), col("ts_us").as("tsn"))
           .agg(max(col("value")).as("click_value"))
         TemporalOps.asofJoinBackward(purchases, clicks,
             keyCol = "user_id", tsCol = "tsn",
@@ -80,9 +76,8 @@ object TemporalQueries {
     // 30-minute inactivity gap per user; per-session event count and span.
     ("ts_sessionize",
       (s, d) => {
-        val ev = t(s, d, "events")
-        val e = ev.select(col("user_id"), col("event_id"),
-          TemporalOps.epochMicros(ev, "ts").as("tsn"))
+        val e = TemporalOps.loadEvents(s, d)
+          .select(col("user_id"), col("event_id"), col("ts_us").as("tsn"))
         val sess = TemporalOps.sessionize(e, keyCol = "user_id", tsCol = "tsn",
           gap = 1800000000L, tieCol = "event_id")
         TemporalOps.sessionStats(sess, "user_id", "tsn")

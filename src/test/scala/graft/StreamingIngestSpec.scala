@@ -235,8 +235,8 @@ class StreamingIngestSpec extends AnyFunSuite {
       Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
         base.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
       val schema = spark.read.parquet(base.toString).schema
-      def asTs(df: org.apache.spark.sql.DataFrame) = // nanos-long -> µs timestamp
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      def asTs(df: org.apache.spark.sql.DataFrame) = // any grain -> µs timestamp
+        df.withColumn("ts", graft.ops.TemporalOps.asTimestamp(df, "ts"))
 
       val stream = asTs(spark.readStream.schema(schema).parquet(base.toString))
       val sess = StreamingIngest.streamingSessionStats(stream, "30 minutes", "10 minutes")
@@ -274,8 +274,8 @@ class StreamingIngestSpec extends AnyFunSuite {
       Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
         base.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
       val schema = spark.read.parquet(base.toString).schema
-      def asTs(df: org.apache.spark.sql.DataFrame) = // nanos-long -> timestamp
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      def asTs(df: org.apache.spark.sql.DataFrame) = // any grain -> timestamp
+        df.withColumn("ts", graft.ops.TemporalOps.asTimestamp(df, "ts"))
 
       val stream = asTs(spark.readStream.schema(schema).parquet(base.toString))
       val agg = StreamingIngest.windowedEventCounts(stream, "1 hour", "1 hour", "10 minutes")

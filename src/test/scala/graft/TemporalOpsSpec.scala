@@ -313,4 +313,61 @@ class TemporalOpsSpec extends AnyFunSuite {
       .filter(col("selected")).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(sel7 == flat)
   }
+
+  test("event-time grain matrix: nanos-long, TIMESTAMP, TIMESTAMP_NTZ parquet all normalize identically") {
+    // the exact environment drift that broke round 6: the testdata writer
+    // switched from TIMESTAMP(NANOS) to timestamp[us]-without-UTC (NTZ).
+    // Write the SAME instants in all three physical grains and require
+    // epochMicros / asTimestamp / sessionize to be byte-identical across
+    // them, so no future writer change can break the temporal family.
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val micros = Seq(
+      (1L, 1L, 1700000000000000L), (1L, 2L, 1700000000250000L),
+      (1L, 3L, 1700003600000000L), (2L, 4L, 1700000000250000L))
+    val base = java.nio.file.Files.createTempDirectory("graft-grain")
+    try {
+      val src = micros.toDF("user_id", "event_id", "us")
+      src.select(col("user_id"), col("event_id"),
+          (col("us") * 1000L).as("ts")) // epoch nanos as plain long
+        .write.parquet(s"$base/long")
+      src.select(col("user_id"), col("event_id"),
+          timestamp_micros(col("us")).as("ts"))
+        .write.parquet(s"$base/ts")
+      src.select(col("user_id"), col("event_id"),
+          timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"))
+        .write.parquet(s"$base/ntz")
+
+      val expectType = Map("long" -> LongType, "ts" -> TimestampType, "ntz" -> TimestampNTZType)
+      val expected = micros.map { case (u, e, us) => (u, e, us) }.toSet
+      for (variant <- Seq("long", "ts", "ntz")) {
+        val df = spark.read.parquet(s"$base/$variant")
+        assert(df.schema("ts").dataType == expectType(variant), variant)
+        val got = df.select(col("user_id"), col("event_id"),
+            TemporalOps.epochMicros(df, "ts").as("us"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got == expected, s"epochMicros($variant)")
+        val gotTs = df.select(col("user_id"), col("event_id"),
+            unix_micros(TemporalOps.asTimestamp(df, "ts")).as("us"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(gotTs == expected, s"asTimestamp($variant)")
+        // end-to-end through an operator: identical sessionization
+        val e = df.select(col("user_id"), col("event_id"),
+          TemporalOps.epochMicros(df, "ts").as("tsn"))
+        val sess = TemporalOps.sessionize(e, "user_id", "tsn",
+            gap = 1800000000L, tieCol = "event_id")
+          .select("user_id", "event_id", "session_no")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(sess == Set((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (2L, 4L, 1L)),
+          s"sessionize($variant)")
+      }
+      // unsupported grain fails loudly, not with a wrong answer
+      val bad = micros.toDF("user_id", "event_id", "us")
+        .select(col("user_id"), col("us").cast("string").as("ts"))
+      intercept[IllegalArgumentException](TemporalOps.epochMicros(bad, "ts"))
+      intercept[IllegalArgumentException](TemporalOps.asTimestamp(bad, "ts"))
+      // and the real testdata loads through the single ingestion point
+      val ev = TemporalOps.loadEvents(spark, "/root/testdata/sf0.001")
+      assert(ev.schema("ts_us").dataType == LongType && ev.count() > 0)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
 }
