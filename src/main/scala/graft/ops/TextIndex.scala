@@ -234,9 +234,11 @@ object TextIndex {
   }
 
   /** Shared ranking tail: per-partition top-k (TakeOrderedAndProject — no
-    * global sort), then the rank window on ≤ k rows.
+    * global sort), then the rank window on ≤ k rows. Public so callers that
+    * persist a scored frame (e.g. one BM25 scoring shared by a lexical and
+    * a hybrid-fusion consumer) can rank it without re-deriving scores.
     */
-  private def rankTopK(scored: DataFrame, k: Int, idCol: String): DataFrame =
+  def rankTopK(scored: DataFrame, k: Int, idCol: String): DataFrame =
     scored.orderBy(col("score").desc, col(idCol)).limit(k)
       .withColumn("rank",
         row_number().over(org.apache.spark.sql.expressions.Window
@@ -264,11 +266,26 @@ object TextIndex {
                k1Tenths: Int = 12, bHundredths: Int = 75,
                textCol: String = "text", idCol: String = "doc_id",
                scale: Long = 1000000L): DataFrame = {
-    require(queryTerms.nonEmpty, "bm25Rank: query terms must be non-empty")
     require(k > 0, s"bm25Rank: k must be positive: $k")
-    require(k1Tenths >= 0, s"bm25Rank: k1Tenths must be >= 0: $k1Tenths")
+    rankTopK(bm25Scores(docs, queryTerms, k1Tenths, bHundredths,
+      textCol, idCol, scale), k, idCol)
+  }
+
+  /** BM25 scoring WITHOUT the ranking tail: (idCol, score) for every
+    * document matching ≥ 1 query term. Split out so a caller with several
+    * ranked consumers (plain BM25 list + hybrid RRF fusion) can persist ONE
+    * scored frame — the corpus-scale tokenize/stem/df/length work — and
+    * rank it per consumer over ≤ matching-docs rows. Scoring semantics
+    * documented on [[bm25Rank]].
+    */
+  def bm25Scores(docs: DataFrame, queryTerms: Seq[String],
+                 k1Tenths: Int = 12, bHundredths: Int = 75,
+                 textCol: String = "text", idCol: String = "doc_id",
+                 scale: Long = 1000000L): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Scores: query terms must be non-empty")
+    require(k1Tenths >= 0, s"bm25Scores: k1Tenths must be >= 0: $k1Tenths")
     require(bHundredths >= 0 && bHundredths <= 100,
-      s"bm25Rank: bHundredths must be in [0,100]: $bHundredths")
+      s"bm25Scores: bHundredths must be in [0,100]: $bHundredths")
     val tf = stemmedQueryTf(docs, queryTerms, textCol, idCol, withDl = true)
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val totals = docs.select(
@@ -288,9 +305,9 @@ object TextIndex {
           + lit(k1Tenths.toLong * (100 - bHundredths)).cast("double") * col("total_len").cast("double")
           + lit(k1Tenths.toLong * bHundredths).cast("double") * col("dl").cast("double") * col("n_docs").cast("double")))
     ).cast("long")
-    rankTopK(tf.join(broadcast(dfT), Seq("term"))
+    tf.join(broadcast(dfT), Seq("term"))
       .crossJoin(broadcast(totals))
-      .groupBy(col(idCol)).agg(sum(termScore).as("score")), k, idCol)
+      .groupBy(col(idCol)).agg(sum(termScore).as("score"))
   }
 
   /** Persist the token table bucketed by token — the scale path for point

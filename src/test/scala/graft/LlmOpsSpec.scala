@@ -426,6 +426,18 @@ class LlmOpsSpec extends AnyFunSuite {
       val b = run()
       assert(a == b, "seeded online IVF fit diverged between identical runs")
       assert(a.nonEmpty)
+      // not just the ranked output: the fitted centroid MATRIX itself must
+      // be bit-identical across runs (a compensating error in assignment
+      // could mask centroid drift in the top-k comparison above)
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      def fitCentroids() = new KMeans().setK(8).setSeed(42L).setMaxIter(10)
+        .fit(e.select(array_to_vector(col("embedding").cast("array<double>")).as("features")))
+        .clusterCenters.map(_.toArray.toSeq).toSeq
+      val c1 = fitCentroids()
+      val c2 = fitCentroids()
+      assert(c1 == c2, "seeded KMeans centroids diverged between identical runs")
+      assert(c1.size == 8)
     } finally { e.unpersist(); () }
   }
 
