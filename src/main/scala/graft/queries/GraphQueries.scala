@@ -240,24 +240,42 @@ object GraphQueries {
     // ---- approximate aggregates (engine-specific sketches) --------------
     // The sketch values themselves are engine-specific (HLL++ register
     // layout, KLL accuracy), so the checked contract is (a) the EXACT
-    // distinct count both engines compute independently and (b) an
-    // error-bound assertion evaluated inside the query: rsd=0.01 puts the
-    // 5% bound at 5 sigma and approx_percentile's default accuracy puts the
-    // median within rank error 1e-4, so both booleans are deterministically
-    // TRUE — which the oracle reproduces literally.
+    // distinct count both engines compute independently and (b) error-bound
+    // assertions evaluated inside the query, which the oracle reproduces as
+    // literal TRUEs. Count bound: rsd=0.01 puts the 5% tolerance at 5
+    // sigma. Percentile bound: the approx median is validated by its RANK —
+    // one extra map-side pass counting values <= it — not against Spark's
+    // exact percentile(), whose aggregation buffer holds EVERY value of the
+    // column (the 100 TB killer; measured 73 s of this query's runtime at
+    // sf0.1 alone). approx_percentile's default accuracy bounds rank error
+    // at 1e-4, so rank in [0.45, 0.55] is deterministic.
+    //
+    // Plan shape: the exact distinct count aggregates SEPARATELY from the
+    // sketches and joins on as a 1-row frame. Mixing a distinct aggregate
+    // with sketch aggregates in one agg() triggers the Expand rewrite
+    // (every row duplicated per aggregate group, sketches pushed off the
+    // hash path) — measured 35 s vs 1.2 s for the split shape on the same
+    // input at sf0.1.
     ("a7_approx",
-      (s, d) => t(s, d, "lineitem").agg(
-          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
-          countDistinct(col("l_orderkey")).as("exact_orders"),
-          expr("approx_percentile(l_extendedprice, 0.5)").as("p50_approx"),
-          expr("percentile(l_extendedprice, 0.5)").as("p50_exact"))
-        .select(col("exact_orders"),
-          (abs(col("approx_orders") - col("exact_orders"))
-            <= col("exact_orders") * 0.05).as("orders_within_5pct"),
-          (abs(col("p50_approx") - col("p50_exact"))
-            <= abs(col("p50_exact")) * 0.05).as("p50_within_5pct")),
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val sketches = li.agg(
+            approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+            expr("approx_percentile(l_extendedprice, 0.5)").as("p50_approx"))
+          .crossJoin(li.agg(countDistinct(col("l_orderkey")).as("exact_orders")))
+        li.crossJoin(broadcast(sketches))
+          .agg(
+            max(col("exact_orders")).as("exact_orders"),
+            max(col("approx_orders")).as("approx_orders"),
+            (sum(when(col("l_extendedprice") <= col("p50_approx"), 1L).otherwise(0L))
+              / count(lit(1))).as("p50_rank"))
+          .select(col("exact_orders"),
+            (abs(col("approx_orders") - col("exact_orders"))
+              <= col("exact_orders") * 0.05).as("orders_within_5pct"),
+            col("p50_rank").between(0.45, 0.55).as("p50_rank_within_5pct"))
+      },
       """SELECT COUNT(DISTINCT l_orderkey) AS exact_orders,
-        | TRUE AS orders_within_5pct, TRUE AS p50_within_5pct
+        | TRUE AS orders_within_5pct, TRUE AS p50_rank_within_5pct
         | FROM lineitem""".stripMargin)
   )
 }
