@@ -283,6 +283,50 @@ object ScaleProbe {
     }
     edges.unpersist()
     }
+
+    // temporal path at the same multiplier, in BOTH scaling directions the
+    // one-shuffle union+window design must survive: more keys (copies get
+    // fresh user ids — the horizontal 100 TB shape) and deeper keys (copies
+    // share user ids, so per-user event volume grows mult× — the hottest
+    // single entity bounds the window stage, the design's stated skew limit)
+    val eventProbes = Seq("asofJoin", "sessionize", "asofHotKey")
+    if (eventProbes.exists(enabled)) {
+    val baseE = graft.ops.TemporalOps.loadEvents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val userStride = baseE.agg(max(col("user_id"))).head.getLong(0) + 1L
+    val eventStride = baseE.agg(max(col("event_id"))).head.getLong(0) + 1L
+    def copies(shareUsers: Boolean) = (0 until mult).map { k =>
+      val fresh = baseE
+        .withColumn("event_id", col("event_id") + lit(k.toLong * eventStride))
+        .withColumn("ts_us", col("ts_us") + lit(k.toLong)) // break cross-copy ties
+      if (shareUsers) fresh
+      else fresh.withColumn("user_id", col("user_id") + lit(k.toLong * userStride))
+    }.reduce(_ union _)
+    def asofCount(ev: org.apache.spark.sql.DataFrame): Long = {
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_us").as("tsn"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_us").as("tsn"))
+        .agg(max(col("value")).as("click_value"))
+      graft.ops.TemporalOps.asofJoinBackward(purchases, clicks,
+        keyCol = "user_id", tsCol = "tsn", valueCol = "click_value",
+        asOfCol = "click_value", rightTieCol = "tsn").count()
+    }
+    val wide = copies(shareUsers = false).cache()
+    println(s"events (fresh users): ${wide.count()}")
+    timed("asofJoin (mult x users)") { asofCount(wide) }
+    timed("sessionize+stats (mult x users)") {
+      val e = wide.select(col("user_id"), col("event_id"), col("ts_us").as("tsn"))
+      graft.ops.TemporalOps.sessionStats(
+        graft.ops.TemporalOps.sessionize(e, "user_id", "tsn",
+          gap = 1800000000L, tieCol = "event_id"), "user_id", "tsn").count()
+    }
+    wide.unpersist()
+    val hot = copies(shareUsers = true).cache()
+    println(s"events (hot keys): ${hot.count()}")
+    timed("asofHotKey (mult x events/user)") { asofCount(hot) }
+    hot.unpersist()
+    }
     spark.stop()
   }
 }
