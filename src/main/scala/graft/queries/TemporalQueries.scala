@@ -97,6 +97,31 @@ object TemporalQueries {
         | SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
         |        COUNT(*) AS n_events, MIN(tsn) AS start_us, MAX(tsn) AS end_us
         | FROM sess GROUP BY user_id, session_no
-        | ORDER BY user_id, session_no""".stripMargin)
+        | ORDER BY user_id, session_no""".stripMargin),
+
+    // ---- tumbling event-time window aggregation -------------------------
+    // hourly counts + value sum per event type — the batch twin of the
+    // streaming windowedEventCounts (whose spec asserts stream == batch on
+    // this exact shape). Uses Spark's window() on the grain-normalized
+    // TIMESTAMP (asTimestamp), so the registry pins the builtin's bucket
+    // arithmetic against an independent integer-division oracle. value sums
+    // are micro-unit integers: a float SUM's value depends on aggregation
+    // order and would not hash-match across engines.
+    ("ts_window_agg",
+      (s, d) => {
+        val ev = TemporalOps.loadEvents(s, d)
+        ev.groupBy(
+            window(TemporalOps.asTimestamp(ev, "ts"), "1 hour").as("win"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 1000000L).cast("long")).as("value_micro"))
+          .select(unix_micros(col("win.start")).as("win_start_us"),
+            col("event_type"), col("n_events"), col("value_micro"))
+          .orderBy("win_start_us", "event_type")
+      },
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
+        |       event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micro
+        | FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin)
   )
 }
