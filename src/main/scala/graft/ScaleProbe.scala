@@ -293,8 +293,10 @@ object ScaleProbe {
     if (eventProbes.exists(enabled)) {
     val baseE = graft.ops.TemporalOps.loadEvents(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism)
-    val userStride = baseE.agg(max(col("user_id"))).head.getLong(0) + 1L
-    val eventStride = baseE.agg(max(col("event_id"))).head.getLong(0) + 1L
+    // ONE action for both strides: each agg is a full scan of the uncached base
+    val strideRow = baseE.agg(max(col("user_id")), max(col("event_id"))).head
+    val userStride = strideRow.getLong(0) + 1L
+    val eventStride = strideRow.getLong(1) + 1L
     def copies(shareUsers: Boolean) = (0 until mult).map { k =>
       val fresh = baseE
         .withColumn("event_id", col("event_id") + lit(k.toLong * eventStride))
@@ -302,30 +304,29 @@ object ScaleProbe {
       if (shareUsers) fresh
       else fresh.withColumn("user_id", col("user_id") + lit(k.toLong * userStride))
     }.reduce(_ union _)
-    def asofCount(ev: org.apache.spark.sql.DataFrame): Long = {
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id"), col("ts_us").as("tsn"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .groupBy(col("user_id"), col("ts_us").as("tsn"))
-        .agg(max(col("value")).as("click_value"))
-      graft.ops.TemporalOps.asofJoinBackward(purchases, clicks,
-        keyCol = "user_id", tsCol = "tsn", valueCol = "click_value",
-        asOfCol = "click_value", rightTieCol = "tsn").count()
+    // the probe must measure the exact registry operator — shared shape
+    def asofCount(ev: org.apache.spark.sql.DataFrame): Long =
+      graft.queries.TemporalQueries.purchaseClickAsof(ev).count()
+    // each scaled union is cached only if one of ITS probes is selected
+    // (the line-42 gating principle, per-input)
+    if (Seq("asofJoin", "sessionize").exists(enabled)) {
+      val wide = copies(shareUsers = false).cache()
+      println(s"events (fresh users): ${wide.count()}")
+      timed("asofJoin (mult x users)") { asofCount(wide) }
+      timed("sessionize+stats (mult x users)") {
+        val e = wide.select(col("user_id"), col("event_id"), col("ts_us").as("tsn"))
+        graft.ops.TemporalOps.sessionStats(
+          graft.ops.TemporalOps.sessionize(e, "user_id", "tsn",
+            gap = 1800000000L, tieCol = "event_id"), "user_id", "tsn").count()
+      }
+      wide.unpersist()
     }
-    val wide = copies(shareUsers = false).cache()
-    println(s"events (fresh users): ${wide.count()}")
-    timed("asofJoin (mult x users)") { asofCount(wide) }
-    timed("sessionize+stats (mult x users)") {
-      val e = wide.select(col("user_id"), col("event_id"), col("ts_us").as("tsn"))
-      graft.ops.TemporalOps.sessionStats(
-        graft.ops.TemporalOps.sessionize(e, "user_id", "tsn",
-          gap = 1800000000L, tieCol = "event_id"), "user_id", "tsn").count()
+    if (enabled("asofHotKey")) {
+      val hot = copies(shareUsers = true).cache()
+      println(s"events (hot keys): ${hot.count()}")
+      timed("asofHotKey (mult x events/user)") { asofCount(hot) }
+      hot.unpersist()
     }
-    wide.unpersist()
-    val hot = copies(shareUsers = true).cache()
-    println(s"events (hot keys): ${hot.count()}")
-    timed("asofHotKey (mult x events/user)") { asofCount(hot) }
-    hot.unpersist()
     }
     spark.stop()
   }

@@ -132,11 +132,26 @@ object TemporalOps {
     df.schema(colName).dataType match {
       case LongType => expr(s"$colName div 1000")
       case TimestampType => unix_micros(col(colName))
-      case TimestampNTZType => unix_micros(col(colName).cast(TimestampType))
+      case TimestampNTZType =>
+        requireUtcSession(df, "epochMicros")
+        unix_micros(col(colName).cast(TimestampType))
       case other => throw new IllegalArgumentException(
         s"epochMicros: column '$colName' has unsupported event-time type $other " +
           "(expected epoch-nanos LONG, TIMESTAMP, or TIMESTAMP_NTZ)")
     }
+
+  /** The NTZ→TIMESTAMP cast is an exact µs relabeling ONLY under a UTC
+    * session zone; any other zone shifts every instant by its offset and
+    * maps DST-ambiguous wall-clock times non-uniquely — a silently-wrong
+    * answer, which is exactly what the unsupported-type branches above
+    * refuse to produce. So refuse loudly here too.
+    */
+  private def requireUtcSession(df: DataFrame, fn: String): Unit = {
+    val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
+    require(tz == "UTC",
+      s"$fn: TIMESTAMP_NTZ normalization requires spark.sql.session.timeZone=UTC " +
+        s"(got '$tz'); a non-UTC zone would shift instants by the zone offset")
+  }
 
   /** The same normalization to a TIMESTAMP column — for Structured
     * Streaming operators (`window`/`session_window`/watermarks require
@@ -147,7 +162,9 @@ object TemporalOps {
     df.schema(colName).dataType match {
       case LongType => timestamp_micros(expr(s"$colName div 1000"))
       case TimestampType => col(colName)
-      case TimestampNTZType => col(colName).cast(TimestampType)
+      case TimestampNTZType =>
+        requireUtcSession(df, "asTimestamp")
+        col(colName).cast(TimestampType)
       case other => throw new IllegalArgumentException(
         s"asTimestamp: column '$colName' has unsupported event-time type $other " +
           "(expected epoch-nanos LONG, TIMESTAMP, or TIMESTAMP_NTZ)")

@@ -267,8 +267,14 @@ object GraphQueries {
           .agg(
             max(col("exact_orders")).as("exact_orders"),
             max(col("approx_orders")).as("approx_orders"),
-            (sum(when(col("l_extendedprice") <= col("p50_approx"), 1L).otherwise(0L))
-              / count(lit(1))).as("p50_rank"))
+            // MIDRANK, not plain <=-fraction: with a heavily duplicated
+            // median value the <=-count alone could overshoot 0.55 on a
+            // correct sketch (below + half the ties stays centered), and
+            // the denominator counts only non-null prices — the rows the
+            // percentile actually ranks over
+            ((sum(when(col("l_extendedprice") < col("p50_approx"), 1L).otherwise(0L))
+              + sum(when(col("l_extendedprice") === col("p50_approx"), 1L).otherwise(0L)) / 2.0)
+              / count(col("l_extendedprice"))).as("p50_rank"))
           .select(col("exact_orders"),
             (abs(col("approx_orders") - col("exact_orders"))
               <= col("exact_orders") * 0.05).as("orders_within_5pct"),

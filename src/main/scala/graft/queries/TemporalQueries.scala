@@ -14,6 +14,23 @@ object TemporalQueries {
 
   import RelationalQueries.Entry
 
+  /** The purchases←clicks backward as-of shape, shared by the ts_asof_*
+    * registry entries AND ScaleProbe's temporal group — the probe must
+    * measure the exact operator the registry checks, not a drifted copy.
+    * Input events must carry the `ts_us` epoch-µs column ([[TemporalOps.loadEvents]]).
+    */
+  def purchaseClickAsof(ev: org.apache.spark.sql.DataFrame,
+                        tolerance: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_us").as("tsn"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts_us").as("tsn"))
+      .agg(max(col("value")).as("click_value"))
+    TemporalOps.asofJoinBackward(purchases, clicks,
+      keyCol = "user_id", tsCol = "tsn", valueCol = "click_value",
+      asOfCol = "click_value", rightTieCol = "tsn", tolerance = tolerance)
+  }
+
   val all: Seq[Entry] = Seq(
 
     // ---- backward as-of join -------------------------------------------
@@ -23,19 +40,9 @@ object TemporalQueries {
     // pre-aggregated per (user, ts) so the at-tie winner is well-defined in
     // both engines.
     ("ts_asof_join",
-      (s, d) => {
-        val ev = TemporalOps.loadEvents(s, d)
-        val purchases = ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("event_id"), col("ts_us").as("tsn"))
-        val clicks = ev.filter(col("event_type") === "click")
-          .groupBy(col("user_id"), col("ts_us").as("tsn"))
-          .agg(max(col("value")).as("click_value"))
-        TemporalOps.asofJoinBackward(purchases, clicks,
-            keyCol = "user_id", tsCol = "tsn",
-            valueCol = "click_value", asOfCol = "click_value", rightTieCol = "tsn")
-          .select("user_id", "event_id", "click_value")
-          .orderBy("event_id")
-      },
+      (s, d) => purchaseClickAsof(TemporalOps.loadEvents(s, d))
+        .select("user_id", "event_id", "click_value")
+        .orderBy("event_id"),
       """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS tsn
         |           FROM events WHERE event_type = 'purchase'),
         |      c AS (SELECT user_id, epoch_us(ts) AS tsn, MAX(value) AS click_value
@@ -49,20 +56,10 @@ object TemporalQueries {
     // the "quote must be fresh" variant. The latest prior right row is the
     // only candidate, so the oracle is native ASOF plus a staleness CASE.
     ("ts_asof_tolerance",
-      (s, d) => {
-        val ev = TemporalOps.loadEvents(s, d)
-        val purchases = ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("event_id"), col("ts_us").as("tsn"))
-        val clicks = ev.filter(col("event_type") === "click")
-          .groupBy(col("user_id"), col("ts_us").as("tsn"))
-          .agg(max(col("value")).as("click_value"))
-        TemporalOps.asofJoinBackward(purchases, clicks,
-            keyCol = "user_id", tsCol = "tsn",
-            valueCol = "click_value", asOfCol = "click_value", rightTieCol = "tsn",
-            tolerance = Some(600000000L)) // 10 min in µs
-          .select("user_id", "event_id", "click_value")
-          .orderBy("event_id")
-      },
+      (s, d) => purchaseClickAsof(TemporalOps.loadEvents(s, d),
+          tolerance = Some(600000000L)) // 10 min in µs
+        .select("user_id", "event_id", "click_value")
+        .orderBy("event_id"),
       """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS tsn
         |           FROM events WHERE event_type = 'purchase'),
         |      c AS (SELECT user_id, epoch_us(ts) AS tsn, MAX(value) AS click_value
