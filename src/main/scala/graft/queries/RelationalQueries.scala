@@ -151,6 +151,29 @@ object RelationalQueries {
         |  AND c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100
         | GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin),
 
+    // ---- salted equi-join (hub-key skew mitigation, SURVEY §7.5) --------
+    // SkewOps.saltedJoin spreads each hot key over saltFactor reducers
+    // (deterministic hash salt on the large side, replicated small side)
+    // while producing EXACTLY the plain inner join — which is what the
+    // oracle computes, so the whole salting mechanism is hash-checked, not
+    // just spec'd. Post-join aggregate keeps the checked artifact small.
+    ("j7_salted_join",
+      (s, d) => {
+        val orders = t(s, d, "orders")
+          .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+        graft.ops.SkewOps.saltedJoin(orders, cust, Seq("custkey"), saltFactor = 8)
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_cents"))
+          .orderBy("c_nationkey")
+      },
+      """SELECT c_nationkey, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+
     // ---- A1: global distinct (triple-dedup shape) ----------------------
     ("a1_distinct",
       (s, d) => t(s, d, "lineitem")
