@@ -365,6 +365,14 @@ class TemporalOpsSpec extends AnyFunSuite {
         .select(col("user_id"), col("us").cast("string").as("ts"))
       intercept[IllegalArgumentException](TemporalOps.epochMicros(bad, "ts"))
       intercept[IllegalArgumentException](TemporalOps.asTimestamp(bad, "ts"))
+      // NTZ normalization under a non-UTC session zone would shift every
+      // instant by the zone offset — must refuse, not relabel wrongly
+      val ntz = spark.read.parquet(s"$base/ntz")
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      try {
+        intercept[IllegalArgumentException](TemporalOps.epochMicros(ntz, "ts"))
+        intercept[IllegalArgumentException](TemporalOps.asTimestamp(ntz, "ts"))
+      } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
       // and the real testdata loads through the single ingestion point
       val ev = TemporalOps.loadEvents(spark, "/root/testdata/sf0.001")
       assert(ev.schema("ts_us").dataType == LongType && ev.count() > 0)
