@@ -236,4 +236,60 @@ object StreamingIngest {
       }
       .toDF("source", "n_docs", "total_tokens")
   }
+
+  /** Streaming backward as-of enrichment via `flatMapGroupsWithState`: each
+    * `leftType` event is emitted with the latest `rightType` value at or
+    * before its timestamp for the same user — the streaming twin of
+    * [[graft.ops.TemporalOps.asofJoinBackward]] (matching its at-tie and
+    * click-tie semantics: right rows apply before left rows at equal ts,
+    * equal-ts right rows collapse to their max value).
+    *
+    * State is ONE (ts, value) pair per key — bounded by key cardinality,
+    * never by stream length; within a (key, micro-batch) group events are
+    * sorted by event time, so memory is bounded by a key's per-batch
+    * volume. Correctness contract: per-key event time must be
+    * non-decreasing ACROSS micro-batches (file replay of time-split input,
+    * a time-ordered log); a right row arriving in a later batch than a
+    * left row it should have matched is not retro-applied — use the batch
+    * operator for unordered data.
+    */
+  def streamingAsofEnrich(events: DataFrame,
+                          rightType: String = "click",
+                          leftType: String = "purchase"): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.Encoders
+    val typed = events.select(
+      col("user_id").cast("long").as("user_id"),
+      col("event_id").cast("long").as("event_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      col("event_type").cast("string").as("event_type"),
+      col("value").cast("double").as("value"))
+    implicit val inEnc = Encoders.product[(Long, Long, Long, String, Double)]
+    implicit val stEnc = Encoders.product[(Long, Double, Boolean)]
+    implicit val outEnc = Encoders.product[(Long, Long, Option[Double])]
+    typed.as[(Long, Long, Long, String, Double)]
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[(Long, Double, Boolean), (Long, Long, Option[Double])](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          var (lastTs, lastV, has) = state.getOption.getOrElse((Long.MinValue, 0.0, false))
+          // right rows sort before left rows at equal ts (the batch
+          // operator's __tag ordering); event_id totalizes the order
+          val sorted = rows.toArray
+            .sortBy(e => (e._3, if (e._4 == rightType) 0 else 1, e._2))
+          val out = Vector.newBuilder[(Long, Long, Option[Double])]
+          for (e <- sorted) {
+            if (e._4 == rightType) {
+              if (has && e._3 == lastTs) lastV = math.max(lastV, e._5)
+              else { lastTs = e._3; lastV = e._5; has = true }
+            } else if (e._4 == leftType) {
+              out += ((user, e._2, if (has) Some(lastV) else None))
+            }
+          }
+          state.update((lastTs, lastV, has))
+          out.result().iterator
+      }
+      .toDF("user_id", "event_id", "click_value")
+  }
 }

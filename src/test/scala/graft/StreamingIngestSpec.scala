@@ -265,6 +265,46 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
   }
 
+  test("streaming as-of enrichment matches batch asof join on time-split replay") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-sasof")
+    try {
+      val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      val evTs = raw.withColumn("ts", graft.ops.TemporalOps.asTimestamp(raw, "ts"))
+      // split at the median event time: every right row a batch-1 left row
+      // could match is itself in batch 1, so replay order respects the
+      // operator's cross-batch event-time contract
+      val cutUs = evTs.select(unix_micros(col("ts")).as("us"))
+        .stat.approxQuantile("us", Array(0.5), 0.0)(0).toLong
+      val in = base.resolve("in"); Files.createDirectories(in)
+      evTs.filter(unix_micros(col("ts")) <= cutUs).write.parquet(s"$in/b1")
+      val schema = spark.read.parquet(s"$in/b1").schema
+      val stream = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(in.toString)
+      val q = StreamingIngest.streamingAsofEnrich(stream)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("asof_enrich").start()
+      try {
+        q.processAllAvailable()
+        val afterB1 = spark.table("asof_enrich").count()
+        evTs.filter(unix_micros(col("ts")) > cutUs).write.parquet(s"$in/b2")
+        q.processAllAvailable()
+        val streamed = spark.table("asof_enrich")
+          .select("event_id", "click_value")
+          .collect().map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+        val batch = graft.queries.TemporalQueries.purchaseClickAsof(
+            graft.ops.TemporalOps.loadEvents(spark, "/root/testdata/sf0.001"))
+          .select("event_id", "click_value")
+          .collect().map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+        assert(streamed == batch, "stream != batch asof enrichment")
+        assert(afterB1 > 0 && streamed.size > afterB1,
+          "expected purchases in BOTH micro-batches (state carried across)")
+      } finally q.stop()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
   test("event-time windowed aggregation with watermark matches batch result") {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
