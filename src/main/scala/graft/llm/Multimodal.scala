@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is REAL: `javax.imageio` (public JDK API, no external libs)
   * parses PNG/BMP/GIF/JPEG payloads into width/height/pixel statistics on
-  * the executor. Audio/video decode remains STUBBED with a deterministic
-  * fake (`fakeDecode`) because no such codecs exist in this environment —
-  * swapping the stub for a JNI/library call is the only change needed in
-  * production; undecodable image payloads also fall back to the stub rather
-  * than failing the batch (corrupt blobs are data, not bugs, at corpus
-  * scale).
+  * the executor. AUDIO decode is REAL too: `javax.sound.sampled` parses
+  * WAV/AIFF/AU PCM payloads into rate/channels/frames/sample statistics.
+  * VIDEO decode remains STUBBED with a deterministic fake (`fakeDecode`)
+  * because no video codec exists in the JDK or this environment — swapping
+  * the stub for a JNI/library call is the only change needed in production;
+  * undecodable payloads also fall back to the stub rather than failing the
+  * batch (corrupt blobs are data, not bugs, at corpus scale).
   *
   * Scale notes: `mapPartitions` processes one partition's blobs as a stream
   * (no per-row lambda dispatch); media tables should be written with
@@ -154,6 +155,105 @@ object Multimodal {
         (r.media_id, i, java.util.Arrays.copyOfRange(r.bytes, from, until))
       }
     }.toDF("media_id", "frame_idx", "frame_bytes")
+  }
+
+  /** Extracted audio feature row: `decoded` marks rows whose fields came
+    * from a REAL javax.sound.sampled parse; on false the audio fields are
+    * -1 (undecodable payloads are data, not bugs).
+    */
+  final case class AudioFeatures(
+      media_id: Long,
+      sample_rate: Int,
+      n_channels: Int,
+      n_frames: Long,
+      sample_sum: Long,
+      decoded: Boolean)
+
+  /** REAL audio decode via javax.sound.sampled (public JDK API — WAV/AIFF/AU
+    * containers with PCM payloads). Returns (sampleRate, channels, frames,
+    * sampleSum) where sampleSum is the exact Σ of signed 16-bit samples —
+    * an integer an oracle can recompute for a synthetic waveform. None when
+    * the payload is not decodable 16-bit PCM.
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Long, Long)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val data = in.readAllBytes()
+          val le = !fmt.isBigEndian
+          var sum = 0L
+          var i = 0
+          while (i + 1 < data.length) {
+            val lo = data(i) & 0xff
+            val hi = data(i + 1) & 0xff
+            val s = if (le) (hi << 8) | lo else (lo << 8) | hi
+            sum += s.toShort.toLong
+            i += 2
+          }
+          Some((fmt.getSampleRate.toInt, fmt.getChannels,
+            data.length.toLong / math.max(fmt.getFrameSize, 1), sum))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Decode + feature-extract for audio rows — batched per partition like
+    * [[extractFeatures]]; non-audio or undecodable payloads yield -1 fields
+    * with `decoded` false rather than failing the batch.
+    */
+  def extractAudioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val au = if (r.media_type == "audio") decodeAudio(r.bytes) else None
+        AudioFeatures(r.media_id,
+          au.map(_._1).getOrElse(-1), au.map(_._2).getOrElse(-1),
+          au.map(_._3).getOrElse(-1L), au.map(_._4).getOrElse(-1L),
+          au.isDefined)
+      }
+    }
+  }
+
+  /** A REAL 16-bit PCM mono WAV whose samples are a pure function of
+    * `docId`: 8 kHz, 40 + docId%25 frames, sample i =
+    * ((docId·31 + i·7) mod 65536) − 32768. The RIFF/fmt/data layout is
+    * assembled by hand (chunk sizes, block align, little-endian samples —
+    * the details a real parser must get right), so javax.sound.sampled
+    * performs a genuine parse while an oracle recomputes frames and
+    * sample_sum arithmetically from docId alone.
+    */
+  def syntheticWav(docId: Long): Array[Byte] = {
+    val n = (40 + docId % 25).toInt
+    val dataSize = n * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('R'.toByte).put('I'.toByte).put('F'.toByte).put('F'.toByte)
+      .putInt(36 + dataSize)
+      .put('W'.toByte).put('A'.toByte).put('V'.toByte).put('E'.toByte)
+      .put('f'.toByte).put('m'.toByte).put('t'.toByte).put(' '.toByte)
+      .putInt(16).putShort(1).putShort(1) // PCM, mono
+      .putInt(8000).putInt(16000).putShort(2).putShort(16) // rate, byteRate, align, bits
+      .put('d'.toByte).put('a'.toByte).put('t'.toByte).put('a'.toByte)
+      .putInt(dataSize)
+    var i = 0
+    while (i < n) {
+      out.putShort((((docId * 31 + i * 7) % 65536) - 32768).toShort)
+      i += 1
+    }
+    out.array()
+  }
+
+  /** One synthetic WAV [[MediaRow]] per document id — the oracle-checkable
+    * real-audio-decode path (see [[syntheticWav]]).
+    */
+  def syntheticWavs(docs: DataFrame, idCol: String = "doc_id"): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol)).as[Long].map { id =>
+      MediaRow(id, "audio", "audio/wav", syntheticWav(id), -1, -1, 0L)
+    }
   }
 
   /** A REAL 24-bit uncompressed BMP whose pixels are a pure function of

@@ -1123,6 +1123,28 @@ object PipelineQueries {
         |        TRUE AS decoded
         | FROM px ORDER BY media_id""".stripMargin),
 
+    // ---- REAL audio decode over synthetic WAVs --------------------------
+    // the audio twin of m_image_decode: one hand-assembled 16-bit PCM mono
+    // WAV per doc id (RIFF chunk sizes, block align, little-endian
+    // samples), genuinely parsed by javax.sound.sampled on the executor;
+    // the oracle recomputes frame count and the exact signed-sample sum
+    // from the construction. decoded=true proves no row fell back.
+    ("m_audio_decode",
+      (s, d) => Multimodal.extractAudioFeatures(
+          Multimodal.syntheticWavs(spread(t(s, d, "documents"))))
+        .select("media_id", "sample_rate", "n_channels", "n_frames",
+          "sample_sum", "decoded")
+        .orderBy("media_id"),
+      """WITH p AS (SELECT doc_id, 40 + doc_id % 25 AS n FROM documents),
+        | sm AS (SELECT doc_id, n,
+        |          SUM((doc_id * 31 + i * 7) % 65536 - 32768) AS s
+        |        FROM p, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) g
+        |        GROUP BY doc_id, n)
+        | SELECT doc_id AS media_id, CAST(8000 AS INTEGER) AS sample_rate,
+        |        CAST(1 AS INTEGER) AS n_channels, CAST(n AS BIGINT) AS n_frames,
+        |        CAST(s AS BIGINT) AS sample_sum, TRUE AS decoded
+        | FROM sm ORDER BY media_id""".stripMargin),
+
     // ---- connected components over the near-dup pair graph --------------
     // large-star/small-star contraction resolving jaccard pairs into
     // duplicate CLUSTERS (pairwise drops are not transitive); every corpus

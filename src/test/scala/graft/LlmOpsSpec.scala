@@ -1025,4 +1025,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!f.decoded && f.img_w == -1 && f.img_h == -1 && f.px_sum == -1L)
     assert(f.feature.length == 8) // the stub histogram, still well-formed
   }
+
+  test("syntheticWav decodes to the formula samples via the JDK audio parser") {
+    val id = 42L
+    val au = Multimodal.decodeAudio(Multimodal.syntheticWav(id))
+    assert(au.isDefined, "JDK WAV reader rejected the hand-assembled payload")
+    val Some((rate, channels, frames, sum)) = au
+    val n = (40 + id % 25).toInt
+    val expSum = (0 until n).map(i => ((id * 31 + i * 7) % 65536) - 32768).sum
+    assert(rate == 8000 && channels == 1 && frames == n && sum == expSum)
+    // corrupt payload: decoded=false with -1 fields, never a throw
+    val bad = Multimodal.extractAudioFeatures(
+      Multimodal.syntheticWavs(docs(7L -> "x")).map(r =>
+        r.copy(bytes = r.bytes.take(10)))).collect()(0)
+    assert(!bad.decoded && bad.sample_rate == -1 && bad.n_frames == -1L)
+    // non-audio rows skip the parser entirely
+    val img = Multimodal.extractAudioFeatures(
+      Multimodal.syntheticBmps(docs(7L -> "x"))).collect()(0)
+    assert(!img.decoded && img.sample_sum == -1L)
+  }
 }
