@@ -393,6 +393,33 @@ object Dedup {
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Decontamination GOVERNANCE row: per-group contamination counts and
+    * rates instead of the filtered corpus — "which sources leak eval data,
+    * and how badly" is the question a pipeline owner asks before deciding
+    * what to drop. Same n-gram/broadcast discipline as [[decontaminate]]
+    * (the eval side broadcasts, the corpus side never shuffles before the
+    * group-sized aggregate).
+    */
+  def contaminationReport(docs: DataFrame, evalDocs: DataFrame, n: Int = 13,
+                          textCol: String = "text", idCol: String = "doc_id",
+                          groupCol: String = "source"): DataFrame = {
+    val docShingles = docs.select(col(idCol).as("id"),
+      graft.functions.WordShingles.wordShingles(col(textCol), n).as("shingle"))
+    val evalShingles = evalDocs
+      .select(graft.functions.WordShingles.wordShingles(col(textCol), n).as("shingle"))
+      .distinct()
+    val contaminated = docShingles
+      .join(broadcast(evalShingles), Seq("shingle"), "left_semi")
+      .select(col("id").as(idCol)).distinct()
+      .withColumn("__contaminated", lit(1L))
+    docs.join(contaminated, Seq(idCol), "left_outer")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__contaminated"), lit(0L))).as("n_contaminated"))
+      .withColumn("contamination_rate",
+        col("n_contaminated").cast("double") / col("n_docs"))
+  }
+
   /** Bloom-filter decontamination — [[decontaminate]]'s scale path when the
     * eval suite itself is large. The exact probe must broadcast every
     * distinct eval shingle; here the eval grams compress into a `2^mBits`-bit

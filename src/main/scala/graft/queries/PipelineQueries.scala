@@ -449,6 +449,34 @@ object PipelineQueries {
         |   AND NOT EXISTS (SELECT 1 FROM bad WHERE bad.id = d.doc_id)
         | ORDER BY d.doc_id""".stripMargin),
 
+    // ---- per-source contamination report (governance row) ---------------
+    // same corpus/eval split and 5-gram membership as d7, aggregated to
+    // "which sources leak eval data, and how badly" — the number a pipeline
+    // owner reads BEFORE deciding to drop (the d14/sim_ann_recall
+    // governance pattern applied to decontamination).
+    ("d15_contamination_report",
+      (s, d) => {
+        val docsDf = spread(t(s, d, "documents"))
+        Dedup.contaminationReport(
+            docsDf.filter(col("doc_id") % 20 =!= 0),
+            docsDf.filter(col("doc_id") % 20 === 0), n = 5)
+          .orderBy("source")
+      },
+      """WITH sh5 AS (SELECT doc_id AS id, array_to_string(words[i:i+4], ' ') AS shingle
+        |             FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w,
+        |                  LATERAL (SELECT unnest(generate_series(1, greatest(len(w.words)-4, 0))) AS i) g),
+        | ev AS (SELECT DISTINCT shingle FROM sh5 WHERE id % 20 = 0),
+        | bad AS (SELECT DISTINCT id FROM sh5
+        |         WHERE id % 20 <> 0 AND shingle IN (SELECT shingle FROM ev))
+        | SELECT d.source, COUNT(*) AS n_docs,
+        |        CAST(SUM(CASE WHEN bad.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_contaminated,
+        |        CAST(SUM(CASE WHEN bad.id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |          / COUNT(*) AS contamination_rate
+        | FROM documents d LEFT JOIN bad ON bad.id = d.doc_id
+        | WHERE d.doc_id % 20 <> 0
+        | GROUP BY d.source ORDER BY d.source""".stripMargin),
+
     // ---- bloom-filter decontamination (the large-eval-suite path) -------
     // same corpus/eval split as d7, but the eval grams compress to a 2^16-bit
     // bloom set probed by the native kernel; the oracle re-derives the bit
