@@ -1074,6 +1074,40 @@ object PipelineQueries {
         |        CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS pack_id
         | FROM c ORDER BY doc_id""".stripMargin),
 
+    // ---- packing efficiency (governance row) ----------------------------
+    // per-shard fill statistics over the t_pack_sequences bins: fill_rate
+    // below ~1.0 is padding the trainer burns compute on; a fat
+    // max_pack_tokens flags a boundary-straddling giant. Aggregates are
+    // pack-count-sized — nothing beyond the packing window itself.
+    ("t_pack_efficiency",
+      (s, d) => Sampling.packSequences(
+          t(s, d, "documents").withColumn("shard", col("doc_id") % 8),
+          idCol = "doc_id", shardCol = "shard",
+          tokensCol = size(split(col("text"), " ")).cast("long"), capacity = 256L)
+        .groupBy(col("shard"), col("pack_id"))
+        .agg(sum(col("n_tokens")).as("pack_tokens"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_packs"),
+          sum(col("pack_tokens")).as("total_tokens"),
+          max(col("pack_tokens")).as("max_pack_tokens"))
+        .withColumn("fill_rate",
+          col("total_tokens").cast("double") / (col("n_packs") * lit(256L)))
+        .orderBy("shard"),
+      """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        | c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |                                     ROWS UNBOUNDED PRECEDING) AS cum
+        |       FROM d),
+        | pk AS (SELECT shard, CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS pack_id,
+        |               CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+        |        FROM c GROUP BY shard, 2)
+        | SELECT shard, COUNT(*) AS n_packs,
+        |        CAST(SUM(pack_tokens) AS BIGINT) AS total_tokens,
+        |        CAST(MAX(pack_tokens) AS BIGINT) AS max_pack_tokens,
+        |        CAST(SUM(pack_tokens) AS DOUBLE) / (COUNT(*) * 256) AS fill_rate
+        | FROM pk GROUP BY shard ORDER BY shard""".stripMargin),
+
     // ---- DSIR importance selection (hashed-ngram likelihood ratio) ------
     // target model = src0/src1 docs, raw model = whole corpus; integer
     // bit-surprisal ratio (the surprisal convention) so scores hash-match;
@@ -1208,6 +1242,47 @@ object PipelineQueries {
          | SELECT d.doc_id AS id, COALESCE(LEAST(c.id, c.mn), d.doc_id) AS component
          | FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
          | ORDER BY id""".stripMargin),
+
+    // ---- duplicate-cluster size histogram (governance row) --------------
+    // the d8 components aggregated to "how big are the duplicate clusters"
+    // — the distribution that decides keep-one-per-cluster loss and flags
+    // boilerplate explosions (one giant cluster = a template leak). Adds
+    // only cluster-count-sized aggregates on top of the d8 derivation.
+    ("d16_cluster_sizes",
+      (s, d) => {
+        val docsDf = spread(t(s, d, "documents"))
+        ConnectedComponents.components(
+            Dedup.jaccardPairs(shinglesShared(s, d), 0.2), "id_a", "id_b",
+            vertices = Some(docsDf.select(col("doc_id").as("id"))))
+          .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz").as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"))
+          .select(col("cluster_size"), col("n_clusters"),
+            (col("cluster_size") * col("n_clusters")).as("n_docs"))
+          .orderBy("cluster_size")
+      },
+      s"""WITH RECURSIVE sh AS ($ShinglesSql),
+         | sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+         | inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+         |           FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id
+         |           GROUP BY 1, 2),
+         | pairs AS (SELECT id_a, id_b FROM inter
+         |           JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+         |           WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.2),
+         | edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |           UNION SELECT id_b AS u, id_a AS v FROM pairs),
+         | reach AS (SELECT u, v FROM edges
+         |           UNION
+         |           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |           WHERE e.v <> r.u),
+         | comp AS (SELECT u AS id, MIN(v) AS mn FROM reach GROUP BY u),
+         | labeled AS (SELECT d.doc_id AS id,
+         |               COALESCE(LEAST(c.id, c.mn), d.doc_id) AS component
+         |             FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         | cs AS (SELECT component, COUNT(*) AS sz FROM labeled GROUP BY 1)
+         | SELECT CAST(sz AS BIGINT) AS cluster_size, COUNT(*) AS n_clusters,
+         |        CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+         | FROM cs GROUP BY sz ORDER BY cluster_size""".stripMargin),
 
     // ---- chunk-granular global dedup (C4-style) -------------------------
     // 20-word non-overlapping chunks; only the global first occurrence of
