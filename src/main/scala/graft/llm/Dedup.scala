@@ -381,16 +381,25 @@ object Dedup {
     * shuffle, in the final anti-join.
     */
   def decontaminate(docs: DataFrame, evalDocs: DataFrame, n: Int = 13,
-                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.join(contaminatedIds(docs, evalDocs, n, textCol, idCol), Seq(idCol), "left_anti")
+
+  /** The shared contaminated-id probe behind [[decontaminate]] and
+    * [[contaminationReport]]: ids of docs sharing ≥ 1 word n-gram with the
+    * eval set (eval grams broadcast, corpus side map-side until the
+    * id-distinct). One definition so the filter and the governance report
+    * can never disagree about what "contaminated" means.
+    */
+  private def contaminatedIds(docs: DataFrame, evalDocs: DataFrame, n: Int,
+                              textCol: String, idCol: String): DataFrame = {
     val docShingles = docs.select(col(idCol).as("id"),
       graft.functions.WordShingles.wordShingles(col(textCol), n).as("shingle"))
     val evalShingles = evalDocs
       .select(graft.functions.WordShingles.wordShingles(col(textCol), n).as("shingle"))
       .distinct()
-    val contaminated = docShingles
+    docShingles
       .join(broadcast(evalShingles), Seq("shingle"), "left_semi")
       .select(col("id").as(idCol)).distinct()
-    docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
   /** Decontamination GOVERNANCE row: per-group contamination counts and
@@ -403,14 +412,7 @@ object Dedup {
   def contaminationReport(docs: DataFrame, evalDocs: DataFrame, n: Int = 13,
                           textCol: String = "text", idCol: String = "doc_id",
                           groupCol: String = "source"): DataFrame = {
-    val docShingles = docs.select(col(idCol).as("id"),
-      graft.functions.WordShingles.wordShingles(col(textCol), n).as("shingle"))
-    val evalShingles = evalDocs
-      .select(graft.functions.WordShingles.wordShingles(col(textCol), n).as("shingle"))
-      .distinct()
-    val contaminated = docShingles
-      .join(broadcast(evalShingles), Seq("shingle"), "left_semi")
-      .select(col("id").as(idCol)).distinct()
+    val contaminated = contaminatedIds(docs, evalDocs, n, textCol, idCol)
       .withColumn("__contaminated", lit(1L))
     docs.join(contaminated, Seq(idCol), "left_outer")
       .groupBy(col(groupCol))

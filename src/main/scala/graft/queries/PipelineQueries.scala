@@ -117,6 +117,54 @@ object PipelineQueries {
     (head +: steps).mkString(",\n")
   }
 
+  /** Shared SQL fragment: the d7/d15 5-gram contamination membership —
+    * CTEs `sh5` (id, shingle), `ev` (eval-slice shingles), `bad`
+    * (contaminated corpus ids). One definition so the decontamination
+    * filter and its governance report verify against the same membership.
+    */
+  private val DecontamCtes: String =
+    """WITH sh5 AS (SELECT doc_id AS id, array_to_string(words[i:i+4], ' ') AS shingle
+      |             FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w,
+      |                  LATERAL (SELECT unnest(generate_series(1, greatest(len(w.words)-4, 0))) AS i) g),
+      | ev AS (SELECT DISTINCT shingle FROM sh5 WHERE id % 20 = 0),
+      | bad AS (SELECT DISTINCT id FROM sh5
+      |         WHERE id % 20 <> 0 AND shingle IN (SELECT shingle FROM ev))""".stripMargin
+
+  /** Shared SQL fragment: the d8/d16 exact-Jaccard pair graph + recursive
+    * transitive closure, ending in CTE `labeled` (id, component) — every
+    * corpus doc labeled with min reachable id (singletons label themselves).
+    */
+  private val CcLabeledCtes: String =
+    s"""WITH RECURSIVE sh AS ($ShinglesSql),
+       | sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+       | inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+       |           FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id
+       |           GROUP BY 1, 2),
+       | pairs AS (SELECT id_a, id_b FROM inter
+       |           JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+       |           WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.2),
+       | edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+       |           UNION SELECT id_b AS u, id_a AS v FROM pairs),
+       | reach AS (SELECT u, v FROM edges
+       |           UNION
+       |           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+       |           WHERE e.v <> r.u),
+       | comp AS (SELECT u AS id, MIN(v) AS mn FROM reach GROUP BY u),
+       | labeled AS (SELECT d.doc_id AS id,
+       |               COALESCE(LEAST(c.id, c.mn), d.doc_id) AS component
+       |             FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)""".stripMargin
+
+  /** Shared SQL fragment: the t_pack_sequences/t_pack_efficiency packing
+    * base — CTEs `d` (doc, shard, token count) and `c` (+ running sum).
+    */
+  private val PackCtes: String =
+    """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |           FROM documents),
+      | c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |                                     ROWS UNBOUNDED PRECEDING) AS cum
+      |       FROM d)""".stripMargin
+
   /** Shared SQL fragment: the MinHash(12)/LSH(4×3) candidate chain ending in
     * CTE `cand` (id_a < id_b) — the same derivation the d3/d5 oracles carry
     * inline; factored for entries that CONSUME candidates (d13/d14).
@@ -190,7 +238,10 @@ object PipelineQueries {
     * production shape: a multi-tier dedup pass (exact pairs, capped pairs,
     * containment, LSH candidacy, estimator verify, governance row) runs
     * off ONE materialized shingle/signature store, not six re-tokenizations
-    * of the corpus.
+    * of the corpus. The store is never explicitly unpersisted — entries are
+    * independent and none knows it is last; MEMORY_AND_DISK + LRU eviction
+    * bounds the cost, and a session that is done with dedup can
+    * `spark.catalog.clearCache()`.
     */
   private def shinglesShared(s: SparkSession, d: String): DataFrame =
     Dedup.wordShingles(spread(t(s, d, "documents")), 3).persist()
@@ -289,8 +340,10 @@ object PipelineQueries {
       (s, d) => {
         // sigs feeds the candidate generation AND both estimator sides (3
         // consumers); AQE exchange reuse across them is not guaranteed, so
-        // the shared frame is persisted LAZILY — materialization stays
-        // inside the timed window, each consumer reads the cached frame.
+        // the shared frame is persisted lazily and each consumer reads the
+        // cache. NB the materializer is whichever battery entry touches the
+        // store FIRST (registry order) — per-entry bench times for the six
+        // sharing entries are order-dependent by design.
         val sigs = sigsShared(s, d)
         Dedup.estimateJaccard(sigs,
             Dedup.lshCandidates(sigs, bands = 4, rowsPerBand = 3), 12)
@@ -438,12 +491,7 @@ object PipelineQueries {
           .select("doc_id", "source")
           .orderBy("doc_id")
       },
-      """WITH sh5 AS (SELECT doc_id AS id, array_to_string(words[i:i+4], ' ') AS shingle
-        |             FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w,
-        |                  LATERAL (SELECT unnest(generate_series(1, greatest(len(w.words)-4, 0))) AS i) g),
-        | ev AS (SELECT DISTINCT shingle FROM sh5 WHERE id % 20 = 0),
-        | bad AS (SELECT DISTINCT id FROM sh5
-        |         WHERE id % 20 <> 0 AND shingle IN (SELECT shingle FROM ev))
+      s"""$DecontamCtes
         | SELECT d.doc_id, d.source FROM documents d
         | WHERE d.doc_id % 20 <> 0
         |   AND NOT EXISTS (SELECT 1 FROM bad WHERE bad.id = d.doc_id)
@@ -462,12 +510,7 @@ object PipelineQueries {
             docsDf.filter(col("doc_id") % 20 === 0), n = 5)
           .orderBy("source")
       },
-      """WITH sh5 AS (SELECT doc_id AS id, array_to_string(words[i:i+4], ' ') AS shingle
-        |             FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w,
-        |                  LATERAL (SELECT unnest(generate_series(1, greatest(len(w.words)-4, 0))) AS i) g),
-        | ev AS (SELECT DISTINCT shingle FROM sh5 WHERE id % 20 = 0),
-        | bad AS (SELECT DISTINCT id FROM sh5
-        |         WHERE id % 20 <> 0 AND shingle IN (SELECT shingle FROM ev))
+      s"""$DecontamCtes
         | SELECT d.source, COUNT(*) AS n_docs,
         |        CAST(SUM(CASE WHEN bad.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
         |          AS n_contaminated,
@@ -1064,12 +1107,7 @@ object PipelineQueries {
           tokensCol = size(split(col("text"), " ")).cast("long"), capacity = 256L)
         .select("doc_id", "shard", "n_tokens", "pack_id")
         .orderBy("doc_id"),
-      """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
-        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |           FROM documents),
-        | c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-        |                                     ROWS UNBOUNDED PRECEDING) AS cum
-        |       FROM d)
+      s"""$PackCtes
         | SELECT doc_id, shard, n_tokens,
         |        CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS pack_id
         | FROM c ORDER BY doc_id""".stripMargin),
@@ -1093,12 +1131,7 @@ object PipelineQueries {
         .withColumn("fill_rate",
           col("total_tokens").cast("double") / (col("n_packs") * lit(256L)))
         .orderBy("shard"),
-      """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
-        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |           FROM documents),
-        | c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-        |                                     ROWS UNBOUNDED PRECEDING) AS cum
-        |       FROM d),
+      s"""$PackCtes,
         | pk AS (SELECT shard, CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS pack_id,
         |               CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
         |        FROM c GROUP BY shard, 2)
@@ -1224,24 +1257,8 @@ object PipelineQueries {
             vertices = Some(docsDf.select(col("doc_id").as("id"))))
           .orderBy("id")
       },
-      s"""WITH RECURSIVE sh AS ($ShinglesSql),
-         | sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
-         | inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
-         |           FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id
-         |           GROUP BY 1, 2),
-         | pairs AS (SELECT id_a, id_b FROM inter
-         |           JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
-         |           WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.2),
-         | edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-         |           UNION SELECT id_b AS u, id_a AS v FROM pairs),
-         | reach AS (SELECT u, v FROM edges
-         |           UNION
-         |           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-         |           WHERE e.v <> r.u),
-         | comp AS (SELECT u AS id, MIN(v) AS mn FROM reach GROUP BY u)
-         | SELECT d.doc_id AS id, COALESCE(LEAST(c.id, c.mn), d.doc_id) AS component
-         | FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
-         | ORDER BY id""".stripMargin),
+      s"""$CcLabeledCtes
+         | SELECT id, component FROM labeled ORDER BY id""".stripMargin),
 
     // ---- duplicate-cluster size histogram (governance row) --------------
     // the d8 components aggregated to "how big are the duplicate clusters"
@@ -1261,24 +1278,7 @@ object PipelineQueries {
             (col("cluster_size") * col("n_clusters")).as("n_docs"))
           .orderBy("cluster_size")
       },
-      s"""WITH RECURSIVE sh AS ($ShinglesSql),
-         | sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
-         | inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
-         |           FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id
-         |           GROUP BY 1, 2),
-         | pairs AS (SELECT id_a, id_b FROM inter
-         |           JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
-         |           WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.2),
-         | edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-         |           UNION SELECT id_b AS u, id_a AS v FROM pairs),
-         | reach AS (SELECT u, v FROM edges
-         |           UNION
-         |           SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-         |           WHERE e.v <> r.u),
-         | comp AS (SELECT u AS id, MIN(v) AS mn FROM reach GROUP BY u),
-         | labeled AS (SELECT d.doc_id AS id,
-         |               COALESCE(LEAST(c.id, c.mn), d.doc_id) AS component
-         |             FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+      s"""$CcLabeledCtes,
          | cs AS (SELECT component, COUNT(*) AS sz FROM labeled GROUP BY 1)
          | SELECT CAST(sz AS BIGINT) AS cluster_size, COUNT(*) AS n_clusters,
          |        CAST(sz * COUNT(*) AS BIGINT) AS n_docs

@@ -259,21 +259,26 @@ object StreamingIngest {
     import org.apache.spark.sql.streaming.GroupStateTimeout
     import org.apache.spark.sql.streaming.OutputMode
     import org.apache.spark.sql.Encoders
+    // key/time/id nulls cannot be as-of matched — drop them like the batch
+    // operator's window (null keys group apart, null ts sorts nowhere);
+    // a null VALUE is data (row semantics: it matches as null), so value
+    // stays Option through the encoder instead of crashing the query
     val typed = events.select(
-      col("user_id").cast("long").as("user_id"),
-      col("event_id").cast("long").as("event_id"),
-      unix_micros(col("ts")).as("ts_us"),
-      col("event_type").cast("string").as("event_type"),
-      col("value").cast("double").as("value"))
-    implicit val inEnc = Encoders.product[(Long, Long, Long, String, Double)]
-    implicit val stEnc = Encoders.product[(Long, Double, Boolean)]
+        col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_type").cast("string").as("event_type"),
+        col("value").cast("double").as("value"))
+      .na.drop(Seq("user_id", "event_id", "ts_us"))
+    implicit val inEnc = Encoders.product[(Long, Long, Long, String, Option[Double])]
+    implicit val stEnc = Encoders.product[(Long, Option[Double], Boolean)]
     implicit val outEnc = Encoders.product[(Long, Long, Option[Double])]
-    typed.as[(Long, Long, Long, String, Double)]
+    typed.as[(Long, Long, Long, String, Option[Double])]
       .groupByKey(_._1)(Encoders.scalaLong)
-      .flatMapGroupsWithState[(Long, Double, Boolean), (Long, Long, Option[Double])](
+      .flatMapGroupsWithState[(Long, Option[Double], Boolean), (Long, Long, Option[Double])](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (user, rows, state) =>
-          var (lastTs, lastV, has) = state.getOption.getOrElse((Long.MinValue, 0.0, false))
+          var (lastTs, lastV, has) = state.getOption.getOrElse((Long.MinValue, Option.empty[Double], false))
           // right rows sort before left rows at equal ts (the batch
           // operator's __tag ordering); event_id totalizes the order
           val sorted = rows.toArray
@@ -281,10 +286,13 @@ object StreamingIngest {
           val out = Vector.newBuilder[(Long, Long, Option[Double])]
           for (e <- sorted) {
             if (e._4 == rightType) {
-              if (has && e._3 == lastTs) lastV = math.max(lastV, e._5)
+              if (has && e._3 == lastTs)
+                // MAX over equal-ts rights ignores nulls, like the batch
+                // pre-aggregation's max(value)
+                lastV = (lastV.toSeq ++ e._5.toSeq).reduceOption(math.max(_: Double, _: Double))
               else { lastTs = e._3; lastV = e._5; has = true }
             } else if (e._4 == leftType) {
-              out += ((user, e._2, if (has) Some(lastV) else None))
+              out += ((user, e._2, if (has) lastV else None))
             }
           }
           state.update((lastTs, lastV, has))

@@ -269,6 +269,9 @@ class StreamingIngestSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val base = Files.createTempDirectory("graft-sasof")
     try {
+      // same grain safeguard as every other events consumer: a regeneration
+      // back to TIMESTAMP(NANOS) parquet must read as long, not throw
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       val evTs = raw.withColumn("ts", graft.ops.TemporalOps.asTimestamp(raw, "ts"))
       // split at the median event time: every right row a batch-1 left row
