@@ -141,19 +141,38 @@ object Bench {
     }
   }
 
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted; val n = s.size
+    if (n == 0) Double.NaN
+    else if (n % 2 == 1) s(n / 2)
+    else (s(n / 2 - 1) + s(n / 2)) / 2
+  }
+
+  /** Multi-pair A/B summary: `pairRatios` is one current/prior ratio per
+    * leg-pair; the headline ratio is their MEDIAN (a single pair is
+    * uninterpretable under the box's documented ±45% drift — r7's lone
+    * 1.601 reading vs the builder's 0.71/0.72/1.06 triple). `perQuery`
+    * carries (median current, median prior) seconds per common query so a
+    * real regression names its query instead of hiding in a total.
+    */
+  private final case class AbResult(sha: String, pairRatios: Seq[Double],
+      perQuery: Seq[(String, Double, Double)])
+
   /** Same-session A/B against the previous round's commit: check out that
     * commit into a scratch worktree (reused across runs — compile cache),
     * `sbt compile` it once, then run BOTH its Bench and the current build's
-    * Bench as fresh child JVMs on `abSf`. The ratio current/prior measured
-    * minutes apart on the same box with symmetric cold starts is the only
-    * regression signal the ~2x session-to-session drift can't fake.
-    * Recursion is cut by SPARK_GRAFT_AB=0 in the child env; failures
-    * degrade to Left(msg) — the official bench numbers never depend on the
-    * A/B succeeding.
+    * Bench as fresh child JVMs on `abSf` — `nPairs` (default 3) times each,
+    * interleaved. The legs of a pair run minutes apart with symmetric cold
+    * starts, and the pair ORDER alternates (prior-first, then
+    * current-first) so a slow monotone box drift cancels across pairs
+    * instead of biasing every ratio the same way. Recursion is cut by
+    * SPARK_GRAFT_AB=0 in the child env; failures degrade to Left(msg) —
+    * the official bench numbers never depend on the A/B succeeding.
     */
-  private def runAb(abSf: String, cpus: String): Either[String, (String, Map[String, Double], Map[String, Double])] =
+  private def runAb(abSf: String, cpus: String): Either[String, AbResult] =
     try {
       val repo = new java.io.File(".").getCanonicalFile
+      val nPairs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_AB_PAIRS", "3").toInt)
       // search from HEAD~1, NOT HEAD: the driver benches right after
       // committing this round's snapshot, so a lookup from HEAD finds the
       // current round and the A/B compares identical code with itself
@@ -170,19 +189,50 @@ object Bench {
             if (wt.isDirectory) Right("")
             else exec(Seq("git", "worktree", "add", "--detach", wt.getPath, sha),
               repo, Map.empty, 60)
-          for {
-            _ <- added
-            _ <- exec(Seq("sbt", "-batch", "compile"), wt, Map.empty, 600)
-            priorCp = s"${wt.getPath}/target/scala-2.13/classes:/opt/spark/jars/*"
-            prior <- runChildBench(priorCp, wt, abSf, cpus)
+          added.flatMap { _ =>
+            exec(Seq("sbt", "-batch", "compile"), wt, Map.empty, 600)
+          }.flatMap { _ =>
+            val priorCp = s"${wt.getPath}/target/scala-2.13/classes:/opt/spark/jars/*"
             // NOT sys.props("java.class.path"): under `sbt runMain` that is
             // the sbt launcher jar (sbt runs user code in a layered
             // classloader), and a child launched from it cannot see
             // graft.*. The compiled classes dir + spark jars is the real
             // runtime classpath, and keeps the legs symmetric.
-            curCp = s"${repo.getPath}/target/scala-2.13/classes:/opt/spark/jars/*"
-            cur <- runChildBench(curCp, repo, abSf, cpus)
-          } yield (sha, prior, cur)
+            val curCp = s"${repo.getPath}/target/scala-2.13/classes:/opt/spark/jars/*"
+            val priorRuns = Seq.newBuilder[Map[String, Double]]
+            val curRuns = Seq.newBuilder[Map[String, Double]]
+            var failed: Option[String] = None
+            for (i <- 0 until nPairs if failed.isEmpty) {
+              val legs =
+                if (i % 2 == 0) Seq(("prior", priorCp, wt), ("cur", curCp, repo))
+                else Seq(("cur", curCp, repo), ("prior", priorCp, wt))
+              for ((side, cp, cwd) <- legs if failed.isEmpty)
+                runChildBench(cp, cwd, abSf, cpus) match {
+                  case Left(msg) => failed = Some(s"pair ${i + 1} $side leg: $msg")
+                  case Right(m) =>
+                    if (side == "prior") priorRuns += m else curRuns += m
+                }
+            }
+            failed.toLeft(()).map { _ =>
+              val prior = priorRuns.result(); val cur = curRuns.result()
+              // pair ratio over queries valid in BOTH legs of THAT pair
+              val ratios = prior.zip(cur).map { case (p, c) =>
+                val common = p.keySet.intersect(c.keySet)
+                  .filter(k => p(k) >= 0 && c(k) >= 0).toSeq
+                val ps = common.map(p).sum
+                if (ps > 0) common.map(c).sum / ps else Double.NaN
+              }.filter(java.lang.Double.isFinite)
+              // per-query medians over queries valid in EVERY run of a side
+              def medians(runs: Seq[Map[String, Double]]): Map[String, Double] =
+                runs.flatMap(_.keySet).distinct
+                  .filter(q => runs.forall(r => r.get(q).exists(_ >= 0)))
+                  .map(q => q -> median(runs.map(_(q)))).toMap
+              val pm = medians(prior); val cm = medians(cur)
+              val perQuery = pm.keySet.intersect(cm.keySet).toSeq.sorted
+                .map(q => (q, cm(q), pm(q)))
+              AbResult(sha, ratios, perQuery)
+            }
+          }
         }
       }
     } catch { case e: Throwable => Left(e.toString.takeWhile(_ != '\n').take(200)) }
@@ -234,19 +284,25 @@ object Bench {
     // behind task-heavy queries — measured as a ~2x whole-suite slowdown.
     def runBattery(dir: String): Seq[(String, Double, Option[String], Seq[String])] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // plan construction, metric detection, and the pre-drain all happen
-      // BEFORE t0: the pre-drain can absorb a multi-second appStatus
-      // backlog from an earlier task-heavy query, and that wait is bus
-      // bookkeeping, not this query's work
+      // plan construction is TIMED (its own clock, added to the execution
+      // time below): for ordinary queries it is milliseconds of analysis,
+      // but streaming registry entries execute their micro-batch replay
+      // inside fn — leaving prep untimed would let that work vanish from
+      // the totals. The pre-drain stays UNtimed: it can absorb a
+      // multi-second appStatus backlog from an earlier task-heavy query,
+      // and that wait is bus bookkeeping, not this query's work.
       var drainedOk = true
+      val tPrep0 = System.nanoTime()
       val prep: Either[String, (org.apache.spark.sql.DataFrame, Boolean)] = try {
         val df = fn(spark, dir)
         val hm = df.queryExecution.analyzed.collect {
           case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => c
         }.nonEmpty
-        if (hm) drainedOk &= org.apache.spark.GraftListenerBridge.drain(spark.sparkContext, 10000L)
         Right((df, hm))
       } catch { case e: Throwable => Left(e.toString.takeWhile(_ != '\n').take(200)) }
+      val prepSec = (System.nanoTime() - tPrep0) / 1e9
+      if (prep.fold(_ => false, _._2))
+        drainedOk &= org.apache.spark.GraftListenerBridge.drain(spark.sparkContext, 10000L)
       val before = new java.util.HashSet(observed.keySet())
       val t0 = System.nanoTime()
       val err = prep match {
@@ -255,7 +311,7 @@ object Bench {
           try { df.write.mode("overwrite").format("noop").save(); None }
           catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
       }
-      val elapsed = (System.nanoTime() - t0) / 1e9
+      val elapsed = prepSec + (System.nanoTime() - t0) / 1e9
       val hasMetrics = prep.fold(_ => false, _._2)
       if (hasMetrics)
         drainedOk &= org.apache.spark.GraftListenerBridge.drain(spark.sparkContext, 10000L)
@@ -275,6 +331,7 @@ object Bench {
     // (SPARK_GRAFT_AB=0) or a query-name filter was passed (profiling mode).
     val calibration = calibrate(spark)
     val abEnabled = sys.env.getOrElse("SPARK_GRAFT_AB", "1") != "0" && args.isEmpty
+    var abPerQueryJson: String = "{}"
     val abJson: String = if (!abEnabled) "null" else {
       // A/B at a smaller SF than the official number: both sides pay one
       // full-battery pass there (bounded minutes), and the ratio carries
@@ -286,16 +343,21 @@ object Bench {
       })
       runAb(abSf, cpus) match {
         case Left(msg) => s"""{"error":${jstr(msg)}}"""
-        case Right((sha, prior, cur)) =>
-          val curOk = cur.filter(_._2 >= 0) // negative elapsed = errored query
-          val priorOk = prior.filter(_._2 >= 0)
-          val common = curOk.keySet.intersect(priorOk.keySet).toSeq.sorted
-          val c = common.map(curOk).sum
-          val p = common.map(priorOk).sum
-          val ratio = if (p > 0) c / p else Double.NaN
-          s"""{"sf":${jstr(abSf)},"prior_ref":${jstr(sha)},"common":${common.size},""" +
-            s""""current":${jnum(c)},"prior_commit":${jnum(p)},""" +
-            s""""ratio":${if (java.lang.Double.isFinite(ratio)) jnum(ratio) else "null"}}"""
+        case Right(ab) =>
+          // headline = MEDIAN of the pair ratios; sums of per-query medians
+          // keep the current/prior fields comparable with earlier rounds
+          val c = ab.perQuery.map(_._2).sum
+          val p = ab.perQuery.map(_._3).sum
+          val med = median(ab.pairRatios)
+          def j(d: Double) = if (java.lang.Double.isFinite(d)) jnum(d) else "null"
+          abPerQueryJson = ab.perQuery.map { case (q, cm, pm) =>
+            jstr(q) + s":[${jnum(cm)},${jnum(pm)}]"
+          }.mkString("{", ",", "}")
+          s"""{"sf":${jstr(abSf)},"prior_ref":${jstr(ab.sha)},"common":${ab.perQuery.size},""" +
+            s""""pairs":[${ab.pairRatios.map(jnum).mkString(",")}],""" +
+            s""""spread":[${j(if (ab.pairRatios.isEmpty) Double.NaN else ab.pairRatios.min)},""" +
+            s"""${j(if (ab.pairRatios.isEmpty) Double.NaN else ab.pairRatios.max)}],""" +
+            s""""current":${jnum(c)},"prior_commit":${jnum(p)},"ratio":${j(med)}}"""
       }
     }
     // failed queries are reported with negative elapsed time AND in an errors
@@ -312,10 +374,56 @@ object Bench {
     val total = results.map(_._2).sum
     val nErr = results.count(_._3.isDefined)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+
+    // ---- per-query regression budget against round-stamped history ------
+    // bench_history/ keeps one full per-query file per (commit, sf); a
+    // query regresses when its CALIBRATION-NORMALIZED time exceeds 2x the
+    // median of its history (raw seconds would false-flag on the box's
+    // documented ~2x session drift). Sub-second queries are never flagged —
+    // codegen-compile jitter dominates there. Both the flags and the
+    // history write are best-effort: they can never fail the bench.
+    val histDir = new java.io.File("bench_history")
+    val regressions: String = try {
+      if (!histDir.isDirectory) "{}" else {
+        val omap = new com.fasterxml.jackson.databind.ObjectMapper()
+        val hist = scala.collection.mutable.Map.empty[String, List[Double]]
+        for (f <- histDir.listFiles().filter(_.getName.endsWith(".json")).sortBy(_.getName)) {
+          try {
+            val root = omap.readTree(java.nio.file.Files.readAllBytes(f.toPath))
+            val cal = Option(root.get("calibration")).map(_.asDouble()).getOrElse(0.0)
+            val sfOk = Option(root.get("sf")).exists(_.asText() == sfDir)
+            val q = root.get("queries")
+            if (sfOk && cal > 0 && q != null) {
+              val it = q.fields()
+              while (it.hasNext) {
+                val e = it.next(); val v = e.getValue.asDouble()
+                if (v >= 0) hist(e.getKey) = (v / cal) :: hist.getOrElse(e.getKey, Nil)
+              }
+            }
+          } catch { case _: Throwable => () }
+        }
+        results.collect {
+          case (name, sec, None, _) if sec > 1.0 && hist.contains(name) &&
+              sec / calibration > 2 * median(hist(name)) =>
+            jstr(name) + s""":{"current":${jnum(sec)},"hist_median_scaled":${
+              jnum(median(hist(name)) * calibration)}}"""
+        }.mkString("{", ",", "}")
+      }
+    } catch { case _: Throwable => "{}" }
+
+    // which registry entry materialized each cross-entry shared store this
+    // run (r7 ADVICE: makes sharing entries' timings interpretable under
+    // registry reordering / --only subsets)
+    val shared = {
+      import scala.jdk.CollectionConverters._
+      graft.queries.PipelineQueries.sharedStoreMaterializers.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    }
+
     // stdout gets the COMPACT line (fits any tail window: totals + errors +
-    // a pointer); the file gets the full per-query detail.
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","nQueries":${results.size},"errors":$errs,"nErrors":$nErr,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},"ab":$abJson,"perQuery":${jstr(outPath)}}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"observedMetrics":$om,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},"ab":$abJson}"""
+    // regressions + a pointer); the file gets the full per-query detail.
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","nQueries":${results.size},"errors":$errs,"nErrors":$nErr,"regressions":$regressions,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},"ab":$abJson,"perQuery":${jstr(outPath)}}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"regressions":$regressions,"observedMetrics":$om,"sharedStores":$shared,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},"ab":$abJson,"abPerQuery":$abPerQueryJson}"""
     // ONE bare line on the process's real stdout: java.io.FileDescriptor.out
     // bypasses sbt's System.out capture (whose "[info] " prefix breaks
     // line-oriented JSON parsing downstream) and IS System.out everywhere
@@ -325,6 +433,21 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"bench: could not write $outPath: $e") }
+    // round-stamped copy so next round's judge can diff per-query numbers
+    // (r7's "which queries regressed" question was unanswerable because
+    // bench_out.json is overwritten each round). Skipped for child A/B legs
+    // (their SPARK_GRAFT_BENCH_OUT points at a temp file, but the real
+    // guard is SPARK_GRAFT_AB=0) and for --only profiling runs.
+    if (abEnabled) try {
+      val sha = exec(Seq("git", "rev-parse", "--short=12", "HEAD"),
+        new java.io.File(".").getCanonicalFile, Map.empty, 30)
+        .fold(_ => "unknown", _.trim)
+      val sfBase = new java.io.File(sfDir).getName
+      histDir.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(histDir, s"bench_${sha}_$sfBase.json").toPath,
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"bench: history write failed: $e") }
     spark.stop()
   }
 }

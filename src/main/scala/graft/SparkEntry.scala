@@ -19,9 +19,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("a2_flagship_agg")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Each fn runs
+    * with [[PipelineQueries.currentEntry]] bound to its name so cross-entry
+    * shared stores can attribute their materialization cost (bench_out's
+    * `sharedStores` map).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    entries.map { case (name, fn, _) => name -> fn }.toMap
+    entries.map { case (name, fn, _) =>
+      name -> ((s: SparkSession, d: String) =>
+        PipelineQueries.currentEntry.withValue(name)(fn(s, d)))
+    }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.

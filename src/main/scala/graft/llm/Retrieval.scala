@@ -26,13 +26,17 @@ object Retrieval {
     *
     * Scale shape: inputs are top-k lists (k rows each), so the full-outer
     * join chain and the final sort run on ≤ Σ k rows no matter the corpus.
-    * The one window is unpartitioned BY DESIGN — its input is list-bounded.
+    * The one window is unpartitioned BY DESIGN — its input is list-bounded,
+    * and that bound is ENFORCED per row ([[graft.ops.Bounded.guard]] on
+    * every input rank ≤ `maxListLen`): a caller that passes a corpus-sized
+    * "ranking" fails loudly instead of silently single-partitioning it.
     */
   def rrfFuse(rankings: Seq[(String, DataFrame)], k: Int, c: Int = 60,
-              idCol: String = "doc_id"): DataFrame = {
+              idCol: String = "doc_id", maxListLen: Int = 100000): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse: need at least one ranking")
     require(rankings.map(_._1).distinct.size == rankings.size,
       "rrfFuse: ranking names must be unique")
+    require(maxListLen >= 1, s"rrfFuse: maxListLen must be positive: $maxListLen")
     def micro(rank: Column): Column =
       round(lit(1e6) / (lit(c) + rank)).cast("long")
     val sides = rankings.map { case (name, df) =>
@@ -40,7 +44,12 @@ object Retrieval {
     }
     val joined = sides.reduce(_.join(_, Seq(idCol), "full_outer"))
     val score = rankings.map { case (name, _) =>
-      coalesce(micro(col(s"rank_$name")), lit(0L))
+      val r = col(s"rank_$name")
+      graft.ops.Bounded.guard(
+        coalesce(micro(r), lit(0L)),
+        r.isNull || (r >= 1 && r <= maxListLen),
+        s"rrfFuse: ranking '$name' has a rank outside [1, $maxListLen] — " +
+          "input must be a bounded top-k list (raise maxListLen if intended)")
     }.reduce(_ + _)
     joined
       .withColumn("rrf_micro", score)

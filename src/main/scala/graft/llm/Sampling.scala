@@ -298,12 +298,20 @@ object Sampling {
     val scoredAll = importanceScores(docs, targetDocs, rawDocs, buckets, textCol, idCol)
     val wLocal = Window.partitionBy(col("sel_bucket"))
       .orderBy(col("score").desc, col(idCol))
-    // bounded rows (16^bucketHexChars * k) — the unpartitioned window is fine
+    // bounded rows (16^bucketHexChars * k) — the unpartitioned window is
+    // fine, and the bound is ENFORCED: gr is the window's own input row
+    // count, so guarding gr ≤ bound makes a broken per-bucket pre-filter
+    // fail the query instead of silently single-partitioning the corpus
     val wGlobal = Window.orderBy(col("score").desc, col(idCol))
+    val globalBound = (1L << (4 * bucketHexChars)) * k
     val chosen = scoredAll
       .withColumn("sel_bucket", substring(hashKey(col(idCol), salt), 1, bucketHexChars))
       .withColumn("lr", row_number().over(wLocal)).filter(col("lr") <= k)
-      .withColumn("gr", row_number().over(wGlobal)).filter(col("gr") <= k)
+      .withColumn("gr", row_number().over(wGlobal))
+      .withColumn("gr", graft.ops.Bounded.guard(col("gr"), col("gr") <= globalBound,
+        s"dsirSelect: global top-k window saw more than $globalBound rows — " +
+          "the per-bucket pre-filter is broken"))
+      .filter(col("gr") <= k)
       .select(col(idCol).as("sel_id"))
     scoredAll.join(broadcast(chosen), col(idCol) === col("sel_id"), "left")
       .withColumn("selected", col("sel_id").isNotNull)

@@ -503,11 +503,22 @@ object TextStats {
     val scored = cp(bigramSurprisal(docs, refDocs, textCol, idCol, cp))
     val sc = scored.filter(col("n_bigrams") > 0)
       .withColumn("pb", floor(col("avg_surprisal") * bucketScale).cast("long"))
+    // the unpartitioned running-sum window sees one row per DISTINCT coarse
+    // bucket — a bounded integer domain, never the corpus. Enforced: bn is
+    // the window's own input row count; surprisal averages live in
+    // [0, ~64] bits so 128·bucketScale distinct buckets means the scoring
+    // upstream broke, and the guard fails the query instead of letting a
+    // corpus-sized frame silently single-partition here.
+    val maxBuckets = 128L * bucketScale
     val offs = sc.groupBy("pb").agg(count(lit(1)).as("bucket_n"))
       .withColumn("base",
         coalesce(sum(col("bucket_n")).over(
           Window.orderBy(col("pb")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .drop("bucket_n")
+      .withColumn("bn", row_number().over(Window.orderBy(col("pb"))))
+      .withColumn("base", graft.ops.Bounded.guard(col("base"), col("bn") <= maxBuckets,
+        s"perplexityBuckets: bucket summary exceeded $maxBuckets rows — " +
+          "avg_surprisal left its expected [0, ~64]-bit domain"))
+      .drop("bucket_n", "bn")
     val nTotal = sc.agg(count(lit(1)).as("nn"))
     val ranked = sc.join(broadcast(offs), Seq("pb"))
       .crossJoin(broadcast(nTotal))

@@ -144,13 +144,23 @@ object TemporalOps {
     * session zone; any other zone shifts every instant by its offset and
     * maps DST-ambiguous wall-clock times non-uniquely — a silently-wrong
     * answer, which is exactly what the unsupported-type branches above
-    * refuse to produce. So refuse loudly here too.
+    * refuse to produce. So refuse loudly here too. Equivalence is decided
+    * by ZoneId RULES, not string equality: "Etc/UTC", "GMT", "Z", "+00:00"
+    * all relabel exactly and are accepted; an unparseable zone is refused.
+    * The check runs at plan-construction time — the relabeling cast is
+    * baked into the plan then, so a session-zone change between building
+    * and executing shifts what the CAST means; callers must build and run
+    * under the same zone (the normal single-session shape).
     */
   private def requireUtcSession(df: DataFrame, fn: String): Unit = {
     val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
-    require(tz == "UTC",
-      s"$fn: TIMESTAMP_NTZ normalization requires spark.sql.session.timeZone=UTC " +
-        s"(got '$tz'); a non-UTC zone would shift instants by the zone offset")
+    val isUtc =
+      try java.time.ZoneId.of(tz).getRules == java.time.ZoneOffset.UTC.getRules
+      catch { case _: java.time.DateTimeException => false }
+    require(isUtc,
+      s"$fn: TIMESTAMP_NTZ normalization requires a UTC-equivalent " +
+        s"spark.sql.session.timeZone (got '$tz'); a non-UTC zone would " +
+        "shift instants by the zone offset")
   }
 
   /** The same normalization to a TIMESTAMP column — for Structured

@@ -247,11 +247,17 @@ object StreamingIngest {
     * State is ONE (ts, value) pair per key — bounded by key cardinality,
     * never by stream length; within a (key, micro-batch) group events are
     * sorted by event time, so memory is bounded by a key's per-batch
-    * volume. Correctness contract: per-key event time must be
-    * non-decreasing ACROSS micro-batches (file replay of time-split input,
-    * a time-ordered log); a right row arriving in a later batch than a
-    * left row it should have matched is not retro-applied — use the batch
-    * operator for unordered data.
+    * volume. Correctness contract: per-key event time must be STRICTLY
+    * increasing across micro-batches — equivalently, an equal-timestamp
+    * group must never straddle a batch boundary (time-split file replay
+    * with cut BETWEEN distinct timestamps, a strictly-ordered log).
+    * Non-decreasing is NOT enough: a right row equal-ts to an
+    * earlier-batch left row would arrive after that left row was already
+    * emitted, while the batch operator pre-aggregates max over ALL
+    * equal-ts right rows before any left row at that instant. A right row
+    * arriving in a later batch than a left row it should have matched is
+    * likewise not retro-applied — use the batch operator for unordered
+    * data.
     */
   def streamingAsofEnrich(events: DataFrame,
                           rightType: String = "click",
@@ -262,11 +268,15 @@ object StreamingIngest {
     // key/time/id nulls cannot be as-of matched — drop them like the batch
     // operator's window (null keys group apart, null ts sorts nowhere);
     // a null VALUE is data (row semantics: it matches as null), so value
-    // stays Option through the encoder instead of crashing the query
+    // stays Option through the encoder instead of crashing the query.
+    // Event time goes through TemporalOps.asTimestamp, the same
+    // grain-robust normalization every batch temporal operator uses: a
+    // nanos-long ts is converted exactly, a TIMESTAMP_NTZ ts is refused
+    // unless the session zone is UTC-equivalent — never silently shifted.
     val typed = events.select(
         col("user_id").cast("long").as("user_id"),
         col("event_id").cast("long").as("event_id"),
-        unix_micros(col("ts")).as("ts_us"),
+        unix_micros(graft.ops.TemporalOps.asTimestamp(events, "ts")).as("ts_us"),
         col("event_type").cast("string").as("event_type"),
         col("value").cast("double").as("value"))
       .na.drop(Seq("user_id", "event_id", "ts_us"))
