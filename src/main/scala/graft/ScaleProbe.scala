@@ -44,7 +44,8 @@ object ScaleProbe {
     val docProbes = Seq("exactGroups", "lshCandidates", "jaccardPairs",
       "removeNearDuplicates", "components", "chunkDedup", "dupSpanRemoval", "containmentPairs",
       "triangleCounts", "qualityFilter", "tokenBudgetMix", "rankDocuments",
-      "dsirSelect", "bloomDecontaminate", "perplexityBuckets", "bm25Rank")
+      "dsirSelect", "bloomDecontaminate", "perplexityBuckets", "bm25Rank",
+      "bm25Persisted")
     if (docProbes.exists(enabled)) {
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
@@ -147,6 +148,29 @@ object ScaleProbe {
     timed("bm25Rank (3 terms, k=100)") {
       graft.ops.TextIndex.bm25Rank(scaled,
         Seq("joins", "vector", "the"), k = 100).count()
+    }
+    if (enabled("bm25Persisted")) {
+      // the registry x1_bm25_rank / x1_hybrid_rrf shape: ONE persisted
+      // scored frame (the corpus-scale tokenize→stem→tf/df derivation),
+      // two consumers. The FIRST consumer's time must scale with the
+      // corpus (it materializes); the SECOND must stay near-flat — it
+      // ranks the cached ≤ matching-docs frame and fuses two k-bounded
+      // lists, never re-stemming the mult× corpus.
+      val scores = graft.ops.TextIndex.bm25Scores(scaled,
+        Seq("joins", "vector", "the")).persist()
+      timed("bm25Persisted 1st consumer (rank)") {
+        graft.ops.TextIndex.rankTopK(scores, k = 10, "doc_id").count()
+      }
+      timed("bm25Persisted 2nd consumer (hybrid)") {
+        val lex = graft.ops.TextIndex.rankTopK(scores, k = 10, "doc_id")
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val den = graft.llm.Similarity.bruteForceTopK(
+            e.filter(col("vec_id") === 0), e, k = 10)
+          .select(col("neighbor_id").as("doc_id"), col("rank"))
+        graft.llm.Retrieval.rrfFuse(
+          Seq("lex" -> lex.select("doc_id", "rank"), "dense" -> den), k = 10).count()
+      }
+      scores.unpersist()
     }
     scaled.unpersist()
     }

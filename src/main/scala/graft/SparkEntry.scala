@@ -1,5 +1,5 @@
 package graft
-import graft.queries.{GraphQueries, PipelineQueries, RelationalQueries, TemporalQueries}
+import graft.queries.{GraphQueries, PipelineQueries, RelationalQueries, StreamingQueries, TemporalQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -13,7 +13,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val entries: Seq[RelationalQueries.Entry] =
-    RelationalQueries.all ++ PipelineQueries.all ++ GraphQueries.all ++ TemporalQueries.all
+    RelationalQueries.all ++ PipelineQueries.all ++ GraphQueries.all ++
+      TemporalQueries.all ++ StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

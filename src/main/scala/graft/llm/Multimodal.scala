@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   * parses PNG/BMP/GIF/JPEG payloads into width/height/pixel statistics on
   * the executor. AUDIO decode is REAL too: `javax.sound.sampled` parses
   * WAV/AIFF/AU PCM payloads into rate/channels/frames/sample statistics.
-  * VIDEO decode remains STUBBED with a deterministic fake (`fakeDecode`)
-  * because no video codec exists in the JDK or this environment — swapping
-  * the stub for a JNI/library call is the only change needed in production;
-  * undecodable payloads also fall back to the stub rather than failing the
-  * batch (corrupt blobs are data, not bugs, at corpus scale).
+  * VIDEO container-header parsing is REAL as well — pure-JVM MP4 box walk
+  * and Matroska EBML walk ([[parseVideoMeta]]) yield genuine
+  * width/height/duration for video rows; only FRAME decode remains STUBBED
+  * with a deterministic fake (`fakeDecode`) because no video codec exists
+  * in the JDK or this environment — swapping that stub for a JNI/library
+  * call is the only change needed in production. Undecodable payloads fall
+  * back to the stub rather than failing the batch (corrupt blobs are data,
+  * not bugs, at corpus scale).
   *
   * Scale notes: `mapPartitions` processes one partition's blobs as a stream
   * (no per-row lambda dispatch); media tables should be written with
@@ -101,8 +104,12 @@ object Multimodal {
   }
 
   /** Decode + feature-extract over a media dataset. Batched per partition;
-    * image rows go through the REAL [[decodeImage]], everything else (and
-    * undecodable payloads) through the [[fakeDecode]] stub.
+    * image rows go through the REAL [[decodeImage]], video rows through the
+    * REAL [[parseVideoMeta]] container parse (dimensions land in
+    * img_w/img_h, frame_count derives from the PARSED duration at 25 fps,
+    * falling back to the row's metadata duration), everything else (and
+    * undecodable payloads) through the [[fakeDecode]] stub with
+    * `decoded` false.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -112,16 +119,18 @@ object Multimodal {
         md.reset()
         val digest = md.digest(r.bytes).map("%02x".format(_)).mkString
         val sum = r.bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
-        val frames = if (r.media_type == "video") math.max(1, (r.duration_ms / 40).toInt) else 1
         val img = if (r.media_type == "image") decodeImage(r.bytes) else None
+        val vid = if (r.media_type == "video") parseVideoMeta(r.bytes) else None
+        val durMs = vid.map(_._4).getOrElse(r.duration_ms)
+        val frames = if (r.media_type == "video") math.max(1, (durMs / 40).toInt) else 1
         MediaFeatures(r.media_id, r.media_type, r.bytes.length.toLong, digest,
           if (r.bytes.isEmpty) 0.0 else sum.toDouble / r.bytes.length,
           frames,
           img.map(_._4).getOrElse(fakeDecode(r.bytes)),
-          img.map(_._1).getOrElse(-1),
-          img.map(_._2).getOrElse(-1),
+          img.map(_._1).orElse(vid.map(_._2)).getOrElse(-1),
+          img.map(_._2).orElse(vid.map(_._3)).getOrElse(-1),
           img.map(_._3).getOrElse(-1L),
-          img.isDefined)
+          img.isDefined || vid.isDefined)
       }
     }
   }
@@ -299,6 +308,255 @@ object Multimodal {
     import docs.sparkSession.implicits._
     docs.select(col(idCol)).as[Long].map { id =>
       MediaRow(id, "image", "image/bmp", syntheticBmp(id), -1, -1, 0L)
+    }
+  }
+
+  /** Parsed video container metadata. `decoded` marks rows whose fields
+    * came from a REAL container-header parse ([[parseVideoMeta]]); on false
+    * the fields are -1 ("none" container) — undecodable payloads are data,
+    * not bugs.
+    */
+  final case class VideoMeta(
+      media_id: Long,
+      container: String, // "mp4" | "mkv" | "none"
+      width: Int,
+      height: Int,
+      duration_ms: Long,
+      decoded: Boolean)
+
+  /** Pure-JVM MP4 / ISO-BMFF container-header parse (public format,
+    * ISO/IEC 14496-12 box grammar): walks the box tree — 32-bit and 64-bit
+    * (`size==1` → largesize) and to-end (`size==0`) box lengths — to
+    * `moov/mvhd` for (timescale, duration) and the FIRST `moov/trak/tkhd`
+    * for track dimensions (16.16 fixed point), handling both version-0 and
+    * version-1 full-box layouts. Returns (width, height, duration_ms).
+    * Container metadata only: no codec exists in this JDK, so sample/frame
+    * decode stays stubbed ([[fakeDecode]]) — swapping that stub for a
+    * JNI/library call is the only production change.
+    */
+  def parseMp4Meta(bytes: Array[Byte]): Option[(Int, Int, Long)] =
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.BIG_ENDIAN)
+      def u32(off: Long): Long = bb.getInt(off.toInt) & 0xffffffffL
+      // payload range of the first box named `name` fully inside [from, to)
+      def findBox(from: Long, to: Long, name: String): Option[(Long, Long)] = {
+        var off = from
+        while (off + 8 <= to) {
+          val sz0 = u32(off)
+          val typ = new String(bytes, off.toInt + 4, 4, "ISO-8859-1")
+          val (hdr, sz) =
+            if (sz0 == 1 && off + 16 <= to) (16L, bb.getLong(off.toInt + 8))
+            else if (sz0 == 0) (8L, to - off)
+            else (8L, sz0)
+          if (sz < hdr || off + sz > to) return None
+          if (typ == name) return Some((off + hdr, off + sz))
+          off += sz
+        }
+        None
+      }
+      for {
+        (moovS, moovE) <- findBox(0L, bytes.length.toLong, "moov")
+        (mvhdS, _) <- findBox(moovS, moovE, "mvhd")
+        (trakS, trakE) <- findBox(moovS, moovE, "trak")
+        (tkhdS, _) <- findBox(trakS, trakE, "tkhd")
+      } yield {
+        val (timescale, durTicks) =
+          if (bytes(mvhdS.toInt) == 0) (u32(mvhdS + 12), u32(mvhdS + 16))
+          else (u32(mvhdS + 20), bb.getLong(mvhdS.toInt + 24))
+        val dimOff = if (bytes(tkhdS.toInt) == 0) tkhdS + 76 else tkhdS + 88
+        val w = (u32(dimOff) >> 16).toInt
+        val h = (u32(dimOff + 4) >> 16).toInt
+        val durMs = if (timescale > 0) durTicks * 1000L / timescale else -1L
+        (w, h, durMs)
+      }
+    } catch { case _: Exception => None }
+
+  /** Pure-JVM Matroska/WebM container-header parse (public format — EBML
+    * varint grammar): walks Segment → Info for (TimestampScale, Duration)
+    * and Segment → Tracks → TrackEntry → Video for PixelWidth/PixelHeight.
+    * EBML IDs keep their length-marker bit, sizes clear it — the detail a
+    * real parser must get right. Returns (width, height, duration_ms) with
+    * duration = Duration·TimestampScale nanoseconds rounded to ms.
+    */
+  def parseMkvMeta(bytes: Array[Byte]): Option[(Int, Int, Long)] =
+    try {
+      def vintLen(b: Int): Int = {
+        var m = 0x80; var n = 1
+        while (n <= 8 && (b & m) == 0) { m >>= 1; n += 1 }
+        n
+      }
+      def readId(off: Int): (Long, Int) = {
+        val n = vintLen(bytes(off) & 0xff)
+        var v = 0L; var i = 0
+        while (i < n) { v = (v << 8) | (bytes(off + i) & 0xff); i += 1 }
+        (v, n)
+      }
+      def readSize(off: Int): (Long, Int) = {
+        val b0 = bytes(off) & 0xff
+        val n = vintLen(b0)
+        var v = (b0 & (0xff >>> n)).toLong
+        var i = 1
+        while (i < n) { v = (v << 8) | (bytes(off + i) & 0xff); i += 1 }
+        (v, n)
+      }
+      def uint(off: Int, len: Int): Long = {
+        var v = 0L; var i = 0
+        while (i < len) { v = (v << 8) | (bytes(off + i) & 0xff); i += 1 }
+        v
+      }
+      def fl(off: Int, len: Int): Double =
+        if (len == 4) java.lang.Float.intBitsToFloat(uint(off, 4).toInt).toDouble
+        else java.lang.Double.longBitsToDouble(uint(off, 8))
+      // payload range of the first child with `id` fully inside [from, to)
+      def find(from: Int, to: Int, id: Long): Option[(Int, Int)] = {
+        var off = from
+        while (off < to) {
+          val (eid, in) = readId(off)
+          val (sz, sn) = readSize(off + in)
+          val ps = off + in + sn
+          if (ps + sz > to) return None
+          if (eid == id) return Some((ps, ps + sz.toInt))
+          off = ps + sz.toInt
+        }
+        None
+      }
+      for {
+        (segS, segE) <- find(0, bytes.length, 0x18538067L) // Segment
+        (infoS, infoE) <- find(segS, segE, 0x1549A966L)    // Info
+        (trksS, trksE) <- find(segS, segE, 0x1654AE6BL)    // Tracks
+        (teS, teE) <- find(trksS, trksE, 0xAEL)            // TrackEntry
+        (vidS, vidE) <- find(teS, teE, 0xE0L)              // Video
+        (wS, wE) <- find(vidS, vidE, 0xB0L)                // PixelWidth
+        (hS, hE) <- find(vidS, vidE, 0xBAL)                // PixelHeight
+      } yield {
+        val tsScale = find(infoS, infoE, 0x2AD7B1L)
+          .map { case (a, b) => uint(a, b - a) }.getOrElse(1000000L)
+        val durMs = find(infoS, infoE, 0x4489L)
+          .map { case (a, b) => math.round(fl(a, b - a) * tsScale / 1e6) }
+          .getOrElse(-1L)
+        (uint(wS, wE - wS).toInt, uint(hS, hE - hS).toInt, durMs)
+      }
+    } catch { case _: Exception => None }
+
+  /** Container sniff + parse: `ftyp` at offset 4 → MP4 box walk, EBML magic
+    * at offset 0 → Matroska walk. None for anything else (caller falls back
+    * to -1 fields, the corrupt-payload discipline).
+    */
+  def parseVideoMeta(bytes: Array[Byte]): Option[(String, Int, Int, Long)] =
+    if (bytes.length >= 12 &&
+        bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p')
+      parseMp4Meta(bytes).map { case (w, h, d) => ("mp4", w, h, d) }
+    else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x1a &&
+        (bytes(1) & 0xff) == 0x45 && (bytes(2) & 0xff) == 0xdf &&
+        (bytes(3) & 0xff) == 0xa3)
+      parseMkvMeta(bytes).map { case (w, h, d) => ("mkv", w, h, d) }
+    else None
+
+  /** Container-metadata extraction for video rows — batched per partition
+    * like [[extractFeatures]]; non-video or undecodable payloads yield -1
+    * fields with `decoded` false rather than failing the batch.
+    */
+  def extractVideoMeta(media: Dataset[MediaRow]): Dataset[VideoMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val vm = if (r.media_type == "video") parseVideoMeta(r.bytes) else None
+        VideoMeta(r.media_id,
+          vm.map(_._1).getOrElse("none"),
+          vm.map(_._2).getOrElse(-1), vm.map(_._3).getOrElse(-1),
+          vm.map(_._4).getOrElse(-1L), vm.isDefined)
+      }
+    }
+  }
+
+  /** Deterministic synthetic-video dimensions: a pure function of `docId`
+    * shared by the generators AND the oracle SQL, so a parser that misreads
+    * any layout detail hash-mismatches.
+    */
+  def videoDims(docId: Long): (Int, Int, Long) =
+    ((160 + docId % 17).toInt, (90 + docId % 11).toInt, 1000L + docId % 4096)
+
+  /** A REAL minimal MP4 whose header fields are a pure function of `docId`:
+    * ftyp + moov(mvhd(timescale 1000, duration ms) + trak(tkhd with 16.16
+    * fixed-point width/height)) — the box sizes, version-0 field offsets
+    * and fixed-point shifts a real parser must get right. No media samples
+    * (container metadata only).
+    */
+  def syntheticMp4(docId: Long): Array[Byte] = {
+    val (w, h, durMs) = videoDims(docId)
+    val out = java.nio.ByteBuffer.allocate(20 + 8 + 108 + 100)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    def fourcc(s: String): Unit = s.foreach(c => out.put(c.toByte))
+    // ftyp: size(4) type(4) major_brand(4) minor_version(4) compat_brand(4)
+    out.putInt(20); fourcc("ftyp"); fourcc("isom"); out.putInt(0); fourcc("isom")
+    out.putInt(8 + 108 + 100); fourcc("moov")
+    out.putInt(108); fourcc("mvhd")
+    out.putInt(0) // version 0 + flags
+      .putInt(0).putInt(0) // ctime, mtime
+      .putInt(1000).putInt(durMs.toInt) // timescale ms, duration ticks
+      .putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, volume, reserved
+      .putInt(0).putInt(0) // reserved
+    // identity matrix
+    out.putInt(0x00010000).putInt(0).putInt(0)
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+    (0 until 6).foreach(_ => out.putInt(0)) // pre_defined
+    out.putInt(2) // next_track_ID
+    out.putInt(100); fourcc("trak")
+    out.putInt(92); fourcc("tkhd")
+    out.putInt(7) // version 0 + flags (enabled|in-movie|in-preview)
+      .putInt(0).putInt(0) // ctime, mtime
+      .putInt(1).putInt(0) // track_ID, reserved
+      .putInt(durMs.toInt) // duration
+      .putInt(0).putInt(0) // reserved
+      .putShort(0).putShort(0).putShort(0).putShort(0) // layer, altgroup, volume, reserved
+    out.putInt(0x00010000).putInt(0).putInt(0)
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+    out.putInt(w << 16).putInt(h << 16) // 16.16 fixed-point dimensions
+    out.array()
+  }
+
+  /** A REAL minimal Matroska file, fields a pure function of `docId`: EBML
+    * header + Segment(Info(TimestampScale 1 ms, Duration as float64 ticks)
+    * + Tracks(TrackEntry(Video(PixelWidth, PixelHeight)))) — hand-encoded
+    * EBML varints (IDs keep the marker bit, sizes clear it).
+    */
+  def syntheticMkv(docId: Long): Array[Byte] = {
+    val (w, h, durMs) = videoDims(docId)
+    def elem(id: Array[Int], payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 127, "1-byte EBML size form only")
+      id.map(_.toByte) ++ Array((0x80 | payload.length).toByte) ++ payload
+    }
+    def u16(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+    def u32be(v: Long): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def f64(v: Double): Array[Byte] = {
+      val bits = java.lang.Double.doubleToLongBits(v)
+      (7 to 0 by -1).map(i => (bits >> (8 * i)).toByte).toArray
+    }
+    val info = elem(Array(0x15, 0x49, 0xa9, 0x66),
+      elem(Array(0x2a, 0xd7, 0xb1), u32be(1000000L)) ++ // TimestampScale: 1 ms
+        elem(Array(0x44, 0x89), f64(durMs.toDouble)))   // Duration in ticks
+    val video = elem(Array(0xe0),
+      elem(Array(0xb0), u16(w)) ++ elem(Array(0xba), u16(h)))
+    val tracks = elem(Array(0x16, 0x54, 0xae, 0x6b), elem(Array(0xae), video))
+    val ebmlHeader = elem(Array(0x1a, 0x45, 0xdf, 0xa3), Array.empty[Byte])
+    val segment = elem(Array(0x18, 0x53, 0x80, 0x67), info ++ tracks)
+    ebmlHeader ++ segment
+  }
+
+  /** One synthetic video [[MediaRow]] per document id — even ids get MP4,
+    * odd ids Matroska, so ONE query exercises both parsers. Metadata fields
+    * are left unknown (-1/0): the parse must derive them from the payload.
+    */
+  def syntheticVideos(docs: DataFrame, idCol: String = "doc_id"): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol)).as[Long].map { id =>
+      if (id % 2 == 0)
+        MediaRow(id, "video", "video/mp4", syntheticMp4(id), -1, -1, 0L)
+      else
+        MediaRow(id, "video", "video/x-matroska", syntheticMkv(id), -1, -1, 0L)
     }
   }
 

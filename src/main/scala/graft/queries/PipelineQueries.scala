@@ -234,18 +234,21 @@ object PipelineQueries {
   val sharedStoreMaterializers =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Cross-entry persist, gated on input size: at real scale sharing ONE
-    * materialized store across a multi-tier dedup/retrieval pass wins
-    * (measured at sf0.1: shingle/signature subset 24.9→22.2 s, BM25 pair
-    * 26.4+4.7→11.2+1.9 s), but at tiny inputs the fixed cost of
-    * materializing + pinning the store can exceed what sharing saves —
-    * re-deriving a 65 KiB corpus six times is cheaper than caching it once.
-    * The gate reads the `documents` table's on-disk bytes (cheap driver-side
-    * listing, no job): persist at ≥ [[SharedPersistMinBytes]], plain
-    * recompute below. SPARK_GRAFT_SHARED_PERSIST overrides: "0" never
-    * persists, "1" always does (the A/B lever for measuring the split).
+  /** Cross-entry persist, gated on input size. MEASURED (r8, 3 interleaved
+    * on/off reps of the 9-entry sharing subset, per-query numbers in
+    * PLANS.md): persist WINS at sf0.1 (43.4→35.2 s on the clean rep, the
+    * cache-reading consumers collapsing: d3_minhash_lsh 3.2→0.8,
+    * x1_hybrid_rrf 4.9→1.7) and is neutral-at-worst at sf0.01 (25.9 vs
+    * 25.8; persist never lost a rep) — refuting r7's open hypothesis that
+    * persist fixed costs caused the recorded sf0.01 A/B reading of 1.601
+    * (that reading was box noise; the median-of-3 A/B now bounds it). The
+    * gate therefore only skips DEGENERATE inputs (below a few KiB the
+    * cache bookkeeping can't pay for itself and unit-fixture runs skip the
+    * pinned storage), via the `documents` table's on-disk bytes — a cheap
+    * driver-side listing, no job. SPARK_GRAFT_SHARED_PERSIST overrides:
+    * "0" never persists, "1" always does (the measurement lever).
     */
-  private val SharedPersistMinBytes = 256L << 10
+  private val SharedPersistMinBytes = 8L << 10
   private def shouldPersist(d: String): Boolean =
     sys.env.get("SPARK_GRAFT_SHARED_PERSIST") match {
       case Some("0") => false
@@ -1289,6 +1292,28 @@ object PipelineQueries {
         |        CAST(1 AS INTEGER) AS n_channels, CAST(n AS BIGINT) AS n_frames,
         |        CAST(s AS BIGINT) AS sample_sum, TRUE AS decoded
         | FROM sm ORDER BY media_id""".stripMargin),
+
+    // ---- REAL video container-header parse over synthetic MP4s/MKVs -----
+    // the video third of the m_image/m_audio pattern: one hand-assembled
+    // container per doc id — even ids a minimal MP4 (box sizes, version-0
+    // full-box offsets, 16.16 fixed-point dims), odd ids a minimal Matroska
+    // (EBML varints, TimestampScale tick arithmetic) — genuinely parsed by
+    // the pure-JVM box/EBML walkers on the executor; the oracle recomputes
+    // width/height/duration arithmetically from doc_id alone. Only FRAME
+    // decode remains stubbed (no codec in the sandbox JDK); container
+    // metadata is real.
+    ("m_video_meta",
+      (s, d) => Multimodal.extractVideoMeta(
+          Multimodal.syntheticVideos(spread(t(s, d, "documents"))))
+        .select("media_id", "container", "width", "height", "duration_ms", "decoded")
+        .orderBy("media_id"),
+      """SELECT doc_id AS media_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'mkv' END AS container,
+        |       CAST(160 + doc_id % 17 AS INTEGER) AS width,
+        |       CAST(90 + doc_id % 11 AS INTEGER) AS height,
+        |       CAST(1000 + doc_id % 4096 AS BIGINT) AS duration_ms,
+        |       TRUE AS decoded
+        | FROM documents ORDER BY media_id""".stripMargin),
 
     // ---- connected components over the near-dup pair graph --------------
     // large-star/small-star contraction resolving jaccard pairs into

@@ -1,0 +1,143 @@
+package graft.queries
+
+import graft.ops.TemporalOps
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming operators as ORACLE-CHECKED registry entries: each query here
+  * replays the driver's `events` table through a real Structured-Streaming
+  * micro-batch execution (file source → stateful operator → memory sink)
+  * and returns the sink contents, which the driver then hash-compares
+  * against DuckDB SQL. This closes r7's gap where the streaming twins were
+  * verified only by stream==batch specs — here the rows the oracle checks
+  * came from actual micro-batch execution (state carried across batches,
+  * watermarks advanced, sessions merged), not from the batch twin.
+  *
+  * All value sums go through exact integer micro-units before the stream
+  * (a float SUM's value depends on aggregation order and would not
+  * hash-match across engines — the ts_window_agg discipline).
+  */
+object StreamingQueries {
+
+  import RelationalQueries.Entry
+
+  /** memory-sink names must be unique per session (Bench, Verify and the
+    * specs may each run every entry once in one JVM)
+    */
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Replay the events table as a DETERMINISTIC two-micro-batch file
+    * stream: batch 1 = events at or before the median timestamp, batch 2 =
+    * the rest, written only after batch 1 is fully processed
+    * (`processAllAvailable`) so batch boundaries — and therefore
+    * stateful-operator behavior — are reproducible run to run. The cut is
+    * BETWEEN distinct timestamp values, so an equal-timestamp group never
+    * straddles the boundary — the strictly-increasing-per-key cross-batch
+    * contract [[StreamingIngest.streamingAsofEnrich]] requires. Event time
+    * is grain-normalized ([[TemporalOps.asTimestamp]]) at staging, so the
+    * stream sees TIMESTAMP whatever the driver's parquet writer used.
+    */
+  private def replayTwoBatches(s: SparkSession, d: String, mode: String)
+                              (build: DataFrame => DataFrame): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-oracle")
+    try {
+      val in = base.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      val raw = TemporalOps.loadEvents(s, d)
+      val evTs = raw.withColumn("ts", TemporalOps.asTimestamp(raw, "ts")).drop("ts_us")
+      val cutUs = evTs.select(unix_micros(col("ts")).as("us"))
+        .stat.approxQuantile("us", Array(0.5), 0.0)(0).toLong
+      evTs.filter(unix_micros(col("ts")) <= cutUs).coalesce(4).write.parquet(s"$in/b1")
+      val schema = s.read.parquet(s"$in/b1").schema
+      val stream = s.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(in.toString)
+      val nm = s"stream_oracle_${runSeq.incrementAndGet()}"
+      val q = build(stream).writeStream.outputMode(mode)
+        .format("memory").queryName(nm).start()
+      try {
+        q.processAllAvailable()
+        evTs.filter(unix_micros(col("ts")) > cutUs).coalesce(4).write.parquet(s"$in/b2")
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(nm)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
+  val all: Seq[Entry] = Seq(
+
+    // ---- streaming tumbling-window aggregation --------------------------
+    // the micro-batch twin of ts_window_agg, against the SAME oracle: in
+    // complete output mode the watermark drops nothing and state spans
+    // batches, so the converged sink must equal the batch aggregation.
+    ("stream_window_agg",
+      (s, d) => replayTwoBatches(s, d, "complete") { st =>
+        StreamingIngest.windowedEventCounts(
+          st.withColumn("value", round(col("value") * 1000000L).cast("long")),
+          "1 hour", "1 hour", "10 minutes")
+      }
+        .select(unix_micros(col("win_start")).as("win_start_us"),
+          col("event_type"), col("n").as("n_events"),
+          col("total").as("value_micro"))
+        .orderBy("win_start_us", "event_type"),
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
+        |       event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micro
+        | FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin),
+
+    // ---- streaming gap sessionization -----------------------------------
+    // native session_window across micro-batches (sessions straddling the
+    // batch cut must MERGE in the state store). session_window starts a new
+    // session at gap ≥ 30 min (merge while diff < gap), so the oracle's
+    // new-session flag is `diff >= gap` — one tick off ts_sessionize's
+    // batch operator (diff > gap), both pinned exactly by their oracles.
+    ("stream_sessionize",
+      (s, d) => {
+        val sess = replayTwoBatches(s, d, "complete") { st =>
+          StreamingIngest.streamingSessionStats(
+            st.withColumn("value", round(col("value") * 1000000L).cast("long")),
+            "30 minutes", "10 minutes")
+        }
+        sess
+          .withColumn("session_no", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("user_id")).orderBy(col("start_ts"))))
+          .select(col("user_id"), col("session_no").cast("long").as("session_no"),
+            col("n_events"), unix_micros(col("start_ts")).as("start_us"),
+            col("sum_value").as("sum_micro"))
+          .orderBy("user_id", "session_no")
+      },
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsn,
+        |                  CAST(round(value * 1000000) AS BIGINT) AS vmicro FROM events),
+        | lagd AS (SELECT *, LAG(tsn) OVER (PARTITION BY user_id
+        |                                   ORDER BY tsn, event_id) AS prev FROM e),
+        | flag AS (SELECT *, CASE WHEN prev IS NULL OR tsn - prev >= 1800000000
+        |                         THEN 1 ELSE 0 END AS new_sess FROM lagd),
+        | sess AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+        |                                        ORDER BY tsn, event_id
+        |                                        ROWS UNBOUNDED PRECEDING) AS session_no
+        |          FROM flag)
+        | SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+        |        COUNT(*) AS n_events, MIN(tsn) AS start_us,
+        |        CAST(SUM(vmicro) AS BIGINT) AS sum_micro
+        | FROM sess GROUP BY user_id, session_no
+        | ORDER BY user_id, session_no""".stripMargin),
+
+    // ---- streaming backward as-of enrichment ----------------------------
+    // flatMapGroupsWithState across micro-batches (the carried (ts, value)
+    // state must survive the batch cut), against ts_asof_join's oracle:
+    // DuckDB's NATIVE ASOF JOIN — an independent algorithm on a third
+    // execution model.
+    ("stream_asof_join",
+      (s, d) => replayTwoBatches(s, d, "append")(StreamingIngest.streamingAsofEnrich(_))
+        .select("user_id", "event_id", "click_value")
+        .orderBy("event_id"),
+      """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS tsn
+        |           FROM events WHERE event_type = 'purchase'),
+        |      c AS (SELECT user_id, epoch_us(ts) AS tsn, MAX(value) AS click_value
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        | SELECT p.user_id, p.event_id, c.click_value
+        | FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tsn >= c.tsn
+        | ORDER BY p.event_id""".stripMargin)
+  )
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+import graft.llm.{Dedup, Multimodal, Retrieval, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -1043,5 +1043,74 @@ class LlmOpsSpec extends AnyFunSuite {
     val img = Multimodal.extractAudioFeatures(
       Multimodal.syntheticBmps(docs(7L -> "x"))).collect()(0)
     assert(!img.decoded && img.sample_sum == -1L)
+  }
+
+  test("MP4 box walk parses the hand-assembled container to the formula dims") {
+    val id = 42L // even → MP4 in syntheticVideos
+    val (w, h, durMs) = Multimodal.videoDims(id)
+    assert(Multimodal.parseMp4Meta(Multimodal.syntheticMp4(id)).contains((w, h, durMs)))
+    assert(Multimodal.parseVideoMeta(Multimodal.syntheticMp4(id))
+      .contains(("mp4", w, h, durMs)))
+    // 64-bit largesize moov header (size==1 → largesize follows) also walks
+    val b = Multimodal.syntheticMp4(id)
+    val moovOff = 20 // after ftyp
+    val big = new Array[Byte](b.length + 8)
+    System.arraycopy(b, 0, big, 0, moovOff)
+    val bb = java.nio.ByteBuffer.wrap(big).order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(moovOff, 1) // size==1 marker
+    System.arraycopy(b, moovOff + 4, big, moovOff + 4, 4) // "moov"
+    bb.putLong(moovOff + 8, (b.length - moovOff + 8).toLong) // largesize
+    System.arraycopy(b, moovOff + 8, big, moovOff + 16, b.length - moovOff - 8)
+    assert(Multimodal.parseMp4Meta(big).contains((w, h, durMs)))
+  }
+
+  test("Matroska EBML walk parses the hand-assembled container to the formula dims") {
+    val id = 43L // odd → MKV in syntheticVideos
+    val (w, h, durMs) = Multimodal.videoDims(id)
+    assert(Multimodal.parseMkvMeta(Multimodal.syntheticMkv(id)).contains((w, h, durMs)))
+    assert(Multimodal.parseVideoMeta(Multimodal.syntheticMkv(id))
+      .contains(("mkv", w, h, durMs)))
+  }
+
+  test("video rows carry parsed container metadata through the feature paths") {
+    val metas = Multimodal.extractVideoMeta(
+        Multimodal.syntheticVideos(docs(6L -> "a", 7L -> "b")))
+      .collect().map(m => m.media_id -> m).toMap
+    for (id <- Seq(6L, 7L)) {
+      val (w, h, durMs) = Multimodal.videoDims(id)
+      val m = metas(id)
+      assert(m.decoded && m.width == w && m.height == h && m.duration_ms == durMs)
+      assert(m.container == (if (id % 2 == 0) "mp4" else "mkv"))
+    }
+    // extractFeatures: dims land in img_w/img_h, frame_count derives from
+    // the PARSED duration (row metadata left unknown by syntheticVideos)
+    val f = Multimodal.extractFeatures(
+      Multimodal.syntheticVideos(docs(6L -> "a"))).collect()(0)
+    val (w6, h6, dur6) = Multimodal.videoDims(6L)
+    assert(f.decoded && f.img_w == w6 && f.img_h == h6)
+    assert(f.frame_count == math.max(1, (dur6 / 40).toInt))
+    // corrupt payload: decoded=false with -1 fields, never a throw
+    val bad = Multimodal.extractVideoMeta(
+      Multimodal.syntheticVideos(docs(6L -> "a")).map(r =>
+        r.copy(bytes = r.bytes.take(10)))(
+        org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])).collect()(0)
+    assert(!bad.decoded && bad.container == "none" && bad.width == -1 &&
+      bad.duration_ms == -1L)
+  }
+
+  test("Bounded.guard: in-bound rows pass unchanged, violations fail loudly") {
+    val fused = Retrieval.rrfFuse(
+      Seq("a" -> docs(1L -> "x", 2L -> "y").select($"doc_id", ($"doc_id" + 10).as("rank"))),
+      k = 5)
+    assert(fused.count() == 2) // ranks 11,12 within default maxListLen
+    val e = intercept[Exception] {
+      Retrieval.rrfFuse(
+        Seq("a" -> docs(1L -> "x").select($"doc_id", lit(999).as("rank"))),
+        k = 5, maxListLen = 100).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("bounded top-k list")),
+      s"expected the rrfFuse bound message, got: ${msgs(e).mkString(" | ")}")
   }
 }
