@@ -115,6 +115,70 @@ object TemporalOps {
         min(col(tsCol)).as("start_ts"),
         max(col(tsCol)).as("end_ts"))
 
+  /** Point-in-interval join via time-bucket replication: every point row
+    * is matched with every interval row of the same key whose
+    * `[startCol, endCol]` (inclusive) contains the point's `tsCol`. All
+    * three time columns are epoch-µs longs ([[epochMicros]]).
+    *
+    * Scale shape: a direct `BETWEEN` join is a range join — Spark plans it
+    * as BroadcastNestedLoop (or a per-key cross product), which re-scans
+    * every interval per point and explodes on hot keys. Instead each
+    * interval is replicated to the fixed-width time buckets it touches
+    * (`sequence(floor(start/B), floor(end/B))`), each point maps to its ONE
+    * bucket, and the join is a plain equi-join on `(key, bucket)` — shuffle
+    * both sides once, AQE-skew-splittable, with the residual containment
+    * predicate filtering inside the join. A point's bucket is unique, so
+    * each qualifying (interval, point) pair emerges exactly once — no
+    * post-join dedup. Replication factor = span/B + 1 per interval, bounded
+    * by `maxBucketsPerInterval` as an executable invariant ([[Bounded.guard]]
+    * — a degenerate open-ended interval fails loudly instead of OOMing an
+    * executor); pick `bucketWidth` near the TYPICAL interval span so the
+    * factor stays O(1).
+    *
+    * Inner-join semantics: points without a containing interval are
+    * dropped, points in n intervals appear n times. Interval columns are
+    * carried alongside the point columns; name collisions are refused.
+    */
+  def intervalJoin(points: DataFrame, intervals: DataFrame,
+                   keyCol: String, tsCol: String,
+                   startCol: String, endCol: String,
+                   bucketWidth: Long,
+                   maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(bucketWidth > 0, s"intervalJoin: bucketWidth must be positive, got $bucketWidth")
+    require(maxBucketsPerInterval >= 1,
+      s"intervalJoin: maxBucketsPerInterval must be >= 1, got $maxBucketsPerInterval")
+    val overlap = intervals.columns.toSet.intersect(points.columns.toSet) - keyCol
+    require(overlap.isEmpty,
+      s"intervalJoin: column name collision between points and intervals: ${overlap.mkString(", ")}")
+    val reserved = Seq("__b", "__bkts")
+    require(!(points.columns ++ intervals.columns).exists(reserved.contains),
+      s"intervalJoin: input already has one of ${reserved.mkString(", ")}")
+    // floored division toward −∞ (div truncates toward zero, which would
+    // misbucket negative timestamps): ts − pmod(ts, B) is an exact multiple
+    // of B, so the div is exact 64-bit integer arithmetic
+    def bucketOf(c: Column): Column = {
+      val m = c - pmod(c, lit(bucketWidth))
+      // decimal division keeps the full 64-bit range exact (a double
+      // division would round above 2^53); m is a multiple of B, so the
+      // quotient is integral and the long cast is lossless
+      (m.cast("decimal(30,0)") / lit(bucketWidth)).cast("long")
+    }
+    val ivalGuarded = intervals.withColumn("__bkts",
+      sequence(
+        Bounded.guard(bucketOf(col(startCol)),
+          col(endCol) >= col(startCol) &&
+            bucketOf(col(endCol)) - bucketOf(col(startCol)) < lit(maxBucketsPerInterval.toLong),
+          s"intervalJoin: interval spans >= $maxBucketsPerInterval buckets of width " +
+            s"$bucketWidth (or end < start) — raise bucketWidth or maxBucketsPerInterval"),
+        bucketOf(col(endCol))))
+    val ival = ivalGuarded
+      .withColumn("__b", explode(col("__bkts"))).drop("__bkts")
+    val pts = points.withColumn("__b", bucketOf(col(tsCol)))
+    pts.join(ival, Seq(keyCol, "__b"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__b")
+  }
+
   /** Epoch MICROS — the cross-engine-safe grain (DuckDB and most engines
     * truncate nanosecond parquet timestamps to µs; comparing at ns on one
     * side and µs on the other silently flips at-tie as-of matches). Integer

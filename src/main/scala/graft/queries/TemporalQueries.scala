@@ -119,6 +119,40 @@ object TemporalQueries {
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
         |       event_type, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micro
-        | FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin)
+        | FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin),
+
+    // ---- point-in-interval join -----------------------------------------
+    // attribution shape: every click lands in the ±5-minute window around
+    // any same-user purchase. TemporalOps.intervalJoin replicates each
+    // interval to the 10-minute buckets it touches and equi-joins on
+    // (user, bucket) — a plain shuffle join with a residual containment
+    // filter, NOT the BroadcastNestedLoop a raw BETWEEN join plans. The
+    // oracle IS the raw inequality join (DuckDB's IEJoin), an independent
+    // algorithm for the same semantics.
+    ("ts_interval_join",
+      (s, d) => {
+        val ev = TemporalOps.loadEvents(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            (col("ts_us") - 300000000L).as("win_start"),
+            (col("ts_us") + 300000000L).as("win_end"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts_us").as("click_ts"))
+        TemporalOps.intervalJoin(clicks, purchases,
+            keyCol = "user_id", tsCol = "click_ts",
+            startCol = "win_start", endCol = "win_end",
+            bucketWidth = 600000000L) // 10 min — replication factor ≤ 2
+          .select(col("user_id"), col("purchase_id"), col("click_id"))
+          .orderBy("purchase_id", "click_id")
+      },
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+        | FROM (SELECT user_id, event_id, epoch_us(ts) AS tsn FROM events
+        |       WHERE event_type = 'purchase') p
+        | JOIN (SELECT user_id, event_id, epoch_us(ts) AS tsn FROM events
+        |       WHERE event_type = 'click') c
+        |   ON p.user_id = c.user_id
+        |  AND c.tsn BETWEEN p.tsn - 300000000 AND p.tsn + 300000000
+        | ORDER BY purchase_id, click_id""".stripMargin)
   )
 }

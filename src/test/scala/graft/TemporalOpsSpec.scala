@@ -115,6 +115,62 @@ class TemporalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("intervalJoin: inclusive bounds, per-key isolation, exactly-once pairs") {
+    // interval [10, 30] for key 1; points at the bounds, inside, outside,
+    // and on another key. bucketWidth 7 makes the interval straddle
+    // several buckets — pairs must still emerge exactly once.
+    val ivals = Seq((1L, 10L, 30L, "i1"), (1L, 100L, 100L, "i2"), (2L, 0L, 50L, "i3"))
+      .toDF("k", "lo", "hi", "ival")
+    val pts = Seq((1L, 10L, "a"), (1L, 30L, "b"), (1L, 20L, "c"), (1L, 31L, "d"),
+      (1L, 9L, "e"), (1L, 100L, "f"), (2L, 20L, "g"), (3L, 20L, "h"))
+      .toDF("k", "tsn", "pt")
+    val got = TemporalOps.intervalJoin(pts, ivals, "k", "tsn", "lo", "hi",
+        bucketWidth = 7L)
+      .select("pt", "ival").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.sorted.toSeq == Seq("a" -> "i1", "b" -> "i1", "c" -> "i1",
+      "f" -> "i2", "g" -> "i3").sorted.toSeq)
+  }
+
+  test("intervalJoin: overlapping intervals yield one row per containing interval") {
+    val ivals = Seq((1L, 0L, 100L, "wide"), (1L, 40L, 60L, "narrow"))
+      .toDF("k", "lo", "hi", "ival")
+    val pts = Seq((1L, 50L, "in-both"), (1L, 20L, "in-wide")).toDF("k", "tsn", "pt")
+    val got = TemporalOps.intervalJoin(pts, ivals, "k", "tsn", "lo", "hi", 32L)
+      .select("pt", "ival").collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(got.toSeq == Seq("in-both" -> "narrow", "in-both" -> "wide",
+      "in-wide" -> "wide").sorted.toSeq)
+  }
+
+  test("intervalJoin matches a naive BETWEEN join on random data, incl. negative ts") {
+    val rnd = new scala.util.Random(31)
+    val ivals = (0 until 60).map { i =>
+      val lo = rnd.nextInt(2000).toLong - 1000L
+      (rnd.nextInt(5).toLong, lo, lo + rnd.nextInt(300).toLong, i.toLong)
+    }
+    val pts = (0 until 300).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(2400).toLong - 1200L, i.toLong))
+    val got = TemporalOps.intervalJoin(
+        pts.toDF("k", "tsn", "pid"), ivals.toDF("k", "lo", "hi", "iid"),
+        "k", "tsn", "lo", "hi", bucketWidth = 100L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val want = (for {
+      (pk, tsn, pid) <- pts
+      (ik, lo, hi, iid) <- ivals
+      if pk == ik && tsn >= lo && tsn <= hi
+    } yield (pid, iid)).sorted
+    assert(got.toSeq == want)
+  }
+
+  test("intervalJoin refuses degenerate intervals via the bounded-replication guard") {
+    val ivals = Seq((1L, 0L, Long.MaxValue / 2, "open")).toDF("k", "lo", "hi", "ival")
+    val pts = Seq((1L, 5L, "p")).toDF("k", "tsn", "pt")
+    val e = intercept[Exception] {
+      TemporalOps.intervalJoin(pts, ivals, "k", "tsn", "lo", "hi",
+        bucketWidth = 10L, maxBucketsPerInterval = 8).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("split assignment is deterministic, complete, and roughly proportional") {
     val df = spark.range(2000).toDF("id")
     val cuts = Seq(0.8 -> "train", 0.9 -> "val", 1.0 -> "test")
