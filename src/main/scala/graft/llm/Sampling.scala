@@ -118,6 +118,59 @@ object Sampling {
       .drop("ek_key", "ek_bucket", "ek_r1", "ek_rank")
   }
 
+  /** Weighted exact-k per-group sample without replacement — sequential
+    * Poisson / order sampling (Ohlsson 1998, the PPS scheme Statistics
+    * Sweden runs in production): each row draws priority `u / w` with `u`
+    * its salted-md5 uniform and `w` its positive weight, and the k SMALLEST
+    * priorities per group win, so inclusion odds are approximately
+    * proportional to weight ("sample common-crawl PPS by document length /
+    * domain trust score"). Deterministic like every sampler here: membership
+    * depends only on (salt, id, weight), never on partitioning or engine.
+    *
+    * Cross-engine exactness: `u` is the md5 key's first 13 hex chars as an
+    * integer — 52 bits, below 2^53, so both `u` and any integral `w ≤ 2^53`
+    * are exact doubles, and the single IEEE division rounds identically on
+    * every engine (the same reason [[hexThreshold]] avoids float thresholds
+    * elsewhere: ONE correctly-rounded op is portable, a chain is not).
+    * `weightCol` must be positive — enforced per-row as an executable
+    * invariant, since a zero weight would yield priority = Infinity (never
+    * sampled — surprising) and a negative one would invert the ordering.
+    *
+    * Scale shape: the [[sampleExactK]] two-level discipline — md5-derived
+    * sub-buckets cap every window at (group, bucket) grain, the real rank
+    * runs on ≤ 16^h·k survivors per group; no fat-key group sort. The
+    * bucket comes from md5 chars 14+, disjoint bits from the priority's
+    * 1–13, so bucketing is independent of the draw.
+    */
+  def weightedSampleExactK(df: DataFrame, idCol: String, groupCol: String,
+                           weightCol: Column, k: Int,
+                           salt: String = "wpps", bucketHexChars: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(bucketHexChars >= 1 && bucketHexChars <= 7,
+      s"bucketHexChars must be in [1,7]: $bucketHexChars")
+    val reserved = Seq("wk_h", "wk_pri", "wk_bucket", "wk_r1", "wk_rank")
+    require(!df.columns.exists(reserved.contains),
+      s"weightedSampleExactK: input already has one of ${reserved.mkString(", ")}")
+    val w = Window
+    val keyed = df
+      .withColumn("wk_h", md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))))
+      .withColumn("wk_pri", graft.ops.Bounded.guard(
+        conv(substring(col("wk_h"), 1, 13), 16, 10).cast("long").cast("double")
+          / weightCol.cast("double"),
+        weightCol > 0,
+        "weightedSampleExactK: weights must be positive"))
+      .withColumn("wk_bucket", substring(col("wk_h"), 14, bucketHexChars))
+    keyed
+      .withColumn("wk_r1", row_number().over(
+        w.partitionBy(col(groupCol), col("wk_bucket"))
+          .orderBy(col("wk_pri"), col(idCol))))
+      .filter(col("wk_r1") <= k)
+      .withColumn("wk_rank", row_number().over(
+        w.partitionBy(col(groupCol)).orderBy(col("wk_pri"), col(idCol))))
+      .filter(col("wk_rank") <= k)
+      .drop("wk_h", "wk_pri", "wk_bucket", "wk_r1", "wk_rank")
+  }
+
   /** Token-budget domain mixing: keep, per domain, a deterministic
     * pseudo-random prefix of documents whose token counts fill that domain's
     * budget (the "sample common-crawl down to N billion tokens, keep all of

@@ -1145,6 +1145,27 @@ object PipelineQueries {
         |           FROM documents)
         | SELECT doc_id, source FROM r WHERE rn <= 7 ORDER BY doc_id""".stripMargin),
 
+    // ---- weighted exact-k per-source sample (PPS / sequential Poisson) --
+    // priority = md5-uniform / weight, k smallest per group win: inclusion
+    // odds ∝ n_chars. u is 52 bits (< 2^53) and the weight integral, so the
+    // single IEEE division is bit-identical across engines; the two-level
+    // engine-side window == the oracle's flat per-group window.
+    ("t_weighted_sample",
+      (s, d) => Sampling.weightedSampleExactK(
+          t(s, d, "documents").filter(col("n_chars") > 0),
+          "doc_id", "source", weightCol = col("n_chars"), k = 5)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id"),
+      """WITH pri AS (
+        |   SELECT doc_id, source, n_chars,
+        |          CAST(CAST('0x' || substr(md5('wpps:' || doc_id), 1, 13) AS BIGINT) AS DOUBLE)
+        |            / CAST(n_chars AS DOUBLE) AS p
+        |   FROM documents WHERE n_chars > 0),
+        | rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |                                     ORDER BY p, doc_id) AS rn FROM pri)
+        | SELECT doc_id, source, n_chars FROM rk WHERE rn <= 5
+        | ORDER BY doc_id""".stripMargin),
+
     // ---- sequence packing (fixed-capacity context windows) --------------
     // first-fit-in-order with bounded overflow: pack_id = floor(preceding
     // shard tokens / capacity) — pure window arithmetic, one shuffle on the

@@ -317,6 +317,49 @@ class TemporalOpsSpec extends AnyFunSuite {
       got.filter(col("grp") === "g1").select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("weightedSampleExactK matches a naive driver-side priority reference, two-level == flat") {
+    // independent reference: md5 via MessageDigest, priority = u/w, take k
+    // smallest per group
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rnd = new scala.util.Random(37)
+    val rows = (0L until 400L).map(i => (i, s"g${i % 4}", rnd.nextInt(5000).toLong + 1L))
+    val expected = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      rs.map { case (id, g, w) =>
+        val u = java.lang.Long.parseLong(md5hex(s"wpps:$id").take(13), 16)
+        (u.toDouble / w.toDouble, id, g)
+      }.sortBy(p => (p._1, p._2)).take(6).map(_._2)
+    }.toSet
+    for (width <- Seq(1, 3)) {
+      val got = Sampling.weightedSampleExactK(
+          rows.toDF("id", "grp", "w").repartition(5), "id", "grp", col("w"), k = 6,
+          bucketHexChars = width)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == expected, s"bucketHexChars=$width")
+    }
+  }
+
+  test("weightedSampleExactK: heavy weights dominate; non-positive weights refuse") {
+    // one group, k=1: items are (id 0, weight 1) .. (id 9, weight 1) plus
+    // (id 99, weight 10^9). Priority u/w makes the heavy item ~10^9 times
+    // cheaper — it must win against any realistic uniform draw.
+    val df = ((0L until 10L).map(i => (i, "g", 1L)) :+ ((99L, "g", 1000000000L)))
+      .toDF("id", "grp", "w")
+    val got = Sampling.weightedSampleExactK(df, "id", "grp", col("w"), k = 1)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(99L))
+    // zero weight fails loudly (executable invariant), not Infinity-silently
+    val bad = Seq((1L, "g", 0L)).toDF("id", "grp", "w")
+    intercept[Exception] {
+      Sampling.weightedSampleExactK(bad, "id", "grp", col("w"), k = 1).collect()
+    }
+    // groups smaller than k keep every (positively weighted) row
+    val tiny = Sampling.weightedSampleExactK(
+      df.filter(col("id") < 3), "id", "grp", col("w"), k = 10)
+    assert(tiny.count() == 3)
+  }
+
   test("importanceScores ranks target-like docs above background docs") {
     // target speaks only of cats; raw corpus is cats + dogs. A cat doc's
     // features are cheap under the target model and ordinary under the raw
