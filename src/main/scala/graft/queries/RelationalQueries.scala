@@ -458,6 +458,25 @@ object RelationalQueries {
       """SELECT event_type,
         |        CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         |        COUNT(*) AS n
-        | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // ---- Z-order (Morton) clustering key --------------------------------
+    // bit-interleaved (l_partkey, l_suppkey) — the multi-dimensional layout
+    // key under which files prune on EITHER dimension (ZOrder.layoutByZ is
+    // the range-partition writer; spec'd separately since file layout is
+    // not SQL-expressible). Oracle SQL is GENERATED from the same bit loop
+    // as the Spark expression, so the two cannot drift. Summed per partkey
+    // so the checked surface covers every row's key exactly.
+    ("z_order_interleave",
+      (s, d) => t(s, d, "lineitem")
+        .withColumn("z_value",
+          graft.ops.ZOrder.zValue(col("l_partkey"), col("l_suppkey"), bits = 21))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("z_value")).as("z_sum"), count(lit(1)).as("n"))
+        .orderBy("l_partkey"),
+      s"""SELECT l_partkey,
+         |        CAST(SUM(${graft.ops.ZOrder.zValueSql("l_partkey", "l_suppkey", 21)}) AS BIGINT) AS z_sum,
+         |        COUNT(*) AS n
+         | FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin)
   )
 }
