@@ -64,6 +64,42 @@ object StreamingQueries {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
   }
 
+  /** Replay the documents table TWICE — batch 1 = every document, batch 2 =
+    * the same documents again — with a synthetic 1-second-spaced event time.
+    * The adversarial shape for streaming dedup: every batch-2 row is a
+    * cross-batch duplicate and must be suppressed either by the state store
+    * (hash still within the watermark horizon) or as a late arrival (older
+    * than the advanced watermark) — both legitimate drops; a re-emission
+    * under either path would double the sink and fail the rows check.
+    */
+  private def replayDocsTwice(s: SparkSession, d: String)
+                             (build: DataFrame => DataFrame): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
+    try {
+      val in = base.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      // 1-day offset keeps the earliest synthetic instant strictly above
+      // the initial watermark (epoch 0): Spark's pre-dedup late filter
+      // drops rows AT the watermark, so a doc_id-0 row timestamped exactly
+      // at epoch 0 would silently vanish from batch 1
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .withColumn("ts", timestamp_micros((col("doc_id") + lit(86400L)) * 1000000L))
+      docs.coalesce(4).write.parquet(s"$in/b1")
+      val schema = s.read.parquet(s"$in/b1").schema
+      val stream = s.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(in.toString)
+      val nm = s"stream_oracle_${runSeq.incrementAndGet()}"
+      val q = build(stream).writeStream.outputMode("append")
+        .format("memory").queryName(nm).start()
+      try {
+        q.processAllAvailable()
+        docs.coalesce(4).write.parquet(s"$in/b2")
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(nm)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
   val all: Seq[Entry] = Seq(
 
     // ---- streaming tumbling-window aggregation --------------------------
@@ -138,6 +174,21 @@ object StreamingQueries {
         |           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
         | SELECT p.user_id, p.event_id, c.click_value
         | FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tsn >= c.tsn
-        | ORDER BY p.event_id""".stripMargin)
+        | ORDER BY p.event_id""".stripMargin),
+
+    // ---- streaming exact dedup ------------------------------------------
+    // dropDuplicatesWithinWatermark across micro-batches: the corpus is
+    // replayed twice, so every batch-2 row is a cross-batch duplicate. The
+    // sink must hold each distinct content hash exactly once — emitted rows
+    // are hash-only because WHICH of several same-text docs arrives first
+    // inside a batch is execution-order-dependent, while the hash set is
+    // not (the d1_dedup_exact discipline).
+    ("stream_dedup_exact",
+      (s, d) => replayDocsTwice(s, d)(st =>
+          StreamingIngest.streamingExactDedup(st, watermark = "10 minutes"))
+        .select(col("content_hash"))
+        .orderBy("content_hash"),
+      """SELECT DISTINCT md5(text) AS content_hash FROM documents
+        | ORDER BY content_hash""".stripMargin)
   )
 }
