@@ -28,6 +28,33 @@ object PipelineQueries {
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** The d11 bloom-decontamination oracle: re-derives the bit positions
+    * ((h1 + i·h2) mod 2^16 on md5-prefix ints) so survivors — including
+    * every deterministic false positive — hash-match. Shared with the
+    * streaming twin's entry (`stream_decontaminate`), which must meet the
+    * SAME oracle from a micro-batch execution.
+    */
+  private[queries] val BloomDecontamSql: String =
+    """WITH sh5 AS (SELECT doc_id AS id, array_to_string(words[i:i+4], ' ') AS g
+      |             FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w,
+      |                  LATERAL (SELECT unnest(generate_series(1, greatest(len(w.words)-4, 0))) AS i) s),
+      | hs AS (SELECT id, g,
+      |               CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) AS h1,
+      |               CAST('0x' || substr(md5(g), 9, 8) AS BIGINT) | 1 AS h2
+      |        FROM sh5),
+      | ks AS (SELECT unnest(generate_series(0, 3)) AS i),
+      | ebits AS (SELECT DISTINCT (h1 + i * h2) % 65536 AS pos
+      |           FROM hs CROSS JOIN ks WHERE id % 20 = 0),
+      | cpos AS (SELECT DISTINCT id, g, i, (h1 + i * h2) % 65536 AS pos
+      |          FROM hs CROSS JOIN ks WHERE id % 20 <> 0),
+      | hit AS (SELECT id, g FROM cpos JOIN ebits USING (pos)
+      |         GROUP BY id, g HAVING COUNT(DISTINCT i) = 4),
+      | bad AS (SELECT DISTINCT id FROM hit)
+      | SELECT d.doc_id, d.source FROM documents d
+      | WHERE d.doc_id % 20 <> 0
+      |   AND NOT EXISTS (SELECT 1 FROM bad WHERE bad.id = d.doc_id)
+      | ORDER BY d.doc_id""".stripMargin
+
   /** Shared SQL fragment: word 3-gram shingles of documents. */
   private val ShinglesSql =
     """SELECT DISTINCT doc_id AS id,
@@ -587,25 +614,7 @@ object PipelineQueries {
           .select("doc_id", "source")
           .orderBy("doc_id")
       },
-      """WITH sh5 AS (SELECT doc_id AS id, array_to_string(words[i:i+4], ' ') AS g
-        |             FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w,
-        |                  LATERAL (SELECT unnest(generate_series(1, greatest(len(w.words)-4, 0))) AS i) s),
-        | hs AS (SELECT id, g,
-        |               CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) AS h1,
-        |               CAST('0x' || substr(md5(g), 9, 8) AS BIGINT) | 1 AS h2
-        |        FROM sh5),
-        | ks AS (SELECT unnest(generate_series(0, 3)) AS i),
-        | ebits AS (SELECT DISTINCT (h1 + i * h2) % 65536 AS pos
-        |           FROM hs CROSS JOIN ks WHERE id % 20 = 0),
-        | cpos AS (SELECT DISTINCT id, g, i, (h1 + i * h2) % 65536 AS pos
-        |          FROM hs CROSS JOIN ks WHERE id % 20 <> 0),
-        | hit AS (SELECT id, g FROM cpos JOIN ebits USING (pos)
-        |         GROUP BY id, g HAVING COUNT(DISTINCT i) = 4),
-        | bad AS (SELECT DISTINCT id FROM hit)
-        | SELECT d.doc_id, d.source FROM documents d
-        | WHERE d.doc_id % 20 <> 0
-        |   AND NOT EXISTS (SELECT 1 FROM bad WHERE bad.id = d.doc_id)
-        | ORDER BY d.doc_id""".stripMargin),
+      BloomDecontamSql),
 
     // ---- SimHash signatures --------------------------------------------
     ("d4_simhash",

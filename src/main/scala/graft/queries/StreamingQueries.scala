@@ -74,26 +74,36 @@ object StreamingQueries {
     */
   private def replayDocsTwice(s: SparkSession, d: String)
                              (build: DataFrame => DataFrame): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
+    // 1-day offset keeps the earliest synthetic instant strictly above
+    // the initial watermark (epoch 0): Spark's pre-dedup late filter
+    // drops rows AT the watermark, so a doc_id-0 row timestamped exactly
+    // at epoch 0 would silently vanish from batch 1
+    val docs = s.read.parquet(s"$d/documents.parquet")
+      .withColumn("ts", timestamp_micros((col("doc_id") + lit(86400L)) * 1000000L))
+    replayStaged(s, docs, docs, "append")(build)
+  }
+
+  /** Stage two pre-built frames as consecutive micro-batches of a file
+    * stream (the second written only after the first is fully processed),
+    * run `build` over the stream, return the memory sink.
+    */
+  private def replayStaged(s: SparkSession, b1: DataFrame, b2: DataFrame,
+                           mode: String)
+                          (build: DataFrame => DataFrame): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-staged")
     try {
       val in = base.resolve("in")
       java.nio.file.Files.createDirectories(in)
-      // 1-day offset keeps the earliest synthetic instant strictly above
-      // the initial watermark (epoch 0): Spark's pre-dedup late filter
-      // drops rows AT the watermark, so a doc_id-0 row timestamped exactly
-      // at epoch 0 would silently vanish from batch 1
-      val docs = s.read.parquet(s"$d/documents.parquet")
-        .withColumn("ts", timestamp_micros((col("doc_id") + lit(86400L)) * 1000000L))
-      docs.coalesce(4).write.parquet(s"$in/b1")
+      b1.coalesce(4).write.parquet(s"$in/b1")
       val schema = s.read.parquet(s"$in/b1").schema
       val stream = s.readStream.schema(schema)
         .option("recursiveFileLookup", "true").parquet(in.toString)
       val nm = s"stream_oracle_${runSeq.incrementAndGet()}"
-      val q = build(stream).writeStream.outputMode("append")
+      val q = build(stream).writeStream.outputMode(mode)
         .format("memory").queryName(nm).start()
       try {
         q.processAllAvailable()
-        docs.coalesce(4).write.parquet(s"$in/b2")
+        b2.coalesce(4).write.parquet(s"$in/b2")
         q.processAllAvailable()
       } finally q.stop()
       s.table(nm)
@@ -189,6 +199,29 @@ object StreamingQueries {
         .select(col("content_hash"))
         .orderBy("content_hash"),
       """SELECT DISTINCT md5(text) AS content_hash FROM documents
-        | ORDER BY content_hash""".stripMargin)
+        | ORDER BY content_hash""".stripMargin),
+
+    // ---- streaming bloom decontamination --------------------------------
+    // the continuous-ingestion half of d11: the eval bloom bitset is built
+    // ONCE batch-side, then the corpus arrives as two micro-batches and
+    // every contaminated doc (including d11's deterministic false-positive
+    // fringe) must be dropped at scan speed by the same native probe
+    // kernel. Meets d11's oracle verbatim — micro-batch execution, same
+    // bit-for-bit survivors.
+    ("stream_decontaminate",
+      (s, d) => {
+        val docsAll = s.read.parquet(s"$d/documents.parquet")
+        val bloom = graft.llm.Dedup.buildBloom(
+          docsAll.filter(col("doc_id") % 20 === 0), n = 5, mBits = 16, numHashes = 4)
+        val corpus = docsAll.filter(col("doc_id") % 20 =!= 0)
+        val cut = corpus.stat.approxQuantile("doc_id", Array(0.5), 0.0)(0).toLong
+        replayStaged(s,
+            corpus.filter(col("doc_id") <= cut),
+            corpus.filter(col("doc_id") > cut), "append")(st =>
+          StreamingIngest.streamingDecontaminate(st, bloom))
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      },
+      PipelineQueries.BloomDecontamSql)
   )
 }
