@@ -313,7 +313,8 @@ object ScaleProbe {
     // fresh user ids — the horizontal 100 TB shape) and deeper keys (copies
     // share user ids, so per-user event volume grows mult× — the hottest
     // single entity bounds the window stage, the design's stated skew limit)
-    val eventProbes = Seq("asofJoin", "sessionize", "asofHotKey")
+    val eventProbes = Seq("asofJoin", "sessionize", "asofHotKey",
+      "intervalJoin", "intervalHotKey")
     if (eventProbes.exists(enabled)) {
     val baseE = graft.ops.TemporalOps.loadEvents(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism)
@@ -333,7 +334,7 @@ object ScaleProbe {
       graft.queries.TemporalQueries.purchaseClickAsof(ev).count()
     // each scaled union is cached only if one of ITS probes is selected
     // (the line-42 gating principle, per-input)
-    if (Seq("asofJoin", "sessionize").exists(enabled)) {
+    if (Seq("asofJoin", "sessionize", "intervalJoin").exists(enabled)) {
       val wide = copies(shareUsers = false).cache()
       println(s"events (fresh users): ${wide.count()}")
       timed("asofJoin (mult x users)") { asofCount(wide) }
@@ -343,12 +344,23 @@ object ScaleProbe {
           graft.ops.TemporalOps.sessionize(e, "user_id", "tsn",
             gap = 1800000000L, tieCol = "event_id"), "user_id", "tsn").count()
       }
+      // fresh users: key count scales with mult, per-key density fixed —
+      // output pairs and runtime should both grow ~linearly
+      timed("intervalJoin (mult x users)") {
+        graft.queries.TemporalQueries.purchaseClickIntervalJoin(wide).count()
+      }
       wide.unpersist()
     }
-    if (enabled("asofHotKey")) {
+    if (Seq("asofHotKey", "intervalHotKey").exists(enabled)) {
       val hot = copies(shareUsers = true).cache()
       println(s"events (hot keys): ${hot.count()}")
       timed("asofHotKey (mult x events/user)") { asofCount(hot) }
+      // hot keys densify BOTH join sides per user, so qualifying pairs —
+      // the semantic output — grow ~mult^2; the probe pins that the
+      // runtime tracks the output count (inherent work), not worse
+      timed("intervalHotKey (mult x events/user)") {
+        graft.queries.TemporalQueries.purchaseClickIntervalJoin(hot).count()
+      }
       hot.unpersist()
     }
     }

@@ -31,6 +31,25 @@ object TemporalQueries {
       asOfCol = "click_value", rightTieCol = "tsn", tolerance = tolerance)
   }
 
+  /** The clicks-into-purchase-windows interval join, shared by the
+    * ts_interval_join registry entry AND ScaleProbe's temporal group (the
+    * probe must measure the exact operator the registry checks). Input
+    * events must carry `ts_us` ([[TemporalOps.loadEvents]]).
+    */
+  def purchaseClickIntervalJoin(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        (col("ts_us") - 300000000L).as("win_start"),
+        (col("ts_us") + 300000000L).as("win_end"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_us").as("click_ts"))
+    TemporalOps.intervalJoin(clicks, purchases,
+      keyCol = "user_id", tsCol = "click_ts",
+      startCol = "win_start", endCol = "win_end",
+      bucketWidth = 600000000L) // 10 min — replication factor ≤ 2
+  }
+
   val all: Seq[Entry] = Seq(
 
     // ---- backward as-of join -------------------------------------------
@@ -130,22 +149,9 @@ object TemporalQueries {
     // oracle IS the raw inequality join (DuckDB's IEJoin), an independent
     // algorithm for the same semantics.
     ("ts_interval_join",
-      (s, d) => {
-        val ev = TemporalOps.loadEvents(s, d)
-        val purchases = ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("event_id").as("purchase_id"),
-            (col("ts_us") - 300000000L).as("win_start"),
-            (col("ts_us") + 300000000L).as("win_end"))
-        val clicks = ev.filter(col("event_type") === "click")
-          .select(col("user_id"), col("event_id").as("click_id"),
-            col("ts_us").as("click_ts"))
-        TemporalOps.intervalJoin(clicks, purchases,
-            keyCol = "user_id", tsCol = "click_ts",
-            startCol = "win_start", endCol = "win_end",
-            bucketWidth = 600000000L) // 10 min — replication factor ≤ 2
-          .select(col("user_id"), col("purchase_id"), col("click_id"))
-          .orderBy("purchase_id", "click_id")
-      },
+      (s, d) => purchaseClickIntervalJoin(TemporalOps.loadEvents(s, d))
+        .select(col("user_id"), col("purchase_id"), col("click_id"))
+        .orderBy("purchase_id", "click_id"),
       """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
         | FROM (SELECT user_id, event_id, epoch_us(ts) AS tsn FROM events
         |       WHERE event_type = 'purchase') p
