@@ -81,6 +81,31 @@ object TemporalOps {
       .select(leftCols.toIndexedSeq.map(c => col(s"__row.$c").as(c)) :+ col(asOfCol): _*)
   }
 
+  /** Forward as-of join: for every left row, the value of the EARLIEST
+    * right row with `right.ts >= left.ts` for the same key — the "first
+    * conversion event at-or-after each exposure" shape (funnels,
+    * click-to-purchase attribution). Implemented by time negation over
+    * [[asofJoinBackward]]: latest-at-or-before on `-ts` IS
+    * earliest-at-or-after on `ts`, so the one-shuffle union+window design
+    * (and its tolerance/tie semantics, mirrored) carries over unchanged —
+    * `tolerance` ages out matches further than `tolerance` AFTER the left
+    * row, and ties among equal-ts right rows resolve to the LAST by
+    * `rightTieCol` in the negated order, i.e. deterministically.
+    * `tsCol` must be a (possibly negative) epoch-µs long; Long.MinValue is
+    * refused implicitly (negation would overflow) by the epoch domain.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+                      keyCol: String, tsCol: String,
+                      valueCol: String, asOfCol: String,
+                      rightTieCol: String,
+                      tolerance: Option[Long] = None): DataFrame = {
+    val neg = asofJoinBackward(
+      left.withColumn(tsCol, -col(tsCol)),
+      right.withColumn(tsCol, -col(tsCol)),
+      keyCol, tsCol, valueCol, asOfCol, rightTieCol, tolerance)
+    neg.withColumn(tsCol, -col(tsCol))
+  }
+
   /** Gap-based sessionization: within each key, a new session starts when
     * the gap to the previous event exceeds `gap` (same units as `tsCol`).
     * Returns the input plus `session_no` (1-based per key, in time order).

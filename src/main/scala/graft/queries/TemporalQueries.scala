@@ -159,6 +159,86 @@ object TemporalQueries {
         |       WHERE event_type = 'click') c
         |   ON p.user_id = c.user_id
         |  AND c.tsn BETWEEN p.tsn - 300000000 AND p.tsn + 300000000
-        | ORDER BY purchase_id, click_id""".stripMargin)
+        | ORDER BY purchase_id, click_id""".stripMargin),
+
+    // ---- conversion funnel (signup → first click → first purchase) ------
+    // two chained FORWARD as-of joins (earliest right row at-or-after each
+    // left row), each the time-negation of the backward operator — same
+    // one-shuffle union+window design, no inequality-join explosion. The
+    // oracle computes each step as a MIN over an inequality join — an
+    // independent formulation of "first at-or-after".
+    ("ts_funnel",
+      (s, d) => {
+        val ev = TemporalOps.loadEvents(s, d)
+        val signups = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts_us")).as("signup_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_us").as("tsn"), col("ts_us").as("click_v"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us").as("tsn"), col("ts_us").as("purch_v"))
+        val step1 = TemporalOps.asofJoinForward(
+            signups.withColumn("tsn", col("signup_ts")), clicks,
+            keyCol = "user_id", tsCol = "tsn", valueCol = "click_v",
+            asOfCol = "click_ts", rightTieCol = "click_v")
+          .drop("tsn")
+        val converted = step1.filter(col("click_ts").isNotNull)
+        val step2 = TemporalOps.asofJoinForward(
+            converted.withColumn("tsn", col("click_ts")), purchases,
+            keyCol = "user_id", tsCol = "tsn", valueCol = "purch_v",
+            asOfCol = "purchase_ts", rightTieCol = "purch_v")
+          .drop("tsn")
+        step2.unionByName(
+            step1.filter(col("click_ts").isNull)
+              .withColumn("purchase_ts", lit(null).cast("long")))
+          .select("user_id", "signup_ts", "click_ts", "purchase_ts")
+          .orderBy("user_id")
+      },
+      """WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS signup_ts FROM events
+        |           WHERE event_type = 'signup' GROUP BY 1),
+        |     c AS (SELECT user_id, epoch_us(ts) AS tsn FROM events
+        |           WHERE event_type = 'click'),
+        |     p AS (SELECT user_id, epoch_us(ts) AS tsn FROM events
+        |           WHERE event_type = 'purchase'),
+        |    fc AS (SELECT s.user_id, s.signup_ts, MIN(c.tsn) AS click_ts
+        |           FROM s LEFT JOIN c ON c.user_id = s.user_id
+        |                             AND c.tsn >= s.signup_ts
+        |           GROUP BY 1, 2),
+        |    fp AS (SELECT fc.user_id, fc.signup_ts, fc.click_ts,
+        |                  MIN(p.tsn) AS purchase_ts
+        |           FROM fc LEFT JOIN p ON p.user_id = fc.user_id
+        |                              AND fc.click_ts IS NOT NULL
+        |                              AND p.tsn >= fc.click_ts
+        |           GROUP BY 1, 2, 3)
+        | SELECT user_id, signup_ts, click_ts, purchase_ts
+        | FROM fp ORDER BY user_id""".stripMargin),
+
+    // ---- retention cohorts ----------------------------------------------
+    // cohort = each user's first-activity day; cell (cohort_day, day_offset)
+    // counts distinct users from that cohort active that many days later —
+    // the classic retention matrix, all exact integer day arithmetic. One
+    // shuffle on user_id for the cohort join (broadcast when the user dim
+    // is small, AQE decides), one distinct, one count.
+    ("ts_retention_cohorts",
+      (s, d) => {
+        // integer div, not double division: a correctly-rounded double
+        // quotient can land on the wrong side of a day boundary
+        val ev = TemporalOps.loadEvents(s, d)
+          .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+        val cohorts = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+        ev.join(cohorts, "user_id")
+          .select(col("user_id"), col("cohort_day"),
+            (col("day") - col("cohort_day")).as("day_offset"))
+          .distinct() // rows are now unique (user, cohort, offset) triples,
+          .groupBy("cohort_day", "day_offset") // so a plain count IS the
+          .agg(count(lit(1)).as("n_users")) // distinct-user count — no
+          .orderBy("cohort_day", "day_offset") // second distinct aggregate
+      },
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |     ch AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1),
+        |     act AS (SELECT DISTINCT e.user_id, ch.cohort_day,
+        |                    e.day - ch.cohort_day AS day_offset
+        |             FROM e JOIN ch ON e.user_id = ch.user_id)
+        | SELECT cohort_day, day_offset, COUNT(DISTINCT user_id) AS n_users
+        | FROM act GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin)
   )
 }

@@ -115,6 +115,52 @@ class TemporalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoinForward carries the earliest right value at-or-after each left row") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 50L, "c"), (2L, 5L, "d"))
+      .toDF("k", "tsn", "tag")
+    val right = Seq((1L, 10L, 1.0), (1L, 15L, 2.0), (1L, 40L, 3.0), (2L, 60L, 9.0))
+      .toDF("k", "tsn", "v")
+    val got = TemporalOps.asofJoinForward(left, right, "k", "tsn", "v", "asof_v", "tsn")
+      .select("tag", "asof_v", "tsn").collect()
+      .map(r => r.getString(0) ->
+        ((if (r.isNullAt(1)) null else r.getDouble(1)), r.getLong(2))).toMap
+    assert(got("a") == ((1.0, 10L))) // equal ts included (>=), earliest wins
+    assert(got("b") == ((3.0, 20L))) // earliest AFTER 20 is 40, not latest
+    assert(got("c") == ((null, 50L))) // nothing at or after 50
+    assert(got("d") == ((9.0, 5L))) // other key invisible; ts restored unnegated
+  }
+
+  test("asofJoinForward tolerance ages out matches too far in the future") {
+    val left = Seq((1L, 10L, 100L)).toDF("k", "tsn", "id")
+    val right = Seq((1L, 25L, 7.0)).toDF("k", "tsn", "v")
+    val near = TemporalOps.asofJoinForward(left, right, "k", "tsn", "v", "av", "tsn",
+      tolerance = Some(15L)).select("av").collect()(0)
+    assert(near.getDouble(0) == 7.0)
+    val far = TemporalOps.asofJoinForward(left, right, "k", "tsn", "v", "av", "tsn",
+      tolerance = Some(14L)).select("av").collect()(0)
+    assert(far.isNullAt(0))
+  }
+
+  test("asofJoinForward matches a naive per-row reference on random data") {
+    val rnd = new scala.util.Random(43)
+    val left = (0 until 200).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val right = (0 until 150).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toDouble))
+    // pre-aggregate right per (k, ts) like the registry queries do, so the
+    // at-tie winner is well-defined
+    val rightAgg = right.groupBy(r => (r._1, r._2)).map { case ((k, t), rs) =>
+      (k, t, rs.map(_._3).max) }.toSeq
+    val got = TemporalOps.asofJoinForward(
+        left.toDF("k", "tsn", "id"), rightAgg.toDF("k", "tsn", "v"),
+        "k", "tsn", "v", "av", "tsn")
+      .select("id", "av").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    left.foreach { case (k, t, id) =>
+      val cand = rightAgg.filter(r => r._1 == k && r._2 >= t)
+      val want = if (cand.isEmpty) null else cand.minBy(_._2)._3
+      assert(got(id) == want, s"id=$id")
+    }
+  }
+
   test("intervalJoin: inclusive bounds, per-key isolation, exactly-once pairs") {
     // interval [10, 30] for key 1; points at the bounds, inside, outside,
     // and on another key. bucketWidth 7 makes the interval straddle
