@@ -1154,6 +1154,35 @@ object PipelineQueries {
         |           FROM documents)
         | SELECT doc_id, source FROM r WHERE rn <= 7 ORDER BY doc_id""".stripMargin),
 
+    // ---- URL structure extraction ---------------------------------------
+    // web-corpus provenance ops: host / path / query-param / registered
+    // domain, via Spark's codegen parse_url. URLs are synthesized from doc
+    // fields on BOTH engines (the t_pii_scrub discipline — the testdata has
+    // no URL column); the oracle re-derives each part with regexes, an
+    // independent formulation of RFC-3986 splitting for this shape.
+    ("t_url_parse",
+      (s, d) => t(s, d, "documents")
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.org/docs/"), col("doc_id"), lit("?lang="), col("lang"),
+          lit("&v=2")))
+        .select(col("doc_id"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'lang')").as("lang_q"),
+          substring_index(expr("parse_url(url, 'HOST')"), ".", -2).as("domain"))
+        .orderBy("doc_id"),
+      """WITH u AS (SELECT doc_id,
+        |                  'https://' || source || '.example.org/docs/' || doc_id ||
+        |                  '?lang=' || lang || '&v=2' AS url
+        |           FROM documents)
+        | SELECT doc_id,
+        |        regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+        |        regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        |        regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_q,
+        |        regexp_extract(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
+        |                       '([^.]+\.[^.]+)$', 1) AS domain
+        | FROM u ORDER BY doc_id""".stripMargin),
+
     // ---- weighted exact-k per-source sample (PPS / sequential Poisson) --
     // priority = md5-uniform / weight, k smallest per group win: inclusion
     // odds ∝ n_chars. u is 52 bits (< 2^53) and the weight integral, so the

@@ -222,6 +222,30 @@ object StreamingQueries {
           .select("doc_id", "source")
           .orderBy("doc_id")
       },
-      PipelineQueries.BloomDecontamSql)
+      PipelineQueries.BloomDecontamSql),
+
+    // ---- streaming cumulative per-source stats --------------------------
+    // mapGroupsWithState across micro-batches: the corpus arrives in two
+    // halves and the per-source (doc count, token total) state must CARRY
+    // batch 1's totals into batch 2's update rows. Both stats are monotone
+    // cumulative, so the per-source max over the update-mode sink is the
+    // final state — which must equal the batch aggregate over the whole
+    // corpus.
+    ("stream_running_stats",
+      (s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val cut = docs.stat.approxQuantile("doc_id", Array(0.5), 0.0)(0).toLong
+        replayStaged(s,
+            docs.filter(col("doc_id") <= cut),
+            docs.filter(col("doc_id") > cut), "update")(st =>
+          StreamingIngest.runningSourceStats(st))
+          .groupBy("source")
+          .agg(max(col("n_docs")).as("n_docs"),
+            max(col("total_tokens")).as("total_tokens"))
+          .orderBy("source")
+      },
+      """SELECT source, COUNT(*) AS n_docs,
+        |        CAST(SUM(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS total_tokens
+        | FROM documents GROUP BY source ORDER BY source""".stripMargin)
   )
 }
