@@ -589,6 +589,46 @@ object TextStats {
         (size(col("b")) + 1).cast("long").as("n_chunks"))
   }
 
+  /** Document-level word co-occurrence with exact-integer lift — phrase /
+    * collocation mining ("which word pairs appear together far more than
+    * chance"). PMI's log is monotone in lift, so ranking by integer lift IS
+    * ranking by PMI without a cross-engine-fragile libm call:
+    * `lift_micro = (n_ab · N · 10^6) div (n_a · n_b)` on document
+    * frequencies (n_ab docs containing both, n_a/n_b each, N all).
+    *
+    * Scale shape: the pair space is capped BEFORE the self-join by a
+    * document-frequency floor (`minDf`, scaled as max(5, N/50) so the same
+    * operator is meaningful at any corpus size) — the vocab is a small
+    * broadcast side, and the per-doc self-join fans out only over each
+    * doc's vocab words (bounded by doc length), never the raw vocabulary.
+    * One shuffle on doc id for the pair join, one on the pair for the
+    * count; top-k is a TakeOrdered, not a global sort.
+    */
+  def cooccurrenceLift(docs: DataFrame, topK: Int,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(topK >= 1, s"topK must be positive: $topK")
+    val dw = docs.select(col(idCol).as("id"),
+        explode(array_distinct(split(coalesce(col(textCol), lit("")), " "))).as("w"))
+      .filter(col("w") =!= "")
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val vocab = dw.groupBy("w").agg(count(lit(1)).as("n_w"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("n_w") >= greatest(lit(5L), expr("n_docs div 50")))
+      .select("w", "n_w")
+    val dv = dw.join(broadcast(vocab.select("w")), Seq("w"))
+    dv.as("a").join(dv.as("b"),
+        col("a.id") === col("b.id") && col("a.w") < col("b.w"))
+      .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(vocab.select(col("w").as("w1"), col("n_w").as("n_a"))), Seq("w1"))
+      .join(broadcast(vocab.select(col("w").as("w2"), col("n_w").as("n_b"))), Seq("w2"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("lift_micro", expr("n_ab * n_docs * 1000000 div (n_a * n_b)"))
+      .select("w1", "w2", "n_ab", "n_a", "n_b", "lift_micro")
+      .orderBy(col("n_ab").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** All rolling window hashes of length `w` over the string. */
   def windowHashes(s: String, w: Int): Array[Long] =
     graft.functions.RollingHash.windowHashes(s, w)

@@ -1154,6 +1154,60 @@ object PipelineQueries {
         |           FROM documents)
         | SELECT doc_id, source FROM r WHERE rn <= 7 ORDER BY doc_id""".stripMargin),
 
+    // ---- winsorization (per-group percentile clamp) ----------------------
+    // robust-stats prep: clamp n_chars into each source's [p10, p90], the
+    // exact-rank quantiles from TextStats.exactQuantiles (PERCENTILE_DISC
+    // semantics; the summary is group-count-sized, so the quantile frame
+    // broadcasts). Oracle ranks use ceil(n/10.0) / ceil(n*9/10.0): single
+    // divisions of exact integers, correctly rounded — unlike 0.1*n, whose
+    // binary representation overshoots and ceils one rank high.
+    ("t_winsorize",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val q = TextStats.exactQuantiles(docs, "source", col("n_chars"), Seq(0.1, 0.9))
+        docs.join(broadcast(q), "source")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            greatest(least(col("n_chars"), col("p90")), col("p10")).as("n_chars_w"))
+          .orderBy("doc_id")
+      },
+      """WITH c AS (SELECT source, n_chars AS v, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+        |  x AS (SELECT *,
+        |          SUM(c) OVER (PARTITION BY source ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |          SUM(c) OVER (PARTITION BY source) AS n
+        |        FROM c),
+        |  q AS (SELECT source,
+        |          MIN(CASE WHEN cum >= ceil(n / 10.0) THEN v END) AS p10,
+        |          MIN(CASE WHEN cum >= ceil(n * 9 / 10.0) THEN v END) AS p90
+        |        FROM x GROUP BY source)
+        | SELECT d.doc_id, d.source, d.n_chars,
+        |        GREATEST(LEAST(d.n_chars, q.p90), q.p10) AS n_chars_w
+        | FROM documents d JOIN q USING (source) ORDER BY d.doc_id""".stripMargin),
+
+    // ---- word co-occurrence lift (collocation mining) --------------------
+    // exact-integer lift over document frequencies; PMI's log is monotone
+    // in lift, so the ranking IS the PMI ranking without a libm call. The
+    // vocab is floored at max(5, N/50) document frequency BEFORE the
+    // per-doc self-join, so the pair space never touches the raw
+    // vocabulary.
+    ("t_word_cooccur",
+      (s, d) => TextStats.cooccurrenceLift(t(s, d, "documents"), topK = 100)
+        .orderBy(col("n_ab").desc, col("w1"), col("w2")),
+      """WITH dw AS (SELECT DISTINCT doc_id AS id, w
+        |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |                  FROM documents) WHERE w <> ''),
+        |  nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |  vocab AS (SELECT w, COUNT(*) AS n_w FROM dw GROUP BY 1
+        |            HAVING COUNT(*) >= (SELECT greatest(5, n_docs // 50) FROM nd)),
+        |  dv AS (SELECT dw.id, dw.w FROM dw JOIN vocab USING (w)),
+        |  p AS (SELECT a.w AS w1, b.w AS w2, COUNT(*) AS n_ab
+        |        FROM dv a JOIN dv b ON a.id = b.id AND a.w < b.w GROUP BY 1, 2)
+        | SELECT w1, w2, n_ab, va.n_w AS n_a, vb.n_w AS n_b,
+        |        (n_ab * n_docs * 1000000) // (va.n_w * vb.n_w) AS lift_micro
+        | FROM p JOIN vocab va ON va.w = p.w1
+        |        JOIN vocab vb ON vb.w = p.w2
+        |        CROSS JOIN nd
+        | ORDER BY n_ab DESC, w1, w2 LIMIT 100""".stripMargin),
+
     // ---- URL structure extraction ---------------------------------------
     // web-corpus provenance ops: host / path / query-param / registered
     // domain, via Spark's codegen parse_url. URLs are synthesized from doc

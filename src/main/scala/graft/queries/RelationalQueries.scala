@@ -460,6 +460,47 @@ object RelationalQueries {
         |        COUNT(*) AS n
         | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    // ---- SCD Type-2 history (upsert WITH history) -----------------------
+    // the warehouse companion to s8's last-wins merge: three synthesized
+    // version waves over the customer dimension (wave 1 contains deliberate
+    // NO-OP re-statements that must collapse into the preceding range),
+    // turned into effective ranges by ScdOps.buildHistory. The oracle
+    // re-derives collapse + ranges with LAG/LEAD windows.
+    ("u2_scd2_history",
+      (s, d) => {
+        val base = t(s, d, "customer").select(col("c_custkey").as("k"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+        val v0 = base.withColumn("seq", lit(0L))
+        val v1 = base.filter(col("k") % 3 === 0)
+          .withColumn("cents", col("cents") +
+            when(col("k") % 6 === 0, 0L).otherwise(10000L)) // %6 rows: no-ops
+          .withColumn("seq", lit(1L))
+        val v2 = base.filter(col("k") % 9 === 0)
+          .withColumn("cents", col("cents") + 20000L)
+          .withColumn("seq", lit(2L))
+        graft.ops.ScdOps.buildHistory(
+            v0.unionByName(v1).unionByName(v2), "k", "seq", Seq("cents"))
+          .select(col("k"), col("cents"), col("valid_from"), col("valid_to"),
+            col("is_current"))
+          .orderBy("k", "valid_from")
+      },
+      """WITH base AS (SELECT c_custkey AS k,
+        |                     CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |              FROM customer),
+        |  v AS (SELECT k, cents, CAST(0 AS BIGINT) AS seq FROM base
+        |        UNION ALL
+        |        SELECT k, cents + CASE WHEN k % 6 = 0 THEN 0 ELSE 10000 END,
+        |               CAST(1 AS BIGINT) FROM base WHERE k % 3 = 0
+        |        UNION ALL
+        |        SELECT k, cents + 20000, CAST(2 AS BIGINT) FROM base WHERE k % 9 = 0),
+        |  lagd AS (SELECT *, LAG(cents) OVER (PARTITION BY k ORDER BY seq) AS prev FROM v),
+        |  ch AS (SELECT * FROM lagd WHERE prev IS NULL OR cents <> prev),
+        |  rng AS (SELECT k, cents, seq AS valid_from,
+        |                 LEAD(seq) OVER (PARTITION BY k ORDER BY seq) - 1 AS valid_to
+        |          FROM ch)
+        | SELECT k, cents, valid_from, valid_to, valid_to IS NULL AS is_current
+        | FROM rng ORDER BY k, valid_from""".stripMargin),
+
     // ---- Z-order (Morton) clustering key --------------------------------
     // bit-interleaved (l_partkey, l_suppkey) — the multi-dimensional layout
     // key under which files prune on EITHER dimension (ZOrder.layoutByZ is

@@ -416,6 +416,25 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(model(edited).filter(_ > ins + w + 3) == after)
   }
 
+  test("cooccurrenceLift: hand-computed document frequencies, floor, lift") {
+    // 10 docs. Word df: x in 8 docs, y in 7, z in 2 (z falls under the
+    // max(5, 10/50)=5 floor and must never appear in a pair). x&y co-occur
+    // in 5 docs; within-doc repeats of a word must NOT inflate df or n_ab
+    // (document-level distinct). Expected lift for (x, y):
+    // (5 * 10 * 1_000_000) div (8 * 7) = 892_857.
+    val docs = (
+      (1 to 5).map(i => (i.toLong, "x y filler x")) ++   // x & y (x repeated)
+      (6 to 8).map(i => (i.toLong, "x alone here")) ++   // x only
+      Seq((9L, "y z mix"), (10L, "y z mix"))             // y & z
+    ).toDF("doc_id", "text")
+    val got = graft.llm.TextStats.cooccurrenceLift(docs, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.forall(p => p._1 != "z" && p._2 != "z"))
+    val xy = got.find(p => p._1 == "x" && p._2 == "y")
+    assert(xy.contains(("x", "y", 5L, 8L, 7L, 892857L)))
+  }
+
   test("topTokens: exact heavy hitters; two-level equals flat top-k") {
     val docs = Seq(
       ("a", "x x x y y z"), ("a", "y w"), ("b", "q q r")
