@@ -1154,6 +1154,85 @@ object PipelineQueries {
         |           FROM documents)
         | SELECT doc_id, source FROM r WHERE rn <= 7 ORDER BY doc_id""".stripMargin),
 
+    // ---- source vocabulary overlap (domain similarity governance) --------
+    // exact Jaccard between every source pair's word sets — "which of my
+    // domains are near-duplicates of each other", the corpus-level
+    // companion to d2's document-level Jaccard. One shuffle on the word for
+    // the pair join (per-word fan-out bounded by #sources²), source sizes
+    // broadcast; jaccard is exact integer micro-units.
+    ("t_source_overlap",
+      (s, d) => {
+        val sw = t(s, d, "documents")
+          .select(col("source"),
+            explode(array_distinct(split(coalesce(col("text"), lit("")), " "))).as("w"))
+          .filter(col("w") =!= "").distinct()
+        val sizes = sw.groupBy("source").agg(count(lit(1)).as("n_vocab"))
+        sw.as("a").join(sw.as("b"),
+            col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+          .agg(count(lit(1)).as("n_common"))
+          .join(broadcast(sizes.select(col("source").as("s1"), col("n_vocab").as("n1"))), Seq("s1"))
+          .join(broadcast(sizes.select(col("source").as("s2"), col("n_vocab").as("n2"))), Seq("s2"))
+          .withColumn("jaccard_micro",
+            expr("n_common * 1000000 div (n1 + n2 - n_common)"))
+          .select("s1", "s2", "n_common", "n1", "n2", "jaccard_micro")
+          .orderBy("s1", "s2")
+      },
+      """WITH sw AS (SELECT DISTINCT source, w
+        |            FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |                  FROM documents) WHERE w <> ''),
+        |  sz AS (SELECT source, COUNT(*) AS n_vocab FROM sw GROUP BY 1),
+        |  p AS (SELECT a.source AS s1, b.source AS s2, COUNT(*) AS n_common
+        |        FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source
+        |        GROUP BY 1, 2)
+        | SELECT s1, s2, n_common, za.n_vocab AS n1, zb.n_vocab AS n2,
+        |        (n_common * 1000000) // (za.n_vocab + zb.n_vocab - n_common) AS jaccard_micro
+        | FROM p JOIN sz za ON za.source = p.s1
+        |        JOIN sz zb ON zb.source = p.s2
+        | ORDER BY s1, s2""".stripMargin),
+
+    // ---- MAD outlier flags (robust anomaly detection) --------------------
+    // per-source median absolute deviation on n_chars: dev = |x − median|,
+    // MAD = median(dev), outlier iff dev > 3·MAD — the robust alternative
+    // to z-scores (one wild doc can't drag its own threshold). Both
+    // medians are the exact-rank PERCENTILE_DISC machinery; the two
+    // quantile frames are group-count-sized broadcasts, everything else is
+    // map-side integer arithmetic.
+    ("t_mad_outliers",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val med = TextStats.exactQuantiles(docs, "source", col("n_chars"), Seq(0.5))
+          .select(col("source"), col("p50").as("med"))
+        val withDev = docs.join(broadcast(med), "source")
+          .withColumn("dev", abs(col("n_chars") - col("med")))
+        val mad = TextStats.exactQuantiles(withDev, "source", col("dev"), Seq(0.5))
+          .select(col("source"), col("p50").as("mad"))
+        withDev.join(broadcast(mad), "source")
+          .select(col("doc_id"), col("source"), col("n_chars"), col("med"),
+            col("mad"), (col("dev") > col("mad") * 3).as("is_outlier"))
+          .orderBy("doc_id")
+      },
+      """WITH c AS (SELECT source, n_chars AS v, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+        |  x AS (SELECT *,
+        |          SUM(c) OVER (PARTITION BY source ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |          SUM(c) OVER (PARTITION BY source) AS n
+        |        FROM c),
+        |  md AS (SELECT source, MIN(CASE WHEN cum >= ceil(0.5 * n) THEN v END) AS med
+        |         FROM x GROUP BY source),
+        |  dv AS (SELECT d.doc_id, d.source, d.n_chars, md.med,
+        |                abs(d.n_chars - md.med) AS dev
+        |         FROM documents d JOIN md USING (source)),
+        |  dc AS (SELECT source, dev AS v, COUNT(*) AS c FROM dv GROUP BY 1, 2),
+        |  dx AS (SELECT *,
+        |          SUM(c) OVER (PARTITION BY source ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+        |          SUM(c) OVER (PARTITION BY source) AS n
+        |        FROM dc),
+        |  mad AS (SELECT source, MIN(CASE WHEN cum >= ceil(0.5 * n) THEN v END) AS mad
+        |          FROM dx GROUP BY source)
+        | SELECT dv.doc_id, dv.source, dv.n_chars, dv.med, mad.mad,
+        |        dv.dev > mad.mad * 3 AS is_outlier
+        | FROM dv JOIN mad USING (source) ORDER BY dv.doc_id""".stripMargin),
+
     // ---- winsorization (per-group percentile clamp) ----------------------
     // robust-stats prep: clamp n_chars into each source's [p10, p90], the
     // exact-rank quantiles from TextStats.exactQuantiles (PERCENTILE_DISC
