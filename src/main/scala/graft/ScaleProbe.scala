@@ -45,7 +45,7 @@ object ScaleProbe {
       "removeNearDuplicates", "components", "chunkDedup", "dupSpanRemoval", "containmentPairs",
       "triangleCounts", "qualityFilter", "tokenBudgetMix", "rankDocuments",
       "dsirSelect", "bloomDecontaminate", "perplexityBuckets", "bm25Rank",
-      "bm25Persisted")
+      "bm25Persisted", "cooccurrenceLift")
     if (docProbes.exists(enabled)) {
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
@@ -114,6 +114,11 @@ object ScaleProbe {
     }
     timed("qualityFilter") {
       graft.llm.TextStats.qualityFilter(scaled).count()
+    }
+    timed("cooccurrenceLift (top-100)") {
+      // the df floor scales as N/50, so the vocab (and with it the per-doc
+      // self-join fan-out) must stay bounded as the corpus multiplies
+      graft.llm.TextStats.cooccurrenceLift(scaled, topK = 100).count()
     }
     timed("tokenBudgetMix (3 domains)") {
       graft.llm.Sampling.tokenBudgetMix(scaled, "doc_id", "source",
