@@ -111,8 +111,15 @@ object Bench {
     * identical cold leg). Returns the per-query seconds map from the child's
     * bench-out file.
     */
+  /** One child leg's numbers: `total` per query (the harness's headline
+    * timing) and, when the child's harness records it (this round's and
+    * later), `execOnly` per query — execution without plan construction.
+    */
+  private final case class LegTimes(total: Map[String, Double],
+                                    execOnly: Option[Map[String, Double]])
+
   private def runChildBench(classpath: String, cwd: java.io.File, abSf: String,
-                            cpus: String): Either[String, Map[String, Double]] = {
+                            cpus: String): Either[String, LegTimes] = {
     val benchOut = java.io.File.createTempFile("bench_ab_", ".json")
     benchOut.deleteOnExit()
     val javaBin = new java.io.File(new java.io.File(sys.props("java.home"), "bin"), "java").getPath
@@ -129,14 +136,15 @@ object Bench {
       else {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         val root = om.readTree(java.nio.file.Files.readAllBytes(benchOut.toPath))
-        val qs = root.get("queries")
-        if (qs == null) Left("child bench output has no queries map")
-        else {
-          val it = qs.fields()
+        def asMap(node: com.fasterxml.jackson.databind.JsonNode): Map[String, Double] = {
+          val it = node.fields()
           val m = scala.collection.mutable.Map.empty[String, Double]
           while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asDouble() }
-          Right(m.toMap)
+          m.toMap
         }
+        val qs = root.get("queries")
+        if (qs == null) Left("child bench output has no queries map")
+        else Right(LegTimes(asMap(qs), Option(root.get("execSeconds")).map(asMap)))
       }
     }
   }
@@ -156,7 +164,7 @@ object Bench {
     * real regression names its query instead of hiding in a total.
     */
   private final case class AbResult(sha: String, pairRatios: Seq[Double],
-      perQuery: Seq[(String, Double, Double)])
+      perQuery: Seq[(String, Double, Double)], mode: String)
 
   /** Same-session A/B against the previous round's commit: check out that
     * commit into a scratch worktree (reused across runs — compile cache),
@@ -199,8 +207,8 @@ object Bench {
             // graft.*. The compiled classes dir + spark jars is the real
             // runtime classpath, and keeps the legs symmetric.
             val curCp = s"${repo.getPath}/target/scala-2.13/classes:/opt/spark/jars/*"
-            val priorRuns = Seq.newBuilder[Map[String, Double]]
-            val curRuns = Seq.newBuilder[Map[String, Double]]
+            val priorRuns = Seq.newBuilder[LegTimes]
+            val curRuns = Seq.newBuilder[LegTimes]
             var failed: Option[String] = None
             for (i <- 0 until nPairs if failed.isEmpty) {
               val legs =
@@ -214,7 +222,23 @@ object Bench {
                 }
             }
             failed.toLeft(()).map { _ =>
-              val prior = priorRuns.result(); val cur = curRuns.result()
+              val priorLegs = priorRuns.result(); val curLegs = curRuns.result()
+              // Methodology bridge: a prior harness WITHOUT execSeconds
+              // timed execution only (plan construction — where iterative
+              // operators do driver-visible work — leaked untimed), so
+              // comparing its totals against this harness's
+              // construction-inclusive totals reads as a phantom
+              // regression (r8 forensics: g_pagerank 0.11 s → 3.62 s on
+              // identical plans). Against such a prior, compare this
+              // side's EXECUTION-ONLY seconds — like for like. Once both
+              // sides record execSeconds, totals compare totals.
+              val symmetric = priorLegs.forall(_.execOnly.isDefined)
+              val mode = if (symmetric) "total" else "exec-only-bridge"
+              def pick(side: LegTimes, isPrior: Boolean): Map[String, Double] =
+                if (symmetric || isPrior) side.total
+                else side.execOnly.getOrElse(side.total)
+              val prior = priorLegs.map(pick(_, isPrior = true))
+              val cur = curLegs.map(pick(_, isPrior = false))
               // pair ratio over queries valid in BOTH legs of THAT pair
               val ratios = prior.zip(cur).map { case (p, c) =>
                 val common = p.keySet.intersect(c.keySet)
@@ -230,7 +254,7 @@ object Bench {
               val pm = medians(prior); val cm = medians(cur)
               val perQuery = pm.keySet.intersect(cm.keySet).toSeq.sorted
                 .map(q => (q, cm(q), pm(q)))
-              AbResult(sha, ratios, perQuery)
+              AbResult(sha, ratios, perQuery, mode)
             }
           }
         }
@@ -282,7 +306,7 @@ object Bench {
     // events land before the diff). Draining after EVERY query would
     // serialize the bench against the appStatus queue, which lags seconds
     // behind task-heavy queries — measured as a ~2x whole-suite slowdown.
-    def runBattery(dir: String): Seq[(String, Double, Option[String], Seq[String])] =
+    def runBattery(dir: String): Seq[(String, Double, Double, Option[String], Seq[String])] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // plan construction is TIMED (its own clock, added to the execution
       // time below): for ordinary queries it is milliseconds of analysis,
@@ -311,7 +335,8 @@ object Bench {
           try { df.write.mode("overwrite").format("noop").save(); None }
           catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
       }
-      val elapsed = prepSec + (System.nanoTime() - t0) / 1e9
+      val execSec = (System.nanoTime() - t0) / 1e9
+      val elapsed = prepSec + execSec
       val hasMetrics = prep.fold(_ => false, _._2)
       if (hasMetrics)
         drainedOk &= org.apache.spark.GraftListenerBridge.drain(spark.sparkContext, 10000L)
@@ -323,7 +348,7 @@ object Bench {
         Seq(jstr("_attribution_degraded") + ":true") else Seq.empty
       val metrics = newKeys.toArray(Array.empty[String]).sorted
         .map(k => jstr(k) + ":" + observed.get(k)) ++ degraded
-      (name, elapsed, err, metrics)
+      (name, elapsed, execSec, err, metrics)
     }
     val results = runBattery(sfDir)
     // box-speed constant + same-session prior-commit A/B (see scaladocs):
@@ -354,6 +379,7 @@ object Bench {
             jstr(q) + s":[${jnum(cm)},${jnum(pm)}]"
           }.mkString("{", ",", "}")
           s"""{"sf":${jstr(abSf)},"prior_ref":${jstr(ab.sha)},"common":${ab.perQuery.size},""" +
+            s""""mode":${jstr(ab.mode)},""" +
             s""""pairs":[${ab.pairRatios.map(jnum).mkString(",")}],""" +
             s""""spread":[${j(if (ab.pairRatios.isEmpty) Double.NaN else ab.pairRatios.min)},""" +
             s"""${j(if (ab.pairRatios.isEmpty) Double.NaN else ab.pairRatios.max)}],""" +
@@ -362,17 +388,23 @@ object Bench {
     }
     // failed queries are reported with negative elapsed time AND in an errors
     // map, so a crash can never masquerade as a fast success in bench totals
-    val qs = results.map { case (k, v, err, _) =>
+    val qs = results.map { case (k, v, _, err, _) =>
       jstr(k) + ":" + (if (err.isDefined) -v else v)
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e), _) =>
+    // execution-only seconds (total minus plan construction): the
+    // like-for-like channel when comparing against a pre-r8 harness whose
+    // "queries" map excluded construction (see runAb's methodology bridge)
+    val execQs = results.map { case (k, _, v, err, _) =>
+      jstr(k) + ":" + (if (err.isDefined) -v else v)
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e), _) =>
       jstr(k) + ":" + jstr(e)
     }.mkString("{", ",", "}")
-    val om = results.collect { case (k, _, _, ms) if ms.nonEmpty =>
+    val om = results.collect { case (k, _, _, _, ms) if ms.nonEmpty =>
       jstr(k) + ":" + ms.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val nErr = results.count(_._3.isDefined)
+    val nErr = results.count(_._4.isDefined)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
 
     // ---- per-query regression budget against round-stamped history ------
@@ -403,7 +435,7 @@ object Bench {
           } catch { case _: Throwable => () }
         }
         results.collect {
-          case (name, sec, None, _) if sec > 1.0 && hist.contains(name) &&
+          case (name, sec, _, None, _) if sec > 1.0 && hist.contains(name) &&
               sec / calibration > 2 * median(hist(name)) =>
             jstr(name) + s""":{"current":${jnum(sec)},"hist_median_scaled":${
               jnum(median(hist(name)) * calibration)}}"""
@@ -423,7 +455,7 @@ object Bench {
     // stdout gets the COMPACT line (fits any tail window: totals + errors +
     // regressions + a pointer); the file gets the full per-query detail.
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","nQueries":${results.size},"errors":$errs,"nErrors":$nErr,"regressions":$regressions,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},"ab":$abJson,"perQuery":${jstr(outPath)}}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"regressions":$regressions,"observedMetrics":$om,"sharedStores":$shared,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},"ab":$abJson,"abPerQuery":$abPerQueryJson}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"execSeconds":$execQs,"errors":$errs,"regressions":$regressions,"observedMetrics":$om,"sharedStores":$shared,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},"ab":$abJson,"abPerQuery":$abPerQueryJson}"""
     // ONE bare line on the process's real stdout: java.io.FileDescriptor.out
     // bypasses sbt's System.out capture (whose "[info] " prefix breaks
     // line-oriented JSON parsing downstream) and IS System.out everywhere

@@ -135,6 +135,67 @@ object Multimodal {
     }
   }
 
+  /** Average-hash (aHash) perceptual fingerprint over REAL decoded pixels —
+    * the standard image near-dup key (identical hash → duplicate candidate;
+    * small Hamming distance → near-duplicate): integer grayscale per grid
+    * cell, bit set iff the cell is at-or-above the image mean. The mean
+    * compare is division-free (`g·n >= Σg`), so every bit is exact integer
+    * arithmetic an oracle can recompute. Images up to 64 pixels hash on
+    * their full grid; larger ones sample a deterministic 8×8 grid
+    * (`x = k·w div 8` — index arithmetic, not resampling, so the same
+    * pixels are reproducible from the construction). Hash fits a long
+    * (≤ 64 bits). Rows that fail to decode emit `decoded = false` with
+    * sentinel values rather than vanishing.
+    *
+    * Scale shape: pure map-side `mapPartitions` over the payload column —
+    * zero shuffles; downstream near-dup grouping is a hash groupBy
+    * (`d1_dedup_exact`'s shape on the perceptual key).
+    */
+  def imageAHash(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img =
+          if (r.media_type == "image")
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes)))
+            catch { case _: Exception => None }
+          else None
+        img match {
+          case Some(im) =>
+            val w = im.getWidth
+            val h = im.getHeight
+            val (gw, gh) = if (w.toLong * h <= 64L) (w, h) else (8, 8)
+            val n = gw * gh
+            val grays = new Array[Long](n)
+            var j = 0
+            while (j < gh) {
+              var k = 0
+              while (k < gw) {
+                val x = if (gw == w) k else k * w / 8
+                val y = if (gh == h) j else j * h / 8
+                val rgb = im.getRGB(x, y)
+                grays(j * gw + k) =
+                  (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+                k += 1
+              }
+              j += 1
+            }
+            val tot = grays.sum
+            var hash = 0L
+            var bits = 0
+            var i = 0
+            while (i < n) {
+              if (grays(i) * n >= tot) { hash |= 1L << i; bits += 1 }
+              i += 1
+            }
+            (r.media_id, hash, bits, true)
+          case None => (r.media_id, -1L, -1, false)
+        }
+      }
+    }.toDF("media_id", "ahash", "n_bits", "decoded")
+  }
+
   /** "Resize" stub: real impl decodes, scales, re-encodes; the stub truncates
     * the payload deterministically to w*h bytes — preserving the plumbing
     * contract (binary in → smaller binary out + updated metadata).

@@ -282,6 +282,29 @@ object GraphQueries {
       },
       """SELECT COUNT(DISTINCT l_orderkey) AS exact_orders,
         | TRUE AS orders_within_5pct, TRUE AS p50_rank_within_5pct
-        | FROM lineitem""".stripMargin)
+        | FROM lineitem""".stripMargin),
+
+    // ---- degree distribution (graph shape governance) -------------------
+    // the first thing to read before running any traversal: per-vertex
+    // total degree over the distinct customer→order edge set, rolled into
+    // a degree histogram (hub detection, skew planning — the j7/AQE salting
+    // decision input). Two map-combinable aggregates, no joins.
+    ("g_degree_hist",
+      (s, d) => {
+        val e = t(s, d, "orders")
+          .select(concat(lit("CL_"), col("o_custkey")).as("src"),
+            concat(lit("GO_"), col("o_orderkey")).as("dst"))
+          .distinct()
+        e.select(col("src").as("v")).unionAll(e.select(col("dst").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("degree"))
+          .groupBy("degree").agg(count(lit(1)).as("n_vertices"))
+          .orderBy("degree")
+      },
+      """WITH e AS (SELECT DISTINCT 'CL_' || o_custkey AS src,
+        |                           'GO_' || o_orderkey AS dst FROM orders),
+        |  vv AS (SELECT src AS v FROM e UNION ALL SELECT dst FROM e),
+        |  dg AS (SELECT v, COUNT(*) AS degree FROM vv GROUP BY 1)
+        | SELECT degree, COUNT(*) AS n_vertices FROM dg
+        | GROUP BY 1 ORDER BY degree""".stripMargin)
   )
 }

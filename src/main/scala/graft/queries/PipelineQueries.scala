@@ -1154,6 +1154,36 @@ object PipelineQueries {
         |           FROM documents)
         | SELECT doc_id, source FROM r WHERE rn <= 7 ORDER BY doc_id""".stripMargin),
 
+    // ---- contingency table with expected counts (χ² prep) ---------------
+    // observed vs independence-expected counts per (source, lang) cell —
+    // "is language distribution independent of source", the screening step
+    // before dropping a skewed domain. All aggregates run on the
+    // cell-count summary (|sources|·|langs| rows); margins broadcast;
+    // expected counts are exact integer micro-units.
+    ("t_crosstab_expected",
+      (s, d) => {
+        val c = t(s, d, "documents").groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_obs"))
+        val rowT = c.groupBy("source").agg(sum(col("n_obs")).as("n_row"))
+        val colT = c.groupBy("lang").agg(sum(col("n_obs")).as("n_col"))
+        val total = c.agg(sum(col("n_obs")).as("n_total"))
+        c.join(broadcast(rowT), "source")
+          .join(broadcast(colT), "lang")
+          .crossJoin(broadcast(total))
+          .withColumn("expected_micro",
+            expr("n_row * n_col * 1000000 div n_total"))
+          .select("source", "lang", "n_obs", "expected_micro")
+          .orderBy("source", "lang")
+      },
+      """WITH c AS (SELECT source, lang, COUNT(*) AS n_obs FROM documents GROUP BY 1, 2),
+        |  r AS (SELECT source, SUM(n_obs) AS n_row FROM c GROUP BY 1),
+        |  l AS (SELECT lang, SUM(n_obs) AS n_col FROM c GROUP BY 1),
+        |  tt AS (SELECT SUM(n_obs) AS n_total FROM c)
+        | SELECT c.source, c.lang, c.n_obs,
+        |        CAST((r.n_row * l.n_col * 1000000) // tt.n_total AS BIGINT) AS expected_micro
+        | FROM c JOIN r USING (source) JOIN l USING (lang) CROSS JOIN tt
+        | ORDER BY c.source, c.lang""".stripMargin),
+
     // ---- source vocabulary overlap (domain similarity governance) --------
     // exact Jaccard between every source pair's word sets — "which of my
     // domains are near-duplicates of each other", the corpus-level
@@ -1462,6 +1492,33 @@ object PipelineQueries {
         |        CAST(h AS INTEGER) AS img_h, CAST(s AS BIGINT) AS px_sum,
         |        TRUE AS decoded
         | FROM px ORDER BY media_id""".stripMargin),
+
+    // ---- perceptual image hash (aHash) over REAL decoded pixels ---------
+    // the image near-dup key: integer grayscale per pixel, bit set iff
+    // at-or-above the image mean (division-free g·n >= Σg), so the oracle
+    // recomputes every bit — and therefore the exact 64-bit hash — from
+    // the synthetic-BMP pixel formula. Identical hashes downstream are
+    // duplicate candidates (the d1 groupBy shape on a perceptual key).
+    ("m_image_ahash",
+      (s, d) => Multimodal.imageAHash(
+          Multimodal.syntheticBmps(spread(t(s, d, "documents"))))
+        .orderBy("media_id"),
+      """WITH p AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h
+        |           FROM documents),
+        | g AS (SELECT doc_id, i,
+        |          ((doc_id * 31 + i * 7) % 256
+        |           + (doc_id * 31 + i * 7 + 13) % 256
+        |           + (doc_id * 31 + i * 7 + 26) % 256) // 3 AS gy
+        |       FROM p, LATERAL (SELECT unnest(generate_series(0, w * h - 1)) AS i) s),
+        | t AS (SELECT doc_id, SUM(gy) AS tot, COUNT(*) AS n FROM g GROUP BY 1),
+        | b AS (SELECT g.doc_id,
+        |          SUM(CASE WHEN g.gy * t.n >= t.tot
+        |              THEN CAST(power(2, g.i) AS BIGINT) ELSE 0 END) AS ahash,
+        |          SUM(CASE WHEN g.gy * t.n >= t.tot THEN 1 ELSE 0 END) AS n_bits
+        |       FROM g JOIN t USING (doc_id) GROUP BY 1)
+        | SELECT doc_id AS media_id, CAST(ahash AS BIGINT) AS ahash,
+        |        CAST(n_bits AS INTEGER) AS n_bits, TRUE AS decoded
+        | FROM b ORDER BY media_id""".stripMargin),
 
     // ---- REAL audio decode over synthetic WAVs --------------------------
     // the audio twin of m_image_decode: one hand-assembled 16-bit PCM mono

@@ -1018,6 +1018,53 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(feats.px_sum == expSum)
   }
 
+  test("imageAHash: identical payloads collide, bits match a driver reference") {
+    val id = 42L
+    val w = (4 + id % 5).toInt
+    val h = (3 + id % 3).toInt
+    def v(i: Int, c: Int): Int = ((id * 31 + i * 7 + c * 13) % 256).toInt
+    val grays = (0 until w * h).map(i => (v(i, 0) + v(i, 1) + v(i, 2)) / 3L)
+    val tot = grays.sum
+    val n = grays.length
+    val expHash = grays.zipWithIndex.collect {
+      case (g, i) if g * n >= tot => 1L << i }.foldLeft(0L)(_ | _)
+    // two rows with the SAME payload must collide (the dedup property);
+    // the hash itself must equal the pixel-formula reference
+    val rows = Multimodal.syntheticBmps(docs(id -> "x"))
+    val twice = rows.union(rows.map(r => r.copy(media_id = r.media_id + 1000)))
+    val got = Multimodal.imageAHash(twice).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getBoolean(3))).toMap
+    assert(got(id) == got(id + 1000))
+    assert(got(id) == ((expHash, java.lang.Long.bitCount(expHash), true)))
+  }
+
+  test("imageAHash: large images hash the deterministic 8x8 sample grid") {
+    // 16x16 PNG (lossless), pixel (x, y) = gray (x * 16 + y) * 3 % 256;
+    // the sampled grid index arithmetic is k*w div 8 = k*2
+    val im = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val g = (x * 16 + y) * 3 % 256
+      im.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    val row = Seq(Multimodal.MediaRow(1L, "image", "image/png", bos.toByteArray,
+      -1, -1, 0L)).toDS()
+    val got = Multimodal.imageAHash(row).collect()(0)
+    val grays = for (j <- 0 until 8; k <- 0 until 8)
+      yield ((k * 2) * 16 + (j * 2)) * 3 % 256L
+    val tot = grays.sum
+    val expHash = grays.zipWithIndex.collect {
+      case (g, i) if g * 64 >= tot => 1L << i }.foldLeft(0L)(_ | _)
+    assert(got.getBoolean(3))
+    assert(got.getLong(1) == expHash)
+    // corrupt payload: sentinel row, never a throw
+    val bad = Multimodal.imageAHash(row.map(r => r.copy(bytes = r.bytes.take(8))))
+      .collect()(0)
+    assert(!bad.getBoolean(3) && bad.getLong(1) == -1L)
+  }
+
   test("non-image and undecodable payloads fall back to the stub, flagged") {
     val f = Multimodal.extractFeatures(
       Multimodal.documentsAsMedia(docs(9L -> "plain text, not an image")))
