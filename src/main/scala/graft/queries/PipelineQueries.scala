@@ -1154,6 +1154,24 @@ object PipelineQueries {
         |           FROM documents)
         | SELECT doc_id, source FROM r WHERE rn <= 7 ORDER BY doc_id""".stripMargin),
 
+    // ---- equal-frequency binning (per-source deciles) --------------------
+    // discretization for feature pipelines: ntile(10) of n_chars within
+    // each source, deterministic under the (n_chars, doc_id) total order.
+    // Both engines implement SQL-standard ntile (floor/ceil bucket splits),
+    // pinned against each other here.
+    ("t_decile_assign",
+      (s, d) => t(s, d, "documents")
+        .withColumn("decile", ntile(10).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+            .orderBy(col("n_chars"), col("doc_id"))))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("decile").cast("long").as("decile"))
+        .orderBy("doc_id"),
+      """SELECT doc_id, source, n_chars,
+        |        CAST(ntile(10) OVER (PARTITION BY source
+        |                             ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+        | FROM documents ORDER BY doc_id""".stripMargin),
+
     // ---- contingency table with expected counts (χ² prep) ---------------
     // observed vs independence-expected counts per (source, lang) cell —
     // "is language distribution independent of source", the screening step

@@ -212,6 +212,80 @@ object TemporalQueries {
         | SELECT user_id, signup_ts, click_ts, purchase_ts
         | FROM fp ORDER BY user_id""".stripMargin),
 
+    // ---- peak concurrency (interval sweep) ------------------------------
+    // max simultaneously-open 5-minute click windows per user — the
+    // "peak concurrent sessions" gauge via the classic +1/−1 boundary
+    // sweep: one window pass per user over 2·n boundary events, no
+    // interval self-join. At a tie instant the +1 sorts BEFORE the −1
+    // (closed-open [ts, ts+300s) intervals: an interval opening exactly
+    // when another closes does overlap it for zero length — counting the
+    // open first matches the half-open semantics both engines compute).
+    ("ts_max_concurrency",
+      (s, d) => {
+        val ev = TemporalOps.loadEvents(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("ts_us"))
+        val bounds = clicks.select(col("user_id"), col("ts_us").as("bt"),
+            lit(1L).as("delta"), col("event_id"))
+          .unionByName(clicks.select(col("user_id"),
+            (col("ts_us") + 300000000L).as("bt"), lit(-1L).as("delta"), col("event_id")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("bt"), col("delta").desc, col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        bounds.withColumn("open", sum(col("delta")).over(w))
+          .groupBy("user_id").agg(max(col("open")).as("peak_concurrent"))
+          .orderBy("user_id")
+      },
+      """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS tsn FROM events
+        |           WHERE event_type = 'click'),
+        |  b AS (SELECT user_id, tsn AS bt, 1 AS delta, event_id FROM c
+        |        UNION ALL
+        |        SELECT user_id, tsn + 300000000, -1, event_id FROM c),
+        |  r AS (SELECT user_id,
+        |               SUM(delta) OVER (PARTITION BY user_id
+        |                                ORDER BY bt, delta DESC, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS open
+        |        FROM b)
+        | SELECT user_id, CAST(MAX(open) AS BIGINT) AS peak_concurrent
+        | FROM r GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // ---- event-burst collapse (jitter dedup) ----------------------------
+    // duplicate-click suppression: within each (user, event_type), a CHAIN
+    // of events each within 10 s of the previous one is a single burst
+    // (sessionize on the composite key at a 10 s gap — a retry storm is
+    // one burst however long it drags on), and only the burst's first
+    // event survives.
+    ("ts_event_collapse",
+      (s, d) => {
+        val ev = TemporalOps.loadEvents(s, d)
+          .select(concat(col("user_id"), lit("#"), col("event_type")).as("k"),
+            col("event_id"), col("ts_us").as("tsn"))
+        TemporalOps.sessionize(ev, keyCol = "k", tsCol = "tsn",
+            gap = 10000000L, tieCol = "event_id")
+          .groupBy(col("k"), col("session_no"))
+          .agg(min(struct(col("tsn"), col("event_id"))).as("first"))
+          .select(col("k"), col("session_no"), col("first.event_id").as("kept_event_id"))
+          .orderBy("k", "session_no")
+      },
+      """WITH e AS (SELECT user_id || '#' || event_type AS k, event_id,
+        |                  epoch_us(ts) AS tsn FROM events),
+        |  lagd AS (SELECT *, LAG(tsn) OVER (PARTITION BY k
+        |                                    ORDER BY tsn, event_id) AS prev FROM e),
+        |  flag AS (SELECT *, CASE WHEN prev IS NULL OR tsn - prev > 10000000
+        |                          THEN 1 ELSE 0 END AS new_s FROM lagd),
+        |  sess AS (SELECT *, SUM(new_s) OVER (PARTITION BY k
+        |                                      ORDER BY tsn, event_id
+        |                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        |           FROM flag),
+        |  pick AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY k, session_no
+        |                                        ORDER BY tsn, event_id) AS rn
+        |           FROM sess)
+        | SELECT k, CAST(session_no AS BIGINT) AS session_no,
+        |        event_id AS kept_event_id
+        | FROM pick WHERE rn = 1 ORDER BY k, session_no""".stripMargin),
+
     // ---- retention cohorts ----------------------------------------------
     // cohort = each user's first-activity day; cell (cohort_day, day_offset)
     // counts distinct users from that cohort active that many days later —
