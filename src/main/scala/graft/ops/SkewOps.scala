@@ -29,6 +29,31 @@ object SkewOps {
     salted.join(replicated, keys :+ "__salt").drop("__salt")
   }
 
+  /** Bloom-pre-filtered equi-join — the shuffle-reduction companion to
+    * salting: when `small` matches only a sliver of `large`, the plain
+    * shuffle join still moves EVERY large row. Here the small side's keys
+    * compress to a fixed 2^mBits bloom bitset (built distributed, driver
+    * holds only the bitset words) probed MAP-SIDE by the native codegen
+    * kernel, so non-matching large rows die before the exchange. False
+    * positives pass the filter and are dropped by the join itself, so the
+    * result EQUALS the plain inner join for any mBits — the bloom only
+    * tunes how much shuffle is saved (Spark's own runtime bloom filter
+    * does this for eligible plans; this is the explicit operator form that
+    * works on any frame, e.g. post-transform keys the optimizer can't
+    * see through). Keys are probed as strings; they must not contain
+    * spaces (the n=1 gram walk would split them).
+    */
+  def bloomPrunedJoin(large: DataFrame, small: DataFrame, key: String,
+                      mBits: Int = 20, numHashes: Int = 4): DataFrame = {
+    val bloom = graft.llm.Dedup.buildBloom(
+      small.select(col(key).cast("string").as("text")),
+      n = 1, mBits = mBits, numHashes = numHashes)
+    large
+      .filter(graft.functions.BloomProbe.countContaminatedCol(
+        col(key).cast("string"), bloom) > 0)
+      .join(small, Seq(key))
+  }
+
   /** Per-key frequency profile — the diagnostic used to decide whether
     * salting is warranted: top-N keys by row count with their share.
     */

@@ -174,6 +174,34 @@ object RelationalQueries {
         | FROM orders JOIN customer ON o_custkey = c_custkey
         | GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
 
+    // ---- J8: bloom-pre-filtered join (shuffle reduction) ----------------
+    // the small side is 1-in-17 customers, so ~94% of lineitem rows can die
+    // map-side before the exchange: SkewOps.bloomPrunedJoin probes the
+    // small side's key bloom with the native kernel. mBits=14 is small
+    // enough that false positives occur at this key count — they pass the
+    // filter and the join drops them, so the result must still EQUAL the
+    // plain join (that is the property under oracle here; the bloom only
+    // tunes shuffle volume).
+    ("j8_bloom_prune_join",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_suppkey").as("custkey"))
+        val cust = t(s, d, "customer")
+          .filter(col("c_custkey") % 17 === 0)
+          .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+        graft.ops.SkewOps.bloomPrunedJoin(li, cust, "custkey", mBits = 14)
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .orderBy("c_nationkey")
+      },
+      """SELECT c_nationkey, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        | FROM lineitem JOIN (SELECT c_custkey, c_nationkey FROM customer
+        |                     WHERE c_custkey % 17 = 0) c
+        |   ON l_suppkey = c.c_custkey
+        | GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+
     // ---- A1: global distinct (triple-dedup shape) ----------------------
     ("a1_distinct",
       (s, d) => t(s, d, "lineitem")

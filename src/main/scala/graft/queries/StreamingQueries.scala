@@ -131,6 +131,30 @@ object StreamingQueries {
         |       CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micro
         | FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin),
 
+    // ---- streaming SLIDING-window aggregation ---------------------------
+    // 1-hour windows sliding every 30 minutes: each event lands in exactly
+    // two overlapping windows, both maintained in state across the batch
+    // cut. The oracle derives the two window starts per event by integer
+    // arithmetic (k ∈ {0,1}: start = (t div 30min − k)·30min).
+    ("stream_sliding_window",
+      (s, d) => replayTwoBatches(s, d, "complete") { st =>
+        StreamingIngest.windowedEventCounts(
+          st.withColumn("value", round(col("value") * 1000000L).cast("long")),
+          "1 hour", "30 minutes", "10 minutes")
+      }
+        .select(unix_micros(col("win_start")).as("win_start_us"),
+          col("event_type"), col("n").as("n_events"),
+          col("total").as("value_micro"))
+        .orderBy("win_start_us", "event_type"),
+      """WITH k AS (SELECT unnest(generate_series(0, 1)) AS k),
+        |  w AS (SELECT ((epoch_us(ts) // 1800000000) - k) * 1800000000 AS win_start_us,
+        |               event_type,
+        |               CAST(round(value * 1000000) AS BIGINT) AS vmicro
+        |        FROM events CROSS JOIN k)
+        | SELECT win_start_us, event_type, COUNT(*) AS n_events,
+        |        CAST(SUM(vmicro) AS BIGINT) AS value_micro
+        | FROM w GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin),
+
     // ---- streaming gap sessionization -----------------------------------
     // native session_window across micro-batches (sessions straddling the
     // batch cut must MERGE in the state store). session_window starts a new

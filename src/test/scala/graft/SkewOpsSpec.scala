@@ -12,6 +12,24 @@ class SkewOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("bloomPrunedJoin equals the plain join even when false positives are dense") {
+    val rnd = new scala.util.Random(47)
+    val large = (0 until 2000).map(i => (rnd.nextInt(500).toLong, i.toLong))
+      .toDF("k", "payload")
+    val small = (0 until 500).map(_.toLong).filter(_ % 13 == 0)
+      .map(k => (k, s"v$k")).toDF("k", "v")
+    val want = large.join(small, Seq("k")).select("k", "payload", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    // mBits=6 → 64-bit bloom for ~39 keys: false positives are guaranteed,
+    // the join must drop every one of them
+    for (mBits <- Seq(6, 16)) {
+      val got = graft.ops.SkewOps.bloomPrunedJoin(large, small, "k", mBits = mBits)
+        .select("k", "payload", "v")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+      assert(got.toSeq == want.toSeq, s"mBits=$mBits")
+    }
+  }
+
   // hub-skewed edges: 80% of rows hit one key
   private lazy val skewed = spark.range(0, 50000)
     .select(when(col("id") % 5 =!= 0, lit(0L)).otherwise(col("id")).as("key"),
