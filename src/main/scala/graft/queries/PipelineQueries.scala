@@ -1154,6 +1154,32 @@ object PipelineQueries {
         |           FROM documents)
         | SELECT doc_id, source FROM r WHERE rn <= 7 ORDER BY doc_id""".stripMargin),
 
+    // ---- quantile normalization (rank → uniform) -------------------------
+    // the feature transform that maps any distribution onto [0, 1]:
+    // percent-rank of n_chars within each source as exact micro-units,
+    // (rank − 1)·10^6 div (n − 1) — integer arithmetic, no float
+    // percent_rank whose division both engines would have to round alike.
+    ("t_rank_normalize",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+        t(s, d, "documents")
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+          .withColumn("pct_micro", expr("(rk - 1) * 1000000 div (n - 1)"))
+          .select("doc_id", "source", "n_chars", "pct_micro")
+          .orderBy("doc_id")
+      },
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |                  ROW_NUMBER() OVER (PARTITION BY source
+        |                                     ORDER BY n_chars, doc_id) AS rk,
+        |                  COUNT(*) OVER (PARTITION BY source) AS n
+        |           FROM documents)
+        | SELECT doc_id, source, n_chars,
+        |        CAST((rk - 1) * 1000000 // (n - 1) AS BIGINT) AS pct_micro
+        | FROM r ORDER BY doc_id""".stripMargin),
+
     // ---- equal-frequency binning (per-source deciles) --------------------
     // discretization for feature pipelines: ntile(10) of n_chars within
     // each source, deterministic under the (n_chars, doc_id) total order.

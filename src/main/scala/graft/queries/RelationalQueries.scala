@@ -529,6 +529,55 @@ object RelationalQueries {
         | SELECT k, cents, valid_from, valid_to, valid_to IS NULL AS is_current
         | FROM rng ORDER BY k, valid_from""".stripMargin),
 
+    // ---- SCD2 point-in-time lookup --------------------------------------
+    // dimension lookup AS OF a fact's version clock: facts (orders, with a
+    // synthetic as-of seq) pick the u2 history row whose valid_from is the
+    // latest at-or-before their seq — which is exactly the backward as-of
+    // join, so the one-shuffle union+window operator serves the SCD2 read
+    // path too (no BETWEEN join against [valid_from, valid_to] needed: by
+    // construction ranges tile the key's timeline, making "latest
+    // valid_from <= seq" equivalent and cheaper).
+    ("u3_scd2_pit_lookup",
+      (s, d) => {
+        val base = t(s, d, "customer").select(col("c_custkey").as("k"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+        val v0 = base.withColumn("seq", lit(0L))
+        val v1 = base.filter(col("k") % 3 === 0)
+          .withColumn("cents", col("cents") +
+            when(col("k") % 6 === 0, 0L).otherwise(10000L))
+          .withColumn("seq", lit(1L))
+        val v2 = base.filter(col("k") % 9 === 0)
+          .withColumn("cents", col("cents") + 20000L)
+          .withColumn("seq", lit(2L))
+        val hist = graft.ops.ScdOps.buildHistory(
+            v0.unionByName(v1).unionByName(v2), "k", "seq", Seq("cents"))
+          .select(col("k"), col("valid_from").as("vseq"), col("cents"))
+        val facts = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey").as("k"),
+            (col("o_orderkey") % 3).as("vseq"))
+        graft.ops.TemporalOps.asofJoinBackward(facts, hist,
+            keyCol = "k", tsCol = "vseq", valueCol = "cents",
+            asOfCol = "cents_at", rightTieCol = "vseq")
+          .select(col("o_orderkey"), col("k"), col("vseq"), col("cents_at"))
+          .orderBy("o_orderkey")
+      },
+      """WITH base AS (SELECT c_custkey AS k,
+        |                     CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |              FROM customer),
+        |  v AS (SELECT k, cents, CAST(0 AS BIGINT) AS seq FROM base
+        |        UNION ALL
+        |        SELECT k, cents + CASE WHEN k % 6 = 0 THEN 0 ELSE 10000 END,
+        |               CAST(1 AS BIGINT) FROM base WHERE k % 3 = 0
+        |        UNION ALL
+        |        SELECT k, cents + 20000, CAST(2 AS BIGINT) FROM base WHERE k % 9 = 0),
+        |  lagd AS (SELECT *, LAG(cents) OVER (PARTITION BY k ORDER BY seq) AS prev FROM v),
+        |  hist AS (SELECT k, seq AS vseq, cents FROM lagd
+        |           WHERE prev IS NULL OR cents <> prev),
+        |  f AS (SELECT o_orderkey, o_custkey AS k, o_orderkey % 3 AS vseq FROM orders)
+        | SELECT f.o_orderkey, f.k, f.vseq, h.cents AS cents_at
+        | FROM f ASOF LEFT JOIN hist h ON f.k = h.k AND f.vseq >= h.vseq
+        | ORDER BY f.o_orderkey""".stripMargin),
+
     // ---- Z-order (Morton) clustering key --------------------------------
     // bit-interleaved (l_partkey, l_suppkey) — the multi-dimensional layout
     // key under which files prune on EITHER dimension (ZOrder.layoutByZ is
