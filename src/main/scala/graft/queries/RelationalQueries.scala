@@ -488,6 +488,55 @@ object RelationalQueries {
         |        COUNT(*) AS n
         | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    // ---- table statistics (ANALYZE surface) -----------------------------
+    // the planner-feeding stats sweep: per-column exact NDV, null count,
+    // min/max over lineitem's join/filter columns — one pass, all
+    // map-combinable except the distincts, which Spark rewrites into one
+    // Expand + partial aggregation (same shuffle count as a single
+    // distinct at this column count).
+    ("s13_table_stats",
+      (s, d) => t(s, d, "lineitem")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("ndv_orderkey"),
+          countDistinct(col("l_partkey")).as("ndv_partkey"),
+          countDistinct(col("l_suppkey")).as("ndv_suppkey"),
+          sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)).as("nulls_returnflag"),
+          min(col("l_quantity")).cast("long").as("min_qty"),
+          max(col("l_quantity")).cast("long").as("max_qty")),
+      """SELECT COUNT(*) AS n_rows,
+        |        COUNT(DISTINCT l_orderkey) AS ndv_orderkey,
+        |        COUNT(DISTINCT l_partkey) AS ndv_partkey,
+        |        COUNT(DISTINCT l_suppkey) AS ndv_suppkey,
+        |        CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS nulls_returnflag,
+        |        CAST(MIN(l_quantity) AS BIGINT) AS min_qty,
+        |        CAST(MAX(l_quantity) AS BIGINT) AS max_qty
+        | FROM lineitem""".stripMargin),
+
+    // ---- incremental aggregate maintenance ------------------------------
+    // the never-rescan-the-corpus discipline: a pre-aggregated base
+    // partition merges with a delta batch's partial aggregate by SUM/COUNT
+    // algebra (counts add, sums add, averages re-derive) — the merged
+    // result must equal aggregating the full table from scratch, which is
+    // exactly what the oracle computes. At 100 TB this is the difference
+    // between touching yesterday's corpus and touching yesterday's
+    // SUMMARY.
+    ("u5_incremental_agg",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        def partial(df: DataFrame) = df.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"))
+        partial(li.filter(col("l_orderkey") % 5 =!= 0))    // "yesterday's summary"
+          .unionByName(partial(li.filter(col("l_orderkey") % 5 === 0))) // delta
+          .groupBy("l_returnflag")
+          .agg(sum(col("n")).as("n"), sum(col("sum_qty")).as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
     // ---- SCD Type-2 history (upsert WITH history) -----------------------
     // the warehouse companion to s8's last-wins merge: three synthesized
     // version waves over the customer dimension (wave 1 contains deliberate
