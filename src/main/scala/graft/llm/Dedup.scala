@@ -176,6 +176,68 @@ object Dedup {
       (n, a, b) => n / least(a, b), minContainment)
   }
 
+  /** AllPairs/PPJoin-style prefix-filtered similarity self-join: EXACT
+    * Jaccard ≥ pct/100 pairs (no false negatives, unlike LSH) at a fraction
+    * of the all-pairs join cost. Tokens are globally ordered by ascending
+    * document frequency (ties by token — a total order, so the prefix is
+    * deterministic); a pair at Jaccard ≥ t MUST share at least one token
+    * within each side's first `n − ceil(t·n) + 1` tokens of that order, so
+    * only PREFIX tokens — the rarest ones — enter the candidate join.
+    *
+    * Scale shape: the candidate join fans out per prefix token bounded by
+    * that token's df, and prefix tokens are df-ascending-first, so the
+    * quadratic mass a stop-word posting list would emit never forms
+    * (the same hazard [[jaccardPairs]]' maxDF cap handles — here pruned
+    * by construction rather than capped, and exactly). Verification joins
+    * the candidate pairs (small side) against per-doc sorted token-set
+    * arrays and intersects inside the row: per-pair O(|doc|) work, no
+    * second corpus shuffle. The df table is vocabulary-sized and joins
+    * merge-hinted (the mis-planned-broadcast lesson). All thresholds are
+    * integer cross-multiplications; no float reaches the output.
+    *
+    * Output: (id_a < id_b, n_inter, n_a, n_b) for every pair with
+    * n_inter·100 ≥ pct·(n_a + n_b − n_inter).
+    */
+  def prefixFilterCandidates(shingles: DataFrame, minJaccardPct: Int): DataFrame = {
+    require(minJaccardPct >= 1 && minJaccardPct <= 100,
+      s"minJaccardPct must be in [1,100]: $minJaccardPct")
+    val dfx = shingles.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("shingle"))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    val ranked = shingles.join(dfx.hint("merge"), Seq("shingle"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+    // prefix length n − ceil(pct·n/100) + 1, ceil as (pct·n + 99) div 100
+    // (exact: the double quotient of these small integers truncates to the
+    // true integer division)
+    val prefix = ranked
+      .filter(col("rn") <= col("n") - ((lit(minJaccardPct) * col("n") + 99) / 100)
+        .cast("long") + 1)
+      .select("id", "shingle")
+    prefix.select(col("shingle"), col("id").as("id_a"))
+      .join(prefix.select(col("shingle"), col("id").as("id_b")).hint("merge"),
+        Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  def prefixFilterPairs(shingles: DataFrame, minJaccardPct: Int): DataFrame = {
+    val candidates = prefixFilterCandidates(shingles, minJaccardPct)
+    val docSets = shingles.groupBy("id")
+      .agg(sort_array(collect_set(col("shingle"))).as("toks"),
+        count(lit(1)).as("n"))
+    candidates
+      .join(docSets.select(col("id").as("id_a"), col("toks").as("toks_a"),
+        col("n").as("n_a")), Seq("id_a"))
+      .join(docSets.select(col("id").as("id_b"), col("toks").as("toks_b"),
+        col("n").as("n_b")), Seq("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      .filter(col("n_inter") * 100 >=
+        lit(minJaccardPct) * (col("n_a") + col("n_b") - col("n_inter")))
+      .select("id_a", "id_b", "n_inter", "n_a", "n_b")
+  }
+
   /** Portable shingle hash j: 8 hex chars of md5("<j/4>:<s>") at piece j%4 —
     * one md5 yields four independent 32-bit hashes, so k hashes cost only
     * ceil(k/4) digests. Lexicographic MIN over fixed-width lowercase hex ==

@@ -242,4 +242,116 @@ object GraphTraversal {
       .join(perVertex.withColumnRenamed("v", "id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
+
+  /** k-core of an UNDIRECTED graph (direction/duplicates normalized away,
+    * self-loops dropped): the maximal subgraph in which every vertex has
+    * degree ≥ k. Output: one row per surviving vertex — (`id`, `core_deg`),
+    * its degree WITHIN the core.
+    *
+    * Algorithm: iterative peeling — each round drops every vertex whose
+    * current degree is < k (and the edges touching it) until a fixpoint.
+    * This is the standard distributed formulation (Quick/Wilkinson/Heath
+    * style): per round ONE map-combinable degree aggregate plus two
+    * semi-joins of the edge table against the (vertex-sized) survivor set.
+    *
+    * Scale notes (100 TB): the edge table is the big side and is filtered
+    * IN PLACE each round (semi-join on its endpoint keys — no pair
+    * explosion anywhere); the survivor set is vertex-sized and broadcasts
+    * when small. Round count is the graph's peel depth for this k — bounded
+    * by design of the feeding pipeline, NOT by the data (a chain peels one
+    * layer per round, so `maxIter` fail-fasts rather than silently spinning;
+    * same discipline as [[ConnectedComponents]]). Lineage is truncated per
+    * round via [[Checkpointer]], one live edge-table copy at a time.
+    */
+  def kCore(edges: DataFrame, k: Int, srcCol: String = "src",
+            dstCol: String = "dst", maxIter: Int = 50,
+            cp: Checkpointer = Checkpointer.Auto): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(maxIter >= 1, s"maxIter must be >= 1: $maxIter")
+    var e = cp(edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct())
+    var nEdges = e.count()
+    var rounds = 0
+    var converged = nEdges == 0L
+    while (!converged && rounds < maxIter) {
+      val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("v")
+      val next = cp(e
+        .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi"))
+      val nNext = next.count()
+      cp.release(e)
+      e = next
+      rounds += 1
+      if (nNext == nEdges) converged = true
+      nEdges = nNext
+    }
+    if (!converged) throw new IllegalStateException(
+      s"kCore(k=$k) did not converge in $maxIter peel rounds — " +
+        "deep-peeling graph (e.g. a long chain); raise maxIter")
+    e.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** Neighborhood-overlap similarity (common-neighbor Jaccard) over an
+    * UNDIRECTED graph: for every vertex pair (a < b) sharing at least one
+    * neighbor, `n_common` = |N(a) ∩ N(b)| and the degrees — so the Jaccard
+    * |N∩| / (deg_a + deg_b − |N∩|) is available as an exact rational;
+    * `minJaccardPct` keeps pairs with Jaccard ≥ pct/100 via integer
+    * cross-multiplication (no float in the output).
+    *
+    * Algorithm: wedge counting — each pair with a common neighbor appears
+    * once per shared pivot vertex, so a self-join of the neighbor table on
+    * the pivot (oriented a < b to count each pair once) + a count gives
+    * the intersection size without ever materializing neighbor SETS.
+    *
+    * Scale notes (100 TB): the wedge join is the quadratic hazard — a
+    * degree-d pivot emits d(d−1)/2 pairs, so super-hub pivots (celebrity
+    * nodes) are EXCLUDED via `maxPivotDegree` (the standard top-degree
+    * cutoff in link-prediction pipelines: a hub shared by everyone carries
+    * no similarity signal, and d² on a 10⁷-degree hub is not computable on
+    * any cluster). The cutoff is part of the operator's contract — the
+    * oracle applies the same cap. Both joins are equi-joins; the neighbor
+    * table is edge-sized (2m rows) and the pair table is bounded by
+    * Σ_pivot min(d, cap)².
+    */
+  def neighborJaccard(edges: DataFrame, minJaccardPct: Int,
+                      maxPivotDegree: Long,
+                      srcCol: String = "src", dstCol: String = "dst",
+                      cp: Checkpointer = Checkpointer.Auto): DataFrame = {
+    require(minJaccardPct >= 0 && minJaccardPct <= 100,
+      s"minJaccardPct must be in [0,100]: $minJaccardPct")
+    require(maxPivotDegree >= 1, s"maxPivotDegree must be >= 1: $maxPivotDegree")
+    val und = cp(edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct())
+    // neighbor table, both directions: (v, w) = w is a neighbor of v
+    val nb = und.select(col("a").as("v"), col("b").as("w"))
+      .union(und.select(col("b").as("v"), col("a").as("w")))
+    val deg = nb.groupBy("v").agg(count(lit(1)).as("deg"))
+    val pivotOk = deg.filter(col("deg") <= maxPivotDegree)
+      .select(col("v").as("w"))
+    val byPivot = nb.select(col("v"), col("w"))
+      .join(pivotOk, Seq("w"), "left_semi")
+    // wedge join on the pivot w; orient v1 < v2 so each pair counts once
+    // per shared neighbor. Pair-table sizes are data-dependent — merge
+    // hint, never a mis-planned broadcast.
+    val pairs = byPivot.select(col("w"), col("v").as("v1"))
+      .join(byPivot.select(col("w"), col("v").as("v2")).hint("merge"), Seq("w"))
+      .filter(col("v1") < col("v2"))
+      .groupBy("v1", "v2").agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(deg.select(col("v").as("v1"), col("deg").as("deg_a")), Seq("v1"))
+      .join(deg.select(col("v").as("v2"), col("deg").as("deg_b")), Seq("v2"))
+      .filter(col("n_common") * 100 >=
+        lit(minJaccardPct) * (col("deg_a") + col("deg_b") - col("n_common")))
+      .select(col("v1").as("a"), col("v2").as("b"),
+        col("n_common"), col("deg_a"), col("deg_b"))
+  }
 }

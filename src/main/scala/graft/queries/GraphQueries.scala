@@ -305,6 +305,91 @@ object GraphQueries {
         |  vv AS (SELECT src AS v FROM e UNION ALL SELECT dst FROM e),
         |  dg AS (SELECT v, COUNT(*) AS degree FROM vv GROUP BY 1)
         | SELECT degree, COUNT(*) AS n_vertices FROM dg
-        | GROUP BY 1 ORDER BY degree""".stripMargin)
+        | GROUP BY 1 ORDER BY degree""".stripMargin),
+
+    // ---- k-core (iterative peeling) -------------------------------------
+    // dense-subgraph extraction on a hub-and-spoke + ring + chord graph
+    // whose PEEL DEPTH is constant at every scale factor (lone spokes fall
+    // in wave 1, the chord tail in wave 2, fixpoint by wave 3) — peeling
+    // rounds must be a property of the graph family, not the data volume,
+    // for the operator to be cluster-viable; the spec covers the
+    // deep-peeling chain fail-fast. Oracle: the same peel unrolled 5
+    // rounds as chained CTEs (idempotent once converged, like g_pagerank's
+    // unrolled rounds).
+    ("g_kcore",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val spokes = c.select(col("c_custkey").as("src"),
+          (lit(10000000L) + col("c_custkey") % 97).as("dst"))
+        val chords = c.filter(col("c_custkey") % 5 === 0)
+          .select(col("c_custkey").as("src"), (col("c_custkey") + 1).as("dst"))
+        val ring = c.filter(col("c_custkey") <= 97)
+          .select((lit(10000000L) + col("c_custkey") - 1).as("src"),
+            (lit(10000000L) + col("c_custkey") % 97).as("dst"))
+        graft.ops.GraphTraversal.kCore(
+            spokes.unionByName(chords).unionByName(ring), k = 2)
+          .orderBy("id")
+      },
+      s"""WITH raw AS (
+         |   SELECT c_custkey AS s, 10000000 + (c_custkey % 97) AS t FROM customer
+         |   UNION ALL
+         |   SELECT c_custkey, c_custkey + 1 FROM customer WHERE c_custkey % 5 = 0
+         |   UNION ALL
+         |   SELECT 10000000 + (c_custkey - 1), 10000000 + (c_custkey % 97)
+         |   FROM customer WHERE c_custkey <= 97),
+         | e0 AS MATERIALIZED (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+         |        FROM raw WHERE s <> t)${(1 to 5).map(r =>
+              s""",
+         | d$r AS MATERIALIZED (SELECT v, COUNT(*) AS deg FROM
+         |        (SELECT a AS v FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1})
+         |        GROUP BY v),
+         | k$r AS MATERIALIZED (SELECT v FROM d$r WHERE deg >= 2),
+         | e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e
+         |        JOIN k$r ka ON ka.v = e.a JOIN k$r kb ON kb.v = e.b)""")
+              .mkString}
+         | SELECT v AS id, COUNT(*) AS core_deg FROM
+         |   (SELECT a AS v FROM e5 UNION ALL SELECT b FROM e5)
+         | GROUP BY v ORDER BY id""".stripMargin),
+
+    // ---- neighborhood-overlap similarity (common-neighbor Jaccard) ------
+    // link-prediction / entity-consolidation shape over the successor
+    // graph PLUS a deliberate super-hub (every 10th customer links to
+    // vertex 0): the hub exceeds maxPivotDegree and is excluded as a
+    // WEDGE PIVOT — without that cap it alone would emit (N/10)² pairs,
+    // the exact quadratic blowup that kills naive implementations at
+    // scale. Jaccard ≥ 0.20 is decided by integer cross-multiplication;
+    // no float reaches the hashed output.
+    ("g_node_jaccard",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val k = col("c_custkey")
+        val edges = (1 to 3).map(delta =>
+            c.select(k.as("src"), (k + delta).as("dst")))
+          .reduce(_ union _)
+          .unionByName(c.filter(k % 10 === 0)
+            .select(k.as("src"), lit(0L).as("dst")))
+        graft.ops.GraphTraversal.neighborJaccard(edges,
+            minJaccardPct = 20, maxPivotDegree = 50L)
+          .orderBy("a", "b")
+      },
+      """WITH raw AS (
+        |   SELECT c_custkey AS s, c_custkey + d AS t FROM customer,
+        |     LATERAL (SELECT unnest(generate_series(1, 3)) AS d) g
+        |   UNION ALL
+        |   SELECT c_custkey, 0 FROM customer WHERE c_custkey % 10 = 0),
+        | und AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+        |         FROM raw WHERE s <> t),
+        | nb AS (SELECT a AS v, b AS w FROM und UNION ALL SELECT b, a FROM und),
+        | deg AS (SELECT v, COUNT(*) AS deg FROM nb GROUP BY v),
+        | pok AS (SELECT v FROM deg WHERE deg <= 50),
+        | bp AS (SELECT nb.v, nb.w FROM nb JOIN pok ON pok.v = nb.w),
+        | pr AS (SELECT n1.v AS v1, n2.v AS v2, COUNT(*) AS n_common
+        |        FROM bp n1 JOIN bp n2 ON n1.w = n2.w AND n1.v < n2.v
+        |        GROUP BY 1, 2)
+        | SELECT pr.v1 AS a, pr.v2 AS b, pr.n_common,
+        |        da.deg AS deg_a, db.deg AS deg_b
+        | FROM pr JOIN deg da ON da.v = pr.v1 JOIN deg db ON db.v = pr.v2
+        | WHERE pr.n_common * 100 >= 20 * (da.deg + db.deg - pr.n_common)
+        | ORDER BY a, b""".stripMargin)
   )
 }

@@ -366,6 +366,40 @@ object PipelineQueries {
          | WHERE n_inter / least(sa.sz, sb.sz) >= 0.5
          | ORDER BY id_a, id_b""".stripMargin),
 
+    // ---- prefix-filtered similarity self-join (AllPairs/PPJoin) --------
+    // the EXACT complement to LSH: every Jaccard ≥ 0.7 pair is found (no
+    // false negatives) but only each document's rarest tokens — the
+    // df-ascending prefix of length n − ceil(0.7n) + 1 — enter the
+    // candidate join, so the stop-word quadratic blowup never forms. The
+    // oracle re-derives the same prefix (ROW_NUMBER over (df, token)) and
+    // the same integer cross-multiplied threshold; the spec pins the
+    // completeness property (candidates ⊇ all-pairs truth) and that the
+    // prefix join does strictly less work than the full posting join.
+    ("d17_prefix_filter",
+      (s, d) => Dedup.prefixFilterPairs(shinglesShared(s, d), minJaccardPct = 70)
+        .orderBy("id_a", "id_b"),
+      s"""WITH sh AS ($ShinglesSql),
+         | dfx AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+         | rk AS (SELECT sh.id, sh.shingle,
+         |        ROW_NUMBER() OVER (PARTITION BY sh.id
+         |                           ORDER BY dfx.df, sh.shingle) AS rn,
+         |        COUNT(*) OVER (PARTITION BY sh.id) AS n
+         |        FROM sh JOIN dfx USING (shingle)),
+         | pfx AS (SELECT id, shingle FROM rk
+         |         WHERE rn <= n - ((70 * n + 99) // 100) + 1),
+         | cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |          FROM pfx a JOIN pfx b USING (shingle) WHERE a.id < b.id),
+         | sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+         | inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+         |           FROM cand c JOIN sh a ON a.id = c.id_a
+         |           JOIN sh b ON b.id = c.id_b AND a.shingle = b.shingle
+         |           GROUP BY 1, 2)
+         | SELECT i.id_a, i.id_b, i.n_inter, sa.sz AS n_a, sb.sz AS n_b
+         | FROM inter i JOIN sizes sa ON sa.id = i.id_a
+         | JOIN sizes sb ON sb.id = i.id_b
+         | WHERE i.n_inter * 100 >= 70 * (sa.sz + sb.sz - i.n_inter)
+         | ORDER BY id_a, id_b""".stripMargin),
+
     // ---- capped-universe Jaccard (the 100 TB operating point) ----------
     // maxDF drops high-document-frequency shingles BEFORE pairing (a df-d
     // shingle emits O(d²) pairs from one reducer row); sizes are computed

@@ -513,6 +513,44 @@ object RelationalQueries {
         |        CAST(MAX(l_quantity) AS BIGINT) AS max_qty
         | FROM lineitem""".stripMargin),
 
+    // ---- per-column data-profiling sweep --------------------------------
+    // the ingest-gate profiler: every column (numerics cast to string, the
+    // profiler's universal domain) unpivoted via stack() into (col_name,
+    // value) and profiled in ONE grouped pass — null count, exact NDV,
+    // min/max/total character length. Output is bounded by the column
+    // count; the only shuffle is the 5-key groupBy. At 100 TB this is the
+    // pattern for schema drift detection: the stack generator is map-side
+    // and the aggregate is partial-combined before exchange.
+    ("s14_column_profile",
+      (s, d) => t(s, d, "documents")
+        .select(expr("""stack(5,
+            'doc_id', cast(doc_id as string),
+            'lang', lang,
+            'n_chars', cast(n_chars as string),
+            'source', source,
+            'text', text) as (col_name, value)"""))
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col("value")).as("n_distinct"),
+          min(length(col("value"))).cast("long").as("min_len"),
+          max(length(col("value"))).cast("long").as("max_len"),
+          sum(coalesce(length(col("value")), lit(0))).as("total_len"))
+        .orderBy("col_name"),
+      """WITH st AS (
+        |   SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS value FROM documents
+        |   UNION ALL SELECT 'lang', lang FROM documents
+        |   UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+        |   UNION ALL SELECT 'source', source FROM documents
+        |   UNION ALL SELECT 'text', text FROM documents)
+        | SELECT col_name, COUNT(*) AS n_rows,
+        |        CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |        COUNT(DISTINCT value) AS n_distinct,
+        |        CAST(MIN(length(value)) AS BIGINT) AS min_len,
+        |        CAST(MAX(length(value)) AS BIGINT) AS max_len,
+        |        CAST(SUM(COALESCE(length(value), 0)) AS BIGINT) AS total_len
+        | FROM st GROUP BY col_name ORDER BY col_name""".stripMargin),
+
     // ---- incremental aggregate maintenance ------------------------------
     // the never-rescan-the-corpus discipline: a pre-aggregated base
     // partition merges with a delta batch's partial aggregate by SUM/COUNT

@@ -286,6 +286,41 @@ object TemporalQueries {
         |        event_id AS kept_event_id
         | FROM pick WHERE rn = 1 ORDER BY k, session_no""".stripMargin),
 
+    // ---- first-order Markov transition matrix ---------------------------
+    // P(next event type | event type) over each user's time-ordered stream:
+    // one LEAD window pass (single shuffle on user_id), then a groupBy whose
+    // result is bounded by |event_types|² regardless of corpus size. The
+    // denominator rides along as an exact integer (from_total) so the
+    // probability is a rational both engines represent identically — no
+    // float division in the hashed output.
+    ("ts_transition_matrix",
+      (s, d) => {
+        val ev = TemporalOps.loadEvents(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("ts_us").as("tsn"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("tsn"), col("event_id"))
+        val trans = ev
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val wf = org.apache.spark.sql.expressions.Window.partitionBy(col("from_type"))
+        trans.withColumn("from_total", sum(col("n")).over(wf))
+          .orderBy("from_type", "to_type")
+      },
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsn
+        |           FROM events),
+        |  nx AS (SELECT event_type AS from_type,
+        |                LEAD(event_type) OVER (PARTITION BY user_id
+        |                                       ORDER BY tsn, event_id) AS to_type
+        |         FROM e),
+        |  tr AS (SELECT from_type, to_type, COUNT(*) AS n
+        |         FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        | SELECT from_type, to_type, n,
+        |        CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS from_total
+        | FROM tr ORDER BY from_type, to_type""".stripMargin),
+
     // ---- retention cohorts ----------------------------------------------
     // cohort = each user's first-activity day; cell (cohort_day, day_offset)
     // counts distinct users from that cohort active that many days later —

@@ -189,4 +189,93 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
   }
+
+  test("kCore: triangle with a tail — 2-core is exactly the triangle") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = graft.ops.GraphTraversal.kCore(edges, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: K4 3-core is K4 itself; 4-core is empty") {
+    val edges = (for (a <- 1 to 4; b <- (a + 1) to 4) yield (a.toLong, b.toLong))
+      .toDF("src", "dst")
+    val core3 = graft.ops.GraphTraversal.kCore(edges, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(graft.ops.GraphTraversal.kCore(edges, k = 4).count() == 0)
+  }
+
+  test("kCore: a chain peels to empty; deep chains fail fast at maxIter") {
+    val chain6 = (1 until 6).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
+    assert(graft.ops.GraphTraversal.kCore(chain6, k = 2).count() == 0)
+    // a 120-node chain needs ~60 peel waves — the loop must refuse, not spin
+    val chain120 = (1 until 120).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      graft.ops.GraphTraversal.kCore(chain120, k = 2, maxIter = 10).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("kCore matches a driver-side peel on a pseudo-random graph") {
+    val raw = (0 until 150).map(i => ((i * 7 % 30).toLong, (i * 11 % 30).toLong))
+    def naivePeel(k: Int): Map[Long, Long] = {
+      var und = raw.collect { case (a, b) if a != b => (a min b, a max b) }.distinct
+      var changed = true
+      while (changed) {
+        val deg = und.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+          .view.mapValues(_.size.toLong).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = und.filter(e => keep(e._1) && keep(e._2))
+        changed = next.size != und.size
+        und = next
+      }
+      und.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+    }
+    for (k <- Seq(2, 3, 4)) {
+      val got = graft.ops.GraphTraversal.kCore(raw.toDF("src", "dst"), k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == naivePeel(k), s"k=$k")
+    }
+  }
+
+  test("neighborJaccard: square graph — opposite corners have identical neighborhoods") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val got = graft.ops.GraphTraversal
+      .neighborJaccard(edges, minJaccardPct = 50, maxPivotDegree = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // (1,3) and (2,4) share BOTH neighbors (Jaccard 1); adjacent corners share none
+    assert(got == Set((1L, 3L, 2L), (2L, 4L, 2L)))
+  }
+
+  test("neighborJaccard: maxPivotDegree excludes the super-hub pivot") {
+    val star = (1 to 10).map(i => (0L, i.toLong)).toDF("src", "dst")
+    // through the center every leaf pair is similar (45 pairs)...
+    assert(graft.ops.GraphTraversal
+      .neighborJaccard(star, minJaccardPct = 0, maxPivotDegree = 100L).count() == 45)
+    // ...but a capped pivot degree refuses the d² hub blowup entirely
+    assert(graft.ops.GraphTraversal
+      .neighborJaccard(star, minJaccardPct = 0, maxPivotDegree = 5L).count() == 0)
+  }
+
+  test("neighborJaccard matches a driver-side set computation on a pseudo-random graph") {
+    val raw = (0 until 150).map(i => ((i * 7 % 25).toLong, (i * 13 % 25).toLong))
+    val und = raw.collect { case (a, b) if a != b => (a min b, a max b) }.distinct
+    val nbr = (und ++ und.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap.withDefaultValue(Set.empty[Long])
+    val vs = nbr.keys.toSeq.sorted
+    val expected = (for {
+      a <- vs; b <- vs if a < b
+      common = (nbr(a) & nbr(b)).size.toLong if common > 0
+      if common * 100 >= 25 * (nbr(a).size + nbr(b).size - common)
+    } yield (a, b, common, nbr(a).size.toLong, nbr(b).size.toLong)).toSet
+    val got = graft.ops.GraphTraversal
+      .neighborJaccard(raw.toDF("src", "dst"), minJaccardPct = 25,
+        maxPivotDegree = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected)
+  }
 }

@@ -677,6 +677,45 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Dedup.jaccardPairs(sh, 0.0).count() == 15L)
   }
 
+  test("prefixFilterPairs: exact completeness — equals all-pairs Jaccard at the threshold") {
+    val d = docs(
+      (0L, "the quick brown fox jumps over the lazy dog today"),
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different text with no overlap at all whatsoever"),
+      (4L, "another unrelated document body mentioning nothing shared here"),
+      (5L, "the quick brown fox jumps over the lazy dog today"))
+    val sh = Dedup.wordShingles(d, 3)
+    val got = Dedup.prefixFilterPairs(sh, 70)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // no false negatives AND no extras: identical to the full posting join
+    // thresholded at the same 0.7
+    val truth = Dedup.jaccardPairs(sh, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_inter"))).toSet
+    assert(got == truth && got.nonEmpty)
+  }
+
+  test("prefixFilterCandidates prunes stop-shingle pairs that share no rare token") {
+    // every doc shares one hot shingle; only 0/1 share rare content
+    val hot = "x y z"
+    val d = docs(
+      (0L, s"a b c d e $hot"), (1L, s"a b c d e $hot"),
+      (2L, s"p q r $hot"), (3L, s"s t u $hot"),
+      (4L, s"v w j $hot"), (5L, s"k l m $hot"))
+    val sh = Dedup.wordShingles(d, 3)
+    val cands = Dedup.prefixFilterCandidates(sh, 70)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the raw posting join would emit all 15 pairs (every doc co-occurs via
+    // the hot shingle); the df-ascending prefix keeps rare shingles first,
+    // so the hot shingle enters NO prefix and cross-cluster pairs never form
+    assert(cands == Set((0L, 1L)))
+    // pruning never sacrifices completeness: the surviving candidate is
+    // exactly the one true >=0.7 pair
+    val verified = Dedup.prefixFilterPairs(sh, 70)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified == Set((0L, 1L)))
+  }
+
   test("incrementalCandidates: only pairs touching the increment, corpus side broadcast") {
     // corpus: two identical docs (1,2) + distinct doc 3; incoming: dup of
     // corpus doc 1 (id 10) + fresh doc 11
