@@ -310,6 +310,46 @@ object TextStats {
       .select(col(groupCol), col("token"), col("n"), col("rank"))
   }
 
+  /** Corpus-wide heavy hitters via the Misra-Gries sketch + exact recount:
+    * tokens with true frequency strictly above N/k, with EXACT counts.
+    *
+    * Pass 1 aggregates a single ≤ k-counter
+    * [[graft.functions.MisraGriesAggExpr]] sketch (plus the total N) —
+    * bounded state per partition, one ≤ k-row driver artifact (the BPE
+    * merge-table precedent), no vocabulary-sized shuffle. The sketch
+    * guarantees every token with frequency > N/(k+1) is among its
+    * candidates, and N/k > N/(k+1), so no true heavy hitter can be absent.
+    * Pass 2 recounts ONLY the candidate tokens exactly (an `isin` literal
+    * filter pushed to the scan — the shuffle carries ≤ k distinct keys) and
+    * keeps `n·k > N`. The output is therefore deterministic and equal to
+    * the exact GROUP-BY-HAVING answer even though the sketch's candidate
+    * set depends on merge order.
+    *
+    * At 100 TB this replaces the full (token, count) aggregate — whose
+    * shuffle is vocabulary-sized — with one k-counter summary per
+    * partition; [[topTokens]] remains the exact-everything path.
+    */
+  def heavyHitters(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val tokens = docs
+      .select(explode(split(coalesce(col(textCol), lit("")), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val head = tokens.agg(
+      graft.functions.MisraGries.sketch(col("token"), k).as("cands"),
+      count(lit(1)).as("n_total")).head()
+    val cands: Seq[String] =
+      head.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    val nTotal = head.getLong(1)
+    if (cands.isEmpty)
+      return docs.sparkSession.emptyDataFrame
+        .select(lit("").as("token"), lit(0L).as("n"), lit(0L).as("n_total"))
+        .limit(0)
+    tokens.filter(col("token").isin(cands: _*))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .withColumn("n_total", lit(nTotal))
+      .filter(col("n") * k > col("n_total"))
+  }
+
   /** Per-(group, token) counts — the shared head of [[topTokens]] and
     * [[topKeywords]]. One uniform (group, token) shuffle.
     */

@@ -1847,6 +1847,27 @@ object PipelineQueries {
         | SELECT source, token, n, CAST(rank AS INTEGER) AS rank
         | FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin),
 
+    // ---- sketch-first heavy hitters (Misra-Gries + exact recount) -------
+    // the bounded-state alternative to t_top_tokens' full aggregate: one
+    // native TypedImperativeAggregate pass holds <= k counters per
+    // partition (guaranteeing every token above N/(k+1) survives as a
+    // candidate), then only the <= k candidates are recounted exactly and
+    // thresholded at n*k > N — which provably equals the plain
+    // GROUP-BY-HAVING oracle, making the merge-order-dependent sketch
+    // oracle-checkable. k=30 sits below the fixture's 31-word vocabulary,
+    // so eviction waves genuinely fire at every scale factor.
+    ("t_heavy_hitters",
+      (s, d) => TextStats.heavyHitters(t(s, d, "documents"), k = 30)
+        .orderBy("token"),
+      """WITH tok AS (SELECT w AS token
+        |             FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |                   FROM documents) WHERE w <> ''),
+        |  n AS (SELECT COUNT(*) AS n_total FROM tok)
+        | SELECT token, COUNT(*) AS n, (SELECT n_total FROM n) AS n_total
+        | FROM tok GROUP BY token
+        | HAVING COUNT(*) * 30 > (SELECT n_total FROM n)
+        | ORDER BY token""".stripMargin),
+
     // ---- per-source characteristic keywords (tf-idf over sources) -------
     // topTokens reweighted by the cross-source odds-ratio idf: "the" (in
     // every source) sinks, source-specific vocabulary surfaces. Flat window

@@ -508,4 +508,45 @@ class TextPipelineSpec extends AnyFunSuite {
       .select("keep").collect().head.getBoolean(0)
     assert(!strict && relaxed)
   }
+
+  test("MisraGries sketch: <= k counters, contains every item above N/(k+1), lower-bounds") {
+    // 100-word vocabulary, zipf-ish: token i repeated (101-i) times
+    val words = (1 to 100).flatMap(i => Seq.fill(101 - i)(f"w$i%03d"))
+    val n = words.size // 5050
+    val docs = words.grouped(50).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val tokens = docs.select(explode(split(col("text"), " ")).as("token"))
+      .repartition(7) // force multi-partition partial sketches + merges
+    val sketch = tokens
+      .agg(graft.functions.MisraGries.sketch(col("token"), 10).as("s"))
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketch.size <= 10)
+    val trueCounts = (1 to 100).map(i => f"w$i%03d" -> (101 - i).toLong).toMap
+    // guarantee: every token with freq > N/(k+1) is a candidate
+    trueCounts.filter(_._2 > n / 11).keys.foreach(t =>
+      assert(sketch.contains(t), s"missing guaranteed heavy hitter $t"))
+    // counters are lower bounds within N/(k+1) of truth
+    sketch.foreach { case (t, c) =>
+      assert(c <= trueCounts(t), s"$t overcounted")
+      assert(c >= trueCounts(t) - n / 11 - 1, s"$t undercounted beyond the bound")
+    }
+  }
+
+  test("heavyHitters == exact GROUP-BY-HAVING answer, independent of partitioning") {
+    val words = (1 to 40).flatMap(i => Seq.fill(if (i <= 3) 60 else 4)(s"t$i"))
+    val n = words.size // 3*60 + 37*4 = 328
+    val base = words.grouped(20).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    // exact heavy hitters at k=8: freq > 328/8 = 41 -> exactly t1,t2,t3
+    val expected = Set(("t1", 60L, 328L), ("t2", 60L, 328L), ("t3", 60L, 328L))
+    for (parts <- Seq(1, 5, 11)) {
+      val got = TextStats.heavyHitters(base.repartition(parts), k = 8)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected, s"parts=$parts")
+    }
+    assert(n == 328)
+  }
 }
