@@ -45,7 +45,7 @@ object ScaleProbe {
       "removeNearDuplicates", "components", "chunkDedup", "dupSpanRemoval", "containmentPairs",
       "triangleCounts", "qualityFilter", "tokenBudgetMix", "rankDocuments",
       "dsirSelect", "bloomDecontaminate", "perplexityBuckets", "bm25Rank",
-      "bm25Persisted", "cooccurrenceLift")
+      "bm25Persisted", "cooccurrenceLift", "prefixFilterPairs")
     if (docProbes.exists(enabled)) {
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
@@ -111,6 +111,13 @@ object ScaleProbe {
         Dedup.minhashSignatures(Dedup.wordShingles(scaled, 3), 12), 4, 3,
         maxBucket = 64)
       graft.ops.GraphTraversal.triangleCounts(pairs, "id_a", "id_b").count()
+    }
+    timed("prefixFilterPairs (t=0.7)") {
+      // the duplicate-cluster corpus is the worst case the EXACT path must
+      // survive: every 50-copy cluster yields ~cluster² true pairs, so the
+      // output itself is quadratic-in-mult — the probe checks runtime
+      // tracks that inherent output volume, not a hidden all-pairs join
+      Dedup.prefixFilterPairs(Dedup.wordShingles(scaled, 3), 70).count()
     }
     timed("qualityFilter") {
       graft.llm.TextStats.qualityFilter(scaled).count()
@@ -282,7 +289,8 @@ object ScaleProbe {
     // the distinct itself, useless for round-scaling. Here every copy gets
     // its own object (orderkey offset) while subjects stay shared, giving
     // mult x |orders| REAL edges with CL hubs of degree ~mult x orders/cust.
-    val bigGraphProbes = Seq("pageRankDistinct", "componentsDistinct", "trianglesDistinct")
+    val bigGraphProbes = Seq("pageRankDistinct", "componentsDistinct", "trianglesDistinct",
+      "kCoreDistinct", "neighborJaccard")
     if (bigGraphProbes.exists(enabled)) {
     val obo = "http://purl.obolibrary.org/obo/"
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
@@ -303,6 +311,23 @@ object ScaleProbe {
     }
     timed("componentsDistinct") {
       graft.ops.ConnectedComponents.components(edges).count()
+    }
+    timed("kCoreDistinct (k=2)") {
+      // bipartite CL->GO: every GO leaf peels in wave 1, stranding the CL
+      // hubs in wave 2 — constant peel depth at any mult, so the probe
+      // isolates the per-round degree aggregate + endpoint semi-joins at
+      // full edge volume with hub skew
+      graft.ops.GraphTraversal.kCore(edges, k = 2).count()
+    }
+    timed("neighborJaccard (succ graph)") {
+      // successor graph over mult x |orders| fresh keys: degree is constant
+      // (~6), so pair volume and runtime must scale linearly in vertices
+      val vs = (0 until mult).map(k => orders.select(
+        (col("o_orderkey") + lit(k.toLong * orderStride)).as("v"))).reduce(_ union _)
+      val e = (1 to 3).map(dl => vs.select(col("v").as("src"),
+        (col("v") + dl).as("dst"))).reduce(_ union _)
+      graft.ops.GraphTraversal.neighborJaccard(e, minJaccardPct = 20,
+        maxPivotDegree = 50L).count()
     }
     timed("trianglesDistinct") {
       // bipartite CL->GO graph has no triangles; the probe measures the

@@ -696,6 +696,28 @@ object Dedup {
       .select("id_a", "id_b", "edit_dist", "len_a", "len_b", "edit_sim")
   }
 
+  /** Transposition-aware edit verify: the [[editVerify]] companion scoring
+    * candidate pairs with BOTH plain Levenshtein and the unrestricted
+    * Damerau-Levenshtein ([[graft.functions.DamerauLevenshteinExpr]],
+    * native code-point DP) — `lev_dist - dl_dist` is exactly the credit the
+    * pair gets for swapped-adjacent content (word-order typos, OCR swaps),
+    * the class of near-duplicate plain edit distance over-penalizes. All
+    * integer outputs; like every verify tier, candidate pairs ONLY — the
+    * O(n·m) kernel must never meet corpus × corpus.
+    */
+  def damerauVerify(docs: DataFrame, pairs: DataFrame,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val d = docs.select(col(idCol), col(textCol))
+    pairs.select("id_a", "id_b")
+      .join(d.select(col(idCol).as("id_a"), col(textCol).as("text_a")), Seq("id_a"))
+      .join(d.select(col(idCol).as("id_b"), col(textCol).as("text_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.DamerauLevenshtein
+          .damerauLevenshtein(col("text_a"), col("text_b")).as("dl_dist"),
+        levenshtein(col("text_a"), col("text_b")).as("lev_dist"),
+        length(col("text_a")).as("len_a"), length(col("text_b")).as("len_b"))
+  }
+
   /** Sketch-quality measurement: how well a candidate pair set (e.g.
     * [[lshCandidates]]) covers a ground-truth pair set (e.g. [[jaccardPairs]]
     * at the target threshold). One governance row — n_truth, n_candidates,

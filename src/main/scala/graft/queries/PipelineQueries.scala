@@ -505,6 +505,29 @@ object PipelineQueries {
          |             THEN 1.0 - edit_dist / greatest(len_a, len_b, 1) END AS edit_sim
          | FROM sc ORDER BY id_a, id_b""".stripMargin),
 
+    // ---- transposition-aware edit verify (Damerau-Levenshtein) ----------
+    // the d13 companion with the unrestricted (Lowrance-Wagner) DL
+    // distance: lev_dist - dl_dist is the exact credit for swapped-adjacent
+    // content. The engine's native code-point DP meets DuckDB's built-in
+    // damerau_levenshtein — two INDEPENDENT implementations of the same
+    // published algorithm agreeing integer-for-integer on every candidate
+    // pair. All-integer output; candidate pairs only, like every verify
+    // tier.
+    ("d18_damerau_verify",
+      (s, d) => Dedup.damerauVerify(spread(t(s, d, "documents")),
+          Dedup.lshCandidates(sigsShared(s, d), bands = 4, rowsPerBand = 3))
+        .orderBy("id_a", "id_b"),
+      s"""$LshCandCtes,
+         | tx AS (SELECT cand.id_a, cand.id_b, da.text AS text_a, db.text AS text_b
+         |        FROM cand JOIN documents da ON cand.id_a = da.doc_id
+         |                  JOIN documents db ON cand.id_b = db.doc_id)
+         | SELECT id_a, id_b,
+         |        CAST(damerau_levenshtein(text_a, text_b) AS INTEGER) AS dl_dist,
+         |        CAST(levenshtein(text_a, text_b) AS INTEGER) AS lev_dist,
+         |        CAST(length(text_a) AS INTEGER) AS len_a,
+         |        CAST(length(text_b) AS INTEGER) AS len_b
+         | FROM tx ORDER BY id_a, id_b""".stripMargin),
+
     // ---- sketch quality: LSH candidates vs exact-Jaccard ground truth ----
     // the tuning row for bands/rowsPerBand: how many true >=0.2 pairs the
     // sketch surfaces (recall) and how much verify compute it wastes

@@ -286,6 +286,49 @@ object TemporalQueries {
         |        event_id AS kept_event_id
         | FROM pick WHERE rn = 1 ORDER BY k, session_no""".stripMargin),
 
+    // ---- trailing-window anomaly flags ----------------------------------
+    // per-user online outlier detection: each event is flagged when its
+    // value sits more than 3 sigma from the mean of the previous 8 events —
+    // the z² > 9 test cross-multiplied into EXACT integer arithmetic over
+    // cent units ((x·n − S)² > 9·(n·Q − S²), S=Σv, Q=Σv² over the trailing
+    // frame), so no float ever reaches the hashed output. One window
+    // shuffle on user_id computes n/S/Q in a single pass; rows without a
+    // full 8-event history emit NULL (not false — "unknown", a different
+    // governance answer than "normal").
+    ("ts_anomaly_flags",
+      (s, d) => {
+        val ev = TemporalOps.loadEvents(s, d)
+          .select(col("user_id"), col("event_id"), col("ts_us").as("tsn"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("tsn"), col("event_id"))
+          .rowsBetween(-8, -1)
+        ev.withColumn("n_win", count(lit(1)).over(w))
+          .withColumn("s_win", sum(col("cents")).over(w))
+          .withColumn("q_win", sum(col("cents") * col("cents")).over(w))
+          .withColumn("is_anomaly",
+            when(col("n_win") < 8, lit(null).cast("boolean"))
+              .otherwise((col("cents") * 8 - col("s_win")) *
+                  (col("cents") * 8 - col("s_win")) >
+                lit(9L) * (lit(8L) * col("q_win") - col("s_win") * col("s_win"))))
+          .select("user_id", "event_id", "cents", "n_win", "s_win", "is_anomaly")
+          .orderBy("event_id")
+      },
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsn,
+        |                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |  w AS (SELECT user_id, event_id, cents,
+        |               COUNT(*) OVER win AS n_win,
+        |               SUM(cents) OVER win AS s_win,
+        |               SUM(cents * cents) OVER win AS q_win
+        |        FROM e WINDOW win AS (PARTITION BY user_id ORDER BY tsn, event_id
+        |                              ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+        | SELECT user_id, event_id, cents, CAST(n_win AS BIGINT) AS n_win,
+        |        CAST(s_win AS BIGINT) AS s_win,
+        |        CASE WHEN n_win < 8 THEN NULL
+        |             ELSE (cents * 8 - s_win) * (cents * 8 - s_win)
+        |                  > 9 * (8 * q_win - s_win * s_win) END AS is_anomaly
+        | FROM w ORDER BY event_id""".stripMargin),
+
     // ---- first-order Markov transition matrix ---------------------------
     // P(next event type | event type) over each user's time-ordered stream:
     // one LEAD window pass (single shuffle on user_id), then a groupBy whose

@@ -677,6 +677,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Dedup.jaccardPairs(sh, 0.0).count() == 15L)
   }
 
+  test("damerau_levenshtein: unrestricted DL (Lowrance-Wagner), not OSA") {
+    import graft.functions.DamerauLevenshtein.distance
+    // the discriminator: OSA answers 3 for CA->ABC, true DL answers 2
+    assert(distance("CA", "ABC") == 2)
+    assert(distance("ab", "ba") == 1)
+    assert(distance("abcdef", "abdcfe") == 2)
+    assert(distance("kitten", "sitting") == 3) // no transpositions: == levenshtein
+    assert(distance("", "abc") == 3 && distance("abc", "") == 3)
+    assert(distance("same", "same") == 0)
+    // code-point semantics: transposing an astral symbol is ONE edit, not
+    // two surrogate-char edits
+    assert(distance("𝄞a", "a𝄞") == 1)
+  }
+
+  test("damerauVerify scores candidate pairs; SQL registration matches the Scala path") {
+    graft.functions.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT damerau_levenshtein('CA', 'ABC')").head.getInt(0) == 2)
+    // "ratain" -> "retian": one substitution + one DRIFTED transposition —
+    // DL 2 vs levenshtein 3 (DuckDB-verified values)
+    val d = docs(1L -> "they will ratain it", 2L -> "they will retian it",
+      3L -> "totally different words here")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.damerauVerify(d, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getInt(3))).toMap
+    assert(got((1L, 2L)) == ((2, 3)))
+    val (dl13, lev13) = got((1L, 3L))
+    assert(dl13 <= lev13 && dl13 > 10)
+  }
+
   test("prefixFilterPairs: exact completeness — equals all-pairs Jaccard at the threshold") {
     val d = docs(
       (0L, "the quick brown fox jumps over the lazy dog today"),
