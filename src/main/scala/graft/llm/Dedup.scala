@@ -224,15 +224,23 @@ object Dedup {
 
   def prefixFilterPairs(shingles: DataFrame, minJaccardPct: Int): DataFrame = {
     val candidates = prefixFilterCandidates(shingles, minJaccardPct)
-    val docSets = shingles.groupBy("id")
-      .agg(sort_array(collect_set(col("shingle"))).as("toks"),
-        count(lit(1)).as("n"))
-    candidates
-      .join(docSets.select(col("id").as("id_a"), col("toks").as("toks_a"),
-        col("n").as("n_a")), Seq("id_a"))
-      .join(docSets.select(col("id").as("id_b"), col("toks").as("toks_b"),
-        col("n").as("n_b")), Seq("id_b"))
-      .withColumn("n_inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+    // verify by STREAMING posting joins, not per-pair token arrays: a
+    // collect_set/array_intersect verify carries two fat arrays on every
+    // candidate row — at duplicate-cluster volumes (pairs ~ cluster², each
+    // dragging 2·|doc| tokens) that shape OOMed the 100× probe. Expanding
+    // each candidate by side A's tokens and semi-matching side B on
+    // (id_b, shingle) keeps every row skinny and every operator a
+    // spill-able equi-join/aggregate; n_inter >= 1 by construction
+    // (candidates share a prefix token), so the inner joins lose no pair.
+    val sizes = shingles.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = candidates
+      .join(shingles.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(shingles.select(col("id").as("id_b"), col("shingle")).hint("merge"),
+        Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
       .filter(col("n_inter") * 100 >=
         lit(minJaccardPct) * (col("n_a") + col("n_b") - col("n_inter")))
       .select("id_a", "id_b", "n_inter", "n_a", "n_b")

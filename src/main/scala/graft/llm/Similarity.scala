@@ -385,6 +385,61 @@ object Similarity {
       .select(quantize(col(embCol), scale).as("qc"))
       .collect().map(_.getSeq[Long](0).toSeq).toSeq
 
+  /** Distributed Lloyd's k-means over quantized embeddings, EXACT across
+    * engines: assignment is integer argmin of squared L2 (ties to the
+    * lowest cell — the [[graft.functions.CellAssign]] contract, as a native
+    * codegen map-side kernel over broadcast-literal centroids), and the
+    * centroid update is the truncating integer division sum/count per
+    * dimension (Java and DuckDB `//` agree on truncation toward zero), so
+    * every round is bit-reproducible and the whole loop meets an unrolled
+    * SQL oracle — the property float k-means can never have.
+    *
+    * Initial centroids are the quantized corpus prefix (vec_id < k), the
+    * deterministic offline-quantizer convention shared with IVF/PQ. A cell
+    * that loses every member keeps its previous centroid.
+    *
+    * Scale shape per round: ONE corpus scan for assignment (no join — the
+    * centroid matrix rides as a codegen reference object) + one partial-
+    * combined (cell, dim) sum whose k·d result is a driver-bounded model
+    * artifact (the codebook discipline); the corpus is never reshuffled
+    * and never holds per-round lineage. Output: (vec_id, cell, dist2) —
+    * final assignment against the round-`rounds` centroids with the exact
+    * integer squared distance.
+    */
+  def kmeansLloyd(vectors: DataFrame, k: Int, rounds: Int,
+                  idCol: String = "vec_id", embCol: String = "embedding",
+                  scale: Int = 1000): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rounds >= 0, s"rounds must be >= 0: $rounds")
+    val q = vectors.select(col(idCol).as("vec_id"), quantize(col(embCol), scale).as("qv"))
+    var cents: Seq[Seq[Long]] = collectQuantizedCentroids(vectors, k, idCol, embCol, scale)
+    require(cents.size == k, s"corpus needs $k prefix vectors ($idCol < $k) to seed, " +
+      s"found ${cents.size}")
+    var r = 0
+    while (r < rounds) {
+      val sums = q
+        .withColumn("cell", graft.functions.CellAssign.assignCol(col("qv"), cents))
+        .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect() // k·d rows — bounded model artifact, never corpus-sized
+      val byCell = sums.groupBy(_.getInt(0))
+      cents = (0 until k).map { c =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1)).map(row => row.getLong(2) / row.getLong(3)).toSeq
+          case None => cents(c) // emptied cell keeps its centroid
+        }
+      }
+      r += 1
+    }
+    val centArr = array(cents.map(c => typedlit(c)): _*)
+    q.withColumn("cell", graft.functions.CellAssign.assignCol(col("qv"), cents))
+      .withColumn("ce", element_at(centArr, col("cell") + 1))
+      .select(col("vec_id"), col("cell"),
+        (dotLong(col("qv"), col("qv")) - lit(2L) * dotLong(col("qv"), col("ce")) +
+          dotLong(col("ce"), col("ce"))).as("dist2"))
+  }
+
   /** Product-quantization codebooks from the corpus prefix: codebook m's
     * `numCodewords` codewords are the first vectors' m-th contiguous
     * subvector slices — the same offline-quantizer convention as

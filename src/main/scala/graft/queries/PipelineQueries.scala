@@ -744,6 +744,50 @@ object PipelineQueries {
     // hence the DuckDB oracle. The KMeans-fit variant ([[Similarity.ivfTopK]])
     // stays covered by the recall spec in LlmOpsSpec (centroids are
     // engine-internal, inherently not oracle-expressible).
+    // ---- Lloyd's k-means, exact across engines --------------------------
+    // 2 full assignment+update rounds at k=8 over the quantized embedding
+    // corpus: integer argmin assignment (ties to lowest cell) and
+    // truncating-division centroid updates make every round bit-exact, so
+    // the ITERATIVE clustering loop itself meets an unrolled SQL oracle
+    // (the g_pagerank discipline applied to k-means — float k-means could
+    // never be hash-checked). Engine side: per round ONE map-side codegen
+    // assignment scan (centroids ride as a reference object, no join) +
+    // one k·d-row partial-combined sum collected as a model artifact.
+    ("sim_kmeans_lloyd",
+      (s, d) => Similarity.kmeansLloyd(t(s, d, "embeddings"), k = 8, rounds = 2)
+        .orderBy("vec_id"),
+      {
+        def dist(v: String, c: String) =
+          s"list_dot_product($v, $v) - 2*list_dot_product($v, $c) + list_dot_product($c, $c)"
+        def round(r: Int) =
+          s""",
+             | a$r AS MATERIALIZED (SELECT vec_id, cv, cell FROM (
+             |     SELECT corp.vec_id, corp.cv, c.cell,
+             |            ROW_NUMBER() OVER (PARTITION BY corp.vec_id
+             |              ORDER BY ${dist("corp.cv", "c.ce")}, c.cell) AS rn
+             |     FROM corp CROSS JOIN c${r - 1} c) WHERE rn = 1),
+             | u$r AS MATERIALIZED (SELECT cell, i AS pos,
+             |            CAST(SUM(cv[i]) AS BIGINT) AS s, COUNT(*) AS n
+             |       FROM a$r, LATERAL (SELECT unnest(generate_series(1, len(cv))) AS i) g
+             |       GROUP BY cell, i),
+             | n$r AS MATERIALIZED (SELECT cell, list(s // n ORDER BY pos) AS ce
+             |       FROM u$r GROUP BY cell),
+             | c$r AS MATERIALIZED (SELECT c${r - 1}.cell, COALESCE(n$r.ce, c${r - 1}.ce) AS ce
+             |       FROM c${r - 1} LEFT JOIN n$r USING (cell))"""
+        s"""WITH corp AS MATERIALIZED (SELECT vec_id,
+           |        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS cv
+           |      FROM embeddings),
+           | c0 AS MATERIALIZED (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+           |        cv AS ce FROM corp WHERE vec_id < 8)${round(1)}${round(2)}
+           | SELECT vec_id, cell, CAST(${"dist2"} AS BIGINT) AS dist2 FROM (
+           |   SELECT vec_id, cell, dist2 FROM (
+           |     SELECT corp.vec_id, c.cell, ${dist("corp.cv", "c.ce")} AS dist2,
+           |            ROW_NUMBER() OVER (PARTITION BY corp.vec_id
+           |              ORDER BY ${dist("corp.cv", "c.ce")}, c.cell) AS rn
+           |     FROM corp CROSS JOIN c2 c) WHERE rn = 1)
+           | ORDER BY vec_id""".stripMargin
+      }),
+
     ("sim_ivf_topk",
       (s, d) => {
         val e = t(s, d, "embeddings")

@@ -677,6 +677,42 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Dedup.jaccardPairs(sh, 0.0).count() == 15L)
   }
 
+  test("kmeansLloyd: hand-computed round, truncating-mean centroids, partition-invariant") {
+    val vecs = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(1f, 1f)), (2L, Seq(0.1f, 0f)),
+      (3L, Seq(0.9f, 1f)), (4L, Seq(0f, 0.2f)), (5L, Seq(1f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    // seeds (0,0) and (1000,1000); round 1 assigns {0,2,4} / {1,3,5};
+    // truncated means -> c0=(33,66), c1=(966,933); v0 dist2 = 33²+66² = 5445
+    for (parts <- Seq(1, 4)) {
+      val got = Similarity.kmeansLloyd(vecs.repartition(parts), k = 2, rounds = 1)
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+      assert(got.view.mapValues(_._1).toMap ==
+        Map(0L -> 0, 1L -> 1, 2L -> 0, 3L -> 1, 4L -> 0, 5L -> 1), s"parts=$parts")
+      assert(got(0L)._2 == 33L * 33 + 66L * 66, s"parts=$parts")
+    }
+  }
+
+  test("kmeansLloyd: an emptied cell keeps its centroid (and can win it back)") {
+    // duplicate seeds: every point ties to cell 0 in round 1, cell 1 keeps
+    // (0,0); after the update moves c0 to the truncated mean, the origin
+    // points re-assign to the UNMOVED cell-1 centroid at distance 0
+    val vecs = Seq((0L, Seq(0f, 0f)), (1L, Seq(0f, 0f)), (2L, Seq(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kmeansLloyd(vecs, k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(got(0L) == ((1, 0L)) && got(1L) == ((1, 0L)))
+    assert(got(2L)._1 == 0)
+  }
+
+  test("kmeansLloyd rounds=0 assigns against the raw prefix seeds") {
+    val vecs = Seq((0L, Seq(0f, 0f)), (1L, Seq(1f, 1f)), (2L, Seq(0.9f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kmeansLloyd(vecs, k = 2, rounds = 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 1))
+  }
+
   test("damerau_levenshtein: unrestricted DL (Lowrance-Wagner), not OSA") {
     import graft.functions.DamerauLevenshtein.distance
     // the discriminator: OSA answers 3 for CA->ABC, true DL answers 2
