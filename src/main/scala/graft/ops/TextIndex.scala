@@ -163,6 +163,34 @@ object TextIndex {
     tokens.filter(col("token") === lower(lit(query)) || col("token") === lit(query))
       .select("collection", "key", "field", "analyzer").distinct()
 
+  /** Exact phrase search over whitespace tokens: documents containing the
+    * words of `phrase` at CONSECUTIVE positions (lowercased match), with
+    * the occurrence count. The positional-index query a term-only inverted
+    * index cannot answer — "slow hash batch" as a phrase, not a bag.
+    *
+    * Plan shape: the corpus tokenizes once into a positional posting table;
+    * each phrase word filters that table to ITS postings (term equality
+    * pushes into the scan/generate stage — non-matching tokens never reach
+    * a shuffle) and chains one equi-join on (doc, pos − offset). Join input
+    * sizes are per-term posting lists — the classic intersect-by-position
+    * merge, every row skinny, no arrays; a w-word phrase costs w−1
+    * posting-list equi-joins regardless of corpus size.
+    */
+  def phraseMatch(docs: DataFrame, phrase: Seq[String],
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(phrase.nonEmpty, "phraseMatch: phrase must be non-empty")
+    val toks = docs.select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")), " ")).as(Seq("pos", "w")))
+      .select(col(idCol), col("pos"), lower(col("w")).as("w"))
+    def postings(word: String) = toks.filter(col("w") === word.toLowerCase)
+    val first = postings(phrase.head).select(col(idCol), col("pos"))
+    phrase.zipWithIndex.drop(1).foldLeft(first) { case (acc, (word, i)) =>
+      acc.join(postings(word).select(col(idCol), (col("pos") - i).as("pos")),
+        Seq(idCol, "pos"))
+    }
+      .groupBy(idCol).agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** Ranked multi-term retrieval over the `text_en` analyzer: top-`k`
     * documents by a deterministic integer tf-idf. Query terms are stemmed
     * ENGINE-side with the same [[stemEn]] the index uses (so "develops"

@@ -1133,6 +1133,28 @@ object PipelineQueries {
     // literal stems make the oracle stricter, not weaker. Score = summed
     // round(tf*(2N-2df+1)*1e6/(2df+1)) — exact-integer BM25 odds ratio
     // (log-free: libm ln is not bit-portable; see TextIndex.rankDocuments).
+    // ---- positional phrase search ---------------------------------------
+    // the query a term-only inverted index cannot answer: docs containing
+    // "slow hash batch" as CONSECUTIVE words, with occurrence counts.
+    // Engine: per-term posting filters + chained (doc, pos−offset)
+    // equi-joins — the positional intersect merge; w−1 skinny joins for a
+    // w-word phrase, term filters pushed below every exchange.
+    ("x1_phrase_match",
+      (s, d) => TextIndex.phraseMatch(t(s, d, "documents"),
+          Seq("slow", "hash", "batch"))
+        .orderBy("doc_id"),
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+        |           FROM documents),
+        | tok AS (SELECT doc_id, i AS pos, words[i] AS w FROM w,
+        |         LATERAL (SELECT unnest(generate_series(1, len(w.words))) AS i) g),
+        | p0 AS (SELECT doc_id, pos FROM tok WHERE w = 'slow'),
+        | p1 AS (SELECT p0.doc_id, p0.pos FROM p0 JOIN tok t
+        |        ON t.doc_id = p0.doc_id AND t.pos = p0.pos + 1 AND t.w = 'hash'),
+        | p2 AS (SELECT p1.doc_id, p1.pos FROM p1 JOIN tok t
+        |        ON t.doc_id = p1.doc_id AND t.pos = p1.pos + 2 AND t.w = 'batch')
+        | SELECT doc_id, COUNT(*) AS n_occurrences
+        | FROM p2 GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     ("x1_search_rank",
       (s, d) => TextIndex.rankDocuments(t(s, d, "documents"),
           Seq("joins", "vector", "the"), k = 10)

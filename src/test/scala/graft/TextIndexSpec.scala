@@ -345,4 +345,25 @@ class TextIndexSpec extends AnyFunSuite {
     // the stem is also a 9-char edge-ngram prefix -> text_en + no_stem hit
     assert(TextIndex.search(tokens, "macrophag").count() == 2)
   }
+
+  test("phraseMatch: consecutive-position semantics, overlaps, case, bag-vs-phrase") {
+    val docs = Seq(
+      (1L, "the Slow hash batch runs"),       // one occurrence (case-folded)
+      (2L, "batch hash slow"),                // bag match only -> NOT a phrase hit
+      (3L, "slow hash batch slow hash batch"),// two occurrences
+      (4L, "slow hash"),                      // incomplete phrase
+      (5L, "a a a a")                         // overlap probe for the 2-gram below
+    ).toDF("doc_id", "text")
+    val got = TextIndex.phraseMatch(docs, Seq("slow", "hash", "batch"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 3L -> 2L))
+    // overlapping occurrences each count: "a a" occurs at positions 0,1,2
+    val overlaps = TextIndex.phraseMatch(docs, Seq("a", "a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(overlaps == Map(5L -> 3L))
+    // single-word phrase degenerates to term lookup with counts
+    val single = TextIndex.phraseMatch(docs, Seq("slow"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(single == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
 }
