@@ -190,7 +190,7 @@ object ScaleProbe {
     // similarity path at the same multiplier: exact copies (even k) again
     // stress bucket fan-out; odd copies get one element nudged
     val vecProbes = Seq("cosineDupPairs", "lshTopK", "ivfTopK", "semanticDedup",
-      "pqTopK", "ivfPqTopK", "sqTopK")
+      "pqTopK", "ivfPqTopK", "sqTopK", "kmeansLloyd")
     if (vecProbes.exists(enabled)) {
     val baseV = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
@@ -235,6 +235,11 @@ object ScaleProbe {
       val (mins, maxs) = graft.llm.Similarity.collectScalarQuantStats(vecs)
       graft.llm.Similarity.sqTopK(
         vecs.filter(col("vec_id") < 64), vecs, k = 5, mins, maxs).count()
+    }
+    timed("kmeansLloyd (k=16, 3 rounds)") {
+      // per round: one codegen assignment scan + one k*d-row summary sum;
+      // runtime must scale linearly in vectors with a flat per-round cost
+      graft.llm.Similarity.kmeansLloyd(vecs, k = 16, rounds = 3).count()
     }
     timed("semanticDedup (64 cells, tau=0.95)") {
       // 64 cells over mult x 2000 vectors: cells of ~(n/64) with the exact

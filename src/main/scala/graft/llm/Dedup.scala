@@ -222,28 +222,70 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
-  def prefixFilterPairs(shingles: DataFrame, minJaccardPct: Int): DataFrame = {
-    val candidates = prefixFilterCandidates(shingles, minJaccardPct)
+  def prefixFilterPairs(shingles: DataFrame, minJaccardPct: Int,
+                        cp: graft.ops.Checkpointer = graft.ops.Checkpointer.Auto): DataFrame = {
+    // EXACT-DUPLICATE COLLAPSE before the quadratic stage: on a corpus with
+    // e-sized classes of identical token sets, every prefix token's df
+    // multiplies by e, so the candidate join emits Σ df² ≈ e² × the
+    // collapsed volume — measured as an OOM at the 100× duplicate-cluster
+    // probe (1.5G candidate rows pre-distinct). Since Jaccard depends only
+    // on the token SET, one representative per class carries every class
+    // member's verdict: run the prefix filter on representatives, then
+    // expand (a) cross-class rep pairs to member pairs and (b) within-class
+    // pairs (identical sets — Jaccard 1, always ≥ the threshold) purely by
+    // output-bounded joins. Output is IDENTICAL to running the algorithm
+    // directly — the class signature is md5 over the sorted token set, and
+    // n_inter/n_a/n_b are set-level quantities shared by the whole class.
+    // sig/repShingles feed 2 and 4 downstream consumers respectively, and
+    // their shared upstream is the corpus-scale shingle distinct: without
+    // materialization each consumer re-executes that shuffle (measured as
+    // a disk-exhausting 4-5x spill multiplier at the 100x probe). sig is
+    // doc-sized; repShingles is the COLLAPSED posting table — the
+    // Checkpointer trade the iterative operators already make (reliable
+    // files on a cluster, local blocks in local[] mode).
+    val sig = cp(shingles.groupBy("id")
+      .agg(md5(concat_ws("\u0000", sort_array(collect_set(col("shingle"))))).as("sig")))
+    val classes = sig.groupBy("sig").agg(min(col("id")).as("rep"))
+    val members = sig.join(classes, Seq("sig")) // (id, sig, rep)
+    val repShingles = cp(shingles
+      .join(classes.select(col("rep").as("id")), Seq("id"), "left_semi"))
+
+    val candidates = prefixFilterCandidates(repShingles, minJaccardPct)
     // verify by STREAMING posting joins, not per-pair token arrays: a
     // collect_set/array_intersect verify carries two fat arrays on every
-    // candidate row — at duplicate-cluster volumes (pairs ~ cluster², each
-    // dragging 2·|doc| tokens) that shape OOMed the 100× probe. Expanding
-    // each candidate by side A's tokens and semi-matching side B on
-    // (id_b, shingle) keeps every row skinny and every operator a
-    // spill-able equi-join/aggregate; n_inter >= 1 by construction
-    // (candidates share a prefix token), so the inner joins lose no pair.
-    val sizes = shingles.groupBy("id").agg(count(lit(1)).as("n"))
+    // candidate row; expanding side A's tokens and semi-matching side B on
+    // (id_b, shingle) keeps rows skinny and every operator a spill-able
+    // equi-join/aggregate. n_inter >= 1 by construction (candidates share
+    // a prefix token), so the inner joins lose no pair.
+    val sizes = repShingles.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = candidates
-      .join(shingles.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
-      .join(shingles.select(col("id").as("id_b"), col("shingle")).hint("merge"),
+      .join(repShingles.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(repShingles.select(col("id").as("id_b"), col("shingle")).hint("merge"),
         Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    inter
+    val repPairs = inter
       .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
       .filter(col("n_inter") * 100 >=
         lit(minJaccardPct) * (col("n_a") + col("n_b") - col("n_inter")))
-      .select("id_a", "id_b", "n_inter", "n_a", "n_b")
+
+    // (a) cross-class expansion: every (member of rep_a) × (member of rep_b)
+    val cross = repPairs
+      .join(members.select(col("rep").as("id_a"), col("id").as("ma")), Seq("id_a"))
+      .join(members.select(col("rep").as("id_b"), col("id").as("mb")), Seq("id_b"))
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"),
+        col("n_inter"), col("n_a"), col("n_b"))
+    // (b) within-class pairs: identical sets, n_inter = n_a = n_b = |set|.
+    // The self-join on sig is output-bounded (class² IS the true pair
+    // count) and the size lookup joins on the class representative.
+    val within = members.select(col("sig"), col("rep"), col("id").as("ma"))
+      .join(members.select(col("sig"), col("id").as("mb")).hint("merge"), Seq("sig"))
+      .filter(col("ma") < col("mb"))
+      .join(sizes.select(col("id").as("rep"), col("n")), Seq("rep"))
+      .select(col("ma").as("id_a"), col("mb").as("id_b"),
+        col("n").as("n_inter"), col("n").as("n_a"), col("n").as("n_b"))
+    cross.unionByName(within)
   }
 
   /** Portable shingle hash j: 8 hex chars of md5("<j/4>:<s>") at piece j%4 —
