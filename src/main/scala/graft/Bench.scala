@@ -409,9 +409,15 @@ object Bench {
 
     // ---- per-query regression budget against round-stamped history ------
     // bench_history/ keeps one full per-query file per (commit, sf); a
-    // query regresses when its CALIBRATION-NORMALIZED time exceeds 2x the
-    // median of its history (raw seconds would false-flag on the box's
-    // documented ~2x session drift). Sub-second queries are never flagged —
+    // query regresses when it exceeds 2x its history median under BOTH
+    // normalizations — calibration-scaled (raw seconds alone would
+    // false-flag on the box's documented ~2x session drift) AND raw
+    // (calibration scaling alone false-flags every WALL-CLOCK-bound query,
+    // e.g. the micro-batch streaming replays whose trigger-bound ~5 s is
+    // invariant to CPU speed, whenever the box speeds up between rounds —
+    // observed as 9 phantom streaming flags at cal 1.6 vs a cal ~3
+    // history). A real regression trips both; either drift mode alone
+    // trips only one. Sub-second queries are never flagged —
     // codegen-compile jitter dominates there. Both the flags and the
     // history write are best-effort: they can never fail the bench.
     val histDir = new java.io.File("bench_history")
@@ -419,6 +425,7 @@ object Bench {
       if (!histDir.isDirectory) "{}" else {
         val omap = new com.fasterxml.jackson.databind.ObjectMapper()
         val hist = scala.collection.mutable.Map.empty[String, List[Double]]
+        val histRaw = scala.collection.mutable.Map.empty[String, List[Double]]
         for (f <- histDir.listFiles().filter(_.getName.endsWith(".json")).sortBy(_.getName)) {
           try {
             val root = omap.readTree(java.nio.file.Files.readAllBytes(f.toPath))
@@ -429,16 +436,21 @@ object Bench {
               val it = q.fields()
               while (it.hasNext) {
                 val e = it.next(); val v = e.getValue.asDouble()
-                if (v >= 0) hist(e.getKey) = (v / cal) :: hist.getOrElse(e.getKey, Nil)
+                if (v >= 0) {
+                  hist(e.getKey) = (v / cal) :: hist.getOrElse(e.getKey, Nil)
+                  histRaw(e.getKey) = v :: histRaw.getOrElse(e.getKey, Nil)
+                }
               }
             }
           } catch { case _: Throwable => () }
         }
         results.collect {
           case (name, sec, _, None, _) if sec > 1.0 && hist.contains(name) &&
-              sec / calibration > 2 * median(hist(name)) =>
+              sec / calibration > 2 * median(hist(name)) &&
+              sec > 2 * median(histRaw(name)) =>
             jstr(name) + s""":{"current":${jnum(sec)},"hist_median_scaled":${
-              jnum(median(hist(name)) * calibration)}}"""
+              jnum(median(hist(name)) * calibration)},"hist_median_raw":${
+              jnum(median(histRaw(name)))}}"""
         }.mkString("{", ",", "}")
       }
     } catch { case _: Throwable => "{}" }

@@ -257,15 +257,21 @@ object Dedup {
     // (id_b, shingle) keeps rows skinny and every operator a spill-able
     // equi-join/aggregate. n_inter >= 1 by construction (candidates share
     // a prefix token), so the inner joins lose no pair.
+    // length filter BEFORE the expansion join (canonical AllPairs pruning,
+    // exactness-preserving: jacc >= t forces t·|B| <= |A| <= |B|/t, so a
+    // length-incompatible candidate can never verify) — sizes are doc-count
+    // rows, so this join is cheap relative to the token expansion it prunes
     val sizes = repShingles.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = candidates
+    val lengthOk = candidates
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .filter(col("n_a") * 100 >= lit(minJaccardPct) * col("n_b") &&
+        col("n_b") * 100 >= lit(minJaccardPct) * col("n_a"))
+    val repPairs = lengthOk
       .join(repShingles.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
       .join(repShingles.select(col("id").as("id_b"), col("shingle")).hint("merge"),
         Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    val repPairs = inter
-      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("n_inter"))
       .filter(col("n_inter") * 100 >=
         lit(minJaccardPct) * (col("n_a") + col("n_b") - col("n_inter")))
 
