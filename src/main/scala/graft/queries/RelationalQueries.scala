@@ -551,6 +551,44 @@ object RelationalQueries {
         |        CAST(SUM(COALESCE(length(value), 0)) AS BIGINT) AS total_len
         | FROM st GROUP BY col_name ORDER BY col_name""".stripMargin),
 
+    // ---- join-key skew report -------------------------------------------
+    // the pre-join diagnostic that decides salting/AQE-skew handling: the
+    // per-key count distribution of a join key (events.user_id), reduced
+    // to exact n_keys / max / median / p99. Exact ranks WITHOUT a global
+    // sort: the per-key counts collapse into a counts-of-counts summary
+    // (bounded by distinct count VALUES, not keys — the exactQuantiles
+    // discipline), the cumulative window runs over that summary only, and
+    // the final row is a conditional aggregate. Feed g_degree_hist's
+    // histogram when the full shape is wanted; this row is the
+    // decision-sized version.
+    ("s15_key_skew_report",
+      (s, d) => {
+        val counts = t(s, d, "events").groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        val summary = counts.groupBy("cnt").agg(count(lit(1)).as("freq"))
+        val cum = summary.withColumn("cum",
+          sum(col("freq")).over(Window.orderBy(col("cnt"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val totals = summary.agg(sum(col("freq")).as("n_keys"),
+          max(col("cnt")).as("max_cnt"))
+        cum.crossJoin(broadcast(totals))
+          .agg(max(col("n_keys")).as("n_keys"),
+            max(col("max_cnt")).as("max_cnt"),
+            min(when(col("cum") * 2 >= col("n_keys"), col("cnt"))).as("median_cnt"),
+            min(when(col("cum") * 100 >= col("n_keys") * 99, col("cnt"))).as("p99_cnt"))
+      },
+      """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+        |  s AS (SELECT cnt, COUNT(*) AS freq FROM c GROUP BY 1),
+        |  cum AS (SELECT cnt, freq,
+        |          SUM(freq) OVER (ORDER BY cnt ROWS UNBOUNDED PRECEDING) AS cum
+        |          FROM s),
+        |  t AS (SELECT CAST(SUM(freq) AS BIGINT) AS n_keys, MAX(cnt) AS max_cnt FROM s)
+        | SELECT t.n_keys, t.max_cnt,
+        |        CAST(MIN(CASE WHEN cum * 2 >= t.n_keys THEN cnt END) AS BIGINT)
+        |          AS median_cnt,
+        |        CAST(MIN(CASE WHEN cum * 100 >= t.n_keys * 99 THEN cnt END) AS BIGINT)
+        |          AS p99_cnt
+        | FROM cum, t GROUP BY t.n_keys, t.max_cnt""".stripMargin),
+
     // ---- incremental aggregate maintenance ------------------------------
     // the never-rescan-the-corpus discipline: a pre-aggregated base
     // partition merges with a delta batch's partial aggregate by SUM/COUNT

@@ -364,6 +364,68 @@ object TemporalQueries {
         |        CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS from_total
         | FROM tr ORDER BY from_type, to_type""".stripMargin),
 
+    // ---- per-session path mining (top event-type trigrams) --------------
+    // behavioral sequence mining: sessionize (30-min gap), read each
+    // session's time-ordered event-type stream, and count every
+    // CONSECUTIVE type trigram corpus-wide — top 20 paths. Two LEAD
+    // passes ride the SAME (user) window exchange as the sessionization;
+    // the count output is bounded by |types|³ and the top-k is a 20-row
+    // window over it. Paths never cross a session boundary (the LEADs
+    // partition by (user, session)).
+    ("ts_path_ngrams",
+      (s, d) => {
+        val e = TemporalOps.loadEvents(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("ts_us").as("tsn"))
+        val sess = TemporalOps.sessionize(e, keyCol = "user_id", tsCol = "tsn",
+          gap = 1800000000L, tieCol = "event_id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("session_no"))
+          .orderBy(col("tsn"), col("event_id"))
+        val tri = sess
+          .withColumn("t2", lead(col("event_type"), 1).over(w))
+          .withColumn("t3", lead(col("event_type"), 2).over(w))
+          .filter(col("t2").isNotNull && col("t3").isNotNull)
+          .groupBy(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+          .agg(count(lit(1)).as("n"))
+        // two-level top-k (the TextStats.groupedTopK discipline): per-bucket
+        // pre-top-20 bounds every window partition, so the global rank runs
+        // on <= 64*20 rows even if the type vocabulary explodes — never an
+        // unpartitioned window over a data-sized table
+        val wb = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bkt")).orderBy(col("n").desc, col("path"))
+        val wr = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("path"))
+        tri.withColumn("bkt", pmod(xxhash64(col("path")), lit(64)))
+          .withColumn("r1", row_number().over(wb))
+          .filter(col("r1") <= 20)
+          .withColumn("rank", row_number().over(wr))
+          .filter(col("rank") <= 20)
+          .select(col("path"), col("n"), col("rank"))
+          .orderBy("rank")
+      },
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsn
+        |           FROM events),
+        |  lagd AS (SELECT *, LAG(tsn) OVER (PARTITION BY user_id
+        |                                    ORDER BY tsn, event_id) AS prev FROM e),
+        |  flag AS (SELECT *, CASE WHEN prev IS NULL OR tsn - prev > 1800000000
+        |                          THEN 1 ELSE 0 END AS new_s FROM lagd),
+        |  sess AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+        |                                      ORDER BY tsn, event_id
+        |                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        |           FROM flag),
+        |  tri AS (SELECT event_type AS t1,
+        |                 LEAD(event_type, 1) OVER win AS t2,
+        |                 LEAD(event_type, 2) OVER win AS t3
+        |          FROM sess WINDOW win AS (PARTITION BY user_id, session_no
+        |                                   ORDER BY tsn, event_id)),
+        |  cnt AS (SELECT t1 || '>' || t2 || '>' || t3 AS path, COUNT(*) AS n
+        |          FROM tri WHERE t2 IS NOT NULL AND t3 IS NOT NULL GROUP BY 1),
+        |  rk AS (SELECT path, n, ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rank
+        |         FROM cnt)
+        | SELECT path, n, CAST(rank AS INTEGER) AS rank
+        | FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin),
+
     // ---- retention cohorts ----------------------------------------------
     // cohort = each user's first-activity day; cell (cohort_day, day_offset)
     // counts distinct users from that cohort active that many days later —
