@@ -408,7 +408,19 @@ object Similarity {
     */
   def kmeansLloyd(vectors: DataFrame, k: Int, rounds: Int,
                   idCol: String = "vec_id", embCol: String = "embedding",
-                  scale: Int = 1000): DataFrame = {
+                  scale: Int = 1000): DataFrame =
+    kmeansLloydWithStats(vectors, k, rounds, idCol, embCol, scale)._1
+
+  /** [[kmeansLloyd]] plus the number of update rounds actually executed
+    * (the pageRankWithStats observability surface). The loop stops EARLY
+    * at a centroid fixpoint: integer centroids can only change when some
+    * assignment changed, so an unchanged centroid seq means every later
+    * round is identical — `rounds` becomes a budget, not a fixed cost
+    * (exactness is unaffected: the update is idempotent at the fixpoint).
+    */
+  def kmeansLloydWithStats(vectors: DataFrame, k: Int, rounds: Int,
+                           idCol: String = "vec_id", embCol: String = "embedding",
+                           scale: Int = 1000): (DataFrame, Int) = {
     require(k >= 1, s"k must be >= 1: $k")
     require(rounds >= 0, s"rounds must be >= 0: $rounds")
     val q = vectors.select(col(idCol).as("vec_id"), quantize(col(embCol), scale).as("qv"))
@@ -416,28 +428,30 @@ object Similarity {
     require(cents.size == k, s"corpus needs $k prefix vectors ($idCol < $k) to seed, " +
       s"found ${cents.size}")
     var r = 0
-    while (r < rounds) {
+    var converged = false
+    while (r < rounds && !converged) {
       val sums = q
         .withColumn("cell", graft.functions.CellAssign.assignCol(col("qv"), cents))
         .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
         .groupBy("cell", "pos").agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
         .collect() // k·d rows — bounded model artifact, never corpus-sized
       val byCell = sums.groupBy(_.getInt(0))
-      cents = (0 until k).map { c =>
+      val next = (0 until k).map { c =>
         byCell.get(c) match {
           case Some(rows) =>
             rows.sortBy(_.getInt(1)).map(row => row.getLong(2) / row.getLong(3)).toSeq
           case None => cents(c) // emptied cell keeps its centroid
         }
       }
-      r += 1
+      if (next == cents) converged = true else { cents = next; r += 1 }
     }
     val centArr = array(cents.map(c => typedlit(c)): _*)
-    q.withColumn("cell", graft.functions.CellAssign.assignCol(col("qv"), cents))
+    val out = q.withColumn("cell", graft.functions.CellAssign.assignCol(col("qv"), cents))
       .withColumn("ce", element_at(centArr, col("cell") + 1))
       .select(col("vec_id"), col("cell"),
         (dotLong(col("qv"), col("qv")) - lit(2L) * dotLong(col("qv"), col("ce")) +
           dotLong(col("ce"), col("ce"))).as("dist2"))
+    (out, r)
   }
 
   /** Product-quantization codebooks from the corpus prefix: codebook m's

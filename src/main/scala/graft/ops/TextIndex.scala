@@ -191,6 +191,32 @@ object TextIndex {
       .groupBy(idCol).agg(count(lit(1)).as("n_occurrences"))
   }
 
+  /** Proximity search: documents where `termA` and `termB` occur within
+    * `window` positions of each other (either order), with the qualifying
+    * pair count and the closest gap. The "near" operator completing the
+    * positional family ([[phraseMatch]] is the adjacent-ordered special
+    * case).
+    *
+    * Plan shape: two term-filtered posting lists equi-join on the doc key
+    * with a residual |Δpos| ≤ window filter — per-doc fan-out is
+    * occ_A × occ_B of two SPECIFIC terms, never a corpus range join.
+    */
+  def proximityMatch(docs: DataFrame, termA: String, termB: String, window: Int,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(window >= 1, s"proximityMatch: window must be >= 1: $window")
+    val toks = docs.select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")), " ")).as(Seq("pos", "w")))
+      .select(col(idCol), col("pos"), lower(col("w")).as("w"))
+    val a = toks.filter(col("w") === termA.toLowerCase)
+      .select(col(idCol), col("pos").as("pos_a"))
+    val b = toks.filter(col("w") === termB.toLowerCase)
+      .select(col(idCol), col("pos").as("pos_b"))
+    a.join(b, Seq(idCol))
+      .filter(abs(col("pos_a") - col("pos_b")) <= window)
+      .groupBy(idCol).agg(count(lit(1)).as("n_near"),
+        min(abs(col("pos_a") - col("pos_b"))).cast("long").as("min_gap"))
+  }
+
   /** Ranked multi-term retrieval over the `text_en` analyzer: top-`k`
     * documents by a deterministic integer tf-idf. Query terms are stemmed
     * ENGINE-side with the same [[stemEn]] the index uses (so "develops"

@@ -1155,6 +1155,27 @@ object PipelineQueries {
         | SELECT doc_id, COUNT(*) AS n_occurrences
         | FROM p2 GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // ---- proximity search (NEAR operator) -------------------------------
+    // docs where "slow" and "batch" sit within 3 positions, either order —
+    // the positional family's second member. Two term-filtered posting
+    // lists, one doc-key equi-join with a residual gap filter; never a
+    // corpus range join.
+    ("x1_near_query",
+      (s, d) => TextIndex.proximityMatch(t(s, d, "documents"),
+          "slow", "batch", window = 3)
+        .orderBy("doc_id"),
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+        |           FROM documents),
+        | tok AS (SELECT doc_id, i AS pos, words[i] AS w FROM w,
+        |         LATERAL (SELECT unnest(generate_series(1, len(w.words))) AS i) g),
+        | a AS (SELECT doc_id, pos AS pos_a FROM tok WHERE w = 'slow'),
+        | b AS (SELECT doc_id, pos AS pos_b FROM tok WHERE w = 'batch'),
+        | nr AS (SELECT a.doc_id, abs(pos_a - pos_b) AS gap
+        |        FROM a JOIN b ON a.doc_id = b.doc_id
+        |        WHERE abs(pos_a - pos_b) <= 3)
+        | SELECT doc_id, COUNT(*) AS n_near, CAST(MIN(gap) AS BIGINT) AS min_gap
+        | FROM nr GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     ("x1_search_rank",
       (s, d) => TextIndex.rankDocuments(t(s, d, "documents"),
           Seq("joins", "vector", "the"), k = 10)

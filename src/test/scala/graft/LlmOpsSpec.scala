@@ -705,6 +705,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(2L)._1 == 0)
   }
 
+  test("kmeansLloyd stops at the centroid fixpoint; budget rounds are not a fixed cost") {
+    // two tight, well-separated clusters converge in a couple of rounds
+    val vecs = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(10f, 10f)), (2L, Seq(0.1f, 0.1f)),
+      (3L, Seq(9.9f, 9.9f)), (4L, Seq(0.2f, 0f)), (5L, Seq(10f, 9.8f)))
+      .toDF("vec_id", "embedding")
+    val (out50, rounds) = Similarity.kmeansLloydWithStats(vecs, k = 2, rounds = 50)
+    assert(rounds < 50, s"expected early fixpoint, ran $rounds rounds")
+    val a = out50.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b = Similarity.kmeansLloyd(vecs, k = 2, rounds = rounds)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a == b) // the fixpoint output IS the budgeted output
+  }
+
   test("kmeansLloyd rounds=0 assigns against the raw prefix seeds") {
     val vecs = Seq((0L, Seq(0f, 0f)), (1L, Seq(1f, 1f)), (2L, Seq(0.9f, 0.9f)))
       .toDF("vec_id", "embedding")

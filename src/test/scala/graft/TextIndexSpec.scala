@@ -366,4 +366,17 @@ class TextIndexSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(single == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
   }
+
+  test("proximityMatch: either order, window boundary, pair counts and min gap") {
+    val docs = Seq(
+      (1L, "slow x batch"),          // gap 2, in window
+      (2L, "batch y y slow"),        // reversed, gap 3 == window boundary
+      (3L, "slow a b c batch"),      // gap 4 > window
+      (4L, "slow batch z slow"),     // pairs: (0,1) gap1, (3,1) gap2
+      (5L, "nothing relevant here")
+    ).toDF("doc_id", "text")
+    val got = TextIndex.proximityMatch(docs, "slow", "batch", window = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 2L), (2L, 1L, 3L), (4L, 2L, 1L)))
+  }
 }
