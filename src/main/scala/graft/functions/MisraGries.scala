@@ -97,7 +97,13 @@ case class MisraGriesAggExpr(child: Expression, k: Int,
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (t, c) => out.writeUTF(t); out.writeLong(c) }
+    // length-prefixed raw UTF-8, not writeUTF: writeUTF throws
+    // UTFDataFormatException past 65535 encoded bytes, which would kill the
+    // aggregate mid-shuffle on a pathological corpus token
+    buf.foreach { case (t, c) =>
+      val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -107,7 +113,13 @@ case class MisraGriesAggExpr(child: Expression, k: Int,
     val n = in.readInt()
     val m = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { val t = in.readUTF(); m(t) = in.readLong(); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      m(new String(b, java.nio.charset.StandardCharsets.UTF_8)) = in.readLong()
+      i += 1
+    }
     m
   }
 

@@ -275,13 +275,19 @@ object Dedup {
       .filter(col("n_inter") * 100 >=
         lit(minJaccardPct) * (col("n_a") + col("n_b") - col("n_inter")))
 
-    // (a) cross-class expansion: every (member of rep_a) × (member of rep_b)
+    // (a) cross-class expansion: every (member of rep_a) × (member of rep_b).
+    // least/greatest re-orients the ids, so the set sizes must travel WITH
+    // their ids: when ma > mb the output's id_a is rep_b's member and its
+    // size is n_b (and mirror) — keeping the rep orientation would attribute
+    // id_a's size to id_b whenever the expansion flips the pair.
     val cross = repPairs
       .join(members.select(col("rep").as("id_a"), col("id").as("ma")), Seq("id_a"))
       .join(members.select(col("rep").as("id_b"), col("id").as("mb")), Seq("id_b"))
       .select(least(col("ma"), col("mb")).as("id_a"),
         greatest(col("ma"), col("mb")).as("id_b"),
-        col("n_inter"), col("n_a"), col("n_b"))
+        col("n_inter"),
+        when(col("ma") <= col("mb"), col("n_a")).otherwise(col("n_b")).as("n_a"),
+        when(col("ma") <= col("mb"), col("n_b")).otherwise(col("n_a")).as("n_b"))
     // (b) within-class pairs: identical sets, n_inter = n_a = n_b = |set|.
     // The self-join on sig is output-bounded (class² IS the true pair
     // count) and the size lookup joins on the class representative.

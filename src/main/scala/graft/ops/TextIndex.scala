@@ -211,8 +211,15 @@ object TextIndex {
       .select(col(idCol), col("pos").as("pos_a"))
     val b = toks.filter(col("w") === termB.toLowerCase)
       .select(col(idCol), col("pos").as("pos_b"))
+    // equal-term NEAR would otherwise pair every occurrence with itself
+    // (gap 0, n_near >= occ) and double-count each mirrored pair; counting
+    // each unordered occurrence pair once keeps the semantics meaningful
+    val gapOk =
+      if (termA.equalsIgnoreCase(termB))
+        col("pos_a") < col("pos_b") && col("pos_b") - col("pos_a") <= window
+      else abs(col("pos_a") - col("pos_b")) <= window
     a.join(b, Seq(idCol))
-      .filter(abs(col("pos_a") - col("pos_b")) <= window)
+      .filter(gapOk)
       .groupBy(idCol).agg(count(lit(1)).as("n_near"),
         min(abs(col("pos_a") - col("pos_b"))).cast("long").as("min_gap"))
   }

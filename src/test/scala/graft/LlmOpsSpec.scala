@@ -765,13 +765,21 @@ class LlmOpsSpec extends AnyFunSuite {
       (4L, "another unrelated document body mentioning nothing shared here"),
       (5L, "the quick brown fox jumps over the lazy dog today"))
     val sh = Dedup.wordShingles(d, 3)
+    // FULL rows, n_a/n_b included: the duplicate class {0,5} crossing the
+    // singleton {2} exercises the least/greatest re-orientation (rep pair
+    // (0,2) expands to member pair (2,5)), where a size column that fails
+    // to travel with its id would attribute |set(5)| to id 2
     val got = Dedup.prefixFilterPairs(sh, 70)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_inter"),
+        r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))).toSet
     // no false negatives AND no extras: identical to the full posting join
     // thresholded at the same 0.7
     val truth = Dedup.jaccardPairs(sh, 0.7)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_inter"))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_inter"),
+        r.getAs[Long]("sz_a"), r.getAs[Long]("sz_b"))).toSet
     assert(got == truth && got.nonEmpty)
+    assert(got.exists { case (a2, b2, _, na, nb) => (a2, b2) == ((2L, 5L)) && na != nb },
+      "fixture must include a flipped cross-class pair with asymmetric sizes")
   }
 
   test("prefixFilterCandidates prunes stop-shingle pairs that share no rare token") {

@@ -379,4 +379,16 @@ class TextIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((1L, 1L, 2L), (2L, 1L, 3L), (4L, 2L, 1L)))
   }
+
+  test("proximityMatch: equal terms count unordered occurrence pairs, no self-pairs") {
+    val docs = Seq(
+      (1L, "slow x slow"),        // one pair, gap 2
+      (2L, "slow slow z slow"),   // pairs (0,1) g1, (1,3) g2, (0,3) g3
+      (3L, "slow only once"),     // a single occurrence is NOT near itself
+      (4L, "slow a b c d slow")   // gap 5 > window
+    ).toDF("doc_id", "text")
+    val got = TextIndex.proximityMatch(docs, "slow", "SLOW", window = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 2L), (2L, 3L, 1L)))
+  }
 }

@@ -534,6 +534,20 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("MisraGries sketch survives shuffle serialization of >64KiB tokens") {
+    // writeUTF caps at 65535 encoded bytes; a pathological corpus token past
+    // that must round-trip through the partial-sketch shuffle, not crash it
+    val fat = "é" * 40000 // 80000 UTF-8 bytes
+    val tokens = (Seq.fill(6)(fat) ++ Seq.fill(2)("tiny"))
+      .toDF("token").repartition(4) // force serialize/deserialize merges
+    val sketch = tokens
+      .agg(graft.functions.MisraGries.sketch(col("token"), 4).as("s"))
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketch.contains(fat), "fat token lost in serialization")
+    assert(sketch(fat) >= 5L && sketch(fat) <= 6L) // lower bound within N/(k+1)
+  }
+
   test("heavyHitters == exact GROUP-BY-HAVING answer, independent of partitioning") {
     val words = (1 to 40).flatMap(i => Seq.fill(if (i <= 3) 60 else 4)(s"t$i"))
     val n = words.size // 3*60 + 37*4 = 328
