@@ -116,7 +116,8 @@ object Bench {
     * later), `execOnly` per query — execution without plan construction.
     */
   private final case class LegTimes(total: Map[String, Double],
-                                    execOnly: Option[Map[String, Double]])
+                                    execOnly: Option[Map[String, Double]],
+                                    warmup: Option[Double])
 
   private def runChildBench(classpath: String, cwd: java.io.File, abSf: String,
                             cpus: String): Either[String, LegTimes] = {
@@ -144,7 +145,8 @@ object Bench {
         }
         val qs = root.get("queries")
         if (qs == null) Left("child bench output has no queries map")
-        else Right(LegTimes(asMap(qs), Option(root.get("execSeconds")).map(asMap)))
+        else Right(LegTimes(asMap(qs), Option(root.get("execSeconds")).map(asMap),
+          Option(root.get("warmupSeconds")).map(_.asDouble())))
       }
     }
   }
@@ -239,12 +241,21 @@ object Bench {
                 else side.execOnly.getOrElse(side.total)
               val prior = priorLegs.map(pick(_, isPrior = true))
               val cur = curLegs.map(pick(_, isPrior = false))
-              // pair ratio over queries valid in BOTH legs of THAT pair
-              val ratios = prior.zip(cur).map { case (p, c) =>
+              // pair ratio over queries valid in BOTH legs of THAT pair.
+              // Warmup bridge: a prior harness that predates the untimed
+              // shared-store warmup still pays materialization inside its
+              // entries' timed windows, while the current side pre-pays it
+              // untimed — add the current leg's warmupSeconds back into its
+              // sum so both sides account the same work. Once both legs
+              // record warmupSeconds the stores are excluded on both sides
+              // and no adjustment applies.
+              val ratios = priorLegs.zip(curLegs).map { case (pl, cl) =>
+                val p = pick(pl, isPrior = true); val c = pick(cl, isPrior = false)
                 val common = p.keySet.intersect(c.keySet)
                   .filter(k => p(k) >= 0 && c(k) >= 0).toSeq
+                val wAdj = if (pl.warmup.isEmpty) cl.warmup.getOrElse(0.0) else 0.0
                 val ps = common.map(p).sum
-                if (ps > 0) common.map(c).sum / ps else Double.NaN
+                if (ps > 0) (common.map(c).sum + wAdj) / ps else Double.NaN
               }.filter(java.lang.Double.isFinite)
               // per-query medians over queries valid in EVERY run of a side
               def medians(runs: Seq[Map[String, Double]]): Map[String, Double] =
@@ -296,6 +307,16 @@ object Bench {
 
     // session warm-up so the first timed query doesn't absorb JVM/codegen init
     spark.range(1000).selectExpr("sum(id)").collect()
+    // UNTIMED shared-store warmup: materialize every cross-entry persisted
+    // store before any timed window, so no entry's timing depends on being
+    // the store's first consumer (registry-composition-dependent attribution
+    // was the r8 phantom-regression suspect). The cost is recorded as
+    // warmupSeconds — the A/B adds it back when the prior harness predates
+    // the warmup and still pays materialization inside its entries.
+    val tWarm0 = System.nanoTime()
+    try graft.queries.PipelineQueries.warmSharedStores(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"bench: warmup failed: $e") }
+    val warmupSec = (System.nanoTime() - tWarm0) / 1e9
     // optional args: query names to run (default all) — isolation/profiling aid
     val selected = if (args.nonEmpty) SparkEntry.queries.filter(q => args.contains(q._1))
                    else SparkEntry.queries
@@ -467,7 +488,7 @@ object Bench {
     // stdout gets the COMPACT line (fits any tail window: totals + errors +
     // regressions + a pointer); the file gets the full per-query detail.
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","nQueries":${results.size},"errors":$errs,"nErrors":$nErr,"regressions":$regressions,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},"ab":$abJson,"perQuery":${jstr(outPath)}}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"execSeconds":$execQs,"errors":$errs,"regressions":$regressions,"observedMetrics":$om,"sharedStores":$shared,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},"ab":$abJson,"abPerQuery":$abPerQueryJson}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"execSeconds":$execQs,"warmupSeconds":${jnum(warmupSec)},"errors":$errs,"regressions":$regressions,"observedMetrics":$om,"sharedStores":$shared,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},"ab":$abJson,"abPerQuery":$abPerQueryJson}"""
     // ONE bare line on the process's real stdout: java.io.FileDescriptor.out
     // bypasses sbt's System.out capture (whose "[info] " prefix breaks
     // line-oriented JSON parsing downstream) and IS System.out everywhere

@@ -1,5 +1,5 @@
 package graft
-import graft.queries.{GraphQueries, PipelineQueries, RelationalQueries, StreamingQueries, TemporalQueries}
+import graft.queries.{FlagshipQueries, GraphQueries, PipelineQueries, RelationalQueries, StreamingQueries, TemporalQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -14,7 +14,7 @@ object SparkEntry {
 
   private val entries: Seq[RelationalQueries.Entry] =
     RelationalQueries.all ++ PipelineQueries.all ++ GraphQueries.all ++
-      TemporalQueries.all ++ StreamingQueries.all
+      TemporalQueries.all ++ StreamingQueries.all ++ FlagshipQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

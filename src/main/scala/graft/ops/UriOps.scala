@@ -164,6 +164,12 @@ object UriOps {
   def fileStemCol(fname: Column): Column =
     when(fname.contains("."), regexp_replace(fname, "\\.[^.]*$", "")).otherwise(fname)
 
+  /** Filename suffix from the LAST '.' (inclusive), '' when none —
+    * the column form of [[fileSuffix]].
+    */
+  def fileSuffixCol(fname: Column): Column =
+    regexp_extract(fname, "(\\.[^.]*)$", 1)
+
   /** Pure forms used driver-side. */
   def fileStem(fname: String): String = {
     val i = fname.lastIndexOf('.')

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The flagship two-pass ontology DAG as a DRIVER-CHECKED registry entry.
+  *
+  * Every other registry query exercises one operator; this one runs
+  * [[graft.pipeline.OntologyPipeline.run]] end-to-end on the OWL fixture
+  * corpus — parse → triple dedup → vertex/attr/edge derivation → deprecated
+  * routing → RI semi-joins → partitioned parquet graph store + text sinks —
+  * then reads the STORE back (what a downstream consumer sees, not the
+  * in-memory frames) and enforces the reference's golden integration
+  * assertions (OntologyGraphBuilderTest.java:344-399): the CL_0000235
+  * "macrophage" vertex with its 6 hasDbXref values in document order, and
+  * its 6 normalized outbound edges. The returned rows are the read-back
+  * edges, so the driver's rows-only check sees actual store content.
+  *
+  * No oracleSql: DuckDB cannot parse RDF/XML, so the oracle is the golden
+  * constants enforced here (a failed golden throws → a red CORRECTNESS row).
+  */
+object FlagshipQueries {
+
+  /** Fixture corpus location: repo-relative when the driver runs from the
+    * repo root (Verify/Bench contract), absolute as the fallback.
+    */
+  private def oboDir: String =
+    Seq("src/test/resources/obo", "/root/repo/src/test/resources/obo")
+      .find(p => new java.io.File(p).isDirectory)
+      .getOrElse(throw new IllegalStateException(
+        "OWL fixture corpus not found (src/test/resources/obo)"))
+
+  private val GoldenEdges = Seq(
+    ("CL", "0000235", "CL", "0000113", "SUB_CLASS_OF", "CL"),
+    ("CL", "0000235", "CL", "0000145", "SUB_CLASS_OF", "CL"),
+    ("CL", "0000235", "CL", "0000576", "DEVELOPS_FROM", "CL"),
+    ("CL", "0000235", "CL", "0000766", "SUB_CLASS_OF", "CL"),
+    ("CL", "0000235", "GO", "0031268", "CAPABLE_OF", "CL"),
+    ("CL", "0000235", "NCBITaxon", "9606", "PRESENT_IN_TAXON", "CL"))
+
+  /** The 6 xrefs in DOCUMENT order — the reference asserts insertion order
+    * (OntologyGraphBuilderTest.java:361-368); A3's (src_file, stmt_idx)
+    * ordering reproduces it deterministically.
+    */
+  private val GoldenXrefs = Seq("ZFA:0009141", "CALOHA:TS-0587",
+    "MESH:D008264", "FMA:83585", "BTO:0000801", "FMA:63261")
+
+  val all: Seq[RelationalQueries.Entry] = Seq(
+    ("pipeline_flagship",
+      (s: SparkSession, _: String) => {
+        val out = java.nio.file.Files.createTempDirectory("graft-flagship").toString
+        try {
+          graft.pipeline.OntologyPipeline.run(s, oboDir, out,
+            phenotypePattern = "macrophage\\.owl")
+
+          val edges = s.read.parquet(s"$out/ontologies/edges")
+            .filter(col("from_id") === "CL" && col("from_number") === "0000235")
+            .select("from_id", "from_number", "to_id", "to_number", "label", "source")
+            .collect()
+            .map(r => (r.getString(0), r.getString(1), r.getString(2),
+              r.getString(3), r.getString(4), r.getString(5)))
+            .sortBy(t => (t._3, t._4)).toSeq
+          require(edges == GoldenEdges,
+            s"flagship golden-edge mismatch:\n  got      $edges\n  expected $GoldenEdges")
+
+          val vrows = s.read.parquet(s"$out/ontologies/vertices")
+            .filter(col("id") === "CL" && col("number") === "0000235")
+            .select("attrs").collect()
+          require(vrows.length == 1,
+            s"expected exactly one CL_0000235 vertex, got ${vrows.length}")
+          val attrs = vrows(0).getMap[String, scala.collection.Seq[String]](0)
+          require(attrs.get("label").map(_.toSeq).contains(Seq("macrophage")),
+            s"flagship golden-label mismatch: ${attrs.get("label")}")
+          require(attrs.get("hasDbXref").map(_.toSeq).contains(GoldenXrefs),
+            s"flagship golden-xref mismatch: ${attrs.get("hasDbXref")}")
+
+          // pass 2 ran and kept only the CL-internal subgraph
+          val p2 = s.read.parquet(s"$out/phenotypes/edges")
+            .select("to_id").distinct().collect().map(_.getString(0)).toSet
+          require(p2 == Set("CL"), s"phenotype pass produced non-CL targets: $p2")
+
+          import s.implicits._
+          edges.toDF("from_id", "from_number", "to_id", "to_number", "label", "source")
+        } finally {
+          try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+          catch { case _: Throwable => () }
+        }
+      },
+      null))
+}

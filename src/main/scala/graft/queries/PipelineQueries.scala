@@ -326,6 +326,23 @@ object PipelineQueries {
   private def sigsShared(s: SparkSession, d: String): DataFrame =
     sharedStore("minhash_sigs", d)(Dedup.minhashSignatures(shinglesShared(s, d), 12))
 
+  /** Materialize every cross-entry shared store up front (the bench's
+    * UNTIMED warmup phase). Without this the store's first consumer in
+    * execution order pays the corpus-scale materialization inside its own
+    * timed window — per-entry timings then depend on registry composition
+    * (r8 forensics: the same query read 20.3 s at sf0.01 and 3.5 s at
+    * sf0.1 across two registry shapes). A count() per store forces the
+    * cache through Spark's CacheManager; consumers build the identical
+    * analyzed plan and read it back. No-op when the persist gate is off
+    * (degenerate inputs — nothing is cached, so nothing to pre-pay).
+    */
+  def warmSharedStores(s: SparkSession, d: String): Unit =
+    if (shouldPersist(d)) currentEntry.withValue("_warmup") {
+      shinglesShared(s, d).count()
+      sigsShared(s, d).count()
+      bm25ScoresShared(s, d).count()
+    }
+
   val all: Seq[Entry] = Seq(
 
     // ---- exact dedup ----------------------------------------------------

@@ -720,6 +720,154 @@ object RelationalQueries {
       s"""SELECT l_partkey,
          |        CAST(SUM(${graft.ops.ZOrder.zValueSql("l_partkey", "l_suppkey", 21)}) AS BIGINT) AS z_sum,
          |        COUNT(*) AS n
-         | FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin)
+         | FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin),
+
+    // ---- A4: edge-label dictionary (distinct raw labels + normalization) --
+    // the S7 sink's content derivation, run through the REAL
+    // GraphOps.edgeLabels: a raw-label pool drawn from document first words
+    // (free-text branch) plus the six reference special cases injected by
+    // doc_id (special-case branch), so both arms of normalizeEdgeLabel
+    // appear in the checked output (OntologyGraphBuilder.java:352,366,405).
+    ("a4_edge_label_dict",
+      (s, d) => {
+        val specials = Normalize.LabelSpecialCases.keys.toSeq.sorted
+        val edges = t(s, d, "documents").select(array(
+            element_at(split(col("text"), " "), 1),
+            element_at(array(specials.map(lit): _*),
+              (col("doc_id") % specials.size).cast("int") + 1)
+          ).as("raw_labels"))
+        graft.ops.GraphOps.edgeLabels(edges).orderBy("raw_label")
+      },
+      """WITH raws AS (
+        |   SELECT split_part(text, ' ', 1) AS raw_label FROM documents
+        |   UNION ALL
+        |   SELECT (['crossSpeciesExactMatch','disjointWith','equivalentClass',
+        |            'exactMatch','seeAlso','subClassOf'])[CAST(doc_id % 6 AS INT) + 1]
+        |   FROM documents),
+        | dict AS (SELECT DISTINCT raw_label FROM raws)
+        | SELECT raw_label,
+        |        CASE raw_label
+        |          WHEN 'subClassOf' THEN 'SUB_CLASS_OF'
+        |          WHEN 'disjointWith' THEN 'DISJOINT_WITH'
+        |          WHEN 'crossSpeciesExactMatch' THEN 'CROSS_SPECIES_EXACT_MATCH'
+        |          WHEN 'exactMatch' THEN 'EXACT_MATCH'
+        |          WHEN 'equivalentClass' THEN 'EQUIVALENT_CLASS'
+        |          WHEN 'seeAlso' THEN 'SEE_ALSO'
+        |          ELSE upper(replace(raw_label, ' ', '_')) END AS normalized
+        | FROM dict ORDER BY raw_label""".stripMargin),
+
+    // ---- A8: per-file root namespace with fallback ----------------------
+    // the REAL TripleOps.rootNamespaces on synthesized per-source 'files':
+    // sources whose last digit is even carry an ontology-header root (the
+    // IAO_0000700 path, prefix before '_'); odd sources have no header and
+    // exercise the min-class-URI fallback (OntologyTripleParser.java:130-150).
+    ("a8_root_ns",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val raw = docs.select(
+          col("source").as("srcFile"),
+          lit(graft.io.OwlReader.RdfType).as("predicate"),
+          lit(graft.io.OwlReader.OwlClass).as("objectStr"),
+          concat(lit("http://purl.obolibrary.org/obo/"), upper(col("source")), lit("_"),
+            lpad(col("doc_id").cast("string"), 7, "0")).as("subject"))
+        val meta = docs.select(col("source")).distinct().select(
+          col("source").as("srcFile"),
+          when(substring(col("source"), -1, 1).cast("int") % 2 === 0,
+            concat(lit("META"), upper(col("source")), lit("_0000001"))).as("root"))
+        graft.ops.TripleOps.rootNamespaces(raw, meta).orderBy("src_file")
+      },
+      """WITH srcs AS (SELECT DISTINCT source FROM documents),
+        | meta AS (SELECT source AS src_file,
+        |          CASE WHEN CAST(substr(source, length(source), 1) AS INT) % 2 = 0
+        |               THEN 'META' || upper(source) || '_0000001' END AS root
+        |          FROM srcs),
+        | raw AS (SELECT source AS src_file,
+        |         'http://purl.obolibrary.org/obo/' || upper(source) || '_' ||
+        |           lpad(CAST(doc_id AS VARCHAR), 7, '0') AS subject
+        |         FROM documents),
+        | fc AS (SELECT src_file, min(subject) AS first_class FROM raw GROUP BY 1)
+        | SELECT m.src_file,
+        |        CASE WHEN m.root IS NULL THEN split_part(fc.first_class, '_', 1)
+        |             ELSE split_part(m.root, '_', 1) END AS root_ns
+        | FROM meta m LEFT JOIN fc USING (src_file) ORDER BY src_file""".stripMargin),
+
+    // ---- N9: filename stem/suffix from the LAST dot ---------------------
+    // UriOps.fileStemCol/fileSuffixCol over synthesized filenames covering
+    // single-extension, double-extension (last-dot semantics: 'a.tar.gz' →
+    // stem 'a.tar', suffix '.gz') and no-dot ('' suffix) cases
+    // (OntologyDownloader.java:93-95).
+    ("n9_file_stem",
+      (s, d) => t(s, d, "documents")
+        .select(concat(col("source"),
+          element_at(array(lit(".owl"), lit(".tar.gz"), lit("")),
+            (col("doc_id") % 3).cast("int") + 1)).as("fname"))
+        .distinct()
+        .select(col("fname"),
+          graft.ops.UriOps.fileStemCol(col("fname")).as("stem"),
+          graft.ops.UriOps.fileSuffixCol(col("fname")).as("suffix"))
+        .orderBy("fname"),
+      """WITH f AS (SELECT DISTINCT
+        |             source || (['.owl', '.tar.gz', ''])[CAST(doc_id % 3 AS INT) + 1] AS fname
+        |           FROM documents)
+        | SELECT fname,
+        |        CASE WHEN contains(fname, '.')
+        |             THEN regexp_replace(fname, '\.[^.]*$', '') ELSE fname END AS stem,
+        |        regexp_extract(fname, '(\.[^.]*)$', 1) AS suffix
+        | FROM f ORDER BY fname""".stripMargin),
+
+    // ---- F4: named-object filter (blank-node exclusion) -----------------
+    // every 4th statement's object is an anonymous node ('_:bN' — the
+    // parser's blank-node convention); F4 keeps only named objects
+    // (OntologyTripleParser.java:80 testObject branch 1).
+    ("f4_named_object_filter",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 4 === 0, concat(lit("_:b"), col("doc_id")))
+            .otherwise(concat(lit("http://purl.obolibrary.org/obo/T_"), col("doc_id")))
+            .as("object"))
+        .filter(!col("object").startsWith("_:"))
+        .orderBy("doc_id"),
+      """WITH s AS (SELECT doc_id,
+        |             CASE WHEN doc_id % 4 = 0 THEN '_:b' || doc_id
+        |                  ELSE 'http://purl.obolibrary.org/obo/T_' || doc_id END AS object
+        |           FROM documents)
+        | SELECT doc_id, object FROM s
+        | WHERE substr(object, 1, 2) <> '_:' ORDER BY doc_id""".stripMargin),
+
+    // ---- F7 + A1: file exclusion inside cross-file triple dedup ---------
+    // the REAL TripleOps.uniqueTriples on a synthesized collected-triple
+    // frame: every 5th statement comes from 'ro.owl' (label-dictionary-only,
+    // excluded — OntologyTripleParser.java:164), the rest collide on
+    // (subject, predicate, object) across files and dedup keeps the
+    // earliest (src_file, stmt_idx) provenance (SURVEY §7.5).
+    ("f7_file_exclusion",
+      (s, d) => {
+        val collected = t(s, d, "documents").select(
+          when(col("doc_id") % 5 === 0, lit("ro.owl"))
+            .otherwise(concat(col("source"), lit(".owl"))).as("src_file"),
+          col("doc_id").as("stmt_idx"),
+          concat(lit("s"), col("doc_id") % 50).as("subject"),
+          lit("p").as("predicate"),
+          concat(lit("o"), col("doc_id") % 20).as("object"),
+          lit(true).as("obj_is_uri"), lit(false).as("obj_is_literal"),
+          lit(false).as("obj_is_blank"), lit(null).cast("string").as("obj_lexical"),
+          upper(col("source")).as("root_ns"))
+        graft.ops.TripleOps.uniqueTriples(collected)
+          .select("subject", "predicate", "object", "src_file", "stmt_idx", "root_ns")
+          .orderBy("subject", "predicate", "object")
+      },
+      """WITH c AS (SELECT
+        |             CASE WHEN doc_id % 5 = 0 THEN 'ro.owl' ELSE source || '.owl' END AS src_file,
+        |             doc_id AS stmt_idx,
+        |             's' || (doc_id % 50) AS subject, 'p' AS predicate,
+        |             'o' || (doc_id % 20) AS object,
+        |             upper(source) AS root_ns
+        |           FROM documents),
+        | kept AS (SELECT * FROM c WHERE src_file <> 'ro.owl'),
+        | r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY subject, predicate, object
+        |                                    ORDER BY src_file, stmt_idx) AS rn
+        |       FROM kept)
+        | SELECT subject, predicate, object, src_file, stmt_idx, root_ns
+        | FROM r WHERE rn = 1 ORDER BY subject, predicate, object""".stripMargin)
   )
 }
