@@ -284,6 +284,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The deliberately-unpartitioned summary windows would spam hundreds of
+    // audited-benign `No Partition Defined` WARNs into the bench tail,
+    // hiding a future REAL offender. Detection now lives in
+    // `PlanDump --audit-windows` (allowlist + exit-1 on new offenders), so
+    // the logger carries no signal here and is silenced — in this main
+    // only, never for library consumers.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     graft.functions.GraftExtensions.register(spark)
 
     // Observed metrics (the silent-cap audit trail: jaccard_maxdf_*,

@@ -3,8 +3,38 @@ import org.apache.spark.sql.SparkSession
 
 /** Plan-audit aid: print `.explain("formatted")` for registry queries.
   * Usage: runMain graft.PlanDump <sfDir> <queryName...>
+  *        runMain graft.PlanDump <sfDir> --audit-windows
+  *
+  * `--audit-windows` walks EVERY registry query's optimized plan and lists
+  * the ones containing an unpartitioned Window (the `WindowExec: No
+  * Partition Defined` shape). The known offenders are all summary-sized and
+  * carry a [[graft.ops.Bounded.guard]] runtime assertion; this audit — not
+  * the log warning, which Bench silences — is what keeps a FUTURE
+  * accidental corpus-sized global window visible: a query outside the
+  * allowlist fails the audit (exit 1).
   */
 object PlanDump {
+
+  /** Registry queries whose unpartitioned windows are audited-benign:
+    * every entry here is runtime-guarded via Bounded.guard or bounded by
+    * math (see the call sites). Grow this list ONLY with a matching guard.
+    */
+  val AuditedUnpartitionedWindows: Set[String] = Set(
+    "t_dsir_select",      // global top-k over a runtime-guarded survivor set
+    "t_rank_normalize",   // corpus ranks: summary-sized rank frame, guarded
+    "x1_hybrid_rrf",      // fused k-list rank (k ≤ 2·topK), guarded
+    "t_decile_assign",    // 10-bucket summary frame
+    "t_length_quantiles", // bounded quantile grid
+    "t_crosstab_expected",// bounded (lang × decile) grid
+    "t_mad_outliers",     // 1-row median frames
+    "t_winsorize")        // 1-row quantile frames
+
+  private def unpartitionedWindows(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }.size
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -15,11 +45,29 @@ object PlanDump {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftExtensions.register(spark)
-    args.drop(1).foreach { name =>
-      println(s"===== $name =====")
-      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    if (args.drop(1).headOption.contains("--audit-windows")) {
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        val n = try unpartitionedWindows(fn(spark, sfDir))
+                catch { case e: Throwable => println(s"$name: PLAN FAILED: $e"); 0 }
+        if (n > 0) Some(name -> n) else None
+      }
+      offenders.foreach { case (name, n) =>
+        val ok = AuditedUnpartitionedWindows.contains(name)
+        println(f"$name%-28s $n unpartitioned window(s)  ${if (ok) "audited-benign" else "NEW OFFENDER"}")
+      }
+      val fresh = offenders.map(_._1).filterNot(AuditedUnpartitionedWindows.contains)
+      if (fresh.nonEmpty) {
+        println(s"AUDIT FAILED: unaudited unpartitioned windows in: ${fresh.mkString(", ")}")
+        spark.stop(); sys.exit(1)
+      }
+      println(s"window audit clean: ${offenders.size} audited-benign, 0 new")
+    } else {
+      args.drop(1).foreach { name =>
+        println(s"===== $name =====")
+        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      }
     }
     spark.stop()
   }

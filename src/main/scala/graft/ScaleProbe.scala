@@ -45,7 +45,8 @@ object ScaleProbe {
       "removeNearDuplicates", "components", "chunkDedup", "dupSpanRemoval", "containmentPairs",
       "triangleCounts", "qualityFilter", "tokenBudgetMix", "rankDocuments",
       "dsirSelect", "bloomDecontaminate", "perplexityBuckets", "bm25Rank",
-      "bm25Persisted", "cooccurrenceLift", "prefixFilterPairs")
+      "bm25Persisted", "cooccurrenceLift", "prefixFilterPairs",
+      "proximityMatch", "phraseMatch", "prefixFilterAuto")
     if (docProbes.exists(enabled)) {
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
@@ -118,6 +119,31 @@ object ScaleProbe {
       // output itself is quadratic-in-mult — the probe checks runtime
       // tracks that inherent output volume, not a hidden all-pairs join
       Dedup.prefixFilterPairs(Dedup.wordShingles(scaled, 3), 70).count()
+    }
+    timed("proximityMatch (NEAR/3)") {
+      // the x1_near_query shape: two term-filtered posting lists equi-join
+      // on the doc key — cost must track matching-doc volume (linear in
+      // mult), never a corpus positional self-join
+      graft.ops.TextIndex.proximityMatch(scaled, "slow", "batch", window = 3).count()
+    }
+    timed("phraseMatch (3-word)") {
+      // the x1_phrase_match shape: per-word posting joins on (doc, pos) —
+      // each join's build side is one specific word's postings
+      graft.ops.TextIndex.phraseMatch(scaled, Seq("slow", "batch", "joins")).count()
+    }
+    timed("prefixFilterCandidates (positional)") {
+      // PPJoin positional-filter payoff: candidate volume WITH the bound…
+      Dedup.prefixFilterCandidates(Dedup.wordShingles(scaled, 3), 70).count()
+    }
+    timed("prefixFilterCandidates (plain)") {
+      // …vs the plain prefix join — the delta is verification fan-out saved
+      Dedup.prefixFilterCandidates(Dedup.wordShingles(scaled, 3), 70,
+        positional = false).count()
+    }
+    timed("prefixFilterAuto (gate + route)") {
+      // the df-skew gate on the duplicate-cluster corpus: one bounded
+      // histogram aggregate, then whichever tier the distribution warrants
+      Dedup.prefixFilterPairsAuto(Dedup.wordShingles(scaled, 3), 70).count()
     }
     timed("qualityFilter") {
       graft.llm.TextStats.qualityFilter(scaled).count()
@@ -349,7 +375,7 @@ object ScaleProbe {
     // share user ids, so per-user event volume grows mult× — the hottest
     // single entity bounds the window stage, the design's stated skew limit)
     val eventProbes = Seq("asofJoin", "sessionize", "asofHotKey",
-      "intervalJoin", "intervalHotKey")
+      "intervalJoin", "intervalHotKey", "pathNgrams", "keySkewReport")
     if (eventProbes.exists(enabled)) {
     val baseE = graft.ops.TemporalOps.loadEvents(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism)
@@ -369,9 +395,23 @@ object ScaleProbe {
       graft.queries.TemporalQueries.purchaseClickAsof(ev).count()
     // each scaled union is cached only if one of ITS probes is selected
     // (the line-42 gating principle, per-input)
-    if (Seq("asofJoin", "sessionize", "intervalJoin").exists(enabled)) {
+    if (Seq("asofJoin", "sessionize", "intervalJoin", "pathNgrams",
+        "keySkewReport").exists(enabled)) {
       val wide = copies(shareUsers = false).cache()
       println(s"events (fresh users): ${wide.count()}")
+      timed("pathNgrams (top-20 trigrams)") {
+        // the ts_path_ngrams shape: sessionize + two leads + two-level
+        // top-k; output is fixed at 20 rows, so runtime must track the
+        // sessionize window pass, not the path vocabulary
+        graft.queries.TemporalQueries.pathNgramsTop(
+          wide.select(col("user_id"), col("event_id"), col("event_type"),
+            col("ts_us").as("tsn"))).count()
+      }
+      timed("keySkewReport (user_id)") {
+        // the s15 shape: one grouped count + O(√rows) histogram window —
+        // the report is 1 row at any mult
+        graft.ops.SkewOps.keySkewReport(wide, "user_id").count()
+      }
       timed("asofJoin (mult x users)") { asofCount(wide) }
       timed("sessionize+stats (mult x users)") {
         val e = wide.select(col("user_id"), col("event_id"), col("ts_us").as("tsn"))

@@ -17,6 +17,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // audited-benign unpartitioned-window WARNs silenced here as in Bench;
+    // PlanDump --audit-windows owns detection of new offenders
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     graft.functions.GraftExtensions.register(spark)
     new java.io.File(outDir).mkdirs()
     // a failing query must surface as a RED row, not silently shrink the

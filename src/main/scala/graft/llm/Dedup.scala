@@ -198,7 +198,8 @@ object Dedup {
     * Output: (id_a < id_b, n_inter, n_a, n_b) for every pair with
     * n_inter·100 ≥ pct·(n_a + n_b − n_inter).
     */
-  def prefixFilterCandidates(shingles: DataFrame, minJaccardPct: Int): DataFrame = {
+  def prefixFilterCandidates(shingles: DataFrame, minJaccardPct: Int,
+                             positional: Boolean = true): DataFrame = {
     require(minJaccardPct >= 1 && minJaccardPct <= 100,
       s"minJaccardPct must be in [1,100]: $minJaccardPct")
     val dfx = shingles.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -214,12 +215,32 @@ object Dedup {
     val prefix = ranked
       .filter(col("rn") <= col("n") - ((lit(minJaccardPct) * col("n") + 99) / 100)
         .cast("long") + 1)
-      .select("id", "shingle")
-    prefix.select(col("shingle"), col("id").as("id_a"))
-      .join(prefix.select(col("shingle"), col("id").as("id_b")).hint("merge"),
+      .select("id", "shingle", "rn", "n")
+    // PPJoin POSITIONAL filter on top of the prefix filter: all documents
+    // order tokens by the SAME global (df, shingle) key, so for a shared
+    // token at ranks (i, j) the overlap is bounded by common-before + this
+    // token + common-after ≤ (min(i,j)−1) + 1 + min(n_a−i, n_b−j). A pair
+    // survives only if SOME shared prefix token's bound reaches the overlap
+    // threshold α = ceil(pct·(n_a+n_b)/(100+pct)) (jaccard ≥ t ⟺ overlap ≥
+    // t/(1+t)·(n_a+n_b)); a true-positive pair's bound is ≥ its real
+    // overlap ≥ α at EVERY shared token, so no qualifying pair is lost —
+    // the filter only cuts verification fan-out (Xiao et al., WWW'08).
+    // Same double-quotient-exact ceil trick as the prefix length above.
+    val alpha = ((lit(minJaccardPct) * (col("n_a") + col("n_b"))
+      + lit(100 + minJaccardPct - 1)) / lit(100 + minJaccardPct)).cast("long")
+    val joined = prefix.select(col("shingle"), col("id").as("id_a"),
+        col("rn").as("rn_a"), col("n").as("n_a"))
+      .join(prefix.select(col("shingle"), col("id").as("id_b"),
+          col("rn").as("rn_b"), col("n").as("n_b")).hint("merge"),
         Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // `positional = false` is the measurement lever (ScaleProbe A/Bs the
+    // candidate volume with and without the bound), never the production path
+    val gated = if (positional)
+      joined.filter(least(col("rn_a"), col("rn_b"))
+        + least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")) >= alpha)
+    else joined
+    gated.select("id_a", "id_b").distinct()
   }
 
   def prefixFilterPairs(shingles: DataFrame, minJaccardPct: Int,
@@ -298,6 +319,72 @@ object Dedup {
       .select(col("ma").as("id_a"), col("mb").as("id_b"),
         col("n").as("n_inter"), col("n").as("n_a"), col("n").as("n_b"))
     cross.unionByName(within)
+  }
+
+  /** df-distribution statistics of a posting table, computed EXACTLY via
+    * the cumulative-histogram shape (the s15_key_skew_report machinery): the
+    * df histogram is bounded by #distinct df values (≤ max df, tiny at any
+    * scale), so the window runs on a summary frame and the driver collects
+    * four numbers — never data-sized state.
+    *
+    * Returned: (nTokens, nPostings, medianDf, p99Df).
+    */
+  def dfSkewStats(shingles: DataFrame): (Long, Long, Long, Long) = {
+    val counts = shingles.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val hist = counts.groupBy("df").agg(count(lit(1)).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("df"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // the unpartitioned window is bounded BY MATH, not by luck: the sum of
+    // the d distinct df values is ≤ n_postings, so d = O(√n_postings)
+    // (~10⁶ rows at 100 TB — summary-sized)
+    val cum = hist.withColumn("cum", sum(col("freq")).over(w))
+    val totals = hist.agg(sum(col("freq")).as("n_tokens"),
+      sum(col("df") * col("freq")).as("n_postings"))
+    val row = cum.crossJoin(broadcast(totals))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        max(col("n_postings")).as("n_postings"),
+        min(when(col("cum") * 2 >= col("n_tokens"), col("df"))).as("median_df"),
+        min(when(col("cum") * 100 >= col("n_tokens") * 99, col("df"))).as("p99_df"))
+      .head()
+    (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+  }
+
+  /** The df-skew GATE in front of the exact prefix-filter tier.
+    *
+    * [[prefixFilterPairs]] is the state of the art on Zipfian text: the
+    * df-ascending prefix keeps each document's rarest tokens, and rare
+    * tokens have small posting lists, so the candidate join stays sparse.
+    * On a NEAR-UNIFORM df distribution (tiny vocabulary, synthetic or
+    * heavily normalized corpora) there are no rare tokens — every prefix
+    * token's posting list is corpus-sized and the candidate set degenerates
+    * toward all-pairs (measured: >76 GB spill at the 100× uniform probe,
+    * PLANS.md). This entry point measures the distribution first (one
+    * bounded aggregate) and routes:
+    *
+    *  - Zipfian (p99/median ≥ `skewRatioMin`, or postings sparse enough
+    *    that mean df ≤ `meanDfMax` — uniform-but-tiny dfs cannot blow up):
+    *    the EXACT tier, output tagged `route = "prefix_exact"`.
+    *  - degenerate: the maxDF-capped posting join ([[jaccardPairs]] — the
+    *    documented scale-safe alternative; its cap drop-count is surfaced
+    *    as an observed metric), `route = "maxdf_capped"`. Scores are exact
+    *    Jaccard over the capped shingle universe.
+    *
+    * Output on both routes: (id_a, id_b, n_inter, n_a, n_b, route).
+    */
+  def prefixFilterPairsAuto(shingles: DataFrame, minJaccardPct: Int,
+      maxDF: Long = 1000L, skewRatioMin: Double = 4.0, meanDfMax: Double = 8.0,
+      cp: graft.ops.Checkpointer = graft.ops.Checkpointer.Auto): DataFrame = {
+    val (nTokens, nPostings, medianDf, p99Df) = dfSkewStats(shingles)
+    val meanDf = nPostings.toDouble / math.max(1L, nTokens)
+    val skewRatio = p99Df.toDouble / math.max(1L, medianDf)
+    if (skewRatio >= skewRatioMin || meanDf <= meanDfMax)
+      prefixFilterPairs(shingles, minJaccardPct, cp)
+        .withColumn("route", lit("prefix_exact"))
+    else
+      jaccardPairs(shingles, minJaccardPct / 100.0, maxDF)
+        .select(col("id_a"), col("id_b"), col("n_inter"),
+          col("sz_a").as("n_a"), col("sz_b").as("n_b"),
+          lit("maxdf_capped").as("route"))
   }
 
   /** Portable shingle hash j: 8 hex chars of md5("<j/4>:<s>") at piece j%4 —

@@ -54,6 +54,27 @@ object SkewOps {
       .join(small, Seq(key))
   }
 
+  /** One-row key-skew report: exact median/p99/max of the per-key row-count
+    * distribution via the cumulative-HISTOGRAM shape (the s15 registry
+    * entry's machinery, shared with Dedup.dfSkewStats). The only window
+    * runs on the count histogram — bounded by #distinct counts =
+    * O(√rows) — never on the data-sized key table.
+    */
+  def keySkewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(keyCol).agg(count(lit(1)).as("cnt"))
+    val summary = counts.groupBy("cnt").agg(count(lit(1)).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("cnt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = summary.withColumn("cum", sum(col("freq")).over(w))
+    val totals = summary.agg(sum(col("freq")).as("n_keys"),
+      max(col("cnt")).as("max_cnt"))
+    cum.crossJoin(broadcast(totals))
+      .agg(max(col("n_keys")).as("n_keys"),
+        max(col("max_cnt")).as("max_cnt"),
+        min(when(col("cum") * 2 >= col("n_keys"), col("cnt"))).as("median_cnt"),
+        min(when(col("cum") * 100 >= col("n_keys") * 99, col("cnt"))).as("p99_cnt"))
+  }
+
   /** Per-key frequency profile — the diagnostic used to decide whether
     * salting is warranted: top-N keys by row count with their share.
     */

@@ -562,20 +562,7 @@ object RelationalQueries {
     // histogram when the full shape is wanted; this row is the
     // decision-sized version.
     ("s15_key_skew_report",
-      (s, d) => {
-        val counts = t(s, d, "events").groupBy("user_id").agg(count(lit(1)).as("cnt"))
-        val summary = counts.groupBy("cnt").agg(count(lit(1)).as("freq"))
-        val cum = summary.withColumn("cum",
-          sum(col("freq")).over(Window.orderBy(col("cnt"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        val totals = summary.agg(sum(col("freq")).as("n_keys"),
-          max(col("cnt")).as("max_cnt"))
-        cum.crossJoin(broadcast(totals))
-          .agg(max(col("n_keys")).as("n_keys"),
-            max(col("max_cnt")).as("max_cnt"),
-            min(when(col("cum") * 2 >= col("n_keys"), col("cnt"))).as("median_cnt"),
-            min(when(col("cum") * 100 >= col("n_keys") * 99, col("cnt"))).as("p99_cnt"))
-      },
+      (s, d) => graft.ops.SkewOps.keySkewReport(t(s, d, "events"), "user_id"),
       """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
         |  s AS (SELECT cnt, COUNT(*) AS freq FROM c GROUP BY 1),
         |  cum AS (SELECT cnt, freq,

@@ -50,6 +50,39 @@ object TemporalQueries {
       bucketWidth = 600000000L) // 10 min — replication factor ≤ 2
   }
 
+  /** Session path trigram top-20, shared by the ts_path_ngrams registry
+    * entry AND ScaleProbe (the probe must measure the exact registry
+    * shape). Input: (user_id, event_id, event_type, tsn).
+    */
+  def pathNgramsTop(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sess = TemporalOps.sessionize(e, keyCol = "user_id", tsCol = "tsn",
+      gap = 1800000000L, tieCol = "event_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("session_no"))
+      .orderBy(col("tsn"), col("event_id"))
+    val tri = sess
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+      .agg(count(lit(1)).as("n"))
+    // two-level top-k (the TextStats.groupedTopK discipline): per-bucket
+    // pre-top-20 bounds every window partition, so the global rank runs
+    // on <= 64*20 rows even if the type vocabulary explodes — never an
+    // unpartitioned window over a data-sized table
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bkt")).orderBy(col("n").desc, col("path"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("path"))
+    tri.withColumn("bkt", pmod(xxhash64(col("path")), lit(64)))
+      .withColumn("r1", row_number().over(wb))
+      .filter(col("r1") <= 20)
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 20)
+      .select(col("path"), col("n"), col("rank"))
+      .orderBy("rank")
+  }
+
   val all: Seq[Entry] = Seq(
 
     // ---- backward as-of join -------------------------------------------
@@ -373,37 +406,9 @@ object TemporalQueries {
     // window over it. Paths never cross a session boundary (the LEADs
     // partition by (user, session)).
     ("ts_path_ngrams",
-      (s, d) => {
-        val e = TemporalOps.loadEvents(s, d)
-          .select(col("user_id"), col("event_id"), col("event_type"),
-            col("ts_us").as("tsn"))
-        val sess = TemporalOps.sessionize(e, keyCol = "user_id", tsCol = "tsn",
-          gap = 1800000000L, tieCol = "event_id")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("user_id"), col("session_no"))
-          .orderBy(col("tsn"), col("event_id"))
-        val tri = sess
-          .withColumn("t2", lead(col("event_type"), 1).over(w))
-          .withColumn("t3", lead(col("event_type"), 2).over(w))
-          .filter(col("t2").isNotNull && col("t3").isNotNull)
-          .groupBy(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
-          .agg(count(lit(1)).as("n"))
-        // two-level top-k (the TextStats.groupedTopK discipline): per-bucket
-        // pre-top-20 bounds every window partition, so the global rank runs
-        // on <= 64*20 rows even if the type vocabulary explodes — never an
-        // unpartitioned window over a data-sized table
-        val wb = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("bkt")).orderBy(col("n").desc, col("path"))
-        val wr = org.apache.spark.sql.expressions.Window
-          .orderBy(col("n").desc, col("path"))
-        tri.withColumn("bkt", pmod(xxhash64(col("path")), lit(64)))
-          .withColumn("r1", row_number().over(wb))
-          .filter(col("r1") <= 20)
-          .withColumn("rank", row_number().over(wr))
-          .filter(col("rank") <= 20)
-          .select(col("path"), col("n"), col("rank"))
-          .orderBy("rank")
-      },
+      (s, d) => pathNgramsTop(TemporalOps.loadEvents(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts_us").as("tsn"))),
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsn
         |           FROM events),
         |  lagd AS (SELECT *, LAG(tsn) OVER (PARTITION BY user_id

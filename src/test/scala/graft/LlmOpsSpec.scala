@@ -803,6 +803,80 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(verified == Set((0L, 1L)))
   }
 
+  test("PPJoin positional filter prunes a prefix-sharing pair the threshold can't reach") {
+    // doc 1 holds 'zz' at prefix rank 4, doc 2 at rank 1: the positional
+    // bound min(4,1) + min(10-4, 10-1) = 7 < alpha = ceil(70*20/170) = 9,
+    // so (1,2) is cut BEFORE verification even though both prefixes share
+    // 'zz' (the plain prefix join would emit it). True near-dup pairs
+    // (identical docs, the 9-of-10 overlap pair) all survive.
+    val d = docs(
+      (1L, "aa1 aa2 aa3 zz f1 f2 f3 f4 f5 f6"),
+      (2L, "zz g1 g2 g3 g4 g5 g6 g7 g8 g9"),
+      (3L, "aa1 aa2 aa3 c1 c2 c3 c4 c5 c6 c7"),
+      (4L, "pad g1 g2 g3 g4 g5 g6 g7 g8 g9"),
+      (5L, "pad g1 g2 g3 g4 g5 g6 g7 g8 g9"),
+      (6L, "qad f1 f2 f3 f4 f5 f6 e1 e2 e3"),
+      (7L, "qad f1 f2 f3 f4 f5 f6 e1 e2 e3"))
+    val sh = Dedup.wordShingles(d, 1)
+    // structural precondition, derived from first principles so the test
+    // fails loudly if the fixture drifts: 'zz' is inside BOTH prefixes
+    // (df-ascending, length 4 at n=10, pct=70)
+    val texts = d.collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    val df = texts.values.flatten.toSeq.groupBy(identity).map { case (w, ws) => w -> ws.size }
+    def prefix(id: Long): Set[String] =
+      texts(id).toSeq.sortBy(w => (df(w), w)).take(4).toSet
+    assert(prefix(1L).contains("zz") && prefix(2L).contains("zz"))
+    val cands = Dedup.prefixFilterCandidates(sh, 70)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!cands.contains((1L, 2L)), "positional filter must cut the (1,2) candidate")
+    // completeness: the gated candidates still cover every true pair, and
+    // the full pipeline equals the all-pairs truth
+    val truth = Dedup.jaccardPairs(sh, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth == Set((2L, 4L), (2L, 5L), (4L, 5L), (6L, 7L)))
+    assert(truth.subsetOf(cands))
+    val got = Dedup.prefixFilterPairs(sh, 70)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth)
+  }
+
+  test("df-skew gate: Zipfian routes to the exact prefix tier, uniform to the capped tier") {
+    // Zipfian-ish: per-doc unique words (df 1, the median) + a shared hot
+    // phrase whose shingles exceed 1% of the vocabulary (p99 = 30 >> median)
+    val zipf = docs((0L to 30L).map { i =>
+      val k = i % 30 // doc 30 duplicates doc 0 so the exact tier has a pair
+      i -> s"u${k}a u${k}b u${k}c alpha beta gamma delta"
+    }: _*)
+    val zsh = Dedup.wordShingles(zipf, 3)
+    val (zv, zp, zmed, zp99) = Dedup.dfSkewStats(zsh)
+    assert(zmed == 1L && zp99 == 31L, s"fixture drifted: median=$zmed p99=$zp99")
+    val zr = Dedup.prefixFilterPairsAuto(zsh, 70)
+    assert(zr.select("route").distinct().collect().map(_.getString(0)).toSeq == Seq("prefix_exact"))
+    // the gated output matches the direct exact tier, route column aside
+    val zdirect = Dedup.prefixFilterPairs(zsh, 70)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_inter"))).toSet
+    val zgot = zr.collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_inter"))).toSet
+    assert(zgot == zdirect)
+
+    // degenerate: 100 docs over a 4-word cyclic vocabulary — every shingle's
+    // df is corpus-scale (median == p99, mean df >> 8): the gate must refuse
+    // the exact tier and route to the maxDF-capped posting join
+    val uni = docs((0L until 100L).map(i =>
+      i -> (0 until 8).map(j => s"w${(i + j) % 4}").mkString(" ")): _*)
+    val ush = Dedup.wordShingles(uni, 3)
+    val (uv, up, umed, up99) = Dedup.dfSkewStats(ush)
+    assert(up99.toDouble / umed < 4.0 && up.toDouble / uv > 8.0,
+      s"fixture drifted: v=$uv p=$up med=$umed p99=$up99")
+    val ur = Dedup.prefixFilterPairsAuto(ush, 70, maxDF = 1000L)
+    assert(ur.select("route").distinct().collect().map(_.getString(0)).toSeq == Seq("maxdf_capped"))
+    // with maxDF above every df the capped route IS exact jaccard — check
+    // against the all-pairs truth on the same frame
+    val utruth = Dedup.jaccardPairs(ush, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ugot = ur.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ugot == utruth && ugot.nonEmpty)
+  }
+
   test("incrementalCandidates: only pairs touching the increment, corpus side broadcast") {
     // corpus: two identical docs (1,2) + distinct doc 3; incoming: dup of
     // corpus doc 1 (id 10) + fresh doc 11
