@@ -20,14 +20,13 @@ object PlanDump {
     * math (see the call sites). Grow this list ONLY with a matching guard.
     */
   val AuditedUnpartitionedWindows: Set[String] = Set(
-    "t_dsir_select",      // global top-k over a runtime-guarded survivor set
-    "t_rank_normalize",   // corpus ranks: summary-sized rank frame, guarded
-    "x1_hybrid_rrf",      // fused k-list rank (k ≤ 2·topK), guarded
-    "t_decile_assign",    // 10-bucket summary frame
-    "t_length_quantiles", // bounded quantile grid
-    "t_crosstab_expected",// bounded (lang × decile) grid
-    "t_mad_outliers",     // 1-row median frames
-    "t_winsorize")        // 1-row quantile frames
+    "t_dsir_select",       // global top-k, Bounded.guard (Sampling.scala:364)
+    "x1_hybrid_rrf",       // fused k-list rank, Bounded.guard (Retrieval.scala:48) + rankTopK
+    "x1_search_rank",      // rankTopK: limit(k) BEFORE the rank window (≤ k rows)
+    "x1_bm25_rank",        // rankTopK (same ≤ k-row window)
+    "t_bigram_lm",         // bucket-summary window, Bounded.guard (TextStats.scala:558)
+    "s15_key_skew_report", // count histogram: O(√rows) by math (SkewOps.keySkewReport)
+    "ts_path_ngrams")      // global rank AFTER per-bucket top-20 (≤ 64·20 rows)
 
   private def unpartitionedWindows(df: org.apache.spark.sql.DataFrame): Int =
     df.queryExecution.optimizedPlan.collect {
