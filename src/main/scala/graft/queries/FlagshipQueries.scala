@@ -86,5 +86,40 @@ object FlagshipQueries {
           catch { case _: Throwable => () }
         }
       },
+      null),
+
+    // WARC source tier on the committed fixture corpus (Common Crawl
+    // layout: gzip member per record, plus the plain variant): distributed
+    // parse → HTTP split → HTML text extraction, golden-asserted against
+    // the fixture's known bytes. Rows-only (DuckDB cannot parse WARC); a
+    // failed golden throws → red CORRECTNESS row.
+    ("s16_warc_ingest",
+      (s: SparkSession, _: String) => {
+        val dir = Seq("src/test/resources/warc", "/root/repo/src/test/resources/warc")
+          .find(p => new java.io.File(p).isDirectory)
+          .getOrElse(throw new IllegalStateException("WARC fixture dir not found"))
+        val recs = graft.io.WarcReader.records(s, dir)
+        val out = recs.select(col("src_file"), col("rec_idx"), col("warc_type"),
+            col("url"), col("http_status"), col("payload_len"),
+            md5(col("payload")).as("payload_md5"),
+            when(coalesce(col("http_content_type"), lit("")).startsWith("text/html"),
+              graft.ops.Html.htmlToText(decode(col("payload"), "UTF-8"))).as("text"))
+          .orderBy("src_file", "rec_idx")
+        val rows = out.collect()
+        require(rows.length == 10, s"expected 10 WARC records, got ${rows.length}")
+        // both container layouts must yield byte-identical record content
+        val (gz, pl) = rows.partition(_.getString(0) == "sample.warc.gz")
+        require(gz.map(_.toSeq.drop(1)).toSeq == pl.map(_.toSeq.drop(1)).toSeq,
+          "gzip-member and plain parses diverged")
+        val texts = rows.filter(r => !r.isNullAt(7)).map(_.getString(7)).distinct.sorted
+        require(texts.toSeq == Seq("Private Internal page",
+            "Spark joins Broadcast & shuffle joins, a <guide>. docs"),
+          s"extracted text drifted: ${texts.toSeq}")
+        import s.implicits._
+        rows.map(r => (r.getString(0), r.getLong(1), r.getString(2),
+            Option(r.getString(3)).orNull, r.getInt(4), r.getLong(5), r.getString(6)))
+          .toSeq.toDF("src_file", "rec_idx", "warc_type", "url",
+            "http_status", "payload_len", "payload_md5")
+      },
       null))
 }

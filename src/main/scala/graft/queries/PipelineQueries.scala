@@ -1563,6 +1563,55 @@ object PipelineQueries {
     // fields on BOTH engines (the t_pii_scrub discipline — the testdata has
     // no URL column); the oracle re-derives each part with regexes, an
     // independent formulation of RFC-3986 splitting for this shape.
+    // ---- HTML -> training-text extraction (the web-ingest tier) ---------
+    // synthesized HTML wraps each document (title, script block, comment,
+    // entities, links, a noindex meta on every 7th doc) and the REAL
+    // Html.* chains clean it; the oracle replays the identical
+    // RE2-compatible regex chain in DuckDB, so both the strip order and
+    // the single-pass entity decode are pinned cross-engine.
+    ("t_html_extract",
+      (s, d) => {
+        val html = concat(
+          lit("<html><head><title>doc "), col("doc_id"), lit("</title>"),
+          lit("<script type='text/javascript'>var x = 1 < 2;</script></head>"),
+          lit("<body><!-- nav -->"),
+          when(col("doc_id") % 7 === 0,
+            lit("<meta name=\"robots\" content=\"noindex,nofollow\">"))
+            .otherwise(lit("")),
+          lit("<p class='x'>"), col("text"), lit(" &amp; more</p><a href=\"/d/"),
+          col("doc_id"), lit("\">next</a></body></html>"))
+        t(s, d, "documents")
+          .select(col("doc_id"), html.as("html"))
+          .select(col("doc_id"),
+            graft.ops.Html.htmlToText(col("html")).as("clean"),
+            graft.ops.Html.htmlTitle(col("html")).as("title"),
+            graft.ops.Html.metaNoindex(col("html")).as("noindex"),
+            size(graft.ops.Html.hrefs(col("html"))).cast("long").as("n_links"))
+          .orderBy("doc_id")
+      },
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>doc ' || doc_id ||
+        |  '</title><script type=''text/javascript''>var x = 1 < 2;</script></head><body><!-- nav -->' ||
+        |  CASE WHEN doc_id % 7 = 0 THEN '<meta name="robots" content="noindex,nofollow">' ELSE '' END ||
+        |  '<p class=''x''>' || text || ' &amp; more</p><a href="/d/' || doc_id || '">next</a></body></html>' AS html
+        |  FROM documents)
+        | SELECT doc_id,
+        |   trim(regexp_replace(
+        |     replace(replace(replace(replace(replace(replace(
+        |       regexp_replace(
+        |         regexp_replace(
+        |           regexp_replace(
+        |             regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |             '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |           '(?s)<!--.*?-->', ' ', 'g'),
+        |         '(?s)<[^>]*>', ' ', 'g'),
+        |       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |     '\s+', ' ', 'g')) AS clean,
+        |   regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS title,
+        |   regexp_matches(html, '(?is)<meta[^>]*name\s*=\s*["'']robots["''][^>]*content\s*=\s*["''][^"'']*noindex') AS noindex,
+        |   CAST(len(regexp_extract_all(html, '(?is)href\s*=\s*["'']([^"'']+)["'']', 1)) AS BIGINT) AS n_links
+        | FROM h ORDER BY doc_id""".stripMargin),
+
     ("t_url_parse",
       (s, d) => t(s, d, "documents")
         .withColumn("url", concat(lit("https://"), col("source"),

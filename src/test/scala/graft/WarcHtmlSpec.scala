@@ -1,0 +1,92 @@
+package graft
+
+import graft.io.WarcReader
+import graft.ops.Html
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WARC ingest + HTML text extraction (the web source tier). Fixtures are
+  * committed deterministic bytes: sample.warc.gz uses the Common Crawl
+  * layout (one gzip member per record), plain.warc the uncompressed path.
+  */
+class WarcHtmlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val warcDir = "src/test/resources/warc"
+  private def gzBytes = java.nio.file.Files.readAllBytes(
+    java.nio.file.Paths.get(s"$warcDir/sample.warc.gz"))
+  private def plainBytes = java.nio.file.Files.readAllBytes(
+    java.nio.file.Paths.get(s"$warcDir/plain.warc"))
+
+  test("parse: gzip-member and plain fixtures yield identical records") {
+    val gz = WarcReader.parse("sample.warc.gz", gzBytes)
+    val pl = WarcReader.parse("plain.warc", plainBytes)
+    assert(gz.size == 5 && pl.size == 5)
+    assert(gz.map(_.warc_type) == Seq("warcinfo", "request", "response", "response", "response"))
+    def key(r: WarcReader.WarcRecord) =
+      (r.rec_idx, r.warc_type, r.url, r.warc_date, r.content_type,
+        r.http_status, r.http_content_type, r.payload_len, r.payload.toSeq)
+    assert(gz.map(key) == pl.map(key))
+  }
+
+  test("parse: HTTP split — status, content type, body; non-HTTP raw") {
+    val rs = WarcReader.parse("f", gzBytes)
+    val info = rs(0)
+    assert(info.http_status == 0 && info.http_content_type == null)
+    assert(new String(info.payload, "ISO-8859-1") == "software: graft-fixture 1.0\r\n")
+    val a = rs(2)
+    assert(a.url == "http://example.com/a" && a.http_status == 200)
+    assert(a.http_content_type == "text/html; charset=utf-8")
+    assert(new String(a.payload, "ISO-8859-1").startsWith("<html><head><title>Spark joins</title>"))
+    val img = rs(4)
+    assert(img.http_status == 404 && img.payload.toSeq == (0 until 16).map(_.toByte).toSeq)
+  }
+
+  test("parse: payload truncation caps bytes, keeps full length, stays record-aligned") {
+    val rs = WarcReader.parse("f", gzBytes, maxPayloadBytes = 40)
+    assert(rs.size == 5, "truncation must not desynchronize the record stream")
+    val a = rs(2)
+    assert(a.payload.length <= 40 && a.payload_len > 40,
+      s"expected truncated payload with preserved length, got ${a.payload.length}/${a.payload_len}")
+    // later records still parse correctly after a truncated block skip
+    assert(rs(4).http_status == 404)
+  }
+
+  test("records: distributed read over the fixture dir") {
+    val df = WarcReader.records(spark, warcDir).cache()
+    assert(df.count() == 10) // 5 records x 2 files
+    val htmlPages = df.filter(col("warc_type") === "response" &&
+        col("http_content_type").startsWith("text/html"))
+      .withColumn("text", Html.htmlToText(decode(col("payload"), "UTF-8")))
+      .select("src_file", "url", "text")
+      .collect()
+    assert(htmlPages.length == 4)
+    val byUrl = htmlPages.map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(byUrl(("sample.warc.gz", "http://example.com/a")) ==
+      "Spark joins Broadcast & shuffle joins, a <guide>. docs")
+    assert(byUrl(("plain.warc", "http://example.com/b")) == "Private Internal page")
+    df.unpersist()
+  }
+
+  test("Html ops: title, noindex gate, hrefs, entity order") {
+    val page = ("<html><head><title>T &amp; U</title>" +
+      "<meta name='robots' content='all,noindex'></head>" +
+      "<body><a href=\"/x\">x</a><a href='/y'>y</a>" +
+      "<p>&amp;lt; stays one decode</p></body></html>")
+    val df = Seq(page).toDF("html").select(
+      Html.htmlTitle(col("html")).as("t"),
+      Html.metaNoindex(col("html")).as("n"),
+      Html.hrefs(col("html")).as("h"),
+      Html.htmlToText(col("html")).as("c"))
+    val r = df.collect()(0)
+    assert(r.getString(0) == "T &amp; U") // title is RAW extract; decode is htmlToText's job
+    assert(r.getBoolean(1))
+    assert(r.getSeq[String](2) == Seq("/x", "/y"))
+    // one-pass entity decode: "&amp;lt;" -> "&lt;", never "<"
+    assert(r.getString(3).contains("&lt; stays one decode"))
+    val clean = Seq("<p>no robots here</p>").toDF("html")
+      .select(Html.metaNoindex(col("html"))).collect()(0).getBoolean(0)
+    assert(!clean)
+  }
+}
