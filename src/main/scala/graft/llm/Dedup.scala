@@ -321,6 +321,46 @@ object Dedup {
     cross.unionByName(within)
   }
 
+  /** Unit-granular exact dedup WITH document reassembly — the C4/Dolma
+    * paragraph-dedup step: documents split into units (paragraphs, lines,
+    * sentences — `sep` is the literal separator), every unit that already
+    * appeared earlier in the corpus is dropped, and each document is
+    * reassembled from its surviving units in original order. "Earlier" is
+    * the global (id, pos) order, so exactly ONE copy of every distinct
+    * unit survives, in its first home.
+    *
+    * Differs from [[chunkDedup]] (fixed token windows) in honoring the
+    * document's own unit structure, and from [[removeDuplicateSpans]] in
+    * dropping whole units rather than token spans.
+    *
+    * Scale shape: one explode, one combinable min-aggregate on the unit
+    * hash (16-byte digest, uniformly distributed — no skew), one semi-join
+    * back on (id, pos), one per-document regroup. No windows, no driver
+    * state.
+    *
+    * Output: (id, kept_text, n_units, n_kept) — emptied documents remain
+    * with kept_text = '' so the caller decides their fate.
+    */
+  def unitDedup(docs: DataFrame, sep: String, joinSep: String = " | ",
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val units = docs.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "unit")))
+      .filter(col("unit") =!= "")
+    val winners = units.groupBy(md5(col("unit")).as("h"))
+      .agg(min(struct(col("id"), col("pos"))).as("w"))
+      .select(col("w.id").as("id"), col("w.pos").as("pos"))
+    val kept = units.join(winners, Seq("id", "pos"), "left_semi")
+    val total = units.groupBy("id").agg(count(lit(1)).as("n_units"))
+    val keptAgg = kept.groupBy("id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(array_sort(collect_list(struct(col("pos"), col("unit")))),
+        x => x.getField("unit")), joinSep).as("kept_text"))
+    total.join(keptAgg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("kept_text"), lit("")).as("kept_text"),
+        col("n_units"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** df-distribution statistics of a posting table, computed EXACTLY via
     * the cumulative-histogram shape (the s15_key_skew_report machinery): the
     * df histogram is bounded by #distinct df values (≤ max df, tiny at any

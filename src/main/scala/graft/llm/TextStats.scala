@@ -678,4 +678,42 @@ object TextStats {
 
   val windowHashesUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((s: String, w: Int) => windowHashes(s, w))
+
+  /** Hashed-feature LINEAR quality scorer — the fasttext-/CCNet-classifier
+    * shape with the weights supplied: token → hash bucket → integer weight,
+    * summed per document. The trained-model analog keeps exactly this
+    * serving plan (hash, broadcast weight lookup, map-side sum); only the
+    * weight vector changes, so scoring a 100 TB corpus is one codegen'd
+    * scan with a partial-aggregating sum — no shuffle wider than the
+    * per-document rollup.
+    *
+    * Hashing is the portable md5 discipline: bucket = value of the first
+    * two md5 hex digits (ascii arithmetic — no engine-specific hex parse)
+    * mod `weights.size`, so the DuckDB oracle reproduces every bucket
+    * bit-for-bit. Weights are INTEGERS (exact, order-independent sum);
+    * `mean_w` divides once at the end (exact-integer-in IEEE division,
+    * identical across engines).
+    *
+    * Output: (id, n_tokens, score, mean_w).
+    */
+  def hashedLinearScore(docs: DataFrame, weights: Seq[Int],
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty, "hashedLinearScore: weights must be non-empty")
+    def hexVal(c: Column): Column = {
+      val a = ascii(c)
+      a - 48 - when(a >= 97, 39).otherwise(0)
+    }
+    val toks = docs.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val h = md5(col("tok"))
+    val bucket = pmod(hexVal(substring(h, 1, 1)) * 16 + hexVal(substring(h, 2, 1)),
+      lit(weights.size))
+    val w = element_at(array(weights.map(lit): _*), bucket.cast("int") + 1)
+    toks.select(col("id"), w.as("w"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("w")).as("score"))
+      .withColumn("mean_w", col("score").cast("double") / col("n_tokens"))
+  }
 }

@@ -354,4 +354,49 @@ object GraphTraversal {
       .select(col("v1").as("a"), col("v2").as("b"),
         col("n_common"), col("deg_a"), col("deg_b"))
   }
+
+  /** Synchronous label propagation (community detection): `rounds` rounds
+    * of `label(v) ← most frequent label among v's neighbors`, undirected,
+    * ties broken by SMALLEST label, initial label = the vertex key itself.
+    * Every quantity is an integer and the tie-break is total, so —
+    * unlike [[pageRank]]'s float sums — the rounds replay EXACTLY in any
+    * engine and the registry entry carries a full DuckDB oracle (unrolled
+    * rounds as materialized CTEs).
+    *
+    * Scale shape per round: ONE edge-scale equi-join (neighbor labels) +
+    * two map-combinable aggregates (max count per vertex; min label at
+    * that count) + one vertex-sized co-partitioned join between them — no
+    * windows, no driver state beyond the loop counter. [[Checkpointer]]
+    * truncates lineage and each round releases its predecessor (the
+    * [[pageRank]] storage discipline). Callers with non-integral vertex
+    * keys (URI graphs) should dictionary-encode first, as pageRank does
+    * internally — label identity IS the vertex key here, so encoding
+    * belongs to the caller.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+                       srcCol: String = "src", dstCol: String = "dst",
+                       cp: Checkpointer = Checkpointer.Auto): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0: $rounds")
+    val eRaw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val sym = cp(eRaw
+      .union(eRaw.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct())
+    var labels = cp(sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
+    for (_ <- 0 until rounds) {
+      val votes = sym
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val best = votes.groupBy("src").agg(max(col("cnt")).as("m"))
+      val prev = labels
+      labels = cp(votes.join(best, Seq("src"))
+        .filter(col("cnt") === col("m"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("label")))
+      cp.release(prev)
+    }
+    labels
+  }
 }

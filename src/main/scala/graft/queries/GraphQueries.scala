@@ -237,6 +237,38 @@ object GraphQueries {
          | SELECT id, CAST(floor(rank * 1e6 + 0.5) AS BIGINT) AS rank_micro
          | FROM r8 ORDER BY id""".stripMargin),
 
+    // ---- label propagation (community detection) ------------------------
+    // synchronous LPA on the same successor graph: every quantity is an
+    // integer (label counts, min-label tie-break), so unlike g_pagerank's
+    // micro-rounding the rounds replay EXACTLY — the oracle unrolls the
+    // identical 3 rounds (vote count → max per vertex → min label at max)
+    // as materialized CTEs and compares full (id, label) rows.
+    ("g_label_prop",
+      (s, d) => {
+        val k = col("c_custkey")
+        val edges = (1 to 3).map(delta =>
+            t(s, d, "customer").select(k.as("src"), (k + delta).as("dst")))
+          .reduce(_ union _)
+        graft.ops.GraphTraversal.labelPropagation(edges, rounds = 3)
+          .orderBy("id")
+      },
+      s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |     ${(1 to 3).map(dlt =>
+                s"SELECT c_custkey AS src, c_custkey + $dlt AS dst FROM customer")
+                .mkString(" UNION ALL ")})),
+         | sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |     SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)
+         |     WHERE src <> dst),
+         | l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM sym)${(1 to 3).map(it =>
+            s""",
+         | v$it AS MATERIALIZED (SELECT s.src, l.label, COUNT(*) AS cnt
+         |     FROM sym s JOIN l${it - 1} l ON s.dst = l.id GROUP BY 1, 2),
+         | b$it AS MATERIALIZED (SELECT src, MAX(cnt) AS m FROM v$it GROUP BY 1),
+         | l$it AS MATERIALIZED (SELECT v.src AS id, MIN(v.label) AS label
+         |     FROM v$it v JOIN b$it b ON v.src = b.src AND v.cnt = b.m GROUP BY 1)""")
+            .mkString}
+         | SELECT id, label FROM l3 ORDER BY id""".stripMargin),
+
     // ---- approximate aggregates (engine-specific sketches) --------------
     // The sketch values themselves are engine-specific (HLL++ register
     // layout, KLL accuracy), so the checked contract is (a) the EXACT

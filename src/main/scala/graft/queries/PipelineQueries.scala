@@ -1612,6 +1612,109 @@ object PipelineQueries {
         |   CAST(len(regexp_extract_all(html, '(?is)href\s*=\s*["'']([^"'']+)["'']', 1)) AS BIGINT) AS n_links
         | FROM h ORDER BY doc_id""".stripMargin),
 
+    // ---- URL canonicalization + URL-level dedup -------------------------
+    // the crawl pipeline's cheapest dedup pass: every page appears under
+    // scheme-case/host-case/www/port/fragment/param-order/tracking-param
+    // surface variants; Urls.canonicalizeUrl folds them to ONE form and the
+    // groupBy collapses revisits (min doc_id = the kept fetch). The oracle
+    // replays the identical rule chain (split/list_filter/list_sort).
+    ("t_url_canonical_dedup",
+      (s, d) => {
+        val messy = t(s, d, "documents").select(col("doc_id"), col("source"),
+          concat(
+            element_at(array(lit("HTTP"), lit("https")), (col("doc_id") % 2).cast("int") + 1),
+            lit("://"),
+            element_at(array(lit("WWW.Example.COM:443"), lit("example.com"),
+              lit("www.example.com")), (col("doc_id") % 3).cast("int") + 1),
+            lit("/Docs/"), col("source"), lit("/"),
+            when(col("doc_id") % 2 === 0, lit("?utm_source=x&b=2&a=1#frag"))
+              .otherwise(lit("?a=1&b=2&ref=tw"))).as("url"))
+        messy.select(col("doc_id"), graft.ops.Urls.canonicalizeUrl(col("url")).as("canonical"))
+          .groupBy("canonical")
+          .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_dup"))
+          .orderBy("canonical")
+      },
+      """WITH messy AS (SELECT doc_id,
+        |   (['HTTP','https'])[CAST(doc_id % 2 AS INT) + 1] || '://' ||
+        |   (['WWW.Example.COM:443','example.com','www.example.com'])[CAST(doc_id % 3 AS INT) + 1] ||
+        |   '/Docs/' || source || '/' ||
+        |   CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&b=2&a=1#frag'
+        |        ELSE '?a=1&b=2&ref=tw' END AS url
+        |   FROM documents),
+        | parts AS (SELECT doc_id,
+        |   lower(split_part(split_part(url, '#', 1), '://', 1)) AS scheme,
+        |   split_part(split_part(url, '#', 1), '://', 2) AS hostpath
+        |   FROM messy),
+        | hp AS (SELECT doc_id, scheme,
+        |   regexp_replace(regexp_replace(lower(split_part(hostpath, '/', 1)),
+        |     '^www\.', ''), ':(80|443)$', '') AS host,
+        |   CASE WHEN contains(hostpath, '/')
+        |        THEN substr(hostpath, strpos(hostpath, '/') + 1) ELSE '' END AS pathq
+        |   FROM parts),
+        | pq AS (SELECT doc_id, scheme, host,
+        |   regexp_replace(split_part(pathq, '?', 1), '/+$', '') AS path,
+        |   CASE WHEN contains(pathq, '?')
+        |        THEN substr(pathq, strpos(pathq, '?') + 1) ELSE '' END AS query
+        |   FROM hp),
+        | canon AS (SELECT doc_id, scheme || '://' || host ||
+        |   CASE WHEN path = '' THEN '' ELSE '/' || path END ||
+        |   CASE WHEN len(ps) = 0 THEN '' ELSE '?' || array_to_string(ps, '&') END AS canonical
+        |   FROM (SELECT *, list_sort(list_filter(string_split(query, '&'),
+        |     p -> NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|ref)(=.*)?$')
+        |          AND p <> '')) AS ps FROM pq))
+        | SELECT canonical, MIN(doc_id) AS canonical_id, COUNT(*) AS n_dup
+        | FROM canon GROUP BY canonical ORDER BY canonical""".stripMargin),
+
+    // ---- unit (paragraph) dedup with document reassembly ----------------
+    // the C4/Dolma paragraph-dedup step on the registry corpus: ' the '
+    // serves as the unit separator (the corpus has no newlines), one copy
+    // of every distinct unit survives in its global-first (id, pos) home,
+    // documents reassemble from surviving units in original order.
+    ("t_paragraph_dedup",
+      (s, d) => Dedup.unitDedup(t(s, d, "documents"), " the ", " | ")
+        .orderBy("id"),
+      """WITH w AS (SELECT doc_id AS id, string_split(text, ' the ') AS us FROM documents),
+        | u AS (SELECT id, i - 1 AS pos, us[i] AS unit
+        |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(w.us))) AS i) g
+        |       WHERE us[i] <> ''),
+        | win AS (SELECT id, pos FROM (
+        |           SELECT id, pos, ROW_NUMBER() OVER (PARTITION BY unit
+        |                                              ORDER BY id, pos) AS rn
+        |           FROM u) WHERE rn = 1),
+        | kept AS (SELECT u.id, u.pos, u.unit FROM u SEMI JOIN win
+        |          ON u.id = win.id AND u.pos = win.pos),
+        | tot AS (SELECT id, COUNT(*) AS n_units FROM u GROUP BY 1),
+        | ka AS (SELECT id, COUNT(*) AS n_kept,
+        |        string_agg(unit, ' | ' ORDER BY pos) AS kept_text
+        |        FROM kept GROUP BY 1)
+        | SELECT tot.id, COALESCE(ka.kept_text, '') AS kept_text,
+        |        tot.n_units, COALESCE(ka.n_kept, 0) AS n_kept
+        | FROM tot LEFT JOIN ka USING (id) ORDER BY id""".stripMargin),
+
+    // ---- hashed-feature linear quality scorer ---------------------------
+    // the fasttext/CCNet model-scoring SHAPE with a fixed integer weight
+    // vector w(b) = (b % 7) − 3 over 64 md5-hashed buckets: one codegen
+    // scan + per-doc sum. The oracle re-derives every bucket from the same
+    // md5 hex digits via ascii arithmetic — no engine-specific hex parse.
+    ("t_quality_linear",
+      (s, d) => graft.llm.TextStats.hashedLinearScore(t(s, d, "documents"),
+          (0 until 64).map(b => (b % 7) - 3))
+        .orderBy("id"),
+      """WITH toks AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        | b AS (SELECT id,
+        |   (ascii(substr(md5(tok), 1, 1)) - 48 -
+        |      CASE WHEN ascii(substr(md5(tok), 1, 1)) >= 97 THEN 39 ELSE 0 END) * 16 +
+        |   (ascii(substr(md5(tok), 2, 1)) - 48 -
+        |      CASE WHEN ascii(substr(md5(tok), 2, 1)) >= 97 THEN 39 ELSE 0 END) AS hv
+        |   FROM toks WHERE tok <> ''),
+        | s AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(SUM((hv % 64) % 7 - 3) AS BIGINT) AS score
+        |       FROM b GROUP BY 1)
+        | SELECT id, n_tokens, score,
+        |        CAST(score AS DOUBLE) / n_tokens AS mean_w
+        | FROM s ORDER BY id""".stripMargin),
+
     ("t_url_parse",
       (s, d) => t(s, d, "documents")
         .withColumn("url", concat(lit("https://"), col("source"),

@@ -278,4 +278,24 @@ class ConnectedComponentsSpec extends AnyFunSuite {
         r.getLong(3), r.getLong(4))).toSet
     assert(got == expected)
   }
+
+  test("labelPropagation: two triangles + bridge — hand-replayed sync rounds") {
+    import spark.implicits._
+    // triangle {1,2,3}, triangle {10,11,12}, bridge 3-10; DIRECTED input —
+    // the op must symmetrize. Hand replay (min tie-break, synchronous):
+    // after 3 rounds the triangles carry labels 1 and 3 respectively.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("src", "dst")
+    val got3 = graft.ops.GraphTraversal.labelPropagation(edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got3 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 3L, 11L -> 3L, 12L -> 3L))
+    // round 1 alone reproduces the first synchronous vote exactly
+    val got1 = graft.ops.GraphTraversal.labelPropagation(edges, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 10L -> 3L, 11L -> 10L, 12L -> 10L))
+    // rounds = 0 is the identity labeling
+    val got0 = graft.ops.GraphTraversal.labelPropagation(edges, rounds = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got0 == Seq(1L, 2L, 3L, 10L, 11L, 12L).map(v => v -> v).toMap)
+  }
 }

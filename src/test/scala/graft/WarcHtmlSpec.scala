@@ -69,6 +69,57 @@ class WarcHtmlSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("canonicalizeUrl: every surface-variant rule, one canonical form") {
+    val cases = Seq(
+      // scheme/host case, www, default port, fragment
+      "HTTP://WWW.Example.COM:80/Path/a#frag" -> "http://example.com/Path/a",
+      "https://example.com:443/Path/a" -> "https://example.com/Path/a",
+      // tracking params dropped, remainder sorted; trailing slash trimmed
+      "https://example.com/p/?utm_source=x&b=2&a=1&fbclid=z" -> "https://example.com/p?a=1&b=2",
+      "https://example.com/p?a=1&b=2" -> "https://example.com/p?a=1&b=2",
+      "https://example.com/p?b=2&ref=tw&a=1" -> "https://example.com/p?a=1&b=2",
+      // no path, no query; only-tracking query vanishes entirely
+      "https://Example.com" -> "https://example.com",
+      "https://example.com/?utm_campaign=only" -> "https://example.com",
+      // path case preserved; non-default port preserved
+      "https://example.com:8080/CaseSensitive" -> "https://example.com:8080/CaseSensitive")
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.ops.Urls.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2), got.zip(cases).filter { case (g, (_, e)) => g != e }.toString)
+  }
+
+  test("unitDedup: global first occurrence survives, docs reassemble in order") {
+    val d = Seq(
+      (1L, "alpha beta SEP gamma delta SEP alpha beta"), // internal dup unit
+      (2L, "gamma delta SEP unique two"),                // cross-doc dup of doc 1's unit
+      (3L, "alpha beta")                                 // fully duplicated -> emptied
+    ).toDF("doc_id", "text")
+    val got = graft.llm.Dedup.unitDedup(d, " SEP ", " | ")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("alpha beta | gamma delta", 3L, 2L)))
+    assert(got(2L) == (("unique two", 2L, 1L)))
+    assert(got(3L) == (("", 1L, 0L)))
+  }
+
+  test("hashedLinearScore: buckets/weights reproduce the independent md5 derivation") {
+    val weights = (0 until 64).map(b => (b % 7) - 3)
+    def expected(text: String): (Long, Long) = {
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hx(c: Char) = if (c >= 'a') c - 'a' + 10 else c - '0'
+      val score = toks.map { t =>
+        val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        weights((hx(hex(0)) * 16 + hx(hex(1))) % 64)
+      }.sum
+      (toks.length.toLong, score.toLong)
+    }
+    val texts = Seq(1L -> "the quick brown fox", 2L -> "vector joins batch batch", 3L -> "one")
+    val got = graft.llm.TextStats.hashedLinearScore(texts.toDF("doc_id", "text"), weights)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    texts.foreach { case (id, t) => assert(got(id) == expected(t), s"doc $id") }
+  }
+
   test("Html ops: title, noindex gate, hrefs, entity order") {
     val page = ("<html><head><title>T &amp; U</title>" +
       "<meta name='robots' content='all,noindex'></head>" +
