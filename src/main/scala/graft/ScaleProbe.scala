@@ -46,7 +46,8 @@ object ScaleProbe {
       "triangleCounts", "qualityFilter", "tokenBudgetMix", "rankDocuments",
       "dsirSelect", "bloomDecontaminate", "perplexityBuckets", "bm25Rank",
       "bm25Persisted", "cooccurrenceLift", "prefixFilterPairs",
-      "proximityMatch", "phraseMatch", "prefixFilterAuto")
+      "proximityMatch", "phraseMatch", "prefixFilterAuto",
+      "unitDedup", "linearScore", "warcParse")
     if (docProbes.exists(enabled)) {
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
@@ -119,6 +120,40 @@ object ScaleProbe {
       // output itself is quadratic-in-mult — the probe checks runtime
       // tracks that inherent output volume, not a hidden all-pairs join
       Dedup.prefixFilterPairs(Dedup.wordShingles(scaled, 3), 70).count()
+    }
+    timed("unitDedup (paragraph reassembly)") {
+      // explode + hash-min aggregate + semi-join + regroup: the half-exact-
+      // copy corpus makes most units duplicated — worst case for the
+      // winners table; runtime must stay ~linear in corpus
+      Dedup.unitDedup(scaled, " the ").count()
+    }
+    timed("linearScore (64 hashed buckets)") {
+      graft.llm.TextStats.hashedLinearScore(scaled,
+        (0 until 64).map(b => (b % 7) - 3)).count()
+    }
+    timed("warcParse (synthesized corpus)") {
+      // WARC parse throughput at corpus scale: each partition packs its
+      // documents into one in-memory WARC (HTTP-wrapped HTML records) and
+      // parses it back — the per-record header/block walk is the cost
+      import spark.implicits._
+      scaled.select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          val bos = new java.io.ByteArrayOutputStream()
+          it.foreach { case (id, text) =>
+            val body = s"<html><body><p>$text</p></body></html>"
+              .getBytes("UTF-8")
+            val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+              .getBytes("UTF-8")
+            val payload = http ++ body
+            val hdr = s"WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Target-URI: http://x/$id\r\n" +
+              "Content-Type: application/http; msgtype=response\r\n" +
+              s"Content-Length: ${payload.length}\r\n\r\n"
+            bos.write(hdr.getBytes("UTF-8")); bos.write(payload)
+            bos.write("\r\n\r\n".getBytes("UTF-8"))
+          }
+          Iterator(graft.io.WarcReader.parse("synth", bos.toByteArray).size.toLong)
+        }.reduce(_ + _)
     }
     timed("proximityMatch (NEAR/3)") {
       // the x1_near_query shape: two term-filtered posting lists equi-join
@@ -321,7 +356,7 @@ object ScaleProbe {
     // its own object (orderkey offset) while subjects stay shared, giving
     // mult x |orders| REAL edges with CL hubs of degree ~mult x orders/cust.
     val bigGraphProbes = Seq("pageRankDistinct", "componentsDistinct", "trianglesDistinct",
-      "kCoreDistinct", "neighborJaccard")
+      "kCoreDistinct", "neighborJaccard", "labelProp")
     if (bigGraphProbes.exists(enabled)) {
     val obo = "http://purl.obolibrary.org/obo/"
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
@@ -342,6 +377,11 @@ object ScaleProbe {
     }
     timed("componentsDistinct") {
       graft.ops.ConnectedComponents.components(edges).count()
+    }
+    timed("labelProp (3 rounds)") {
+      // per round: one edge-scale join + two combinable aggregates; CL hubs
+      // of degree ~mult x orders/cust stress the vote aggregation skew
+      graft.ops.GraphTraversal.labelPropagation(edges, rounds = 3).count()
     }
     timed("kCoreDistinct (k=2)") {
       // bipartite CL->GO: every GO leaf peels in wave 1, stranding the CL
