@@ -89,24 +89,37 @@ object WarcReader {
             hdrs(h.substring(0, colon).trim.toLowerCase) = h.substring(colon + 1).trim
           h = readLine(in)
         }
-        val len = hdrs.getOrElse("content-length", "0").toLong
-        // read a 64 KiB HEADER allowance past the payload cap so a small
-        // cap can never chop the embedded HTTP headers — only bodies are
-        // truncated, and payload_len preserves the pre-truncation length
-        val block = readBlock(in, len, maxPayloadBytes + (1 << 16))
-        val cType = hdrs.getOrElse("content-type", null)
-        val wType = hdrs.getOrElse("warc-type", null)
-        // HTTP-wrapped payloads: split embedded headers from the body
-        val (status, httpCt, body0, bodyLen) =
-          if (cType != null && cType.startsWith("application/http"))
-            splitHttp(block, len)
-          else (0, null: String, block, len)
-        val body = if (body0.length > maxPayloadBytes)
-          java.util.Arrays.copyOf(body0, maxPayloadBytes) else body0
-        out += WarcRecord(fileName, idx, wType,
-          hdrs.getOrElse("warc-target-uri", null),
-          hdrs.getOrElse("warc-date", null),
-          cType, status, httpCt, bodyLen, body)
+        // a 100 TB crawl WILL contain garbage: a record with an unparsable
+        // Content-Length cannot be skipped reliably (the record boundary
+        // is the length), so it is SURFACED as warc_type='_malformed' and
+        // the scanner resynchronizes on the next 'WARC/' line — one bad
+        // record never kills the task or silently vanishes
+        hdrs.get("content-length").map(_.toLongOption) match {
+          case Some(Some(len)) =>
+            // read a 64 KiB HEADER allowance past the payload cap so a
+            // small cap can never chop the embedded HTTP headers — only
+            // bodies are truncated; payload_len keeps the true length
+            val block = readBlock(in, len, maxPayloadBytes + (1 << 16))
+            val cType = hdrs.getOrElse("content-type", null)
+            val wType = hdrs.getOrElse("warc-type", null)
+            // HTTP-wrapped payloads: split embedded headers from the body
+            val (status, httpCt, body1, bodyLen) =
+              if (cType != null && cType.startsWith("application/http"))
+                splitHttp(block, len)
+              else (0, null: String, block, len)
+            val body = if (body1.length > maxPayloadBytes)
+              java.util.Arrays.copyOf(body1, maxPayloadBytes) else body1
+            out += WarcRecord(fileName, idx, wType,
+              hdrs.getOrElse("warc-target-uri", null),
+              hdrs.getOrElse("warc-date", null),
+              cType, status, httpCt, bodyLen, body)
+          case _ =>
+            out += WarcRecord(fileName, idx, "_malformed",
+              hdrs.getOrElse("warc-target-uri", null),
+              hdrs.getOrElse("warc-date", null),
+              hdrs.getOrElse("content-type", null), 0, null, 0L,
+              Array.emptyByteArray)
+        }
         idx += 1
       }
       line = readLine(in)
@@ -168,9 +181,51 @@ object WarcReader {
       .find(_.toLowerCase.startsWith("content-type:"))
       .map(_.substring("content-type:".length).trim)
       .orNull
+    val chunked = lines.drop(1)
+      .find(_.toLowerCase.startsWith("transfer-encoding:"))
+      .exists(_.toLowerCase.contains("chunked"))
     val bodyStart = sep + 4
-    val body = java.util.Arrays.copyOfRange(block, math.min(bodyStart, block.length), block.length)
+    val raw = java.util.Arrays.copyOfRange(block, math.min(bodyStart, block.length), block.length)
+    // crawlers capture responses verbatim, chunk framing included — decode
+    // it here or every downstream text op sees hex size lines mid-document
+    val body = if (chunked) dechunk(raw) else raw
     (status, ct, body, math.max(0L, fullLen - bodyStart))
+  }
+
+  /** Decode HTTP/1.1 chunked transfer framing: hex-size line (extensions
+    * after ';' ignored), chunk bytes, CRLF, ... until the 0 chunk. Best
+    * effort — a malformed size line returns what decoded so far plus
+    * nothing (never throws, never loops), truncated final chunks yield
+    * their available bytes.
+    */
+  private[graft] def dechunk(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(raw.length)
+    var i = 0
+    var done = false
+    while (!done && i < raw.length) {
+      // size line ends at CRLF (tolerate bare LF)
+      var j = i
+      while (j < raw.length && raw(j) != '\n') j += 1
+      if (j >= raw.length) done = true
+      else {
+        val lineEnd = if (j > i && raw(j - 1) == '\r') j - 1 else j
+        val sizeStr = new String(raw, i, lineEnd - i,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+          .split(";")(0).trim
+        val size = try java.lang.Long.parseLong(sizeStr, 16)
+                   catch { case _: NumberFormatException => -1L }
+        if (size < 0) done = true // malformed framing: stop decoding
+        else if (size == 0) done = true // terminal chunk (trailers ignored)
+        else {
+          val start = j + 1
+          val end = math.min(start + size, raw.length.toLong).toInt
+          out.write(raw, start, math.max(0, end - start))
+          i = end + 2 // skip the chunk's trailing CRLF
+          if (end >= raw.length) done = true
+        }
+      }
+    }
+    out.toByteArray
   }
 
   private def indexOfDoubleCrlf(arr: Array[Byte]): Int = {

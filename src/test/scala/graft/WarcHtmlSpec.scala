@@ -69,6 +69,44 @@ class WarcHtmlSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("parse: malformed record surfaces as _malformed, scanner resynchronizes") {
+    def rec(len: String, payload: String) =
+      (s"WARC/1.0\r\nWARC-Type: resource\r\nWARC-Target-URI: http://x/\r\n" +
+        s"Content-Length: $len\r\n\r\n$payload\r\n\r\n").getBytes("ISO-8859-1")
+    val good1 = rec("5", "aaaaa")
+    val bad = ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+      "Content-Length: NOT_A_NUMBER\r\n\r\n").getBytes("ISO-8859-1")
+    val good2 = rec("3", "bbb")
+    val rs = WarcReader.parse("f", good1 ++ bad ++ good2)
+    assert(rs.map(_.warc_type) == Seq("resource", "_malformed", "resource"))
+    assert(new String(rs(0).payload, "ISO-8859-1") == "aaaaa")
+    assert(new String(rs(2).payload, "ISO-8859-1") == "bbb",
+      "scanner must resynchronize on the record after a malformed one")
+    // missing Content-Length entirely is also malformed, not a crash
+    val noLen = ("WARC/1.0\r\nWARC-Type: resource\r\n\r\n").getBytes("ISO-8859-1")
+    assert(WarcReader.parse("f", noLen ++ good2).map(_.warc_type) ==
+      Seq("_malformed", "resource"))
+  }
+
+  test("parse: chunked transfer-encoding is decoded to a clean body") {
+    val chunkedBody = "7\r\n<html><\r\n12\r\nbody>hello</body><\r\n6\r\n/html>\r\n0\r\n\r\n"
+    val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\n" + chunkedBody).getBytes("ISO-8859-1")
+    val warc = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Target-URI: http://x/c\r\nContent-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+      http ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    val rs = WarcReader.parse("f", warc)
+    assert(rs.size == 1 && rs(0).http_status == 200)
+    assert(new String(rs(0).payload, "ISO-8859-1") == "<html><body>hello</body></html>")
+    // malformed size line: best effort, never throws or loops
+    val broken = WarcReader.dechunk("ZZZ\r\nwhatever".getBytes("ISO-8859-1"))
+    assert(broken.isEmpty)
+    // hex sizes with chunk extensions decode too
+    val ext = WarcReader.dechunk("4;name=v\r\nabcd\r\n0\r\n\r\n".getBytes("ISO-8859-1"))
+    assert(new String(ext, "ISO-8859-1") == "abcd")
+  }
+
   test("canonicalizeUrl: every surface-variant rule, one canonical form") {
     val cases = Seq(
       // scheme/host case, www, default port, fragment
