@@ -34,6 +34,25 @@ object PipelineQueries {
     * streaming twin's entry (`stream_decontaminate`), which must meet the
     * SAME oracle from a micro-batch execution.
     */
+  /** t_quality_linear's oracle — shared verbatim by the streaming twin
+    * (the SAME scoring plan over a micro-batch replay must converge to it).
+    */
+  private[queries] val QualityLinearSql: String =
+    """WITH toks AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+      |              FROM documents),
+      | b AS (SELECT id,
+      |   (ascii(substr(md5(tok), 1, 1)) - 48 -
+      |      CASE WHEN ascii(substr(md5(tok), 1, 1)) >= 97 THEN 39 ELSE 0 END) * 16 +
+      |   (ascii(substr(md5(tok), 2, 1)) - 48 -
+      |      CASE WHEN ascii(substr(md5(tok), 2, 1)) >= 97 THEN 39 ELSE 0 END) AS hv
+      |   FROM toks WHERE tok <> ''),
+      | s AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |       CAST(SUM((hv % 64) % 7 - 3) AS BIGINT) AS score
+      |       FROM b GROUP BY 1)
+      | SELECT id, n_tokens, score,
+      |        CAST(score AS DOUBLE) / n_tokens AS mean_w
+      | FROM s ORDER BY id""".stripMargin
+
   private[queries] val BloomDecontamSql: String =
     """WITH sh5 AS (SELECT doc_id AS id, array_to_string(words[i:i+4], ' ') AS g
       |             FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w,
@@ -1700,20 +1719,7 @@ object PipelineQueries {
       (s, d) => graft.llm.TextStats.hashedLinearScore(t(s, d, "documents"),
           (0 until 64).map(b => (b % 7) - 3))
         .orderBy("id"),
-      """WITH toks AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
-        |              FROM documents),
-        | b AS (SELECT id,
-        |   (ascii(substr(md5(tok), 1, 1)) - 48 -
-        |      CASE WHEN ascii(substr(md5(tok), 1, 1)) >= 97 THEN 39 ELSE 0 END) * 16 +
-        |   (ascii(substr(md5(tok), 2, 1)) - 48 -
-        |      CASE WHEN ascii(substr(md5(tok), 2, 1)) >= 97 THEN 39 ELSE 0 END) AS hv
-        |   FROM toks WHERE tok <> ''),
-        | s AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-        |       CAST(SUM((hv % 64) % 7 - 3) AS BIGINT) AS score
-        |       FROM b GROUP BY 1)
-        | SELECT id, n_tokens, score,
-        |        CAST(score AS DOUBLE) / n_tokens AS mean_w
-        | FROM s ORDER BY id""".stripMargin),
+      QualityLinearSql),
 
     ("t_url_parse",
       (s, d) => t(s, d, "documents")

@@ -270,6 +270,27 @@ object StreamingQueries {
       },
       """SELECT source, COUNT(*) AS n_docs,
         |        CAST(SUM(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS total_tokens
-        | FROM documents GROUP BY source ORDER BY source""".stripMargin)
+        | FROM documents GROUP BY source ORDER BY source""".stripMargin),
+
+    // ---- streaming hashed-linear quality scoring ------------------------
+    // the model-scoring twin: the IDENTICAL TextStats.hashedLinearScore
+    // plan runs over a two-micro-batch replay (complete mode) and must
+    // converge to t_quality_linear's oracle. Scoring is stateless per
+    // token and the per-document sum is the only state, so a continuously
+    // ingesting quality gate reuses the batch operator with zero
+    // twin-specific code — the strongest batch/stream parity statement
+    // the registry can make.
+    ("stream_quality_linear",
+      (s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val cut = docs.stat.approxQuantile("doc_id", Array(0.5), 0.0)(0).toLong
+        replayStaged(s,
+            docs.filter(col("doc_id") <= cut),
+            docs.filter(col("doc_id") > cut), "complete")(st =>
+          graft.llm.TextStats.hashedLinearScore(st,
+            (0 until 64).map(b => (b % 7) - 3)))
+          .orderBy("id")
+      },
+      PipelineQueries.QualityLinearSql)
   )
 }
