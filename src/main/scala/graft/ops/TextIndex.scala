@@ -191,6 +191,48 @@ object TextIndex {
       .groupBy(idCol).agg(count(lit(1)).as("n_occurrences"))
   }
 
+  /** Whole-DICTIONARY phrase tagging (the FlashText/Aho-Corasick use case
+    * at corpus scale): find every occurrence of every dictionary phrase in
+    * one pass. [[phraseMatch]] chains w−1 joins PER phrase — fine for one
+    * query, wrong for a 10⁵-phrase taxonomy. Here the dictionary explodes
+    * once into (phrase, offset, word) rows and BROADCASTS (dictionaries
+    * are KB–MB; the corpus is the big side), the token table joins it
+    * once, and a phrase occurrence is a (doc, phrase, start = pos − offset)
+    * group that matched all `len` offsets — `(doc, phrase, start, offset)`
+    * determines the token position, so the group count IS the distinct
+    * offset count. One corpus-side shuffle on the group key, total work
+    * proportional to matching tokens, independent of dictionary size in
+    * join count.
+    *
+    * Matching is lowercase, whitespace-tokenized — the same token law as
+    * the rest of the positional family.
+    *
+    * Output: (id, phrase, n_matches, first_pos) per document × matched
+    * phrase.
+    */
+  def dictionaryTag(docs: DataFrame, phrases: Seq[String],
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(phrases.nonEmpty, "dictionaryTag: dictionary must be non-empty")
+    require(phrases.forall(_.trim.nonEmpty), "dictionaryTag: blank phrase")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dict = phrases.distinct.flatMap { p =>
+      val ws = p.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      ws.zipWithIndex.map { case (w, off) => (p, off, w, ws.length) }
+    }.toDF("phrase", "offset", "w", "len")
+    val toks = docs.select(col(idCol).as("id"),
+        posexplode(split(lower(coalesce(col(textCol), lit(""))), " "))
+          .as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    toks.join(broadcast(dict), Seq("w"))
+      .groupBy(col("id"), col("phrase"), col("len"),
+        (col("pos").cast("long") - col("offset")).as("start"))
+      .agg(count(lit(1)).as("nhit"))
+      .filter(col("nhit") === col("len") && col("start") >= 0)
+      .groupBy(col("id"), col("phrase"))
+      .agg(count(lit(1)).as("n_matches"), min(col("start")).as("first_pos"))
+  }
+
   /** Proximity search: documents where `termA` and `termB` occur within
     * `window` positions of each other (either order), with the qualifying
     * pair count and the closest gap. The "near" operator completing the

@@ -1247,6 +1247,36 @@ object PipelineQueries {
         | SELECT doc_id, COUNT(*) AS n_near, CAST(MIN(gap) AS BIGINT) AS min_gap
         | FROM nr GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // ---- whole-dictionary phrase tagging (FlashText at scale) -----------
+    // every occurrence of every dictionary phrase in ONE broadcast join +
+    // one grouped count — phraseMatch generalized from a single query
+    // phrase to a taxonomy. Dictionary: the corpus's frequent trigram, two
+    // bigrams, a unigram, and an absent phrase (must emit nothing).
+    ("x1_dict_tag",
+      (s, d) => TextIndex.dictionaryTag(t(s, d, "documents"),
+          Seq("slow hash batch", "vector joins", "the slow", "batch",
+            "warp drive plasma"))
+        .orderBy("id", "phrase"),
+      """WITH dict(phrase, off, w, len) AS (VALUES
+        |   ('slow hash batch', 0, 'slow', 3), ('slow hash batch', 1, 'hash', 3),
+        |   ('slow hash batch', 2, 'batch', 3),
+        |   ('vector joins', 0, 'vector', 2), ('vector joins', 1, 'joins', 2),
+        |   ('the slow', 0, 'the', 2), ('the slow', 1, 'slow', 2),
+        |   ('batch', 0, 'batch', 1),
+        |   ('warp drive plasma', 0, 'warp', 3), ('warp drive plasma', 1, 'drive', 3),
+        |   ('warp drive plasma', 2, 'plasma', 3)),
+        | wd AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS ws FROM documents),
+        | tok AS (SELECT id, i - 1 AS pos, ws[i] AS w FROM wd,
+        |         LATERAL (SELECT unnest(generate_series(1, len(wd.ws))) AS i) g
+        |         WHERE ws[i] <> ''),
+        | hits AS (SELECT t.id, d.phrase, d.len,
+        |          CAST(t.pos - d.off AS BIGINT) AS start, COUNT(*) AS nhit
+        |          FROM tok t JOIN dict d USING (w)
+        |          GROUP BY 1, 2, 3, 4),
+        | occ AS (SELECT id, phrase, start FROM hits WHERE nhit = len AND start >= 0)
+        | SELECT id, phrase, COUNT(*) AS n_matches, MIN(start) AS first_pos
+        | FROM occ GROUP BY 1, 2 ORDER BY id, phrase""".stripMargin),
+
     ("x1_search_rank",
       (s, d) => TextIndex.rankDocuments(t(s, d, "documents"),
           Seq("joins", "vector", "the"), k = 10)

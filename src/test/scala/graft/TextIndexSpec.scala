@@ -380,6 +380,26 @@ class TextIndexSpec extends AnyFunSuite {
     assert(got == Set((1L, 1L, 2L), (2L, 1L, 3L), (4L, 2L, 1L)))
   }
 
+  test("dictionaryTag: whole dictionary in one pass — overlaps, repeats, case, absence") {
+    val docs = Seq(
+      (1L, "Slow hash batch runs a slow hash batch job"), // trigram x2, case-folded
+      (2L, "a b a then a b a b a"),                       // repeated-word phrase overlaps
+      (3L, "batch only here"),
+      (4L, "nothing relevant at all")
+    ).toDF("doc_id", "text")
+    val got = TextIndex.dictionaryTag(docs,
+        Seq("slow hash batch", "a b a", "batch", "warp drive"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got((1L, "slow hash batch")) == ((2L, 0L)))
+    // "a b a" in "a b a then a b a b a": starts 0, 4, 6 (overlapping matches count)
+    assert(got((2L, "a b a")) == ((3L, 0L)))
+    assert(got((1L, "batch")) == ((2L, 2L)))
+    assert(got((3L, "batch")) == ((1L, 0L)))
+    assert(!got.keySet.exists(_._2 == "warp drive"), "absent phrase must emit nothing")
+    assert(!got.contains((4L, "batch")))
+  }
+
   test("proximityMatch: equal terms count unordered occurrence pairs, no self-pairs") {
     val docs = Seq(
       (1L, "slow x slow"),        // one pair, gap 2
