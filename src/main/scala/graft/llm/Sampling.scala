@@ -171,6 +171,51 @@ object Sampling {
       .drop("wk_h", "wk_pri", "wk_bucket", "wk_r1", "wk_rank")
   }
 
+  /** Temperature-scaled (α = ½) mixture sampling — the multilingual /
+    * domain rebalancing rule (keep ∝ n_g^α, the Conneau–Lample α-smoothing
+    * that stops a head language from drowning the tail): each group keeps
+    * its first floor(rate · √n_g) rows in salted-hash order, so a group
+    * 4× larger contributes only 2× the rows.
+    *
+    * α is FIXED at ½ because √ is the one power IEEE 754 requires to be
+    * correctly rounded — `sqrt(n)` then one multiply then floor replays
+    * bit-for-bit in any engine, while `pow(n, α)` for general α does not
+    * (libm `pow` is not correctly-rounded and differs across platforms).
+    * For other temperatures, compose: α = ¼ is `sqrt(sqrt(n))`, α = ¾ is
+    * `n / sqrt(sqrt(n))` — still exact-rounding chains.
+    *
+    * Scale shape: one group-cardinality aggregate (the budget table,
+    * broadcast), then the [[sampleExactK]] two-level window discipline
+    * with the per-group budget as the cut — no fat-key group sort, no
+    * driver state.
+    */
+  def temperatureMix(df: DataFrame, idCol: String, groupCol: String,
+                     rate: Double, salt: String = "tmix",
+                     bucketHexChars: Int = 2): DataFrame = {
+    require(rate > 0, s"rate must be positive: $rate")
+    require(bucketHexChars >= 1 && bucketHexChars <= 7,
+      s"bucketHexChars must be in [1,7]: $bucketHexChars")
+    val reserved = Seq("tm_key", "tm_bucket", "tm_r1", "tm_rank", "tm_budget")
+    require(!df.columns.exists(reserved.contains),
+      s"temperatureMix: input already has one of ${reserved.mkString(", ")}")
+    val budgets = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("tm_n"))
+      .select(col(groupCol),
+        floor(lit(rate) * sqrt(col("tm_n"))).cast("long").as("tm_budget"))
+    val w = Window
+    df.withColumn("tm_key", hashKey(col(idCol), salt))
+      .withColumn("tm_bucket", substring(col("tm_key"), 1, bucketHexChars))
+      .join(broadcast(budgets), Seq(groupCol))
+      .withColumn("tm_r1", row_number().over(
+        w.partitionBy(col(groupCol), col("tm_bucket"))
+          .orderBy(col("tm_key"), col(idCol))))
+      .filter(col("tm_r1") <= col("tm_budget"))
+      .withColumn("tm_rank", row_number().over(
+        w.partitionBy(col(groupCol)).orderBy(col("tm_key"), col(idCol))))
+      .filter(col("tm_rank") <= col("tm_budget"))
+      .drop("tm_key", "tm_bucket", "tm_r1", "tm_rank", "tm_budget")
+  }
+
   /** Token-budget domain mixing: keep, per domain, a deterministic
     * pseudo-random prefix of documents whose token counts fill that domain's
     * budget (the "sample common-crawl down to N billion tokens, keep all of

@@ -1389,6 +1389,27 @@ object PipelineQueries {
     // exactly k rows per group in salted-hash order (rates give binomial
     // counts; eval sets need exact); two-level window engine-side == the
     // oracle's flat per-group window.
+    // ---- temperature-scaled (alpha = 1/2) mixture sampling --------------
+    // the multilingual rebalancing rule on the skewed lang column: en (193
+    // docs at sf0.001) keeps floor(0.8*sqrt(193)) = 11, de (71) keeps 6 —
+    // the tail is over-represented relative to raw share, exactly the
+    // alpha-smoothing effect. sqrt is IEEE-correctly-rounded, so the
+    // budgets replay bit-for-bit in DuckDB (pow would not).
+    ("t_temperature_mix",
+      (s, d) => graft.llm.Sampling.temperatureMix(t(s, d, "documents"),
+          "doc_id", "lang", rate = 0.8)
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+      """WITH nb AS (SELECT lang, CAST(floor(0.8 * sqrt(COUNT(*))) AS BIGINT) AS budget
+        |            FROM documents GROUP BY 1),
+        | k AS (SELECT doc_id, lang, substr(md5('tmix:' || doc_id), 1, 8) AS key
+        |       FROM documents),
+        | r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+        |                                               ORDER BY key, doc_id) AS rnk
+        |       FROM k)
+        | SELECT r.doc_id, r.lang FROM r JOIN nb USING (lang)
+        | WHERE rnk <= budget ORDER BY doc_id""".stripMargin),
+
     ("t_exact_k_sample",
       (s, d) => Sampling.sampleExactK(t(s, d, "documents"), "doc_id", "source", k = 7)
         .select("doc_id", "source")

@@ -363,6 +363,27 @@ class TemporalOpsSpec extends AnyFunSuite {
       got.filter(col("grp") === "g1").select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("temperatureMix: per-group floor(rate*sqrt(n)) budgets, tail over-represented") {
+    // skewed groups: big 400, small 25 — alpha = 1/2 keeps sqrt-proportional
+    // counts, so the small group's KEEP RATE is 4x the big one's
+    val df = ((0L until 400L).map(i => (i, "big")) ++
+      (1000L until 1025L).map(i => (i, "small"))).toDF("id", "grp")
+    val got = Sampling.temperatureMix(df, "id", "grp", rate = 1.0)
+    val counts = got.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("big" -> 20L, "small" -> 5L)) // floor(sqrt(400)), floor(sqrt(25))
+    // rate scales budgets; membership is partitioning-independent
+    val half = Sampling.temperatureMix(df, "id", "grp", rate = 0.5)
+    assert(half.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("big" -> 10L, "small" -> 2L))
+    val ids = got.select("id").collect().map(_.getLong(0)).toSet
+    val re = Sampling.temperatureMix(df.repartition(7), "id", "grp", rate = 1.0,
+      bucketHexChars = 4).select("id").collect().map(_.getLong(0)).toSet
+    assert(re == ids)
+    // the half-rate sample is the hash-order PREFIX of the full-rate one
+    assert(half.select("id").collect().map(_.getLong(0)).toSet.subsetOf(ids))
+  }
+
   test("weightedSampleExactK matches a naive driver-side priority reference, two-level == flat") {
     // independent reference: md5 via MessageDigest, priority = u/w, take k
     // smallest per group
