@@ -47,7 +47,7 @@ object ScaleProbe {
       "dsirSelect", "bloomDecontaminate", "perplexityBuckets", "bm25Rank",
       "bm25Persisted", "cooccurrenceLift", "prefixFilterPairs",
       "proximityMatch", "phraseMatch", "prefixFilterAuto",
-      "unitDedup", "linearScore", "warcParse")
+      "unitDedup", "linearScore", "warcParse", "dictionaryTag", "temperatureMix")
     if (docProbes.exists(enabled)) {
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
@@ -154,6 +154,17 @@ object ScaleProbe {
           }
           Iterator(graft.io.WarcReader.parse("synth", bos.toByteArray).size.toLong)
         }.reduce(_ + _)
+    }
+    timed("dictionaryTag (5 phrases)") {
+      // one broadcast join for the whole dictionary; cost tracks matching
+      // tokens, never dictionary size x corpus
+      graft.ops.TextIndex.dictionaryTag(scaled,
+        Seq("slow hash batch", "vector joins", "the slow", "batch",
+          "warp drive plasma")).count()
+    }
+    timed("temperatureMix (alpha=1/2 by source)") {
+      graft.llm.Sampling.temperatureMix(scaled, "doc_id", "source",
+        rate = 2.0).count()
     }
     timed("proximityMatch (NEAR/3)") {
       // the x1_near_query shape: two term-filtered posting lists equi-join
