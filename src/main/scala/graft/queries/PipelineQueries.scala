@@ -1772,6 +1772,59 @@ object PipelineQueries {
         .orderBy("id"),
       QualityLinearSql),
 
+    // ---- robots.txt compliance filter -----------------------------------
+    // the site-level half of crawl compliance (Html.metaNoindex is the
+    // page-level half): parse per-host robots.txt bodies into wildcard-
+    // agent disallow rules (columnar group-state scan — last-non-null
+    // User-agent window over KB-sized files), then verdict every URL by
+    // host join + prefix match. Other agents' groups must NOT leak into
+    // '*' (the specialbot Disallow-all here is ignored), empty Disallow
+    // emits no rule, comments strip.
+    ("t_robots_filter",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val robots = docs.select(col("source")).distinct()
+          .select(concat(col("source"), lit(".example.org")).as("host"),
+            lit("User-agent: specialbot\nDisallow: /\n# global rules\n" +
+              "User-agent: *\nDisallow: /docs/secret\nDisallow:\nDisallow: /tmp")
+              .as("text"))
+        val urls = docs.select(col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".example.org"),
+            when(col("doc_id") % 5 === 0, concat(lit("/docs/secret/"), col("doc_id")))
+              .when(col("doc_id") % 5 === 1, concat(lit("/tmpfile"), col("doc_id")))
+              .otherwise(concat(lit("/public/"), col("doc_id")))).as("url"))
+        graft.ops.Urls.robotsVerdict(urls, graft.ops.Urls.robotsDisallowRules(robots))
+          .orderBy("doc_id")
+      },
+      """WITH hosts AS (SELECT DISTINCT source || '.example.org' AS host FROM documents),
+        | lines AS (SELECT host, i - 1 AS ln,
+        |           trim(regexp_replace(parts[i], '#.*$', '')) AS line
+        |           FROM (SELECT host,
+        |                 string_split(E'User-agent: specialbot\nDisallow: /\n# global rules\nUser-agent: *\nDisallow: /docs/secret\nDisallow:\nDisallow: /tmp', E'\n') AS parts
+        |                 FROM hosts) t,
+        |           LATERAL (SELECT unnest(generate_series(1, len(t.parts))) AS i) g),
+        | ag AS (SELECT host, ln, line,
+        |        CASE WHEN lower(line) LIKE 'user-agent:%'
+        |             THEN trim(regexp_extract(line, '(?i)^user-agent:(.*)$', 1)) END AS agent
+        |        FROM lines),
+        | cur AS (SELECT *, last_value(agent IGNORE NULLS)
+        |           OVER (PARTITION BY host ORDER BY ln ROWS UNBOUNDED PRECEDING) AS cur_agent
+        |         FROM ag),
+        | rules AS (SELECT DISTINCT host,
+        |           trim(regexp_extract(line, '(?i)^disallow:(.*)$', 1)) AS prefix
+        |           FROM cur WHERE cur_agent = '*' AND lower(line) LIKE 'disallow:%'
+        |             AND trim(regexp_extract(line, '(?i)^disallow:(.*)$', 1)) <> ''),
+        | urls AS (SELECT doc_id, source || '.example.org' AS host,
+        |          CASE WHEN doc_id % 5 = 0 THEN '/docs/secret/' || doc_id
+        |               WHEN doc_id % 5 = 1 THEN '/tmpfile' || doc_id
+        |               ELSE '/public/' || doc_id END AS path
+        |          FROM documents)
+        | SELECT u.doc_id,
+        |        'https://' || u.host || u.path AS url,
+        |        NOT COALESCE(bool_or(starts_with(u.path, r.prefix)), FALSE) AS allowed
+        | FROM urls u LEFT JOIN rules r ON u.host = r.host
+        | GROUP BY 1, 2 ORDER BY doc_id""".stripMargin),
+
     ("t_url_parse",
       (s, d) => t(s, d, "documents")
         .withColumn("url", concat(lit("https://"), col("source"),

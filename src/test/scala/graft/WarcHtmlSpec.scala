@@ -158,6 +158,32 @@ class WarcHtmlSpec extends AnyFunSuite {
     texts.foreach { case (id, t) => assert(got(id) == expected(t), s"doc $id") }
   }
 
+  test("robots: wildcard-agent rules only, comments/empties handled, prefix verdict") {
+    val robots = Seq(
+      ("A.example.org", // mixed-case host; specialbot group must not leak
+        "User-agent: specialbot\nDisallow: /\n" +
+        "User-agent: *\nDisallow: /secret # inline comment\nDisallow:\n\nDisallow: /tmp"),
+      ("b.example.org", "User-agent: *\n# nothing disallowed\nDisallow:"),
+      ("c.example.org", "User-agent: onlybot\nDisallow: /x") // no wildcard group
+    ).toDF("host", "text")
+    val rules = graft.ops.Urls.robotsDisallowRules(robots)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rules == Set(("a.example.org", "/secret"), ("a.example.org", "/tmp")))
+
+    val urls = Seq(
+      (1L, "https://a.example.org/secret/f"),   // prefix-disallowed
+      (2L, "https://A.example.org/tmpfile"),    // host case-folds; /tmp prefix
+      (3L, "https://a.example.org/public"),     // allowed
+      (4L, "https://b.example.org/secret/f"),   // other host: no rule there
+      (5L, "https://c.example.org/x"),          // onlybot's rule ignored
+      (6L, "https://a.example.org")             // no path -> '/', allowed
+    ).toDF("doc_id", "url")
+    val got = graft.ops.Urls.robotsVerdict(urls, graft.ops.Urls.robotsDisallowRules(robots))
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("allowed")).toMap
+    assert(got == Map(1L -> false, 2L -> false, 3L -> true,
+      4L -> true, 5L -> true, 6L -> true))
+  }
+
   test("Html ops: title, noindex gate, hrefs, entity order") {
     val page = ("<html><head><title>T &amp; U</title>" +
       "<meta name='robots' content='all,noindex'></head>" +
