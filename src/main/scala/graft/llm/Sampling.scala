@@ -63,6 +63,43 @@ object Sampling {
                           salt: String = "sample"): DataFrame =
     df.filter(hashKey(col(idCol), salt) < lit(hexThreshold(fraction)))
 
+  /** Deterministic epoch shuffle — the training-order randomization pass:
+    * every row gets a `shard` and a dense 1-based `pos` within that shard,
+    * both fully determined by (salt, epoch, id). The same corpus shuffles
+    * identically on any engine, cluster size, or partitioning (an exactly
+    * reproducible data order is how training runs are replayed/debugged),
+    * and bumping `epoch` re-shuffles from scratch without touching the
+    * data — the per-epoch reshuffle large-scale training loops need.
+    *
+    * Scale shape: there is NO global sort. `shard` is the md5-prefix mod
+    * `nShards` (uniform bits, so shards balance multinomially); `pos`
+    * ranks rows WITHIN a shard by the full 32-hex digest. The only
+    * exchange is the hash partition on `shard`, and each shard sorts
+    * independently in parallel — at 100 TB pick `nShards` at output-file
+    * granularity (tens of thousands), so per-shard sorts stay
+    * executor-sized. A global `ORDER BY rand()` would range-sample and
+    * fully sort the corpus instead; consumers that stream shards in
+    * (shard, pos) order see the identical global permutation at a fraction
+    * of the cost.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int, nShards: Int,
+                   salt: String = "epoch"): DataFrame = {
+    require(nShards >= 1, s"nShards must be positive: $nShards")
+    require(epoch >= 0, s"epoch must be non-negative: $epoch")
+    val reserved = Seq("shuffle_key", "shard", "pos")
+    require(!df.columns.exists(reserved.contains),
+      s"epochShuffle: input already has one of ${reserved.mkString(", ")}")
+    df.withColumn("shuffle_key",
+        md5(concat(lit(s"$salt:$epoch:"), col(idCol).cast("string"))))
+      .withColumn("shard",
+        (conv(substring(col("shuffle_key"), 1, 8), 16, 10).cast("long")
+          % nShards).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("shuffle_key"), col(idCol))).cast("long"))
+      .drop("shuffle_key")
+  }
+
   /** Stratified deterministic sample: per-stratum keep rates (e.g. a target
     * domain mix — downsample common-crawl, keep all of books). Strata absent
     * from `rates` use `defaultRate`. The rate lookup is a literal when-chain

@@ -340,11 +340,27 @@ object TextStats {
     val cands: Seq[String] =
       head.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
     val nTotal = head.getLong(1)
+    candidateRecount(docs, cands, nTotal, k, textCol)
+  }
+
+  /** The exact-recount second pass of [[heavyHitters]], standalone so a
+    * STREAMING sketch phase can reuse it: given the (merge-order-dependent)
+    * candidate set and the exact corpus total from any Misra-Gries pass —
+    * batch aggregate or micro-batch state-store merge, whose guarantees are
+    * identical under the mergeable-summaries theorem — recount only the
+    * ≤ k candidates exactly and keep `n·k > N`. Output equals the exact
+    * GROUP-BY-HAVING answer whatever candidate set the sketch produced.
+    */
+  def candidateRecount(docs: DataFrame, cands: Seq[String], nTotal: Long,
+                       k: Int, textCol: String = "text"): DataFrame = {
     if (cands.isEmpty)
       return docs.sparkSession.emptyDataFrame
         .select(lit("").as("token"), lit(0L).as("n"), lit(0L).as("n_total"))
         .limit(0)
-    tokens.filter(col("token").isin(cands: _*))
+    docs
+      .select(explode(split(coalesce(col(textCol), lit("")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .filter(col("token").isin(cands: _*))
       .groupBy("token").agg(count(lit(1)).as("n"))
       .withColumn("n_total", lit(nTotal))
       .filter(col("n") * k > col("n_total"))

@@ -74,6 +74,20 @@ object PipelineQueries {
       |   AND NOT EXISTS (SELECT 1 FROM bad WHERE bad.id = d.doc_id)
       | ORDER BY d.doc_id""".stripMargin
 
+  /** t_heavy_hitters' oracle (tokens above N/30, exact counts) — shared by
+    * the streaming twin (`stream_heavy_hitters`), whose state-store sketch
+    * merge must converge to the SAME exact GROUP-BY-HAVING answer.
+    */
+  private[queries] val HeavyHittersSql: String =
+    """WITH tok AS (SELECT w AS token
+      |             FROM (SELECT unnest(string_split(text, ' ')) AS w
+      |                   FROM documents) WHERE w <> ''),
+      |  n AS (SELECT COUNT(*) AS n_total FROM tok)
+      | SELECT token, COUNT(*) AS n, (SELECT n_total FROM n) AS n_total
+      | FROM tok GROUP BY token
+      | HAVING COUNT(*) * 30 > (SELECT n_total FROM n)
+      | ORDER BY token""".stripMargin
+
   /** Shared SQL fragment: word 3-gram shingles of documents. */
   private val ShinglesSql =
     """SELECT DISTINCT doc_id AS id,
@@ -1372,6 +1386,25 @@ object PipelineQueries {
          |             ELSE 'test' END AS split
          | FROM documents ORDER BY doc_id""".stripMargin),
 
+    // ---- deterministic epoch shuffle (training-order randomization) -----
+    // shard = md5-prefix mod nShards, pos = rank within shard by the full
+    // digest: a reproducible global permutation with no global sort — the
+    // only exchange is the hash partition on shard, each shard sorts
+    // independently. Epoch 3 here; bumping the epoch reshuffles for free.
+    ("t_epoch_shuffle",
+      (s, d) => Sampling.epochShuffle(t(s, d, "documents"), "doc_id",
+          epoch = 3, nShards = 8)
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos"),
+      """WITH k AS (SELECT doc_id, md5('epoch:3:' || doc_id) AS h FROM documents),
+        | s AS (SELECT doc_id,
+        |              CAST(CAST('0x' || substr(h, 1, 8) AS BIGINT) % 8 AS INTEGER) AS shard,
+        |              h
+        |       FROM k)
+        | SELECT doc_id, shard,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+        | FROM s ORDER BY shard, pos""".stripMargin),
+
     // ---- stratified deterministic sample (target domain mix) ------------
     ("t_stratified_sample",
       (s, d) => Sampling.stratifiedSample(t(s, d, "documents"), "doc_id", "source",
@@ -2283,14 +2316,7 @@ object PipelineQueries {
     ("t_heavy_hitters",
       (s, d) => TextStats.heavyHitters(t(s, d, "documents"), k = 30)
         .orderBy("token"),
-      """WITH tok AS (SELECT w AS token
-        |             FROM (SELECT unnest(string_split(text, ' ')) AS w
-        |                   FROM documents) WHERE w <> ''),
-        |  n AS (SELECT COUNT(*) AS n_total FROM tok)
-        | SELECT token, COUNT(*) AS n, (SELECT n_total FROM n) AS n_total
-        | FROM tok GROUP BY token
-        | HAVING COUNT(*) * 30 > (SELECT n_total FROM n)
-        | ORDER BY token""".stripMargin),
+      HeavyHittersSql),
 
     // ---- per-source characteristic keywords (tf-idf over sources) -------
     // topTokens reweighted by the cross-source odds-ratio idf: "the" (in

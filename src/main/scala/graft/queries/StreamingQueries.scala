@@ -280,6 +280,36 @@ object StreamingQueries {
     // ingesting quality gate reuses the batch operator with zero
     // twin-specific code — the strongest batch/stream parity statement
     // the registry can make.
+    // ---- streaming heavy hitters (Misra-Gries in the state store) -------
+    // the bounded-state frequent-tokens monitor: the native MisraGries
+    // TypedImperativeAggregate runs as a streaming global aggregation, so
+    // the <= k-counter sketch buffer IS the state-store row carried across
+    // micro-batches (batch-2 partials MERGE into batch-1's stored buffer —
+    // the mergeable-summaries guarantee transfers verbatim: total error
+    // <= N/(k+1), no true heavy hitter can leave the candidate set). The
+    // sink's converged row yields candidates + the exact N; the same exact
+    // recount pass as the batch operator then meets t_heavy_hitters'
+    // GROUP-BY-HAVING oracle — sketch-set nondeterminism never reaches
+    // the output.
+    ("stream_heavy_hitters",
+      (s, d) => {
+        val k = 30
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val cut = docs.stat.approxQuantile("doc_id", Array(0.5), 0.0)(0).toLong
+        val sketch = replayStaged(s,
+            docs.filter(col("doc_id") <= cut),
+            docs.filter(col("doc_id") > cut), "complete") { st =>
+          st.select(explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
+            .filter(col("token") =!= "")
+            .agg(graft.functions.MisraGries.sketch(col("token"), k).as("cands"),
+              count(lit(1)).as("n_total"))
+        }.head()
+        val cands = sketch.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+        graft.llm.TextStats.candidateRecount(docs, cands, sketch.getLong(1), k)
+          .orderBy("token")
+      },
+      PipelineQueries.HeavyHittersSql),
+
     ("stream_quality_linear",
       (s, d) => {
         val docs = s.read.parquet(s"$d/documents.parquet")

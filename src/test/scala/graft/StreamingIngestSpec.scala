@@ -192,6 +192,47 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
   }
 
+  test("streaming Misra-Gries sketch in the state store converges to the exact heavy hitters") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-mg-stream")
+    val in = base.resolve("in"); Files.createDirectories(in)
+    try {
+      // "hot" dominates split ACROSS the batch cut: 4 occurrences in each
+      // batch, so only the merged (carried-over) sketch can see all 8 of 14
+      // tokens; per-batch sketches alone would undercount. k=2 forces
+      // eviction waves in both batches.
+      val b1 = Seq((1L, "hot hot hot hot a b c"))
+      val b2 = Seq((2L, "hot hot hot hot d e f"))
+      b1.toDF("doc_id", "text").write.parquet(s"$in/b1")
+      val schema = spark.read.parquet(s"$in/b1").schema
+      val stream = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(in.toString)
+      val k = 2
+      val sketched = stream
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .agg(graft.functions.MisraGries.sketch(col("token"), k).as("cands"),
+          count(lit(1)).as("n_total"))
+      val q = sketched.writeStream.outputMode("complete").format("memory")
+        .queryName("mg_stream").start()
+      try {
+        q.processAllAvailable()
+        b2.toDF("doc_id", "text").write.parquet(s"$in/b2")
+        q.processAllAvailable()
+        val row = spark.table("mg_stream").head()
+        val cands = row.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+        val nTotal = row.getLong(1)
+        assert(nTotal == 14L)
+        assert(cands.contains("hot")) // freq 8 > 14/(k+1): cannot be evicted
+        assert(cands.length <= k)     // bounded state
+        val docs = (b1 ++ b2).toDF("doc_id", "text")
+        val got = graft.llm.TextStats.candidateRecount(docs, cands, nTotal, k)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        assert(got.toSeq == Seq(("hot", 8L, 14L))) // exact answer: 8*2 > 14
+      } finally q.stop()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
   test("streaming bloom decontamination equals the batch filter across micro-batches") {
     import spark.implicits._
     import graft.llm.Dedup

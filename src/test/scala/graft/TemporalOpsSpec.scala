@@ -233,6 +233,32 @@ class TemporalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("epoch shuffle: deterministic permutation, dense per-shard positions, epoch-sensitive") {
+    val df = spark.range(1000).toDF("id")
+    val a = Sampling.epochShuffle(df, "id", epoch = 1, nShards = 4)
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    val b = Sampling.epochShuffle(df, "id", epoch = 1, nShards = 4)
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(a.sameElements(b)) // deterministic across runs
+    assert(a.map(_._1).distinct.length == 1000) // a permutation: every id once
+    // positions are dense 1..n within each shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length))
+    }
+    // shards are roughly balanced (multinomial around 250)
+    assert(a.groupBy(_._2).values.map(_.length).forall(n => n > 150 && n < 350))
+    // a different epoch yields a different permutation
+    val c = Sampling.epochShuffle(df, "id", epoch = 2, nShards = 4)
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(!a.sameElements(c))
+    intercept[IllegalArgumentException] {
+      Sampling.epochShuffle(df.withColumn("shard", lit(0)), "id", 1, 4)
+    }
+  }
+
   test("stratified sample: rate 1.0 keeps every row, rate 0.0 drops the stratum") {
     val df = (0L until 500L).map(i => (i, if (i % 2 == 0) "keep" else "drop"))
       .toDF("id", "stratum")
