@@ -55,6 +55,8 @@ object GraftExtensions {
     fn("dot_long", classOf[DotLongExpr], 2, es => DotLongExpr(es(0), es(1))),
     fn("damerau_levenshtein", classOf[DamerauLevenshteinExpr], 2,
       es => DamerauLevenshteinExpr(es(0), es(1))),
+    fn("jaro_winkler", classOf[JaroWinklerExpr], 2,
+      es => JaroWinklerExpr(es(0), es(1))),
     fn("dot_double", classOf[DotDoubleExpr], 2, es => DotDoubleExpr(es(0), es(1))),
     fn("ordered_pairs", classOf[OrderedPairsExpr], 1, es => OrderedPairsExpr(es.head)),
     fn("word_shingles", classOf[WordShinglesExpr], 2,

