@@ -1660,6 +1660,44 @@ object PipelineQueries {
         |        CROSS JOIN nd
         | ORDER BY n_ab DESC, w1, w2 LIMIT 100""".stripMargin),
 
+    // ---- JSONL corpus ingest with corrupt-record routing -----------------
+    // the documents table round-trips through an on-disk JSON-Lines corpus
+    // with every 17th line deterministically truncated mid-string: the
+    // reader must parse the valid lines against the enforced schema AND
+    // route each broken line to the corrupt channel (never crash, never
+    // silently null-fill). Output = parsed good rows + the corrupt count;
+    // the oracle recomputes both directly from the documents table.
+    ("s17_jsonl_ingest",
+      (s, d) => {
+        import org.apache.spark.sql.types.{LongType, StringType, StructType}
+        val docs = t(s, d, "documents")
+        val base = java.nio.file.Files.createTempDirectory("graft-jsonl")
+        try {
+          val in = s"$base/in"
+          docs.filter(col("doc_id") % 17 =!= 0)
+            .select(to_json(struct(col("doc_id"), col("source"), col("text"))).as("value"))
+            .union(docs.filter(col("doc_id") % 17 === 0)
+              .select(concat(lit("{\"doc_id\": "), col("doc_id"),
+                lit(", \"text\": \"unterminated")).as("value")))
+            .coalesce(4).write.text(in)
+          val schema = new StructType()
+            .add("doc_id", LongType).add("source", StringType).add("text", StringType)
+          // materialize before the temp corpus is deleted (sink-sized: the
+          // parsed rows ARE the output)
+          val parsed = graft.io.JsonlReader.read(s, in, schema).localCheckpoint(true)
+          val nCorrupt = graft.io.JsonlReader.corrupt(parsed).count()
+          graft.io.JsonlReader.good(parsed)
+            .select(col("doc_id"), col("source"),
+              length(col("text")).cast("long").as("n_chars"))
+            .withColumn("n_corrupt", lit(nCorrupt))
+            .orderBy("doc_id")
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      },
+      """WITH c AS (SELECT COUNT(*) AS n_corrupt FROM documents WHERE doc_id % 17 = 0)
+        | SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars,
+        |        (SELECT n_corrupt FROM c) AS n_corrupt
+        | FROM documents WHERE doc_id % 17 <> 0 ORDER BY doc_id""".stripMargin),
+
     // ---- URL structure extraction ---------------------------------------
     // web-corpus provenance ops: host / path / query-param / registered
     // domain, via Spark's codegen parse_url. URLs are synthesized from doc

@@ -204,4 +204,37 @@ class WarcHtmlSpec extends AnyFunSuite {
       .select(Html.metaNoindex(col("html"))).collect()(0).getBoolean(0)
     assert(!clean)
   }
+
+  test("JSONL reader: schema enforcement, corrupt routing, blank-line skip") {
+    import graft.io.JsonlReader
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val base = java.nio.file.Files.createTempDirectory("graft-jsonl-spec")
+    try {
+      val lines = Seq(
+        """{"id": 1, "text": "ok", "extra": "dropped"}""", // extra field dropped
+        """{"id": 2}""",                                   // missing field -> null
+        """{"id": "not a number", "text": "t"}""",         // type mismatch -> quarantined
+        """{"id": 4, "text": "unterminated""",             // structurally broken -> quarantined
+        "",                                                // blank -> skipped
+        "null",                                            // no object -> quarantined
+        """{"id": 7, "text": "fine"}""")
+      java.nio.file.Files.write(base.resolve("corpus.jsonl"),
+        String.join("\n", lines: _*).getBytes("UTF-8"))
+      val schema = new StructType().add("id", LongType).add("text", StringType)
+      val parsed = JsonlReader.read(spark, base.toString, schema)
+      val good = JsonlReader.good(parsed).collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+          if (r.isNullAt(1)) null else r.getString(1))).toSet
+      assert(good == Set((1L, "ok"), (2L, null), (7L, "fine")))
+      val corrupt = JsonlReader.corrupt(parsed).collect().map(_.getString(0)).toSet
+      assert(corrupt == Set(
+        """{"id": "not a number", "text": "t"}""",
+        """{"id": 4, "text": "unterminated""",
+        "null"))
+      intercept[IllegalArgumentException] {
+        JsonlReader.read(spark, base.toString,
+          new StructType().add("corrupt_record", StringType))
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
 }
