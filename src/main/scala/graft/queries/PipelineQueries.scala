@@ -2250,6 +2250,38 @@ object PipelineQueries {
         |        COALESCE(top_c / CAST(n_bigrams AS DOUBLE), 0.0) AS top_bigram_fraction
         | FROM base b LEFT JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin),
 
+    // ---- k-anonymity / l-diversity release audit -------------------------
+    // the privacy gate on the demographic-shaped table: one hash aggregate
+    // over the quasi-identifier pair (nation, segment) yields each
+    // equivalence class's size and its distinct sensitive-value count, with
+    // the k=10 / l=3 verdicts as booleans the oracle reproduces.
+    ("t_k_anonymity",
+      (s, d) => graft.llm.Governance.kAnonymityReport(t(s, d, "customer"),
+          qiCols = Seq("c_nationkey", "c_mktsegment"), k = 10,
+          sensitiveCol = Some("c_acctbal"), l = 3)
+        .orderBy("c_nationkey", "c_mktsegment"),
+      """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+        |       COUNT(DISTINCT c_acctbal) AS n_sensitive,
+        |       COUNT(*) >= 10 AS k_anonymous,
+        |       COUNT(DISTINCT c_acctbal) >= 3 AS l_diverse
+        | FROM customer GROUP BY 1, 2 ORDER BY c_nationkey, c_mktsegment""".stripMargin),
+
+    // ---- minimal-suppression k-anonymization ------------------------------
+    // rows whose QI class clears k survive (left-semi against the class
+    // verdict on the same shuffle key); k=10 sits inside the sf0.01 class
+    // size distribution (5..21), so both outcomes exist at the oracle SF.
+    ("t_k_suppress",
+      (s, d) => graft.llm.Governance.kAnonymize(t(s, d, "customer"),
+          qiCols = Seq("c_nationkey", "c_mktsegment"), k = 10)
+        .select("c_custkey", "c_nationkey", "c_mktsegment")
+        .orderBy("c_custkey"),
+      """SELECT c_custkey, c_nationkey, c_mktsegment
+        | FROM customer
+        | WHERE (c_nationkey, c_mktsegment) IN (
+        |   SELECT (c_nationkey, c_mktsegment) FROM customer
+        |   GROUP BY c_nationkey, c_mktsegment HAVING COUNT(*) >= 10)
+        | ORDER BY c_custkey""".stripMargin),
+
     // ---- PII scrubbing --------------------------------------------------
     // PII is synthesized deterministically from doc_id on BOTH engines (the
     // corpus itself is clean word salad) so the scrub is non-trivial: one

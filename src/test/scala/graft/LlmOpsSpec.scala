@@ -756,6 +756,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(dl13 <= lev13 && dl13 > 10)
   }
 
+  test("k-anonymity report and suppression: class sizes, l-diversity, semi-join release") {
+    import graft.llm.Governance
+    val df = Seq(
+      ("a", 30, "x"), ("a", 30, "y"), ("a", 30, "x"), // class (a,30): n=3, 2 sensitive
+      ("b", 40, "x"), ("b", 40, "x"),                 // class (b,40): n=2, 1 sensitive
+      ("c", 50, "z")                                  // class (c,50): n=1
+    ).toDF("seg", "age", "diag")
+    val rep = Governance.kAnonymityReport(df, Seq("seg", "age"), k = 2,
+        sensitiveCol = Some("diag"), l = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(rep(("a", 30)) == ((3L, 2L, true, true)))
+    assert(rep(("b", 40)) == ((2L, 1L, true, false))) // k-anonymous but not l-diverse
+    assert(rep(("c", 50)) == ((1L, 1L, false, false)))
+    val kept = Governance.kAnonymize(df, Seq("seg", "age"), k = 2)
+      .select("seg").collect().map(_.getString(0))
+    assert(kept.sorted.toSeq == Seq("a", "a", "a", "b", "b")) // the n=1 class suppressed
+    // no sensitive column: report still carries sizes + k verdict
+    val noSens = Governance.kAnonymityReport(df, Seq("seg"), k = 3)
+    assert(noSens.columns.toSeq == Seq("seg", "n", "k_anonymous"))
+    intercept[IllegalArgumentException] {
+      Governance.kAnonymityReport(df, Seq.empty, k = 2)
+    }
+  }
+
   test("jaro_winkler: textbook values, prefix cap, edges; SQL registration") {
     import graft.functions.JaroWinkler.similarity
     // canonical published examples (Winkler '90)
