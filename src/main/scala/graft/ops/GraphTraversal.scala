@@ -202,6 +202,40 @@ object GraphTraversal {
   def triangleCounts(edges: DataFrame, srcCol: String = "src",
                      dstCol: String = "dst",
                      cp: Checkpointer = Checkpointer.Auto): DataFrame = {
+    val (deg, perVertex) = triangleCore(edges, srcCol, dstCol, cp)
+    deg.select(col("v").as("id"))
+      .join(perVertex.withColumnRenamed("v", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
+  /** Local clustering coefficient per vertex: `2·T(v) / (deg(v)·(deg(v)−1))`
+    * — the fraction of a vertex's neighbor pairs that are themselves
+    * connected, 0 for degree < 2. Exact integer numerator/denominator from
+    * the SAME oriented-wedge triangle core as [[triangleCounts]] (O(m^1.5)
+    * bound), so the only float op is one final division — cross-engine
+    * deterministic. Output: (`id`, `degree`, `n_triangles`, `coeff`).
+    */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String = "src",
+                             dstCol: String = "dst",
+                             cp: Checkpointer = Checkpointer.Auto): DataFrame = {
+    val (deg, perVertex) = triangleCore(edges, srcCol, dstCol, cp)
+    deg.select(col("v").as("id"), col("deg").as("degree"))
+      .join(perVertex.withColumnRenamed("v", "id"), Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("coeff",
+        when(col("degree") >= 2,
+          (col("n_triangles") * 2).cast("double") /
+            (col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Shared triangle core: (per-vertex degree over the normalized
+    * undirected edge set, per-vertex triangle counts). See
+    * [[triangleCounts]] for the orientation/wedge plan shape notes.
+    */
+  private def triangleCore(edges: DataFrame, srcCol: String, dstCol: String,
+                           cp: Checkpointer): (DataFrame, DataFrame) = {
     // und feeds two consumers (degrees + orientation) and oriented feeds
     // THREE (both wedge sides + the closing-edge probe): materialize each
     // once via the Checkpointer — the formatted plan otherwise re-executes
@@ -238,9 +272,7 @@ object GraphTraversal {
     val perVertex = triangles
       .select(explode(array(col("u"), col("x"), col("y"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("n_triangles"))
-    deg.select(col("v").as("id"))
-      .join(perVertex.withColumnRenamed("v", "id"), Seq("id"), "left")
-      .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+    (deg, perVertex)
   }
 
   /** k-core of an UNDIRECTED graph (direction/duplicates normalized away,

@@ -61,6 +61,34 @@ object GraphQueries {
   private def emptyRoTerms(s: SparkSession, d: String): DataFrame =
     t(s, d, "nation").select(col("n_name").as("term"), col("n_name").as("label")).limit(0)
 
+  /** Shared triangle-counting CTE chain (successor graph over customer
+    * keys, degree-ordered orientation, wedge closing) — `deg` and `pv`
+    * feed both g_triangles and g_cluster_coeff's finals.
+    */
+  private val TriangleCtes: String =
+    """WITH e0 AS (SELECT c_custkey AS src, c_custkey + d AS dst
+      |            FROM customer, LATERAL (SELECT unnest(generate_series(1, 3)) AS d) g),
+      | und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |         FROM e0 WHERE src <> dst),
+      | deg AS (SELECT v, COUNT(*) AS deg
+      |         FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+      |         GROUP BY v),
+      | o AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+      |                   THEN a ELSE b END AS u,
+      |              CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+      |                   THEN b ELSE a END AS v,
+      |              CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+      |                   THEN db.deg ELSE da.deg END AS deg_v
+      |       FROM und JOIN deg da ON da.v = a JOIN deg db ON db.v = b),
+      | tri AS (SELECT o1.u, o1.v AS x, o2.v AS y
+      |         FROM o o1 JOIN o o2 ON o1.u = o2.u
+      |          AND (o1.deg_v < o2.deg_v OR (o1.deg_v = o2.deg_v AND o1.v < o2.v))
+      |         JOIN o oc ON oc.u = o1.v AND oc.v = o2.v),
+      | pv AS (SELECT v, COUNT(*) AS c
+      |        FROM (SELECT u AS v FROM tri UNION ALL SELECT x AS v FROM tri
+      |              UNION ALL SELECT y AS v FROM tri)
+      |        GROUP BY v)""".stripMargin
+
   val all: Seq[Entry] = Seq(
 
     // ---- A2/U2 through GraphOps.vertices (native vtuple_parse) ----------
@@ -139,29 +167,30 @@ object GraphQueries {
         graft.ops.GraphTraversal.triangleCounts(edges)
           .orderBy("id")
       },
-      """WITH e0 AS (SELECT c_custkey AS src, c_custkey + d AS dst
-        |            FROM customer, LATERAL (SELECT unnest(generate_series(1, 3)) AS d) g),
-        | und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-        |         FROM e0 WHERE src <> dst),
-        | deg AS (SELECT v, COUNT(*) AS deg
-        |         FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
-        |         GROUP BY v),
-        | o AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
-        |                   THEN a ELSE b END AS u,
-        |              CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
-        |                   THEN b ELSE a END AS v,
-        |              CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
-        |                   THEN db.deg ELSE da.deg END AS deg_v
-        |       FROM und JOIN deg da ON da.v = a JOIN deg db ON db.v = b),
-        | tri AS (SELECT o1.u, o1.v AS x, o2.v AS y
-        |         FROM o o1 JOIN o o2 ON o1.u = o2.u
-        |          AND (o1.deg_v < o2.deg_v OR (o1.deg_v = o2.deg_v AND o1.v < o2.v))
-        |         JOIN o oc ON oc.u = o1.v AND oc.v = o2.v),
-        | pv AS (SELECT v, COUNT(*) AS c
-        |        FROM (SELECT u AS v FROM tri UNION ALL SELECT x AS v FROM tri
-        |              UNION ALL SELECT y AS v FROM tri)
-        |        GROUP BY v)
+      s"""$TriangleCtes
         | SELECT deg.v AS id, COALESCE(pv.c, 0) AS n_triangles
+        | FROM deg LEFT JOIN pv ON pv.v = deg.v
+        | ORDER BY id""".stripMargin),
+
+    // ---- local clustering coefficient ------------------------------------
+    // 2·T(v) / (deg·(deg−1)) over the same successor graph: exact integer
+    // numerator and denominator from the shared triangle core, ONE double
+    // division at the end (cross-engine deterministic), 0 for degree < 2.
+    ("g_cluster_coeff",
+      (s, d) => {
+        val k = col("c_custkey")
+        val edges = (1 to 3).map(delta =>
+            t(s, d, "customer").select(k.as("src"), (k + delta).as("dst")))
+          .reduce(_ union _)
+        graft.ops.GraphTraversal.clusteringCoefficients(edges)
+          .orderBy("id")
+      },
+      s"""$TriangleCtes
+        | SELECT deg.v AS id, deg.deg AS degree,
+        |        COALESCE(pv.c, 0) AS n_triangles,
+        |        CASE WHEN deg.deg >= 2
+        |             THEN CAST(COALESCE(pv.c, 0) * 2 AS DOUBLE) / (deg.deg * (deg.deg - 1))
+        |             ELSE 0.0 END AS coeff
         | FROM deg LEFT JOIN pv ON pv.v = deg.v
         | ORDER BY id""".stripMargin),
 

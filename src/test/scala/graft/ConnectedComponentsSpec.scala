@@ -155,6 +155,23 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("clusteringCoefficients: K4 is all-1.0; paw graph mixes 1.0, partial, 0") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val cc4 = graft.ops.GraphTraversal.clusteringCoefficients(k4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(cc4.values.forall { case (deg, tri, c) => deg == 3L && tri == 3L && c == 1.0 })
+    // paw: triangle 1-2-3 plus pendant 4 off vertex 3
+    val paw = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val ccp = graft.ops.GraphTraversal.clusteringCoefficients(paw)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(ccp(1L) == ((2L, 1L, 1.0)) && ccp(2L) == ((2L, 1L, 1.0)))
+    assert(ccp(3L) == ((3L, 1L, 2.0 / 6.0))) // 1 closed of 3 neighbor pairs
+    assert(ccp(4L) == ((1L, 0L, 0.0)))       // degree < 2: coefficient 0
+  }
+
   test("triangleCounts: triangle-free path graph counts zero everywhere") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
     val got = graft.ops.GraphTraversal.triangleCounts(edges)
