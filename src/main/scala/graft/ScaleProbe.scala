@@ -47,7 +47,8 @@ object ScaleProbe {
       "dsirSelect", "bloomDecontaminate", "perplexityBuckets", "bm25Rank",
       "bm25Persisted", "cooccurrenceLift", "prefixFilterPairs",
       "proximityMatch", "phraseMatch", "prefixFilterAuto",
-      "unitDedup", "linearScore", "warcParse", "dictionaryTag", "temperatureMix")
+      "unitDedup", "linearScore", "warcParse", "dictionaryTag", "temperatureMix",
+      "epochShuffle", "jsonlParse")
     if (docProbes.exists(enabled)) {
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .repartition(spark.sparkContext.defaultParallelism)
@@ -165,6 +166,26 @@ object ScaleProbe {
     timed("temperatureMix (alpha=1/2 by source)") {
       graft.llm.Sampling.temperatureMix(scaled, "doc_id", "source",
         rate = 2.0).count()
+    }
+    timed("epochShuffle (64 shards)") {
+      // one hash exchange on shard + per-shard sort: wall-clock must track
+      // corpus volume; shard count fixes per-reducer sort size, not cost
+      graft.llm.Sampling.epochShuffle(scaled, "doc_id", epoch = 1,
+        nShards = 64).count()
+    }
+    timed("jsonlParse (write+read round-trip)") {
+      // line-splittable text scan + from_json: parse throughput is the
+      // probe; corrupt routing rides the same single pass
+      import org.apache.spark.sql.types.{LongType, StringType, StructType}
+      val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-probe")
+      try {
+        scaled.select(to_json(struct(col("doc_id"), col("source"), col("text")))
+          .as("value")).write.mode("overwrite").text(s"$dir/in")
+        val schema = new StructType()
+          .add("doc_id", LongType).add("source", StringType).add("text", StringType)
+        graft.io.JsonlReader.read(spark, s"$dir/in", schema)
+          .filter(col("corrupt_record").isNull).count()
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
     timed("proximityMatch (NEAR/3)") {
       // the x1_near_query shape: two term-filtered posting lists equi-join
@@ -367,7 +388,7 @@ object ScaleProbe {
     // its own object (orderkey offset) while subjects stay shared, giving
     // mult x |orders| REAL edges with CL hubs of degree ~mult x orders/cust.
     val bigGraphProbes = Seq("pageRankDistinct", "componentsDistinct", "trianglesDistinct",
-      "kCoreDistinct", "neighborJaccard", "labelProp")
+      "kCoreDistinct", "neighborJaccard", "labelProp", "clusterCoeff")
     if (bigGraphProbes.exists(enabled)) {
     val obo = "http://purl.obolibrary.org/obo/"
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
@@ -417,7 +438,45 @@ object ScaleProbe {
       // (wedges per CL hub ~ (mult x orders/cust)^2 before orientation)
       graft.ops.GraphTraversal.triangleCounts(edges).count()
     }
+    timed("clusterCoeff (succ graph)") {
+      // dense-triangle successor graph over mult x |orders| fresh keys:
+      // constant degree (~6), so the shared triangle core plus the degree
+      // join must scale linearly in vertices
+      val vs = (0 until mult).map(k => orders.select(
+        (col("o_orderkey") + lit(k.toLong * orderStride)).as("v"))).reduce(_ union _)
+      val e = (1 to 3).map(dl => vs.select(col("v").as("src"),
+        (col("v") + dl).as("dst"))).reduce(_ union _)
+      graft.ops.GraphTraversal.clusteringCoefficients(e).count()
+    }
     edges.unpersist()
+    }
+
+    // blocked entity resolution in BOTH scaling directions: fresh brands
+    // per copy (block count x mult, pair volume x mult — the horizontal
+    // 100 TB shape) vs shared brands (block depth x mult, pair volume x
+    // mult^2 — the quadratic-in-block shape the maxBlockRows guard exists
+    // for; measured, not asserted)
+    val erProbes = Seq("blockedErWide", "blockedErDeep")
+    if (erProbes.exists(enabled)) {
+    val part = spark.read.parquet(s"$sfDir/part.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val partStride = part.agg(max(col("p_partkey"))).head.getLong(0) + 1L
+    def scaledPart(freshBrands: Boolean) = (0 until mult).map { k =>
+      val shifted = part.select(
+        (col("p_partkey") + lit(k.toLong * partStride)).as("p_partkey"),
+        col("p_name"),
+        (if (freshBrands) concat(col("p_brand"), lit(s"_c$k")) else col("p_brand"))
+          .as("p_brand"))
+      shifted
+    }.reduce(_ union _)
+    timed("blockedErWide (fresh brands)") {
+      graft.ops.EntityResolution.blockedNamePairs(scaledPart(freshBrands = true),
+        Seq("p_brand"), "p_partkey", "p_name", minSim = 0.9).count()
+    }
+    timed("blockedErDeep (shared brands)") {
+      graft.ops.EntityResolution.blockedNamePairs(scaledPart(freshBrands = false),
+        Seq("p_brand"), "p_partkey", "p_name", minSim = 0.9).count()
+    }
     }
 
     // temporal path at the same multiplier, in BOTH scaling directions the

@@ -66,6 +66,50 @@ object GraphTraversal {
     visited
   }
 
+  /** Hop-bounded single-source(s) shortest paths over a WEIGHTED directed
+    * edge table — distributed Bellman-Ford: `maxHops` relaxation rounds,
+    * each ONE dist ⋈ edges equi-join on the source endpoint plus one
+    * map-combinable `min` aggregate (the same per-round shape as
+    * [[bfsLevels]] with weights replacing levels). Returns (`id`, `dist`)
+    * for every vertex reachable within `maxHops` hops — the minimum
+    * TOTAL WEIGHT over all ≤ maxHops-hop paths, which for any hop bound ≥
+    * the graph's shortest-path hop diameter is the exact SSSP answer.
+    *
+    * Integer weights (`weightCol`, cast to long): exact, order-independent
+    * sums — the oracle property. Negative weights are fine under a hop
+    * bound (no negative-cycle divergence: paths lengthen by at most one
+    * edge per round). The round count is the declared bound, NOT a
+    * data-dependent fixpoint — a chain graph relaxes one hop per round, so
+    * a fixpoint loop would spin the graph's diameter; callers state their
+    * horizon (the [[kCore]] maxIter discipline, but as semantics rather
+    * than a fail-fast).
+    *
+    * Scale per round: dist is vertex-sized, edges the big side; the join
+    * shuffles on the source key (pre-bucket the edge table on `srcCol` at
+    * billion-edge scale so every round reuses it). [[Checkpointer]]
+    * truncates per-round lineage; one live dist copy at a time.
+    */
+  def shortestPaths(edges: DataFrame, sources: DataFrame, maxHops: Int,
+                    srcCol: String = "src", dstCol: String = "dst",
+                    weightCol: String = "weight", idCol: String = "id",
+                    cp: Checkpointer = Checkpointer.Auto): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val e = edges.select(col(srcCol).as("id"),
+      col(dstCol).as("nid"), col(weightCol).cast("long").as("w"))
+    var dist = cp(sources.select(col(idCol).as("id")).distinct()
+      .withColumn("dist", lit(0L)))
+    var h = 0
+    while (h < maxHops) {
+      h += 1
+      val relaxed = e.join(dist, Seq("id"))
+        .select(col("nid").as("id"), (col("dist") + col("w")).as("dist"))
+      val prev = dist
+      dist = cp(prev.union(relaxed).groupBy("id").agg(min("dist").as("dist")))
+      cp.release(prev)
+    }
+    dist
+  }
+
   /** PageRank over a directed edge table: `iterations` rounds of the
     * standard damped update
     * `rank = (1−d)/N + d·(Σ inbound rank/outdeg + danglingMass/N)`,

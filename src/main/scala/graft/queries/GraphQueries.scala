@@ -152,6 +152,33 @@ object GraphQueries {
         |          FROM walk w JOIN e ON e.src = w.id WHERE w.level < 5)
         | SELECT id, MIN(level) AS level FROM walk GROUP BY id ORDER BY id""".stripMargin),
 
+    // ---- hop-bounded weighted shortest paths (Bellman-Ford) --------------
+    // successor edges k -> k+d with weight d² (d in 1..3): the cheapest
+    // route to a far key under a 6-hop budget must SPLIT the distance
+    // across hops (all-1 steps beat one 3-step: 3·1 < 9), so min-dist
+    // genuinely discriminates path choices. Exact integer weights; the
+    // oracle walks all ≤6-hop paths with a recursive CTE and takes the min.
+    ("g_sssp_bounded",
+      (s, d) => {
+        val k = col("c_custkey")
+        val edges = (1 to 3).map(delta =>
+            t(s, d, "customer").select(k.as("src"), (k + delta).as("dst"),
+              lit(delta.toLong * delta).as("weight")))
+          .reduce(_ union _)
+        val sources = t(s, d, "customer").filter(k <= 3).select(k.as("id"))
+        graft.ops.GraphTraversal.shortestPaths(edges, sources, maxHops = 6)
+          .orderBy("id")
+      },
+      """WITH RECURSIVE ck AS (SELECT DISTINCT c_custkey AS k FROM customer),
+        | walk AS (SELECT k AS id, CAST(0 AS BIGINT) AS dist, 0 AS hops
+        |          FROM ck WHERE k <= 3
+        |          UNION ALL
+        |          SELECT w.id + d AS id, w.dist + d * d AS dist, w.hops + 1 AS hops
+        |          FROM walk w JOIN ck ON ck.k = w.id,
+        |               LATERAL (SELECT unnest(generate_series(1, 3)) AS d) g
+        |          WHERE w.hops < 6)
+        | SELECT id, MIN(dist) AS dist FROM walk GROUP BY id ORDER BY id""".stripMargin),
+
     // ---- per-vertex triangle counts -------------------------------------
     // successor edges k -> k+d (d in 1..3) over customer keys: every interior
     // key closes triangles with its near successors, so counts are dense and

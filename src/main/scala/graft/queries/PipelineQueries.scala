@@ -1698,6 +1698,40 @@ object PipelineQueries {
         |        (SELECT n_corrupt FROM c) AS n_corrupt
         | FROM documents WHERE doc_id % 17 <> 0 ORDER BY doc_id""".stripMargin),
 
+    // ---- CSV corpus ingest with corrupt-record routing --------------------
+    // the positional-format twin of s17: every 13th line gets an arity
+    // overflow (a trailing extra field), which the CSV parser must
+    // quarantine while clean lines parse positionally. Text fields are
+    // md5-derived (no delimiter/quote collisions), so the oracle rebuilds
+    // both channels from the source table.
+    ("s18_csv_ingest",
+      (s, d) => {
+        import org.apache.spark.sql.types.{LongType, StringType, StructType}
+        val docs = t(s, d, "documents")
+        val base = java.nio.file.Files.createTempDirectory("graft-csv")
+        try {
+          val in = s"$base/in"
+          docs.select(concat(
+              col("doc_id"), lit(","), col("source"), lit(","),
+              md5(col("text")), lit(","), col("n_chars"),
+              when(col("doc_id") % 13 === 0, lit(",EXTRA")).otherwise(lit("")))
+            .as("value"))
+            .coalesce(4).write.text(in)
+          val schema = new StructType()
+            .add("doc_id", LongType).add("source", StringType)
+            .add("text_md5", StringType).add("n_chars", LongType)
+          val parsed = graft.io.CsvReader.read(s, in, schema).localCheckpoint(true)
+          val nCorrupt = graft.io.CsvReader.corrupt(parsed).count()
+          graft.io.CsvReader.good(parsed)
+            .withColumn("n_corrupt", lit(nCorrupt))
+            .orderBy("doc_id")
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      },
+      """WITH c AS (SELECT COUNT(*) AS n_corrupt FROM documents WHERE doc_id % 13 = 0)
+        | SELECT doc_id, source, md5(text) AS text_md5, n_chars,
+        |        (SELECT n_corrupt FROM c) AS n_corrupt
+        | FROM documents WHERE doc_id % 13 <> 0 ORDER BY doc_id""".stripMargin),
+
     // ---- URL structure extraction ---------------------------------------
     // web-corpus provenance ops: host / path / query-param / registered
     // domain, via Spark's codegen parse_url. URLs are synthesized from doc

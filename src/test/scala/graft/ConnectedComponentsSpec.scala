@@ -155,6 +155,30 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("shortestPaths: weighted relaxation beats greedy hops, respects the bound") {
+    // 1 -> 2 -> 3 cost 1+1=2 beats direct 1 -> 3 cost 9; at maxHops=3 the
+    // cheap route to 9 (4 hops) is out of budget, so the expensive direct
+    // first leg wins: 9 + 2 + 1 = 12 — the hop bound genuinely changes the
+    // optimum, not just reachability
+    val edges = Seq(
+      (1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 9L),
+      (3L, 5L, 2L), (5L, 9L, 1L)).toDF("src", "dst", "weight")
+    val got = graft.ops.GraphTraversal.shortestPaths(
+        edges, Seq(1L).toDF("id"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 5L -> 4L, 9L -> 12L))
+    // a larger bound reaches 9 at total cost 5
+    val far = graft.ops.GraphTraversal.shortestPaths(
+        edges, Seq(1L).toDF("id"), maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(far(9L) == 5L)
+    // multi-source takes the cheaper origin per vertex
+    val multi = graft.ops.GraphTraversal.shortestPaths(
+        edges, Seq(1L, 3L).toDF("id"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi(5L) == 2L && multi(3L) == 0L)
+  }
+
   test("clusteringCoefficients: K4 is all-1.0; paw graph mixes 1.0, partial, 0") {
     val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
       .toDF("src", "dst")

@@ -237,4 +237,30 @@ class WarcHtmlSpec extends AnyFunSuite {
       }
     } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
   }
+
+  test("CSV reader: positional null-fill, arity/type quarantine, delimiter") {
+    import graft.io.CsvReader
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val base = java.nio.file.Files.createTempDirectory("graft-csv-spec")
+    try {
+      val lines = Seq(
+        "1,alpha,10",     // clean
+        "2,beta",         // arity underflow -> quarantined (strict positional)
+        "3,gamma,ten",    // type mismatch on n -> quarantined
+        "4,delta,7,EXTRA",// arity overflow -> quarantined
+        "",               // blank -> skipped
+        "5,eps,12")
+      java.nio.file.Files.write(base.resolve("corpus.csv"),
+        String.join("\n", lines: _*).getBytes("UTF-8"))
+      val schema = new StructType()
+        .add("id", LongType).add("name", StringType).add("n", LongType)
+      val parsed = CsvReader.read(spark, base.toString, schema)
+      val good = CsvReader.good(parsed).collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(good == Set((1L, "alpha", 10L), (5L, "eps", 12L)))
+      val corrupt = CsvReader.corrupt(parsed).collect().map(_.getString(0)).toSet
+      assert(corrupt == Set("2,beta", "3,gamma,ten", "4,delta,7,EXTRA"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
 }
