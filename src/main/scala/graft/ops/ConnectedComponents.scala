@@ -157,4 +157,32 @@ object ConnectedComponents {
       .select(col("id").as(idCol))
     docs.join(dropIds.hint("merge"), Seq(idCol), "left_anti")
   }
+
+  /** Quality-priority cluster dedup: like [[dedupByComponents]] but the
+    * survivor of each duplicate cluster is the row with the HIGHEST
+    * `priorityCol` (ties break to the lowest id) instead of the lowest id —
+    * the keep-longest / keep-highest-quality policy production near-dedup
+    * pipelines actually want (the canonical-id rule discards a clean
+    * original whenever a truncated copy has a smaller id).
+    *
+    * Singletons (docs in no pair) survive trivially via the vertex-closed
+    * component labeling. The per-cluster winner is one window ranked over
+    * `component` — partition width is cluster size, which the candidate
+    * tier already bounds (the same cluster-density argument as
+    * [[dedupByComponents]]'s merge hint).
+    */
+  def dedupByComponentsKeepBest(docs: DataFrame, pairs: DataFrame,
+                                priorityCol: String, idCol: String = "doc_id",
+                                pairACol: String = "id_a", pairBCol: String = "id_b",
+                                cp: Checkpointer = Checkpointer.Auto): DataFrame = {
+    val comp = components(pairs, pairACol, pairBCol, cp = cp,
+      vertices = Some(docs.select(col(idCol).as("id"))))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col(priorityCol).desc, col(idCol))
+    docs
+      .join(comp.hint("merge").withColumnRenamed("id", idCol), Seq(idCol))
+      .withColumn("cc_rank", row_number().over(w))
+      .filter(col("cc_rank") === 1)
+      .drop("cc_rank", "component")
+  }
 }

@@ -2212,6 +2212,27 @@ object PipelineQueries {
          |        CAST(sz * COUNT(*) AS BIGINT) AS n_docs
          | FROM cs GROUP BY sz ORDER BY cluster_size""".stripMargin),
 
+    // ---- quality-priority cluster dedup (keep-longest) -------------------
+    // transitive near-dup clusters resolved to the LONGEST member (ties to
+    // the lowest id) instead of the canonical min id — the survivor policy
+    // real pipelines want. Same candidate tier as d16; one ranked window
+    // per cluster on top of the shared component labeling.
+    ("d20_cluster_keep_best",
+      (s, d) => {
+        val docsDf = spread(t(s, d, "documents"))
+        ConnectedComponents.dedupByComponentsKeepBest(docsDf,
+            Dedup.jaccardPairs(shinglesShared(s, d), 0.2), priorityCol = "n_chars")
+          .select("doc_id", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      s"""$CcLabeledCtes,
+         | r AS (SELECT d.doc_id, d.source, d.n_chars,
+         |              ROW_NUMBER() OVER (PARTITION BY l.component
+         |                                 ORDER BY d.n_chars DESC, d.doc_id) AS rn
+         |       FROM documents d JOIN labeled l ON l.id = d.doc_id)
+         | SELECT doc_id, source, n_chars FROM r WHERE rn = 1
+         | ORDER BY doc_id""".stripMargin),
+
     // ---- chunk-granular global dedup (C4-style) -------------------------
     // 20-word non-overlapping chunks; only the global first occurrence of
     // each distinct chunk survives (ordered by doc_id, chunk_id).

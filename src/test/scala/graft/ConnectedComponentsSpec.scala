@@ -64,6 +64,18 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 7L))
   }
 
+  test("dedupByComponentsKeepBest keeps the highest-priority member, not the min id") {
+    // cluster {1,2,3}: doc 2 is the longest and must survive even though 1
+    // is the canonical root; singleton 7 survives untouched; tie in
+    // cluster {8,9} breaks to the lower id
+    val docs = Seq((1L, "x", 5L), (2L, "y", 9L), (3L, "z", 7L),
+      (7L, "w", 1L), (8L, "p", 4L), (9L, "q", 4L)).toDF("doc_id", "text", "len")
+    val pairs = Seq((1L, 3L), (2L, 3L), (8L, 9L)).toDF("id_a", "id_b")
+    val kept = ConnectedComponents.dedupByComponentsKeepBest(docs, pairs, "len")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 7L, 8L))
+  }
+
   test("bfsLevels: min-hop levels under cycles; hop bound; unreachable absent") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (4L, 5L), (9L, 10L))
       .toDF("src", "dst")
