@@ -1732,6 +1732,29 @@ object PipelineQueries {
         |        (SELECT n_corrupt FROM c) AS n_corrupt
         | FROM documents WHERE doc_id % 13 <> 0 ORDER BY doc_id""".stripMargin),
 
+    // ---- ORC round-trip with partition pruning ---------------------------
+    // the second columnar format real lakes carry: documents written as ORC
+    // partitioned by source, read back through a partition-pruned scan
+    // (the source predicate never touches non-matching directories) with a
+    // row-level filter pushed to the ORC reader. Output = surviving rows;
+    // the oracle recomputes from the parquet original.
+    ("s19_orc_ingest",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val base = java.nio.file.Files.createTempDirectory("graft-orc")
+        try {
+          docs.write.partitionBy("source").orc(s"$base/in")
+          s.read.orc(s"$base/in")
+            .filter(col("source").isin("src0", "src2") && col("n_chars") >= 200)
+            .select(col("doc_id"), col("source"), col("n_chars"))
+            .orderBy("doc_id")
+            .localCheckpoint(true)
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      },
+      """SELECT doc_id, source, n_chars FROM documents
+        | WHERE source IN ('src0', 'src2') AND n_chars >= 200
+        | ORDER BY doc_id""".stripMargin),
+
     // ---- URL structure extraction ---------------------------------------
     // web-corpus provenance ops: host / path / query-param / registered
     // domain, via Spark's codegen parse_url. URLs are synthesized from doc
