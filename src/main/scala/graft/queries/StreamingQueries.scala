@@ -272,6 +272,48 @@ object StreamingQueries {
         |        CAST(SUM(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS total_tokens
         | FROM documents GROUP BY source ORDER BY source""".stripMargin),
 
+    // ---- streaming blocked entity resolution ----------------------------
+    // continuous record linkage through the persisted reference store: the
+    // even-key half of part arrives first (builds the store, zero matches),
+    // the odd-key half probes it — every cross-half fuzzy pair inside a
+    // brand block must surface through REAL foreachBatch execution, store
+    // read-back included. The oracle is the equivalent cross-parity blocked
+    // join with DuckDB's independent jaro_winkler_similarity.
+    ("stream_blocked_er",
+      (s, d) => {
+        val part = s.read.parquet(s"$d/part.parquet")
+          .select("p_partkey", "p_name", "p_brand")
+        val base = java.nio.file.Files.createTempDirectory("graft-er-stream")
+        try {
+          val in = base.resolve("in")
+          java.nio.file.Files.createDirectories(in)
+          part.filter(col("p_partkey") % 2 === 0).coalesce(4).write.parquet(s"$in/b1")
+          val schema = s.read.parquet(s"$in/b1").schema
+          val stream = s.readStream.schema(schema)
+            .option("recursiveFileLookup", "true").parquet(in.toString)
+          val q = StreamingIngest.startEntityMatchStream(stream,
+            s"$base/store", s"$base/matches", s"$base/ckpt",
+            blockCols = Seq("p_brand"), keyCol = "p_partkey",
+            nameCol = "p_name", minSim = 0.9)
+          try {
+            q.processAllAvailable()
+            part.filter(col("p_partkey") % 2 === 1).coalesce(4).write.parquet(s"$in/b2")
+            q.processAllAvailable()
+          } finally q.stop()
+          s.read.parquet(s"$base/matches")
+            .select("p_brand", "key_ref", "key_in", "name_ref", "name_in", "sim")
+            .orderBy("key_ref", "key_in")
+            .localCheckpoint(true)
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      },
+      """SELECT a.p_brand, a.p_partkey AS key_ref, b.p_partkey AS key_in,
+        |       a.p_name AS name_ref, b.p_name AS name_in,
+        |       jaro_winkler_similarity(a.p_name, b.p_name) AS sim
+        | FROM part a JOIN part b ON a.p_brand = b.p_brand
+        | WHERE a.p_partkey % 2 = 0 AND b.p_partkey % 2 = 1
+        |   AND jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
+        | ORDER BY key_ref, key_in""".stripMargin),
+
     // ---- streaming hashed-linear quality scoring ------------------------
     // the model-scoring twin: the IDENTICAL TextStats.hashedLinearScore
     // plan runs over a two-micro-batch replay (complete mode) and must

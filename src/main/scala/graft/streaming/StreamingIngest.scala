@@ -193,6 +193,80 @@ object StreamingIngest {
     } finally { incSigs.unpersist(); () }
   }
 
+  /** Continuous entity resolution: every micro-batch of incoming entities
+    * (a) probes the PERSISTED reference store for fuzzy matches inside its
+    * blocking keys and (b) becomes part of that store for later batches —
+    * the near-dup candidate loop ([[startNearDupCandidateStream]]) with
+    * the LSH sketch replaced by the blocking-join + Jaro-Winkler verify
+    * tier ([[graft.ops.EntityResolution]]). Same store discipline: the
+    * store is batch=<n>-partitioned, a batch never probes its own partial
+    * write, and per-batchId overwrite makes replay idempotent under
+    * at-least-once delivery.
+    *
+    * Scale shape: the per-batch increment is small and BROADCAST against
+    * the accumulated reference store (which is corpus-sized and only ever
+    * scanned, never reshuffled); the quadratic term stays within blocks as
+    * in the batch operator. Matches land in `matchesDir/batch=<n>` —
+    * (block cols, key_ref, key_in, name_ref, name_in, sim).
+    */
+  def startEntityMatchStream(entities: DataFrame, refStoreDir: String,
+                             matchesDir: String, checkpointDir: String,
+                             blockCols: Seq[String], keyCol: String,
+                             nameCol: String, minSim: Double): StreamingQuery =
+    entities.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processEntityMatchBatch(batch, batchId, refStoreDir, matchesDir,
+          blockCols, keyCol, nameCol, minSim)
+      }
+      .start()
+
+  /** One micro-batch of the entity-match loop (exposed for the replay
+    * contract, like [[processNearDupBatch]]).
+    */
+  private[graft] def processEntityMatchBatch(batch: DataFrame, batchId: Long,
+                                             refStoreDir: String, matchesDir: String,
+                                             blockCols: Seq[String], keyCol: String,
+                                             nameCol: String, minSim: Double): Unit = {
+    val spark = batch.sparkSession
+    val inc = batch
+      .select((blockCols :+ keyCol :+ nameCol).map(col): _*)
+      .localCheckpoint(true)
+    try {
+      val store = new org.apache.hadoop.fs.Path(refStoreDir)
+      val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pastBatches = if (fs.exists(store)) {
+        val entries = fs.listStatus(store).map(_.getPath.getName)
+          .filterNot(n => n.startsWith("_") || n.startsWith("."))
+        val legacy = entries.filterNot(_.startsWith("batch="))
+        require(legacy.isEmpty,
+          s"reference store $refStoreDir contains non-batch-partitioned entries " +
+            s"(${legacy.take(3).mkString(", ")}): move legacy files into a " +
+            "batch=<n> subdirectory (e.g. batch=-1) first")
+        entries.filter(n => n != s"batch=$batchId").map(n => s"$refStoreDir/$n").toSeq
+      } else Seq.empty
+      val matches =
+        if (pastBatches.nonEmpty) {
+          val ref = spark.read.parquet(pastBatches: _*)
+            .withColumnsRenamed(Map(keyCol -> "key_ref", nameCol -> "name_ref"))
+          val in = broadcast(inc
+            .withColumnsRenamed(Map(keyCol -> "key_in", nameCol -> "name_in")))
+          ref.join(in, blockCols)
+            .withColumn("sim",
+              graft.functions.JaroWinkler.jaroWinkler(col("name_ref"), col("name_in")))
+            .filter(col("sim") >= minSim)
+        } else {
+          val empty = inc.limit(0)
+          empty.select(blockCols.map(col) :+
+            col(keyCol).as("key_ref") :+ col(keyCol).as("key_in") :+
+            col(nameCol).as("name_ref") :+ col(nameCol).as("name_in") :+
+            lit(0.0).as("sim"): _*)
+        }
+      matches.write.mode("overwrite").parquet(s"$matchesDir/batch=$batchId")
+      inc.write.mode("overwrite").parquet(s"$refStoreDir/batch=$batchId")
+    } finally { inc.unpersist(); () }
+  }
+
   /** Streaming benchmark decontamination: the bloom probe
     * ([[graft.functions.BloomCountContaminatedExpr]]) is a stateless
     * map-side filter — no shuffle, no watermark, no state store — so the

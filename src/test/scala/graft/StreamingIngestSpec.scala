@@ -192,6 +192,44 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
   }
 
+  test("streaming entity match probes the persisted reference store; replay is idempotent") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-er-state")
+    val in = base.resolve("in"); Files.createDirectories(in)
+    try {
+      Seq((1L, "acme corp", "US"), (2L, "unrelated thing", "US"))
+        .toDF("id", "name", "country").write.parquet(s"$in/b1")
+      val schema = spark.read.parquet(s"$in/b1").schema
+      val stream = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(in.toString)
+      val q = StreamingIngest.startEntityMatchStream(stream,
+        s"$base/store", s"$base/matches", s"$base/ckpt",
+        blockCols = Seq("country"), keyCol = "id", nameCol = "name", minSim = 0.9)
+      try {
+        q.processAllAvailable()
+        // batch 2: the US twin must match doc 1 through the STORE; the DE
+        // twin has no same-block reference and must not
+        val b2 = Seq((10L, "acme corp.", "US"), (11L, "acme corp", "DE"))
+          .toDF("id", "name", "country")
+        b2.write.parquet(s"$in/b2")
+        q.processAllAvailable()
+        val got = spark.read.parquet(s"$base/matches")
+          .select("key_ref", "key_in").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == Set((1L, 10L)))
+        // replay idempotence: re-running the SAME batchId overwrites, never
+        // duplicates — matches and store are unchanged
+        StreamingIngest.processEntityMatchBatch(b2, 1L,
+          s"$base/store", s"$base/matches", Seq("country"), "id", "name", 0.9)
+        val again = spark.read.parquet(s"$base/matches")
+          .select("key_ref", "key_in").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(again == Set((1L, 10L)))
+        assert(spark.read.parquet(s"$base/store").count() == 4)
+      } finally q.stop()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
   test("streaming Misra-Gries sketch in the state store converges to the exact heavy hitters") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-mg-stream")
