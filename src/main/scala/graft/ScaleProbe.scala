@@ -484,8 +484,55 @@ object ScaleProbe {
     // fresh user ids — the horizontal 100 TB shape) and deeper keys (copies
     // share user ids, so per-user event volume grows mult× — the hottest
     // single entity bounds the window stage, the design's stated skew limit)
+    // round-11 relational/graph probes: skyline prefix-max machinery,
+    // integer HITS rounds, and the map-side table fingerprint at mult x
+    // input volume
+    val r11Probes = Seq("skyline", "hitsRounds", "tableChecksum")
+    if (r11Probes.exists(enabled)) {
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+        .repartition(spark.sparkContext.defaultParallelism)
+      val orderStride = orders.agg(max(col("o_orderkey"))).head.getLong(0) + 1L
+      timed("skyline (orders, fresh keys)") {
+        // mult x rows AND mult x distinct prices (cents offset per copy):
+        // the x-group aggregate, bucketed prefix max, and semi-join all
+        // see mult x volume; runtime must stay ~linear
+        val o = (0 until mult).map { k =>
+          orders.select((col("o_orderkey") + lit(k.toLong * orderStride)).as("o_orderkey"),
+            (round(col("o_totalprice") * 100).cast("long") + lit(k.toLong)).as("cents"),
+            expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"))
+        }.reduce(_ union _)
+        graft.ops.Pareto.skyline2d(o, "cents", "day").count()
+      }
+      timed("hitsRounds (succ graph, 2 rounds)") {
+        // constant-degree successor graph over mult x fresh keys: two
+        // edge-scale joins + two combinable sums per round — linear in edges
+        val vs = (0 until mult).map(k => orders.select(
+          (col("o_orderkey") + lit(k.toLong * orderStride)).as("v"))).reduce(_ union _)
+        val e = (1 to 3).map(dl => vs.select(col("v").as("src"),
+          (col("v") + dl).as("dst"))).reduce(_ union _)
+        graft.ops.GraphTraversal.hits(e, rounds = 2).count()
+      }
+      val liProbe = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      timed("tableChecksum (lineitem)") {
+        // pure map-side fingerprint + partial-agg on a k-row group key:
+        // the one shuffle moves k rows per partition regardless of mult
+        val li = (0 until mult).map(k =>
+          liProbe.withColumn("l_orderkey", col("l_orderkey") + lit(k.toLong * orderStride)))
+          .reduce(_ union _)
+        val fp = org.apache.spark.sql.functions.conv(substring(md5(concat_ws("|",
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_linestatus"), col("l_quantity").cast("long"),
+          unix_micros(col("l_shipdate").cast("timestamp")))), 1, 15), 16, 10).cast("long")
+        li.withColumn("fp", fp)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), expr("bit_xor(fp)").as("xor_sig"))
+          .count()
+      }
+    }
+
     val eventProbes = Seq("asofJoin", "sessionize", "asofHotKey",
-      "intervalJoin", "intervalHotKey", "pathNgrams", "keySkewReport")
+      "intervalJoin", "intervalHotKey", "pathNgrams", "keySkewReport",
+      "gapFill", "attribution")
     if (eventProbes.exists(enabled)) {
     val baseE = graft.ops.TemporalOps.loadEvents(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism)
@@ -506,7 +553,7 @@ object ScaleProbe {
     // each scaled union is cached only if one of ITS probes is selected
     // (the line-42 gating principle, per-input)
     if (Seq("asofJoin", "sessionize", "intervalJoin", "pathNgrams",
-        "keySkewReport").exists(enabled)) {
+        "keySkewReport", "gapFill", "attribution").exists(enabled)) {
       val wide = copies(shareUsers = false).cache()
       println(s"events (fresh users): ${wide.count()}")
       timed("pathNgrams (top-20 trigrams)") {
@@ -523,6 +570,16 @@ object ScaleProbe {
         graft.ops.SkewOps.keySkewReport(wide, "user_id").count()
       }
       timed("asofJoin (mult x users)") { asofCount(wide) }
+      timed("gapFill (mult x users)") {
+        // fresh users, fixed 30-day span each: spine rows and runtime
+        // scale ~linearly in users; the span guard never fires
+        graft.queries.TemporalQueries.purchaseGapFill(wide).count()
+      }
+      timed("attribution (mult x users)") {
+        // ONE user-partitioned range-frame window: linear in events,
+        // per-user frame density fixed
+        graft.queries.TemporalQueries.attributionWindow(wide).count()
+      }
       timed("sessionize+stats (mult x users)") {
         val e = wide.select(col("user_id"), col("event_id"), col("ts_us").as("tsn"))
         graft.ops.TemporalOps.sessionStats(

@@ -475,4 +475,59 @@ object GraphTraversal {
     }
     labels
   }
+
+  /** HITS hubs-and-authorities power iteration (Kleinberg), UNNORMALIZED
+    * integer form: h₀ ≡ 1; each round r computes
+    * aᵣ(v) = Σ_{(u,v)∈E} hᵣ₋₁(u)  then  hᵣ(v) = Σ_{(v,w)∈E} aᵣ(w).
+    * Returns (`id`, `hub`, `auth`) after `rounds` full rounds, 0 for
+    * vertices with no in/out edges respectively.
+    *
+    * Dropping the per-round L2 normalization keeps every score an EXACT
+    * integer — order-independent sums that an external engine replays
+    * bit-for-bit (the pageRank-micro discipline, minus the floats
+    * entirely). Rankings are what HITS is consumed for and normalization
+    * is rank-preserving (a positive global scalar per round); a consumer
+    * needing unit scores divides by one combinable global sum at the end.
+    * Scores grow by at most a factor of max-degree² per round, so the
+    * declared-horizon discipline of [[shortestPaths]] applies: callers
+    * bound `rounds` such that n·degree^(2·rounds) fits 63 bits (e.g. two
+    * rounds on a degree-1000 graph peaks near 10¹⁵); under ANSI mode an
+    * overflow fails the sum loudly rather than wrapping, and HITS
+    * converges in a handful of iterations in practice.
+    *
+    * Scale per round: two equi-joins of the edge table against a
+    * vertex-sized score frame plus two map-combinable sums — shuffles on
+    * dst then src (bucket the edge table BOTH ways at billion-edge scale
+    * to make every round exchange-free). [[Checkpointer]] truncates the
+    * per-round lineage; one live (a, h) pair at a time.
+    */
+  def hits(edges: DataFrame, rounds: Int,
+           srcCol: String = "src", dstCol: String = "dst",
+           cp: Checkpointer = Checkpointer.Auto): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val vertices = cp(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
+    var h = vertices.withColumn("s", lit(1L))
+    var a: DataFrame = null
+    var live = List.empty[DataFrame]
+    for (_ <- 1 to rounds) {
+      val aNext = cp(e.join(h.select(col("id").as("src"), col("s")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("s")).as("s")))
+      val hNext = cp(e.join(aNext.select(col("id").as("dst"), col("s")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(sum(col("s")).as("s")))
+      live.foreach(cp.release)
+      live = List(aNext, hNext)
+      a = aNext
+      h = hNext
+    }
+    val out = vertices
+      .join(h.select(col("id"), col("s").as("hub")), Seq("id"), "left")
+      .join(a.select(col("id"), col("s").as("auth")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub"),
+        coalesce(col("auth"), lit(0L)).as("auth"))
+    // vertices and the final (a, h) pair stay live — the returned plan
+    // reads them (releasing a localCheckpoint's blocks is destructive)
+    out
+  }
 }

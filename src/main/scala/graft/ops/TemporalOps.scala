@@ -269,6 +269,53 @@ object TemporalOps {
           "(expected epoch-nanos LONG, TIMESTAMP, or TIMESTAMP_NTZ)")
     }
 
+  /** Calendar gap fill + forward fill — the time-series resample shape:
+    * per key, a contiguous daily spine from the key's first to last
+    * observed day, the day's aggregate where one exists, and the latest
+    * prior day's aggregate carried forward across the gaps.
+    *
+    * Daily observation is `max(centsCol)` per (key, day) — commutative and
+    * map-side combinable, so the first shuffle arrives pre-aggregated. The
+    * spine is generated DISTRIBUTED, per key (`sequence` + `explode` on the
+    * key's own [dmin, dmax] bounds): no driver-side calendar, no global
+    * range table. The fill is `last(value, ignoreNulls)` over a window
+    * partitioned by key — never an unpartitioned window.
+    *
+    * Scale shape: two key-partitioned shuffles (the (key, day) aggregate
+    * and the spine join) + one key-partitioned window; output is
+    * Σ_key span(key) rows. The one way this blows up is a single key whose
+    * span is unbounded (one event in 1970, one today → 20k rows PER KEY),
+    * so the span is runtime-guarded: any key spanning more than
+    * `maxSpanDays` fails the query loudly (the [[Bounded.guard]]
+    * discipline) instead of silently exploding the spine.
+    *
+    * Output: keyCol, `day` (epoch days), `filled_cents`, `observed` (1 for
+    * days with a real observation, 0 for carried-forward gap days).
+    * `filled_cents` is never null — each key's first spine day is by
+    * construction an observed day.
+    */
+  def gapFillDaily(df: DataFrame, keyCol: String, tsUsCol: String,
+                   centsCol: String, maxSpanDays: Int = 3700): DataFrame = {
+    require(maxSpanDays > 0, s"gapFillDaily: maxSpanDays must be positive, got $maxSpanDays")
+    val obs = df
+      .select(col(keyCol), expr(s"$tsUsCol div ${86400L * 1000000L}").as("day"),
+        col(centsCol).cast("long").as("__cents"))
+      .groupBy(col(keyCol), col("day"))
+      .agg(max(col("__cents")).as("day_cents"))
+    val bounds = obs.groupBy(col(keyCol))
+      .agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+    val spine = bounds.select(col(keyCol),
+      explode(sequence(col("dmin"),
+        Bounded.guard(col("dmax"), col("dmax") - col("dmin") <= maxSpanDays,
+          s"gapFillDaily: a key spans more than $maxSpanDays days — raise " +
+            "maxSpanDays explicitly if the spine is really wanted"))).as("day"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+    spine.join(obs, Seq(keyCol, "day"), "left")
+      .withColumn("filled_cents", last(col("day_cents"), ignoreNulls = true).over(w))
+      .withColumn("observed", col("day_cents").isNotNull.cast("int"))
+      .select(col(keyCol), col("day"), col("filled_cents"), col("observed"))
+  }
+
   /** The driver's events table with `ts` normalized to a `ts_us` epoch-µs
     * LONG column — the single ingestion point for event-time queries, so a
     * testdata regeneration that changes the physical timestamp grain (it

@@ -478,6 +478,39 @@ object GraphQueries {
         |        da.deg AS deg_a, db.deg AS deg_b
         | FROM pr JOIN deg da ON da.v = pr.v1 JOIN deg db ON db.v = pr.v2
         | WHERE pr.n_common * 100 >= 20 * (da.deg + db.deg - pr.n_common)
-        | ORDER BY a, b""".stripMargin)
+        | ORDER BY a, b""".stripMargin),
+
+    // ---- HITS hubs & authorities (2 unrolled integer rounds) ------------
+    // Kleinberg's power iteration over the successor graph, UNNORMALIZED so
+    // every score is an exact order-independent integer sum (the
+    // pageRank-micro discipline minus the floats — normalization is
+    // rank-preserving and deferred to one global sum at the consumer).
+    // Each round = two edge⋈score equi-joins + two map-combinable sums;
+    // the oracle unrolls the same two rounds as chained CTEs.
+    ("g_hits",
+      (s, d) => {
+        val k = col("c_custkey")
+        val edges = (1 to 3).map(delta =>
+            t(s, d, "customer").select(k.as("src"), (k + delta).as("dst")))
+          .reduce(_ union _)
+        graft.ops.GraphTraversal.hits(edges, rounds = 2)
+          .orderBy("id")
+      },
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |     ${(1 to 3).map(dlt =>
+                s"SELECT c_custkey AS src, c_custkey + $dlt AS dst FROM customer")
+                .mkString(" UNION ALL ")})),
+         | v AS (SELECT DISTINCT id FROM
+         |     (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         | a1 AS (SELECT dst AS id, CAST(COUNT(*) AS BIGINT) AS s FROM e GROUP BY 1),
+         | h1 AS (SELECT e.src AS id, CAST(SUM(a1.s) AS BIGINT) AS s
+         |        FROM e JOIN a1 ON a1.id = e.dst GROUP BY 1),
+         | a2 AS (SELECT e.dst AS id, CAST(SUM(h1.s) AS BIGINT) AS s
+         |        FROM e JOIN h1 ON h1.id = e.src GROUP BY 1),
+         | h2 AS (SELECT e.src AS id, CAST(SUM(a2.s) AS BIGINT) AS s
+         |        FROM e JOIN a2 ON a2.id = e.dst GROUP BY 1)
+         | SELECT v.id, COALESCE(h2.s, 0) AS hub, COALESCE(a2.s, 0) AS auth
+         | FROM v LEFT JOIN h2 ON h2.id = v.id LEFT JOIN a2 ON a2.id = v.id
+         | ORDER BY v.id""".stripMargin)
   )
 }

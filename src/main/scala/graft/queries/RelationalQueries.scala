@@ -878,6 +878,67 @@ object RelationalQueries {
         |                                    ORDER BY src_file, stmt_idx) AS rn
         |       FROM kept)
         | SELECT subject, predicate, object, src_file, stmt_idx, root_ns
-        | FROM r WHERE rn = 1 ORDER BY subject, predicate, object""".stripMargin)
+        | FROM r WHERE rn = 1 ORDER BY subject, predicate, object""".stripMargin),
+
+    // ---- 2-D skyline (Pareto frontier) ----------------------------------
+    // orders that are non-dominated on (cheapest price, freshest date):
+    // the quadratic NOT-EXISTS collapses to prefix maxima over distinct
+    // price groups — Pareto.skyline2d's two-level bucketed discipline (one
+    // x-group shuffle, a ≤64-row guarded summary window, one semi-join
+    // back); the oracle states the same frontier via the window identity.
+    ("u6_skyline",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+          .withColumn("day", expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"))
+        graft.ops.Pareto.skyline2d(o, "cents", "day")
+          .select("o_orderkey", "cents", "day")
+          .orderBy("o_orderkey")
+      },
+      """WITH t AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |                  epoch_us(o_orderdate) // 86400000000 AS day FROM orders),
+        | g AS (SELECT cents, max(day) AS gy FROM t GROUP BY 1),
+        | m AS (SELECT cents, gy, max(gy) OVER (ORDER BY cents
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1 FROM g)
+        | SELECT t.o_orderkey, t.cents, t.day FROM t
+        |  JOIN m ON t.cents = m.cents AND t.day = m.gy
+        | WHERE m.m1 IS NULL OR m.gy > m.m1 ORDER BY t.o_orderkey""".stripMargin),
+
+    // ---- order-independent table fingerprint (reconciliation checksum) --
+    // the "did the 100-TB copy land intact" primitive: per group a COUNT,
+    // a bit_xor of 60-bit row fingerprints (md5 of the canonical row
+    // string) and a mod-p fingerprint sum — all commutative/map-side
+    // combinable, so the whole check is one partial-aggregated shuffle on
+    // the tiny group key with NO sort and NO row movement; two tables
+    // reconcile by comparing k summary rows. xor catches any single-row
+    // difference; the mod-p sum catches the xor-blind case (an even count
+    // of identical corrupt rows). 15 hex chars = 60 bits, so the decimal
+    // mod-sum is exact in both engines.
+    ("s20_table_checksum",
+      (s, d) => {
+        val fp = conv(substring(md5(concat_ws("|",
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_linestatus"), col("l_quantity").cast("long"),
+          unix_micros(col("l_shipdate").cast("timestamp")))), 1, 15), 16, 10)
+          .cast("long")
+        t(s, d, "lineitem")
+          .withColumn("fp", fp)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            expr("bit_xor(fp)").as("xor_sig"),
+            (sum((col("fp") % 1000000007L).cast("decimal(38,0)")) % 1000000007L)
+              .cast("long").as("sum_sig"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      """WITH h AS (SELECT l_returnflag, l_linestatus,
+        |             CAST('0x' || substr(md5(
+        |               l_orderkey || '|' || l_linenumber || '|' || l_returnflag || '|' ||
+        |               l_linestatus || '|' || CAST(l_quantity AS BIGINT) || '|' ||
+        |               epoch_us(l_shipdate)), 1, 15) AS BIGINT) AS fp
+        |           FROM lineitem)
+        | SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |        CAST(bit_xor(fp) AS BIGINT) AS xor_sig,
+        |        CAST(SUM(fp % 1000000007) % 1000000007 AS BIGINT) AS sum_sig
+        | FROM h GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin)
   )
 }

@@ -31,6 +31,36 @@ object TemporalQueries {
       asOfCol = "click_value", rightTieCol = "tsn", tolerance = tolerance)
   }
 
+  /** The 7-day first/last-touch attribution window pass, shared by the
+    * ts_attribution registry entry AND ScaleProbe (the probe must measure
+    * the exact operator the registry checks). Input events must carry
+    * `ts_us` ([[TemporalOps.loadEvents]]).
+    */
+  def attributionWindow(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-604800000000L, -1L)
+    val touch = when(col("event_type").isin("click", "view"),
+      struct(col("ts_us"), col("event_id"), col("event_type")))
+    ev.withColumn("last_s", max(touch).over(w))
+      .withColumn("first_s", min(touch).over(w))
+      .withColumn("n_touches", count(touch).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("last_s.event_type").as("last_touch"),
+        col("first_s.event_type").as("first_touch"),
+        col("n_touches"))
+  }
+
+  /** The purchases→daily-spine gap fill, shared by the ts_gap_fill
+    * registry entry AND ScaleProbe. Input events must carry `ts_us`.
+    */
+  def purchaseGapFill(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    TemporalOps.gapFillDaily(
+      ev.filter(col("event_type") === "purchase")
+        .withColumn("cents", round(col("value") * 100).cast("long")),
+      "user_id", "ts_us", "cents")
+
   /** The clicks-into-purchase-windows interval join, shared by the
     * ts_interval_join registry entry AND ScaleProbe's temporal group (the
     * probe must measure the exact operator the registry checks). Input
@@ -458,6 +488,124 @@ object TemporalQueries {
         |                    e.day - ch.cohort_day AS day_offset
         |             FROM e JOIN ch ON e.user_id = ch.user_id)
         | SELECT cohort_day, day_offset, COUNT(DISTINCT user_id) AS n_users
-        | FROM act GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin)
+        | FROM act GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin),
+
+    // ---- calendar gap fill + forward fill (time-series resample) --------
+    // per user, a contiguous daily spine over the user's purchase span with
+    // the latest prior day's max-cents carried across gaps — the resample
+    // shape every metrics/feature pipeline needs. Spine generated
+    // distributed (per-key sequence+explode), fill via a KEY-partitioned
+    // last(ignoreNulls) window, span runtime-guarded (TemporalOps.gapFillDaily).
+    ("ts_gap_fill",
+      (s, d) => purchaseGapFill(TemporalOps.loadEvents(s, d))
+        .orderBy("user_id", "day"),
+      """WITH obs AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |               max(CAST(round(value * 100) AS BIGINT)) AS day_cents
+        |             FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        | b AS (SELECT user_id, min(day) AS dmin, max(day) AS dmax FROM obs GROUP BY 1),
+        | spine AS (SELECT user_id, unnest(generate_series(dmin, dmax)) AS day FROM b),
+        | f AS (SELECT s.user_id, s.day, o.day_cents,
+        |              max(o.day) OVER (PARTITION BY s.user_id ORDER BY s.day) AS src_day
+        |       FROM spine s LEFT JOIN obs o ON o.user_id = s.user_id AND o.day = s.day)
+        | SELECT f.user_id, f.day, o2.day_cents AS filled_cents,
+        |        CAST(f.day_cents IS NOT NULL AS INTEGER) AS observed
+        | FROM f JOIN obs o2 ON o2.user_id = f.user_id AND o2.day = f.src_day
+        | ORDER BY f.user_id, f.day""".stripMargin),
+
+    // ---- marketing attribution (first/last touch in a lookback window) --
+    // for each purchase: the first and last click/view of the same user in
+    // the strict 7-day lookback, plus the touch count. ONE window pass —
+    // union-free: a user-partitioned RANGE frame [-7d, -1µs] with min/max
+    // over a (ts, event_id, type)-struct (null for non-touch rows, so
+    // aggregate null-skipping does the event-type routing); no
+    // purchases×touches range join, no per-row re-scan. Ties broken by
+    // event_id identically to the oracle's packed (ts, id) key.
+    ("ts_attribution",
+      (s, d) => attributionWindow(TemporalOps.loadEvents(s, d))
+        .orderBy("event_id"),
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        | p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        | t AS (SELECT *, CAST(ts_us AS HUGEINT) * 1000000 + event_id AS ord FROM e
+        |       WHERE event_type IN ('click', 'view')),
+        | j AS (SELECT p.event_id, p.user_id,
+        |              max_by(t.event_type, t.ord) AS last_touch,
+        |              min_by(t.event_type, t.ord) AS first_touch,
+        |              count(t.event_id) AS n_touches
+        |       FROM p LEFT JOIN t ON t.user_id = p.user_id
+        |         AND t.ts_us < p.ts_us AND t.ts_us >= p.ts_us - 604800000000
+        |       GROUP BY 1, 2)
+        | SELECT event_id, user_id, last_touch, first_touch, n_touches
+        | FROM j ORDER BY event_id""".stripMargin),
+
+    // ---- time-weighted average (TWAP) -----------------------------------
+    // per user: each purchase's cents weighted by how long it was the
+    // latest one (lead-ts minus ts) — the finance TWAP / metrics
+    // "time-in-state mean" shape. One user-partitioned window (lead) + one
+    // map-combinable grouped sum; exact integer µs·cents products, final
+    // value one integer division. The last event per user has no duration
+    // and is excluded on both sides.
+    ("ts_twap",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        TemporalOps.loadEvents(s, d)
+          .filter(col("event_type") === "purchase")
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .withColumn("nxt", lead(col("ts_us"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .groupBy("user_id")
+          .agg(sum(col("cents") * (col("nxt") - col("ts_us"))).as("weighted_us"),
+            sum(col("nxt") - col("ts_us")).as("held_us"))
+          .withColumn("twap_cents", expr("weighted_us div held_us"))
+          .select("user_id", "weighted_us", "held_us", "twap_cents")
+          .orderBy("user_id")
+      },
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |                  CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events WHERE event_type = 'purchase'),
+        | w AS (SELECT user_id, cents, ts_us,
+        |              lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS nxt
+        |       FROM e)
+        | SELECT user_id,
+        |        CAST(SUM(cents * (nxt - ts_us)) AS BIGINT) AS weighted_us,
+        |        CAST(SUM(nxt - ts_us) AS BIGINT) AS held_us,
+        |        CAST(SUM(cents * (nxt - ts_us)) // SUM(nxt - ts_us) AS BIGINT) AS twap_cents
+        | FROM w WHERE nxt IS NOT NULL GROUP BY 1 ORDER BY user_id""".stripMargin),
+
+    // ---- bounded-horizon exponential decay (integerized EWMA) -----------
+    // half-life-one decayed sum over each user's last 8 purchases,
+    // integerized ×128 so every weight 2⁻ⁱ is an exact integer factor
+    // 2^(7-i) — the recency-weighted feature without float accumulation
+    // drift (an unbounded recurrence would force sequential float state;
+    // the 8-event horizon truncates weights below 1/128 ≈ 0.8%, and turns
+    // the recurrence into one window exchange with 7 lags).
+    ("ts_decay_sum",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        val ev = TemporalOps.loadEvents(s, d)
+          .filter(col("event_type") === "purchase")
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+        val decay = (0 to 7).map(i =>
+          coalesce(lag(col("cents"), i).over(w), lit(0L)) * lit(1L << (7 - i)))
+          .reduce(_ + _)
+        ev.withColumn("decay128", decay)
+          .select("user_id", "event_id", "decay128")
+          .orderBy("event_id")
+      },
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |                  CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events WHERE event_type = 'purchase')
+        | SELECT user_id, event_id,
+        |        CAST(128 * cents
+        |          + 64 * COALESCE(lag(cents, 1) OVER w, 0)
+        |          + 32 * COALESCE(lag(cents, 2) OVER w, 0)
+        |          + 16 * COALESCE(lag(cents, 3) OVER w, 0)
+        |          +  8 * COALESCE(lag(cents, 4) OVER w, 0)
+        |          +  4 * COALESCE(lag(cents, 5) OVER w, 0)
+        |          +  2 * COALESCE(lag(cents, 6) OVER w, 0)
+        |          +  1 * COALESCE(lag(cents, 7) OVER w, 0) AS BIGINT) AS decay128
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        | ORDER BY event_id""".stripMargin)
   )
 }

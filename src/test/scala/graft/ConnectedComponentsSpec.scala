@@ -351,4 +351,31 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got0 == Seq(1L, 2L, 3L, 10L, 11L, 12L).map(v => v -> v).toMap)
   }
+
+  test("hits: hand-replayed integer rounds on a 3-cycle with a chord") {
+    import spark.implicits._
+    // a→b, a→c, b→c, c→a.  h0 ≡ 1.
+    // round 1: a1 = in-sums of h0: a:1 b:1 c:2; h1 = out-sums of a1:
+    //          a = a1(b)+a1(c) = 3, b = a1(c) = 2, c = a1(a) = 1
+    // round 2: a2 = in-sums of h1: a = h1(c) = 1, b = h1(a) = 3,
+    //          c = h1(a)+h1(b) = 5; h2 = out-sums of a2:
+    //          a = a2(b)+a2(c) = 8, b = a2(c) = 5, c = a2(a) = 1
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val r2 = graft.ops.GraphTraversal.hits(edges, rounds = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(r2 == Map("a" -> ((8L, 1L)), "b" -> ((5L, 3L)), "c" -> ((1L, 5L))))
+    val r1 = graft.ops.GraphTraversal.hits(edges, rounds = 1)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(r1 == Map("a" -> ((3L, 1L)), "b" -> ((2L, 1L)), "c" -> ((1L, 2L))))
+  }
+
+  test("hits: sink/source vertices score 0 on the missing side; dup edges collapse") {
+    import spark.implicits._
+    // source s (no in-edges) → auth 0; sink t (no out-edges) → hub 0;
+    // the duplicated s→t edge must not double anything (edge set semantics)
+    val edges = Seq(("s", "t"), ("s", "t")).toDF("src", "dst")
+    val got = graft.ops.GraphTraversal.hits(edges, rounds = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("s" -> ((1L, 0L)), "t" -> ((0L, 1L))))
+  }
 }

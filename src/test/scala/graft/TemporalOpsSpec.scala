@@ -570,4 +570,32 @@ class TemporalOpsSpec extends AnyFunSuite {
       assert(ev.schema("ts_us").dataType == LongType && ev.count() > 0)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
   }
+
+  test("gapFillDaily: contiguous spine, forward fill, day-max aggregate, observed flag") {
+    val us = 86400L * 1000000L
+    // key A: observed days 10 (max of two events: 5, 9 → 9) and 13 (7);
+    // key B: single day 20 (4). Expect A spine 10..13 with 9 carried
+    // through the gap, B a one-day spine.
+    val ev = Seq(
+      ("A", 10 * us + 111L, 5L), ("A", 10 * us + 222L, 9L),
+      ("A", 13 * us + 1L, 7L), ("B", 20 * us, 4L)
+    ).toDF("k", "ts_us", "cents")
+    val got = TemporalOps.gapFillDaily(ev, "k", "ts_us", "cents")
+      .orderBy("k", "day")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq == Seq(
+      ("A", 10L, 9L, 1), ("A", 11L, 9L, 0), ("A", 12L, 9L, 0), ("A", 13L, 7L, 1),
+      ("B", 20L, 4L, 1)))
+  }
+
+  test("gapFillDaily: a key spanning more than maxSpanDays fails loudly") {
+    val us = 86400L * 1000000L
+    val ev = Seq(("A", 0L, 1L), ("A", 50 * us, 2L)).toDF("k", "ts_us", "cents")
+    val e = intercept[Exception](
+      TemporalOps.gapFillDaily(ev, "k", "ts_us", "cents", maxSpanDays = 10).count())
+    assert(e.getMessage != null || e.getCause != null) // raised, not silent
+    // and the same span passes when the caller raises the guard explicitly
+    assert(TemporalOps.gapFillDaily(ev, "k", "ts_us", "cents", maxSpanDays = 50)
+      .count() == 51)
+  }
 }
