@@ -139,6 +139,28 @@ object GraphTraversal {
                tolerance: Option[Double] = None): DataFrame =
     pageRankWithStats(edges, iterations, damping, srcCol, dstCol, cp, tolerance)._1
 
+  /** Personalized PageRank: random walks restart at the `sources` set
+    * instead of uniformly — the "importance relative to THESE seeds"
+    * variant behind related-item ranking and local community scoring.
+    * PPR is exactly [[pageRank]] with a non-uniform teleport vector
+    * (mass 1/|S| on each source, 0 elsewhere), applied to the initial
+    * ranks, the restart term, and the dangling-mass redistribution alike —
+    * so it shares the full implementation (same per-round shape, same
+    * dictionary encoding, same Checkpointer lineage truncation) via the
+    * internal teleport hook rather than a forked loop.
+    *
+    * `sources` rows must be a non-empty subset of the graph's vertices
+    * (ids outside the graph are ignored; an empty effective set is
+    * refused loudly — a silent all-zero teleport would drain all mass).
+    */
+  def personalizedPageRank(edges: DataFrame, sources: DataFrame,
+                           iterations: Int, damping: Double = 0.85,
+                           srcCol: String = "src", dstCol: String = "dst",
+                           idCol: String = "id",
+                           cp: Checkpointer = Checkpointer.Auto): DataFrame =
+    pageRankWithStats(edges, iterations, damping, srcCol, dstCol, cp, None,
+      sources = Some(sources.select(col(idCol).as("id"))))._1
+
   /** [[pageRank]] plus the number of update rounds actually executed — the
     * early-stop observability surface. `tolerance` (when set) stops as soon
     * as the per-round L1 rank delta Σ|rank − prev| falls below it: one
@@ -150,7 +172,8 @@ object GraphTraversal {
   def pageRankWithStats(edges: DataFrame, iterations: Int, damping: Double = 0.85,
                         srcCol: String = "src", dstCol: String = "dst",
                         cp: Checkpointer = Checkpointer.Auto,
-                        tolerance: Option[Double] = None): (DataFrame, Int) = {
+                        tolerance: Option[Double] = None,
+                        sources: Option[DataFrame] = None): (DataFrame, Int) = {
     require(iterations >= 0, "iterations must be >= 0")
     require(damping >= 0.0 && damping <= 1.0, s"damping must be in [0,1]: $damping")
     require(tolerance.forall(_ > 0.0), s"tolerance must be positive: $tolerance")
@@ -184,10 +207,33 @@ object GraphTraversal {
       case None => verticesRaw
     }
     val n = verticesRaw.count()
+    // teleport vector: uniform 1/n, or (personalized) 1/|S| on the source
+    // set and 0 elsewhere — initial ranks, the restart term, and the
+    // dangling redistribution all read the SAME per-vertex tp column, so
+    // the uniform case is bit-identical to the historical formula
+    val vtp = sources match {
+      case None => cp(vertices.withColumn("tp", lit(1.0 / n)))
+      case Some(srcSet) =>
+        val keyed = dict match {
+          case Some(d) => srcSet.distinct()
+            .join(d.withColumnRenamed("vid", "__vid"), Seq("id"))
+            .select(col("__vid").as("id"))
+          case None => srcSet.distinct().join(vertices, Seq("id"), "leftsemi")
+        }
+        val sMembers = cp(keyed.withColumn("__src", lit(1)))
+        val sCount = sMembers.count()
+        require(sCount > 0,
+          "personalized teleport: no source id is a vertex of the graph — " +
+            "an all-zero teleport vector would silently drain all rank mass")
+        cp(vertices.join(sMembers, Seq("id"), "left")
+          .withColumn("tp",
+            when(col("__src").isNotNull, lit(1.0 / sCount)).otherwise(lit(0.0)))
+          .select(col("id"), col("tp")))
+    }
     if (encode) cp.release(eRaw) // loop reads only the encoded edge table
     if (encode) cp.release(verticesRaw) // dict carries the id mapping
     val outDeg = cp(e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg")))
-    var ranks = cp(vertices.withColumn("rank", lit(1.0 / n)))
+    var ranks = cp(vtp.select(col("id"), col("tp").as("rank")))
     var i = 0
     var converged = false
     while (i < iterations && !converged) {
@@ -200,12 +246,21 @@ object GraphTraversal {
         .join(e, Seq("src"))
         .groupBy(col("dst").as("id")).agg(sum(col("c")).as("inbound"))
       val prev = ranks
-      ranks = cp(vertices
+      // uniform path keeps the historical divide-by-n evaluation order
+      // (bit-identical to the unrolled oracle SQL, which also divides);
+      // the personalized path multiplies by the per-vertex tp — its oracle
+      // mirrors that form
+      val rankExpr =
+        if (sources.isEmpty)
+          lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("inbound"), lit(0.0)) + col("dm") / n)
+        else
+          lit(1.0 - damping) * col("tp") +
+            lit(damping) * (coalesce(col("inbound"), lit(0.0)) + col("dm") * col("tp"))
+      ranks = cp(vtp
         .join(contribs, Seq("id"), "left")
         .crossJoin(broadcast(dangling))
-        .select(col("id"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("inbound"), lit(0.0)) + col("dm") / n)).as("rank")))
+        .select(col("id"), rankExpr.as("rank")))
       i += 1
       tolerance.foreach { tol =>
         val delta = ranks

@@ -511,6 +511,55 @@ object GraphQueries {
          |        FROM e JOIN a2 ON a2.id = e.dst GROUP BY 1)
          | SELECT v.id, COALESCE(h2.s, 0) AS hub, COALESCE(a2.s, 0) AS auth
          | FROM v LEFT JOIN h2 ON h2.id = v.id LEFT JOIN a2 ON a2.id = v.id
-         | ORDER BY v.id""".stripMargin)
+         | ORDER BY v.id""".stripMargin),
+
+    // ---- personalized PageRank (seed-relative importance) ---------------
+    // random walks restart at every-100th customer instead of uniformly:
+    // the related-item / local-community scorer. Shares the g_pagerank
+    // implementation via the teleport vector (initial mass, restart term,
+    // and dangling redistribution all read tp = 1/|S|·[v∈S]); ranks
+    // micro-rounded like g_pagerank, oracle unrolls the same 8 damped
+    // rounds with the same multiply-by-tp evaluation order.
+    ("g_ppr",
+      (s, d) => {
+        val k = col("c_custkey")
+        val edges = (1 to 3).map(delta =>
+            t(s, d, "customer").select(k.as("src"), (k + delta).as("dst")))
+          .reduce(_ union _)
+        val sources = t(s, d, "customer").filter(k % 100 === 0)
+          .select(k.as("id"))
+        graft.ops.GraphTraversal.personalizedPageRank(edges, sources, iterations = 8)
+          .select(col("id"),
+            floor(col("rank") * lit(1e6) + lit(0.5)).cast("long").as("rank_micro"))
+          .orderBy("id")
+      },
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |     ${(1 to 3).map(dlt =>
+                s"SELECT c_custkey AS src, c_custkey + $dlt AS dst FROM customer")
+                .mkString(" UNION ALL ")})),
+         | v AS MATERIALIZED (SELECT DISTINCT id FROM
+         |     (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         | srcset AS MATERIALIZED (SELECT DISTINCT c_custkey AS id FROM customer
+         |     WHERE c_custkey % 100 = 0),
+         | sn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS sn
+         |     FROM srcset JOIN v USING (id)),
+         | tp AS MATERIALIZED (SELECT v.id,
+         |       CASE WHEN srcset.id IS NOT NULL THEN 1.0 / sn.sn ELSE 0.0 END AS tp
+         |     FROM v LEFT JOIN srcset ON srcset.id = v.id CROSS JOIN sn),
+         | od AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS outdeg
+         |     FROM e GROUP BY src),
+         | r0 AS MATERIALIZED (SELECT id, tp AS rank FROM tp)${(1 to 8).map(it =>
+            s""",
+         | d$it AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0) AS dm
+         |     FROM r${it - 1} r LEFT JOIN od ON od.id = r.id WHERE od.id IS NULL),
+         | c$it AS MATERIALIZED (SELECT e.dst AS id, SUM(r.rank / od.outdeg) AS inbound
+         |     FROM r${it - 1} r JOIN od ON od.id = r.id JOIN e ON e.src = r.id
+         |     GROUP BY e.dst),
+         | r$it AS MATERIALIZED (SELECT tp.id,
+         |       (1 - 0.85) * tp.tp + 0.85 * (COALESCE(c.inbound, 0) + d.dm * tp.tp) AS rank
+         |     FROM tp CROSS JOIN d$it d LEFT JOIN c$it c ON c.id = tp.id)""")
+            .mkString}
+         | SELECT id, CAST(floor(rank * 1e6 + 0.5) AS BIGINT) AS rank_micro
+         | FROM r8 ORDER BY id""".stripMargin)
   )
 }

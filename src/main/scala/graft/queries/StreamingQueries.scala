@@ -314,6 +314,40 @@ object StreamingQueries {
         |   AND jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
         | ORDER BY key_ref, key_in""".stripMargin),
 
+    // ---- streaming first/last-touch attribution -------------------------
+    // the continuous-marketing twin: events replayed in two EVENT-TIME-
+    // ORDERED micro-batches (split at the median ts); batch-2 purchases
+    // must find their batch-1 touches through the persisted touch store —
+    // real foreachBatch execution, store read-back included — and converge
+    // to the batch ts_attribution oracle exactly.
+    ("stream_attribution",
+      (s, d) => {
+        val ev = graft.ops.TemporalOps.loadEvents(s, d)
+          .select("event_id", "user_id", "event_type", "ts_us")
+        val cut = ev.stat.approxQuantile("ts_us", Array(0.5), 0.0)(0).toLong
+        val base = java.nio.file.Files.createTempDirectory("graft-attr-stream")
+        try {
+          val in = base.resolve("in")
+          java.nio.file.Files.createDirectories(in)
+          ev.filter(col("ts_us") <= cut).coalesce(4).write.parquet(s"$in/b1")
+          val schema = s.read.parquet(s"$in/b1").schema
+          val stream = s.readStream.schema(schema)
+            .option("recursiveFileLookup", "true").parquet(in.toString)
+          val q = StreamingIngest.startAttributionStream(stream,
+            s"$base/touches", s"$base/attrib", s"$base/ckpt")
+          try {
+            q.processAllAvailable()
+            ev.filter(col("ts_us") > cut).coalesce(4).write.parquet(s"$in/b2")
+            q.processAllAvailable()
+          } finally q.stop()
+          s.read.parquet(s"$base/attrib")
+            .select("event_id", "user_id", "last_touch", "first_touch", "n_touches")
+            .orderBy("event_id")
+            .localCheckpoint(true)
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      },
+      TemporalQueries.AttributionSql),
+
     // ---- streaming hashed-linear quality scoring ------------------------
     // the model-scoring twin: the IDENTICAL TextStats.hashedLinearScore
     // plan runs over a two-micro-batch replay (complete mode) and must

@@ -52,6 +52,25 @@ object TemporalQueries {
         col("n_touches"))
   }
 
+  /** The 7-day attribution oracle, shared by ts_attribution and its
+    * streaming twin (stream_attribution must converge to the SAME answer
+    * from a two-micro-batch replay).
+    */
+  val AttributionSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      | p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+      | t AS (SELECT *, CAST(ts_us AS HUGEINT) * 1000000 + event_id AS ord FROM e
+      |       WHERE event_type IN ('click', 'view')),
+      | j AS (SELECT p.event_id, p.user_id,
+      |              max_by(t.event_type, t.ord) AS last_touch,
+      |              min_by(t.event_type, t.ord) AS first_touch,
+      |              count(t.event_id) AS n_touches
+      |       FROM p LEFT JOIN t ON t.user_id = p.user_id
+      |         AND t.ts_us < p.ts_us AND t.ts_us >= p.ts_us - 604800000000
+      |       GROUP BY 1, 2)
+      | SELECT event_id, user_id, last_touch, first_touch, n_touches
+      | FROM j ORDER BY event_id""".stripMargin
+
   /** The purchases→daily-spine gap fill, shared by the ts_gap_fill
     * registry entry AND ScaleProbe. Input events must carry `ts_us`.
     */
@@ -523,19 +542,54 @@ object TemporalQueries {
     ("ts_attribution",
       (s, d) => attributionWindow(TemporalOps.loadEvents(s, d))
         .orderBy("event_id"),
-      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
-        | p AS (SELECT * FROM e WHERE event_type = 'purchase'),
-        | t AS (SELECT *, CAST(ts_us AS HUGEINT) * 1000000 + event_id AS ord FROM e
-        |       WHERE event_type IN ('click', 'view')),
-        | j AS (SELECT p.event_id, p.user_id,
-        |              max_by(t.event_type, t.ord) AS last_touch,
-        |              min_by(t.event_type, t.ord) AS first_touch,
-        |              count(t.event_id) AS n_touches
-        |       FROM p LEFT JOIN t ON t.user_id = p.user_id
-        |         AND t.ts_us < p.ts_us AND t.ts_us >= p.ts_us - 604800000000
-        |       GROUP BY 1, 2)
-        | SELECT event_id, user_id, last_touch, first_touch, n_touches
-        | FROM j ORDER BY event_id""".stripMargin),
+      AttributionSql),
+
+    // ---- CDC ordered apply (MERGE with deletes) -------------------------
+    // the change-data-capture landing shape: a base snapshot (customer
+    // balances) plus an ordered change stream (events → upserts/deletes
+    // keyed off user_id·13, seq = (ts, event_id)); the LAST change per key
+    // decides — delete removes the row, upsert replaces-or-inserts,
+    // untouched base rows survive. One key-partitioned window collapses
+    // the stream to its final image, one full-outer join applies it —
+    // never a per-change replay.
+    ("u7_cdc_apply",
+      (s, d) => {
+        val base = RelationalQueries.t(s, d, "customer")
+          .select(col("c_custkey").as("key"),
+            round(col("c_acctbal") * 100).cast("long").as("cents"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key")).orderBy(col("ts_us").desc, col("event_id").desc)
+        val lastChange = TemporalOps.loadEvents(s, d)
+          .select((col("user_id") * 13).as("key"),
+            when(col("event_type") === "error", "D").otherwise("U").as("op"),
+            round(col("value") * 100).cast("long").as("cdc_cents"),
+            col("ts_us"), col("event_id"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select("key", "op", "cdc_cents")
+        base.join(lastChange, Seq("key"), "full_outer")
+          .filter(col("op").isNull || col("op") =!= "D")
+          .select(col("key"),
+            when(col("op").isNull, col("cents")).otherwise(col("cdc_cents")).as("cents"),
+            when(col("op").isNull, lit("base")).otherwise(lit("cdc")).as("src"))
+          .orderBy("key")
+      },
+      """WITH base AS (SELECT c_custkey AS key,
+        |                CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+        | cdc AS (SELECT user_id * 13 AS key,
+        |                CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |                CAST(round(value * 100) AS BIGINT) AS cents,
+        |                epoch_us(ts) AS ts_us, event_id
+        |         FROM events),
+        | last AS (SELECT key, op, cents FROM (
+        |            SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+        |                        ORDER BY ts_us DESC, event_id DESC) AS rn FROM cdc)
+        |          WHERE rn = 1)
+        | SELECT COALESCE(b.key, l.key) AS key,
+        |        CASE WHEN l.key IS NULL THEN b.cents ELSE l.cents END AS cents,
+        |        CASE WHEN l.key IS NULL THEN 'base' ELSE 'cdc' END AS src
+        | FROM base b FULL OUTER JOIN last l ON l.key = b.key
+        | WHERE l.op IS NULL OR l.op <> 'D'
+        | ORDER BY key""".stripMargin),
 
     // ---- time-weighted average (TWAP) -----------------------------------
     // per user: each purchase's cents weighted by how long it was the

@@ -384,4 +384,81 @@ object StreamingIngest {
       }
       .toDF("user_id", "event_id", "click_value")
   }
+
+  /** Streaming first/last-touch attribution through a persisted touch
+    * store — the continuous-marketing-pipeline twin of the batch
+    * `ts_attribution` window pass. Each micro-batch: the batch's touch
+    * events land in `touchStoreDir/batch=<n>`; the batch's purchases are
+    * BROADCAST against the accumulated store (plus the batch's own
+    * earlier touches) and aggregated per purchase — the store is
+    * corpus-sized and only ever scanned, never reshuffled; the per-batch
+    * shuffle moves only matched (touch, purchase) rows.
+    *
+    * Cross-batch contract: batches must arrive event-time-ordered (a
+    * touch belongs to the same or an earlier batch than any purchase it
+    * precedes) — then the replay converges to the batch operator exactly.
+    * A touch arriving AFTER a purchase it should have matched is not
+    * retro-applied (use the batch operator for unordered data — the
+    * streamingAsofEnrich contract). Per-batchId overwrite of both the
+    * attribution output and the store partition makes replay idempotent
+    * under at-least-once delivery.
+    */
+  def startAttributionStream(events: DataFrame, touchStoreDir: String,
+                             attribDir: String, checkpointDir: String,
+                             touchTypes: Seq[String] = Seq("click", "view"),
+                             purchaseType: String = "purchase",
+                             lookbackUs: Long = 604800000000L): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processAttributionBatch(batch, batchId, touchStoreDir, attribDir,
+          touchTypes, purchaseType, lookbackUs)
+      }
+      .start()
+
+  /** One micro-batch of the attribution loop (exposed for the replay
+    * contract, like [[processEntityMatchBatch]]). `batch` must carry
+    * (`event_id`, `user_id`, `event_type`, `ts_us`).
+    */
+  private[graft] def processAttributionBatch(batch: DataFrame, batchId: Long,
+                                             touchStoreDir: String, attribDir: String,
+                                             touchTypes: Seq[String], purchaseType: String,
+                                             lookbackUs: Long): Unit = {
+    val spark = batch.sparkSession
+    val inc = batch.select("event_id", "user_id", "event_type", "ts_us")
+      .localCheckpoint(true)
+    try {
+      val incTouches = inc.filter(col("event_type").isin(touchTypes: _*))
+      val store = new org.apache.hadoop.fs.Path(touchStoreDir)
+      val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pastBatches = if (fs.exists(store)) {
+        fs.listStatus(store).map(_.getPath.getName)
+          .filterNot(n => n.startsWith("_") || n.startsWith("."))
+          .filter(n => n != s"batch=$batchId")
+          .map(n => s"$touchStoreDir/$n").toSeq
+      } else Seq.empty
+      val touches =
+        if (pastBatches.nonEmpty)
+          spark.read.parquet(pastBatches: _*).unionByName(incTouches)
+        else incTouches
+      val purchases = inc.filter(col("event_type") === purchaseType)
+      val p = broadcast(purchases.select(col("event_id").as("p_id"),
+        col("user_id").as("p_user"), col("ts_us").as("p_ts")))
+      val touchStruct = struct(col("ts_us"), col("event_id"), col("event_type"))
+      val agg = touches.join(p,
+          col("user_id") === col("p_user") &&
+            col("ts_us") < col("p_ts") && col("ts_us") >= col("p_ts") - lookbackUs)
+        .groupBy(col("p_id"))
+        .agg(max(touchStruct).as("last_s"), min(touchStruct).as("first_s"),
+          count(lit(1)).as("n"))
+      val out = purchases.select(col("event_id"), col("user_id"))
+        .join(agg, col("event_id") === col("p_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          col("last_s.event_type").as("last_touch"),
+          col("first_s.event_type").as("first_touch"),
+          coalesce(col("n"), lit(0L)).as("n_touches"))
+      out.write.mode("overwrite").parquet(s"$attribDir/batch=$batchId")
+      incTouches.write.mode("overwrite").parquet(s"$touchStoreDir/batch=$batchId")
+    } finally { inc.unpersist(); () }
+  }
 }

@@ -120,6 +120,38 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got(3L) > got(2L))
   }
 
+  test("personalizedPageRank matches a driver-side dense reference; restarts at sources") {
+    // same graph as the pageRank reference test; restart set {1}
+    val edgeList = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 4L))
+    val iters = 12; val d = 0.85
+    val got = graft.ops.GraphTraversal.personalizedPageRank(
+        edgeList.toDF("src", "dst"), Seq(1L).toDF("id"), iters, d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val vs = edgeList.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val out = edgeList.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val tp = vs.map(v => v -> (if (v == 1L) 1.0 else 0.0)).toMap
+    var rank = tp
+    (0 until iters).foreach { _ =>
+      val dm = vs.filterNot(out.contains).map(rank).sum
+      val inbound = vs.map(v => v -> 0.0).toMap ++
+        out.toSeq.flatMap { case (s, ds) => ds.map(_ -> rank(s) / ds.length) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      rank = vs.map(v => v -> ((1.0 - d) * tp(v) + d * (inbound(v) + dm * tp(v)))).toMap
+    }
+    vs.foreach(v => assert(math.abs(got(v) - rank(v)) < 1e-9, s"vertex $v"))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9) // mass conserves for PPR too
+    // the source outranks everything; its direct successors outrank the leaf
+    assert(got(1L) > got(3L) && got(3L) > got(4L))
+    // a source id that is not a graph vertex contributes nothing...
+    val got2 = graft.ops.GraphTraversal.personalizedPageRank(
+        edgeList.toDF("src", "dst"), Seq(1L, 99L).toDF("id"), iters, d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    vs.foreach(v => assert(math.abs(got2(v) - rank(v)) < 1e-9, s"vertex $v (ignored src)"))
+    // ...and an entirely-disjoint source set is refused loudly
+    intercept[IllegalArgumentException](graft.ops.GraphTraversal.personalizedPageRank(
+      edgeList.toDF("src", "dst"), Seq(99L).toDF("id"), iters, d))
+  }
+
   test("pageRank on string (URI) keys matches the long-keyed ranks exactly") {
     // the URI path dictionary-encodes keys to longs for the loop and
     // decodes at the end — ranks must be identical to the structurally

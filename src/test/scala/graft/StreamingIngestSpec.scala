@@ -230,6 +230,53 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
   }
 
+  test("streaming attribution finds cross-batch touches through the store; lookback and order hold") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-attr-state")
+    val in = base.resolve("in"); Files.createDirectories(in)
+    try {
+      val hour = 3600000000L
+      // batch 1: user 1 clicks at t=1h and views at t=2h, then purchases at
+      // t=3h (within-batch attribution: first=click, last=view, n=2);
+      // user 2 clicks at 1h only.
+      Seq((101L, 1L, "click", 1 * hour), (102L, 1L, "view", 2 * hour),
+          (103L, 1L, "purchase", 3 * hour), (104L, 2L, "click", 1 * hour))
+        .toDF("event_id", "user_id", "event_type", "ts_us")
+        .write.parquet(s"$in/b1")
+      val schema = spark.read.parquet(s"$in/b1").schema
+      val stream = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(in.toString)
+      val q = StreamingIngest.startAttributionStream(stream,
+        s"$base/touches", s"$base/attrib", s"$base/ckpt")
+      try {
+        q.processAllAvailable()
+        // batch 2: user 2's purchase at 5h must find its batch-1 click
+        // through the STORE; user 3's purchase has touches only OUTSIDE
+        // the 7-day lookback (8 days earlier) and attributes to nothing.
+        Seq((201L, 2L, "purchase", 5 * hour), (202L, 3L, "purchase", 200 * hour),
+            (203L, 3L, "click", 7 * hour))
+          .toDF("event_id", "user_id", "event_type", "ts_us")
+          .write.parquet(s"$in/b2")
+        q.processAllAvailable()
+        val got = spark.read.parquet(s"$base/attrib")
+          .collect().map(r => r.getLong(0) ->
+            ((Option(r.getString(2)), Option(r.getString(3)), r.getLong(4)))).toMap
+        assert(got(103L) == ((Some("view"), Some("click"), 2L)))  // within-batch
+        assert(got(201L) == ((Some("click"), Some("click"), 1L))) // via store
+        assert(got(202L) == ((None, None, 0L)))                   // outside lookback
+        // replay idempotence: same batchId overwrites, never duplicates
+        val b2 = Seq((201L, 2L, "purchase", 5 * hour), (202L, 3L, "purchase", 200 * hour),
+            (203L, 3L, "click", 7 * hour))
+          .toDF("event_id", "user_id", "event_type", "ts_us")
+        StreamingIngest.processAttributionBatch(b2, 1L, s"$base/touches",
+          s"$base/attrib", Seq("click", "view"), "purchase", 604800000000L)
+        assert(spark.read.parquet(s"$base/attrib").count() == 3)
+        // 3 batch-1 touches + 1 batch-2 touch — replay did not duplicate
+        assert(spark.read.parquet(s"$base/touches").count() == 4)
+      } finally q.stop()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
   test("streaming Misra-Gries sketch in the state store converges to the exact heavy hitters") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-mg-stream")
