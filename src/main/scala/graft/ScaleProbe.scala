@@ -487,7 +487,7 @@ object ScaleProbe {
     // round-11 relational/graph probes: skyline prefix-max machinery,
     // integer HITS rounds, and the map-side table fingerprint at mult x
     // input volume
-    val r11Probes = Seq("skyline", "hitsRounds", "tableChecksum")
+    val r11Probes = Seq("skyline", "hitsRounds", "tableChecksum", "pprRounds")
     if (r11Probes.exists(enabled)) {
       val orders = spark.read.parquet(s"$sfDir/orders.parquet")
         .repartition(spark.sparkContext.defaultParallelism)
@@ -512,6 +512,17 @@ object ScaleProbe {
           (col("v") + dl).as("dst"))).reduce(_ union _)
         graft.ops.GraphTraversal.hits(e, rounds = 2).count()
       }
+      timed("pprRounds (succ graph, 8 iters)") {
+        // the g_ppr shape at mult x vertices: sources stay every-100th, so
+        // |S| scales with the graph and per-round cost tracks pageRank's
+        val vs = (0 until mult).map(k => orders.select(
+          (col("o_orderkey") + lit(k.toLong * orderStride)).as("v"))).reduce(_ union _)
+        val e = (1 to 3).map(dl => vs.select(col("v").as("src"),
+          (col("v") + dl).as("dst"))).reduce(_ union _)
+        graft.ops.GraphTraversal.personalizedPageRank(e,
+          vs.filter(col("v") % 100 === 0).select(col("v").as("id")),
+          iterations = 8).count()
+      }
       val liProbe = spark.read.parquet(s"$sfDir/lineitem.parquet")
       timed("tableChecksum (lineitem)") {
         // pure map-side fingerprint + partial-agg on a k-row group key:
@@ -532,7 +543,7 @@ object ScaleProbe {
 
     val eventProbes = Seq("asofJoin", "sessionize", "asofHotKey",
       "intervalJoin", "intervalHotKey", "pathNgrams", "keySkewReport",
-      "gapFill", "attribution")
+      "gapFill", "attribution", "cdcApply")
     if (eventProbes.exists(enabled)) {
     val baseE = graft.ops.TemporalOps.loadEvents(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism)
@@ -553,7 +564,7 @@ object ScaleProbe {
     // each scaled union is cached only if one of ITS probes is selected
     // (the line-42 gating principle, per-input)
     if (Seq("asofJoin", "sessionize", "intervalJoin", "pathNgrams",
-        "keySkewReport", "gapFill", "attribution").exists(enabled)) {
+        "keySkewReport", "gapFill", "attribution", "cdcApply").exists(enabled)) {
       val wide = copies(shareUsers = false).cache()
       println(s"events (fresh users): ${wide.count()}")
       timed("pathNgrams (top-20 trigrams)") {
@@ -579,6 +590,14 @@ object ScaleProbe {
         // ONE user-partitioned range-frame window: linear in events,
         // per-user frame density fixed
         graft.queries.TemporalQueries.attributionWindow(wide).count()
+      }
+      timed("cdcApply (mult x changes)") {
+        // change stream x mult against the fixed customer base: window
+        // collapse pre-filters map-side, final image bounded by |keys|
+        val baseC = spark.read.parquet(s"$sfDir/customer.parquet")
+          .select(col("c_custkey").as("key"),
+            round(col("c_acctbal") * 100).cast("long").as("cents"))
+        graft.queries.TemporalQueries.cdcApply(baseC, wide).count()
       }
       timed("sessionize+stats (mult x users)") {
         val e = wide.select(col("user_id"), col("event_id"), col("ts_us").as("tsn"))

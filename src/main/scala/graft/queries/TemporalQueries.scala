@@ -71,6 +71,29 @@ object TemporalQueries {
       | SELECT event_id, user_id, last_touch, first_touch, n_touches
       | FROM j ORDER BY event_id""".stripMargin
 
+  /** The CDC ordered-apply shape (u7_cdc_apply + ScaleProbe): collapse the
+    * change stream derived from `ev` (events with `ts_us`) to its final
+    * per-key image and apply it to `base` (`key`, `cents`) — delete
+    * removes, upsert replaces-or-inserts, untouched base rows survive.
+    */
+  def cdcApply(base: org.apache.spark.sql.DataFrame,
+               ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("ts_us").desc, col("event_id").desc)
+    val lastChange = ev
+      .select((col("user_id") * 13).as("key"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        round(col("value") * 100).cast("long").as("cdc_cents"),
+        col("ts_us"), col("event_id"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("key", "op", "cdc_cents")
+    base.join(lastChange, Seq("key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("key"),
+        when(col("op").isNull, col("cents")).otherwise(col("cdc_cents")).as("cents"),
+        when(col("op").isNull, lit("base")).otherwise(lit("cdc")).as("src"))
+  }
+
   /** The purchases→daily-spine gap fill, shared by the ts_gap_fill
     * registry entry AND ScaleProbe. Input events must carry `ts_us`.
     */
@@ -553,26 +576,12 @@ object TemporalQueries {
     // the stream to its final image, one full-outer join applies it —
     // never a per-change replay.
     ("u7_cdc_apply",
-      (s, d) => {
-        val base = RelationalQueries.t(s, d, "customer")
+      (s, d) => cdcApply(
+        RelationalQueries.t(s, d, "customer")
           .select(col("c_custkey").as("key"),
-            round(col("c_acctbal") * 100).cast("long").as("cents"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("key")).orderBy(col("ts_us").desc, col("event_id").desc)
-        val lastChange = TemporalOps.loadEvents(s, d)
-          .select((col("user_id") * 13).as("key"),
-            when(col("event_type") === "error", "D").otherwise("U").as("op"),
-            round(col("value") * 100).cast("long").as("cdc_cents"),
-            col("ts_us"), col("event_id"))
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select("key", "op", "cdc_cents")
-        base.join(lastChange, Seq("key"), "full_outer")
-          .filter(col("op").isNull || col("op") =!= "D")
-          .select(col("key"),
-            when(col("op").isNull, col("cents")).otherwise(col("cdc_cents")).as("cents"),
-            when(col("op").isNull, lit("base")).otherwise(lit("cdc")).as("src"))
-          .orderBy("key")
-      },
+            round(col("c_acctbal") * 100).cast("long").as("cents")),
+        TemporalOps.loadEvents(s, d))
+        .orderBy("key"),
       """WITH base AS (SELECT c_custkey AS key,
         |                CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
         | cdc AS (SELECT user_id * 13 AS key,
