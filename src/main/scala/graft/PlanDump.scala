@@ -27,7 +27,8 @@ object PlanDump {
     "t_bigram_lm",         // bucket-summary window, Bounded.guard (TextStats.scala:558)
     "s15_key_skew_report", // count histogram: O(√rows) by math (SkewOps.keySkewReport)
     "ts_path_ngrams",      // global rank AFTER per-bucket top-20 (≤ 64·20 rows)
-    "u6_skyline")          // bucket-summary cum-max: ≤ buckets rows, Bounded.guard (Pareto.scala)
+    "u6_skyline",          // bucket-summary cum-max: ≤ buckets rows, Bounded.guard (Pareto.scala)
+    "s21_compaction_plan") // bucket-summary cum-sum: ≤ buckets rows, Bounded.guard (PrefixOps.scala)
 
   private def unpartitionedWindows(df: org.apache.spark.sql.DataFrame): Int =
     df.queryExecution.optimizedPlan.collect {

@@ -487,7 +487,8 @@ object ScaleProbe {
     // round-11 relational/graph probes: skyline prefix-max machinery,
     // integer HITS rounds, and the map-side table fingerprint at mult x
     // input volume
-    val r11Probes = Seq("skyline", "hitsRounds", "tableChecksum", "pprRounds")
+    val r11Probes = Seq("skyline", "hitsRounds", "tableChecksum", "pprRounds",
+      "compactionPlan")
     if (r11Probes.exists(enabled)) {
       val orders = spark.read.parquet(s"$sfDir/orders.parquet")
         .repartition(spark.sparkContext.defaultParallelism)
@@ -524,6 +525,18 @@ object ScaleProbe {
           iterations = 8).count()
       }
       val liProbe = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      timed("compactionPlan (inventory x mult)") {
+        // mult x distinct file ids: the two-level exclusive prefix sum must
+        // stay linear — the only cross-bucket state is the ≤64-row summary
+        val inv = (0 until mult).map(k =>
+          liProbe.select((expr("l_orderkey div 50") + lit(k.toLong * orderStride)).as("file_id")))
+          .reduce(_ union _)
+          .groupBy("file_id").agg(count(lit(1)).as("size_rows"))
+        graft.ops.PrefixOps.exclusivePrefixSum(inv, "file_id", "size_rows", "start_off")
+          .withColumn("bin", expr("start_off div 5000"))
+          .agg(max(col("bin"))).head
+        1L
+      }
       timed("tableChecksum (lineitem)") {
         // pure map-side fingerprint + partial-agg on a k-row group key:
         // the one shuffle moves k rows per partition regardless of mult

@@ -939,6 +939,128 @@ object RelationalQueries {
         | SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |        CAST(bit_xor(fp) AS BIGINT) AS xor_sig,
         |        CAST(SUM(fp % 1000000007) % 1000000007 AS BIGINT) AS sum_sig
-        | FROM h GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin)
+        | FROM h GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // ---- compaction plan (small-file bin packing) -----------------------
+    // the "rewrite 10M small files into target-sized bins" planner: each
+    // file's bin = exclusive-prefix-sum of sizes in file order, integer-
+    // divided by the bin capacity — sequential packing without a
+    // data-sized global window (PrefixOps.exclusivePrefixSum: value-range
+    // buckets, local prefix sums, one ≤64-row guarded summary window).
+    // File inventory synthesized from lineitem (one file per 50-order
+    // range); at 100 TB the inventory IS metadata-sized relative to data,
+    // but still millions of rows — exactly why the prefix sum must not
+    // single-partition.
+    ("s21_compaction_plan",
+      (s, d) => {
+        val inv = t(s, d, "lineitem")
+          .groupBy(expr("l_orderkey div 50").as("file_id"))
+          .agg(count(lit(1)).as("size_rows"))
+        graft.ops.PrefixOps.exclusivePrefixSum(inv, "file_id", "size_rows", "start_off")
+          .withColumn("bin", expr("start_off div 5000"))
+          .select("file_id", "size_rows", "start_off", "bin")
+          .orderBy("file_id")
+      },
+      """WITH inv AS (SELECT l_orderkey // 50 AS file_id, count(*) AS size_rows
+        |             FROM lineitem GROUP BY 1),
+        | p AS (SELECT file_id, size_rows,
+        |          CAST(COALESCE(SUM(size_rows) OVER (ORDER BY file_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        |       FROM inv)
+        | SELECT file_id, size_rows, start_off,
+        |        CAST(start_off // 5000 AS BIGINT) AS bin
+        | FROM p ORDER BY file_id""".stripMargin),
+
+    // ---- data-quality expectation suite (one-pass violations report) ----
+    // the Great-Expectations shape: not-null, range, domain, uniqueness,
+    // and FK containment evaluated against a deterministically-corrupted
+    // orders stream (nulls every 97th key, broken FK every 83rd, bad
+    // status every 89th, duplicated rows every 500th) so every check has
+    // real violations to count. One aggregate pass for the row-local
+    // checks + count-distinct; FK is one broadcast anti-join; the report
+    // is 5 rows regardless of input size.
+    ("s22_expectations",
+      (s, d) => {
+        val o = t(s, d, "orders").select(
+          col("o_orderkey"),
+          when(col("o_orderkey") % 97 === 0, lit(null).cast("long"))
+            .when(col("o_orderkey") % 83 === 0, col("o_custkey") + 1000000L)
+            .otherwise(col("o_custkey")).as("custkey"),
+          when(col("o_orderkey") % 89 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("status"),
+          col("o_totalprice"))
+        val checked = o.unionByName(o.filter(col("o_orderkey") % 500 === 0))
+        val agg = checked.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("custkey").isNull, 1L).otherwise(0L)).as("v_null"),
+          sum(when(col("o_totalprice") < 1000 || col("o_totalprice") > 300000, 1L)
+            .otherwise(0L)).as("v_range"),
+          sum(when(!col("status").isin("O", "F", "P"), 1L).otherwise(0L)).as("v_domain"),
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_unique"))
+        val fk = checked.filter(col("custkey").isNotNull)
+          .join(t(s, d, "customer").select(col("c_custkey").as("custkey")),
+            Seq("custkey"), "left_anti")
+          .agg(count(lit(1)).as("v_fk"))
+        agg.crossJoin(fk)
+          .selectExpr(
+            """stack(5,
+              | 'not_null_custkey', v_null,
+              | 'range_totalprice', v_range,
+              | 'domain_orderstatus', v_domain,
+              | 'unique_orderkey', v_unique,
+              | 'fk_custkey', v_fk) AS (check_name, n_violations)""".stripMargin,
+            "n AS n_rows")
+          .orderBy("check_name")
+      },
+      """WITH o AS (SELECT o_orderkey,
+        |       CASE WHEN o_orderkey % 97 = 0 THEN NULL
+        |            WHEN o_orderkey % 83 = 0 THEN o_custkey + 1000000
+        |            ELSE o_custkey END AS custkey,
+        |       CASE WHEN o_orderkey % 89 = 0 THEN 'X' ELSE o_orderstatus END AS status,
+        |       o_totalprice FROM orders),
+        | checked AS (SELECT * FROM o
+        |             UNION ALL SELECT * FROM o WHERE o_orderkey % 500 = 0),
+        | a AS (SELECT count(*) AS n,
+        |       SUM(CASE WHEN custkey IS NULL THEN 1 ELSE 0 END) AS v_null,
+        |       SUM(CASE WHEN o_totalprice < 1000 OR o_totalprice > 300000 THEN 1 ELSE 0 END) AS v_range,
+        |       SUM(CASE WHEN status NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS v_domain,
+        |       count(*) - count(DISTINCT o_orderkey) AS v_unique FROM checked),
+        | fk AS (SELECT count(*) AS v_fk FROM checked WHERE custkey IS NOT NULL
+        |        AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = checked.custkey))
+        | SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+        |        CAST(n AS BIGINT) AS n_rows FROM (
+        |   SELECT 'not_null_custkey' AS check_name, v_null AS n_violations, n FROM a
+        |   UNION ALL SELECT 'range_totalprice', v_range, n FROM a
+        |   UNION ALL SELECT 'domain_orderstatus', v_domain, n FROM a
+        |   UNION ALL SELECT 'unique_orderkey', v_unique, n FROM a
+        |   UNION ALL SELECT 'fk_custkey', fk.v_fk, a.n FROM fk, a)
+        | ORDER BY check_name""".stripMargin),
+
+    // ---- leave-one-out target encoding ----------------------------------
+    // the categorical-feature encoder that never leaks a row's own target:
+    // per source, loo = (Σ n_chars − own) / (n − 1) in exact integer
+    // micro-units — ONE source-partitioned window pass (sum + count over
+    // the same partition, no join back); singleton categories encode NULL
+    // instead of a fabricated prior.
+    ("t_target_encode",
+      (s, d) => {
+        val w = Window.partitionBy(col("source"))
+        t(s, d, "documents")
+          .withColumn("s_sum", sum(col("n_chars")).over(w))
+          .withColumn("s_n", count(lit(1)).over(w))
+          .withColumn("loo_micro",
+            when(col("s_n") > 1,
+              expr("(s_sum - n_chars) * 1000000 div (s_n - 1)")))
+          .select("doc_id", "source", "loo_micro")
+          .orderBy("doc_id")
+      },
+      """WITH s AS (SELECT doc_id, source, n_chars,
+        |              SUM(n_chars) OVER (PARTITION BY source) AS s_sum,
+        |              COUNT(*) OVER (PARTITION BY source) AS s_n FROM documents)
+        | SELECT doc_id, source,
+        |        CASE WHEN s_n > 1
+        |             THEN CAST((s_sum - n_chars) * 1000000 // (s_n - 1) AS BIGINT)
+        |        END AS loo_micro
+        | FROM s ORDER BY doc_id""".stripMargin)
   )
 }

@@ -48,6 +48,30 @@ class ParetoSpec extends AnyFunSuite {
     }
   }
 
+  test("exclusivePrefixSum equals the naive global window for every bucket count") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).map(i => (i.toLong * 3 + 7, rnd.nextInt(100).toLong))
+    // driver-side reference: running EXCLUSIVE sum in order
+    var acc = 0L
+    val ref = rows.sortBy(_._1).map { case (o, v) => val p = o -> acc; acc += v; p }.toMap
+    val df = rows.toDF("o", "v").repartition(5)
+    for (b <- Seq(1, 3, 64)) {
+      val got = graft.ops.PrefixOps.exclusivePrefixSum(df, "o", "v", "pfx", buckets = b)
+        .select("o", "pfx").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == ref, s"buckets=$b")
+    }
+  }
+
+  test("exclusivePrefixSum: duplicate order keys fail loudly, not ambiguously") {
+    val df = Seq((1L, 5L), (1L, 7L), (2L, 1L)).toDF("o", "v")
+    // the guard rides INSIDE the prefix column (Bounded.guard semantics),
+    // so the consumer must read it — count() alone would prune it away
+    val e = intercept[Exception](
+      graft.ops.PrefixOps.exclusivePrefixSum(df, "o", "v", "pfx")
+        .select("pfx").collect())
+    assert(e != null)
+  }
+
   test("skyline2d: single point, identical points, empty input") {
     val one = Seq((1L, 5L, 5L)).toDF("id", "x", "y")
     assert(Pareto.skyline2d(one, "x", "y").count() == 1)
