@@ -233,6 +233,26 @@ object TextIndex {
       .agg(count(lit(1)).as("n_matches"), min(col("start")).as("first_pos"))
   }
 
+  /** Suffix-wildcard term search (`*er`): matching tokens per document with
+    * occurrence counts. The wildcard becomes an EQUALITY on the first
+    * |suffix| characters of the REVERSED token — the classic
+    * reversed-field index trick: a trailing wildcard is un-indexable (no
+    * shared prefix), but reversing turns it into a prefix key, so at
+    * 100 TB the posting table is bucketed/sorted on the reversed-edge key
+    * and the query is a point lookup + merge instead of a full-scan LIKE.
+    * Here the key comparison is a codegen'd literal equality the scan
+    * pushes down past the explode.
+    */
+  def suffixMatch(docs: DataFrame, textCol: String, suffix: String,
+                  idCol: String = "doc_id"): DataFrame = {
+    require(suffix.nonEmpty, "suffixMatch: suffix must be non-empty")
+    docs.select(col(idCol),
+        explode(split(lower(coalesce(col(textCol), lit(""))), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .filter(substring(reverse(col("token")), 1, suffix.length) === lit(suffix.reverse))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("n"))
+  }
+
   /** Proximity search: documents where `termA` and `termB` occur within
     * `window` positions of each other (either order), with the qualifying
     * pair count and the closest gap. The "near" operator completing the

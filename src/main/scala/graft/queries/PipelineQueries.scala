@@ -1156,6 +1156,22 @@ object PipelineQueries {
         |   SELECT p_partkey, w AS tok FROM words)
         | SELECT p_partkey, COUNT(*) AS n_tokens FROM toks GROUP BY p_partkey ORDER BY p_partkey""".stripMargin),
 
+    // ---- X1: suffix-wildcard search (*er) -------------------------------
+    // trailing-wildcard term match through the reversed-prefix key
+    // (TextIndex.suffixMatch): '*er' is un-indexable as written, but
+    // equality on the first |suffix| chars of the REVERSED token makes it
+    // a prefix point-lookup — the reversed-field index trick, expressed as
+    // a codegen'd literal filter here and a bucketed posting key at scale.
+    ("x1_suffix_wildcard",
+      (s, d) => graft.ops.TextIndex.suffixMatch(t(s, d, "documents"), "text", "er")
+        .orderBy("doc_id", "token"),
+      """WITH words AS (SELECT doc_id,
+        |       unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |     FROM documents)
+        | SELECT doc_id, token, count(*) AS n FROM words
+        | WHERE token <> '' AND token LIKE '%er'
+        | GROUP BY 1, 2 ORDER BY doc_id, token""".stripMargin),
+
     // ---- X1: stemmed text_en analyzer -----------------------------------
     // the reference's fourth view analyzer ("text_en" = lowercase + stem,
     // ArangoDbUtilities.java:305): distinct stemmed tokens per document.

@@ -1036,6 +1036,90 @@ object RelationalQueries {
         |   UNION ALL SELECT 'fk_custkey', fk.v_fk, a.n FROM fk, a)
         | ORDER BY check_name""".stripMargin),
 
+    // ---- GROUPING SETS with grouping_id ---------------------------------
+    // the arbitrary-grouping-combination aggregate completing the
+    // rollup/cube family: per-status totals, per-priority totals, and the
+    // grand total in ONE pass (Spark expands to a single Expand +
+    // aggregate — one shuffle, not three queries); grouping_id
+    // disambiguates the NULL-keyed summary rows exactly as DuckDB's
+    // GROUPING() bitmask does.
+    ("u8_grouping_sets",
+      (s, d) => t(s, d, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          moneySum(col("o_totalprice")).as("total"))
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |       count(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        | FROM orders
+        | GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        | ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin),
+
+    // ---- schema-evolution merge read ------------------------------------
+    // the long-lived-dataset reality: files written before a column existed
+    // must read alongside files written after. Two parquet generations are
+    // written (v1: key+n_chars; v2 adds lang), read back through Spark's
+    // mergeSchema, and the merged frame must equal the SQL union with
+    // NULL-filled missing columns — column-level evolution without rewrite.
+    ("s23_schema_evolution",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val base = java.nio.file.Files.createTempDirectory("graft-schema-evo")
+        try {
+          docs.filter(col("doc_id") < 250)
+            .select(col("doc_id"), col("n_chars"))
+            .write.parquet(s"$base/t/v1")
+          docs.filter(col("doc_id") >= 250)
+            .select(col("doc_id"), col("n_chars"), col("lang"))
+            .write.parquet(s"$base/t/v2")
+          s.read.option("mergeSchema", "true")
+            .option("recursiveFileLookup", "true").parquet(s"$base/t")
+            .select("doc_id", "n_chars", "lang")
+            .orderBy("doc_id")
+            .localCheckpoint(true)
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      },
+      """SELECT doc_id, n_chars, CAST(NULL AS VARCHAR) AS lang
+        | FROM documents WHERE doc_id < 250
+        | UNION ALL
+        | SELECT doc_id, n_chars, lang FROM documents WHERE doc_id >= 250
+        | ORDER BY doc_id""".stripMargin),
+
+    // ---- readability scoring (Flesch-Kincaid grade, integerized) --------
+    // the text-quality feature with the classic formula: words, sentences,
+    // and syllable approximation (vowel-group count — per-word groups sum
+    // to the whole-text count since groups never span separators) are all
+    // single-pass regexp counts; the grade is exact integer micro-units
+    // (390000·W div S + 11800000·Syl div W − 15590000), identical div
+    // semantics both engines, no float formula drift.
+    ("t_readability",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          greatest(size(expr("regexp_extract_all(lower(coalesce(text,'')), '[a-z0-9]+', 0)")),
+            lit(1)).cast("long").as("w"),
+          greatest(size(expr("regexp_extract_all(coalesce(text,''), '[.!?]+', 0)")),
+            lit(1)).cast("long").as("s"),
+          greatest(size(expr("regexp_extract_all(lower(coalesce(text,'')), '[aeiouy]+', 0)")),
+            lit(1)).cast("long").as("syl"))
+        .withColumn("fk_micro",
+          expr("390000 * w div s + 11800000 * syl div w - 15590000"))
+        .select("doc_id", "w", "s", "syl", "fk_micro")
+        .orderBy("doc_id"),
+      """WITH d AS (SELECT doc_id,
+        |    GREATEST(len(regexp_extract_all(lower(coalesce(text,'')), '[a-z0-9]+')), 1) AS w,
+        |    GREATEST(len(regexp_extract_all(coalesce(text,''), '[.!?]+')), 1) AS s,
+        |    GREATEST(len(regexp_extract_all(lower(coalesce(text,'')), '[aeiouy]+')), 1) AS syl
+        |  FROM documents)
+        | SELECT doc_id, w, s, syl,
+        |   CAST(390000 * w // s + 11800000 * syl // w - 15590000 AS BIGINT) AS fk_micro
+        | FROM d ORDER BY doc_id""".stripMargin),
+
     // ---- leave-one-out target encoding ----------------------------------
     // the categorical-feature encoder that never leaks a row's own target:
     // per source, loo = (Σ n_chars − own) / (n − 1) in exact integer

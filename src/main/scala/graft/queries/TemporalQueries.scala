@@ -635,6 +635,57 @@ object TemporalQueries {
         |        CAST(SUM(cents * (nxt - ts_us)) // SUM(nxt - ts_us) AS BIGINT) AS twap_cents
         | FROM w WHERE nxt IS NOT NULL GROUP BY 1 ORDER BY user_id""".stripMargin),
 
+    // ---- Allen interval-algebra classification --------------------------
+    // consecutive-interval temporal relationships per user: events become
+    // minute-grid intervals of deterministic width (event_id-dependent, so
+    // meets/starts/contains all occur), each consecutive pair in
+    // (start, end, id) order is classified into Allen's forward relations
+    // (precedes / meets / overlaps / starts / contains / equals —
+    // finished-by collapsed into contains since ne = e with ns > s nests).
+    // ONE user-partitioned window (two leads) + a when-chain + a 6-row
+    // bounded aggregate; the schedule-conflict / coverage-analysis shape
+    // without any interval self-join.
+    ("ts_allen_relations",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("s"), col("e"), col("event_id"))
+        TemporalOps.loadEvents(s, d)
+          .select(col("user_id"), col("event_id"),
+            (expr("ts_us div 60000000") * 60000000L).as("s"))
+          .withColumn("e", col("s") + (col("event_id") % 4 + 1) * 60000000L)
+          .withColumn("ns", lead(col("s"), 1).over(w))
+          .withColumn("ne", lead(col("e"), 1).over(w))
+          .withColumn("rel",
+            when(col("ns").isNull, lit(null))
+              .when(col("ns") > col("e"), "precedes")
+              .when(col("ns") === col("e"), "meets")
+              .when(col("ns") === col("s") && col("ne") === col("e"), "equals")
+              .when(col("ns") === col("s"), "starts")
+              .when(col("ne") <= col("e"), "contains")
+              .otherwise("overlaps"))
+          .filter(col("rel").isNotNull)
+          .groupBy("rel").agg(count(lit(1)).as("n"))
+          .orderBy("rel")
+      },
+      """WITH iv AS (SELECT user_id, event_id,
+        |              (epoch_us(ts) // 60000000) * 60000000 AS s,
+        |              (epoch_us(ts) // 60000000) * 60000000
+        |                + (event_id % 4 + 1) * 60000000 AS e
+        |            FROM events),
+        | w AS (SELECT user_id, event_id, s, e,
+        |          lead(s) OVER win AS ns, lead(e) OVER win AS ne
+        |       FROM iv WINDOW win AS (PARTITION BY user_id ORDER BY s, e, event_id)),
+        | c AS (SELECT CASE WHEN ns IS NULL THEN NULL
+        |               WHEN ns > e THEN 'precedes'
+        |               WHEN ns = e THEN 'meets'
+        |               WHEN ns = s AND ne = e THEN 'equals'
+        |               WHEN ns = s THEN 'starts'
+        |               WHEN ne <= e THEN 'contains'
+        |               ELSE 'overlaps' END AS rel
+        |       FROM w)
+        | SELECT rel, count(*) AS n FROM c WHERE rel IS NOT NULL
+        | GROUP BY rel ORDER BY rel""".stripMargin),
+
     // ---- bounded-horizon exponential decay (integerized EWMA) -----------
     // half-life-one decayed sum over each user's last 8 purchases,
     // integerized ×128 so every weight 2⁻ⁱ is an exact integer factor

@@ -411,4 +411,18 @@ class TextIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set((1L, 1L, 2L), (2L, 3L, 1L)))
   }
+
+  test("suffixMatch: reversed-prefix equality equals the trailing wildcard") {
+    val docs = Seq(
+      (1L, "Customer ORDER filter"), // three *er tokens (case-folded)
+      (2L, "er e broker broker"),    // exact 'er' matches; shorter token doesn't; dup counts
+      (3L, "nothing here matches"),  // 'here'? no — ends 're'; none end 'er'
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextIndex.suffixMatch(docs, "text", "er")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (1L, "customer") -> 1L, (1L, "order") -> 1L, (1L, "filter") -> 1L,
+      (2L, "er") -> 1L, (2L, "broker") -> 2L))
+  }
 }
