@@ -28,7 +28,8 @@ object PlanDump {
     "s15_key_skew_report", // count histogram: O(√rows) by math (SkewOps.keySkewReport)
     "ts_path_ngrams",      // global rank AFTER per-bucket top-20 (≤ 64·20 rows)
     "u6_skyline",          // bucket-summary cum-max: ≤ buckets rows, Bounded.guard (Pareto.scala)
-    "s21_compaction_plan") // bucket-summary cum-sum: ≤ buckets rows, Bounded.guard (PrefixOps.scala)
+    "s21_compaction_plan", // bucket-summary cum-sum: ≤ buckets rows, Bounded.guard (PrefixOps.scala)
+    "d21_threshold_sweep") // agreement histogram: ≤ 13 rows, Bounded.guard (PipelineQueries)
 
   private def unpartitionedWindows(df: org.apache.spark.sql.DataFrame): Int =
     df.queryExecution.optimizedPlan.collect {

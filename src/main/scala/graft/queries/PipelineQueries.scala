@@ -95,6 +95,30 @@ object PipelineQueries {
       | FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) w,
       |      LATERAL (SELECT unnest(generate_series(1, greatest(len(w.words)-2, 0))) AS i) g""".stripMargin
 
+  /** The full minhash→LSH-candidate→component-agreement chain ending in a
+    * per-pair CTE `est` (id_a, id_b, n_agree, est_jaccard) — shared by the
+    * d3_jaccard_estimate per-pair oracle and the d21 threshold-sweep
+    * histogram built over the SAME pairs.
+    */
+  private val JaccardEstimateCtes: String =
+    s"""WITH sh AS ($ShinglesSql),
+       | hx AS (SELECT id, j, MIN(substr(md5((j // 4)::VARCHAR || ':' || shingle), 1 + 8 * (j % 4), 8)) AS h
+       |        FROM sh, LATERAL (SELECT unnest(generate_series(0, 11)) AS j) t
+       |        GROUP BY id, j),
+       | sig AS (SELECT id,
+       |   ${(0 until 12).map(j => s"MAX(CASE WHEN j=$j THEN h END) AS h$j").mkString(", ")}
+       |   FROM hx GROUP BY id),
+       | bands AS (
+       |   ${(0 until 4).map(b => s"SELECT id, $b AS band, h${b * 3} || h${b * 3 + 1} || h${b * 3 + 2} AS band_key FROM sig").mkString(" UNION ALL ")}
+       | ),
+       | cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |          FROM bands a JOIN bands b USING (band, band_key)
+       |          WHERE a.id < b.id),
+       | est AS (SELECT id_a, id_b,
+       |   CAST(${(0 until 12).map(j => s"(CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS n_agree,
+       |   CAST(${(0 until 12).map(j => s"(CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END)").mkString(" + ")} AS DOUBLE) / 12 AS est_jaccard
+       |   FROM cand JOIN sig sa ON id_a = sa.id JOIN sig sb ON id_b = sb.id)""".stripMargin
+
   /** Quality-verdict CTE chain (wds..v) over `srcRel` — shared by
     * t_quality_filter and the composite corpus-preparation pipeline. CTE
     * `v` carries the per-doc signals plus `fail_reasons`; callers append
@@ -545,24 +569,39 @@ object PipelineQueries {
             Dedup.lshCandidates(sigs, bands = 4, rowsPerBand = 3), 12)
           .orderBy("id_a", "id_b")
       },
-      s"""WITH sh AS ($ShinglesSql),
-         | hx AS (SELECT id, j, MIN(substr(md5((j // 4)::VARCHAR || ':' || shingle), 1 + 8 * (j % 4), 8)) AS h
-         |        FROM sh, LATERAL (SELECT unnest(generate_series(0, 11)) AS j) t
-         |        GROUP BY id, j),
-         | sig AS (SELECT id,
-         |   ${(0 until 12).map(j => s"MAX(CASE WHEN j=$j THEN h END) AS h$j").mkString(", ")}
-         |   FROM hx GROUP BY id),
-         | bands AS (
-         |   ${(0 until 4).map(b => s"SELECT id, $b AS band, h${b * 3} || h${b * 3 + 1} || h${b * 3 + 2} AS band_key FROM sig").mkString(" UNION ALL ")}
-         | ),
-         | cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         |          FROM bands a JOIN bands b USING (band, band_key)
-         |          WHERE a.id < b.id)
-         | SELECT id_a, id_b,
-         |   CAST(${(0 until 12).map(j => s"(CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS n_agree,
-         |   CAST(${(0 until 12).map(j => s"(CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END)").mkString(" + ")} AS DOUBLE) / 12 AS est_jaccard
-         | FROM cand JOIN sig sa ON id_a = sa.id JOIN sig sb ON id_b = sb.id
+      s"""$JaccardEstimateCtes
+         | SELECT id_a, id_b, n_agree, est_jaccard FROM est
          | ORDER BY id_a, id_b""".stripMargin),
+
+    // ---- dedup threshold-calibration sweep ------------------------------
+    // "which verify threshold keeps how many candidate pairs" — the
+    // histogram of minhash component agreements over the SAME estimator
+    // pairs as d3, with a descending cumulative (pairs kept at >= each
+    // threshold). The report is <= numHashes+1 rows, so the cumulative
+    // window is summary-sized (Bounded.guard-asserted); choosing a dedup
+    // threshold becomes reading one 13-row table instead of re-running the
+    // pipeline per candidate threshold.
+    ("d21_threshold_sweep",
+      (s, d) => {
+        val sigs = sigsShared(s, d)
+        val hist = Dedup.estimateJaccard(sigs,
+            Dedup.lshCandidates(sigs, bands = 4, rowsPerBand = 3), 12)
+          .groupBy("n_agree").agg(count(lit(1)).as("n_pairs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_agree").desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        hist.withColumn("n_at_or_above",
+            sum(graft.ops.Bounded.guard(col("n_pairs"),
+              col("n_agree").between(0, 12),
+              "d21: n_agree outside [0,12] — histogram no longer bounded")).over(w))
+          .orderBy("n_agree")
+      },
+      s"""$JaccardEstimateCtes,
+         | h AS (SELECT n_agree, count(*) AS n_pairs FROM est GROUP BY 1)
+         | SELECT n_agree, n_pairs,
+         |   CAST(SUM(n_pairs) OVER (ORDER BY n_agree DESC
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at_or_above
+         | FROM h ORDER BY n_agree""".stripMargin),
 
     // ---- edit-distance verification tier over LSH candidates ------------
     // character-level banded Levenshtein on the candidate pairs: the third

@@ -386,6 +386,30 @@ object StreamingQueries {
       },
       PipelineQueries.HeavyHittersSql),
 
+    // ---- streaming deterministic split assignment -----------------------
+    // the strongest stateless batch/stream parity statement: split
+    // assignment is a pure per-row md5 threshold (no state, no watermark,
+    // no shuffle), so the IDENTICAL Sampling.assignSplit plan runs over an
+    // append-mode two-batch replay and must meet t_split_assign's oracle
+    // row for row — a training pipeline can route documents to
+    // train/val/test AT INGEST and land exactly the batch answer.
+    ("stream_split_assign",
+      (s, d) => {
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val cut = docs.stat.approxQuantile("doc_id", Array(0.5), 0.0)(0).toLong
+        replayStaged(s, docs.filter(col("doc_id") <= cut),
+            docs.filter(col("doc_id") > cut), "append") { st =>
+          graft.llm.Sampling.assignSplit(st, "doc_id",
+              Seq(0.8 -> "train", 0.9 -> "val", 1.0 -> "test"))
+            .select("doc_id", "split")
+        }.orderBy("doc_id").localCheckpoint(true)
+      },
+      s"""SELECT doc_id,
+         |        CASE WHEN substr(md5('split:' || doc_id), 1, 8) < '${graft.llm.Sampling.hexThreshold(0.8)}' THEN 'train'
+         |             WHEN substr(md5('split:' || doc_id), 1, 8) < '${graft.llm.Sampling.hexThreshold(0.9)}' THEN 'val'
+         |             ELSE 'test' END AS split
+         | FROM documents ORDER BY doc_id""".stripMargin),
+
     ("stream_quality_linear",
       (s, d) => {
         val docs = s.read.parquet(s"$d/documents.parquet")

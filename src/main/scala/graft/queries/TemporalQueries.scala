@@ -635,6 +635,36 @@ object TemporalQueries {
         |        CAST(SUM(cents * (nxt - ts_us)) // SUM(nxt - ts_us) AS BIGINT) AS twap_cents
         | FROM w WHERE nxt IS NOT NULL GROUP BY 1 ORDER BY user_id""".stripMargin),
 
+    // ---- rolling 7-day distinct actives (sliding-window WAU) ------------
+    // exact distinct users over a 7-day window ending at each active day.
+    // Sliding distinct has no window-function form (distinct doesn't
+    // decompose over frames); the scale-safe shape is CONTRIBUTION
+    // REPLICATION: each (user, day) activity row contributes to exactly 7
+    // window-end days (explode of a 7-element offset array — bounded ×7,
+    // never a range self-join), then one grouped exact distinct. At 100 TB
+    // the replication factor is the window length — fixed, predictable,
+    // and partial-aggregated map-side after the first distinct.
+    ("ts_sliding_distinct",
+      (s, d) => {
+        val act = TemporalOps.loadEvents(s, d)
+          .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+          .distinct()
+        val days = act.select(col("day")).distinct()
+        act.withColumn("wday", explode(sequence(col("day"), col("day") + 6)))
+          .join(days.withColumnRenamed("day", "wday"), Seq("wday"))
+          .groupBy(col("wday").as("day"))
+          .agg(countDistinct(col("user_id")).as("wau"))
+          .orderBy("day")
+      },
+      """WITH act AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |             FROM events),
+        | days AS (SELECT DISTINCT day FROM act),
+        | contrib AS (SELECT user_id, day + o AS wday FROM act,
+        |             LATERAL (SELECT unnest(generate_series(0, 6)) AS o) g)
+        | SELECT c.wday AS day, count(DISTINCT c.user_id) AS wau
+        | FROM contrib c JOIN days d ON d.day = c.wday
+        | GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ---- Allen interval-algebra classification --------------------------
     // consecutive-interval temporal relationships per user: events become
     // minute-grid intervals of deterministic width (event_id-dependent, so
