@@ -196,6 +196,72 @@ object Multimodal {
     }.toDF("media_id", "ahash", "n_bits", "decoded")
   }
 
+  /** Spectral perceptual hash over REAL decoded pixels: a Walsh–Hadamard
+    * transform (the exact-integer fast-DCT sibling — ±1 basis instead of
+    * cosines, so no float coefficient ever exists) over the row-major
+    * grayscale sequence; bit k is the SIGN of spectral coefficient
+    * c_k = Σ_i gy_i · (−1)^popcount(i AND k). Where [[imageAHash]] keys on
+    * per-pixel brightness vs the mean (spatial), this keys on the
+    * frequency envelope — the pHash idea with arithmetic an external
+    * engine replays bit-for-bit (the oracle recomputes every coefficient
+    * from the synthetic-BMP pixel formula via bit_count). 60 bits keeps
+    * 2^k inside a positive long.
+    *
+    * Scale shape: pure map-side mapPartitions like [[imageAHash]] — zero
+    * shuffles; O(nBits · pixels) integer work per image.
+    */
+  def imageSpectralHash(media: Dataset[MediaRow], nBits: Int = 60): DataFrame = {
+    require(nBits >= 1 && nBits <= 62, s"nBits must be in [1,62]: $nBits")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img =
+          if (r.media_type == "image")
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes)))
+            catch { case _: Exception => None }
+          else None
+        img match {
+          case Some(im) =>
+            val w = im.getWidth
+            val h = im.getHeight
+            val (gw, gh) = if (w.toLong * h <= 64L) (w, h) else (8, 8)
+            val n = gw * gh
+            val grays = new Array[Long](n)
+            var j = 0
+            while (j < gh) {
+              var k = 0
+              while (k < gw) {
+                val x = if (gw == w) k else k * w / 8
+                val y = if (gh == h) j else j * h / 8
+                val rgb = im.getRGB(x, y)
+                grays(j * gw + k) =
+                  (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+                k += 1
+              }
+              j += 1
+            }
+            var hash = 0L
+            var bits = 0
+            var kk = 0
+            while (kk < nBits) {
+              var c = 0L
+              var i = 0
+              while (i < n) {
+                if ((java.lang.Long.bitCount((i & kk).toLong) & 1) == 1) c -= grays(i)
+                else c += grays(i)
+                i += 1
+              }
+              if (c >= 0) { hash |= 1L << kk; bits += 1 }
+              kk += 1
+            }
+            (r.media_id, hash, bits, true)
+          case None => (r.media_id, -1L, -1, false)
+        }
+      }
+    }.toDF("media_id", "whash", "n_bits", "decoded")
+  }
+
   /** "Resize" stub: real impl decodes, scales, re-encodes; the stub truncates
     * the payload deterministically to w*h bytes — preserving the plumbing
     * contract (binary in → smaller binary out + updated metadata).

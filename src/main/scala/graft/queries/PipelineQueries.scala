@@ -2205,6 +2205,36 @@ object PipelineQueries {
         |        CAST(n_bits AS INTEGER) AS n_bits, TRUE AS decoded
         | FROM b ORDER BY media_id""".stripMargin),
 
+    // ---- spectral (Walsh–Hadamard) perceptual hash ----------------------
+    // the pHash idea with exact-integer arithmetic: bit k = sign of the
+    // k-th WHT coefficient of the decoded grayscale sequence (±1 basis —
+    // no float cosine ever exists), so the oracle replays every
+    // coefficient from the synthetic-BMP pixel formula via bit_count.
+    // Complements m_image_ahash: spatial mean-threshold vs frequency
+    // envelope on the SAME real-decode plumbing.
+    ("m_image_whash",
+      (s, d) => Multimodal.imageSpectralHash(
+          Multimodal.syntheticBmps(spread(t(s, d, "documents"))))
+        .orderBy("media_id"),
+      """WITH p AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h
+        |           FROM documents),
+        | g AS (SELECT doc_id, i,
+        |          ((doc_id * 31 + i * 7) % 256
+        |           + (doc_id * 31 + i * 7 + 13) % 256
+        |           + (doc_id * 31 + i * 7 + 26) % 256) // 3 AS gy
+        |       FROM p, LATERAL (SELECT unnest(generate_series(0, w * h - 1)) AS i) s),
+        | c AS (SELECT doc_id, k,
+        |          SUM(gy * (1 - 2 * (bit_count(CAST(i AS BIGINT) & k) % 2))) AS ck
+        |       FROM g, LATERAL (SELECT unnest(generate_series(0, 59)) AS k) kk
+        |       GROUP BY doc_id, k),
+        | b AS (SELECT doc_id,
+        |          SUM(CASE WHEN ck >= 0 THEN CAST(power(2, k) AS BIGINT) ELSE 0 END) AS whash,
+        |          SUM(CASE WHEN ck >= 0 THEN 1 ELSE 0 END) AS n_bits
+        |       FROM c GROUP BY 1)
+        | SELECT doc_id AS media_id, CAST(whash AS BIGINT) AS whash,
+        |        CAST(n_bits AS INTEGER) AS n_bits, TRUE AS decoded
+        | FROM b ORDER BY media_id""".stripMargin),
+
     // ---- REAL audio decode over synthetic WAVs --------------------------
     // the audio twin of m_image_decode: one hand-assembled 16-bit PCM mono
     // WAV per doc id (RIFF chunk sizes, block align, little-endian
