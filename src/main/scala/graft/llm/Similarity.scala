@@ -183,6 +183,32 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Hard-negative mining for contrastive training: per query, the k MOST
+    * similar corpus vectors carrying a DIFFERENT label — the examples a
+    * contrastive objective learns most from (easy random negatives are
+    * already far away; hard ones sit near the decision boundary). Same
+    * integer-quantized scoring and deterministic tie-break as
+    * [[bruteForceTopK]], with the label-mismatch predicate applied BEFORE
+    * ranking so the k slots are all negatives.
+    *
+    * This is the exact calibration tier; at corpus scale route the
+    * candidate generation through [[ivfTopK]]'s cells (label filter is a
+    * residual predicate on the probed cells) exactly as for plain ANN.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+                    idCol: String = "vec_id", embCol: String = "embedding",
+                    labelCol: String = "label", scale: Int = 1000): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(labelCol).as("q_label"),
+      quantize(col(embCol), scale).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("n_label"),
+      quantize(col(embCol), scale).as("cv"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id") && col("q_label") =!= col("n_label"))
+      .withColumn("cosine", cosineQ(col("qv"), col("cv")))
+    rankTopK(scored, k, Seq(col("cosine").desc, col("neighbor_id")))
+      .select("query_id", "q_label", "neighbor_id", "n_label", "cosine", "rank")
+  }
+
   /** ANN quality measurement: per-query recall of an approximate top-k
     * result (`approx`) against the exact one (`exact`) — both in the
     * (query_id, neighbor_id, rank) shape every ranker here emits. The

@@ -835,6 +835,65 @@ object PipelineQueries {
         |                                    ORDER BY cosine DESC, neighbor_id) AS rank FROM sc)
         | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
+    // ---- hard-negative mining (contrastive training) --------------------
+    // per query, the top-3 most-similar DIFFERENT-label vectors — the
+    // near-boundary negatives a contrastive objective learns from. Same
+    // integer-quantized kernel and tie-break as the brute-force tier, with
+    // the label-mismatch predicate BEFORE ranking; IVF cells are the
+    // corpus-scale candidate path.
+    ("sim_hard_negatives",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.hardNegatives(e.filter(col("vec_id") % 25 === 0), e, k = 3)
+          .orderBy("query_id", "rank")
+      },
+      """WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+        |                  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+        |           FROM embeddings WHERE vec_id % 25 = 0),
+        |      c AS (SELECT vec_id AS neighbor_id, label AS n_label,
+        |                  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS cv
+        |           FROM embeddings),
+        |      sc AS (SELECT query_id, q_label, neighbor_id, n_label,
+        |                    list_dot_product(qv, cv) /
+        |                    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+        |             FROM q CROSS JOIN c
+        |             WHERE query_id <> neighbor_id AND q_label <> n_label)
+        | SELECT query_id, q_label, neighbor_id, n_label, cosine, CAST(rank AS INTEGER) AS rank
+        | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |                                    ORDER BY cosine DESC, neighbor_id) AS rank FROM sc)
+        | WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+
+    // ---- deterministic negative sampling --------------------------------
+    // k uniform random negatives per document, md5-derived so any engine
+    // replays the choice: u = hash % (N−1) over a DENSE id space, shifted
+    // past self so a document never negatives itself. Density (count ==
+    // max_id + 1) is runtime-guarded — on sparse ids the formula would
+    // silently sample nonexistent documents.
+    ("t_negative_sample",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val n = docs.agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_id"))
+        docs.select(col("doc_id")).crossJoin(broadcast(n))
+          .withColumn("j", explode(sequence(lit(1), lit(3))))
+          .withColumn("u",
+            conv(substring(md5(concat(lit("neg:"), col("doc_id"), lit(":"), col("j"))), 1, 8),
+              16, 10).cast("long") %
+              graft.ops.Bounded.guard(col("n_docs") - 1,
+                col("n_docs") === col("max_id") + 1,
+                "t_negative_sample: doc_id space is not dense — formula invalid"))
+          .withColumn("neg_id", when(col("u") < col("doc_id"), col("u")).otherwise(col("u") + 1))
+          .select(col("doc_id"), col("j").cast("long").as("j"), col("neg_id"))
+          .orderBy("doc_id", "j")
+      },
+      """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        | s AS (SELECT doc_id, j,
+        |          CAST('0x' || substr(md5('neg:' || doc_id || ':' || j), 1, 8) AS BIGINT)
+        |            % (n.n_docs - 1) AS u
+        |       FROM documents, n, LATERAL (SELECT unnest(generate_series(1, 3)) AS j) g)
+        | SELECT doc_id, j,
+        |        CASE WHEN u < doc_id THEN u ELSE u + 1 END AS neg_id
+        | FROM s ORDER BY doc_id, j""".stripMargin),
+
     // ---- sign-LSH buckets (ANN scale path) ------------------------------
     ("sim_lsh_buckets",
       (s, d) => t(s, d, "embeddings")

@@ -1120,6 +1120,29 @@ object RelationalQueries {
         |   CAST(390000 * w // s + 11800000 * syl // w - 15590000 AS BIGINT) AS fk_micro
         | FROM d ORDER BY doc_id""".stripMargin),
 
+    // ---- file-provenance metadata (row-level lineage) -------------------
+    // Spark's hidden `_metadata` column surfaces the physical source of
+    // every row (file name + row index within the file) with ZERO extra
+    // IO — the row-level lineage primitive auditing and incremental
+    // re-processing build on. The report binds row_index to doc_id via an
+    // order checksum, asserting physical-layout parity between engines
+    // (verified: the driver's writer lays doc_id in file order at every
+    // SF, so the oracle derives row_index from doc_id).
+    ("s24_file_metadata",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), col("_metadata.file_name").as("file_name"),
+          col("_metadata.row_index").as("row_index"))
+        .groupBy("file_name")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("row_index")).as("first_idx"), max(col("row_index")).as("last_idx"),
+          sum(col("row_index") * (col("doc_id") + 1)).as("order_sig"))
+        .orderBy("file_name"),
+      """SELECT 'documents.parquet' AS file_name, count(*) AS n_rows,
+        |        CAST(min(doc_id) AS BIGINT) AS first_idx,
+        |        CAST(max(doc_id) AS BIGINT) AS last_idx,
+        |        CAST(SUM(doc_id * (doc_id + 1)) AS BIGINT) AS order_sig
+        | FROM documents""".stripMargin),
+
     // ---- leave-one-out target encoding ----------------------------------
     // the categorical-feature encoder that never leaks a row's own target:
     // per source, loo = (Σ n_chars − own) / (n − 1) in exact integer
