@@ -450,7 +450,21 @@ object Bench {
     // trips only one. Sub-second queries are never flagged —
     // codegen-compile jitter dominates there. Both the flags and the
     // history write are best-effort: they can never fail the bench.
+    //
+    // SENTINEL normalization (r9 forensics): the synthetic CPU calibration
+    // under-corrects when the slowdown is contention (scheduler/IO), not
+    // clock speed — the r9 end-of-round run inflated EVERY stable query by
+    // the same ~2-3x (s1_scan_project 0.4→2.3 s vs 9 flat history runs) at
+    // cal 1.62, firing 14 phantom flags. The run's own stable entries are
+    // the honest probe: sentinel = median over all non-errored >0.5 s
+    // entries of current/hist_median_raw. A uniform environmental shift
+    // moves the sentinel itself (→ no flags); a real regression moves one
+    // query against a ~1.0 sentinel (→ flagged). Clamped to >= 1 so a
+    // faster-than-history box never loosens the raw bar, and guarded to
+    // need >= 5 contributing entries so a tiny --only subset can't
+    // self-normalize its own regression away.
     val histDir = new java.io.File("bench_history")
+    var sentinel: Double = 1.0
     val regressions: String = try {
       if (!histDir.isDirectory) "{}" else {
         val omap = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -474,13 +488,18 @@ object Bench {
             }
           } catch { case _: Throwable => () }
         }
+        val ratios = results.collect {
+          case (name, sec, _, None, _) if sec > 0.5 && histRaw.contains(name) &&
+              median(histRaw(name)) > 0.1 => sec / median(histRaw(name))
+        }
+        if (ratios.length >= 5) sentinel = math.max(1.0, median(ratios.toList))
         results.collect {
           case (name, sec, _, None, _) if sec > 1.0 && hist.contains(name) &&
               sec / calibration > 2 * median(hist(name)) &&
-              sec > 2 * median(histRaw(name)) =>
+              sec / sentinel > 2 * median(histRaw(name)) =>
             jstr(name) + s""":{"current":${jnum(sec)},"hist_median_scaled":${
               jnum(median(hist(name)) * calibration)},"hist_median_raw":${
-              jnum(median(histRaw(name)))}}"""
+              jnum(median(histRaw(name)))},"sentinel":${jnum(sentinel)}}"""
         }.mkString("{", ",", "}")
       }
     } catch { case _: Throwable => "{}" }
@@ -496,8 +515,8 @@ object Bench {
 
     // stdout gets the COMPACT line (fits any tail window: totals + errors +
     // regressions + a pointer); the file gets the full per-query detail.
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","nQueries":${results.size},"errors":$errs,"nErrors":$nErr,"regressions":$regressions,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},"ab":$abJson,"perQuery":${jstr(outPath)}}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"execSeconds":$execQs,"warmupSeconds":${jnum(warmupSec)},"errors":$errs,"regressions":$regressions,"observedMetrics":$om,"sharedStores":$shared,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},"ab":$abJson,"abPerQuery":$abPerQueryJson}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","nQueries":${results.size},"errors":$errs,"nErrors":$nErr,"regressions":$regressions,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},"sentinel":${jnum(sentinel)},"ab":$abJson,"perQuery":${jstr(outPath)}}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"execSeconds":$execQs,"warmupSeconds":${jnum(warmupSec)},"errors":$errs,"regressions":$regressions,"observedMetrics":$om,"sharedStores":$shared,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},"sentinel":${jnum(sentinel)},"ab":$abJson,"abPerQuery":$abPerQueryJson}"""
     // ONE bare line on the process's real stdout: java.io.FileDescriptor.out
     // bypasses sbt's System.out capture (whose "[info] " prefix breaks
     // line-oriented JSON parsing downstream) and IS System.out everywhere

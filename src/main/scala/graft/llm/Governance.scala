@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Privacy-governance audits for training corpora — the release-gate
@@ -41,6 +41,29 @@ object Governance {
           .withColumn("k_anonymous", col("n") >= k)
     }
   }
+
+  /** Order-independent table fingerprint: per `groupCols` class a COUNT, a
+    * `bit_xor` of the per-row 64-bit fingerprint `fp`, and a mod-p
+    * fingerprint sum. All three aggregates are commutative and map-side
+    * combinable, so the whole check is ONE partial-aggregated shuffle on
+    * the (tiny) group key — no sort, no row movement; two tables reconcile
+    * by comparing k summary rows. xor catches any single-row difference;
+    * the mod-p sum catches the xor-blind case (an even count of identical
+    * corrupt rows).
+    *
+    * `fp` is caller-chosen so the cost/parity trade is explicit: the
+    * engine-native `xxhash64(cols…)` is the 100-TB reconciliation default
+    * (one codegen'd hash kernel, ~5x cheaper than md5 — ScaleProbe
+    * `checksumHash`), while an md5-derived fp buys bit-identical
+    * fingerprints on any engine that has md5 (the s20 oracle-parity shape).
+    */
+  def tableFingerprint(df: DataFrame, groupCols: Seq[String], fp: Column): DataFrame =
+    df.withColumn("__fp", fp.cast("long"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        expr("bit_xor(__fp)").as("xor_sig"),
+        (sum(pmod(col("__fp"), lit(1000000007L)).cast("decimal(38,0)")) % 1000000007L)
+          .cast("long").as("sum_sig"))
 
   /** The minimal suppression release: keep only rows whose QI class has at
     * least `k` members. (Generalization — coarsening QI values until

@@ -687,6 +687,244 @@ object Multimodal {
     }
   }
 
+  /** One REAL decoded video frame: pixel dimensions + exact integer pixel
+    * sum (Σ r+g+b), the per-frame twin of [[MediaFeatures]]' image fields.
+    */
+  final case class VideoFrame(
+      media_id: Long,
+      frame_idx: Int,
+      img_w: Int,
+      img_h: Int,
+      px_sum: Long,
+      decoded: Boolean)
+
+  /** Pure-JVM RIFF/AVI container walk (public format — msdn AVI RIFF
+    * grammar): `RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf))
+    * LIST('movi' 00dc…))`. Returns the video stream's fourcc handler,
+    * frame dimensions from the BITMAPINFOHEADER, and every `00dc`/`00db`
+    * chunk payload in stream order. Little-endian sizes, word-aligned
+    * chunk boundaries — the details a real parser must get right.
+    */
+  def parseAvi(bytes: Array[Byte]): Option[(String, Int, Int, Vector[Array[Byte]])] =
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(off: Int): String = new String(bytes, off, 4, "ISO-8859-1")
+      if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+      // find the first chunk with `id` in [from, to); LIST chunks match on
+      // their list-type instead, returning the payload AFTER the type tag
+      def find(from: Int, to: Int, id: String): Option[(Int, Int)] = {
+        var off = from
+        while (off + 8 <= to) {
+          val cid = fourcc(off)
+          val sz = bb.getInt(off + 4)
+          if (sz < 0 || off + 8 + sz > to) return None
+          if (cid == id) return Some((off + 8, off + 8 + sz))
+          if (cid == "LIST" && sz >= 4 && fourcc(off + 8) == id)
+            return Some((off + 12, off + 8 + sz))
+          off += 8 + sz + (sz & 1) // chunks are word-aligned
+        }
+        None
+      }
+      for {
+        (hdrlS, hdrlE) <- find(12, bytes.length, "hdrl")
+        (strlS, strlE) <- find(hdrlS, hdrlE, "strl")
+        (strhS, _) <- find(strlS, strlE, "strh")
+        (strfS, _) <- find(strlS, strlE, "strf") if fourcc(strhS) == "vids"
+        (moviS, moviE) <- find(12, bytes.length, "movi")
+      } yield {
+        val handler = fourcc(strhS + 4)
+        val w = bb.getInt(strfS + 4)
+        val h = bb.getInt(strfS + 8)
+        val frames = Vector.newBuilder[Array[Byte]]
+        var off = moviS
+        while (off + 8 <= moviE) {
+          val cid = fourcc(off)
+          val sz = bb.getInt(off + 4)
+          if (sz < 0 || off + 8 + sz > moviE) { off = moviE }
+          else {
+            if (cid.endsWith("dc") || cid.endsWith("db"))
+              frames += java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + sz)
+            off += 8 + sz + (sz & 1)
+          }
+        }
+        (handler, w, math.abs(h), frames.result())
+      }
+    } catch { case _: Exception => None }
+
+  /** Decode ONE AVI frame to (w, h, px_sum). `MJPG` frames are REAL JPEG
+    * decodes through the same `javax.imageio` path as still images
+    * ([[decodeImage]]) — motion-JPEG is the codec-free video format the
+    * JDK can genuinely decode; `DIB ` frames are raw bottom-up BGR rows
+    * with 4-byte row padding (the BMP pixel-array layout without the
+    * header), summed directly in exact integer arithmetic.
+    */
+  def decodeAviFrame(handler: String, w: Int, h: Int,
+                     frame: Array[Byte]): Option[(Int, Int, Long)] =
+    handler match {
+      case "MJPG" => decodeImage(frame).map { case (fw, fh, s, _) => (fw, fh, s) }
+      case "DIB " =>
+        val rowSize = (w * 3 + 3) / 4 * 4
+        if (frame.length < rowSize * h) None
+        else {
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            val row = (h - 1 - y) * rowSize // bottom-up storage
+            var x = 0
+            while (x < w) {
+              sum += (frame(row + 3 * x) & 0xff) + (frame(row + 3 * x + 1) & 0xff) +
+                (frame(row + 3 * x + 2) & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          Some((w, h, sum))
+        }
+      case _ => None
+    }
+
+  /** REAL per-frame video decode over AVI payloads — the step the MP4/MKV
+    * tier documents as codec-stubbed, completed codec-free: the container
+    * walk yields MJPEG (JPEG-in-AVI) or uncompressed-DIB frames, both
+    * genuinely decodable with the stock JDK. One output row per frame;
+    * rows whose container or a frame fails to parse emit ONE sentinel row
+    * (frame_idx -1, decoded false) rather than vanishing — corrupt blobs
+    * are data, not bugs.
+    *
+    * Scale shape: `mapPartitions` flatMap, pure map-side (codec work — no
+    * Catalyst form); output is frame-count-sized, so downstream per-frame
+    * ops (aHash near-dup keys, frame sampling) inherit the still-image
+    * shapes unchanged.
+    */
+  def decodeVideoFrames(media: Dataset[MediaRow]): Dataset[VideoFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val frames = for {
+          (handler, w, h, fs) <- parseAvi(r.bytes).toSeq
+          (bytes, idx) <- fs.zipWithIndex
+          (fw, fh, s) <- decodeAviFrame(handler, w, h, bytes)
+        } yield VideoFrame(r.media_id, idx, fw, fh, s, decoded = true)
+        if (frames.nonEmpty) frames
+        else Seq(VideoFrame(r.media_id, -1, -1, -1, -1L, decoded = false))
+      }
+    }
+  }
+
+  /** Frame dimensions / count for the synthetic AVIs: a pure function of
+    * `docId` shared by both generators AND the oracle SQL.
+    */
+  def aviDims(docId: Long): (Int, Int, Int) =
+    ((4 + docId % 5).toInt, (3 + docId % 3).toInt, (2 + docId % 3).toInt)
+
+  /** Logical pixel channel value for synthetic-AVI frame `f`, pixel `i`,
+    * channel `c` — the [[syntheticBmp]] formula with a per-frame term.
+    */
+  def aviPx(docId: Long, f: Int, i: Int, c: Int): Int =
+    (((docId * 31 + f * 101 + i * 7 + c * 13) % 256) + 256).toInt % 256
+
+  private def packAvi(handler: String, compression: Int, w: Int, h: Int,
+                      frames: Seq[Array[Byte]]): Array[Byte] = {
+    val strh = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    strh.put("strh".getBytes("ISO-8859-1")).putInt(56)
+      .put("vids".getBytes("ISO-8859-1")).put(handler.getBytes("ISO-8859-1"))
+      .putInt(0).putInt(0).putInt(0) // flags, prio+lang, initial frames
+      .putInt(1).putInt(25) // scale, rate (25 fps)
+      .putInt(0).putInt(frames.length) // start, length
+      .putInt(0).putInt(-1).putInt(0) // suggested buffer, quality, sample size
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+    val strf = java.nio.ByteBuffer.allocate(48).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    strf.put("strf".getBytes("ISO-8859-1")).putInt(40)
+      .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(compression).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+    val avih = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    avih.put("avih".getBytes("ISO-8859-1")).putInt(56)
+      .putInt(40000).putInt(0).putInt(0).putInt(0) // usPerFrame, maxBps, pad, flags
+      .putInt(frames.length).putInt(0).putInt(1).putInt(0) // frames, init, streams, buf
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    def list(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("LIST".getBytes("ISO-8859-1")).putInt(4 + payload.length)
+        .put(typ.getBytes("ISO-8859-1"))
+      bb.array() ++ payload
+    }
+    val hdrl = list("hdrl", avih.array() ++ list("strl", strh.array() ++ strf.array()))
+    val movi = list("movi", frames.flatMap { f =>
+      val hdr = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      hdr.put("00dc".getBytes("ISO-8859-1")).putInt(f.length)
+      hdr.array().toSeq ++ f.toSeq ++ (if ((f.length & 1) == 1) Seq(0.toByte) else Nil)
+    }.toArray)
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+    val riff = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    riff.put("RIFF".getBytes("ISO-8859-1")).putInt(body.length)
+    riff.array() ++ body
+  }
+
+  /** A REAL uncompressed-DIB AVI, every byte a pure function of `docId`:
+    * 2+docId%3 frames of 4+docId%5 × 3+docId%3 pixels whose channels
+    * follow [[aviPx]], stored as the AVI spec requires (bottom-up BGR rows,
+    * 4-byte row padding, word-aligned `00dc` chunks) — so the walker
+    * performs a genuine parse while an oracle recomputes every frame's
+    * px_sum arithmetically from docId alone.
+    */
+  def syntheticAviDib(docId: Long): Array[Byte] = {
+    val (w, h, n) = aviDims(docId)
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val frames = (0 until n).map { f =>
+      val out = new Array[Byte](rowSize * h)
+      var y = 0
+      while (y < h) {
+        val row = (h - 1 - y) * rowSize
+        var x = 0
+        while (x < w) {
+          val i = y * w + x
+          out(row + 3 * x) = aviPx(docId, f, i, 2).toByte // B
+          out(row + 3 * x + 1) = aviPx(docId, f, i, 1).toByte // G
+          out(row + 3 * x + 2) = aviPx(docId, f, i, 0).toByte // R
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+    packAvi("DIB ", 0, w, h, frames)
+  }
+
+  /** A REAL motion-JPEG AVI: the same logical frames as
+    * [[syntheticAviDib]], each JPEG-encoded through `javax.imageio` — the
+    * genuine lossy codec path (frames decode to APPROXIMATELY the [[aviPx]]
+    * values; exact goldens come from committed fixtures, not arithmetic).
+    */
+  def syntheticAviMjpeg(docId: Long): Array[Byte] = {
+    val (w, h, n) = aviDims(docId)
+    val frames = (0 until n).map { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var i = 0
+      while (i < w * h) {
+        img.setRGB(i % w, i / w, (aviPx(docId, f, i, 0) << 16) |
+          (aviPx(docId, f, i, 1) << 8) | aviPx(docId, f, i, 2))
+        i += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    // 'MJPG' biCompression fourcc, little-endian in the struct field
+    val mjpg = ('M'.toInt) | ('J'.toInt << 8) | ('P'.toInt << 16) | ('G'.toInt << 24)
+    packAvi("MJPG", mjpg, w, h, frames)
+  }
+
+  /** One synthetic DIB-AVI [[MediaRow]] per document id — the
+    * oracle-checkable real-frame-decode path (see [[syntheticAviDib]]).
+    */
+  def syntheticAvis(docs: DataFrame, idCol: String = "doc_id"): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol)).as[Long].map { id =>
+      MediaRow(id, "video", "video/x-msvideo", syntheticAviDib(id), -1, -1, 0L)
+    }
+  }
+
   /** Wrap a text corpus as opaque media payloads — lets the multimodal
     * plumbing run against the driver's `documents` table (no binary fixtures
     * exist in the environment; payload = utf-8 bytes, deterministic).

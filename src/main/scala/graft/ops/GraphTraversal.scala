@@ -499,16 +499,72 @@ object GraphTraversal {
     * that count) + one vertex-sized co-partitioned join between them — no
     * windows, no driver state beyond the loop counter. [[Checkpointer]]
     * truncates lineage and each round releases its predecessor (the
-    * [[pageRank]] storage discipline). Callers with non-integral vertex
-    * keys (URI graphs) should dictionary-encode first, as pageRank does
-    * internally — label identity IS the vertex key here, so encoding
-    * belongs to the caller.
+    * [[pageRank]] storage discipline).
+    *
+    * Non-integral vertex keys (URI graphs) are dictionary-encoded to
+    * dense longs INTERNALLY, like [[pageRank]]: every round shuffles the
+    * symmetric edge table on its keys, so at 15 M 60-byte-URI edges the
+    * key bytes dominate exchange volume — two edge-scale joins once buy
+    * 8-byte keys for every round. Unlike pageRank's, this dictionary must
+    * be ORDER-PRESERVING (vid rank = key rank): label identity IS the
+    * vertex key and ties break by SMALLEST label, so min over vids must
+    * agree with min over the caller's keys. The rank is built with a
+    * range-partitioned sort + zipWithIndex (the TeraSort shape — one
+    * vertex-sized sort, never a data-sized unpartitioned window), and
+    * both output columns decode back through vertex-sized joins.
     */
   def labelPropagation(edges: DataFrame, rounds: Int,
                        srcCol: String = "src", dstCol: String = "dst",
                        cp: Checkpointer = Checkpointer.Auto): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0: $rounds")
-    val eRaw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val eCaller = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
+    if (integral.contains(eCaller.schema("src").dataType))
+      return lpaRounds(eCaller, rounds, cp)
+    val eRaw = cp(eCaller.distinct())
+    val keys = eRaw.select(col("src").as("id"))
+      .union(eRaw.select(col("dst").as("id"))).distinct()
+    val dict = cp(orderPreservingIds(keys))
+    val e = cp(eRaw
+      .join(dict.select(col("id").as("src"), col("vid").as("vsrc")), Seq("src"))
+      .join(dict.select(col("id").as("dst"), col("vid").as("vdst")), Seq("dst"))
+      .select(col("vsrc").as("src"), col("vdst").as("dst")))
+    cp.release(eRaw) // the loop reads only the encoded edge table
+    val enc = lpaRounds(e, rounds, cp)
+    // decode BOTH columns back to caller keys (vertex-sized joins, once);
+    // order preservation already guaranteed min(vid-label) = min(key-label)
+    enc
+      .join(dict.select(col("vid").as("id"), col("id").as("__id_key")), Seq("id"))
+      .join(dict.select(col("vid").as("label"), col("id").as("__label_key")),
+        Seq("label"))
+      .select(col("__id_key").as("id"), col("__label_key").as("label"))
+  }
+
+  /** vid = rank of `id` in ascending key order: an order-preserving dense
+    * dictionary (`id`, `vid` LONG). Range-partitioned sort + per-partition
+    * index assignment with partition-count offsets (`zipWithIndex`) — the
+    * standard distributed rank; the RDD hop is the per-partition
+    * imperative step Catalyst has no operator for.
+    */
+  private def orderPreservingIds(keys: DataFrame): DataFrame = {
+    val spark = keys.sparkSession
+    val sorted = keys.orderBy(col("id"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      sorted.schema.fields(0).copy(name = "id"),
+      org.apache.spark.sql.types.StructField("vid",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row(r.get(0), i)
+      }, schema)
+  }
+
+  /** The synchronous LPA vote loop on an already-encoded (or natively
+    * integral) edge table — see [[labelPropagation]] for semantics.
+    */
+  private def lpaRounds(eRaw: DataFrame, rounds: Int, cp: Checkpointer): DataFrame = {
     val sym = cp(eRaw
       .union(eRaw.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
@@ -560,7 +616,9 @@ object GraphTraversal {
            srcCol: String = "src", dstCol: String = "dst",
            cp: Checkpointer = Checkpointer.Auto): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    // cp the deduped edge table so its distinct() shuffle runs once, not
+    // twice per round under the two per-round joins (pageRank discipline)
+    val e = cp(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
     val vertices = cp(e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct())
     var h = vertices.withColumn("s", lit(1L))
@@ -576,6 +634,9 @@ object GraphTraversal {
       a = aNext
       h = hNext
     }
+    // the returned plan reads only vertices and the (cp'd) final a/h —
+    // the edge table is no longer referenced and can release its blocks
+    cp.release(e)
     val out = vertices
       .join(h.select(col("id"), col("s").as("hub")), Seq("id"), "left")
       .join(a.select(col("id"), col("s").as("auth")), Seq("id"), "left")

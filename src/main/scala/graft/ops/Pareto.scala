@@ -49,12 +49,22 @@ object Pareto {
     val gx = df.select(x.as("__x"), y.as("__y"))
       .groupBy(col("__x")).agg(max(col("__y")).as("__gy"))
 
-    // value-range bucketing: ordered by construction, no global sort
+    // value-range bucketing: ordered by construction, no global sort.
+    // Bucket arithmetic runs in DOUBLE space: 64-bit integer packing
+    // ((x−xmin)·buckets) overflows for key ranges wider than ~2^57, and
+    // even (x−xmin) itself can overflow when the range spans > 2^63.
+    // IEEE rounding is monotone non-strict, so the double map preserves
+    // bucket ordering; the ≤1-ulp slack only ever shifts a boundary key
+    // into the adjacent bucket, which the prefix-max logic tolerates, and
+    // the clamp pins the result into [0, buckets) so the summary window
+    // stays bounded for every representable long range.
     val span = gx.agg(min(col("__x")).as("__xmin"), max(col("__x")).as("__xmax"))
     val bucketed = gx.crossJoin(broadcast(span))
       .withColumn("__b",
-        ((col("__x") - col("__xmin")) * buckets / (col("__xmax") - col("__xmin") + 1))
-          .cast("int"))
+        least(greatest(
+          ((col("__x").cast("double") - col("__xmin").cast("double")) * buckets /
+            (col("__xmax").cast("double") - col("__xmin").cast("double") + 1.0d))
+            .cast("int"), lit(0)), lit(buckets - 1)))
 
     // strict prefix max within a bucket (x is unique per gx row)
     val wLocal = Window.partitionBy(col("__b")).orderBy(col("__x"))

@@ -34,11 +34,17 @@ object PrefixOps {
     val o = col(orderCol).cast("long")
     val v = col(valueCol).cast("long")
 
+    // bucket arithmetic in DOUBLE space (see [[Pareto.skyline2d]]): the
+    // 64-bit packing overflows for order-key ranges wider than ~2^57; the
+    // monotone double map + clamp keeps __b ∈ [0, buckets) for every
+    // representable long range without an undocumented precondition
     val span = df.agg(min(o).as("__omin"), max(o).as("__omax"))
     val bucketed = df.crossJoin(broadcast(span))
       .withColumn("__b",
-        ((o - col("__omin")) * buckets / (col("__omax") - col("__omin") + 1))
-          .cast("int"))
+        least(greatest(
+          ((o.cast("double") - col("__omin").cast("double")) * buckets /
+            (col("__omax").cast("double") - col("__omin").cast("double") + 1.0d))
+            .cast("int"), lit(0)), lit(buckets - 1)))
       .drop("__omin", "__omax")
 
     // local EXCLUSIVE prefix within the bucket; the paired rank asserts

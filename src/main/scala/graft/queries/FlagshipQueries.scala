@@ -16,10 +16,27 @@ import org.apache.spark.sql.functions._
   * its 6 normalized outbound edges. The returned rows are the read-back
   * edges, so the driver's rows-only check sees actual store content.
   *
-  * No oracleSql: DuckDB cannot parse RDF/XML, so the oracle is the golden
-  * constants enforced here (a failed golden throws → a red CORRECTNESS row).
+  * DuckDB cannot parse RDF/XML or WARC, but both entries return KNOWN
+  * golden constants, so each also registers a `SELECT * FROM (VALUES …)`
+  * oracle — the driver hash-compares store content against literals in
+  * addition to the engine-side `require()` goldens (which still throw →
+  * red row on internal-consistency drift the literals can't see, e.g.
+  * the attrs map order or the gzip-vs-plain parity).
   */
 object FlagshipQueries {
+
+  /** The VALUES-literal oracle for the flagship's 6 golden edges: the
+    * constants are known (OntologyGraphBuilderTest.java:344-399), so the
+    * driver can hash-compare them like any SQL entry instead of trusting
+    * the engine-side `require()` self-grading.
+    */
+  private def goldenEdgesSql: String = {
+    val rows = GoldenEdges.map { case (a, b, c, d, e, f) =>
+      s"('$a','$b','$c','$d','$e','$f')" }.mkString(",\n|        ")
+    s"""SELECT * FROM (VALUES
+       |        $rows)
+       | t(from_id, from_number, to_id, to_number, label, source)""".stripMargin
+  }
 
   /** Fixture corpus location: repo-relative when the driver runs from the
     * repo root (Verify/Bench contract), absolute as the fallback.
@@ -86,7 +103,7 @@ object FlagshipQueries {
           catch { case _: Throwable => () }
         }
       },
-      null),
+      goldenEdgesSql),
 
     // WARC source tier on the committed fixture corpus (Common Crawl
     // layout: gzip member per record, plus the plain variant): distributed
@@ -121,5 +138,25 @@ object FlagshipQueries {
           .toSeq.toDF("src_file", "rec_idx", "warc_type", "url",
             "http_status", "payload_len", "payload_md5")
       },
-      null))
+      // golden constants for the committed fixture corpus: both container
+      // layouts (gzip-member / plain) yield byte-identical records, so the
+      // 10 rows below are stable unless the fixtures themselves change.
+      // CASTs pin the dtypes to the Spark schema (BIGINT rec_idx /
+      // payload_len, INTEGER http_status).
+      """SELECT col0 AS src_file, CAST(col1 AS BIGINT) AS rec_idx,
+        |       col2 AS warc_type, col3 AS url,
+        |       CAST(col4 AS INTEGER) AS http_status,
+        |       CAST(col5 AS BIGINT) AS payload_len, col6 AS payload_md5
+        | FROM (VALUES
+        |  ('plain.warc', 0, 'warcinfo', CAST(NULL AS VARCHAR), 0, 29, 'fb9bfd1c51b04f4af778adb9569c24b4'),
+        |  ('plain.warc', 1, 'request', 'http://example.com/a', 0, 0, 'd41d8cd98f00b204e9800998ecf8427e'),
+        |  ('plain.warc', 2, 'response', 'http://example.com/a', 200, 182, '82f9a6e5676503a8a2eecef66d1ff39b'),
+        |  ('plain.warc', 3, 'response', 'http://example.com/b', 200, 128, '1aafef9f0243693174656221311bf6d4'),
+        |  ('plain.warc', 4, 'response', 'http://example.com/img', 404, 16, '1ac1ef01e96caf1be0d329331a4fc2a8'),
+        |  ('sample.warc.gz', 0, 'warcinfo', CAST(NULL AS VARCHAR), 0, 29, 'fb9bfd1c51b04f4af778adb9569c24b4'),
+        |  ('sample.warc.gz', 1, 'request', 'http://example.com/a', 0, 0, 'd41d8cd98f00b204e9800998ecf8427e'),
+        |  ('sample.warc.gz', 2, 'response', 'http://example.com/a', 200, 182, '82f9a6e5676503a8a2eecef66d1ff39b'),
+        |  ('sample.warc.gz', 3, 'response', 'http://example.com/b', 200, 128, '1aafef9f0243693174656221311bf6d4'),
+        |  ('sample.warc.gz', 4, 'response', 'http://example.com/img', 404, 16, '1ac1ef01e96caf1be0d329331a4fc2a8')
+        | ) t(col0, col1, col2, col3, col4, col5, col6)""".stripMargin))
 }

@@ -347,13 +347,20 @@ object GraphQueries {
     ("a7_approx",
       (s, d) => {
         val li = t(s, d, "lineitem")
+        // TWO lineitem scans total: (1) the sketch pass; (2) ONE fused
+        // verify pass computing the exact distinct count AND the midrank
+        // check together. A single distinct aggregate beside plain sums is
+        // planned via planAggregateWithOneDistinct (group-by-l_orderkey
+        // partial phase, sums partially combined per key) — NOT the Expand
+        // rewrite that mixing the SKETCHES with a distinct would trigger
+        // (every row duplicated per aggregate group; measured 35 s vs
+        // 1.2 s at sf0.1), which is why the sketches stay in their own pass.
         val sketches = li.agg(
-            approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
-            expr("approx_percentile(l_extendedprice, 0.5)").as("p50_approx"))
-          .crossJoin(li.agg(countDistinct(col("l_orderkey")).as("exact_orders")))
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+          expr("approx_percentile(l_extendedprice, 0.5)").as("p50_approx"))
         li.crossJoin(broadcast(sketches))
           .agg(
-            max(col("exact_orders")).as("exact_orders"),
+            countDistinct(col("l_orderkey")).as("exact_orders"),
             max(col("approx_orders")).as("approx_orders"),
             // MIDRANK, not plain <=-fraction: with a heavily duplicated
             // median value the <=-count alone could overshoot 0.55 on a

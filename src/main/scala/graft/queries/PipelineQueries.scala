@@ -449,10 +449,22 @@ object PipelineQueries {
     // the same integer cross-multiplied threshold; the spec pins the
     // completeness property (candidates ⊇ all-pairs truth) and that the
     // prefix join does strictly less work than the full posting join.
+    //
+    // The registry entry runs the exact tier on a FIXED 500-document slice
+    // (= the whole corpus at sf0.01, so nothing changes at the correctness
+    // SF; a tenth of it at sf0.1). This cap is deliberate and NOT silent:
+    // the exact tier degenerates on uniform-df corpora as the corpus grows
+    // (measured >76 GB spill at the 100× probe) and production callers
+    // reach it only through prefixFilterPairsAuto's df-skew gate — which
+    // the d19 entry exercises on the FULL corpus at every SF, taking the
+    // protective maxdf_capped route exactly where the exact tier would
+    // degenerate. Paying ~23 s/bench to re-demonstrate the documented
+    // failure mode on the ungated tier bought no coverage.
     ("d17_prefix_filter",
-      (s, d) => Dedup.prefixFilterPairs(shinglesShared(s, d), minJaccardPct = 70)
+      (s, d) => Dedup.prefixFilterPairs(
+          shinglesShared(s, d).filter(col("id") < 500), minJaccardPct = 70)
         .orderBy("id_a", "id_b"),
-      s"""WITH sh AS ($ShinglesSql),
+      s"""WITH sh AS (SELECT * FROM ($ShinglesSql) WHERE id < 500),
          | dfx AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
          | rk AS (SELECT sh.id, sh.shingle,
          |        ROW_NUMBER() OVER (PARTITION BY sh.id
@@ -2337,6 +2349,68 @@ object PipelineQueries {
         |       CAST(1000 + doc_id % 4096 AS BIGINT) AS duration_ms,
         |       TRUE AS decoded
         | FROM documents ORDER BY media_id""".stripMargin),
+
+    // ---- REAL per-frame video decode over synthetic DIB-AVIs ------------
+    // the step m_video_meta documents as codec-stubbed, completed
+    // codec-free: a RIFF/AVI container walk yields uncompressed-DIB frames
+    // (bottom-up BGR rows, 4-byte padding, word-aligned 00dc chunks) the
+    // walker genuinely parses per frame; the oracle recomputes every
+    // frame's exact pixel sum arithmetically from doc_id alone. One output
+    // row PER FRAME — downstream per-frame ops (aHash keys, sampling)
+    // inherit the still-image shapes. The lossy-codec twin (MJPEG, real
+    // javax.imageio JPEG frames) is m_mjpeg_frames on committed fixtures.
+    ("m_video_frames",
+      (s, d) => Multimodal.decodeVideoFrames(
+          Multimodal.syntheticAvis(spread(t(s, d, "documents"))))
+        .toDF().orderBy("media_id", "frame_idx"),
+      """WITH p AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h,
+        |                  2 + doc_id % 3 AS n FROM documents),
+        | fr AS (SELECT doc_id, w, h, f
+        |        FROM p, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS f) g),
+        | px AS (SELECT doc_id, f, w, h,
+        |          SUM((doc_id * 31 + f * 101 + i * 7) % 256
+        |            + (doc_id * 31 + f * 101 + i * 7 + 13) % 256
+        |            + (doc_id * 31 + f * 101 + i * 7 + 26) % 256) AS s
+        |        FROM fr, LATERAL (SELECT unnest(generate_series(0, w * h - 1)) AS i) g2
+        |        GROUP BY doc_id, f, w, h)
+        | SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+        |        CAST(w AS INTEGER) AS img_w, CAST(h AS INTEGER) AS img_h,
+        |        CAST(s AS BIGINT) AS px_sum, TRUE AS decoded
+        | FROM px ORDER BY media_id, frame_idx""".stripMargin),
+
+    // ---- REAL MJPEG (JPEG-in-AVI) frame decode on committed fixtures ----
+    // the genuine lossy-codec video path the JDK can run: each 00dc chunk
+    // is a real JPEG decoded through the same javax.imageio route as still
+    // images. Lossy output isn't SQL-derivable, so the oracle is the
+    // VALUES literal recorded from the committed fixture bytes (and the
+    // spec pins position-exact pixels of individual frames).
+    ("m_mjpeg_frames",
+      (s, _) => {
+        import s.implicits._
+        val dir = Seq("src/test/resources/avi", "/root/repo/src/test/resources/avi")
+          .find(p => new java.io.File(p).isDirectory)
+          .getOrElse(throw new IllegalStateException("AVI fixture dir not found"))
+        val media = s.read.format("binaryFile").load(dir)
+          .select(
+            regexp_extract(col("path"), "mjpeg_(\\d+)\\.avi", 1).cast("long")
+              .as("media_id"),
+            lit("video").as("media_type"), lit("video/x-msvideo").as("mime"),
+            col("content").as("bytes"),
+            lit(-1).as("width"), lit(-1).as("height"), lit(0L).as("duration_ms"))
+          .as[Multimodal.MediaRow]
+        Multimodal.decodeVideoFrames(media).toDF().orderBy("media_id", "frame_idx")
+      },
+      """SELECT CAST(col0 AS BIGINT) AS media_id, CAST(col1 AS INTEGER) AS frame_idx,
+        |       CAST(col2 AS INTEGER) AS img_w, CAST(col3 AS INTEGER) AS img_h,
+        |       CAST(col4 AS BIGINT) AS px_sum, col5 AS decoded
+        | FROM (VALUES
+        |  (1, 0, 5, 4, 6595, TRUE),
+        |  (1, 1, 5, 4, 9779, TRUE),
+        |  (1, 2, 5, 4, 4811, TRUE),
+        |  (4, 0, 8, 4, 12409, TRUE),
+        |  (4, 1, 8, 4, 10990, TRUE),
+        |  (4, 2, 8, 4, 13079, TRUE)
+        | ) t(col0, col1, col2, col3, col4, col5)""".stripMargin),
 
     // ---- connected components over the near-dup pair graph --------------
     // large-star/small-star contraction resolving jaccard pairs into

@@ -1135,13 +1135,79 @@ object RelationalQueries {
         .groupBy("file_name")
         .agg(count(lit(1)).as("n_rows"),
           min(col("row_index")).as("first_idx"), max(col("row_index")).as("last_idx"),
-          sum(col("row_index") * (col("doc_id") + 1)).as("order_sig"))
+          sum(col("row_index") * (col("doc_id") + 1)).as("order_sig"),
+          // layout-parity assertions: the oracle hardcodes ONE physical
+          // file and derives row_index from doc_id. If the testdata
+          // writer's file count or row order ever drifts, fail HERE with
+          // an attributable message instead of an opaque hash mismatch.
+          max(when(col("row_index") =!= col("doc_id"), lit(1)).otherwise(lit(0)))
+            .as("__idx_drift"))
+        .withColumn("__n_files",
+          count(lit(1)).over(Window.partitionBy()))
+        .select(col("file_name"),
+          graft.ops.Bounded.guard(col("n_rows"),
+            col("__n_files") === 1 && col("__idx_drift") === 0,
+            "s24_file_metadata: documents layout drift — oracle assumes one " +
+              "physical file with row_index == doc_id; regenerate the oracle")
+            .as("n_rows"),
+          col("first_idx"), col("last_idx"), col("order_sig"))
         .orderBy("file_name"),
       """SELECT 'documents.parquet' AS file_name, count(*) AS n_rows,
         |        CAST(min(doc_id) AS BIGINT) AS first_idx,
         |        CAST(max(doc_id) AS BIGINT) AS last_idx,
         |        CAST(SUM(doc_id * (doc_id + 1)) AS BIGINT) AS order_sig
         | FROM documents""".stripMargin),
+
+    // ---- engine-native checksum reconciliation (xxhash64 twin of s20) ---
+    // s20's md5 fingerprint buys cross-engine parity (the DuckDB oracle
+    // recomputes it bit-for-bit) at ~13 s/6M rows of pure digest cost;
+    // real same-engine 100-TB reconciliation wants the codegen'd
+    // xxhash64 kernel instead (~5x cheaper — ScaleProbe `checksumHash`).
+    // xxhash64 values aren't reproducible outside Spark, so the entry
+    // verifies the PROPERTIES a reconciliation run relies on, which ARE
+    // oracle-expressible: (1) the fingerprint is order/partitioning-
+    // invariant — a repartitioned+resorted copy reconciles equal on every
+    // group (reorder_match all TRUE); (2) a single corrupted row is
+    // detected in exactly the group(s) that contain it — corrupt_match is
+    // FALSE precisely where DuckDB counts a touched row. Three fingerprint
+    // passes, each one map-side partial-agg shuffle of 6 summary rows; the
+    // final 3-way join is summary-sized.
+    ("s25_checksum_reconcile",
+      (s, d) => {
+        val keys = Seq("l_returnflag", "l_linestatus")
+        val fpCols: Seq[org.apache.spark.sql.Column] = Seq(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"), col("l_linestatus"),
+          col("l_shipdate"))
+        val li = t(s, d, "lineitem")
+        val a = graft.llm.Governance.tableFingerprint(li, keys, xxhash64(fpCols: _*))
+        // the "other side": same rows, different physical order — must
+        // reconcile equal by commutativity alone
+        val b = graft.llm.Governance
+          .tableFingerprint(li.repartition(7, col("l_partkey"))
+            .sortWithinPartitions("l_suppkey"), keys, xxhash64(fpCols: _*))
+          .withColumnsRenamed(Map("n" -> "bn", "xor_sig" -> "bx", "sum_sig" -> "bs"))
+        // a copy with ONE field of the rows at (orderkey%1000==1, line 1)
+        // bumped — the minimal corruption a checksum must catch
+        val c = graft.llm.Governance.tableFingerprint(
+            li.withColumn("l_quantity",
+              when(col("l_orderkey") % 1000 === 1 && col("l_linenumber") === 1,
+                col("l_quantity") + 1).otherwise(col("l_quantity"))),
+            keys, xxhash64(fpCols: _*))
+          .withColumnsRenamed(Map("n" -> "cn", "xor_sig" -> "cx", "sum_sig" -> "cs"))
+        a.join(b, keys).join(c, keys)
+          .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+            (col("bn") === col("n") && col("bx") === col("xor_sig") &&
+              col("bs") === col("sum_sig")).as("reorder_match"),
+            (col("cn") === col("n") && col("cx") === col("xor_sig") &&
+              col("cs") === col("sum_sig")).as("corrupt_match"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |       TRUE AS reorder_match,
+        |       (SUM(CASE WHEN l_orderkey % 1000 = 1 AND l_linenumber = 1
+        |                 THEN 1 ELSE 0 END) = 0) AS corrupt_match
+        | FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     // ---- leave-one-out target encoding ----------------------------------
     // the categorical-feature encoder that never leaks a row's own target:

@@ -59,11 +59,10 @@ object TemporalQueries {
   val AttributionSql: String =
     """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
       | p AS (SELECT * FROM e WHERE event_type = 'purchase'),
-      | t AS (SELECT *, CAST(ts_us AS HUGEINT) * 1000000 + event_id AS ord FROM e
-      |       WHERE event_type IN ('click', 'view')),
+      | t AS (SELECT * FROM e WHERE event_type IN ('click', 'view')),
       | j AS (SELECT p.event_id, p.user_id,
-      |              max_by(t.event_type, t.ord) AS last_touch,
-      |              min_by(t.event_type, t.ord) AS first_touch,
+      |              last(t.event_type ORDER BY t.ts_us, t.event_id) AS last_touch,
+      |              first(t.event_type ORDER BY t.ts_us, t.event_id) AS first_touch,
       |              count(t.event_id) AS n_touches
       |       FROM p LEFT JOIN t ON t.user_id = p.user_id
       |         AND t.ts_us < p.ts_us AND t.ts_us >= p.ts_us - 604800000000

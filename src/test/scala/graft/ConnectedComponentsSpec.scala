@@ -384,6 +384,28 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got0 == Seq(1L, 2L, 3L, 10L, 11L, 12L).map(v => v -> v).toMap)
   }
 
+  test("labelPropagation: string keys — internal dict-encode preserves key-order ties") {
+    import spark.implicits._
+    // the SAME graph under an order-preserving long→string rename
+    // ("n1"<"n2"<"n3"<"x10"<"x11"<"x12"): the internally-encoded run must
+    // reproduce the long-key replay exactly, including every min-label
+    // tie-break, and return the CALLER's string keys in both columns
+    val edges = Seq(("n1", "n2"), ("n2", "n3"), ("n1", "n3"),
+      ("x10", "x11"), ("x11", "x12"), ("x10", "x12"), ("n3", "x10"))
+      .toDF("src", "dst")
+    val got3 = graft.ops.GraphTraversal.labelPropagation(edges, rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got3 == Map("n1" -> "n1", "n2" -> "n1", "n3" -> "n1",
+      "x10" -> "n3", "x11" -> "n3", "x12" -> "n3"))
+    val got1 = graft.ops.GraphTraversal.labelPropagation(edges, rounds = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got1 == Map("n1" -> "n2", "n2" -> "n1", "n3" -> "n1",
+      "x10" -> "n3", "x11" -> "x10", "x12" -> "x10"))
+    val got0 = graft.ops.GraphTraversal.labelPropagation(edges, rounds = 0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got0 == Seq("n1", "n2", "n3", "x10", "x11", "x12").map(v => v -> v).toMap)
+  }
+
   test("hits: hand-replayed integer rounds on a 3-cycle with a chord") {
     import spark.implicits._
     // a→b, a→c, b→c, c→a.  h0 ≡ 1.

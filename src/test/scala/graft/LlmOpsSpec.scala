@@ -1417,6 +1417,73 @@ class LlmOpsSpec extends AnyFunSuite {
       bad.duration_ms == -1L)
   }
 
+  test("AVI walk + DIB frame decode reproduce the formula pixels exactly") {
+    for (id <- Seq(0L, 1L, 7L, 123L)) {
+      val (ew, eh, en) = Multimodal.aviDims(id)
+      val Some((handler, w, h, frames)) = Multimodal.parseAvi(Multimodal.syntheticAviDib(id))
+      assert(handler == "DIB " && w == ew && h == eh && frames.length == en)
+      frames.zipWithIndex.foreach { case (f, fi) =>
+        val Some((fw, fh, sum)) = Multimodal.decodeAviFrame("DIB ", w, h, f)
+        val expect = (0 until ew * eh).map(i =>
+          (0 to 2).map(c => Multimodal.aviPx(id, fi, i, c).toLong).sum).sum
+        assert(fw == ew && fh == eh && sum == expect, s"id=$id frame=$fi")
+      }
+    }
+    // end-to-end through the Dataset path: one row per frame, all decoded
+    val rows = Multimodal.decodeVideoFrames(
+        Multimodal.syntheticAvis(docs(3L -> "a", 8L -> "b")))
+      .collect().sortBy(r => (r.media_id, r.frame_idx))
+    assert(rows.map(_.media_id).distinct.toSeq == Seq(3L, 8L))
+    for (id <- Seq(3L, 8L)) {
+      val (ew, eh, en) = Multimodal.aviDims(id)
+      val mine = rows.filter(_.media_id == id)
+      assert(mine.length == en && mine.forall(r => r.decoded &&
+        r.img_w == ew && r.img_h == eh))
+    }
+    // corrupt payload: ONE sentinel row, never a throw or a vanished id
+    val bad = Multimodal.decodeVideoFrames(
+      Multimodal.syntheticAvis(docs(3L -> "a")).map(r => r.copy(bytes = r.bytes.take(16)))(
+        org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])).collect()
+    assert(bad.length == 1 && !bad(0).decoded && bad(0).frame_idx == -1)
+  }
+
+  test("MJPEG fixtures: real JPEG-in-AVI frames decode to position-exact pixels") {
+    // goldens recorded from the committed fixture bytes at authoring time;
+    // javax.imageio JPEG decode is deterministic for fixed bytes, so any
+    // drift here means the fixture or the decoder changed — both reportable
+    val goldens = Map( // (id, frame) -> (w, h, px_sum, rgb@(0,0), rgb@(w-1,h-1))
+      (1L, 0) -> (5, 4, 6595L, 2108987, 10398905),
+      (1L, 1) -> (5, 4, 9779L, 9470869, 660736),
+      (1L, 2) -> (5, 4, 4811L, 14998434, 7699069),
+      (4L, 0) -> (8, 4, 12409L, 9796702, 5202287),
+      (4L, 1) -> (8, 4, 10990L, 16249814, 13028570),
+      (4L, 2) -> (8, 4, 13079L, 5061700, 2046208))
+    val dir = Seq("src/test/resources/avi", "/root/repo/src/test/resources/avi")
+      .find(p => new java.io.File(p).isDirectory).get
+    for (id <- Seq(1L, 4L)) {
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/mjpeg_$id.avi"))
+      val Some((handler, w, h, frames)) = Multimodal.parseAvi(bytes)
+      assert(handler == "MJPG" && frames.length == 3)
+      frames.zipWithIndex.foreach { case (f, fi) =>
+        val (gw, gh, gsum, g00, gLast) = goldens((id, fi))
+        assert(Multimodal.decodeAviFrame("MJPG", w, h, f).contains((gw, gh, gsum)))
+        // position-exact pixels through the real imageio decode
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+        assert((img.getRGB(0, 0) & 0xffffff) == g00, s"id=$id f=$fi px(0,0)")
+        assert((img.getRGB(gw - 1, gh - 1) & 0xffffff) == gLast, s"id=$id f=$fi px(last)")
+      }
+    }
+    // the MJPEG generator itself roundtrips: frames are REAL JPEGs whose
+    // decode approximates the DIB formula (lossy, so compare loosely)
+    val Some((_, w42, h42, f42)) = Multimodal.parseAvi(Multimodal.syntheticAviMjpeg(42L))
+    val Some((dw, dh, sum)) = Multimodal.decodeAviFrame("MJPG", w42, h42, f42(0))
+    val exact = (0 until dw * dh).map(i =>
+      (0 to 2).map(c => Multimodal.aviPx(42L, 0, i, c).toLong).sum).sum
+    assert(dw == w42 && dh == h42)
+    assert(math.abs(sum - exact) < exact, "JPEG decode wildly off the source pixels")
+  }
+
   test("Bounded.guard: in-bound rows pass unchanged, violations fail loudly") {
     val fused = Retrieval.rrfFuse(
       Seq("a" -> docs(1L -> "x", 2L -> "y").select($"doc_id", ($"doc_id" + 10).as("rank"))),
