@@ -488,7 +488,7 @@ object ScaleProbe {
     // integer HITS rounds, and the map-side table fingerprint at mult x
     // input volume
     val r11Probes = Seq("skyline", "hitsRounds", "tableChecksum", "pprRounds",
-      "compactionPlan")
+      "compactionPlan", "checksumHash", "lpaRounds")
     if (r11Probes.exists(enabled)) {
       val orders = spark.read.parquet(s"$sfDir/orders.parquet")
         .repartition(spark.sparkContext.defaultParallelism)
@@ -551,6 +551,50 @@ object ScaleProbe {
           .groupBy("l_returnflag", "l_linestatus")
           .agg(count(lit(1)).as("n"), expr("bit_xor(fp)").as("xor_sig"))
           .count()
+      }
+      // md5-vs-xxhash64 fingerprint cost on IDENTICAL volume: same scan,
+      // same partial-agg shuffle — the delta is pure digest kernel
+      // (s20 keeps md5 for cross-engine oracle parity; s25's xxhash64 is
+      // the same-engine reconciliation default)
+      if (enabled("checksumHash")) {
+        val li = (0 until mult).map(k =>
+          liProbe.withColumn("l_orderkey", col("l_orderkey") + lit(k.toLong * orderStride)))
+          .reduce(_ union _)
+        val fpCols = Seq(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_linestatus"), col("l_quantity"), col("l_shipdate"))
+        timed("checksumHash md5") {
+          graft.llm.Governance.tableFingerprint(li,
+            Seq("l_returnflag", "l_linestatus"),
+            org.apache.spark.sql.functions.conv(
+              substring(md5(concat_ws("|", fpCols: _*)), 1, 15), 16, 10)).count()
+        }
+        timed("checksumHash xxhash64") {
+          graft.llm.Governance.tableFingerprint(li,
+            Seq("l_returnflag", "l_linestatus"), xxhash64(fpCols: _*)).count()
+        }
+      }
+      // string-vs-long LPA key cost at mult x edges: the same vote loop,
+      // once on 40-byte URI keys straight through (the pre-r10 behavior,
+      // encodeKeys=false) and once through the internal order-preserving
+      // dictionary — the delta is per-round shuffle bytes, which the
+      // two one-time encode joins must repay within a few rounds
+      if (enabled("lpaRounds")) {
+        val uris = (0 until mult).map(k => orders.select(
+            concat(lit("http://purl.obolibrary.org/obo/CL_"),
+              lpad((col("o_orderkey") + lit(k.toLong * orderStride)).cast("string"),
+                12, "0")).as("v")))
+          .reduce(_ union _)
+        val e = (1 to 3).map(dl => uris.select(col("v").as("src"),
+            concat(lit("http://purl.obolibrary.org/obo/CL_"),
+              lpad((substring(col("v"), -12, 12).cast("long") + dl).cast("string"),
+                12, "0")).as("dst"))).reduce(_ union _)
+        timed("lpaRounds string keys (legacy)") {
+          graft.ops.GraphTraversal.labelPropagation(e, rounds = 3,
+            encodeKeys = false).count()
+        }
+        timed("lpaRounds dict-encoded") {
+          graft.ops.GraphTraversal.labelPropagation(e, rounds = 3).count()
+        }
       }
     }
 

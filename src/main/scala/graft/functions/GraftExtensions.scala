@@ -70,7 +70,8 @@ object GraftExtensions {
     fn("window_hashes", classOf[WindowHashesExpr], 2,
       es => WindowHashesExpr(es(0), intArg("window_hashes", es(1)))),
     fn("porter_stem", classOf[PorterStemExpr], 1, es => PorterStemExpr(es.head)),
-    fn("accent_fold", classOf[AccentFoldExpr], 1, es => AccentFoldExpr(es.head)))
+    fn("accent_fold", classOf[AccentFoldExpr], 1, es => AccentFoldExpr(es.head)),
+    fn("nfc_normalize", classOf[NfcNormalizeExpr], 1, es => NfcNormalizeExpr(es.head)))
 
   /** Register the engine functions on an ALREADY-RUNNING session (extensions
     * only apply at session construction; a same-JVM getOrCreate reuses the

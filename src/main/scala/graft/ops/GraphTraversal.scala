@@ -515,13 +515,17 @@ object GraphTraversal {
     */
   def labelPropagation(edges: DataFrame, rounds: Int,
                        srcCol: String = "src", dstCol: String = "dst",
-                       cp: Checkpointer = Checkpointer.Auto): DataFrame = {
+                       cp: Checkpointer = Checkpointer.Auto,
+                       encodeKeys: Boolean = true): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0: $rounds")
     val eCaller = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val integral = Set[org.apache.spark.sql.types.DataType](
       org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
       org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
-    if (integral.contains(eCaller.schema("src").dataType))
+    // encodeKeys=false runs the vote loop directly on the caller's keys —
+    // a measurement knob (ScaleProbe `lpaRounds` A/B quantifies the
+    // string-key shuffle cost), not a production path
+    if (integral.contains(eCaller.schema("src").dataType) || !encodeKeys)
       return lpaRounds(eCaller, rounds, cp)
     val eRaw = cp(eCaller.distinct())
     val keys = eRaw.select(col("src").as("id"))

@@ -2608,6 +2608,33 @@ object PipelineQueries {
          |   CAST(len(regexp_extract_all(synth, '${TextStats.PhoneRe}')) AS BIGINT) AS n_phones
          | FROM s ORDER BY doc_id""".stripMargin),
 
+    // ---- Unicode NFC normalization (native codegen expression) ----------
+    // canonical composition BEFORE any hash-based dedup/shingling sees the
+    // text: "e"+U+0301 and precomposed "é" are byte-different but render
+    // identically — unnormalized they land in different dedup classes and
+    // vocabulary entries, a systematic near-dup leak at corpus scale. The
+    // corpus itself is ASCII (the zero-cost fast path), so a decomposed
+    // prefix is synthesized deterministically on BOTH engines; DuckDB's
+    // nfc_normalize implements the same UAX #15 composition, making the
+    // normalized prefix and codepoint counts hash-comparable.
+    ("t_unicode_normalize",
+      (s, d) => {
+        // "Cafe"+U+0301(combining acute) + NBSP + "No"+U+0308(diaeresis)+"el "
+        val raw = concat(lit("Cafe\u0301\u00A0No\u0308el "), col("text"))
+        val norm = graft.functions.NfcNormalize.nfcCol(raw)
+        t(s, d, "documents").select(col("doc_id"),
+            length(raw).as("n_raw"), length(norm).as("n_nfc"),
+            substring(norm, 1, 10).as("prefix"))
+          .orderBy("doc_id")
+      },
+      """WITH r AS (SELECT doc_id,
+        |             'Cafe' || chr(769) || chr(160) || 'No' || chr(776) ||
+        |             'el ' || text AS raw FROM documents)
+        | SELECT doc_id, CAST(length(raw) AS INTEGER) AS n_raw,
+        |        CAST(length(nfc_normalize(raw)) AS INTEGER) AS n_nfc,
+        |        substr(nfc_normalize(raw), 1, 10) AS prefix
+        | FROM r ORDER BY doc_id""".stripMargin),
+
     // ---- per-label embedding centroids ----------------------------------
     // dimension-parallel class-centroid aggregation in quantized integer
     // space; the mean is one double division on exact integers so it

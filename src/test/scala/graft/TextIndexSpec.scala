@@ -202,6 +202,32 @@ class TextIndexSpec extends AnyFunSuite {
     assert(hits == Seq(1L))
   }
 
+  test("NFC normalization: canonical composition, ASCII identity, SQL-registered") {
+    // decomposed e + U+0301 composes to precomposed é; NBSP is untouched
+    // (canonical, not compatibility, normalization); already-NFC strings
+    // return the same instance (no allocation)
+    val dec = "Cafe\u0301 No\u0308el"
+    val comp = "Caf\u00e9 N\u00f6el"
+    assert(graft.functions.NfcNormalize.nfc(dec) == comp)
+    assert(dec.length == comp.length + 2)
+    val ascii = "plain ascii"
+    assert(graft.functions.NfcNormalize.nfc(ascii) eq ascii)
+    // non-decomposable singleton: U+212B ANGSTROM SIGN canonically maps to
+    // U+00C5 — NFC rewrites singletons too, the detail a "compose pairs
+    // only" shortcut would miss
+    assert(graft.functions.NfcNormalize.nfc("\u212b") == "\u00c5")
+    // UTF8String adapter + codegen path through the Column form and SQL
+    import org.apache.spark.sql.functions.lit
+    val got = Seq(1).toDF("i")
+      .select(graft.functions.NfcNormalize.nfcCol(lit(dec)).as("n"))
+      .collect()(0).getString(0)
+    assert(got == comp)
+    graft.functions.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      s"SELECT nfc_normalize('$dec') = 'Caf\u00e9 N\u00f6el'").collect()(0)
+    assert(viaSql.getBoolean(0))
+  }
+
   test("text_en analyzer joins inflected query and document forms") {
     val toks = Seq("The cell develops rapidly").toDF("s")
       .select(explode(TextIndex.textEnTokens($"s")).as("token"))
