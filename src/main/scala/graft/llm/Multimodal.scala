@@ -687,6 +687,52 @@ object Multimodal {
     }
   }
 
+  /** LSH-banded image near-duplicate pairs over the perceptual aHash —
+    * the image counterpart of MinHash/LSH text dedup: two images whose
+    * aHashes differ in at most `maxHamming` bits are near-duplicate
+    * candidates (re-encodes, small crops, brightness shifts), and banding
+    * finds them WITHOUT the quadratic all-pairs scan: a pair within
+    * Hamming distance d < nBands must agree exactly on at least one of
+    * the nBands bit-bands (pigeonhole), so candidates = equi-join on
+    * (band, band_value) — completeness is guaranteed for
+    * maxHamming < nBands, never sampled away.
+    *
+    * Scale shape (100 TB of images): hash is map-side ([[imageAHash]]);
+    * banding explodes ×nBands; candidates come from a bucket equi-join.
+    * Buckets above `maxBucket` are DROPPED WHOLE (the [[graft.llm.Dedup]]
+    * maxBucket discipline — a degenerate band value, e.g. the all-zero
+    * band of uniform images, would otherwise fan out quadratically);
+    * the drop is principled: giant buckets mean that band carries no
+    * selectivity. Verification re-checks the EXACT Hamming distance on
+    * the full hash, so banding never inflates the result.
+    */
+  def aHashNearDupPairs(media: Dataset[MediaRow], bandBits: Int = 10,
+                        nBands: Int = 4, maxHamming: Int = 2,
+                        maxBucket: Int = 64): DataFrame = {
+    require(maxHamming < nBands,
+      s"completeness needs maxHamming < nBands: $maxHamming >= $nBands")
+    val hashed = imageAHash(media).filter(col("decoded"))
+      .select(col("media_id"), col("ahash"))
+    val bands = hashed.select(col("media_id"), col("ahash"), explode(array(
+        (0 until nBands).map(b => struct(lit(b).as("band"),
+          shiftright(col("ahash"), b * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1)).as("v"))): _*)).as("bv"))
+      .select(col("media_id"), col("ahash"), col("bv.band"), col("bv.v"))
+    // bucket-size gate: aggregate once, keep selective buckets only
+    val ok = bands.groupBy("band", "v").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket).select("band", "v")
+    val gated = bands.join(ok, Seq("band", "v"))
+    val pairs = gated.select(col("band"), col("v"),
+        col("media_id").as("id_a"), col("ahash").as("ha"))
+      .join(gated.select(col("band"), col("v"),
+        col("media_id").as("id_b"), col("ahash").as("hb")), Seq("band", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "ha", "hb").distinct()
+    pairs.select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** One REAL decoded video frame: pixel dimensions + exact integer pixel
     * sum (Σ r+g+b), the per-frame twin of [[MediaFeatures]]' image fields.
     */

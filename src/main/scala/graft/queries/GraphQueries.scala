@@ -379,6 +379,40 @@ object GraphQueries {
         | TRUE AS orders_within_5pct, TRUE AS p50_rank_within_5pct
         | FROM lineitem""".stripMargin),
 
+    // ---- mergeable HLL sketch columns (re-aggregation without rescan) ---
+    // the 100-TB distinct-counting architecture a7's one-shot
+    // approx_count_distinct can't express: per-fine-grain DataSketches HLL
+    // sketches are MATERIALIZED as a binary column (in production: one per
+    // partition/day, stored beside the data), then any coarser grain is
+    // answered by hll_union_agg over the SKETCHES — raw data is never
+    // rescanned, and sketch merge is associative so the re-aggregation is
+    // a few KB per cell regardless of row count. The entry proves the
+    // pipeline: sketch per (returnflag, linestatus) cell → union to
+    // per-returnflag → estimate, with the estimate guarded within 5% of
+    // the exact distinct (fails loudly, not silently wrong) and the exact
+    // count oracle-checked.
+    ("a9_hll_merge",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val perCell = li.groupBy("l_returnflag", "l_linestatus")
+          .agg(expr("hll_sketch_agg(l_orderkey, 14)").as("sk"))
+        val perFlag = perCell.groupBy("l_returnflag")
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+        val exact = li.groupBy("l_returnflag")
+          .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+        perFlag.join(exact, Seq("l_returnflag"))
+          .select(col("l_returnflag"),
+            graft.ops.Bounded.guard(col("n_exact"),
+              abs(col("est") - col("n_exact")) <= col("n_exact") * 0.05,
+              "a9_hll_merge: sketch-merge estimate drifted beyond 5% of exact")
+              .as("n_exact"),
+            lit(true).as("est_within_5pct"))
+          .orderBy("l_returnflag")
+      },
+      """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_exact,
+        |       TRUE AS est_within_5pct
+        | FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ---- degree distribution (graph shape governance) -------------------
     // the first thing to read before running any traversal: per-vertex
     // total degree over the distinct customer→order edge set, rolled into

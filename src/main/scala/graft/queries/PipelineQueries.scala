@@ -2276,6 +2276,48 @@ object PipelineQueries {
         |        CAST(n_bits AS INTEGER) AS n_bits, TRUE AS decoded
         | FROM b ORDER BY media_id""".stripMargin),
 
+    // ---- LSH-banded image near-dup pairs over the perceptual hash -------
+    // the image counterpart of d3_minhash_lsh: pairs within Hamming
+    // distance 2 on the aHash are near-dup candidates, found by exact
+    // equi-join on 4×10-bit hash bands (pigeonhole: d < 4 bands forces one
+    // exact band match — complete, never sampled), with the maxBucket
+    // discipline dropping degenerate bands whole and an exact full-hash
+    // Hamming verify so banding never inflates the result. Duplicates are
+    // real: images synthesize from doc_id mod 240, so every class of ids
+    // congruent mod 240 is byte-identical (Hamming 0) and cross-class
+    // near-misses surface as 1–2-bit pairs. The oracle replays hash,
+    // banding, bucket gate, and verify arithmetically.
+    ("m_ahash_neardup",
+      (s, d) => {
+        import s.implicits._
+        val media = spread(t(s, d, "documents")).select(col("doc_id")).as[Long]
+          .map(id => Multimodal.MediaRow(id, "image", "image/bmp",
+            Multimodal.syntheticBmp(id % 240), -1, -1, 0L))
+        Multimodal.aHashNearDupPairs(media).orderBy("id_a", "id_b")
+      },
+      """WITH p AS (SELECT doc_id, doc_id % 240 AS sid FROM documents),
+        | d2 AS (SELECT doc_id, sid, 4 + sid % 5 AS w, 3 + sid % 3 AS h FROM p),
+        | g AS (SELECT doc_id, i,
+        |        ((sid*31 + i*7) % 256 + (sid*31 + i*7 + 13) % 256
+        |         + (sid*31 + i*7 + 26) % 256) // 3 AS gy
+        |       FROM d2, LATERAL (SELECT unnest(generate_series(0, w*h - 1)) AS i) s),
+        | t AS (SELECT doc_id, SUM(gy) AS tot, COUNT(*) AS n FROM g GROUP BY 1),
+        | ah AS (SELECT g.doc_id,
+        |          CAST(SUM(CASE WHEN g.gy * t.n >= t.tot
+        |            THEN CAST(power(2, g.i) AS BIGINT) ELSE 0 END) AS BIGINT) AS ahash
+        |        FROM g JOIN t USING (doc_id) GROUP BY 1),
+        | bands AS (SELECT doc_id, ahash, b, (ahash >> (b*10)) & 1023 AS v
+        |           FROM ah, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) bb),
+        | ok AS (SELECT b, v FROM bands GROUP BY b, v HAVING COUNT(*) <= 64),
+        | cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+        |                 a.ahash AS ha, c.ahash AS hb
+        |          FROM bands a JOIN ok o ON a.b = o.b AND a.v = o.v
+        |          JOIN bands c ON c.b = o.b AND c.v = o.v
+        |          WHERE a.doc_id < c.doc_id)
+        | SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+        | FROM cand WHERE bit_count(xor(ha, hb)) <= 2
+        | ORDER BY id_a, id_b""".stripMargin),
+
     // ---- spectral (Walsh–Hadamard) perceptual hash ----------------------
     // the pHash idea with exact-integer arithmetic: bit k = sign of the
     // k-th WHT coefficient of the decoded grayscale sequence (±1 basis —

@@ -1129,29 +1129,34 @@ object RelationalQueries {
     // (verified: the driver's writer lays doc_id in file order at every
     // SF, so the oracle derives row_index from doc_id).
     ("s24_file_metadata",
-      (s, d) => t(s, d, "documents")
-        .select(col("doc_id"), col("_metadata.file_name").as("file_name"),
-          col("_metadata.row_index").as("row_index"))
-        .groupBy("file_name")
-        .agg(count(lit(1)).as("n_rows"),
-          min(col("row_index")).as("first_idx"), max(col("row_index")).as("last_idx"),
-          sum(col("row_index") * (col("doc_id") + 1)).as("order_sig"),
-          // layout-parity assertions: the oracle hardcodes ONE physical
-          // file and derives row_index from doc_id. If the testdata
-          // writer's file count or row order ever drifts, fail HERE with
-          // an attributable message instead of an opaque hash mismatch.
-          max(when(col("row_index") =!= col("doc_id"), lit(1)).otherwise(lit(0)))
-            .as("__idx_drift"))
-        .withColumn("__n_files",
-          count(lit(1)).over(Window.partitionBy()))
-        .select(col("file_name"),
-          graft.ops.Bounded.guard(col("n_rows"),
-            col("__n_files") === 1 && col("__idx_drift") === 0,
-            "s24_file_metadata: documents layout drift — oracle assumes one " +
-              "physical file with row_index == doc_id; regenerate the oracle")
-            .as("n_rows"),
-          col("first_idx"), col("last_idx"), col("order_sig"))
-        .orderBy("file_name"),
+      (s, d) => {
+        val perFile = t(s, d, "documents")
+          .select(col("doc_id"), col("_metadata.file_name").as("file_name"),
+            col("_metadata.row_index").as("row_index"))
+          .groupBy("file_name")
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("row_index")).as("first_idx"), max(col("row_index")).as("last_idx"),
+            sum(col("row_index") * (col("doc_id") + 1)).as("order_sig"),
+            // layout-parity assertions: the oracle hardcodes ONE physical
+            // file and derives row_index from doc_id. If the testdata
+            // writer's file count or row order ever drifts, fail HERE with
+            // an attributable message instead of an opaque hash mismatch.
+            // The file-count side is a broadcast 1-row aggregate, not an
+            // unpartitioned window — the grouped frame is file-count-sized
+            // (millions of rows at 100 TB), too big to single-partition.
+            max(when(col("row_index") =!= col("doc_id"), lit(1)).otherwise(lit(0)))
+              .as("__idx_drift"))
+        perFile
+          .crossJoin(broadcast(perFile.agg(count(lit(1)).as("__n_files"))))
+          .select(col("file_name"),
+            graft.ops.Bounded.guard(col("n_rows"),
+              col("__n_files") === 1 && col("__idx_drift") === 0,
+              "s24_file_metadata: documents layout drift — oracle assumes one " +
+                "physical file with row_index == doc_id; regenerate the oracle")
+              .as("n_rows"),
+            col("first_idx"), col("last_idx"), col("order_sig"))
+          .orderBy("file_name")
+      },
       """SELECT 'documents.parquet' AS file_name, count(*) AS n_rows,
         |        CAST(min(doc_id) AS BIGINT) AS first_idx,
         |        CAST(max(doc_id) AS BIGINT) AS last_idx,

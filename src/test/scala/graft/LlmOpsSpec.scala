@@ -1417,6 +1417,35 @@ class LlmOpsSpec extends AnyFunSuite {
       bad.duration_ms == -1L)
   }
 
+  test("aHashNearDupPairs: banding finds identical images, gates giant buckets") {
+    import org.apache.spark.sql.Encoders
+    val enc = Encoders.product[Multimodal.MediaRow]
+    def bmpRows(ids: Seq[(Long, Long)]): org.apache.spark.sql.Dataset[Multimodal.MediaRow] =
+      spark.createDataset(ids.map { case (mid, src) =>
+        Multimodal.MediaRow(mid, "image", "image/bmp",
+          Multimodal.syntheticBmp(src), -1, -1, 0L) })(enc)
+    // 10,20 share source image 3; 30,40 share source 7; 50 is unique:
+    // the two identical pairs MUST surface at hamming 0, and 50 must
+    // never be reported as an EXACT dup (hamming 0) of anything — these
+    // tiny test hashes sit close enough that 1–2-bit chance neighbors of
+    // 50 are legitimate near-dup candidates, not false positives
+    val got = Multimodal.aHashNearDupPairs(bmpRows(Seq(
+        10L -> 3L, 20L -> 3L, 30L -> 7L, 40L -> 7L, 50L -> 11L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    assert(got.contains((10L, 20L, 0)) && got.contains((30L, 40L, 0)))
+    assert(!got.exists(p => (p._1 == 50L || p._2 == 50L) && p._3 == 0))
+    assert(got.forall(p => p._3 >= 0 && p._3 <= 2))
+    // maxBucket gate: 5 copies of one image with maxBucket=4 drops every
+    // band bucket whole -> no candidates survive, by design not by luck
+    val gated = Multimodal.aHashNearDupPairs(
+      bmpRows((1L to 5L).map(i => i -> 3L)), maxBucket = 4).collect()
+    assert(gated.isEmpty)
+    // the pigeonhole precondition is enforced, not assumed
+    intercept[IllegalArgumentException] {
+      Multimodal.aHashNearDupPairs(bmpRows(Seq(1L -> 1L)), nBands = 2, maxHamming = 2)
+    }
+  }
+
   test("AVI walk + DIB frame decode reproduce the formula pixels exactly") {
     for (id <- Seq(0L, 1L, 7L, 123L)) {
       val (ew, eh, en) = Multimodal.aviDims(id)
