@@ -546,6 +546,104 @@ object GraphTraversal {
       .select(col("__id_key").as("id"), col("__label_key").as("label"))
   }
 
+  /** Strongly connected components of a DIRECTED graph — the structure
+    * [[ConnectedComponents]] (undirected) cannot see: a citation ring, a
+    * mutual-redirect cluster, a cyclic ontology import are SCCs even when
+    * the surrounding graph is a DAG. Forward–backward peeling (the FW-BW
+    * family, Fleischer et al. 2000, expressed relationally):
+    *
+    * each outer round computes F(v) = min id that REACHES v and
+    * B(v) = min id v reaches (two min-propagation fixpoints, the
+    * [[ConnectedComponents]] semilattice discipline with a
+    * monotone-fingerprint convergence test); vertices with F(v) == B(v)
+    * = c are exactly SCC(c) (c →* v and v →* c), get assigned, and are
+    * REMOVED — safe, because an intra-SCC path can never route through a
+    * different (removed) SCC. Each round assigns at least the SCC of the
+    * minimum remaining id, so rounds are bounded by the depth of the
+    * SCC condensation order, not by vertex count.
+    *
+    * Scale shape: per propagation round ONE edge-scale equi-join + one
+    * grouped min (map-combinable) on 8-byte-encodable keys; outer rounds
+    * shrink the edge table by semi-joins against the survivors.
+    * `maxOuter`/`maxProp` bound the rounds and THROW on non-convergence
+    * (never a silently partial labeling — the CC contract).
+    */
+  def stronglyConnectedComponents(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", vertices: Option[DataFrame] = None,
+      idCol: String = "id", maxOuter: Int = 20, maxProp: Int = 60,
+      cp: Checkpointer = Checkpointer.Auto): DataFrame = {
+    var rem = cp(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull).distinct())
+    var remV = cp(rem.select(col("src").as("id"))
+      .union(rem.select(col("dst").as("id"))).distinct())
+    var nRem = remV.count()
+    val done = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var outer = 0
+    while (nRem > 0 && outer < maxOuter) {
+      val fwd = minPropagate(rem, remV, reversed = false, maxProp, cp)
+      val bwd = minPropagate(rem, remV, reversed = true, maxProp, cp)
+      val assigned = cp(fwd.join(bwd.withColumnsRenamed(Map("lab" -> "blab")), Seq("id"))
+        .filter(col("lab") === col("blab"))
+        .select(col("id"), col("lab").as("scc")))
+      done += assigned
+      val nextV = cp(remV.join(assigned, Seq("id"), "left_anti"))
+      val nextE = cp(rem
+        .join(nextV.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(nextV.select(col("id").as("dst")), Seq("dst"), "left_semi"))
+      cp.release(fwd); cp.release(bwd); cp.release(remV); cp.release(rem)
+      remV = nextV
+      rem = nextE
+      nRem = remV.count()
+      outer += 1
+    }
+    if (nRem > 0)
+      throw new IllegalStateException(
+        s"SCC peeling did not converge in $maxOuter outer rounds " +
+          "(condensation deeper than maxOuter; raise it)")
+    val assigned = done.reduceOption(_ union _)
+      .getOrElse(rem.select(col("src").as("id"), col("src").as("scc")).limit(0))
+    vertices match {
+      case None => assigned
+      case Some(vs) =>
+        vs.select(col(idCol).as("id"))
+          .join(assigned, Seq("id"), "left")
+          .select(col("id"), coalesce(col("scc"), col("id")).as("scc"))
+    }
+  }
+
+  /** Min-label propagation fixpoint over directed edges (reachability
+    * semilattice): lab(v) = min over {v} ∪ {lab(u) : u → v} (or the
+    * reversed relation). Labels only decrease, so the xxhash64-sum
+    * fingerprint ([[ConnectedComponents]] discipline) is a sound
+    * convergence test; throws after `maxProp` rounds.
+    */
+  private def minPropagate(e: DataFrame, verts: DataFrame, reversed: Boolean,
+                           maxProp: Int, cp: Checkpointer): DataFrame = {
+    val ed = if (reversed) e.select(col("dst").as("src"), col("src").as("dst")) else e
+    var labels = cp(verts.withColumn("lab", col("id")))
+    def fp(df: DataFrame): BigDecimal = BigDecimal(
+      df.agg(coalesce(sum(xxhash64(col("id"), col("lab"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))), lit(0)))
+        .head().getDecimal(0))
+    var prev = fp(labels)
+    var it = 0
+    while (it < maxProp) {
+      val msgs = ed.join(labels.withColumnsRenamed(Map("id" -> "src")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min(col("lab")).as("mlab"))
+      val next = cp(labels.join(msgs, Seq("id"), "left")
+        .select(col("id"), least(col("lab"), coalesce(col("mlab"), col("lab"))).as("lab")))
+      val nfp = fp(next)
+      cp.release(labels)
+      labels = next
+      if (nfp == prev) return labels
+      prev = nfp
+      it += 1
+    }
+    throw new IllegalStateException(
+      s"min propagation did not converge in $maxProp rounds " +
+        "(graph diameter exceeds maxProp; raise it)")
+  }
+
   /** vid = rank of `id` in ascending key order: an order-preserving dense
     * dictionary (`id`, `vid` LONG). Range-partitioned sort + per-partition
     * index assignment with partition-count offsets (`zipWithIndex`) — the

@@ -413,6 +413,42 @@ object GraphQueries {
         |       TRUE AS est_within_5pct
         | FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ---- strongly connected components (directed) -----------------------
+    // the structure undirected CC cannot see: 3-cycles ("rings") bridged
+    // pairwise by ONE-WAY edges — each ring is its own SCC and the bridge
+    // must not merge them, while the bridge DOES force the FB peel into a
+    // second outer round (downstream ring has F ≠ B until the upstream
+    // SCC is removed). Graph size tracks the data (one ring per order, up
+    // to a cap that keeps the oracle's transitive closure tractable —
+    // components stay ≤ 6 vertices, so closure rows stay linear). The
+    // oracle is an INDEPENDENT algorithm: DuckDB recursive-CTE closure +
+    // min mutually-reachable id.
+    ("g_scc",
+      (s, d) => {
+        val n = math.min(t(s, d, "orders").count(), 2000L)
+        val r = s.range(n).select(col("id").as("r"))
+        val e = r.select((col("r") * 3).as("src"), (col("r") * 3 + 1).as("dst"))
+          .unionAll(r.select((col("r") * 3 + 1).as("src"), (col("r") * 3 + 2).as("dst")))
+          .unionAll(r.select((col("r") * 3 + 2).as("src"), (col("r") * 3).as("dst")))
+          .unionAll(r.filter(col("r") % 2 === 0 && col("r") < n - 1)
+            .select((col("r") * 3 + 2).as("src"), ((col("r") + 1) * 3).as("dst")))
+        graft.ops.GraphTraversal.stronglyConnectedComponents(e).orderBy("id")
+      },
+      """WITH RECURSIVE nn AS (SELECT LEAST(COUNT(*), 2000) AS n FROM orders),
+        | r AS (SELECT unnest(generate_series(0, (SELECT n FROM nn) - 1)) AS r),
+        | e AS (SELECT r*3 AS src, r*3+1 AS dst FROM r
+        |       UNION ALL SELECT r*3+1, r*3+2 FROM r
+        |       UNION ALL SELECT r*3+2, r*3 FROM r
+        |       UNION ALL SELECT r*3+2, (r+1)*3 FROM r
+        |         WHERE r % 2 = 0 AND r < (SELECT n FROM nn) - 1),
+        | v AS (SELECT DISTINCT src AS id FROM e UNION SELECT dst FROM e),
+        | reach AS (SELECT src, dst FROM e
+        |           UNION SELECT rc.src, e.dst FROM reach rc JOIN e ON rc.dst = e.src),
+        | r2 AS (SELECT src, dst FROM reach UNION SELECT id, id FROM v)
+        | SELECT CAST(a.src AS BIGINT) AS id, CAST(MIN(a.dst) AS BIGINT) AS scc
+        | FROM r2 a JOIN r2 b ON a.dst = b.src AND b.dst = a.src
+        | GROUP BY 1 ORDER BY id""".stripMargin),
+
     // ---- degree distribution (graph shape governance) -------------------
     // the first thing to read before running any traversal: per-vertex
     // total degree over the distinct customer→order edge set, rolled into

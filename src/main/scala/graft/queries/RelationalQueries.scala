@@ -713,6 +713,118 @@ object RelationalQueries {
         | FROM f ASOF LEFT JOIN hist h ON f.k = h.k AND f.vseq >= h.vseq
         | ORDER BY f.o_orderkey""".stripMargin),
 
+    // ---- zone-map data skipping (min/max pruning, layout-sensitive) -----
+    // the file-skipping arithmetic a 100-TB scan lives or dies by: per
+    // "file" (simulated: arrival-order vs date-clustered groupings of the
+    // same rows) a (min, max) zone map on ship-day; a range predicate
+    // skips a file iff its zone is disjoint from [D1, D2]. The entry
+    // quantifies WHY layout matters: arrival-order files all straddle the
+    // date range (zone maps prune ~nothing), date-clustered files prune
+    // all but the window (rows_scanned collapses to ~rows_matched).
+    // Clustering uses value-range bucketing (day div 30 — no global
+    // sort, the PrefixOps discipline). A guard asserts the pruning
+    // invariant: no skipped file contains a matching row.
+    ("s26_zonemap_prune",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_orderkey"),
+          expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000").as("day"))
+        val d1 = expr("unix_micros(TIMESTAMP '1995-06-01 00:00:00') div 86400000000")
+        val d2 = expr("unix_micros(TIMESTAMP '1995-12-31 00:00:00') div 86400000000")
+        def layout(name: String, fileId: org.apache.spark.sql.Column) = li
+          .withColumn("file_id", fileId)
+          .groupBy("file_id")
+          .agg(count(lit(1)).as("n_rows"), min(col("day")).as("zmin"),
+            max(col("day")).as("zmax"),
+            sum(when(col("day").between(d1, d2), 1L).otherwise(0L)).as("n_match"))
+          .withColumn("skippable", col("zmax") < d1 || col("zmin") > d2)
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(col("skippable"), 1L).otherwise(0L)).as("n_skipped"),
+            sum(when(!col("skippable"), col("n_rows")).otherwise(0L)).as("rows_scanned"),
+            sum(col("n_match")).as("rows_matched"),
+            sum(when(col("skippable"), col("n_match")).otherwise(0L)).as("leaked"))
+          .select(lit(name).as("layout"), col("n_files"), col("n_skipped"),
+            graft.ops.Bounded.guard(col("rows_scanned"), col("leaked") === 0,
+              s"s26_zonemap_prune[$name]: a skipped file contains matching rows")
+              .as("rows_scanned"),
+            col("rows_matched"))
+        layout("arrival", expr("l_orderkey div 2000"))
+          .unionByName(layout("clustered", expr("day div 30")))
+          .orderBy("layout")
+      },
+      """WITH li AS (SELECT l_orderkey,
+        |              epoch_us(l_shipdate) // 86400000000 AS day FROM lineitem),
+        | dd AS (SELECT epoch_us(TIMESTAMP '1995-06-01') // 86400000000 AS d1,
+        |               epoch_us(TIMESTAMP '1995-12-31') // 86400000000 AS d2),
+        | f AS (SELECT CASE WHEN lay = 'arrival' THEN l_orderkey // 2000
+        |                   ELSE day // 30 END AS file_id, lay, day
+        |       FROM li CROSS JOIN (SELECT unnest(['arrival','clustered']) AS lay) l),
+        | z AS (SELECT lay, file_id, COUNT(*) AS n_rows, MIN(day) AS zmin,
+        |              MAX(day) AS zmax,
+        |              SUM(CASE WHEN day BETWEEN (SELECT d1 FROM dd)
+        |                        AND (SELECT d2 FROM dd) THEN 1 ELSE 0 END) AS n_match
+        |       FROM f GROUP BY 1, 2),
+        | s AS (SELECT lay, n_rows, n_match,
+        |              zmax < (SELECT d1 FROM dd) OR zmin > (SELECT d2 FROM dd) AS sk
+        |       FROM z)
+        | SELECT lay AS layout, COUNT(*) AS n_files,
+        |        CAST(SUM(CASE WHEN sk THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+        |        CAST(SUM(CASE WHEN NOT sk THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+        |        CAST(SUM(n_match) AS BIGINT) AS rows_matched
+        | FROM s GROUP BY 1 ORDER BY layout""".stripMargin),
+
+    // ---- bitemporal point-in-time (valid time × transaction time) -------
+    // the two-axis read u2/u3 cannot answer: "what did we BELIEVE at
+    // system time T about the value valid at V?" — the audit/backfill
+    // primitive (retroactive corrections must not rewrite what past
+    // reports saw). Records carry (valid_from, tx_from); the read is
+    // belief-filter (tx ≤ T) → per-valid-period latest belief → backward
+    // as-of on valid_from ≤ V, here as ONE window pick per (key, probe):
+    // row_number over (valid_from DESC, tx_from DESC). Three probes per
+    // key exercise the distinct answers: before the correction was known,
+    // after it (same valid time, different belief), and current. Scale:
+    // per-key record counts are version-bounded; one join on key + one
+    // key-partitioned window — no interval join.
+    ("u9_bitemporal_pit",
+      (s, d) => {
+        val base = t(s, d, "customer").select(col("c_custkey").as("k"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+        val recs = base
+          .select(col("k"), lit(0L).as("vf"), lit(0L).as("tx"), col("cents"))
+          .unionByName(base.filter(col("k") % 3 === 0) // forward change @ tx 1
+            .select(col("k"), lit(1L).as("vf"), lit(1L).as("tx"),
+              (col("cents") + 10000L).as("cents")))
+          .unionByName(base.filter(col("k") % 4 === 0) // retroactive fix @ tx 2
+            .select(col("k"), lit(0L).as("vf"), lit(2L).as("tx"),
+              (col("cents") + 55L).as("cents")))
+        val probes = s.range(1).select(explode(array(
+            struct(lit(1L).as("pid"), lit(1L).as("t"), lit(0L).as("v")),
+            struct(lit(2L).as("pid"), lit(2L).as("t"), lit(0L).as("v")),
+            struct(lit(3L).as("pid"), lit(2L).as("t"), lit(9L).as("v")))).as("p"))
+          .select(col("p.pid"), col("p.t"), col("p.v"))
+        val w = Window.partitionBy("k", "pid")
+          .orderBy(col("vf").desc, col("tx").desc)
+        recs.join(broadcast(probes),
+            col("tx") <= col("t") && col("vf") <= col("v"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("k"), col("pid"), col("cents").as("cents_at"))
+          .orderBy("k", "pid")
+      },
+      """WITH base AS (SELECT c_custkey AS k,
+        |                     CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |              FROM customer),
+        | recs AS (SELECT k, 0 AS vf, 0 AS tx, cents FROM base
+        |          UNION ALL SELECT k, 1, 1, cents + 10000 FROM base WHERE k % 3 = 0
+        |          UNION ALL SELECT k, 0, 2, cents + 55 FROM base WHERE k % 4 = 0),
+        | probes AS (SELECT * FROM (VALUES (1, 1, 0), (2, 2, 0), (3, 2, 9))
+        |            p(pid, t, v)),
+        | j AS (SELECT r.k, p.pid, r.cents,
+        |              ROW_NUMBER() OVER (PARTITION BY r.k, p.pid
+        |                ORDER BY r.vf DESC, r.tx DESC) AS rn
+        |       FROM recs r JOIN probes p ON r.tx <= p.t AND r.vf <= p.v)
+        | SELECT k, CAST(pid AS BIGINT) AS pid, cents AS cents_at
+        | FROM j WHERE rn = 1 ORDER BY k, pid""".stripMargin),
+
     // ---- Z-order (Morton) clustering key --------------------------------
     // bit-interleaved (l_partkey, l_suppkey) — the multi-dimensional layout
     // key under which files prune on EITHER dimension (ZOrder.layoutByZ is

@@ -433,6 +433,55 @@ object TemporalQueries {
         |                  > 9 * (8 * q_win - s_win * s_win) END AS is_anomaly
         | FROM w ORDER BY event_id""".stripMargin),
 
+    // ---- CUSUM level-shift detection (change points) --------------------
+    // the sequential change-point detector (Page 1954) over per-type daily
+    // event counts, expressed WITHOUT its recursive max(0, ·) form: the
+    // clamped recurrence S_t = max(0, S_{t-1} + x_t − target) equals
+    // P_t − min(0, min_{j≤t} P_j) for prefix sums P of (x − target), so
+    // two ordered-window passes (running sum + running min) replace the
+    // unexpressible recurrence — exact integer micro-units end to end.
+    // Windows partition by event_type over DAY-grain rows (date-range-
+    // sized after the pre-aggregation, never event-sized): the same plan
+    // holds when the raw stream is 100 TB because the window input is the
+    // daily rollup. A day shifts when accumulated positive drift exceeds
+    // one average day's volume.
+    ("ts_cusum_shift",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+        val wo = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("day")
+        TemporalOps.loadEvents(s, d)
+          .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+          .withColumn("target_micro",
+            expr("sum(n * 1000000) over (partition by event_type) div " +
+              "count(n) over (partition by event_type)"))
+          .withColumn("p", sum(col("n") * 1000000L - col("target_micro")).over(wo))
+          .withColumn("cusum_micro",
+            col("p") - least(min(col("p")).over(wo), lit(0L)))
+          .select(col("event_type"), col("day"), col("n"), col("cusum_micro"),
+            (col("cusum_micro") > col("target_micro")).as("shifted"))
+          .orderBy("event_type", "day")
+      },
+      """WITH byday AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |                      COUNT(*) AS n FROM events GROUP BY 1, 2),
+        | t AS (SELECT event_type, day, n,
+        |              SUM(n * 1000000) OVER (PARTITION BY event_type) //
+        |                COUNT(n) OVER (PARTITION BY event_type) AS target_micro
+        |       FROM byday),
+        | p AS (SELECT event_type, day, n, target_micro,
+        |              SUM(n * 1000000 - target_micro) OVER
+        |                (PARTITION BY event_type ORDER BY day) AS p
+        |       FROM t),
+        | c AS (SELECT event_type, day, n, target_micro,
+        |              p - LEAST(MIN(p) OVER
+        |                (PARTITION BY event_type ORDER BY day), 0) AS cusum_micro
+        |       FROM p)
+        | SELECT event_type, CAST(day AS BIGINT) AS day, n,
+        |        CAST(cusum_micro AS BIGINT) AS cusum_micro,
+        |        cusum_micro > target_micro AS shifted
+        | FROM c ORDER BY event_type, day""".stripMargin),
+
     // ---- first-order Markov transition matrix ---------------------------
     // P(next event type | event type) over each user's time-ordered stream:
     // one LEAD window pass (single shuffle on user_id), then a groupBy whose

@@ -406,6 +406,40 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got0 == Seq("n1", "n2", "n3", "x10", "x11", "x12").map(v => v -> v).toMap)
   }
 
+  test("scc: cycles collapse, DAG edges do not, peeling handles chained SCCs") {
+    import spark.implicits._
+    // two 3-cycles bridged by a ONE-WAY edge: each cycle is an SCC, the
+    // bridge must not merge them (the mistake undirected CC would make)
+    val g1 = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L,
+      10L -> 11L, 11L -> 12L, 12L -> 10L, 3L -> 10L).toDF("src", "dst")
+    val got1 = graft.ops.GraphTraversal.stronglyConnectedComponents(g1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got1 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // a pure DAG: every vertex is its own singleton SCC
+    val dag = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L).toDF("src", "dst")
+    val got2 = graft.ops.GraphTraversal.stronglyConnectedComponents(dag)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // chained 2-cycles: round 1 can only certify the upstream SCC
+    // (downstream has F = 1 ≠ B = 5), so this exercises the PEEL
+    val chain = Seq(1L -> 2L, 2L -> 1L, 5L -> 6L, 6L -> 5L, 2L -> 5L)
+      .toDF("src", "dst")
+    val got3 = graft.ops.GraphTraversal.stronglyConnectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got3 == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
+    // vertices option emits isolated nodes as their own SCC
+    val got4 = graft.ops.GraphTraversal.stronglyConnectedComponents(chain,
+        vertices = Some(Seq(1L, 2L, 5L, 6L, 99L).toDF("id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got4(99L) == 99L && got4(6L) == 5L)
+    // string keys: min is lexicographic, same structure
+    val gs = Seq("a" -> "b", "b" -> "a", "x" -> "y").toDF("src", "dst")
+    val got5 = graft.ops.GraphTraversal.stronglyConnectedComponents(gs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got5 == Map("a" -> "a", "b" -> "a", "x" -> "x", "y" -> "y"))
+  }
+
   test("hits: hand-replayed integer rounds on a 3-cycle with a chord") {
     import spark.implicits._
     // a→b, a→c, b→c, c→a.  h0 ≡ 1.
