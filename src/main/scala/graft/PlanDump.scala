@@ -31,11 +31,58 @@ object PlanDump {
     "s21_compaction_plan", // bucket-summary cum-sum: ≤ buckets rows, Bounded.guard (PrefixOps.scala)
     "d21_threshold_sweep") // agreement histogram: ≤ 13 rows, Bounded.guard (PipelineQueries)
 
+  /** Statically-pinned join strategies: entry → (must-contain substrings,
+    * must-NOT-contain substrings) over the physical join operator class
+    * names. This is the plan-shape regression net: an accidentally
+    * dropped broadcast() hint, a join key type mismatch demoting a
+    * BroadcastHashJoin to BNLJ, or a new Cartesian product fails the
+    * audit instead of silently shipping a 100-TB shuffle. Populated from
+    * `--dump-joins`; grow alongside new join-bearing entries.
+    */
+  val JoinExpectations: Map[String, (Seq[String], Seq[String])] = Map(
+    "j2_broadcast_dim" -> (Seq("BroadcastHashJoin"), Seq("SortMergeJoin", "CartesianProduct")),
+    // NOT pinned to SortMergeJoin: at audit SF the sides fit under the
+    // auto-broadcast threshold, and demoting that pick would be wrong —
+    // the salting property is SF-independent, the strategy is not
+    "j7_salted_join" -> (Seq("Join"), Seq("CartesianProduct")),
+    "j3_semijoin_exists" -> (Seq("Join"), Seq("CartesianProduct")),
+    "j4_antijoin_not_exists" -> (Seq("Join"), Seq("CartesianProduct")),
+    // g_edges plans as union + two-phase aggregate (no join survives
+    // optimization at this shape) — pin only the absence of a Cartesian
+    "g_edges" -> (Seq(), Seq("CartesianProduct")),
+    "s25_checksum_reconcile" -> (Seq("Join"), Seq("CartesianProduct", "BroadcastNestedLoop")),
+    "a7_approx" -> (Seq("BroadcastNestedLoopJoin"), Seq("CartesianProduct")), // 1-row sketch side
+    "u9_bitemporal_pit" -> (Seq("BroadcastNestedLoopJoin"), Seq("CartesianProduct")), // 3-row probe side, non-equi
+    "j8_bloom_prune_join" -> (Seq("Join"), Seq("CartesianProduct")),
+    "j6_range_join" -> (Seq("Join"), Seq("CartesianProduct")))
+
   private def unpartitionedWindows(df: org.apache.spark.sql.DataFrame): Int =
     df.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window
         if w.partitionSpec.isEmpty => w
     }.size
+
+  /** Physical join operator class names in the (pre-AQE) executed plan —
+    * the statically-planned strategies, which is what the audit pins:
+    * explicit `broadcast()` hints and equi-join keys are honored here,
+    * and a statically-planned Cartesian/BNLJ over two large inputs is a
+    * plan bug no AQE re-plan will save at 100 TB.
+    */
+  private def joinNodes(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+      val self = p.getClass.getSimpleName
+      val here = if (self.contains("Join") || self.contains("CartesianProduct"))
+        Seq(self) else Nil
+      here ++ p.children.flatMap(walk) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.initialPlan)
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          walk(m.relation.cachedPlan) // shared stores hide joins behind the cache
+        case _ => Nil
+      })
+    }
+    walk(df.queryExecution.executedPlan).distinct
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -65,6 +112,31 @@ object PlanDump {
         spark.stop(); sys.exit(1)
       }
       println(s"window audit clean: ${offenders.size} audited-benign, 0 new")
+    } else if (args.drop(1).headOption.contains("--dump-joins")) {
+      // inventory mode: print every entry's join operator classes (the
+      // input for growing the --audit-joins expectation table)
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val js = try joinNodes(fn(spark, sfDir))
+                 catch { case e: Throwable => Seq(s"PLAN FAILED: $e") }
+        if (js.nonEmpty) println(f"$name%-28s ${js.mkString(", ")}")
+      }
+    } else if (args.drop(1).headOption.contains("--audit-joins")) {
+      val failures = JoinExpectations.toSeq.sortBy(_._1).flatMap {
+        case (name, (must, mustNot)) =>
+          val js = try joinNodes(SparkEntry.queries(name)(spark, sfDir))
+                   catch { case e: Throwable => Seq(s"PLAN FAILED: $e") }
+          val missing = must.filterNot(m => js.exists(_.contains(m)))
+          val banned = mustNot.filter(m => js.exists(_.contains(m)))
+          val ok = missing.isEmpty && banned.isEmpty
+          println(f"$name%-28s ${js.mkString(", ")}  ${if (ok) "ok" else
+            s"EXPECTED $must WITHOUT $mustNot"}")
+          if (ok) None else Some(name)
+      }
+      if (failures.nonEmpty) {
+        println(s"JOIN AUDIT FAILED: ${failures.mkString(", ")}")
+        spark.stop(); sys.exit(1)
+      }
+      println(s"join audit clean: ${JoinExpectations.size} entries pinned")
     } else {
       args.drop(1).foreach { name =>
         println(s"===== $name =====")

@@ -488,7 +488,7 @@ object ScaleProbe {
     // integer HITS rounds, and the map-side table fingerprint at mult x
     // input volume
     val r11Probes = Seq("skyline", "hitsRounds", "tableChecksum", "pprRounds",
-      "compactionPlan", "checksumHash", "lpaRounds")
+      "compactionPlan", "checksumHash", "lpaRounds", "sccPeel")
     if (r11Probes.exists(enabled)) {
       val orders = spark.read.parquet(s"$sfDir/orders.parquet")
         .repartition(spark.sparkContext.defaultParallelism)
@@ -572,6 +572,20 @@ object ScaleProbe {
           graft.llm.Governance.tableFingerprint(li,
             Seq("l_returnflag", "l_linestatus"), xxhash64(fpCols: _*)).count()
         }
+      }
+      // the g_scc ring/block family at mult x rings: outer peel rounds are
+      // a property of the block chain (2), inner propagation rounds of the
+      // block diameter (~8) — both CONSTANT in ring count, so runtime must
+      // track the per-round edge-scale join volume, ~linearly
+      timed("sccPeel (rings x mult)") {
+        val nRings = 2000L * mult
+        val r = spark.range(nRings).select(col("id").as("r"))
+        val e = r.select((col("r") * 3).as("src"), (col("r") * 3 + 1).as("dst"))
+          .unionAll(r.select((col("r") * 3 + 1).as("src"), (col("r") * 3 + 2).as("dst")))
+          .unionAll(r.select((col("r") * 3 + 2).as("src"), (col("r") * 3).as("dst")))
+          .unionAll(r.filter(col("r") % 2 === 0 && col("r") < nRings - 1)
+            .select((col("r") * 3 + 2).as("src"), ((col("r") + 1) * 3).as("dst")))
+        graft.ops.GraphTraversal.stronglyConnectedComponents(e).count()
       }
       // string-vs-long LPA key cost at mult x edges: the same vote loop,
       // once on 40-byte URI keys straight through (the pre-r10 behavior,
