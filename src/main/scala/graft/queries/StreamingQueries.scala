@@ -393,6 +393,42 @@ object StreamingQueries {
     // append-mode two-batch replay and must meet t_split_assign's oracle
     // row for row — a training pipeline can route documents to
     // train/val/test AT INGEST and land exactly the batch answer.
+    // ---- streaming CUSUM drift detection --------------------------------
+    // the online twin of ts_cusum_shift, against the SAME oracle: per-type
+    // state is the day-grain count map (date-range-bounded), each batch
+    // re-emits the full series with an emission sequence, and the reader
+    // keeps each day's LATEST verdict — a day straddling the median-ts
+    // batch cut has provisional counts in batch 1 that batch 2 must
+    // finalize, which is exactly the cross-batch state carry this checks.
+    ("stream_cusum_shift",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type", "day").orderBy(col("emit_seq").desc)
+        replayTwoBatches(s, d, "update")(st => StreamingIngest.streamingCusum(st))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("event_type", "day", "n", "cusum_micro", "shifted")
+          .orderBy("event_type", "day")
+      },
+      """WITH byday AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |                      COUNT(*) AS n FROM events GROUP BY 1, 2),
+        | t AS (SELECT event_type, day, n,
+        |              SUM(n * 1000000) OVER (PARTITION BY event_type) //
+        |                COUNT(n) OVER (PARTITION BY event_type) AS target_micro
+        |       FROM byday),
+        | p AS (SELECT event_type, day, n, target_micro,
+        |              SUM(n * 1000000 - target_micro) OVER
+        |                (PARTITION BY event_type ORDER BY day) AS p
+        |       FROM t),
+        | c AS (SELECT event_type, day, n, target_micro,
+        |              p - LEAST(MIN(p) OVER
+        |                (PARTITION BY event_type ORDER BY day), 0) AS cusum_micro
+        |       FROM p)
+        | SELECT event_type, CAST(day AS BIGINT) AS day, n,
+        |        CAST(cusum_micro AS BIGINT) AS cusum_micro,
+        |        cusum_micro > target_micro AS shifted
+        | FROM c ORDER BY event_type, day""".stripMargin),
+
     ("stream_split_assign",
       (s, d) => {
         val docs = s.read.parquet(s"$d/documents.parquet")

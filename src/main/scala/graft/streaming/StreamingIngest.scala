@@ -311,6 +311,51 @@ object StreamingIngest {
       .toDF("source", "n_docs", "total_tokens")
   }
 
+  /** Streaming CUSUM level-shift detection via `flatMapGroupsWithState` —
+    * the online twin of the ts_cusum_shift batch entry: per event_type the
+    * state is the day-grain count map (DATE-RANGE-bounded, never
+    * event-count-bounded — the rollup IS the state), merged every
+    * micro-batch; each batch re-emits the full CUSUM series from the
+    * updated counts, stamped with an emission sequence so the reader keeps
+    * only each day's LATEST verdict (earlier emissions are provisional —
+    * a day straddling a batch boundary has only partial counts until the
+    * next batch lands). The detection target is the running mean of the
+    * observed days, so the final emission's target equals the batch
+    * operator's — converged sink == batch answer, row for row.
+    */
+  def streamingCusum(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Encoders
+    val rows = events.select(col("event_type").cast("string").as("et"),
+      (unix_micros(col("ts")).cast("long") / 86400000000L).cast("long").as("day"))
+    implicit val inEnc = Encoders.product[(String, Long)]
+    implicit val stEnc = Encoders.kryo[(Int, Map[Long, Long])]
+    implicit val outEnc = Encoders.product[(String, Long, Long, Long, Boolean, Int)]
+    rows.as[(String, Long)]
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[(Int, Map[Long, Long]),
+          (String, Long, Long, Long, Boolean, Int)](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (et, batch, state) =>
+          val (seq0, counts0) = state.getOption.getOrElse((0, Map.empty[Long, Long]))
+          val counts = batch.foldLeft(counts0) { case (m, (_, day)) =>
+            m + (day -> (m.getOrElse(day, 0L) + 1L)) }
+          val seq = seq0 + 1
+          state.update((seq, counts))
+          val days = counts.toSeq.sortBy(_._1)
+          val target = days.map(_._2).sum * 1000000L / days.size
+          var p = 0L
+          var minP = 0L // min over prefix INCLUDING the virtual P_0 = 0
+          days.iterator.map { case (day, n) =>
+            p += n * 1000000L - target
+            minP = math.min(minP, p)
+            val s = p - math.min(minP, 0L)
+            (et, day, n, s, s > target, seq)
+          }
+      }
+      .toDF("event_type", "day", "n", "cusum_micro", "shifted", "emit_seq")
+  }
+
   /** Streaming backward as-of enrichment via `flatMapGroupsWithState`: each
     * `leftType` event is emitted with the latest `rightType` value at or
     * before its timestamp for the same user — the streaming twin of

@@ -318,6 +318,50 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
   }
 
+  test("streaming CUSUM: a day split across the batch cut is finalized by the later emission") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-cusum-stream")
+    val in = base.resolve("in"); Files.createDirectories(in)
+    try {
+      // day 0: 2 events; day 1: 6 events SPLIT 3/3 across the cut; day 2: 1.
+      // batch 1 sees day 1 at n=3 (provisional); only the batch-2 emission
+      // has the true counts — the emit_seq filter must pick it.
+      def ev(day: Long, i: Long) = (day * 10 + i,
+        new java.sql.Timestamp(day * 86400000L + i * 1000))
+      val b1 = (Seq(ev(0, 1), ev(0, 2)) ++ (1L to 3L).map(ev(1, _))).map {
+        case (id, ts) => (id, ts, "click") }
+      val b2 = ((4L to 6L).map(ev(1, _)) :+ ev(2, 1)).map {
+        case (id, ts) => (id, ts, "click") }
+      b1.toDF("event_id", "ts", "event_type").write.parquet(s"$in/b1")
+      val schema = spark.read.parquet(s"$in/b1").schema
+      val stream = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(in.toString)
+      val q = graft.streaming.StreamingIngest.streamingCusum(stream)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("cusum_stream").start()
+      try {
+        q.processAllAvailable()
+        b2.toDF("event_id", "ts", "event_type").write.parquet(s"$in/b2")
+        q.processAllAvailable()
+      } finally q.stop()
+      val sink = spark.table("cusum_stream")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type", "day").orderBy(col("emit_seq").desc)
+      val fin = sink.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("day", "n", "cusum_micro", "shifted")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .sortBy(_._1)
+      // final counts 2/6/1, target = 9_000_000/3 = 3_000_000;
+      // P = -1M, 2M, 0M; minP(≤0) = -1M; S = 0, 3M, 1M
+      assert(fin.toSeq == Seq((0L, 2L, 0L, false), (1L, 6L, 3000000L, false),
+        (2L, 1L, 1000000L, false)))
+      // the provisional batch-1 emission for day 1 must exist AND differ
+      val prov = sink.filter(col("day") === 1 && col("emit_seq") === 1)
+        .select("n").collect().map(_.getLong(0))
+      assert(prov.toSeq == Seq(3L))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
   test("streaming bloom decontamination equals the batch filter across micro-batches") {
     import spark.implicits._
     import graft.llm.Dedup
