@@ -29,7 +29,8 @@ object PlanDump {
     "ts_path_ngrams",      // global rank AFTER per-bucket top-20 (≤ 64·20 rows)
     "u6_skyline",          // bucket-summary cum-max: ≤ buckets rows, Bounded.guard (Pareto.scala)
     "s21_compaction_plan", // bucket-summary cum-sum: ≤ buckets rows, Bounded.guard (PrefixOps.scala)
-    "d21_threshold_sweep") // agreement histogram: ≤ 13 rows, Bounded.guard (PipelineQueries)
+    "d21_threshold_sweep", // agreement histogram: ≤ 13 rows, Bounded.guard (PipelineQueries)
+    "t_water_fill")        // source-cardinality rows, Bounded.guard nsrc ≤ 10k (PipelineQueries)
 
   /** Statically-pinned join strategies: entry → (must-contain substrings,
     * must-NOT-contain substrings) over the physical join operator class

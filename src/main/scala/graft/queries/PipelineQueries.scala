@@ -2650,6 +2650,74 @@ object PipelineQueries {
          |   CAST(len(regexp_extract_all(synth, '${TextStats.PhoneRe}')) AS BIGINT) AS n_phones
          | FROM s ORDER BY doc_id""".stripMargin),
 
+    // ---- water-filling token-budget allocation --------------------------
+    // the pretraining mixing primitive t_temperature_mix doesn't cover:
+    // given a GLOBAL token budget, small sources are taken whole and
+    // large ones capped at a common level λ (max-min fair allocation —
+    // the "water level"). Exact integer algorithm: sources sorted
+    // ascending, a source is fully taken iff its size times the sources
+    // remaining fits the unspent budget (the fully-taken set is an
+    // ascending PREFIX — the water-filling property, so no sequential
+    // scan); λ = unspent-after-prefix div capped-count. Every window is
+    // source-cardinality-sized (guarded), never document-sized.
+    ("t_water_fill",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_tok"), col("source"))
+        // sizes skewed by a deterministic per-source factor (1 + num % 7):
+        // the raw corpus is near-uniform, which would leave the
+        // fully-taken prefix empty — both branches must be live
+        val srcs = t(s, d, "documents").groupBy("source")
+          .agg((sum(col("n_chars").cast("long")) *
+            (lit(1L) + regexp_extract(col("source"), "(\\d+)", 1)
+              .cast("long") % 7)).as("n_tok"))
+        val tot = srcs.agg(sum(col("n_tok")).as("tot"), count(lit(1)).as("nsrc"))
+        val ranked = srcs.crossJoin(broadcast(tot))
+          .withColumn("budget", expr("tot div 2"))
+          .withColumn("k", row_number().over(w))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("full_take",
+            col("n_tok") * (col("nsrc") - col("k") + 1) +
+              (col("cum") - col("n_tok")) <= col("budget"))
+        val level = ranked.agg(
+          sum(when(col("full_take"), 1L).otherwise(0L)).as("m"),
+          coalesce(max(when(col("full_take"), col("cum"))), lit(0L)).as("cum_m"),
+          max(col("budget")).as("b"), max(col("nsrc")).as("ns"))
+          .select(col("m"),
+            when(col("ns") > col("m"),
+              expr("(b - cum_m) div (ns - m)")).cast("long").as("level"))
+        ranked.crossJoin(broadcast(level))
+          .select(col("source"), col("n_tok"),
+            graft.ops.Bounded.guard(
+              when(col("full_take"), col("n_tok")).otherwise(col("level")),
+              col("nsrc") <= 10000,
+              "t_water_fill: source cardinality exceeds the window bound")
+              .as("alloc"),
+            (!col("full_take")).as("capped"), col("level"))
+          .orderBy("source")
+      },
+      """WITH srcs AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) *
+        |                (1 + CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 7)
+        |                AS n_tok
+        |              FROM documents GROUP BY 1),
+        | tot AS (SELECT SUM(n_tok) AS tot, COUNT(*) AS nsrc FROM srcs),
+        | ranked AS (SELECT source, n_tok, tot // 2 AS budget, nsrc,
+        |                   ROW_NUMBER() OVER (ORDER BY n_tok, source) AS k,
+        |                   SUM(n_tok) OVER (ORDER BY n_tok, source) AS cum
+        |            FROM srcs CROSS JOIN tot),
+        | ft AS (SELECT *, n_tok * (nsrc - k + 1) + (cum - n_tok) <= budget
+        |               AS full_take FROM ranked),
+        | lv AS (SELECT SUM(CASE WHEN full_take THEN 1 ELSE 0 END) AS m,
+        |               COALESCE(MAX(CASE WHEN full_take THEN cum END), 0) AS cum_m,
+        |               MAX(budget) AS b, MAX(nsrc) AS ns FROM ft),
+        | l2 AS (SELECT CASE WHEN ns > m THEN (b - cum_m) // (ns - m) END AS level
+        |        FROM lv)
+        | SELECT f.source, f.n_tok,
+        |        CAST(CASE WHEN f.full_take THEN f.n_tok ELSE l2.level END
+        |             AS BIGINT) AS alloc,
+        |        NOT f.full_take AS capped, CAST(l2.level AS BIGINT) AS level
+        | FROM ft f CROSS JOIN l2 ORDER BY f.source""".stripMargin),
+
     // ---- Unicode NFC normalization (native codegen expression) ----------
     // canonical composition BEFORE any hash-based dedup/shingling sees the
     // text: "e"+U+0301 and precomposed "é" are byte-different but render

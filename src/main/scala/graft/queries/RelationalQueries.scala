@@ -713,6 +713,43 @@ object RelationalQueries {
         | FROM f ASOF LEFT JOIN hist h ON f.k = h.k AND f.vseq >= h.vseq
         | ORDER BY f.o_orderkey""".stripMargin),
 
+    // ---- corrupt-record routing (dead-letter ingestion) -----------------
+    // the never-silently-drop discipline for semi-structured ingest: a
+    // JSON payload per document (synthesized identically on both engines;
+    // every 7th is truncated mid-object) parses into typed columns OR
+    // routes whole to a dead-letter column — corrupt blobs are data, not
+    // bugs, and row counts are conserved (good + bad = input). Spark's
+    // from_json yields a null-fielded struct for malformed input; the
+    // oracle's json_valid() must agree on every row or the hash fails.
+    // Map-side only — no shuffle beyond the final presentation sort.
+    ("s27_corrupt_routing",
+      (s, d) => {
+        val raw = concat(lit("{\"id\": "), col("doc_id"), lit(", \"w\": "),
+          col("n_chars").cast("long"),
+          when(col("doc_id") % 7 === 0, lit("")).otherwise(lit("}")))
+        val schema = "id BIGINT, w BIGINT"
+        t(s, d, "documents")
+          .select(col("doc_id"), raw.as("raw"),
+            from_json(raw, org.apache.spark.sql.types.StructType
+              .fromDDL(schema)).as("p"))
+          .select(col("doc_id"),
+            col("p.id").isNotNull.as("ok"),
+            col("p.id").as("id_parsed"), col("p.w").as("w_parsed"),
+            when(col("p.id").isNull, col("raw")).as("dead_letter"))
+          .orderBy("doc_id")
+      },
+      """WITH j AS (SELECT doc_id,
+        |             '{"id": ' || doc_id || ', "w": ' || CAST(n_chars AS BIGINT)
+        |             || CASE WHEN doc_id % 7 = 0 THEN '' ELSE '}' END AS raw
+        |           FROM documents)
+        | SELECT doc_id, json_valid(raw) AS ok,
+        |        CASE WHEN json_valid(raw)
+        |             THEN CAST(raw->>'id' AS BIGINT) END AS id_parsed,
+        |        CASE WHEN json_valid(raw)
+        |             THEN CAST(raw->>'w' AS BIGINT) END AS w_parsed,
+        |        CASE WHEN NOT json_valid(raw) THEN raw END AS dead_letter
+        | FROM j ORDER BY doc_id""".stripMargin),
+
     // ---- zone-map data skipping (min/max pruning, layout-sensitive) -----
     // the file-skipping arithmetic a 100-TB scan lives or dies by: per
     // "file" (simulated: arrival-order vs date-clustered groupings of the
