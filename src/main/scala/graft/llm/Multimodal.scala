@@ -262,15 +262,89 @@ object Multimodal {
     }.toDF("media_id", "whash", "n_bits", "decoded")
   }
 
-  /** "Resize" stub: real impl decodes, scales, re-encodes; the stub truncates
-    * the payload deterministically to w*h bytes — preserving the plumbing
-    * contract (binary in → smaller binary out + updated metadata).
+  /** "Resize" stub for payloads with no decoder (the fallback path of
+    * [[resizeImages]]): truncates the payload deterministically to w*h
+    * bytes — preserving the plumbing contract (binary in → smaller binary
+    * out + updated metadata).
     */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map { r =>
       val target = math.min(r.bytes.length, w * h)
       r.copy(bytes = java.util.Arrays.copyOf(r.bytes, target), width = w, height = h)
+    }
+  }
+
+  /** Hand-rolled 24-bit BMP encoder (the [[syntheticBmp]] layout
+    * generalized to arbitrary pixels): bottom-up BGR rows, 4-byte row
+    * padding. `rgb` is row-major TOP-DOWN 0xRRGGBB.
+    */
+  def encodeBmp(w: Int, h: Int, rgb: Array[Int]): Array[Byte] = {
+    require(rgb.length == w * h, s"need $w*$h pixels, got ${rgb.length}")
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val out = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)
+    out.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var j = 0
+    while (j < h) {
+      val y = h - 1 - j
+      var x = 0
+      while (x < w) {
+        val v = rgb(y * w + x)
+        out.put((v & 0xff).toByte).put(((v >> 8) & 0xff).toByte)
+          .put(((v >> 16) & 0xff).toByte)
+        x += 1
+      }
+      var pad = rowSize - 3 * w
+      while (pad > 0) { out.put(0.toByte); pad -= 1 }
+      j += 1
+    }
+    out.array()
+  }
+
+  /** REAL image resize: decode via `javax.imageio`, NEAREST-NEIGHBOR
+    * sample with pure index arithmetic (src_x = x·srcW div dstW — no
+    * filtering kernel, so every output pixel is an exact copy of a
+    * reproducible source pixel an oracle can name), re-encode as 24-bit
+    * BMP. The output payload round-trips through the same real decode
+    * path ([[decodeImage]]), which is what the m_image_resize entry
+    * checks end to end. Payloads that don't decode fall back to the
+    * deterministic byte-truncate stub ([[resize]] semantics) rather than
+    * failing the batch. Map-side `mapPartitions` (codec work) — zero
+    * shuffles.
+    */
+  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.bytes)) catch { case _: Exception => null }
+        if (img == null) {
+          val target = math.min(r.bytes.length, w * h)
+          r.copy(bytes = java.util.Arrays.copyOf(r.bytes, target),
+            width = w, height = h)
+        } else {
+          val sw = img.getWidth
+          val sh = img.getHeight
+          val rgb = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            val sy = y * sh / h
+            var x = 0
+            while (x < w) {
+              rgb(y * w + x) = img.getRGB(x * sw / w, sy) & 0xffffff
+              x += 1
+            }
+            y += 1
+          }
+          r.copy(bytes = encodeBmp(w, h, rgb), width = w, height = h,
+            mime = "image/bmp")
+        }
+      }
     }
   }
 

@@ -2276,6 +2276,34 @@ object PipelineQueries {
         |        CAST(n_bits AS INTEGER) AS n_bits, TRUE AS decoded
         | FROM b ORDER BY media_id""".stripMargin),
 
+    // ---- REAL nearest-neighbor image resize -----------------------------
+    // decode → index-arithmetic NN sample (src_x = x·srcW div dstW, no
+    // filter kernel — every output pixel is an exact copy of a nameable
+    // source pixel) → re-encode as BMP → decode AGAIN through the same
+    // real path: the checked px_sum proves the whole
+    // decode→resize→encode→decode cycle bit-exact, because the oracle
+    // recomputes each sampled source pixel from doc_id alone.
+    ("m_image_resize",
+      (s, d) => Multimodal.extractFeatures(
+          Multimodal.resizeImages(
+            Multimodal.syntheticBmps(spread(t(s, d, "documents"))), 3, 2))
+        .select("media_id", "img_w", "img_h", "px_sum", "decoded")
+        .orderBy("media_id"),
+      """WITH p AS (SELECT doc_id, 4 + doc_id % 5 AS w0, 3 + doc_id % 3 AS h0
+        |           FROM documents),
+        | g AS (SELECT doc_id, (y * h0 // 2) * w0 + (x * w0 // 3) AS i
+        |       FROM p,
+        |         LATERAL (SELECT unnest(generate_series(0, 2)) AS x) xs,
+        |         LATERAL (SELECT unnest(generate_series(0, 1)) AS y) ys),
+        | px AS (SELECT doc_id,
+        |          SUM((doc_id*31 + i*7) % 256 + (doc_id*31 + i*7 + 13) % 256
+        |            + (doc_id*31 + i*7 + 26) % 256) AS s
+        |        FROM g GROUP BY 1)
+        | SELECT doc_id AS media_id, CAST(3 AS INTEGER) AS img_w,
+        |        CAST(2 AS INTEGER) AS img_h, CAST(s AS BIGINT) AS px_sum,
+        |        TRUE AS decoded
+        | FROM px ORDER BY media_id""".stripMargin),
+
     // ---- LSH-banded image near-dup pairs over the perceptual hash -------
     // the image counterpart of d3_minhash_lsh: pairs within Hamming
     // distance 2 on the aHash are near-dup candidates, found by exact

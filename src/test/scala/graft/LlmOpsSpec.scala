@@ -1236,6 +1236,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r.bytes.length == 20 && r.width == 4 && r.height == 5)
   }
 
+  test("resizeImages: real NN resample, position-exact pixels, BMP roundtrip") {
+    val id = 9L // source 8x3 (w=4+9%5=8, h=3+9%3=3)
+    val rows = Multimodal.syntheticBmps(docs(id -> "x"))
+    val out = Multimodal.resizeImages(rows, 3, 2).collect()(0)
+    assert(out.width == 3 && out.height == 2 && out.mime == "image/bmp")
+    // decode the re-encoded BMP through the real path and check EVERY
+    // pixel equals the named source pixel of the formula image
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out.bytes))
+    assert(img.getWidth == 3 && img.getHeight == 2)
+    val (sw, sh) = (8, 3)
+    def v(i: Int, c: Int): Int = (((id * 31 + i * 7 + c * 13) % 256) + 256).toInt % 256
+    for (y <- 0 until 2; x <- 0 until 3) {
+      val i = (y * sh / 2) * sw + (x * sw / 3)
+      val want = (v(i, 0) << 16) | (v(i, 1) << 8) | v(i, 2)
+      assert((img.getRGB(x, y) & 0xffffff) == want, s"pixel ($x,$y)")
+    }
+    // non-decodable payload: deterministic byte-truncate fallback, no throw
+    val junk = rows.map(r => r.copy(bytes = Array[Byte](1, 2, 3, 4, 5)))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val fb = Multimodal.resizeImages(junk, 2, 2).collect()(0)
+    assert(fb.bytes.toSeq == Seq[Byte](1, 2, 3, 4) && fb.width == 2)
+  }
+
   test("frame sampling yields one frame per interval for video") {
     val v = Multimodal.documentsAsMedia(docs(1L -> ("y" * 100)))
       .map(_.copy(media_type = "video", duration_ms = 200L))(
