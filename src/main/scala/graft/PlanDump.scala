@@ -55,7 +55,11 @@ object PlanDump {
     "a7_approx" -> (Seq("BroadcastNestedLoopJoin"), Seq("CartesianProduct")), // 1-row sketch side
     "u9_bitemporal_pit" -> (Seq("BroadcastNestedLoopJoin"), Seq("CartesianProduct")), // 3-row probe side, non-equi
     "j8_bloom_prune_join" -> (Seq("Join"), Seq("CartesianProduct")),
-    "j6_range_join" -> (Seq("Join"), Seq("CartesianProduct")))
+    "j6_range_join" -> (Seq("Join"), Seq("CartesianProduct")),
+    // the Q5 star: EVERY join must broadcast (one fact scan, zero
+    // pre-aggregate shuffles) — an SMJ here means a dim stopped fitting
+    "q5_star_join" -> (Seq("BroadcastHashJoin"),
+      Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct")))
 
   private def unpartitionedWindows(df: org.apache.spark.sql.DataFrame): Int =
     df.queryExecution.optimizedPlan.collect {

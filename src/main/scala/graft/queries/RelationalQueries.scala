@@ -713,6 +713,98 @@ object RelationalQueries {
         | FROM f ASOF LEFT JOIN hist h ON f.k = h.k AND f.vseq >= h.vseq
         | ORDER BY f.o_orderkey""".stripMargin),
 
+    // ---- exact order statistic WITHOUT a global sort --------------------
+    // the selection-at-scale primitive: the exact lower median of 6 M
+    // prices via (1) ONE histogram scan into 4096-cent value buckets
+    // (map-combinable, bucket-count-sized result), (2) a driver-side
+    // cumulative walk over the ≤64 k summary rows locating the bucket
+    // holding the k-th element, (3) a sort of THAT BUCKET ONLY (~1/2¹²
+    // of the data). A global orderBy would range-shuffle every row; this
+    // moves one bucket. The oracle is DuckDB's ORDER BY LIMIT/OFFSET
+    // selection — an independent algorithm.
+    ("t_exact_median_nosort",
+      (s, d) => {
+        val cents = t(s, d, "lineitem")
+          .select(round(col("l_extendedprice") * 100).cast("long").as("c"))
+        val hist = cents.groupBy(expr("c div 4096").as("b"))
+          .agg(count(lit(1)).as("bn"))
+          .orderBy("b").collect() // bucket-count-sized (≤ ~64k rows)
+        val n = hist.map(_.getLong(1)).sum
+        val k = (n + 1) / 2
+        var cum = 0L
+        var bkt = 0L
+        var kInB = 0L
+        var i = 0
+        while (i < hist.length && kInB == 0L) {
+          val bn = hist(i).getLong(1)
+          if (cum + bn >= k) { bkt = hist(i).getLong(0); kInB = k - cum }
+          cum += bn
+          i += 1
+        }
+        val kth = cents.filter(expr(s"c div 4096") === bkt)
+          .orderBy("c").limit(kInB.toInt)
+          .agg(max(col("c")).as("median_cents"))
+        kth.select(lit(n).as("n"), lit(k).as("k"), col("median_cents"))
+      },
+      """WITH t AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS c
+        |           FROM lineitem),
+        | nn AS (SELECT COUNT(*) AS n, (COUNT(*) + 1) // 2 AS k FROM t)
+        | SELECT nn.n, nn.k,
+        |        (SELECT c FROM t ORDER BY c
+        |         LIMIT 1 OFFSET (SELECT k - 1 FROM nn)) AS median_cents
+        | FROM nn""".stripMargin),
+
+    // ---- star-schema analytics (Q5 shape: one fact scan, all dims broadcast)
+    // the classic 6-table local-supplier revenue query as the engine's
+    // showcase star join: region→nation→customer collapse into ONE
+    // broadcast dimension, orders (year-filtered) joins it and is itself
+    // small enough to broadcast against the lineitem scan, supplier
+    // broadcasts with the s_nationkey == c_nationkey residual — so the
+    // 100-TB-side table (lineitem) is scanned ONCE with zero shuffles
+    // before the 5-row aggregate. Revenue in exact integer cent²-units
+    // (price_cents × (100 − discount_pct)), no float sum ordering issues.
+    ("q5_star_join",
+      (s, d) => {
+        val dim = t(s, d, "nation")
+          .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val cust = t(s, d, "customer").join(broadcast(dim),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+        val ord = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1995-01-01") &&
+            col("o_orderdate") < lit("1996-01-01"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_nationkey"), col("n_name"))
+        val sup = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (round(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - round(col("l_discount") * 100).cast("long")))
+              .as("rev"))
+          .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(col("rev")).as("revenue_c4"), count(lit(1)).as("n_items"))
+          .orderBy("n_name")
+      },
+      """SELECT n_name,
+        |       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) *
+        |                (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+        |         AS revenue_c4,
+        |       COUNT(*) AS n_items
+        | FROM region
+        | JOIN nation ON n_regionkey = r_regionkey
+        | JOIN customer ON c_nationkey = n_nationkey
+        | JOIN orders ON o_custkey = c_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        | JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+        | WHERE r_name = 'ASIA'
+        |   AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+        | GROUP BY 1 ORDER BY n_name""".stripMargin),
+
     // ---- corrupt-record routing (dead-letter ingestion) -----------------
     // the never-silently-drop discipline for semi-structured ingest: a
     // JSON payload per document (synthesized identically on both engines;
