@@ -71,7 +71,9 @@ object GraftExtensions {
       es => WindowHashesExpr(es(0), intArg("window_hashes", es(1)))),
     fn("porter_stem", classOf[PorterStemExpr], 1, es => PorterStemExpr(es.head)),
     fn("accent_fold", classOf[AccentFoldExpr], 1, es => AccentFoldExpr(es.head)),
-    fn("nfc_normalize", classOf[NfcNormalizeExpr], 1, es => NfcNormalizeExpr(es.head)))
+    fn("nfc_normalize", classOf[NfcNormalizeExpr], 1, es => NfcNormalizeExpr(es.head)),
+    fn("top_k", classOf[TopKAggExpr], 3,
+      es => TopKAggExpr(es(0), es(1), intArg("top_k", es(2)))))
 
   /** Register the engine functions on an ALREADY-RUNNING session (extensions
     * only apply at session construction; a same-JVM getOrCreate reuses the

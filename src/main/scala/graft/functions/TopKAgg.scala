@@ -1,0 +1,130 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Exact top-k as a native mergeable [[TypedImperativeAggregate]] — the
+  * scale-correct alternative to the window-sort idiom: `row_number() OVER
+  * (PARTITION BY g ORDER BY v DESC) <= k` SORTS EVERY ROW of every group
+  * in the shuffle, while this aggregate keeps a k-element bound min-heap
+  * per partial buffer, so the map side combines each partition down to
+  * ≤ k entries before anything moves — per group, the shuffle carries
+  * O(k · partitions) instead of the group's row count. At 100 TB with
+  * k = 10 that is the difference between a top-k and a full sort.
+  *
+  * Ordering is (ord DESC, id ASC) — the deterministic total order the
+  * SQL-window oracle states — and the result is EXACT (a bound heap over
+  * a total order loses nothing under any merge order, unlike a sketch:
+  * the global top-k is contained in the union of per-partition top-ks).
+  *
+  * Values are (ord LONG, id LONG) pairs: exact integer ordering keys are
+  * the engine-wide discipline (cents, micros), and the id disambiguates
+  * ties so merge order can never change the answer. Ids must be UNIQUE
+  * per row (the buffer is a set over the total order — an exact (ord, id)
+  * duplicate would collapse); derive one from a natural key when the
+  * source has none.
+  */
+case class TopKAggExpr(ord: Expression, id: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[(Long, Long)]] {
+
+  require(k >= 1, s"top_k requires k >= 1: $k")
+
+  // TreeSet ordered ASCENDING by (ord, -id-ish): the head is the WEAKEST
+  // retained entry — (smallest ord, then largest id), since larger id
+  // loses ties under (ord DESC, id ASC)
+  private def newBuf = new java.util.TreeSet[(Long, Long)](
+    new java.util.Comparator[(Long, Long)] {
+      override def compare(a: (Long, Long), b: (Long, Long)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+      }
+    })
+
+  override def createAggregationBuffer(): java.util.TreeSet[(Long, Long)] = newBuf
+
+  private def offer(buf: java.util.TreeSet[(Long, Long)], o: Long, i: Long): Unit = {
+    if (buf.size < k) { buf.add((o, i)); () }
+    else {
+      val weakest = buf.first()
+      // stronger than the weakest under (ord DESC, id ASC)?
+      if (o > weakest._1 || (o == weakest._1 && i < weakest._2)) {
+        buf.pollFirst(); buf.add((o, i)); ()
+      }
+    }
+  }
+
+  override def update(buf: java.util.TreeSet[(Long, Long)],
+                      input: InternalRow): java.util.TreeSet[(Long, Long)] = {
+    val o = ord.eval(input)
+    val i = id.eval(input)
+    if (o != null && i != null)
+      offer(buf, o.asInstanceOf[Long], i.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[(Long, Long)],
+                     other: java.util.TreeSet[(Long, Long)]): java.util.TreeSet[(Long, Long)] = {
+    val it = other.iterator()
+    while (it.hasNext) { val (o, i) = it.next(); offer(buf, o, i) }
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[(Long, Long)]): Any = {
+    // strongest first: rank r = position under (ord DESC, id ASC)
+    val arr = new Array[Any](buf.size)
+    val it = buf.descendingIterator()
+    var r = 0
+    while (it.hasNext) { val (o, i) = it.next(); arr(r) = InternalRow(o, i); r += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.TreeSet[(Long, Long)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) { val (o, i) = it.next(); out.writeLong(o); out.writeLong(i) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[(Long, Long)] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = newBuf
+    var j = 0
+    while (j < n) { buf.add((in.readLong(), in.readLong())); j += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("ord", LongType), StructField("id", LongType))), containsNull = false)
+
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = ord :: id :: Nil
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(ord = c(0), id = c(1))
+  override def withNewMutableAggBufferOffset(o: Int): TopKAggExpr =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKAggExpr =
+    copy(inputAggBufferOffset = o)
+  override def prettyName: String = "top_k"
+}
+
+object TopKAgg {
+  /** Aggregate column: the exact top `k` (ord, id) pairs under
+    * (ord DESC, id ASC), strongest first — see [[TopKAggExpr]].
+    */
+  def topK(ord: Column, id: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      TopKAggExpr(GraftColumnBridge.expression(ord),
+        GraftColumnBridge.expression(id), k).toAggregateExpression())
+}

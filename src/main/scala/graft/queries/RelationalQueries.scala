@@ -386,6 +386,35 @@ object RelationalQueries {
         | FROM orders WHERE o_custkey < 100
         | ORDER BY o_custkey, o_orderkey""".stripMargin),
 
+    // ---- grouped top-k WITHOUT the window sort --------------------------
+    // the scale-correct grouped top-k: the w1 window idiom sorts every row
+    // of every group in the shuffle; the native `top_k` aggregate
+    // ([[graft.functions.TopKAgg]]) keeps a k-bound heap per partial
+    // buffer, so the map side combines each partition to ≤ k entries per
+    // group before anything moves — exact (the global top-k is contained
+    // in the union of per-partition top-ks over a total order), not a
+    // sketch. The oracle is the window formulation: both must agree row
+    // for row including rank and tie-breaks.
+    ("w4_topk_partial",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"))
+        li.groupBy("l_returnflag")
+          .agg(graft.functions.TopKAgg.topK(col("cents"), col("rid"), 3).as("tk"))
+          .select(col("l_returnflag"), posexplode(col("tk")))
+          .select(col("l_returnflag"), (col("pos") + 1).cast("long").as("rn"),
+            col("col.ord").as("cents"), col("col.id").as("rid"))
+          .orderBy("l_returnflag", "rn")
+      },
+      """WITH x AS (SELECT l_returnflag,
+        |             CAST(round(l_extendedprice*100) AS BIGINT) AS cents,
+        |             l_orderkey*10 + l_linenumber AS rid FROM lineitem),
+        | r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |                 ORDER BY cents DESC, rid) AS rn FROM x)
+        | SELECT l_returnflag, CAST(rn AS BIGINT) AS rn, cents, rid
+        | FROM r WHERE rn <= 3 ORDER BY l_returnflag, rn""".stripMargin),
+
     // ---- top-k global sort ---------------------------------------------
     ("topk_global",
       (s, d) => t(s, d, "orders")

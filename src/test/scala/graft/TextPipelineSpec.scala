@@ -509,6 +509,35 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(!strict && relaxed)
   }
 
+  test("top_k aggregate: exact, tie-deterministic, independent of partitioning") {
+    // 200 rows, many ties: ord = i % 10 (values 0..9 each x20), id = i
+    val rows = (0L until 200L).map(i => (i % 10, i)).toDF("ord", "id")
+    def run(parts: Int) = rows.repartition(parts)
+      .agg(graft.functions.TopKAgg.topK(col("ord"), col("id"), 5).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.ord"), col("e.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // expected under (ord DESC, id ASC): ord 9 appears at ids 9,19,29,...;
+    // top 5 = (9,9),(9,19),(9,29),(9,39),(9,49) — strongest first
+    val want = Seq((9L, 9L), (9L, 19L), (9L, 29L), (9L, 39L), (9L, 49L))
+    assert(run(1) == want)
+    assert(run(7) == want)   // multi-partition: partial heaps + merges
+    assert(run(64) == want)  // more partials than k survivors
+    // fewer rows than k: all rows, still strongest-first
+    val small = Seq((5L, 1L), (3L, 2L)).toDF("ord", "id")
+      .agg(graft.functions.TopKAgg.topK(col("ord"), col("id"), 5).as("tk"))
+      .select(explode(col("tk")).as("e")).select(col("e.ord"), col("e.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(small == Seq((5L, 1L), (3L, 2L)))
+    // SQL registration
+    graft.functions.GraftExtensions.register(spark)
+    rows.createOrReplaceTempView("tk_in")
+    val viaSql = spark.sql(
+      "SELECT top_k(ord, id, 2) FROM tk_in").collect().head
+      .getSeq[org.apache.spark.sql.Row](0).map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaSql.toSeq == Seq((9L, 9L), (9L, 19L)))
+  }
+
   test("MisraGries sketch: <= k counters, contains every item above N/(k+1), lower-bounds") {
     // 100-word vocabulary, zipf-ish: token i repeated (101-i) times
     val words = (1 to 100).flatMap(i => Seq.fill(101 - i)(f"w$i%03d"))
