@@ -488,7 +488,7 @@ object ScaleProbe {
     // integer HITS rounds, and the map-side table fingerprint at mult x
     // input volume
     val r11Probes = Seq("skyline", "hitsRounds", "tableChecksum", "pprRounds",
-      "compactionPlan", "checksumHash", "lpaRounds", "sccPeel")
+      "compactionPlan", "checksumHash", "lpaRounds", "sccPeel", "topkPartial")
     if (r11Probes.exists(enabled)) {
       val orders = spark.read.parquet(s"$sfDir/orders.parquet")
         .repartition(spark.sparkContext.defaultParallelism)
@@ -586,6 +586,29 @@ object ScaleProbe {
           .unionAll(r.filter(col("r") % 2 === 0 && col("r") < nRings - 1)
             .select((col("r") * 3 + 2).as("src"), ((col("r") + 1) * 3).as("dst")))
         graft.ops.GraphTraversal.stronglyConnectedComponents(e).count()
+      }
+      // grouped top-3 at mult x rows, window-sort idiom vs the native
+      // k-bound-heap partial aggregate: identical answers (both exact,
+      // tie-deterministic); the delta is the full per-group sort shuffle
+      // the window pays and the heap does not
+      if (enabled("topkPartial")) {
+        val li = (0 until mult).map(k =>
+          liProbe.withColumn("l_orderkey", col("l_orderkey") + lit(k.toLong * orderStride)))
+          .reduce(_ union _)
+          .select(col("l_returnflag"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents"),
+            (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"))
+        timed("topkPartial window idiom") {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("l_returnflag").orderBy(col("cents").desc, col("rid"))
+          li.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+            .filter(col("rn") <= 3).count()
+        }
+        timed("topkPartial heap aggregate") {
+          li.groupBy("l_returnflag")
+            .agg(graft.functions.TopKAgg.topK(col("cents"), col("rid"), 3).as("tk"))
+            .select(explode(col("tk"))).count()
+        }
       }
       // string-vs-long LPA key cost at mult x edges: the same vote loop,
       // once on 40-byte URI keys straight through (the pre-r10 behavior,

@@ -433,6 +433,54 @@ object TemporalQueries {
         |                  > 9 * (8 * q_win - s_win * s_win) END AS is_anomaly
         | FROM w ORDER BY event_id""".stripMargin),
 
+    // ---- interval union (merged coverage) -------------------------------
+    // "how much wall-clock was the user active, overlaps counted once":
+    // each click opens a 5-minute interval; overlapping/touching intervals
+    // merge, and the answer is the summed length of the MERGED set — the
+    // coverage twin of ts_max_concurrency's sweep. One user-partitioned
+    // window pass: an interval starts a new merged group iff its start
+    // exceeds the running max of prior ends (the classic stab-forward
+    // merge without a self-join); group id = prefix sum of those flags.
+    ("ts_interval_union",
+      (s, d) => {
+        val iv = TemporalOps.loadEvents(s, d)
+          .filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("ts_us").as("st"),
+            (col("ts_us") + 300000000L).as("en"))
+        val wo = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("st"), col("en"), col("event_id"))
+        val prevMax = max(col("en")).over(wo.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+        iv.withColumn("new_grp",
+            when(prevMax.isNull || col("st") > prevMax, 1L).otherwise(0L))
+          .withColumn("gid", sum(col("new_grp")).over(wo))
+          .groupBy("user_id", "gid")
+          .agg(min(col("st")).as("ms"), max(col("en")).as("me"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_merged"),
+            sum(col("me") - col("ms")).as("covered_us"))
+          .orderBy("user_id")
+      },
+      """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS st,
+        |                  epoch_us(ts) + 300000000 AS en FROM events
+        |           WHERE event_type = 'click'),
+        | g AS (SELECT *, CASE WHEN MAX(en) OVER (PARTITION BY user_id
+        |                        ORDER BY st, en, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |                      < st OR MAX(en) OVER (PARTITION BY user_id
+        |                        ORDER BY st, en, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |                      IS NULL
+        |                 THEN 1 ELSE 0 END AS new_grp
+        |       FROM c),
+        | gg AS (SELECT *, SUM(new_grp) OVER (PARTITION BY user_id
+        |                    ORDER BY st, en, event_id) AS gid FROM g),
+        | m AS (SELECT user_id, gid, MIN(st) AS ms, MAX(en) AS me
+        |       FROM gg GROUP BY 1, 2)
+        | SELECT user_id, COUNT(*) AS n_merged,
+        |        CAST(SUM(me - ms) AS BIGINT) AS covered_us
+        | FROM m GROUP BY 1 ORDER BY user_id""".stripMargin),
+
     // ---- CUSUM level-shift detection (change points) --------------------
     // the sequential change-point detector (Page 1954) over per-type daily
     // event counts, expressed WITHOUT its recursive max(0, ·) form: the
