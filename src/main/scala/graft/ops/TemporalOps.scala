@@ -316,6 +316,61 @@ object TemporalOps {
       .select(col(keyCol), col("day"), col("filled_cents"), col("observed"))
   }
 
+  /** Interval union: merge each key's overlapping-or-touching [st, en)
+    * intervals into maximal runs. One key-partitioned window pass (the
+    * running-max-of-en trick: a new run starts exactly when st clears every
+    * earlier interval's end) + one groupBy — no self-join, no interval
+    * join. Returns (key, gid, ms, me) with gid dense in run order.
+    * `idCol` is the unique tie-break so the window order is total.
+    */
+  def mergeIntervals(iv: DataFrame, keyCol: String, stCol: String,
+                     enCol: String, idCol: String): DataFrame = {
+    val wo = Window.partitionBy(keyCol)
+      .orderBy(col(stCol), col(enCol), col(idCol))
+    val prevMax = max(col(enCol))
+      .over(wo.rowsBetween(Window.unboundedPreceding, -1))
+    iv.withColumn("__new_grp",
+        when(prevMax.isNull || col(stCol) > prevMax, 1L).otherwise(0L))
+      .withColumn("gid", sum(col("__new_grp")).over(wo))
+      .groupBy(col(keyCol), col("gid"))
+      .agg(min(col(stCol)).as("ms"), max(col(enCol)).as("me"))
+  }
+
+  /** Coverage gaps: the holes BETWEEN a key's merged interval runs
+    * ([[mergeIntervals]] first, then one lag over the run-count-bounded
+    * frame). Returns (key, n_gaps, total_gap_us, max_gap_us); keys with a
+    * single run (no interior hole) are absent — the head/tail are
+    * unbounded, not gaps.
+    */
+  def coverageGaps(iv: DataFrame, keyCol: String, stCol: String,
+                   enCol: String, idCol: String): DataFrame = {
+    val runs = mergeIntervals(iv, keyCol, stCol, enCol, idCol)
+    val wg = Window.partitionBy(keyCol).orderBy(col("ms"))
+    runs.withColumn("gap_us", col("ms") - lag(col("me"), 1).over(wg))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap_us")).as("total_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+  }
+
+  /** OHLC bar downsampling (tick stream → per-bucket bars). open/close via
+    * min_by/max_by keyed on the UNIQUE (ts, id) struct — declarative
+    * aggregates that partial-combine map-side, so the one shuffle carries
+    * at most one candidate bar per (partition, bucket), never raw ticks
+    * (the row_number-window idiom would shuffle every tick).
+    */
+  def ohlcBars(ticks: DataFrame, bucketCol: String, valueCol: String,
+               tsCol: String, idCol: String): DataFrame = {
+    val ord = struct(col(tsCol), col(idCol))
+    ticks.groupBy(col(bucketCol))
+      .agg(min_by(col(valueCol), ord).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), ord).as("close"),
+        count(lit(1)).as("n_ticks"),
+        sum(col(valueCol)).as("volume"))
+  }
+
   /** The driver's events table with `ts` normalized to a `ts_us` epoch-µs
     * LONG column — the single ingestion point for event-time queries, so a
     * testdata regeneration that changes the physical timestamp grain (it

@@ -1509,6 +1509,159 @@ object RelationalQueries {
         |        CASE WHEN s_n > 1
         |             THEN CAST((s_sum - n_chars) * 1000000 // (s_n - 1) AS BIGINT)
         |        END AS loo_micro
-        | FROM s ORDER BY doc_id""".stripMargin)
+        | FROM s ORDER BY doc_id""".stripMargin),
+
+    // ---- bucketed co-located join (shuffle-free fact-fact join) ----------
+    // THE 100-TB join layout: both sides written bucketed+sorted on the
+    // join key (8 buckets here; thousands in production), so the sort-merge
+    // join and the follow-on same-key aggregate read pre-partitioned
+    // bucket files with ZERO exchanges — the shuffle is paid once at write
+    // time and amortized over every subsequent join. The entry does the
+    // real thing (bucketBy/sortBy external tables, merge-hint join), then
+    // ASSERTS the plan property it exists to demonstrate: no
+    // ShuffleExchange anywhere in the join+aggregate subplan (the only
+    // exchange in the full query is the final presentation orderBy).
+    ("s28_bucketed_join",
+      (s, d) => {
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        val base = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+        def writeBucketed(df: DataFrame, table: String, key: String): Unit = {
+          s.sql(s"DROP TABLE IF EXISTS $table")
+          df.write.bucketBy(8, key).sortBy(key)
+            .option("path", s"$base/$table").saveAsTable(table)
+        }
+        writeBucketed(t(s, d, "orders"), "s28_orders", "o_custkey")
+        writeBucketed(t(s, d, "customer"), "s28_customer", "c_custkey")
+        val agg = s.table("s28_orders").hint("merge")
+          .join(s.table("s28_customer").hint("merge"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("total_price"),
+            max(col("c_nationkey")).as("c_nationkey"))
+        val shuffles = agg.queryExecution.sparkPlan.collect {
+          case e: ShuffleExchangeExec => e
+        }
+        require(shuffles.isEmpty,
+          s"s28_bucketed_join: expected a zero-exchange bucketed join+agg, " +
+            s"found ${shuffles.size} ShuffleExchange(s) — bucket spec not picked up")
+        agg.orderBy("c_custkey")
+      },
+      """SELECT c_custkey, COUNT(*) AS n_orders,
+        |       SUM(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS total_price,
+        |       MAX(c_nationkey) AS c_nationkey
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
+
+    // ---- hive-partitioned write + partition-directory pruning -----------
+    // the OTHER half of data skipping (s26 covers intra-file zone maps):
+    // directory-level partition pruning, where a month predicate never
+    // even LISTS the other months' files. The entry writes orders
+    // partitioned by order month (one file per month via a repartition on
+    // the partition column — the layout a 100-TB table would use), reads
+    // back with a month filter, and asserts the two properties the scan
+    // must have: the filter landed in PartitionFilters (not a post-scan
+    // Filter), and the pruned listing is strictly smaller than the full
+    // one with exactly the matching partition retained.
+    ("s29_partition_prune",
+      (s, d) => {
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        val base = java.nio.file.Files.createTempDirectory("graft-partprune")
+          .toString + "/orders_by_month"
+        t(s, d, "orders")
+          .withColumn("ym", date_format(col("o_orderdate"), "yyyy-MM"))
+          .repartition(col("ym"))
+          .write.partitionBy("ym").parquet(base)
+        val rd = s.read.parquet(base).filter(col("ym") === "1995-03")
+        val scan = rd.queryExecution.sparkPlan.collectFirst {
+          case f: FileSourceScanExec => f
+        }.getOrElse(sys.error("s29_partition_prune: no FileSourceScanExec"))
+        require(scan.partitionFilters.exists(_.references.exists(_.name == "ym")),
+          "s29_partition_prune: month predicate did not reach PartitionFilters")
+        val pruned = scan.relation.location
+          .listFiles(scan.partitionFilters, scan.dataFilters).map(_.files.size).sum
+        val all = scan.relation.location.listFiles(Nil, Nil).map(_.files.size).sum
+        require(pruned < all && pruned >= 1,
+          s"s29_partition_prune: expected a strict prune, got $pruned of $all files")
+        rd.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("total_price"))
+          .orderBy("o_orderpriority")
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |       SUM(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS total_price
+        | FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
+        | GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // ---- Q17-shape: below-fraction-of-group-average revenue --------------
+    // the correlated-subquery classic ("parts bought in quantities below
+    // 20% of that part's average"), in the shape that survives 100 TB:
+    // the dim filter is a broadcast SEMI join (part never widens the fact
+    // rows), and the per-part average is ONE window pass over the
+    // semi-filtered fact — not a second scan + self-join, and no
+    // correlated per-row subquery. The 20% comparison runs in exact
+    // integer space (5·qty·cnt < Σqty — quantities are integral), so the
+    // oracle agrees bit-for-bit with no double-division drift.
+    ("q17_small_qty_revenue",
+      (s, d) => {
+        val pro = t(s, d, "part").filter(col("p_type").startsWith("PRO"))
+          .select(col("p_partkey"))
+        val li = t(s, d, "lineitem")
+          .join(broadcast(pro), col("l_partkey") === col("p_partkey"), "left_semi")
+        val w = Window.partitionBy(col("l_partkey"))
+        li.withColumn("sum_qty", sum(col("l_quantity").cast("long")).over(w))
+          .withColumn("cnt", count(lit(1)).over(w))
+          .filter(col("l_quantity").cast("long") * 5 * col("cnt") < col("sum_qty"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+              .as("total_revenue"))
+          .select(col("n_lines"), col("total_revenue"))
+      },
+      """WITH li AS (SELECT l.* FROM lineitem l
+        |            WHERE EXISTS (SELECT 1 FROM part p
+        |                          WHERE p.p_partkey = l.l_partkey
+        |                            AND p.p_type LIKE 'PRO%')),
+        | s AS (SELECT l_quantity, l_extendedprice,
+        |              SUM(CAST(l_quantity AS BIGINT))
+        |                OVER (PARTITION BY l_partkey) AS sum_qty,
+        |              COUNT(*) OVER (PARTITION BY l_partkey) AS cnt
+        |       FROM li)
+        | SELECT COUNT(*) AS n_lines,
+        |        SUM(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS total_revenue
+        | FROM s WHERE CAST(l_quantity AS BIGINT) * 5 * cnt < sum_qty""".stripMargin),
+
+    // ---- Q18-shape: large-volume orders (HAVING survivors broadcast) ----
+    // groupBy-HAVING on the fact produces a TINY survivor set (orders
+    // whose total quantity clears a high threshold); the scale move is to
+    // broadcast the survivors into both enrichment joins instead of
+    // shuffling orders and customer on their full keyspace. The lineitem
+    // aggregate itself partial-aggregates map-side (orderkey grouping),
+    // so the only full-width shuffle in the query carries pre-combined
+    // (orderkey, sum) pairs, never raw lines.
+    ("q18_large_volume_cust",
+      (s, d) => {
+        val heavy = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .filter(col("sum_qty") > 250L)
+        val withOrder = t(s, d, "orders").join(broadcast(heavy),
+            col("o_orderkey") === col("l_orderkey"))
+        t(s, d, "customer").select(col("c_custkey"), col("c_name"))
+          .join(broadcast(withOrder), col("c_custkey") === col("o_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+            col("sum_qty"))
+          .orderBy("o_orderkey")
+      },
+      """WITH heavy AS (SELECT l_orderkey,
+        |                 CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |               FROM lineitem GROUP BY 1 HAVING sum_qty > 250)
+        | SELECT c_custkey, c_name, o_orderkey,
+        |        CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, sum_qty
+        | FROM heavy JOIN orders ON o_orderkey = l_orderkey
+        |            JOIN customer ON c_custkey = o_custkey
+        | ORDER BY o_orderkey""".stripMargin)
   )
 }

@@ -447,15 +447,7 @@ object TemporalQueries {
           .filter(col("event_type") === "click")
           .select(col("user_id"), col("event_id"), col("ts_us").as("st"),
             (col("ts_us") + 300000000L).as("en"))
-        val wo = org.apache.spark.sql.expressions.Window
-          .partitionBy("user_id").orderBy(col("st"), col("en"), col("event_id"))
-        val prevMax = max(col("en")).over(wo.rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
-        iv.withColumn("new_grp",
-            when(prevMax.isNull || col("st") > prevMax, 1L).otherwise(0L))
-          .withColumn("gid", sum(col("new_grp")).over(wo))
-          .groupBy("user_id", "gid")
-          .agg(min(col("st")).as("ms"), max(col("en")).as("me"))
+        TemporalOps.mergeIntervals(iv, "user_id", "st", "en", "event_id")
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_merged"),
             sum(col("me") - col("ms")).as("covered_us"))
@@ -846,6 +838,86 @@ object TemporalQueries {
         |          +  2 * COALESCE(lag(cents, 6) OVER w, 0)
         |          +  1 * COALESCE(lag(cents, 7) OVER w, 0) AS BIGINT) AS decay128
         | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-        | ORDER BY event_id""".stripMargin)
+        | ORDER BY event_id""".stripMargin),
+
+    // ---- OHLC bar downsampling ------------------------------------------
+    // the time-series resample primitive (tick stream → daily bars):
+    // open/close are the first/last value in the bucket, high/low/volume
+    // plain extremes/counts. Spark shape: min_by/max_by keyed on the
+    // UNIQUE (ts_us, event_id) struct — declarative aggregates that
+    // partial-combine map-side, so the one shuffle carries ≤ one candidate
+    // bar per (partition, day), never raw ticks. The window-idiom
+    // alternative (row_number per day) would shuffle every tick; the
+    // oracle uses that form, pinning that both agree under the same
+    // composite tie-break.
+    ("ts_ohlc_bars",
+      (s, d) => {
+        val ev = TemporalOps.loadEvents(s, d)
+          .filter(col("event_type") === "purchase")
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .withColumn("day", expr("ts_us div 86400000000"))
+        TemporalOps.ohlcBars(ev, "day", "cents", "ts_us", "event_id")
+          .select(col("day"), col("open").as("open_cents"),
+            col("high").as("high_cents"), col("low").as("low_cents"),
+            col("close").as("close_cents"), col("n_ticks"),
+            col("volume").as("volume_cents"))
+          .orderBy("day")
+      },
+      """WITH e AS (SELECT epoch_us(ts) AS ts_us, event_id,
+        |                  CAST(round(value * 100) AS BIGINT) AS cents,
+        |                  epoch_us(ts) // 86400000000 AS day
+        |           FROM events WHERE event_type = 'purchase'),
+        | r AS (SELECT *,
+        |         ROW_NUMBER() OVER (PARTITION BY day
+        |                            ORDER BY ts_us, event_id) AS rn_a,
+        |         ROW_NUMBER() OVER (PARTITION BY day
+        |                            ORDER BY ts_us DESC, event_id DESC) AS rn_d
+        |       FROM e)
+        | SELECT day, MAX(CASE WHEN rn_a = 1 THEN cents END) AS open_cents,
+        |        MAX(cents) AS high_cents, MIN(cents) AS low_cents,
+        |        MAX(CASE WHEN rn_d = 1 THEN cents END) AS close_cents,
+        |        COUNT(*) AS n_ticks, CAST(SUM(cents) AS BIGINT) AS volume_cents
+        | FROM r GROUP BY day ORDER BY day""".stripMargin),
+
+    // ---- coverage gaps (complement of ts_interval_union) ----------------
+    // "where was the user NOT covered": merge the same 5-minute click
+    // intervals, then read the holes between consecutive merged runs with
+    // ONE lag over the (user, merged-run) frame — per-user output is
+    // run-count-bounded, so the second window rides the first's
+    // partitioning. The uncovered tail/head are unbounded and excluded by
+    // construction (gaps exist only BETWEEN runs).
+    ("ts_coverage_gaps",
+      (s, d) => {
+        val iv = TemporalOps.loadEvents(s, d)
+          .filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("ts_us").as("st"),
+            (col("ts_us") + 300000000L).as("en"))
+        TemporalOps.coverageGaps(iv, "user_id", "st", "en", "event_id")
+          .orderBy("user_id")
+      },
+      """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS st,
+        |                  epoch_us(ts) + 300000000 AS en FROM events
+        |           WHERE event_type = 'click'),
+        | g AS (SELECT *, CASE WHEN MAX(en) OVER (PARTITION BY user_id
+        |                        ORDER BY st, en, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |                      < st OR MAX(en) OVER (PARTITION BY user_id
+        |                        ORDER BY st, en, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |                      IS NULL
+        |                 THEN 1 ELSE 0 END AS new_grp
+        |       FROM c),
+        | gg AS (SELECT *, SUM(new_grp) OVER (PARTITION BY user_id
+        |                    ORDER BY st, en, event_id) AS gid FROM g),
+        | m AS (SELECT user_id, gid, MIN(st) AS ms, MAX(en) AS me
+        |       FROM gg GROUP BY 1, 2),
+        | lg AS (SELECT user_id,
+        |               ms - LAG(me, 1) OVER (PARTITION BY user_id ORDER BY ms)
+        |                 AS gap_us
+        |        FROM m)
+        | SELECT user_id, COUNT(*) AS n_gaps,
+        |        CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+        |        CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+        | FROM lg WHERE gap_us IS NOT NULL GROUP BY 1 ORDER BY user_id""".stripMargin)
   )
 }

@@ -598,4 +598,47 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(TemporalOps.gapFillDaily(ev, "k", "ts_us", "cents", maxSpanDays = 50)
       .count() == 51)
   }
+
+  test("mergeIntervals: overlap, touch, and containment collapse; disjoint split") {
+    // key A: [0,10) ∪ [5,20) overlap → run; [20,30) touches (st == prevMax,
+    // NOT >) → same run; [2,4) contained → absorbed; [40,50) disjoint.
+    val iv = Seq(("A", 0L, 10L, 1L), ("A", 5L, 20L, 2L), ("A", 20L, 30L, 3L),
+      ("A", 2L, 4L, 4L), ("A", 40L, 50L, 5L), ("B", 0L, 1L, 6L))
+      .toDF("k", "st", "en", "id")
+    val got = TemporalOps.mergeIntervals(iv, "k", "st", "en", "id")
+      .select("k", "ms", "me").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got == Seq(("A", 0L, 30L), ("A", 40L, 50L), ("B", 0L, 1L)))
+  }
+
+  test("coverageGaps: only interior holes count; single-run keys absent") {
+    val iv = Seq(("A", 0L, 10L, 1L), ("A", 15L, 20L, 2L), ("A", 100L, 110L, 3L),
+      ("B", 0L, 5L, 4L), ("B", 3L, 9L, 5L)) // B merges to one run → no gaps
+      .toDF("k", "st", "en", "id")
+    val got = TemporalOps.coverageGaps(iv, "k", "st", "en", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("A", 2L, 85L, 80L))) // gaps 10→15 (5) and 20→100 (80)
+  }
+
+  test("ohlcBars: open/close tie-break on (ts, id); extremes and volume exact") {
+    // bucket 1: two ticks share the earliest ts — smaller id wins open;
+    // two share the latest ts — larger id wins close. high/low from the
+    // middle, volume = exact sum.
+    val ticks = Seq((1L, 100L, 1L, 7L), (1L, 100L, 2L, 9L), (1L, 150L, 3L, 1L),
+      (1L, 150L, 4L, 99L), (1L, 120L, 5L, 50L), (2L, 0L, 6L, 3L))
+      .toDF("b", "ts", "id", "v")
+    val got = TemporalOps.ohlcBars(ticks, "b", "v", "ts", "id")
+      .orderBy("b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq((1L, 7L, 99L, 1L, 99L, 5L, 166L),
+      (2L, 3L, 3L, 3L, 3L, 1L, 3L)))
+    // partitioning-independence: the map-side-combinable aggregates give
+    // the same bars under any physical layout
+    val re = TemporalOps.ohlcBars(ticks.repartition(7, col("id")), "b", "v", "ts", "id")
+      .orderBy("b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(re.toSeq == got.toSeq)
+  }
 }
