@@ -1662,6 +1662,58 @@ object RelationalQueries {
         |        CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, sum_qty
         | FROM heavy JOIN orders ON o_orderkey = l_orderkey
         |            JOIN customer ON c_custkey = o_custkey
-        | ORDER BY o_orderkey""".stripMargin)
+        | ORDER BY o_orderkey""".stripMargin),
+
+    // ---- exact equi-height histogram (all deciles) without a global sort
+    // generalizes t_exact_median_nosort from one order statistic to all
+    // nine interior deciles in the SAME two scans: (1) one map-combinable
+    // value-bucket histogram, (2) a driver walk over the ≤64k bucket
+    // summary locating (bucket, in-bucket offset) for every decile rank,
+    // (3) ONE filtered scan of just the ≤9 boundary buckets, ranked by a
+    // bucket-partitioned window (bucket-sized partitions, never global) and
+    // inner-joined to the broadcast (bucket, offset, decile) probe set. A
+    // global orderBy would range-shuffle all rows for 9 values; this moves
+    // ~9/2¹² of them. Oracle: DuckDB ranks the full column — an
+    // independent algorithm.
+    ("t_equiheight_deciles",
+      (s, d) => {
+        val cents = t(s, d, "lineitem")
+          .select(round(col("l_extendedprice") * 100).cast("long").as("c"))
+        val hist = cents.groupBy(expr("c div 4096").as("b"))
+          .agg(count(lit(1)).as("bn"))
+          .orderBy("b").collect() // bucket-count-sized (≤ ~64k rows)
+        val n = hist.map(_.getLong(1)).sum
+        // decile i boundary = value at 1-based rank ceil(i*n/10)
+        val ranks = (1 to 9).map(i => (i.toLong, (i * n + 9) / 10))
+        val probes = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var cum = 0L
+        var hi = 0
+        for ((dec, k) <- ranks) {
+          while (hi < hist.length && cum + hist(hi).getLong(1) < k) {
+            cum += hist(hi).getLong(1); hi += 1
+          }
+          probes += ((dec, hist(hi).getLong(0), k - cum)) // (decile, bucket, off)
+        }
+        val probeDf = s.createDataFrame(probes.toSeq)
+          .toDF("decile", "b", "off")
+        val wanted: Seq[Long] = probes.map(_._2).distinct.toSeq
+        val ranked = cents.filter(expr("c div 4096").isin(wanted: _*))
+          .withColumn("b", expr("c div 4096"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("b").orderBy("c")))
+        ranked.join(broadcast(probeDf), Seq("b"))
+          .filter(col("rn") === col("off"))
+          .select(col("decile"), col("c").as("boundary_cents"))
+          .orderBy("decile")
+      },
+      """WITH t AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS c
+        |           FROM lineitem),
+        | r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM t),
+        | nn AS (SELECT COUNT(*) AS n FROM t),
+        | d AS (SELECT CAST(i AS BIGINT) AS decile,
+        |              (i * (SELECT n FROM nn) + 9) // 10 AS k
+        |       FROM generate_series(1, 9) g(i))
+        | SELECT d.decile, r.c AS boundary_cents
+        | FROM d JOIN r ON r.rn = d.k ORDER BY d.decile""".stripMargin)
   )
 }

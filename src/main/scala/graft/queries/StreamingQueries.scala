@@ -457,6 +457,41 @@ object StreamingQueries {
             (0 until 64).map(b => (b % 7) - 3)))
           .orderBy("id")
       },
-      PipelineQueries.QualityLinearSql)
+      PipelineQueries.QualityLinearSql),
+
+    // ---- streaming OHLC bars (14th twin) --------------------------------
+    // micro-batch twin of ts_ohlc_bars against the SAME oracle: min_by/
+    // max_by keyed on the unique (ts_us, event_id) struct are declarative
+    // aggregates, so streaming state per day-bucket is one candidate bar —
+    // batch 2 must re-open batch-1 days (the median cut splits days) and
+    // still converge to the batch answer in complete mode.
+    ("stream_ohlc_bars",
+      (s, d) => replayTwoBatches(s, d, "complete") { st =>
+        val ev = st.filter(col("event_type") === "purchase")
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .withColumn("day", expr("ts_us div 86400000000"))
+        TemporalOps.ohlcBars(ev, "day", "cents", "ts_us", "event_id")
+      }
+        .select(col("day"), col("open").as("open_cents"),
+          col("high").as("high_cents"), col("low").as("low_cents"),
+          col("close").as("close_cents"), col("n_ticks"),
+          col("volume").as("volume_cents"))
+        .orderBy("day"),
+      """WITH e AS (SELECT epoch_us(ts) AS ts_us, event_id,
+        |                  CAST(round(value * 100) AS BIGINT) AS cents,
+        |                  epoch_us(ts) // 86400000000 AS day
+        |           FROM events WHERE event_type = 'purchase'),
+        | r AS (SELECT *,
+        |         ROW_NUMBER() OVER (PARTITION BY day
+        |                            ORDER BY ts_us, event_id) AS rn_a,
+        |         ROW_NUMBER() OVER (PARTITION BY day
+        |                            ORDER BY ts_us DESC, event_id DESC) AS rn_d
+        |       FROM e)
+        | SELECT day, MAX(CASE WHEN rn_a = 1 THEN cents END) AS open_cents,
+        |        MAX(cents) AS high_cents, MIN(cents) AS low_cents,
+        |        MAX(CASE WHEN rn_d = 1 THEN cents END) AS close_cents,
+        |        COUNT(*) AS n_ticks, CAST(SUM(cents) AS BIGINT) AS volume_cents
+        | FROM r GROUP BY day ORDER BY day""".stripMargin)
   )
 }

@@ -918,6 +918,37 @@ object TemporalQueries {
         | SELECT user_id, COUNT(*) AS n_gaps,
         |        CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
         |        CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
-        | FROM lg WHERE gap_us IS NOT NULL GROUP BY 1 ORDER BY user_id""".stripMargin)
+        | FROM lg WHERE gap_us IS NOT NULL GROUP BY 1 ORDER BY user_id""".stripMargin),
+
+    // ---- next-event training examples (sequence → (context, target)) ----
+    // the sequence-model dataset builder: per user, events in (ts, id)
+    // order become supervised pairs — the previous 3 event types as
+    // context, the current one as target; rows without a full context are
+    // dropped (no padding tokens fabricated). ONE user-partitioned window
+    // pass, three lags over the same frame — per-user state at 100 TB is
+    // the window partition, never driver memory. Flat ctx columns rather
+    // than an array keep the oracle hashable column-by-column.
+    ("t_next_event_examples",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        TemporalOps.loadEvents(s, d)
+          .withColumn("ctx1", lag(col("event_type"), 3).over(w))
+          .withColumn("ctx2", lag(col("event_type"), 2).over(w))
+          .withColumn("ctx3", lag(col("event_type"), 1).over(w))
+          .filter(col("ctx1").isNotNull)
+          .select(col("user_id"), col("event_id"), col("ctx1"), col("ctx2"),
+            col("ctx3"), col("event_type").as("target"))
+          .orderBy("event_id")
+      },
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |                  LAG(event_type, 3) OVER w AS ctx1,
+        |                  LAG(event_type, 2) OVER w AS ctx2,
+        |                  LAG(event_type, 1) OVER w AS ctx3
+        |           FROM events
+        |           WINDOW w AS (PARTITION BY user_id
+        |                        ORDER BY epoch_us(ts), event_id))
+        | SELECT user_id, event_id, ctx1, ctx2, ctx3, event_type AS target
+        | FROM e WHERE ctx1 IS NOT NULL ORDER BY event_id""".stripMargin)
   )
 }
