@@ -719,6 +719,109 @@ object ScaleProbe {
       hot.unpersist()
     }
     }
+
+    // ---- round-10 batch-4 probes: OHLC agg-vs-window, coverage gaps,
+    // bucketed-join amortization, equi-height selection ------------------
+    if (Seq("ohlcBars", "coverageGaps", "bucketedJoin", "equiheight")
+        .exists(enabled)) {
+      val baseE = graft.ops.TemporalOps.loadEvents(spark, sfDir)
+        .repartition(spark.sparkContext.defaultParallelism)
+      if (Seq("ohlcBars", "coverageGaps").exists(enabled)) {
+        val strideRow = baseE.agg(max(col("user_id")), max(col("event_id"))).head
+        val userStride = strideRow.getLong(0) + 1L
+        val eventStride = strideRow.getLong(1) + 1L
+        val ev = (0 until mult).map { k =>
+          baseE.withColumn("event_id", col("event_id") + lit(k.toLong * eventStride))
+            .withColumn("user_id", col("user_id") + lit(k.toLong * userStride))
+            .withColumn("ts_us", col("ts_us") + lit(k.toLong))
+        }.reduce(_ union _).cache()
+        println(s"events (ohlc/gaps): ${ev.count()}")
+        val ticks = ev.filter(col("event_type") === "purchase")
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .withColumn("day", expr("ts_us div 86400000000"))
+        // day-bucket count is FIXED (~30) while ticks grow x mult: the
+        // partial-combining agg should stay near-flat per row, while the
+        // window idiom must shuffle + sort every tick into day partitions
+        timed("ohlcBars partial agg") {
+          graft.ops.TemporalOps.ohlcBars(ticks, "day", "cents", "ts_us",
+            "event_id").count()
+        }
+        timed("ohlcBars window idiom") {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("day").orderBy(col("ts_us"), col("event_id"))
+          ticks.withColumn("rn_a", row_number().over(w))
+            .withColumn("rn_d", row_number().over(
+              org.apache.spark.sql.expressions.Window.partitionBy("day")
+                .orderBy(col("ts_us").desc, col("event_id").desc)))
+            .groupBy("day")
+            .agg(max(when(col("rn_a") === 1, col("cents"))).as("open"),
+              max(col("cents")).as("high"), min(col("cents")).as("low"),
+              max(when(col("rn_d") === 1, col("cents"))).as("close"),
+              count(lit(1)).as("n_ticks"), sum(col("cents")).as("volume"))
+            .count()
+        }
+        timed("coverageGaps (mult x users)") {
+          // fresh users: runs and gaps scale ~linearly; both windows ride
+          // the same user partitioning
+          val iv = ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("event_id"), col("ts_us").as("st"),
+              (col("ts_us") + 300000000L).as("en"))
+          graft.ops.TemporalOps.coverageGaps(iv, "user_id", "st", "en",
+            "event_id").count()
+        }
+        ev.unpersist()
+      }
+      if (enabled("bucketedJoin")) {
+        // orders x mult (fresh orderkeys, custkeys kept → per-customer
+        // order count grows x mult), customer fixed. The claim under test:
+        // the bucketed layout pays ONE write-side shuffle, then every
+        // subsequent join+agg is exchange-free; the plain-parquet path
+        // re-shuffles both sides on every run.
+        val baseO = spark.read.parquet(s"$sfDir/orders.parquet")
+        val baseC = spark.read.parquet(s"$sfDir/customer.parquet")
+        val oStride = baseO.agg(max(col("o_orderkey"))).head.getLong(0) + 1L
+        val orders = (0 until mult).map(k =>
+          baseO.withColumn("o_orderkey", col("o_orderkey") + lit(k.toLong * oStride)))
+          .reduce(_ union _)
+        val dir = java.nio.file.Files.createTempDirectory("graft-bucket-probe").toString
+        def agg(o: org.apache.spark.sql.DataFrame,
+                c: org.apache.spark.sql.DataFrame) =
+          o.hint("merge").join(c.hint("merge"),
+              col("o_custkey") === col("c_custkey"))
+            .groupBy("c_custkey")
+            .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("tp"))
+        timed("bucketedJoin write (once)") {
+          spark.sql("DROP TABLE IF EXISTS probe_orders")
+          spark.sql("DROP TABLE IF EXISTS probe_customer")
+          orders.write.bucketBy(32, "o_custkey").sortBy("o_custkey")
+            .option("path", s"$dir/o").saveAsTable("probe_orders")
+          baseC.write.bucketBy(32, "c_custkey").sortBy("c_custkey")
+            .option("path", s"$dir/c").saveAsTable("probe_customer")
+          spark.table("probe_orders").count()
+        }
+        timed("bucketedJoin join+agg x2 (0 exch)") {
+          agg(spark.table("probe_orders"), spark.table("probe_customer")).count()
+          agg(spark.table("probe_orders"), spark.table("probe_customer")).count()
+        }
+        timed("bucketedJoin shuffle-path x2") {
+          agg(orders, baseC).count()
+          agg(orders, baseC).count()
+        }
+      }
+      if (enabled("equiheight")) {
+        // value domain fixed, rows x mult: the histogram summary and the
+        // driver walk are CONSTANT-sized; only the map-side histogram scan
+        // and the (~1/2^12-sized) boundary-bucket rank grow
+        val baseL = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(round(col("l_extendedprice") * 100).cast("long").as("c"))
+        val cents = (0 until mult).map(k =>
+          baseL.withColumn("c", col("c") + lit(k.toLong))).reduce(_ union _)
+        timed("equiheightDeciles (2-scan)") {
+          graft.ops.Selection.valuesAtRanks(spark, cents, "c",
+            n => (1 to 9).map(i => (i * n + 9) / 10)).count()
+        }
+      }
+    }
     spark.stop()
   }
 }

@@ -447,4 +447,42 @@ object TextIndex {
       .bucketBy(numBuckets, "token")
       .sortBy("token")
       .saveAsTable(table)
+
+  /** SymSpell-style spelling-correction join: out-of-dictionary words
+    * matched to dictionary words at Levenshtein distance EXACTLY 1, via the
+    * deletion-neighborhood candidate join — each side expands to itself +
+    * its single-character deletions (len+1 variants, bounded by `maxLen`),
+    * candidates are variant-key equi-matches, and a final `levenshtein`
+    * check discards the false candidates the neighborhood over-generates
+    * (e.g. transpositions). The naive alternative is a words × dict cross
+    * join with a distance kernel per pair; the neighborhood join is linear
+    * in tokens and the dict side (dictSize·(len+1) keys) BROADCASTS.
+    *
+    * The dictionary is the `dictSize` most frequent corpus words
+    * (count desc, word asc — total order, so cross-engine deterministic),
+    * taken with orderBy+limit, which Spark executes as TakeOrdered (per-
+    * partition top-k + driver merge), never a full vocabulary sort.
+    */
+  def symspellCorrections(docs: DataFrame, textCol: String, dictSize: Int,
+                          minLen: Int = 4, maxLen: Int = 20): DataFrame = {
+    val words = docs.select(explode(
+        expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val dict = words.orderBy(col("n").desc, col("w").asc).limit(dictSize)
+      .select(col("w").as("dw"))
+    val queries = words
+      .join(dict, col("w") === col("dw"), "left_anti")
+      .filter(length(col("w")).between(minLen, maxLen))
+      .select("w")
+    // identity + single deletions: lev(a,b) <= 1 implies the variant sets
+    // intersect; the reverse over-generates and is filtered below
+    def withVariants(df: DataFrame, c: String) = df.withColumn("v", explode(
+      expr(s"array_union(array($c), transform(sequence(1, length($c)), " +
+        s"i -> concat(substr($c, 1, i-1), substr($c, i+1, length($c)))))")))
+    withVariants(queries, "w")
+      .join(broadcast(withVariants(dict, "dw")), Seq("v"))
+      .select(col("w").as("word"), col("dw").as("suggestion"))
+      .distinct()
+      .filter(levenshtein(col("word"), col("suggestion")) === 1)
+  }
 }

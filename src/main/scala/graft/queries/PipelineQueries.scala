@@ -3364,6 +3364,51 @@ object PipelineQueries {
         |               >= 0.15)
         | SELECT id AS vec_id, CAST(cell AS INTEGER) AS cell FROM asg
         | WHERE id NOT IN (SELECT id FROM drops)
-        | ORDER BY vec_id""".stripMargin)
+        | ORDER BY vec_id""".stripMargin),
+
+    // ---- SymSpell spelling-correction join ------------------------------
+    // out-of-dictionary words matched to the corpus's most frequent
+    // words at Levenshtein distance exactly 1, via the deletion-
+    // neighborhood candidate join (identity + single deletions on both
+    // sides, variant-key equi-join, exact distance verify). The dict-side
+    // variant table (dictSize·(len+1) keys) BROADCASTS; the naive shape —
+    // vocabulary × dictionary cross join with a distance kernel per pair —
+    // is what the oracle runs, making it an independent algorithm.
+    // The synthetic corpus has a clean 31-word vocabulary (everything is
+    // in-dictionary), so the entry first plants DETERMINISTIC typos — every
+    // third document re-emits its first ≥5-char word with the 2nd char
+    // dropped — and the correction join must map each typo back to its
+    // source word. The oracle plants the identical typos.
+    ("x1_symspell_correct",
+      (s, d) => {
+        val src = t(s, d, "documents")
+          .withColumn("fw", expr("regexp_extract_all(lower(text), '[a-z]+', 0)[0]"))
+        val corrupted = src.withColumn("text",
+            when(col("doc_id") % 3 === 0 && length(col("fw")) >= 5,
+              concat(col("text"), lit(" "),
+                substring(col("fw"), 1, 1), expr("substr(fw, 3)")))
+              .otherwise(col("text")))
+          .drop("fw")
+        TextIndex.symspellCorrections(corrupted, "text", dictSize = 25)
+          .orderBy("word", "suggestion")
+      },
+      """WITH src AS (SELECT doc_id, text,
+        |                    regexp_extract_all(lower(text), '[a-z]+')[1] AS fw
+        |             FROM documents),
+        | docs AS (SELECT CASE WHEN doc_id % 3 = 0 AND length(fw) >= 5
+        |                 THEN text || ' ' || substr(fw, 1, 1) || substr(fw, 3)
+        |                 ELSE text END AS text
+        |          FROM src),
+        | words AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |               FROM docs),
+        | counts AS (SELECT w, COUNT(*) AS n FROM words GROUP BY 1),
+        | dict AS (SELECT w FROM counts ORDER BY n DESC, w ASC LIMIT 25),
+        | q AS (SELECT w FROM counts
+        |       WHERE w NOT IN (SELECT w FROM dict)
+        |         AND length(w) BETWEEN 4 AND 20)
+        | SELECT q.w AS word, d.w AS suggestion
+        | FROM q CROSS JOIN dict d
+        | WHERE levenshtein(q.w, d.w) = 1
+        | ORDER BY word, suggestion""".stripMargin)
   )
 }

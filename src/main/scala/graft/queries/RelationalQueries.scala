@@ -1679,31 +1679,15 @@ object RelationalQueries {
       (s, d) => {
         val cents = t(s, d, "lineitem")
           .select(round(col("l_extendedprice") * 100).cast("long").as("c"))
-        val hist = cents.groupBy(expr("c div 4096").as("b"))
-          .agg(count(lit(1)).as("bn"))
-          .orderBy("b").collect() // bucket-count-sized (≤ ~64k rows)
-        val n = hist.map(_.getLong(1)).sum
-        // decile i boundary = value at 1-based rank ceil(i*n/10)
-        val ranks = (1 to 9).map(i => (i.toLong, (i * n + 9) / 10))
-        val probes = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-        var cum = 0L
-        var hi = 0
-        for ((dec, k) <- ranks) {
-          while (hi < hist.length && cum + hist(hi).getLong(1) < k) {
-            cum += hist(hi).getLong(1); hi += 1
-          }
-          probes += ((dec, hist(hi).getLong(0), k - cum)) // (decile, bucket, off)
-        }
-        val probeDf = s.createDataFrame(probes.toSeq)
-          .toDF("decile", "b", "off")
-        val wanted: Seq[Long] = probes.map(_._2).distinct.toSeq
-        val ranked = cents.filter(expr("c div 4096").isin(wanted: _*))
-          .withColumn("b", expr("c div 4096"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("b").orderBy("c")))
-        ranked.join(broadcast(probeDf), Seq("b"))
-          .filter(col("rn") === col("off"))
-          .select(col("decile"), col("c").as("boundary_cents"))
+        // decile i boundary = value at 1-based rank ceil(i*n/10); n comes
+        // off the selection op's own histogram — no extra count scan
+        var ranks: Seq[Long] = Nil
+        val at = graft.ops.Selection.valuesAtRanks(s, cents, "c",
+          n => { ranks = (1 to 9).map(i => (i * n + 9) / 10); ranks })
+        at.join(broadcast(s.createDataFrame(
+              ranks.zipWithIndex.map { case (k, i) => (k, i + 1L) })
+            .toDF("rank", "decile")), Seq("rank"))
+          .select(col("decile"), col("value").as("boundary_cents"))
           .orderBy("decile")
       },
       """WITH t AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS c
@@ -1714,6 +1698,41 @@ object RelationalQueries {
         |              (i * (SELECT n FROM nn) + 9) // 10 AS k
         |       FROM generate_series(1, 9) g(i))
         | SELECT d.decile, r.c AS boundary_cents
-        | FROM d JOIN r ON r.rn = d.k ORDER BY d.decile""".stripMargin)
+        | FROM d JOIN r ON r.rn = d.k ORDER BY d.decile""".stripMargin),
+
+    // ---- market-basket co-purchase projection ---------------------------
+    // the bipartite (basket, item) → (item, item) projection behind
+    // recommenders: distinct parts per order, a basket-keyed self-join
+    // producing ordered pairs, support counted per pair. The quadratic
+    // hazard is basket DEPTH, not basket count — a 10 000-item basket
+    // contributes 50 M pairs — so baskets above `cap` distinct items are
+    // dropped BEFORE pairing (the maxDF / maxBlockRows discipline; the
+    // oracle applies the identical cap, so the semantics are pinned, not
+    // hidden). Pair fan-out is then ≤ C(cap,2) per basket — linear in
+    // baskets at any scale.
+    ("g_copurchase_pairs",
+      (s, d) => {
+        val bp = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
+          .distinct()
+        val wc = Window.partitionBy("okey")
+        val capped = bp.withColumn("bsz", count(lit(1)).over(wc))
+          .filter(col("bsz") <= 15)
+        capped.select(col("okey"), col("pkey").as("p1"))
+          .join(capped.select(col("okey"), col("pkey").as("p2")), Seq("okey"))
+          .filter(col("p1") < col("p2"))
+          .groupBy("p1", "p2").agg(count(lit(1)).as("n_baskets"))
+          .filter(col("n_baskets") >= 2)
+          .orderBy("p1", "p2")
+      },
+      """WITH bp AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey
+        |            FROM lineitem),
+        | capped AS (SELECT * FROM (
+        |              SELECT okey, pkey, COUNT(*) OVER (PARTITION BY okey) AS bsz
+        |              FROM bp) WHERE bsz <= 15)
+        | SELECT a.pkey AS p1, b.pkey AS p2, COUNT(*) AS n_baskets
+        | FROM capped a JOIN capped b ON a.okey = b.okey AND a.pkey < b.pkey
+        | GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        | ORDER BY p1, p2""".stripMargin)
   )
 }
