@@ -732,4 +732,43 @@ object TextStats {
         sum(col("w")).as("score"))
       .withColumn("mean_w", col("score").cast("double") / col("n_tokens"))
   }
+
+  /** T5-style span corruption, deterministically: token positions whose
+    * md5(doc:pos) first hex digit falls below `maskHexDigits` (p =
+    * maskHexDigits/16) are masked, consecutive masked positions coalesce
+    * into spans (the islands trick: pos − row_number is constant within a
+    * run), and each span is emitted with its ordinal sentinel id and its
+    * ordered text. One doc-partitioned window pass + one grouped
+    * aggregation; ordered span text via sort_array-of-structs (no
+    * non-deterministic collect ordering).
+    *
+    * Output: (doc_id, span_id, start_pos, end_pos, n_tokens, span_text);
+    * positions are 0-based token indices.
+    */
+  def spanCorruption(docs: DataFrame, maskHexDigits: Int = 3,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maskHexDigits >= 1 && maskHexDigits <= 15,
+      "spanCorruption: maskHexDigits must be in [1, 15]")
+    val hexSet = "0123456789abcdef".take(maskHexDigits).map(_.toString)
+    val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("pos", "token")))
+      .filter(col("token") =!= "")
+      .withColumn("pos", col("pos").cast("long"))
+    val masked = toks.filter(
+      substring(md5(concat_ws(":", col("doc_id"), col("pos"))), 1, 1)
+        .isin(hexSet: _*))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    masked.withColumn("gid", col("pos") - row_number().over(wd))
+      .groupBy("doc_id", "gid")
+      .agg(min(col("pos")).as("start_pos"), max(col("pos")).as("end_pos"),
+        count(lit(1)).as("n_tokens"),
+        array_join(transform(sort_array(collect_list(
+          struct(col("pos"), col("token")))), x => x("token")), " ")
+          .as("span_text"))
+      .withColumn("span_id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("start_pos")))
+      .select("doc_id", "span_id", "start_pos", "end_pos", "n_tokens", "span_text")
+  }
 }

@@ -748,4 +748,39 @@ object GraphTraversal {
     // reads them (releasing a localCheckpoint's blocks is destructive)
     out
   }
+
+  /** Deterministic random walks (the node2vec/DeepWalk corpus generator):
+    * from each start, `steps` transitions where step t out of node u picks
+    * neighbor index md5(walk:t:u) mod outdegree — a cross-engine-
+    * reproducible "random" choice, so walk corpora are stable across
+    * reruns and engines (no RNG state on executors). Per step: ONE
+    * shuffle join of the walk frontier against the ranked-neighbor table
+    * (per-src rank + degree from a src-partitioned window); the `deg`-way
+    * join fan-out collapses to exactly one row per walk by the index
+    * filter. Walks reaching a sink (no out-edges) are dropped by the
+    * inner join — only complete walks are emitted.
+    *
+    * Output: (walk_id, v0 .. v\<steps\>), wide format.
+    */
+  def randomWalks(edges: DataFrame, starts: DataFrame, steps: Int): DataFrame = {
+    require(steps >= 1, "randomWalks: steps must be >= 1")
+    val wN = org.apache.spark.sql.expressions.Window
+      .partitionBy("__s").orderBy("__d")
+    val nbrs = edges.select(col("src").as("__s"), col("dst").as("__d")).distinct()
+      .withColumn("idx", row_number().over(wN) - 1)
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__s")))
+    var cur = starts.select(col("walk_id"), col("start").as("v0"))
+    for (t <- 1 to steps) {
+      val prev = s"v${t - 1}"
+      val pick = conv(substring(md5(concat_ws(":",
+          col("walk_id"), lit(t), col(prev))), 1, 8), 16, 10)
+        .cast("long") % col("deg")
+      cur = cur.join(nbrs, col(prev) === col("__s"))
+        .filter(col("idx") === pick)
+        .drop("__s", "idx", "deg")
+        .withColumnRenamed("__d", s"v$t")
+    }
+    cur
+  }
 }

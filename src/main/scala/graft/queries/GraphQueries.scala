@@ -637,6 +637,43 @@ object GraphQueries {
          |     FROM tp CROSS JOIN d$it d LEFT JOIN c$it c ON c.id = tp.id)""")
             .mkString}
          | SELECT id, CAST(floor(rank * 1e6 + 0.5) AS BIGINT) AS rank_micro
-         | FROM r8 ORDER BY id""".stripMargin)
+         | FROM r8 ORDER BY id""".stripMargin),
+
+    // ---- deterministic random walks (embedding-corpus generator) --------
+    // 3-step walks over the customer successor graph from every 10th
+    // vertex, transitions picked by md5(walk:step:node) mod outdegree —
+    // the node2vec/DeepWalk sampling pass with NO executor RNG state, so
+    // the walk corpus is reproducible across reruns, partitionings, and
+    // engines (the oracle replays the identical hash arithmetic). Each
+    // step is one frontier⋈neighbors shuffle join whose deg-way fan-out
+    // collapses to one row per walk; sink-reaching walks drop out via the
+    // inner join on both sides.
+    ("g_random_walks",
+      (s, d) => {
+        val k = col("c_custkey")
+        val edges = (1 to 3).map(delta =>
+            t(s, d, "customer").select(k.as("src"), (k + delta).as("dst")))
+          .reduce(_ union _)
+        val starts = t(s, d, "customer").filter(k % 10 === 0)
+          .select(k.as("walk_id"), k.as("start"))
+        graft.ops.GraphTraversal.randomWalks(edges, starts, steps = 3)
+          .orderBy("walk_id")
+      },
+      s"""WITH e AS (SELECT DISTINCT src, dst FROM (
+         |     ${(1 to 3).map(dlt =>
+                s"SELECT c_custkey AS src, c_custkey + $dlt AS dst FROM customer")
+                .mkString(" UNION ALL ")})),
+         | nb AS (SELECT src, dst,
+         |          ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+         |          COUNT(*) OVER (PARTITION BY src) AS deg FROM e),
+         | w0 AS (SELECT c_custkey AS walk_id, c_custkey AS v0 FROM customer
+         |        WHERE c_custkey % 10 = 0)${(1 to 3).map(st =>
+            s""",
+         | w$st AS (SELECT w.*, nb.dst AS v$st FROM w${st - 1} w JOIN nb
+         |        ON w.v${st - 1} = nb.src
+         |       AND nb.idx = ('0x' || substr(md5(w.walk_id || ':' || $st || ':'
+         |                     || w.v${st - 1}), 1, 8))::BIGINT % nb.deg)""")
+            .mkString}
+         | SELECT walk_id, v0, v1, v2, v3 FROM w3 ORDER BY walk_id""".stripMargin)
   )
 }

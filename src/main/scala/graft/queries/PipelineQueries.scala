@@ -3409,6 +3409,37 @@ object PipelineQueries {
         | SELECT q.w AS word, d.w AS suggestion
         | FROM q CROSS JOIN dict d
         | WHERE levenshtein(q.w, d.w) = 1
-        | ORDER BY word, suggestion""".stripMargin)
+        | ORDER BY word, suggestion""".stripMargin),
+
+    // ---- T5-style span corruption (denoising-objective builder) --------
+    // deterministic masking: token positions whose md5(doc:pos) first hex
+    // digit < 3 (p = 3/16) are masked; consecutive masked positions
+    // coalesce into sentinel spans (islands trick), each emitted with its
+    // ordinal sentinel id, bounds, and ordered text. One doc-partitioned
+    // window pass + one grouped agg — the denoising dataset builder runs
+    // at corpus scale with per-doc state only.
+    ("t_span_corruption",
+      (s, d) => graft.llm.TextStats.spanCorruption(
+          t(s, d, "documents").filter(col("doc_id") < 2000), maskHexDigits = 3)
+        .orderBy("doc_id", "span_id"),
+      """WITH toks AS (SELECT doc_id, i - 1 AS pos, w[i] AS token FROM (
+        |      SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |      FROM documents WHERE doc_id < 2000) s,
+        |      LATERAL (SELECT unnest(generate_series(1, len(s.w))) AS i) g
+        |      WHERE w[i] <> ''),
+        | m AS (SELECT * FROM toks
+        |       WHERE substr(md5(doc_id || ':' || pos), 1, 1) IN ('0','1','2')),
+        | isl AS (SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                                            ORDER BY pos) AS gid
+        |         FROM m),
+        | sp AS (SELECT doc_id, gid, MIN(pos) AS start_pos, MAX(pos) AS end_pos,
+        |               COUNT(*) AS n_tokens,
+        |               string_agg(token, ' ' ORDER BY pos) AS span_text
+        |        FROM isl GROUP BY 1, 2)
+        | SELECT doc_id,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_pos)
+        |             AS INTEGER) AS span_id,
+        |        start_pos, end_pos, n_tokens, span_text
+        | FROM sp ORDER BY doc_id, span_id""".stripMargin)
   )
 }

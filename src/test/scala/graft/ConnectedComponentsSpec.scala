@@ -466,4 +466,30 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got == Map("s" -> ((1L, 0L)), "t" -> ((0L, 1L))))
   }
+
+  test("randomWalks: valid transitions, sink walks dropped, partition-invariant") {
+    // ring 0→1→2→3→0 plus chords, and a sink node 9 reachable from 2:
+    // every emitted step must be a real edge; any walk that lands on 9
+    // cannot take a further step and must be dropped entirely.
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L),
+      (1L, 3L), (2L, 9L)).toDF("src", "dst")
+    val starts = Seq(0L, 1L, 2L, 3L).map(i => (i, i)).toDF("walk_id", "start")
+    val adj = Map(0L -> Set(1L, 2L), 1L -> Set(2L, 3L), 2L -> Set(3L, 9L),
+      3L -> Set(0L))
+    val got = graft.ops.GraphTraversal.randomWalks(edges, starts, steps = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty && got.length <= 4) // at most one row per start
+    got.foreach { case (_, v0, v1, v2, v3) =>
+      assert(adj(v0).contains(v1) && adj(v1).contains(v2) && adj(v2).contains(v3))
+      assert(v3 != 9L || adj.contains(v3) || true) // v3 may be the sink; v0..v2 cannot
+      assert(adj.contains(v1) && adj.contains(v2), "walked through a sink")
+    }
+    // determinism: a different physical layout yields byte-identical walks
+    val re = graft.ops.GraphTraversal.randomWalks(
+        edges.repartition(7, col("dst")), starts.repartition(3), steps = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(re.sorted.toSeq == got.sorted.toSeq)
+  }
 }

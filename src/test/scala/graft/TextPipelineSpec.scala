@@ -592,4 +592,35 @@ class TextPipelineSpec extends AnyFunSuite {
     }
     assert(n == 328)
   }
+
+  test("spanCorruption matches a naive driver-side reference (islands + order)") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three"), (3L, "solo")).toDF("doc_id", "text")
+    val got = graft.llm.TextStats.spanCorruption(docs, maskHexDigits = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).sorted.toSeq
+    // naive reference: same md5 mask, spans = runs of consecutive positions
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def firstHex(s: String): Char = {
+      val h = md.digest(s.getBytes("UTF-8"))
+      "0123456789abcdef".charAt((h(0) >> 4) & 0xf)
+    }
+    val want = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "one two three", 3L -> "solo").flatMap { case (id, text) =>
+      val toks = text.toLowerCase.split("\\s+").zipWithIndex
+        .filter { case (w, p) => w.nonEmpty && firstHex(s"$id:$p") < '6' }
+      // group consecutive positions into spans
+      val grouped = toks.foldLeft(Vector.empty[Vector[(String, Int)]]) {
+        (acc, t) =>
+          if (acc.nonEmpty && acc.last.last._2 == t._2 - 1) acc.init :+ (acc.last :+ t)
+          else acc :+ Vector(t)
+      }
+      grouped.zipWithIndex.map { case (g, i) =>
+        (id, i + 1, g.head._2.toLong, g.last._2.toLong, g.length.toLong,
+          g.map(_._1).mkString(" "))
+      }
+    }.sorted
+    assert(got == want)
+  }
 }
