@@ -59,7 +59,21 @@ object PlanDump {
     // the Q5 star: EVERY join must broadcast (one fact scan, zero
     // pre-aggregate shuffles) — an SMJ here means a dim stopped fitting
     "q5_star_join" -> (Seq("BroadcastHashJoin"),
-      Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct")))
+      Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct")),
+    // bucketed co-location: the merge hint must hold (a broadcast would
+    // fake the zero-exchange property the entry asserts in-plan)
+    "s28_bucketed_join" -> (Seq("SortMergeJoin"),
+      Seq("BroadcastHashJoin", "CartesianProduct")),
+    // Q17: the dim filter must stay a broadcast SEMI join
+    "q17_small_qty_revenue" -> (Seq("BroadcastHashJoin"),
+      Seq("SortMergeJoin", "CartesianProduct")),
+    // Q18: both enrichment joins ride the broadcast survivor set
+    "q18_large_volume_cust" -> (Seq("BroadcastHashJoin"),
+      Seq("SortMergeJoin", "CartesianProduct")),
+    "g_copurchase_pairs" -> (Seq("Join"), Seq("CartesianProduct")),
+    // SymSpell: the dict-variant side must broadcast
+    "x1_symspell_correct" -> (Seq("BroadcastHashJoin"), Seq("CartesianProduct")),
+    "g_random_walks" -> (Seq("Join"), Seq("CartesianProduct")))
 
   private def unpartitionedWindows(df: org.apache.spark.sql.DataFrame): Int =
     df.queryExecution.optimizedPlan.collect {
