@@ -183,6 +183,27 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Maximum-inner-product top-k (MIPS) — the retrieval scoring used by
+    * dot-product-trained dual encoders, where magnitude matters and cosine
+    * would mis-rank (a long vector beats a perfectly-aligned short one).
+    * Scores are the raw QUANTIZED integer dot products — exact BIGINTs end
+    * to end, no float anywhere — so ranking and oracle agreement are
+    * arithmetic identities. Same exact calibration tier as
+    * [[bruteForceTopK]]; at corpus scale MIPS reduces to cosine ANN via
+    * the norm-augmentation trick and routes through [[ivfTopK]].
+    */
+  def mipsTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+               idCol: String = "vec_id", embCol: String = "embedding",
+               scale: Int = 1000): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(embCol), scale).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(embCol), scale).as("cv"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot_q", dotLong(col("qv"), col("cv")))
+    rankTopK(scored, k, Seq(col("dot_q").desc, col("neighbor_id")))
+      .select("query_id", "neighbor_id", "dot_q", "rank")
+  }
+
   /** Hard-negative mining for contrastive training: per query, the k MOST
     * similar corpus vectors carrying a DIFFERENT label — the examples a
     * contrastive objective learns most from (easy random negatives are

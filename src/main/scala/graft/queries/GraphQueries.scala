@@ -674,6 +674,52 @@ object GraphQueries {
          |       AND nb.idx = ('0x' || substr(md5(w.walk_id || ':' || $st || ':'
          |                     || w.v${st - 1}), 1, 8))::BIGINT % nb.deg)""")
             .mkString}
-         | SELECT walk_id, v0, v1, v2, v3 FROM w3 ORDER BY walk_id""".stripMargin)
+         | SELECT walk_id, v0, v1, v2, v3 FROM w3 ORDER BY walk_id""".stripMargin),
+
+    // ---- friend-of-friend link prediction -------------------------------
+    // the common-neighbors recommender: for each (sampled) node u, rank
+    // 2-hop neighbors v by how many intermediates connect u→x→v, excluding
+    // v already adjacent to u and v = u. Shapes: edges⋈edges on the
+    // intermediate key (per-node out-degree is bounded by the successor
+    // construction — the quadratic hazard is degree, same discipline as
+    // the co-purchase cap), LEFT ANTI against direct edges, grouped count,
+    // top-3 per node via a node-partitioned window over the
+    // candidate-bounded frame.
+    ("g_fof_recommend",
+      (s, d) => {
+        val k = col("c_custkey")
+        val edges = (1 to 3).map(delta =>
+            t(s, d, "customer").select(k.as("src"), (k + delta).as("dst")))
+          .reduce(_ union _).distinct()
+        val u = edges.filter(col("src") % 50 === 0)
+        val two = u.select(col("src").as("u"), col("dst").as("x"))
+          .join(edges.select(col("src").as("x"), col("dst").as("v")), Seq("x"))
+          .filter(col("v") =!= col("u"))
+        val cand = two
+          .join(edges.select(col("src").as("u"), col("dst").as("v")),
+            Seq("u", "v"), "left_anti")
+          .groupBy("u", "v").agg(count(lit(1)).as("n_common"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("u").orderBy(col("n_common").desc, col("v"))
+        cand.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("u"), col("v"), col("n_common"), col("rnk"))
+          .orderBy("u", "rnk")
+      },
+      s"""WITH e AS (SELECT DISTINCT src, dst FROM (
+         |     ${(1 to 3).map(dlt =>
+                s"SELECT c_custkey AS src, c_custkey + $dlt AS dst FROM customer")
+                .mkString(" UNION ALL ")})),
+         | two AS (SELECT a.src AS u, b.dst AS v
+         |         FROM e a JOIN e b ON a.dst = b.src
+         |         WHERE a.src % 50 = 0 AND b.dst <> a.src),
+         | cand AS (SELECT u, v, COUNT(*) AS n_common FROM two
+         |          WHERE NOT EXISTS (SELECT 1 FROM e
+         |                            WHERE e.src = two.u AND e.dst = two.v)
+         |          GROUP BY 1, 2),
+         | r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY u
+         |                 ORDER BY n_common DESC, v) AS rnk FROM cand)
+         | SELECT u, v, n_common, CAST(rnk AS INTEGER) AS rnk
+         | FROM r WHERE rnk <= 3 ORDER BY u, rnk""".stripMargin)
   )
 }

@@ -3411,6 +3411,32 @@ object PipelineQueries {
         | WHERE levenshtein(q.w, d.w) = 1
         | ORDER BY word, suggestion""".stripMargin),
 
+    // ---- maximum-inner-product top-k (MIPS) -----------------------------
+    // dot-product retrieval where magnitude matters (dual-encoder scoring;
+    // cosine would mis-rank a long vector against an aligned short one).
+    // Scores are raw quantized integer dots — exact BIGINTs end to end, no
+    // float anywhere in ranking or oracle. Exact calibration tier; the
+    // scale path is norm-augmentation → cosine ANN (sim_ivf_topk).
+    ("sim_mips_topk",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.mipsTopK(e.filter(col("vec_id") < 20), e, k = 5)
+          .orderBy("query_id", "rank")
+      },
+      """WITH q AS (SELECT vec_id AS query_id,
+        |                  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+        |           FROM embeddings WHERE vec_id < 20),
+        |      c AS (SELECT vec_id AS neighbor_id,
+        |                  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS cv
+        |           FROM embeddings),
+        |      sc AS (SELECT query_id, neighbor_id,
+        |                    CAST(list_dot_product(qv, cv) AS BIGINT) AS dot_q
+        |             FROM q CROSS JOIN c WHERE query_id <> neighbor_id)
+        | SELECT query_id, neighbor_id, dot_q, CAST(rank AS INTEGER) AS rank
+        | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |                                    ORDER BY dot_q DESC, neighbor_id) AS rank FROM sc)
+        | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
     // ---- T5-style span corruption (denoising-objective builder) --------
     // deterministic masking: token positions whose md5(doc:pos) first hex
     // digit < 3 (p = 3/16) are masked; consecutive masked positions

@@ -949,6 +949,46 @@ object TemporalQueries {
         |           WINDOW w AS (PARTITION BY user_id
         |                        ORDER BY epoch_us(ts), event_id))
         | SELECT user_id, event_id, ctx1, ctx2, ctx3, event_type AS target
-        | FROM e WHERE ctx1 IS NOT NULL ORDER BY event_id""".stripMargin)
+        | FROM e WHERE ctx1 IS NOT NULL ORDER BY event_id""".stripMargin),
+
+    // ---- day-of-week seasonal baseline + residual -----------------------
+    // the seasonality decomposition CUSUM/MAD don't cover: per event type,
+    // daily totals vs that weekday's own mean — "is this Tuesday unusual
+    // FOR A TUESDAY". Daily rollup (event-scale, map-combinable) → 7-row-
+    // per-type weekday means → broadcast join back; residual in exact
+    // integer micro (total·n·1e6 − Σ·1e6, cross-multiplied — no division
+    // until the final exact-integer div). The weekday table is 7·|types|
+    // rows at ANY corpus size.
+    ("ts_seasonal_dow",
+      (s, d) => {
+        val daily = TemporalOps.loadEvents(s, d)
+          .withColumn("day", expr("ts_us div 86400000000"))
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .groupBy("event_type", "day")
+          .agg(sum(col("cents")).as("day_cents"))
+          .withColumn("dow", pmod(col("day"), lit(7L)))
+        val base = daily.groupBy("event_type", "dow")
+          .agg(sum(col("day_cents")).as("dow_sum"), count(lit(1)).as("dow_n"))
+        daily.join(broadcast(base), Seq("event_type", "dow"))
+          .select(col("event_type"), col("day"), col("day_cents"),
+            expr("dow_sum * 1000000 div dow_n").as("baseline_micro"),
+            (col("day_cents") * 1000000L - expr("dow_sum * 1000000 div dow_n"))
+              .as("residual_micro"))
+          .orderBy("event_type", "day")
+      },
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |                      CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |                        AS day_cents
+        |               FROM events GROUP BY 1, 2),
+        | dw AS (SELECT *, day % 7 AS dow FROM daily),
+        | base AS (SELECT event_type, dow, SUM(day_cents) AS dow_sum,
+        |                 COUNT(*) AS dow_n
+        |          FROM dw GROUP BY 1, 2)
+        | SELECT d.event_type, d.day, d.day_cents,
+        |        CAST(b.dow_sum * 1000000 // b.dow_n AS BIGINT) AS baseline_micro,
+        |        CAST(d.day_cents * 1000000 - b.dow_sum * 1000000 // b.dow_n
+        |             AS BIGINT) AS residual_micro
+        | FROM dw d JOIN base b USING (event_type, dow)
+        | ORDER BY d.event_type, d.day""".stripMargin)
   )
 }
