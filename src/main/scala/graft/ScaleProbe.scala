@@ -722,8 +722,9 @@ object ScaleProbe {
 
     // ---- round-10 batch-4 probes: OHLC agg-vs-window, coverage gaps,
     // bucketed-join amortization, equi-height selection ------------------
-    if (Seq("ohlcBars", "coverageGaps", "bucketedJoin", "equiheight")
-        .exists(enabled)) {
+    if (Seq("ohlcBars", "coverageGaps", "bucketedJoin", "equiheight",
+        "spanCorruption", "symspell", "nextEvent", "seasonalDow",
+        "fofRecommend", "randomWalks", "copurchase").exists(enabled)) {
       val baseE = graft.ops.TemporalOps.loadEvents(spark, sfDir)
         .repartition(spark.sparkContext.defaultParallelism)
       if (Seq("ohlcBars", "coverageGaps").exists(enabled)) {
@@ -806,6 +807,71 @@ object ScaleProbe {
         timed("bucketedJoin shuffle-path x2") {
           agg(orders, baseC).count()
           agg(orders, baseC).count()
+        }
+      }
+      if (Seq("nextEvent", "seasonalDow").exists(enabled)) {
+        val strideRow = baseE.agg(max(col("user_id")), max(col("event_id"))).head
+        val userStride2 = strideRow.getLong(0) + 1L
+        val eventStride2 = strideRow.getLong(1) + 1L
+        val ev = (0 until mult).map { k =>
+          baseE.withColumn("event_id", col("event_id") + lit(k.toLong * eventStride2))
+            .withColumn("user_id", col("user_id") + lit(k.toLong * userStride2))
+            .withColumn("ts_us", col("ts_us") + lit(k.toLong))
+        }.reduce(_ union _).cache()
+        println(s"events (batch6): ${ev.count()}")
+        timed("nextEventExamples (mult x users)") {
+          graft.queries.TemporalQueries.nextEventExamples(ev).count()
+        }
+        timed("seasonalDow (mult x users)") {
+          graft.queries.TemporalQueries.seasonalDowResiduals(ev).count()
+        }
+        ev.unpersist()
+      }
+      if (Seq("spanCorruption", "symspell").exists(enabled)) {
+        val baseD = spark.read.parquet(s"$sfDir/documents.parquet")
+          .repartition(spark.sparkContext.defaultParallelism)
+        val dStride = baseD.agg(max(col("doc_id"))).head.getLong(0) + 1L
+        val docs = (0 until mult).map(k =>
+          baseD.withColumn("doc_id", col("doc_id") + lit(k.toLong * dStride)))
+          .reduce(_ union _).cache()
+        println(s"docs (batch6): ${docs.count()}")
+        timed("spanCorruption (docs x mult)") {
+          graft.llm.TextStats.spanCorruption(docs).count()
+        }
+        timed("symspellCorrections (docs x mult)") {
+          // the dict and its variant table are dictSize-bounded at any
+          // mult; the corpus side is one linear token pass
+          graft.ops.TextIndex.symspellCorrections(docs, "text", 25).count()
+        }
+        docs.unpersist()
+      }
+      if (Seq("fofRecommend", "randomWalks", "copurchase").exists(enabled)) {
+        val baseC = spark.read.parquet(s"$sfDir/customer.parquet")
+        val cStride = baseC.agg(max(col("c_custkey"))).head.getLong(0) + 1L
+        val cust = (0 until mult).map(k =>
+          baseC.withColumn("c_custkey", col("c_custkey") + lit(k.toLong * cStride)))
+          .reduce(_ union _).cache()
+        println(s"customers (batch6): ${cust.count()}")
+        val k6 = col("c_custkey")
+        val edges = (1 to 3).map(dlt =>
+          cust.select(k6.as("src"), (k6 + dlt).as("dst"))).reduce(_ union _)
+        timed("fofRecommend (vertices x mult)") {
+          graft.queries.GraphQueries.fofCandidates(edges, sampleMod = 50).count()
+        }
+        timed("randomWalks (starts x mult)") {
+          val starts = cust.filter(k6 % 10 === 0)
+            .select(k6.as("walk_id"), k6.as("start"))
+          graft.ops.GraphTraversal.randomWalks(edges, starts, steps = 3).count()
+        }
+        cust.unpersist()
+        timed("copurchase (lineitem x mult)") {
+          val baseL = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          val lStride = baseL.agg(max(col("l_orderkey"))).head.getLong(0) + 1L
+          val li = (0 until mult).map(k =>
+            baseL.withColumn("l_orderkey", col("l_orderkey") + lit(k.toLong * lStride)))
+            .reduce(_ union _)
+          graft.queries.RelationalQueries.copurchasePairs(li, cap = 15,
+            minSupport = 2).count()
         }
       }
       if (enabled("equiheight")) {

@@ -23,6 +23,22 @@ object GraphQueries {
 
   private val Obo = "http://purl.obolibrary.org/obo/"
 
+  /** The g_fof_recommend candidate core (2-hop expansion from every
+    * `sampleMod`-th node, direct edges anti-joined, common-neighbor
+    * support counted) — shared with ScaleProbe so the probe measures the
+    * exact registry operator.
+    */
+  def fofCandidates(rawEdges: DataFrame, sampleMod: Int): DataFrame = {
+    val edges = rawEdges.select("src", "dst").distinct()
+    val u = edges.filter(col("src") % sampleMod === 0)
+    val two = u.select(col("src").as("u"), col("dst").as("x"))
+      .join(edges.select(col("src").as("x"), col("dst").as("v")), Seq("x"))
+      .filter(col("v") =!= col("u"))
+    two.join(edges.select(col("src").as("u"), col("dst").as("v")),
+        Seq("u", "v"), "left_anti")
+      .groupBy("u", "v").agg(count(lit(1)).as("n_common"))
+  }
+
   /** Synthetic triple set in the engine's raw-triple shape. Inputs are
     * redistributed first: the testdata parquet is single-row-group (one task
     * otherwise) and the downstream vtuple parse is the CPU-heavy stage.
@@ -690,15 +706,8 @@ object GraphQueries {
         val k = col("c_custkey")
         val edges = (1 to 3).map(delta =>
             t(s, d, "customer").select(k.as("src"), (k + delta).as("dst")))
-          .reduce(_ union _).distinct()
-        val u = edges.filter(col("src") % 50 === 0)
-        val two = u.select(col("src").as("u"), col("dst").as("x"))
-          .join(edges.select(col("src").as("x"), col("dst").as("v")), Seq("x"))
-          .filter(col("v") =!= col("u"))
-        val cand = two
-          .join(edges.select(col("src").as("u"), col("dst").as("v")),
-            Seq("u", "v"), "left_anti")
-          .groupBy("u", "v").agg(count(lit(1)).as("n_common"))
+          .reduce(_ union _)
+        val cand = fofCandidates(edges, sampleMod = 50)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("u").orderBy(col("n_common").desc, col("v"))
         cand.withColumn("rnk", row_number().over(w))

@@ -31,6 +31,23 @@ object RelationalQueries {
   private def moneySum(c: org.apache.spark.sql.Column) =
     sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** The g_copurchase_pairs core (distinct basket-item pairs, basket-DEPTH
+    * cap applied BEFORE pairing, support count + threshold) — shared with
+    * ScaleProbe so the probe measures the exact registry operator.
+    */
+  def copurchasePairs(lineitem: DataFrame, cap: Int, minSupport: Long): DataFrame = {
+    val bp = lineitem
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
+      .distinct()
+    val capped = bp.withColumn("bsz", count(lit(1)).over(Window.partitionBy("okey")))
+      .filter(col("bsz") <= cap)
+    capped.select(col("okey"), col("pkey").as("p1"))
+      .join(capped.select(col("okey"), col("pkey").as("p2")), Seq("okey"))
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("n_baskets"))
+      .filter(col("n_baskets") >= minSupport)
+  }
+
   val all: Seq[Entry] = Seq(
 
     // ---- S1/F: scan with projection + pushed filter --------------------
@@ -1711,20 +1728,8 @@ object RelationalQueries {
     // hidden). Pair fan-out is then ≤ C(cap,2) per basket — linear in
     // baskets at any scale.
     ("g_copurchase_pairs",
-      (s, d) => {
-        val bp = t(s, d, "lineitem")
-          .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
-          .distinct()
-        val wc = Window.partitionBy("okey")
-        val capped = bp.withColumn("bsz", count(lit(1)).over(wc))
-          .filter(col("bsz") <= 15)
-        capped.select(col("okey"), col("pkey").as("p1"))
-          .join(capped.select(col("okey"), col("pkey").as("p2")), Seq("okey"))
-          .filter(col("p1") < col("p2"))
-          .groupBy("p1", "p2").agg(count(lit(1)).as("n_baskets"))
-          .filter(col("n_baskets") >= 2)
-          .orderBy("p1", "p2")
-      },
+      (s, d) => copurchasePairs(t(s, d, "lineitem"), cap = 15, minSupport = 2)
+        .orderBy("p1", "p2"),
       """WITH bp AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey
         |            FROM lineitem),
         | capped AS (SELECT * FROM (

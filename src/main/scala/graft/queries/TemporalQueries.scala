@@ -19,6 +19,39 @@ object TemporalQueries {
     * measure the exact operator the registry checks, not a drifted copy.
     * Input events must carry the `ts_us` epoch-µs column ([[TemporalOps.loadEvents]]).
     */
+  /** The t_next_event_examples shape, shared with ScaleProbe (the probe
+    * must measure the exact registry operator). Input carries `ts_us`.
+    */
+  def nextEventExamples(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    ev.withColumn("ctx1", lag(col("event_type"), 3).over(w))
+      .withColumn("ctx2", lag(col("event_type"), 2).over(w))
+      .withColumn("ctx3", lag(col("event_type"), 1).over(w))
+      .filter(col("ctx1").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ctx1"), col("ctx2"),
+        col("ctx3"), col("event_type").as("target"))
+  }
+
+  /** The ts_seasonal_dow shape, shared with ScaleProbe. Daily rollup is
+    * the only event-scale pass; the weekday dimension is 7·|types| rows at
+    * any corpus size and broadcasts.
+    */
+  def seasonalDowResiduals(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val daily = ev.withColumn("day", expr("ts_us div 86400000000"))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("cents")).as("day_cents"))
+      .withColumn("dow", pmod(col("day"), lit(7L)))
+    val base = daily.groupBy("event_type", "dow")
+      .agg(sum(col("day_cents")).as("dow_sum"), count(lit(1)).as("dow_n"))
+    daily.join(broadcast(base), Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("day_cents"),
+        expr("dow_sum * 1000000 div dow_n").as("baseline_micro"),
+        (col("day_cents") * 1000000L - expr("dow_sum * 1000000 div dow_n"))
+          .as("residual_micro"))
+  }
+
   def purchaseClickAsof(ev: org.apache.spark.sql.DataFrame,
                         tolerance: Option[Long] = None): org.apache.spark.sql.DataFrame = {
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -929,18 +962,8 @@ object TemporalQueries {
     // the window partition, never driver memory. Flat ctx columns rather
     // than an array keep the oracle hashable column-by-column.
     ("t_next_event_examples",
-      (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
-        TemporalOps.loadEvents(s, d)
-          .withColumn("ctx1", lag(col("event_type"), 3).over(w))
-          .withColumn("ctx2", lag(col("event_type"), 2).over(w))
-          .withColumn("ctx3", lag(col("event_type"), 1).over(w))
-          .filter(col("ctx1").isNotNull)
-          .select(col("user_id"), col("event_id"), col("ctx1"), col("ctx2"),
-            col("ctx3"), col("event_type").as("target"))
-          .orderBy("event_id")
-      },
+      (s, d) => nextEventExamples(TemporalOps.loadEvents(s, d))
+        .orderBy("event_id"),
       """WITH e AS (SELECT user_id, event_id, event_type,
         |                  LAG(event_type, 3) OVER w AS ctx1,
         |                  LAG(event_type, 2) OVER w AS ctx2,
@@ -960,22 +983,8 @@ object TemporalQueries {
     // until the final exact-integer div). The weekday table is 7·|types|
     // rows at ANY corpus size.
     ("ts_seasonal_dow",
-      (s, d) => {
-        val daily = TemporalOps.loadEvents(s, d)
-          .withColumn("day", expr("ts_us div 86400000000"))
-          .withColumn("cents", round(col("value") * 100).cast("long"))
-          .groupBy("event_type", "day")
-          .agg(sum(col("cents")).as("day_cents"))
-          .withColumn("dow", pmod(col("day"), lit(7L)))
-        val base = daily.groupBy("event_type", "dow")
-          .agg(sum(col("day_cents")).as("dow_sum"), count(lit(1)).as("dow_n"))
-        daily.join(broadcast(base), Seq("event_type", "dow"))
-          .select(col("event_type"), col("day"), col("day_cents"),
-            expr("dow_sum * 1000000 div dow_n").as("baseline_micro"),
-            (col("day_cents") * 1000000L - expr("dow_sum * 1000000 div dow_n"))
-              .as("residual_micro"))
-          .orderBy("event_type", "day")
-      },
+      (s, d) => seasonalDowResiduals(TemporalOps.loadEvents(s, d))
+        .orderBy("event_type", "day"),
       """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |                      CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |                        AS day_cents

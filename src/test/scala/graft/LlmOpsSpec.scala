@@ -367,6 +367,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(top(1).getAs[Long]("neighbor_id") == 2L) // orthogonal beats opposite
   }
 
+  test("MIPS ranks by magnitude where cosine ranks by angle (divergent pair)") {
+    // neighbor 1 is perfectly aligned but short; neighbor 2 is slightly
+    // off-axis but long: cosine must prefer 1, MIPS must prefer 2. Scores
+    // are exact integer dots of the 1000-scaled quantization.
+    val v = vecs(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(0.1f, 0f, 0f, 0f),
+      2L -> Seq(2f, 2f, 0f, 0f))
+    val q = v.filter($"vec_id" === 0)
+    val cos = Similarity.bruteForceTopK(q, v, k = 2).orderBy("rank").collect()
+    val mips = Similarity.mipsTopK(q, v, k = 2).orderBy("rank").collect()
+    assert(cos(0).getAs[Long]("neighbor_id") == 1L)  // aligned wins on angle
+    assert(mips(0).getAs[Long]("neighbor_id") == 2L) // long wins on product
+    assert(mips(0).getAs[Long]("dot_q") == 2000L * 1000L) // 1000·2000 exact
+    assert(mips(1).getAs[Long]("dot_q") == 1000L * 100L)
+  }
+
   test("lsh bucket: identical vectors collide, opposite vectors do not") {
     val v = vecs(
       0L -> Seq.fill(64)(0.5f),
