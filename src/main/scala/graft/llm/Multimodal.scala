@@ -427,6 +427,76 @@ object Multimodal {
     }
   }
 
+  /** Decode a WAV/AIFF/AU payload to its raw 16-bit samples (interleaved
+    * if multi-channel) plus the sample rate. None when not decodable.
+    */
+  private def decodeSamples(bytes: Array[Byte]): Option[(Int, Array[Short])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+        else {
+          val data = in.readAllBytes()
+          val le = !fmt.isBigEndian
+          val out = new Array[Short](data.length / 2)
+          var i = 0
+          while (i + 1 < data.length) {
+            val lo = data(i) & 0xff
+            val hi = data(i + 1) & 0xff
+            out(i / 2) = (if (le) (hi << 8) | lo else (lo << 8) | hi).toShort
+            i += 2
+          }
+          Some((fmt.getSampleRate.toInt, out))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Re-assemble a 16-bit PCM mono LE WAV around raw samples — the writer
+    * half of the decode path, so a decimate→encode→decode cycle exercises
+    * both directions of the container layout.
+    */
+  private def encodeWav(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('R'.toByte).put('I'.toByte).put('F'.toByte).put('F'.toByte)
+      .putInt(36 + dataSize)
+      .put('W'.toByte).put('A'.toByte).put('V'.toByte).put('E'.toByte)
+      .put('f'.toByte).put('m'.toByte).put('t'.toByte).put(' '.toByte)
+      .putInt(16).putShort(1).putShort(1)
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      .put('d'.toByte).put('a'.toByte).put('t'.toByte).put('a'.toByte)
+      .putInt(dataSize)
+    samples.foreach(out.putShort)
+    out.array()
+  }
+
+  /** REAL audio decimation (the audio sibling of [[resizeImages]]): decode
+    * 16-bit PCM mono → keep every `factor`-th sample (index arithmetic, no
+    * filter kernel — every output sample is an exact copy of a nameable
+    * source sample) → re-encode at rate/factor → the next decode reads the
+    * re-assembled container. Non-decodable payloads pass through unchanged
+    * (the downstream feature pass reports them `decoded=false`).
+    */
+  def decimateAudio(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    require(factor >= 1, "decimateAudio: factor must be >= 1")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val dec = if (r.media_type == "audio") decodeSamples(r.bytes) else None
+        dec match {
+          case Some((rate, samples)) =>
+            val n = (samples.length + factor - 1) / factor
+            val kept = Array.tabulate(n)(i => samples(i * factor))
+            r.copy(bytes = encodeWav(math.max(rate / factor, 1), kept))
+          case None => r
+        }
+      }
+    }
+  }
+
   /** A REAL 16-bit PCM mono WAV whose samples are a pure function of
     * `docId`: 8 kHz, 40 + docId%25 frames, sample i =
     * ((docId·31 + i·7) mod 65536) − 32768. The RIFF/fmt/data layout is

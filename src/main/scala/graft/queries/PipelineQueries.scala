@@ -1078,6 +1078,85 @@ object PipelineQueries {
         | FROM bfr b LEFT JOIN ivr i USING (query_id, neighbor_id)
         | GROUP BY b.query_id ORDER BY b.query_id""".stripMargin),
 
+    // ---- IVF recall-vs-nProbe calibration sweep -------------------------
+    // the d21-style governance table for the ANN tier: ONE entry answers
+    // "how many cells must I probe for the recall I need" — corpus-level
+    // recall@5 vs exact brute force at nProbe ∈ {1, 2, 4}, in exact
+    // integers (hits·1e6 div exact). The exact table is computed once and
+    // cached (queries×k rows); each sweep point re-ranks only the probed
+    // cells. Recall must be non-decreasing in nProbe by construction —
+    // the oracle re-derives every ranker independently.
+    ("sim_nprobe_sweep",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cents = Similarity.collectQuantizedCentroids(e, 16)
+        val exact = Similarity
+          .bruteForceTopK(e.filter(col("vec_id") < 20), e, k = 5).cache()
+        Seq(1, 2, 4).map { np =>
+          Similarity.recallAtK(exact,
+              Similarity.ivfTopKWithQuantizedCentroids(
+                e.filter(col("vec_id") < 20), e, k = 5, cents, nProbe = np))
+            .agg(count(lit(1)).as("n_queries"),
+              sum(col("n_hits")).as("total_hits"),
+              sum(col("n_exact")).as("total_exact"))
+            .select(lit(np.toLong).as("n_probe"), col("n_queries"),
+              col("total_hits"), col("total_exact"),
+              expr("total_hits * 1000000 div total_exact").as("recall_micro"))
+        }.reduce(_ unionByName _).orderBy("n_probe")
+      },
+      {
+        val shared =
+          """WITH qv AS (SELECT vec_id AS query_id,
+            |              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+            |            FROM embeddings WHERE vec_id < 20),
+            | cv AS (SELECT vec_id AS neighbor_id,
+            |              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS cv
+            |        FROM embeddings),
+            | bfr AS (SELECT query_id, neighbor_id FROM (
+            |    SELECT query_id, neighbor_id,
+            |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+            |             list_dot_product(qv, cv) /
+            |             (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC,
+            |             neighbor_id) AS rank
+            |    FROM qv CROSS JOIN cv WHERE query_id <> neighbor_id) WHERE rank <= 5),
+            | cents AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+            |                  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS ce
+            |           FROM embeddings WHERE vec_id < 16),
+            | asg AS (SELECT neighbor_id, cv, cell FROM (
+            |    SELECT c.neighbor_id, c.cv, ce.cell,
+            |           ROW_NUMBER() OVER (PARTITION BY c.neighbor_id ORDER BY
+            |             list_dot_product(c.cv, c.cv) - 2*list_dot_product(c.cv, ce.ce)
+            |               + list_dot_product(ce.ce, ce.ce), ce.cell) AS rn
+            |    FROM cv c CROSS JOIN cents ce) WHERE rn = 1)""".stripMargin
+        val perNp = Seq(1, 2, 4).map { np =>
+          s""",
+            | probed$np AS (SELECT query_id, qv, cell FROM (
+            |    SELECT q.query_id, q.qv, ce.cell,
+            |           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+            |             list_dot_product(q.qv, q.qv) - 2*list_dot_product(q.qv, ce.ce)
+            |               + list_dot_product(ce.ce, ce.ce), ce.cell) AS pr
+            |    FROM qv q CROSS JOIN cents ce) WHERE pr <= $np),
+            | ivr$np AS (SELECT query_id, neighbor_id FROM (
+            |    SELECT query_id, neighbor_id,
+            |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+            |             list_dot_product(qv, cv) /
+            |             (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC,
+            |             neighbor_id) AS rank
+            |    FROM probed$np JOIN asg USING (cell) WHERE query_id <> neighbor_id)
+            |    WHERE rank <= 5),
+            | sw$np AS (SELECT $np AS n_probe, COUNT(DISTINCT b.query_id) AS n_queries,
+            |             CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS total_hits,
+            |             CAST(COUNT(*) AS BIGINT) AS total_exact
+            |       FROM bfr b LEFT JOIN ivr$np i USING (query_id, neighbor_id))""".stripMargin
+        }.mkString
+        val selects = Seq(1, 2, 4).map(np =>
+          s"""SELECT CAST(n_probe AS BIGINT) AS n_probe, n_queries, total_hits,
+             |       total_exact,
+             |       CAST(total_hits * 1000000 // total_exact AS BIGINT) AS recall_micro
+             | FROM sw$np""".stripMargin).mkString(" UNION ALL ")
+        shared + perNp + " " + selects + " ORDER BY n_probe"
+      }),
+
     // ---- random projection (JL-style dimensionality reduction) ----------
     // same md5-derived plane family as the LSH queries; raw doubles hash-
     // match because both engines fold the dot product left-to-right.
@@ -2395,6 +2474,30 @@ object PipelineQueries {
         |        GROUP BY doc_id, n)
         | SELECT doc_id AS media_id, CAST(8000 AS INTEGER) AS sample_rate,
         |        CAST(1 AS INTEGER) AS n_channels, CAST(n AS BIGINT) AS n_frames,
+        |        CAST(s AS BIGINT) AS sample_sum, TRUE AS decoded
+        | FROM sm ORDER BY media_id""".stripMargin),
+
+    // ---- REAL audio decimation (decode → every-2nd-sample → re-encode) --
+    // the audio sibling of m_image_resize: decode the synthetic WAV, keep
+    // every 2nd sample by index arithmetic (no filter kernel — each output
+    // sample is an exact copy of a nameable source sample), re-encode at
+    // 4 kHz, decode AGAIN through the same real path. The checked
+    // sample_sum proves the whole decode→decimate→encode→decode cycle
+    // bit-exact: the oracle recomputes each kept sample from doc_id alone.
+    ("m_audio_decimate",
+      (s, d) => Multimodal.extractAudioFeatures(
+          Multimodal.decimateAudio(
+            Multimodal.syntheticWavs(spread(t(s, d, "documents"))), 2))
+        .select("media_id", "sample_rate", "n_channels", "n_frames",
+          "sample_sum", "decoded")
+        .orderBy("media_id"),
+      """WITH p AS (SELECT doc_id, 40 + doc_id % 25 AS n FROM documents),
+        | sm AS (SELECT doc_id, (n + 1) // 2 AS nk,
+        |          SUM((doc_id * 31 + i * 7) % 65536 - 32768) AS s
+        |        FROM p, LATERAL (SELECT unnest(generate_series(0, n - 1, 2)) AS i) g
+        |        GROUP BY doc_id, n)
+        | SELECT doc_id AS media_id, CAST(4000 AS INTEGER) AS sample_rate,
+        |        CAST(1 AS INTEGER) AS n_channels, CAST(nk AS BIGINT) AS n_frames,
         |        CAST(s AS BIGINT) AS sample_sum, TRUE AS decoded
         | FROM sm ORDER BY media_id""".stripMargin),
 

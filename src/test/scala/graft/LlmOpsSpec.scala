@@ -367,6 +367,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(top(1).getAs[Long]("neighbor_id") == 2L) // orthogonal beats opposite
   }
 
+  test("decimateAudio keeps exactly every 2nd sample through a full re-encode cycle") {
+    import spark.implicits._
+    val media = graft.llm.Multimodal.syntheticWavs(
+      Seq(3L, 7L).toDF("doc_id"))
+    val got = graft.llm.Multimodal.extractAudioFeatures(
+        graft.llm.Multimodal.decimateAudio(media, 2))
+      .collect().map(a => a.media_id -> ((a.sample_rate, a.n_frames, a.sample_sum)))
+      .toMap
+    // reference: sample i of doc d is ((d*31 + i*7) % 65536) - 32768,
+    // n = 40 + d%25; decimation keeps even i at rate 4000
+    for (d <- Seq(3L, 7L)) {
+      val n = (40 + d % 25).toInt
+      val kept = (0 until n by 2).map(i => ((d * 31 + i * 7) % 65536) - 32768)
+      assert(got(d) == ((4000, kept.length.toLong, kept.sum)))
+    }
+  }
+
   test("MIPS ranks by magnitude where cosine ranks by angle (divergent pair)") {
     // neighbor 1 is perfectly aligned but short; neighbor 2 is slightly
     // off-axis but long: cosine must prefer 1, MIPS must prefer 2. Scores
