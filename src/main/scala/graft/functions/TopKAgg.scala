@@ -26,10 +26,12 @@ import org.apache.spark.sql.types._
   *
   * Values are (ord LONG, id LONG) pairs: exact integer ordering keys are
   * the engine-wide discipline (cents, micros), and the id disambiguates
-  * ties so merge order can never change the answer. Ids must be UNIQUE
-  * per row (the buffer is a set over the total order — an exact (ord, id)
-  * duplicate would collapse); derive one from a natural key when the
-  * source has none.
+  * ties so merge order can never change the answer. The buffer is a set
+  * over the total order, so an exact (ord, id) duplicate COLLAPSES to
+  * one entry (guaranteed under any arrival order — offer adds before it
+  * evicts). Distinct rows therefore need unique ids (derive one from a
+  * natural key); [[graft.ops.Sketches]] exploits the collapse as KMV's
+  * distinct-hash semantics.
   */
 case class TopKAggExpr(ord: Expression, id: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
@@ -54,9 +56,13 @@ case class TopKAggExpr(ord: Expression, id: Expression, k: Int,
     if (buf.size < k) { buf.add((o, i)); () }
     else {
       val weakest = buf.first()
-      // stronger than the weakest under (ord DESC, id ASC)?
+      // stronger than the weakest under (ord DESC, id ASC)? Add FIRST,
+      // evict only if the add actually grew the set — an exact (ord, id)
+      // duplicate of a retained entry must collapse as a no-op, not
+      // evict the weakest and shrink the buffer (the KMV merge path
+      // feeds the same hash from several group sketches).
       if (o > weakest._1 || (o == weakest._1 && i < weakest._2)) {
-        buf.pollFirst(); buf.add((o, i)); ()
+        if (buf.add((o, i))) { buf.pollFirst(); () }
       }
     }
   }

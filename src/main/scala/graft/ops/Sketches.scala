@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable frequency / cardinality sketches as PLAIN TABLES — the two
+  * classic sketches the engine still lacked beside Misra-Gries
+  * ([[graft.functions.MisraGriesAgg]]) and DataSketches HLL (a9):
+  *
+  *  - '''count-min''': a depth×width grid of counters. Each input row
+  *    increments one cell per depth row; a point estimate is the MIN of
+  *    its depth cells — never an under-estimate, over only by collision
+  *    mass. The cells table is `depth·width` rows REGARDLESS of data
+  *    size, and building it is one bounded-cardinality groupBy whose
+  *    map side combines every partition down to ≤ depth·width rows
+  *    before the shuffle. Merging sketches (across files, days, or
+  *    engines) is cell-wise SUM — exactly associative/commutative, so
+  *    a per-partition-grain sketch column rolls up to any coarser grain
+  *    without rescanning raw data, and the rolled-up estimates are
+  *    IDENTICAL to a direct whole-corpus sketch (counts are additive —
+  *    unlike HLL, merge here is exact, which is why the a10 registry
+  *    entry can hash-check estimates computed from merged cells against
+  *    an oracle that builds the sketch directly).
+  *
+  *  - '''KMV (bottom-k minimum values)''': keep the k smallest distinct
+  *    48-bit hashes of a column; if fewer than k exist the count is
+  *    exact, else distinct ≈ (k−1)·2⁴⁸ div h₍ₖ₎. The bottom-k set rides
+  *    the native [[graft.functions.TopKAggExpr]] buffer (ord = −h,
+  *    id = h): the map side combines each partition to ≤ k entries
+  *    before the shuffle, and EXACT (ord,id) duplicates collapse in the
+  *    TreeSet — which is precisely KMV's distinct-hash semantics, so
+  *    raw rows can feed the aggregate directly. Merging = union the
+  *    bottom-k sets, re-take bottom-k (bottom-k of a union of
+  *    bottom-ks IS the global bottom-k — exact, order-free), so
+  *    per-group sketches answer the global question without rescan.
+  *
+  * Both hash with the engine-wide md5 idiom (12 hex chars = 48 bits) so
+  * a DuckDB oracle replays every counter and every estimate EXACTLY —
+  * these are the only estimators in the registry whose estimates
+  * themselves hash-match cross-engine, not just guard within tolerance.
+  * 48 bits keeps (k−1)·2⁴⁸ and all cell math in plain long arithmetic
+  * (no decimal-division precision divergence between engines).
+  */
+object Sketches {
+
+  /** Bits in the hash space: 12 md5 hex chars. */
+  val HashBits = 48
+
+  /** 48-bit md5 hash of the column's canonical string, shifted to
+    * [1, 2⁴⁸] so division by a stored hash can never hit zero.
+    */
+  def h48(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 12), 16, 10).cast("long") + 1L
+
+  /** Depth-salted cell index in [0, width): hash of `"d:key"`. */
+  def cmsBucket(d: Column, key: Column, width: Int): Column =
+    conv(substring(md5(concat(d.cast("string"), lit(":"), key.cast("string"))),
+      1, 12), 16, 10).cast("long") % width
+
+  /** Build count-min cells `(grain…, d, w, cnt)` over `rows(keyCol)`.
+    * The ×depth explode happens map-side and collapses immediately into
+    * the bounded-cardinality partial aggregate: the shuffle carries at
+    * most `partitions · depth · width` pre-combined cells, never data-
+    * sized rows. `grain` columns (e.g. a day or file id) produce one
+    * independent sketch per grain value — the storage layout a 100-TB
+    * table wants (sketch beside each partition, roll up on demand).
+    */
+  def countMinCells(rows: DataFrame, keyCol: String, depth: Int, width: Int,
+                    grain: Seq[String] = Nil): DataFrame = {
+    require(depth >= 1 && width >= 1, s"countMinCells: depth=$depth width=$width")
+    rows
+      .withColumn("d", explode(expr(s"sequence(0, ${depth - 1})")))
+      .withColumn("w", cmsBucket(col("d"), col(keyCol), width))
+      .groupBy((grain :+ "d" :+ "w").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge sketches across their grain columns: cell-wise sum. Exact —
+    * the merged grid equals the grid a direct whole-input build yields.
+    */
+  def countMinMerge(cells: DataFrame): DataFrame =
+    cells.groupBy("d", "w").agg(sum("cnt").as("cnt"))
+
+  /** Point-estimate every probe row's `keyCol` against a merged cells
+    * grid: min over the depth cells the key hashes into. The grid is
+    * `depth·width` rows — broadcast, so probing is map-side against the
+    * probe table. All probe columns are carried through; the estimate
+    * lands in `cms_est`. A key whose cell row is absent was never
+    * inserted: estimate 0.
+    */
+  def countMinLookup(cells: DataFrame, probes: DataFrame, keyCol: String,
+                     depth: Int, width: Int): DataFrame = {
+    val probeCols = probes.columns
+    probes
+      .withColumn("__d", explode(expr(s"sequence(0, ${depth - 1})")))
+      .withColumn("__w", cmsBucket(col("__d"), col(keyCol), width))
+      .join(broadcast(cells.select(col("d").as("__d"), col("w").as("__w"),
+        col("cnt"))), Seq("__d", "__w"), "left")
+      .groupBy(probeCols.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+
+  /** Per-group KMV sketch: `(groupCols…, n_exact, bk)` where `bk` is the
+    * bottom-k hash set (as the native top_k array, ascending hash) over
+    * DISTINCT `(group, hash)` — the input is deduplicated first so
+    * `n_exact` (kept only to exhibit accuracy; production drops it,
+    * it is the thing the sketch replaces) counts what the sketch
+    * estimates. Raw-row callers can skip the distinct: the top_k buffer
+    * collapses duplicate hashes itself.
+    */
+  def kmvSketch(rows: DataFrame, keyCol: String, groupCols: Seq[String],
+                k: Int): DataFrame = {
+    require(k >= 2, s"kmvSketch: k must be >= 2: $k")
+    val dh = rows
+      .select((groupCols.map(col) :+ h48(col(keyCol)).as("hv")): _*)
+      .distinct()
+    val g = if (groupCols.isEmpty) dh.groupBy() else dh.groupBy(groupCols.map(col): _*)
+    g.agg(count(lit(1)).as("n_exact"), expr(s"top_k(-hv, hv, $k)").as("bk"))
+  }
+
+  /** Distinct-count estimate from a bottom-k array column (by NAME — the
+    * division runs in exact long arithmetic via SQL `div`): exact size
+    * when the sketch never filled, else (k−1)·2⁴⁸ div h₍ₖ₎.
+    */
+  def kmvEstimate(bkCol: String, k: Int): Column = {
+    val num = (k - 1L) << HashBits
+    expr(s"CASE WHEN size($bkCol) < $k THEN CAST(size($bkCol) AS BIGINT) " +
+      s"ELSE $num div element_at($bkCol, $k).id END")
+  }
+
+  /** Merge per-group bottom-k arrays into one global bottom-k: explode
+    * the (tiny, k-sized) arrays and re-aggregate. Exactly equals the
+    * sketch a direct global pass builds.
+    */
+  def kmvMerge(sketches: DataFrame, k: Int): DataFrame =
+    sketches.select(explode(col("bk")).as("e"))
+      .select(col("e").getField("id").as("hv"))
+      .groupBy()
+      .agg(expr(s"top_k(-hv, hv, $k)").as("bk"))
+}

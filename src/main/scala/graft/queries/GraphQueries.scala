@@ -429,6 +429,110 @@ object GraphQueries {
         |       TRUE AS est_within_5pct
         | FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ---- mergeable count-min frequency sketch ---------------------------
+    // the frequency complement of a9's HLL and t_heavy_hitters' Misra-
+    // Gries: per-YEAR 4×32 counter grids built with one bounded-
+    // cardinality partial aggregate each (the ×4 depth explode collapses
+    // map-side; the shuffle carries ≤ partitions·depth·width cells, never
+    // data-sized rows), merged by cell-wise SUM — count-min merge is
+    // EXACT, so the estimates probed from the merged grid hash-match an
+    // oracle that builds the sketch directly over the whole corpus. Probe
+    // estimates are min over depth cells: ≥ exact always (over_ok), over
+    // only by collision mass (width 32 forces real collisions here).
+    // Unlike a9/a7 the ESTIMATE ITSELF is oracle-checked, not tolerance-
+    // guarded: both engines replay identical md5 cell arithmetic.
+    ("a10_countmin_merge",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val depth = 4; val width = 32
+        val perYear = graft.ops.Sketches.countMinCells(
+          li.select(col("l_suppkey").as("key"), year(col("l_shipdate")).as("yr")),
+          "key", depth, width, Seq("yr"))
+        val merged = graft.ops.Sketches.countMinMerge(perYear)
+        val probes = li.filter(col("l_suppkey") <= 25)
+          .groupBy(col("l_suppkey").as("key"))
+          .agg(count(lit(1)).as("n_exact"))
+        graft.ops.Sketches.countMinLookup(merged, probes, "key", depth, width)
+          .select(col("key").cast("long").as("key"), col("n_exact"),
+            col("cms_est"), (col("cms_est") >= col("n_exact")).as("over_ok"))
+          .orderBy("key")
+      },
+      """WITH src AS (SELECT CAST(l_suppkey AS VARCHAR) AS key FROM lineitem),
+        | dd AS (SELECT unnest(generate_series(0, 3)) AS d),
+        | cells AS (SELECT d,
+        |             CAST('0x' || substr(md5(d || ':' || key), 1, 12) AS BIGINT) % 32 AS w,
+        |             COUNT(*) AS cnt
+        |           FROM src CROSS JOIN dd GROUP BY 1, 2),
+        | probes AS (SELECT l_suppkey AS key, COUNT(*) AS n_exact FROM lineitem
+        |            WHERE l_suppkey <= 25 GROUP BY 1),
+        | looked AS (SELECT p.key, p.n_exact, MIN(c.cnt) AS cms_est
+        |            FROM probes p CROSS JOIN dd
+        |            JOIN cells c ON c.d = dd.d
+        |             AND c.w = CAST('0x' || substr(md5(dd.d || ':' || CAST(p.key AS VARCHAR)), 1, 12) AS BIGINT) % 32
+        |            GROUP BY 1, 2)
+        | SELECT CAST(key AS BIGINT) AS key, n_exact, cms_est,
+        |        cms_est >= n_exact AS over_ok
+        | FROM looked ORDER BY key""".stripMargin),
+
+    // ---- KMV (bottom-k) distinct sketch ---------------------------------
+    // the hash-checkable cardinality estimator (a9's HLL can only be
+    // tolerance-guarded — DataSketches internals aren't replayable in
+    // SQL; KMV is): keep the k smallest distinct 48-bit hashes, estimate
+    // (k−1)·2⁴⁸ div h_k. The bottom-k set rides the native top_k
+    // partial-aggregate buffer (map side combines to ≤ k entries per
+    // partition; exact duplicates collapse in the TreeSet = KMV's
+    // distinct semantics). The __ALL__ row is computed TWICE — directly
+    // over global distinct hashes, and by merging the three per-flag
+    // sketches (explode k-sized arrays, re-take bottom-k) — and the
+    // in-entry guard proves merge exactness; the oracle replays the
+    // direct construction rank-by-rank.
+    ("a11_kmv_distinct",
+      (s, d) => {
+        val k = 64
+        val li = t(s, d, "lineitem")
+        val perGrp = graft.ops.Sketches.kmvSketch(
+          li.select(col("l_returnflag").as("grp"), col("l_orderkey")),
+          "l_orderkey", Seq("grp"), k)
+        val flags = perGrp.select(col("grp"), col("n_exact"),
+          graft.ops.Sketches.kmvEstimate("bk", k).as("kmv_est"))
+        val direct = graft.ops.Sketches.kmvSketch(
+          li.select(col("l_orderkey")), "l_orderkey", Nil, k)
+          .select(lit("__ALL__").as("grp"), col("n_exact"),
+            graft.ops.Sketches.kmvEstimate("bk", k).as("kmv_est"))
+        val mergedEst = graft.ops.Sketches.kmvMerge(perGrp, k)
+          .select(graft.ops.Sketches.kmvEstimate("bk", k).as("m_est"))
+        val all = direct.crossJoin(broadcast(mergedEst))
+          .select(col("grp"), col("n_exact"),
+            graft.ops.Bounded.guard(col("kmv_est"),
+              col("kmv_est") === col("m_est"),
+              "a11_kmv_distinct: merged sketch estimate diverged from direct")
+              .as("kmv_est"))
+        flags.unionByName(all).orderBy("grp")
+      },
+      """WITH h AS (SELECT DISTINCT l_returnflag AS grp,
+        |             CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 12) AS BIGINT) + 1 AS hv
+        |           FROM lineitem),
+        | rk AS (SELECT grp, hv, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY hv) AS rn FROM h),
+        | pg AS (SELECT grp, COUNT(*) AS n_exact,
+        |               MAX(CASE WHEN rn = 64 THEN hv END) AS hk
+        |        FROM rk GROUP BY grp),
+        | flags AS (SELECT grp, n_exact,
+        |             CASE WHEN n_exact < 64 THEN n_exact
+        |                  ELSE 17732923532771328 // hk END AS kmv_est
+        |           FROM pg),
+        | grk AS (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
+        |         FROM (SELECT DISTINCT hv FROM h)),
+        | ga AS (SELECT COUNT(*) AS n_exact,
+        |               MAX(CASE WHEN rn = 64 THEN hv END) AS hk FROM grk),
+        | allr AS (SELECT '__ALL__' AS grp, n_exact,
+        |            CASE WHEN n_exact < 64 THEN n_exact
+        |                 ELSE 17732923532771328 // hk END AS kmv_est
+        |          FROM ga)
+        | SELECT grp, CAST(n_exact AS BIGINT) AS n_exact,
+        |        CAST(kmv_est AS BIGINT) AS kmv_est
+        | FROM (SELECT * FROM flags UNION ALL SELECT * FROM allr)
+        | ORDER BY grp""".stripMargin),
+
     // ---- strongly connected components (directed) -----------------------
     // the structure undirected CC cannot see: 3-cycles ("rings") bridged
     // pairwise by ONE-WAY edges — each ring is its own SCC and the bridge

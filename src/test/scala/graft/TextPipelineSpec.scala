@@ -538,6 +538,22 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(viaSql.toSeq == Seq((9L, 9L), (9L, 19L)))
   }
 
+  test("top_k collapses exact (ord,id) duplicates without shrinking the buffer") {
+    // 3 distinct pairs, each duplicated x40, k = 3: every arrival order
+    // (incl. duplicate-arrives-while-full, which once evicted the weakest
+    // and then no-opped the add) must retain all 3 distinct pairs
+    val rows = (0 until 120).map(i => ((i % 3).toLong, (i % 3).toLong))
+      .toDF("ord", "id")
+    for (parts <- Seq(1, 5, 40)) {
+      val got = rows.repartition(parts)
+        .agg(graft.functions.TopKAgg.topK(col("ord"), col("id"), 3).as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.ord"), col("e.id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == Seq((2L, 2L), (1L, 1L), (0L, 0L)), s"parts=$parts: $got")
+    }
+  }
+
   test("MisraGries sketch: <= k counters, contains every item above N/(k+1), lower-bounds") {
     // 100-word vocabulary, zipf-ish: token i repeated (101-i) times
     val words = (1 to 100).flatMap(i => Seq.fill(101 - i)(f"w$i%03d"))
