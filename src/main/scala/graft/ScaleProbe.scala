@@ -30,6 +30,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftExtensions.register(spark)
 
     def enabled(name: String): Boolean = only.isEmpty || only.exists(name.contains)
     def timed(name: String)(body: => Long): Unit =
@@ -488,7 +489,8 @@ object ScaleProbe {
     // integer HITS rounds, and the map-side table fingerprint at mult x
     // input volume
     val r11Probes = Seq("skyline", "hitsRounds", "tableChecksum", "pprRounds",
-      "compactionPlan", "checksumHash", "lpaRounds", "sccPeel", "topkPartial")
+      "compactionPlan", "checksumHash", "lpaRounds", "sccPeel", "topkPartial",
+      "countMin", "kmvSketch")
     if (r11Probes.exists(enabled)) {
       val orders = spark.read.parquet(s"$sfDir/orders.parquet")
         .repartition(spark.sparkContext.defaultParallelism)
@@ -572,6 +574,34 @@ object ScaleProbe {
           graft.llm.Governance.tableFingerprint(li,
             Seq("l_returnflag", "l_linestatus"), xxhash64(fpCols: _*)).count()
         }
+      }
+      // count-min at mult x rows, FRESH keys per copy (suppkey offset):
+      // the x4 depth explode collapses map-side into a 4x32-cell partial
+      // aggregate, so the shuffle is ≤ partitions·128 pre-combined cells
+      // at ANY volume — runtime must track the scan, near-linearly
+      timed("countMin (lineitem x mult)") {
+        val rows = (0 until mult).map(k =>
+          liProbe.select((col("l_suppkey") + lit(k * 100000)).as("key"),
+            year(col("l_shipdate")).as("yr")))
+          .reduce(_ union _)
+        val merged = graft.ops.Sketches.countMinMerge(
+          graft.ops.Sketches.countMinCells(rows, "key", 4, 32, Seq("yr")))
+        val probes = rows.filter(col("key") % 100000 <= 25)
+          .groupBy("key").agg(count(lit(1)).as("n_exact"))
+        graft.ops.Sketches.countMinLookup(merged, probes, "key", 4, 32).count()
+      }
+      // KMV at mult x rows with mult x distinct keys: the bottom-k buffer
+      // combines every partition to ≤ k entries pre-shuffle; the explicit
+      // distinct (kept for the n_exact exhibit) is the only data-sized
+      // exchange — production drops it and the aggregate alone remains
+      timed("kmvSketch (lineitem x mult)") {
+        val rows = (0 until mult).map(k =>
+          liProbe.select(col("l_returnflag").as("grp"),
+            (col("l_orderkey") + lit(k.toLong * orderStride)).as("l_orderkey")))
+          .reduce(_ union _)
+        val perGrp = graft.ops.Sketches.kmvSketch(rows, "l_orderkey", Seq("grp"), 64)
+        graft.ops.Sketches.kmvMerge(perGrp, 64)
+          .select(graft.ops.Sketches.kmvEstimate("bk", 64).as("est")).count()
       }
       // the g_scc ring/block family at mult x rings: outer peel rounds are
       // a property of the block chain (2), inner propagation rounds of the
