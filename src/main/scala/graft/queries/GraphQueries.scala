@@ -23,6 +23,28 @@ object GraphQueries {
 
   private val Obo = "http://purl.obolibrary.org/obo/"
 
+  /** The a10 count-min oracle — shared with the streaming twin (cell-sum
+    * merge is exact, so the converged streaming grid must yield the same
+    * probe estimates the direct whole-corpus build yields).
+    */
+  val CountMinSql: String =
+    """WITH src AS (SELECT CAST(l_suppkey AS VARCHAR) AS key FROM lineitem),
+      | dd AS (SELECT unnest(generate_series(0, 3)) AS d),
+      | cells AS (SELECT d,
+      |             CAST('0x' || substr(md5(d || ':' || key), 1, 12) AS BIGINT) % 32 AS w,
+      |             COUNT(*) AS cnt
+      |           FROM src CROSS JOIN dd GROUP BY 1, 2),
+      | probes AS (SELECT l_suppkey AS key, COUNT(*) AS n_exact FROM lineitem
+      |            WHERE l_suppkey <= 25 GROUP BY 1),
+      | looked AS (SELECT p.key, p.n_exact, MIN(c.cnt) AS cms_est
+      |            FROM probes p CROSS JOIN dd
+      |            JOIN cells c ON c.d = dd.d
+      |             AND c.w = CAST('0x' || substr(md5(dd.d || ':' || CAST(p.key AS VARCHAR)), 1, 12) AS BIGINT) % 32
+      |            GROUP BY 1, 2)
+      | SELECT CAST(key AS BIGINT) AS key, n_exact, cms_est,
+      |        cms_est >= n_exact AS over_ok
+      | FROM looked ORDER BY key""".stripMargin
+
   /** The g_fof_recommend candidate core (2-hop expansion from every
     * `sampleMod`-th node, direct edges anti-joined, common-neighbor
     * support counted) — shared with ScaleProbe so the probe measures the
@@ -457,22 +479,7 @@ object GraphQueries {
             col("cms_est"), (col("cms_est") >= col("n_exact")).as("over_ok"))
           .orderBy("key")
       },
-      """WITH src AS (SELECT CAST(l_suppkey AS VARCHAR) AS key FROM lineitem),
-        | dd AS (SELECT unnest(generate_series(0, 3)) AS d),
-        | cells AS (SELECT d,
-        |             CAST('0x' || substr(md5(d || ':' || key), 1, 12) AS BIGINT) % 32 AS w,
-        |             COUNT(*) AS cnt
-        |           FROM src CROSS JOIN dd GROUP BY 1, 2),
-        | probes AS (SELECT l_suppkey AS key, COUNT(*) AS n_exact FROM lineitem
-        |            WHERE l_suppkey <= 25 GROUP BY 1),
-        | looked AS (SELECT p.key, p.n_exact, MIN(c.cnt) AS cms_est
-        |            FROM probes p CROSS JOIN dd
-        |            JOIN cells c ON c.d = dd.d
-        |             AND c.w = CAST('0x' || substr(md5(dd.d || ':' || CAST(p.key AS VARCHAR)), 1, 12) AS BIGINT) % 32
-        |            GROUP BY 1, 2)
-        | SELECT CAST(key AS BIGINT) AS key, n_exact, cms_est,
-        |        cms_est >= n_exact AS over_ok
-        | FROM looked ORDER BY key""".stripMargin),
+      CountMinSql),
 
     // ---- KMV (bottom-k) distinct sketch ---------------------------------
     // the hash-checkable cardinality estimator (a9's HLL can only be

@@ -386,6 +386,33 @@ object StreamingQueries {
       },
       PipelineQueries.HeavyHittersSql),
 
+    // ---- streaming count-min sketch (additive state) --------------------
+    // the 15th twin, against a10's ORACLE: count-min cells are plain sums
+    // over a bounded-cardinality key, so the streaming aggregation's
+    // state store IS the sketch — ≤ depth·width rows forever, batch-2
+    // partial cells merge into batch-1's stored sums by the same
+    // cell-wise addition the batch merge uses, and the converged grid is
+    // BIT-IDENTICAL to the direct whole-corpus build (count-min merge is
+    // exact, unlike HLL). Probe lookups then run batch-side against the
+    // converged cells and must hash-match the oracle's estimates.
+    ("stream_countmin",
+      (s, d) => {
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val cut = li.stat.approxQuantile("l_orderkey", Array(0.5), 0.0)(0).toLong
+        val cells = replayStaged(s, li.filter(col("l_orderkey") <= cut),
+            li.filter(col("l_orderkey") > cut), "complete") { st =>
+          graft.ops.Sketches.countMinCells(
+            st.select(col("l_suppkey").as("key")), "key", 4, 32)
+        }
+        val probes = li.filter(col("l_suppkey") <= 25)
+          .groupBy(col("l_suppkey").as("key")).agg(count(lit(1)).as("n_exact"))
+        graft.ops.Sketches.countMinLookup(cells, probes, "key", 4, 32)
+          .select(col("key").cast("long").as("key"), col("n_exact"),
+            col("cms_est"), (col("cms_est") >= col("n_exact")).as("over_ok"))
+          .orderBy("key")
+      },
+      GraphQueries.CountMinSql),
+
     // ---- streaming deterministic split assignment -----------------------
     // the strongest stateless batch/stream parity statement: split
     // assignment is a pure per-row md5 threshold (no state, no watermark,

@@ -318,6 +318,39 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
   }
 
+  test("streaming count-min: state stays <= depth*width cells and the converged grid equals the batch build") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-cms-stream")
+    val in = base.resolve("in"); Files.createDirectories(in)
+    try {
+      // 9 keys into a 3x8 grid (collisions certain); key "k0" split across
+      // the cut so only carried cell sums can total it
+      val b1 = (0 until 30).map(i => s"k${i % 5}")
+      val b2 = (0 until 30).map(i => s"k${i % 9}")
+      b1.toDF("key").write.parquet(s"$in/b1")
+      val schema = spark.read.parquet(s"$in/b1").schema
+      val stream = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(in.toString)
+      val q = graft.ops.Sketches.countMinCells(stream, "key", 3, 8)
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("cms_stream").start()
+      try {
+        q.processAllAvailable()
+        b2.toDF("key").write.parquet(s"$in/b2")
+        q.processAllAvailable()
+        val streamed = spark.table("cms_stream")
+          .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+        val direct = graft.ops.Sketches.countMinCells(
+            (b1 ++ b2).toDF("key"), "key", 3, 8)
+          .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+        assert(streamed == direct) // cell-sum merge across batches is exact
+        // the state store is the grid itself: bounded by depth*width
+        val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        assert(stateRows <= 3 * 8, s"state rows $stateRows exceed the grid")
+      } finally q.stop()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
   test("streaming CUSUM: a day split across the batch cut is finalized by the later emission") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-cusum-stream")
