@@ -432,6 +432,67 @@ object RelationalQueries {
         | SELECT l_returnflag, CAST(rn AS BIGINT) AS rn, cents, rid
         | FROM r WHERE rn <= 3 ORDER BY l_returnflag, rn""".stripMargin),
 
+    // ---- distribution window functions (ntile / percent_rank / cume_dist)
+    // the §2.5 distribution trio on ONE deterministic total order
+    // ((cents, o_orderkey) — never a bare value with ties): quartile
+    // bucket, relative rank, cumulative share. The doubles hash-match
+    // cross-engine because both sides compute the same (rank−1)/(n−1)
+    // and peers/n IEEE divisions on identical small-integer operands.
+    ("w5_ntile_dist",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("cents"), col("o_orderkey"))
+        t(s, d, "orders")
+          .filter(col("o_custkey") < 100)
+          .select(col("o_orderstatus"), col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .withColumn("q4", ntile(4).over(w).cast("long"))
+          .withColumn("pr", percent_rank().over(w))
+          .withColumn("cd", cume_dist().over(w))
+          .select("o_orderstatus", "o_orderkey", "cents", "q4", "pr", "cd")
+          .orderBy("o_orderstatus", "o_orderkey")
+      },
+      """WITH x AS (SELECT o_orderstatus, o_orderkey,
+        |             CAST(round(o_totalprice*100) AS BIGINT) AS cents
+        |           FROM orders WHERE o_custkey < 100)
+        | SELECT o_orderstatus, o_orderkey, cents,
+        |        CAST(NTILE(4) OVER w AS BIGINT) AS q4,
+        |        PERCENT_RANK() OVER w AS pr,
+        |        CUME_DIST() OVER w AS cd
+        | FROM x
+        | WINDOW w AS (PARTITION BY o_orderstatus ORDER BY cents, o_orderkey)
+        | ORDER BY o_orderstatus, o_orderkey""".stripMargin),
+
+    // ---- UNPIVOT (wide measures -> long) -------------------------------
+    // the inverse of u1's pivot: three per-line measures melt into
+    // (measure, value) rows via Dataset.unpivot — one Expand node, no
+    // shuffle, ×3 rows map-side. The oracle states the same melt as a
+    // portable UNION ALL (no dialect UNPIVOT dependence).
+    ("u10_unpivot",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+          round(col("l_discount") * 100).cast("long").as("disc_pct"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("qty"), col("price_cents"), col("disc_pct")),
+          "measure", "value")
+        .orderBy("l_orderkey", "l_linenumber", "measure"),
+      """SELECT l_orderkey, l_linenumber, 'qty' AS measure,
+        |        CAST(l_quantity AS BIGINT) AS value
+        | FROM lineitem WHERE l_orderkey < 200
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, 'price_cents',
+        |        CAST(round(l_extendedprice*100) AS BIGINT)
+        | FROM lineitem WHERE l_orderkey < 200
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, 'disc_pct',
+        |        CAST(round(l_discount*100) AS BIGINT)
+        | FROM lineitem WHERE l_orderkey < 200
+        | ORDER BY l_orderkey, l_linenumber, measure""".stripMargin),
+
     // ---- top-k global sort ---------------------------------------------
     ("topk_global",
       (s, d) => t(s, d, "orders")
