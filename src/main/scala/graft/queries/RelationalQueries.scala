@@ -27,6 +27,19 @@ object RelationalQueries {
     s.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** The w4 grouped-top-3 window-formulation oracle — shared with the
+    * streaming twin (the top_k heap buffer is mergeable state, so the
+    * converged streaming answer must equal the batch aggregate).
+    */
+  val TopKPartialSql: String =
+    """WITH x AS (SELECT l_returnflag,
+      |             CAST(round(l_extendedprice*100) AS BIGINT) AS cents,
+      |             l_orderkey*10 + l_linenumber AS rid FROM lineitem),
+      | r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |                 ORDER BY cents DESC, rid) AS rn FROM x)
+      | SELECT l_returnflag, CAST(rn AS BIGINT) AS rn, cents, rid
+      | FROM r WHERE rn <= 3 ORDER BY l_returnflag, rn""".stripMargin
+
   // exact money sum: double -> decimal(18,2) -> sum -> double
   private def moneySum(c: org.apache.spark.sql.Column) =
     sum(c.cast("decimal(18,2)")).cast("double")
@@ -424,13 +437,7 @@ object RelationalQueries {
             col("col.ord").as("cents"), col("col.id").as("rid"))
           .orderBy("l_returnflag", "rn")
       },
-      """WITH x AS (SELECT l_returnflag,
-        |             CAST(round(l_extendedprice*100) AS BIGINT) AS cents,
-        |             l_orderkey*10 + l_linenumber AS rid FROM lineitem),
-        | r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
-        |                 ORDER BY cents DESC, rid) AS rn FROM x)
-        | SELECT l_returnflag, CAST(rn AS BIGINT) AS rn, cents, rid
-        | FROM r WHERE rn <= 3 ORDER BY l_returnflag, rn""".stripMargin),
+      TopKPartialSql),
 
     // ---- distribution window functions (ntile / percent_rank / cume_dist)
     // the §2.5 distribution trio on ONE deterministic total order

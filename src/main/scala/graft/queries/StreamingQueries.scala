@@ -413,6 +413,35 @@ object StreamingQueries {
       },
       GraphQueries.CountMinSql),
 
+    // ---- streaming grouped top-k (heap buffer as state) -----------------
+    // the 16th twin, against w4's window-formulation ORACLE: the native
+    // top_k TypedImperativeAggregate is mergeable, so in a streaming
+    // global aggregation its k-bound heap IS the per-group state row —
+    // batch-2 partial heaps MERGE into batch-1's stored heap, and because
+    // the global top-k over a total order is contained in the union of
+    // partial top-ks, the converged sink equals the batch answer EXACTLY
+    // (rank and tie-breaks included), not approximately. A live
+    // leaderboard over an unbounded stream carries k rows of state per
+    // group, never the group's history.
+    ("stream_topk",
+      (s, d) => {
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val cut = li.stat.approxQuantile("l_orderkey", Array(0.5), 0.0)(0).toLong
+        replayStaged(s, li.filter(col("l_orderkey") <= cut),
+            li.filter(col("l_orderkey") > cut), "complete") { st =>
+          st.select(col("l_returnflag"),
+              round(col("l_extendedprice") * 100).cast("long").as("cents"),
+              (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"))
+            .groupBy("l_returnflag")
+            .agg(graft.functions.TopKAgg.topK(col("cents"), col("rid"), 3).as("tk"))
+        }
+          .select(col("l_returnflag"), posexplode(col("tk")))
+          .select(col("l_returnflag"), (col("pos") + 1).cast("long").as("rn"),
+            col("col.ord").as("cents"), col("col.id").as("rid"))
+          .orderBy("l_returnflag", "rn")
+      },
+      RelationalQueries.TopKPartialSql),
+
     // ---- streaming deterministic split assignment -----------------------
     // the strongest stateless batch/stream parity statement: split
     // assignment is a pure per-row md5 threshold (no state, no watermark,
