@@ -73,7 +73,11 @@ object PlanDump {
     "g_copurchase_pairs" -> (Seq("Join"), Seq("CartesianProduct")),
     // SymSpell: the dict-variant side must broadcast
     "x1_symspell_correct" -> (Seq("BroadcastHashJoin"), Seq("CartesianProduct")),
-    "g_random_walks" -> (Seq("Join"), Seq("CartesianProduct")))
+    "g_random_walks" -> (Seq("Join"), Seq("CartesianProduct")),
+    // count-min probe: the depth·width cell grid must stay the broadcast
+    // side (a sketch lookup that shuffles the probe table is wrong)
+    "a10_countmin_merge" -> (Seq("BroadcastHashJoin"),
+      Seq("SortMergeJoin", "CartesianProduct")))
 
   private def unpartitionedWindows(df: org.apache.spark.sql.DataFrame): Int =
     df.queryExecution.optimizedPlan.collect {
