@@ -411,11 +411,34 @@ object Similarity {
     // zero shuffle, zero join, no UDF row conversion; the argmin kernel,
     // tie contract, and fail-fast validation live in
     // [[graft.functions.CellAssign]]
-    val assigned = corpus
+    probeAndRank(queries, ivfAssign(corpus, centroidsQ, idCol, embCol, scale),
+      centroidsQ, k, nProbe, idCol, embCol, scale)
+  }
+
+  /** The IVF postings build alone: `(neighbor_id, cv, cell)` for every
+    * corpus vector — a map-side argmin over the codegen reference-object
+    * centroids, zero shuffle. Assignment is per-vector and STATELESS, so
+    * an ingest pipeline computes postings per batch and APPENDS them to a
+    * persisted store; a store grown by appends is bit-identical to a
+    * fresh whole-corpus assignment under the same frozen quantizer.
+    */
+  def ivfAssign(corpus: DataFrame, centroidsQ: Seq[Seq[Long]],
+                idCol: String = "vec_id", embCol: String = "embedding",
+                scale: Int = 1000): DataFrame =
+    corpus
       .select(col(idCol).as("neighbor_id"), quantize(col(embCol), scale).as("cv"))
       .withColumn("cell", graft.functions.CellAssign.assignCol(col("cv"), centroidsQ))
-    probeAndRank(queries, assigned, centroidsQ, k, nProbe, idCol, embCol, scale)
-  }
+
+  /** IVF search over an already-built postings table (the
+    * [[ivfAssign]] output read back from its store): raw embeddings are
+    * never rescanned — the steady-state serving path once the index is
+    * maintained incrementally.
+    */
+  def ivfTopKFromPostings(queries: DataFrame, postings: DataFrame, k: Int,
+                          centroidsQ: Seq[Seq[Long]], nProbe: Int = 4,
+                          idCol: String = "vec_id", embCol: String = "embedding",
+                          scale: Int = 1000): DataFrame =
+    probeAndRank(queries, postings, centroidsQ, k, nProbe, idCol, embCol, scale)
 
   /** The `id < n` corpus prefix, quantized and collected driver-side as an
     * offline coarse quantizer — the ONE definition of the

@@ -100,6 +100,42 @@ object PipelineQueries {
     * d3_jaccard_estimate per-pair oracle and the d21 threshold-sweep
     * histogram built over the SAME pairs.
     */
+  /** The direct-construction IVF top-5 oracle (frozen vec_id<16 quantizer,
+    * nProbe 4, queries vec_id<20) — shared by sim_ivf_topk and
+    * sim_ivf_append: the appended postings store must be bit-identical to
+    * the fresh whole-corpus assignment this SQL replays.
+    */
+  private val IvfTopKSql: String =
+    """WITH cents AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+      |                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS ce
+      |               FROM embeddings WHERE vec_id < 16),
+      | corp AS (SELECT vec_id AS neighbor_id,
+      |                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS cv
+      |          FROM embeddings),
+      | asg AS (SELECT neighbor_id, cv, cell FROM (
+      |    SELECT c.neighbor_id, c.cv, ce.cell,
+      |           ROW_NUMBER() OVER (PARTITION BY c.neighbor_id ORDER BY
+      |             list_dot_product(c.cv, c.cv) - 2*list_dot_product(c.cv, ce.ce)
+      |               + list_dot_product(ce.ce, ce.ce), ce.cell) AS rn
+      |    FROM corp c CROSS JOIN cents ce) WHERE rn = 1),
+      | q AS (SELECT vec_id AS query_id,
+      |              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+      |       FROM embeddings WHERE vec_id < 20),
+      | probed AS (SELECT query_id, qv, cell FROM (
+      |    SELECT q.query_id, q.qv, ce.cell,
+      |           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+      |             list_dot_product(q.qv, q.qv) - 2*list_dot_product(q.qv, ce.ce)
+      |               + list_dot_product(ce.ce, ce.ce), ce.cell) AS pr
+      |    FROM q CROSS JOIN cents ce) WHERE pr <= 4),
+      | sc AS (SELECT query_id, neighbor_id,
+      |               list_dot_product(qv, cv) /
+      |               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+      |        FROM probed JOIN asg USING (cell) WHERE query_id <> neighbor_id)
+      | SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+      | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |                                    ORDER BY cosine DESC, neighbor_id) AS rank FROM sc)
+      | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   private val JaccardEstimateCtes: String =
     s"""WITH sh AS ($ShinglesSql),
        | hx AS (SELECT id, j, MIN(substr(md5((j // 4)::VARCHAR || ':' || shingle), 1 + 8 * (j % 4), 8)) AS h
@@ -991,35 +1027,34 @@ object PipelineQueries {
             e.filter(col("vec_id") < 20), e, k = 5, cents, nProbe = 4)
           .orderBy("query_id", "rank")
       },
-      """WITH cents AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
-        |                      list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS ce
-        |               FROM embeddings WHERE vec_id < 16),
-        | corp AS (SELECT vec_id AS neighbor_id,
-        |                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS cv
-        |          FROM embeddings),
-        | asg AS (SELECT neighbor_id, cv, cell FROM (
-        |    SELECT c.neighbor_id, c.cv, ce.cell,
-        |           ROW_NUMBER() OVER (PARTITION BY c.neighbor_id ORDER BY
-        |             list_dot_product(c.cv, c.cv) - 2*list_dot_product(c.cv, ce.ce)
-        |               + list_dot_product(ce.ce, ce.ce), ce.cell) AS rn
-        |    FROM corp c CROSS JOIN cents ce) WHERE rn = 1),
-        | q AS (SELECT vec_id AS query_id,
-        |              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
-        |       FROM embeddings WHERE vec_id < 20),
-        | probed AS (SELECT query_id, qv, cell FROM (
-        |    SELECT q.query_id, q.qv, ce.cell,
-        |           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
-        |             list_dot_product(q.qv, q.qv) - 2*list_dot_product(q.qv, ce.ce)
-        |               + list_dot_product(ce.ce, ce.ce), ce.cell) AS pr
-        |    FROM q CROSS JOIN cents ce) WHERE pr <= 4),
-        | sc AS (SELECT query_id, neighbor_id,
-        |               list_dot_product(qv, cv) /
-        |               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
-        |        FROM probed JOIN asg USING (cell) WHERE query_id <> neighbor_id)
-        | SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
-        | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-        |                                    ORDER BY cosine DESC, neighbor_id) AS rank FROM sc)
-        | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+      IvfTopKSql),
+
+    // ---- IVF incremental index maintenance (postings append) ------------
+    // the d6-for-vectors story: the corpus arrives in TWO ingest batches;
+    // each batch's postings (map-side argmin under the FROZEN quantizer)
+    // are APPENDED to a persisted parquet store, and search runs over the
+    // store read-back — raw embeddings are never rescanned at query time.
+    // Assignment is per-vector and stateless, so the appended store is
+    // bit-identical to a fresh whole-corpus build: the entry shares
+    // sim_ivf_topk's oracle verbatim, which replays the direct
+    // construction. At 100 TB this is the difference between re-indexing
+    // the corpus per ingest and appending one batch's postings.
+    ("sim_ivf_append",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cents = Similarity.collectQuantizedCentroids(e, 16)
+        val store = java.nio.file.Files.createTempDirectory("graft-ivf-store")
+          .toString + "/postings"
+        Similarity.ivfAssign(e.filter(col("vec_id") % 2 === 0), cents)
+          .write.parquet(store)
+        Similarity.ivfAssign(e.filter(col("vec_id") % 2 === 1), cents)
+          .write.mode("append").parquet(store)
+        Similarity.ivfTopKFromPostings(
+            e.filter(col("vec_id") < 20), s.read.parquet(store),
+            k = 5, cents, nProbe = 4)
+          .orderBy("query_id", "rank")
+      },
+      IvfTopKSql),
 
     // ---- ANN quality: per-query recall of IVF vs exact brute force -------
     // the tuning row for nProbe/centroids: both top-5 tables are bounded at

@@ -1680,6 +1680,87 @@ object RelationalQueries {
         | FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
         | GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
 
+    // ---- dynamic partition overwrite (INSERT OVERWRITE one partition) ---
+    // the lakehouse rewrite primitive s21/s23/s29 lead up to: a
+    // partitioned table gets ONE partition's rows replaced (status F,
+    // cents halved) under partitionOverwriteMode=dynamic — partitions
+    // the incoming frame does not touch MUST survive untouched (static
+    // mode would truncate the whole table). All money stays in integer
+    // cents so the halving is exact div-2 arithmetic in both engines;
+    // the read-back per-status rollup proves O/P intact + F rewritten.
+    ("s30_insert_overwrite",
+      (s, d) => {
+        val base = java.nio.file.Files.createTempDirectory("graft-dynover")
+          .toString + "/orders_by_status"
+        val prep = t(s, d, "orders").select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderstatus"))
+        prep.repartition(col("o_orderstatus"))
+          .write.partitionBy("o_orderstatus").parquet(base)
+        val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try {
+          prep.filter(col("o_orderstatus") === "F")
+            .withColumn("cents", expr("cents div 2"))
+            .repartition(col("o_orderstatus"))
+            .write.mode("overwrite").partitionBy("o_orderstatus").parquet(base)
+        } finally prev match {
+          case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+        s.read.parquet(base)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"))
+          .orderBy("o_orderstatus")
+      },
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |                 THEN CAST(round(o_totalprice*100) AS BIGINT) // 2
+        |                 ELSE CAST(round(o_totalprice*100) AS BIGINT) END) AS BIGINT)
+        |         AS total_cents
+        | FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ---- Benford first-digit audit --------------------------------------
+    // the classic fabricated-data screen as a data-quality entry: first
+    // significant digit of the order amount vs the Benford expectation,
+    // all in exact integer micro (expected log10(1+1/d) shares are
+    // PINNED literals on both sides — no cross-engine libm log10
+    // last-ulp dependence). One groupBy over 9 digits + a broadcast
+    // 1-row total; deviations are reported, not judged — the thresholds
+    // belong to the caller (s22's expectation suite is the enforcement
+    // side).
+    ("s31_benford_audit",
+      (s, d) => {
+        val digits = t(s, d, "orders")
+          .select(substring(round(col("o_totalprice") * 100).cast("long")
+            .cast("string"), 1, 1).cast("int").as("digit"))
+        val byd = digits.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        val tot = digits.groupBy().agg(count(lit(1)).as("n_total"))
+        byd.crossJoin(broadcast(tot))
+          .withColumn("share_micro", expr("n_obs * 1000000 div n_total"))
+          .withColumn("expected_micro", expr(
+            """CAST(element_at(map(1, 301030, 2, 176091, 3, 124939,
+              |  4, 96910, 5, 79181, 6, 66947, 7, 57992, 8, 51153,
+              |  9, 45757), digit) AS BIGINT)""".stripMargin))
+          .select(col("digit").cast("long").as("digit"), col("n_obs"),
+            col("share_micro"), col("expected_micro"),
+            abs(col("share_micro") - col("expected_micro")).as("dev_micro"))
+          .orderBy("digit")
+      },
+      """WITH c AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice*100) AS BIGINT)
+        |                    AS VARCHAR), 1, 1) AS INTEGER) AS digit FROM orders),
+        | b AS (SELECT digit, COUNT(*) AS n_obs FROM c GROUP BY 1),
+        | t AS (SELECT COUNT(*) AS n_total FROM c),
+        | e AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |         (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+        |         (9, 45757)) AS v(digit, expected_micro))
+        | SELECT CAST(b.digit AS BIGINT) AS digit, n_obs,
+        |        CAST(n_obs * 1000000 // n_total AS BIGINT) AS share_micro,
+        |        CAST(expected_micro AS BIGINT) AS expected_micro,
+        |        CAST(abs(n_obs * 1000000 // n_total - expected_micro) AS BIGINT) AS dev_micro
+        | FROM b CROSS JOIN t JOIN e ON e.digit = b.digit
+        | ORDER BY digit""".stripMargin),
+
     // ---- Q17-shape: below-fraction-of-group-average revenue --------------
     // the correlated-subquery classic ("parts bought in quantities below
     // 20% of that part's average"), in the shape that survives 100 TB:

@@ -580,6 +580,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got == exact) // nProbe=1 suffices: neighbors never cross clusters
   }
 
+  test("ivf postings appended per batch answer identically to a fresh whole-corpus build") {
+    val mk = (base: Float, id: Long) =>
+      (id, Seq.tabulate(64)(d => base + 0.001f * ((id + d) % 7)))
+    val v = vecs(((0L until 8L).map(i => mk(0.5f, i)) ++ (8L until 16L).map(i => mk(-0.5f, i))): _*)
+    val cents = Seq(Seq.fill(64)(500L), Seq.fill(64)(-500L))
+    val store = java.nio.file.Files.createTempDirectory("graft-ivf-spec")
+      .toString + "/postings"
+    try {
+      // two ingest batches under the frozen quantizer, appended
+      Similarity.ivfAssign(v.filter(col("vec_id") % 2 === 0), cents).write.parquet(store)
+      Similarity.ivfAssign(v.filter(col("vec_id") % 2 === 1), cents)
+        .write.mode("append").parquet(store)
+      val q = v.filter(col("vec_id") < 4)
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "rank", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val appended = rows(Similarity.ivfTopKFromPostings(
+        q, spark.read.parquet(store), k = 3, cents, nProbe = 1))
+      val direct = rows(Similarity.ivfTopKWithQuantizedCentroids(
+        q, v, k = 3, cents, nProbe = 1))
+      assert(appended == direct && appended.nonEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(store).getParentFile)
+  }
+
   test("ivf validates centroids and embeddings, failing fast with clear messages") {
     def causeMessages(t: Throwable): String =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
