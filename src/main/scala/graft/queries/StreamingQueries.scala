@@ -548,6 +548,20 @@ object StreamingQueries {
         |        MAX(cents) AS high_cents, MIN(cents) AS low_cents,
         |        MAX(CASE WHEN rn_d = 1 THEN cents END) AS close_cents,
         |        COUNT(*) AS n_ticks, CAST(SUM(cents) AS BIGINT) AS volume_cents
-        | FROM r GROUP BY day ORDER BY day""".stripMargin)
+        | FROM r GROUP BY day ORDER BY day""".stripMargin),
+
+    // ---- NATIVE stream-stream interval join (17th twin) -----------------
+    // the one streaming entry where Spark's own join state store does the
+    // state work: two watermarked branches of the replayed event stream,
+    // joined on user + ±5-minute event-time range. The 10-minute watermark
+    // covers the range, so a batch-1 purchase still pairs with its batch-2
+    // click — the replay meets ts_interval_join's oracle exactly, and the
+    // state each side buffers is bounded by watermark delay × stream rate,
+    // never by stream length (the 100-TB property the entry exists to pin).
+    ("stream_interval_join",
+      (s, d) => replayTwoBatches(s, d, "append")(
+          StreamingIngest.streamingIntervalJoin(_))
+        .orderBy("purchase_id", "click_id"),
+      TemporalQueries.IntervalJoinSql)
   )
 }

@@ -103,6 +103,21 @@ object TemporalQueries {
       | SELECT event_id, user_id, last_touch, first_touch, n_touches
       | FROM j ORDER BY event_id""".stripMargin
 
+  /** The ±5-minute purchase↔click interval-join oracle, shared by
+    * ts_interval_join and its streaming twin (stream_interval_join runs
+    * Spark's NATIVE watermarked stream-stream join and must converge to
+    * the SAME pair set from a two-micro-batch replay).
+    */
+  val IntervalJoinSql: String =
+    """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+      | FROM (SELECT user_id, event_id, epoch_us(ts) AS tsn FROM events
+      |       WHERE event_type = 'purchase') p
+      | JOIN (SELECT user_id, event_id, epoch_us(ts) AS tsn FROM events
+      |       WHERE event_type = 'click') c
+      |   ON p.user_id = c.user_id
+      |  AND c.tsn BETWEEN p.tsn - 300000000 AND p.tsn + 300000000
+      | ORDER BY purchase_id, click_id""".stripMargin
+
   /** The CDC ordered-apply shape (u7_cdc_apply + ScaleProbe): collapse the
     * change stream derived from `ev` (events with `ts_us`) to its final
     * per-key image and apply it to `base` (`key`, `cents`) — delete
@@ -289,14 +304,7 @@ object TemporalQueries {
       (s, d) => purchaseClickIntervalJoin(TemporalOps.loadEvents(s, d))
         .select(col("user_id"), col("purchase_id"), col("click_id"))
         .orderBy("purchase_id", "click_id"),
-      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
-        | FROM (SELECT user_id, event_id, epoch_us(ts) AS tsn FROM events
-        |       WHERE event_type = 'purchase') p
-        | JOIN (SELECT user_id, event_id, epoch_us(ts) AS tsn FROM events
-        |       WHERE event_type = 'click') c
-        |   ON p.user_id = c.user_id
-        |  AND c.tsn BETWEEN p.tsn - 300000000 AND p.tsn + 300000000
-        | ORDER BY purchase_id, click_id""".stripMargin),
+      IntervalJoinSql),
 
     // ---- conversion funnel (signup → first click → first purchase) ------
     // two chained FORWARD as-of joins (earliest right row at-or-after each

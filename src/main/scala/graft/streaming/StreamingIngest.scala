@@ -356,6 +356,50 @@ object StreamingIngest {
       .toDF("event_type", "day", "n", "cusum_micro", "shifted", "emit_seq")
   }
 
+  /** Spark's NATIVE watermarked stream-stream join — the ±`rangeMinutes`
+    * purchase↔click interval join ([[graft.queries.TemporalQueries.IntervalJoinSql]])
+    * as two watermarked branches of the event stream joined on user +
+    * event-time range. Unlike the `flatMapGroupsWithState` twins, ALL
+    * state management is Spark's own stream-stream join state store:
+    * each side buffers only rows young enough to still find partners,
+    * and the time-range condition is what lets the watermark evict —
+    * the core scale property (state is bounded by `delayMinutes` of
+    * stream volume per side, never by stream length).
+    *
+    * Convergence contract: with `delayMinutes` ≥ `rangeMinutes`, a
+    * time-ordered micro-batch replay emits EXACTLY the batch operator's
+    * pair set — a batch-1 purchase still matches a batch-2 click because
+    * the watermark (max batch-1 time − delay) cannot pass any purchase
+    * whose ±range window is still open. Inner join, so no emitted row is
+    * ever provisional; cross-batch pairs simply surface in the later
+    * batch.
+    */
+  def streamingIntervalJoin(events: DataFrame,
+                            rangeMinutes: Int = 5,
+                            delayMinutes: Int = 10): DataFrame = {
+    require(delayMinutes >= rangeMinutes,
+      s"watermark delay ($delayMinutes m) must cover the join range " +
+        s"($rangeMinutes m) or cross-batch pairs are evicted early")
+    val typed = events.select(
+      col("user_id").cast("long").as("user_id"),
+      col("event_id").cast("long").as("event_id"),
+      graft.ops.TemporalOps.asTimestamp(events, "ts").as("ts"),
+      col("event_type").cast("string").as("event_type"))
+    val purchases = typed.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", s"$delayMinutes minutes")
+    val clicks = typed.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", s"$delayMinutes minutes")
+    purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $rangeMinutes MINUTES") &&
+          col("c_ts") <= col("p_ts") + expr(s"INTERVAL $rangeMinutes MINUTES"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
+  }
+
   /** Streaming backward as-of enrichment via `flatMapGroupsWithState`: each
     * `leftType` event is emitted with the latest `rightType` value at or
     * before its timestamp for the same user — the streaming twin of

@@ -540,4 +540,48 @@ class StreamingIngestSpec extends AnyFunSuite {
       } finally q.stop()
     } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
   }
+
+  test("native stream-stream interval join pairs across the batch cut under the watermark") {
+    val base = Files.createTempDirectory("graft-ssjoin")
+    try {
+      // minute-grain fixture, offset a day above the epoch-0 initial
+      // watermark; batch cut at t=100min
+      def mk(rows: Seq[(Long, Long, Long, String)]) = {
+        import spark.implicits._
+        rows.toDF("event_id", "user_id", "mins", "event_type")
+          .select(col("event_id"), col("user_id"),
+            timestamp_micros((lit(86400L) + col("mins") * 60L) * 1000000L).as("ts"),
+            col("event_type"))
+      }
+      val b1 = mk(Seq((1L, 1L, 100L, "purchase"), (2L, 1L, 97L, "click"),
+        (3L, 2L, 99L, "click"), (4L, 3L, 50L, "purchase"), (5L, 3L, 56L, "click")))
+      // batch 2: in-range click AFTER the cut (6), out-of-range control (7),
+      // purchase pairing back to a batch-1 click (8), exact +5min bound (9)
+      val b2 = mk(Seq((6L, 1L, 103L, "click"), (7L, 1L, 110L, "click"),
+        (8L, 2L, 102L, "purchase"), (9L, 1L, 105L, "click")))
+      val in = base.resolve("in"); Files.createDirectories(in)
+      b1.write.parquet(s"$in/b1")
+      val schema = spark.read.parquet(s"$in/b1").schema
+      val stream = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(in.toString)
+      val q = StreamingIngest.streamingIntervalJoin(stream)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("ss_interval").start()
+      try {
+        q.processAllAvailable()
+        val afterB1 = spark.table("ss_interval").count()
+        b2.write.parquet(s"$in/b2")
+        q.processAllAvailable()
+        val got = spark.table("ss_interval")
+          .select("user_id", "purchase_id", "click_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        // P1(u1@100) ↔ C@97 (in-batch), C@103 (cross-batch), C@105 (inclusive
+        // bound); P@102(u2, batch 2) reaches BACK to the batch-1 click@99 —
+        // both directions cross the cut; click@110 and user-3's 6-min gap drop
+        assert(got == Set((1L, 1L, 2L), (1L, 1L, 6L), (1L, 1L, 9L), (2L, 8L, 3L)))
+        assert(afterB1 == 1L,
+          s"batch 1 must emit exactly its one in-batch pair, got $afterB1")
+      } finally q.stop()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
 }
