@@ -137,4 +137,48 @@ object Sketches {
       .select(col("e").getField("id").as("hv"))
       .groupBy()
       .agg(expr(s"top_k(-hv, hv, $k)").as("bk"))
+
+  /** Pairwise SET-ALGEBRA estimates from per-group bottom-k sketches
+    * ALONE (Beyer et al., "On synopses for distinct-value estimation
+    * under multiset operations", SIGMOD'07): for every group pair
+    * `s1 < s2`, estimate |A∪B|, |A∩B| and Jaccard without ever touching
+    * the raw data again.
+    *
+    *  - union sketch `u` = bottom-k of the two id arrays' union — a
+    *    valid KMV of A∪B because each input sketch is either filled
+    *    (the k global minima of its set) or the complete set;
+    *  - `rho` = members of `u` present in BOTH input sketches — each is
+    *    a uniform sample hit of A∩B within the union's bottom-k, so
+    *    |A∩B| ≈ rho·est(|A∪B|)/k and J ≈ rho/k;
+    *  - when `u` never filled, both inputs were complete sets and every
+    *    output column is EXACT (size, intersection count, rho/|u|).
+    *
+    * All arithmetic is exact long `div` on 48-bit hashes, so estimates
+    * hash-match a rank-by-rank oracle replay. The pairwise join runs on
+    * k-sized arrays — |groups|² sketch rows, never data rows; the scale
+    * story is that sketches are built once per partition/day/source and
+    * every cross-source overlap question is answered from this
+    * broadcast-sized table.
+    */
+  def kmvSetOps(sketches: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"kmvSetOps: k must be >= 2: $k")
+    val num = (k - 1L) << HashBits
+    val a = sketches.select(col(groupCol).as("s1"),
+      expr("transform(bk, e -> e.id)").as("ids1"))
+    val b = sketches.select(col(groupCol).as("s2"),
+      expr("transform(bk, e -> e.id)").as("ids2"))
+    a.join(broadcast(b), col("s1") < col("s2"))
+      .withColumn("u", expr(s"slice(array_sort(array_union(ids1, ids2)), 1, $k)"))
+      .withColumn("nu", size(col("u")))
+      .withColumn("rho",
+        size(expr("array_intersect(array_intersect(u, ids1), ids2)")).cast("long"))
+      .withColumn("union_est", expr(
+        s"CASE WHEN nu < $k THEN CAST(nu AS BIGINT) ELSE $num div element_at(u, $k) END"))
+      .withColumn("inter_est", expr(
+        s"CASE WHEN nu < $k THEN rho ELSE rho * union_est div $k END"))
+      .withColumn("jaccard_micro", expr(
+        s"CASE WHEN nu < $k THEN rho * 1000000 div nu ELSE rho * 1000000 div $k END"))
+      .select(col("s1"), col("s2"), col("rho"), col("union_est"),
+        col("inter_est"), col("jaccard_micro"))
+  }
 }

@@ -540,6 +540,61 @@ object GraphQueries {
         | FROM (SELECT * FROM flags UNION ALL SELECT * FROM allr)
         | ORDER BY grp""".stripMargin),
 
+    // ---- KMV set algebra: cross-source overlap from sketches alone ------
+    // the question a9/a11 can't answer: how much do two sources' bigram
+    // vocabularies OVERLAP — |A∪B|, |A∩B|, Jaccard for all 190 source
+    // pairs — computed from the 20 per-source bottom-64 sketches alone
+    // (k-sized arrays; the raw corpus is scanned ONCE to build them).
+    // Every estimate is exact long arithmetic on 48-bit md5 hashes, so
+    // the oracle replays union-rank, rho and all three estimators and
+    // the driver hash-checks the ESTIMATES, not just a tolerance guard.
+    ("a12_kmv_set_ops",
+      (s, d) => {
+        val k = 64
+        val grams = t(s, d, "documents").select(col("source"),
+          graft.functions.WordShingles.wordShingles(col("text"), 2).as("gram"))
+        val sk = graft.ops.Sketches.kmvSketch(grams, "gram", Seq("source"), k)
+        graft.ops.Sketches.kmvSetOps(sk, "source", k).orderBy("s1", "s2")
+      },
+      """WITH w AS (SELECT source, string_split(text, ' ') AS words FROM documents),
+        | sh AS (SELECT DISTINCT source, array_to_string(words[i:i+1], ' ') AS g
+        |        FROM w, LATERAL (SELECT unnest(generate_series(1,
+        |               greatest(len(w.words)-1, 0))) AS i) s),
+        | h AS (SELECT DISTINCT source,
+        |              CAST('0x' || substr(md5(g), 1, 12) AS BIGINT) + 1 AS hv
+        |       FROM sh),
+        | rk AS (SELECT source, hv,
+        |               ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rn
+        |        FROM h),
+        | bk AS (SELECT source, hv FROM rk WHERE rn <= 64),
+        | srcs AS (SELECT DISTINCT source FROM h),
+        | pairs AS (SELECT a.source AS s1, b.source AS s2
+        |           FROM srcs a JOIN srcs b ON a.source < b.source),
+        | ub AS (SELECT DISTINCT p.s1, p.s2, k.hv
+        |        FROM pairs p JOIN bk k ON k.source = p.s1 OR k.source = p.s2),
+        | ur AS (SELECT s1, s2, hv,
+        |               ROW_NUMBER() OVER (PARTITION BY s1, s2 ORDER BY hv) AS rn
+        |        FROM ub),
+        | uk AS (SELECT s1, s2, hv, rn FROM ur WHERE rn <= 64),
+        | st AS (SELECT s1, s2, COUNT(*) AS nu,
+        |               MAX(CASE WHEN rn = 64 THEN hv END) AS hk
+        |        FROM uk GROUP BY 1, 2),
+        | rh AS (SELECT u.s1, u.s2, COUNT(*) AS rho
+        |        FROM uk u JOIN bk a ON a.source = u.s1 AND a.hv = u.hv
+        |                  JOIN bk b ON b.source = u.s2 AND b.hv = u.hv
+        |        GROUP BY 1, 2),
+        | f AS (SELECT st.s1, st.s2, coalesce(rho, 0) AS rho, nu, hk,
+        |              CASE WHEN nu < 64 THEN nu
+        |                   ELSE 17732923532771328 // hk END AS union_est
+        |       FROM st LEFT JOIN rh ON rh.s1 = st.s1 AND rh.s2 = st.s2)
+        | SELECT s1, s2, CAST(rho AS BIGINT) AS rho,
+        |        CAST(union_est AS BIGINT) AS union_est,
+        |        CAST(CASE WHEN nu < 64 THEN rho
+        |             ELSE rho * union_est // 64 END AS BIGINT) AS inter_est,
+        |        CAST(CASE WHEN nu < 64 THEN rho * 1000000 // nu
+        |             ELSE rho * 1000000 // 64 END AS BIGINT) AS jaccard_micro
+        | FROM f ORDER BY s1, s2""".stripMargin),
+
     // ---- strongly connected components (directed) -----------------------
     // the structure undirected CC cannot see: 3-cycles ("rings") bridged
     // pairwise by ONE-WAY edges — each ring is its own SCC and the bridge

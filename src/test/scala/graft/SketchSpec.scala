@@ -96,4 +96,53 @@ class SketchSpec extends AnyFunSuite {
     }
     assert(ests.distinct.size == 1, s"partitioning changed the estimate: $ests")
   }
+
+  /** The engine's h48: first 12 md5 hex chars + 1 — driver-side twin
+    * for independent set-ops derivation.
+    */
+  private def refH48(x: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString,
+      16) + 1L
+
+  test("KMV set ops match an independent rank-by-rank derivation (filled branch)") {
+    graft.functions.GraftExtensions.register(spark)
+    val k = 16
+    // overlapping integer sets, both well above k distinct
+    val a = (0 until 120).map(i => ("A", i))
+    val b = (60 until 200).map(i => ("B", i))
+    val rows = (a ++ b).toDF("grp", "id").repartition(4)
+    val got = Sketches.kmvSetOps(
+        Sketches.kmvSketch(rows, "id", Seq("grp"), k), "grp", k)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.length == 1)
+    // independent reference: sort hashes, take bottom-k, replay algebra
+    val hA = a.map(t => refH48(t._2.toString)).distinct.sorted
+    val hB = b.map(t => refH48(t._2.toString)).distinct.sorted
+    val bkA = hA.take(k).toSet
+    val bkB = hB.take(k).toSet
+    val u = (bkA ++ bkB).toSeq.sorted.take(k)
+    val rho = u.count(h => bkA(h) && bkB(h)).toLong
+    val unionEst = ((k - 1L) << 48) / u(k - 1)
+    val expect = ("A", "B", rho, unionEst, rho * unionEst / k,
+      rho * 1000000L / k)
+    assert(got.head == expect, s"got ${got.head}, expected $expect")
+    // and the estimators are in a sane band around the truth
+    assert(unionEst > 50 && unionEst < 800, s"union estimate far off: $unionEst")
+  }
+
+  test("KMV set ops are exact when the union sketch never fills") {
+    graft.functions.GraftExtensions.register(spark)
+    val k = 64
+    val rows = ((0 until 10).map(i => ("A", i)) ++ (6 until 15).map(i => ("B", i)))
+      .toDF("grp", "id")
+    val got = Sketches.kmvSetOps(
+        Sketches.kmvSketch(rows, "id", Seq("grp"), k), "grp", k)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // |A|=10, |B|=9, |A∩B|=4 (6..9), |A∪B|=15 — all exact, J = 4/15
+    assert(got == Seq(("A", "B", 4L, 15L, 4L, 4L * 1000000L / 15L)))
+  }
 }
