@@ -739,6 +739,49 @@ object GraphQueries {
         | WHERE pr.n_common * 100 >= 20 * (da.deg + db.deg - pr.n_common)
         | ORDER BY a, b""".stripMargin),
 
+    // ---- link prediction: resource-allocation index ---------------------
+    // the candidate-GENERATOR twin of g_node_jaccard: same successor graph
+    // + super-hub, same wedge-pivot core and degree-50 quadratic guard,
+    // but (1) each pivot contributes 1e6 div deg(pivot) — rare shared
+    // neighbors dominate, hubs wash out (the integerizable Adamic-Adar)
+    // — and (2) an anti-join against the edge set keeps only pairs the
+    // graph does NOT have: the output is the ranked list of predicted
+    // links. Exact integer scores hash-match the oracle replay.
+    ("g_link_predict",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val k = col("c_custkey")
+        val edges = (1 to 3).map(delta =>
+            c.select(k.as("src"), (k + delta).as("dst")))
+          .reduce(_ union _)
+          .unionByName(c.filter(k % 10 === 0)
+            .select(k.as("src"), lit(0L).as("dst")))
+        graft.ops.GraphTraversal.resourceAllocation(edges, maxPivotDegree = 50L)
+          .orderBy("a", "b")
+      },
+      """WITH raw AS (
+        |   SELECT c_custkey AS s, c_custkey + d AS t FROM customer,
+        |     LATERAL (SELECT unnest(generate_series(1, 3)) AS d) g
+        |   UNION ALL
+        |   SELECT c_custkey, 0 FROM customer WHERE c_custkey % 10 = 0),
+        | und AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+        |         FROM raw WHERE s <> t),
+        | nb AS (SELECT a AS v, b AS w FROM und UNION ALL SELECT b, a FROM und),
+        | deg AS (SELECT v, COUNT(*) AS deg FROM nb GROUP BY v),
+        | pw AS (SELECT v AS w, 1000000 // deg AS w_micro
+        |        FROM deg WHERE deg <= 50),
+        | bp AS (SELECT nb.v, nb.w, pw.w_micro FROM nb JOIN pw ON pw.w = nb.w),
+        | pr AS (SELECT n1.v AS v1, n2.v AS v2, COUNT(*) AS n_common,
+        |               SUM(n1.w_micro) AS ra_micro
+        |        FROM bp n1 JOIN bp n2 ON n1.w = n2.w AND n1.v < n2.v
+        |        GROUP BY 1, 2)
+        | SELECT v1 AS a, v2 AS b, CAST(n_common AS BIGINT) AS n_common,
+        |        CAST(ra_micro AS BIGINT) AS ra_micro
+        | FROM pr
+        | WHERE NOT EXISTS (SELECT 1 FROM und
+        |                   WHERE und.a = pr.v1 AND und.b = pr.v2)
+        | ORDER BY a, b""".stripMargin),
+
     // ---- HITS hubs & authorities (2 unrolled integer rounds) ------------
     // Kleinberg's power iteration over the successor graph, UNNORMALIZED so
     // every score is an exact order-independent integer sum (the

@@ -364,6 +364,29 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("resourceAllocation: path graph — hand-computed scores, adjacent pairs excluded") {
+    // path 1-2-3-4-5: every 2-hop pair scores 1e6/deg(middle) = 500000;
+    // pairs without a common neighbor are absent
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = graft.ops.GraphTraversal.resourceAllocation(edges, maxPivotDegree = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((1L, 3L, 1L, 500000L), (2L, 4L, 1L, 500000L),
+      (3L, 5L, 1L, 500000L)))
+    // triangle: the only wedge pair (1,3) is itself an edge — predicted-link
+    // anti-join leaves nothing
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(graft.ops.GraphTraversal.resourceAllocation(tri, maxPivotDegree = 100L)
+      .count() == 0)
+    // hub guard: the degree-10 star pivot is refused entirely under the cap
+    val star = (1 to 10).map(i => (0L, i.toLong)).toDF("src", "dst")
+    assert(graft.ops.GraphTraversal.resourceAllocation(star, maxPivotDegree = 5L)
+      .count() == 0)
+    // and with the cap open, leaves pair through the center at 1e6/10
+    val open = graft.ops.GraphTraversal.resourceAllocation(star, maxPivotDegree = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(open.length == 45 && open.forall(t => t._3 == 1L && t._4 == 100000L))
+  }
+
   test("labelPropagation: two triangles + bridge — hand-replayed sync rounds") {
     import spark.implicits._
     // triangle {1,2,3}, triangle {10,11,12}, bridge 3-10; DIRECTED input —
