@@ -490,7 +490,7 @@ object ScaleProbe {
     // input volume
     val r11Probes = Seq("skyline", "hitsRounds", "tableChecksum", "pprRounds",
       "compactionPlan", "checksumHash", "lpaRounds", "sccPeel", "topkPartial",
-      "countMin", "kmvSketch")
+      "countMin", "kmvSketch", "kmvSetOps", "resourceAlloc")
     if (r11Probes.exists(enabled)) {
       val orders = spark.read.parquet(s"$sfDir/orders.parquet")
         .repartition(spark.sparkContext.defaultParallelism)
@@ -603,6 +603,29 @@ object ScaleProbe {
         graft.ops.Sketches.kmvMerge(perGrp, 64)
           .select(graft.ops.Sketches.kmvEstimate("bk", 64).as("est")).count()
       }
+      // KMV set algebra at mult x GROUPS (fresh grp per copy): the sketch
+      // build is the only data-scale pass (linear); kmvSetOps itself runs
+      // on |groups| k-sized arrays, so the (7·mult choose 2) pair table
+      // grows ~mult² while staying sketch-sized — the probe proves the
+      // pair stage's cost is group-bounded, not data-bounded
+      timed("kmvSetOps (groups x mult)") {
+        val rows = (0 until mult).map(k =>
+          liProbe.select(concat(col("l_returnflag"), lit(s"_$k")).as("grp"),
+            (col("l_orderkey") + lit(k.toLong * orderStride)).as("l_orderkey")))
+          .reduce(_ union _)
+        val perGrp = graft.ops.Sketches.kmvSketch(rows, "l_orderkey", Seq("grp"), 64)
+        graft.ops.Sketches.kmvSetOps(perGrp, "grp", 64).count()
+      }
+      // link prediction over the constant-degree successor graph at mult x
+      // vertices: wedge fan-out per pivot is constant, so pairs and
+      // runtime must both track ~linearly; the anti-join is edge-keyed
+      timed("resourceAlloc (succ graph x mult)") {
+        val vs = (0 until mult).map(k => orders.select(
+          (col("o_orderkey") + lit(k.toLong * orderStride)).as("v"))).reduce(_ union _)
+        val e = (1 to 3).map(dl => vs.select(col("v").as("src"),
+          (col("v") + dl).as("dst"))).reduce(_ union _)
+        graft.ops.GraphTraversal.resourceAllocation(e, maxPivotDegree = 50L).count()
+      }
       // the g_scc ring/block family at mult x rings: outer peel rounds are
       // a property of the block chain (2), inner propagation rounds of the
       // block diameter (~8) — both CONSTANT in ring count, so runtime must
@@ -667,7 +690,7 @@ object ScaleProbe {
 
     val eventProbes = Seq("asofJoin", "sessionize", "asofHotKey",
       "intervalJoin", "intervalHotKey", "pathNgrams", "keySkewReport",
-      "gapFill", "attribution", "cdcApply")
+      "gapFill", "attribution", "cdcApply", "streamIntervalJoin")
     if (eventProbes.exists(enabled)) {
     val baseE = graft.ops.TemporalOps.loadEvents(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism)
@@ -688,7 +711,8 @@ object ScaleProbe {
     // each scaled union is cached only if one of ITS probes is selected
     // (the line-42 gating principle, per-input)
     if (Seq("asofJoin", "sessionize", "intervalJoin", "pathNgrams",
-        "keySkewReport", "gapFill", "attribution", "cdcApply").exists(enabled)) {
+        "keySkewReport", "gapFill", "attribution", "cdcApply",
+        "streamIntervalJoin").exists(enabled)) {
       val wide = copies(shareUsers = false).cache()
       println(s"events (fresh users): ${wide.count()}")
       timed("pathNgrams (top-20 trigrams)") {
@@ -733,6 +757,38 @@ object ScaleProbe {
       // output pairs and runtime should both grow ~linearly
       timed("intervalJoin (mult x users)") {
         graft.queries.TemporalQueries.purchaseClickIntervalJoin(wide).count()
+      }
+      // the NATIVE stream-stream twin over the same workload: two time-split
+      // micro-batches through Spark's join state store. The number that
+      // matters is the printed state-row count — bounded by watermark
+      // delay x stream rate (rows young enough to still find partners at
+      // the final watermark), NOT by total stream volume; wall time should
+      // track the batch interval join plus replay overhead
+      timed("streamIntervalJoin (mult x users)") {
+        val dir = java.nio.file.Files.createTempDirectory("graft-ssj-probe")
+        try {
+          val ev = wide.select(col("user_id"), col("event_id"),
+            timestamp_micros(col("ts_us")).as("ts"), col("event_type"))
+          val cutUs = ev.select(unix_micros(col("ts")).as("us"))
+            .stat.approxQuantile("us", Array(0.5), 0.0)(0).toLong
+          val in = dir.resolve("in"); java.nio.file.Files.createDirectories(in)
+          ev.filter(unix_micros(col("ts")) <= cutUs).write.parquet(s"$in/b1")
+          val schema = spark.read.parquet(s"$in/b1").schema
+          val st = spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true").parquet(in.toString)
+          val q = graft.streaming.StreamingIngest.streamingIntervalJoin(st)
+            .writeStream.outputMode("append").format("memory")
+            .queryName("ssj_probe").start()
+          try {
+            q.processAllAvailable()
+            ev.filter(unix_micros(col("ts")) > cutUs).write.parquet(s"$in/b2")
+            q.processAllAvailable()
+            val state = Option(q.lastProgress).toSeq
+              .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+            println(s"  streamIntervalJoin final state rows: $state")
+            spark.table("ssj_probe").count()
+          } finally q.stop()
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
       }
       wide.unpersist()
     }
