@@ -77,7 +77,15 @@ object PlanDump {
     // count-min probe: the depth·width cell grid must stay the broadcast
     // side (a sketch lookup that shuffles the probe table is wrong)
     "a10_countmin_merge" -> (Seq("BroadcastHashJoin"),
-      Seq("SortMergeJoin", "CartesianProduct")))
+      Seq("SortMergeJoin", "CartesianProduct")),
+    // KMV set ops: the pairwise s1<s2 join runs on |groups| k-sized
+    // sketch rows — the hinted broadcast must hold (a shuffle of sketch
+    // arrays would mean the planner thinks this is data-sized)
+    "a12_kmv_set_ops" -> (Seq("BroadcastNestedLoopJoin"),
+      Seq("SortMergeJoin", "CartesianProduct")),
+    // link prediction: wedge self-join + degree joins + the predicted-link
+    // anti-join — all equi-keyed, never Cartesian
+    "g_link_predict" -> (Seq("Join"), Seq("CartesianProduct")))
 
   private def unpartitionedWindows(df: org.apache.spark.sql.DataFrame): Int =
     df.queryExecution.optimizedPlan.collect {
