@@ -974,6 +974,112 @@ object ScaleProbe {
         }
       }
     }
+    if (enabled("aqeSkew")) {
+      // AQE skew-join vs the same join with the handler off: mult× lineitem
+      // with a third of the rows remapped onto ONE hot key — the single-
+      // reducer straggler every static plan ships at 100 TB. Broadcast is
+      // disabled (the dim is "too big" in the scenario under test) so the
+      // join MUST sort-merge, and the skew thresholds are scaled to the
+      // probe's data size (the mechanism is threshold-relative; production
+      // keeps the 256 MB default). The ON run must both show skew=true
+      // splits in the executed plan and beat the OFF wall-clock; salting
+      // (j7/SkewOps) remains the static fallback when AQE can't see the
+      // skew (aggregation skew, non-shuffle-join shapes).
+      val baseL = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val lStride = baseL.agg(max(col("l_orderkey"))).head.getLong(0) + 1L
+      // inflation floored at 10: below ~6 M rows the hot partition's
+      // COMPRESSED shuffle bytes sit under any sane threshold and the
+      // split (correctly) never triggers — the probe demonstrates the
+      // mechanism at the size where skew actually hurts
+      val skewMult = math.max(mult, 10)
+      val fact = (0 until skewMult).map(k =>
+          baseL.withColumn("l_orderkey", col("l_orderkey") + lit(k.toLong * lStride)))
+        .reduce(_ union _)
+        .select(when(col("l_orderkey") % 3 < 2, 0L)
+          .otherwise(col("l_orderkey") % 100000L).as("k"), col("l_quantity"))
+        .cache()
+      println(s"skew fact rows: ${fact.count()} (x$skewMult, 2/3 on key 0)")
+      val dim = spark.range(100000L).select(col("id").as("k"), (col("id") * 7L).as("dval"))
+      def joined = fact.join(dim, Seq("k"))
+        .agg(sum(col("l_quantity") * col("dval")).as("s"), count(lit(1)).as("n"))
+      def withConfs(skewOn: Boolean)(body: => Unit): Unit = {
+        val saved = Seq(
+          "spark.sql.adaptive.skewJoin.enabled",
+          "spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          "spark.sql.adaptive.coalescePartitions.enabled")
+          .map(k => k -> util.Try(spark.conf.get(k)).toOption.flatMap(Option(_)))
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        try body
+        finally saved.foreach { case (k, v) =>
+          v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      }
+      withConfs(skewOn = false) {
+        timed("aqeSkewJoin handler OFF") { joined.collect()(0).getLong(1) }
+      }
+      withConfs(skewOn = true) {
+        timed("aqeSkewJoin handler ON") {
+          val df = joined
+          // collect() (not head, which plans a separate limit query) so the
+          // adaptive plan inspected below is the one that actually ran
+          val n = df.collect()(0).getLong(1)
+          val splits = df.queryExecution.executedPlan.toString
+            .linesIterator.count(_.contains("skew=true"))
+          println(s"  skew=true operators in final plan: $splits")
+          require(splits > 0, "AQE did not split the skewed partition — " +
+            "thresholds no longer match the probe size")
+          n
+        }
+      }
+      fact.unpersist()
+    }
+    if (Seq("simhashNearDupPairs", "hyperBall").exists(enabled)) {
+      if (enabled("simhashNearDupPairs")) {
+        // half-exact-copy corpus (the lshCandidates topology): every copy
+        // pair agrees on all four bands, so candidate volume tracks the
+        // duplicate-cluster mass; the maxBucket gate bounds any one
+        // (band, value) bucket and the Hamming verify is map-side
+        val baseD = spark.read.parquet(s"$sfDir/documents.parquet")
+          .repartition(spark.sparkContext.defaultParallelism)
+        val dStride = baseD.agg(max(col("doc_id"))).head.getLong(0) + 1L
+        val docs = (0 until mult).map { k =>
+          val shifted = baseD.withColumn("doc_id", col("doc_id") + lit(k.toLong * dStride))
+          if (k % 2 == 1) shifted.withColumn("text", concat(col("text"), lit(s" copyv$k")))
+          else shifted
+        }.reduce(_ union _)
+        timed("simhashNearDupPairs (maxBucket=64)") {
+          graft.llm.Dedup.simhashNearDupPairs(docs, bits = 32, nBands = 4,
+            maxHamming = 2, maxBucket = 64).count()
+        }
+      }
+      if (enabled("hyperBall")) {
+        // successor graph, fresh keys x mult: per-round join is edge-scale,
+        // per-vertex state is FIXED-size registers — the whole point vs the
+        // exact pair set (which grows with ball volume, not vertex count)
+        val baseC = spark.read.parquet(s"$sfDir/customer.parquet")
+        val cStride = baseC.agg(max(col("c_custkey"))).head.getLong(0) + 1L
+        val cust = (0 until mult).map(k =>
+            baseC.withColumn("c_custkey", col("c_custkey") + lit(k.toLong * cStride)))
+          .reduce(_ union _)
+        val kc = col("c_custkey")
+        val edges = (1 to 3).map(dlt =>
+          cust.select(kc.as("src"), (kc + dlt).as("dst"))).reduce(_ union _)
+        timed("hyperBall t=4 (sketch state)") {
+          graft.ops.GraphTraversal.hyperBall(edges, maxT = 4, lgK = 12).count()
+        }
+        timed("hyperBall exact-pairs tier t=4") {
+          graft.ops.GraphTraversal.neighborhoodFunction(edges, maxT = 4).count()
+        }
+      }
+    }
     spark.stop()
   }
 }

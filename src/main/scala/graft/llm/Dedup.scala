@@ -953,4 +953,49 @@ object Dedup {
         (0 until bits).map(b => when(col(s"s$b") > 0, math.pow(2, b).toLong).otherwise(0L))
           .reduce(_ + _).as("simhash"))
   }
+
+  /** LSH-banded SimHash near-duplicate pairs — the text twin of
+    * [[graft.llm.Multimodal.aHashNearDupPairs]] and the pair-GENERATOR the
+    * [[simhash]] signature was built for: two documents whose simhashes
+    * differ in at most `maxHamming` bits are near-duplicate candidates
+    * (boilerplate edits, word swaps), and banding finds them WITHOUT the
+    * quadratic all-pairs scan — a pair within Hamming distance d < nBands
+    * must agree exactly on at least one of the nBands bit-bands
+    * (pigeonhole), so candidates = equi-join on (band, value).
+    * Completeness is guaranteed for maxHamming < nBands, never sampled.
+    *
+    * Scale shape (100 TB): the signature is ONE map-combinable token
+    * groupBy ([[simhash]]); banding explodes ×nBands; candidates come from
+    * a bucket equi-join. Buckets above `maxBucket` are DROPPED WHOLE (the
+    * maxDF/maxBucket discipline — a degenerate band value, e.g. the near-
+    * zero band of very short documents, fans out quadratically and carries
+    * no selectivity). The exact full-hash Hamming verify on every candidate
+    * means banding never inflates the result.
+    */
+  def simhashNearDupPairs(docs: DataFrame, bits: Int = 32, nBands: Int = 4,
+                          maxHamming: Int = 2, maxBucket: Int = 64,
+                          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming < nBands,
+      s"completeness needs maxHamming < nBands: $maxHamming >= $nBands")
+    require(bits % nBands == 0, s"bits must split into equal bands: $bits / $nBands")
+    val bandBits = bits / nBands
+    val hashed = simhash(docs, bits, textCol, idCol)
+    val bands = hashed.select(col("id"), col("simhash"), explode(array(
+        (0 until nBands).map(b => struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1)).as("v"))): _*)).as("bv"))
+      .select(col("id"), col("simhash"), col("bv.band"), col("bv.v"))
+    val ok = bands.groupBy("band", "v").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket).select("band", "v")
+    val gated = bands.join(ok, Seq("band", "v"))
+    val pairs = gated.select(col("band"), col("v"),
+        col("id").as("id_a"), col("simhash").as("ha"))
+      .join(gated.select(col("band"), col("v"),
+        col("id").as("id_b"), col("simhash").as("hb")), Seq("band", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "ha", "hb").distinct()
+    pairs.select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

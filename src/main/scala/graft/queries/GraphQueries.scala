@@ -45,6 +45,61 @@ object GraphQueries {
       |        cms_est >= n_exact AS over_ok
       | FROM looked ORDER BY key""".stripMargin
 
+  /** The a11 KMV oracle — shared with the streaming twin (bottom-k merge
+    * is exact over a total order, so the converged streaming heaps must
+    * yield the same estimates the direct whole-corpus build yields).
+    */
+  val KmvDistinctSql: String =
+    """WITH h AS (SELECT DISTINCT l_returnflag AS grp,
+      |             CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 12) AS BIGINT) + 1 AS hv
+      |           FROM lineitem),
+      | rk AS (SELECT grp, hv, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY hv) AS rn FROM h),
+      | pg AS (SELECT grp, COUNT(*) AS n_exact,
+      |               MAX(CASE WHEN rn = 64 THEN hv END) AS hk
+      |        FROM rk GROUP BY grp),
+      | flags AS (SELECT grp, n_exact,
+      |             CASE WHEN n_exact < 64 THEN n_exact
+      |                  ELSE 17732923532771328 // hk END AS kmv_est
+      |           FROM pg),
+      | grk AS (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
+      |         FROM (SELECT DISTINCT hv FROM h)),
+      | ga AS (SELECT COUNT(*) AS n_exact,
+      |               MAX(CASE WHEN rn = 64 THEN hv END) AS hk FROM grk),
+      | allr AS (SELECT '__ALL__' AS grp, n_exact,
+      |            CASE WHEN n_exact < 64 THEN n_exact
+      |                 ELSE 17732923532771328 // hk END AS kmv_est
+      |          FROM ga)
+      | SELECT grp, CAST(n_exact AS BIGINT) AS n_exact,
+      |        CAST(kmv_est AS BIGINT) AS kmv_est
+      | FROM (SELECT * FROM flags UNION ALL SELECT * FROM allr)
+      | ORDER BY grp""".stripMargin
+
+  /** The a11 query body — per-flag KMV sketches + the twice-computed
+    * __ALL__ row with the merge-exactness guard.
+    */
+  def a11KmvQuery(s: SparkSession, d: String): DataFrame = {
+    val k = 64
+    val li = t(s, d, "lineitem")
+    val perGrp = graft.ops.Sketches.kmvSketch(
+      li.select(col("l_returnflag").as("grp"), col("l_orderkey")),
+      "l_orderkey", Seq("grp"), k)
+    val flags = perGrp.select(col("grp"), col("n_exact"),
+      graft.ops.Sketches.kmvEstimate("bk", k).as("kmv_est"))
+    val direct = graft.ops.Sketches.kmvSketch(
+      li.select(col("l_orderkey")), "l_orderkey", Nil, k)
+      .select(lit("__ALL__").as("grp"), col("n_exact"),
+        graft.ops.Sketches.kmvEstimate("bk", k).as("kmv_est"))
+    val mergedEst = graft.ops.Sketches.kmvMerge(perGrp, k)
+      .select(graft.ops.Sketches.kmvEstimate("bk", k).as("m_est"))
+    val all = direct.crossJoin(broadcast(mergedEst))
+      .select(col("grp"), col("n_exact"),
+        graft.ops.Bounded.guard(col("kmv_est"),
+          col("kmv_est") === col("m_est"),
+          "a11_kmv_distinct: merged sketch estimate diverged from direct")
+          .as("kmv_est"))
+    flags.unionByName(all).orderBy("grp")
+  }
+
   /** The g_fof_recommend candidate core (2-hop expansion from every
     * `sampleMod`-th node, direct edges anti-joined, common-neighbor
     * support counted) — shared with ScaleProbe so the probe measures the
@@ -493,52 +548,7 @@ object GraphQueries {
     // sketches (explode k-sized arrays, re-take bottom-k) — and the
     // in-entry guard proves merge exactness; the oracle replays the
     // direct construction rank-by-rank.
-    ("a11_kmv_distinct",
-      (s, d) => {
-        val k = 64
-        val li = t(s, d, "lineitem")
-        val perGrp = graft.ops.Sketches.kmvSketch(
-          li.select(col("l_returnflag").as("grp"), col("l_orderkey")),
-          "l_orderkey", Seq("grp"), k)
-        val flags = perGrp.select(col("grp"), col("n_exact"),
-          graft.ops.Sketches.kmvEstimate("bk", k).as("kmv_est"))
-        val direct = graft.ops.Sketches.kmvSketch(
-          li.select(col("l_orderkey")), "l_orderkey", Nil, k)
-          .select(lit("__ALL__").as("grp"), col("n_exact"),
-            graft.ops.Sketches.kmvEstimate("bk", k).as("kmv_est"))
-        val mergedEst = graft.ops.Sketches.kmvMerge(perGrp, k)
-          .select(graft.ops.Sketches.kmvEstimate("bk", k).as("m_est"))
-        val all = direct.crossJoin(broadcast(mergedEst))
-          .select(col("grp"), col("n_exact"),
-            graft.ops.Bounded.guard(col("kmv_est"),
-              col("kmv_est") === col("m_est"),
-              "a11_kmv_distinct: merged sketch estimate diverged from direct")
-              .as("kmv_est"))
-        flags.unionByName(all).orderBy("grp")
-      },
-      """WITH h AS (SELECT DISTINCT l_returnflag AS grp,
-        |             CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 12) AS BIGINT) + 1 AS hv
-        |           FROM lineitem),
-        | rk AS (SELECT grp, hv, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY hv) AS rn FROM h),
-        | pg AS (SELECT grp, COUNT(*) AS n_exact,
-        |               MAX(CASE WHEN rn = 64 THEN hv END) AS hk
-        |        FROM rk GROUP BY grp),
-        | flags AS (SELECT grp, n_exact,
-        |             CASE WHEN n_exact < 64 THEN n_exact
-        |                  ELSE 17732923532771328 // hk END AS kmv_est
-        |           FROM pg),
-        | grk AS (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
-        |         FROM (SELECT DISTINCT hv FROM h)),
-        | ga AS (SELECT COUNT(*) AS n_exact,
-        |               MAX(CASE WHEN rn = 64 THEN hv END) AS hk FROM grk),
-        | allr AS (SELECT '__ALL__' AS grp, n_exact,
-        |            CASE WHEN n_exact < 64 THEN n_exact
-        |                 ELSE 17732923532771328 // hk END AS kmv_est
-        |          FROM ga)
-        | SELECT grp, CAST(n_exact AS BIGINT) AS n_exact,
-        |        CAST(kmv_est AS BIGINT) AS kmv_est
-        | FROM (SELECT * FROM flags UNION ALL SELECT * FROM allr)
-        | ORDER BY grp""".stripMargin),
+    ("a11_kmv_distinct", a11KmvQuery, KmvDistinctSql),
 
     // ---- KMV set algebra: cross-source overlap from sketches alone ------
     // the question a9/a11 can't answer: how much do two sources' bigram
@@ -781,6 +791,95 @@ object GraphQueries {
         | WHERE NOT EXISTS (SELECT 1 FROM und
         |                   WHERE und.a = pr.v1 AND und.b = pr.v2)
         | ORDER BY a, b""".stripMargin),
+
+    // ---- neighborhood function (distance distribution) ------------------
+    // N(t) = ordered pairs within ≤ t directed hops over the successor
+    // graph — the quantity behind effective-diameter reports. The EXACT
+    // tier (frontier-disciplined pair expansion) is oracle-checked against
+    // a recursive-CTE walk; the 100-TB tier is HyperBall (per-vertex HLL
+    // registers, hll_union_agg per round — state is fixed-size however
+    // large the balls grow), run alongside and guarded within 5% of exact
+    // per t. The a9 pattern: exact values hash-match, the estimate fails
+    // loudly instead of silently wrong.
+    ("g_neighborhood_func",
+      (s, d) => {
+        val k = col("c_custkey")
+        val edges = (1 to 3).map(delta =>
+            t(s, d, "customer").select(k.as("src"), (k + delta).as("dst")))
+          .reduce(_ union _)
+        val exact = graft.ops.GraphTraversal.neighborhoodFunction(edges, maxT = 4)
+        val est = graft.ops.GraphTraversal.hyperBall(edges, maxT = 4, lgK = 12)
+        exact.join(est, Seq("t"))
+          .select(col("t"),
+            graft.ops.Bounded.guard(col("n_pairs"),
+              abs(col("n_est") - col("n_pairs")) <= col("n_pairs") * 0.05,
+              "g_neighborhood_func: HyperBall estimate drifted beyond 5% of exact")
+              .as("n_pairs"),
+            lit(true).as("est_within_5pct"))
+          .orderBy("t")
+      },
+      """WITH RECURSIVE ck AS (SELECT DISTINCT c_custkey AS k FROM customer),
+        | e AS (SELECT k AS src, k + d AS dst FROM ck,
+        |        LATERAL (SELECT unnest(generate_series(1, 3)) AS d) g),
+        | v AS (SELECT DISTINCT u FROM
+        |        (SELECT src AS u FROM e UNION ALL SELECT dst FROM e)),
+        | walk AS (SELECT u, u AS w, 0 AS t FROM v
+        |          UNION
+        |          SELECT wk.u, e.dst AS w, wk.t + 1
+        |          FROM walk wk JOIN e ON e.src = wk.w WHERE wk.t < 4),
+        | md AS (SELECT u, w, MIN(t) AS t FROM walk GROUP BY 1, 2)
+        | SELECT CAST(t AS INTEGER) AS t,
+        |        CAST(SUM(COUNT(*)) OVER (ORDER BY t) AS BIGINT) AS n_pairs,
+        |        TRUE AS est_within_5pct
+        | FROM md GROUP BY t ORDER BY t""".stripMargin),
+
+    // ---- modularity scoring of a community assignment --------------------
+    // the quality metric that judges LPA/CC output: Q = Σ_c [m_c/m −
+    // (D_c/2m)²] over the undirected successor graph with block
+    // communities (key div 10 — near-successor edges are mostly
+    // intra-block, so Q is genuinely positive). Everything stays exact
+    // integer: per-community q_num = 4·m·m_c − D_c², so Q = Σ q_num /
+    // 4m² is a consumer-side division. One edge scan for m_c (an edge is
+    // intra iff both endpoint blocks agree), one degree aggregate for
+    // D_c, one broadcast 1-row total — no per-vertex iteration at all.
+    ("g_modularity",
+      (s, d) => {
+        val k = col("c_custkey")
+        val und = (1 to 3).map(delta =>
+            t(s, d, "customer").select(k.as("a"), (k + delta).as("b")))
+          .reduce(_ union _).distinct()
+        val m = und.agg(count(lit(1)).as("m"))
+        val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("dv"))
+        val intra = und.filter(floor(col("a") / 10) === floor(col("b") / 10))
+          .groupBy(floor(col("a") / 10).cast("long").as("community"))
+          .agg(count(lit(1)).as("m_intra"))
+        val dsum = deg.groupBy(floor(col("v") / 10).cast("long").as("community"))
+          .agg(sum(col("dv")).as("deg_sum"))
+        dsum.join(intra, Seq("community"), "left")
+          .join(broadcast(m))
+          .select(col("community"),
+            coalesce(col("m_intra"), lit(0L)).as("m_intra"),
+            col("deg_sum"),
+            (lit(4L) * col("m") * coalesce(col("m_intra"), lit(0L))
+              - col("deg_sum") * col("deg_sum")).as("q_num"))
+          .orderBy("community")
+      },
+      """WITH ck AS (SELECT DISTINCT c_custkey AS k FROM customer),
+        | e AS (SELECT DISTINCT k AS a, k + d AS b FROM ck,
+        |        LATERAL (SELECT unnest(generate_series(1, 3)) AS d) g),
+        | m AS (SELECT COUNT(*) AS m FROM e),
+        | deg AS (SELECT v, COUNT(*) AS dv FROM
+        |          (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        | intra AS (SELECT a // 10 AS community, COUNT(*) AS m_intra
+        |           FROM e WHERE a // 10 = b // 10 GROUP BY 1),
+        | dsum AS (SELECT v // 10 AS community, CAST(SUM(dv) AS BIGINT) AS deg_sum
+        |          FROM deg GROUP BY 1)
+        | SELECT dsum.community, COALESCE(m_intra, 0) AS m_intra, deg_sum,
+        |        4 * m.m * COALESCE(m_intra, 0) - deg_sum * deg_sum AS q_num
+        | FROM dsum LEFT JOIN intra ON intra.community = dsum.community
+        | CROSS JOIN m
+        | ORDER BY 1""".stripMargin),
 
     // ---- HITS hubs & authorities (2 unrolled integer rounds) ------------
     // Kleinberg's power iteration over the successor graph, UNNORMALIZED so

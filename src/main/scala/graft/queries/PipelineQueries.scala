@@ -861,6 +861,41 @@ object PipelineQueries {
         | SELECT id, CAST(SUM(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
         | FROM bits GROUP BY id ORDER BY id""".stripMargin),
 
+    // ---- SimHash banded near-duplicate pairs -----------------------------
+    // the pair-GENERATOR over d4's signatures: 4 bands of 8 bits over a
+    // 32-bit simhash, pigeonhole-complete for Hamming < 4, buckets above
+    // maxBucket dropped whole, exact full-hash Hamming verify — the text
+    // twin of m_ahash_neardup, closing the dedup matrix (exact, MinHash/
+    // LSH, n-gram Jaccard, SimHash all have both a signature AND a
+    // candidate path). The oracle replays hash + banding + gate + verify.
+    ("d22_simhash_neardup",
+      (s, d) => Dedup.simhashNearDupPairs(spread(t(s, d, "documents")),
+          bits = 32, nBands = 4, maxHamming = 2, maxBucket = 64)
+        .orderBy("id_a", "id_b"),
+      """WITH tok AS (SELECT doc_id AS id, word AS token, COUNT(*) AS w
+        |             FROM (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents)
+        |             GROUP BY 1, 2),
+        | bits AS (
+        |   SELECT id, b,
+        |          CAST(SUM(w * (2 * (CAST(floor((strpos('0123456789abcdef',
+        |                 substr(substr(md5(token),1,8), (b // 4) + 1, 1)) - 1)
+        |                 / power(2, b % 4)) AS BIGINT) % 2) - 1)) AS BIGINT) AS s
+        |   FROM tok, LATERAL (SELECT unnest(generate_series(0, 31)) AS b) t
+        |   GROUP BY id, b),
+        | sh AS (SELECT id, CAST(SUM(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        |        FROM bits GROUP BY id),
+        | bands AS (SELECT id, simhash, b, (simhash >> (b*8)) & 255 AS v
+        |           FROM sh, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) bb),
+        | ok AS (SELECT b, v FROM bands GROUP BY b, v HAVING COUNT(*) <= 64),
+        | cand AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b,
+        |                 a.simhash AS ha, c.simhash AS hb
+        |          FROM bands a JOIN ok o ON a.b = o.b AND a.v = o.v
+        |          JOIN bands c ON c.b = o.b AND c.v = o.v
+        |          WHERE a.id < c.id)
+        | SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+        | FROM cand WHERE bit_count(xor(ha, hb)) <= 2
+        | ORDER BY id_a, id_b""".stripMargin),
+
     // ---- brute-force cosine top-k (ANN baseline) ------------------------
     ("sim_topk_bruteforce",
       (s, d) => {

@@ -110,6 +110,62 @@ object StreamingQueries {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
   }
 
+  /** Like [[replayTwoBatches]] but the query is STOPPED after batch 1 and
+    * a brand-new query starts from the SAME checkpoint before batch 2 is
+    * staged — the crash/deploy-restart drill: the file source's processed-
+    * file log and the aggregation state store must both recover, so the
+    * restarted query reads ONLY batch-2 files yet must converge to the
+    * full two-batch answer. Complete mode only: the memory sink recovers
+    * from a checkpoint only in complete mode (Spark truncates and refills
+    * it per trigger); in append mode it restarts empty by design.
+    */
+  private def replayTwoBatchesWithRestart(s: SparkSession, d: String)
+                                         (build: DataFrame => DataFrame): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-restart")
+    try {
+      val in = base.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      val raw = TemporalOps.loadEvents(s, d)
+      val evTs = raw.withColumn("ts", TemporalOps.asTimestamp(raw, "ts")).drop("ts_us")
+      val cutUs = evTs.select(unix_micros(col("ts")).as("us"))
+        .stat.approxQuantile("us", Array(0.5), 0.0)(0).toLong
+      evTs.filter(unix_micros(col("ts")) <= cutUs).coalesce(4).write.parquet(s"$in/b1")
+      val schema = s.read.parquet(s"$in/b1").schema
+      def start(nm: String) = build(s.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(in.toString))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .format("memory").queryName(nm).start()
+      val q1 = start(s"stream_oracle_${runSeq.incrementAndGet()}")
+      try q1.processAllAvailable() finally q1.stop()
+      evTs.filter(unix_micros(col("ts")) > cutUs).coalesce(4).write.parquet(s"$in/b2")
+      val nm2 = s"stream_oracle_${runSeq.incrementAndGet()}"
+      val q2 = start(nm2)
+      try q2.processAllAvailable() finally q2.stop()
+      s.table(nm2)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
+  /** shared between the two window-agg twins (live and restart-recovered —
+    * both must land the identical batch answer)
+    */
+  private val WindowAggSql: String =
+    """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
+      |       event_type, COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micro
+      | FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin
+
+  private def windowAggBuild(st: DataFrame): DataFrame =
+    StreamingIngest.windowedEventCounts(
+      st.withColumn("value", round(col("value") * 1000000L).cast("long")),
+      "1 hour", "1 hour", "10 minutes")
+
+  private def windowAggShape(sess: DataFrame): DataFrame = sess
+    .select(unix_micros(col("win_start")).as("win_start_us"),
+      col("event_type"), col("n").as("n_events"),
+      col("total").as("value_micro"))
+    .orderBy("win_start_us", "event_type")
+
   val all: Seq[Entry] = Seq(
 
     // ---- streaming tumbling-window aggregation --------------------------
@@ -117,19 +173,19 @@ object StreamingQueries {
     // complete output mode the watermark drops nothing and state spans
     // batches, so the converged sink must equal the batch aggregation.
     ("stream_window_agg",
-      (s, d) => replayTwoBatches(s, d, "complete") { st =>
-        StreamingIngest.windowedEventCounts(
-          st.withColumn("value", round(col("value") * 1000000L).cast("long")),
-          "1 hour", "1 hour", "10 minutes")
-      }
-        .select(unix_micros(col("win_start")).as("win_start_us"),
-          col("event_type"), col("n").as("n_events"),
-          col("total").as("value_micro"))
-        .orderBy("win_start_us", "event_type"),
-      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
-        |       event_type, COUNT(*) AS n_events,
-        |       CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micro
-        | FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin),
+      (s, d) => windowAggShape(replayTwoBatches(s, d, "complete")(windowAggBuild)),
+      WindowAggSql),
+
+    // ---- checkpoint-restart state recovery -------------------------------
+    // the 19th twin and the operational property every production stream
+    // depends on: the window-agg query is KILLED after batch 1 and a NEW
+    // query starts from the same checkpoint before batch 2 lands. The
+    // file-source log must skip batch-1 files, the state store must
+    // reload, and the converged output must STILL equal the batch oracle —
+    // lost state would drop every batch-1 count and fail the hash check.
+    ("stream_restart_recovery",
+      (s, d) => windowAggShape(replayTwoBatchesWithRestart(s, d)(windowAggBuild)),
+      WindowAggSql),
 
     // ---- streaming SLIDING-window aggregation ---------------------------
     // 1-hour windows sliding every 30 minutes: each event lands in exactly
@@ -441,6 +497,50 @@ object StreamingQueries {
           .orderBy("l_returnflag", "rn")
       },
       RelationalQueries.TopKPartialSql),
+
+    // ---- streaming KMV distinct-cardinality sketch -----------------------
+    // the 18th twin, against a11's ORACLE: the bottom-k hash heap is the
+    // per-group state row (the stream_topk mechanism carrying a11's
+    // semantics — duplicate hashes collapse in the buffer, so the state
+    // IS distinct-counting state, ≤ k entries per group forever). Batch-2
+    // partial heaps merge into batch-1's stored heap exactly (bottom-k
+    // over a total order), so the converged sketches — and therefore the
+    // ESTIMATES, exact long div arithmetic — hash-match the direct
+    // whole-corpus build. n_exact and the direct-vs-merged __ALL__ guard
+    // run batch-side: they are the accuracy EXHIBIT the sketch replaces,
+    // not part of the streaming state.
+    ("stream_kmv_distinct",
+      (s, d) => {
+        val k = 64
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+        val cut = li.stat.approxQuantile("l_orderkey", Array(0.5), 0.0)(0).toLong
+        val perGrp = replayStaged(s, li.filter(col("l_orderkey") <= cut),
+            li.filter(col("l_orderkey") > cut), "complete") { st =>
+          st.select(col("l_returnflag").as("grp"),
+              graft.ops.Sketches.h48(col("l_orderkey")).as("hv"))
+            .groupBy("grp")
+            .agg(expr(s"top_k(-hv, hv, $k)").as("bk"))
+        }
+        val exact = li.groupBy(col("l_returnflag").as("grp"))
+          .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+        val flags = perGrp.join(exact, Seq("grp"))
+          .select(col("grp"), col("n_exact"),
+            graft.ops.Sketches.kmvEstimate("bk", k).as("kmv_est"))
+        val directAll = graft.ops.Sketches.kmvSketch(
+          li.select(col("l_orderkey")), "l_orderkey", Nil, k)
+          .select(col("n_exact"),
+            graft.ops.Sketches.kmvEstimate("bk", k).as("kmv_est"))
+        val mergedEst = graft.ops.Sketches.kmvMerge(perGrp, k)
+          .select(graft.ops.Sketches.kmvEstimate("bk", k).as("m_est"))
+        val all = directAll.crossJoin(broadcast(mergedEst))
+          .select(lit("__ALL__").as("grp"), col("n_exact"),
+            graft.ops.Bounded.guard(col("kmv_est"),
+              col("kmv_est") === col("m_est"),
+              "stream_kmv_distinct: merged streamed sketches diverged from direct build")
+              .as("kmv_est"))
+        flags.unionByName(all).orderBy("grp")
+      },
+      GraphQueries.KmvDistinctSql),
 
     // ---- streaming deterministic split assignment -----------------------
     // the strongest stateless batch/stream parity statement: split

@@ -515,4 +515,21 @@ class ConnectedComponentsSpec extends AnyFunSuite {
         r.getLong(3), r.getLong(4)))
     assert(re.sorted.toSeq == got.sorted.toSeq)
   }
+
+  test("neighborhoodFunction: path and cycle hand-counts; hyperBall exact on small graphs") {
+    // directed path 0->1->2->3: cumulative pairs 4, 7, 9, 10, saturated at 10
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val nf = graft.ops.GraphTraversal.neighborhoodFunction(path, maxT = 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(nf == Map(0 -> 4L, 1 -> 7L, 2 -> 9L, 3 -> 10L, 4 -> 10L))
+    // directed 3-cycle: every vertex reaches all three within 2 hops
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val nc = graft.ops.GraphTraversal.neighborhoodFunction(cyc, maxT = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(nc == Map(0 -> 3L, 1 -> 6L, 2 -> 9L, 3 -> 9L))
+    // DataSketches HLL stores small sets losslessly: HyperBall is exact here
+    val hb = graft.ops.GraphTraversal.hyperBall(path, maxT = 4, lgK = 12)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert((0 to 4).forall(t => hb(t) == nf(t)), hb.toString)
+  }
 }

@@ -325,6 +325,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(m.values.forall(v => v >= 0 && v < (1 << 16)))
   }
 
+  test("simhashNearDupPairs: banding is complete vs brute-force Hamming, gate and bounds hold") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      3L -> "alpha beta gamma delta epsilon zeta eta iota",
+      4L -> "zz yy xx ww vv uu tt ss")
+    val got = Dedup.simhashNearDupPairs(d, bits = 32, nBands = 4,
+        maxHamming = 3, maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // identical texts share the full 32-bit signature
+    assert(got.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
+    assert(got.forall(_._3 <= 3))
+    // pigeonhole completeness: banding + verify == brute-force Hamming <= 3
+    val sh = Dedup.simhash(d, 32).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = for {
+      a <- sh.keys.toSeq; b <- sh.keys.toSeq if a < b
+      h = java.lang.Long.bitCount(sh(a) ^ sh(b)) if h <= 3
+    } yield (a, b, h)
+    assert(got.toSet == brute.toSet)
+    // maxBucket = 0 drops every bucket whole: nothing survives the gate
+    assert(Dedup.simhashNearDupPairs(d, maxBucket = 0).isEmpty)
+    // completeness precondition is enforced, not silently violated
+    assertThrows[IllegalArgumentException](
+      Dedup.simhashNearDupPairs(d, nBands = 4, maxHamming = 4))
+  }
+
   // --------------------------------------------------------- similarity
 
   private def vecs(rows: (Long, Seq[Float])*) = rows.toSeq.toDF("vec_id", "embedding")
