@@ -85,7 +85,13 @@ object PlanDump {
       Seq("SortMergeJoin", "CartesianProduct")),
     // link prediction: wedge self-join + degree joins + the predicted-link
     // anti-join — all equi-keyed, never Cartesian
-    "g_link_predict" -> (Seq("Join"), Seq("CartesianProduct")))
+    "g_link_predict" -> (Seq("Join"), Seq("CartesianProduct")),
+    // SimHash banding: bucket gate + candidate pairing are (band, v)
+    // equi-joins — a Cartesian here means the gate join lost its keys
+    "d22_simhash_neardup" -> (Seq("Join"), Seq("CartesianProduct")),
+    // modularity: the 1-row edge-count total must ride a broadcast BNLJ;
+    // community joins are equi-keyed
+    "g_modularity" -> (Seq("BroadcastNestedLoopJoin"), Seq("CartesianProduct")))
 
   private def unpartitionedWindows(df: org.apache.spark.sql.DataFrame): Int =
     df.queryExecution.optimizedPlan.collect {
