@@ -91,7 +91,14 @@ object PlanDump {
     "d22_simhash_neardup" -> (Seq("Join"), Seq("CartesianProduct")),
     // modularity: the 1-row edge-count total must ride a broadcast BNLJ;
     // community joins are equi-keyed
-    "g_modularity" -> (Seq("BroadcastNestedLoopJoin"), Seq("CartesianProduct")))
+    "g_modularity" -> (Seq("BroadcastNestedLoopJoin"), Seq("CartesianProduct")),
+    // incremental join view: four equi-joins (view + three delta legs),
+    // never Cartesian
+    "u11_incremental_join" -> (Seq("Join"), Seq("CartesianProduct")),
+    // rare-label collapse: the vocabulary keep-set is hinted broadcast —
+    // a shuffle here would mean the fact table moved for a dictionary
+    "t_rare_label_collapse" -> (Seq("BroadcastHashJoin"),
+      Seq("SortMergeJoin", "CartesianProduct")))
 
   private def unpartitionedWindows(df: org.apache.spark.sql.DataFrame): Int =
     df.queryExecution.optimizedPlan.collect {

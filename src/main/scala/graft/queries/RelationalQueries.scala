@@ -737,6 +737,72 @@ object RelationalQueries {
         |        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
+    // ---- incremental JOIN-view maintenance (insert-only IVM) ------------
+    // u5's join sibling: a stored join view V = O ⋈ C refreshed under
+    // appends to BOTH sides by the delta rule V' = V ∪ (ΔO⋈C) ∪ (O⋈ΔC) ∪
+    // (ΔO⋈ΔC) — the stored pre-delta view is UNIONED IN, never re-joined,
+    // so a refresh joins only delta-sized inputs against the other side.
+    // At 100 TB: V and O are stored (bucketed on the join key), ΔO is a
+    // day's ingest — the refresh cost tracks the DELTA, not the table.
+    // The oracle is the full direct join: hash-matching it proves the
+    // incremental union reconstructs the view exactly (insert-only; u7's
+    // CDC apply owns updates/deletes).
+    ("u11_incremental_join",
+      (s, d) => {
+        val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val c = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+        val oldO = o.filter(col("o_orderkey") % 7 =!= 0)
+        val dO = o.filter(col("o_orderkey") % 7 === 0)
+        val oldC = c.filter(col("c_custkey") % 11 =!= 0)
+        val dC = c.filter(col("c_custkey") % 11 === 0)
+        def j(a: DataFrame, b: DataFrame) =
+          a.join(b, col("o_custkey") === col("c_custkey"))
+            .select(col("o_orderkey"), col("c_custkey"), col("c_nationkey"), col("cents"))
+        j(oldO, oldC) // the stored view; unioned, not recomputed
+          .unionByName(j(dO, oldC))
+          .unionByName(j(oldO, dC))
+          .unionByName(j(dO, dC))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, c_custkey, c_nationkey,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | ORDER BY o_orderkey""".stripMargin),
+
+    // ---- rare-label collapse (top-N + __OTHER__) -------------------------
+    // the cardinality-reducer that precedes target encoding / one-hot at
+    // scale: labels below the support threshold collapse into __OTHER__.
+    // The synthesized label column is deliberately head/tail skewed (80%
+    // of rows on 40 head labels, 20% spread over a 100k-value tail) so
+    // BOTH branches are live at every SF. One aggregate builds the
+    // keep-set (bounded by the label vocabulary, broadcast back); the
+    // rewrite is map-side — no row-level window, no second fact shuffle.
+    ("t_rare_label_collapse",
+      (s, d) => {
+        val o = t(s, d, "orders").select(
+          when(col("o_custkey") % 5 < 4,
+              concat(lit("head_"), col("o_custkey") % 40))
+            .otherwise(concat(lit("tail_"), col("o_custkey") % 100000))
+            .as("raw_label"))
+        val keep = o.groupBy("raw_label").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 20).select("raw_label")
+        o.join(broadcast(keep.withColumn("__keep", lit(1))), Seq("raw_label"), "left")
+          .select(when(col("__keep").isNotNull, col("raw_label"))
+            .otherwise(lit("__OTHER__")).as("label"))
+          .groupBy("label").agg(count(lit(1)).as("n_rows"))
+          .orderBy("label")
+      },
+      """WITH lab AS (SELECT CASE WHEN o_custkey % 5 < 4
+        |                        THEN 'head_' || (o_custkey % 40)
+        |                        ELSE 'tail_' || (o_custkey % 100000) END AS raw_label
+        |             FROM orders),
+        | keep AS (SELECT raw_label FROM lab GROUP BY 1 HAVING COUNT(*) >= 20)
+        | SELECT CASE WHEN keep.raw_label IS NOT NULL THEN lab.raw_label
+        |             ELSE '__OTHER__' END AS label, COUNT(*) AS n_rows
+        | FROM lab LEFT JOIN keep ON keep.raw_label = lab.raw_label
+        | GROUP BY 1 ORDER BY label""".stripMargin),
+
     // ---- SCD Type-2 history (upsert WITH history) -----------------------
     // the warehouse companion to s8's last-wins merge: three synthesized
     // version waves over the customer dimension (wave 1 contains deliberate

@@ -176,6 +176,62 @@ object StreamingQueries {
       (s, d) => windowAggShape(replayTwoBatches(s, d, "complete")(windowAggBuild)),
       WindowAggSql),
 
+    // ---- foreachBatch MERGE into a keyed store ---------------------------
+    // the 20th twin and the standard production SINK pattern: an
+    // update-mode windowed aggregation emits only CHANGED (window, type)
+    // rows per micro-batch, and foreachBatch upserts them into a versioned
+    // parquet store (prev anti-join on the key ∪ batch — the MERGE shape).
+    // A window straddling the batch cut is emitted twice with different
+    // totals; the upsert must keep the later row, so the final store equals
+    // the batch oracle only if BOTH the update-mode emission contract and
+    // the merge keying are right. At 100 TB the store is a bucketed table
+    // and each refresh touches batch-sized data — the merge never rescans
+    // history (the same delta discipline as u11).
+    ("stream_foreach_upsert",
+      (s, d) => {
+        val base = java.nio.file.Files.createTempDirectory("graft-stream-feb")
+        try {
+          val in = base.resolve("in")
+          java.nio.file.Files.createDirectories(in)
+          val raw = TemporalOps.loadEvents(s, d)
+          val evTs = raw.withColumn("ts", TemporalOps.asTimestamp(raw, "ts")).drop("ts_us")
+          val cutUs = evTs.select(unix_micros(col("ts")).as("us"))
+            .stat.approxQuantile("us", Array(0.5), 0.0)(0).toLong
+          evTs.filter(unix_micros(col("ts")) <= cutUs).coalesce(4).write.parquet(s"$in/b1")
+          val schema = s.read.parquet(s"$in/b1").schema
+          val store = base.resolve("store").toString
+          @volatile var version = 0
+          val q = windowAggBuild(s.readStream.schema(schema)
+              .option("recursiveFileLookup", "true").parquet(in.toString))
+            .writeStream.outputMode("update")
+            .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                             _: Long) =>
+              if (!batch.isEmpty) {
+                val next = version + 1
+                val merged =
+                  if (version == 0) batch.toDF()
+                  else s.read.parquet(s"$store/v=$version")
+                    .join(batch, Seq("win_start", "event_type"), "left_anti")
+                    .unionByName(batch.toDF())
+                merged.write.parquet(s"$store/v=$next")
+                version = next
+              }
+            }
+            .start()
+          try {
+            q.processAllAvailable()
+            evTs.filter(unix_micros(col("ts")) > cutUs).coalesce(4).write.parquet(s"$in/b2")
+            q.processAllAvailable()
+          } finally q.stop()
+          // the store is a bounded summary (windows × event types); pin it
+          // before the temp dir vanishes
+          val fin = s.read.parquet(s"$store/v=$version")
+          windowAggShape(s.createDataFrame(
+            s.sparkContext.parallelize(fin.collect().toIndexedSeq), fin.schema))
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      },
+      WindowAggSql),
+
     // ---- checkpoint-restart state recovery -------------------------------
     // the 19th twin and the operational property every production stream
     // depends on: the window-agg query is KILLED after batch 1 and a NEW
