@@ -1041,6 +1041,31 @@ object ScaleProbe {
       }
       fact.unpersist()
     }
+    if (enabled("incrementalJoin")) {
+      // the u11 claim measured: refreshing a stored join view under an
+      // append costs the DELTA legs, not the full re-join. orders grow
+      // ×mult (fresh orderkeys, custkeys kept); the delta is one copy
+      // (= the original table size at any mult), so the delta path should
+      // stay FLAT while the full recompute grows with the view
+      val baseO = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val baseC = spark.read.parquet(s"$sfDir/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val oStride = baseO.agg(max(col("o_orderkey"))).head.getLong(0) + 1L
+      val allO = (0 until mult).map(k =>
+          baseO.withColumn("o_orderkey", col("o_orderkey") + lit(k.toLong * oStride)))
+        .reduce(_ union _).cache()
+      println(s"orders (incrementalJoin): ${allO.count()}")
+      val deltaO = baseO.withColumn("o_orderkey",
+        col("o_orderkey") + lit((mult - 1).toLong * oStride))
+      def j(a: org.apache.spark.sql.DataFrame) =
+        a.join(baseC, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("c_nationkey"), col("cents"))
+      timed("incrementalJoin full recompute") { j(allO).count() }
+      timed("incrementalJoin delta leg only") { j(deltaO).count() }
+      allO.unpersist()
+    }
     if (Seq("simhashNearDupPairs", "hyperBall").exists(enabled)) {
       if (enabled("simhashNearDupPairs")) {
         // half-exact-copy corpus (the lshCandidates topology): every copy

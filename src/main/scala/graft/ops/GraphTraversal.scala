@@ -693,23 +693,11 @@ object GraphTraversal {
   }
 
   /** vid = rank of `id` in ascending key order: an order-preserving dense
-    * dictionary (`id`, `vid` LONG). Range-partitioned sort + per-partition
-    * index assignment with partition-count offsets (`zipWithIndex`) — the
-    * standard distributed rank; the RDD hop is the per-partition
-    * imperative step Catalyst has no operator for.
+    * dictionary (`id`, `vid` LONG) — [[graft.ops.Ids.denseIds]] under the
+    * graph loops' column conventions.
     */
-  private def orderPreservingIds(keys: DataFrame): DataFrame = {
-    val spark = keys.sparkSession
-    val sorted = keys.orderBy(col("id"))
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      sorted.schema.fields(0).copy(name = "id"),
-      org.apache.spark.sql.types.StructField("vid",
-        org.apache.spark.sql.types.LongType, nullable = false)))
-    spark.createDataFrame(
-      sorted.rdd.zipWithIndex().map { case (r, i) =>
-        org.apache.spark.sql.Row(r.get(0), i)
-      }, schema)
-  }
+  private def orderPreservingIds(keys: DataFrame): DataFrame =
+    Ids.denseIds(keys, "id", "vid", assumeDistinct = true)
 
   /** The synchronous LPA vote loop on an already-encoded (or natively
     * integral) edge table — see [[labelPropagation]] for semantics.

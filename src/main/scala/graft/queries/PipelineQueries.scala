@@ -3008,6 +3008,27 @@ object PipelineQueries {
         | SELECT source, token, n, CAST(rank AS INTEGER) AS rank
         | FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin),
 
+    // ---- vocabulary indexing (stable dense token ids) --------------------
+    // token → id for embedding tables and label maps: ids are the 0-based
+    // ascending-order rank (graft.ops.Ids.denseIds — range-partitioned
+    // sort + per-partition zipWithIndex offsets, NEVER a single-partition
+    // global window or monotonically_increasing_id, whose values depend on
+    // physical layout). The same primitive pageRank/LPA use to dictionary-
+    // encode string vertex keys; deterministic across runs and
+    // partitionings, which is what makes the id map reusable between
+    // training jobs.
+    ("t_vocab_index",
+      (s, d) => graft.ops.Ids.denseIds(
+          spread(t(s, d, "documents"))
+            .select(explode(split(col("text"), " ")).as("token"))
+            .filter(col("token") =!= ""),
+          "token", "token_id")
+        .orderBy("token"),
+      """SELECT token, ROW_NUMBER() OVER (ORDER BY token) - 1 AS token_id
+        | FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+        |       FROM documents)
+        | WHERE token <> '' ORDER BY token""".stripMargin),
+
     // ---- sketch-first heavy hitters (Misra-Gries + exact recount) -------
     // the bounded-state alternative to t_top_tokens' full aggregate: one
     // native TypedImperativeAggregate pass holds <= k counters per

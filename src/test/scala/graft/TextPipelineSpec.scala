@@ -639,4 +639,18 @@ class TextPipelineSpec extends AnyFunSuite {
     }.sorted
     assert(got == want)
   }
+
+  test("Ids.denseIds: rank order, duplicate collapse, partition invariance, name clash") {
+    val words = Seq("delta", "alpha", "charlie", "alpha", "bravo").toDF("w")
+    val want = Map("alpha" -> 0L, "bravo" -> 1L, "charlie" -> 2L, "delta" -> 3L)
+    val got = graft.ops.Ids.denseIds(words, "w", "wid")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // a different physical layout yields the identical dictionary
+    val re = graft.ops.Ids.denseIds(words.repartition(7), "w", "wid")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(re == want)
+    assertThrows[IllegalArgumentException](
+      graft.ops.Ids.denseIds(words, "w", "w"))
+  }
 }
