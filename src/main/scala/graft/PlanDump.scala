@@ -98,7 +98,10 @@ object PlanDump {
     // rare-label collapse: the vocabulary keep-set is hinted broadcast —
     // a shuffle here would mean the fact table moved for a dictionary
     "t_rare_label_collapse" -> (Seq("BroadcastHashJoin"),
-      Seq("SortMergeJoin", "CartesianProduct")))
+      Seq("SortMergeJoin", "CartesianProduct")),
+    // pseudonymized linkage: tokens must stay an equi-join key (a
+    // Cartesian would mean the md5 tokenization broke key equality)
+    "t_pseudonymize" -> (Seq("Join"), Seq("CartesianProduct")))
 
   private def unpartitionedWindows(df: org.apache.spark.sql.DataFrame): Int =
     df.queryExecution.optimizedPlan.collect {

@@ -536,6 +536,46 @@ object Multimodal {
     }
   }
 
+  /** One fixed-length energy window of a decoded audio stream: the
+    * voice-activity / silence-detection primitive. `energy` = Σ s² and
+    * `peak` = max |s| over the window's 16-bit samples — exact integers a
+    * cross-engine oracle can recompute (a silence gate is then a consumer-
+    * side threshold on this table).
+    */
+  final case class AudioWindow(
+      media_id: Long,
+      win_idx: Int,
+      n_samples: Long,
+      energy: Long,
+      peak: Long)
+
+  /** Windowed audio energy/peak over REAL decoded PCM — the audio sibling
+    * of [[sampleFrames]]: decode (javax.sound.sampled), split the sample
+    * stream into fixed `windowSamples`-sized windows (last window ragged),
+    * emit one row per window. Map-side only (`mapPartitions` is justified:
+    * codec work, no Catalyst form); undecodable or non-audio payloads emit
+    * nothing — they are [[extractAudioFeatures]]' sentinel rows' job.
+    */
+  def audioEnergyWindows(media: Dataset[MediaRow], windowSamples: Int): Dataset[AudioWindow] = {
+    require(windowSamples >= 1, s"audioEnergyWindows: windowSamples >= 1: $windowSamples")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val au = if (r.media_type == "audio") decodeSamples(r.bytes) else None
+        au.toSeq.flatMap { case (_, samples) =>
+          samples.grouped(windowSamples).zipWithIndex.map { case (w, i) =>
+            var energy = 0L; var peak = 0L
+            w.foreach { s =>
+              energy += s.toLong * s.toLong
+              peak = math.max(peak, math.abs(s.toLong))
+            }
+            AudioWindow(r.media_id, i, w.length.toLong, energy, peak)
+          }
+        }
+      }
+    }
+  }
+
   /** A REAL 24-bit uncompressed BMP whose pixels are a pure function of
     * `docId`: width 4 + docId%5, height 3 + docId%3, and logical (top-down,
     * row-major) pixel i carries channels R,G,B = (docId·31 + i·7 + c·13) mod

@@ -2547,6 +2547,25 @@ object PipelineQueries {
         |        CAST(s AS BIGINT) AS sample_sum, TRUE AS decoded
         | FROM sm ORDER BY media_id""".stripMargin),
 
+    // ---- windowed audio energy (VAD / silence-detection primitive) ------
+    // per-window Σs² and max|s| over the REAL decoded PCM stream, 16
+    // samples per window (last window ragged) — a silence gate is a
+    // consumer-side threshold on this table. Exact integers; the oracle
+    // recomputes every window from the synthetic waveform formula, so the
+    // decode + windowing + integer kernels are all under the hash.
+    ("m_audio_energy",
+      (s, d) => Multimodal.audioEnergyWindows(
+          Multimodal.syntheticWavs(spread(t(s, d, "documents"))), 16)
+        .toDF().orderBy("media_id", "win_idx"),
+      """WITH p AS (SELECT doc_id, 40 + doc_id % 25 AS n FROM documents),
+        | s AS (SELECT doc_id, i // 16 AS win_idx,
+        |              (doc_id * 31 + i * 7) % 65536 - 32768 AS v
+        |       FROM p, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) g)
+        | SELECT doc_id AS media_id, CAST(win_idx AS INTEGER) AS win_idx,
+        |        COUNT(*) AS n_samples, CAST(SUM(v * v) AS BIGINT) AS energy,
+        |        CAST(MAX(abs(v)) AS BIGINT) AS peak
+        | FROM s GROUP BY 1, 2 ORDER BY media_id, win_idx""".stripMargin),
+
     // ---- REAL audio decimation (decode → every-2nd-sample → re-encode) --
     // the audio sibling of m_image_resize: decode the synthetic WAV, keep
     // every 2nd sample by index arithmetic (no filter kernel — each output

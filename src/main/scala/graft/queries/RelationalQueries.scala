@@ -1705,6 +1705,75 @@ object RelationalQueries {
         | FROM orders JOIN customer ON o_custkey = c_custkey
         | GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
 
+    // ---- exchange reuse (scan-once, shuffle-once for shared subplans) ---
+    // the CTE-dedup property that matters at 100 TB: a subplan consumed
+    // twice (here the per-(flag, status) aggregate self-joined into a
+    // within-flag comparison matrix) must scan and shuffle ONCE, with the
+    // second consumer reading the same exchange output. Spark's
+    // ReuseExchange/AQE stage reuse does this when the subplans
+    // canonicalize equal — and a refactor that breaks canonical equality
+    // (e.g. divergent casts on the two legs) silently doubles the scan, so
+    // the entry EXECUTES its (bounded, ≤ flag·status² rows) result and
+    // asserts a ReusedExchange materialized in the final adaptive plan.
+    ("s32_exchange_reuse",
+      (s, d) => {
+        val agg = t(s, d, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(col("l_quantity").cast("long")).as("q"))
+        val a = agg.select(col("l_returnflag").as("f"),
+          col("l_linestatus").as("s1"), col("q").as("q1"))
+        val b = agg.select(col("l_returnflag").as("f"),
+          col("l_linestatus").as("s2"), col("q").as("q2"))
+        val m = a.join(b, Seq("f")).filter(col("s1") < col("s2"))
+          .select("f", "s1", "s2", "q1", "q2")
+        val rows = m.collect() // bounded: pairs within the 6-cell agg
+        val reused = m.queryExecution.executedPlan.toString
+          .linesIterator.count(_.contains("ReusedExchange"))
+        require(reused > 0, "s32_exchange_reuse: the shared aggregate was " +
+          "planned twice — exchange reuse broke (check canonical equality)")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq), m.schema)
+          .orderBy("f", "s1", "s2")
+      },
+      """WITH agg AS (SELECT l_returnflag AS f, l_linestatus AS s,
+        |               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |             FROM lineitem GROUP BY 1, 2)
+        | SELECT a.f AS f, a.s AS s1, b.s AS s2, a.q AS q1, b.q AS q2
+        | FROM agg a JOIN agg b ON a.f = b.f AND a.s < b.s
+        | ORDER BY 1, 2, 3""".stripMargin),
+
+    // ---- keyed pseudonymization (linkage-preserving tokenization) -------
+    // the privacy op t_pii_scrub can't do: replace the natural key with a
+    // keyed deterministic token so tables still JOIN on the pseudonym but
+    // the raw key never leaves the trust boundary. Both sides tokenize
+    // map-side with the same salt; the entry joins orders to customer ON
+    // THE PSEUDONYM and returns per-token order stats — hash-matching the
+    // oracle (which replays salt‖key md5) proves tokens are deterministic
+    // and collision-free here, i.e. the linkage survived tokenization.
+    ("t_pseudonymize",
+      (s, d) => {
+        def pid(c: org.apache.spark.sql.Column) = substring(md5(concat(lit("graft-salt-2026:"),
+          c.cast("string"))), 1, 16)
+        val c = t(s, d, "customer").filter(col("c_custkey") % 10 === 0)
+          .select(pid(col("c_custkey")).as("pid"), col("c_nationkey"))
+        val o = t(s, d, "orders")
+          .select(pid(col("o_custkey")).as("pid"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+        c.join(o, Seq("pid"))
+          .groupBy("pid", "c_nationkey")
+          .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"))
+          .orderBy("pid")
+      },
+      """WITH c AS (SELECT substr(md5('graft-salt-2026:' || CAST(c_custkey AS VARCHAR)), 1, 16) AS pid,
+        |                  c_nationkey
+        |           FROM customer WHERE c_custkey % 10 = 0),
+        | o AS (SELECT substr(md5('graft-salt-2026:' || CAST(o_custkey AS VARCHAR)), 1, 16) AS pid,
+        |              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |       FROM orders)
+        | SELECT pid, c_nationkey, COUNT(*) AS n_orders,
+        |        CAST(SUM(cents) AS BIGINT) AS total_cents
+        | FROM c JOIN o USING (pid)
+        | GROUP BY 1, 2 ORDER BY pid""".stripMargin),
+
     // ---- hive-partitioned write + partition-directory pruning -----------
     // the OTHER half of data skipping (s26 covers intra-file zone maps):
     // directory-level partition pruning, where a month predicate never

@@ -1472,6 +1472,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!img.decoded && img.sample_sum == -1L)
   }
 
+  test("audioEnergyWindows: formula-exact energy/peak, ragged tail, corrupt drop") {
+    val id = 42L
+    val n = (40 + id % 25).toInt // 57 samples -> windows of 16,16,16,9
+    def sample(i: Int): Long = ((id * 31 + i * 7) % 65536) - 32768
+    val got = Multimodal.audioEnergyWindows(
+        Multimodal.syntheticWavs(docs(id -> "x")), 16)
+      .collect().map(w => (w.win_idx, w.n_samples, w.energy, w.peak)).sortBy(_._1)
+    val want = (0 until n).map(i => (i / 16, sample(i)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (w, ss) => (w, ss.size.toLong,
+        ss.map(s => s._2 * s._2).sum, ss.map(s => math.abs(s._2)).max) }
+    assert(got.toSeq == want)
+    assert(got.last._2 == n % 16) // the ragged tail window is emitted, not padded
+    // corrupt payloads emit nothing (sentinels are extractAudioFeatures' job)
+    assert(Multimodal.audioEnergyWindows(
+      Multimodal.syntheticWavs(docs(7L -> "x")).map(r =>
+        r.copy(bytes = r.bytes.take(10))), 16).isEmpty)
+  }
+
   test("MP4 box walk parses the hand-assembled container to the formula dims") {
     val id = 42L // even → MP4 in syntheticVideos
     val (w, h, durMs) = Multimodal.videoDims(id)
