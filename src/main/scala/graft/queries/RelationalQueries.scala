@@ -1392,6 +1392,69 @@ object RelationalQueries {
         |        CAST(start_off // 5000 AS BIGINT) AS bin
         | FROM p ORDER BY file_id""".stripMargin),
 
+    // ---- compaction APPLY (execute the s21 plan, prove parity) -----------
+    // closes the s21 → s20 loop: actually rewrite a small-file layout into
+    // the planned bins and PROVE the rewrite moved every row exactly once.
+    // A real small-file table is written (one parquet file per fid dir),
+    // binned by the same distributed prefix sum s21 plans with, rewritten
+    // one-task-per-bin, and the entry requires (a) the file count dropped
+    // and (b) the order-invariant table fingerprint (s20's xxhash64
+    // count/xor/mod-p triple) is IDENTICAL before and after — the
+    // guarantee a 100-TB OPTIMIZE job must give before swapping manifests.
+    // The oracle replays the bin assignment and per-bin row totals.
+    ("s33_compaction_apply",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{input_file_name => ifn}
+        val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+        // data-relative granularity (two 1-value driver scalars, replayed
+        // by the oracle): ~30 small files, bins of ~5 files each
+        val span = li.agg(max(col("l_orderkey"))).head.getLong(0) / 30L + 1L
+        li.withColumn("fid", expr(s"l_orderkey div $span"))
+          .repartition(col("fid"))
+          .write.partitionBy("fid").parquet(s"$base/small")
+        val small = s.read.parquet(s"$base/small")
+        val nBefore = small.select(ifn()).distinct().count()
+        val inv = small.groupBy("fid").agg(count(lit(1)).as("size_rows"))
+        val Array(tr, nf) = inv.agg(sum(col("size_rows")), count(lit(1)))
+          .head.toSeq.map(_.toString.toLong).toArray
+        val cap = 5L * (tr / nf)
+        val plan = graft.ops.PrefixOps
+          .exclusivePrefixSum(inv, "fid", "size_rows", "start_off")
+          .withColumn("bin", expr(s"start_off div $cap"))
+          .select("fid", "bin")
+        small.join(broadcast(plan), Seq("fid"))
+          .repartition(col("bin"))
+          .write.partitionBy("bin").parquet(s"$base/compacted")
+        val after = s.read.parquet(s"$base/compacted")
+        val nAfter = after.select(ifn()).distinct().count()
+        def fp(df: DataFrame): String = graft.llm.Governance.tableFingerprint(
+            df, Nil, xxhash64(col("l_orderkey"), col("qty")))
+          .collect()(0).toString // one (n, xor, mod-p sum) summary row
+        val pre = fp(small.select(col("l_orderkey"), col("qty")))
+        val post = fp(after.select(col("l_orderkey"), col("qty")))
+        require(pre == post, s"s33_compaction_apply: fingerprint drift — " +
+          s"the rewrite lost or duplicated rows ($pre vs $post)")
+        require(nAfter < nBefore, s"s33_compaction_apply: no file-count " +
+          s"reduction ($nBefore -> $nAfter) — binning degenerated")
+        after.groupBy("bin")
+          .agg(count(lit(1)).as("n_rows"), countDistinct(col("fid")).as("n_files_src"))
+          .orderBy("bin")
+      },
+      """WITH mx AS (SELECT MAX(l_orderkey) // 30 + 1 AS span FROM lineitem),
+        | inv AS (SELECT l_orderkey // span AS fid, COUNT(*) AS size_rows
+        |         FROM lineitem, mx GROUP BY 1),
+        | tot AS (SELECT 5 * (SUM(size_rows) // COUNT(*)) AS cap FROM inv),
+        | p AS (SELECT fid, size_rows,
+        |          CAST(COALESCE(SUM(size_rows) OVER (ORDER BY fid
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        |       FROM inv)
+        | SELECT CAST(start_off // cap AS BIGINT) AS bin,
+        |        CAST(SUM(size_rows) AS BIGINT) AS n_rows,
+        |        COUNT(*) AS n_files_src
+        | FROM p, tot GROUP BY 1 ORDER BY bin""".stripMargin),
+
     // ---- data-quality expectation suite (one-pass violations report) ----
     // the Great-Expectations shape: not-null, range, domain, uniqueness,
     // and FK containment evaluated against a deterministically-corrupted

@@ -176,6 +176,41 @@ object StreamingQueries {
       (s, d) => windowAggShape(replayTwoBatches(s, d, "complete")(windowAggBuild)),
       WindowAggSql),
 
+    // ---- bounded backfill (Trigger.AvailableNow + maxFilesPerTrigger) ----
+    // the 21st twin and the operational answer to "replay 100 TB of
+    // history without 100 TB of cluster": AvailableNow processes all
+    // existing input then STOPS, and maxFilesPerTrigger=1 caps each
+    // micro-batch at one file — state carries across the bounded batches,
+    // so peak memory tracks ONE file while the converged result equals
+    // the batch oracle. The entry requires the run actually split (>1
+    // micro-batch); a silent fall-back to one giant batch would defeat
+    // the resource bound it demonstrates.
+    ("stream_backfill_bounded",
+      (s, d) => {
+        val base = java.nio.file.Files.createTempDirectory("graft-stream-backfill")
+        try {
+          val in = base.resolve("in")
+          java.nio.file.Files.createDirectories(in)
+          val raw = TemporalOps.loadEvents(s, d)
+          raw.withColumn("ts", TemporalOps.asTimestamp(raw, "ts")).drop("ts_us")
+            .repartition(4).write.parquet(s"$in/all")
+          val schema = s.read.parquet(s"$in/all").schema
+          val nm = s"stream_oracle_${runSeq.incrementAndGet()}"
+          val q = windowAggBuild(s.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .option("recursiveFileLookup", "true").parquet(in.toString))
+            .writeStream.outputMode("complete")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .format("memory").queryName(nm).start()
+          try q.awaitTermination() finally q.stop()
+          val nBatches = q.recentProgress.map(_.batchId).distinct.length
+          require(nBatches > 1, s"stream_backfill_bounded: expected the " +
+            s"4-file backfill to split into micro-batches, got $nBatches")
+          windowAggShape(s.table(nm))
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      },
+      WindowAggSql),
+
     // ---- foreachBatch MERGE into a keyed store ---------------------------
     // the 20th twin and the standard production SINK pattern: an
     // update-mode windowed aggregation emits only CHANGED (window, type)
