@@ -935,23 +935,20 @@ object Dedup {
     * Bit b of a token = bit (b mod 4) of hex digit (b div 4) of md5(token);
     * the signature bit is 1 iff the weighted sum of (2*bit-1) is positive.
     * Everything is integer arithmetic — portable and exact.
+    *
+    * ONE native mergeable aggregate over raw token occurrences
+    * ([[graft.functions.SimHashAgg]] — per-occurrence ±1 sums equal the
+    * weighted form by linearity), replacing the original two-aggregation
+    * plan (per-(id, token) weight groupBy + `bits` interpreted hex-digit
+    * SUM chains): map-side combine ships one `bits`-long vector per doc
+    * per partition, and md5 runs once per occurrence.
     */
   def simhash(docs: DataFrame, bits: Int = 16, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(bits <= 32 && bits % 4 == 0, "bits must be a multiple of 4, <= 32")
-    val tokens = docs
+    docs
       .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("token"))
-      .groupBy("id", "token").agg(count(lit(1)).as("w"))
-      .withColumn("hex", substring(md5(col("token")), 1, bits / 4))
-    val bitCols = (0 until bits).map { b =>
-      val hexDigit = substring(col("hex"), b / 4 + 1, 1)
-      val v = instr(lit("0123456789abcdef"), hexDigit) - 1
-      val bit = floor(v / math.pow(2, b % 4).toInt).cast("long") % 2
-      sum(col("w") * (bit * 2 - 1)).as(s"s$b")
-    }
-    tokens.groupBy("id").agg(bitCols.head, bitCols.tail: _*)
-      .select(col("id"),
-        (0 until bits).map(b => when(col(s"s$b") > 0, math.pow(2, b).toLong).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
+      .groupBy("id")
+      .agg(graft.functions.SimHashAgg.simhash(col("token"), bits).as("simhash"))
   }
 
   /** LSH-banded SimHash near-duplicate pairs — the text twin of
