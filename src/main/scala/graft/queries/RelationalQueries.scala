@@ -1455,6 +1455,82 @@ object RelationalQueries {
         |        COUNT(*) AS n_files_src
         | FROM p, tot GROUP BY 1 ORDER BY bin""".stripMargin),
 
+    // ---- bloom-index file skipping (point lookups on unsorted columns) --
+    // the third data-skipping tier (s26 = intra-file zone maps, s29 =
+    // partition directories): zone maps are USELESS for equality on a
+    // column uncorrelated with the file layout (custkey scatters across
+    // every orderkey-ranged file), but a per-file bloom index answers
+    // "can key K be in this file?" from index bits alone. Files whose
+    // bloom misses any probe position are never read (the driver prunes
+    // the file list — manifest-level skipping, ≤ nFiles booleans). A
+    // false NEGATIVE would zero a file's matches and fail the hash; false
+    // positives just read a file that contributes nothing. The oracle
+    // replays fid assignment, every bloom position, the keep verdicts,
+    // and the per-file match counts.
+    ("s34_bloom_file_skip",
+      (s, d) => {
+        val probeKey = 7L
+        val mBits = 1 << 18
+        val base = java.nio.file.Files.createTempDirectory("graft-bloomskip").toString
+        val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val span = o.agg(max(col("o_orderkey"))).head.getLong(0) / 30L + 1L
+        o.withColumn("fid", expr(s"o_orderkey div $span"))
+          .repartition(col("fid"))
+          .write.partitionBy("fid").parquet(s"$base/files")
+        val files = s.read.parquet(s"$base/files")
+        def pos(i: Int, key: org.apache.spark.sql.Column) = conv(substring(md5(
+            concat(lit(s"$i:"), key.cast("string"))), 1, 12), 16, 10)
+          .cast("long") % mBits
+        val fileBits = files.select(col("fid"), explode(array(
+            (0 until 4).map(i => pos(i, col("o_custkey"))): _*)).as("pos"))
+          .distinct()
+        val probePos = (0 until 4).map(i => pos(i, lit(probeKey)))
+        val keptFids = fileBits
+          .join(broadcast(s.range(1).select(explode(array(probePos: _*)).as("pos"))), Seq("pos"))
+          .groupBy("fid").agg(countDistinct(col("pos")).as("nhit"))
+          .filter(col("nhit") === 4)
+          .select(col("fid").cast("long")).collect().map(_.getLong(0)).sorted // ≤ nFiles ids
+        val allFids = files.select(col("fid").cast("long")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        require(keptFids.length < allFids.length,
+          s"s34_bloom_file_skip: bloom kept every file " +
+            s"(${keptFids.length}/${allFids.length}) — no skipping demonstrated")
+        // manifest-level prune: ONLY the kept fid directories are read, and
+        // the pruned scan must find every match the full scan finds — a
+        // bloom false negative fails HERE, not as a silent missing row
+        val matched = s.read.parquet(keptFids.map(f => s"$base/files/fid=$f"): _*)
+          .filter(col("o_custkey") === probeKey).count()
+        val full = files.filter(col("o_custkey") === probeKey).count()
+        require(matched == full, s"s34_bloom_file_skip: pruned scan found " +
+          s"$matched of $full matches — the bloom produced a false negative")
+        val perKept = files.filter(col("fid").isin(keptFids: _*))
+          .groupBy("fid")
+          .agg(sum(when(col("o_custkey") === probeKey, 1L).otherwise(0L)).as("n_matches"))
+        files.select("fid").distinct()
+          .join(perKept, Seq("fid"), "left")
+          .select(col("fid").cast("long").as("fid"),
+            col("n_matches").isNotNull.as("kept"),
+            coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+          .orderBy("fid")
+      },
+      s"""WITH mx AS (SELECT MAX(o_orderkey) // 30 + 1 AS span FROM orders),
+        | f AS (SELECT o_orderkey // span AS fid, o_custkey FROM orders, mx),
+        | hs AS (SELECT unnest(generate_series(0, 3)) AS i),
+        | probe AS (SELECT i, CAST('0x' || substr(md5(i || ':' || CAST(7 AS VARCHAR)), 1, 12) AS BIGINT) % 262144 AS pos
+        |           FROM hs),
+        | fb AS (SELECT DISTINCT fid, i,
+        |          CAST('0x' || substr(md5(i || ':' || CAST(o_custkey AS VARCHAR)), 1, 12) AS BIGINT) % 262144 AS pos
+        |        FROM f, hs),
+        | hit AS (SELECT fid, COUNT(DISTINCT p.i) AS nhit
+        |         FROM probe p JOIN fb ON fb.i = p.i AND fb.pos = p.pos GROUP BY fid),
+        | allf AS (SELECT DISTINCT fid FROM f)
+        | SELECT allf.fid, COALESCE(nhit, 0) = 4 AS kept,
+        |        CASE WHEN COALESCE(nhit, 0) = 4
+        |             THEN (SELECT COUNT(*) FROM f WHERE f.fid = allf.fid AND o_custkey = 7)
+        |             ELSE 0 END AS n_matches
+        | FROM allf LEFT JOIN hit USING (fid)
+        | ORDER BY fid""".stripMargin),
+
     // ---- data-quality expectation suite (one-pass violations report) ----
     // the Great-Expectations shape: not-null, range, domain, uniqueness,
     // and FK containment evaluated against a deterministically-corrupted
