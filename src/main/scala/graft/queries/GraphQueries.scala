@@ -833,6 +833,64 @@ object GraphQueries {
         |        TRUE AS est_within_5pct
         | FROM md GROUP BY t ORDER BY t""".stripMargin),
 
+    // ---- effective diameter (90th-percentile distance) -------------------
+    // the one-number report the neighborhood function exists to produce:
+    // the interpolated t at which N(t) first covers 90% of all reachable
+    // pairs (Boldi–Vigna's d_eff, the robust alternative to the outlier-
+    // dominated true diameter). Derived from the exact N(t) table by
+    // integer-exact interpolation — d_eff_micro = (t−1)·1e6 +
+    // (9·N∞ − 10·N(t−1))·1e6 div (10·(N(t) − N(t−1))) — so both engines
+    // land the identical long. At 100 TB the N(t) input comes from
+    // [[graft.ops.GraphTraversal.hyperBall]]; the exact tier here keeps
+    // the metric under the hash.
+    ("g_eff_diameter",
+      (s, d) => {
+        val k = col("c_custkey")
+        val edges = (1 to 3).map(delta =>
+            t(s, d, "customer").select(k.as("src"), (k + delta).as("dst")))
+          .reduce(_ union _)
+        val nf = graft.ops.GraphTraversal.neighborhoodFunction(edges, maxT = 4)
+        val w = org.apache.spark.sql.expressions.Window.orderBy("t")
+        val tot = nf.agg(max(col("n_pairs"))).head.getLong(0) // 1 driver long
+        // the unpartitioned lag runs over maxT+1 = 5 rows by construction —
+        // guarded row-level so a regression fails loudly (the Pareto idiom)
+        nf.withColumn("prev", lag(graft.ops.Bounded.guard(col("n_pairs"),
+            col("t").between(0, 4),
+            "g_eff_diameter: N(t) window input exceeded the maxT bound"), 1).over(w))
+          .filter(col("prev").isNotNull &&
+            col("n_pairs") * 10 >= lit(tot) * 9 && col("prev") * 10 < lit(tot) * 9)
+          .select(
+            ((col("t") - 1).cast("long") * 1000000L +
+              expr(s"(($tot * 9 - prev * 10) * 1000000) div ((n_pairs - prev) * 10)"))
+              .cast("long").as("d_eff_micro"),
+            col("t").cast("int").as("t_ceil"),
+            lit(tot).as("n_total"))
+          .orderBy("t_ceil")
+      },
+      """WITH RECURSIVE ck AS (SELECT DISTINCT c_custkey AS kk FROM customer),
+        | e AS (SELECT kk AS src, kk + dd AS dst FROM ck,
+        |        LATERAL (SELECT unnest(generate_series(1, 3)) AS dd) g),
+        | v AS (SELECT DISTINCT u FROM
+        |        (SELECT src AS u FROM e UNION ALL SELECT dst FROM e)),
+        | walk AS (SELECT u, u AS w, 0 AS t FROM v
+        |          UNION
+        |          SELECT wk.u, e.dst AS w, wk.t + 1
+        |          FROM walk wk JOIN e ON e.src = wk.w WHERE wk.t < 4),
+        | md AS (SELECT u, w, MIN(t) AS t FROM walk GROUP BY 1, 2),
+        | nf AS (SELECT t, SUM(COUNT(*)) OVER (ORDER BY t) AS n_pairs
+        |        FROM md GROUP BY t),
+        | tot AS (SELECT MAX(n_pairs) AS nt FROM nf),
+        | lagged AS (SELECT t, n_pairs,
+        |              LAG(n_pairs) OVER (ORDER BY t) AS prev FROM nf)
+        | SELECT CAST((t - 1) * 1000000 +
+        |          (nt * 9 - prev * 10) * 1000000 // ((n_pairs - prev) * 10)
+        |          AS BIGINT) AS d_eff_micro,
+        |        CAST(t AS INTEGER) AS t_ceil,
+        |        CAST(nt AS BIGINT) AS n_total
+        | FROM lagged, tot
+        | WHERE prev IS NOT NULL AND n_pairs * 10 >= nt * 9 AND prev * 10 < nt * 9
+        | ORDER BY t_ceil""".stripMargin),
+
     // ---- modularity scoring of a community assignment --------------------
     // the quality metric that judges LPA/CC output: Q = Σ_c [m_c/m −
     // (D_c/2m)²] over the undirected successor graph with block
