@@ -99,6 +99,47 @@ object ConnectedComponents {
     * (O(log² n) expected — 30 covers any realistic corpus) rather than
     * returning a partially-contracted, silently wrong labeling.
     */
+  /** Incremental connected components under EDGE INSERTS — the graph twin
+    * of u5/u11's delta maintenance: instead of re-running star contraction
+    * over the full edge set, the new edges are COLLAPSED through the old
+    * labels (each endpoint replaced by its old component id, new vertices
+    * by themselves) and the star loop runs on that component-sized graph —
+    * at 100 TB the old labeling is a stored table and the per-increment
+    * cost tracks the DELTA's component connectivity, not the edge history.
+    * Sound because old components are internally connected: merging is
+    * decided entirely by which component ids the new edges bridge, and the
+    * final label = min over merged old labels (min of mins = global min,
+    * so output is bit-identical to a full recompute).
+    *
+    * `oldLabels` must be a full (`idCol`, `component`) labeling of the old
+    * graph (component = min member id, [[components]]' contract). Returns
+    * the same shape over old ∪ new vertices.
+    */
+  def componentsIncremental(oldLabels: DataFrame, newEdges: DataFrame,
+                            srcCol: String = "src", dstCol: String = "dst",
+                            idCol: String = "id",
+                            cp: Checkpointer = Checkpointer.Auto): DataFrame = {
+    val e = newEdges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+    val collapsed = e
+      .join(oldLabels.select(col(idCol).as("__s"), col("component").as("__cs")),
+        Seq("__s"), "left")
+      .join(oldLabels.select(col(idCol).as("__d"), col("component").as("__cd")),
+        Seq("__d"), "left")
+      .select(coalesce(col("__cs"), col("__s")).as("src"),
+        coalesce(col("__cd"), col("__d")).as("dst"))
+    val merged = components(collapsed, cp = cp) // component-scale, not data-scale
+      .select(col("id").as("component"), col("component").as("__new"))
+    val relabeledOld = oldLabels
+      .join(merged, Seq("component"), "left")
+      .select(col(idCol), coalesce(col("__new"), col("component")).as("component"))
+    val newOnly = e.select(col("__s").as(idCol)).union(e.select(col("__d").as(idCol)))
+      .distinct()
+      .join(oldLabels.select(col(idCol)), Seq(idCol), "left_anti")
+      .join(merged.select(col("component").as(idCol), col("__new")), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__new"), col(idCol)).as("component"))
+    relabeledOld.unionByName(newOnly)
+  }
+
   def components(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
                  vertices: Option[DataFrame] = None, idCol: String = "id",
                  maxIter: Int = 30, cp: Checkpointer = Checkpointer.Auto): DataFrame = {

@@ -833,6 +833,38 @@ object GraphQueries {
         |        TRUE AS est_within_5pct
         | FROM md GROUP BY t ORDER BY t""".stripMargin),
 
+    // ---- incremental connected components (edge inserts) -----------------
+    // the graph member of the delta-maintenance family (u5 agg, u11 join,
+    // d6 dedup, sim_ivf_append): the old graph is 10-key successor chains
+    // (edge k→k+1 except at k%10=9), already labeled; the DELTA bridges
+    // every 5th chain boundary (k%50=49). The increment collapses the new
+    // edges through the stored labels and re-contracts a COMPONENT-sized
+    // graph — never the edge history — and the result is bit-identical to
+    // a full recompute, which is exactly what the oracle computes
+    // (min-reachable-id over the union closure).
+    ("g_cc_incremental",
+      (s, d) => {
+        val k = col("c_custkey")
+        val cust = t(s, d, "customer")
+        val eOld = cust.filter(k % 10 =!= 9).select(k.as("src"), (k + 1).as("dst"))
+        val eNew = cust.filter(k % 50 === 49).select(k.as("src"), (k + 1).as("dst"))
+        val oldLabels = graft.ops.ConnectedComponents.components(eOld)
+        graft.ops.ConnectedComponents.componentsIncremental(oldLabels, eNew)
+          .orderBy("id")
+      },
+      """WITH RECURSIVE ck AS (SELECT DISTINCT c_custkey AS k FROM customer),
+        | de AS (SELECT k AS u, k + 1 AS v FROM ck WHERE k % 10 <> 9
+        |        UNION ALL
+        |        SELECT k, k + 1 FROM ck WHERE k % 50 = 49),
+        | vv AS (SELECT DISTINCT x AS id FROM
+        |         (SELECT u AS x FROM de UNION ALL SELECT v FROM de)),
+        | ed AS (SELECT u, v FROM de UNION SELECT v, u FROM de),
+        | reach AS (SELECT id AS u, id AS v FROM vv
+        |           UNION
+        |           SELECT r.u, e.v FROM reach r JOIN ed e ON r.v = e.u)
+        | SELECT u AS id, MIN(v) AS component FROM reach GROUP BY u
+        | ORDER BY id""".stripMargin),
+
     // ---- effective diameter (90th-percentile distance) -------------------
     // the one-number report the neighborhood function exists to produce:
     // the interpolated t at which N(t) first covers 90% of all reachable

@@ -516,6 +516,27 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(re.sorted.toSeq == got.sorted.toSeq)
   }
 
+  test("componentsIncremental == full recompute on random old/delta splits") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 50
+      val all = Seq.fill(60 + trial * 15)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      // delta includes edges touching BRAND-NEW vertices (ids >= n)
+      val extra = Seq((rnd.nextInt(n).toLong, (n + trial).toLong),
+        ((n + trial).toLong, (n + 10 + trial).toLong))
+      val (oldE, newE0) = all.splitAt(all.length * 2 / 3)
+      val newE = newE0 ++ extra
+      val oldLabels = ConnectedComponents.components(oldE.toDF("src", "dst"))
+      val inc = ConnectedComponents
+        .componentsIncremental(oldLabels, newE.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val full = ConnectedComponents.components((oldE ++ newE).toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(inc == full, s"trial $trial")
+    }
+  }
+
   test("neighborhoodFunction: path and cycle hand-counts; hyperBall exact on small graphs") {
     // directed path 0->1->2->3: cumulative pairs 4, 7, 9, 10, saturated at 10
     val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
