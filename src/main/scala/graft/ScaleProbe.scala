@@ -1066,6 +1066,30 @@ object ScaleProbe {
       timed("incrementalJoin delta leg only") { j(deltaO).count() }
       allO.unpersist()
     }
+    if (enabled("incrementalCC")) {
+      // the componentsIncremental claim measured: chains ×mult (fresh
+      // keys), delta = the chain bridges. Full recompute contracts the
+      // whole edge set every time; the increment contracts a graph whose
+      // vertices are COMPONENT ids — delta-sized work on any history
+      val baseC = spark.read.parquet(s"$sfDir/customer.parquet")
+      val cStride = baseC.agg(max(col("c_custkey"))).head.getLong(0) + 1L
+      val cust = (0 until mult).map(k =>
+          baseC.withColumn("c_custkey", col("c_custkey") + lit(k.toLong * cStride)))
+        .reduce(_ union _).cache()
+      println(s"customers (incrementalCC): ${cust.count()}")
+      val kc = col("c_custkey")
+      val eOld = cust.filter(kc % 10 =!= 9).select(kc.as("src"), (kc + 1).as("dst"))
+      val eNew = cust.filter(kc % 50 === 49).select(kc.as("src"), (kc + 1).as("dst"))
+      val oldLabels = graft.ops.ConnectedComponents.components(eOld).cache()
+      println(s"old labels: ${oldLabels.count()} (untimed precompute — the stored table)")
+      timed("incrementalCC delta increment") {
+        graft.ops.ConnectedComponents.componentsIncremental(oldLabels, eNew).count()
+      }
+      timed("incrementalCC full recompute") {
+        graft.ops.ConnectedComponents.components(eOld.union(eNew)).count()
+      }
+      oldLabels.unpersist(); cust.unpersist()
+    }
     if (Seq("simhashNearDupPairs", "hyperBall").exists(enabled)) {
       if (enabled("simhashNearDupPairs")) {
         // half-exact-copy corpus (the lshCandidates topology): every copy
