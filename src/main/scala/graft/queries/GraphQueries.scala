@@ -74,6 +74,24 @@ object GraphQueries {
       | FROM (SELECT * FROM flags UNION ALL SELECT * FROM allr)
       | ORDER BY grp""".stripMargin
 
+  /** The g_cc_incremental oracle — the full-union closure the delta
+    * maintenance must be bit-identical to. Shared with the streaming twin
+    * (per-batch componentsIncremental converges to the same labeling).
+    */
+  val CcIncrementalSql: String =
+    """WITH RECURSIVE ck AS (SELECT DISTINCT c_custkey AS k FROM customer),
+      | de AS (SELECT k AS u, k + 1 AS v FROM ck WHERE k % 10 <> 9
+      |        UNION ALL
+      |        SELECT k, k + 1 FROM ck WHERE k % 50 = 49),
+      | vv AS (SELECT DISTINCT x AS id FROM
+      |         (SELECT u AS x FROM de UNION ALL SELECT v FROM de)),
+      | ed AS (SELECT u, v FROM de UNION SELECT v, u FROM de),
+      | reach AS (SELECT id AS u, id AS v FROM vv
+      |           UNION
+      |           SELECT r.u, e.v FROM reach r JOIN ed e ON r.v = e.u)
+      | SELECT u AS id, MIN(v) AS component FROM reach GROUP BY u
+      | ORDER BY id""".stripMargin
+
   /** The a11 query body — per-flag KMV sketches + the twice-computed
     * __ALL__ row with the merge-exactness guard.
     */
@@ -852,18 +870,7 @@ object GraphQueries {
         graft.ops.ConnectedComponents.componentsIncremental(oldLabels, eNew)
           .orderBy("id")
       },
-      """WITH RECURSIVE ck AS (SELECT DISTINCT c_custkey AS k FROM customer),
-        | de AS (SELECT k AS u, k + 1 AS v FROM ck WHERE k % 10 <> 9
-        |        UNION ALL
-        |        SELECT k, k + 1 FROM ck WHERE k % 50 = 49),
-        | vv AS (SELECT DISTINCT x AS id FROM
-        |         (SELECT u AS x FROM de UNION ALL SELECT v FROM de)),
-        | ed AS (SELECT u, v FROM de UNION SELECT v, u FROM de),
-        | reach AS (SELECT id AS u, id AS v FROM vv
-        |           UNION
-        |           SELECT r.u, e.v FROM reach r JOIN ed e ON r.v = e.u)
-        | SELECT u AS id, MIN(v) AS component FROM reach GROUP BY u
-        | ORDER BY id""".stripMargin),
+      CcIncrementalSql),
 
     // ---- effective diameter (90th-percentile distance) -------------------
     // the one-number report the neighborhood function exists to produce:

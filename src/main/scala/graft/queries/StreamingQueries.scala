@@ -176,6 +176,60 @@ object StreamingQueries {
       (s, d) => windowAggShape(replayTwoBatches(s, d, "complete")(windowAggBuild)),
       WindowAggSql),
 
+    // ---- streaming incremental connected components ----------------------
+    // the 22nd twin: a GRAPH maintained at ingest. Edges arrive in two
+    // micro-batches (the old chains, then the bridges); foreachBatch folds
+    // each batch into the stored labeling with componentsIncremental —
+    // contraction work per batch is collapsed-component-sized, and the
+    // store after the last batch must equal the full-recompute oracle
+    // (g_cc_incremental's closure SQL) bit for bit. This is the shape a
+    // 100-TB identity-resolution pipeline runs: labels live in a table,
+    // every ingest batch bridges a few components, nothing ever re-reads
+    // the edge history.
+    ("stream_incremental_cc",
+      (s, d) => {
+        // no finally-delete: the returned frame READS the label store
+        // (vertex-sized — a driver collect would break the discipline);
+        // the s28/s33/s34 temp-dir convention
+        val base = java.nio.file.Files.createTempDirectory("graft-stream-cc")
+        locally {
+          val in = base.resolve("in")
+          java.nio.file.Files.createDirectories(in)
+          val k = col("c_custkey")
+          val cust = s.read.parquet(s"$d/customer.parquet")
+          cust.filter(k % 10 =!= 9).select(k.as("src"), (k + 1).as("dst"))
+            .coalesce(2).write.parquet(s"$in/b1")
+          val schema = s.read.parquet(s"$in/b1").schema
+          val store = base.resolve("labels").toString
+          @volatile var version = 0
+          val q = s.readStream.schema(schema)
+            .option("recursiveFileLookup", "true").parquet(in.toString)
+            .writeStream.outputMode("append")
+            .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                             _: Long) =>
+              if (!batch.isEmpty) {
+                val next = version + 1
+                val labels =
+                  if (version == 0)
+                    graft.ops.ConnectedComponents.components(batch.toDF())
+                  else graft.ops.ConnectedComponents.componentsIncremental(
+                    s.read.parquet(s"$store/v=$version"), batch.toDF())
+                labels.write.parquet(s"$store/v=$next")
+                version = next
+              }
+            }
+            .start()
+          try {
+            q.processAllAvailable()
+            cust.filter(k % 50 === 49).select(k.as("src"), (k + 1).as("dst"))
+              .coalesce(1).write.parquet(s"$in/b2")
+            q.processAllAvailable()
+          } finally q.stop()
+          s.read.parquet(s"${base.resolve("labels")}/v=$version").orderBy("id")
+        }
+      },
+      GraphQueries.CcIncrementalSql),
+
     // ---- bounded backfill (Trigger.AvailableNow + maxFilesPerTrigger) ----
     // the 21st twin and the operational answer to "replay 100 TB of
     // history without 100 TB of cluster": AvailableNow processes all
