@@ -1802,6 +1802,50 @@ object PipelineQueries {
         | FROM c JOIN r USING (source) JOIN l USING (lang) CROSS JOIN tt
         | ORDER BY c.source, c.lang""".stripMargin),
 
+    // ---- chi-square independence statistic --------------------------------
+    // the verdict on t_crosstab_expected's table: χ² = Σ (obs − exp)²/exp
+    // and its degrees of freedom — "is language INDEPENDENT of source", the
+    // stratification sanity check a corpus mix needs before per-source
+    // sampling. Log-free, so it stays exact-integer: per cell, with
+    // diff = n_total·obs − n_row·n_col (the ×n_total rescaling clears all
+    // fractions), cell_milli = diff² div (n_total·n_row·n_col div 1000).
+    // diff² fits a long for n_total < ~3·10⁴ — Bounded.guard-enforced, and
+    // the 100-TB form is the same arithmetic in DECIMAL(38). Same three
+    // broadcast marginals as the crosstab; the report is ONE row.
+    ("t_chi_square",
+      (s, d) => {
+        val c = t(s, d, "documents").groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_obs"))
+        val rowT = c.groupBy("source").agg(sum(col("n_obs")).as("n_row"))
+        val colT = c.groupBy("lang").agg(sum(col("n_obs")).as("n_col"))
+        val total = c.agg(sum(col("n_obs")).as("n_total"))
+        c.join(broadcast(rowT), "source")
+          .join(broadcast(colT), "lang")
+          .crossJoin(broadcast(total))
+          .withColumn("cell_milli", graft.ops.Bounded.guard(
+            expr("(n_total * n_obs - n_row * n_col) * (n_total * n_obs - n_row * n_col)" +
+              " div ((n_total * n_row * n_col) div 1000)"),
+            col("n_total") < 30000L,
+            "t_chi_square: corpus too large for long-space diff² — use the DECIMAL form"))
+          .agg(sum(col("cell_milli")).as("chi2_milli"),
+            ((countDistinct(col("source")) - 1)
+              * (countDistinct(col("lang")) - 1)).as("dof"),
+            count(lit(1)).as("n_cells"))
+      },
+      """WITH c AS (SELECT source, lang, COUNT(*) AS n_obs FROM documents GROUP BY 1, 2),
+        |  r AS (SELECT source, SUM(n_obs) AS n_row FROM c GROUP BY 1),
+        |  l AS (SELECT lang, SUM(n_obs) AS n_col FROM c GROUP BY 1),
+        |  tt AS (SELECT SUM(n_obs) AS n_total FROM c),
+        |  cells AS (SELECT c.source, c.lang,
+        |              (tt.n_total * c.n_obs - r.n_row * l.n_col)
+        |                * (tt.n_total * c.n_obs - r.n_row * l.n_col)
+        |                // ((tt.n_total * r.n_row * l.n_col) // 1000) AS cell_milli
+        |            FROM c JOIN r USING (source) JOIN l USING (lang) CROSS JOIN tt)
+        | SELECT CAST(SUM(cell_milli) AS BIGINT) AS chi2_milli,
+        |        CAST((COUNT(DISTINCT source) - 1) * (COUNT(DISTINCT lang) - 1) AS BIGINT) AS dof,
+        |        COUNT(*) AS n_cells
+        | FROM cells""".stripMargin),
+
     // ---- source vocabulary overlap (domain similarity governance) --------
     // exact Jaccard between every source pair's word sets — "which of my
     // domains are near-duplicates of each other", the corpus-level
