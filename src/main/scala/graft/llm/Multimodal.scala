@@ -536,6 +536,58 @@ object Multimodal {
     }
   }
 
+  /** Per-channel exact moments of a decoded image — the normalization
+    * constants (per-channel mean/std) every vision training pipeline
+    * computes over its corpus before feeding a model. Sums and
+    * sums-of-squares stay exact longs (pixel values ≤ 255, so squares sum
+    * safely for any real image); the corpus-level constants are one more
+    * SUM over this table — never a second decode pass.
+    */
+  final case class ChannelStats(
+      media_id: Long,
+      n_px: Long,
+      r_sum: Long, g_sum: Long, b_sum: Long,
+      r_sq: Long, g_sq: Long, b_sq: Long,
+      decoded: Boolean)
+
+  /** REAL decode → per-channel Σ and Σ² (map-side codec work; undecodable
+    * or non-image payloads emit a sentinel row with −1 fields).
+    */
+  def imageChannelStats(media: Dataset[MediaRow]): Dataset[ChannelStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = if (r.media_type == "image")
+          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes)))
+          catch { case _: Exception => None }
+        else None
+        img match {
+          case Some(im) =>
+            val w = im.getWidth; val h = im.getHeight
+            var rs = 0L; var gs = 0L; var bs = 0L
+            var rq = 0L; var gq = 0L; var bq = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = im.getRGB(x, y)
+                val rr = ((rgb >> 16) & 0xff).toLong
+                val gg = ((rgb >> 8) & 0xff).toLong
+                val bb = (rgb & 0xff).toLong
+                rs += rr; gs += gg; bs += bb
+                rq += rr * rr; gq += gg * gg; bq += bb * bb
+                x += 1
+              }
+              y += 1
+            }
+            ChannelStats(r.media_id, w.toLong * h, rs, gs, bs, rq, gq, bq, decoded = true)
+          case None =>
+            ChannelStats(r.media_id, -1L, -1L, -1L, -1L, -1L, -1L, -1L, decoded = false)
+        }
+      }
+    }
+  }
+
   /** One fixed-length energy window of a decoded audio stream: the
     * voice-activity / silence-detection primitive. `energy` = Σ s² and
     * `peak` = max |s| over the window's 16-bit samples — exact integers a

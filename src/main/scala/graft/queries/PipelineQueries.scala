@@ -2442,6 +2442,38 @@ object PipelineQueries {
         |        TRUE AS decoded
         | FROM px ORDER BY media_id""".stripMargin),
 
+    // ---- per-channel image moments (normalization constants) -------------
+    // Σc and Σc² per channel over REAL decoded pixels — the exact-integer
+    // inputs to the per-channel mean/std every vision pipeline normalizes
+    // with; corpus-level constants are one more SUM over this table, never
+    // a second decode pass. The oracle recomputes all six moments from the
+    // synthetic-BMP channel formula (channel k of pixel i =
+    // (doc_id·31 + i·7 + k·13) mod 256).
+    ("m_image_channel_stats",
+      (s, d) => Multimodal.imageChannelStats(
+          Multimodal.syntheticBmps(spread(t(s, d, "documents"))))
+        .toDF()
+        .select("media_id", "n_px", "r_sum", "g_sum", "b_sum",
+          "r_sq", "g_sq", "b_sq", "decoded")
+        .orderBy("media_id"),
+      """WITH p AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h
+        |           FROM documents),
+        | px AS (SELECT doc_id, w, h,
+        |          SUM((doc_id * 31 + i * 7) % 256) AS rs,
+        |          SUM((doc_id * 31 + i * 7 + 13) % 256) AS gs,
+        |          SUM((doc_id * 31 + i * 7 + 26) % 256) AS bs,
+        |          SUM(((doc_id * 31 + i * 7) % 256) * ((doc_id * 31 + i * 7) % 256)) AS rq,
+        |          SUM(((doc_id * 31 + i * 7 + 13) % 256) * ((doc_id * 31 + i * 7 + 13) % 256)) AS gq,
+        |          SUM(((doc_id * 31 + i * 7 + 26) % 256) * ((doc_id * 31 + i * 7 + 26) % 256)) AS bq
+        |        FROM p, LATERAL (SELECT unnest(generate_series(0, w * h - 1)) AS i) g
+        |        GROUP BY doc_id, w, h)
+        | SELECT doc_id AS media_id, CAST(w * h AS BIGINT) AS n_px,
+        |        CAST(rs AS BIGINT) AS r_sum, CAST(gs AS BIGINT) AS g_sum,
+        |        CAST(bs AS BIGINT) AS b_sum,
+        |        CAST(rq AS BIGINT) AS r_sq, CAST(gq AS BIGINT) AS g_sq,
+        |        CAST(bq AS BIGINT) AS b_sq, TRUE AS decoded
+        | FROM px ORDER BY media_id""".stripMargin),
+
     // ---- perceptual image hash (aHash) over REAL decoded pixels ---------
     // the image near-dup key: integer grayscale per pixel, bit set iff
     // at-or-above the image mean (division-free g·n >= Σg), so the oracle
