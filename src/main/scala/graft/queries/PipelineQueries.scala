@@ -918,6 +918,72 @@ object PipelineQueries {
         |                                    ORDER BY cosine DESC, neighbor_id) AS rank FROM sc)
         | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
+    // ---- prefix-dimension recall (Matryoshka-style truncation) ----------
+    // "how much ANN quality do the first 8 of 16 dimensions buy" — the
+    // governance sweep for MRL-trained embeddings, where serving truncates
+    // vectors to cut memory ×2: rank with the PREFIX dims, measure exact
+    // recall@5 against the full-dimension ranking. Both rankers are the
+    // shared integer-quantized brute-force tier (prefix = slice BEFORE
+    // quantize — the plan prunes 8 dims at the scan); recall is exact
+    // integer micro. The corpus-scale path swaps the brute-force ranker
+    // for the IVF tier unchanged — truncation composes with any ranker.
+    ("sim_prefix_dim_recall",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val q = e.filter(col("vec_id") < 20)
+        def top5(df: DataFrame, qq: DataFrame) =
+          Similarity.bruteForceTopK(qq, df, k = 5)
+            .select(col("query_id"), col("neighbor_id"))
+        val full = top5(e, q)
+        val pref = top5(
+          e.select(col("vec_id"), slice(col("embedding"), 1, 8).as("embedding")),
+          q.select(col("vec_id"), slice(col("embedding"), 1, 8).as("embedding")))
+        val overlap = full.join(pref, Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+        q.select(col("vec_id").as("query_id"))
+          .join(overlap, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+            expr("coalesce(n_overlap, 0) * 1000000 div 5").as("recall_micro"))
+          .orderBy("query_id")
+      },
+      """WITH qf AS (SELECT vec_id AS query_id,
+        |             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+        |            FROM embeddings WHERE vec_id < 20),
+        | cf AS (SELECT vec_id AS neighbor_id,
+        |             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS cv
+        |        FROM embeddings),
+        | sf AS (SELECT query_id, neighbor_id,
+        |               list_dot_product(qv, cv) /
+        |               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+        |        FROM qf CROSS JOIN cf WHERE query_id <> neighbor_id),
+        | ftop AS (SELECT query_id, neighbor_id FROM
+        |           (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY cosine DESC, neighbor_id) AS rk FROM sf)
+        |          WHERE rk <= 5),
+        | qp AS (SELECT vec_id AS query_id,
+        |             list_transform(embedding[1:8], x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+        |        FROM embeddings WHERE vec_id < 20),
+        | cp AS (SELECT vec_id AS neighbor_id,
+        |             list_transform(embedding[1:8], x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS cv
+        |        FROM embeddings),
+        | sp AS (SELECT query_id, neighbor_id,
+        |               list_dot_product(qv, cv) /
+        |               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+        |        FROM qp CROSS JOIN cp WHERE query_id <> neighbor_id),
+        | ptop AS (SELECT query_id, neighbor_id FROM
+        |           (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY cosine DESC, neighbor_id) AS rk FROM sp)
+        |          WHERE rk <= 5),
+        | ov AS (SELECT f.query_id, COUNT(*) AS n_overlap
+        |        FROM ftop f JOIN ptop p
+        |          ON f.query_id = p.query_id AND f.neighbor_id = p.neighbor_id
+        |        GROUP BY 1)
+        | SELECT qf.query_id, CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
+        |        CAST(COALESCE(n_overlap, 0) * 1000000 // 5 AS BIGINT) AS recall_micro
+        | FROM (SELECT DISTINCT query_id FROM qf) qf LEFT JOIN ov USING (query_id)
+        | ORDER BY query_id""".stripMargin),
+
     // ---- hard-negative mining (contrastive training) --------------------
     // per query, the top-3 most-similar DIFFERENT-label vectors — the
     // near-boundary negatives a contrastive objective learns from. Same

@@ -563,6 +563,49 @@ object TemporalQueries {
         |        cusum_micro > target_micro AS shifted
         | FROM c ORDER BY event_type, day""".stripMargin),
 
+    // ---- rolling least-squares trend slope -------------------------------
+    // "is this series trending, and how fast" over a 7-day ROWS frame:
+    // slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) with x = day number and
+    // y = daily count — entirely window SUMs over the DAY-GRAIN rollup
+    // (the ts_cusum discipline: window input is date-range-sized at any
+    // corpus size), and the division is one exact integer div in micro
+    // units, so gaps in the calendar are handled by the formula, not by
+    // spine fabrication. Partial leading frames are emitted with NULL
+    // slope (n < 7 is not a trend), pinned by the oracle.
+    ("ts_trend_slope",
+      (s, d) => {
+        val wr = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+        TemporalOps.loadEvents(s, d)
+          .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+          .withColumn("k", count(lit(1)).over(wr))
+          .withColumn("sx", sum(col("day")).over(wr))
+          .withColumn("sy", sum(col("n")).over(wr))
+          .withColumn("sxy", sum(col("day") * col("n")).over(wr))
+          .withColumn("sxx", sum(col("day") * col("day")).over(wr))
+          .select(col("event_type"), col("day"), col("n"),
+            when(col("k") === 7,
+              expr("(k * sxy - sx * sy) * 1000000 div (k * sxx - sx * sx)"))
+              .as("slope_micro"))
+          .orderBy("event_type", "day")
+      },
+      """WITH byday AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |                      COUNT(*) AS n FROM events GROUP BY 1, 2),
+        | w AS (SELECT event_type, day, n,
+        |              COUNT(*) OVER fr AS k,
+        |              SUM(day) OVER fr AS sx, SUM(n) OVER fr AS sy,
+        |              SUM(day * n) OVER fr AS sxy,
+        |              SUM(day * day) OVER fr AS sxx
+        |       FROM byday
+        |       WINDOW fr AS (PARTITION BY event_type ORDER BY day
+        |                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        | SELECT event_type, CAST(day AS BIGINT) AS day, n,
+        |        CASE WHEN k = 7
+        |             THEN CAST((k * sxy - sx * sy) * 1000000
+        |                    // (k * sxx - sx * sx) AS BIGINT) END AS slope_micro
+        | FROM w ORDER BY event_type, day""".stripMargin),
+
     // ---- first-order Markov transition matrix ---------------------------
     // P(next event type | event type) over each user's time-ordered stream:
     // one LEAD window pass (single shuffle on user_id), then a groupBy whose
