@@ -850,13 +850,21 @@ object GraphTraversal {
     val counts = Array.ofDim[Long](maxT + 1)
     counts(0) = visited.count()
     var t = 0
-    while (t < maxT) {
+    var exhausted = false
+    while (t < maxT && !exhausted) {
       t += 1
       val next = cp(frontier.join(e, Seq("w"))
         .select(col("u"), col("nw").as("w")).distinct()
         .join(visited, Seq("u", "w"), "left_anti"))
       val n = next.count()
-      if (n == 0L) { cp.release(next); counts(t) = counts(t - 1) }
+      if (n == 0L) {
+        // frontier exhausted: every later N(t) equals N(t-1) — backfill and
+        // stop instead of re-running the identical join per remaining round
+        // just to rediscover an empty set
+        cp.release(next)
+        for (r <- t to maxT) counts(r) = counts(t - 1)
+        exhausted = true
+      }
       else {
         counts(t) = counts(t - 1) + n
         val prevVisited = visited
@@ -918,5 +926,56 @@ object GraphTraversal {
     import spark.implicits._
     ests.zipWithIndex.map { case (n, i) => (i, n) }.toSeq
       .toDF("t", "n_est")
+  }
+
+  /** HyperBall with EXPLICIT HLL registers — the independently-checkable
+    * twin of [[hyperBall]]: instead of an opaque DataSketches binary, each
+    * vertex's counter is a sparse `(id, j, r)` register table (j = register
+    * index from the md5 low bits, r = rank = leading-zero count + 1 of a
+    * 32-bit md5 window), and a round is `max(r)` per `(id, j)` over the
+    * vertex's own registers ∪ its out-neighbors' registers — the same
+    * edge-scale join + map-combinable aggregate shape as [[hyperBall]],
+    * with O(2^lgK) register rows per vertex. Every step is integer md5
+    * arithmetic, so a SQL engine can replay the full state evolution and
+    * hash-match it — the KMV/count-min oracle pattern extended to the
+    * graph sketch (closes the "HyperBall guarded only vs exact" gap).
+    *
+    * Output: one row per round per live register — (`t`, `id`, `j`, `r`),
+    * rounds 0..maxT. Derive N-hat(t) per vertex with the raw HLL
+    * estimator in exact integer micro-units: with m = 2^lgK registers and
+    * S·2^F = (m − live)·2^F + Σ 2^(F−r), N-hat_micro = α_m·1e6 · m² · 2^F
+    * div S·2^F (F = 34 keeps every term in Long range for lgK ≤ 4).
+    */
+  def hyperBallExplicit(edges: DataFrame, maxT: Int, lgK: Int = 4,
+                        srcCol: String = "src", dstCol: String = "dst",
+                        cp: Checkpointer = Checkpointer.Auto): DataFrame = {
+    require(maxT >= 0, "hyperBallExplicit: maxT must be >= 0")
+    require(lgK >= 1 && lgK <= 12, s"hyperBallExplicit: lgK out of range: $lgK")
+    val m = 1 << lgK
+    val e = edges.select(col(srcCol).as("id"), col(dstCol).as("nid")).distinct()
+    val verts = e.select(col("id")).union(e.select(col("nid").as("id"))).distinct()
+    // j from the first 48 md5 bits (the h48 convention), rank from the next
+    // 32: r = 33 - significant-bit-count (bin() drops leading zeros in both
+    // Spark and DuckDB), 33 when the window is all zeros
+    val hx = md5(concat(lit("hb:"), col("id").cast("string")))
+    val v32 = conv(substring(hx, 13, 8), 16, 10).cast("long")
+    var state = cp(verts.select(col("id"),
+      (conv(substring(hx, 1, 12), 16, 10).cast("long") % m).as("j"),
+      when(v32 === 0L, lit(33L))
+        .otherwise(lit(33L) - length(bin(v32))).cast("long").as("r")))
+    val rounds = Seq.newBuilder[DataFrame]
+    rounds += state.withColumn("t", lit(0))
+    // every round's register table IS part of the output — no release here
+    // (releasing a local-checkpointed frame that downstream still reads
+    // would drop its only copy); the caller unpersists the result when done
+    for (t <- 1 to maxT) {
+      val contrib = e.join(state.select(col("id").as("nid"), col("j"), col("r")),
+          Seq("nid"))
+        .select(col("id"), col("j"), col("r"))
+      state = cp(state.union(contrib).groupBy("id", "j").agg(max("r").as("r"))
+        .select("id", "j", "r"))
+      rounds += state.withColumn("t", lit(t))
+    }
+    rounds.result().reduce(_ union _).select("t", "id", "j", "r")
   }
 }

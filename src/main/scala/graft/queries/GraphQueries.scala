@@ -819,11 +819,21 @@ object GraphQueries {
     // large the balls grow), run alongside and guarded within 5% of exact
     // per t. The a9 pattern: exact values hash-match, the estimate fails
     // loudly instead of silently wrong.
+    // Entry input is a FIXED 1500-vertex slice (= the whole customer graph
+    // at the correctness SF, like d17's 500-doc slice): the exact tier's
+    // pair set grows with ball volume (measured 7.6x at 10x, worst |V|^2),
+    // so an ungated exact tier in every bench re-pays a superlinear cost
+    // the entry doesn't need — correctness requires exact == oracle only
+    // at the oracle SF, where the slice IS the full graph. Production
+    // routing at scale is [[graft.ops.GraphTraversal.hyperBall]] alone
+    // (fixed 2^lgK-register state per vertex); its register replay is
+    // independently hash-checked by `g_hyperball`.
     ("g_neighborhood_func",
       (s, d) => {
         val k = col("c_custkey")
+        val cust = t(s, d, "customer").filter(k < 1500)
         val edges = (1 to 3).map(delta =>
-            t(s, d, "customer").select(k.as("src"), (k + delta).as("dst")))
+            cust.select(k.as("src"), (k + delta).as("dst")))
           .reduce(_ union _)
         val exact = graft.ops.GraphTraversal.neighborhoodFunction(edges, maxT = 4)
         val est = graft.ops.GraphTraversal.hyperBall(edges, maxT = 4, lgK = 12)
@@ -836,7 +846,8 @@ object GraphQueries {
             lit(true).as("est_within_5pct"))
           .orderBy("t")
       },
-      """WITH RECURSIVE ck AS (SELECT DISTINCT c_custkey AS k FROM customer),
+      """WITH RECURSIVE ck AS (SELECT DISTINCT c_custkey AS k FROM customer
+        |                      WHERE c_custkey < 1500),
         | e AS (SELECT k AS src, k + d AS dst FROM ck,
         |        LATERAL (SELECT unnest(generate_series(1, 3)) AS d) g),
         | v AS (SELECT DISTINCT u FROM
@@ -850,6 +861,77 @@ object GraphQueries {
         |        CAST(SUM(COUNT(*)) OVER (ORDER BY t) AS BIGINT) AS n_pairs,
         |        TRUE AS est_within_5pct
         | FROM md GROUP BY t ORDER BY t""".stripMargin),
+
+    // ---- HyperBall register replay (independent sketch oracle) ----------
+    // closes the "HyperBall is only guarded vs exact" gap: the explicit-
+    // register HyperBall ([[graft.ops.GraphTraversal.hyperBallExplicit]],
+    // the scale tier behind g_eff_diameter's distance-distribution
+    // surface) evolves sparse (id, register j, rank r) state per round,
+    // and the oracle REPLAYS the identical md5-derived register updates
+    // relationally (the KMV/count-min pattern lifted to a graph sketch):
+    // register ranks propagate dst→src along edges (+ identity
+    // persistence), round state = max rank per (id, j). Output per round:
+    // the full register-rank histogram — the sketch's ENTIRE state under
+    // the hash, stronger than checking one derived scalar — plus the raw
+    // HLL estimate in exact integer micro-units (alpha_16·1e6·m²·2^34 div
+    // S·2^34; F = 34 keeps every term in Long range).
+    ("g_hyperball",
+      (s, d) => {
+        val k = col("c_custkey")
+        val cust = t(s, d, "customer").filter(k < 1500)
+        val edges = (1 to 3).map(delta =>
+            cust.select(k.as("src"), (k + delta).as("dst")))
+          .reduce(_ union _)
+        val st = graft.ops.GraphTraversal.hyperBallExplicit(edges, maxT = 4, lgK = 4)
+        val sv = st.groupBy("t", "id").agg(
+          ((lit(16L) - count(lit(1))) * lit(1L << 34) +
+            sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(34 - r AS INT))")))
+            .as("s_scaled"))
+        // alpha_16 * 1e6 * m^2 * 2^34 = 673000 * 256 * 2^34
+        val nest = sv
+          .withColumn("e_micro",
+            expr("CAST(673000 * 256 AS BIGINT) * CAST(shiftleft(CAST(1 AS BIGINT), 34) AS BIGINT) div s_scaled"))
+          .groupBy("t").agg(sum("e_micro").cast("long").as("n_est_micro"))
+        st.groupBy("t", "r").agg(count(lit(1)).as("n_regs"))
+          .join(nest, Seq("t"))
+          .select(col("t").cast("int").as("t"), col("r").cast("long").as("r"),
+            col("n_regs"), col("n_est_micro"))
+          .orderBy("t", "r")
+      },
+      """WITH RECURSIVE ck AS (SELECT DISTINCT c_custkey AS k FROM customer
+        |                      WHERE c_custkey < 1500),
+        | e AS (SELECT k AS src, k + d AS dst FROM ck,
+        |        LATERAL (SELECT unnest(generate_series(1, 3)) AS d) g),
+        | v AS (SELECT DISTINCT u FROM
+        |        (SELECT src AS u FROM e UNION ALL SELECT dst FROM e)),
+        | init AS (SELECT u AS id,
+        |            CAST('0x' || substr(md5('hb:' || u), 1, 12) AS BIGINT) % 16 AS j,
+        |            CASE WHEN CAST('0x' || substr(md5('hb:' || u), 13, 8) AS BIGINT) = 0
+        |                 THEN 33
+        |                 ELSE 33 - length(bin(CAST('0x' || substr(md5('hb:' || u), 13, 8) AS BIGINT)))
+        |            END AS r
+        |          FROM v),
+        | prop AS (SELECT src AS id, dst AS nid FROM e
+        |          UNION ALL SELECT u, u FROM v),
+        | walk AS (SELECT 0 AS t, id, j, r FROM init
+        |          UNION
+        |          SELECT w.t + 1, p.id, w.j, w.r
+        |          FROM walk w JOIN prop p ON p.nid = w.id
+        |          WHERE w.t < 4),
+        | stt AS (SELECT t, id, j, MAX(r) AS r FROM walk GROUP BY 1, 2, 3),
+        | sv AS (SELECT t, id,
+        |               (16 - COUNT(*)) * (1::BIGINT << 34) +
+        |                 SUM(1::BIGINT << CAST(34 - r AS INTEGER)) AS s_scaled
+        |        FROM stt GROUP BY 1, 2),
+        | nest AS (SELECT t,
+        |            CAST(SUM((673000::BIGINT * 256 * (1::BIGINT << 34)) // s_scaled) AS BIGINT)
+        |              AS n_est_micro
+        |          FROM sv GROUP BY t),
+        | hist AS (SELECT t, r, COUNT(*) AS n_regs FROM stt GROUP BY 1, 2)
+        | SELECT CAST(h.t AS INTEGER) AS t, CAST(h.r AS BIGINT) AS r,
+        |        CAST(h.n_regs AS BIGINT) AS n_regs, n.n_est_micro
+        | FROM hist h JOIN nest n ON n.t = h.t
+        | ORDER BY t, r""".stripMargin),
 
     // ---- incremental connected components (edge inserts) -----------------
     // the graph member of the delta-maintenance family (u5 agg, u11 join,
@@ -885,8 +967,12 @@ object GraphQueries {
     ("g_eff_diameter",
       (s, d) => {
         val k = col("c_custkey")
+        // same fixed 1500-vertex slice as g_neighborhood_func: the exact
+        // N(t) tier is the superlinear verification twin, bounded at bench
+        // SFs (= the full graph at the oracle SF)
+        val cust = t(s, d, "customer").filter(k < 1500)
         val edges = (1 to 3).map(delta =>
-            t(s, d, "customer").select(k.as("src"), (k + delta).as("dst")))
+            cust.select(k.as("src"), (k + delta).as("dst")))
           .reduce(_ union _)
         val nf = graft.ops.GraphTraversal.neighborhoodFunction(edges, maxT = 4)
         val w = org.apache.spark.sql.expressions.Window.orderBy("t")
@@ -906,7 +992,8 @@ object GraphQueries {
             lit(tot).as("n_total"))
           .orderBy("t_ceil")
       },
-      """WITH RECURSIVE ck AS (SELECT DISTINCT c_custkey AS kk FROM customer),
+      """WITH RECURSIVE ck AS (SELECT DISTINCT c_custkey AS kk FROM customer
+        |                      WHERE c_custkey < 1500),
         | e AS (SELECT kk AS src, kk + dd AS dst FROM ck,
         |        LATERAL (SELECT unnest(generate_series(1, 3)) AS dd) g),
         | v AS (SELECT DISTINCT u FROM

@@ -27,6 +27,192 @@ object StreamingQueries {
     */
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  // ---- shared twin harness ------------------------------------------------
+  // Each twin pays fixed micro-batch machinery (staging writes, checkpoint
+  // dirs, state-store init, two processAllAvailable rounds) that measured
+  // 23% of the whole bench suite in r10. Three levers compress it without
+  // touching any oracle: RAM-backed scratch, right-sized state partitions,
+  // and staging the shared events replay once per corpus.
+
+  /** Scratch space for replay mechanics (staging parquet, checkpoints,
+    * state stores, foreachBatch stores): many-small-file IO on a disk-backed
+    * tmpdir is the twins' dominant fixed cost, so prefer RAM-backed
+    * /dev/shm when present, falling back to java.io.tmpdir. This is replay
+    * plumbing, not the measured operator — on a real cluster checkpoints
+    * live on reliable storage and their latency is amortized over real
+    * batch intervals, not paid 2x per 3-second entry.
+    */
+  private def scratchDir(prefix: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, prefix)
+    else java.nio.file.Files.createTempDirectory(prefix)
+  }
+
+  /** Run `body` (which starts AND stops its streaming query) with
+    * spark.sql.shuffle.partitions = 8: every stateful streaming operator
+    * keeps one state-store instance per shuffle partition, each writing
+    * delta + snapshot files per micro-batch (a stream-stream join keeps
+    * FOUR stores per partition), so at replay scale 32 partitions is pure
+    * fixed file churn — 8 keeps the work parallel and cuts it 4x. The conf
+    * is latched by the query AT START (StreamExecution clones the session
+    * state), and is restored right after `body`, so batch plans outside the
+    * window are untouched. At 100 TB this is per-query sizing — state
+    * partitions should track key cardinality, exactly as done here.
+    */
+  private def withStreamShuffle[T](s: SparkSession, parts: Int = 8)(body: => T): T = {
+    // measured (interleaved fresh-JVM pairs, 10-twin battery at sf0.1, shm
+    // scratch in both configs): parts=8 -> 42.3/41.3 s, parts=32 ->
+    // 68.0/61.7 s. Entries whose wall is CPU-bound BATCH compute inside the
+    // replay (iterative CC in foreachBatch, token-explode aggregation,
+    // store-join foreachBatch sinks) pass parts=0 = keep the session's 32:
+    // for them the state-store file churn is noise and the 4x parallelism
+    // loss dominates (stream_incremental_cc 4.2 -> 14.4 s under parts=8).
+    // GRAFT_STREAM_PARTS overrides everything (A/B aid); "0" disables.
+    val n = sys.env.getOrElse("GRAFT_STREAM_PARTS", parts.toString)
+    if (n == "0") body
+    else {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = s.conf.get(key)
+      s.conf.set(key, n)
+      try body finally s.conf.set(key, prev)
+    }
+  }
+
+  /** The events two-batch staging (grain-normalized ts, median-ts cut,
+    * b1/b2 parquet) is byte-identical across the ~8 twins that replay the
+    * events table — stage it ONCE per corpus dir in a session-lifetime
+    * scratch dir and give each twin its own input dir of hardlinks (same
+    * filesystem, so links are metadata-only). The two-batch protocol is
+    * preserved exactly: each twin links b1, processes it to completion,
+    * then links b2 — batch boundaries are as deterministic as before.
+    */
+  private case class StagedEvents(b1: java.nio.file.Path, b2: java.nio.file.Path)
+  private val stagedEventsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StagedEvents]()
+  private lazy val stagedRoot: java.nio.file.Path = {
+    val p = scratchDir("graft-stream-staged-shared")
+    sys.addShutdownHook(
+      try org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+      catch { case _: Throwable => () })
+    p
+  }
+
+  private def stagedEvents(s: SparkSession, d: String): StagedEvents =
+    stagedEventsCache.computeIfAbsent(d, _ => {
+      val base = java.nio.file.Files.createTempDirectory(stagedRoot, "events")
+      val raw = TemporalOps.loadEvents(s, d)
+      val evTs = raw.withColumn("ts", TemporalOps.asTimestamp(raw, "ts")).drop("ts_us")
+      val cutUs = evTs.select(unix_micros(col("ts")).as("us"))
+        .stat.approxQuantile("us", Array(0.5), 0.0)(0).toLong
+      evTs.filter(unix_micros(col("ts")) <= cutUs).coalesce(4)
+        .write.parquet(s"$base/b1")
+      evTs.filter(unix_micros(col("ts")) > cutUs).coalesce(4)
+        .write.parquet(s"$base/b2")
+      StagedEvents(base.resolve("b1"), base.resolve("b2"))
+    })
+
+  /** Same once-per-corpus staging for OTHER shared two-batch splits (the
+    * lineitem median-orderkey halves feed three sketch twins, the documents
+    * median-doc_id halves feed four text twins): `key` names the split,
+    * `mk` builds the two batch frames only on the first request.
+    */
+  private val stagedPairCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), StagedEvents]()
+  private def stagedPair(d: String, key: String)
+                        (mk: => (DataFrame, DataFrame)): StagedEvents =
+    stagedPairCache.computeIfAbsent((d, key), _ => {
+      val base = java.nio.file.Files.createTempDirectory(stagedRoot, key)
+      val (b1, b2) = mk
+      b1.coalesce(4).write.parquet(s"$base/b1")
+      b2.coalesce(4).write.parquet(s"$base/b2")
+      StagedEvents(base.resolve("b1"), base.resolve("b2"))
+    })
+
+  /** [[replayStaged]] over an already-staged split: hardlinks the staged
+    * parquet into a fresh per-twin input dir (two-batch protocol intact),
+    * never re-paying the staging write or the median-cut job.
+    */
+  private def replayLinked(s: SparkSession, staged: StagedEvents, mode: String,
+                           parts: Int = 8)
+                          (build: DataFrame => DataFrame): DataFrame = {
+    val base = scratchDir("graft-stream-linked")
+    try {
+      val in = base.resolve("in")
+      linkBatch(staged.b1, in.resolve("b1"))
+      val schema = s.read.parquet(s"$in/b1").schema
+      withStreamShuffle(s, parts) {
+        val stream = s.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(in.toString)
+        val nm = s"stream_oracle_${runSeq.incrementAndGet()}"
+        val q = build(stream).writeStream.outputMode(mode)
+          .option("checkpointLocation", base.resolve("ckpt").toString)
+          .format("memory").queryName(nm).start()
+        try {
+          q.processAllAvailable()
+          linkBatch(staged.b2, in.resolve("b2"))
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(nm)
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
+  /** lineitem split at the median l_orderkey — shared by the count-min,
+    * KMV and top-k sketch twins. */
+  private def stagedLineitem(s: SparkSession, d: String): StagedEvents =
+    stagedPair(d, "li-cut") {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val cut = li.stat.approxQuantile("l_orderkey", Array(0.5), 0.0)(0).toLong
+      (li.filter(col("l_orderkey") <= cut), li.filter(col("l_orderkey") > cut))
+    }
+
+  /** documents split at the median doc_id — shared by the running-stats,
+    * heavy-hitters, split-assign and quality twins. */
+  private def stagedDocs(s: SparkSession, d: String): StagedEvents =
+    stagedPair(d, "docs-cut") {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val cut = docs.stat.approxQuantile("doc_id", Array(0.5), 0.0)(0).toLong
+      (docs.filter(col("doc_id") <= cut), docs.filter(col("doc_id") > cut))
+    }
+
+  /** Row bound for [[pinBoundedStore]] in the foreachBatch-MERGE twin: the
+    * store keys are (1-hour window × event type) — time-range-, not
+    * event-count-, proportional. 2^18 is orders of magnitude above any SF's
+    * window count while still far below a "the merge degraded to
+    * append-only history" store.
+    */
+  private[queries] val MaxUpsertStoreRows: Long = 1L << 18
+
+  /** Guarded driver-side pin of a bounded summary store: REQUIRE the row
+    * count is within `cap` before localizing, so a bug that unbounds the
+    * store fails loudly instead of becoming a data-sized collect (the
+    * `Bounded.guard` discipline, driver-side form). Package-visible so the
+    * spec can trip the guard on an oversized store.
+    */
+  private[queries] def pinBoundedStore(s: SparkSession, fin: DataFrame,
+                                       cap: Long, what: String): DataFrame = {
+    val n = fin.count()
+    require(n <= cap, s"$what: store has $n rows, beyond the bounded-summary " +
+      s"cap $cap — refusing the driver-side pin")
+    s.createDataFrame(s.sparkContext.parallelize(fin.collect().toIndexedSeq), fin.schema)
+  }
+
+  /** Hardlink every regular file of staged parquet dir `from` into `to`
+    * (created). Falls back to copy if the link fails (cross-device). */
+  private def linkBatch(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    java.nio.file.Files.createDirectories(to)
+    val it = java.nio.file.Files.list(from).iterator()
+    while (it.hasNext) {
+      val f = it.next()
+      if (java.nio.file.Files.isRegularFile(f)) {
+        val dst = to.resolve(f.getFileName)
+        try java.nio.file.Files.createLink(dst, f)
+        catch { case _: Throwable => java.nio.file.Files.copy(f, dst) }
+      }
+    }
+  }
+
   /** Replay the events table as a DETERMINISTIC two-micro-batch file
     * stream: batch 1 = events at or before the median timestamp, batch 2 =
     * the rest, written only after batch 1 is fully processed
@@ -38,29 +224,29 @@ object StreamingQueries {
     * is grain-normalized ([[TemporalOps.asTimestamp]]) at staging, so the
     * stream sees TIMESTAMP whatever the driver's parquet writer used.
     */
-  private def replayTwoBatches(s: SparkSession, d: String, mode: String)
+  private def replayTwoBatches(s: SparkSession, d: String, mode: String,
+                               parts: Int = 8)
                               (build: DataFrame => DataFrame): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft-stream-oracle")
+    val staged = stagedEvents(s, d)
+    val base = scratchDir("graft-stream-oracle")
     try {
       val in = base.resolve("in")
-      java.nio.file.Files.createDirectories(in)
-      val raw = TemporalOps.loadEvents(s, d)
-      val evTs = raw.withColumn("ts", TemporalOps.asTimestamp(raw, "ts")).drop("ts_us")
-      val cutUs = evTs.select(unix_micros(col("ts")).as("us"))
-        .stat.approxQuantile("us", Array(0.5), 0.0)(0).toLong
-      evTs.filter(unix_micros(col("ts")) <= cutUs).coalesce(4).write.parquet(s"$in/b1")
+      linkBatch(staged.b1, in.resolve("b1"))
       val schema = s.read.parquet(s"$in/b1").schema
-      val stream = s.readStream.schema(schema)
-        .option("recursiveFileLookup", "true").parquet(in.toString)
-      val nm = s"stream_oracle_${runSeq.incrementAndGet()}"
-      val q = build(stream).writeStream.outputMode(mode)
-        .format("memory").queryName(nm).start()
-      try {
-        q.processAllAvailable()
-        evTs.filter(unix_micros(col("ts")) > cutUs).coalesce(4).write.parquet(s"$in/b2")
-        q.processAllAvailable()
-      } finally q.stop()
-      s.table(nm)
+      withStreamShuffle(s, parts) {
+        val stream = s.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(in.toString)
+        val nm = s"stream_oracle_${runSeq.incrementAndGet()}"
+        val q = build(stream).writeStream.outputMode(mode)
+          .option("checkpointLocation", base.resolve("ckpt").toString)
+          .format("memory").queryName(nm).start()
+        try {
+          q.processAllAvailable()
+          linkBatch(staged.b2, in.resolve("b2"))
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(nm)
+      }
     } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
   }
 
@@ -88,25 +274,28 @@ object StreamingQueries {
     * run `build` over the stream, return the memory sink.
     */
   private def replayStaged(s: SparkSession, b1: DataFrame, b2: DataFrame,
-                           mode: String)
+                           mode: String, parts: Int = 8)
                           (build: DataFrame => DataFrame): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft-stream-staged")
+    val base = scratchDir("graft-stream-staged")
     try {
       val in = base.resolve("in")
       java.nio.file.Files.createDirectories(in)
       b1.coalesce(4).write.parquet(s"$in/b1")
       val schema = s.read.parquet(s"$in/b1").schema
-      val stream = s.readStream.schema(schema)
-        .option("recursiveFileLookup", "true").parquet(in.toString)
-      val nm = s"stream_oracle_${runSeq.incrementAndGet()}"
-      val q = build(stream).writeStream.outputMode(mode)
-        .format("memory").queryName(nm).start()
-      try {
-        q.processAllAvailable()
-        b2.coalesce(4).write.parquet(s"$in/b2")
-        q.processAllAvailable()
-      } finally q.stop()
-      s.table(nm)
+      withStreamShuffle(s, parts) {
+        val stream = s.readStream.schema(schema)
+          .option("recursiveFileLookup", "true").parquet(in.toString)
+        val nm = s"stream_oracle_${runSeq.incrementAndGet()}"
+        val q = build(stream).writeStream.outputMode(mode)
+          .option("checkpointLocation", base.resolve("ckpt").toString)
+          .format("memory").queryName(nm).start()
+        try {
+          q.processAllAvailable()
+          b2.coalesce(4).write.parquet(s"$in/b2")
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(nm)
+      }
     } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
   }
 
@@ -121,28 +310,26 @@ object StreamingQueries {
     */
   private def replayTwoBatchesWithRestart(s: SparkSession, d: String)
                                          (build: DataFrame => DataFrame): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft-stream-restart")
+    val staged = stagedEvents(s, d)
+    val base = scratchDir("graft-stream-restart")
     try {
       val in = base.resolve("in")
-      java.nio.file.Files.createDirectories(in)
-      val raw = TemporalOps.loadEvents(s, d)
-      val evTs = raw.withColumn("ts", TemporalOps.asTimestamp(raw, "ts")).drop("ts_us")
-      val cutUs = evTs.select(unix_micros(col("ts")).as("us"))
-        .stat.approxQuantile("us", Array(0.5), 0.0)(0).toLong
-      evTs.filter(unix_micros(col("ts")) <= cutUs).coalesce(4).write.parquet(s"$in/b1")
+      linkBatch(staged.b1, in.resolve("b1"))
       val schema = s.read.parquet(s"$in/b1").schema
-      def start(nm: String) = build(s.readStream.schema(schema)
-          .option("recursiveFileLookup", "true").parquet(in.toString))
-        .writeStream.outputMode("complete")
-        .option("checkpointLocation", base.resolve("ckpt").toString)
-        .format("memory").queryName(nm).start()
-      val q1 = start(s"stream_oracle_${runSeq.incrementAndGet()}")
-      try q1.processAllAvailable() finally q1.stop()
-      evTs.filter(unix_micros(col("ts")) > cutUs).coalesce(4).write.parquet(s"$in/b2")
-      val nm2 = s"stream_oracle_${runSeq.incrementAndGet()}"
-      val q2 = start(nm2)
-      try q2.processAllAvailable() finally q2.stop()
-      s.table(nm2)
+      withStreamShuffle(s) {
+        def start(nm: String) = build(s.readStream.schema(schema)
+            .option("recursiveFileLookup", "true").parquet(in.toString))
+          .writeStream.outputMode("complete")
+          .option("checkpointLocation", base.resolve("ckpt").toString)
+          .format("memory").queryName(nm).start()
+        val q1 = start(s"stream_oracle_${runSeq.incrementAndGet()}")
+        try q1.processAllAvailable() finally q1.stop()
+        linkBatch(staged.b2, in.resolve("b2"))
+        val nm2 = s"stream_oracle_${runSeq.incrementAndGet()}"
+        val q2 = start(nm2)
+        try q2.processAllAvailable() finally q2.stop()
+        s.table(nm2)
+      }
     } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
   }
 
@@ -191,8 +378,8 @@ object StreamingQueries {
         // no finally-delete: the returned frame READS the label store
         // (vertex-sized — a driver collect would break the discipline);
         // the s28/s33/s34 temp-dir convention
-        val base = java.nio.file.Files.createTempDirectory("graft-stream-cc")
-        locally {
+        val base = scratchDir("graft-stream-cc")
+        withStreamShuffle(s, parts = 0) {
           val in = base.resolve("in")
           java.nio.file.Files.createDirectories(in)
           val k = col("c_custkey")
@@ -205,6 +392,7 @@ object StreamingQueries {
           val q = s.readStream.schema(schema)
             .option("recursiveFileLookup", "true").parquet(in.toString)
             .writeStream.outputMode("append")
+            .option("checkpointLocation", base.resolve("ckpt").toString)
             .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                              _: Long) =>
               if (!batch.isEmpty) {
@@ -241,7 +429,7 @@ object StreamingQueries {
     // the resource bound it demonstrates.
     ("stream_backfill_bounded",
       (s, d) => {
-        val base = java.nio.file.Files.createTempDirectory("graft-stream-backfill")
+        val base = scratchDir("graft-stream-backfill")
         try {
           val in = base.resolve("in")
           java.nio.file.Files.createDirectories(in)
@@ -249,18 +437,21 @@ object StreamingQueries {
           raw.withColumn("ts", TemporalOps.asTimestamp(raw, "ts")).drop("ts_us")
             .repartition(4).write.parquet(s"$in/all")
           val schema = s.read.parquet(s"$in/all").schema
-          val nm = s"stream_oracle_${runSeq.incrementAndGet()}"
-          val q = windowAggBuild(s.readStream.schema(schema)
-              .option("maxFilesPerTrigger", "1")
-              .option("recursiveFileLookup", "true").parquet(in.toString))
-            .writeStream.outputMode("complete")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .format("memory").queryName(nm).start()
-          try q.awaitTermination() finally q.stop()
-          val nBatches = q.recentProgress.map(_.batchId).distinct.length
-          require(nBatches > 1, s"stream_backfill_bounded: expected the " +
-            s"4-file backfill to split into micro-batches, got $nBatches")
-          windowAggShape(s.table(nm))
+          withStreamShuffle(s) {
+            val nm = s"stream_oracle_${runSeq.incrementAndGet()}"
+            val q = windowAggBuild(s.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("recursiveFileLookup", "true").parquet(in.toString))
+              .writeStream.outputMode("complete")
+              .option("checkpointLocation", base.resolve("ckpt").toString)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .format("memory").queryName(nm).start()
+            try q.awaitTermination() finally q.stop()
+            val nBatches = q.recentProgress.map(_.batchId).distinct.length
+            require(nBatches > 1, s"stream_backfill_bounded: expected the " +
+              s"4-file backfill to split into micro-batches, got $nBatches")
+            windowAggShape(s.table(nm))
+          }
         } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
       },
       WindowAggSql),
@@ -278,45 +469,47 @@ object StreamingQueries {
     // history (the same delta discipline as u11).
     ("stream_foreach_upsert",
       (s, d) => {
-        val base = java.nio.file.Files.createTempDirectory("graft-stream-feb")
+        val staged = stagedEvents(s, d)
+        val base = scratchDir("graft-stream-feb")
         try {
           val in = base.resolve("in")
-          java.nio.file.Files.createDirectories(in)
-          val raw = TemporalOps.loadEvents(s, d)
-          val evTs = raw.withColumn("ts", TemporalOps.asTimestamp(raw, "ts")).drop("ts_us")
-          val cutUs = evTs.select(unix_micros(col("ts")).as("us"))
-            .stat.approxQuantile("us", Array(0.5), 0.0)(0).toLong
-          evTs.filter(unix_micros(col("ts")) <= cutUs).coalesce(4).write.parquet(s"$in/b1")
+          linkBatch(staged.b1, in.resolve("b1"))
           val schema = s.read.parquet(s"$in/b1").schema
           val store = base.resolve("store").toString
           @volatile var version = 0
-          val q = windowAggBuild(s.readStream.schema(schema)
-              .option("recursiveFileLookup", "true").parquet(in.toString))
-            .writeStream.outputMode("update")
-            .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                             _: Long) =>
-              if (!batch.isEmpty) {
-                val next = version + 1
-                val merged =
-                  if (version == 0) batch.toDF()
-                  else s.read.parquet(s"$store/v=$version")
-                    .join(batch, Seq("win_start", "event_type"), "left_anti")
-                    .unionByName(batch.toDF())
-                merged.write.parquet(s"$store/v=$next")
-                version = next
+          withStreamShuffle(s) {
+            val q = windowAggBuild(s.readStream.schema(schema)
+                .option("recursiveFileLookup", "true").parquet(in.toString))
+              .writeStream.outputMode("update")
+              .option("checkpointLocation", base.resolve("ckpt").toString)
+              .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                               _: Long) =>
+                if (!batch.isEmpty) {
+                  val next = version + 1
+                  val merged =
+                    if (version == 0) batch.toDF()
+                    else s.read.parquet(s"$store/v=$version")
+                      .join(batch, Seq("win_start", "event_type"), "left_anti")
+                      .unionByName(batch.toDF())
+                  merged.write.parquet(s"$store/v=$next")
+                  version = next
+                }
               }
-            }
-            .start()
-          try {
-            q.processAllAvailable()
-            evTs.filter(unix_micros(col("ts")) > cutUs).coalesce(4).write.parquet(s"$in/b2")
-            q.processAllAvailable()
-          } finally q.stop()
+              .start()
+            try {
+              q.processAllAvailable()
+              linkBatch(staged.b2, in.resolve("b2"))
+              q.processAllAvailable()
+            } finally q.stop()
+          }
           // the store is a bounded summary (windows × event types); pin it
-          // before the temp dir vanishes
-          val fin = s.read.parquet(s"$store/v=$version")
-          windowAggShape(s.createDataFrame(
-            s.sparkContext.parallelize(fin.collect().toIndexedSeq), fin.schema))
+          // before the temp dir vanishes. The bound is EXECUTABLE, not a
+          // comment: an unbounded store (e.g. a keying bug degrading the
+          // merge to append-only history) must fail loudly in the guarded
+          // pin, never silently become a data-sized driver collect.
+          windowAggShape(pinBoundedStore(s,
+            s.read.parquet(s"$store/v=$version"), MaxUpsertStoreRows,
+            "stream_foreach_upsert"))
         } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
       },
       WindowAggSql),
@@ -400,7 +593,7 @@ object StreamingQueries {
     // DuckDB's NATIVE ASOF JOIN — an independent algorithm on a third
     // execution model.
     ("stream_asof_join",
-      (s, d) => replayTwoBatches(s, d, "append")(StreamingIngest.streamingAsofEnrich(_))
+      (s, d) => replayTwoBatches(s, d, "append", parts = 0)(StreamingIngest.streamingAsofEnrich(_))
         .select("user_id", "event_id", "click_value")
         .orderBy("event_id"),
       """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS tsn
@@ -442,7 +635,7 @@ object StreamingQueries {
         val cut = corpus.stat.approxQuantile("doc_id", Array(0.5), 0.0)(0).toLong
         replayStaged(s,
             corpus.filter(col("doc_id") <= cut),
-            corpus.filter(col("doc_id") > cut), "append")(st =>
+            corpus.filter(col("doc_id") > cut), "append", parts = 0)(st =>
           StreamingIngest.streamingDecontaminate(st, bloom))
           .select("doc_id", "source")
           .orderBy("doc_id")
@@ -458,11 +651,7 @@ object StreamingQueries {
     // corpus.
     ("stream_running_stats",
       (s, d) => {
-        val docs = s.read.parquet(s"$d/documents.parquet")
-        val cut = docs.stat.approxQuantile("doc_id", Array(0.5), 0.0)(0).toLong
-        replayStaged(s,
-            docs.filter(col("doc_id") <= cut),
-            docs.filter(col("doc_id") > cut), "update")(st =>
+        replayLinked(s, stagedDocs(s, d), "update")(st =>
           StreamingIngest.runningSourceStats(st))
           .groupBy("source")
           .agg(max(col("n_docs")).as("n_docs"),
@@ -484,23 +673,25 @@ object StreamingQueries {
       (s, d) => {
         val part = s.read.parquet(s"$d/part.parquet")
           .select("p_partkey", "p_name", "p_brand")
-        val base = java.nio.file.Files.createTempDirectory("graft-er-stream")
+        val base = scratchDir("graft-er-stream")
         try {
           val in = base.resolve("in")
           java.nio.file.Files.createDirectories(in)
           part.filter(col("p_partkey") % 2 === 0).coalesce(4).write.parquet(s"$in/b1")
           val schema = s.read.parquet(s"$in/b1").schema
-          val stream = s.readStream.schema(schema)
-            .option("recursiveFileLookup", "true").parquet(in.toString)
-          val q = StreamingIngest.startEntityMatchStream(stream,
-            s"$base/store", s"$base/matches", s"$base/ckpt",
-            blockCols = Seq("p_brand"), keyCol = "p_partkey",
-            nameCol = "p_name", minSim = 0.9)
-          try {
-            q.processAllAvailable()
-            part.filter(col("p_partkey") % 2 === 1).coalesce(4).write.parquet(s"$in/b2")
-            q.processAllAvailable()
-          } finally q.stop()
+          withStreamShuffle(s, parts = 0) {
+            val stream = s.readStream.schema(schema)
+              .option("recursiveFileLookup", "true").parquet(in.toString)
+            val q = StreamingIngest.startEntityMatchStream(stream,
+              s"$base/store", s"$base/matches", s"$base/ckpt",
+              blockCols = Seq("p_brand"), keyCol = "p_partkey",
+              nameCol = "p_name", minSim = 0.9)
+            try {
+              q.processAllAvailable()
+              part.filter(col("p_partkey") % 2 === 1).coalesce(4).write.parquet(s"$in/b2")
+              q.processAllAvailable()
+            } finally q.stop()
+          }
           s.read.parquet(s"$base/matches")
             .select("p_brand", "key_ref", "key_in", "name_ref", "name_in", "sim")
             .orderBy("key_ref", "key_in")
@@ -526,21 +717,23 @@ object StreamingQueries {
         val ev = graft.ops.TemporalOps.loadEvents(s, d)
           .select("event_id", "user_id", "event_type", "ts_us")
         val cut = ev.stat.approxQuantile("ts_us", Array(0.5), 0.0)(0).toLong
-        val base = java.nio.file.Files.createTempDirectory("graft-attr-stream")
+        val base = scratchDir("graft-attr-stream")
         try {
           val in = base.resolve("in")
           java.nio.file.Files.createDirectories(in)
           ev.filter(col("ts_us") <= cut).coalesce(4).write.parquet(s"$in/b1")
           val schema = s.read.parquet(s"$in/b1").schema
-          val stream = s.readStream.schema(schema)
-            .option("recursiveFileLookup", "true").parquet(in.toString)
-          val q = StreamingIngest.startAttributionStream(stream,
-            s"$base/touches", s"$base/attrib", s"$base/ckpt")
-          try {
-            q.processAllAvailable()
-            ev.filter(col("ts_us") > cut).coalesce(4).write.parquet(s"$in/b2")
-            q.processAllAvailable()
-          } finally q.stop()
+          withStreamShuffle(s, parts = 0) {
+            val stream = s.readStream.schema(schema)
+              .option("recursiveFileLookup", "true").parquet(in.toString)
+            val q = StreamingIngest.startAttributionStream(stream,
+              s"$base/touches", s"$base/attrib", s"$base/ckpt")
+            try {
+              q.processAllAvailable()
+              ev.filter(col("ts_us") > cut).coalesce(4).write.parquet(s"$in/b2")
+              q.processAllAvailable()
+            } finally q.stop()
+          }
           s.read.parquet(s"$base/attrib")
             .select("event_id", "user_id", "last_touch", "first_touch", "n_touches")
             .orderBy("event_id")
@@ -572,10 +765,7 @@ object StreamingQueries {
       (s, d) => {
         val k = 30
         val docs = s.read.parquet(s"$d/documents.parquet")
-        val cut = docs.stat.approxQuantile("doc_id", Array(0.5), 0.0)(0).toLong
-        val sketch = replayStaged(s,
-            docs.filter(col("doc_id") <= cut),
-            docs.filter(col("doc_id") > cut), "complete") { st =>
+        val sketch = replayLinked(s, stagedDocs(s, d), "complete", parts = 0) { st =>
           st.select(explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
             .filter(col("token") =!= "")
             .agg(graft.functions.MisraGries.sketch(col("token"), k).as("cands"),
@@ -599,9 +789,7 @@ object StreamingQueries {
     ("stream_countmin",
       (s, d) => {
         val li = s.read.parquet(s"$d/lineitem.parquet")
-        val cut = li.stat.approxQuantile("l_orderkey", Array(0.5), 0.0)(0).toLong
-        val cells = replayStaged(s, li.filter(col("l_orderkey") <= cut),
-            li.filter(col("l_orderkey") > cut), "complete") { st =>
+        val cells = replayLinked(s, stagedLineitem(s, d), "complete", parts = 0) { st =>
           graft.ops.Sketches.countMinCells(
             st.select(col("l_suppkey").as("key")), "key", 4, 32)
         }
@@ -627,9 +815,7 @@ object StreamingQueries {
     ("stream_topk",
       (s, d) => {
         val li = s.read.parquet(s"$d/lineitem.parquet")
-        val cut = li.stat.approxQuantile("l_orderkey", Array(0.5), 0.0)(0).toLong
-        replayStaged(s, li.filter(col("l_orderkey") <= cut),
-            li.filter(col("l_orderkey") > cut), "complete") { st =>
+        replayLinked(s, stagedLineitem(s, d), "complete") { st =>
           st.select(col("l_returnflag"),
               round(col("l_extendedprice") * 100).cast("long").as("cents"),
               (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"))
@@ -658,9 +844,7 @@ object StreamingQueries {
       (s, d) => {
         val k = 64
         val li = s.read.parquet(s"$d/lineitem.parquet")
-        val cut = li.stat.approxQuantile("l_orderkey", Array(0.5), 0.0)(0).toLong
-        val perGrp = replayStaged(s, li.filter(col("l_orderkey") <= cut),
-            li.filter(col("l_orderkey") > cut), "complete") { st =>
+        val perGrp = replayLinked(s, stagedLineitem(s, d), "complete") { st =>
           st.select(col("l_returnflag").as("grp"),
               graft.ops.Sketches.h48(col("l_orderkey")).as("hv"))
             .groupBy("grp")
@@ -732,10 +916,7 @@ object StreamingQueries {
 
     ("stream_split_assign",
       (s, d) => {
-        val docs = s.read.parquet(s"$d/documents.parquet")
-        val cut = docs.stat.approxQuantile("doc_id", Array(0.5), 0.0)(0).toLong
-        replayStaged(s, docs.filter(col("doc_id") <= cut),
-            docs.filter(col("doc_id") > cut), "append") { st =>
+        replayLinked(s, stagedDocs(s, d), "append") { st =>
           graft.llm.Sampling.assignSplit(st, "doc_id",
               Seq(0.8 -> "train", 0.9 -> "val", 1.0 -> "test"))
             .select("doc_id", "split")
@@ -749,11 +930,7 @@ object StreamingQueries {
 
     ("stream_quality_linear",
       (s, d) => {
-        val docs = s.read.parquet(s"$d/documents.parquet")
-        val cut = docs.stat.approxQuantile("doc_id", Array(0.5), 0.0)(0).toLong
-        replayStaged(s,
-            docs.filter(col("doc_id") <= cut),
-            docs.filter(col("doc_id") > cut), "complete")(st =>
+        replayLinked(s, stagedDocs(s, d), "complete")(st =>
           graft.llm.TextStats.hashedLinearScore(st,
             (0 until 64).map(b => (b % 7) - 3)))
           .orderBy("id")
