@@ -427,8 +427,11 @@ object Multimodal {
     }
   }
 
-  /** Decode a WAV/AIFF/AU payload to its raw 16-bit samples (interleaved
-    * if multi-channel) plus the sample rate. None when not decodable.
+  /** Decode a WAV/AIFF/AU payload to its raw samples plus the sample rate.
+    * PRECONDITION: 16-bit MONO only — any multi-channel or non-16-bit
+    * stream returns None (it is NOT decoded interleaved), which downstream
+    * ([[decimateAudio]]) surfaces as an undecimated pass-through that the
+    * feature pass reports `decoded = false`, never a silent wrong answer.
     */
   private def decodeSamples(bytes: Array[Byte]): Option[(Int, Array[Short])] =
     try {
@@ -1204,6 +1207,115 @@ object Multimodal {
     import docs.sparkSession.implicits._
     docs.select(col(idCol)).as[Long].map { id =>
       MediaRow(id, "video", "video/x-msvideo", syntheticAviDib(id), -1, -1, 0L)
+    }
+  }
+
+  // ---- Y4M (YUV4MPEG2) — the second codec-free video container ---------
+
+  /** Parse a YUV4MPEG2 stream: one ASCII header line
+    * (`YUV4MPEG2 W<w> H<h> [F..] [C<cs>]\n`), then per frame a
+    * `FRAME[ params]\n` marker followed by raw planar pixel bytes. Raw
+    * frames need no codec, so this is genuinely decodable in the sandbox
+    * JDK — alongside DIB-AVI it shrinks the fakeDecode surface to
+    * compressed codecs only. Supported chroma: `C444` (3 planes of w·h)
+    * and `Cmono` (one plane); the spec's default 420 subsamplings return
+    * None (unsupported-precondition, not silent garbage).
+    * Returns (w, h, frames).
+    */
+  def parseY4m(bytes: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] = {
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i < bytes.length && bytes(i) != 0x0A) i += 1
+      i
+    }
+    val he = lineEnd(0)
+    if (he >= bytes.length) None
+    else {
+      val toks = new String(bytes, 0, he, "ISO-8859-1").split(" ")
+      if (toks.isEmpty || toks(0) != "YUV4MPEG2") None
+      else {
+        var w = -1; var h = -1; var cs = "420jpeg"
+        for (t <- toks.iterator.drop(1)) {
+          if (t.startsWith("W")) w = t.drop(1).toIntOption.getOrElse(-1)
+          else if (t.startsWith("H")) h = t.drop(1).toIntOption.getOrElse(-1)
+          else if (t.startsWith("C")) cs = t.drop(1)
+        }
+        val planeMult = cs match {
+          case "444" => 3
+          case "mono" => 1
+          case _ => 0
+        }
+        if (w <= 0 || h <= 0 || planeMult == 0) None
+        else {
+          val frameSize = planeMult * w * h
+          val frames = Seq.newBuilder[Array[Byte]]
+          var pos = he + 1
+          var ok = true
+          while (ok && pos < bytes.length) {
+            val fe = lineEnd(pos)
+            val marker = new String(bytes, pos, math.min(fe, bytes.length) - pos, "ISO-8859-1")
+            if (!marker.startsWith("FRAME") || fe >= bytes.length ||
+                fe + 1 + frameSize > bytes.length) ok = false
+            else {
+              frames += java.util.Arrays.copyOfRange(bytes, fe + 1, fe + 1 + frameSize)
+              pos = fe + 1 + frameSize
+            }
+          }
+          if (!ok) None else Some((w, h, frames.result()))
+        }
+      }
+    }
+  }
+
+  /** REAL per-frame decode over Y4M payloads — the [[decodeVideoFrames]]
+    * shape on the second codec-free container: one [[VideoFrame]] row per
+    * frame with the exact integer sum of every plane byte (raw planar
+    * storage — no codec, no float); undecodable payloads emit the one
+    * sentinel row (frame_idx -1, decoded false).
+    */
+  def decodeY4mFrames(media: Dataset[MediaRow]): Dataset[VideoFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val frames = for {
+          (w, h, fs) <- parseY4m(r.bytes).toSeq
+          (bytes, idx) <- fs.zipWithIndex
+        } yield {
+          var sum = 0L
+          var i = 0
+          while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+          VideoFrame(r.media_id, idx, w, h, sum, decoded = true)
+        }
+        if (frames.nonEmpty) frames
+        else Seq(VideoFrame(r.media_id, -1, -1, -1, -1L, decoded = false))
+      }
+    }
+  }
+
+  /** A REAL C444 Y4M stream, every byte a pure function of `docId`: the
+    * SAME logical frames as [[syntheticAviDib]] ([[aviDims]] dims,
+    * [[aviPx]] channels — plane c holds channel c), so the per-frame sums
+    * of the two containers are identical by construction and one oracle
+    * arithmetic covers both.
+    */
+  def syntheticY4m(docId: Long): Array[Byte] = {
+    val (w, h, n) = aviDims(docId)
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C444\n".getBytes("ISO-8859-1")
+    val marker = "FRAME\n".getBytes("ISO-8859-1")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(header)
+    for (f <- 0 until n) {
+      out.write(marker)
+      for (c <- 0 until 3; i <- 0 until w * h)
+        out.write(aviPx(docId, f, i, c))
+    }
+    out.toByteArray
+  }
+
+  def syntheticY4ms(docs: DataFrame, idCol: String = "doc_id"): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol)).as[Long].map { id =>
+      MediaRow(id, "video", "video/x-yuv4mpeg2", syntheticY4m(id), -1, -1, 0L)
     }
   }
 

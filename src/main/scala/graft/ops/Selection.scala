@@ -25,14 +25,27 @@ object Selection {
     * callers can ask for quantile ranks ("ceil(i·n/10)") without a second
     * pass. Returns (rank, value) rows. `bucketWidth` trades driver summary
     * size against boundary-bucket scan size.
+    *
+    * PRECONDITION (guarded, not assumed): the driver summary is bounded by
+    * the number of NON-EMPTY buckets, which is value-range/bucketWidth only
+    * for clustered domains. On a sparse wide domain (hashes, epoch-micros)
+    * non-empty buckets approach the distinct-value count and the collect
+    * would be data-sized — the summary is therefore capped at `maxBuckets`
+    * and the call FAILS LOUDLY past it (raise `bucketWidth`, or pre-map the
+    * domain) instead of silently pulling data to the driver.
     */
   def valuesAtRanks(spark: SparkSession, df: DataFrame, valueCol: String,
                     ranksOf: Long => Seq[Long],
-                    bucketWidth: Long = 4096L): DataFrame = {
+                    bucketWidth: Long = 4096L,
+                    maxBuckets: Int = 1 << 18): DataFrame = {
     val vals = df.select(col(valueCol).as("__v"))
     val hist = vals.groupBy(expr(s"__v div $bucketWidth").as("b"))
       .agg(count(lit(1)).as("bn"))
-      .orderBy("b").collect() // bucket-count-sized summary
+      .orderBy("b").limit(maxBuckets + 1).collect() // bucket-count-sized summary
+    require(hist.length <= maxBuckets,
+      s"valuesAtRanks: more than $maxBuckets non-empty value buckets at " +
+        s"bucketWidth=$bucketWidth — sparse wide domain; raise bucketWidth " +
+        "so the driver summary stays bounded")
     val n = hist.map(_.getLong(1)).sum
     val ranks = ranksOf(n)
     require(ranks.nonEmpty && ranks == ranks.sorted,

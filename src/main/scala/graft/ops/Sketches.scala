@@ -123,6 +123,10 @@ object Sketches {
     * when the sketch never filled, else (k−1)·2⁴⁸ div h₍ₖ₎.
     */
   def kmvEstimate(bkCol: String, k: Int): Column = {
+    // (k-1) << 48 must stay in Long range: k-1 < 2^15 (the shift keeps the
+    // top 16 bits clear, one of them the sign) — past that the numerator
+    // silently wraps negative and every estimate is garbage
+    require(k >= 2 && k <= 32768, s"kmvEstimate: k out of [2, 32768]: $k")
     val num = (k - 1L) << HashBits
     expr(s"CASE WHEN size($bkCol) < $k THEN CAST(size($bkCol) AS BIGINT) " +
       s"ELSE $num div element_at($bkCol, $k).id END")
@@ -161,7 +165,8 @@ object Sketches {
     * broadcast-sized table.
     */
   def kmvSetOps(sketches: DataFrame, groupCol: String, k: Int): DataFrame = {
-    require(k >= 2, s"kmvSetOps: k must be >= 2: $k")
+    // same Long-range bound as kmvEstimate: (k-1) << 48 wraps for k > 32768
+    require(k >= 2 && k <= 32768, s"kmvSetOps: k out of [2, 32768]: $k")
     val num = (k - 1L) << HashBits
     val a = sketches.select(col(groupCol).as("s1"),
       expr("transform(bk, e -> e.id)").as("ids1"))

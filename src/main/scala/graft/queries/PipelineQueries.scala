@@ -1882,10 +1882,21 @@ object PipelineQueries {
       (s, d) => {
         val c = t(s, d, "documents").groupBy("source", "lang")
           .agg(count(lit(1)).as("n_obs"))
+        // DENSIFIED contingency grid: a true chi-square sums expected mass
+        // over structural-zero cells too (a source that never emits a
+        // lang), matching the declared dof = (|sources|-1)(|langs|-1) —
+        // observed-cells-only would understate the statistic on sparse
+        // tables. The crossJoin is dims x dims (bounded by the categorical
+        // cardinalities, never data-sized).
+        val srcs = c.select("source").distinct()
+        val langs = c.select("lang").distinct()
+        val dense = srcs.crossJoin(broadcast(langs))
+          .join(c, Seq("source", "lang"), "left")
+          .na.fill(0L, Seq("n_obs"))
         val rowT = c.groupBy("source").agg(sum(col("n_obs")).as("n_row"))
         val colT = c.groupBy("lang").agg(sum(col("n_obs")).as("n_col"))
         val total = c.agg(sum(col("n_obs")).as("n_total"))
-        c.join(broadcast(rowT), "source")
+        dense.join(broadcast(rowT), "source")
           .join(broadcast(colT), "lang")
           .crossJoin(broadcast(total))
           .withColumn("cell_milli", graft.ops.Bounded.guard(
@@ -1899,14 +1910,18 @@ object PipelineQueries {
             count(lit(1)).as("n_cells"))
       },
       """WITH c AS (SELECT source, lang, COUNT(*) AS n_obs FROM documents GROUP BY 1, 2),
+        |  dense AS (SELECT s.source, ll.lang, COALESCE(c.n_obs, 0) AS n_obs
+        |            FROM (SELECT DISTINCT source FROM c) s
+        |            CROSS JOIN (SELECT DISTINCT lang FROM c) ll
+        |            LEFT JOIN c USING (source, lang)),
         |  r AS (SELECT source, SUM(n_obs) AS n_row FROM c GROUP BY 1),
         |  l AS (SELECT lang, SUM(n_obs) AS n_col FROM c GROUP BY 1),
         |  tt AS (SELECT SUM(n_obs) AS n_total FROM c),
-        |  cells AS (SELECT c.source, c.lang,
-        |              (tt.n_total * c.n_obs - r.n_row * l.n_col)
-        |                * (tt.n_total * c.n_obs - r.n_row * l.n_col)
+        |  cells AS (SELECT dn.source, dn.lang,
+        |              (tt.n_total * dn.n_obs - r.n_row * l.n_col)
+        |                * (tt.n_total * dn.n_obs - r.n_row * l.n_col)
         |                // ((tt.n_total * r.n_row * l.n_col) // 1000) AS cell_milli
-        |            FROM c JOIN r USING (source) JOIN l USING (lang) CROSS JOIN tt)
+        |            FROM dense dn JOIN r USING (source) JOIN l USING (lang) CROSS JOIN tt)
         | SELECT CAST(SUM(cell_milli) AS BIGINT) AS chi2_milli,
         |        CAST((COUNT(DISTINCT source) - 1) * (COUNT(DISTINCT lang) - 1) AS BIGINT) AS dof,
         |        COUNT(*) AS n_cells
@@ -2815,6 +2830,35 @@ object PipelineQueries {
         |  (4, 1, 8, 4, 10990, TRUE),
         |  (4, 2, 8, 4, 13079, TRUE)
         | ) t(col0, col1, col2, col3, col4, col5)""".stripMargin),
+
+    // ---- REAL per-frame decode over synthetic Y4M streams ---------------
+    // the SECOND codec-free video container (YUV4MPEG2: ASCII header +
+    // FRAME markers + raw planar pixels — no codec exists to stub): the
+    // walker genuinely parses header tokens and frame boundaries, and the
+    // per-frame sums are the SAME arithmetic as m_video_frames because
+    // syntheticY4m packs the identical logical frames (aviDims/aviPx,
+    // plane c = channel c) into the other container — cross-container
+    // agreement is the point, and one oracle formula covers both. With
+    // DIB-AVI + Y4M real, the fakeDecode stub is confined to compressed
+    // codecs (H.264-class) the sandbox JDK cannot have.
+    ("m_y4m_frames",
+      (s, d) => Multimodal.decodeY4mFrames(
+          Multimodal.syntheticY4ms(spread(t(s, d, "documents"))))
+        .toDF().orderBy("media_id", "frame_idx"),
+      """WITH p AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h,
+        |                  2 + doc_id % 3 AS n FROM documents),
+        | fr AS (SELECT doc_id, w, h, f
+        |        FROM p, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS f) g),
+        | px AS (SELECT doc_id, f, w, h,
+        |          SUM((doc_id * 31 + f * 101 + i * 7) % 256
+        |            + (doc_id * 31 + f * 101 + i * 7 + 13) % 256
+        |            + (doc_id * 31 + f * 101 + i * 7 + 26) % 256) AS s
+        |        FROM fr, LATERAL (SELECT unnest(generate_series(0, w * h - 1)) AS i) g2
+        |        GROUP BY doc_id, f, w, h)
+        | SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+        |        CAST(w AS INTEGER) AS img_w, CAST(h AS INTEGER) AS img_h,
+        |        CAST(s AS BIGINT) AS px_sum, TRUE AS decoded
+        | FROM px ORDER BY media_id, frame_idx""".stripMargin),
 
     // ---- connected components over the near-dup pair graph --------------
     // large-star/small-star contraction resolving jaccard pairs into

@@ -553,4 +553,44 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert((0 to 4).forall(t => hb(t) == nf(t)), hb.toString)
   }
+
+  test("hyperBallExplicit registers equal a JVM-side md5 replay of the ball sets") {
+    // independent replay: compute each vertex's (j, r) with
+    // java.security.MessageDigest and take max r per register over the
+    // exact reachable set — the engine's Spark-md5 register evolution must
+    // match bit for bit at every round (the same property the g_hyperball
+    // DuckDB oracle checks cross-engine)
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map(b => f"${b & 0xff}%02x").mkString
+    }
+    def jr(id: Long): (Long, Long) = {
+      val hx = md5hex(s"hb:$id")
+      val j = java.lang.Long.parseLong(hx.substring(0, 12), 16) % 16
+      val v32 = java.lang.Long.parseLong(hx.substring(12, 20), 16)
+      val r = if (v32 == 0L) 33L else 33L - (64 - java.lang.Long.numberOfLeadingZeros(v32))
+      (j, r)
+    }
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (1L, 3L))
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val succ = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def ball(v: Long, t: Int): Set[Long] = {
+      var b = Set(v)
+      for (_ <- 1 to t) b = b ++ b.flatMap(w => succ.getOrElse(w, Set.empty[Long]))
+      b
+    }
+    val maxT = 3
+    val expected = (for {
+      t <- 0 to maxT
+      v <- verts
+      (j, rs) <- ball(v, t).toSeq.map(w => jr(w)).groupBy(_._1)
+        .map { case (j, xs) => (j, xs.map(_._2).max) }
+    } yield (t, v, j, rs)).toSet
+    val got = graft.ops.GraphTraversal.hyperBallExplicit(
+        edges.toDF("src", "dst"), maxT = maxT, lgK = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected, s"got=${got.size} expected=${expected.size}")
+  }
 }

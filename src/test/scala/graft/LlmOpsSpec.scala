@@ -1603,6 +1603,44 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(bad.length == 1 && !bad(0).decoded && bad(0).frame_idx == -1)
   }
 
+  test("Y4M walk + frame sums are position-exact and agree with the DIB-AVI container") {
+    for (id <- Seq(0L, 1L, 7L, 123L)) {
+      val (ew, eh, en) = Multimodal.aviDims(id)
+      val Some((w, h, frames)) = Multimodal.parseY4m(Multimodal.syntheticY4m(id))
+      assert(w == ew && h == eh && frames.length == en, s"id=$id header/frames")
+      val wph = ew * eh
+      frames.zipWithIndex.foreach { case (f, fi) =>
+        // position-exact: plane c, pixel i is the aviPx formula value
+        for (c <- 0 to 2; i <- Seq(0, wph / 2, wph - 1))
+          assert((f(c * wph + i) & 0xff) == Multimodal.aviPx(id, fi, i, c),
+            s"id=$id frame=$fi plane=$c px=$i")
+        val expect = (0 until wph).map(i =>
+          (0 to 2).map(c => Multimodal.aviPx(id, fi, i, c).toLong).sum).sum
+        assert(f.map(b => (b & 0xff).toLong).sum == expect, s"id=$id frame=$fi sum")
+      }
+    }
+    // cross-container agreement: the same logical frames packed as Y4M and
+    // as DIB-AVI must land identical (media, frame) -> (w, h, px_sum) rows
+    val in = docs(3L -> "a", 8L -> "b")
+    def key(rows: Array[Multimodal.VideoFrame]) =
+      rows.map(r => (r.media_id, r.frame_idx) -> (r.img_w, r.img_h, r.px_sum)).toMap
+    val y = key(Multimodal.decodeY4mFrames(Multimodal.syntheticY4ms(in)).collect())
+    val a = key(Multimodal.decodeVideoFrames(Multimodal.syntheticAvis(in)).collect())
+    assert(y == a && y.nonEmpty)
+    // corrupt payload (truncated mid-frame) and unsupported chroma both
+    // emit ONE sentinel row — never a throw, never a vanished id
+    val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+    val bad = Multimodal.decodeY4mFrames(
+      Multimodal.syntheticY4ms(docs(3L -> "a")).map(r => r.copy(bytes = r.bytes.take(20)))(enc))
+      .collect()
+    assert(bad.length == 1 && !bad(0).decoded && bad(0).frame_idx == -1)
+    val c420 = Multimodal.decodeY4mFrames(
+      Multimodal.syntheticY4ms(docs(3L -> "a")).map(r => r.copy(bytes =
+        new String(r.bytes, "ISO-8859-1").replace("C444", "C420").getBytes("ISO-8859-1")))(enc))
+      .collect()
+    assert(c420.length == 1 && !c420(0).decoded)
+  }
+
   test("MJPEG fixtures: real JPEG-in-AVI frames decode to position-exact pixels") {
     // goldens recorded from the committed fixture bytes at authoring time;
     // javax.imageio JPEG decode is deterministic for fixed bytes, so any
