@@ -91,21 +91,13 @@ object UriOps {
     else VTuple(term, tokens(0), tokens(1), validSet.contains(tokens(0)))
   }
 
-  /** UDF form returning struct(term, id, number, is_valid_vertex). */
+  /** UDF form returning struct(term, id, number, is_valid_vertex).
+    * EQUIVALENCE-SPEC ONLY (VTupleParseSpec pins it row-identical to the
+    * native codegen expression) — every hot path uses
+    * [[graft.functions.VTupleParse]]; this is not an API to build on.
+    */
   val vtupleUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((s: String) => createVTuple(s))
-
-  /** Append vtuple struct columns for `srcCol` under prefix `p`:
-    * `{p}_term, {p}_id, {p}_number, {p}_valid`.
-    */
-  def withVTuple(prefix: String, srcCol: Column): Seq[(String, Column)] = {
-    val v = vtupleUdf(srcCol)
-    Seq(
-      s"${prefix}_term" -> v.getField("term"),
-      s"${prefix}_id" -> v.getField("id"),
-      s"${prefix}_number" -> v.getField("number"),
-      s"${prefix}_valid" -> v.getField("isValidVertex"))
-  }
 
   // --------------------------------------------------------------- N3
 
