@@ -68,6 +68,18 @@ object PlanDump {
     // Q17: the dim filter must stay a broadcast SEMI join
     "q17_small_qty_revenue" -> (Seq("BroadcastHashJoin"),
       Seq("SortMergeJoin", "CartesianProduct")),
+    // Q3: the segment+date-filtered order dim must broadcast against the
+    // shipdate-filtered fact scan (an SMJ means the filters stopped
+    // shrinking the dim below the threshold)
+    "q3_shipping_priority" -> (Seq("BroadcastHashJoin"),
+      Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct")),
+    // Q4: EXISTS rewritten to the per-order max pre-aggregate; the join of
+    // the two order-count-sized sides may broadcast or shuffle (AQE's
+    // call) — only a cartesian would be wrong
+    "q4_order_priority" -> (Seq.empty[String], Seq("CartesianProduct")),
+    // Q14: part is a pure broadcast dimension
+    "q14_promo_revenue" -> (Seq("BroadcastHashJoin"),
+      Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct")),
     // Q18: both enrichment joins ride the broadcast survivor set
     "q18_large_volume_cust" -> (Seq("BroadcastHashJoin"),
       Seq("SortMergeJoin", "CartesianProduct")),

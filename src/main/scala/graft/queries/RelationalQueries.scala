@@ -985,6 +985,143 @@ object RelationalQueries {
         |   AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
         | GROUP BY 1 ORDER BY n_name""".stripMargin),
 
+    // ---- pushdown showcase (Q6 shape: filter-only scan, no join at all) --
+    // the minimal-plan classic: three predicates and one 2-column
+    // projection over the 100-TB-side table — shipdate and quantity reach
+    // the parquet scan as PushedFilters and ReadSchema is exactly the
+    // columns touched, so the plan IS the scan. Revenue in exact integer
+    // cent²-units (price_cents × discount_pct — the Q6 semantics).
+    ("q6_forecast_revenue",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          round(col("l_discount") * 100).cast("long").between(5, 7) &&
+          col("l_quantity") < 24)
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+            round(col("l_discount") * 100).cast("long")).as("revenue_c4"),
+          count(lit(1)).as("n_items")),
+      """SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) *
+        |                CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_c4,
+        |       COUNT(*) AS n_items
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |   AND l_shipdate < TIMESTAMP '1997-01-01'
+        |   AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+        |   AND l_quantity < 24""".stripMargin),
+
+    // ---- shipping-priority top-k (Q3 shape: filtered 3-table join) -------
+    // segment-filtered customers and date-filtered orders collapse into a
+    // broadcast dimension; the lineitem scan keeps only post-cutoff
+    // shipments, so the big side is filtered BEFORE the join and the
+    // global top-10 runs as TakeOrderedAndProject (per-partition heaps,
+    // never a full sort). Grouping by l_orderkey makes rows unique per
+    // order and the (revenue desc, date, orderkey) order total — the
+    // LIMIT content is deterministic, so it hashes.
+    ("q3_shipping_priority",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val ord = t(s, d, "orders")
+          .filter(col("o_orderdate") < lit("1998-06-01"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") > lit("1998-06-01"))
+          .select(col("l_orderkey"),
+            (round(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev"))
+          .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(sum(col("rev")).as("revenue_c4"))
+          .orderBy(col("revenue_c4").desc, col("o_orderdate"), col("l_orderkey"))
+          .limit(10)
+          .select(col("l_orderkey"),
+            // parquet NTZ timestamp -> UTC-session instant, as everywhere
+            unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+            col("o_orderpriority"), col("revenue_c4"))
+      },
+      """SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+        |       o_orderpriority,
+        |       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) *
+        |                (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+        |         AS revenue_c4
+        | FROM customer JOIN orders ON o_custkey = c_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        | WHERE c_mktsegment = 'BUILDING'
+        |   AND o_orderdate < TIMESTAMP '1998-06-01'
+        |   AND l_shipdate > TIMESTAMP '1998-06-01'
+        | GROUP BY 1, 2, 3
+        | ORDER BY revenue_c4 DESC, o_orderdate_us, l_orderkey
+        | LIMIT 10""".stripMargin),
+
+    // ---- order-priority check (Q4 shape: date-windowed EXISTS) -----------
+    // the correlated-EXISTS classic adapted to this schema (no
+    // commit/receipt dates): an order counts iff SOME line item shipped
+    // more than 60 days after the order date. The predicate is MONOTONE in
+    // l_shipdate, so EXISTS rewrites exactly to max(l_shipdate) per order —
+    // the lineitem side collapses map-combinably to one row per order
+    // BEFORE the join (a naive left-semi here would have to broadcast the
+    // fact side — wrong at 100 TB; the pre-aggregate makes both join
+    // inputs orderkey-keyed and order-count-sized).
+    ("q4_order_priority",
+      (s, d) => {
+        val ord = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01") &&
+            col("o_orderdate") < lit("1998-01-01"))
+        val lmax = t(s, d, "lineitem")
+          .groupBy("l_orderkey").agg(max(col("l_shipdate")).as("max_ship"))
+        ord.join(lmax, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("max_ship") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy("o_orderpriority")
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        | FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |   AND o_orderdate < TIMESTAMP '1998-01-01'
+        |   AND EXISTS (SELECT 1 FROM lineitem
+        |               WHERE l_orderkey = o_orderkey
+        |                 AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        | GROUP BY 1 ORDER BY o_orderpriority""".stripMargin),
+
+    // ---- promotion-revenue share (Q14 shape: conditional aggregate) ------
+    // one year of shipments joined to the broadcast part dimension; the
+    // PROMO share is a single conditional-sum pass. Share in ppm by
+    // integer arithmetic — promo_c4 div (total_c4 div 1e6), NOT
+    // promo·1e6/total, whose numerator overflows Long at bench scale
+    // (total_c4 ≈ 4·10¹³ at sf0.1); both engines replay the identical
+    // truncating form, so it hashes.
+    ("q14_promo_revenue",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01") &&
+            col("l_shipdate") < lit("1998-01-01"))
+          .select(col("l_partkey"),
+            (round(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev"))
+        li.join(broadcast(t(s, d, "part").select("p_partkey", "p_type")),
+            col("l_partkey") === col("p_partkey"))
+          .agg(sum(when(col("p_type") === "PROMO", col("rev")).otherwise(0L))
+              .as("promo_c4"),
+            sum(col("rev")).as("total_c4"))
+          .select(col("promo_c4"), col("total_c4"),
+            expr("promo_c4 div (total_c4 div 1000000)").as("promo_share_ppm"))
+      },
+      """WITH r AS (SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN
+        |                 CAST(round(l_extendedprice*100) AS BIGINT) *
+        |                 (100 - CAST(round(l_discount*100) AS BIGINT))
+        |                 ELSE 0 END) AS BIGINT) AS promo_c4,
+        |               CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) *
+        |                 (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+        |                 AS total_c4
+        |        FROM lineitem JOIN part ON l_partkey = p_partkey
+        |        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |          AND l_shipdate < TIMESTAMP '1998-01-01')
+        | SELECT promo_c4, total_c4,
+        |        CAST(promo_c4 // (total_c4 // 1000000) AS BIGINT) AS promo_share_ppm
+        | FROM r""".stripMargin),
+
     // ---- corrupt-record routing (dead-letter ingestion) -----------------
     // the never-silently-drop discipline for semi-structured ingest: a
     // JSON payload per document (synthesized identically on both engines;
