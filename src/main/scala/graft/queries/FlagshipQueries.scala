@@ -65,7 +65,7 @@ object FlagshipQueries {
   val all: Seq[RelationalQueries.Entry] = Seq(
     ("pipeline_flagship",
       (s: SparkSession, _: String) => {
-        val out = java.nio.file.Files.createTempDirectory("graft-flagship").toString
+        val out = graft.ops.Scratch.dir("graft-flagship").toString
         try {
           graft.pipeline.OntologyPipeline.run(s, oboDir, out,
             phenotypePattern = "macrophage\\.owl")

@@ -21,6 +21,21 @@ object GraphQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     RelationalQueries.t(s, dir, name)
 
+  /** Run an EAGER iterative loop (neighborhoodFunction / hyperBall execute
+    * their rounds inside the entry fn) with right-sized shuffle
+    * partitions: on the fixed 1500-vertex verification slice the ~24 tiny
+    * per-round jobs are scheduler-latency-bound, and 32 partitions per
+    * round is pure fixed cost. Restored immediately after; the returned
+    * frame is a driver-side counts table, unaffected. At 100 TB this is
+    * the same per-query sizing the streaming twins document.
+    */
+  private def withParts[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   private val Obo = "http://purl.obolibrary.org/obo/"
 
   /** The a10 count-min oracle — shared with the streaming twin (cell-sum
@@ -829,7 +844,7 @@ object GraphQueries {
     // (fixed 2^lgK-register state per vertex); its register replay is
     // independently hash-checked by `g_hyperball`.
     ("g_neighborhood_func",
-      (s, d) => {
+      (s, d) => withParts(s, 8) {
         val k = col("c_custkey")
         val cust = t(s, d, "customer").filter(k < 1500)
         val edges = (1 to 3).map(delta =>
@@ -876,7 +891,7 @@ object GraphQueries {
     // HLL estimate in exact integer micro-units (alpha_16·1e6·m²·2^34 div
     // S·2^34; F = 34 keeps every term in Long range).
     ("g_hyperball",
-      (s, d) => {
+      (s, d) => withParts(s, 8) {
         val k = col("c_custkey")
         val cust = t(s, d, "customer").filter(k < 1500)
         val edges = (1 to 3).map(delta =>
@@ -965,7 +980,7 @@ object GraphQueries {
     // [[graft.ops.GraphTraversal.hyperBall]]; the exact tier here keeps
     // the metric under the hash.
     ("g_eff_diameter",
-      (s, d) => {
+      (s, d) => withParts(s, 8) {
         val k = col("c_custkey")
         // same fixed 1500-vertex slice as g_neighborhood_func: the exact
         // N(t) tier is the superlinear verification twin, bounded at bench

@@ -1144,7 +1144,7 @@ object PipelineQueries {
       (s, d) => {
         val e = t(s, d, "embeddings")
         val cents = Similarity.collectQuantizedCentroids(e, 16)
-        val store = java.nio.file.Files.createTempDirectory("graft-ivf-store")
+        val store = graft.ops.Scratch.dir("graft-ivf-store")
           .toString + "/postings"
         Similarity.ivfAssign(e.filter(col("vec_id") % 2 === 0), cents)
           .write.parquet(store)
@@ -2071,7 +2071,7 @@ object PipelineQueries {
       (s, d) => {
         import org.apache.spark.sql.types.{LongType, StringType, StructType}
         val docs = t(s, d, "documents")
-        val base = java.nio.file.Files.createTempDirectory("graft-jsonl")
+        val base = graft.ops.Scratch.dir("graft-jsonl")
         try {
           val in = s"$base/in"
           docs.filter(col("doc_id") % 17 =!= 0)
@@ -2108,7 +2108,7 @@ object PipelineQueries {
       (s, d) => {
         import org.apache.spark.sql.types.{LongType, StringType, StructType}
         val docs = t(s, d, "documents")
-        val base = java.nio.file.Files.createTempDirectory("graft-csv")
+        val base = graft.ops.Scratch.dir("graft-csv")
         try {
           val in = s"$base/in"
           docs.select(concat(
@@ -2141,7 +2141,7 @@ object PipelineQueries {
     ("s19_orc_ingest",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val base = java.nio.file.Files.createTempDirectory("graft-orc")
+        val base = graft.ops.Scratch.dir("graft-orc")
         try {
           docs.write.partitionBy("source").orc(s"$base/in")
           s.read.orc(s"$base/in")

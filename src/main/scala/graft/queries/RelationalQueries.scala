@@ -1542,7 +1542,7 @@ object RelationalQueries {
     ("s33_compaction_apply",
       (s, d) => {
         import org.apache.spark.sql.functions.{input_file_name => ifn}
-        val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
+        val base = graft.ops.Scratch.dir("graft-compact").toString
         val li = t(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
         // data-relative granularity (two 1-value driver scalars, replayed
@@ -1575,7 +1575,9 @@ object RelationalQueries {
           s"the rewrite lost or duplicated rows ($pre vs $post)")
         require(nAfter < nBefore, s"s33_compaction_apply: no file-count " +
           s"reduction ($nBefore -> $nAfter) — binning degenerated")
-        after.groupBy("bin")
+        // partition-dir read-back infers bin as int32 — pin the declared
+        // long type so the schema matches the oracle under strict compare
+        after.groupBy(col("bin").cast("long").as("bin"))
           .agg(count(lit(1)).as("n_rows"), countDistinct(col("fid")).as("n_files_src"))
           .orderBy("bin")
       },
@@ -1608,7 +1610,7 @@ object RelationalQueries {
       (s, d) => {
         val probeKey = 7L
         val mBits = 1 << 18
-        val base = java.nio.file.Files.createTempDirectory("graft-bloomskip").toString
+        val base = graft.ops.Scratch.dir("graft-bloomskip").toString
         val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
         val span = o.agg(max(col("o_orderkey"))).head.getLong(0) / 30L + 1L
         o.withColumn("fid", expr(s"o_orderkey div $span"))
@@ -1767,7 +1769,7 @@ object RelationalQueries {
     ("s23_schema_evolution",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val base = java.nio.file.Files.createTempDirectory("graft-schema-evo")
+        val base = graft.ops.Scratch.dir("graft-schema-evo")
         try {
           docs.filter(col("doc_id") < 250)
             .select(col("doc_id"), col("n_chars"))
@@ -1951,7 +1953,7 @@ object RelationalQueries {
     ("s28_bucketed_join",
       (s, d) => {
         import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-        val base = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+        val base = graft.ops.Scratch.dir("graft-bucketed").toString
         def writeBucketed(df: DataFrame, table: String, key: String): Unit = {
           s.sql(s"DROP TABLE IF EXISTS $table")
           df.write.bucketBy(8, key).sortBy(key)
@@ -2063,7 +2065,7 @@ object RelationalQueries {
     ("s29_partition_prune",
       (s, d) => {
         import org.apache.spark.sql.execution.FileSourceScanExec
-        val base = java.nio.file.Files.createTempDirectory("graft-partprune")
+        val base = graft.ops.Scratch.dir("graft-partprune")
           .toString + "/orders_by_month"
         t(s, d, "orders")
           .withColumn("ym", date_format(col("o_orderdate"), "yyyy-MM"))
@@ -2101,7 +2103,7 @@ object RelationalQueries {
     // the read-back per-status rollup proves O/P intact + F rewritten.
     ("s30_insert_overwrite",
       (s, d) => {
-        val base = java.nio.file.Files.createTempDirectory("graft-dynover")
+        val base = graft.ops.Scratch.dir("graft-dynover")
           .toString + "/orders_by_status"
         val prep = t(s, d, "orders").select(col("o_orderkey"),
           round(col("o_totalprice") * 100).cast("long").as("cents"),

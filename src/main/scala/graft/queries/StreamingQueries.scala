@@ -42,12 +42,8 @@ object StreamingQueries {
     * live on reliable storage and their latency is amortized over real
     * batch intervals, not paid 2x per 3-second entry.
     */
-  private def scratchDir(prefix: String): java.nio.file.Path = {
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
-      java.nio.file.Files.createTempDirectory(shm, prefix)
-    else java.nio.file.Files.createTempDirectory(prefix)
-  }
+  private def scratchDir(prefix: String): java.nio.file.Path =
+    graft.ops.Scratch.dir(prefix)
 
   /** Run `body` (which starts AND stops its streaming query) with
     * spark.sql.shuffle.partitions = 8: every stateful streaming operator
