@@ -1878,6 +1878,74 @@ object PipelineQueries {
     // diff² fits a long for n_total < ~3·10⁴ — Bounded.guard-enforced, and
     // the 100-TB form is the same arithmetic in DECIMAL(38). Same three
     // broadcast marginals as the crosstab; the report is ONE row.
+    // ---- cross-corpus n-gram novelty scoring -----------------------------
+    // the curation signal between unigram surprisal (t_unigram_surprisal)
+    // and span dedup (d10): per document, the fraction of its distinct
+    // 3-gram shingles that occur NOWHERE else in the corpus (df = 1).
+    // Low novelty = boilerplate/template mass; high = unique content.
+    // Plan: ONE map-combinable gram-df aggregate + one shingle-keyed join
+    // back + a doc-keyed aggregate — both join sides gram-scale, no pair
+    // explosion anywhere; exact integer ppm so it hashes.
+    ("t_ngram_novelty",
+      (s, d) => {
+        val sh = shinglesShared(s, d)
+        val dfx = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        sh.join(dfx, Seq("shingle"))
+          .groupBy("id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+          .select(col("id").as("doc_id"), col("n_grams"), col("n_novel"),
+            expr("n_novel * 1000000 div n_grams").as("novelty_ppm"))
+          .orderBy("doc_id")
+      },
+      s"""WITH sh AS ($ShinglesSql),
+         | dfx AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1)
+         | SELECT sh.id AS doc_id, COUNT(*) AS n_grams,
+         |        CAST(SUM(CASE WHEN dfx.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |        CAST(SUM(CASE WHEN dfx.df = 1 THEN 1 ELSE 0 END) * 1000000
+         |             // COUNT(*) AS BIGINT) AS novelty_ppm
+         | FROM sh JOIN dfx USING (shingle)
+         | GROUP BY 1 ORDER BY doc_id""".stripMargin),
+
+    // ---- ROUGE-N set-recall between adjacent documents -------------------
+    // the n-gram overlap metric eval/decontamination pipelines score with:
+    // recall of candidate (doc i+1) against reference (doc i) over DISTINCT
+    // 3-gram shingles — |grams(ref) ∩ grams(cand)| / |grams(ref)| in exact
+    // integer ppm. The pair spine is every doc with grams whose successor
+    // doc EXISTS (zero-overlap pairs emit 0, never vanish). Plan: the
+    // candidate side is the same shingle table shifted by one id, so the
+    // intersection is a (id, shingle) equi-join — gram-scale, no cross
+    // product.
+    ("t_rouge_overlap",
+      (s, d) => {
+        val sh = shinglesShared(s, d)
+        val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_ref"))
+        val nextIds = t(s, d, "documents")
+          .select((col("doc_id") - 1).as("id")).distinct()
+        val inter = sh
+          .join(sh.select((col("id") - 1).as("id"), col("shingle")),
+            Seq("id", "shingle"))
+          .groupBy("id").agg(count(lit(1)).as("n_inter"))
+        sizes.join(nextIds, Seq("id"))
+          .join(inter, Seq("id"), "left").na.fill(0L, Seq("n_inter"))
+          .select(col("id").as("doc_id"), col("n_ref"), col("n_inter"),
+            expr("n_inter * 1000000 div n_ref").as("rouge_recall_ppm"))
+          .orderBy("doc_id")
+      },
+      s"""WITH sh AS ($ShinglesSql),
+         | sizes AS (SELECT id, COUNT(*) AS n_ref FROM sh GROUP BY 1),
+         | nxt AS (SELECT DISTINCT doc_id - 1 AS id FROM documents),
+         | inter AS (SELECT a.id, COUNT(*) AS n_inter
+         |           FROM sh a JOIN sh b ON b.id = a.id + 1 AND b.shingle = a.shingle
+         |           GROUP BY 1)
+         | SELECT s.id AS doc_id, s.n_ref,
+         |        CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+         |        CAST(COALESCE(i.n_inter, 0) * 1000000 // s.n_ref AS BIGINT)
+         |          AS rouge_recall_ppm
+         | FROM sizes s JOIN nxt USING (id)
+         | LEFT JOIN inter i USING (id)
+         | ORDER BY doc_id""".stripMargin),
+
     ("t_chi_square",
       (s, d) => {
         val c = t(s, d, "documents").groupBy("source", "lang")
