@@ -524,6 +524,57 @@ object Similarity {
     (out, r)
   }
 
+  /** Greedy farthest-point selection (k-center / core-set): pick the
+    * vector with the smallest id, then k−1 times the vector maximizing the
+    * minimum exact-integer squared L2 distance to the chosen set (ties to
+    * the smallest id) — the classical 2-approximation for the k-center
+    * objective and the standard diverse-subset pass training-data curation
+    * runs before expensive labeling/dedup.
+    *
+    * Determinism: quantized vectors ([[quantize]]), integer distances, and
+    * total tie-breaks make every round — and therefore the whole selected
+    * set — bit-reproducible and SQL-replayable (the kmeansLloyd
+    * discipline applied to selection).
+    *
+    * Scale shape: the chosen set is a k-row model artifact riding the scan
+    * as array literals — each round is ONE map-side min-over-centers pass
+    * + a TakeOrdered(1) (never a corpus shuffle, never a pairwise join);
+    * k driver rounds total, k bounded by design. Output: one row per
+    * corpus vector — (`vec_id`, `min_dist2` to the FINAL set, `sel_round`
+    * 0..k−1 for chosen vectors, −1 otherwise).
+    */
+  def kCenterSelect(vectors: DataFrame, k: Int,
+                    idCol: String = "vec_id", embCol: String = "embedding",
+                    scale: Int = 1000): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = vectors.sparkSession
+    val corp = vectors.select(col(idCol).cast("long").as("vec_id"),
+      quantize(col(embCol), scale).as("qv"))
+    val seed = corp.orderBy("vec_id").limit(1).collect()
+    require(seed.nonEmpty, "kCenterSelect: empty corpus")
+    val centers = scala.collection.mutable.ArrayBuffer[(Long, Seq[Long])](
+      (seed(0).getLong(0), seed(0).getSeq[Long](1).toSeq))
+    def minDist2: Column = centers.map { case (_, ce) =>
+      val c = typedlit(ce)
+      dotLong(col("qv"), col("qv")) - lit(2L) * dotLong(col("qv"), c) +
+        dotLong(c, c)
+    }.reduce(least(_, _))
+    for (_ <- 1 until k) {
+      val nxt = corp.withColumn("md", minDist2)
+        .orderBy(desc("md"), asc("vec_id")).limit(1)
+        .select("vec_id", "qv").collect()(0)
+      centers += ((nxt.getLong(0), nxt.getSeq[Long](1).toSeq))
+    }
+    import spark.implicits._
+    val sel = centers.zipWithIndex
+      .map { case ((id, _), i) => (id, i.toLong) }.toSeq
+      .toDF("vec_id", "sel_round")
+    corp.withColumn("min_dist2", minDist2)
+      .join(broadcast(sel), Seq("vec_id"), "left")
+      .na.fill(-1L, Seq("sel_round"))
+      .select("vec_id", "min_dist2", "sel_round")
+  }
+
   /** Product-quantization codebooks from the corpus prefix: codebook m's
     * `numCodewords` codewords are the first vectors' m-th contiguous
     * subvector slices — the same offline-quantizer convention as

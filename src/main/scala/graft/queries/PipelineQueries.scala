@@ -1120,6 +1120,50 @@ object PipelineQueries {
            | ORDER BY vec_id""".stripMargin
       }),
 
+    // ---- greedy k-center / diverse core-set selection --------------------
+    // the diverse-subset pass curation runs before expensive labeling or
+    // dedup: farthest-point greedy (the classical k-center
+    // 2-approximation) over quantized embeddings — seed = smallest id,
+    // each round the argmax of min integer squared-L2 to the chosen set
+    // (ties to smallest id). The chosen set is a k-row model artifact
+    // riding the scan as literals (one map-side pass + TakeOrdered(1) per
+    // round, never a pairwise join); the ITERATIVE selection itself meets
+    // a 3-round-unrolled SQL oracle (the sim_kmeans_lloyd discipline
+    // applied to selection).
+    ("sim_kcenter_select",
+      (s, d) => Similarity.kCenterSelect(t(s, d, "embeddings"), k = 4)
+        .orderBy("vec_id"),
+      {
+        def dist(v: String, c: String) =
+          s"list_dot_product($v, $v) - 2*list_dot_product($v, $c) + list_dot_product($c, $c)"
+        def round(r: Int) =
+          s""",
+             | m$r AS MATERIALIZED (SELECT vec_id, cv, md FROM (
+             |     SELECT corp.vec_id, corp.cv,
+             |            MIN(${dist("corp.cv", "c.ce")}) OVER (PARTITION BY corp.vec_id) AS md,
+             |            ROW_NUMBER() OVER (PARTITION BY corp.vec_id ORDER BY c.rnd) AS rn
+             |     FROM corp CROSS JOIN c${r - 1} c) WHERE rn = 1),
+             | p$r AS (SELECT vec_id, cv FROM (
+             |     SELECT vec_id, cv, ROW_NUMBER() OVER (ORDER BY md DESC, vec_id) AS rn
+             |     FROM m$r) WHERE rn = 1),
+             | c$r AS MATERIALIZED (SELECT * FROM c${r - 1}
+             |     UNION ALL SELECT vec_id, cv, $r FROM p$r)"""
+        s"""WITH corp AS MATERIALIZED (SELECT vec_id,
+           |        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS cv
+           |      FROM embeddings),
+           | c0 AS MATERIALIZED (SELECT vec_id AS cid, cv AS ce, 0 AS rnd FROM corp
+           |      WHERE vec_id = (SELECT MIN(vec_id) FROM corp))${round(1)}${round(2)}${round(3)}
+           | SELECT mf.vec_id, CAST(mf.md AS BIGINT) AS min_dist2,
+           |        CAST(COALESCE(sel.rnd, -1) AS BIGINT) AS sel_round
+           | FROM (SELECT vec_id, md FROM (
+           |         SELECT corp.vec_id,
+           |                MIN(${dist("corp.cv", "c.ce")}) OVER (PARTITION BY corp.vec_id) AS md,
+           |                ROW_NUMBER() OVER (PARTITION BY corp.vec_id ORDER BY c.rnd) AS rn
+           |         FROM corp CROSS JOIN c3 c) WHERE rn = 1) mf
+           | LEFT JOIN c3 sel ON sel.cid = mf.vec_id
+           | ORDER BY vec_id""".stripMargin
+      }),
+
     ("sim_ivf_topk",
       (s, d) => {
         val e = t(s, d, "embeddings")

@@ -778,6 +778,24 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kCenterSelect: hand-computed greedy rounds, tie to smallest id, partition-invariant") {
+    // quantized (x1000): v0=(0,0) v1=(10,0) v2=(0,1) v3=(9,0).
+    // seed = v0; round 1 argmax min-dist2 = v1 (100 > 81 > 1);
+    // round 2: v2 -> min(1, 101) = 1, v3 -> min(81, 1) = 1 — TIE, smallest
+    // id wins -> v2. Final set {v0, v1, v2}; v3's min_dist2 = 1 (to v1).
+    val vecs = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(0.01f, 0f)),
+      (2L, Seq(0f, 0.001f)), (3L, Seq(0.009f, 0f)))
+      .toDF("vec_id", "embedding")
+    for (parts <- Seq(1, 3)) {
+      val got = Similarity.kCenterSelect(vecs.repartition(parts), k = 3)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == Map(
+        0L -> (0L, 0L), 1L -> (0L, 1L), 2L -> (0L, 2L), 3L -> (1L, -1L)),
+        s"parts=$parts: $got")
+    }
+  }
+
   test("kmeansLloyd: an emptied cell keeps its centroid (and can win it back)") {
     // duplicate seeds: every point ties to cell 0 in round 1, cell 1 keeps
     // (0,0); after the update moves c0 to the truncated mean, the origin
