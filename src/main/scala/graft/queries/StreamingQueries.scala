@@ -968,6 +968,30 @@ object StreamingQueries {
         |        COUNT(*) AS n_ticks, CAST(SUM(cents) AS BIGINT) AS volume_cents
         | FROM r GROUP BY day ORDER BY day""".stripMargin),
 
+    // ---- stream-STATIC broadcast enrichment (23rd twin) ------------------
+    // the most common production ingest shape, previously missing from the
+    // twin matrix: each micro-batch of the event stream joins the STATIC
+    // customer dimension (user_id = c_custkey) — stateless, the dim
+    // broadcasts into every batch, no watermark, no state store. The
+    // converged per-nation rollup must equal the batch join; enrichment
+    // at ingest is exactly how a 100-TB pipeline attaches dimensions
+    // without ever re-reading history.
+    ("stream_static_enrich",
+      (s, d) => {
+        val dim = s.read.parquet(s"$d/customer.parquet")
+          .select(col("c_custkey"), col("c_nationkey"))
+        replayTwoBatches(s, d, "complete") { st =>
+          st.withColumn("vmicro", round(col("value") * 1000000L).cast("long"))
+            .join(broadcast(dim), col("user_id") === col("c_custkey"))
+            .groupBy("c_nationkey", "event_type")
+            .agg(count(lit(1)).as("n_events"), sum(col("vmicro")).as("value_micro"))
+        }.orderBy("c_nationkey", "event_type")
+      },
+      """SELECT c_nationkey, event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micro
+        | FROM events JOIN customer ON user_id = c_custkey
+        | GROUP BY 1, 2 ORDER BY c_nationkey, event_type""".stripMargin),
+
     // ---- NATIVE stream-stream interval join (17th twin) -----------------
     // the one streaming entry where Spark's own join state store does the
     // state work: two watermarked branches of the replayed event stream,
