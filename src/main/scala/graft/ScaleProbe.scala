@@ -1129,6 +1129,42 @@ object ScaleProbe {
         }
       }
     }
+    if (Seq("ngramNovelty", "kCenter").exists(enabled)) {
+      // half-exact-copy corpus: exact copies share every shingle, so the
+      // duplicate mass drives df and the novel fraction collapses — the
+      // adversarial shape for the df aggregate's combine step
+      if (enabled("ngramNovelty")) {
+        val baseD = spark.read.parquet(s"$sfDir/documents.parquet")
+          .repartition(spark.sparkContext.defaultParallelism)
+        val dStride = baseD.agg(max(col("doc_id"))).head.getLong(0) + 1L
+        val docs = (0 until mult).map { k =>
+          val shifted = baseD.withColumn("doc_id", col("doc_id") + lit(k.toLong * dStride))
+          if (k % 2 == 1) shifted.withColumn("text", concat(col("text"), lit(s" copyv$k")))
+          else shifted
+        }.reduce(_ union _)
+        timed("ngramNovelty (df join-back)") {
+          val sh = Dedup.wordShingles(docs, 3)
+          val dfx = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          sh.join(dfx, Seq("shingle"))
+            .groupBy("id")
+            .agg(count(lit(1)).as("n_grams"),
+              sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+            .count()
+        }
+      }
+      if (enabled("kCenter")) {
+        // fresh ids x mult; k driver rounds of one map-side pass each —
+        // wall should track the corpus scan, never k x corpus pairs
+        val baseE = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val eStride = baseE.agg(max(col("vec_id"))).head.getLong(0) + 1L
+        val vecs = (0 until mult).map(k =>
+            baseE.withColumn("vec_id", col("vec_id") + lit(k.toLong * eStride)))
+          .reduce(_ union _)
+        timed("kCenterSelect k=4") {
+          graft.llm.Similarity.kCenterSelect(vecs, k = 4).count()
+        }
+      }
+    }
     spark.stop()
   }
 }
