@@ -560,10 +560,18 @@ object Similarity {
         dotLong(c, c)
     }.reduce(least(_, _))
     for (_ <- 1 until k) {
-      val nxt = corp.withColumn("md", minDist2)
+      // exclude already-chosen ids from the candidate pool: quantization
+      // can collide distinct vectors (md = 0 everywhere), and without the
+      // exclusion the asc-id tie-break would re-pick a chosen center —
+      // duplicating its output row through the selection join
+      val chosen = centers.map(_._1).toSeq
+      val cand = corp.filter(!col("vec_id").isin(chosen: _*))
+        .withColumn("md", minDist2)
         .orderBy(desc("md"), asc("vec_id")).limit(1)
-        .select("vec_id", "qv").collect()(0)
-      centers += ((nxt.getLong(0), nxt.getSeq[Long](1).toSeq))
+        .select("vec_id", "qv").collect()
+      require(cand.nonEmpty,
+        s"kCenterSelect: k=$k exceeds the corpus size ${chosen.size}")
+      centers += ((cand(0).getLong(0), cand(0).getSeq[Long](1).toSeq))
     }
     import spark.implicits._
     val sel = centers.zipWithIndex

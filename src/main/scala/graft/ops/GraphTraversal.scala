@@ -963,19 +963,26 @@ object GraphTraversal {
       (conv(substring(hx, 1, 12), 16, 10).cast("long") % m).as("j"),
       when(v32 === 0L, lit(33L))
         .otherwise(lit(33L) - length(bin(v32))).cast("long").as("r")))
+    val states = Seq.newBuilder[DataFrame]
+    states += state
     val rounds = Seq.newBuilder[DataFrame]
     rounds += state.withColumn("t", lit(0))
-    // every round's register table IS part of the output — no release here
-    // (releasing a local-checkpointed frame that downstream still reads
-    // would drop its only copy); the caller unpersists the result when done
     for (t <- 1 to maxT) {
       val contrib = e.join(state.select(col("id").as("nid"), col("j"), col("r")),
           Seq("nid"))
         .select(col("id"), col("j"), col("r"))
       state = cp(state.union(contrib).groupBy("id", "j").agg(max("r").as("r"))
         .select("id", "j", "r"))
+      states += state
       rounds += state.withColumn("t", lit(t))
     }
-    rounds.result().reduce(_ union _).select("t", "id", "j", "r")
+    // pin ONE copy of the full output (total register rows, bounded by
+    // Σ_t live registers), then release every per-round frame — without
+    // this the maxT+1 intermediate block sets stay pinned for the life of
+    // the session (the cross-query contamination class). Callers may
+    // unpersist the returned frame when done.
+    val out = cp(rounds.result().reduce(_ union _).select("t", "id", "j", "r"))
+    states.result().foreach(cp.release)
+    out
   }
 }

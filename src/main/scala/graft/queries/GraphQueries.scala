@@ -29,12 +29,8 @@ object GraphQueries {
     * frame is a driver-side counts table, unaffected. At 100 TB this is
     * the same per-query sizing the streaming twins document.
     */
-  private def withParts[T](s: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
-  }
+  private def withParts[T](s: SparkSession, n: Int)(body: => T): T =
+    graft.ops.SessionConf.withShufflePartitions(s, n)(body)
 
   private val Obo = "http://purl.obolibrary.org/obo/"
 

@@ -1145,7 +1145,7 @@ object PipelineQueries {
              |     FROM corp CROSS JOIN c${r - 1} c) WHERE rn = 1),
              | p$r AS (SELECT vec_id, cv FROM (
              |     SELECT vec_id, cv, ROW_NUMBER() OVER (ORDER BY md DESC, vec_id) AS rn
-             |     FROM m$r) WHERE rn = 1),
+             |     FROM m$r WHERE vec_id NOT IN (SELECT cid FROM c${r - 1})) WHERE rn = 1),
              | c$r AS MATERIALIZED (SELECT * FROM c${r - 1}
              |     UNION ALL SELECT vec_id, cv, $r FROM p$r)"""
         s"""WITH corp AS MATERIALIZED (SELECT vec_id,

@@ -67,12 +67,7 @@ object StreamingQueries {
     // GRAFT_STREAM_PARTS overrides everything (A/B aid); "0" disables.
     val n = sys.env.getOrElse("GRAFT_STREAM_PARTS", parts.toString)
     if (n == "0") body
-    else {
-      val key = "spark.sql.shuffle.partitions"
-      val prev = s.conf.get(key)
-      s.conf.set(key, n)
-      try body finally s.conf.set(key, prev)
-    }
+    else graft.ops.SessionConf.withShufflePartitions(s, n.toInt)(body)
   }
 
   /** The events two-batch staging (grain-normalized ts, median-ts cut,
@@ -198,15 +193,18 @@ object StreamingQueries {
     * (created). Falls back to copy if the link fails (cross-device). */
   private def linkBatch(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
     java.nio.file.Files.createDirectories(to)
-    val it = java.nio.file.Files.list(from).iterator()
-    while (it.hasNext) {
-      val f = it.next()
-      if (java.nio.file.Files.isRegularFile(f)) {
-        val dst = to.resolve(f.getFileName)
-        try java.nio.file.Files.createLink(dst, f)
-        catch { case _: Throwable => java.nio.file.Files.copy(f, dst) }
+    val stream = java.nio.file.Files.list(from)
+    try {
+      val it = stream.iterator()
+      while (it.hasNext) {
+        val f = it.next()
+        if (java.nio.file.Files.isRegularFile(f)) {
+          val dst = to.resolve(f.getFileName)
+          try java.nio.file.Files.createLink(dst, f)
+          catch { case _: Throwable => java.nio.file.Files.copy(f, dst) }
+        }
       }
-    }
+    } finally stream.close()
   }
 
   /** Replay the events table as a DETERMINISTIC two-micro-batch file

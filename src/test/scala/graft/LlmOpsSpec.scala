@@ -794,6 +794,15 @@ class LlmOpsSpec extends AnyFunSuite {
         0L -> (0L, 0L), 1L -> (0L, 1L), 2L -> (0L, 2L), 3L -> (1L, -1L)),
         s"parts=$parts: $got")
     }
+    // quantization collisions (all md = 0): chosen ids must stay DISTINCT
+    // — a re-picked center would duplicate its row through the selection
+    // join — and k beyond the corpus fails loudly
+    val dup = Seq((0L, Seq(0f, 0f)), (1L, Seq(0f, 0f)), (2L, Seq(0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val gotDup = Similarity.kCenterSelect(dup, k = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(gotDup == Map(0L -> (0L, 0L), 1L -> (0L, 1L), 2L -> (0L, -1L)), gotDup.toString)
+    intercept[IllegalArgumentException] { Similarity.kCenterSelect(dup, k = 4).collect() }
   }
 
   test("kmeansLloyd: an emptied cell keeps its centroid (and can win it back)") {
