@@ -581,6 +581,53 @@ object StreamingQueries {
         | FROM sess GROUP BY user_id, session_no
         | ORDER BY user_id, session_no""".stripMargin),
 
+    // ---- streaming DYNAMIC-gap sessionization (24th twin) ----------------
+    // session_window's expression form: each event proposes a window
+    // [ts, ts + gap(event_type)) — purchases hold sessions open 45 min,
+    // everything else 15 — and overlapping proposals MERGE in the state
+    // store across the batch cut. The relational equivalent is a running
+    // max of per-event window ends (new session iff the event starts
+    // at/after EVERY earlier end — closed sessions can't false-merge
+    // because a break means all prior ends ≤ that event's ts), which the
+    // oracle replays with one window function.
+    ("stream_dynamic_sessions",
+      (s, d) => {
+        val gap = when(col("event_type") === "purchase", "45 minutes")
+          .otherwise("15 minutes")
+        val sess = replayTwoBatches(s, d, "complete") { st =>
+          StreamingIngest.streamingDynamicSessionStats(
+            st.withColumn("value", round(col("value") * 1000000L).cast("long")),
+            gap, "10 minutes")
+        }
+        sess
+          .withColumn("session_no", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("user_id")).orderBy(col("start_ts"))))
+          .select(col("user_id"), col("session_no").cast("long").as("session_no"),
+            col("n_events"), unix_micros(col("start_ts")).as("start_us"),
+            col("sum_value").as("sum_micro"))
+          .orderBy("user_id", "session_no")
+      },
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsn,
+        |                  CAST(round(value * 1000000) AS BIGINT) AS vmicro FROM events),
+        | g AS (SELECT *, CASE WHEN event_type = 'purchase'
+        |                      THEN 2700000000 ELSE 900000000 END AS gap FROM e),
+        | r AS (SELECT *, MAX(tsn + gap) OVER (PARTITION BY user_id
+        |                   ORDER BY tsn, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |                 AS run_end FROM g),
+        | flag AS (SELECT *, CASE WHEN run_end IS NULL OR tsn >= run_end
+        |                         THEN 1 ELSE 0 END AS new_sess FROM r),
+        | sess AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+        |                                        ORDER BY tsn, event_id
+        |                                        ROWS UNBOUNDED PRECEDING) AS session_no
+        |          FROM flag)
+        | SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+        |        COUNT(*) AS n_events, MIN(tsn) AS start_us,
+        |        CAST(SUM(vmicro) AS BIGINT) AS sum_micro
+        | FROM sess GROUP BY user_id, session_no
+        | ORDER BY user_id, session_no""".stripMargin),
+
     // ---- streaming backward as-of enrichment ----------------------------
     // flatMapGroupsWithState across micro-batches (the carried (ts, value)
     // state must survive the batch cut), against ts_asof_join's oracle:

@@ -106,6 +106,27 @@ object StreamingIngest {
       .select(col(keyCol), col("session_window.start").as("start_ts"),
         col("n_events"), col("sum_value"))
 
+  /** Session stats with a PER-EVENT dynamic gap (session_window's
+    * expression form): each event proposes a window [ts, ts + gap(event))
+    * and overlapping proposals merge — so e.g. purchases hold a session
+    * open longer than clicks. Same state discipline as the fixed-gap form
+    * (watermark-bounded session state per key); the relational equivalent
+    * is a running max of per-event window ends (new session iff the event
+    * starts at/after every earlier end), which is what the twin's oracle
+    * replays.
+    */
+  def streamingDynamicSessionStats(events: DataFrame,
+                                   gapExpr: org.apache.spark.sql.Column,
+                                   watermark: String,
+                                   keyCol: String = "user_id", tsCol: String = "ts",
+                                   valueCol: String = "value"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gapExpr), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("sum_value"))
+      .select(col(keyCol), col("session_window.start").as("start_ts"),
+        col("n_events"), col("sum_value"))
+
   /** Streaming near-duplicate candidate detection — the continuous-ingestion
     * dedup loop at 100 TB: each micro-batch of documents is sketched ONCE
     * (shingles → MinHash via [[graft.llm.Dedup.minhashSignatures]]), probed
