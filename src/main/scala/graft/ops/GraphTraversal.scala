@@ -928,6 +928,105 @@ object GraphTraversal {
       .toDF("t", "n_est")
   }
 
+  /** All-pairs shortest-path DISTANCES AND COUNTS within `maxT` directed
+    * hops: one row per reachable ordered pair — (`src`, `w`, `dist`,
+    * `sigma` = number of distinct shortest src→w paths), including
+    * (u, u, 0, 1). Level-synchronous BFS from every source at once: the
+    * round-t frontier holds exactly the pairs at distance t−1, so the
+    * per-round join + σ-sum visits each shortest-path EDGE once —
+    * σ(s, w, t) = Σ over frontier predecessors of σ(s, v), kept only for
+    * (s, w) not yet visited (the [[bfsLevels]] discipline with a count
+    * column). A minimal-length walk cannot repeat a vertex, so σ counts
+    * paths exactly.
+    *
+    * Scale shape: output is Σ_v |ball(v, maxT)| rows — ball-volume-, not
+    * |V|²-, bounded for small maxT; the same growth law as
+    * [[neighborhoodFunction]]'s exact tier, so the same rule applies: keep
+    * maxT small and slice the input for verification tiers, use sketches
+    * for global reports.
+    */
+  def shortestPathCounts(edges: DataFrame, maxT: Int,
+                         srcCol: String = "src", dstCol: String = "dst",
+                         cp: Checkpointer = Checkpointer.Auto): DataFrame = {
+    require(maxT >= 0, "shortestPathCounts: maxT must be >= 0")
+    val e = edges.select(col(srcCol).as("w"), col(dstCol).as("nw")).distinct()
+    val verts = e.select(col("w").as("u")).union(e.select(col("nw").as("u"))).distinct()
+    val first = cp(verts.select(col("u").as("src"), col("u").as("w"),
+      lit(0).as("dist"), lit(1L).as("sigma")))
+    var visited = first
+    var frontier = first
+    val outs = Seq.newBuilder[DataFrame]
+    outs += first
+    var t = 0
+    var exhausted = false
+    while (t < maxT && !exhausted) {
+      t += 1
+      val next = cp(frontier.join(e, Seq("w"))
+        .groupBy(col("src"), col("nw").as("w"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(visited.select("src", "w"), Seq("src", "w"), "left_anti")
+        .select(col("src"), col("w"), lit(t).as("dist"), col("sigma")))
+      if (next.isEmpty) { cp.release(next); exhausted = true }
+      else {
+        val prevVisited = visited
+        visited = cp(visited.union(next))
+        // the first frame doubles as outs(0) — it must survive until the
+        // final union is pinned; intermediate union accumulators are pure
+        // anti-join state and release immediately
+        if (!(prevVisited eq first)) cp.release(prevVisited)
+        outs += next
+        frontier = next
+      }
+    }
+    // pin one copy of the output, THEN release every per-round frame (the
+    // hyperBallExplicit lifecycle discipline)
+    val roundFrames = outs.result()
+    val out = cp(roundFrames.reduce(_ unionByName _))
+    if (!(visited eq first)) cp.release(visited)
+    roundFrames.foreach(cp.release)
+    out
+  }
+
+  /** Bounded-radius STRESS centrality (Shimbel 1953): for each vertex v,
+    * the number of shortest s→t paths (over ordered pairs with
+    * d(s, t) ≤ `maxT`, s ≠ v ≠ t) passing THROUGH v — the integer-exact
+    * member of the betweenness family (betweenness's σ_st(v)/σ_st ratios
+    * are rationals; stress sums raw counts, so it hash-checks
+    * cross-engine). v lies on a shortest s→t path iff
+    * d(s, v) + d(v, t) = d(s, t), contributing σ(s, v)·σ(v, t).
+    *
+    * Plan: [[shortestPathCounts]] once, then ONE self-join on the middle
+    * vertex + ONE equi-join against the (s, t) distance row — per-v cost
+    * is |in-ball| × |out-ball|, so the radius bound is the quadratic
+    * guard. Output: (`id`, `stress`) for EVERY vertex (0 when on no path).
+    */
+  def stressCentrality(edges: DataFrame, maxT: Int,
+                       srcCol: String = "src", dstCol: String = "dst",
+                       cp: Checkpointer = Checkpointer.Auto): DataFrame = {
+    val sp = shortestPathCounts(edges, maxT, srcCol, dstCol, cp)
+    val a = sp.select(col("src").as("s"), col("w").as("v"),
+      col("dist").as("d1"), col("sigma").as("sig1"))
+      .filter(col("s") =!= col("v"))
+    val b = sp.select(col("src").as("v"), col("w").as("t"),
+      col("dist").as("d2"), col("sigma").as("sig2"))
+      .filter(col("v") =!= col("t"))
+    val st = a.join(b, Seq("v"))
+      .join(sp.select(col("src").as("s"), col("w").as("t"), col("dist")),
+        Seq("s", "t"))
+      .filter(col("d1") + col("d2") === col("dist"))
+      .groupBy(col("v").as("id"))
+      .agg(sum(col("sig1") * col("sig2")).as("stress"))
+    val verts = edges.select(col(srcCol).as("id"))
+      .union(edges.select(col(dstCol).as("id"))).distinct()
+    // pin the (vertex-sized) result BEFORE releasing sp — releasing a
+    // local-checkpointed frame a lazy consumer still reads would drop its
+    // only copy
+    val out = cp(verts.join(st, Seq("id"), "left")
+      .na.fill(0L, Seq("stress")))
+    cp.release(sp)
+    out
+  }
+
   /** HyperBall with EXPLICIT HLL registers — the independently-checkable
     * twin of [[hyperBall]]: instead of an opaque DataSketches binary, each
     * vertex's counter is a sparse `(id, j, r)` register table (j = register

@@ -944,6 +944,49 @@ object GraphQueries {
         | FROM hist h JOIN nest n ON n.t = h.t
         | ORDER BY t, r""".stripMargin),
 
+    // ---- bounded-radius stress centrality --------------------------------
+    // the integer-exact member of the betweenness family (Shimbel's
+    // stress: betweenness's sigma ratios are rationals and can't hash;
+    // stress sums RAW shortest-path counts): for each v, the number of
+    // shortest s->t paths (d(s,t) <= 4, s != v != t) passing through v —
+    // v qualifies iff d(s,v) + d(v,t) = d(s,t), contributing
+    // sigma(s,v)·sigma(v,t). Same 1500-vertex verification slice as
+    // g_neighborhood_func. The oracle enumerates minimal-length walks
+    // (a minimal walk cannot repeat a vertex, so walk counts at the min
+    // length ARE path counts) and replays the middle-vertex join.
+    ("g_stress_centrality",
+      (s, d) => withParts(s, 8) {
+        val k = col("c_custkey")
+        val cust = t(s, d, "customer").filter(k < 1500)
+        val edges = (1 to 3).map(delta =>
+            cust.select(k.as("src"), (k + delta).as("dst")))
+          .reduce(_ union _)
+        graft.ops.GraphTraversal.stressCentrality(edges, maxT = 4)
+          .orderBy("id")
+      },
+      """WITH RECURSIVE ck AS (SELECT DISTINCT c_custkey AS k FROM customer
+        |                      WHERE c_custkey < 1500),
+        | e AS (SELECT k AS src, k + d AS dst FROM ck,
+        |        LATERAL (SELECT unnest(generate_series(1, 3)) AS d) g),
+        | v AS (SELECT DISTINCT u FROM
+        |        (SELECT src AS u FROM e UNION ALL SELECT dst FROM e)),
+        | wk AS (SELECT u AS s, u AS w, 0 AS d FROM v
+        |        UNION ALL
+        |        SELECT wk.s, e.dst, wk.d + 1
+        |        FROM wk JOIN e ON e.src = wk.w WHERE wk.d < 4),
+        | cnt AS (SELECT s, w, d, COUNT(*) AS n FROM wk GROUP BY 1, 2, 3),
+        | md AS (SELECT s, w, MIN(d) AS d FROM cnt GROUP BY 1, 2),
+        | sp AS (SELECT c.s, c.w, c.d, c.n AS sigma
+        |        FROM cnt c JOIN md USING (s, w, d)),
+        | st AS (SELECT a.w AS id, SUM(a.sigma * b.sigma) AS stress
+        |        FROM sp a JOIN sp b ON b.s = a.w
+        |        JOIN sp dd ON dd.s = a.s AND dd.w = b.w AND dd.d = a.d + b.d
+        |        WHERE a.w <> a.s AND b.w <> b.s
+        |        GROUP BY 1)
+        | SELECT v.u AS id, CAST(COALESCE(st.stress, 0) AS BIGINT) AS stress
+        | FROM v LEFT JOIN st ON st.id = v.u
+        | ORDER BY id""".stripMargin),
+
     // ---- incremental connected components (edge inserts) -----------------
     // the graph member of the delta-maintenance family (u5 agg, u11 join,
     // d6 dedup, sim_ivf_append): the old graph is 10-key successor chains

@@ -594,7 +594,9 @@ object StreamingQueries {
       (s, d) => {
         val gap = when(col("event_type") === "purchase", "45 minutes")
           .otherwise("15 minutes")
-        val sess = replayTwoBatches(s, d, "complete") { st =>
+        // parts=0: the dynamic-gap merge is UpdatingSessions (sort-based
+        // per batch) — CPU-bound, wants the session's full parallelism
+        val sess = replayTwoBatches(s, d, "complete", parts = 0) { st =>
           StreamingIngest.streamingDynamicSessionStats(
             st.withColumn("value", round(col("value") * 1000000L).cast("long")),
             gap, "10 minutes")

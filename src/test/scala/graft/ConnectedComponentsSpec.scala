@@ -554,6 +554,32 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert((0 to 4).forall(t => hb(t) == nf(t)), hb.toString)
   }
 
+  test("shortestPathCounts + stressCentrality: path and diamond hand-counts") {
+    // directed path 0->1->2->3: every sigma is 1; pairs through 1 =
+    // {(0,2),(0,3)}, through 2 = {(0,3),(1,3)} -> stress 2/2, endpoints 0
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val sp = graft.ops.GraphTraversal.shortestPathCounts(path, maxT = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getLong(3))).toMap
+    assert(sp((0L, 3L)) == (3, 1L) && sp((1L, 3L)) == (2, 1L) && sp((2L, 2L)) == (0, 1L))
+    assert(sp.size == 10) // 4 self + 3+2+1 forward pairs
+    val st = graft.ops.GraphTraversal.stressCentrality(path, maxT = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(st == Map(0L -> 0L, 1L -> 2L, 2L -> 2L, 3L -> 0L), st.toString)
+    // diamond 0->{1,2}->3: sigma(0,3) = 2; each middle vertex carries ONE
+    // of the two shortest 0->3 paths -> stress 1/1
+    val dia = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val spD = graft.ops.GraphTraversal.shortestPathCounts(dia, maxT = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getLong(3))).toMap
+    assert(spD((0L, 3L)) == (2, 2L), spD.toString)
+    val stD = graft.ops.GraphTraversal.stressCentrality(dia, maxT = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stD == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 0L), stD.toString)
+    // radius bound: maxT = 1 sees no 2-hop pairs -> all stress 0
+    val st1 = graft.ops.GraphTraversal.stressCentrality(path, maxT = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(st1.values.forall(_ == 0L), st1.toString)
+  }
+
   test("hyperBallExplicit registers equal a JVM-side md5 replay of the ball sets") {
     // independent replay: compute each vertex's (j, r) with
     // java.security.MessageDigest and take max r per register over the
