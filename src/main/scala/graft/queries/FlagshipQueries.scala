@@ -64,7 +64,11 @@ object FlagshipQueries {
 
   val all: Seq[RelationalQueries.Entry] = Seq(
     ("pipeline_flagship",
-      (s: SparkSession, _: String) => {
+      // the whole two-pass DAG + asserts execute EAGERLY inside the entry
+      // over fixture-scale data — 32-partition shuffles across its dozens
+      // of jobs are pure scheduler overhead, so the entry runs in the
+      // 8-partition window (the streaming-twin sizing; results identical)
+      (s: SparkSession, _: String) => graft.ops.SessionConf.withShufflePartitions(s, 8) {
         val out = graft.ops.Scratch.dir("graft-flagship").toString
         try {
           graft.pipeline.OntologyPipeline.run(s, oboDir, out,
