@@ -80,6 +80,13 @@ object PlanDump {
     // Q14: part is a pure broadcast dimension
     "q14_promo_revenue" -> (Seq("BroadcastHashJoin"),
       Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct")),
+    // stress centrality: the middle-vertex self-join and the distance
+    // check are equi-joins — a cartesian here means the sigma-pair join
+    // lost its keys
+    "g_stress_centrality" -> (Seq.empty[String], Seq("CartesianProduct")),
+    // k-center: the only join is the broadcast k-row selection map
+    "sim_kcenter_select" -> (Seq("BroadcastHashJoin"),
+      Seq("SortMergeJoin", "CartesianProduct")),
     // Q18: both enrichment joins ride the broadcast survivor set
     "q18_large_volume_cust" -> (Seq("BroadcastHashJoin"),
       Seq("SortMergeJoin", "CartesianProduct")),
