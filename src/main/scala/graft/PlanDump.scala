@@ -31,7 +31,8 @@ object PlanDump {
     "s21_compaction_plan", // bucket-summary cum-sum: ≤ buckets rows, Bounded.guard (PrefixOps.scala)
     "d21_threshold_sweep", // agreement histogram: ≤ 13 rows, Bounded.guard (PipelineQueries)
     "t_water_fill",        // source-cardinality rows, Bounded.guard nsrc ≤ 10k (PipelineQueries)
-    "g_eff_diameter")      // N(t) lag: ≤ maxT+1 = 5 rows, Bounded.guard (GraphQueries)
+    "g_eff_diameter",      // N(t) lag: ≤ maxT+1 = 5 rows, Bounded.guard (GraphQueries)
+    "a13_ams_f2")          // z² median rank: exactly reps = 16 rows, Bounded.guard (GraphQueries)
 
   /** Statically-pinned join strategies: entry → (must-contain substrings,
     * must-NOT-contain substrings) over the physical join operator class

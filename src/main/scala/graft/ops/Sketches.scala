@@ -186,4 +186,29 @@ object Sketches {
       .select(col("s1"), col("s2"), col("rho"), col("union_est"),
         col("inter_est"), col("jaccard_micro"))
   }
+
+  /** AMS sign-sketch cells for the second frequency moment F2 = Σ_k f_k²
+    * (Alon–Matias–Szegedy '96 — the self-join-size / key-skew estimator
+    * that rounds out the mergeable-summaries family beside count-min, KMV,
+    * HLL and Misra–Gries): sketch s holds z_s = Σ_rows sign(s, key), with
+    * sign = ±1 from the md5 parity of `"s:key"` — 4-wise-independence
+    * stand-in that both engines replay bit-for-bit. E[z_s²] = F2; estimate
+    * with the median of z² over `reps` sketches.
+    *
+    * Scale shape: the ×reps explode collapses map-side into `reps`
+    * partial sums — the shuffle carries ≤ partitions·reps pre-combined
+    * cells, never data-sized rows. Cells are plain SUMS, so they merge
+    * exactly across partitions, files, or micro-batches (the count-min
+    * additivity argument verbatim). Output: (`s`, `z`), `reps` rows.
+    */
+  def amsCells(rows: DataFrame, keyCol: String, reps: Int): DataFrame = {
+    require(reps >= 1, s"amsCells: reps must be >= 1: $reps")
+    rows
+      .withColumn("s", explode(expr(s"sequence(0, ${reps - 1})")))
+      .withColumn("sgn",
+        when(conv(substring(md5(concat(col("s").cast("string"), lit(":"),
+          col(keyCol).cast("string"))), 1, 2), 16, 10).cast("long") % 2 === 0,
+          lit(1L)).otherwise(lit(-1L)))
+      .groupBy("s").agg(sum(col("sgn")).as("z"))
+  }
 }

@@ -634,6 +634,57 @@ object GraphQueries {
         |             ELSE rho * 1000000 // 64 END AS BIGINT) AS jaccard_micro
         | FROM f ORDER BY s1, s2""".stripMargin),
 
+    // ---- AMS F2 sign-sketch (self-join size / key skew) -------------------
+    // the mergeable-summaries family's last classic beside count-min, KMV,
+    // HLL and Misra-Gries: F2 = sum over keys of f_k² is the SELF-JOIN
+    // SIZE — the number a planner wants before committing to a key —
+    // estimated from 16 plain-SUM sign-sketch cells (z_s = sum of md5-
+    // parity ±1 per row; E[z²] = F2, estimate = exact median of z² over
+    // sketches). Cells are sums -> exact merge across partitions/files/
+    // micro-batches, the count-min additivity argument verbatim. The
+    // estimate AND the md5 sign replay are under the hash; a drift past
+    // 4x of exact fails loudly in-entry (median-of-16 concentration).
+    ("a13_ams_f2",
+      (s, d) => {
+        val reps = 16
+        val li = t(s, d, "lineitem").select(col("l_suppkey").as("key"))
+        val cells = graft.ops.Sketches.amsCells(li, "key", reps)
+        // exact median over the reps-row summary: bounded unpartitioned
+        // window (audited; guard makes the bound executable)
+        val w = org.apache.spark.sql.expressions.Window.orderBy("z2")
+        val med = cells
+          .select((graft.ops.Bounded.guard(col("z"), col("s").between(0, reps - 1),
+            "a13_ams_f2: sketch index outside the reps bound") *
+            col("z")).as("z2"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === reps / 2 || col("rn") === reps / 2 + 1)
+          .agg(expr("CAST(sum(z2) div 2 AS BIGINT)").as("ams_est"))
+        val exact = li.groupBy("key").agg(count(lit(1)).as("n"))
+          .agg(sum(col("n") * col("n")).as("f2_exact"))
+        exact.crossJoin(broadcast(med))
+          .select(col("f2_exact"),
+            graft.ops.Bounded.guard(col("ams_est"),
+              col("ams_est") * 4 >= col("f2_exact") &&
+                col("ams_est") <= col("f2_exact") * 4,
+              "a13_ams_f2: AMS estimate drifted beyond 4x of exact F2")
+              .as("ams_est"),
+            lit(true).as("within_4x"))
+      },
+      """WITH src AS (SELECT CAST(l_suppkey AS VARCHAR) AS key FROM lineitem),
+        | ss AS (SELECT unnest(generate_series(0, 15)) AS s),
+        | cells AS (SELECT s,
+        |             SUM(CASE WHEN CAST('0x' || substr(md5(s || ':' || key), 1, 2) AS BIGINT) % 2 = 0
+        |                      THEN 1 ELSE -1 END) AS z
+        |           FROM src CROSS JOIN ss GROUP BY 1),
+        | z2 AS (SELECT z * z AS z2, ROW_NUMBER() OVER (ORDER BY z * z) AS rn
+        |        FROM cells),
+        | med AS (SELECT CAST(SUM(z2) // 2 AS BIGINT) AS ams_est
+        |         FROM z2 WHERE rn IN (8, 9)),
+        | ex AS (SELECT CAST(SUM(n * n) AS BIGINT) AS f2_exact
+        |        FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_suppkey))
+        | SELECT ex.f2_exact, med.ams_est, TRUE AS within_4x
+        | FROM ex, med""".stripMargin),
+
     // ---- strongly connected components (directed) -----------------------
     // the structure undirected CC cannot see: 3-cycles ("rings") bridged
     // pairwise by ONE-WAY edges — each ring is its own SCC and the bridge

@@ -145,4 +145,25 @@ class SketchSpec extends AnyFunSuite {
     // |A|=10, |B|=9, |A∩B|=4 (6..9), |A∪B|=15 — all exact, J = 4/15
     assert(got == Seq(("A", "B", 4L, 15L, 4L, 4L * 1000000L / 15L)))
   }
+
+  test("AMS F2 cells equal a JVM-side md5 sign replay; merge = partition invariance") {
+    def sign(sk: Int, key: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$sk:$key".getBytes("UTF-8"))
+      // first hex pair's parity, exactly the engine's conv(substr(md5,1,2),16,10) % 2
+      if (((d(0) & 0xff) % 2) == 0) 1L else -1L
+    }
+    val keys = Seq(1L, 1L, 2L, 3L, 3L, 3L, 7L)
+    val reps = 8
+    val expected = (0 until reps).map(sk => sk -> keys.map(sign(sk, _)).sum).toMap
+    for (parts <- Seq(1, 4)) {
+      val cells = Sketches.amsCells(
+          keys.toDF("key").repartition(parts), "key", reps)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(cells == expected, s"parts=$parts: $cells")
+    }
+    // E[z^2] = F2 exactly in expectation; here just pin the exact-F2 target
+    // the estimator chases: sum f_k^2 = 4 + 1 + 9 + 1 = 15
+    assert(keys.groupBy(identity).values.map(g => g.size.toLong * g.size).sum == 15L)
+  }
 }
