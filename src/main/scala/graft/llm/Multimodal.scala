@@ -677,6 +677,41 @@ object Multimodal {
     }
   }
 
+  /** A REAL PNG with the SAME logical pixels as [[syntheticBmp]]: encoded
+    * through javax.imageio's PNG writer (filter + DEFLATE — the genuine
+    * lossless-codec path beside BMP's raw layout and JPEG's lossy one), so
+    * decode must reproduce the formula pixels EXACTLY and the BMP oracle
+    * arithmetic transfers verbatim. Encoded bytes are writer-dependent;
+    * only the decoded pixels are under any contract.
+    */
+  def syntheticPng(docId: Long): Array[Byte] = {
+    val w = (4 + docId % 5).toInt
+    val h = (3 + docId % 3).toInt
+    def v(i: Int, c: Int): Int = (((docId * 31 + i * 7 + c * 13) % 256) + 256).toInt % 256
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = y * w + x
+        img.setRGB(x, y, (v(i, 0) << 16) | (v(i, 1) << 8) | v(i, 2))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  def syntheticPngs(docs: DataFrame, idCol: String = "doc_id"): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol)).as[Long].map { id =>
+      MediaRow(id, "image", "image/png", syntheticPng(id), -1, -1, 0L)
+    }
+  }
+
   /** Parsed video container metadata. `decoded` marks rows whose fields
     * came from a REAL container-header parse ([[parseVideoMeta]]); on false
     * the fields are -1 ("none" container) — undecodable payloads are data,

@@ -89,6 +89,24 @@ object PipelineQueries {
       | ORDER BY token""".stripMargin
 
   /** Shared SQL fragment: word 3-gram shingles of documents. */
+  /** Shared by m_image_decode (raw BMP) and m_png_decode (lossless PNG):
+    * both containers carry the SAME formula pixels, so one arithmetic
+    * oracle covers both decode paths.
+    */
+  private val ImageDecodeSql =
+    """WITH p AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h
+      |           FROM documents),
+      | px AS (SELECT doc_id, w, h,
+      |          SUM((doc_id * 31 + i * 7) % 256
+      |            + (doc_id * 31 + i * 7 + 13) % 256
+      |            + (doc_id * 31 + i * 7 + 26) % 256) AS s
+      |        FROM p, LATERAL (SELECT unnest(generate_series(0, w * h - 1)) AS i) g
+      |        GROUP BY doc_id, w, h)
+      | SELECT doc_id AS media_id, CAST(w AS INTEGER) AS img_w,
+      |        CAST(h AS INTEGER) AS img_h, CAST(s AS BIGINT) AS px_sum,
+      |        TRUE AS decoded
+      | FROM px ORDER BY media_id""".stripMargin
+
   private val ShinglesSql =
     """SELECT DISTINCT doc_id AS id,
       |        array_to_string(words[i:i+2], ' ') AS shingle
@@ -2622,18 +2640,19 @@ object PipelineQueries {
           Multimodal.syntheticBmps(spread(t(s, d, "documents"))))
         .select("media_id", "img_w", "img_h", "px_sum", "decoded")
         .orderBy("media_id"),
-      """WITH p AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h
-        |           FROM documents),
-        | px AS (SELECT doc_id, w, h,
-        |          SUM((doc_id * 31 + i * 7) % 256
-        |            + (doc_id * 31 + i * 7 + 13) % 256
-        |            + (doc_id * 31 + i * 7 + 26) % 256) AS s
-        |        FROM p, LATERAL (SELECT unnest(generate_series(0, w * h - 1)) AS i) g
-        |        GROUP BY doc_id, w, h)
-        | SELECT doc_id AS media_id, CAST(w AS INTEGER) AS img_w,
-        |        CAST(h AS INTEGER) AS img_h, CAST(s AS BIGINT) AS px_sum,
-        |        TRUE AS decoded
-        | FROM px ORDER BY media_id""".stripMargin),
+      ImageDecodeSql),
+
+    // ---- REAL PNG decode (the lossless-codec image path) ------------------
+    // same logical pixels as the BMPs, encoded through javax.imageio's PNG
+    // writer (filter + DEFLATE): the codec must round-trip EXACTLY, so the
+    // BMP oracle arithmetic transfers verbatim — raw (BMP), lossless (PNG)
+    // and lossy (JPEG, fixture-golden) image paths are now all real.
+    ("m_png_decode",
+      (s, d) => Multimodal.extractFeatures(
+          Multimodal.syntheticPngs(spread(t(s, d, "documents"))))
+        .select("media_id", "img_w", "img_h", "px_sum", "decoded")
+        .orderBy("media_id"),
+      ImageDecodeSql),
 
     // ---- per-channel image moments (normalization constants) -------------
     // Σc and Σc² per channel over REAL decoded pixels — the exact-integer

@@ -1630,6 +1630,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(bad.length == 1 && !bad(0).decoded && bad(0).frame_idx == -1)
   }
 
+  test("PNG decode round-trips the formula pixels exactly and agrees with BMP") {
+    for (id <- Seq(0L, 2L, 9L, 77L)) {
+      val Some((wp, hp, sp, _)) = Multimodal.decodeImage(Multimodal.syntheticPng(id))
+      val Some((wb, hb, sb, _)) = Multimodal.decodeImage(Multimodal.syntheticBmp(id))
+      // lossless codec: decoded dims AND the exact pixel sum must match the
+      // hand-assembled raw container carrying the same logical pixels
+      assert((wp, hp, sp) == (wb, hb, sb), s"id=$id png=($wp,$hp,$sp) bmp=($wb,$hb,$sb)")
+      val expect = (0 until wp * hp).map(i =>
+        (0 to 2).map(c => (((id * 31 + i * 7 + c * 13) % 256) + 256) % 256).sum).sum
+      assert(sp == expect, s"id=$id")
+    }
+  }
+
   test("Y4M walk + frame sums are position-exact and agree with the DIB-AVI container") {
     for (id <- Seq(0L, 1L, 7L, 123L)) {
       val (ew, eh, en) = Multimodal.aviDims(id)
