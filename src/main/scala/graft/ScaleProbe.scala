@@ -1090,7 +1090,7 @@ object ScaleProbe {
       }
       oldLabels.unpersist(); cust.unpersist()
     }
-    if (Seq("simhashNearDupPairs", "hyperBall").exists(enabled)) {
+    if (Seq("simhashNearDupPairs", "hyperBall", "stressCentrality").exists(enabled)) {
       if (enabled("simhashNearDupPairs")) {
         // half-exact-copy corpus (the lshCandidates topology): every copy
         // pair agrees on all four bands, so candidate volume tracks the
@@ -1109,7 +1109,7 @@ object ScaleProbe {
             maxHamming = 2, maxBucket = 64).count()
         }
       }
-      if (enabled("hyperBall")) {
+      if (enabled("hyperBall") || enabled("stressCentrality")) {
         // successor graph, fresh keys x mult: per-round join is edge-scale,
         // per-vertex state is FIXED-size registers — the whole point vs the
         // exact pair set (which grows with ball volume, not vertex count)
@@ -1126,6 +1126,12 @@ object ScaleProbe {
         }
         timed("hyperBall exact-pairs tier t=4") {
           graft.ops.GraphTraversal.neighborhoodFunction(edges, maxT = 4).count()
+        }
+        // stress rides the same pair-set growth law (ball volume), plus a
+        // per-middle-vertex in-ball x out-ball join — the quadratic-depth
+        // knob is the radius, measured here
+        timed("stressCentrality t=4") {
+          graft.ops.GraphTraversal.stressCentrality(edges, maxT = 4).count()
         }
       }
     }
