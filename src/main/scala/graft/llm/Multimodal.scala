@@ -639,10 +639,19 @@ object Multimodal {
     * right), so javax.imageio performs a genuine parse, while an oracle can
     * recompute width/height/px_sum arithmetically from docId alone.
     */
+  /** Width/height shared by every synthetic still image (BMP and PNG) —
+    * and by the shared ImageDecodeSql oracle arithmetic. */
+  def imgDims(docId: Long): (Int, Int) = ((4 + docId % 5).toInt, (3 + docId % 3).toInt)
+
+  /** Channel c of logical (top-down row-major) pixel i — the ONE formula
+    * the BMP bytes, the PNG pixels, the channel-stats oracle and the
+    * decode oracles all share. */
+  def imgPx(docId: Long, i: Int, c: Int): Int =
+    (((docId * 31 + i * 7 + c * 13) % 256) + 256).toInt % 256
+
   def syntheticBmp(docId: Long): Array[Byte] = {
-    val w = (4 + docId % 5).toInt
-    val h = (3 + docId % 3).toInt
-    def v(i: Int, c: Int): Int = (((docId * 31 + i * 7 + c * 13) % 256) + 256).toInt % 256
+    val (w, h) = imgDims(docId)
+    def v(i: Int, c: Int): Int = imgPx(docId, i, c)
     val rowSize = (w * 3 + 3) / 4 * 4
     val dataSize = rowSize * h
     val out = java.nio.ByteBuffer.allocate(54 + dataSize)
@@ -685,9 +694,8 @@ object Multimodal {
     * only the decoded pixels are under any contract.
     */
   def syntheticPng(docId: Long): Array[Byte] = {
-    val w = (4 + docId % 5).toInt
-    val h = (3 + docId % 3).toInt
-    def v(i: Int, c: Int): Int = (((docId * 31 + i * 7 + c * 13) % 256) + 256).toInt % 256
+    val (w, h) = imgDims(docId)
+    def v(i: Int, c: Int): Int = imgPx(docId, i, c)
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0

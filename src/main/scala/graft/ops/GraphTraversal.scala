@@ -1016,8 +1016,9 @@ object GraphTraversal {
       .filter(col("d1") + col("d2") === col("dist"))
       .groupBy(col("v").as("id"))
       .agg(sum(col("sig1") * col("sig2")).as("stress"))
-    val verts = edges.select(col(srcCol).as("id"))
-      .union(edges.select(col(dstCol).as("id"))).distinct()
+    // the vertex set is sp's dist=0 seed rows — already materialized, no
+    // second edge scan + distinct needed
+    val verts = sp.filter(col("dist") === 0).select(col("src").as("id"))
     // pin the (vertex-sized) result BEFORE releasing sp — releasing a
     // local-checkpointed frame a lazy consumer still reads would drop its
     // only copy

@@ -203,11 +203,13 @@ object Sketches {
     */
   def amsCells(rows: DataFrame, keyCol: String, reps: Int): DataFrame = {
     require(reps >= 1, s"amsCells: reps must be >= 1: $reps")
-    rows
+    // project the key first so an input column named "s"/"sgn" can never
+    // be clobbered by the sketch plumbing (a silently wrong F2 otherwise)
+    rows.select(col(keyCol).cast("string").as("__ams_key"))
       .withColumn("s", explode(expr(s"sequence(0, ${reps - 1})")))
       .withColumn("sgn",
         when(conv(substring(md5(concat(col("s").cast("string"), lit(":"),
-          col(keyCol).cast("string"))), 1, 2), 16, 10).cast("long") % 2 === 0,
+          col("__ams_key"))), 1, 2), 16, 10).cast("long") % 2 === 0,
           lit(1L)).otherwise(lit(-1L)))
       .groupBy("s").agg(sum(col("sgn")).as("z"))
   }

@@ -88,7 +88,6 @@ object PipelineQueries {
       | HAVING COUNT(*) * 30 > (SELECT n_total FROM n)
       | ORDER BY token""".stripMargin
 
-  /** Shared SQL fragment: word 3-gram shingles of documents. */
   /** Shared by m_image_decode (raw BMP) and m_png_decode (lossless PNG):
     * both containers carry the SAME formula pixels, so one arithmetic
     * oracle covers both decode paths.
@@ -107,6 +106,7 @@ object PipelineQueries {
       |        TRUE AS decoded
       | FROM px ORDER BY media_id""".stripMargin
 
+  /** Shared SQL fragment: word 3-gram shingles of documents. */
   private val ShinglesSql =
     """SELECT DISTINCT doc_id AS id,
       |        array_to_string(words[i:i+2], ' ') AS shingle
