@@ -430,6 +430,44 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
   }
 
+  test("dynamic-gap sessions: the long-gap event type holds a session open") {
+    import org.apache.spark.sql.functions._
+    // hand-built timeline for user 1 (minutes): click@0, purchase@20,
+    // click@55, click@80. Fixed 15-min gap would break after every event;
+    // the purchase's 45-min window [20, 65) reaches the click@55, whose
+    // own 15-min window [55, 70) does NOT reach 80 -> sessions
+    // {0?}, ... expected: click@0's [0,15) misses 20 -> session A = {0};
+    // session B = {20, 55} (purchase holds it open); session C = {80}.
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-dynsess")
+    try {
+      val rows = Seq((1L, 1L, "click", 0L), (1L, 2L, "purchase", 20L),
+        (1L, 3L, "click", 55L), (1L, 4L, "click", 80L))
+        .toDF("user_id", "event_id", "event_type", "min")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          timestamp_micros(col("min") * 60000000L).as("ts"),
+          lit(1L).as("value"))
+      rows.write.parquet(s"$base/in")
+      val schema = spark.read.parquet(s"$base/in").schema
+      val gap = when(col("event_type") === "purchase", "45 minutes")
+        .otherwise("15 minutes")
+      val q = StreamingIngest.streamingDynamicSessionStats(
+          spark.readStream.schema(schema).parquet(s"$base/in"),
+          gap, "10 minutes")
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("dyn_sess").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("dyn_sess")
+          .select(col("start_ts").cast("long"), col("n_events"))
+          .collect().map(r => r.getLong(0) / 60 -> r.getLong(1)).toMap
+        // sessions by start minute: 0 -> 1 event, 20 -> 2 (purchase kept
+        // the click@55 in), 80 -> 1
+        assert(got == Map(0L -> 1L, 20L -> 2L, 80L -> 1L), got.toString)
+      } finally q.stop()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
   test("streaming session windows match batch sessionization on real events") {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
