@@ -928,6 +928,77 @@ object GraphTraversal {
       .toDF("t", "n_est")
   }
 
+  /** node2vec-style SECOND-ORDER biased random walks (Grover & Leskovec,
+    * KDD'16 — public algorithm): the next hop from `cur` given `prev` is
+    * drawn with weight `wReturn` for the return candidate (cand = prev),
+    * `wCommon` for candidates ADJACENT to prev (a directed edge
+    * prev→cand exists), and `wFar` otherwise — integer weights standing
+    * in for node2vec's 1/p, 1, 1/q (e.g. p=2, q=4 scaled by 4 →
+    * 2/4/1). Step 1 has no prev and is uniform (the [[randomWalks]]
+    * rule).
+    *
+    * Determinism: the "random" draw is r = md5(n2v:walk:t:prev:cur) mod
+    * Σweights against the candidates' cumulative weights in dst order —
+    * the same cross-engine-reproducible choice [[randomWalks]] uses,
+    * extended to a weighted distribution, so walk corpora are stable
+    * across reruns AND the full 2nd-order bias is SQL-replayable.
+    *
+    * Per step: ONE frontier ⋈ edges equi-join on cur (the candidate
+    * fan-out is the out-degree), one LEFT join against the edge set on
+    * (prev, cand) for the adjacency flag, and a walk-partitioned window
+    * over the ≤ out-degree candidate rows; the range filter collapses
+    * the fan-out to exactly one row per live walk. Walks reaching a sink
+    * are dropped by the inner join — only complete walks are emitted.
+    * Output: (walk_id, v0 .. v\<steps\>), wide format.
+    */
+  def node2vecWalks(edges: DataFrame, starts: DataFrame, steps: Int,
+                    wReturn: Long, wCommon: Long, wFar: Long): DataFrame = {
+    require(steps >= 1, "node2vecWalks: steps must be >= 1")
+    require(wReturn > 0 && wCommon > 0 && wFar > 0,
+      "node2vecWalks: weights must be positive integers")
+    val e = edges.select(col("src").as("__s"), col("dst").as("__d")).distinct()
+    val wN = org.apache.spark.sql.expressions.Window
+      .partitionBy("__s").orderBy("__d")
+    val nbrs = e
+      .withColumn("idx", row_number().over(wN) - 1)
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__s")))
+    var cur = starts.select(col("walk_id"), col("start").as("v0"))
+    // step 1: uniform over N(v0)
+    val pick1 = conv(substring(md5(concat_ws(":",
+        lit("n2v"), col("walk_id"), lit(1), col("v0"))), 1, 8), 16, 10)
+      .cast("long") % col("deg")
+    cur = cur.join(nbrs, col("v0") === col("__s"))
+      .filter(col("idx") === pick1)
+      .drop("__s", "idx", "deg")
+      .withColumnRenamed("__d", "v1")
+    for (t <- 2 to steps) {
+      val prev = s"v${t - 2}"
+      val c = s"v${t - 1}"
+      val adj = e.select(col("__s").as("__ps"), col("__d").as("__pd"),
+        lit(1).as("__adj"))
+      val wWalk = org.apache.spark.sql.expressions.Window
+        .partitionBy("walk_id")
+      val wCum = wWalk.orderBy("__d")
+      cur = cur
+        .join(e, col(c) === col("__s"))
+        .join(adj, col(prev) === col("__ps") && col("__d") === col("__pd"), "left")
+        .withColumn("__w",
+          when(col("__d") === col(prev), lit(wReturn))
+            .when(col("__adj").isNotNull, lit(wCommon))
+            .otherwise(lit(wFar)))
+        .withColumn("__cum", sum(col("__w")).over(wCum))
+        .withColumn("__tot", sum(col("__w")).over(wWalk))
+        .withColumn("__r", conv(substring(md5(concat_ws(":",
+            lit("n2v"), col("walk_id"), lit(t), col(prev), col(c))), 1, 8), 16, 10)
+          .cast("long") % col("__tot"))
+        .filter(col("__cum") - col("__w") <= col("__r") && col("__r") < col("__cum"))
+        .drop("__s", "__ps", "__pd", "__adj", "__w", "__cum", "__tot", "__r")
+        .withColumnRenamed("__d", s"v$t")
+    }
+    cur
+  }
+
   /** All-pairs shortest-path DISTANCES AND COUNTS within `maxT` directed
     * hops: one row per reachable ordered pair — (`src`, `w`, `dist`,
     * `sigma` = number of distinct shortest src→w paths), including

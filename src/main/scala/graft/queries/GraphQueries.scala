@@ -1289,6 +1289,62 @@ object GraphQueries {
             .mkString}
          | SELECT walk_id, v0, v1, v2, v3 FROM w3 ORDER BY walk_id""".stripMargin),
 
+    // ---- node2vec 2nd-order biased walks ---------------------------------
+    // the walk-corpus generator behind node2vec embeddings (Grover &
+    // Leskovec, KDD'16), with the return/in-out bias the 1st-order
+    // g_random_walks cannot express: candidate weights 2 (return to
+    // prev), 4 (adjacent to prev), 1 (far) — p=2, q=4 scaled by 4 — and
+    // the draw is md5 mod total-weight against the dst-ordered cumulative
+    // weights, so the ENTIRE biased distribution is deterministic and the
+    // oracle replays every step (the g_random_walks discipline extended
+    // to 2nd-order state).
+    ("g_node2vec_walks",
+      (s, d) => {
+        val k = col("c_custkey")
+        val edges = (1 to 3).map(delta =>
+            t(s, d, "customer").select(k.as("src"), (k + delta).as("dst")))
+          .reduce(_ union _)
+          .unionByName(t(s, d, "customer").filter(k % 7 === 0)
+            .select((k + 2).as("src"), k.as("dst"))) // back-edges: real return candidates
+        val starts = t(s, d, "customer").filter(k % 10 === 0)
+          .select(k.as("walk_id"), k.as("start"))
+        graft.ops.GraphTraversal.node2vecWalks(edges, starts, steps = 3,
+            wReturn = 2L, wCommon = 4L, wFar = 1L)
+          .orderBy("walk_id")
+      },
+      s"""WITH e AS (SELECT DISTINCT src, dst FROM (
+         |     ${(1 to 3).map(dlt =>
+                s"SELECT c_custkey AS src, c_custkey + $dlt AS dst FROM customer")
+                .mkString(" UNION ALL ")}
+         |     UNION ALL
+         |     SELECT c_custkey + 2, c_custkey FROM customer WHERE c_custkey % 7 = 0)),
+         | nb AS (SELECT src, dst,
+         |          ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+         |          COUNT(*) OVER (PARTITION BY src) AS deg FROM e),
+         | w0 AS (SELECT c_custkey AS walk_id, c_custkey AS v0 FROM customer
+         |        WHERE c_custkey % 10 = 0),
+         | w1 AS (SELECT w.*, nb.dst AS v1 FROM w0 w JOIN nb
+         |        ON w.v0 = nb.src
+         |       AND nb.idx = ('0x' || substr(md5('n2v:' || w.walk_id || ':1:'
+         |                     || w.v0), 1, 8))::BIGINT % nb.deg)${(2 to 3).map(st =>
+            s""",
+         | c$st AS (SELECT w.*, nb.dst,
+         |          CASE WHEN nb.dst = w.v${st - 2} THEN 2
+         |               WHEN pe.src IS NOT NULL THEN 4 ELSE 1 END AS wt
+         |        FROM w${st - 1} w JOIN e nb ON nb.src = w.v${st - 1}
+         |        LEFT JOIN e pe ON pe.src = w.v${st - 2} AND pe.dst = nb.dst),
+         | s$st AS (SELECT *,
+         |          SUM(wt) OVER (PARTITION BY walk_id ORDER BY dst
+         |                        ROWS UNBOUNDED PRECEDING) AS cum,
+         |          SUM(wt) OVER (PARTITION BY walk_id) AS tw FROM c$st),
+         | w$st AS (SELECT walk_id, ${(0 until st).map(i => s"v$i").mkString(", ")},
+         |                 dst AS v$st FROM s$st
+         |        WHERE ('0x' || substr(md5('n2v:' || walk_id || ':' || $st || ':'
+         |              || v${st - 2} || ':' || v${st - 1}), 1, 8))::BIGINT % tw
+         |              BETWEEN cum - wt AND cum - 1)""")
+            .mkString}
+         | SELECT walk_id, v0, v1, v2, v3 FROM w3 ORDER BY walk_id""".stripMargin),
+
     // ---- friend-of-friend link prediction -------------------------------
     // the common-neighbors recommender: for each (sampled) node u, rank
     // 2-hop neighbors v by how many intermediates connect u→x→v, excluding

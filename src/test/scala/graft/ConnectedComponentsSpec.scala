@@ -580,6 +580,59 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(st1.values.forall(_ == 0L), st1.toString)
   }
 
+  test("node2vecWalks equals a JVM-side md5 replay; return weight dominates when huge") {
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    // diamond with back-edges: 0->{1,2}, 1->{0,3}, 2->{0,3}, 3->{0}
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 0L), (1L, 3L), (2L, 0L), (2L, 3L), (3L, 0L))
+    val succ = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    def replay(walkId: Long, steps: Int,
+               wr: Long, wc: Long, wf: Long): Option[Seq[Long]] = {
+      var path = Seq(walkId)
+      // step 1: uniform
+      val n0 = succ.getOrElse(path.head, Nil)
+      if (n0.isEmpty) return None
+      path = path :+ n0((h32(s"n2v:$walkId:1:${path.head}") % n0.size).toInt)
+      for (t <- 2 to steps) {
+        val prev = path(t - 2); val cur = path(t - 1)
+        val cands = succ.getOrElse(cur, Nil)
+        if (cands.isEmpty) return None
+        val ws = cands.map(cd =>
+          if (cd == prev) wr
+          else if (succ.getOrElse(prev, Nil).contains(cd)) wc else wf)
+        val r = h32(s"n2v:$walkId:$t:$prev:$cur") % ws.sum
+        var cum = 0L; var pick = -1
+        for ((w, i) <- ws.zipWithIndex if pick < 0) {
+          cum += w; if (r < cum) pick = i
+        }
+        path = path :+ cands(pick)
+      }
+      Some(path)
+    }
+    val starts = Seq((0L, 0L), (1L, 1L), (2L, 2L), (3L, 3L)).toDF("walk_id", "start")
+    val got = graft.ops.GraphTraversal.node2vecWalks(
+        edges.toDF("src", "dst"), starts, steps = 3,
+        wReturn = 2L, wCommon = 4L, wFar = 1L)
+      .collect().map(r => r.getLong(0) -> (0 to 3).map(i => r.getLong(i + 1))).toMap
+    val want = Seq(0L, 1L, 2L, 3L)
+      .flatMap(id => replay(id, 3, 2L, 4L, 1L).map(id -> _)).toMap
+    assert(got == want, s"got=$got want=$want")
+    // 2nd-order dependence: an overwhelming return weight forces every
+    // step >= 2 back to prev (no candidate set here exceeds the 10^9
+    // return weight at r < wReturn for all md5 draws under tot < 2^32)
+    val ret = graft.ops.GraphTraversal.node2vecWalks(
+        edges.toDF("src", "dst"), Seq((0L, 0L)).toDF("walk_id", "start"),
+        steps = 3, wReturn = 1000000000L, wCommon = 1L, wFar = 1L)
+      .collect()(0)
+    // columns: (walk_id, v0, v1, v2, v3) — v2 must return to v0's value 0,
+    // v3 back to v1
+    assert(ret.getLong(2) != 0L && ret.getLong(3) == 0L && ret.getLong(4) == ret.getLong(2),
+      s"return bias did not dominate: ${(0 to 4).map(ret.getLong).mkString(",")}")
+  }
+
   test("hyperBallExplicit registers equal a JVM-side md5 replay of the ball sets") {
     // independent replay: compute each vertex's (j, r) with
     // java.security.MessageDigest and take max r per register over the
