@@ -1288,9 +1288,14 @@ object Multimodal {
           case "mono" => 1
           case _ => 0
         }
-        if (w <= 0 || h <= 0 || planeMult == 0) None
+        // frame size in LONG arithmetic: a hostile header's W·H can
+        // overflow Int to a negative/wrapped value, turning copyOfRange
+        // into an uncaught throw — the sentinel-row contract demands None
+        // for any undecodable payload, including absurd declared sizes
+        val frameSizeL = if (w <= 0 || h <= 0) -1L else planeMult.toLong * w * h
+        if (planeMult == 0 || frameSizeL <= 0 || frameSizeL > bytes.length) None
         else {
-          val frameSize = planeMult * w * h
+          val frameSize = frameSizeL.toInt
           val frames = Seq.newBuilder[Array[Byte]]
           var pos = he + 1
           var ok = true

@@ -1081,12 +1081,28 @@ object GraphTraversal {
     val b = sp.select(col("src").as("v"), col("w").as("t"),
       col("dist").as("d2"), col("sigma").as("sig2"))
       .filter(col("v") =!= col("t"))
+    // σ grows combinatorially with radius: a larger maxT than the
+    // verification slice would silently wrap sig1·sig2 (and the group sum)
+    // past Long range instead of failing loudly. Guard each factor to
+    // < 2^31 (product < 2^62) and run the sum in Decimal(38,0), asserting
+    // the total itself fits Long before casting back — the Bounded.guard
+    // discipline, overflow-proof end to end.
+    val longMax = lit(Long.MaxValue).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val sigCap = 1L << 31
     val st = a.join(b, Seq("v"))
       .join(sp.select(col("src").as("s"), col("w").as("t"), col("dist")),
         Seq("s", "t"))
       .filter(col("d1") + col("d2") === col("dist"))
       .groupBy(col("v").as("id"))
-      .agg(sum(col("sig1") * col("sig2")).as("stress"))
+      .agg(sum((Bounded.guard(col("sig1"), col("sig1") < sigCap &&
+          col("sig2") < sigCap,
+          "stressCentrality: shortest-path count beyond 2^31 — radius too " +
+            "large for Long-exact stress; reduce maxT") * col("sig2"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("stress_dec"))
+      .select(col("id"),
+        Bounded.guard(col("stress_dec"), col("stress_dec") <= longMax,
+          "stressCentrality: stress total beyond Long range; reduce maxT")
+          .cast("long").as("stress"))
     // the vertex set is sp's dist=0 seed rows — already materialized, no
     // second edge scan + distinct needed
     val verts = sp.filter(col("dist") === 0).select(col("src").as("id"))

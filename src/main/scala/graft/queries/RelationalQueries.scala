@@ -1105,7 +1105,15 @@ object RelationalQueries {
           .agg(sum(when(col("p_type") === "PROMO", col("rev")).otherwise(0L))
               .as("promo_c4"),
             sum(col("rev")).as("total_c4"))
-          .select(col("promo_c4"), col("total_c4"),
+          .select(col("promo_c4"),
+            // an under-scaled fixture (total_c4 < 1e6) would zero the
+            // divisor, where the two engines' div-by-zero behaviors
+            // diverge (NULL vs error) — fail loudly and identically
+            // instead (the Bounded.guard discipline)
+            graft.ops.Bounded.guard(col("total_c4"),
+              col("total_c4") >= 1000000L,
+              "q14_promo_revenue: total_c4 below 1e6 — fixture too small " +
+                "for the ppm integer form").as("total_c4"),
             expr("promo_c4 div (total_c4 div 1000000)").as("promo_share_ppm"))
       },
       """WITH r AS (SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN

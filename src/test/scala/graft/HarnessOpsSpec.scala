@@ -25,6 +25,41 @@ class HarnessOpsSpec extends AnyFunSuite {
     assert(spark.conf.get(key) == before, "conf leaked past a throwing body")
   }
 
+  test("SessionConf rejects a concurrent second scope on the same session") {
+    graft.ops.SessionConf.withShufflePartitions(spark, 7) {
+      val e = intercept[IllegalArgumentException] {
+        graft.ops.SessionConf.withShufflePartitions(spark, 5)(())
+      }
+      assert(e.getMessage.contains("already active"))
+    }
+    // the outer scope's exit must clear the latch — a fresh scope works
+    graft.ops.SessionConf.withShufflePartitions(spark, 6)(())
+  }
+
+  test("parseY4m returns None (never throws) on a hostile oversized header") {
+    // declared W·H overflows Int when multiplied by the plane count; the
+    // frame walk must reject it as undecodable, not throw on copyOfRange
+    val hostile = ("YUV4MPEG2 W2000000000 H2000000000 C444\nFRAME\n" + "x" * 64)
+      .getBytes("ISO-8859-1")
+    assert(graft.llm.Multimodal.parseY4m(hostile).isEmpty)
+    // and the decode path emits the sentinel row under the same bytes
+    import spark.implicits._
+    val media = spark.createDataset(Seq(graft.llm.Multimodal.MediaRow(
+      1L, "video", "video/x-y4m", hostile, -1, -1, 0L)))
+    val rows = graft.llm.Multimodal.decodeY4mFrames(media).collect()
+    assert(rows.length == 1 && !rows(0).decoded && rows(0).frame_idx == -1)
+  }
+
+  test("Scratch.dir allocations live under a lock-marked per-JVM root") {
+    val a = graft.ops.Scratch.dir("graft-spec")
+    try {
+      val root = a.getParent
+      assert(root.getFileName.toString.startsWith("graft-jvm-"))
+      assert(java.nio.file.Files.isRegularFile(root.resolve(".lock")),
+        "liveness lock file missing — the stale sweep would never reclaim this root")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(a.toFile)
+  }
+
   test("Scratch.dir yields distinct writable directories") {
     val a = graft.ops.Scratch.dir("graft-spec")
     val b = graft.ops.Scratch.dir("graft-spec")
