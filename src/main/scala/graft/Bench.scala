@@ -117,22 +117,27 @@ object Bench {
     */
   private final case class LegTimes(total: Map[String, Double],
                                     execOnly: Option[Map[String, Double]],
-                                    warmup: Option[Double])
+                                    warmup: Option[Double],
+                                    calibration: Option[Double] = None)
 
   private def runChildBench(classpath: String, cwd: java.io.File, abSf: String,
-                            cpus: String): Either[String, LegTimes] = {
+                            cpus: String,
+                            onlyQueries: Seq[String] = Nil): Either[String, LegTimes] = {
     val benchOut = java.io.File.createTempFile("bench_ab_", ".json")
     benchOut.deleteOnExit()
     val javaBin = new java.io.File(new java.io.File(sys.props("java.home"), "bin"), "java").getPath
     val cmd = Seq(javaBin) ++ AddOpens ++ Seq(
       s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-      "-cp", classpath, "graft.Bench")
+      "-cp", classpath, "graft.Bench") ++ onlyQueries
     exec(cmd, cwd, Map(
       "SPARK_GRAFT_SF_DIR" -> abSf,
       "SPARK_GRAFT_BENCH_OUT" -> benchOut.getPath,
       "SPARK_GRAFT_CPUS" -> cpus,
-      "SPARK_GRAFT_AB" -> "0"), 900).flatMap { _ =>
+      "SPARK_GRAFT_AB" -> "0",
+      // child batteries never adjudicate their own flags — the parent's
+      // A/B legs and isolated reruns must stay leaf processes
+      "SPARK_GRAFT_FLAG_RERUN" -> "0"), 900).flatMap { _ =>
       if (!benchOut.isFile || benchOut.length() == 0) Left("child bench wrote no output")
       else {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -146,7 +151,8 @@ object Bench {
         val qs = root.get("queries")
         if (qs == null) Left("child bench output has no queries map")
         else Right(LegTimes(asMap(qs), Option(root.get("execSeconds")).map(asMap),
-          Option(root.get("warmupSeconds")).map(_.asDouble())))
+          Option(root.get("warmupSeconds")).map(_.asDouble()),
+          Option(root.get("calibration")).map(_.asDouble())))
       }
     }
   }
@@ -463,8 +469,21 @@ object Bench {
     // faster-than-history box never loosens the raw bar, and guarded to
     // need >= 5 contributing entries so a tiny --only subset can't
     // self-normalize its own regression away.
+    // BURST ADJUDICATION (r11 forensics): the dual criterion models UNIFORM
+    // session drift (calibration) and uniform contention (sentinel), but a
+    // bursty box — scheduler/IO contention hitting a few entries mid-battery
+    // — defeats both and fired 16 phantom flags in the r11 driver record,
+    // every one refuted by a fresh-JVM rerun. So a flag is now only
+    // RECORDED if it REPRODUCES in an isolated re-run: all preliminarily
+    // flagged entries re-run once in a fresh child JVM (quiet: no battery
+    // around them), and the flag survives only if the isolated timing still
+    // exceeds both thresholds under the child's own calibration. Refuted
+    // flags land in `phantom_flags` with their isolated numbers — the
+    // record stays auditable without crying wolf. Rerun failures keep the
+    // original flags (conservative: an unverifiable flag is still a flag).
     val histDir = new java.io.File("bench_history")
     var sentinel: Double = 1.0
+    var phantomFlags: String = "{}"
     val regressions: String = try {
       if (!histDir.isDirectory) "{}" else {
         val omap = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -493,14 +512,55 @@ object Bench {
               median(histRaw(name)) > 0.1 => sec / median(histRaw(name))
         }
         if (ratios.length >= 5) sentinel = math.max(1.0, median(ratios.toList))
-        results.collect {
+        // (name, current sec, hist median scaled-by-cal, hist median raw)
+        val prelim = results.collect {
           case (name, sec, _, None, _) if sec > 1.0 && hist.contains(name) &&
               sec / calibration > 2 * median(hist(name)) &&
               sec / sentinel > 2 * median(histRaw(name)) =>
-            jstr(name) + s""":{"current":${jnum(sec)},"hist_median_scaled":${
-              jnum(median(hist(name)) * calibration)},"hist_median_raw":${
-              jnum(median(histRaw(name)))},"sentinel":${jnum(sentinel)}}"""
-        }.mkString("{", ",", "}")
+            (name, sec, median(hist(name)), median(histRaw(name)))
+        }
+        def flagJson(f: (String, Double, Double, Double),
+                     extra: Seq[String]): String = {
+          val (name, sec, hs, hr) = f
+          jstr(name) + (Seq(
+            s""""current":${jnum(sec)}""",
+            s""""hist_median_scaled":${jnum(hs * calibration)}""",
+            s""""hist_median_raw":${jnum(hr)}""",
+            s""""sentinel":${jnum(sentinel)}""") ++ extra)
+            .mkString(":{", ",", "}")
+        }
+        if (prelim.isEmpty) "{}"
+        // child legs (SPARK_GRAFT_FLAG_RERUN=0 from runChildBench) and
+        // --only profiling runs never adjudicate — both recursion cuts
+        else if (args.nonEmpty ||
+            sys.env.getOrElse("SPARK_GRAFT_FLAG_RERUN", "1") == "0")
+          prelim.map(flagJson(_, Seq(""""isolated":"skipped"""")))
+            .mkString("{", ",", "}")
+        else {
+          val repoDir = new java.io.File(".").getCanonicalFile
+          val cp = s"${repoDir.getPath}/target/scala-2.13/classes:/opt/spark/jars/*"
+          runChildBench(cp, repoDir, sfDir, cpus, prelim.map(_._1).toSeq) match {
+            case Left(msg) => // unverifiable: keep every flag, say why
+              prelim.map(flagJson(_,
+                  Seq(s""""isolated_error":${jstr(msg.take(200))}""")))
+                .mkString("{", ",", "}")
+            case Right(leg) =>
+              val isoCal = leg.calibration.getOrElse(calibration)
+              def isoOf(n: String): Option[Double] =
+                leg.total.get(n).filter(_ >= 0)
+              val (kept, refuted) = prelim.partition { case (n, _, hs, hr) =>
+                isoOf(n) match {
+                  case Some(is) => is > 1.0 && is / isoCal > 2 * hs && is > 2 * hr
+                  case None => true // child errored on it: keep (conservative)
+                }
+              }
+              def withIso(f: (String, Double, Double, Double)): String =
+                flagJson(f, isoOf(f._1).toSeq.map(is =>
+                  s""""isolated":${jnum(is)},"isolated_calibration":${jnum(isoCal)}"""))
+              phantomFlags = refuted.map(withIso).mkString("{", ",", "}")
+              kept.map(withIso).mkString("{", ",", "}")
+          }
+        }
       }
     } catch { case _: Throwable => "{}" }
 
@@ -515,8 +575,8 @@ object Bench {
 
     // stdout gets the COMPACT line (fits any tail window: totals + errors +
     // regressions + a pointer); the file gets the full per-query detail.
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","nQueries":${results.size},"errors":$errs,"nErrors":$nErr,"regressions":$regressions,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},"sentinel":${jnum(sentinel)},"ab":$abJson,"perQuery":${jstr(outPath)}}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"execSeconds":$execQs,"warmupSeconds":${jnum(warmupSec)},"errors":$errs,"regressions":$regressions,"observedMetrics":$om,"sharedStores":$shared,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},"sentinel":${jnum(sentinel)},"ab":$abJson,"abPerQuery":$abPerQueryJson}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","nQueries":${results.size},"errors":$errs,"nErrors":$nErr,"regressions":$regressions,"phantom_flags":$phantomFlags,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},"sentinel":${jnum(sentinel)},"ab":$abJson,"perQuery":${jstr(outPath)}}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"execSeconds":$execQs,"warmupSeconds":${jnum(warmupSec)},"errors":$errs,"regressions":$regressions,"phantom_flags":$phantomFlags,"observedMetrics":$om,"sharedStores":$shared,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},"sentinel":${jnum(sentinel)},"ab":$abJson,"abPerQuery":$abPerQueryJson}"""
     // ONE bare line on the process's real stdout: java.io.FileDescriptor.out
     // bypasses sbt's System.out capture (whose "[info] " prefix breaks
     // line-oriented JSON parsing downstream) and IS System.out everywhere
