@@ -213,4 +213,118 @@ object Sketches {
           lit(1L)).otherwise(lit(-1L)))
       .groupBy("s").agg(sum(col("sgn")).as("z"))
   }
+
+  // ---- mergeable QUANTILES: dyadic count-min rank sketch -----------------
+  // The one classic mergeable summary the family above still lacked
+  // (Cormode-Muthukrishnan '05 §4, "range queries over count-min"): fix an
+  // integer universe [0, 2^bits); keep a count-min grid PER DYADIC LEVEL
+  // (level ℓ counts the bucket keys u >> ℓ — node n covers
+  // [n·2^ℓ, (n+1)·2^ℓ)). rank([0, m)) decomposes into ≤ bits dyadic nodes
+  // (one per set bit of m), each answered by its level's count-min; the
+  // p-th quantile is the smallest v whose estimated rank reaches ⌈p·N/100⌉.
+  // Count-min never under-counts, so every rank estimate is ≥ exact —
+  // one-sided like a10's point estimates.
+  //
+  // Scale shape: the build is the countMinCells shape per level — the
+  // ×(bits+1) level explode collapses map-side, the shuffle carries
+  // ≤ partitions·(bits+1)·depth·width pre-combined cells, never data-sized
+  // rows; cells are plain counts, so merge across grains (partitions,
+  // days, engines) is cell-wise SUM and EXACT. Querying touches only the
+  // grid and enumerated node/value frames (2^(bits+1) rows — broadcast
+  // territory), never the data again. Everything is md5-replayable
+  // integer arithmetic: a SQL oracle rebuilds the grid, every node
+  // estimate, every prefix rank and every quantile bit-for-bit — the
+  // a10-a13 discipline extended to quantiles.
+
+  /** Cell index for depth row `d` of the dyadic grids: 3 hex chars
+    * (12 bits ≥ any width ≤ 4096) sliced from ONE md5 of `"lvl:node"` —
+    * the per-row md5 is paid once per LEVEL, not once per level×depth
+    * (the depth explode re-hashing "d:…" like [[cmsBucket]] would triple
+    * the build's hash cost for depth 4). Width must divide 4096 so the
+    * slice maps exactly uniformly.
+    */
+  private def dyadicBucket(hexName: String, dName: String, width: Int): Column =
+    conv(expr(s"substring($hexName, 1 + $dName * 3, 3)"), 16, 10)
+      .cast("long") % width
+
+  /** Dyadic count-min cells `(grain…, lvl, d, w, cnt)` for integer
+    * `valueCol` ∈ [0, 2^bits) — the per-row bound is EXECUTABLE (a value
+    * outside the declared universe fails loudly; silently hashing it
+    * would corrupt every rank above it).
+    *
+    * TWO-STAGE build: counts aggregate per (grain, lvl, node) FIRST —
+    * bounded at grains·(2^(bits+1)−1) groups regardless of data size, so
+    * the map side combines data-scale rows down before any hashing —
+    * and only the LIVE node rows pay the md5 + depth fan-out. Hashing
+    * per input row×level instead measured 19.5 s vs 3 s at sf0.1 for
+    * identical cells; at 100 TB the difference is the whole build.
+    */
+  def dyadicCells(rows: DataFrame, valueCol: String, bits: Int, depth: Int,
+                  width: Int, grain: Seq[String] = Nil): DataFrame = {
+    require(bits >= 1 && bits <= 30, s"dyadicCells: bits out of [1,30]: $bits")
+    require(depth >= 1 && depth * 3 <= 32,
+      s"dyadicCells: depth out of [1,10]: $depth")
+    require(width >= 1 && 4096 % width == 0,
+      s"dyadicCells: width must divide 4096: $width")
+    val u = col(valueCol)
+    rows
+      .select((grain.map(col) :+
+        Bounded.guard(u.cast("long"), u >= 0 && u < (1L << bits),
+          s"dyadicCells: value outside the declared [0, 2^$bits) universe")
+          .as("__u")): _*)
+      .withColumn("lvl", explode(expr(s"sequence(0, $bits)")))
+      .withColumn("node", expr("shiftright(__u, lvl)"))
+      .groupBy((grain :+ "lvl" :+ "node").map(col): _*)
+      .agg(count(lit(1)).as("__nc"))
+      .withColumn("__hx", md5(concat(col("lvl").cast("string"), lit(":"),
+        col("node").cast("string"))))
+      .withColumn("d", explode(expr(s"sequence(0, ${depth - 1})")))
+      .withColumn("w", dyadicBucket("__hx", "d", width))
+      .groupBy((grain :+ "lvl" :+ "d" :+ "w").map(col): _*)
+      .agg(sum(col("__nc")).as("cnt"))
+  }
+
+  /** Merge dyadic sketches across their grain columns: cell-wise sum —
+    * exact, the merged grid equals a direct whole-input build (counts are
+    * additive; the countMinMerge argument per level).
+    */
+  def dyadicMerge(cells: DataFrame): DataFrame =
+    cells.groupBy("lvl", "d", "w").agg(sum("cnt").as("cnt"))
+
+  /** Point-estimate EVERY dyadic node against a merged grid: `(lvl, node,
+    * est)` for all 2^(bits+1)−1 nodes — min over depth cells, 0 when the
+    * node was never inserted. The node frame is enumerated (sketch-sized,
+    * data-independent) and the grid broadcast.
+    */
+  def dyadicNodeEst(cells: DataFrame, bits: Int, depth: Int,
+                    width: Int): DataFrame = {
+    val lvls = cells.sparkSession.range(0, bits + 1)
+      .select(col("id").cast("int").as("lvl"))
+    lvls
+      .select(col("lvl"),
+        explode(expr(s"sequence(0, shiftright(${1L << bits}, lvl) - 1)")).as("node"))
+      .withColumn("__hx", md5(concat(col("lvl").cast("string"), lit(":"),
+        col("node").cast("string"))))
+      .withColumn("d", explode(expr(s"sequence(0, ${depth - 1})")))
+      .withColumn("w", dyadicBucket("__hx", "d", width))
+      .join(broadcast(cells), Seq("lvl", "d", "w"), "left")
+      .groupBy("lvl", "node")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** Estimated rank table `(vb, rank_le)` for every universe value vb:
+    * rank_le = estimated #values ≤ vb = Σ over the dyadic decomposition
+    * of [0, vb+1) — node 2·(m >> (b+1)) at level b for each set bit b of
+    * m = vb+1. Enumerated frames only (2^bits × (bits+1) rows), node
+    * estimates broadcast.
+    */
+  def dyadicRankLe(nodeEst: DataFrame, bits: Int): DataFrame =
+    nodeEst.sparkSession.range(0, 1L << bits).select(col("id").as("vb"))
+      .withColumn("b", explode(expr(s"sequence(0, $bits)")))
+      .filter(expr("shiftright(vb + 1, b) % 2 = 1"))
+      .join(broadcast(nodeEst),
+        col("lvl") === col("b") &&
+          col("node") === lit(2L) * expr("shiftright(vb + 1, b + 1)"))
+      .groupBy("vb")
+      .agg(sum(col("est")).as("rank_le"))
 }

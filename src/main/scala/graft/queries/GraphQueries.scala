@@ -685,6 +685,110 @@ object GraphQueries {
         | SELECT ex.f2_exact, med.ams_est, TRUE AS within_4x
         | FROM ex, med""".stripMargin),
 
+    // ---- dyadic count-min QUANTILE sketch (mergeable percentiles) --------
+    // the most-used mergeable summary the family still lacked: percentiles
+    // answerable from per-grain sketches ALONE (a7's approx_percentile is
+    // one-shot and engine-opaque; t_equiheight_deciles is exact). Per-
+    // returnflag dyadic grids over l_extendedprice in 4096-cent buckets
+    // are built with one bounded-cardinality aggregate (shuffle carries
+    // ≤ partitions·13·4·256 pre-combined cells), merged by cell-wise SUM —
+    // EXACT, proven cross-engine (the oracle builds the grid directly,
+    // grain-free; the hash matches iff merge == direct) — then
+    // p25/50/75/90/99 are read
+    // from the grid with enumerated node/rank frames, never rescanning
+    // data. Estimated ranks are one-sided (count-min never under-counts:
+    // over_ok), the chosen quantile's exact rank is guarded within 10% of
+    // target, and the oracle replays grid, node estimates, prefix ranks
+    // and quantiles md5-for-md5 — the a10-a13 discipline on quantiles.
+    ("a14_quantile_sketch",
+      (s, d) => {
+        import graft.ops.Sketches
+        val bits = 12; val depth = 4; val width = 256
+        val li = t(s, d, "lineitem")
+        // universe: price cents >> 12 ($40.96 buckets); TPC-H max
+        // extendedprice ≈ $110k → bucket ≈ 2700 < 2^12 (dyadicCells
+        // guards the bound per row)
+        val vals = li.select(col("l_returnflag").as("g"),
+          expr("shiftright(cast(round(l_extendedprice * 100) as bigint), 12)")
+            .as("u"))
+        // merge-exactness proof is CROSS-ENGINE here: Spark builds the
+        // grid per-returnflag and merges cell-wise, the oracle builds it
+        // directly over the whole corpus with no grain — every downstream
+        // number (node estimates, ranks, quantiles) flows from the grid,
+        // so the driver's hash match holds iff merged == direct. (An
+        // in-entry second direct build would re-pay the full 13-level md5
+        // scan for a tautology — counts are additive by construction.)
+        val perFlag = Sketches.dyadicCells(vals, "u", bits, depth, width, Seq("g"))
+        val merged = Sketches.dyadicMerge(perFlag)
+        val nodeEst = Sketches.dyadicNodeEst(merged, bits, depth, width)
+        val rankLe = Sketches.dyadicRankLe(nodeEst, bits)
+        val n = vals.agg(count(lit(1)).as("n"))
+        val tg = n
+          .select(explode(array(Seq(25, 50, 75, 90, 99).map(lit(_)): _*)).as("p"),
+            col("n"))
+          .select(col("p").cast("long").as("pct"),
+            expr("(p * n + 99) div 100").as("target_rank"), col("n"))
+        val qq = rankLe.join(broadcast(tg), col("rank_le") >= col("target_rank"))
+          .groupBy("pct", "target_rank", "n").agg(min(col("vb")).as("q_bucket"))
+        val estAtQ = qq.join(rankLe, col("q_bucket") === col("vb"))
+          .select(col("pct"), col("target_rank"), col("n"), col("q_bucket"),
+            col("rank_le").as("est_rank"))
+        val exact = vals.crossJoin(broadcast(qq.select(col("pct").as("pct2"),
+            col("q_bucket").as("qb2"))))
+          .groupBy("pct2")
+          .agg(sum(when(col("u") <= col("qb2"), 1L).otherwise(0L)).as("exact_rank"))
+        estAtQ.join(exact, col("pct") === col("pct2"))
+          .select(col("pct"), col("target_rank"), col("q_bucket"), col("est_rank"),
+            graft.ops.Bounded.guard(col("exact_rank"),
+              abs(col("exact_rank") - col("target_rank")) * 10 <= col("n"),
+              "a14_quantile_sketch: the quantile's exact rank drifted " +
+                "beyond 10% of N — grid too coarse for this distribution")
+              .as("exact_rank"),
+            (col("est_rank") >= col("exact_rank")).as("over_ok"))
+          .orderBy("pct")
+      },
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) // 4096 AS u
+        |           FROM lineitem),
+        | lv AS (SELECT unnest(generate_series(0, 12)) AS lvl),
+        | dd AS (SELECT unnest(generate_series(0, 3)) AS d),
+        | cells AS (SELECT lvl, d,
+        |             CAST('0x' || substr(md5(lvl || ':' || (u >> lvl)),
+        |                  1 + d * 3, 3) AS BIGINT) % 256 AS w,
+        |             COUNT(*) AS cnt
+        |           FROM v CROSS JOIN lv CROSS JOIN dd GROUP BY 1, 2, 3),
+        | nodes AS (SELECT lvl, node FROM lv,
+        |             LATERAL (SELECT unnest(generate_series(0, (4096 >> lvl) - 1))
+        |                      AS node) g),
+        | ne AS (SELECT n.lvl, n.node, MIN(COALESCE(c.cnt, 0)) AS est
+        |        FROM nodes n CROSS JOIN dd
+        |        LEFT JOIN cells c ON c.lvl = n.lvl AND c.d = dd.d
+        |          AND c.w = CAST('0x' || substr(md5(n.lvl || ':' || n.node),
+        |                         1 + dd.d * 3, 3) AS BIGINT) % 256
+        |        GROUP BY 1, 2),
+        | vv AS (SELECT unnest(generate_series(0, 4095)) AS vb),
+        | bs AS (SELECT vb, b FROM vv,
+        |          LATERAL (SELECT unnest(generate_series(0, 12)) AS b) g
+        |        WHERE ((vb + 1) >> b) % 2 = 1),
+        | rk AS (SELECT s.vb, CAST(SUM(ne.est) AS BIGINT) AS rank_le
+        |        FROM bs s JOIN ne ON ne.lvl = s.b
+        |          AND ne.node = 2 * ((s.vb + 1) >> (s.b + 1))
+        |        GROUP BY 1),
+        | nt AS (SELECT COUNT(*) AS n FROM v),
+        | tg AS (SELECT CAST(p AS BIGINT) AS pct, (p * n + 99) // 100 AS target_rank, n
+        |        FROM (VALUES (25), (50), (75), (90), (99)) t(p) CROSS JOIN nt),
+        | qq AS (SELECT pct, target_rank, n, MIN(vb) AS q_bucket
+        |        FROM tg JOIN rk ON rk.rank_le >= tg.target_rank GROUP BY 1, 2, 3),
+        | er AS (SELECT q.pct AS pct,
+        |               CAST(SUM(CASE WHEN v.u <= q.q_bucket THEN 1 ELSE 0 END)
+        |                    AS BIGINT) AS exact_rank
+        |        FROM v CROSS JOIN qq q GROUP BY 1)
+        | SELECT q.pct AS pct, CAST(q.target_rank AS BIGINT) AS target_rank,
+        |        CAST(q.q_bucket AS BIGINT) AS q_bucket,
+        |        rk.rank_le AS est_rank, er.exact_rank AS exact_rank,
+        |        rk.rank_le >= er.exact_rank AS over_ok
+        | FROM qq q JOIN rk ON rk.vb = q.q_bucket JOIN er ON er.pct = q.pct
+        | ORDER BY 1""".stripMargin),
+
     // ---- strongly connected components (directed) -----------------------
     // the structure undirected CC cannot see: 3-cycles ("rings") bridged
     // pairwise by ONE-WAY edges — each ring is its own SCC and the bridge

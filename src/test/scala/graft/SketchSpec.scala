@@ -166,4 +166,37 @@ class SketchSpec extends AnyFunSuite {
     // the estimator chases: sum f_k^2 = 4 + 1 + 9 + 1 = 15
     assert(keys.groupBy(identity).values.map(g => g.size.toLong * g.size).sum == 15L)
   }
+
+  test("dyadic quantile sketch: one-sided monotone ranks, exact merge, loud bound") {
+    val bits = 10; val depth = 4; val width = 256
+    val vals = (0 until 300).map(i => ((i * 37) % 1000).toLong)
+    val rows = vals.map(v => (v, (v % 3).toInt)).toDF("u", "g").repartition(4)
+    // merge exactness: grain-summed grid == direct whole-input grid
+    def cellMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val merged = Sketches.dyadicMerge(
+      Sketches.dyadicCells(rows, "u", bits, depth, width, Seq("g")))
+    assert(cellMap(merged) ==
+      cellMap(Sketches.dyadicCells(rows.select("u"), "u", bits, depth, width)))
+    // ranks: never below exact (count-min one-sidedness — NOT monotone in
+    // v: adjacent prefixes decompose through different levels whose
+    // collision mass differs, a documented property of dyadic CM ranges),
+    // and the full-universe rank equals N exactly (level-`bits` node 0
+    // holds every row and collides with nothing)
+    val ranks = Sketches.dyadicRankLe(
+        Sketches.dyadicNodeEst(merged, bits, depth, width), bits)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks.size == (1 << bits))
+    (0 until (1 << bits)).foreach { v =>
+      assert(ranks(v.toLong) >= vals.count(_ <= v),
+        s"rank under-estimate at v=$v")
+    }
+    assert(ranks((1L << bits) - 1) == vals.size.toLong)
+    // a value outside the declared universe fails loudly, never hashes
+    val oob = intercept[Exception] {
+      Sketches.dyadicCells(Seq(5000L).toDF("u"), "u", bits, depth, width).collect()
+    }
+    assert(oob.getMessage.contains("universe") ||
+      Option(oob.getCause).exists(_.getMessage.contains("universe")))
+  }
 }
