@@ -594,6 +594,129 @@ object GraphTraversal {
       .select(col("__id_key").as("id"), col("__label_key").as("label"))
   }
 
+  /** One SYNCHRONOUS Louvain level (Blondel et al. 2008, phase 1) in
+    * EXACT integer arithmetic — the community *search* to complement the
+    * engine's community *scoring* ([[labelPropagation]] assigns by vote;
+    * modularity-gain moves assign by objective). Every vertex starts as
+    * its own community; each round every vertex simultaneously picks,
+    * among its neighbors' current communities and its own, the one
+    * maximizing the modularity insertion gain with itself removed from
+    * its current community:
+    *
+    *   G(v → c) · 4m² ∝ 2m·k_{v,c} − deg(v)·(Σtot_c − [c = cur(v)]·deg(v))
+    *
+    * (k_{v,c} = edges from v into c, Σtot_c = degree mass of c). The
+    * scaled gain is a plain Long, the tie-break is total (max gain, then
+    * SMALLEST community id), so rounds replay EXACTLY in any engine —
+    * the [[labelPropagation]] determinism discipline applied to the
+    * modularity objective. Classic sequential Louvain moves one vertex
+    * at a time; distributed formulations compute all moves against the
+    * round-start assignment and must break the symmetric-swap
+    * oscillation (two adjacent vertices joining each other's community
+    * forever) — here by PARITY ALTERNATION: round r applies moves only
+    * to vertices with id ≡ r (mod 2), so use an EVEN `rounds` to give
+    * both classes equal turns. Still exactly replayable: the parity
+    * gate is pure integer arithmetic on the (encoded) id.
+    *
+    * Scale shape per round: ONE edge-scale equi-join (neighbor
+    * communities) + three map-combinable aggregates (k per (v, c), Σtot
+    * per c, max-gain per v) + vertex-sized joins — no windows, no driver
+    * state beyond the loop counter; [[Checkpointer]] truncates lineage.
+    * Non-integral keys dictionary-encode through the SAME
+    * order-preserving ids as [[labelPropagation]] (min-community
+    * tie-breaks must agree between vid and caller-key order); both
+    * output columns decode back through vertex-sized joins.
+    *
+    * Returns (`id`, `community`) for every vertex with an edge.
+    */
+  def louvainLevel(edges: DataFrame, rounds: Int,
+                   srcCol: String = "src", dstCol: String = "dst",
+                   cp: Checkpointer = Checkpointer.Auto,
+                   encodeKeys: Boolean = true): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0: $rounds")
+    val eCaller = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
+    if (integral.contains(eCaller.schema("src").dataType) || !encodeKeys)
+      return louvainRounds(eCaller, rounds, cp)
+    val eRaw = cp(eCaller.distinct())
+    val keys = eRaw.select(col("src").as("id"))
+      .union(eRaw.select(col("dst").as("id"))).distinct()
+    val dict = cp(orderPreservingIds(keys))
+    val e = cp(eRaw
+      .join(dict.select(col("id").as("src"), col("vid").as("vsrc")), Seq("src"))
+      .join(dict.select(col("id").as("dst"), col("vid").as("vdst")), Seq("dst"))
+      .select(col("vsrc").as("src"), col("vdst").as("dst")))
+    cp.release(eRaw)
+    val enc = louvainRounds(e, rounds, cp)
+    enc
+      .join(dict.select(col("vid").as("id"), col("id").as("__id_key")), Seq("id"))
+      .join(dict.select(col("vid").as("community"), col("id").as("__comm_key")),
+        Seq("community"))
+      .select(col("__id_key").as("id"), col("__comm_key").as("community"))
+  }
+
+  /** The synchronous modularity-gain move loop on an already-encoded (or
+    * natively integral) edge table — see [[louvainLevel]] for semantics.
+    */
+  private def louvainRounds(eRaw: DataFrame, rounds: Int, cp: Checkpointer): DataFrame = {
+    val und = cp(eRaw.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct())
+    val sym = cp(und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst"))))
+    val mRow = und.agg(count(lit(1)).as("m")) // 1 row — broadcast into gains
+    val deg = cp(sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("dv")))
+    var cur = cp(deg.select(col("id"), col("id").as("community")))
+    for (r <- 0 until rounds) {
+      val tot = cur.join(deg, Seq("id"))
+        .groupBy("community").agg(sum(col("dv")).as("tot"))
+      val kvc = sym
+        .join(cur.select(col("id").as("dst"), col("community")), Seq("dst"))
+        .groupBy(col("src").as("v"), col("community"))
+        .agg(count(lit(1)).as("k"))
+      // the own community is ALWAYS a candidate (staying must compete),
+      // even when v has no neighbor inside it: union a k=0 row, max picks
+      // the real k when one exists
+      val cand = kvc.select(col("v"), col("community"), col("k"))
+        .unionByName(cur.select(col("id").as("v"), col("community"),
+          lit(0L).as("k")))
+        .groupBy("v", "community").agg(max(col("k")).as("k"))
+      val gains = cand
+        .join(deg.select(col("id").as("v"), col("dv")), Seq("v"))
+        .join(cur.select(col("id").as("v"), col("community").as("cur_comm")),
+          Seq("v"))
+        .join(tot, Seq("community"))
+        .crossJoin(broadcast(mRow))
+        .select(col("v"), col("community"),
+          (lit(2L) * col("m") * col("k") - col("dv") *
+            (col("tot") - when(col("community") === col("cur_comm"),
+              col("dv")).otherwise(lit(0L)))).as("gain"))
+      val best = gains.groupBy("v").agg(max(col("gain")).as("mg"))
+      // PARITY-ALTERNATING application (the distributed-Louvain oscillation
+      // fix): when every vertex moves simultaneously, two adjacent
+      // vertices each join the OTHER's community and swap forever instead
+      // of merging (measured: q barely grows round over round). Round r
+      // applies moves only to vertices of id parity r % 2 — a symmetric
+      // swap can't happen when only one endpoint may move — so `rounds`
+      // should be even (each parity moves rounds/2 times).
+      val chosen = gains.join(best, Seq("v"))
+        .filter(col("gain") === col("mg"))
+        .groupBy(col("v").as("id")).agg(min(col("community")).as("new_comm"))
+      val prev = cur
+      cur = cp(cur.select(col("id"), col("community").as("old_comm"))
+        .join(chosen, Seq("id"))
+        .select(col("id"),
+          when(pmod(col("id"), lit(2L)) === lit(r % 2), col("new_comm"))
+            .otherwise(col("old_comm")).as("community")))
+      cp.release(prev)
+    }
+    cp.release(und); cp.release(sym); cp.release(deg)
+    cur
+  }
+
   /** Strongly connected components of a DIRECTED graph — the structure
     * [[ConnectedComponents]] (undirected) cannot see: a citation ring, a
     * mutual-redirect cluster, a cyclic ontology import are SCCs even when

@@ -447,6 +447,95 @@ object GraphQueries {
             .mkString}
          | SELECT id, label FROM l3 ORDER BY id""".stripMargin),
 
+    // ---- Louvain level (modularity-OPTIMIZING community detection) -------
+    // the community *search* g_label_prop (vote-based) and g_modularity
+    // (score-only) bracket but neither does: two parity-alternating rounds
+    // of exact-integer modularity-gain moves (GraphTraversal.louvainLevel;
+    // round r moves only id ≡ r mod 2 — the symmetric-swap oscillation
+    // fix) over the same successor graph, unrolled in the oracle as
+    // materialized CTEs (gain = 2·m·k_vc − deg·(Σtot − [stay]·deg),
+    // max-gain-then-min-id — every quantity a Long, bit-replayable). The
+    // guard proves the SEARCH works: total modularity numerator
+    // Σ_c (4·m·m_c − D_c²) of the Louvain assignment must strictly beat
+    // the 3-round LPA baseline's on the identical graph.
+    ("g_louvain",
+      (s, d) => {
+        val k = col("c_custkey")
+        val edges = (1 to 3).map(delta =>
+            t(s, d, "customer").select(k.as("src"), (k + delta).as("dst")))
+          .reduce(_ union _)
+        val louvain = graft.ops.GraphTraversal.louvainLevel(edges, rounds = 2)
+        val lpa = graft.ops.GraphTraversal.labelPropagation(edges, rounds = 3)
+          .select(col("id"), col("label").as("community"))
+        val und = edges.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        val mRow = und.agg(count(lit(1)).as("m"))
+        val deg = und.select(col("a").as("id"))
+          .unionAll(und.select(col("b").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("dv"))
+        // Σ_c (4·m·m_intra(c) − D_c²) for an assignment — the g_modularity
+        // integer numerator, summed to one comparable Long
+        def qnum(lab: DataFrame): DataFrame = {
+          val intra = und
+            .join(lab.select(col("id").as("a"), col("community").as("ca")), Seq("a"))
+            .join(lab.select(col("id").as("b"), col("community").as("cb")), Seq("b"))
+            .filter(col("ca") === col("cb"))
+            .groupBy(col("ca").as("c")).agg(count(lit(1)).as("mi"))
+          lab.join(deg, Seq("id"))
+            .groupBy(col("community").as("c")).agg(sum(col("dv")).as("ds"))
+            .join(intra, Seq("c"), "left")
+            .crossJoin(broadcast(mRow))
+            .agg(sum(lit(4L) * col("m") * coalesce(col("mi"), lit(0L))
+              - col("ds") * col("ds")).as("q"))
+        }
+        val beats = qnum(louvain).select(col("q").as("q_lou"))
+          .crossJoin(qnum(lpa).select(col("q").as("q_lpa")))
+        louvain.crossJoin(broadcast(beats))
+          .select(col("id"),
+            graft.ops.Bounded.guard(col("community"),
+              col("q_lou") > col("q_lpa"),
+              "g_louvain: modularity-gain moves failed to beat the LPA " +
+                "baseline — the search regressed").as("community"),
+            lit(true).as("beats_lpa"))
+          .orderBy("id")
+      },
+      s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |     ${(1 to 3).map(dlt =>
+                s"SELECT c_custkey AS src, c_custkey + $dlt AS dst FROM customer")
+                .mkString(" UNION ALL ")})),
+         | und AS MATERIALIZED (SELECT src AS a, dst AS b FROM e0),
+         | sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
+         |     UNION ALL SELECT b AS src, a AS dst FROM und),
+         | m AS (SELECT COUNT(*) AS m FROM und),
+         | deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS dv FROM sym GROUP BY 1),
+         | c0 AS MATERIALIZED (SELECT id, id AS comm FROM deg)${(1 to 2).map(it =>
+            s""",
+         | tot$it AS MATERIALIZED (SELECT c.comm, SUM(d.dv) AS tot
+         |     FROM c${it - 1} c JOIN deg d ON d.id = c.id GROUP BY 1),
+         | kv$it AS MATERIALIZED (SELECT s.src AS v, c.comm, COUNT(*) AS k
+         |     FROM sym s JOIN c${it - 1} c ON c.id = s.dst GROUP BY 1, 2),
+         | cd$it AS MATERIALIZED (SELECT v, comm, MAX(k) AS k FROM (
+         |     SELECT v, comm, k FROM kv$it
+         |     UNION ALL SELECT id AS v, comm, 0 AS k FROM c${it - 1}) GROUP BY 1, 2),
+         | g$it AS MATERIALIZED (SELECT cd.v AS v, cd.comm AS comm,
+         |       2 * m.m * cd.k - d.dv * (t.tot - CASE WHEN cu.comm = cd.comm
+         |           THEN d.dv ELSE 0 END) AS gain
+         |     FROM cd$it cd JOIN deg d ON d.id = cd.v
+         |     JOIN c${it - 1} cu ON cu.id = cd.v
+         |     JOIN tot$it t ON t.comm = cd.comm CROSS JOIN m),
+         | b$it AS (SELECT v, MAX(gain) AS mg FROM g$it GROUP BY 1),
+         | n$it AS (SELECT g.v AS id, MIN(g.comm) AS comm
+         |     FROM g$it g JOIN b$it b ON b.v = g.v AND g.gain = b.mg GROUP BY 1),
+         | c$it AS MATERIALIZED (SELECT n.id,
+         |       CASE WHEN n.id % 2 = ${(it - 1) % 2} THEN n.comm
+         |            ELSE cu.comm END AS comm
+         |     FROM n$it n JOIN c${it - 1} cu ON cu.id = n.id)""")
+            .mkString}
+         | SELECT id, comm AS community, TRUE AS beats_lpa
+         | FROM c2 ORDER BY id""".stripMargin),
+
     // ---- approximate aggregates (engine-specific sketches) --------------
     // The sketch values themselves are engine-specific (HLL++ register
     // layout, KLL accuracy), so the checked contract is (a) the EXACT

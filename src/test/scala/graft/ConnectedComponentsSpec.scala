@@ -407,6 +407,41 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got0 == Seq(1L, 2L, 3L, 10L, 11L, 12L).map(v => v -> v).toMap)
   }
 
+  test("louvainLevel: two triangles + bridge — hand-replayed parity rounds") {
+    import spark.implicits._
+    // same graph as the LPA spec. Hand replay (gain = 2·m·k − deg·(tot −
+    // [stay]·deg), max-gain-then-min-comm, round r moves id parity r%2):
+    // r0 (even movers): 2→c1 (gain 10), 10→c11 (tie 8, min), 12→c11 (10)
+    // r1 (odd movers): 1 stays c1 (own 10 > 8), 3→c1 (16), 11 stays c11
+    // — the triangles MERGE (a fully synchronous variant would swap)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("src", "dst")
+    val got2 = graft.ops.GraphTraversal.louvainLevel(edges, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 11L, 11L -> 11L, 12L -> 11L))
+    // rounds = 0 is the identity labeling
+    val got0 = graft.ops.GraphTraversal.louvainLevel(edges, rounds = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got0 == Seq(1L, 2L, 3L, 10L, 11L, 12L).map(v => v -> v).toMap)
+  }
+
+  test("louvainLevel: string keys — encoded parity replay, decoded labels") {
+    import spark.implicits._
+    // dict-encode maps n1..x12 → vids 0..5, and the parity gate runs on
+    // the VID (documented): hand replay on vids — r0 movers {0,2,4}:
+    // 0→c1, 2→c0 (tie 8, min), 4→c5; r1 movers {1,3,5}: 1 stays c1,
+    // 3→c5 (16), 5 stays c5. Decoded communities: c0→"n1", c1→"n2",
+    // c5→"x12".
+    val edges = Seq(("n1", "n2"), ("n2", "n3"), ("n1", "n3"),
+      ("x10", "x11"), ("x11", "x12"), ("x10", "x12"), ("n3", "x10"))
+      .toDF("src", "dst")
+    val got2 = graft.ops.GraphTraversal.louvainLevel(edges, rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got2 == Map("n1" -> "n2", "n2" -> "n2", "n3" -> "n1",
+      "x10" -> "x12", "x11" -> "x12", "x12" -> "x12"))
+  }
+
   test("labelPropagation: string keys — internal dict-encode preserves key-order ties") {
     import spark.implicits._
     // the SAME graph under an order-preserving long→string rename
