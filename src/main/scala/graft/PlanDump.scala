@@ -122,7 +122,17 @@ object PlanDump {
       Seq("SortMergeJoin", "CartesianProduct")),
     // pseudonymized linkage: tokens must stay an equi-join key (a
     // Cartesian would mean the md5 tokenization broke key equality)
-    "t_pseudonymize" -> (Seq("Join"), Seq("CartesianProduct")))
+    "t_pseudonymize" -> (Seq("Join"), Seq("CartesianProduct")),
+    // Q21: semi/anti self-join legs are equi-keyed on l_orderkey with the
+    // supplier inequality as residual — strategy is SF-dependent (all
+    // sides broadcast at audit SF, SMJ at scale), Cartesian never
+    "q21_waiting_suppliers" -> (Seq("Join"), Seq("CartesianProduct")),
+    // Louvain: the 1-row edge-count total rides a broadcast BNLJ
+    // (g_modularity's pin); every community/degree join is equi-keyed
+    "g_louvain" -> (Seq("BroadcastNestedLoopJoin"), Seq("CartesianProduct")),
+    // dyadic quantiles: the cell grid and rank frames are broadcast-sized
+    // — a shuffle-side grid means the planner thinks the sketch is data
+    "a14_quantile_sketch" -> (Seq("BroadcastHashJoin"), Seq("CartesianProduct")))
 
   private def unpartitionedWindows(df: org.apache.spark.sql.DataFrame): Int =
     df.queryExecution.optimizedPlan.collect {

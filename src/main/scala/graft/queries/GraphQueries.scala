@@ -819,7 +819,7 @@ object GraphQueries {
             expr("(p * n + 99) div 100").as("target_rank"), col("n"))
         val qq = rankLe.join(broadcast(tg), col("rank_le") >= col("target_rank"))
           .groupBy("pct", "target_rank", "n").agg(min(col("vb")).as("q_bucket"))
-        val estAtQ = qq.join(rankLe, col("q_bucket") === col("vb"))
+        val estAtQ = qq.join(broadcast(rankLe), col("q_bucket") === col("vb"))
           .select(col("pct"), col("target_rank"), col("n"), col("q_bucket"),
             col("rank_le").as("est_rank"))
         val exact = vals.crossJoin(broadcast(qq.select(col("pct").as("pct2"),

@@ -2101,6 +2101,77 @@ object RelationalQueries {
         | FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
         | GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
 
+    // ---- DYNAMIC partition pruning (runtime-injected star-join prune) ----
+    // the 100-TB star-join win s29's STATIC prune can't deliver: the
+    // selective predicate lives on the DIMENSION (quarter = 1995-Q1), not
+    // on the fact's partition column — at planning time every fact
+    // partition is live, and only the runtime subquery over the filtered
+    // dim can narrow the ym listing to the quarter's three months. The
+    // entry writes orders hive-partitioned by month, joins through a
+    // month→quarter dim, EXECUTES, then asserts the two properties that
+    // make it DPP and not a rescue: the scan's PartitionFilters carry a
+    // DynamicPruningExpression, and the partitions actually READ (scan
+    // metric) are strictly fewer than the table's — exactly the dim's
+    // matching months.
+    ("s35_dpp_prune",
+      (s, d) => {
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+        import org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression
+        val base = graft.ops.Scratch.dir("graft-dpp").toString + "/orders_by_month"
+        t(s, d, "orders")
+          .withColumn("ym", date_format(col("o_orderdate"), "yyyy-MM"))
+          .repartition(col("ym"))
+          .write.partitionBy("ym").parquet(base)
+        val fact = s.read.parquet(base)
+        val dim = t(s, d, "orders")
+          .select(date_format(col("o_orderdate"), "yyyy-MM").as("ym")).distinct()
+          .withColumn("quarter", concat(substring(col("ym"), 1, 4), lit("-Q"),
+            expr("cast((cast(substring(ym, 6, 2) as int) + 2) div 3 as string)")))
+        val joined = fact
+          .join(dim.filter(col("quarter") === "1995-Q1").select("ym"), Seq("ym"))
+          .groupBy("ym")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        val rows = joined.collect() // bounded: months of one quarter
+        // walk INTO adaptive query stages: QueryStageExec is a leaf to
+        // collect(), so a plain tree collect never sees executed scans
+        def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+          (p match {
+            case f: FileSourceScanExec => Seq(f)
+            case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+            case _ => Seq.empty
+          }) ++ p.children.flatMap(scans)
+        val scan = scans(joined.queryExecution.executedPlan)
+          .find(_.relation.location.rootPaths.exists(_.toString.contains("orders_by_month")))
+          .getOrElse(sys.error("s35_dpp_prune: no fact FileSourceScanExec"))
+        require(scan.partitionFilters.exists(
+            _.exists(_.isInstanceOf[DynamicPruningExpression])),
+          "s35_dpp_prune: no DynamicPruningExpression in the fact scan's " +
+            "PartitionFilters — the dim filter was not runtime-injected")
+        val partsAll = scan.relation.location.listFiles(Nil, Nil).size
+        val partsRead = scan.metrics.get("numPartitions").map(_.value)
+          .getOrElse(sys.error("s35_dpp_prune: scan has no numPartitions metric"))
+        require(partsRead < partsAll && partsRead >= 1,
+          s"s35_dpp_prune: expected a strict runtime prune, read $partsRead " +
+            s"of $partsAll partitions")
+        s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq), joined.schema)
+          .orderBy("ym")
+      },
+      """WITH f AS (SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders),
+        | dim AS (SELECT DISTINCT ym FROM f),
+        | dq AS (SELECT ym FROM dim
+        |        WHERE substr(ym, 1, 4) || '-Q' ||
+        |              CAST((CAST(substr(ym, 6, 2) AS INT) + 2) // 3 AS VARCHAR)
+        |              = '1995-Q1')
+        | SELECT f.ym AS ym, COUNT(*) AS n_orders,
+        |        CAST(SUM(cents) AS BIGINT) AS cents
+        | FROM f JOIN dq ON f.ym = dq.ym
+        | GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ---- dynamic partition overwrite (INSERT OVERWRITE one partition) ---
     // the lakehouse rewrite primitive s21/s23/s29 lead up to: a
     // partitioned table gets ONE partition's rows replaced (status F,
@@ -2250,6 +2321,61 @@ object RelationalQueries {
         | FROM heavy JOIN orders ON o_orderkey = l_orderkey
         |            JOIN customer ON c_custkey = o_custkey
         | ORDER BY o_orderkey""".stripMargin),
+
+    // ---- suppliers who kept orders waiting (Q21 shape) -------------------
+    // the classic 4-way semi/anti SELF-JOIN stress on the fact table: late
+    // line items (this corpus has no commit/receipt dates, so "late" is a
+    // fixed ship-date cutoff — the join topology is unchanged) of one
+    // nation's suppliers, on finalized multi-supplier orders where NO
+    // OTHER supplier was late. Plan shape under audit: the EXISTS leg is a
+    // LEFT SEMI and the NOT-EXISTS leg a LEFT ANTI against lineitem keyed
+    // on l_orderkey with the supplier inequality as residual (equi-key +
+    // non-equi condition — never a Cartesian); orders-F prunes as a semi
+    // join before the heavy legs; supplier⋈nation is a broadcast dim.
+    // numwait counts l1 ROWS (not distinct suppliers-per-order) — exactly
+    // Q21's count(*) semantics.
+    ("q21_waiting_suppliers",
+      (s, d) => {
+        val cutoff = "2000-06-30"
+        val nation = t(s, d, "nation").filter(col("n_name") === "NATION_7")
+        val supp = t(s, d, "supplier")
+          .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"))
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        val l1 = li.filter(col("l_shipdate") > lit(cutoff))
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val ordersF = t(s, d, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey").as("l_orderkey"))
+        val l2 = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+        val l3 = l1.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+        l1
+          .join(ordersF, Seq("l_orderkey"), "left_semi")
+          .join(l2, col("l_orderkey") === col("ok2") &&
+            col("l_suppkey") =!= col("sk2"), "left_semi")
+          .join(l3, col("l_orderkey") === col("ok3") &&
+            col("l_suppkey") =!= col("sk3"), "left_anti")
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(desc("numwait"), col("s_name"))
+      },
+      """SELECT s_name, COUNT(*) AS numwait
+        | FROM supplier
+        | JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        | JOIN orders ON o_orderkey = l1.l_orderkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | WHERE o_orderstatus = 'F' AND n_name = 'NATION_7'
+        |   AND l1.l_shipdate > TIMESTAMP '2000-06-30'
+        |   AND EXISTS (SELECT 1 FROM lineitem l2
+        |               WHERE l2.l_orderkey = l1.l_orderkey
+        |                 AND l2.l_suppkey <> l1.l_suppkey)
+        |   AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                   WHERE l3.l_orderkey = l1.l_orderkey
+        |                     AND l3.l_suppkey <> l1.l_suppkey
+        |                     AND l3.l_shipdate > TIMESTAMP '2000-06-30')
+        | GROUP BY 1 ORDER BY numwait DESC, s_name""".stripMargin),
 
     // ---- exact equi-height histogram (all deciles) without a global sort
     // generalizes t_exact_median_nosort from one order statistic to all
