@@ -1367,6 +1367,107 @@ object Multimodal {
     }
   }
 
+  /** A REAL animated GIF (LZW-compressed, palette-indexed — the third
+    * multi-frame container the sandbox JDK can both WRITE and READ, via
+    * javax.imageio's GIF plugin) carrying the SAME logical frames as
+    * [[syntheticAviDib]]/[[syntheticY4m]] ([[aviDims]] dims, [[aviPx]]
+    * channels): each frame's ≤ w·h ≤ 40 distinct colors become an exact
+    * IndexColorModel palette, so the palette-indexed encode is LOSSLESS
+    * and the decoded per-frame sums replay the one shared oracle formula.
+    */
+  def syntheticGif(docId: Long): Array[Byte] = {
+    val (w, h, n) = aviDims(docId)
+    val baos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      // interlace OFF: the JDK GIF pipeline's default progressive mode
+      // writes interlaced frames whose row deinterlacing comes back
+      // WRONG at these tiny heights (rows shifted/filled — measured);
+      // sequential row order round-trips exactly
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      writer.prepareWriteSequence(null)
+      for (f <- 0 until n) {
+        val rgb = Array.tabulate(w * h)(i =>
+          (aviPx(docId, f, i, 0) << 16) | (aviPx(docId, f, i, 1) << 8) |
+            aviPx(docId, f, i, 2))
+        // palette PADDED to a power of two: the JDK GIF writer derives
+        // bits-per-pixel from the map size and MISWRITES rows for
+        // non-power-of-2 palettes (decoded rows shift — measured, not
+        // hypothetical); padding with duplicates is lossless
+        val distinctRgb = rgb.distinct
+        val padTo = Integer.highestOneBit(
+          math.max(2, distinctRgb.length * 2 - 1))
+        val palette = distinctRgb ++
+          Array.fill(padTo - distinctRgb.length)(distinctRgb.last)
+        val icm = new java.awt.image.IndexColorModel(8, palette.length,
+          palette.map(c => ((c >> 16) & 0xff).toByte),
+          palette.map(c => ((c >> 8) & 0xff).toByte),
+          palette.map(c => (c & 0xff).toByte))
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val idx = palette.zipWithIndex.toMap
+        for (y <- 0 until h; x <- 0 until w)
+          img.getRaster.setSample(x, y, 0, idx(rgb(y * w + x)))
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+      }
+      writer.endWriteSequence()
+      ios.flush()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    baos.toByteArray
+  }
+
+  def syntheticGifs(docs: DataFrame, idCol: String = "doc_id"): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol)).as[Long].map { id =>
+      MediaRow(id, "video", "image/gif", syntheticGif(id), -1, -1, 0L)
+    }
+  }
+
+  /** REAL per-frame decode of animated GIFs — the [[decodeVideoFrames]]
+    * shape through javax.imageio's multi-image reader (getNumImages /
+    * read(i) walk the GIF's image blocks): one [[VideoFrame]] per frame
+    * with the exact R+G+B pixel sum; undecodable payloads emit the one
+    * sentinel row (frame_idx -1, decoded false), never a throw.
+    */
+  def decodeGifFrames(media: Dataset[MediaRow]): Dataset[VideoFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val frames: Seq[VideoFrame] =
+          try {
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(r.bytes))
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) Seq.empty
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis)
+                (0 until reader.getNumImages(true)).map { i =>
+                  val img = reader.read(i)
+                  var sum = 0L
+                  for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+                    val c = img.getRGB(x, y)
+                    sum += ((c >> 16) & 0xff) + ((c >> 8) & 0xff) + (c & 0xff)
+                  }
+                  VideoFrame(r.media_id, i, img.getWidth, img.getHeight, sum,
+                    decoded = true)
+                }
+              } finally reader.dispose()
+            }
+          } catch { case _: Throwable => Seq.empty }
+        if (frames.nonEmpty) frames
+        else Seq(VideoFrame(r.media_id, -1, -1, -1, -1L, decoded = false))
+      }
+    }
+  }
+
   /** Wrap a text corpus as opaque media payloads — lets the multimodal
     * plumbing run against the driver's `documents` table (no binary fixtures
     * exist in the environment; payload = utf-8 bytes, deterministic).

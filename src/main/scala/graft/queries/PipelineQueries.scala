@@ -2972,6 +2972,34 @@ object PipelineQueries {
     // agreement is the point, and one oracle formula covers both. With
     // DIB-AVI + Y4M real, the fakeDecode stub is confined to compressed
     // codecs (H.264-class) the sandbox JDK cannot have.
+    // ---- REAL animated-GIF multi-frame decode ---------------------------
+    // the third genuinely-decodable multi-frame container, and the first
+    // COMPRESSED one (LZW) with no codec stub: frames carry exact
+    // per-frame palettes (≤ 40 colors), so the javax.imageio GIF
+    // round-trip is lossless and the decoded sums replay the same
+    // aviDims/aviPx oracle arithmetic as the DIB-AVI and Y4M twins —
+    // three containers, one formula, cross-container agreement by
+    // construction. fakeDecode now covers ONLY H.264-class codecs the
+    // sandbox JDK cannot have.
+    ("m_gif_frames",
+      (s, d) => Multimodal.decodeGifFrames(
+          Multimodal.syntheticGifs(spread(t(s, d, "documents"))))
+        .toDF().orderBy("media_id", "frame_idx"),
+      """WITH p AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h,
+        |                  2 + doc_id % 3 AS n FROM documents),
+        | fr AS (SELECT doc_id, w, h, f
+        |        FROM p, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS f) g),
+        | px AS (SELECT doc_id, f, w, h,
+        |          SUM((doc_id * 31 + f * 101 + i * 7) % 256
+        |            + (doc_id * 31 + f * 101 + i * 7 + 13) % 256
+        |            + (doc_id * 31 + f * 101 + i * 7 + 26) % 256) AS s
+        |        FROM fr, LATERAL (SELECT unnest(generate_series(0, w * h - 1)) AS i) g2
+        |        GROUP BY doc_id, f, w, h)
+        | SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+        |        CAST(w AS INTEGER) AS img_w, CAST(h AS INTEGER) AS img_h,
+        |        CAST(s AS BIGINT) AS px_sum, TRUE AS decoded
+        | FROM px ORDER BY media_id, frame_idx""".stripMargin),
+
     ("m_y4m_frames",
       (s, d) => Multimodal.decodeY4mFrames(
           Multimodal.syntheticY4ms(spread(t(s, d, "documents"))))

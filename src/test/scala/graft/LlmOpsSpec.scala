@@ -1681,6 +1681,44 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(c420.length == 1 && !c420(0).decoded)
   }
 
+  test("animated GIF: lossless palette round-trip agrees with DIB-AVI frames") {
+    // palette-exact encode (≤ 40 colors per frame) through the real JDK
+    // GIF writer (interlace disabled — the default progressive mode
+    // miswrites tiny heights) must reproduce the formula pixels exactly
+    for (id <- Seq(0L, 1L, 7L, 123L)) {
+      val (ew, eh, en) = Multimodal.aviDims(id)
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(Multimodal.syntheticGif(id)))
+      val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+      reader.setInput(iis)
+      assert(reader.getNumImages(true) == en, s"id=$id frame count")
+      for (f <- 0 until en) {
+        val img = reader.read(f)
+        assert(img.getWidth == ew && img.getHeight == eh)
+        for (i <- Seq(0, ew * eh / 2, ew * eh - 1)) {
+          val c = img.getRGB(i % ew, i / ew) & 0xffffff
+          val exp = (Multimodal.aviPx(id, f, i, 0) << 16) |
+            (Multimodal.aviPx(id, f, i, 1) << 8) | Multimodal.aviPx(id, f, i, 2)
+          assert(c == exp, s"id=$id frame=$f px=$i")
+        }
+      }
+      reader.dispose()
+    }
+    // cross-container agreement: GIF rows == DIB-AVI rows, same formula
+    val in = docs(3L -> "a", 8L -> "b")
+    def key(rows: Array[Multimodal.VideoFrame]) =
+      rows.map(r => (r.media_id, r.frame_idx) -> (r.img_w, r.img_h, r.px_sum)).toMap
+    val g = key(Multimodal.decodeGifFrames(Multimodal.syntheticGifs(in)).collect())
+    val a = key(Multimodal.decodeVideoFrames(Multimodal.syntheticAvis(in)).collect())
+    assert(g == a && g.nonEmpty)
+    // corrupt payload: ONE sentinel row, never a throw, never a vanished id
+    val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+    val bad = Multimodal.decodeGifFrames(
+      Multimodal.syntheticGifs(docs(3L -> "a")).map(r => r.copy(bytes =
+        Array[Byte](1, 2, 3)))(enc)).collect()
+    assert(bad.length == 1 && !bad(0).decoded && bad(0).frame_idx == -1)
+  }
+
   test("MJPEG fixtures: real JPEG-in-AVI frames decode to position-exact pixels") {
     // goldens recorded from the committed fixture bytes at authoring time;
     // javax.imageio JPEG decode is deterministic for fixed bytes, so any
