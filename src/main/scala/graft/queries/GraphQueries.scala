@@ -56,6 +56,107 @@ object GraphQueries {
       |        cms_est >= n_exact AS over_ok
       | FROM looked ORDER BY key""".stripMargin
 
+  /** a14's dyadic-quantile grid parameters and plumbing — shared with the
+    * streaming twin (grid cells are plain sums, so per-micro-batch grids
+    * merged cell-wise converge to the direct whole-corpus build and the
+    * SAME oracle replays ranks and quantiles from them).
+    */
+  private[queries] val QBits = 12
+  private[queries] val QDepth = 4
+  private[queries] val QWidth = 256
+
+  /** lineitem → the quantile universe column `u` (price cents >> 12;
+    * TPC-H max extendedprice ≈ $110k → bucket ≈ 2700 < 2^12, guarded per
+    * row inside dyadicCells).
+    */
+  private[queries] def quantileVals(li: DataFrame): DataFrame =
+    li.select(
+      expr("shiftright(cast(round(l_extendedprice * 100) as bigint), 12)").as("u"))
+
+  /** The read side of the dyadic quantile sketch: given a MERGED grid,
+    * derive node estimates, prefix ranks, p25/50/75/90/99, and the
+    * exact-rank guard columns — one grid-only plan plus one exact-rank
+    * pass over lineitem (the accuracy EXHIBIT the sketch replaces).
+    */
+  private[queries] def quantileFromGrid(s: SparkSession, d: String,
+                                        merged: DataFrame): DataFrame = {
+    import graft.ops.Sketches
+    val vals = quantileVals(t(s, d, "lineitem"))
+    val nodeEst = Sketches.dyadicNodeEst(merged, QBits, QDepth, QWidth)
+    val rankLe = Sketches.dyadicRankLe(nodeEst, QBits)
+    val n = vals.agg(count(lit(1)).as("n"))
+    val tg = n
+      .select(explode(array(Seq(25, 50, 75, 90, 99).map(lit(_)): _*)).as("p"),
+        col("n"))
+      .select(col("p").cast("long").as("pct"),
+        expr("(p * n + 99) div 100").as("target_rank"), col("n"))
+    val qq = rankLe.join(broadcast(tg), col("rank_le") >= col("target_rank"))
+      .groupBy("pct", "target_rank", "n").agg(min(col("vb")).as("q_bucket"))
+    val estAtQ = qq.join(broadcast(rankLe), col("q_bucket") === col("vb"))
+      .select(col("pct"), col("target_rank"), col("n"), col("q_bucket"),
+        col("rank_le").as("est_rank"))
+    val exact = vals.crossJoin(broadcast(qq.select(col("pct").as("pct2"),
+        col("q_bucket").as("qb2"))))
+      .groupBy("pct2")
+      .agg(sum(when(col("u") <= col("qb2"), 1L).otherwise(0L)).as("exact_rank"))
+    estAtQ.join(exact, col("pct") === col("pct2"))
+      .select(col("pct"), col("target_rank"), col("q_bucket"), col("est_rank"),
+        graft.ops.Bounded.guard(col("exact_rank"),
+          abs(col("exact_rank") - col("target_rank")) * 10 <= col("n"),
+          "quantile sketch: the quantile's exact rank drifted beyond 10% " +
+            "of N — grid too coarse for this distribution")
+          .as("exact_rank"),
+        (col("est_rank") >= col("exact_rank")).as("over_ok"))
+      .orderBy("pct")
+  }
+
+  /** The a14 dyadic-quantile oracle — builds the grid DIRECTLY (grain-
+    * free), so a hash match against any merged build IS the
+    * merge-exactness proof. Shared with the streaming twin.
+    */
+  val QuantileSketchSql: String =
+    """WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) // 4096 AS u
+      |           FROM lineitem),
+      | lv AS (SELECT unnest(generate_series(0, 12)) AS lvl),
+      | dd AS (SELECT unnest(generate_series(0, 3)) AS d),
+      | cells AS (SELECT lvl, d,
+      |             CAST('0x' || substr(md5(lvl || ':' || (u >> lvl)),
+      |                  1 + d * 3, 3) AS BIGINT) % 256 AS w,
+      |             COUNT(*) AS cnt
+      |           FROM v CROSS JOIN lv CROSS JOIN dd GROUP BY 1, 2, 3),
+      | nodes AS (SELECT lvl, node FROM lv,
+      |             LATERAL (SELECT unnest(generate_series(0, (4096 >> lvl) - 1))
+      |                      AS node) g),
+      | ne AS (SELECT n.lvl, n.node, MIN(COALESCE(c.cnt, 0)) AS est
+      |        FROM nodes n CROSS JOIN dd
+      |        LEFT JOIN cells c ON c.lvl = n.lvl AND c.d = dd.d
+      |          AND c.w = CAST('0x' || substr(md5(n.lvl || ':' || n.node),
+      |                         1 + dd.d * 3, 3) AS BIGINT) % 256
+      |        GROUP BY 1, 2),
+      | vv AS (SELECT unnest(generate_series(0, 4095)) AS vb),
+      | bs AS (SELECT vb, b FROM vv,
+      |          LATERAL (SELECT unnest(generate_series(0, 12)) AS b) g
+      |        WHERE ((vb + 1) >> b) % 2 = 1),
+      | rk AS (SELECT s.vb, CAST(SUM(ne.est) AS BIGINT) AS rank_le
+      |        FROM bs s JOIN ne ON ne.lvl = s.b
+      |          AND ne.node = 2 * ((s.vb + 1) >> (s.b + 1))
+      |        GROUP BY 1),
+      | nt AS (SELECT COUNT(*) AS n FROM v),
+      | tg AS (SELECT CAST(p AS BIGINT) AS pct, (p * n + 99) // 100 AS target_rank, n
+      |        FROM (VALUES (25), (50), (75), (90), (99)) t(p) CROSS JOIN nt),
+      | qq AS (SELECT pct, target_rank, n, MIN(vb) AS q_bucket
+      |        FROM tg JOIN rk ON rk.rank_le >= tg.target_rank GROUP BY 1, 2, 3),
+      | er AS (SELECT q.pct AS pct,
+      |               CAST(SUM(CASE WHEN v.u <= q.q_bucket THEN 1 ELSE 0 END)
+      |                    AS BIGINT) AS exact_rank
+      |        FROM v CROSS JOIN qq q GROUP BY 1)
+      | SELECT q.pct AS pct, CAST(q.target_rank AS BIGINT) AS target_rank,
+      |        CAST(q.q_bucket AS BIGINT) AS q_bucket,
+      |        rk.rank_le AS est_rank, er.exact_rank AS exact_rank,
+      |        rk.rank_le >= er.exact_rank AS over_ok
+      | FROM qq q JOIN rk ON rk.vb = q.q_bucket JOIN er ON er.pct = q.pct
+      | ORDER BY 1""".stripMargin
+
   /** The a11 KMV oracle — shared with the streaming twin (bottom-k merge
     * is exact over a total order, so the converged streaming heaps must
     * yield the same estimates the direct whole-corpus build yields).
@@ -792,91 +893,20 @@ object GraphQueries {
     ("a14_quantile_sketch",
       (s, d) => {
         import graft.ops.Sketches
-        val bits = 12; val depth = 4; val width = 256
-        val li = t(s, d, "lineitem")
-        // universe: price cents >> 12 ($40.96 buckets); TPC-H max
-        // extendedprice ≈ $110k → bucket ≈ 2700 < 2^12 (dyadicCells
-        // guards the bound per row)
-        val vals = li.select(col("l_returnflag").as("g"),
-          expr("shiftright(cast(round(l_extendedprice * 100) as bigint), 12)")
-            .as("u"))
-        // merge-exactness proof is CROSS-ENGINE here: Spark builds the
-        // grid per-returnflag and merges cell-wise, the oracle builds it
+        // merge-exactness proof is CROSS-ENGINE: Spark builds the grid
+        // per-returnflag and merges cell-wise, the oracle builds it
         // directly over the whole corpus with no grain — every downstream
         // number (node estimates, ranks, quantiles) flows from the grid,
         // so the driver's hash match holds iff merged == direct. (An
-        // in-entry second direct build would re-pay the full 13-level md5
-        // scan for a tautology — counts are additive by construction.)
-        val perFlag = Sketches.dyadicCells(vals, "u", bits, depth, width, Seq("g"))
-        val merged = Sketches.dyadicMerge(perFlag)
-        val nodeEst = Sketches.dyadicNodeEst(merged, bits, depth, width)
-        val rankLe = Sketches.dyadicRankLe(nodeEst, bits)
-        val n = vals.agg(count(lit(1)).as("n"))
-        val tg = n
-          .select(explode(array(Seq(25, 50, 75, 90, 99).map(lit(_)): _*)).as("p"),
-            col("n"))
-          .select(col("p").cast("long").as("pct"),
-            expr("(p * n + 99) div 100").as("target_rank"), col("n"))
-        val qq = rankLe.join(broadcast(tg), col("rank_le") >= col("target_rank"))
-          .groupBy("pct", "target_rank", "n").agg(min(col("vb")).as("q_bucket"))
-        val estAtQ = qq.join(broadcast(rankLe), col("q_bucket") === col("vb"))
-          .select(col("pct"), col("target_rank"), col("n"), col("q_bucket"),
-            col("rank_le").as("est_rank"))
-        val exact = vals.crossJoin(broadcast(qq.select(col("pct").as("pct2"),
-            col("q_bucket").as("qb2"))))
-          .groupBy("pct2")
-          .agg(sum(when(col("u") <= col("qb2"), 1L).otherwise(0L)).as("exact_rank"))
-        estAtQ.join(exact, col("pct") === col("pct2"))
-          .select(col("pct"), col("target_rank"), col("q_bucket"), col("est_rank"),
-            graft.ops.Bounded.guard(col("exact_rank"),
-              abs(col("exact_rank") - col("target_rank")) * 10 <= col("n"),
-              "a14_quantile_sketch: the quantile's exact rank drifted " +
-                "beyond 10% of N — grid too coarse for this distribution")
-              .as("exact_rank"),
-            (col("est_rank") >= col("exact_rank")).as("over_ok"))
-          .orderBy("pct")
+        // in-entry second direct build would re-pay the full 13-level
+        // build for a tautology — counts are additive by construction.)
+        val vals = t(s, d, "lineitem").select(col("l_returnflag").as("g"),
+          expr("shiftright(cast(round(l_extendedprice * 100) as bigint), 12)")
+            .as("u"))
+        val perFlag = Sketches.dyadicCells(vals, "u", QBits, QDepth, QWidth, Seq("g"))
+        quantileFromGrid(s, d, Sketches.dyadicMerge(perFlag))
       },
-      """WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) // 4096 AS u
-        |           FROM lineitem),
-        | lv AS (SELECT unnest(generate_series(0, 12)) AS lvl),
-        | dd AS (SELECT unnest(generate_series(0, 3)) AS d),
-        | cells AS (SELECT lvl, d,
-        |             CAST('0x' || substr(md5(lvl || ':' || (u >> lvl)),
-        |                  1 + d * 3, 3) AS BIGINT) % 256 AS w,
-        |             COUNT(*) AS cnt
-        |           FROM v CROSS JOIN lv CROSS JOIN dd GROUP BY 1, 2, 3),
-        | nodes AS (SELECT lvl, node FROM lv,
-        |             LATERAL (SELECT unnest(generate_series(0, (4096 >> lvl) - 1))
-        |                      AS node) g),
-        | ne AS (SELECT n.lvl, n.node, MIN(COALESCE(c.cnt, 0)) AS est
-        |        FROM nodes n CROSS JOIN dd
-        |        LEFT JOIN cells c ON c.lvl = n.lvl AND c.d = dd.d
-        |          AND c.w = CAST('0x' || substr(md5(n.lvl || ':' || n.node),
-        |                         1 + dd.d * 3, 3) AS BIGINT) % 256
-        |        GROUP BY 1, 2),
-        | vv AS (SELECT unnest(generate_series(0, 4095)) AS vb),
-        | bs AS (SELECT vb, b FROM vv,
-        |          LATERAL (SELECT unnest(generate_series(0, 12)) AS b) g
-        |        WHERE ((vb + 1) >> b) % 2 = 1),
-        | rk AS (SELECT s.vb, CAST(SUM(ne.est) AS BIGINT) AS rank_le
-        |        FROM bs s JOIN ne ON ne.lvl = s.b
-        |          AND ne.node = 2 * ((s.vb + 1) >> (s.b + 1))
-        |        GROUP BY 1),
-        | nt AS (SELECT COUNT(*) AS n FROM v),
-        | tg AS (SELECT CAST(p AS BIGINT) AS pct, (p * n + 99) // 100 AS target_rank, n
-        |        FROM (VALUES (25), (50), (75), (90), (99)) t(p) CROSS JOIN nt),
-        | qq AS (SELECT pct, target_rank, n, MIN(vb) AS q_bucket
-        |        FROM tg JOIN rk ON rk.rank_le >= tg.target_rank GROUP BY 1, 2, 3),
-        | er AS (SELECT q.pct AS pct,
-        |               CAST(SUM(CASE WHEN v.u <= q.q_bucket THEN 1 ELSE 0 END)
-        |                    AS BIGINT) AS exact_rank
-        |        FROM v CROSS JOIN qq q GROUP BY 1)
-        | SELECT q.pct AS pct, CAST(q.target_rank AS BIGINT) AS target_rank,
-        |        CAST(q.q_bucket AS BIGINT) AS q_bucket,
-        |        rk.rank_le AS est_rank, er.exact_rank AS exact_rank,
-        |        rk.rank_le >= er.exact_rank AS over_ok
-        | FROM qq q JOIN rk ON rk.vb = q.q_bucket JOIN er ON er.pct = q.pct
-        | ORDER BY 1""".stripMargin),
+      QuantileSketchSql),
 
     // ---- strongly connected components (directed) -----------------------
     // the structure undirected CC cannot see: 3-cycles ("rings") bridged

@@ -845,6 +845,61 @@ object StreamingQueries {
       },
       GraphQueries.CountMinSql),
 
+    // ---- streaming dyadic QUANTILE sketch (grid merged per batch) --------
+    // the 25th twin, against a14's ORACLE: the dyadic grid's cells are
+    // plain SUMS, so per-micro-batch grids merge cell-wise EXACTLY —
+    // foreachBatch builds each batch's grid with the two-stage bounded
+    // aggregate and folds it into a versioned store (≤ 13·4·256 rows
+    // forever, regardless of stream length), and the converged grid must
+    // yield the identical percentiles the direct whole-corpus build
+    // yields. This is the production shape for "p99 over an unbounded
+    // stream": constant state, no history rescan, quantiles readable at
+    // any batch boundary. dyadicCells is TWO chained aggregations —
+    // inexpressible as one streaming agg — which is exactly why the
+    // sketch's mergeability (not streaming-native operators) carries it.
+    ("stream_quantile",
+      (s, d) => {
+        // no finally-delete: the returned frame READS the grid store
+        // (the stream_incremental_cc temp-dir convention)
+        val staged = stagedLineitem(s, d)
+        val base = scratchDir("graft-stream-quant")
+        val grid = withStreamShuffle(s, parts = 0) {
+          val in = base.resolve("in")
+          linkBatch(staged.b1, in.resolve("b1"))
+          val schema = s.read.parquet(s"$in/b1").schema
+          val store = base.resolve("grid").toString
+          @volatile var version = 0
+          val q = s.readStream.schema(schema)
+            .option("recursiveFileLookup", "true").parquet(in.toString)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", base.resolve("ckpt").toString)
+            .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                             _: Long) =>
+              if (!batch.isEmpty) {
+                val next = version + 1
+                val cells = graft.ops.Sketches.dyadicCells(
+                  GraphQueries.quantileVals(batch.toDF()), "u",
+                  GraphQueries.QBits, GraphQueries.QDepth, GraphQueries.QWidth)
+                val merged =
+                  if (version == 0) cells
+                  else graft.ops.Sketches.dyadicMerge(
+                    s.read.parquet(s"$store/v=$version").unionByName(cells))
+                merged.write.parquet(s"$store/v=$next")
+                version = next
+              }
+            }
+            .start()
+          try {
+            q.processAllAvailable()
+            linkBatch(staged.b2, in.resolve("b2"))
+            q.processAllAvailable()
+          } finally q.stop()
+          s.read.parquet(s"${base.resolve("grid")}/v=$version")
+        }
+        GraphQueries.quantileFromGrid(s, d, grid)
+      },
+      GraphQueries.QuantileSketchSql),
+
     // ---- streaming grouped top-k (heap buffer as state) -----------------
     // the 16th twin, against w4's window-formulation ORACLE: the native
     // top_k TypedImperativeAggregate is mergeable, so in a streaming
