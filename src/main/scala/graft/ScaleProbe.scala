@@ -1171,6 +1171,39 @@ object ScaleProbe {
         }
       }
     }
+    if (Seq("dyadicQuantile", "louvain").exists(enabled)) {
+      if (enabled("dyadicQuantile")) {
+        // rows x mult, SAME value distribution: the two-stage build's
+        // first aggregate combines map-side to <= 2^(bits+1) node groups,
+        // so wall should track the scan (linear), never the shuffle —
+        // and the md5+depth fan-out stays constant (live nodes only)
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .repartition(spark.sparkContext.defaultParallelism)
+        val rows = (0 until mult).map(_ => li).reduce(_ union _)
+          .select(expr(
+            "shiftright(cast(round(l_extendedprice * 100) as bigint), 12)").as("u"))
+        timed("dyadicQuantile grid build") {
+          graft.ops.Sketches.dyadicCells(rows, "u", 12, 4, 256).count()
+        }
+      }
+      if (enabled("louvain")) {
+        // fresh keys x mult successor graph: each round is one edge-scale
+        // join + bounded aggregates, so 2 rounds should scale linearly in
+        // |V| — the community count grows with the graph, the per-round
+        // shape does not
+        val baseC = spark.read.parquet(s"$sfDir/customer.parquet")
+        val cStride = baseC.agg(max(col("c_custkey"))).head.getLong(0) + 1L
+        val cust = (0 until mult).map(k =>
+            baseC.withColumn("c_custkey", col("c_custkey") + lit(k.toLong * cStride)))
+          .reduce(_ union _)
+        val kc = col("c_custkey")
+        val edges = (1 to 3).map(dlt =>
+          cust.select(kc.as("src"), (kc + dlt).as("dst"))).reduce(_ union _)
+        timed("louvainLevel rounds=2") {
+          graft.ops.GraphTraversal.louvainLevel(edges, rounds = 2).count()
+        }
+      }
+    }
     spark.stop()
   }
 }
