@@ -130,6 +130,7 @@ object PlanDump {
     // Louvain: the 1-row edge-count total rides a broadcast BNLJ
     // (g_modularity's pin); every community/degree join is equi-keyed
     "g_louvain" -> (Seq("BroadcastNestedLoopJoin"), Seq("CartesianProduct")),
+    "g_louvain2" -> (Seq("BroadcastNestedLoopJoin"), Seq("CartesianProduct")),
     // dyadic quantiles: the cell grid and rank frames are broadcast-sized
     // — a shuffle-side grid means the planner thinks the sketch is data
     "a14_quantile_sketch" -> (Seq("BroadcastHashJoin"), Seq("CartesianProduct")))

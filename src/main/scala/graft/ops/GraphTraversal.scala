@@ -658,38 +658,66 @@ object GraphTraversal {
   }
 
   /** The synchronous modularity-gain move loop on an already-encoded (or
-    * natively integral) edge table — see [[louvainLevel]] for semantics.
+    * natively integral) edge table: the weight-1, no-self-loop case of
+    * [[louvainWeightedLevel]] (counts ARE unit-weight sums) — see
+    * [[louvainLevel]] for semantics.
     */
-  private def louvainRounds(eRaw: DataFrame, rounds: Int, cp: Checkpointer): DataFrame = {
-    val und = cp(eRaw.filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct())
-    val sym = cp(und.select(col("a").as("src"), col("b").as("dst"))
-      .union(und.select(col("b").as("src"), col("a").as("dst"))))
-    val mRow = und.agg(count(lit(1)).as("m")) // 1 row — broadcast into gains
-    val deg = cp(sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("dv")))
-    var cur = cp(deg.select(col("id"), col("id").as("community")))
+  private def louvainRounds(eRaw: DataFrame, rounds: Int, cp: Checkpointer): DataFrame =
+    louvainWeightedLevel(
+      eRaw.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+        .withColumn("w", lit(1L)),
+      rounds, cp)
+
+  /** One WEIGHTED Louvain level over a contracted graph — the second half
+    * of the Louvain pyramid: after [[louvainLevel]] assigns communities,
+    * the graph contracts to supernodes (edge weight = inter-community
+    * edge count, self-loop = intra count) and the SAME parity-alternating
+    * integer gain moves run on weights:
+    *
+    *   G(v → c) ∝ 2·W·k_{v,c} − s(v)·(Σtot_c − [c = cur(v)]·s(v))
+    *
+    * with W = total edge weight (self-loops once), s(v) = strength
+    * (incident weight, self-loops twice — so Σs = 2W, the unweighted
+    * degree convention), k_{v,c} = weight from v into c excluding v's
+    * self-loop (constant across choices, hence ignorable). Input
+    * `wedges` must be UNDIRECTED-normalized rows (`a`, `b`, `w`) with
+    * a ≤ b; integral node ids (contracted graphs are — community ids are
+    * vertex ids). Returns (`id`, `community`).
+    */
+  def louvainWeightedLevel(wedges: DataFrame, rounds: Int,
+                           cp: Checkpointer = Checkpointer.Auto): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0: $rounds")
+    val we = cp(wedges.select(col("a"), col("b"), col("w").cast("long").as("w")))
+    val sym = cp(we.filter(col("a") =!= col("b"))
+      .select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .union(we.filter(col("a") =!= col("b"))
+        .select(col("b").as("src"), col("a").as("dst"), col("w"))))
+    val wRow = we.agg(sum(col("w")).as("m")) // 1 row — broadcast into gains
+    val str = cp(sym.select(col("src").as("id"), col("w"))
+      .unionByName(we.filter(col("a") === col("b"))
+        .select(col("a").as("id"), (col("w") * 2).as("w")))
+      .groupBy("id").agg(sum(col("w")).as("dv")))
+    var cur = cp(str.select(col("id"), col("id").as("community")))
     for (r <- 0 until rounds) {
-      val tot = cur.join(deg, Seq("id"))
+      val tot = cur.join(str, Seq("id"))
         .groupBy("community").agg(sum(col("dv")).as("tot"))
       val kvc = sym
         .join(cur.select(col("id").as("dst"), col("community")), Seq("dst"))
         .groupBy(col("src").as("v"), col("community"))
-        .agg(count(lit(1)).as("k"))
-      // the own community is ALWAYS a candidate (staying must compete),
-      // even when v has no neighbor inside it: union a k=0 row, max picks
-      // the real k when one exists
+        .agg(sum(col("w")).as("k"))
       val cand = kvc.select(col("v"), col("community"), col("k"))
         .unionByName(cur.select(col("id").as("v"), col("community"),
           lit(0L).as("k")))
         .groupBy("v", "community").agg(max(col("k")).as("k"))
       val gains = cand
-        .join(deg.select(col("id").as("v"), col("dv")), Seq("v"))
+        .join(str.select(col("id").as("v"), col("dv")), Seq("v"))
         .join(cur.select(col("id").as("v"), col("community").as("cur_comm")),
           Seq("v"))
         .join(tot, Seq("community"))
-        .crossJoin(broadcast(mRow))
+        .crossJoin(broadcast(wRow))
         .select(col("v"), col("community"),
           (lit(2L) * col("m") * col("k") - col("dv") *
             (col("tot") - when(col("community") === col("cur_comm"),
@@ -713,9 +741,23 @@ object GraphTraversal {
             .otherwise(col("old_comm")).as("community")))
       cp.release(prev)
     }
-    cp.release(und); cp.release(sym); cp.release(deg)
+    cp.release(we); cp.release(sym); cp.release(str)
     cur
   }
+
+  /** Contract an undirected edge table through a community assignment:
+    * (`a`, `b`, `w`) rows with a ≤ b, inter-community weight = edge count
+    * between the communities, self-loop weight = intra count — the input
+    * [[louvainWeightedLevel]] expects. `und` must be undirected-distinct
+    * (`a`, `b`); `labels` is (`id`, `community`).
+    */
+  def louvainContract(und: DataFrame, labels: DataFrame): DataFrame =
+    und
+      .join(labels.select(col("id").as("a"), col("community").as("__ca")), Seq("a"))
+      .join(labels.select(col("id").as("b"), col("community").as("__cb")), Seq("b"))
+      .select(least(col("__ca"), col("__cb")).as("a"),
+        greatest(col("__ca"), col("__cb")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
 
   /** Strongly connected components of a DIRECTED graph — the structure
     * [[ConnectedComponents]] (undirected) cannot see: a citation ring, a

@@ -157,6 +157,82 @@ object GraphQueries {
       | FROM qq q JOIN rk ON rk.vb = q.q_bucket JOIN er ON er.pct = q.pct
       | ORDER BY 1""".stripMargin
 
+  // ---- g_louvain / g_louvain2 shared plumbing -----------------------------
+
+  /** The successor graph both Louvain entries (and g_label_prop) run on. */
+  private def louvainEdges(s: SparkSession, d: String): DataFrame = {
+    val k = col("c_custkey")
+    (1 to 3).map(delta =>
+        t(s, d, "customer").select(k.as("src"), (k + delta).as("dst")))
+      .reduce(_ union _)
+  }
+
+  /** Undirected-distinct (a ≤ b) edges of the successor graph. */
+  private def louvainUnd(edges: DataFrame): DataFrame =
+    edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+
+  /** Σ_c (4·m·m_intra(c) − D_c²) for an assignment over `und` — the
+    * g_modularity integer numerator summed to ONE comparable Long row
+    * (`q`); the in-plan judge for both Louvain guards.
+    */
+  private def modularityQ(und: DataFrame, lab: DataFrame): DataFrame = {
+    val mRow = und.agg(count(lit(1)).as("m"))
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("dv"))
+    val intra = und
+      .join(lab.select(col("id").as("a"), col("community").as("ca")), Seq("a"))
+      .join(lab.select(col("id").as("b"), col("community").as("cb")), Seq("b"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c")).agg(count(lit(1)).as("mi"))
+    lab.join(deg, Seq("id"))
+      .groupBy(col("community").as("c")).agg(sum(col("dv")).as("ds"))
+      .join(intra, Seq("c"), "left")
+      .crossJoin(broadcast(mRow))
+      .agg(sum(lit(4L) * col("m") * coalesce(col("mi"), lit(0L))
+        - col("ds") * col("ds")).as("q"))
+  }
+
+  /** The level-1 Louvain oracle CTE chain (through `c2`) — shared prefix
+    * of g_louvain's and g_louvain2's oracles.
+    */
+  private val LouvainCtePrefix: String =
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |     ${(1 to 3).map(dlt =>
+              s"SELECT c_custkey AS src, c_custkey + $dlt AS dst FROM customer")
+              .mkString(" UNION ALL ")})),
+       | und AS MATERIALIZED (SELECT src AS a, dst AS b FROM e0),
+       | sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
+       |     UNION ALL SELECT b AS src, a AS dst FROM und),
+       | m AS (SELECT COUNT(*) AS m FROM und),
+       | deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS dv FROM sym GROUP BY 1),
+       | c0 AS MATERIALIZED (SELECT id, id AS comm FROM deg)${(1 to 2).map(it =>
+          s""",
+       | tot$it AS MATERIALIZED (SELECT c.comm, SUM(d.dv) AS tot
+       |     FROM c${it - 1} c JOIN deg d ON d.id = c.id GROUP BY 1),
+       | kv$it AS MATERIALIZED (SELECT s.src AS v, c.comm, COUNT(*) AS k
+       |     FROM sym s JOIN c${it - 1} c ON c.id = s.dst GROUP BY 1, 2),
+       | cd$it AS MATERIALIZED (SELECT v, comm, MAX(k) AS k FROM (
+       |     SELECT v, comm, k FROM kv$it
+       |     UNION ALL SELECT id AS v, comm, 0 AS k FROM c${it - 1}) GROUP BY 1, 2),
+       | g$it AS MATERIALIZED (SELECT cd.v AS v, cd.comm AS comm,
+       |       2 * m.m * cd.k - d.dv * (t.tot - CASE WHEN cu.comm = cd.comm
+       |           THEN d.dv ELSE 0 END) AS gain
+       |     FROM cd$it cd JOIN deg d ON d.id = cd.v
+       |     JOIN c${it - 1} cu ON cu.id = cd.v
+       |     JOIN tot$it t ON t.comm = cd.comm CROSS JOIN m),
+       | b$it AS (SELECT v, MAX(gain) AS mg FROM g$it GROUP BY 1),
+       | n$it AS (SELECT g.v AS id, MIN(g.comm) AS comm
+       |     FROM g$it g JOIN b$it b ON b.v = g.v AND g.gain = b.mg GROUP BY 1),
+       | c$it AS MATERIALIZED (SELECT n.id,
+       |       CASE WHEN n.id % 2 = ${(it - 1) % 2} THEN n.comm
+       |            ELSE cu.comm END AS comm
+       |     FROM n$it n JOIN c${it - 1} cu ON cu.id = n.id)""")
+          .mkString}""".stripMargin
+
   /** The a11 KMV oracle — shared with the streaming twin (bottom-k merge
     * is exact over a total order, so the converged streaming heaps must
     * yield the same estimates the direct whole-corpus build yields).
@@ -561,38 +637,13 @@ object GraphQueries {
     // the 3-round LPA baseline's on the identical graph.
     ("g_louvain",
       (s, d) => {
-        val k = col("c_custkey")
-        val edges = (1 to 3).map(delta =>
-            t(s, d, "customer").select(k.as("src"), (k + delta).as("dst")))
-          .reduce(_ union _)
+        val edges = louvainEdges(s, d)
         val louvain = graft.ops.GraphTraversal.louvainLevel(edges, rounds = 2)
         val lpa = graft.ops.GraphTraversal.labelPropagation(edges, rounds = 3)
           .select(col("id"), col("label").as("community"))
-        val und = edges.filter(col("src") =!= col("dst"))
-          .select(least(col("src"), col("dst")).as("a"),
-            greatest(col("src"), col("dst")).as("b"))
-          .distinct()
-        val mRow = und.agg(count(lit(1)).as("m"))
-        val deg = und.select(col("a").as("id"))
-          .unionAll(und.select(col("b").as("id")))
-          .groupBy("id").agg(count(lit(1)).as("dv"))
-        // Σ_c (4·m·m_intra(c) − D_c²) for an assignment — the g_modularity
-        // integer numerator, summed to one comparable Long
-        def qnum(lab: DataFrame): DataFrame = {
-          val intra = und
-            .join(lab.select(col("id").as("a"), col("community").as("ca")), Seq("a"))
-            .join(lab.select(col("id").as("b"), col("community").as("cb")), Seq("b"))
-            .filter(col("ca") === col("cb"))
-            .groupBy(col("ca").as("c")).agg(count(lit(1)).as("mi"))
-          lab.join(deg, Seq("id"))
-            .groupBy(col("community").as("c")).agg(sum(col("dv")).as("ds"))
-            .join(intra, Seq("c"), "left")
-            .crossJoin(broadcast(mRow))
-            .agg(sum(lit(4L) * col("m") * coalesce(col("mi"), lit(0L))
-              - col("ds") * col("ds")).as("q"))
-        }
-        val beats = qnum(louvain).select(col("q").as("q_lou"))
-          .crossJoin(qnum(lpa).select(col("q").as("q_lpa")))
+        val und = louvainUnd(edges)
+        val beats = modularityQ(und, louvain).select(col("q").as("q_lou"))
+          .crossJoin(modularityQ(und, lpa).select(col("q").as("q_lpa")))
         louvain.crossJoin(broadcast(beats))
           .select(col("id"),
             graft.ops.Bounded.guard(col("community"),
@@ -602,40 +653,77 @@ object GraphQueries {
             lit(true).as("beats_lpa"))
           .orderBy("id")
       },
-      s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
-         |     ${(1 to 3).map(dlt =>
-                s"SELECT c_custkey AS src, c_custkey + $dlt AS dst FROM customer")
-                .mkString(" UNION ALL ")})),
-         | und AS MATERIALIZED (SELECT src AS a, dst AS b FROM e0),
-         | sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
-         |     UNION ALL SELECT b AS src, a AS dst FROM und),
-         | m AS (SELECT COUNT(*) AS m FROM und),
-         | deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS dv FROM sym GROUP BY 1),
-         | c0 AS MATERIALIZED (SELECT id, id AS comm FROM deg)${(1 to 2).map(it =>
-            s""",
-         | tot$it AS MATERIALIZED (SELECT c.comm, SUM(d.dv) AS tot
-         |     FROM c${it - 1} c JOIN deg d ON d.id = c.id GROUP BY 1),
-         | kv$it AS MATERIALIZED (SELECT s.src AS v, c.comm, COUNT(*) AS k
-         |     FROM sym s JOIN c${it - 1} c ON c.id = s.dst GROUP BY 1, 2),
-         | cd$it AS MATERIALIZED (SELECT v, comm, MAX(k) AS k FROM (
-         |     SELECT v, comm, k FROM kv$it
-         |     UNION ALL SELECT id AS v, comm, 0 AS k FROM c${it - 1}) GROUP BY 1, 2),
-         | g$it AS MATERIALIZED (SELECT cd.v AS v, cd.comm AS comm,
-         |       2 * m.m * cd.k - d.dv * (t.tot - CASE WHEN cu.comm = cd.comm
-         |           THEN d.dv ELSE 0 END) AS gain
-         |     FROM cd$it cd JOIN deg d ON d.id = cd.v
-         |     JOIN c${it - 1} cu ON cu.id = cd.v
-         |     JOIN tot$it t ON t.comm = cd.comm CROSS JOIN m),
-         | b$it AS (SELECT v, MAX(gain) AS mg FROM g$it GROUP BY 1),
-         | n$it AS (SELECT g.v AS id, MIN(g.comm) AS comm
-         |     FROM g$it g JOIN b$it b ON b.v = g.v AND g.gain = b.mg GROUP BY 1),
-         | c$it AS MATERIALIZED (SELECT n.id,
-         |       CASE WHEN n.id % 2 = ${(it - 1) % 2} THEN n.comm
-         |            ELSE cu.comm END AS comm
-         |     FROM n$it n JOIN c${it - 1} cu ON cu.id = n.id)""")
-            .mkString}
+      s"""$LouvainCtePrefix
          | SELECT id, comm AS community, TRUE AS beats_lpa
          | FROM c2 ORDER BY id""".stripMargin),
+
+    // ---- Louvain SECOND level (weighted contracted graph) ----------------
+    // the other half of the pyramid: g_louvain's assignment contracts to
+    // supernodes (inter-community weights + intra self-loops) and the SAME
+    // parity-alternating integer gains run WEIGHTED (strength for degree,
+    // total weight for m — self-loops count twice in strength, once in W,
+    // preserving Σs = 2W). The guard pins the pyramid's point: the
+    // level-2 assignment projected back to vertices must strictly beat
+    // level 1's modularity. The oracle extends the level-1 CTE chain with
+    // the contraction + two weighted rounds.
+    ("g_louvain2",
+      (s, d) => {
+        val edges = louvainEdges(s, d)
+        val l1 = graft.ops.GraphTraversal.louvainLevel(edges, rounds = 2)
+        val und = louvainUnd(edges)
+        val wedges = graft.ops.GraphTraversal.louvainContract(und, l1)
+        val l2 = graft.ops.GraphTraversal.louvainWeightedLevel(wedges, rounds = 2)
+        val projected = l1.select(col("id"), col("community").as("c1"))
+          .join(l2.select(col("id").as("c1"), col("community")), Seq("c1"))
+          .select(col("id"), col("community"))
+        val beats = modularityQ(und, projected).select(col("q").as("q_l2"))
+          .crossJoin(modularityQ(und, l1).select(col("q").as("q_l1")))
+        projected.crossJoin(broadcast(beats))
+          .select(col("id"),
+            graft.ops.Bounded.guard(col("community"),
+              col("q_l2") > col("q_l1"),
+              "g_louvain2: the contracted weighted level failed to improve " +
+                "on level 1 — the pyramid regressed").as("community"),
+            lit(true).as("beats_l1"))
+          .orderBy("id")
+      },
+      s"""$LouvainCtePrefix,
+         | wcon AS MATERIALIZED (SELECT LEAST(la.comm, lb.comm) AS a,
+         |       GREATEST(la.comm, lb.comm) AS b, COUNT(*) AS w
+         |     FROM und u JOIN c2 la ON la.id = u.a
+         |     JOIN c2 lb ON lb.id = u.b GROUP BY 1, 2),
+         | wsym AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM wcon WHERE a <> b
+         |     UNION ALL SELECT b AS src, a AS dst, w FROM wcon WHERE a <> b),
+         | wm AS (SELECT SUM(w) AS m FROM wcon),
+         | wstr AS MATERIALIZED (SELECT id, SUM(w) AS dv FROM (
+         |     SELECT src AS id, w FROM wsym
+         |     UNION ALL SELECT a AS id, 2 * w AS w FROM wcon WHERE a = b)
+         |     GROUP BY 1),
+         | w0 AS MATERIALIZED (SELECT id, id AS comm FROM wstr)${(1 to 2).map(it =>
+            s""",
+         | wt$it AS MATERIALIZED (SELECT c.comm, SUM(s.dv) AS tot
+         |     FROM w${it - 1} c JOIN wstr s ON s.id = c.id GROUP BY 1),
+         | wk$it AS MATERIALIZED (SELECT e.src AS v, c.comm, SUM(e.w) AS k
+         |     FROM wsym e JOIN w${it - 1} c ON c.id = e.dst GROUP BY 1, 2),
+         | wc$it AS MATERIALIZED (SELECT v, comm, MAX(k) AS k FROM (
+         |     SELECT v, comm, k FROM wk$it
+         |     UNION ALL SELECT id AS v, comm, 0 AS k FROM w${it - 1}) GROUP BY 1, 2),
+         | wg$it AS MATERIALIZED (SELECT cd.v AS v, cd.comm AS comm,
+         |       2 * wm.m * cd.k - s.dv * (t.tot - CASE WHEN cu.comm = cd.comm
+         |           THEN s.dv ELSE 0 END) AS gain
+         |     FROM wc$it cd JOIN wstr s ON s.id = cd.v
+         |     JOIN w${it - 1} cu ON cu.id = cd.v
+         |     JOIN wt$it t ON t.comm = cd.comm CROSS JOIN wm),
+         | wb$it AS (SELECT v, MAX(gain) AS mg FROM wg$it GROUP BY 1),
+         | wn$it AS (SELECT g.v AS id, MIN(g.comm) AS comm
+         |     FROM wg$it g JOIN wb$it b ON b.v = g.v AND g.gain = b.mg GROUP BY 1),
+         | w$it AS MATERIALIZED (SELECT n.id,
+         |       CASE WHEN n.id % 2 = ${(it - 1) % 2} THEN n.comm
+         |            ELSE cu.comm END AS comm
+         |     FROM wn$it n JOIN w${it - 1} cu ON cu.id = n.id)""")
+            .mkString}
+         | SELECT l.id, w2.comm AS community, TRUE AS beats_l1
+         | FROM c2 l JOIN w2 ON w2.id = l.comm ORDER BY l.id""".stripMargin),
 
     // ---- approximate aggregates (engine-specific sketches) --------------
     // The sketch values themselves are engine-specific (HLL++ register

@@ -442,6 +442,34 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       "x10" -> "x12", "x11" -> "x12", "x12" -> "x12"))
   }
 
+  test("louvainWeightedLevel + louvainContract: merge iff the weighted gain says so") {
+    import spark.implicits._
+    // the two-triangles+bridge graph contracts to supernodes 1 and 11
+    // (self-loops w=3, bridge w=1) — verify the contraction itself…
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("a", "b")
+    val l1 = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 11L), (11L, 11L), (12L, 11L)).toDF("id", "community")
+    val con = graft.ops.GraphTraversal.louvainContract(und, l1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(con == Map((1L, 1L) -> 3L, (1L, 11L) -> 1L, (11L, 11L) -> 3L))
+    // …then the weighted level must NOT merge them: W=7, s=7 each,
+    // G(move) = 2·7·1 − 7·7 = −35 < 0 = G(stay) — merging two triangles
+    // over one bridge lowers modularity and the gain says so
+    val keep = graft.ops.GraphTraversal.louvainWeightedLevel(
+        Seq((1L, 1L, 3L), (1L, 11L, 1L), (11L, 11L, 3L)).toDF("a", "b", "w"),
+        rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keep == Map(1L -> 1L, 11L -> 11L))
+    // heavy bridge: W=12, s=12 each, G(2→c1) = 2·12·10 − 12·12 = 96 > 0 —
+    // round 0 (even mover 2) merges, round 1 (odd mover 1) stays
+    val merge = graft.ops.GraphTraversal.louvainWeightedLevel(
+        Seq((1L, 1L, 1L), (1L, 2L, 10L), (2L, 2L, 1L)).toDF("a", "b", "w"),
+        rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merge == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("labelPropagation: string keys — internal dict-encode preserves key-order ties") {
     import spark.implicits._
     // the SAME graph under an order-preserving long→string rename
