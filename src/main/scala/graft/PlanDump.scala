@@ -91,6 +91,10 @@ object PlanDump {
     // Q18: both enrichment joins ride the broadcast survivor set
     "q18_large_volume_cust" -> (Seq("BroadcastHashJoin"),
       Seq("SortMergeJoin", "CartesianProduct")),
+    // Q10: quarter-filtered orders + customer + nation are all broadcast
+    // dims against the one returnflag-filtered fact scan
+    "q10_returned_items" -> (Seq("BroadcastHashJoin"),
+      Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct")),
     "g_copurchase_pairs" -> (Seq("Join"), Seq("CartesianProduct")),
     // SymSpell: the dict-variant side must broadcast
     "x1_symspell_correct" -> (Seq("BroadcastHashJoin"), Seq("CartesianProduct")),

@@ -2322,6 +2322,55 @@ object RelationalQueries {
         |            JOIN customer ON c_custkey = o_custkey
         | ORDER BY o_orderkey""".stripMargin),
 
+    // ---- returned-item reporting (Q10 shape: quarter star + top-k) -------
+    // the classic "which customers returned the most last quarter": one
+    // quarter of orders (broadcast after the date filter shrinks it) joins
+    // the returnflag-filtered fact scan, enriched by the customer and
+    // nation broadcast dims, top 20 by exact-integer revenue (cents ×
+    // (100 − disc) — the q14 Long-safe money discipline), ties broken by
+    // custkey so the limit is deterministic. Both date and returnflag
+    // predicates reach the scans as pushed filters.
+    ("q10_returned_items",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-10-01") &&
+            col("o_orderdate") < lit("1997-01-01"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val li = t(s, d, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"),
+            (round(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - round(col("l_discount") * 100).cast("long")))
+              .as("rev_c4"))
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            round(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
+        val nat = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+        li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("rev_c4")).as("revenue_c4"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_name"), col("revenue_c4"),
+            col("acctbal_cents"), col("n_name"))
+          .orderBy(desc("revenue_c4"), col("c_custkey"))
+          .limit(20)
+      },
+      """SELECT c_custkey, c_name,
+        |       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) *
+        |            (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+        |         AS revenue_c4,
+        |       CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_cents, n_name
+        | FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+        |   AND o_orderdate < TIMESTAMP '1997-01-01'
+        |   AND l_returnflag = 'R'
+        | GROUP BY 1, 2, 4, 5
+        | ORDER BY revenue_c4 DESC, c_custkey LIMIT 20""".stripMargin),
+
     // ---- suppliers who kept orders waiting (Q21 shape) -------------------
     // the classic 4-way semi/anti SELF-JOIN stress on the fact table: late
     // line items (this corpus has no commit/receipt dates, so "late" is a
