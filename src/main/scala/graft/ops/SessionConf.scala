@@ -21,16 +21,25 @@ object SessionConf {
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
 
-  def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+  /** Set `kvs`, run `body`, restore every key to its prior value (or
+    * unset keys that were unset). Only sound around work that EXECUTES
+    * inside `body` — a lazily returned plan executes after the restore.
+    */
+  def scoped[T](s: SparkSession, kvs: (String, String)*)(body: => T): T = {
     require(active.add(s),
-      "SessionConf: a scoped shuffle-partitions swap is already active on " +
-        "this session — scopes mutate shared conf and must run serially")
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
+      "SessionConf: a scoped conf swap is already active on this session " +
+        "— scopes mutate shared conf and must run serially")
+    val prev = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
     try body finally {
-      s.conf.set(key, prev)
+      prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
       active.remove(s)
     }
   }
+
+  def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T =
+    scoped(s, "spark.sql.shuffle.partitions" -> n.toString)(body)
 }

@@ -2371,6 +2371,89 @@ object RelationalQueries {
         | GROUP BY 1, 2, 4, 5
         | ORDER BY revenue_c4 DESC, c_custkey LIMIT 20""".stripMargin),
 
+    // ---- runtime bloom-filter join pruning (row-level DPP sibling) -------
+    // the second RUNTIME-injected filter Spark owns beside s35's partition
+    // pruning: when the selective side of a shuffle join is too big to
+    // broadcast, the optimizer builds a bloom filter over its join keys
+    // (ObjectHashAggregate of bloom_filter_agg) and pushes
+    // might_contain(xxhash64(key)) into the FACT scan — rows that cannot
+    // match never reach the shuffle. At 100 TB this is the difference
+    // between shuffling the whole fact table and shuffling the matching
+    // slice. The entry scopes the thresholds down (the dim auto-broadcasts
+    // at bench SF, and InjectRuntimeFilter correctly skips broadcastable
+    // joins — production defaults only fire at real scale) and asserts
+    // BOTH plan artifacts: the bloom build aggregate and the pushed
+    // might_contain probe.
+    ("s36_runtime_bloom_join",
+      (s, d) => graft.ops.SessionConf.scoped(s,
+          "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        val dim = t(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_orderdate") >= lit("1998-01-01"))
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        val fact = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+        val j = fact.hint("merge")
+          .join(dim.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"), sum(col("qty")).as("sum_qty"))
+        val plan = j.queryExecution.executedPlan.toString
+        require(plan.contains("bloom_filter_agg") && plan.contains("might_contain"),
+          "s36_runtime_bloom_join: no runtime bloom filter in the plan — " +
+            "the fact side would shuffle unfiltered")
+        val rows = j.collect() // bounded: one row per priority
+        s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq), j.schema)
+          .orderBy("o_orderpriority")
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE o_orderpriority = '1-URGENT'
+        |   AND o_orderdate >= TIMESTAMP '1998-01-01'
+        | GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ---- disjunctive-predicate revenue (Q19 shape) ------------------------
+    // the OR-of-ANDs stress: three (brand, size-range, quantity-range)
+    // clauses where part attributes and lineitem attributes interleave
+    // inside each conjunct, so neither side's filter alone is the
+    // predicate — the join must carry the residual disjunction. The
+    // single-side implications (size ≤ 15, quantity ≤ 30) still push to
+    // the scans as the UNION of the clauses' bounds; part stays a
+    // broadcast dim. (This corpus has no l_shipmode/p_container — the
+    // brand/size/quantity disjunction preserves the exact shape.)
+    ("q19_disjunctive_revenue",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+            (round(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - round(col("l_discount") * 100).cast("long")))
+              .as("rev_c4"))
+        val p = t(s, d, "part").select(col("p_partkey"), col("p_brand"),
+          col("p_size"))
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey") && (
+            (col("p_brand") === "Brand#11" && col("p_size").between(1, 5) &&
+              col("qty").between(1, 11)) ||
+            (col("p_brand") === "Brand#22" && col("p_size").between(1, 10) &&
+              col("qty").between(10, 20)) ||
+            (col("p_brand") === "Brand#33" && col("p_size").between(1, 15) &&
+              col("qty").between(20, 30))))
+          .agg(sum(col("rev_c4")).as("revenue_c4"),
+            count(lit(1)).as("n_items"))
+      },
+      """SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) *
+        |            (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+        |         AS revenue_c4,
+        |       COUNT(*) AS n_items
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+        |         AND CAST(l_quantity AS BIGINT) BETWEEN 1 AND 11)
+        |    OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 10
+        |         AND CAST(l_quantity AS BIGINT) BETWEEN 10 AND 20)
+        |    OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 15
+        |         AND CAST(l_quantity AS BIGINT) BETWEEN 20 AND 30)""".stripMargin),
+
     // ---- suppliers who kept orders waiting (Q21 shape) -------------------
     // the classic 4-way semi/anti SELF-JOIN stress on the fact table: late
     // line items (this corpus has no commit/receipt dates, so "late" is a
