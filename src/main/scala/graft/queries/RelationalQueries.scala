@@ -2371,6 +2371,40 @@ object RelationalQueries {
         | GROUP BY 1, 2, 4, 5
         | ORDER BY revenue_c4 DESC, c_custkey LIMIT 20""".stripMargin),
 
+    // ---- dormant high-balance customers (Q22 shape) -----------------------
+    // the scalar-subquery + anti-join classic: customers whose balance
+    // beats the positive-balance MEAN (one global aggregate, broadcast as
+    // a 1-row threshold — never a per-row subquery) and who have NO
+    // orders (LEFT ANTI on the orders key). Threshold in exact integer
+    // cents via sum div count, so both engines replay the same truncating
+    // mean. Grouped by nation — the untapped-market report.
+    ("q22_dormant_customers",
+      (s, d) => {
+        val cust = t(s, d, "customer").select(col("c_custkey"),
+          col("c_nationkey").cast("long").as("nationkey"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+        val thr = cust.filter(col("bal_cents") > 0L)
+          .agg(expr("sum(bal_cents) div count(1)").as("thr_cents"))
+        cust.crossJoin(broadcast(thr))
+          .filter(col("bal_cents") > col("thr_cents"))
+          .join(t(s, d, "orders").select(col("o_custkey").as("c_custkey")),
+            Seq("c_custkey"), "left_anti")
+          .groupBy("nationkey")
+          .agg(count(lit(1)).as("n_custs"), sum(col("bal_cents")).as("total_cents"))
+          .orderBy("nationkey")
+      },
+      """WITH c AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
+        |             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |           FROM customer),
+        | thr AS (SELECT CAST(SUM(bal_cents) // COUNT(*) AS BIGINT) AS thr_cents
+        |         FROM c WHERE bal_cents > 0)
+        | SELECT nationkey, COUNT(*) AS n_custs,
+        |        CAST(SUM(bal_cents) AS BIGINT) AS total_cents
+        | FROM c CROSS JOIN thr
+        | WHERE bal_cents > thr_cents
+        |   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        | GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ---- runtime bloom-filter join pruning (row-level DPP sibling) -------
     // the second RUNTIME-injected filter Spark owns beside s35's partition
     // pruning: when the selective side of a shuffle join is too big to

@@ -36,6 +36,21 @@ class HarnessOpsSpec extends AnyFunSuite {
     graft.ops.SessionConf.withShufflePartitions(spark, 6)(())
   }
 
+  test("SessionConf.scoped restores set keys and UNSETS previously-unset ones") {
+    val known = "spark.sql.shuffle.partitions"
+    val fresh = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val before = spark.conf.get(known)
+    val freshBefore = spark.conf.getOption(fresh)
+    graft.ops.SessionConf.scoped(spark, known -> "9", fresh -> "0") {
+      assert(spark.conf.get(known) == "9" && spark.conf.get(fresh) == "0")
+    }
+    assert(spark.conf.get(known) == before)
+    // a key the session never set must come back to its DEFAULT, not stick
+    // at the scoped value (conf.unset, not set-to-remembered-string)
+    assert(spark.conf.getOption(fresh) == freshBefore ||
+      spark.conf.get(fresh) != "0")
+  }
+
   test("parseY4m returns None (never throws) on a hostile oversized header") {
     // declared W·H overflows Int when multiplied by the plane count; the
     // frame walk must reject it as undecodable, not throw on copyOfRange
