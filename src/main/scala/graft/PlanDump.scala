@@ -95,6 +95,20 @@ object PlanDump {
     // dims against the one returnflag-filtered fact scan
     "q10_returned_items" -> (Seq("BroadcastHashJoin"),
       Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct")),
+    // Q7: both nation-role dims broadcast; fact scans once
+    "q7_nation_trade" -> (Seq("BroadcastHashJoin"),
+      Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct")),
+    // Q8: five broadcast dims (region→nations, customer semi, part,
+    // supplier⋈nation), one fact scan
+    "q8_market_share" -> (Seq("BroadcastHashJoin"),
+      Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct")),
+    // Q19: the disjunctive residual rides the broadcast part join
+    "q19_disjunctive_revenue" -> (Seq("BroadcastHashJoin"),
+      Seq("SortMergeJoin", "CartesianProduct")),
+    // Q22: the 1-row threshold is a broadcast BNLJ; the orders anti-join
+    // stays keyed
+    "q22_dormant_customers" -> (Seq("BroadcastNestedLoopJoin"),
+      Seq("CartesianProduct")),
     "g_copurchase_pairs" -> (Seq("Join"), Seq("CartesianProduct")),
     // SymSpell: the dict-variant side must broadcast
     "x1_symspell_correct" -> (Seq("BroadcastHashJoin"), Seq("CartesianProduct")),

@@ -2371,6 +2371,132 @@ object RelationalQueries {
         | GROUP BY 1, 2, 4, 5
         | ORDER BY revenue_c4 DESC, c_custkey LIMIT 20""".stripMargin),
 
+    // ---- nation-pair trade volume (Q7 shape) ------------------------------
+    // the two-role dimension classic: nation joins the fact TWICE (as the
+    // supplier's nation and as the customer's nation), with the selective
+    // pair disjunction evaluated after both enrichments — each dim leg is
+    // a broadcast, the fact scans once, and the pair filter cuts before
+    // the year rollup. Exact-integer revenue, year from ship date.
+    ("q7_nation_trade",
+      (s, d) => {
+        val nat = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+        val pair = Seq("NATION_3", "NATION_8")
+        val supp = t(s, d, "supplier")
+          .join(broadcast(nat.filter(col("n_name").isin(pair: _*))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val cust = t(s, d, "customer")
+          .join(broadcast(nat.filter(col("n_name").isin(pair: _*))),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("cust_nation"))
+        val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1998-01-01"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            year(col("l_shipdate")).cast("long").as("l_year"),
+            (round(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - round(col("l_discount") * 100).cast("long")))
+              .as("rev_c4"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy("supp_nation", "cust_nation", "l_year")
+          .agg(sum(col("rev_c4")).as("revenue_c4"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) *
+        |            (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+        |         AS revenue_c4
+        | FROM supplier
+        | JOIN lineitem ON s_suppkey = l_suppkey
+        | JOIN orders ON o_orderkey = l_orderkey
+        | JOIN customer ON c_custkey = o_custkey
+        | JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        | JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        | WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        |     OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+        |   AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |   AND l_shipdate < TIMESTAMP '1998-01-01'
+        | GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
+    // ---- national market share (Q8 shape) ---------------------------------
+    // the region-market classic: PROMO-part order revenue inside one
+    // region's customer market, split into the focus nation's suppliers
+    // vs everyone — share per order year in exact integer permille
+    // (num·1000 div den, Long-safe: the ×1000 headroom is guarded, the
+    // q14 div-1e6 trick is unnecessary at permille precision). Five
+    // broadcast dims, one fact scan.
+    ("q8_market_share",
+      (s, d) => {
+        val nat = t(s, d, "nation")
+        val regionNations = nat
+          .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))
+        val cust = t(s, d, "customer")
+          .join(broadcast(regionNations),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"))
+        val supp = t(s, d, "supplier")
+          .join(broadcast(nat.select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val promo = t(s, d, "part").filter(col("p_type") === "PROMO")
+          .select(col("p_partkey"))
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            (round(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - round(col("l_discount") * 100).cast("long")))
+              .as("rev_c4"))
+          .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("o_year")
+          .agg(sum(when(col("supp_nation") === "NATION_5", col("rev_c4"))
+              .otherwise(0L)).as("nation_c4"),
+            sum(col("rev_c4")).as("market_c4"))
+          .select(col("o_year"),
+            graft.ops.Bounded.guard(col("nation_c4"),
+              col("nation_c4") < Long.MaxValue / 1000 &&
+                col("market_c4") > 0L,
+              "q8_market_share: numerator beyond the x1000 permille " +
+                "headroom or empty market year").as("nation_c4"),
+            col("market_c4"),
+            expr("nation_c4 * 1000 div market_c4").as("share_permille"))
+          .orderBy("o_year")
+      },
+      """WITH asia AS (SELECT n_nationkey FROM nation
+        |              JOIN region ON n_regionkey = r_regionkey
+        |              WHERE r_name = 'ASIA'),
+        | mkt AS (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |                n.n_name AS supp_nation,
+        |                CAST(round(l_extendedprice*100) AS BIGINT) *
+        |                  (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev_c4
+        |         FROM lineitem
+        |         JOIN part ON l_partkey = p_partkey
+        |         JOIN orders ON l_orderkey = o_orderkey
+        |         JOIN customer ON o_custkey = c_custkey
+        |         JOIN supplier ON l_suppkey = s_suppkey
+        |         JOIN nation n ON s_nationkey = n.n_nationkey
+        |         WHERE p_type = 'PROMO'
+        |           AND c_nationkey IN (SELECT n_nationkey FROM asia))
+        | SELECT o_year,
+        |        CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN rev_c4
+        |                 ELSE 0 END) AS BIGINT) AS nation_c4,
+        |        CAST(SUM(rev_c4) AS BIGINT) AS market_c4,
+        |        CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN rev_c4
+        |                 ELSE 0 END) * 1000 // SUM(rev_c4) AS BIGINT)
+        |          AS share_permille
+        | FROM mkt GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // ---- dormant high-balance customers (Q22 shape) -----------------------
     // the scalar-subquery + anti-join classic: customers whose balance
     // beats the positive-balance MEAN (one global aggregate, broadcast as
