@@ -151,7 +151,29 @@ object PlanDump {
     "g_louvain2" -> (Seq("BroadcastNestedLoopJoin"), Seq("CartesianProduct")),
     // dyadic quantiles: the cell grid and rank frames are broadcast-sized
     // — a shuffle-side grid means the planner thinks the sketch is data
-    "a14_quantile_sketch" -> (Seq("BroadcastHashJoin"), Seq("CartesianProduct")))
+    "a14_quantile_sketch" -> (Seq("BroadcastHashJoin"), Seq("CartesianProduct")),
+    // Q2: the derived catalog joins its own per-part min (SMJ at scale,
+    // equi-keyed) and the region/part dims broadcast — Cartesian never
+    "q2_min_cost_supplier" -> (Seq("Join"), Seq("CartesianProduct")),
+    // Q9: three pure broadcast dims + the orders equi-join, one fact scan
+    "q9_product_profit" -> (Seq("BroadcastHashJoin"), Seq("CartesianProduct")),
+    // Q11: the 0.1%-of-total threshold is a 1-row broadcast BNLJ; the
+    // nation-supplier semi stays a broadcast hash
+    "q11_important_values" -> (Seq("BroadcastNestedLoopJoin", "BroadcastHashJoin"),
+      Seq("CartesianProduct")),
+    // Q12/Q13: fact⋈fact equi-joins — broadcast at audit SF, SMJ at
+    // scale; only a Cartesian would be a plan bug
+    "q12_priority_split" -> (Seq("Join"), Seq("CartesianProduct")),
+    "q13_custdist" -> (Seq("Join"), Seq("CartesianProduct")),
+    // (q15_top_supplier is NOT pinned here: its single-fact-scan property
+    // is asserted IN the entry against the executed plan — the returned
+    // frame is the bounded collected result, which carries no joins)
+    // Q16: part dim + complaints anti-join both broadcast
+    "q16_supplier_counts" -> (Seq("BroadcastHashJoin"),
+      Seq("SortMergeJoin", "CartesianProduct")),
+    // Q20: part-class semi broadcast; the per-part rollup join is
+    // equi-keyed (key-local at scale)
+    "q20_dominant_suppliers" -> (Seq("BroadcastHashJoin"), Seq("CartesianProduct")))
 
   private def unpartitionedWindows(df: org.apache.spark.sql.DataFrame): Int =
     df.queryExecution.optimizedPlan.collect {

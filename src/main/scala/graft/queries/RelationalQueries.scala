@@ -2669,6 +2669,391 @@ object RelationalQueries {
         |                     AND l3.l_shipdate > TIMESTAMP '2000-06-30')
         | GROUP BY 1 ORDER BY numwait DESC, s_name""".stripMargin),
 
+    // ---- pricing summary report (Q1 shape) --------------------------------
+    // the TPC-H headline aggregate: one full fact scan, six narrow columns,
+    // fully map-combinable (every output is a sum/count over a 6-group key
+    // space — partial aggregation collapses each partition to ≤ 6 rows
+    // before the shuffle, the ideal 100-TB aggregate shape). All money in
+    // exact integer cents; the per-row charge (price·(100−d)·(100+t), ≤
+    // ~1.1e11) stays in Long, its SUM runs in Decimal(38,0) with a guarded
+    // cast back — overflow fails loudly at any scale instead of wrapping.
+    // Averages as integer div (c2 / basis points), exact on both engines.
+    ("q1_pricing_summary",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .filter(col("l_shipdate") <= lit("2001-09-01"))
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("l_quantity").cast("long").as("qty"),
+            round(col("l_extendedprice") * 100).cast("long").as("price_c2"),
+            round(col("l_discount") * 100).cast("long").as("disc_c2"),
+            round(col("l_tax") * 100).cast("long").as("tax_c2"))
+        val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val longMax = lit(Long.MaxValue).cast(dec38)
+        li.groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(col("qty")).as("sum_qty"),
+            sum(col("price_c2")).as("sum_base_c2"),
+            sum(col("price_c2") * (lit(100L) - col("disc_c2"))).as("sum_disc_c4"),
+            sum((col("price_c2") * (lit(100L) - col("disc_c2")) *
+              (lit(100L) + col("tax_c2"))).cast(dec38)).as("charge_dec"),
+            count(lit(1)).as("count_order"))
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("sum_qty"), col("sum_base_c2"), col("sum_disc_c4"),
+            graft.ops.Bounded.guard(col("charge_dec"), col("charge_dec") <= longMax,
+              "q1_pricing_summary: charge sum beyond Long range — emit " +
+                "Decimal at this scale").cast("long").as("sum_charge_c6"),
+            expr("sum_qty * 100 div count_order").as("avg_qty_c2"),
+            expr("sum_base_c2 div count_order").as("avg_price_c2"),
+            col("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |         AS sum_base_c2,
+        |       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) *
+        |            (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+        |         AS sum_disc_c4,
+        |       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) *
+        |            (100 - CAST(round(l_discount*100) AS BIGINT)) *
+        |            (100 + CAST(round(l_tax*100) AS BIGINT))) AS BIGINT)
+        |         AS sum_charge_c6,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) * 100 // COUNT(*) AS BIGINT)
+        |         AS avg_qty_c2,
+        |       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) // COUNT(*)
+        |            AS BIGINT) AS avg_price_c2,
+        |       COUNT(*) AS count_order
+        | FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // ---- minimum-cost supplier (Q2 shape) ---------------------------------
+    // the correlated-min classic, adapted: the testdata has no partsupp
+    // catalog, so one is DERIVED from lineitem (min observed list price per
+    // (part, supplier) — a groupBy both engines replay identically), then
+    // Q2 proper: for each qualifying part, the EUROPE supplier offering the
+    // global-min cost — a per-part min aggregate joined back on (part,
+    // cost), ties kept on both sides. The region/part dims broadcast; the
+    // catalog groupBy is the only fact-sized shuffle.
+    ("q2_min_cost_supplier",
+      (s, d) => {
+        val catalog = t(s, d, "lineitem")
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("cost_c2"))
+        val eur = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")
+            .join(broadcast(t(s, d, "region").filter(col("r_name") === "EUROPE")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            round(col("s_acctbal") * 100).cast("long").as("acct_c2"), col("n_name"))
+        val parts = t(s, d, "part")
+          .filter(col("p_size") <= 5 && col("p_type") === "LARGE")
+          .select(col("p_partkey"), col("p_name"))
+        val offered = catalog
+          .join(broadcast(eur), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        val minCost = offered.groupBy(col("p_partkey").as("mk"))
+          .agg(min(col("cost_c2")).as("min_c2"))
+        offered.join(minCost,
+            col("p_partkey") === col("mk") && col("cost_c2") === col("min_c2"))
+          .select(col("acct_c2"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_name"), col("cost_c2"))
+          .orderBy(desc("acct_c2"), col("s_name"), col("p_partkey"))
+          .limit(100)
+      },
+      """WITH catalog AS (SELECT l_partkey, l_suppkey,
+        |          MIN(CAST(round(l_extendedprice*100) AS BIGINT)) AS cost_c2
+        |        FROM lineitem GROUP BY 1, 2),
+        | eur AS (SELECT s_suppkey, s_name,
+        |                CAST(round(s_acctbal*100) AS BIGINT) AS acct_c2, n_name
+        |         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |         JOIN region ON n_regionkey = r_regionkey
+        |         WHERE r_name = 'EUROPE'),
+        | offered AS (SELECT c.l_partkey AS p_partkey, p.p_name, c.cost_c2,
+        |                    e.s_name, e.acct_c2, e.n_name
+        |             FROM catalog c JOIN eur e ON c.l_suppkey = e.s_suppkey
+        |             JOIN part p ON c.l_partkey = p.p_partkey
+        |             WHERE p.p_size <= 5 AND p.p_type = 'LARGE')
+        | SELECT acct_c2, s_name, n_name, p_partkey, p_name, cost_c2
+        | FROM offered o
+        | WHERE cost_c2 = (SELECT MIN(cost_c2) FROM offered i
+        |                  WHERE i.p_partkey = o.p_partkey)
+        | ORDER BY acct_c2 DESC, s_name, p_partkey LIMIT 100""".stripMargin),
+
+    // ---- product-type profit (Q9 shape) -----------------------------------
+    // profit per supplier nation per year over a part-name class. No
+    // partsupp supply cost exists, so cost is a DETERMINISTIC formula both
+    // engines compute from in-row columns: 50% of the part's retail price
+    // per unit (qty·retail_c2·50 lands on the same c4 scale as revenue).
+    // Three broadcast dims + one orders equi-join; one fact scan.
+    ("q9_product_profit",
+      (s, d) => {
+        val bolts = t(s, d, "part")
+          .filter(col("p_name").contains("bolt"))
+          .select(col("p_partkey"),
+            round(col("p_retailprice") * 100).cast("long").as("retail_c2"))
+        val suppNat = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")
+            .select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name"))
+        val o = t(s, d, "orders").select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_quantity").cast("long").as("qty"),
+            (round(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - round(col("l_discount") * 100).cast("long")))
+              .as("rev_c4"))
+          .join(broadcast(bolts), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name").as("nation"), col("o_year"))
+          .agg(sum(col("rev_c4") - col("qty") * col("retail_c2") * 50L)
+            .as("profit_c4"))
+          .orderBy(col("nation"), desc("o_year"))
+      },
+      """SELECT n_name AS nation,
+        |       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) *
+        |              (100 - CAST(round(l_discount*100) AS BIGINT)) -
+        |              CAST(l_quantity AS BIGINT) *
+        |              CAST(round(p_retailprice*100) AS BIGINT) * 50) AS BIGINT)
+        |         AS profit_c4
+        | FROM lineitem
+        | JOIN part ON l_partkey = p_partkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | WHERE p_name LIKE '%bolt%'
+        | GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin),
+
+    // ---- important part values (Q11 shape) --------------------------------
+    // group-vs-global-scalar: per-part traded value through one nation's
+    // suppliers, kept only above 0.1% of that nation's total — the global
+    // threshold is a 1-row aggregate broadcast back over the per-part rows
+    // (the q22/q17 scalar pattern: never a second fact scan at the
+    // executor, never a driver collect).
+    ("q11_important_values",
+      (s, d) => {
+        val natSupp = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation").filter(col("n_name") === "NATION_4")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"))
+        val vals = t(s, d, "lineitem")
+          .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"),
+            "left_semi")
+          .groupBy(col("l_partkey").as("p_partkey"))
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+            .as("value_c2"))
+        val thr = vals.agg((sum(col("value_c2")) / 1000L).cast("long").as("thr"))
+        vals.join(broadcast(thr))
+          .filter(col("value_c2") > col("thr"))
+          .select(col("p_partkey"), col("value_c2"))
+          .orderBy(desc("value_c2"), col("p_partkey"))
+      },
+      """WITH vals AS (SELECT l_partkey AS p_partkey,
+        |         CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |           AS value_c2
+        |       FROM lineitem
+        |       WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+        |                           JOIN nation ON s_nationkey = n_nationkey
+        |                           WHERE n_name = 'NATION_4')
+        |       GROUP BY 1)
+        | SELECT p_partkey, value_c2 FROM vals
+        | WHERE value_c2 > (SELECT CAST(SUM(value_c2) / 1000 AS BIGINT) FROM vals)
+        | ORDER BY value_c2 DESC, p_partkey""".stripMargin),
+
+    // ---- late-shipment priority split (Q12 shape) -------------------------
+    // the CASE-pivot over an orders⋈lineitem equi-join, adapted: the
+    // testdata has no l_shipmode/commitdate, so the "late" predicate is
+    // ship > order + 90 days and the grouping key is l_returnflag. This is
+    // the one fact⋈fact join of the TPC-H block — SMJ on o_orderkey with
+    // both sides filtered before the shuffle.
+    ("q12_priority_split",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1999-01-01") &&
+            col("l_shipdate") < lit("2000-01-01"))
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .groupBy("l_returnflag")
+          .agg(sum(when(col("o_orderpriority") === "1-URGENT" ||
+              col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+              .as("high_line_count"),
+            sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+              col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+              .as("low_line_count"))
+          .orderBy("l_returnflag")
+      },
+      """SELECT l_returnflag,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+        |   AND l_shipdate < TIMESTAMP '2000-01-01'
+        |   AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        | GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ---- customer order-count distribution (Q13 shape) --------------------
+    // the double-aggregate with an outer join: orders per customer
+    // (LEFT join so zero-order customers survive with c_count 0 — COUNT
+    // over the nullable key skips nulls identically on both engines), then
+    // the histogram of those counts. The first groupBy is the only
+    // customer-scale shuffle; the second groups ≤ max-orders-per-customer
+    // distinct keys.
+    ("q13_custdist",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+          .select(col("o_custkey"))
+        t(s, d, "customer").select(col("c_custkey"))
+          .join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_custkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(desc("custdist"), desc("c_count"))
+      },
+      """WITH co AS (SELECT c_custkey, COUNT(o_custkey) AS c_count
+        |            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |              AND o_orderpriority <> '4-NOT SPECIFIED'
+        |            GROUP BY 1)
+        | SELECT c_count, COUNT(*) AS custdist
+        | FROM co GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin),
+
+    // ---- top supplier by quarter revenue (Q15 shape) ----------------------
+    // the view+max classic: quarterly revenue per supplier, then the
+    // supplier(s) hitting the global max. The revenue aggregate feeds BOTH
+    // the max branch and the equality probe. AQE's exchange/stage reuse
+    // serves this diamond only in the 2-join shape — adding the supplier
+    // enrichment join defeats the stage-cache match (measured on 4.1.2;
+    // see PLANS.md) — so the single-fact-scan property is pinned the
+    // robust way: persist the supplier-sized aggregate and ASSERT both
+    // consumers read the cache. At 100 TB the cache is |suppliers| rows,
+    // the fact scans once.
+    ("q15_top_supplier",
+      (s, d) => {
+        val rev = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01") &&
+            col("l_shipdate") < lit("1997-04-01"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("total_c4"))
+        rev.persist()
+        try {
+          val mx = rev.agg(max(col("total_c4")).as("mx"))
+          val top = rev.join(broadcast(mx)).filter(col("total_c4") === col("mx"))
+            .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
+              col("l_suppkey") === col("s_suppkey"))
+            .select(col("s_suppkey"), col("s_name"), col("total_c4"))
+          // bounded collect: only max-revenue ties survive the equality probe
+          val rows = top.collect()
+          val cacheReads = top.queryExecution.executedPlan.toString
+            .linesIterator.count(l => l.contains("InMemoryTableScan") ||
+              l.contains("TableCacheQueryStage"))
+          require(cacheReads >= 2, "q15_top_supplier: a consumer bypassed " +
+            "the persisted revenue aggregate — the fact would scan twice")
+          s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq), top.schema)
+            .orderBy("s_suppkey")
+        } finally rev.unpersist()
+      },
+      """WITH rev AS (SELECT l_suppkey,
+        |         CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) *
+        |              (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+        |           AS total_c4
+        |       FROM lineitem
+        |       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |         AND l_shipdate < TIMESTAMP '1997-04-01'
+        |       GROUP BY 1)
+        | SELECT s_suppkey, s_name, total_c4
+        | FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        | WHERE total_c4 = (SELECT MAX(total_c4) FROM rev)
+        | ORDER BY s_suppkey""".stripMargin),
+
+    // ---- parts-supplier relationship counts (Q16 shape) -------------------
+    // COUNT DISTINCT per wide group key over a derived relationship table,
+    // with a NOT-IN supplier exclusion as a broadcast anti-join (the
+    // "complaints" list stand-in: low-balance suppliers). The distinct
+    // (part, supplier) projection is the only fact-scale shuffle.
+    ("q16_supplier_counts",
+      (s, d) => {
+        val rel = t(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        val excl = t(s, d, "supplier")
+          .filter(col("s_acctbal") < 1000.0).select(col("s_suppkey"))
+        val pr = t(s, d, "part")
+          .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+        rel.join(broadcast(pr), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"),
+            "left_anti")
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"),
+            col("p_size"))
+      },
+      """SELECT p_brand, p_type, p_size,
+        |       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        | FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) rel
+        | JOIN part ON l_partkey = p_partkey
+        | WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |   AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |   AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                         WHERE s_acctbal < 1000)
+        | GROUP BY 1, 2, 3
+        | ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
+
+    // ---- dominant-supplier detection (Q20 shape) --------------------------
+    // nested aggregation + semi-join: suppliers who shipped MORE THAN HALF
+    // of a part class's 1999 volume for some part (the excess-stock
+    // predicate re-expressed without partsupp.availqty). The per-(part,
+    // supplier) aggregate joins its own per-part rollup — key-local,
+    // then one DISTINCT supplier set semi-joins the dim. No fact rescan.
+    ("q20_dominant_suppliers",
+      (s, d) => {
+        val qty99 = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1999-01-01") &&
+            col("l_shipdate") < lit("2000-01-01"))
+          .join(broadcast(t(s, d, "part").filter(col("p_type") === "SMALL")
+            .select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("l_quantity").cast("long")).as("sq"))
+        val tot = qty99.groupBy(col("l_partkey").as("pk"))
+          .agg(sum(col("sq")).as("pt"))
+        val dominant = qty99.join(tot, col("l_partkey") === col("pk"))
+          .filter(col("sq") * 2 > col("pt"))
+          .select(col("l_suppkey")).distinct()
+        t(s, d, "supplier")
+          .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_name"),
+            round(col("s_acctbal") * 100).cast("long").as("acct_c2"))
+          .orderBy("s_name")
+      },
+      """WITH qty99 AS (SELECT l_partkey, l_suppkey,
+        |          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+        |        FROM lineitem
+        |        WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+        |          AND l_shipdate < TIMESTAMP '2000-01-01'
+        |          AND l_partkey IN (SELECT p_partkey FROM part
+        |                            WHERE p_type = 'SMALL')
+        |        GROUP BY 1, 2),
+        | tot AS (SELECT l_partkey AS pk, CAST(SUM(sq) AS BIGINT) AS pt
+        |         FROM qty99 GROUP BY 1),
+        | dom AS (SELECT DISTINCT l_suppkey FROM qty99
+        |         JOIN tot ON l_partkey = pk WHERE sq * 2 > pt)
+        | SELECT s_name, CAST(round(s_acctbal*100) AS BIGINT) AS acct_c2
+        | FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
+        | ORDER BY s_name""".stripMargin),
+
     // ---- exact equi-height histogram (all deciles) without a global sort
     // generalizes t_exact_median_nosort from one order statistic to all
     // nine interior deciles in the SAME two scans: (1) one map-combinable
