@@ -269,12 +269,24 @@ object StreamingQueries {
     */
   private def replayStaged(s: SparkSession, b1: DataFrame, b2: DataFrame,
                            mode: String, parts: Int = 8)
-                          (build: DataFrame => DataFrame): DataFrame = {
+                          (build: DataFrame => DataFrame): DataFrame =
+    replayBatches(s, Seq(b1, b2), mode, parts)(build)
+
+  /** The N-batch generalization of [[replayStaged]]: each frame becomes one
+    * micro-batch, written only after every earlier batch is fully processed.
+    * Exists for twins whose SEMANTICS need a third batch — the outer
+    * stream-stream join's NULL-padded rows only flush when a later batch
+    * advances the watermark past the tail windows.
+    */
+  private def replayBatches(s: SparkSession, batches: Seq[DataFrame],
+                            mode: String, parts: Int = 8)
+                           (build: DataFrame => DataFrame): DataFrame = {
+    require(batches.nonEmpty, "replayBatches: need at least one batch")
     val base = scratchDir("graft-stream-staged")
     try {
       val in = base.resolve("in")
       java.nio.file.Files.createDirectories(in)
-      b1.coalesce(4).write.parquet(s"$in/b1")
+      batches.head.coalesce(4).write.parquet(s"$in/b1")
       val schema = s.read.parquet(s"$in/b1").schema
       withStreamShuffle(s, parts) {
         val stream = s.readStream.schema(schema)
@@ -285,8 +297,10 @@ object StreamingQueries {
           .format("memory").queryName(nm).start()
         try {
           q.processAllAvailable()
-          b2.coalesce(4).write.parquet(s"$in/b2")
-          q.processAllAvailable()
+          batches.zipWithIndex.drop(1).foreach { case (b, i) =>
+            b.coalesce(4).write.parquet(s"$in/b${i + 1}")
+            q.processAllAvailable()
+          }
         } finally q.stop()
         s.table(nm)
       }
@@ -1106,6 +1120,44 @@ object StreamingQueries {
       (s, d) => replayTwoBatches(s, d, "append")(
           StreamingIngest.streamingIntervalJoin(_))
         .orderBy("purchase_id", "click_id"),
-      TemporalQueries.IntervalJoinSql)
+      TemporalQueries.IntervalJoinSql),
+
+    // ---- stream-stream LEFT OUTER interval join (26th twin) --------------
+    // the semantics stream_interval_join cannot express: purchases with NO
+    // click in their ±5 min window still emit, NULL-padded — and Spark can
+    // only emit them when the watermark proves the window closed, so the
+    // replay appends a flush batch (one far-future sentinel per side,
+    // user_id −1, filtered from the sink). The no-data batch that follows
+    // the watermark advance is what evicts and emits the tail rows; state
+    // stays bounded by delay × stream rate per side exactly as the inner
+    // form. Oracle: the batch LEFT JOIN — every purchase appears exactly
+    // once per matching click or once with NULL, proving the streaming
+    // eviction path emits the complete outer set, no dupes, no drops.
+    ("stream_interval_outer_join",
+      (s, d) => {
+        val st = stagedEvents(s, d)
+        val b1 = s.read.parquet(st.b1.toString)
+        val b2 = s.read.parquet(st.b2.toString)
+        def sentinel(tpe: String) = s.range(1).select(
+          lit(-1L).as("event_id"),
+          lit("2030-01-01 00:00:00").cast("timestamp").as("ts"),
+          lit(-1L).as("user_id"),
+          lit(tpe).as("event_type"),
+          lit(0.0).as("value"),
+          lit("{}").as("props"))
+        val flush = sentinel("purchase").union(sentinel("click"))
+        replayBatches(s, Seq(b1, b2, flush), "append")(
+            StreamingIngest.streamingIntervalJoinOuter(_))
+          .filter(col("user_id") >= 0L)
+          .orderBy("purchase_id", "click_id")
+      },
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+        | FROM (SELECT user_id, event_id, epoch_us(ts) AS tsn FROM events
+        |       WHERE event_type = 'purchase') p
+        | LEFT JOIN (SELECT user_id, event_id, epoch_us(ts) AS tsn FROM events
+        |       WHERE event_type = 'click') c
+        |   ON p.user_id = c.user_id
+        |  AND c.tsn BETWEEN p.tsn - 300000000 AND p.tsn + 300000000
+        | ORDER BY purchase_id, click_id""".stripMargin)
   )
 }

@@ -421,6 +421,49 @@ object StreamingIngest {
       .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
   }
 
+  /** LEFT OUTER watermarked stream-stream join — [[streamingIntervalJoin]]
+    * with the semantics every conversion pipeline eventually needs: a
+    * purchase with NO click in its ±range window must still emit, with a
+    * NULL click_id. Matched pairs emit as they pair (inner behavior); the
+    * NULL-padded row for an unmatched purchase emits ONLY when the
+    * watermark passes the end of its join window — Spark can't know "no
+    * click will come" any earlier, so outer results are intrinsically
+    * delayed by `delayMinutes` + `rangeMinutes` of event time. State and
+    * eviction are identical to the inner form (bounded by delay × stream
+    * rate per side); the output is what differs.
+    *
+    * Convergence contract: the purchase-side NULL rows for the stream's
+    * TAIL only flush if event time advances past their windows — a finite
+    * replay must append a watermark-advancing flush batch (one far-future
+    * event per side; the caller filters its sentinel ids from the sink).
+    */
+  def streamingIntervalJoinOuter(events: DataFrame,
+                                 rangeMinutes: Int = 5,
+                                 delayMinutes: Int = 10): DataFrame = {
+    require(delayMinutes >= rangeMinutes,
+      s"watermark delay ($delayMinutes m) must cover the join range " +
+        s"($rangeMinutes m) or cross-batch pairs are evicted early")
+    val typed = events.select(
+      col("user_id").cast("long").as("user_id"),
+      col("event_id").cast("long").as("event_id"),
+      graft.ops.TemporalOps.asTimestamp(events, "ts").as("ts"),
+      col("event_type").cast("string").as("event_type"))
+    val purchases = typed.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", s"$delayMinutes minutes")
+    val clicks = typed.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", s"$delayMinutes minutes")
+    purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $rangeMinutes MINUTES") &&
+          col("c_ts") <= col("p_ts") + expr(s"INTERVAL $rangeMinutes MINUTES"),
+        "leftOuter")
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
+  }
+
   /** Streaming backward as-of enrichment via `flatMapGroupsWithState`: each
     * `leftType` event is emitted with the latest `rightType` value at or
     * before its timestamp for the same user — the streaming twin of

@@ -622,4 +622,58 @@ class StreamingIngestSpec extends AnyFunSuite {
       } finally q.stop()
     } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
   }
+
+  test("outer interval join NULL-pads unmatched purchases on BOTH eviction paths") {
+    val base = Files.createTempDirectory("graft-ssojoin")
+    try {
+      def mk(rows: Seq[(Long, Long, Long, String)]) = {
+        import spark.implicits._
+        rows.toDF("event_id", "user_id", "mins", "event_type")
+          .select(col("event_id"), col("user_id"),
+            timestamp_micros((lit(86400L) + col("mins") * 60L) * 1000000L).as("ts"),
+            col("event_type"))
+      }
+      // same topology as the inner spec, plus: P4(u3@50) is unmatched (its
+      // only click is 6 min away) and closes MID-STREAM (window end 55 <
+      // the post-b2 watermark 100); P10(u4@108) is unmatched at the TAIL
+      // (108+5 > 100) and can only flush via the sentinel batch
+      val b1 = mk(Seq((1L, 1L, 100L, "purchase"), (2L, 1L, 97L, "click"),
+        (3L, 2L, 99L, "click"), (4L, 3L, 50L, "purchase"), (5L, 3L, 56L, "click")))
+      val b2 = mk(Seq((6L, 1L, 103L, "click"), (7L, 1L, 110L, "click"),
+        (8L, 2L, 102L, "purchase"), (9L, 1L, 105L, "click"),
+        (10L, 4L, 108L, "purchase")))
+      val flush = mk(Seq((-1L, -1L, 100000L, "purchase"),
+        (-2L, -1L, 100000L, "click")))
+      val in = base.resolve("in"); Files.createDirectories(in)
+      b1.write.parquet(s"$in/b1")
+      val schema = spark.read.parquet(s"$in/b1").schema
+      val stream = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(in.toString)
+      val q = StreamingIngest.streamingIntervalJoinOuter(stream)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("ss_ointerval").start()
+      try {
+        q.processAllAvailable()
+        b2.write.parquet(s"$in/b2")
+        q.processAllAvailable()
+        def snap() = spark.table("ss_ointerval")
+          .filter(col("user_id") >= 0L)
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+        val afterB2 = snap()
+        val inner: Set[(Long, Long, Option[Long])] =
+          Set((1L, 1L, Some(2L)), (1L, 1L, Some(6L)),
+            (1L, 1L, Some(9L)), (2L, 8L, Some(3L)))
+        // mid-stream eviction: P4's closed window emits its NULL row from
+        // the watermark advance alone; the tail P10 must NOT be there yet
+        // (Spark cannot know click 10+epsilon won't arrive)
+        assert(afterB2 == inner + ((3L, 4L, None)),
+          s"post-b2 outer set wrong: $afterB2")
+        flush.write.parquet(s"$in/b3")
+        q.processAllAvailable()
+        assert(snap() == inner + ((3L, 4L, None)) + ((4L, 10L, None)),
+          s"post-flush outer set wrong: ${snap()}")
+      } finally q.stop()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
 }
