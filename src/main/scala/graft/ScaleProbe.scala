@@ -1204,6 +1204,24 @@ object ScaleProbe {
         }
       }
     }
+    if (enabled("kTruss")) {
+      // triangle-chain successor graph over fresh keys x mult (every vertex
+      // in 2 path + 1 skip triangle): constant degree, so wedge volume and
+      // the per-round support aggregate must scale linearly in |V|; peel
+      // depth is the graph family's (2 waves then fixpoint), never the
+      // data's
+      val baseC = spark.read.parquet(s"$sfDir/customer.parquet")
+      val cStride = baseC.agg(max(col("c_custkey"))).head.getLong(0) + 1L
+      val cust = (0 until mult).map(k =>
+          baseC.withColumn("c_custkey", col("c_custkey") + lit(k.toLong * cStride)))
+        .reduce(_ union _)
+      val kc = col("c_custkey")
+      val edges = cust.select(kc.as("src"), (kc + 1).as("dst"))
+        .unionByName(cust.select(kc.as("src"), (kc + 2).as("dst")))
+      timed("kTruss k=4 (peel to empty)") {
+        graft.ops.GraphTraversal.kTruss(edges, k = 4).count()
+      }
+    }
     spark.stop()
   }
 }

@@ -1099,6 +1099,55 @@ object GraphQueries {
          |   (SELECT a AS v FROM e5 UNION ALL SELECT b FROM e5)
          | GROUP BY v ORDER BY id""".stripMargin),
 
+    // ---- k-truss (iterative EDGE peeling by triangle support) -----------
+    // the edge-cohesion sibling of g_kcore: keep edges in >= k-2 triangles,
+    // peel to fixpoint. Fixture: a triangle chain over every customer
+    // ((i,i+1) + (i,i+2) — interior skip edges sit in 1 triangle, path
+    // edges in 2), pendant spokes (0 triangles), and a 10-clique (every
+    // edge in 8). k=4 peels in waves — skip edges and pendants die round 1,
+    // the orphaned path edges round 2, the clique survives with support 8 —
+    // so output is scale-invariant while the peel WORK scales with the
+    // corpus (the g_kcore discipline). Oracle: 4 unrolled rounds as chained
+    // CTEs, support via the symmetric-closure common-neighbor join;
+    // idempotent once converged.
+    ("g_ktruss",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val k = col("c_custkey")
+        val chain = c.select(k.as("src"), (k + 1).as("dst"))
+          .unionByName(c.select(k.as("src"), (k + 2).as("dst")))
+        val pendants = c.filter(k % 100 === 0)
+          .select(k.as("src"), (k + 100000).as("dst"))
+        val clique = c.filter(k < 9)
+          .select(k.as("src"), explode(sequence(k + 1, lit(9L))).as("dst"))
+        graft.ops.GraphTraversal.kTruss(
+            chain.unionByName(pendants).unionByName(clique), k = 4)
+          .orderBy("a", "b")
+      },
+      s"""WITH raw AS (
+         |   SELECT c_custkey AS s, c_custkey + 1 AS t FROM customer
+         |   UNION ALL SELECT c_custkey, c_custkey + 2 FROM customer
+         |   UNION ALL SELECT c_custkey, c_custkey + 100000 FROM customer
+         |     WHERE c_custkey % 100 = 0
+         |   UNION ALL SELECT x.c_custkey, y.c_custkey
+         |     FROM customer x JOIN customer y ON x.c_custkey < y.c_custkey
+         |     WHERE x.c_custkey <= 9 AND y.c_custkey <= 9),
+         | e0 AS MATERIALIZED (SELECT DISTINCT least(s, t) AS a,
+         |        greatest(s, t) AS b FROM raw WHERE s <> t)${(1 to 4).map(r =>
+            s""",
+         | sym$r AS MATERIALIZED (SELECT a AS u, b AS w FROM e${r - 1}
+         |        UNION ALL SELECT b, a FROM e${r - 1}),
+         | sup$r AS MATERIALIZED (SELECT e.a, e.b, COUNT(*) AS sup
+         |        FROM e${r - 1} e
+         |        JOIN sym$r n1 ON n1.u = e.a
+         |        JOIN sym$r n2 ON n2.u = e.b AND n2.w = n1.w
+         |        GROUP BY e.a, e.b),
+         | e$r AS MATERIALIZED (SELECT a, b FROM sup$r WHERE sup >= 2)""")
+            .mkString}
+         | SELECT e.a, e.b, s.sup AS support
+         | FROM e4 e JOIN sup4 s ON e.a = s.a AND e.b = s.b
+         | ORDER BY e.a, e.b""".stripMargin),
+
     // ---- neighborhood-overlap similarity (common-neighbor Jaccard) ------
     // link-prediction / entity-consolidation shape over the successor
     // graph PLUS a deliberate super-hub (every 10th customer links to

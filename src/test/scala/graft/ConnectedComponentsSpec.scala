@@ -292,6 +292,28 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(graft.ops.GraphTraversal.kCore(edges, k = 4).count() == 0)
   }
 
+  test("kTruss: shared-edge triangles — 3-truss keeps both, 4-truss peels to empty") {
+    // triangles (1,2,3) and (2,3,4) share edge (2,3): its support is 2,
+    // every other triangle edge's is 1, the pendant (5,6) has 0
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (3L, 4L), (5L, 6L))
+      .toDF("src", "dst")
+    val t3 = graft.ops.GraphTraversal.kTruss(edges, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t3 == Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 2L,
+      (2L, 4L) -> 1L, (3L, 4L) -> 1L))
+    // k=4 wants support >= 2: round 1 keeps only (2,3), whose support then
+    // drops to 0 — the cascade must run to the empty fixpoint
+    assert(graft.ops.GraphTraversal.kTruss(edges, k = 4).count() == 0)
+  }
+
+  test("kTruss: K5 survives 5-truss intact with support 3 per edge") {
+    val edges = (for (a <- 1 to 5; b <- (a + 1) to 5) yield (a.toLong, b.toLong))
+      .toDF("src", "dst")
+    val got = graft.ops.GraphTraversal.kTruss(edges, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size == 10 && got.values.forall(_ == 3L))
+  }
+
   test("kCore: a chain peels to empty; deep chains fail fast at maxIter") {
     val chain6 = (1 until 6).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
     assert(graft.ops.GraphTraversal.kCore(chain6, k = 2).count() == 0)
