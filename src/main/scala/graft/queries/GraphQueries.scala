@@ -42,7 +42,7 @@ object GraphQueries {
     """WITH src AS (SELECT CAST(l_suppkey AS VARCHAR) AS key FROM lineitem),
       | dd AS (SELECT unnest(generate_series(0, 3)) AS d),
       | cells AS (SELECT d,
-      |             CAST('0x' || substr(md5(d || ':' || key), 1, 12) AS BIGINT) % 32 AS w,
+      |             CAST('0x' || substr(md5(key), 1 + d * 3, 3) AS BIGINT) % 32 AS w,
       |             COUNT(*) AS cnt
       |           FROM src CROSS JOIN dd GROUP BY 1, 2),
       | probes AS (SELECT l_suppkey AS key, COUNT(*) AS n_exact FROM lineitem
@@ -50,7 +50,7 @@ object GraphQueries {
       | looked AS (SELECT p.key, p.n_exact, MIN(c.cnt) AS cms_est
       |            FROM probes p CROSS JOIN dd
       |            JOIN cells c ON c.d = dd.d
-      |             AND c.w = CAST('0x' || substr(md5(dd.d || ':' || CAST(p.key AS VARCHAR)), 1, 12) AS BIGINT) % 32
+      |             AND c.w = CAST('0x' || substr(md5(CAST(p.key AS VARCHAR)), 1 + dd.d * 3, 3) AS BIGINT) % 32
       |            GROUP BY 1, 2)
       | SELECT CAST(key AS BIGINT) AS key, n_exact, cms_est,
       |        cms_est >= n_exact AS over_ok
@@ -916,9 +916,9 @@ object GraphQueries {
     // the mergeable-summaries family's last classic beside count-min, KMV,
     // HLL and Misra-Gries: F2 = sum over keys of f_k² is the SELF-JOIN
     // SIZE — the number a planner wants before committing to a key —
-    // estimated from 16 plain-SUM sign-sketch cells (z_s = sum of md5-
-    // parity ±1 per row; E[z²] = F2, estimate = exact median of z² over
-    // sketches). Cells are sums -> exact merge across partitions/files/
+    // estimated from 16 plain-SUM sign-sketch cells (z_s = sum of ±1 from
+    // BIT s of one md5 per row; E[z²] = F2, estimate = exact median of z²
+    // over sketches). Cells are sums -> exact merge across partitions/files/
     // micro-batches, the count-min additivity argument verbatim. The
     // estimate AND the md5 sign replay are under the hash; a drift past
     // 4x of exact fails loudly in-entry (median-of-16 concentration).
@@ -948,11 +948,12 @@ object GraphQueries {
               .as("ams_est"),
             lit(true).as("within_4x"))
       },
-      """WITH src AS (SELECT CAST(l_suppkey AS VARCHAR) AS key FROM lineitem),
+      """WITH src AS (SELECT CAST('0x' ||
+        |          substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 8) AS BIGINT) AS h
+        |        FROM lineitem),
         | ss AS (SELECT unnest(generate_series(0, 15)) AS s),
         | cells AS (SELECT s,
-        |             SUM(CASE WHEN CAST('0x' || substr(md5(s || ':' || key), 1, 2) AS BIGINT) % 2 = 0
-        |                      THEN 1 ELSE -1 END) AS z
+        |             SUM(CASE WHEN (h >> s) % 2 = 0 THEN 1 ELSE -1 END) AS z
         |           FROM src CROSS JOIN ss GROUP BY 1),
         | z2 AS (SELECT z * z AS z2, ROW_NUMBER() OVER (ORDER BY z * z) AS rn
         |        FROM cells),

@@ -149,9 +149,12 @@ class SketchSpec extends AnyFunSuite {
   test("AMS F2 cells equal a JVM-side md5 sign replay; merge = partition invariance") {
     def sign(sk: Int, key: Long): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$sk:$key".getBytes("UTF-8"))
-      // first hex pair's parity, exactly the engine's conv(substr(md5,1,2),16,10) % 2
-      if (((d(0) & 0xff) % 2) == 0) 1L else -1L
+        .digest(s"$key".getBytes("UTF-8"))
+      // bit sk of the first 8 hex chars (= first 4 digest bytes, big-endian)
+      // — exactly the engine's shiftright(conv(substr(md5,1,8),16,10), s) % 2
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      if (((h >> sk) & 1L) == 0L) 1L else -1L
     }
     val keys = Seq(1L, 1L, 2L, 3L, 3L, 3L, 7L)
     val reps = 8
