@@ -167,6 +167,23 @@ object GraphQueries {
       .reduce(_ union _)
   }
 
+  /** Level-1 Louvain over [[louvainEdges]], memoized per corpus dir: the
+    * gain rounds run DRIVER-side during plan construction (checkpoint-
+    * backed result), so the CacheManager plan-matching trick cannot share
+    * them — the RESULT frame is what g_louvain and g_louvain2 reuse
+    * (measured: the duplicated level-1 was ~40% of g_louvain2's wall).
+    * Vertex-sized, session-pinned like the staged-replay caches; the
+    * materializing entry is recorded for bench attribution.
+    */
+  private val louvainL1Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def louvainL1Shared(s: SparkSession, d: String): DataFrame =
+    louvainL1Cache.computeIfAbsent(d, _ => {
+      PipelineQueries.sharedStoreMaterializers.putIfAbsent("louvain_l1",
+        PipelineQueries.currentEntry.value)
+      graft.ops.GraphTraversal.louvainLevel(louvainEdges(s, d), rounds = 2)
+    })
+
   /** Undirected-distinct (a ≤ b) edges of the successor graph. */
   private def louvainUnd(edges: DataFrame): DataFrame =
     edges.filter(col("src") =!= col("dst"))
@@ -638,7 +655,7 @@ object GraphQueries {
     ("g_louvain",
       (s, d) => {
         val edges = louvainEdges(s, d)
-        val louvain = graft.ops.GraphTraversal.louvainLevel(edges, rounds = 2)
+        val louvain = louvainL1Shared(s, d)
         val lpa = graft.ops.GraphTraversal.labelPropagation(edges, rounds = 3)
           .select(col("id"), col("label").as("community"))
         val und = louvainUnd(edges)
@@ -669,7 +686,7 @@ object GraphQueries {
     ("g_louvain2",
       (s, d) => {
         val edges = louvainEdges(s, d)
-        val l1 = graft.ops.GraphTraversal.louvainLevel(edges, rounds = 2)
+        val l1 = louvainL1Shared(s, d)
         val und = louvainUnd(edges)
         val wedges = graft.ops.GraphTraversal.louvainContract(und, l1)
         val l2 = graft.ops.GraphTraversal.louvainWeightedLevel(wedges, rounds = 2)
