@@ -81,6 +81,26 @@ object Scratch {
       } finally ls.close()
     } catch { case _: Throwable => () }
 
+  /** The lock channel+lock, STRONGLY referenced for the JVM's lifetime: a
+    * FileLock dies with its channel and an unreferenced channel is closed
+    * by GC — holding neither (the original code kept `ch` as a lazy-init
+    * local) silently RELEASED the liveness lock at the first GC after
+    * startup, making the live root "acquirable" to a sibling JVM's
+    * startup sweep, which then deleted it mid-run (observed: a
+    * full-registry Verify lost its staged streaming-replay dirs to a
+    * concurrently started PlanDump and failed two entries).
+    */
+  @volatile private var rootLock:
+    (java.nio.channels.FileChannel, java.nio.channels.FileLock) = null
+
+  /** True iff this JVM's scratch-root liveness lock is currently held —
+    * the invariant the startup sweep of sibling JVMs relies on.
+    */
+  private[graft] def lockHeld: Boolean = {
+    val l = rootLock
+    l != null && l._2.isValid
+  }
+
   /** The per-JVM scratch root: swept-then-created on first use, lock held
     * for the JVM's lifetime, best-effort deleted by shutdown hook (the
     * lock covers the SIGKILL path the hook cannot).
@@ -94,7 +114,7 @@ object Scratch {
     val r = Files.createTempDirectory(base, "graft-jvm-")
     val ch = java.nio.channels.FileChannel.open(r.resolve(".lock"),
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
-    ch.lock() // held (never released) until process death — liveness marker
+    rootLock = (ch, ch.lock()) // pinned until process death — liveness marker
     sys.addShutdownHook(
       try org.apache.commons.io.FileUtils.deleteDirectory(r.toFile)
       catch { case _: Throwable => () })

@@ -72,6 +72,15 @@ class HarnessOpsSpec extends AnyFunSuite {
       assert(root.getFileName.toString.startsWith("graft-jvm-"))
       assert(java.nio.file.Files.isRegularFile(root.resolve(".lock")),
         "liveness lock file missing — the stale sweep would never reclaim this root")
+      // the lock must be STRONGLY HELD, not just created: an unreferenced
+      // FileChannel is closed by GC, which releases its lock and makes the
+      // LIVE root deletable by a sibling JVM's startup sweep (observed as
+      // mid-run staged-dir loss). System.gc() makes the regression's
+      // dominant path likely enough to catch here.
+      System.gc(); Thread.sleep(50); System.gc()
+      assert(graft.ops.Scratch.lockHeld,
+        "scratch-root liveness lock not held after GC — sibling sweeps " +
+          "can reclaim a LIVE root")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(a.toFile)
   }
 
