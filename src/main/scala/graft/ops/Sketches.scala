@@ -314,18 +314,23 @@ object Sketches {
     * data-independent) and the grid broadcast.
     */
   def dyadicNodeEst(cells: DataFrame, bits: Int, depth: Int,
-                    width: Int): DataFrame = {
-    val lvls = cells.sparkSession.range(0, bits + 1)
+                    width: Int, grain: Seq[String] = Nil): DataFrame = {
+    val lvlNodes = cells.sparkSession.range(0, bits + 1)
       .select(col("id").cast("int").as("lvl"))
-    lvls
       .select(col("lvl"),
         explode(expr(s"sequence(0, shiftright(${1L << bits}, lvl) - 1)")).as("node"))
+    // grained serving: each grain value keeps its OWN sketch (per-tenant
+    // percentiles) — the enumeration crosses the grain's distinct values
+    // (bounded: grain cardinality × 2^(bits+1) rows), never the data
+    val enum0 = if (grain.isEmpty) lvlNodes
+      else cells.select(grain.map(col): _*).distinct().crossJoin(lvlNodes)
+    enum0
       .withColumn("__hx", md5(concat(col("lvl").cast("string"), lit(":"),
         col("node").cast("string"))))
       .withColumn("d", explode(expr(s"sequence(0, ${depth - 1})")))
       .withColumn("w", dyadicBucket("__hx", "d", width))
-      .join(broadcast(cells), Seq("lvl", "d", "w"), "left")
-      .groupBy("lvl", "node")
+      .join(broadcast(cells), (grain ++ Seq("lvl", "d", "w")), "left")
+      .groupBy((grain ++ Seq("lvl", "node")).map(col): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
@@ -335,13 +340,22 @@ object Sketches {
     * m = vb+1. Enumerated frames only (2^bits × (bits+1) rows), node
     * estimates broadcast.
     */
-  def dyadicRankLe(nodeEst: DataFrame, bits: Int): DataFrame =
-    nodeEst.sparkSession.range(0, 1L << bits).select(col("id").as("vb"))
+  def dyadicRankLe(nodeEst: DataFrame, bits: Int,
+                   grain: Seq[String] = Nil): DataFrame = {
+    val vbs = nodeEst.sparkSession.range(0, 1L << bits).select(col("id").as("vb"))
+    val base = if (grain.isEmpty) vbs
+      else nodeEst.select(grain.map(col): _*).distinct().crossJoin(vbs)
+    // rename the estimate side's grain columns so the equi-condition can
+    // reference both sides unambiguously
+    val ne = grain.foldLeft(nodeEst)((df, g) => df.withColumnRenamed(g, s"__ne_$g"))
+    base
       .withColumn("b", explode(expr(s"sequence(0, $bits)")))
       .filter(expr("shiftright(vb + 1, b) % 2 = 1"))
-      .join(broadcast(nodeEst),
-        col("lvl") === col("b") &&
-          col("node") === lit(2L) * expr("shiftright(vb + 1, b + 1)"))
-      .groupBy("vb")
+      .join(broadcast(ne),
+        grain.map(g => col(g) === col(s"__ne_$g"))
+          .foldLeft(col("lvl") === col("b") &&
+            col("node") === lit(2L) * expr("shiftright(vb + 1, b + 1)"))(_ && _))
+      .groupBy((grain :+ "vb").map(col): _*)
       .agg(sum(col("est")).as("rank_le"))
+  }
 }

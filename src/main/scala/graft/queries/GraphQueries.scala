@@ -1014,6 +1014,91 @@ object GraphQueries {
       },
       QuantileSketchSql),
 
+    // ---- GRAINED quantile serving (per-tenant percentiles) ---------------
+    // the production shape a14's merge cannot answer: p50/p90 PER GRAIN
+    // from each grain's OWN grid, no cross-grain merge — per-tenant
+    // latency percentiles from sketches stored beside each partition.
+    // Everything stays enumerated-frame-sized (grain cardinality ×
+    // 2^(bits+1) node rows, broadcast grid); the data is touched once for
+    // the build and once for the exact-rank guard. Oracle replays the
+    // per-grain grid, node estimates, ranks and quantile picks.
+    ("a15_grouped_quantiles",
+      (s, d) => {
+        import graft.ops.Sketches
+        val vals = t(s, d, "lineitem").select(col("l_returnflag").as("g"),
+          expr("shiftright(cast(round(l_extendedprice * 100) as bigint), 12)")
+            .as("u"))
+        val perFlag = Sketches.dyadicCells(vals, "u", QBits, QDepth, QWidth, Seq("g"))
+        val nodeEst = Sketches.dyadicNodeEst(perFlag, QBits, QDepth, QWidth, Seq("g"))
+        val rankLe = Sketches.dyadicRankLe(nodeEst, QBits, Seq("g"))
+        val tg = vals.groupBy("g").agg(count(lit(1)).as("n"))
+          .select(col("g").as("g2"),
+            explode(array(lit(50), lit(90))).as("p"), col("n"))
+          .select(col("g2"), col("p").cast("long").as("pct"),
+            expr("(p * n + 99) div 100").as("target_rank"), col("n"))
+        val qq = rankLe.join(broadcast(tg),
+            col("g") === col("g2") && col("rank_le") >= col("target_rank"))
+          .groupBy("g", "pct", "target_rank", "n")
+          .agg(min(col("vb")).as("q_bucket"))
+        val exact = vals
+          .join(broadcast(qq.select(col("g").as("g3"), col("pct").as("pct3"),
+            col("q_bucket").as("qb3"))), col("g") === col("g3"))
+          .groupBy("g3", "pct3")
+          .agg(sum(when(col("u") <= col("qb3"), 1L).otherwise(0L)).as("exact_rank"))
+        qq.join(exact, col("g") === col("g3") && col("pct") === col("pct3"))
+          .select(col("g"), col("pct"), col("target_rank"), col("q_bucket"),
+            graft.ops.Bounded.guard(col("exact_rank"),
+              abs(col("exact_rank") - col("target_rank")) * 10 <= col("n"),
+              "a15_grouped_quantiles: a grain's exact rank drifted beyond " +
+                "10% of its N — grid too coarse for this grain")
+              .as("exact_rank"))
+          .orderBy("g", "pct")
+      },
+      """WITH v AS (SELECT l_returnflag AS g,
+        |             CAST(round(l_extendedprice * 100) AS BIGINT) // 4096 AS u
+        |           FROM lineitem),
+        | lv AS (SELECT unnest(generate_series(0, 12)) AS lvl),
+        | dd AS (SELECT unnest(generate_series(0, 3)) AS d),
+        | cells AS (SELECT g, lvl, d,
+        |             CAST('0x' || substr(md5(lvl || ':' || (u >> lvl)),
+        |                  1 + d * 3, 3) AS BIGINT) % 256 AS w,
+        |             COUNT(*) AS cnt
+        |           FROM v CROSS JOIN lv CROSS JOIN dd GROUP BY 1, 2, 3, 4),
+        | gs AS (SELECT DISTINCT g FROM v),
+        | nodes AS (SELECT gs.g, n.lvl, n.node FROM gs, lv,
+        |             LATERAL (SELECT lv.lvl AS lvl,
+        |                      unnest(generate_series(0, (4096 >> lv.lvl) - 1))
+        |                      AS node) n),
+        | ne AS (SELECT n.g, n.lvl, n.node, MIN(COALESCE(c.cnt, 0)) AS est
+        |        FROM nodes n CROSS JOIN dd
+        |        LEFT JOIN cells c ON c.g = n.g AND c.lvl = n.lvl AND c.d = dd.d
+        |          AND c.w = CAST('0x' || substr(md5(n.lvl || ':' || n.node),
+        |                         1 + dd.d * 3, 3) AS BIGINT) % 256
+        |        GROUP BY 1, 2, 3),
+        | vv AS (SELECT unnest(generate_series(0, 4095)) AS vb),
+        | bs AS (SELECT g, vb, b FROM gs, vv,
+        |          LATERAL (SELECT unnest(generate_series(0, 12)) AS b) x
+        |        WHERE ((vb + 1) >> b) % 2 = 1),
+        | rk AS (SELECT s.g, s.vb, CAST(SUM(ne.est) AS BIGINT) AS rank_le
+        |        FROM bs s JOIN ne ON ne.g = s.g AND ne.lvl = s.b
+        |          AND ne.node = 2 * ((s.vb + 1) >> (s.b + 1))
+        |        GROUP BY 1, 2),
+        | nt AS (SELECT g, COUNT(*) AS n FROM v GROUP BY 1),
+        | tg AS (SELECT nt.g, CAST(p AS BIGINT) AS pct,
+        |               (p * n + 99) // 100 AS target_rank, n
+        |        FROM (VALUES (50), (90)) t(p) CROSS JOIN nt),
+        | qq AS (SELECT tg.g, pct, target_rank, n, MIN(vb) AS q_bucket
+        |        FROM tg JOIN rk ON rk.g = tg.g AND rk.rank_le >= tg.target_rank
+        |        GROUP BY 1, 2, 3, 4),
+        | er AS (SELECT q.g AS g, q.pct AS pct,
+        |               CAST(SUM(CASE WHEN v.u <= q.q_bucket THEN 1 ELSE 0 END)
+        |                    AS BIGINT) AS exact_rank
+        |        FROM v JOIN qq q ON v.g = q.g GROUP BY 1, 2)
+        | SELECT q.g, q.pct, CAST(q.target_rank AS BIGINT) AS target_rank,
+        |        CAST(q.q_bucket AS BIGINT) AS q_bucket, er.exact_rank
+        | FROM qq q JOIN er ON er.g = q.g AND er.pct = q.pct
+        | ORDER BY 1, 2""".stripMargin),
+
     // ---- strongly connected components (directed) -----------------------
     // the structure undirected CC cannot see: 3-cycles ("rings") bridged
     // pairwise by ONE-WAY edges — each ring is its own SCC and the bridge
