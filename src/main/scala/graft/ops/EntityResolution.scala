@@ -26,9 +26,16 @@ object EntityResolution {
     * key), `keyCol` (unique id), `nameCol` (the fuzzy-matched string).
     *
     * `maxBlockRows`: optional per-block size bound enforced AT RUN TIME on
-    * every candidate pair (a count-window per block key would cost a
-    * second shuffle; the guard rides the pair stream for free and a single
-    * oversized block fails the query with the block key in the message).
+    * the INPUT rows, before pairing — one input-scale count aggregate
+    * joined back to the probe side, so an oversized block fails BEFORE its
+    * pairs materialize. (The original guard counted over the PAIR stream
+    * with a block-partitioned window: wall-neutral at bench SF — the
+    * window rode the join's existing hash partitioning and JW scoring
+    * dominates — but it validated a property of the linear input on the
+    * quadratic pair table, and a detonating block would finish exploding
+    * before tripping. The sizes frame is block-key cardinality; the
+    * planner broadcasts it when small, and even shuffled it joins the
+    * input, never the pairs.)
     */
   def blockedNamePairs(df: DataFrame, blockCols: Seq[String], keyCol: String,
                        nameCol: String, minSim: Double,
@@ -39,21 +46,18 @@ object EntityResolution {
       blockCols.map(col) :+ col(keyCol).as("key_a") :+ col(nameCol).as("name_a"): _*)
     val b = df.select(
       blockCols.map(col) :+ col(keyCol).as("key_b") :+ col(nameCol).as("name_b"): _*)
-    val pairs = a.join(b, blockCols).filter(col("key_a") < col("key_b"))
-    val guarded = maxBlockRows match {
+    val aGuarded = maxBlockRows match {
       case Some(max) =>
-        // a block of n rows emits n(n-1)/2 pairs; bounding the per-pair
-        // count implicitly bounds n without a separate degree aggregate
-        val cap = max * (max - 1L) / 2L
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(blockCols.map(col): _*)
-        pairs.withColumn("er_pairs", count(lit(1)).over(w))
-          .withColumn("key_a", Bounded.guard(col("key_a"), col("er_pairs") <= cap,
-            s"blockedNamePairs: a block exceeds maxBlockRows=$max " +
-              s"(> $cap candidate pairs) — re-block or pre-split the key"))
-          .drop("er_pairs")
-      case None => pairs
+        val sizes = df.groupBy(blockCols.map(col): _*)
+          .agg(count(lit(1)).as("__er_n"))
+        a.join(sizes, blockCols)
+          .withColumn("key_a", Bounded.guard(col("key_a"), col("__er_n") <= max,
+            s"blockedNamePairs: a block exceeds maxBlockRows=$max rows " +
+              "— re-block or pre-split the key"))
+          .drop("__er_n")
+      case None => a
     }
-    guarded
+    aGuarded.join(b, blockCols).filter(col("key_a") < col("key_b"))
       .withColumn("sim", JaroWinkler.jaroWinkler(col("name_a"), col("name_b")))
       .filter(col("sim") >= minSim)
   }
