@@ -152,6 +152,9 @@ object PlanDump {
     // dyadic quantiles: the cell grid and rank frames are broadcast-sized
     // — a shuffle-side grid means the planner thinks the sketch is data
     "a14_quantile_sketch" -> (Seq("BroadcastHashJoin"), Seq("CartesianProduct")),
+    // grained quantiles: grain×node enumeration rides a broadcast BNLJ
+    // (bounded frames); grid joins broadcast; never a Cartesian
+    "a15_grouped_quantiles" -> (Seq("BroadcastHashJoin"), Seq("CartesianProduct")),
     // Q2: the derived catalog joins its own per-part min (SMJ at scale,
     // equi-keyed) and the region/part dims broadcast — Cartesian never
     "q2_min_cost_supplier" -> (Seq("Join"), Seq("CartesianProduct")),
