@@ -1122,6 +1122,64 @@ object StreamingQueries {
         .orderBy("purchase_id", "click_id"),
       TemporalQueries.IntervalJoinSql),
 
+    // ---- streaming SCD2 enrichment (27th twin) ----------------------------
+    // the slowly-changing-dimension read path IN the stream: each fact
+    // micro-batch picks the dimension version valid AT its own version
+    // clock via a stream-static RANGE join (k equi + vseq BETWEEN
+    // valid_from/valid_to — tiling ranges make the match unique). Stateless
+    // — no watermark, no store: the history is the broadcast static side,
+    // exactly how a 100-TB pipeline serves dimensions at ingest. Meets
+    // u3_scd2_pit_lookup's ASOF oracle from real micro-batch execution
+    // (the range join against tiling ranges IS the backward as-of).
+    ("stream_scd2_enrich",
+      (s, d) => {
+        val base = RelationalQueries.t(s, d, "customer")
+          .select(col("c_custkey").as("hk"),
+            round(col("c_acctbal") * 100).cast("long").as("cents"))
+        val v0 = base.withColumn("seq", lit(0L))
+        val v1 = base.filter(col("hk") % 3 === 0)
+          .withColumn("cents", col("cents") +
+            when(col("hk") % 6 === 0, 0L).otherwise(10000L))
+          .withColumn("seq", lit(1L))
+        val v2 = base.filter(col("hk") % 9 === 0)
+          .withColumn("cents", col("cents") + 20000L)
+          .withColumn("seq", lit(2L))
+        val hist = graft.ops.ScdOps.buildHistory(
+            v0.unionByName(v1).unionByName(v2), "hk", "seq", Seq("cents"))
+          .select(col("hk"), col("valid_from"), col("valid_to"), col("cents"))
+        val staged = stagedPair(d, "ord-cut") {
+          val o = s.read.parquet(s"$d/orders.parquet")
+            .select(col("o_orderkey"), col("o_custkey"))
+          val cut = o.stat.approxQuantile("o_orderkey", Array(0.5), 0.0)(0).toLong
+          (o.filter(col("o_orderkey") <= cut), o.filter(col("o_orderkey") > cut))
+        }
+        replayLinked(s, staged, "append") { stream =>
+          stream.select(col("o_orderkey"), col("o_custkey").as("k"),
+              (col("o_orderkey") % 3).as("vseq"))
+            .join(broadcast(hist),
+              col("k") === col("hk") && col("vseq") >= col("valid_from") &&
+                (col("valid_to").isNull || col("vseq") <= col("valid_to")))
+            .select(col("o_orderkey"), col("k"), col("vseq"),
+              col("cents").as("cents_at"))
+        }.orderBy("o_orderkey")
+      },
+      """WITH base AS (SELECT c_custkey AS k,
+        |                     CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |              FROM customer),
+        |  v AS (SELECT k, cents, CAST(0 AS BIGINT) AS seq FROM base
+        |        UNION ALL
+        |        SELECT k, cents + CASE WHEN k % 6 = 0 THEN 0 ELSE 10000 END,
+        |               CAST(1 AS BIGINT) FROM base WHERE k % 3 = 0
+        |        UNION ALL
+        |        SELECT k, cents + 20000, CAST(2 AS BIGINT) FROM base WHERE k % 9 = 0),
+        |  lagd AS (SELECT *, LAG(cents) OVER (PARTITION BY k ORDER BY seq) AS prev FROM v),
+        |  hist AS (SELECT k, seq AS vseq, cents FROM lagd
+        |           WHERE prev IS NULL OR cents <> prev),
+        |  f AS (SELECT o_orderkey, o_custkey AS k, o_orderkey % 3 AS vseq FROM orders)
+        | SELECT f.o_orderkey, f.k, f.vseq, h.cents AS cents_at
+        | FROM f ASOF LEFT JOIN hist h ON f.k = h.k AND f.vseq >= h.vseq
+        | ORDER BY f.o_orderkey""".stripMargin),
+
     // ---- stream-stream LEFT OUTER interval join (26th twin) --------------
     // the semantics stream_interval_join cannot express: purchases with NO
     // click in their ±5 min window still emit, NULL-padded — and Spark can
