@@ -2955,11 +2955,32 @@ object RelationalQueries {
             .select(col("s_suppkey"), col("s_name"), col("total_c4"))
           // bounded collect: only max-revenue ties survive the equality probe
           val rows = top.collect()
-          val cacheReads = top.queryExecution.executedPlan.toString
-            .linesIterator.count(l => l.contains("InMemoryTableScan") ||
-              l.contains("TableCacheQueryStage"))
-          require(cacheReads >= 2, "q15_top_supplier: a consumer bypassed " +
-            "the persisted revenue aggregate — the fact would scan twice")
+          // the single-fact-scan property, asserted on the executed TREE
+          // (toString line-counting double-counts across AQE's final+initial
+          // plan prints and elides materialized broadcast stages): walking
+          // into adaptive plans and query stages, the query must contain
+          // ZERO lineitem file scans — the only lineitem read happened once,
+          // at cache fill — and at least one cache read
+          def walk(p: org.apache.spark.sql.execution.SparkPlan):
+              Seq[org.apache.spark.sql.execution.SparkPlan] = Seq(p) ++ (p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              walk(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              walk(q.plan)
+            case _ => p.children.flatMap(walk)
+          })
+          val nodes = walk(top.queryExecution.executedPlan)
+          val factScans = nodes.count {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.relation.location.rootPaths.exists(_.toString.contains("lineitem"))
+            case _ => false
+          }
+          val cacheReads = nodes.count(
+            _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
+          require(factScans == 0 && cacheReads >= 1,
+            s"q15_top_supplier: a consumer bypassed the persisted revenue " +
+              s"aggregate (lineitem scans=$factScans, cache reads=$cacheReads) " +
+              "— the fact would scan twice")
           s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq), top.schema)
             .orderBy("s_suppkey")
         } finally rev.unpersist()
