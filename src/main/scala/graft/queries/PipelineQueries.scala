@@ -1575,6 +1575,29 @@ object PipelineQueries {
         graft.functions.PorterStem.sqlCtes("words", "doc_id", "a", "stemmed") +
         " SELECT DISTINCT doc_id, cur AS token FROM stemmed ORDER BY doc_id, token"),
 
+    // ---- X2: the SQL surface (native functions via spark.sql) -----------
+    // the end-user API path every other entry bypasses: a temp view + ONE
+    // pure-SQL query calling the extension-registered native expressions
+    // (jaro_winkler / damerau_levenshtein / accent_fold / nfc_normalize —
+    // each already ULP/bit-proven cross-engine by j9/d18/x1). What this
+    // entry pins is the REGISTRATION path: FunctionIdentifier resolution,
+    // arity validation, codegen through the SQL parser — a user of the
+    // reference can `spark.sql(...)` these, not just call Scala.
+    ("x2_sql_surface",
+      (s, d) => {
+        t(s, d, "documents").createOrReplaceTempView("documents_sqlv")
+        s.sql("""SELECT doc_id,
+                 |       jaro_winkler(lang, 'en') AS jw_en,
+                 |       CAST(damerau_levenshtein(source, 'src1') AS BIGINT) AS dl_src,
+                 |       accent_fold(nfc_normalize(substring(text, 1, 40))) AS norm40
+                 | FROM documents_sqlv WHERE doc_id < 200
+                 | ORDER BY doc_id""".stripMargin)
+      },
+      """SELECT doc_id, jaro_winkler_similarity(lang, 'en') AS jw_en,
+        |       CAST(damerau_levenshtein(source, 'src1') AS BIGINT) AS dl_src,
+        |       strip_accents(nfc_normalize(substring(text, 1, 40))) AS norm40
+        | FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin),
+
     // ---- X1: full search-view token table (all four analyzers) ----------
     // documents as a pseudo-collection (id=DOC, key=doc_id, field=text):
     // exercises buildTokenTable end to end — link selection, all four
@@ -2093,6 +2116,66 @@ object PipelineQueries {
         | FROM p JOIN sz za ON za.source = p.s1
         |        JOIN sz zb ON zb.source = p.s2
         | ORDER BY s1, s2""".stripMargin),
+
+    // ---- source distribution drift (total-variation distance) -----------
+    // the DISTRIBUTION-distance companion to t_source_overlap's vocabulary
+    // Jaccard and t_chi_square's independence test: TVD(p, q) = ½ Σ_w
+    // |p(w) − q(w)| between every source pair's unigram TOKEN distributions
+    // — the standard domain-shift alarm, exact in integer micro via the
+    // common denominator (½ Σ|c1·N2 − c2·N1| / (N1·N2)). Words private to
+    // one source never need an outer join: Σ_w c·N = N1·N2 on each side,
+    // so TVDsum = 2·N1·N2 + Σ_{w∈both}(|c1·N2 − c2·N1| − c1·N2 − c2·N1) —
+    // the word self-join stays INNER (per-word fan-out ≤ #sources²), the
+    // disjoint-vocab pair falls out of the 190-row spine at exactly 1e6.
+    // Long headroom guarded (N1·N2·2e6 must fit; the Decimal(38,0) form is
+    // the documented beyond-Long-scale swap, as in t_chi_square).
+    ("t_source_divergence",
+      (s, d) => {
+        val wc = t(s, d, "documents")
+          .select(col("source"),
+            explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        val tot = wc.groupBy("source").agg(sum(col("c")).as("n"))
+        val wcn = wc.join(broadcast(tot), Seq("source"))
+        val a = wcn.select(col("source").as("s1"), col("w"),
+          col("c").as("c1"), col("n").as("n1"))
+        val b = wcn.select(col("source").as("s2"), col("w"),
+          col("c").as("c2"), col("n").as("n2"))
+        val terms = a.join(b, Seq("w")).filter(col("s1") < col("s2"))
+          .groupBy("s1", "s2")
+          .agg(sum(abs(col("c1") * col("n2") - col("c2") * col("n1"))
+            - col("c1") * col("n2") - col("c2") * col("n1")).as("terms"))
+        val spine = tot.select(col("source").as("s1"), col("n").as("n1"))
+          .join(tot.select(col("source").as("s2"), col("n").as("n2")),
+            col("s1") < col("s2"))
+        spine.join(terms, Seq("s1", "s2"), "left")
+          .select(col("s1"), col("s2"), col("n1"), col("n2"),
+            graft.ops.Bounded.guard(
+              expr("(2 * n1 * n2 + coalesce(terms, 0)) * 1000000 div (2 * n1 * n2)"),
+              col("n1") * col("n2") <= lit(Long.MaxValue / 2000000L),
+              "t_source_divergence: token counts beyond the x1e6 Long " +
+                "headroom — switch the TVD sum to Decimal(38,0) at this scale")
+              .as("tvd_micro"))
+          .orderBy("s1", "s2")
+      },
+      """WITH wc AS (SELECT source, w, COUNT(*) AS c
+        |            FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |                  FROM documents) WHERE w <> '' GROUP BY 1, 2),
+        |  tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM wc GROUP BY 1),
+        |  wcn AS (SELECT wc.source, w, c, n FROM wc JOIN tot USING (source)),
+        |  p AS (SELECT a.source AS s1, b.source AS s2,
+        |               CAST(SUM(ABS(a.c * b.n - b.c * a.n)
+        |                        - a.c * b.n - b.c * a.n) AS BIGINT) AS terms
+        |        FROM wcn a JOIN wcn b ON a.w = b.w AND a.source < b.source
+        |        GROUP BY 1, 2),
+        |  spine AS (SELECT a.source AS s1, b.source AS s2, a.n AS n1, b.n AS n2
+        |            FROM tot a JOIN tot b ON a.source < b.source)
+        | SELECT sp.s1, sp.s2, sp.n1, sp.n2,
+        |        CAST((2 * n1 * n2 + COALESCE(p.terms, 0)) * 1000000
+        |             // (2 * n1 * n2) AS BIGINT) AS tvd_micro
+        | FROM spine sp LEFT JOIN p ON p.s1 = sp.s1 AND p.s2 = sp.s2
+        | ORDER BY sp.s1, sp.s2""".stripMargin),
 
     // ---- MAD outlier flags (robust anomaly detection) --------------------
     // per-source median absolute deviation on n_chars: dev = |x − median|,
