@@ -176,7 +176,10 @@ object PlanDump {
       Seq("SortMergeJoin", "CartesianProduct")),
     // Q20: part-class semi broadcast; the per-part rollup join is
     // equi-keyed (key-local at scale)
-    "q20_dominant_suppliers" -> (Seq("BroadcastHashJoin"), Seq("CartesianProduct")))
+    "q20_dominant_suppliers" -> (Seq("BroadcastHashJoin"), Seq("CartesianProduct")),
+    // TVD: the word self-join is equi-keyed; the 190-pair spine is a
+    // bounded non-equi broadcast BNLJ — never a Cartesian
+    "t_source_divergence" -> (Seq("Join"), Seq("CartesianProduct")))
 
   private def unpartitionedWindows(df: org.apache.spark.sql.DataFrame): Int =
     df.queryExecution.optimizedPlan.collect {
