@@ -101,6 +101,23 @@ object Scratch {
     l != null && l._2.isValid
   }
 
+  /** Build a lock-marked, shutdown-hooked per-JVM root under `base`.
+    * The (channel, lock) pair is returned so callers can pin it strongly
+    * — see [[rootLock]] for why.
+    */
+  private def mkRoot(base: Path):
+      (Path, (java.nio.channels.FileChannel, java.nio.channels.FileLock)) = {
+    sweepStale(base)
+    val r = Files.createTempDirectory(base, "graft-jvm-")
+    val ch = java.nio.channels.FileChannel.open(r.resolve(".lock"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    val lk = (ch, ch.lock()) // pinned until process death — liveness marker
+    sys.addShutdownHook(
+      try org.apache.commons.io.FileUtils.deleteDirectory(r.toFile)
+      catch { case _: Throwable => () })
+    (r, lk)
+  }
+
   /** The per-JVM scratch root: swept-then-created on first use, lock held
     * for the JVM's lifetime, best-effort deleted by shutdown hook (the
     * lock covers the SIGKILL path the hook cannot).
@@ -110,14 +127,22 @@ object Scratch {
       .filter(p => Files.isDirectory(p) && Files.isWritable(p))
       .orElse(shmCandidate)
       .getOrElse(diskTmp)
-    sweepStale(base)
-    val r = Files.createTempDirectory(base, "graft-jvm-")
-    val ch = java.nio.channels.FileChannel.open(r.resolve(".lock"),
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
-    rootLock = (ch, ch.lock()) // pinned until process death — liveness marker
-    sys.addShutdownHook(
-      try org.apache.commons.io.FileUtils.deleteDirectory(r.toFile)
-      catch { case _: Throwable => () })
+    val (r, lk) = mkRoot(base)
+    rootLock = lk
+    r
+  }
+
+  /** The mid-run low-headroom fallback root on disk tmp — ALSO lock-marked
+    * and shutdown-hooked: allocating bare dirs in java.io.tmpdir would
+    * escape both cleanup mechanisms (no liveness lock for the sweep, no
+    * hook), re-creating the litter failure mode for exactly the runs that
+    * fill tmpfs (review finding, round 12).
+    */
+  @volatile private var fallbackLock:
+    (java.nio.channels.FileChannel, java.nio.channels.FileLock) = null
+  private lazy val fallbackRoot: Path = {
+    val (r, lk) = mkRoot(diskTmp)
+    fallbackLock = lk
     r
   }
 
@@ -126,7 +151,7 @@ object Scratch {
     // to disk tmp (slower, but never an opaque ENOSPC inside a write)
     if (root.startsWith("/dev/shm") &&
         root.toFile.getUsableSpace < MinFreeBytes / 4)
-      Files.createTempDirectory(diskTmp, prefix)
+      Files.createTempDirectory(fallbackRoot, prefix)
     else Files.createTempDirectory(root, prefix)
   }
 }

@@ -29,14 +29,20 @@ object SessionConf {
     require(active.add(s),
       "SessionConf: a scoped conf swap is already active on this session " +
         "— scopes mutate shared conf and must run serially")
+    // everything after the latch — INCLUDING the set loop — runs inside
+    // the try: a throwing conf.set (invalid value, static key) must still
+    // restore the keys already applied and release the latch, or the
+    // session is permanently locked out of all future scopes with
+    // partially-applied conf (review finding, round 12)
     val prev = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
-    kvs.foreach { case (k, v) => s.conf.set(k, v) }
-    try body finally {
-      prev.foreach {
+    try {
+      kvs.foreach { case (k, v) => s.conf.set(k, v) }
+      body
+    } finally {
+      try prev.foreach {
         case (k, Some(v)) => s.conf.set(k, v)
         case (k, None) => s.conf.unset(k)
-      }
-      active.remove(s)
+      } finally active.remove(s)
     }
   }
 

@@ -84,7 +84,12 @@ object GraphQueries {
     val vals = quantileVals(t(s, d, "lineitem"))
     val nodeEst = Sketches.dyadicNodeEst(merged, QBits, QDepth, QWidth)
     val rankLe = Sketches.dyadicRankLe(nodeEst, QBits)
-    val n = vals.agg(count(lit(1)).as("n"))
+    // N comes off the GRID, not a third fact scan: level `bits` has one
+    // live node (node 0 covers the whole universe), so its count-min
+    // estimate is collision-free and equals N exactly — the read path
+    // touches data only for the exact-rank guard (review finding, r12)
+    val n = nodeEst.filter(col("lvl") === QBits && col("node") === 0)
+      .select(col("est").as("n"))
     val tg = n
       .select(explode(array(Seq(25, 50, 75, 90, 99).map(lit(_)): _*)).as("p"),
         col("n"))
@@ -175,10 +180,15 @@ object GraphQueries {
     * Vertex-sized, session-pinned like the staged-replay caches; the
     * materializing entry is recorded for bench attribution.
     */
+  // keyed by (SESSION, dir), not dir alone: the frame is localCheckpoint-
+  // backed, so a frame cached under a stopped session's context would
+  // throw (or bind to the wrong session) when a later session reuses the
+  // same corpus dir in this JVM — unlike the staged replay caches, which
+  // store filesystem paths and survive session turnover
   private val louvainL1Cache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def louvainL1Shared(s: SparkSession, d: String): DataFrame =
-    louvainL1Cache.computeIfAbsent(d, _ => {
+    louvainL1Cache.computeIfAbsent((s, d), _ => {
       PipelineQueries.sharedStoreMaterializers.putIfAbsent("louvain_l1",
         PipelineQueries.currentEntry.value)
       graft.ops.GraphTraversal.louvainLevel(louvainEdges(s, d), rounds = 2)
@@ -1031,9 +1041,11 @@ object GraphQueries {
         val perFlag = Sketches.dyadicCells(vals, "u", QBits, QDepth, QWidth, Seq("g"))
         val nodeEst = Sketches.dyadicNodeEst(perFlag, QBits, QDepth, QWidth, Seq("g"))
         val rankLe = Sketches.dyadicRankLe(nodeEst, QBits, Seq("g"))
-        val tg = vals.groupBy("g").agg(count(lit(1)).as("n"))
+        // per-grain N off the grid's top-level node (exact — one live node
+        // per grain at level bits), not a second data scan
+        val tg = nodeEst.filter(col("lvl") === QBits && col("node") === 0)
           .select(col("g").as("g2"),
-            explode(array(lit(50), lit(90))).as("p"), col("n"))
+            explode(array(lit(50), lit(90))).as("p"), col("est").as("n"))
           .select(col("g2"), col("p").cast("long").as("pct"),
             expr("(p * n + 99) div 100").as("target_rank"), col("n"))
         val qq = rankLe.join(broadcast(tg),

@@ -122,10 +122,13 @@ object StreamingQueries {
 
   /** [[replayStaged]] over an already-staged split: hardlinks the staged
     * parquet into a fresh per-twin input dir (two-batch protocol intact),
-    * never re-paying the staging write or the median-cut job.
+    * never re-paying the staging write or the median-cut job. `extra`
+    * frames (e.g. a watermark-advancing sentinel) become further
+    * micro-batches after b2 — they are written (tiny by contract), the
+    * staged bulk is still only linked.
     */
   private def replayLinked(s: SparkSession, staged: StagedEvents, mode: String,
-                           parts: Int = 8)
+                           parts: Int = 8, extra: Seq[DataFrame] = Nil)
                           (build: DataFrame => DataFrame): DataFrame = {
     val base = scratchDir("graft-stream-linked")
     try {
@@ -143,6 +146,10 @@ object StreamingQueries {
           q.processAllAvailable()
           linkBatch(staged.b2, in.resolve("b2"))
           q.processAllAvailable()
+          extra.zipWithIndex.foreach { case (b, i) =>
+            b.coalesce(1).write.parquet(s"$in/b${i + 3}")
+            q.processAllAvailable()
+          }
         } finally q.stop()
         s.table(nm)
       }
@@ -1193,9 +1200,6 @@ object StreamingQueries {
     // eviction path emits the complete outer set, no dupes, no drops.
     ("stream_interval_outer_join",
       (s, d) => {
-        val st = stagedEvents(s, d)
-        val b1 = s.read.parquet(st.b1.toString)
-        val b2 = s.read.parquet(st.b2.toString)
         def sentinel(tpe: String) = s.range(1).select(
           lit(-1L).as("event_id"),
           lit("2030-01-01 00:00:00").cast("timestamp").as("ts"),
@@ -1204,7 +1208,9 @@ object StreamingQueries {
           lit(0.0).as("value"),
           lit("{}").as("props"))
         val flush = sentinel("purchase").union(sentinel("click"))
-        replayBatches(s, Seq(b1, b2, flush), "append")(
+        // staged bulk hardlinked like every other events twin; only the
+        // 2-row sentinel is written
+        replayLinked(s, stagedEvents(s, d), "append", extra = Seq(flush))(
             StreamingIngest.streamingIntervalJoinOuter(_))
           .filter(col("user_id") >= 0L)
           .orderBy("purchase_id", "click_id")
