@@ -416,6 +416,68 @@ object PipelineQueries {
     }
   }
 
+  /** Per-(source, word) token counts over a documents frame — the
+    * mergeable INPUT of [[tvdFromWordCounts]]: counts are plain sums, so
+    * per-partition / per-micro-batch counts fold exactly (the count-min
+    * additivity argument on words), which is what lets the streaming twin
+    * meet the batch oracle.
+    */
+  private[queries] def sourceWordCounts(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+
+  /** Pairwise total-variation distance from a word-count frame — see the
+    * t_source_divergence entry comment for the inner-join-only identity.
+    */
+  private[queries] def tvdFromWordCounts(wc: DataFrame): DataFrame = {
+    val tot = wc.groupBy("source").agg(sum(col("c")).as("n"))
+    val wcn = wc.join(broadcast(tot), Seq("source"))
+    val a = wcn.select(col("source").as("s1"), col("w"),
+      col("c").as("c1"), col("n").as("n1"))
+    val b = wcn.select(col("source").as("s2"), col("w"),
+      col("c").as("c2"), col("n").as("n2"))
+    val terms = a.join(b, Seq("w")).filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2")
+      .agg(sum(abs(col("c1") * col("n2") - col("c2") * col("n1"))
+        - col("c1") * col("n2") - col("c2") * col("n1")).as("terms"))
+    val spine = tot.select(col("source").as("s1"), col("n").as("n1"))
+      .join(tot.select(col("source").as("s2"), col("n").as("n2")),
+        col("s1") < col("s2"))
+    spine.join(terms, Seq("s1", "s2"), "left")
+      .select(col("s1"), col("s2"), col("n1"), col("n2"),
+        graft.ops.Bounded.guard(
+          expr("(2 * n1 * n2 + coalesce(terms, 0)) * 1000000 div (2 * n1 * n2)"),
+          col("n1") * col("n2") <= lit(Long.MaxValue / 2000000L),
+          "t_source_divergence: token counts beyond the x1e6 Long " +
+            "headroom — switch the TVD sum to Decimal(38,0) at this scale")
+          .as("tvd_micro"))
+      .orderBy("s1", "s2")
+  }
+
+  /** The shared TVD oracle — the streaming twin must meet it from the
+    * converged per-batch word-count state.
+    */
+  private[queries] val SourceTvdSql: String =
+    """WITH wc AS (SELECT source, w, COUNT(*) AS c
+      |            FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+      |                  FROM documents) WHERE w <> '' GROUP BY 1, 2),
+      |  tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM wc GROUP BY 1),
+      |  wcn AS (SELECT wc.source, w, c, n FROM wc JOIN tot USING (source)),
+      |  p AS (SELECT a.source AS s1, b.source AS s2,
+      |               CAST(SUM(ABS(a.c * b.n - b.c * a.n)
+      |                        - a.c * b.n - b.c * a.n) AS BIGINT) AS terms
+      |        FROM wcn a JOIN wcn b ON a.w = b.w AND a.source < b.source
+      |        GROUP BY 1, 2),
+      |  spine AS (SELECT a.source AS s1, b.source AS s2, a.n AS n1, b.n AS n2
+      |            FROM tot a JOIN tot b ON a.source < b.source)
+      | SELECT sp.s1, sp.s2, sp.n1, sp.n2,
+      |        CAST((2 * n1 * n2 + COALESCE(p.terms, 0)) * 1000000
+      |             // (2 * n1 * n2) AS BIGINT) AS tvd_micro
+      | FROM spine sp LEFT JOIN p ON p.s1 = sp.s1 AND p.s2 = sp.s2
+      | ORDER BY sp.s1, sp.s2""".stripMargin
+
   /** The persisted-postings shape for BM25: ONE scored frame — the
     * corpus-scale tokenize/stem/tf/df/length derivation — shared by the
     * plain ranked entry and the hybrid-RRF fusion entry.
@@ -2130,52 +2192,8 @@ object PipelineQueries {
     // Long headroom guarded (N1·N2·2e6 must fit; the Decimal(38,0) form is
     // the documented beyond-Long-scale swap, as in t_chi_square).
     ("t_source_divergence",
-      (s, d) => {
-        val wc = t(s, d, "documents")
-          .select(col("source"),
-            explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
-          .filter(col("w") =!= "")
-          .groupBy("source", "w").agg(count(lit(1)).as("c"))
-        val tot = wc.groupBy("source").agg(sum(col("c")).as("n"))
-        val wcn = wc.join(broadcast(tot), Seq("source"))
-        val a = wcn.select(col("source").as("s1"), col("w"),
-          col("c").as("c1"), col("n").as("n1"))
-        val b = wcn.select(col("source").as("s2"), col("w"),
-          col("c").as("c2"), col("n").as("n2"))
-        val terms = a.join(b, Seq("w")).filter(col("s1") < col("s2"))
-          .groupBy("s1", "s2")
-          .agg(sum(abs(col("c1") * col("n2") - col("c2") * col("n1"))
-            - col("c1") * col("n2") - col("c2") * col("n1")).as("terms"))
-        val spine = tot.select(col("source").as("s1"), col("n").as("n1"))
-          .join(tot.select(col("source").as("s2"), col("n").as("n2")),
-            col("s1") < col("s2"))
-        spine.join(terms, Seq("s1", "s2"), "left")
-          .select(col("s1"), col("s2"), col("n1"), col("n2"),
-            graft.ops.Bounded.guard(
-              expr("(2 * n1 * n2 + coalesce(terms, 0)) * 1000000 div (2 * n1 * n2)"),
-              col("n1") * col("n2") <= lit(Long.MaxValue / 2000000L),
-              "t_source_divergence: token counts beyond the x1e6 Long " +
-                "headroom — switch the TVD sum to Decimal(38,0) at this scale")
-              .as("tvd_micro"))
-          .orderBy("s1", "s2")
-      },
-      """WITH wc AS (SELECT source, w, COUNT(*) AS c
-        |            FROM (SELECT source, unnest(string_split(text, ' ')) AS w
-        |                  FROM documents) WHERE w <> '' GROUP BY 1, 2),
-        |  tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM wc GROUP BY 1),
-        |  wcn AS (SELECT wc.source, w, c, n FROM wc JOIN tot USING (source)),
-        |  p AS (SELECT a.source AS s1, b.source AS s2,
-        |               CAST(SUM(ABS(a.c * b.n - b.c * a.n)
-        |                        - a.c * b.n - b.c * a.n) AS BIGINT) AS terms
-        |        FROM wcn a JOIN wcn b ON a.w = b.w AND a.source < b.source
-        |        GROUP BY 1, 2),
-        |  spine AS (SELECT a.source AS s1, b.source AS s2, a.n AS n1, b.n AS n2
-        |            FROM tot a JOIN tot b ON a.source < b.source)
-        | SELECT sp.s1, sp.s2, sp.n1, sp.n2,
-        |        CAST((2 * n1 * n2 + COALESCE(p.terms, 0)) * 1000000
-        |             // (2 * n1 * n2) AS BIGINT) AS tvd_micro
-        | FROM spine sp LEFT JOIN p ON p.s1 = sp.s1 AND p.s2 = sp.s2
-        | ORDER BY sp.s1, sp.s2""".stripMargin),
+      (s, d) => tvdFromWordCounts(sourceWordCounts(t(s, d, "documents"))),
+      SourceTvdSql),
 
     // ---- MAD outlier flags (robust anomaly detection) --------------------
     // per-source median absolute deviation on n_chars: dev = |x − median|,

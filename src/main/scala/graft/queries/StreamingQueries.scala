@@ -1129,6 +1129,31 @@ object StreamingQueries {
         .orderBy("purchase_id", "click_id"),
       TemporalQueries.IntervalJoinSql),
 
+    // ---- streaming source-drift TVD (28th twin) ---------------------------
+    // t_source_divergence's INPUTS are mergeable: per-(source, word) token
+    // counts are plain sums, so a streaming groupBy-count in complete mode
+    // converges to the batch word-count table exactly (vocab×sources
+    // state, bounded by the vocabulary — never stream length), and the
+    // TVD identity computed from the converged state must hash-match the
+    // direct whole-corpus oracle. The production shape for "domain drift
+    // over an unbounded feed": constant state, distances readable at any
+    // batch boundary.
+    ("stream_source_divergence",
+      (s, d) => {
+        val sunk = replayLinked(s, stagedDocs(s, d), "complete", parts = 0) { st =>
+          PipelineQueries.sourceWordCounts(st)
+        }
+        // guarded driver pin of the vocab-bounded state: (a) makes the
+        // bounded-summary claim executable, (b) detaches the frame from
+        // the MemoryPlan — Spark cannot dedup attributes when a memory
+        // sink table self-joins (INTERNAL_ERROR "conflicting references"),
+        // and the TVD tail joins wc with itself
+        val wc = pinBoundedStore(s, sunk, 1L << 20,
+          "stream_source_divergence: word-count state")
+        PipelineQueries.tvdFromWordCounts(wc)
+      },
+      PipelineQueries.SourceTvdSql),
+
     // ---- streaming SCD2 enrichment (27th twin) ----------------------------
     // the slowly-changing-dimension read path IN the stream: each fact
     // micro-batch picks the dimension version valid AT its own version
