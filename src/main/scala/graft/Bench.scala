@@ -489,6 +489,7 @@ object Bench {
         val omap = new com.fasterxml.jackson.databind.ObjectMapper()
         val hist = scala.collection.mutable.Map.empty[String, List[Double]]
         val histRaw = scala.collection.mutable.Map.empty[String, List[Double]]
+        val histCals = scala.collection.mutable.ListBuffer.empty[Double]
         for (f <- histDir.listFiles().filter(_.getName.endsWith(".json")).sortBy(_.getName)) {
           try {
             val root = omap.readTree(java.nio.file.Files.readAllBytes(f.toPath))
@@ -496,6 +497,7 @@ object Bench {
             val sfOk = Option(root.get("sf")).exists(_.asText() == sfDir)
             val q = root.get("queries")
             if (sfOk && cal > 0 && q != null) {
+              histCals += cal
               val it = q.fields()
               while (it.hasNext) {
                 val e = it.next(); val v = e.getValue.asDouble()
@@ -554,11 +556,23 @@ object Bench {
                   case None => true // child errored on it: keep (conservative)
                 }
               }
-              def withIso(f: (String, Double, Double, Double)): String =
+              // SUSTAINED-contention marker (r12 close forensics): the
+              // isolated rerun refutes bursty contention, but contention
+              // spanning the rerun itself defeats it — a kept flag whose
+              // isolated calibration sits far above the quietest recorded
+              // run's means the box was loaded end-to-end, and an idle-box
+              // rerun measured such a "reproduced" flag at historical
+              // level. The flag stays (never silently dropped) but carries
+              // the marker so readers adjudicate with a later idle rerun.
+              val contended = histCals.nonEmpty && isoCal > 1.5 * histCals.min
+              def withIso(f: (String, Double, Double, Double),
+                          mark: Boolean): String =
                 flagJson(f, isoOf(f._1).toSeq.map(is =>
-                  s""""isolated":${jnum(is)},"isolated_calibration":${jnum(isoCal)}"""))
-              phantomFlags = refuted.map(withIso).mkString("{", ",", "}")
-              kept.map(withIso).mkString("{", ",", "}")
+                  s""""isolated":${jnum(is)},"isolated_calibration":${jnum(isoCal)}""") ++
+                  (if (mark && contended) Seq(""""contended":true""") else Nil))
+              phantomFlags = refuted.map(withIso(_, mark = false))
+                .mkString("{", ",", "}")
+              kept.map(withIso(_, mark = true)).mkString("{", ",", "}")
           }
         }
       }
