@@ -1204,6 +1204,23 @@ object ScaleProbe {
         }
       }
     }
+    if (enabled("sourceTvd")) {
+      // half-exact-copy corpus (duplicate mass drives shared-word counts):
+      // the word self-join's per-word fan-out is bounded by #sources², so
+      // wall must track the token scan — linear in rows at fixed sources
+      val baseD = spark.read.parquet(s"$sfDir/documents.parquet")
+        .repartition(spark.sparkContext.defaultParallelism)
+      val dStride = baseD.agg(max(col("doc_id"))).head.getLong(0) + 1L
+      val docs = (0 until mult).map { k =>
+        val shifted = baseD.withColumn("doc_id", col("doc_id") + lit(k.toLong * dStride))
+        if (k % 2 == 1) shifted.withColumn("text", concat(col("text"), lit(s" copyv$k")))
+        else shifted
+      }.reduce(_ union _)
+      timed("sourceTvd (190 pairs)") {
+        graft.queries.PipelineQueries.tvdFromWordCounts(
+          graft.queries.PipelineQueries.sourceWordCounts(docs)).count()
+      }
+    }
     if (enabled("kTruss")) {
       // triangle-chain successor graph over fresh keys x mult (every vertex
       // in 2 path + 1 skip triangle): constant degree, so wedge volume and

@@ -422,7 +422,7 @@ object PipelineQueries {
     * additivity argument on words), which is what lets the streaming twin
     * meet the batch oracle.
     */
-  private[queries] def sourceWordCounts(docs: DataFrame): DataFrame =
+  private[graft] def sourceWordCounts(docs: DataFrame): DataFrame =
     docs.select(col("source"),
         explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
       .filter(col("w") =!= "")
@@ -431,7 +431,7 @@ object PipelineQueries {
   /** Pairwise total-variation distance from a word-count frame — see the
     * t_source_divergence entry comment for the inner-join-only identity.
     */
-  private[queries] def tvdFromWordCounts(wc: DataFrame): DataFrame = {
+  private[graft] def tvdFromWordCounts(wc: DataFrame): DataFrame = {
     val tot = wc.groupBy("source").agg(sum(col("c")).as("n"))
     val wcn = wc.join(broadcast(tot), Seq("source"))
     val a = wcn.select(col("source").as("s1"), col("w"),
