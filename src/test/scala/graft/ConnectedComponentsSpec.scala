@@ -306,6 +306,17 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(graft.ops.GraphTraversal.kTruss(edges, k = 4).count() == 0)
   }
 
+  test("kTruss: fails fast at maxIter instead of silently spinning") {
+    // the shared-edge fixture needs 2 peel waves for k=4; maxIter=1 must
+    // throw with the remedy in the message (the kCore discipline)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (3L, 4L), (5L, 6L))
+      .toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      graft.ops.GraphTraversal.kTruss(edges, k = 4, maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("maxIter"))
+  }
+
   test("kTruss: K5 survives 5-truss intact with support 3 per edge") {
     val edges = (for (a <- 1 to 5; b <- (a + 1) to 5) yield (a.toLong, b.toLong))
       .toDF("src", "dst")

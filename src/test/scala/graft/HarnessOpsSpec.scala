@@ -51,6 +51,22 @@ class HarnessOpsSpec extends AnyFunSuite {
       spark.conf.get(fresh) != "0")
   }
 
+  test("SessionConf: a THROWING conf.set restores applied keys and releases the latch") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    // spark.sql.warehouse.dir is static: setting it on a live session
+    // throws INSIDE the set loop, after the first key already applied
+    intercept[Exception] {
+      graft.ops.SessionConf.scoped(spark,
+        key -> "11", "spark.sql.warehouse.dir" -> "/tmp/nope")(())
+    }
+    assert(spark.conf.get(key) == before,
+      "a key applied before the throwing set leaked")
+    // the latch must be free — before the fix this session was permanently
+    // locked out of every future scope
+    graft.ops.SessionConf.withShufflePartitions(spark, 6)(())
+  }
+
   test("parseY4m returns None (never throws) on a hostile oversized header") {
     // declared W·H overflows Int when multiplied by the plane count; the
     // frame walk must reject it as undecodable, not throw on copyOfRange
