@@ -155,28 +155,19 @@ object PlanDump {
     // grained quantiles: grain×node enumeration rides a broadcast BNLJ
     // (bounded frames); grid joins broadcast; never a Cartesian
     "a15_grouped_quantiles" -> (Seq("BroadcastHashJoin"), Seq("CartesianProduct")),
-    // Q2: the derived catalog joins its own per-part min (SMJ at scale,
-    // equi-keyed) and the region/part dims broadcast — Cartesian never
-    "q2_min_cost_supplier" -> (Seq("Join"), Seq("CartesianProduct")),
     // Q9: three pure broadcast dims + the orders equi-join, one fact scan
     "q9_product_profit" -> (Seq("BroadcastHashJoin"), Seq("CartesianProduct")),
-    // Q11: the 0.1%-of-total threshold is a 1-row broadcast BNLJ; the
-    // nation-supplier semi stays a broadcast hash
-    "q11_important_values" -> (Seq("BroadcastNestedLoopJoin", "BroadcastHashJoin"),
-      Seq("CartesianProduct")),
     // Q12/Q13: fact⋈fact equi-joins — broadcast at audit SF, SMJ at
     // scale; only a Cartesian would be a plan bug
     "q12_priority_split" -> (Seq("Join"), Seq("CartesianProduct")),
     "q13_custdist" -> (Seq("Join"), Seq("CartesianProduct")),
-    // (q15_top_supplier is NOT pinned here: its single-fact-scan property
-    // is asserted IN the entry against the executed plan — the returned
-    // frame is the bounded collected result, which carries no joins)
+    // (q2/q11/q15/q20 are NOT pinned here: their single-fact-scan diamond
+    // property — zero fact rescans, ≥1 cache read, no Cartesian — is
+    // asserted IN the entry against the EXECUTED plan via pinnedDiamond;
+    // the returned frames are bounded collected results with no joins)
     // Q16: part dim + complaints anti-join both broadcast
     "q16_supplier_counts" -> (Seq("BroadcastHashJoin"),
       Seq("SortMergeJoin", "CartesianProduct")),
-    // Q20: part-class semi broadcast; the per-part rollup join is
-    // equi-keyed (key-local at scale)
-    "q20_dominant_suppliers" -> (Seq("BroadcastHashJoin"), Seq("CartesianProduct")),
     // TVD: the word self-join is equi-keyed; the 190-pair spine is a
     // bounded non-equi broadcast BNLJ — never a Cartesian
     "t_source_divergence" -> (Seq("Join"), Seq("CartesianProduct")))

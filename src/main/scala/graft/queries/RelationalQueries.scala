@@ -44,6 +44,53 @@ object RelationalQueries {
   private def moneySum(c: org.apache.spark.sql.Column) =
     sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** Execute-and-pin a bounded DIAMOND query — the single-fact-scan
+    * discipline for aggregates consumed by two branches (a per-group
+    * aggregate probed against its own global max/threshold/rollup). AQE
+    * stage reuse serves only the minimal shapes (measured: the 3rd join
+    * defeats it — PLANS.md), so the property is pinned the robust way:
+    * `shared` (the small derived frame both branches read) is persisted,
+    * `top` (bounded by the caller's argument, enforced via `maxRows`)
+    * executes and is collected, and the EXECUTED tree — walking into
+    * adaptive plans and query stages — must contain ZERO `factName` file
+    * scans (the only fact read happened once, at cache fill), ≥ 1 cache
+    * read, and no Cartesian product. Rows come back re-parallelized; the
+    * cache is dropped in finally.
+    */
+  private[queries] def pinnedDiamond(s: SparkSession, shared: DataFrame,
+      top: DataFrame, factName: String, maxRows: Long,
+      what: String): DataFrame = {
+    shared.persist()
+    try {
+      val rows = top.collect()
+      require(rows.length <= maxRows,
+        s"$what: diamond result has ${rows.length} rows, beyond the " +
+          s"bounded-output cap $maxRows — refusing the driver-side pin")
+      def walk(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] = Seq(p) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case _ => p.children.flatMap(walk)
+      })
+      val nodes = walk(top.queryExecution.executedPlan)
+      val factScans = nodes.count {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains(factName))
+        case _ => false
+      }
+      val cacheReads = nodes.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
+      val cartesians = nodes.count(_.getClass.getSimpleName.contains("CartesianProduct"))
+      require(factScans == 0 && cacheReads >= 1 && cartesians == 0,
+        s"$what: a consumer bypassed the persisted diamond frame " +
+          s"($factName scans=$factScans, cache reads=$cacheReads, " +
+          s"cartesians=$cartesians) — the fact would scan twice")
+      s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq), top.schema)
+    } finally shared.unpersist()
+  }
+
   /** The g_copurchase_pairs core (distinct basket-item pairs, basket-DEPTH
     * cap applied BEFORE pairing, support count + threshold) — shared with
     * ScaleProbe so the probe measures the exact registry operator.
@@ -2749,17 +2796,24 @@ object RelationalQueries {
         val parts = t(s, d, "part")
           .filter(col("p_size") <= 5 && col("p_type") === "LARGE")
           .select(col("p_partkey"), col("p_name"))
+        // offered feeds BOTH the per-part min and the equality probe — a
+        // diamond over the catalog's fact-scale groupBy (measured: planned
+        // as TWO lineitem scans without the pin); offered itself is tiny
+        // (qualifying parts × region suppliers)
         val offered = catalog
           .join(broadcast(eur), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
         val minCost = offered.groupBy(col("p_partkey").as("mk"))
           .agg(min(col("cost_c2")).as("min_c2"))
-        offered.join(minCost,
+        val top = offered.join(minCost,
             col("p_partkey") === col("mk") && col("cost_c2") === col("min_c2"))
           .select(col("acct_c2"), col("s_name"), col("n_name"),
             col("p_partkey"), col("p_name"), col("cost_c2"))
           .orderBy(desc("acct_c2"), col("s_name"), col("p_partkey"))
           .limit(100)
+        pinnedDiamond(s, offered, top, "lineitem", maxRows = 100,
+            "q2_min_cost_supplier")
+          .orderBy(desc("acct_c2"), col("s_name"), col("p_partkey"))
       },
       """WITH catalog AS (SELECT l_partkey, l_suppkey,
         |          MIN(CAST(round(l_extendedprice*100) AS BIGINT)) AS cost_c2
@@ -2840,6 +2894,11 @@ object RelationalQueries {
           .join(broadcast(t(s, d, "nation").filter(col("n_name") === "NATION_4")),
             col("s_nationkey") === col("n_nationkey"))
           .select(col("s_suppkey"))
+        // vals feeds BOTH the 0.1% threshold and the filter — a diamond
+        // over the fact-scale groupBy (measured: TWO lineitem scans
+        // without the pin); output is < 1000 rows BY CONSTRUCTION (each
+        // kept part's value exceeds total/1000, and the values sum to
+        // total), so the driver pin is safe at any scale
         val vals = t(s, d, "lineitem")
           .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"),
             "left_semi")
@@ -2847,9 +2906,11 @@ object RelationalQueries {
           .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
             .as("value_c2"))
         val thr = vals.agg((sum(col("value_c2")) / 1000L).cast("long").as("thr"))
-        vals.join(broadcast(thr))
+        val top = vals.join(broadcast(thr))
           .filter(col("value_c2") > col("thr"))
           .select(col("p_partkey"), col("value_c2"))
+        pinnedDiamond(s, vals, top, "lineitem", maxRows = 2000,
+            "q11_important_values")
           .orderBy(desc("value_c2"), col("p_partkey"))
       },
       """WITH vals AS (SELECT l_partkey AS p_partkey,
@@ -2946,44 +3007,15 @@ object RelationalQueries {
           .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
             (lit(100L) - round(col("l_discount") * 100).cast("long")))
             .as("total_c4"))
-        rev.persist()
-        try {
-          val mx = rev.agg(max(col("total_c4")).as("mx"))
-          val top = rev.join(broadcast(mx)).filter(col("total_c4") === col("mx"))
-            .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
-              col("l_suppkey") === col("s_suppkey"))
-            .select(col("s_suppkey"), col("s_name"), col("total_c4"))
-          // bounded collect: only max-revenue ties survive the equality probe
-          val rows = top.collect()
-          // the single-fact-scan property, asserted on the executed TREE
-          // (toString line-counting double-counts across AQE's final+initial
-          // plan prints and elides materialized broadcast stages): walking
-          // into adaptive plans and query stages, the query must contain
-          // ZERO lineitem file scans — the only lineitem read happened once,
-          // at cache fill — and at least one cache read
-          def walk(p: org.apache.spark.sql.execution.SparkPlan):
-              Seq[org.apache.spark.sql.execution.SparkPlan] = Seq(p) ++ (p match {
-            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-              walk(a.executedPlan)
-            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-              walk(q.plan)
-            case _ => p.children.flatMap(walk)
-          })
-          val nodes = walk(top.queryExecution.executedPlan)
-          val factScans = nodes.count {
-            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-              f.relation.location.rootPaths.exists(_.toString.contains("lineitem"))
-            case _ => false
-          }
-          val cacheReads = nodes.count(
-            _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
-          require(factScans == 0 && cacheReads >= 1,
-            s"q15_top_supplier: a consumer bypassed the persisted revenue " +
-              s"aggregate (lineitem scans=$factScans, cache reads=$cacheReads) " +
-              "— the fact would scan twice")
-          s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq), top.schema)
-            .orderBy("s_suppkey")
-        } finally rev.unpersist()
+        val mx = rev.agg(max(col("total_c4")).as("mx"))
+        val top = rev.join(broadcast(mx)).filter(col("total_c4") === col("mx"))
+          .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_c4"))
+        // bounded: only max-revenue ties survive the equality probe
+        pinnedDiamond(s, rev, top, "lineitem", maxRows = 10000,
+            "q15_top_supplier")
+          .orderBy("s_suppkey")
       },
       """WITH rev AS (SELECT l_suppkey,
         |         CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) *
@@ -3040,6 +3072,10 @@ object RelationalQueries {
     // then one DISTINCT supplier set semi-joins the dim. No fact rescan.
     ("q20_dominant_suppliers",
       (s, d) => {
+        // qty99 feeds BOTH its own per-part rollup and the share filter —
+        // a diamond over the filtered fact groupBy (measured: TWO lineitem
+        // scans without the pin); output ≤ one dominant supplier per
+        // SMALL part (">half" is unique per part), a dim-sized set
         val qty99 = t(s, d, "lineitem")
           .filter(col("l_shipdate") >= lit("1999-01-01") &&
             col("l_shipdate") < lit("2000-01-01"))
@@ -3053,10 +3089,12 @@ object RelationalQueries {
         val dominant = qty99.join(tot, col("l_partkey") === col("pk"))
           .filter(col("sq") * 2 > col("pt"))
           .select(col("l_suppkey")).distinct()
-        t(s, d, "supplier")
+        val top = t(s, d, "supplier")
           .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
           .select(col("s_name"),
             round(col("s_acctbal") * 100).cast("long").as("acct_c2"))
+        pinnedDiamond(s, qty99, top, "lineitem", maxRows = 1L << 20,
+            "q20_dominant_suppliers")
           .orderBy("s_name")
       },
       """WITH qty99 AS (SELECT l_partkey, l_suppkey,
