@@ -83,7 +83,13 @@ object RelationalQueries {
       val cacheReads = nodes.count(
         _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
       val cartesians = nodes.count(_.getClass.getSimpleName.contains("CartesianProduct"))
-      require(factScans == 0 && cacheReads >= 1 && cartesians == 0,
+      // AQE's empty-relation propagation can collapse the WHOLE tree to
+      // EmptyRelationExec when the shared frame is provably empty (tiny
+      // fixtures) — nothing scanned at all is as single-scan as it gets
+      val provedEmpty =
+        nodes.exists(_.getClass.getSimpleName.contains("EmptyRelation"))
+      require(factScans == 0 && cartesians == 0 &&
+          (cacheReads >= 1 || provedEmpty),
         s"$what: a consumer bypassed the persisted diamond frame " +
           s"($factName scans=$factScans, cache reads=$cacheReads, " +
           s"cartesians=$cartesians) — the fact would scan twice")

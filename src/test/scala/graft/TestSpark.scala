@@ -7,7 +7,7 @@ object TestSpark {
   lazy val spark: SparkSession = {
     val wh = java.nio.file.Files.createTempDirectory("graft-warehouse")
     System.setProperty("derby.system.home", wh.toString)
-    SparkSession.builder()
+    val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
@@ -16,6 +16,12 @@ object TestSpark {
       .config("spark.sql.warehouse.dir", wh.resolve("warehouse").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // registered HERE, not left to whichever suite happens to run first:
+    // SparkEntrySpec runs every registry entry, several of which resolve
+    // native functions by name (top_k, jaro_winkler, x2's SQL surface) —
+    // suite-order-dependent registration made that spec flaky
+    graft.functions.GraftExtensions.register(s)
+    s
   }
 
   /** Absolute path of the OWL fixture directory on the test classpath. */
