@@ -33,9 +33,10 @@ object EntityResolution {
     * window rode the join's existing hash partitioning and JW scoring
     * dominates — but it validated a property of the linear input on the
     * quadratic pair table, and a detonating block would finish exploding
-    * before tripping. The sizes frame is block-key cardinality; the
-    * planner broadcasts it when small, and even shuffled it joins the
-    * input, never the pairs.)
+    * before tripping. The sizes frame is block-key cardinality — tiny by
+    * construction — so it carries an explicit `broadcast()` hint: the
+    * post-aggregate stats otherwise made the planner shuffle the probe
+    * side a second time, a measured 1.6× wall regression at bench SF.)
     */
   def blockedNamePairs(df: DataFrame, blockCols: Seq[String], keyCol: String,
                        nameCol: String, minSim: Double,
@@ -50,7 +51,7 @@ object EntityResolution {
       case Some(max) =>
         val sizes = df.groupBy(blockCols.map(col): _*)
           .agg(count(lit(1)).as("__er_n"))
-        a.join(sizes, blockCols)
+        a.join(broadcast(sizes), blockCols)
           .withColumn("key_a", Bounded.guard(col("key_a"), col("__er_n") <= max,
             s"blockedNamePairs: a block exceeds maxBlockRows=$max rows " +
               "— re-block or pre-split the key"))
