@@ -122,7 +122,8 @@ object Bench {
 
   private def runChildBench(classpath: String, cwd: java.io.File, abSf: String,
                             cpus: String,
-                            onlyQueries: Seq[String] = Nil): Either[String, LegTimes] = {
+                            onlyQueries: Seq[String] = Nil,
+                            extraEnv: Map[String, String] = Map.empty): Either[String, LegTimes] = {
     val benchOut = java.io.File.createTempFile("bench_ab_", ".json")
     benchOut.deleteOnExit()
     val javaBin = new java.io.File(new java.io.File(sys.props("java.home"), "bin"), "java").getPath
@@ -137,7 +138,7 @@ object Bench {
       "SPARK_GRAFT_AB" -> "0",
       // child batteries never adjudicate their own flags — the parent's
       // A/B legs and isolated reruns must stay leaf processes
-      "SPARK_GRAFT_FLAG_RERUN" -> "0"), 900).flatMap { _ =>
+      "SPARK_GRAFT_FLAG_RERUN" -> "0") ++ extraEnv, 900).flatMap { _ =>
       if (!benchOut.isFile || benchOut.length() == 0) Left("child bench wrote no output")
       else {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -386,6 +387,14 @@ object Bench {
         .map(k => jstr(k) + ":" + observed.get(k)) ++ degraded
       (name, elapsed, execSec, err, metrics)
     }
+    // Untimed warm pass (env-gated; set by the parent's isolated
+    // flag-rerun): execute every selected entry once before the timed
+    // battery, so the timed numbers measure the same warm shape the
+    // full-battery history medians did — see the flag-rerun call site.
+    if (sys.env.getOrElse("SPARK_GRAFT_WARM_PASS", "0") == "1")
+      for ((_, fn) <- selected.toSeq.sortBy(_._1))
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () } // the timed battery reports it
     val results = runBattery(sfDir)
     // box-speed constant + same-session prior-commit A/B (see scaladocs):
     // the calibration always runs; the A/B runs unless disabled
@@ -405,21 +414,43 @@ object Bench {
       runAb(abSf, cpus) match {
         case Left(msg) => s"""{"error":${jstr(msg)}}"""
         case Right(ab) =>
-          // headline = MEDIAN of the pair ratios; sums of per-query medians
-          // keep the current/prior fields comparable with earlier rounds
           val c = ab.perQuery.map(_._2).sum
           val p = ab.perQuery.map(_._3).sum
-          val med = median(ab.pairRatios)
           def j(d: Double) = if (java.lang.Double.isFinite(d)) jnum(d) else "null"
           abPerQueryJson = ab.perQuery.map { case (q, cm, pm) =>
             jstr(q) + s":[${jnum(cm)},${jnum(pm)}]"
           }.mkString("{", ",", "}")
+          // HEADLINE = median of PER-QUERY ratios (median-over-legs current
+          // / median-over-legs prior, per common query above a jitter
+          // floor), not the median of whole-battery pair-sum ratios: a
+          // pair-sum ratio is one sample of the box's battery-scale drift
+          // (r12 close: 3 pairs spread [1.008, 1.363] — a ±35% band that
+          // can hide a 1.7x single-query regression AND a real 0.92x win),
+          // while ~300 per-query ratios give the median an order-statistic
+          // 95% CI of ±~1.7 rank percentiles. `ratio_spread` is that
+          // binomial CI (ranks n/2 ± 1.96·√n/2) — the spread now BOUNDS
+          // the headline instead of describing noise around it. Pair-sum
+          // ratios stay in `pairs` for continuity with earlier rounds.
+          val qRatios = ab.perQuery.collect {
+            case (_, cmv, pmv) if pmv > 0.3 && cmv >= 0 => cmv / pmv
+          }.sorted
+          val n = qRatios.size
+          val qMed = median(qRatios)
+          val (qLo, qHi) =
+            if (n >= 8) {
+              val half = 1.96 * math.sqrt(n.toDouble) / 2
+              (qRatios(math.max(0, ((n - 1) / 2.0 - half).floor.toInt)),
+               qRatios(math.min(n - 1, ((n - 1) / 2.0 + half).ceil.toInt)))
+            } else (if (n > 0) qRatios.head else Double.NaN,
+                    if (n > 0) qRatios.last else Double.NaN)
+          val pairMed = median(ab.pairRatios)
           s"""{"sf":${jstr(abSf)},"prior_ref":${jstr(ab.sha)},"common":${ab.perQuery.size},""" +
             s""""mode":${jstr(ab.mode)},""" +
+            s""""ratio_mode":"median-of-per-query-ratios","ratio_n":$n,""" +
             s""""pairs":[${ab.pairRatios.map(jnum).mkString(",")}],""" +
-            s""""spread":[${j(if (ab.pairRatios.isEmpty) Double.NaN else ab.pairRatios.min)},""" +
-            s"""${j(if (ab.pairRatios.isEmpty) Double.NaN else ab.pairRatios.max)}],""" +
-            s""""current":${jnum(c)},"prior_commit":${jnum(p)},"ratio":${j(med)}}"""
+            s""""pair_ratio":${j(pairMed)},""" +
+            s""""spread":[${j(qLo)},${j(qHi)}],""" +
+            s""""current":${jnum(c)},"prior_commit":${jnum(p)},"ratio":${j(qMed)}}"""
       }
     }
     // failed queries are reported with negative elapsed time AND in an errors
@@ -540,8 +571,24 @@ object Bench {
             .mkString("{", ",", "}")
         else {
           val repoDir = new java.io.File(".").getCanonicalFile
-          val cp = s"${repoDir.getPath}/target/scala-2.13/classes:/opt/spark/jars/*"
-          runChildBench(cp, repoDir, sfDir, cpus, prelim.map(_._1).toSeq) match {
+          // sbt-layout classes dir when present; java.class.path as the
+          // fallback so a changed build layout degrades to a best-effort
+          // rerun instead of every flag silently carrying isolated_error
+          // (under `sbt runMain` the fallback is the launcher jar and the
+          // child will fail visibly — still recorded, never silent)
+          val clsDir = new java.io.File(repoDir, "target/scala-2.13/classes")
+          val cp = if (clsDir.isDirectory) s"${clsDir.getPath}:/opt/spark/jars/*"
+                   else sys.props("java.class.path")
+          // SPARK_GRAFT_WARM_PASS: the child executes the flagged entries
+          // once UNTIMED before its timed battery — a full battery
+          // amortizes first-use materialization of cross-entry caches
+          // (staged replay dirs, louvain L1, BM25 postings) onto earlier
+          // entries, so history medians are warm numbers; without the
+          // warm pass an --only rerun pays materialization inside the
+          // flagged entry's own window and is biased toward CONFIRMING
+          // flags that are actually phantom.
+          runChildBench(cp, repoDir, sfDir, cpus, prelim.map(_._1).toSeq,
+              extraEnv = Map("SPARK_GRAFT_WARM_PASS" -> "1")) match {
             case Left(msg) => // unverifiable: keep every flag, say why
               prelim.map(flagJson(_,
                   Seq(s""""isolated_error":${jstr(msg.take(200))}""")))

@@ -726,7 +726,18 @@ object GraphTraversal {
     val integral = Set[org.apache.spark.sql.types.DataType](
       org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
       org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
-    if (integral.contains(eCaller.schema("src").dataType) || !encodeKeys)
+    // the encode decision must read BOTH endpoint types: deciding from src
+    // alone sent a mixed (integral src, string dst) table down the
+    // no-encode path, failing rounds later with an opaque cast/join error
+    // (review finding, round 12) — fail fast with the real problem instead
+    val (srcInt, dstInt) = (integral.contains(eCaller.schema("src").dataType),
+      integral.contains(eCaller.schema("dst").dataType))
+    require(srcInt == dstInt,
+      s"louvainLevel: src/dst types disagree ($srcCol: " +
+        s"${eCaller.schema("src").dataType.simpleString}, $dstCol: " +
+        s"${eCaller.schema("dst").dataType.simpleString}) — both endpoints " +
+        "must be integral, or both non-integral (dictionary-encoded)")
+    if (srcInt || !encodeKeys)
       return louvainRounds(eCaller, rounds, cp)
     val eRaw = cp(eCaller.distinct())
     val keys = eRaw.select(col("src").as("id"))
@@ -846,6 +857,42 @@ object GraphTraversal {
       .select(least(col("__ca"), col("__cb")).as("a"),
         greatest(col("__ca"), col("__cb")).as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("w"))
+
+  /** Leiden refinement of a community assignment (Traag, Waltman & van
+    * Eck 2019, "From Louvain to Leiden"): split every community into the
+    * CONNECTED COMPONENTS of its induced subgraph. Louvain's gain moves
+    * famously leave internally-disconnected communities behind (a bridge
+    * vertex moves away and strands the two halves it connected); Leiden's
+    * fix is this refinement pass between levels — the contracted graph
+    * then aggregates connected sub-communities only, and the final
+    * assignment is guaranteed internally connected. Splitting a
+    * disconnected community strictly IMPROVES modularity: with zero edges
+    * between the parts, ΔQ·4m² = 2·D₁·D₂ > 0, so refinement never costs
+    * quality.
+    *
+    * `und` is the undirected-distinct edge table (`a`, `b`); `labels` is
+    * (`id`, `community`). Refined community id = min vertex id of the
+    * component (the [[ConnectedComponents]] labeling), so ids stay vertex
+    * ids — directly contractable by [[louvainContract]]. Vertices with no
+    * intra-community edge become singletons (their own id).
+    *
+    * Scale shape: two vertex-sized equi-joins to scope edges to their
+    * community (intra edges never cross communities, so one global CC run
+    * labels all communities at once — no per-community orchestration) +
+    * the CC star-contraction rounds (O(log² n), edge-scale shuffles,
+    * lineage truncated via `cp`).
+    */
+  def leidenRefine(und: DataFrame, labels: DataFrame,
+                   cp: Checkpointer = Checkpointer.Auto): DataFrame = {
+    val intra = und
+      .join(labels.select(col("id").as("a"), col("community").as("__ca")), Seq("a"))
+      .join(labels.select(col("id").as("b"), col("community").as("__cb")), Seq("b"))
+      .filter(col("__ca") === col("__cb"))
+      .select(col("a"), col("b"))
+    ConnectedComponents.components(intra, "a", "b",
+        vertices = Some(labels.select(col("id"))), idCol = "id", cp = cp)
+      .select(col("id"), col("component").as("community"))
+  }
 
   /** Strongly connected components of a DIRECTED graph — the structure
     * [[ConnectedComponents]] (undirected) cannot see: a citation ring, a

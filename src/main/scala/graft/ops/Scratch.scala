@@ -60,7 +60,14 @@ object Scratch {
         while (it.hasNext) {
           val p = it.next()
           val name = p.getFileName.toString
-          if (name.startsWith("graft-") && Files.isDirectory(p)) {
+          // staging dirs live milliseconds (create → lock → rename); one
+          // surviving an hour means its JVM died inside that window
+          if (name.startsWith("tmp-unlocked-") && Files.isDirectory(p)) {
+            try {
+              if (now - Files.getLastModifiedTime(p).toMillis > 3600L * 1000)
+                org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+            } catch { case _: Throwable => () }
+          } else if (name.startsWith("graft-") && Files.isDirectory(p)) {
             try {
               val lockFile = p.resolve(".lock")
               if (Files.isRegularFile(lockFile)) {
@@ -108,10 +115,20 @@ object Scratch {
   private def mkRoot(base: Path):
       (Path, (java.nio.channels.FileChannel, java.nio.channels.FileLock)) = {
     sweepStale(base)
-    val r = Files.createTempDirectory(base, "graft-jvm-")
-    val ch = java.nio.channels.FileChannel.open(r.resolve(".lock"),
+    // Stage under a name the sweep IGNORES ("graft" prefix absent), take
+    // the liveness lock, and only then rename into the swept namespace:
+    // creating dir + .lock directly as graft-jvm-* left a window before
+    // ch.lock() in which a sibling JVM's sweepStale could tryLock the
+    // not-yet-locked file and delete the LIVE root — the exact mid-run
+    // deletion this protocol exists to prevent. The FileLock rides the
+    // open channel (inode), so the rename does not release it.
+    val staging = Files.createTempDirectory(base, "tmp-unlocked-")
+    val ch = java.nio.channels.FileChannel.open(staging.resolve(".lock"),
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
-    val lk = (ch, ch.lock()) // pinned until process death — liveness marker
+    val lk = try (ch, ch.lock()) // pinned until process death — liveness marker
+    catch { case t: Throwable => ch.close(); throw t }
+    val suffix = staging.getFileName.toString.stripPrefix("tmp-unlocked-")
+    val r = Files.move(staging, base.resolve(s"graft-jvm-$suffix"))
     sys.addShutdownHook(
       try org.apache.commons.io.FileUtils.deleteDirectory(r.toFile)
       catch { case _: Throwable => () })

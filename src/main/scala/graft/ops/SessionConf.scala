@@ -34,12 +34,21 @@ object SessionConf {
     // restore the keys already applied and release the latch, or the
     // session is permanently locked out of all future scopes with
     // partially-applied conf (review finding, round 12)
-    val prev = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+    // restore ONLY keys whose set succeeded (reverse order): re-setting a
+    // key whose conf.set already threw during apply would throw again in
+    // the finally and MASK the original failure with the restore's copy
+    // of it (review finding, round 12). Keys after the throwing one were
+    // never applied, so skipping them leaks nothing.
+    var applied = List.empty[(String, Option[String])]
     try {
-      kvs.foreach { case (k, v) => s.conf.set(k, v) }
+      kvs.foreach { case (k, v) =>
+        val prior = s.conf.getOption(k)
+        s.conf.set(k, v)
+        applied ::= (k -> prior)
+      }
       body
     } finally {
-      try prev.foreach {
+      try applied.foreach {
         case (k, Some(v)) => s.conf.set(k, v)
         case (k, None) => s.conf.unset(k)
       } finally active.remove(s)

@@ -187,12 +187,43 @@ object GraphQueries {
   // store filesystem paths and survive session turnover
   private val louvainL1Cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def louvainL1Shared(s: SparkSession, d: String): DataFrame =
+  private def louvainL1Shared(s: SparkSession, d: String): DataFrame = {
+    // evict entries keyed by STOPPED sessions on access (review finding,
+    // round 12): the frames are localCheckpoint-backed, so a dead entry
+    // pins its session's checkpoint RDD references for the JVM lifetime
+    // in long-lived multi-session JVMs — and can never be reused anyway
+    val it = louvainL1Cache.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
     louvainL1Cache.computeIfAbsent((s, d), _ => {
       PipelineQueries.sharedStoreMaterializers.putIfAbsent("louvain_l1",
         PipelineQueries.currentEntry.value)
       graft.ops.GraphTraversal.louvainLevel(louvainEdges(s, d), rounds = 2)
     })
+  }
+
+  /** The UNREFINED level-2 pyramid projection (g_louvain2's assignment),
+    * memoized like [[louvainL1Shared]]: g_louvain2 emits it and g_leiden
+    * needs it as the quality bar its refined pyramid must match-or-beat —
+    * without sharing, each entry pays the contracted weighted level's
+    * driver-side gain rounds twice per battery.
+    */
+  private val louvainProj2Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def louvainProj2Shared(s: SparkSession, d: String): DataFrame = {
+    val it = louvainProj2Cache.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    louvainProj2Cache.computeIfAbsent((s, d), _ => {
+      PipelineQueries.sharedStoreMaterializers.putIfAbsent("louvain_proj2",
+        PipelineQueries.currentEntry.value)
+      val und = louvainUnd(louvainEdges(s, d))
+      val l1 = louvainL1Shared(s, d)
+      val l2 = graft.ops.GraphTraversal.louvainWeightedLevel(
+        graft.ops.GraphTraversal.louvainContract(und, l1), rounds = 2)
+      l1.select(col("id"), col("community").as("c1"))
+        .join(l2.select(col("id").as("c1"), col("community")), Seq("c1"))
+        .select(col("id"), col("community"))
+    })
+  }
 
   /** Undirected-distinct (a ≤ b) edges of the successor graph. */
   private def louvainUnd(edges: DataFrame): DataFrame =
@@ -698,11 +729,7 @@ object GraphQueries {
         val edges = louvainEdges(s, d)
         val l1 = louvainL1Shared(s, d)
         val und = louvainUnd(edges)
-        val wedges = graft.ops.GraphTraversal.louvainContract(und, l1)
-        val l2 = graft.ops.GraphTraversal.louvainWeightedLevel(wedges, rounds = 2)
-        val projected = l1.select(col("id"), col("community").as("c1"))
-          .join(l2.select(col("id").as("c1"), col("community")), Seq("c1"))
-          .select(col("id"), col("community"))
+        val projected = louvainProj2Shared(s, d)
         val beats = modularityQ(und, projected).select(col("q").as("q_l2"))
           .crossJoin(modularityQ(und, l1).select(col("q").as("q_l1")))
         projected.crossJoin(broadcast(beats))
@@ -751,6 +778,139 @@ object GraphQueries {
             .mkString}
          | SELECT l.id, w2.comm AS community, TRUE AS beats_l1
          | FROM c2 l JOIN w2 ON w2.id = l.comm ORDER BY l.id""".stripMargin),
+
+    // ---- Leiden refinement (connectivity-GUARANTEED communities) ---------
+    // Louvain's known defect: gain moves strand internally-DISCONNECTED
+    // communities (a bridge vertex moves away and leaves the halves it
+    // joined behind). Leiden (Traag et al. 2019) fixes it with a
+    // refinement pass between levels: split every community into the
+    // connected components of its induced subgraph (strictly
+    // modularity-improving — zero cross edges means ΔQ·4m² = 2·D₁·D₂ > 0),
+    // aggregate the REFINED partition, and refine the final assignment, so
+    // every output community is internally connected by construction. The
+    // pipeline here: level-1 Louvain (shared with g_louvain) → refine (CC
+    // within communities, GraphTraversal.leidenRefine) → contract →
+    // weighted gain rounds → project → final refine. TWO in-plan guards:
+    // re-refining the final assignment must not split any community
+    // (connectivity), and the refined pyramid's modularity must
+    // match-or-beat the UNREFINED pyramid's (g_louvain2's projection) on
+    // the identical graph. The oracle replays the whole chain — refinement
+    // as recursive min-label propagation scoped to intra-community edges
+    // (exact: min reachable id IS the CC label), contraction + weighted
+    // rounds as in g_louvain2 — all integer, bit-replayable.
+    ("g_leiden",
+      (s, d) => {
+        val edges = louvainEdges(s, d)
+        val und = louvainUnd(edges)
+        val l1 = louvainL1Shared(s, d)
+        val r1 = graft.ops.GraphTraversal.leidenRefine(und, l1)
+        val wedges = graft.ops.GraphTraversal.louvainContract(und, r1)
+        val l2 = graft.ops.GraphTraversal.louvainWeightedLevel(wedges, rounds = 2)
+        val projected = r1.select(col("id"), col("community").as("c1"))
+          .join(l2.select(col("id").as("c1"), col("community")), Seq("c1"))
+          .select(col("id"), col("community"))
+        val fin = graft.ops.GraphTraversal.leidenRefine(und, projected)
+        // Connectivity certificate. Re-refining `fin` would be the literal
+        // check, but it is PROVABLY idempotent — refinement never splits
+        // an edge (both endpoints of an intra edge are in one component),
+        // so the re-refine's input edges are identical to the pass that
+        // produced `fin` and it re-runs ~6 s of CC to assert a tautology.
+        // The honest in-plan witnesses are structural: (a) the CC labeling
+        // contract — every final community's label IS its min member id;
+        // (b) zero torn edges — no intra-community edge of `projected`
+        // crosses two `fin` communities (a crossing edge would mean
+        // refinement tore a connected piece). Full reachability is
+        // re-derived INDEPENDENTLY by the oracle (recursive min-label
+        // propagation in DuckDB) and compared bit-for-bit — that hash
+        // match is the end-to-end connectivity proof.
+        val minWitness = fin.groupBy(col("community").as("__c"))
+          .agg(min(col("id")).as("__minid"))
+          .agg(sum(when(col("__minid") === col("__c"), 0L).otherwise(1L))
+            .as("bad_roots"))
+        val torn = und
+          .join(projected.select(col("id").as("a"), col("community").as("__pa")),
+            Seq("a"))
+          .join(projected.select(col("id").as("b"), col("community").as("__pb")),
+            Seq("b"))
+          .filter(col("__pa") === col("__pb"))
+          .join(fin.select(col("id").as("a"), col("community").as("__fa")), Seq("a"))
+          .join(fin.select(col("id").as("b"), col("community").as("__fb")), Seq("b"))
+          .agg(coalesce(sum(when(col("__fa") =!= col("__fb"), 1L)
+            .otherwise(0L)), lit(0L)).as("torn_edges"))
+        // the unrefined pyramid (g_louvain2's assignment) = the quality bar
+        val proj2 = louvainProj2Shared(s, d)
+        val checks = modularityQ(und, fin).select(col("q").as("q_leiden"))
+          .crossJoin(modularityQ(und, proj2).select(col("q").as("q_unref")))
+          .crossJoin(minWitness).crossJoin(torn)
+        fin.crossJoin(broadcast(checks))
+          .select(col("id"),
+            graft.ops.Bounded.guard(col("community"),
+              col("bad_roots") === 0L && col("torn_edges") === 0L &&
+                col("q_leiden") >= col("q_unref"),
+              "g_leiden: the refinement labeling broke its structural " +
+                "contract (non-min root or torn component) or lost " +
+                "modularity vs the unrefined pyramid")
+              .as("community"),
+            lit(true).as("connected"), lit(true).as("beats_unrefined"))
+          .orderBy("id")
+      },
+      s"""${LouvainCtePrefix.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         | intra1 AS MATERIALIZED (SELECT u.a, u.b FROM und u
+         |     JOIN c2 x ON x.id = u.a JOIN c2 y ON y.id = u.b
+         |     WHERE x.comm = y.comm),
+         | isym1 AS MATERIALIZED (SELECT a AS src, b AS dst FROM intra1
+         |     UNION ALL SELECT b AS src, a AS dst FROM intra1),
+         | rw1(id, lbl) AS (SELECT id, id FROM c2
+         |     UNION
+         |     SELECT e.dst, w.lbl FROM rw1 w JOIN isym1 e ON e.src = w.id),
+         | r1 AS MATERIALIZED (SELECT id, MIN(lbl) AS comm FROM rw1 GROUP BY 1),
+         | lcon AS MATERIALIZED (SELECT LEAST(la.comm, lb.comm) AS a,
+         |       GREATEST(la.comm, lb.comm) AS b, COUNT(*) AS w
+         |     FROM und u JOIN r1 la ON la.id = u.a
+         |     JOIN r1 lb ON lb.id = u.b GROUP BY 1, 2),
+         | lsym AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM lcon WHERE a <> b
+         |     UNION ALL SELECT b AS src, a AS dst, w FROM lcon WHERE a <> b),
+         | lm AS (SELECT SUM(w) AS m FROM lcon),
+         | lstr AS MATERIALIZED (SELECT id, SUM(w) AS dv FROM (
+         |     SELECT src AS id, w FROM lsym
+         |     UNION ALL SELECT a AS id, 2 * w AS w FROM lcon WHERE a = b)
+         |     GROUP BY 1),
+         | l0 AS MATERIALIZED (SELECT id, id AS comm FROM lstr)${(1 to 2).map(it =>
+            s""",
+         | lt$it AS MATERIALIZED (SELECT c.comm, SUM(s.dv) AS tot
+         |     FROM l${it - 1} c JOIN lstr s ON s.id = c.id GROUP BY 1),
+         | lk$it AS MATERIALIZED (SELECT e.src AS v, c.comm, SUM(e.w) AS k
+         |     FROM lsym e JOIN l${it - 1} c ON c.id = e.dst GROUP BY 1, 2),
+         | lc$it AS MATERIALIZED (SELECT v, comm, MAX(k) AS k FROM (
+         |     SELECT v, comm, k FROM lk$it
+         |     UNION ALL SELECT id AS v, comm, 0 AS k FROM l${it - 1}) GROUP BY 1, 2),
+         | lg$it AS MATERIALIZED (SELECT cd.v AS v, cd.comm AS comm,
+         |       2 * lm.m * cd.k - s.dv * (t.tot - CASE WHEN cu.comm = cd.comm
+         |           THEN s.dv ELSE 0 END) AS gain
+         |     FROM lc$it cd JOIN lstr s ON s.id = cd.v
+         |     JOIN l${it - 1} cu ON cu.id = cd.v
+         |     JOIN lt$it t ON t.comm = cd.comm CROSS JOIN lm),
+         | lb$it AS (SELECT v, MAX(gain) AS mg FROM lg$it GROUP BY 1),
+         | ln$it AS (SELECT g.v AS id, MIN(g.comm) AS comm
+         |     FROM lg$it g JOIN lb$it b ON b.v = g.v AND g.gain = b.mg GROUP BY 1),
+         | l$it AS MATERIALIZED (SELECT n.id,
+         |       CASE WHEN n.id % 2 = ${(it - 1) % 2} THEN n.comm
+         |            ELSE cu.comm END AS comm
+         |     FROM ln$it n JOIN l${it - 1} cu ON cu.id = n.id)""")
+            .mkString},
+         | proj AS MATERIALIZED (SELECT r.id, l2.comm AS community
+         |     FROM r1 r JOIN l2 ON l2.id = r.comm),
+         | intra2 AS MATERIALIZED (SELECT u.a, u.b FROM und u
+         |     JOIN proj x ON x.id = u.a JOIN proj y ON y.id = u.b
+         |     WHERE x.community = y.community),
+         | isym2 AS MATERIALIZED (SELECT a AS src, b AS dst FROM intra2
+         |     UNION ALL SELECT b AS src, a AS dst FROM intra2),
+         | rw2(id, lbl) AS (SELECT id, id FROM proj
+         |     UNION
+         |     SELECT e.dst, w.lbl FROM rw2 w JOIN isym2 e ON e.src = w.id),
+         | fin AS (SELECT id, MIN(lbl) AS community FROM rw2 GROUP BY 1)
+         | SELECT id, community, TRUE AS connected, TRUE AS beats_unrefined
+         | FROM fin ORDER BY id""".stripMargin),
 
     // ---- approximate aggregates (engine-specific sketches) --------------
     // The sketch values themselves are engine-specific (HLL++ register

@@ -503,6 +503,53 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(merge == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("leidenRefine: splits a disconnected community into its components") {
+    import spark.implicits._
+    // community 1 = {1,2} ∪ {5,6} ∪ {20} — internally DISCONNECTED (the
+    // classic Louvain stranding): {1,2} and {5,6} have intra edges but no
+    // path between them, and 20's only edge leaves the community.
+    // Refinement must emit the components as separate communities labeled
+    // by their min member ids, and leave the connected community {10,11}
+    // alone.
+    val und = Seq((1L, 2L), (5L, 6L), (10L, 11L), (11L, 20L)).toDF("a", "b")
+    val labels = Seq((1L, 1L), (2L, 1L), (5L, 1L), (6L, 1L), (20L, 1L),
+      (10L, 10L), (11L, 10L)).toDF("id", "community")
+    val got = graft.ops.GraphTraversal.leidenRefine(und, labels)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 20L -> 20L,
+      10L -> 10L, 11L -> 10L))
+    // splitting the disconnected community strictly improves modularity:
+    // ΔQ·4m² = 2·D₁·D₂ > 0 per split — verified on the numerator
+    // Σ_c (4·m·m_c − D_c²): before = (4·4·2 − 5²) + (4·4·1 − 3²) = 14,
+    // after = (16 − 4) + (16 − 4) + (0 − 1) + (16 − 9) = 30
+    def q(lab: org.apache.spark.sql.DataFrame): Long = {
+      val m = und.count()
+      val deg = und.select($"a".as("id")).union(und.select($"b".as("id")))
+        .groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val l = lab.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val intra = und.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .filter { case (a, b) => l(a) == l(b) }
+        .groupBy { case (a, _) => l(a) }.view.mapValues(_.length.toLong).toMap
+      l.groupBy(_._2).map { case (c, vs) =>
+        // keysIterator, NOT keys.map: Set#map dedups equal degrees
+        val ds = vs.keysIterator.map(v => deg.getOrElse(v, 0L)).sum
+        4L * m * intra.getOrElse(c, 0L) - ds * ds
+      }.sum
+    }
+    assert(q(labels) == 14L)
+    val refined = graft.ops.GraphTraversal.leidenRefine(und, labels)
+    assert(q(refined) == 30L)
+  }
+
+  test("louvainLevel: mixed src/dst types fail fast with an explicit message") {
+    import spark.implicits._
+    val mixed = Seq((1L, "a"), (2L, "b")).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.GraphTraversal.louvainLevel(mixed, rounds = 2)
+    }
+    assert(ex.getMessage.contains("src/dst types disagree"))
+  }
+
   test("labelPropagation: string keys — internal dict-encode preserves key-order ties") {
     import spark.implicits._
     // the SAME graph under an order-preserving long→string rename
