@@ -44,28 +44,29 @@ object RelationalQueries {
   private def moneySum(c: org.apache.spark.sql.Column) =
     sum(c.cast("decimal(18,2)")).cast("double")
 
-  /** Execute-and-pin a bounded DIAMOND query — the single-fact-scan
-    * discipline for aggregates consumed by two branches (a per-group
-    * aggregate probed against its own global max/threshold/rollup). AQE
-    * stage reuse serves only the minimal shapes (measured: the 3rd join
-    * defeats it — PLANS.md), so the property is pinned the robust way:
-    * `shared` (the small derived frame both branches read) is persisted,
-    * `top` (bounded by the caller's argument, enforced via `maxRows`)
-    * executes and is collected, and the EXECUTED tree — walking into
-    * adaptive plans and query stages — must contain ZERO `factName` file
-    * scans (the only fact read happened once, at cache fill), ≥ 1 cache
-    * read, and no Cartesian product. Rows come back re-parallelized; the
-    * cache is dropped in finally.
+  /** Execute-and-pin a DIAMOND query — the single-fact-scan discipline
+    * for aggregates consumed by two branches (a per-group aggregate
+    * probed against its own global max/threshold/rollup). AQE stage reuse
+    * serves only the minimal shapes (measured: the 3rd join defeats it —
+    * PLANS.md), so the property is pinned the robust way: `shared` (the
+    * small derived frame both branches read) is persisted, `top` executes
+    * through its OWN QueryExecution via a distributed row-count (zero
+    * rows reach the driver — the pin holds at ANY output size), and the
+    * EXECUTED tree — walking into adaptive plans and query stages — must
+    * contain ZERO `factName` file scans (the only fact read happened
+    * once, at cache fill), ≥ 1 cache read, and no Cartesian product. The
+    * result then spills executor-side to scratch parquet (a second pass
+    * over the persisted cache — dim-sized by the diamond contract; the
+    * just-proven plan shows it cannot touch the fact) and the read-back
+    * frame is returned, so downstream consumption never depends on the
+    * cache. Dropped in finally.
     */
   private[queries] def pinnedDiamond(s: SparkSession, shared: DataFrame,
-      top: DataFrame, factName: String, maxRows: Long,
-      what: String): DataFrame = {
+      top: DataFrame, factName: String, what: String): DataFrame = {
     shared.persist()
     try {
-      val rows = top.collect()
-      require(rows.length <= maxRows,
-        s"$what: diamond result has ${rows.length} rows, beyond the " +
-          s"bounded-output cap $maxRows — refusing the driver-side pin")
+      val qe = top.queryExecution
+      qe.toRdd.count() // executes the adaptive plan; rows stay distributed
       def walk(p: org.apache.spark.sql.execution.SparkPlan):
           Seq[org.apache.spark.sql.execution.SparkPlan] = Seq(p) ++ (p match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
@@ -74,7 +75,7 @@ object RelationalQueries {
           walk(q.plan)
         case _ => p.children.flatMap(walk)
       })
-      val nodes = walk(top.queryExecution.executedPlan)
+      val nodes = walk(qe.executedPlan)
       val factScans = nodes.count {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
           f.relation.location.rootPaths.exists(_.toString.contains(factName))
@@ -93,7 +94,9 @@ object RelationalQueries {
         s"$what: a consumer bypassed the persisted diamond frame " +
           s"($factName scans=$factScans, cache reads=$cacheReads, " +
           s"cartesians=$cartesians) — the fact would scan twice")
-      s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq), top.schema)
+      val dest = graft.ops.Scratch.dir("diamond").toString + s"/$what"
+      top.write.mode("overwrite").parquet(dest)
+      s.read.parquet(dest)
     } finally shared.unpersist()
   }
 
@@ -2817,7 +2820,7 @@ object RelationalQueries {
             col("p_partkey"), col("p_name"), col("cost_c2"))
           .orderBy(desc("acct_c2"), col("s_name"), col("p_partkey"))
           .limit(100)
-        pinnedDiamond(s, offered, top, "lineitem", maxRows = 100,
+        pinnedDiamond(s, offered, top, "lineitem",
             "q2_min_cost_supplier")
           .orderBy(desc("acct_c2"), col("s_name"), col("p_partkey"))
       },
@@ -2915,7 +2918,7 @@ object RelationalQueries {
         val top = vals.join(broadcast(thr))
           .filter(col("value_c2") > col("thr"))
           .select(col("p_partkey"), col("value_c2"))
-        pinnedDiamond(s, vals, top, "lineitem", maxRows = 2000,
+        pinnedDiamond(s, vals, top, "lineitem",
             "q11_important_values")
           .orderBy(desc("value_c2"), col("p_partkey"))
       },
@@ -3019,7 +3022,7 @@ object RelationalQueries {
             col("l_suppkey") === col("s_suppkey"))
           .select(col("s_suppkey"), col("s_name"), col("total_c4"))
         // bounded: only max-revenue ties survive the equality probe
-        pinnedDiamond(s, rev, top, "lineitem", maxRows = 10000,
+        pinnedDiamond(s, rev, top, "lineitem",
             "q15_top_supplier")
           .orderBy("s_suppkey")
       },
@@ -3099,7 +3102,7 @@ object RelationalQueries {
           .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
           .select(col("s_name"),
             round(col("s_acctbal") * 100).cast("long").as("acct_c2"))
-        pinnedDiamond(s, qty99, top, "lineitem", maxRows = 1L << 20,
+        pinnedDiamond(s, qty99, top, "lineitem",
             "q20_dominant_suppliers")
           .orderBy("s_name")
       },
