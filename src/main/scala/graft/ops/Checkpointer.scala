@@ -40,6 +40,19 @@ sealed trait Checkpointer {
     */
   def apply(df: DataFrame): DataFrame
 
+  /** LAZY variant: lineage still truncates at this frame, but
+    * materialization happens inside the caller's NEXT action over ALL
+    * partitions — one driver job per round instead of two (measured ~60 ms
+    * of fixed driver latency per job on the iterative fixpoints,
+    * PLANS.md round 13). ONLY safe when (a) an all-partition action on
+    * the returned frame runs BEFORE any `release` of its inputs (a lazy
+    * frame re-reads its inputs at materialization; releasing a
+    * truncated-lineage input first would lose data unrecoverably), and
+    * (b) nothing depends on the materialization's timing. Default:
+    * eager (strategies opt in).
+    */
+  def lazily(df: DataFrame): DataFrame = apply(df)
+
   /** Release per-round state superseded by the next iteration. For Local
     * this unpersists the executor blocks — without it up to `iterations`
     * edge/vocabulary-scale copies pin non-evictable block storage for the
@@ -61,6 +74,8 @@ object Checkpointer {
     */
   case object Local extends Checkpointer {
     def apply(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+    override def lazily(df: DataFrame): DataFrame =
+      df.localCheckpoint(eager = false)
   }
 
   /** Eager reliable `checkpoint` against the session's configured
@@ -74,6 +89,12 @@ object Checkpointer {
           "(a fault-tolerant FS path) before running the iterative operator")
       df.checkpoint(eager = true)
     }
+    override def lazily(df: DataFrame): DataFrame = {
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "Checkpointer.Reliable requires spark.sparkContext.setCheckpointDir(...) " +
+          "(a fault-tolerant FS path) before running the iterative operator")
+      df.checkpoint(eager = false)
+    }
   }
 
   /** Per-frame dispatch: Reliable when a checkpoint dir is configured,
@@ -83,5 +104,6 @@ object Checkpointer {
     private def resolve(df: DataFrame): Checkpointer =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) Reliable else Local
     def apply(df: DataFrame): DataFrame = resolve(df)(df)
+    override def lazily(df: DataFrame): DataFrame = resolve(df).lazily(df)
   }
 }

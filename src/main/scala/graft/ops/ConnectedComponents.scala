@@ -147,8 +147,18 @@ object ConnectedComponents {
     var fp = fingerprint(e)
     var converged = false
     var it = 0
+    // BATCHED rounds: two star alternations per checkpoint+fingerprint.
+    // Every driver job costs ~60 ms of fixed latency regardless of task
+    // size (measured, PLANS.md round 13), so per-round actions dominate
+    // wall on small-diameter graphs; running the pair inline (plan depth
+    // 2x — bounded) and materializing LAZILY inside the fingerprint's own
+    // action cuts 2 jobs/round to 1 job/2 rounds. Convergence is still
+    // sound: the star fixpoint is idempotent, so a batch straddling the
+    // fixpoint re-emits the converged state and the batch-end fingerprint
+    // stabilizes exactly one comparison later. Release order stays safe —
+    // the fingerprint action materializes `next` BEFORE `e` is released.
     while (!converged && it < maxIter) {
-      val next = cp(smallStar(largeStar(e)))
+      val next = cp.lazily(smallStar(largeStar(smallStar(largeStar(e)))))
       val nfp = fingerprint(next)
       converged = nfp == fp
       fp = nfp
@@ -157,7 +167,7 @@ object ConnectedComponents {
       // discipline)
       cp.release(e)
       e = next
-      it += 1
+      it += 2
     }
     if (!converged)
       throw new IllegalStateException(

@@ -975,17 +975,30 @@ object GraphTraversal {
         .head().getDecimal(0))
     var prev = fp(labels)
     var it = 0
+    // BATCHED propagation: two one-hop min rounds per checkpoint, lazily
+    // materialized inside the fingerprint's action — 1 driver job per 2
+    // rounds instead of 2 jobs per round (the ~60 ms/job driver latency
+    // dominates these small-state fixpoints; see ConnectedComponents).
+    // Labels only decrease and the fixpoint is idempotent, so a batch
+    // straddling convergence re-emits the converged labeling and the
+    // batch-end fingerprint stabilizes one comparison later. The
+    // fingerprint materializes `next` BEFORE the superseded labels are
+    // released (the lazy-cp safety contract).
     while (it < maxProp) {
-      val msgs = ed.join(labels.withColumnsRenamed(Map("id" -> "src")), Seq("src"))
-        .groupBy(col("dst").as("id")).agg(min(col("lab")).as("mlab"))
-      val next = cp(labels.join(msgs, Seq("id"), "left")
-        .select(col("id"), least(col("lab"), coalesce(col("mlab"), col("lab"))).as("lab")))
+      var nl = labels
+      for (_ <- 0 until 2) {
+        val msgs = ed.join(nl.withColumnsRenamed(Map("id" -> "src")), Seq("src"))
+          .groupBy(col("dst").as("id")).agg(min(col("lab")).as("mlab"))
+        nl = nl.join(msgs, Seq("id"), "left")
+          .select(col("id"), least(col("lab"), coalesce(col("mlab"), col("lab"))).as("lab"))
+      }
+      val next = cp.lazily(nl)
       val nfp = fp(next)
       cp.release(labels)
       labels = next
       if (nfp == prev) return labels
       prev = nfp
-      it += 1
+      it += 2
     }
     throw new IllegalStateException(
       s"min propagation did not converge in $maxProp rounds " +
