@@ -155,6 +155,10 @@ object PlanDump {
     // grained quantiles: grain×node enumeration rides a broadcast BNLJ
     // (bounded frames); grid joins broadcast; never a Cartesian
     "a15_grouped_quantiles" -> (Seq("BroadcastHashJoin"), Seq("CartesianProduct")),
+    // sorted-neighborhood ER: the probe-rank pairing is an equi-join on
+    // (block, rank) with bounded fan-out — a Cartesian would mean the
+    // rank-explode collapsed back into a block × block product
+    "j10_sorted_neighborhood_er" -> (Seq("Join"), Seq("CartesianProduct")),
     // Q9: three pure broadcast dims + the orders equi-join, one fact scan
     "q9_product_profit" -> (Seq("BroadcastHashJoin"), Seq("CartesianProduct")),
     // Q12/Q13: fact⋈fact equi-joins — broadcast at audit SF, SMJ at

@@ -62,4 +62,53 @@ object EntityResolution {
       .withColumn("sim", JaroWinkler.jaroWinkler(col("name_a"), col("name_b")))
       .filter(col("sim") >= minSim)
   }
+
+  /** SORTED-NEIGHBORHOOD entity resolution — the scalable fallback when
+    * every available blocking key has FIXED cardinality (brands,
+    * categories, size codes), so block sizes grow ∝N and
+    * [[blockedNamePairs]]'s within-block pairing grows ∝N² no matter how
+    * the keys compose. Measured at 10× bench data (round-13 headroom
+    * probe, PLANS.md): brand-blocked pairing went 20 s → 1090 s — a real
+    * cliff, guard-bounded but quadratic by construction.
+    *
+    * The classic fix (Hernández & Stolfo 1995): within each block, SORT
+    * by the match field and score only pairs ≤ `window` positions apart —
+    * cost Σ|block|·w (LINEAR in N at fixed w), recall = near-duplicates
+    * that sort adjacently, which Jaro-Winkler's prefix-weighted
+    * similarity makes the common case. Determinism: sort ties break on
+    * `keyCol`; every pair emits once with `key_a` the earlier row in sort
+    * order.
+    *
+    * Scale shape (100 TB): one window rank per block (a key-partitioned
+    * sort — no global window), then the pair space materializes by
+    * EXPLODING each row into `window` probe ranks and equi-joining on
+    * (block, rank): a plain shuffle join on bounded fan-out, never a
+    * block × block product. AQE handles block skew; no driver state.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, blockCols: Seq[String],
+                              keyCol: String, nameCol: String, minSim: Double,
+                              window: Int): DataFrame = {
+    require(blockCols.nonEmpty, "sortedNeighborhoodPairs needs a blocking column")
+    require(window >= 1, s"window must be >= 1: $window")
+    require(minSim >= 0.0 && minSim <= 1.0, s"minSim must be in [0,1]: $minSim")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(blockCols.map(col): _*)
+      .orderBy(col(nameCol), col(keyCol))
+    val ranked = df.select(
+        blockCols.map(col) :+ col(keyCol) :+ col(nameCol): _*)
+      .withColumn("__rn", row_number().over(w))
+    val probes = ranked.select(
+        blockCols.map(col) :+ col(keyCol).as("key_a") :+
+          col(nameCol).as("name_a") :+ col("__rn"): _*)
+      .withColumn("__j", explode(lit((1 to window).toArray)))
+      .withColumn("__rn", col("__rn") + col("__j"))
+      .drop("__j")
+    val base = ranked.select(
+      blockCols.map(col) :+ col(keyCol).as("key_b") :+
+        col(nameCol).as("name_b") :+ col("__rn"): _*)
+    probes.join(base, blockCols :+ "__rn")
+      .drop("__rn")
+      .withColumn("sim", JaroWinkler.jaroWinkler(col("name_a"), col("name_b")))
+      .filter(col("sim") >= minSim)
+  }
 }

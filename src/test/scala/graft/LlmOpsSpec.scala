@@ -940,6 +940,38 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("maxBlockRows")))
   }
 
+  test("sortedNeighborhoodPairs: rank-window pairing, linear fan-out, sim kernel") {
+    import graft.ops.EntityResolution
+    // one block; name sort order: a1 < a2 < a3 < m9 < z5 (ties impossible)
+    val df = Seq(
+      (1L, "acme corp", "US"), (2L, "acme corp.", "US"), (3L, "acme corpse", "US"),
+      (9L, "middle co", "US"), (5L, "zzz unrelated", "US"),
+      (7L, "acme corp", "DE") // other block: never pairs across
+    ).toDF("id", "name", "country")
+    // window=1: only sort-adjacent pairs scored; (1,2),(2,3) pass 0.9,
+    // (3,9),(9,5) fail the threshold, (1,3) is 2 apart — not a candidate
+    val w1 = EntityResolution.sortedNeighborhoodPairs(df, Seq("country"), "id",
+        "name", minSim = 0.9, window = 1)
+      .select("key_a", "key_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(w1 == Set((1L, 2L), (2L, 3L)))
+    // window=2 adds the rank-distance-2 candidate (1,3) — and it passes
+    val w2 = EntityResolution.sortedNeighborhoodPairs(df, Seq("country"), "id",
+        "name", minSim = 0.9, window = 2)
+      .select("key_a", "key_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(w2 == Set((1L, 2L), (2L, 3L), (1L, 3L)))
+    // sim matches the scalar kernel
+    val sim = EntityResolution.sortedNeighborhoodPairs(df, Seq("country"), "id",
+        "name", minSim = 0.9, window = 1)
+      .filter(col("key_a") === 1L).select("sim").head.getDouble(0)
+    assert(sim == graft.functions.JaroWinkler.similarity("acme corp", "acme corp."))
+    // candidate volume is LINEAR: at minSim=0, exactly Σ max(0, |block|−j)
+    // pairs for j in 1..w — the 5-row block at w=2 yields 4+3=7, plus 0
+    // from the singleton block
+    val all = EntityResolution.sortedNeighborhoodPairs(df, Seq("country"), "id",
+        "name", minSim = 0.0, window = 2).count()
+    assert(all == 7L)
+  }
+
   test("prefixFilterPairs: exact completeness — equals all-pairs Jaccard at the threshold") {
     val d = docs(
       (0L, "the quick brown fox jumps over the lazy dog today"),
