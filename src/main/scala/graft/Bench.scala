@@ -329,13 +329,18 @@ object Bench {
     // was the r8 phantom-regression suspect). The cost is recorded as
     // warmupSeconds — the A/B adds it back when the prior harness predates
     // the warmup and still pays materialization inside its entries.
-    val tWarm0 = System.nanoTime()
-    try graft.queries.PipelineQueries.warmSharedStores(spark, sfDir)
-    catch { case e: Throwable => System.err.println(s"bench: warmup failed: $e") }
-    val warmupSec = (System.nanoTime() - tWarm0) / 1e9
     // optional args: query names to run (default all) — isolation/profiling aid
     val selected = if (args.nonEmpty) SparkEntry.queries.filter(q => args.contains(q._1))
                    else SparkEntry.queries
+    val tWarm0 = System.nanoTime()
+    try graft.queries.PipelineQueries.warmSharedStores(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"bench: warmup failed: $e") }
+    // louvain-family caches: warm only when a consumer is selected (an
+    // --only run without them should not pay the build)
+    try if (Seq("g_louvain", "g_louvain2", "g_leiden").exists(selected.contains))
+      graft.queries.GraphQueries.warmShared(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"bench: louvain warmup failed: $e") }
+    val warmupSec = (System.nanoTime() - tWarm0) / 1e9
     // Attribution contract: only queries whose plans carry CollectMetrics
     // can contribute to `observed`, so only THOSE pay a bus drain — once
     // before their snapshot (flushes any straggler event from earlier

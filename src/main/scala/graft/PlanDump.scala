@@ -149,6 +149,9 @@ object PlanDump {
     // (g_modularity's pin); every community/degree join is equi-keyed
     "g_louvain" -> (Seq("BroadcastNestedLoopJoin"), Seq("CartesianProduct")),
     "g_louvain2" -> (Seq("BroadcastNestedLoopJoin"), Seq("CartesianProduct")),
+    // Leiden: same 1-row broadcast BNLJ discipline for the modularity
+    // totals and the guard frame; refinement/contraction joins equi-keyed
+    "g_leiden" -> (Seq("BroadcastNestedLoopJoin"), Seq("CartesianProduct")),
     // dyadic quantiles: the cell grid and rank frames are broadcast-sized
     // — a shuffle-side grid means the planner thinks the sketch is data
     "a14_quantile_sketch" -> (Seq("BroadcastHashJoin"), Seq("CartesianProduct")),
