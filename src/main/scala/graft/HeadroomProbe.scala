@@ -34,6 +34,11 @@ object HeadroomProbe {
       sys.error("usage: HeadroomProbe <srcDir> <destDir> [mult]"))
     val mult = args.drop(2).headOption.map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // getOrCreate RETURNS an already-active session (e.g. the shared test
+    // session when invoked from a spec) — remember whether this main owns
+    // the session, and only stop what it created
+    val hadActive = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).exists(!_.sparkContext.isStopped)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -103,6 +108,6 @@ object HeadroomProbe {
     write(rd("nation"), "nation")
     write(rd("region"), "region")
     println(s"HEADROOM done: $src x$mult -> $dest")
-    spark.stop()
+    if (!hadActive) spark.stop()
   }
 }
