@@ -93,6 +93,29 @@ class CheckpointerSpec extends AnyFunSuite {
     }
   }
 
+  test("lazily: same data, lineage truncated, Reliable variant fails fast dirless") {
+    val df = edges.toDF("src", "dst")
+    // value identity with the eager variant
+    val eager = Checkpointer.Local(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lzy = Checkpointer.Local.lazily(df)
+    assert(lzy.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == eager)
+    // after the action, the plan is checkpoint-backed (lineage truncated):
+    // no file scan / local relation remains in the physical plan
+    val plan = lzy.queryExecution.executedPlan.toString
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("RDDScan"),
+      s"expected an RDD-backed plan after lazy checkpoint, got:\n$plan")
+    // the Reliable lazy variant keeps the fail-fast contract
+    assert(spark.sparkContext.getCheckpointDir.isEmpty)
+    val ex = intercept[IllegalArgumentException] {
+      Checkpointer.Reliable.lazily(df)
+    }
+    assert(ex.getMessage.contains("setCheckpointDir"))
+    // Auto.lazily dispatches like Auto: Local here (no dir) — no exception
+    val autoLzy = Checkpointer.Auto.lazily(df)
+    assert(autoLzy.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == eager)
+  }
+
   test("Auto dispatches on checkpoint-dir presence") {
     val df = edges.toDF("src", "dst")
     // without a dir: Auto == Local (no exception, no files anywhere)
