@@ -72,10 +72,24 @@ object Checkpointer {
   /** Eager `localCheckpoint` — executor-local blocks. Fast; not resilient
     * to executor loss.
     */
+  /** Checkpoints PRESERVE the origin plan's statistics inside the
+    * resulting LogicalRDD — useful one-shot, catastrophic in fixpoint
+    * loops: every round's join SQUARES the inherited sizeInBytes, so its
+    * digit count doubles per round and by round ~25 the driver spends
+    * minutes inside BigInteger.multiply in the stats visitor (measured,
+    * round 13 — the latent failure mode was masked by low round counts
+    * until pointer-jumped SCC propagation added a second join per
+    * round). Every strategy therefore drops origin stats after
+    * truncation; AQE re-plans joins from runtime sizes, so compile-time
+    * accuracy is not load-bearing in these loops.
+    */
+  private def reset(df: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftStatsReset.dropOriginStats(df)
+
   case object Local extends Checkpointer {
-    def apply(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+    def apply(df: DataFrame): DataFrame = reset(df.localCheckpoint(eager = true))
     override def lazily(df: DataFrame): DataFrame =
-      df.localCheckpoint(eager = false)
+      reset(df.localCheckpoint(eager = false))
   }
 
   /** Eager reliable `checkpoint` against the session's configured
@@ -87,13 +101,13 @@ object Checkpointer {
       require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
         "Checkpointer.Reliable requires spark.sparkContext.setCheckpointDir(...) " +
           "(a fault-tolerant FS path) before running the iterative operator")
-      df.checkpoint(eager = true)
+      reset(df.checkpoint(eager = true))
     }
     override def lazily(df: DataFrame): DataFrame = {
       require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
         "Checkpointer.Reliable requires spark.sparkContext.setCheckpointDir(...) " +
           "(a fault-tolerant FS path) before running the iterative operator")
-      df.checkpoint(eager = false)
+      reset(df.checkpoint(eager = false))
     }
   }
 

@@ -911,10 +911,14 @@ object GraphTraversal {
     * SCC condensation order, not by vertex count.
     *
     * Scale shape: per propagation round ONE edge-scale equi-join + one
-    * grouped min (map-combinable) on 8-byte-encodable keys; outer rounds
-    * shrink the edge table by semi-joins against the survivors.
-    * `maxOuter`/`maxProp` bound the rounds and THROW on non-convergence
-    * (never a silently partial labeling — the CC contract).
+    * grouped min (map-combinable) on 8-byte-encodable keys; propagation
+    * rounds are bounded by graph DIAMETER and the OUTER peel by the
+    * condensation min-order depth (each round certifies the
+    * reachability-minimum's SCC per weak component) — either bound
+    * exceeded throws loudly; outer rounds shrink the edge table by
+    * semi-joins against the survivors. `maxOuter`/`maxProp` bound the
+    * rounds and THROW on non-convergence (never a silently partial
+    * labeling — the CC contract).
     */
   def stronglyConnectedComponents(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", vertices: Option[DataFrame] = None,
@@ -984,6 +988,18 @@ object GraphTraversal {
     // batch-end fingerprint stabilizes one comparison later. The
     // fingerprint materializes `next` BEFORE the superseded labels are
     // released (the lazy-cp safety contract).
+    //
+    // (Round-13 note: VALUE-pointer jumping — lab(v) ← min(lab(v),
+    // lab(lab(v))) — was prototyped here and REVERTED: it is sound
+    // (reach-min is transitive) and collapses descending id chains
+    // geometrically, but it only forms chains when ids happen to descend
+    // along the propagation direction — on the ascending-id cycle the
+    // FORWARD pass converged in 8 rounds while the REVERSED pass
+    // degraded to exactly one hop per round, so the worst case stays
+    // diameter-bounded while paying an extra join per round. True
+    // log-round reach-min needs transitive-closure-sized state; the
+    // honest contract remains the documented diameter bound with a loud
+    // maxProp failure.)
     while (it < maxProp) {
       var nl = labels
       for (_ <- 0 until 2) {

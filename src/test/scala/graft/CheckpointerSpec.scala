@@ -116,6 +116,35 @@ class CheckpointerSpec extends AnyFunSuite {
     assert(autoLzy.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == eager)
   }
 
+  test("checkpoints drop origin stats — joins cannot compound sizeInBytes") {
+    import org.apache.spark.sql.functions._
+    // Dataset.localCheckpoint preserves the origin plan's statistics, and
+    // a fixpoint round that JOINS the checkpointed frame squares the
+    // inherited sizeInBytes — its DIGIT COUNT then doubles per round
+    // (measured 6→14→30→62→125→252 over six rounds pre-fix) until the
+    // driver spends minutes in BigInteger.multiply inside the stats
+    // visitor. The Checkpointer must reset stats at every truncation so
+    // the estimate stays CONSTANT across rounds.
+    // UNIQUE ids with lab == id: the self-join below then stays 1:1 per
+    // round (non-unique keys would fan out exponentially instead)
+    var labels = Checkpointer.Local(
+      spark.range(0, 50).selectExpr("id", "id AS lab"))
+    val digits0 = labels.queryExecution.optimizedPlan.stats.sizeInBytes
+      .toString.length
+    for (_ <- 1 to 5) {
+      val joined = labels
+        .join(labels.select(col("id").as("lab"), col("lab").as("j")), Seq("lab"))
+        .select(col("id"), least(col("lab"), col("j")).as("lab"))
+      labels = Checkpointer.Local.lazily(joined)
+      labels.count()
+    }
+    val digitsN = labels.queryExecution.optimizedPlan.stats.sizeInBytes
+      .toString.length
+    assert(digitsN <= digits0 + 2,
+      s"sizeInBytes digits grew $digits0 -> $digitsN across 5 join rounds " +
+        "— origin stats are compounding through the checkpoint again")
+  }
+
   test("Auto dispatches on checkpoint-dir presence") {
     val df = edges.toDF("src", "dst")
     // without a dir: Auto == Local (no exception, no files anywhere)

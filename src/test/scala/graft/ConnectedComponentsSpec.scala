@@ -572,6 +572,33 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got0 == Seq("n1", "n2", "n3", "x10", "x11", "x12").map(v => v -> v).toMap)
   }
 
+  test("scc: a 40-diameter cycle converges within the documented bounds") {
+    import spark.implicits._
+    // one 40-cycle: a single SCC whose diameter (40) stays
+    // under maxProp = 60 (batched one-hop propagation needs ~diameter rounds —
+    // the documented bound; a diameter beyond maxProp throws loudly, by
+    // contract). Condensation depth is 1, so the outer peel is one round.
+    val n = 40
+    val cycle = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+      .toDF("src", "dst")
+    val got = graft.ops.GraphTraversal.stronglyConnectedComponents(cycle)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0 until n).map(v => v.toLong -> 0L).toMap)
+    // beyond the bound: a 300-diameter cycle must FAIL FAST with the
+    // explicit maxProp message, never mislabel (the CC contract)
+    val big = (0 until 300).map(i => (i.toLong, ((i + 1) % 300).toLong))
+      .toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      graft.ops.GraphTraversal.stronglyConnectedComponents(big).collect()
+    }
+    assert(ex.getMessage.contains("maxProp"))
+    // and raising maxProp makes the same graph converge correctly
+    val got2 = graft.ops.GraphTraversal.stronglyConnectedComponents(big,
+        maxProp = 400)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == (0 until 300).map(v => v.toLong -> 0L).toMap)
+  }
+
   test("scc: cycles collapse, DAG edges do not, peeling handles chained SCCs") {
     import spark.implicits._
     // two 3-cycles bridged by a ONE-WAY edge: each cycle is an SCC, the
