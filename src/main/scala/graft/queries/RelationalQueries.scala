@@ -50,23 +50,56 @@ object RelationalQueries {
     * serves only the minimal shapes (measured: the 3rd join defeats it —
     * PLANS.md), so the property is pinned the robust way: `shared` (the
     * small derived frame both branches read) is persisted, `top` executes
-    * through its OWN QueryExecution via a distributed row-count (zero
-    * rows reach the driver — the pin holds at ANY output size), and the
-    * EXECUTED tree — walking into adaptive plans and query stages — must
-    * contain ZERO `factName` file scans (the only fact read happened
-    * once, at cache fill), ≥ 1 cache read, and no Cartesian product. The
-    * result then spills executor-side to scratch parquet (a second pass
-    * over the persisted cache — dim-sized by the diamond contract; the
-    * just-proven plan shows it cannot touch the fact) and the read-back
-    * frame is returned, so downstream consumption never depends on the
-    * cache. Dropped in finally.
+    * EXACTLY ONCE — as the scratch-parquet write itself (zero rows reach
+    * the driver; the pin holds at ANY output size) — and the write's OWN
+    * executed tree, captured via QueryExecutionListener and walked into
+    * adaptive plans and query stages, must contain ZERO `factName` file
+    * scans (the only fact read happened once, at cache fill, inside the
+    * InMemoryRelation), ≥ 1 cache read, and no Cartesian product.
+    * (Round-13 ADVICE: the previous shape proved the pin on a probe
+    * `toRdd.count()` and then wrote through a SECOND, uninspected
+    * QueryExecution — a differently-planned write could re-scan the fact
+    * undetected, and the query executed twice. Asserting on the write's
+    * own plan closes both: the proven plan IS the one that produced the
+    * persisted result, and the entry pays one execution, not two.) The
+    * read-back frame is returned, so downstream consumption never
+    * depends on the cache. Dropped in finally.
     */
   private[queries] def pinnedDiamond(s: SparkSession, shared: DataFrame,
       top: DataFrame, factName: String, what: String): DataFrame = {
     shared.persist()
     try {
-      val qe = top.queryExecution
-      qe.toRdd.count() // executes the adaptive plan; rows stay distributed
+      val dest = graft.ops.Scratch.dir("diamond").toString + s"/$what"
+      val captured = new java.util.concurrent.CopyOnWriteArrayList[
+        org.apache.spark.sql.execution.QueryExecution]()
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = captured.add(qe)
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      }
+      // drain BEFORE registering so a still-queued event from an earlier
+      // action cannot be misattributed to this write; listener delivery
+      // is async, so drain again after the write before reading captures
+      org.apache.spark.GraftListenerBridge.drain(s.sparkContext, 30000)
+      s.listenerManager.register(listener)
+      val qe = try {
+        top.write.mode("overwrite").parquet(dest)
+        org.apache.spark.GraftListenerBridge.drain(s.sparkContext, 30000)
+        import scala.jdk.CollectionConverters._
+        // the write command's plan names its destination path; fall back
+        // to a sole capture (drained-empty bus ⇒ it can only be ours)
+        captured.asScala.find(_.executedPlan.toString.contains(dest))
+          .getOrElse {
+            require(captured.size() == 1,
+              s"$what: could not identify the write's QueryExecution " +
+                s"(${captured.size()} captured, none naming $dest) — " +
+                "the diamond pin cannot be proven")
+            captured.get(0)
+          }
+      } finally s.listenerManager.unregister(listener)
       def walk(p: org.apache.spark.sql.execution.SparkPlan):
           Seq[org.apache.spark.sql.execution.SparkPlan] = Seq(p) ++ (p match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
@@ -94,8 +127,6 @@ object RelationalQueries {
         s"$what: a consumer bypassed the persisted diamond frame " +
           s"($factName scans=$factScans, cache reads=$cacheReads, " +
           s"cartesians=$cartesians) — the fact would scan twice")
-      val dest = graft.ops.Scratch.dir("diamond").toString + s"/$what"
-      top.write.mode("overwrite").parquet(dest)
       s.read.parquet(dest)
     } finally shared.unpersist()
   }
@@ -338,6 +369,35 @@ object RelationalQueries {
         | FROM r a JOIN r b
         |   ON a.p_brand = b.p_brand AND b.rn BETWEEN a.rn + 1 AND a.rn + 10
         | WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
+        | ORDER BY key_a, key_b""".stripMargin),
+
+    // ---- sorted-neighborhood ER, scalable-rank path ----------------------
+    // Same semantics as j10 with the MULTI-TASK ranking: a window
+    // partitioned by a fixed-cardinality block is ONE task, so at 100 TB
+    // each block's sort is a single task's spill pipeline (round-13 ADVICE).
+    // blockRanks ranks via range-partition on the full sort key + local
+    // row_number per (block, chunk) + stitched chunk offsets — every stage
+    // bounded by partition size. The oracle is the WINDOW-rank replay:
+    // the hash match is the proof that the stitched ranks are identical
+    // tie-for-tie to the single-task window form ((name, key) totally
+    // orders each block).
+    ("j11_snm_scalable_rank",
+      (s, d) => graft.ops.EntityResolution.sortedNeighborhoodPairs(
+          t(s, d, "part").select("p_partkey", "p_name", "p_brand"),
+          blockCols = Seq("p_brand"), keyCol = "p_partkey", nameCol = "p_name",
+          minSim = 0.88, window = 6, scalableRank = true)
+        .select("p_brand", "key_a", "key_b", "name_a", "name_b", "sim")
+        .orderBy("key_a", "key_b"),
+      """WITH r AS (SELECT p_brand, p_partkey, p_name,
+        |        ROW_NUMBER() OVER (PARTITION BY p_brand
+        |                           ORDER BY p_name, p_partkey) AS rn
+        |      FROM part)
+        | SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |        a.p_name AS name_a, b.p_name AS name_b,
+        |        jaro_winkler_similarity(a.p_name, b.p_name) AS sim
+        | FROM r a JOIN r b
+        |   ON a.p_brand = b.p_brand AND b.rn BETWEEN a.rn + 1 AND a.rn + 6
+        | WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.88
         | ORDER BY key_a, key_b""".stripMargin),
 
     // ---- A1: global distinct (triple-dedup shape) ----------------------

@@ -972,6 +972,37 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(all == 7L)
   }
 
+  test("blockRanks: stitched multi-task ranks identical to the window form") {
+    import graft.ops.EntityResolution
+    // 600 rows over 3 blocks, names deliberately NOT aligned with ids so
+    // range chunks cut through every block's sort order; 11 input
+    // partitions so repartitionByRange produces several chunks per block
+    val rows = (1 to 600).map(i => (s"b${i % 3}", i.toLong, f"n${(i * 131) % 997}%04d"))
+    val df = rows.toDF("blk", "id", "name").repartition(11)
+    val got = EntityResolution.blockRanks(df, Seq("blk"), Seq("name", "id"))
+      .select("blk", "id", "__rn")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("blk").orderBy("name", "id")
+    val want = df.withColumn("__rn", row_number().over(w))
+      .select("blk", "id", "__rn")
+    assert(got.count() == 600L)
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+  }
+
+  test("sortedNeighborhoodPairs: scalableRank path emits identical pairs") {
+    import graft.ops.EntityResolution
+    val rows = (1 to 300).map(i => (i.toLong, f"name${(i * 37) % 311}%03d x$i", s"c${i % 2}"))
+    val df = rows.toDF("id", "name", "country").repartition(9)
+    def pairs(scalable: Boolean) =
+      EntityResolution.sortedNeighborhoodPairs(df, Seq("country"), "id", "name",
+          minSim = 0.8, window = 4, scalableRank = scalable)
+        .select("key_a", "key_b", "sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val win = pairs(scalable = false)
+    val scl = pairs(scalable = true)
+    assert(win.nonEmpty && win == scl)
+  }
+
   test("prefixFilterPairs: exact completeness — equals all-pairs Jaccard at the threshold") {
     val d = docs(
       (0L, "the quick brown fox jumps over the lazy dog today"),
