@@ -449,12 +449,27 @@ object Bench {
             } else (if (n > 0) qRatios.head else Double.NaN,
                     if (n > 0) qRatios.last else Double.NaN)
           val pairMed = median(ab.pairRatios)
-          s"""{"sf":${jstr(abSf)},"prior_ref":${jstr(ab.sha)},"common":${ab.perQuery.size},""" +
+          // KEY DISCIPLINE (round-13 ADVICE): r13 silently re-used the
+          // legacy keys with changed semantics ("spread" went from
+          // min/max-of-pair-ratios to a binomial CI; "ratio" from
+          // median-of-pair-sums to median-of-per-query-ratios), so tooling
+          // reading old and new records compared different quantities.
+          // Now: "ab_schema":2 marks the format; the CI lives under its
+          // own key "ratio_spread"; "spread" carries its ORIGINAL
+          // min/max-of-pair-ratios meaning again; "ratio" stays the
+          // headline (per-query median — the r13 semantics, which
+          // ab_schema>=2 disambiguates) with the legacy pair-sum median
+          // under "pair_ratio".
+          val pairSpread =
+            if (ab.pairRatios.nonEmpty) (ab.pairRatios.min, ab.pairRatios.max)
+            else (Double.NaN, Double.NaN)
+          s"""{"ab_schema":2,"sf":${jstr(abSf)},"prior_ref":${jstr(ab.sha)},"common":${ab.perQuery.size},""" +
             s""""mode":${jstr(ab.mode)},""" +
             s""""ratio_mode":"median-of-per-query-ratios","ratio_n":$n,""" +
             s""""pairs":[${ab.pairRatios.map(jnum).mkString(",")}],""" +
             s""""pair_ratio":${j(pairMed)},""" +
-            s""""spread":[${j(qLo)},${j(qHi)}],""" +
+            s""""spread":[${j(pairSpread._1)},${j(pairSpread._2)}],""" +
+            s""""ratio_spread":[${j(qLo)},${j(qHi)}],""" +
             s""""current":${jnum(c)},"prior_commit":${jnum(p)},"ratio":${j(qMed)}}"""
       }
     }
@@ -639,10 +654,20 @@ object Bench {
         .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     }
 
+    // calibration-NORMALIZED per-query walls (sec / box-speed constant):
+    // the directly-cross-round-comparable channel. Round 13's records ran
+    // at cal 1.28-2.1 on a loaded box, making raw per-query walls unusable
+    // for round-over-round comparison without manual normalization
+    // (round-13 verdict #1); persisting the normalized values — the same
+    // scaling the regression flagger already applies internally — makes
+    // BENCH_rN self-comparable. Failed queries keep the negative marker.
+    val normQs = results.map { case (k, v, _, err, _) =>
+      jstr(k) + ":" + jnum(if (err.isDefined) -v / calibration else v / calibration)
+    }.mkString("{", ",", "}")
     // stdout gets the COMPACT line (fits any tail window: totals + errors +
     // regressions + a pointer); the file gets the full per-query detail.
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","nQueries":${results.size},"errors":$errs,"nErrors":$nErr,"regressions":$regressions,"phantom_flags":$phantomFlags,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},"sentinel":${jnum(sentinel)},"ab":$abJson,"perQuery":${jstr(outPath)}}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"execSeconds":$execQs,"warmupSeconds":${jnum(warmupSec)},"errors":$errs,"regressions":$regressions,"phantom_flags":$phantomFlags,"observedMetrics":$om,"sharedStores":$shared,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},"sentinel":${jnum(sentinel)},"ab":$abJson,"abPerQuery":$abPerQueryJson}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","nQueries":${results.size},"errors":$errs,"nErrors":$nErr,"regressions":$regressions,"phantom_flags":$phantomFlags,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},"normalized_total":${jnum(total / calibration)},"sentinel":${jnum(sentinel)},"ab":$abJson,"perQuery":${jstr(outPath)}}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"normalized":$normQs,"normalized_total":${jnum(total / calibration)},"execSeconds":$execQs,"warmupSeconds":${jnum(warmupSec)},"errors":$errs,"regressions":$regressions,"phantom_flags":$phantomFlags,"observedMetrics":$om,"sharedStores":$shared,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},"sentinel":${jnum(sentinel)},"ab":$abJson,"abPerQuery":$abPerQueryJson}"""
     // ONE bare line on the process's real stdout: java.io.FileDescriptor.out
     // bypasses sbt's System.out capture (whose "[info] " prefix breaks
     // line-oriented JSON parsing downstream) and IS System.out everywhere

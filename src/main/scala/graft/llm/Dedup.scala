@@ -804,17 +804,42 @@ object Dedup {
     */
   def removeDuplicateSpans(docs: DataFrame, spanTokens: Int = 10,
                            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val flagged = coveredPositions(docs, spanTokens, textCol, idCol,
+      "removeDuplicateSpans")
+    flagged.groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("covered")).cast("long").as("dup_words"),
+        sum(col("span_start")).cast("long").as("n_dup_spans"),
+        (sum(col("covered")).cast("double") / count(lit(1))).as("dup_fraction"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("covered") === 0, struct(col("pos"), col("word"))))),
+            s => s.getField("word")),
+          " ").as("text_kept"))
+  }
+
+  /** Shared duplicated-position marking for the ExactSubstr family
+    * ([[removeDuplicateSpans]], [[duplicateSpanExtents]]): one row per
+    * (doc `id`, `pos`, `word`) with `covered` (∈ some duplicated k-gram)
+    * and `span_start` (covered with an uncovered predecessor) flags.
+    *
+    * Null text folds to "" so the doc still yields its output rows (the
+    * "one row per document" contract of removeDuplicateSpans): posexplode
+    * of a null array would silently drop the document from the result. A
+    * null ID, by contrast, FAILS: the (id, pos) join would silently drop
+    * its duplicate marks (SQL equality never matches null) while groupBy
+    * merged every null-id doc into one garbled row — wrong output with no
+    * error, so reject it map-side instead (one branch per row, no extra
+    * job).
+    */
+  private def coveredPositions(docs: DataFrame, spanTokens: Int,
+                               textCol: String, idCol: String,
+                               what: String): DataFrame = {
     require(spanTokens >= 2, s"spanTokens must be >= 2: got $spanTokens")
     val k = spanTokens
-    // null text folds to "" so the doc still yields its output row (the
-    // "one row per document" contract): posexplode of a null array would
-    // silently drop the document from the result. A null ID, by contrast,
-    // FAILS: the (id, pos) join would silently drop its duplicate marks
-    // (SQL equality never matches null) while groupBy merged every null-id
-    // doc into one garbled row — wrong output with no error, so reject it
-    // map-side instead (one branch per row, no extra job).
     val id = when(col(idCol).isNull, raise_error(lit(
-      s"removeDuplicateSpans: null $idCol — span dedup needs non-null document ids")))
+      s"$what: null $idCol — span dedup needs non-null document ids")))
       .otherwise(col(idCol))
     val text = coalesce(col(textCol), lit(""))
     val wp = docs.select(id.as("id"),
@@ -829,23 +854,67 @@ object Dedup {
     // a position is covered iff some duplicated gram STARTS within the k-1
     // positions before it (or at it); positions are dense ints, so the range
     // frame is exact. Span starts = covered with an uncovered predecessor.
-    val flagged = wp.join(dupStarts, Seq("id", "pos"), "left")
+    wp.join(dupStarts, Seq("id", "pos"), "left")
       .withColumn("covered",
         coalesce(max(col("dup")).over(byDoc.rangeBetween(-(k - 1), 0)), lit(0)))
       .withColumn("span_start",
         when(col("covered") === 1 &&
           coalesce(lag(col("covered"), 1).over(byDoc), lit(0)) === 0, 1).otherwise(0))
-    flagged.groupBy(col("id").as(idCol))
+  }
+
+  /** ARBITRARY-LENGTH exact substring dedup — the suffix-array/LCP tier of
+    * the dedup matrix (Lee et al. 2022's ExactSubstr criterion), realized
+    * distributed: enumerate, for every document, each MAXIMAL token span
+    * (length ≥ `spanTokens`, unbounded above) whose every position lies in
+    * some corpus-duplicated `spanTokens`-gram. The union of corpus-repeated
+    * substrings of length ≥ L equals the union of duplicated L-gram windows
+    * (every length-≥L repeat contains only repeated L-windows, and every
+    * position of a repeat sits inside one), so maximal runs of covered
+    * positions ARE the maximal repeated-substring extents — computed with
+    * sorted k-gram groups + run extension, never a driver suffix array.
+    *
+    * One output row per maximal span: (idCol, span_pos_first, span_pos_last,
+    * span_len, n_same_span, span_text) where `n_same_span` counts how many
+    * maximal spans corpus-wide share this exact text (verbatim cross-doc
+    * repeats cluster; mosaic spans — unions of different overlapping
+    * repeats — may be unique as wholes and report 1).
+    *
+    * [[removeDuplicateSpans]] (d10) aggregates the same marking into
+    * per-doc keep/cut stats; this operator materializes the spans
+    * THEMSELVES — the "what exactly repeats, where, and how often"
+    * deliverable a pretraining-dedup audit needs before cutting.
+    *
+    * Scale shape: identical to removeDuplicateSpans up to the marking
+    * (map-combinable gram counts on md5 keys, corpus × small join against
+    * duplicated grams, two window passes over ONE (doc, pos) exchange);
+    * the island aggregation groups on (doc, span_id) — riding the same
+    * per-doc partitioning — and emits |duplicated spans| rows ≪ corpus
+    * tokens, so the final same-text window runs on the small span frame
+    * keyed by fixed-width md5.
+    */
+  def duplicateSpanExtents(docs: DataFrame, spanTokens: Int = 10,
+                           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val flagged = coveredPositions(docs, spanTokens, textCol, idCol,
+      "duplicateSpanExtents")
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
+    val spans = flagged
+      .withColumn("span_id", sum(col("span_start")).over(byDoc))
+      .filter(col("covered") === 1)
+      .groupBy(col("id"), col("span_id"))
       .agg(
-        count(lit(1)).as("n_words"),
-        sum(col("covered")).cast("long").as("dup_words"),
-        sum(col("span_start")).cast("long").as("n_dup_spans"),
-        (sum(col("covered")).cast("double") / count(lit(1))).as("dup_fraction"),
+        min(col("pos")).cast("long").as("span_pos_first"),
+        max(col("pos")).cast("long").as("span_pos_last"),
+        count(lit(1)).as("span_len"),
         array_join(
-          transform(
-            array_sort(collect_list(when(col("covered") === 0, struct(col("pos"), col("word"))))),
+          transform(array_sort(collect_list(struct(col("pos"), col("word")))),
             s => s.getField("word")),
-          " ").as("text_kept"))
+          " ").as("span_text"))
+    val bySpanText = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("span_text")))
+    spans
+      .withColumn("n_same_span", count(lit(1)).over(bySpanText))
+      .select(col("id").as(idCol), col("span_pos_first"), col("span_pos_last"),
+        col("span_len"), col("n_same_span"), col("span_text"))
   }
 
   /** Edit-distance verification tier over candidate pairs: fetch both texts

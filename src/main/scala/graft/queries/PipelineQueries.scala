@@ -3234,6 +3234,49 @@ object PipelineQueries {
         |                            ORDER BY pos), '') AS text_kept
         | FROM isl GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // ---- arbitrary-length exact substring dedup (suffix-array tier) -----
+    // d10 aggregates the ExactSubstr marking into per-doc cut stats; d23
+    // enumerates the MAXIMAL repeated-substring extents themselves —
+    // length >= 8 tokens, unbounded above (maximal runs of covered
+    // positions = maximal repeated-substring extents, see
+    // Dedup.duplicateSpanExtents), with n_same_span counting verbatim
+    // corpus-wide recurrences of each maximal span. The oracle replays the
+    // full maximal-run extension: marking, island numbering (cumulative
+    // span_start), per-island extents + text, same-text window count.
+    ("d23_substring_dedup",
+      (s, d) => graft.llm.Dedup.duplicateSpanExtents(
+          spread(t(s, d, "documents")), spanTokens = 8)
+        .orderBy("doc_id", "span_pos_first"),
+      """WITH w AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS words FROM documents),
+        | wp AS (SELECT doc_id, i - 1 AS pos, words[i] AS word
+        |        FROM w, LATERAL (SELECT unnest(generate_series(1, len(w.words))) AS i) g),
+        | gr AS (SELECT doc_id, i - 1 AS pos, md5(array_to_string(words[i:i+7], ' ')) AS gram
+        |        FROM w, LATERAL (SELECT unnest(generate_series(1,
+        |               greatest(len(w.words) - 7, 0))) AS i) g),
+        | dfx AS (SELECT gram FROM gr GROUP BY gram HAVING COUNT(*) >= 2),
+        | ds AS (SELECT gr.doc_id, gr.pos, 1 AS dup FROM gr JOIN dfx USING (gram)),
+        | fl AS (SELECT wp.doc_id, wp.pos, wp.word, COALESCE(ds.dup, 0) AS dup
+        |        FROM wp LEFT JOIN ds ON wp.doc_id = ds.doc_id AND wp.pos = ds.pos),
+        | cov AS (SELECT doc_id, pos, word,
+        |                MAX(dup) OVER (PARTITION BY doc_id ORDER BY pos
+        |                  RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered
+        |         FROM fl),
+        | isl AS (SELECT *, CASE WHEN covered = 1 AND COALESCE(LAG(covered) OVER (
+        |                 PARTITION BY doc_id ORDER BY pos), 0) = 0 THEN 1 ELSE 0 END AS span_start
+        |         FROM cov),
+        | sid AS (SELECT *, SUM(span_start) OVER (PARTITION BY doc_id ORDER BY pos)
+        |                 AS span_id FROM isl),
+        | sp AS (SELECT doc_id, span_id,
+        |               CAST(MIN(pos) AS BIGINT) AS span_pos_first,
+        |               CAST(MAX(pos) AS BIGINT) AS span_pos_last,
+        |               COUNT(*) AS span_len,
+        |               string_agg(word, ' ' ORDER BY pos) AS span_text
+        |        FROM sid WHERE covered = 1 GROUP BY doc_id, span_id)
+        | SELECT doc_id, span_pos_first, span_pos_last, span_len,
+        |        COUNT(*) OVER (PARTITION BY md5(span_text)) AS n_same_span,
+        |        span_text
+        | FROM sp ORDER BY doc_id, span_pos_first""".stripMargin),
+
     // ---- within-doc repetition signals (Gopher-style quality filters) ---
     ("t_repetition_stats",
       (s, d) => TextStats.repetitionStats(spread(t(s, d, "documents")))

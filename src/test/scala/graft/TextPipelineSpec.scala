@@ -102,6 +102,61 @@ class TextPipelineSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.toString.contains("null doc_id")))
   }
 
+  test("duplicateSpanExtents enumerates maximal spans with extents, length, recurrence") {
+    // "a b c d e" repeats verbatim across docs 1/2 (and doc 1 carries a
+    // second, within-doc copy): three identical maximal spans cluster via
+    // n_same_span=3. Doc 3's two overlapping 4-gram repeats (vs 4 and 5)
+    // merge into ONE maximal 6-token mosaic span that is unique as a whole.
+    val docs = Seq(
+      (1L, "a b c d e x a b c d e"),
+      (2L, "q a b c d e r"),
+      (3L, "m n o p q r"),
+      (4L, "m n o p q z"),
+      (5L, "n o p q r w")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpanExtents(docs, spanTokens = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSet
+    assert(got == Set(
+      (1L, 0L, 4L, 5L, 3L, "a b c d e"),
+      (1L, 6L, 10L, 5L, 3L, "a b c d e"),
+      (2L, 1L, 5L, 5L, 3L, "a b c d e"),
+      (3L, 0L, 5L, 6L, 1L, "m n o p q r"),  // mosaic: maximal run of two repeats
+      (4L, 0L, 4L, 5L, 1L, "m n o p q"),
+      (5L, 0L, 4L, 5L, 1L, "n o p q r")))
+    // arbitrary length: a 9-token verbatim repeat yields ONE 9-token span
+    // (not fixed-k windows), proving the "unbounded above" contract
+    val long = Seq(
+      (6L, "t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      (7L, "z0 t1 t2 t3 t4 t5 t6 t7 t8 t9 z1")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpanExtents(long, spanTokens = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    assert(spans == Set((6L, 9L, 2L), (7L, 9L, 2L)))
+    // no duplicated grams -> zero rows (spans only, never per-doc padding)
+    val uniq = Seq((8L, "only unique words appear in this document body")).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpanExtents(uniq, spanTokens = 4).count() == 0L)
+  }
+
+  test("duplicateSpanExtents agrees with removeDuplicateSpans on coverage totals") {
+    // both operators derive from the same marking: per doc, the sum of
+    // span lengths must equal d10's dup_words and the span count its
+    // n_dup_spans — a cross-operator consistency contract on random text
+    val rnd = new scala.util.Random(14)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val docs = (1L to 30L).map { i =>
+      (i, Vector.fill(5 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val stats = Dedup.removeDuplicateSpans(docs, spanTokens = 3)
+      .select("doc_id", "dup_words", "n_dup_spans").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val spans = Dedup.duplicateSpanExtents(docs, spanTokens = 3)
+      .groupBy("doc_id").agg(sum("span_len").as("w"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    for ((id, (w, n)) <- stats if w > 0) assert(spans(id) == ((w, n)), s"doc $id")
+    assert(spans.keySet == stats.filter(_._2._1 > 0).keySet)
+  }
+
   test("removeDuplicateSpans matches a naive driver-side reference on random corpora") {
     // independent re-implementation: brute-force gram counting + interval
     // merge over plain Scala collections, compared field-by-field
