@@ -162,6 +162,133 @@ object GraphQueries {
       | FROM qq q JOIN rk ON rk.vb = q.q_bucket JOIN er ON er.pct = q.pct
       | ORDER BY 1""".stripMargin
 
+  // ---- a16: GENERAL-DOMAIN quantile sketch (doubles) ----------------------
+  // a14/a15 pin a fixed 2^12 INTEGER universe (price cents >> 12 — the
+  // domain is known at write time). Real telemetry values are doubles with
+  // unknown range; a16 lifts the universe with the two-scan range mapping
+  // (round-13 verdict #2): pass 1 computes exact domain bounds (lo, hi) —
+  // one map-side min/max — and pass 2 maps each double onto the SAME 2^12
+  // dyadic grid via u = ⌊(x−lo)/(hi−lo)·4096⌋ (clamped; degenerate lo=hi
+  // domain maps to bucket 0). Ranks on the mapped domain are EXACT with
+  // resolution (hi−lo)/4096, sketches built under frozen bounds stay
+  // cell-wise mergeable (the a14 property, unchanged), and the decoded
+  // quantile value lo + (qb+1)·(hi−lo)/4096 is the bucket's upper edge —
+  // every number bit-replayable cross-engine (identical IEEE op order).
+
+  /** Exact domain bounds of `events.value` — the frozen mapping config. */
+  private[queries] def doubleBounds(ev: DataFrame): DataFrame =
+    ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+
+  /** events × bounds → (g = event_type, u ∈ [0, 4096)) on the mapped
+    * domain. The textual expression matches the oracle's character for
+    * character so the IEEE double chain is bit-identical cross-engine.
+    */
+  private[queries] def doubleQuantileVals(ev: DataFrame,
+                                          bounds: DataFrame): DataFrame =
+    ev.crossJoin(broadcast(bounds)).select(
+      col("event_type").as("g"),
+      expr("CASE WHEN hi = lo THEN CAST(0 AS BIGINT) ELSE " +
+        "LEAST(CAST(floor((value - lo) / (hi - lo) * 4096.0) AS BIGINT), " +
+        "4095) END").as("u"))
+
+  /** Read side of the double-domain sketch: identical grid machinery to
+    * [[quantileFromGrid]] plus the bucket→value decode; exact-rank guard
+    * runs on the mapped domain (the two-scan contract: mapped ranks are
+    * exact, the only approximation is count-min's one-sided collision
+    * overshoot and the (hi−lo)/4096 value resolution).
+    */
+  private[queries] def doubleQuantileFromGrid(s: SparkSession, d: String,
+                                              merged: DataFrame): DataFrame = {
+    import graft.ops.Sketches
+    val ev = t(s, d, "events")
+    val bounds = doubleBounds(ev)
+    val vals = doubleQuantileVals(ev, bounds)
+    val nodeEst = Sketches.dyadicNodeEst(merged, QBits, QDepth, QWidth)
+    val rankLe = Sketches.dyadicRankLe(nodeEst, QBits)
+    val n = nodeEst.filter(col("lvl") === QBits && col("node") === 0)
+      .select(col("est").as("n"))
+    val tg = n
+      .select(explode(array(Seq(25, 50, 75, 90, 99).map(lit(_)): _*)).as("p"),
+        col("n"))
+      .select(col("p").cast("long").as("pct"),
+        expr("(p * n + 99) div 100").as("target_rank"), col("n"))
+    val qq = rankLe.join(broadcast(tg), col("rank_le") >= col("target_rank"))
+      .groupBy("pct", "target_rank", "n").agg(min(col("vb")).as("q_bucket"))
+    val estAtQ = qq.join(broadcast(rankLe), col("q_bucket") === col("vb"))
+      .select(col("pct"), col("target_rank"), col("n"), col("q_bucket"),
+        col("rank_le").as("est_rank"))
+    val exact = vals.crossJoin(broadcast(qq.select(col("pct").as("pct2"),
+        col("q_bucket").as("qb2"))))
+      .groupBy("pct2")
+      .agg(sum(when(col("u") <= col("qb2"), 1L).otherwise(0L)).as("exact_rank"))
+    estAtQ.join(exact, col("pct") === col("pct2"))
+      .crossJoin(broadcast(bounds))
+      .select(col("pct"), col("target_rank"), col("q_bucket"),
+        expr("lo + CAST(q_bucket + 1 AS DOUBLE) * (hi - lo) / 4096.0")
+          .as("q_value"),
+        col("est_rank"),
+        graft.ops.Bounded.guard(col("exact_rank"),
+          abs(col("exact_rank") - col("target_rank")) * 10 <= col("n"),
+          "double quantile sketch: the quantile's exact mapped rank " +
+            "drifted beyond 10% of N — domain mapping too coarse")
+          .as("exact_rank"),
+        (col("est_rank") >= col("exact_rank")).as("over_ok"))
+      .orderBy("pct")
+  }
+
+  /** The a16 oracle — direct grain-free build over the mapped double
+    * domain; a hash match against any merged per-grain build IS the
+    * merge-exactness proof (the a14 discipline on the lifted domain).
+    * Shared with the streaming twin.
+    */
+  val DoubleQuantileSql: String =
+    """WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+      | v AS (SELECT CASE WHEN hi = lo THEN CAST(0 AS BIGINT) ELSE
+      |          LEAST(CAST(floor((value - lo) / (hi - lo) * 4096.0) AS BIGINT),
+      |          4095) END AS u
+      |        FROM events, b),
+      | lv AS (SELECT unnest(generate_series(0, 12)) AS lvl),
+      | dd AS (SELECT unnest(generate_series(0, 3)) AS d),
+      | cells AS (SELECT lvl, d,
+      |             CAST('0x' || substr(md5(lvl || ':' || (u >> lvl)),
+      |                  1 + d * 3, 3) AS BIGINT) % 256 AS w,
+      |             COUNT(*) AS cnt
+      |           FROM v CROSS JOIN lv CROSS JOIN dd GROUP BY 1, 2, 3),
+      | nodes AS (SELECT lvl, node FROM lv,
+      |             LATERAL (SELECT unnest(generate_series(0, (4096 >> lvl) - 1))
+      |                      AS node) g),
+      | ne AS (SELECT n.lvl, n.node, MIN(COALESCE(c.cnt, 0)) AS est
+      |        FROM nodes n CROSS JOIN dd
+      |        LEFT JOIN cells c ON c.lvl = n.lvl AND c.d = dd.d
+      |          AND c.w = CAST('0x' || substr(md5(n.lvl || ':' || n.node),
+      |                         1 + dd.d * 3, 3) AS BIGINT) % 256
+      |        GROUP BY 1, 2),
+      | vv AS (SELECT unnest(generate_series(0, 4095)) AS vb),
+      | bs AS (SELECT vb, bb FROM vv,
+      |          LATERAL (SELECT unnest(generate_series(0, 12)) AS bb) g
+      |        WHERE ((vb + 1) >> bb) % 2 = 1),
+      | rk AS (SELECT s.vb, CAST(SUM(ne.est) AS BIGINT) AS rank_le
+      |        FROM bs s JOIN ne ON ne.lvl = s.bb
+      |          AND ne.node = 2 * ((s.vb + 1) >> (s.bb + 1))
+      |        GROUP BY 1),
+      | nt AS (SELECT COUNT(*) AS n FROM v),
+      | tg AS (SELECT CAST(p AS BIGINT) AS pct, (p * n + 99) // 100 AS target_rank, n
+      |        FROM (VALUES (25), (50), (75), (90), (99)) t(p) CROSS JOIN nt),
+      | qq AS (SELECT pct, target_rank, n, MIN(vb) AS q_bucket
+      |        FROM tg JOIN rk ON rk.rank_le >= tg.target_rank GROUP BY 1, 2, 3),
+      | er AS (SELECT q.pct AS pct,
+      |               CAST(SUM(CASE WHEN v.u <= q.q_bucket THEN 1 ELSE 0 END)
+      |                    AS BIGINT) AS exact_rank
+      |        FROM v CROSS JOIN qq q GROUP BY 1)
+      | SELECT q.pct AS pct, CAST(q.target_rank AS BIGINT) AS target_rank,
+      |        CAST(q.q_bucket AS BIGINT) AS q_bucket,
+      |        lo + CAST(q.q_bucket + 1 AS DOUBLE) * (hi - lo) / 4096.0 AS q_value,
+      |        rk.rank_le AS est_rank, er.exact_rank AS exact_rank,
+      |        rk.rank_le >= er.exact_rank AS over_ok
+      | FROM qq q JOIN rk ON rk.vb = q.q_bucket JOIN er ON er.pct = q.pct
+      | CROSS JOIN b
+      | ORDER BY 1""".stripMargin
+
   // ---- g_louvain / g_louvain2 shared plumbing -----------------------------
 
   /** The successor graph both Louvain entries (and g_label_prop) run on. */
@@ -1290,6 +1417,26 @@ object GraphQueries {
         |        CAST(q.q_bucket AS BIGINT) AS q_bucket, er.exact_rank
         | FROM qq q JOIN er ON er.g = q.g AND er.pct = q.pct
         | ORDER BY 1, 2""".stripMargin),
+
+    // ---- GENERAL-DOMAIN quantile sketch over doubles ----------------------
+    // lifts a14's fixed integer universe to arbitrary doubles with the
+    // two-scan range mapping (exact bounds pass → frozen 2^12 grid); the
+    // merge-exactness proof is cross-engine as in a14 — Spark builds the
+    // grid PER EVENT TYPE and merges cell-wise, the oracle builds it
+    // directly over the whole corpus, and every downstream number (node
+    // estimates, ranks, picked buckets, DECODED double values) flows from
+    // the grid, so the hash match holds iff merged == direct. The decoded
+    // q_value is IEEE-bit-identical cross-engine (same op order on the
+    // same lo/hi/q_bucket).
+    ("a16_double_quantiles",
+      (s, d) => {
+        import graft.ops.Sketches
+        val ev = t(s, d, "events")
+        val vals = doubleQuantileVals(ev, doubleBounds(ev))
+        val perType = Sketches.dyadicCells(vals, "u", QBits, QDepth, QWidth, Seq("g"))
+        doubleQuantileFromGrid(s, d, Sketches.dyadicMerge(perType))
+      },
+      DoubleQuantileSql),
 
     // ---- strongly connected components (directed) -----------------------
     // the structure undirected CC cannot see: 3-cycles ("rings") bridged

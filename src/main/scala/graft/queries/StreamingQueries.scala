@@ -770,6 +770,59 @@ object StreamingQueries {
         |   AND jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
         | ORDER BY key_ref, key_in""".stripMargin),
 
+    // ---- streaming sorted-neighborhood ER (the 29th twin) ----------------
+    // the ingest-time twin of j10 — the PRODUCTION linear ER shape —
+    // against j10's whole-corpus rank-window ORACLE: inserts SHIFT ranks
+    // (creating and retiring window pairs), so convergence to the batch
+    // answer requires re-deriving exactly the touched blocks per
+    // micro-batch from the converged row store (versioned, replay-
+    // idempotent; see StreamingIngest.processSortedErBatch). The even-key
+    // half of part arrives first, the odd half second — every block's
+    // final pair set must equal the full-corpus SNM pairing, retired
+    // batch-1 pairs included (rows whose batch-1 rank distance was ≤ w
+    // but whose converged distance exceeds it must NOT surface).
+    ("stream_sorted_er",
+      (s, d) => {
+        val part = s.read.parquet(s"$d/part.parquet")
+          .select("p_partkey", "p_name", "p_brand")
+        val base = scratchDir("graft-snm-stream")
+        try {
+          val in = base.resolve("in")
+          java.nio.file.Files.createDirectories(in)
+          part.filter(col("p_partkey") % 2 === 0).coalesce(4).write.parquet(s"$in/b1")
+          val schema = s.read.parquet(s"$in/b1").schema
+          withStreamShuffle(s, parts = 0) {
+            val stream = s.readStream.schema(schema)
+              .option("recursiveFileLookup", "true").parquet(in.toString)
+            val q = StreamingIngest.startSortedErStream(stream,
+              s"$base/rows", s"$base/pairs", s"$base/touched", s"$base/ckpt",
+              blockCol = "p_brand", keyCol = "p_partkey",
+              nameCol = "p_name", minSim = 0.9, window = 10)
+            try {
+              q.processAllAvailable()
+              part.filter(col("p_partkey") % 2 === 1).coalesce(4).write.parquet(s"$in/b2")
+              q.processAllAvailable()
+            } finally q.stop()
+          }
+          StreamingIngest.sortedErResult(s, s"$base/pairs", s"$base/touched",
+              "p_brand")
+            .select("p_brand", "key_a", "key_b", "name_a", "name_b", "sim")
+            .orderBy("key_a", "key_b")
+            .localCheckpoint(true)
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      },
+      """WITH r AS (SELECT p_brand, p_partkey, p_name,
+        |        ROW_NUMBER() OVER (PARTITION BY p_brand
+        |                           ORDER BY p_name, p_partkey) AS rn
+        |      FROM part)
+        | SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |        a.p_name AS name_a, b.p_name AS name_b,
+        |        jaro_winkler_similarity(a.p_name, b.p_name) AS sim
+        | FROM r a JOIN r b
+        |   ON a.p_brand = b.p_brand AND b.rn BETWEEN a.rn + 1 AND a.rn + 10
+        | WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
+        | ORDER BY key_a, key_b""".stripMargin),
+
     // ---- streaming first/last-touch attribution -------------------------
     // the continuous-marketing twin: events replayed in two EVENT-TIME-
     // ORDERED micro-batches (split at the median ts); batch-2 purchases
@@ -920,6 +973,62 @@ object StreamingQueries {
         GraphQueries.quantileFromGrid(s, d, grid)
       },
       GraphQueries.QuantileSketchSql),
+
+    // ---- streaming GENERAL-DOMAIN quantile sketch (doubles) --------------
+    // the twin of a16, against a16's ORACLE: the two-scan range mapping
+    // streams under FROZEN bounds — the domain config is computed ONCE,
+    // batch-side, over the corpus (in production: a profiling pass or an
+    // SLA constant fixes lo/hi before the stream starts; per-batch bounds
+    // would re-map already-folded cells and break cell-wise mergeability —
+    // the same frozen-quantizer discipline sim_ivf_append pins for PQ
+    // codebooks). Under a frozen mapping each micro-batch's grid is plain
+    // sums, so the fold is exact and the converged grid must hash-match
+    // the direct whole-corpus build, decoded double values included.
+    ("stream_double_quantiles",
+      (s, d) => {
+        val staged = stagedEvents(s, d)
+        val base = scratchDir("graft-stream-dquant")
+        val grid = withStreamShuffle(s, parts = 0) {
+          val in = base.resolve("in")
+          linkBatch(staged.b1, in.resolve("b1"))
+          val schema = s.read.parquet(s"$in/b1").schema
+          val store = base.resolve("grid").toString
+          // frozen mapping config: exact corpus bounds, one tiny frame
+          val bounds = GraphQueries.doubleBounds(
+            s.read.parquet(s"$d/events.parquet")).persist()
+          bounds.count()
+          @volatile var version = 0
+          val q = s.readStream.schema(schema)
+            .option("recursiveFileLookup", "true").parquet(in.toString)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", base.resolve("ckpt").toString)
+            .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                             _: Long) =>
+              if (!batch.isEmpty) {
+                val next = version + 1
+                val vals = GraphQueries.doubleQuantileVals(batch.toDF(), bounds)
+                  .select(col("u"))
+                val cells = graft.ops.Sketches.dyadicCells(vals, "u",
+                  GraphQueries.QBits, GraphQueries.QDepth, GraphQueries.QWidth)
+                val merged =
+                  if (version == 0) cells
+                  else graft.ops.Sketches.dyadicMerge(
+                    s.read.parquet(s"$store/v=$version").unionByName(cells))
+                merged.write.parquet(s"$store/v=$next")
+                version = next
+              }
+            }
+            .start()
+          try {
+            q.processAllAvailable()
+            linkBatch(staged.b2, in.resolve("b2"))
+            q.processAllAvailable()
+          } finally { q.stop(); bounds.unpersist() }
+          s.read.parquet(s"${base.resolve("grid")}/v=$version")
+        }
+        GraphQueries.doubleQuantileFromGrid(s, d, grid)
+      },
+      GraphQueries.DoubleQuantileSql),
 
     // ---- streaming grouped top-k (heap buffer as state) -----------------
     // the 16th twin, against w4's window-formulation ORACLE: the native

@@ -288,6 +288,74 @@ object StreamingIngest {
     } finally { inc.unpersist(); () }
   }
 
+  /** Streaming SORTED-NEIGHBORHOOD entity resolution — the ingest-time
+    * twin of the linear ER shape. The maintenance problem is RANK SHIFT:
+    * a new row in a block moves the rank of every row sorting after it,
+    * which both CREATES window pairs (the new row's neighborhood) and
+    * RETIRES old ones (two rows pushed beyond `window` positions apart),
+    * so incremental emission alone can never converge to the batch
+    * answer. The correct bounded unit is the BLOCK: each micro-batch
+    * folds its rows into a per-batch row store, re-derives the pair set
+    * of exactly the TOUCHED blocks from the converged rows, and versions
+    * it under `batch=<id>` beside a touched-block manifest — all writes
+    * idempotent per batchId (foreachBatch replay-safe). The converged
+    * answer (latest version per block, [[sortedErResult]]) is identical
+    * to batch [[graft.ops.EntityResolution.sortedNeighborhoodPairs]]
+    * over the full corpus; per-batch work is Σ|touched block| · window —
+    * bounded, because SNM exists for FIXED-CARDINALITY blocking keys
+    * (each block re-pairs in linear time, and only when it changes).
+    */
+  def startSortedErStream(entities: DataFrame, rowStoreDir: String,
+                          pairsDir: String, manifestDir: String,
+                          checkpointDir: String, blockCol: String,
+                          keyCol: String, nameCol: String, minSim: Double,
+                          window: Int): StreamingQuery =
+    entities.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processSortedErBatch(batch, batchId, rowStoreDir, pairsDir,
+          manifestDir, blockCol, keyCol, nameCol, minSim, window)
+      }
+      .start()
+
+  /** One micro-batch of the sorted-ER maintenance loop (exposed for the
+    * replay contract, like [[processEntityMatchBatch]]).
+    */
+  private[graft] def processSortedErBatch(batch: DataFrame, batchId: Long,
+      rowStoreDir: String, pairsDir: String, manifestDir: String,
+      blockCol: String, keyCol: String, nameCol: String,
+      minSim: Double, window: Int): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val inc = batch.select(Seq(blockCol, keyCol, nameCol).map(col): _*)
+      .localCheckpoint(true)
+    try {
+      inc.write.mode("overwrite").parquet(s"$rowStoreDir/batch=$batchId")
+      val touched = inc.select(col(blockCol)).distinct().localCheckpoint(true)
+      // converged rows (this batch included) of the touched blocks only —
+      // the store reads back with `batch` as an inferred partition column
+      val rows = spark.read.parquet(rowStoreDir).drop("batch")
+        .join(broadcast(touched), Seq(blockCol))
+      val pairs = graft.ops.EntityResolution.sortedNeighborhoodPairs(
+        rows, Seq(blockCol), keyCol, nameCol, minSim, window)
+      pairs.write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+      touched.write.mode("overwrite").parquet(s"$manifestDir/batch=$batchId")
+    } finally { inc.unpersist(); () }
+  }
+
+  /** Converged sorted-ER answer: each block's pairs from the LATEST batch
+    * that touched it (older versions are superseded whole-block).
+    */
+  def sortedErResult(spark: org.apache.spark.sql.SparkSession,
+                     pairsDir: String, manifestDir: String,
+                     blockCol: String): DataFrame = {
+    val latest = spark.read.parquet(manifestDir)
+      .groupBy(col(blockCol)).agg(max(col("batch")).as("batch"))
+    spark.read.parquet(pairsDir)
+      .join(broadcast(latest), Seq(blockCol, "batch"))
+      .drop("batch")
+  }
+
   /** Streaming benchmark decontamination: the bloom probe
     * ([[graft.functions.BloomCountContaminatedExpr]]) is a stateless
     * map-side filter — no shuffle, no watermark, no state store — so the
