@@ -162,6 +162,17 @@ object PlanDump {
     // (block, rank) with bounded fan-out — a Cartesian would mean the
     // rank-explode collapsed back into a block × block product
     "j10_sorted_neighborhood_er" -> (Seq("Join"), Seq("CartesianProduct")),
+    // scalable-rank SNM: the stitched-offsets frame carries an explicit
+    // broadcast hint (bounded by blocks + chunks incidences); the pair
+    // join's strategy is size-dependent and left to the planner
+    "j11_snm_scalable_rank" -> (Seq("BroadcastHashJoin"), Seq("CartesianProduct")),
+    // maximal-run substring dedup: all joins keyed (gram md5 / (id, pos));
+    // nothing may plan cartesian at any SF
+    "d23_substring_dedup" -> (Seq("Join"), Seq("CartesianProduct")),
+    // double quantiles: the 1-row bounds frame rides BNLJ crossJoins (the
+    // a7 discipline); grid joins broadcast; no cartesian
+    "a16_double_quantiles" -> (Seq("BroadcastNestedLoopJoin", "BroadcastHashJoin"),
+      Seq("CartesianProduct")),
     // Q9: three pure broadcast dims + the orders equi-join, one fact scan
     "q9_product_profit" -> (Seq("BroadcastHashJoin"), Seq("CartesianProduct")),
     // Q12/Q13: fact⋈fact equi-joins — broadcast at audit SF, SMJ at
