@@ -114,6 +114,39 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
   }
 
+  test("sorted-ER batches retire rank-shifted pairs and replay idempotently") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-snm-batch")
+    val rows = s"$base/rows"; val pairs = s"$base/pairs"; val man = s"$base/man"
+    def result() = StreamingIngest.sortedErResult(spark, pairs, man, "blk")
+      .collect().map(r => (r.getAs[Long]("key_a"), r.getAs[Long]("key_b"))).toSet
+    try {
+      // batch 0: names aa/ab sort adjacent; window=1 pairs them
+      val b0 = Seq(("US", 1L, "aa acme"), ("US", 2L, "ab acme")).toDF("blk", "id", "nm")
+      StreamingIngest.processSortedErBatch(b0, 0L, rows, pairs, man,
+        "blk", "id", "nm", minSim = 0.0, window = 1)
+      assert(result() == Set((1L, 2L)))
+      // batch 1 inserts "aab ..." BETWEEN them: ranks shift, (1,2) is now
+      // 2 apart and must RETIRE — incremental emission could never undo it
+      val b1 = Seq(("US", 3L, "aab acme")).toDF("blk", "id", "nm")
+      StreamingIngest.processSortedErBatch(b1, 1L, rows, pairs, man,
+        "blk", "id", "nm", minSim = 0.0, window = 1)
+      assert(result() == Set((1L, 3L), (3L, 2L)))
+      // REPLAY batch 1 (at-least-once delivery): overwrite-per-batchId
+      // keeps every store idempotent — result and row store unchanged
+      StreamingIngest.processSortedErBatch(b1, 1L, rows, pairs, man,
+        "blk", "id", "nm", minSim = 0.0, window = 1)
+      assert(result() == Set((1L, 3L), (3L, 2L)))
+      assert(spark.read.parquet(rows).count() == 3)
+      // an untouched block keeps its prior version: batch 2 touches DE
+      // only, US pairs must survive the latest-version-per-block assembly
+      val b2 = Seq(("DE", 7L, "aa acme"), ("DE", 8L, "ab acme")).toDF("blk", "id", "nm")
+      StreamingIngest.processSortedErBatch(b2, 2L, rows, pairs, man,
+        "blk", "id", "nm", minSim = 0.0, window = 1)
+      assert(result() == Set((1L, 3L), (3L, 2L), (7L, 8L)))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
   test("near-dup store rejects a legacy flat layout instead of skipping its history") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-legacy")
