@@ -184,7 +184,23 @@ object EntityResolution {
                  orderCols: Seq[String]): DataFrame = {
     require(orderCols.nonEmpty, "blockRanks needs at least one order column")
     val sortCols = (blockCols ++ orderCols).map(col)
-    val chunked = df.repartitionByRange(sortCols: _*)
+    // EXPLICIT partition count: the local-rank branch and the offsets
+    // branch join on (block, __chunk), so both must see the IDENTICAL
+    // chunk assignment. AQE's exchange-stage reuse serves both from one
+    // shuffle in practice, but a recomputed exchange with an ADVISORY
+    // partition count could be coalesced differently per branch and
+    // corrupt ranks silently — pinning the count (REPARTITION_BY_NUM,
+    // which AQE may not change) plus RangePartitioner's deterministic
+    // bound sampling makes the assignment equal BY CONTRACT, reuse or not.
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    // a NULL block key would never match the offsets join (SQL equality)
+    // and emit a null rank with no error — fail map-side instead (the
+    // removeDuplicateSpans null-id idiom; guard works on any column type)
+    val guarded = blockCols.foldLeft(df)((d, c) =>
+      d.withColumn(c, when(col(c).isNull, raise_error(lit(
+        s"blockRanks: null blocking column $c — ranks need non-null blocks")))
+        .otherwise(col(c))))
+    val chunked = guarded.repartitionByRange(parts, sortCols: _*)
       .withColumn("__chunk", spark_partition_id())
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy((blockCols :+ "__chunk").map(col): _*)

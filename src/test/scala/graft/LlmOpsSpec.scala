@@ -987,6 +987,14 @@ class LlmOpsSpec extends AnyFunSuite {
       .select("blk", "id", "__rn")
     assert(got.count() == 600L)
     assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+    // a null block key would silently miss the offsets join -> must FAIL
+    val withNull = rows.toDF("blk", "id", "name")
+      .withColumn("blk", when(col("id") === 7L, lit(null)).otherwise(col("blk")))
+    val ex = intercept[Exception](
+      EntityResolution.blockRanks(withNull, Seq("blk"), Seq("name", "id")).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("null blocking column")))
   }
 
   test("sortedNeighborhoodPairs: scalableRank path emits identical pairs") {
