@@ -835,7 +835,8 @@ object Dedup {
     */
   private def coveredPositions(docs: DataFrame, spanTokens: Int,
                                textCol: String, idCol: String,
-                               what: String): DataFrame = {
+                               what: String,
+                               dupGramsOverride: Option[DataFrame] = None): DataFrame = {
     require(spanTokens >= 2, s"spanTokens must be >= 2: got $spanTokens")
     val k = spanTokens
     val id = when(col(idCol).isNull, raise_error(lit(
@@ -847,7 +848,13 @@ object Dedup {
     val grams = docs.select(id.as("id"),
         graft.functions.WordShingles.wordShinglesWithPos(text, k).as(Seq("pos", "gram")))
       .withColumn("gram", md5(col("gram"))) // fixed-width uniform shuffle key
-    val dupGrams = grams.groupBy("gram").agg(count(lit(1)).as("df")).filter(col("df") >= 2)
+    // the duplicated-gram set normally derives from `docs` itself; a
+    // caller maintaining gram counts INCREMENTALLY (the streaming twin —
+    // occurrence counts are additive across disjoint doc batches) passes
+    // its converged (gram) frame instead
+    val dupGrams = dupGramsOverride.map(_.select(col("gram"))).getOrElse(
+      grams.groupBy("gram").agg(count(lit(1)).as("df")).filter(col("df") >= 2)
+        .select(col("gram")))
     val dupStarts = grams.join(dupGrams, Seq("gram"))
       .select(col("id"), col("pos"), lit(1).as("dup"))
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
@@ -893,9 +900,10 @@ object Dedup {
     * keyed by fixed-width md5.
     */
   def duplicateSpanExtents(docs: DataFrame, spanTokens: Int = 10,
-                           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                           textCol: String = "text", idCol: String = "doc_id",
+                           dupGrams: Option[DataFrame] = None): DataFrame = {
     val flagged = coveredPositions(docs, spanTokens, textCol, idCol,
-      "duplicateSpanExtents")
+      "duplicateSpanExtents", dupGrams)
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
     val spans = flagged
       .withColumn("span_id", sum(col("span_start")).over(byDoc))
@@ -915,6 +923,27 @@ object Dedup {
       .withColumn("n_same_span", count(lit(1)).over(bySpanText))
       .select(col("id").as(idCol), col("span_pos_first"), col("span_pos_last"),
         col("span_len"), col("n_same_span"), col("span_text"))
+  }
+
+  /** (gram, cnt) occurrence counts of a doc batch under the IDENTICAL gram
+    * definition [[coveredPositions]] uses (md5 of positional word
+    * k-shingles over null-folded text) — the additive state of the
+    * streaming substring-dedup twin: occurrence counts over disjoint doc
+    * batches SUM to the corpus counts, so the converged store's
+    * `cnt >= 2` grams equal the batch-derived duplicated-gram set exactly.
+    */
+  def spanGramCounts(docs: DataFrame, spanTokens: Int,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens must be >= 2: got $spanTokens")
+    val id = when(col(idCol).isNull, raise_error(lit(
+      s"spanGramCounts: null $idCol — span dedup needs non-null document ids")))
+      .otherwise(col(idCol))
+    val text = coalesce(col(textCol), lit(""))
+    docs.select(id.as("id"),
+        graft.functions.WordShingles.wordShinglesWithPos(text, spanTokens)
+          .as(Seq("pos", "gram")))
+      .select(md5(col("gram")).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
   }
 
   /** Edit-distance verification tier over candidate pairs: fetch both texts

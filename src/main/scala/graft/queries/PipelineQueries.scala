@@ -28,6 +28,43 @@ object PipelineQueries {
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** The d23 maximal-run substring-dedup oracle — replays the whole chain
+    * (k-gram marking, coverage, island numbering, per-island extents +
+    * text, same-text window count) directly in SQL. Shared verbatim by
+    * the streaming twin (`stream_substring_dedup`), whose converged
+    * gram-count state must yield the identical span set.
+    */
+  val SubstringDedupSql: String =
+    """WITH w AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS words FROM documents),
+      | wp AS (SELECT doc_id, i - 1 AS pos, words[i] AS word
+      |        FROM w, LATERAL (SELECT unnest(generate_series(1, len(w.words))) AS i) g),
+      | gr AS (SELECT doc_id, i - 1 AS pos, md5(array_to_string(words[i:i+7], ' ')) AS gram
+      |        FROM w, LATERAL (SELECT unnest(generate_series(1,
+      |               greatest(len(w.words) - 7, 0))) AS i) g),
+      | dfx AS (SELECT gram FROM gr GROUP BY gram HAVING COUNT(*) >= 2),
+      | ds AS (SELECT gr.doc_id, gr.pos, 1 AS dup FROM gr JOIN dfx USING (gram)),
+      | fl AS (SELECT wp.doc_id, wp.pos, wp.word, COALESCE(ds.dup, 0) AS dup
+      |        FROM wp LEFT JOIN ds ON wp.doc_id = ds.doc_id AND wp.pos = ds.pos),
+      | cov AS (SELECT doc_id, pos, word,
+      |                MAX(dup) OVER (PARTITION BY doc_id ORDER BY pos
+      |                  RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered
+      |         FROM fl),
+      | isl AS (SELECT *, CASE WHEN covered = 1 AND COALESCE(LAG(covered) OVER (
+      |                 PARTITION BY doc_id ORDER BY pos), 0) = 0 THEN 1 ELSE 0 END AS span_start
+      |         FROM cov),
+      | sid AS (SELECT *, SUM(span_start) OVER (PARTITION BY doc_id ORDER BY pos)
+      |                 AS span_id FROM isl),
+      | sp AS (SELECT doc_id, span_id,
+      |               CAST(MIN(pos) AS BIGINT) AS span_pos_first,
+      |               CAST(MAX(pos) AS BIGINT) AS span_pos_last,
+      |               COUNT(*) AS span_len,
+      |               string_agg(word, ' ' ORDER BY pos) AS span_text
+      |        FROM sid WHERE covered = 1 GROUP BY doc_id, span_id)
+      | SELECT doc_id, span_pos_first, span_pos_last, span_len,
+      |        COUNT(*) OVER (PARTITION BY md5(span_text)) AS n_same_span,
+      |        span_text
+      | FROM sp ORDER BY doc_id, span_pos_first""".stripMargin
+
   /** The d11 bloom-decontamination oracle: re-derives the bit positions
     * ((h1 + i·h2) mod 2^16 on md5-prefix ints) so survivors — including
     * every deterministic false positive — hash-match. Shared with the
@@ -3247,35 +3284,7 @@ object PipelineQueries {
       (s, d) => graft.llm.Dedup.duplicateSpanExtents(
           spread(t(s, d, "documents")), spanTokens = 8)
         .orderBy("doc_id", "span_pos_first"),
-      """WITH w AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS words FROM documents),
-        | wp AS (SELECT doc_id, i - 1 AS pos, words[i] AS word
-        |        FROM w, LATERAL (SELECT unnest(generate_series(1, len(w.words))) AS i) g),
-        | gr AS (SELECT doc_id, i - 1 AS pos, md5(array_to_string(words[i:i+7], ' ')) AS gram
-        |        FROM w, LATERAL (SELECT unnest(generate_series(1,
-        |               greatest(len(w.words) - 7, 0))) AS i) g),
-        | dfx AS (SELECT gram FROM gr GROUP BY gram HAVING COUNT(*) >= 2),
-        | ds AS (SELECT gr.doc_id, gr.pos, 1 AS dup FROM gr JOIN dfx USING (gram)),
-        | fl AS (SELECT wp.doc_id, wp.pos, wp.word, COALESCE(ds.dup, 0) AS dup
-        |        FROM wp LEFT JOIN ds ON wp.doc_id = ds.doc_id AND wp.pos = ds.pos),
-        | cov AS (SELECT doc_id, pos, word,
-        |                MAX(dup) OVER (PARTITION BY doc_id ORDER BY pos
-        |                  RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered
-        |         FROM fl),
-        | isl AS (SELECT *, CASE WHEN covered = 1 AND COALESCE(LAG(covered) OVER (
-        |                 PARTITION BY doc_id ORDER BY pos), 0) = 0 THEN 1 ELSE 0 END AS span_start
-        |         FROM cov),
-        | sid AS (SELECT *, SUM(span_start) OVER (PARTITION BY doc_id ORDER BY pos)
-        |                 AS span_id FROM isl),
-        | sp AS (SELECT doc_id, span_id,
-        |               CAST(MIN(pos) AS BIGINT) AS span_pos_first,
-        |               CAST(MAX(pos) AS BIGINT) AS span_pos_last,
-        |               COUNT(*) AS span_len,
-        |               string_agg(word, ' ' ORDER BY pos) AS span_text
-        |        FROM sid WHERE covered = 1 GROUP BY doc_id, span_id)
-        | SELECT doc_id, span_pos_first, span_pos_last, span_len,
-        |        COUNT(*) OVER (PARTITION BY md5(span_text)) AS n_same_span,
-        |        span_text
-        | FROM sp ORDER BY doc_id, span_pos_first""".stripMargin),
+      SubstringDedupSql),
 
     // ---- within-doc repetition signals (Gopher-style quality filters) ---
     ("t_repetition_stats",

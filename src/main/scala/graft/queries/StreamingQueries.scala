@@ -1030,6 +1030,67 @@ object StreamingQueries {
       },
       GraphQueries.DoubleQuantileSql),
 
+    // ---- streaming exact substring dedup (the 30th twin) -----------------
+    // the twin of d23, against d23's ORACLE: the global knowledge exact
+    // substring dedup needs is the corpus-wide GRAM OCCURRENCE COUNT, and
+    // counts over disjoint doc batches are ADDITIVE — so each micro-batch
+    // folds its (gram, cnt) cells into a versioned store (one grouped sum,
+    // idempotent per version) while the raw docs land beside it, and the
+    // converged `cnt >= 2` gram set IS the batch-derived duplicated-gram
+    // set exactly. The read side re-derives the maximal spans from the
+    // converged state (duplicateSpanExtents with the dupGrams override) —
+    // the stream_quantile discipline: state carries the expensive global
+    // pass, the result is served from state + stored corpus, and the
+    // whole span set must hash-match the whole-corpus oracle. This is the
+    // shape an ingest-time pretraining pipeline runs: gram counts update
+    // as shards land; re-cutting any shard needs no corpus rescan.
+    ("stream_substring_dedup",
+      (s, d) => {
+        val staged = stagedDocs(s, d)
+        val base = scratchDir("graft-stream-substr")
+        val k = 8
+        val (grams, docsDf) = withStreamShuffle(s, parts = 0) {
+          val in = base.resolve("in")
+          linkBatch(staged.b1, in.resolve("b1"))
+          val schema = s.read.parquet(s"$in/b1").schema
+          val gstore = base.resolve("grams").toString
+          val dstore = base.resolve("docs").toString
+          @volatile var version = 0
+          val q = s.readStream.schema(schema)
+            .option("recursiveFileLookup", "true").parquet(in.toString)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", base.resolve("ckpt").toString)
+            .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                             batchId: Long) =>
+              if (!batch.isEmpty) {
+                val next = version + 1
+                batch.toDF().select("doc_id", "text")
+                  .write.mode("overwrite").parquet(s"$dstore/batch=$batchId")
+                val cells = graft.llm.Dedup.spanGramCounts(batch.toDF(), k)
+                val merged =
+                  if (version == 0) cells
+                  else s.read.parquet(s"$gstore/v=$version").unionByName(cells)
+                    .groupBy("gram").agg(sum(col("cnt")).as("cnt"))
+                merged.write.parquet(s"$gstore/v=$next")
+                version = next
+              }
+            }
+            .start()
+          try {
+            q.processAllAvailable()
+            linkBatch(staged.b2, in.resolve("b2"))
+            q.processAllAvailable()
+          } finally q.stop()
+          (s.read.parquet(s"$gstore/v=$version").filter(col("cnt") >= 2),
+            s.read.parquet(dstore).drop("batch"))
+        }
+        graft.llm.Dedup.duplicateSpanExtents(docsDf, spanTokens = k,
+            dupGrams = Some(grams))
+          .orderBy("doc_id", "span_pos_first")
+          .localCheckpoint(true)
+      },
+      PipelineQueries.SubstringDedupSql),
+
     // ---- streaming grouped top-k (heap buffer as state) -----------------
     // the 16th twin, against w4's window-formulation ORACLE: the native
     // top_k TypedImperativeAggregate is mergeable, so in a streaming
