@@ -1452,11 +1452,19 @@ object GraphQueries {
       (s, d) => {
         val n = math.min(t(s, d, "orders").count(), 2000L)
         val r = s.range(n).select(col("id").as("r"))
+        // a 12-vertex acyclic CHAIN feeding ring 0 (round 14): every chain
+        // vertex is a singleton SCC, and the chain is exactly the fringe
+        // shape the trim pass peels — the registry entry now exercises
+        // trim + FW-BW together, hash-checked against the closure oracle
+        val ch = s.range(11).select((col("id") + lit(3L * n)).as("src"),
+          (col("id") + lit(3L * n) + 1).as("dst"))
+        val chTail = s.range(1).select(lit(3L * n + 11).as("src"), lit(0L).as("dst"))
         val e = r.select((col("r") * 3).as("src"), (col("r") * 3 + 1).as("dst"))
           .unionAll(r.select((col("r") * 3 + 1).as("src"), (col("r") * 3 + 2).as("dst")))
           .unionAll(r.select((col("r") * 3 + 2).as("src"), (col("r") * 3).as("dst")))
           .unionAll(r.filter(col("r") % 2 === 0 && col("r") < n - 1)
             .select((col("r") * 3 + 2).as("src"), ((col("r") + 1) * 3).as("dst")))
+          .unionAll(ch).unionAll(chTail)
         graft.ops.GraphTraversal.stronglyConnectedComponents(e).orderBy("id")
       },
       """WITH RECURSIVE nn AS (SELECT LEAST(COUNT(*), 2000) AS n FROM orders),
@@ -1465,7 +1473,10 @@ object GraphQueries {
         |       UNION ALL SELECT r*3+1, r*3+2 FROM r
         |       UNION ALL SELECT r*3+2, r*3 FROM r
         |       UNION ALL SELECT r*3+2, (r+1)*3 FROM r
-        |         WHERE r % 2 = 0 AND r < (SELECT n FROM nn) - 1),
+        |         WHERE r % 2 = 0 AND r < (SELECT n FROM nn) - 1
+        |       UNION ALL SELECT 3*(SELECT n FROM nn) + j, 3*(SELECT n FROM nn) + j + 1
+        |         FROM (SELECT unnest(generate_series(0, 10)) AS j)
+        |       UNION ALL SELECT 3*(SELECT n FROM nn) + 11, 0),
         | v AS (SELECT DISTINCT src AS id FROM e UNION SELECT dst FROM e),
         | reach AS (SELECT src, dst FROM e
         |           UNION SELECT rc.src, e.dst FROM reach rc JOIN e ON rc.dst = e.src),

@@ -157,6 +157,30 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(spans.keySet == stats.filter(_._2._1 > 0).keySet)
   }
 
+  test("spanGramCounts state is additive and definition-identical to the internal marking") {
+    // the streaming twin's contract: gram counts over disjoint batches SUM
+    // to the corpus counts, and spans derived from the folded cnt>=2 set
+    // (the dupGrams override) equal the internal single-pass derivation —
+    // any drift between spanGramCounts' and coveredPositions' gram
+    // definitions would break the twin silently, so pin it on random text
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector("qa", "qb", "qc", "qd", "qe")
+    val docs = (1L to 24L).map { i =>
+      (i, Vector.fill(4 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val b1 = docs.filter(col("doc_id") <= 12L)
+    val b2 = docs.filter(col("doc_id") > 12L)
+    val folded = Dedup.spanGramCounts(b1, 3).unionByName(Dedup.spanGramCounts(b2, 3))
+      .groupBy("gram").agg(sum("cnt").as("cnt"))
+    val whole = Dedup.spanGramCounts(docs, 3)
+    assert(folded.except(whole).count() == 0 && whole.except(folded).count() == 0)
+    val viaState = Dedup.duplicateSpanExtents(docs, 3,
+      dupGrams = Some(folded.filter(col("cnt") >= 2)))
+    val direct = Dedup.duplicateSpanExtents(docs, 3)
+    assert(direct.count() > 0)
+    assert(viaState.except(direct).count() == 0 && direct.except(viaState).count() == 0)
+  }
+
   test("removeDuplicateSpans matches a naive driver-side reference on random corpora") {
     // independent re-implementation: brute-force gram counting + interval
     // merge over plain Scala collections, compared field-by-field
