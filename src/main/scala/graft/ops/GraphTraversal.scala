@@ -957,7 +957,16 @@ object GraphTraversal {
     while (nRem > 0 && outer < maxOuter) {
       // trim to fixpoint: each iteration peels the current degree-0 fringe
       // (in OR out), which exposes the next — one count per iteration,
-      // exits on the first empty peel (cycles-only cores trim nothing)
+      // exits on the first empty peel. The common case (cycles-only
+      // remainder, trim finds nothing) pays ONE cheap two-anti-join check
+      // per outer round; a batched multi-peel variant was tried and
+      // REVERTED — on the tiny remaining-graph frames these loops produce
+      // the cost is join-STAGE count, not materialization count, and
+      // batching doubled the empty-check's plan for zero stage savings.
+      // A pure chain inherently peels one vertex per iteration (only its
+      // head is degree-0), so trim cost on chains is length-proportional
+      // by construction — WIDE fringes (source/sink trees, the real-world
+      // shape) peel a full layer per iteration, which is where trim pays.
       var t = 0
       var peeled = true
       while (peeled && t < maxTrim && nRem > 0) {

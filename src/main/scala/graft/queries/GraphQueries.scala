@@ -1452,13 +1452,17 @@ object GraphQueries {
       (s, d) => {
         val n = math.min(t(s, d, "orders").count(), 2000L)
         val r = s.range(n).select(col("id").as("r"))
-        // a 12-vertex acyclic CHAIN feeding ring 0 (round 14): every chain
+        // a 3-vertex acyclic CHAIN feeding ring 0 (round 14): every chain
         // vertex is a singleton SCC, and the chain is exactly the fringe
         // shape the trim pass peels — the registry entry now exercises
-        // trim + FW-BW together, hash-checked against the closure oracle
-        val ch = s.range(11).select((col("id") + lit(3L * n)).as("src"),
+        // trim + FW-BW together, hash-checked against the closure oracle.
+        // (3, not longer: a chain peels head-only, one vertex per trim
+        // iteration, so its length prices the entry's wall in driver
+        // round-trips — the 50-link worst case lives in the spec, where
+        // the alternative is a maxOuter overflow, not wall.)
+        val ch = s.range(2).select((col("id") + lit(3L * n)).as("src"),
           (col("id") + lit(3L * n) + 1).as("dst"))
-        val chTail = s.range(1).select(lit(3L * n + 11).as("src"), lit(0L).as("dst"))
+        val chTail = s.range(1).select(lit(3L * n + 2).as("src"), lit(0L).as("dst"))
         val e = r.select((col("r") * 3).as("src"), (col("r") * 3 + 1).as("dst"))
           .unionAll(r.select((col("r") * 3 + 1).as("src"), (col("r") * 3 + 2).as("dst")))
           .unionAll(r.select((col("r") * 3 + 2).as("src"), (col("r") * 3).as("dst")))
@@ -1475,8 +1479,8 @@ object GraphQueries {
         |       UNION ALL SELECT r*3+2, (r+1)*3 FROM r
         |         WHERE r % 2 = 0 AND r < (SELECT n FROM nn) - 1
         |       UNION ALL SELECT 3*(SELECT n FROM nn) + j, 3*(SELECT n FROM nn) + j + 1
-        |         FROM (SELECT unnest(generate_series(0, 10)) AS j)
-        |       UNION ALL SELECT 3*(SELECT n FROM nn) + 11, 0),
+        |         FROM (SELECT unnest(generate_series(0, 1)) AS j)
+        |       UNION ALL SELECT 3*(SELECT n FROM nn) + 2, 0),
         | v AS (SELECT DISTINCT src AS id FROM e UNION SELECT dst FROM e),
         | reach AS (SELECT src, dst FROM e
         |           UNION SELECT rc.src, e.dst FROM reach rc JOIN e ON rc.dst = e.src),

@@ -655,8 +655,9 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == ((0L until 50L).map(v => v -> v) ++
       Seq(50L -> 50L, 51L -> 50L, 52L -> 50L)).toMap)
-    // the reduction, measured: all 50 path vertices trimmed, the cycle is
-    // the only FW-BW work, ONE outer round instead of > 20
+    // the reduction, measured: all 50 path vertices trimmed (a chain
+    // peels head-only, one per iteration), the cycle is the only FW-BW
+    // work, ONE outer round instead of > 20
     assert(st.trimAssigned == 50L && st.fwbwAssigned == 3L)
     assert(st.outerRounds == 1 && st.trimIterations == 50)
     // trim must also peel source/sink TREES hanging off a core (in-deg-0
