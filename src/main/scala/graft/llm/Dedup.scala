@@ -852,7 +852,11 @@ object Dedup {
     // caller maintaining gram counts INCREMENTALLY (the streaming twin —
     // occurrence counts are additive across disjoint doc batches) passes
     // its converged (gram) frame instead
-    val dupGrams = dupGramsOverride.map(_.select(col("gram"))).getOrElse(
+    // the override's gram set is deduplicated HERE (round-14 ADVICE): the
+    // internal path is distinct by construction (groupBy), but an override
+    // frame carrying duplicate gram rows would multiply dupStarts (id, pos)
+    // rows through the join below and silently corrupt every count downstream
+    val dupGrams = dupGramsOverride.map(_.select(col("gram")).distinct()).getOrElse(
       grams.groupBy("gram").agg(count(lit(1)).as("df")).filter(col("df") >= 2)
         .select(col("gram")))
     val dupStarts = grams.join(dupGrams, Seq("gram"))

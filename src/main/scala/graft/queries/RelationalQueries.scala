@@ -82,12 +82,23 @@ object RelationalQueries {
       }
       // drain BEFORE registering so a still-queued event from an earlier
       // action cannot be misattributed to this write; listener delivery
-      // is async, so drain again after the write before reading captures
-      org.apache.spark.GraftListenerBridge.drain(s.sparkContext, 30000)
+      // is async, so drain again after the write before reading captures.
+      // BOTH drains must SUCCEED (round-14 ADVICE): a timed-out pre-drain
+      // can leave a stale queued QueryExecution to be captured after
+      // registration, and a timed-out post-drain can miss the write's own
+      // event — either way the sole-capture fallback below could "prove"
+      // the pin on a plan that is not the write's. An unprovable pin is a
+      // failure, not a maybe.
+      require(org.apache.spark.GraftListenerBridge.drain(s.sparkContext, 30000),
+        s"$what: listener-bus pre-drain timed out — the diamond pin cannot " +
+          "be attributed to the write's own QueryExecution")
       s.listenerManager.register(listener)
       val qe = try {
         top.write.mode("overwrite").parquet(dest)
-        org.apache.spark.GraftListenerBridge.drain(s.sparkContext, 30000)
+        require(org.apache.spark.GraftListenerBridge.drain(s.sparkContext, 30000),
+          s"$what: listener-bus post-drain timed out — the write's " +
+            "QueryExecution may not have been captured; refusing to prove " +
+            "the pin on a possibly-stale capture")
         import scala.jdk.CollectionConverters._
         // the write command's plan names its destination path; fall back
         // to a sole capture (drained-empty bus ⇒ it can only be ours)

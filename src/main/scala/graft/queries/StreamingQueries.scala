@@ -196,6 +196,55 @@ object StreamingQueries {
     s.createDataFrame(s.sparkContext.parallelize(fin.collect().toIndexedSeq), fin.schema)
   }
 
+  /** Versions present in a batchId-keyed fold store (`v=<batchId>` dirs). */
+  private def storeVersions(store: String): Seq[Long] = {
+    val dirs = Option(new java.io.File(store).listFiles()).getOrElse(Array.empty)
+    dirs.toSeq.collect {
+      case f if f.isDirectory && f.getName.startsWith("v=") =>
+        f.getName.drop(2).toLong
+    }
+  }
+
+  /** Fold one micro-batch's ADDITIVE cells frame into a batchId-keyed
+    * versioned store: the cumulative state through batch b is computed
+    * from the latest stored version with id < b plus this batch's cells,
+    * and written with OVERWRITE to `v=b`. Replay-idempotent by
+    * construction — an at-least-once redelivery of batch b re-derives the
+    * identical content from the same `< b` prior and overwrites it
+    * (round-14 ADVICE: the previous @volatile driver-memory version
+    * counter was NOT keyed by batchId, so a replay would have
+    * double-counted the fold — or failed the default ErrorIfExists write —
+    * while the comment claimed idempotence; this is the batchId-keyed
+    * discipline [[graft.streaming.StreamingIngest.processSortedErBatch]]
+    * already follows). The converged state is the max-version dir.
+    */
+  private def foldVersioned(s: SparkSession, store: String, batchId: Long,
+                            cells: DataFrame, keyCols: Seq[String],
+                            cntCol: String): Unit =
+    foldVersionedWith(s, store, batchId) {
+      case None => cells
+      case Some(prior) => prior.unionByName(cells)
+        .groupBy(keyCols.map(col): _*).agg(sum(col(cntCol)).as(cntCol))
+    }
+
+  /** General form of [[foldVersioned]] for non-additive folds (incremental
+    * CC labelings, keyed upserts): `merge` receives the latest state
+    * strictly BEFORE this batch (None on the first) and returns the state
+    * through it; the write is OVERWRITE keyed by batchId, so redelivery
+    * re-derives identical content from the same prior.
+    */
+  private def foldVersionedWith(s: SparkSession, store: String, batchId: Long)
+                               (merge: Option[DataFrame] => DataFrame): Unit = {
+    val prior = storeVersions(store).filter(_ < batchId)
+    val merged = merge(
+      if (prior.isEmpty) None else Some(s.read.parquet(s"$store/v=${prior.max}")))
+    merged.write.mode("overwrite").parquet(s"$store/v=$batchId")
+  }
+
+  /** The converged (max-version) state of a [[foldVersioned]] store. */
+  private def foldConverged(s: SparkSession, store: String): DataFrame =
+    s.read.parquet(s"$store/v=${storeVersions(store).max}")
+
   /** Hardlink every regular file of staged parquet dir `from` into `to`
     * (created). Falls back to copy if the link fails (cross-device). */
   private def linkBatch(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
@@ -403,23 +452,20 @@ object StreamingQueries {
             .coalesce(2).write.parquet(s"$in/b1")
           val schema = s.read.parquet(s"$in/b1").schema
           val store = base.resolve("labels").toString
-          @volatile var version = 0
           val q = s.readStream.schema(schema)
             .option("recursiveFileLookup", "true").parquet(in.toString)
             .writeStream.outputMode("append")
             .option("checkpointLocation", base.resolve("ckpt").toString)
             .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                             _: Long) =>
-              if (!batch.isEmpty) {
-                val next = version + 1
-                val labels =
-                  if (version == 0)
+                             batchId: Long) =>
+              if (!batch.isEmpty)
+                foldVersionedWith(s, store, batchId) {
+                  case None =>
                     graft.ops.ConnectedComponents.components(batch.toDF())
-                  else graft.ops.ConnectedComponents.componentsIncremental(
-                    s.read.parquet(s"$store/v=$version"), batch.toDF())
-                labels.write.parquet(s"$store/v=$next")
-                version = next
-              }
+                  case Some(prior) =>
+                    graft.ops.ConnectedComponents.componentsIncremental(
+                      prior, batch.toDF())
+                }
             }
             .start()
           try {
@@ -428,7 +474,7 @@ object StreamingQueries {
               .coalesce(1).write.parquet(s"$in/b2")
             q.processAllAvailable()
           } finally q.stop()
-          s.read.parquet(s"${base.resolve("labels")}/v=$version").orderBy("id")
+          foldConverged(s, base.resolve("labels").toString).orderBy("id")
         }
       },
       GraphQueries.CcIncrementalSql),
@@ -491,24 +537,20 @@ object StreamingQueries {
           linkBatch(staged.b1, in.resolve("b1"))
           val schema = s.read.parquet(s"$in/b1").schema
           val store = base.resolve("store").toString
-          @volatile var version = 0
           withStreamShuffle(s) {
             val q = windowAggBuild(s.readStream.schema(schema)
                 .option("recursiveFileLookup", "true").parquet(in.toString))
               .writeStream.outputMode("update")
               .option("checkpointLocation", base.resolve("ckpt").toString)
               .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                               _: Long) =>
-                if (!batch.isEmpty) {
-                  val next = version + 1
-                  val merged =
-                    if (version == 0) batch.toDF()
-                    else s.read.parquet(s"$store/v=$version")
+                               batchId: Long) =>
+                if (!batch.isEmpty)
+                  foldVersionedWith(s, store, batchId) {
+                    case None => batch.toDF()
+                    case Some(prior) => prior
                       .join(batch, Seq("win_start", "event_type"), "left_anti")
                       .unionByName(batch.toDF())
-                  merged.write.parquet(s"$store/v=$next")
-                  version = next
-                }
+                  }
               }
               .start()
             try {
@@ -523,7 +565,7 @@ object StreamingQueries {
           // merge to append-only history) must fail loudly in the guarded
           // pin, never silently become a data-sized driver collect.
           windowAggShape(pinBoundedStore(s,
-            s.read.parquet(s"$store/v=$version"), MaxUpsertStoreRows,
+            foldConverged(s, store), MaxUpsertStoreRows,
             "stream_foreach_upsert"))
         } finally org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
       },
@@ -942,24 +984,18 @@ object StreamingQueries {
           linkBatch(staged.b1, in.resolve("b1"))
           val schema = s.read.parquet(s"$in/b1").schema
           val store = base.resolve("grid").toString
-          @volatile var version = 0
           val q = s.readStream.schema(schema)
             .option("recursiveFileLookup", "true").parquet(in.toString)
             .writeStream.outputMode("append")
             .option("checkpointLocation", base.resolve("ckpt").toString)
             .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                             _: Long) =>
+                             batchId: Long) =>
               if (!batch.isEmpty) {
-                val next = version + 1
                 val cells = graft.ops.Sketches.dyadicCells(
                   GraphQueries.quantileVals(batch.toDF()), "u",
                   GraphQueries.QBits, GraphQueries.QDepth, GraphQueries.QWidth)
-                val merged =
-                  if (version == 0) cells
-                  else graft.ops.Sketches.dyadicMerge(
-                    s.read.parquet(s"$store/v=$version").unionByName(cells))
-                merged.write.parquet(s"$store/v=$next")
-                version = next
+                foldVersioned(s, store, batchId, cells,
+                  Seq("lvl", "d", "w"), "cnt")
               }
             }
             .start()
@@ -968,7 +1004,7 @@ object StreamingQueries {
             linkBatch(staged.b2, in.resolve("b2"))
             q.processAllAvailable()
           } finally q.stop()
-          s.read.parquet(s"${base.resolve("grid")}/v=$version")
+          foldConverged(s, store)
         }
         GraphQueries.quantileFromGrid(s, d, grid)
       },
@@ -997,25 +1033,19 @@ object StreamingQueries {
           val bounds = GraphQueries.doubleBounds(
             s.read.parquet(s"$d/events.parquet")).persist()
           bounds.count()
-          @volatile var version = 0
           val q = s.readStream.schema(schema)
             .option("recursiveFileLookup", "true").parquet(in.toString)
             .writeStream.outputMode("append")
             .option("checkpointLocation", base.resolve("ckpt").toString)
             .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                             _: Long) =>
+                             batchId: Long) =>
               if (!batch.isEmpty) {
-                val next = version + 1
                 val vals = GraphQueries.doubleQuantileVals(batch.toDF(), bounds)
                   .select(col("u"))
                 val cells = graft.ops.Sketches.dyadicCells(vals, "u",
                   GraphQueries.QBits, GraphQueries.QDepth, GraphQueries.QWidth)
-                val merged =
-                  if (version == 0) cells
-                  else graft.ops.Sketches.dyadicMerge(
-                    s.read.parquet(s"$store/v=$version").unionByName(cells))
-                merged.write.parquet(s"$store/v=$next")
-                version = next
+                foldVersioned(s, store, batchId, cells,
+                  Seq("lvl", "d", "w"), "cnt")
               }
             }
             .start()
@@ -1024,7 +1054,7 @@ object StreamingQueries {
             linkBatch(staged.b2, in.resolve("b2"))
             q.processAllAvailable()
           } finally { q.stop(); bounds.unpersist() }
-          s.read.parquet(s"${base.resolve("grid")}/v=$version")
+          foldConverged(s, store)
         }
         GraphQueries.doubleQuantileFromGrid(s, d, grid)
       },
@@ -1034,8 +1064,9 @@ object StreamingQueries {
     // the twin of d23, against d23's ORACLE: the global knowledge exact
     // substring dedup needs is the corpus-wide GRAM OCCURRENCE COUNT, and
     // counts over disjoint doc batches are ADDITIVE — so each micro-batch
-    // folds its (gram, cnt) cells into a versioned store (one grouped sum,
-    // idempotent per version) while the raw docs land beside it, and the
+    // folds its (gram, cnt) cells into a batchId-keyed versioned store
+    // (one grouped sum; replay-idempotent — see [[foldVersioned]]) while
+    // the raw docs land beside it (overwrite keyed by batchId), and the
     // converged `cnt >= 2` gram set IS the batch-derived duplicated-gram
     // set exactly. The read side re-derives the maximal spans from the
     // converged state (duplicateSpanExtents with the dupGrams override) —
@@ -1055,7 +1086,6 @@ object StreamingQueries {
           val schema = s.read.parquet(s"$in/b1").schema
           val gstore = base.resolve("grams").toString
           val dstore = base.resolve("docs").toString
-          @volatile var version = 0
           val q = s.readStream.schema(schema)
             .option("recursiveFileLookup", "true").parquet(in.toString)
             .writeStream.outputMode("append")
@@ -1063,16 +1093,10 @@ object StreamingQueries {
             .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                              batchId: Long) =>
               if (!batch.isEmpty) {
-                val next = version + 1
                 batch.toDF().select("doc_id", "text")
                   .write.mode("overwrite").parquet(s"$dstore/batch=$batchId")
                 val cells = graft.llm.Dedup.spanGramCounts(batch.toDF(), k)
-                val merged =
-                  if (version == 0) cells
-                  else s.read.parquet(s"$gstore/v=$version").unionByName(cells)
-                    .groupBy("gram").agg(sum(col("cnt")).as("cnt"))
-                merged.write.parquet(s"$gstore/v=$next")
-                version = next
+                foldVersioned(s, gstore, batchId, cells, Seq("gram"), "cnt")
               }
             }
             .start()
@@ -1081,7 +1105,7 @@ object StreamingQueries {
             linkBatch(staged.b2, in.resolve("b2"))
             q.processAllAvailable()
           } finally q.stop()
-          (s.read.parquet(s"$gstore/v=$version").filter(col("cnt") >= 2),
+          (foldConverged(s, gstore).filter(col("cnt") >= 2),
             s.read.parquet(dstore).drop("batch"))
         }
         graft.llm.Dedup.duplicateSpanExtents(docsDf, spanTokens = k,
