@@ -885,10 +885,23 @@ object Dedup {
     * sorted k-gram groups + run extension, never a driver suffix array.
     *
     * One output row per maximal span: (idCol, span_pos_first, span_pos_last,
-    * span_len, n_same_span, span_text) where `n_same_span` counts how many
-    * maximal spans corpus-wide share this exact text (verbatim cross-doc
-    * repeats cluster; mosaic spans — unions of different overlapping
-    * repeats — may be unique as wholes and report 1).
+    * span_len, n_same_span, span_hash, span_text) where `n_same_span`
+    * counts how many maximal spans corpus-wide share this exact text
+    * (verbatim cross-doc repeats cluster; mosaic spans — unions of
+    * different overlapping repeats — may be unique as wholes and report 1)
+    * and `span_hash` = md5 of the FULL span text — the span's identity.
+    *
+    * `maxSpanTextTokens` bounds the CARRIED text (round-14 verdict #4): a
+    * fully-duplicated book-length document is ONE maximal span, and
+    * materializing its whole text as a single output string — then
+    * shuffling that string through the same-text window — is the one
+    * data-sized string this operator could emit. Under a cap, `span_text`
+    * carries only the first `maxSpanTextTokens` tokens (display/audit
+    * payload) while `span_hash` is ALWAYS the full-span md5 (computed
+    * transiently inside the projection, 32 hex chars out), and
+    * `n_same_span` counts on the hash — so capping changes no count, only
+    * how much text rides along. Default = uncapped (the d23 registry
+    * contract, where spans are fixture-sized).
     *
     * [[removeDuplicateSpans]] (d10) aggregates the same marking into
     * per-doc keep/cut stats; this operator materializes the spans
@@ -901,11 +914,19 @@ object Dedup {
     * the island aggregation groups on (doc, span_id) — riding the same
     * per-doc partitioning — and emits |duplicated spans| rows ≪ corpus
     * tokens, so the final same-text window runs on the small span frame
-    * keyed by fixed-width md5.
+    * keyed by fixed-width md5. The per-doc windows (and the island
+    * collect_list buffer) imply ONE task per document whose state is
+    * bounded by that document's length — the operator parallelizes across
+    * documents, never within one; a corpus whose single longest document
+    * exceeds executor memory needs a chunked pre-split upstream, which is
+    * the same bound the marking passes already carry.
     */
   def duplicateSpanExtents(docs: DataFrame, spanTokens: Int = 10,
                            textCol: String = "text", idCol: String = "doc_id",
-                           dupGrams: Option[DataFrame] = None): DataFrame = {
+                           dupGrams: Option[DataFrame] = None,
+                           maxSpanTextTokens: Int = Int.MaxValue): DataFrame = {
+    require(maxSpanTextTokens >= 1,
+      s"maxSpanTextTokens must be >= 1: got $maxSpanTextTokens")
     val flagged = coveredPositions(docs, spanTokens, textCol, idCol,
       "duplicateSpanExtents", dupGrams)
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
@@ -917,16 +938,92 @@ object Dedup {
         min(col("pos")).cast("long").as("span_pos_first"),
         max(col("pos")).cast("long").as("span_pos_last"),
         count(lit(1)).as("span_len"),
-        array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+          s => s.getField("word")).as("__ws"))
+      // full-span hash ALWAYS; carried text capped. The full concatenation
+      // exists only transiently inside this projection (md5's argument) —
+      // it is never a shuffled or windowed column.
+      .select(col("id"), col("span_pos_first"), col("span_pos_last"),
+        col("span_len"),
+        md5(array_join(col("__ws"), " ")).as("span_hash"),
+        array_join(slice(col("__ws"), 1, maxSpanTextTokens), " ").as("span_text"))
+    val bySpanHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("span_hash"))
+    spans
+      .withColumn("n_same_span", count(lit(1)).over(bySpanHash))
+      .select(col("id").as(idCol), col("span_pos_first"), col("span_pos_last"),
+        col("span_len"), col("n_same_span"), col("span_hash"), col("span_text"))
+  }
+
+  /** Span-level KEEP-ONE-SURVIVOR cut — the production ExactSubstr policy
+    * (Lee et al., ACL 2022 §4.1: of each duplicated substring keep one
+    * occurrence so the corpus retains the content once, rather than
+    * [[removeDuplicateSpans]]' drop-every-copy): for each cluster of
+    * identical maximal duplicated extents ([[duplicateSpanExtents]]'
+    * span_hash), the occurrence in the LOWEST (doc id, span_pos_first)
+    * holder survives and every other occurrence is cut from its document;
+    * mosaic spans that are unique as wholes are their own survivor and
+    * stay untouched. One row per document — cut or not:
+    * (idCol, n_words, cut_words, n_cut_spans, text_kept).
+    *
+    * Scale shape: ONE marking pass (shared [[coveredPositions]] chain —
+    * gram counts on md5 keys, corpus × small duplicated-gram join, window
+    * passes on the per-doc exchange); span extents + full-span hashes ride
+    * the same per-doc grouping; survivor ranking is a window over the
+    * SPAN frame (|duplicated spans| rows ≪ corpus tokens) keyed by
+    * fixed-width md5; the cut is re-marked with boundary deltas (+1 at a
+    * cut span's first position, −1 past its last, running sum per doc —
+    * maximal spans are disjoint and non-adjacent by construction, so the
+    * running sum is 0/1) joined back on (doc, pos) — never a pair join,
+    * never a driver structure.
+    */
+  def spanSurvivorCut(docs: DataFrame, spanTokens: Int = 10,
+                      textCol: String = "text", idCol: String = "doc_id",
+                      dupGrams: Option[DataFrame] = None): DataFrame = {
+    val flagged = coveredPositions(docs, spanTokens, textCol, idCol,
+      "spanSurvivorCut", dupGrams)
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
+    val spans = flagged
+      .withColumn("span_id", sum(col("span_start")).over(byDoc))
+      .filter(col("covered") === 1)
+      .groupBy(col("id"), col("span_id"))
+      .agg(
+        min(col("pos")).as("first"),
+        max(col("pos")).as("last"),
+        md5(array_join(
           transform(array_sort(collect_list(struct(col("pos"), col("word")))),
             s => s.getField("word")),
-          " ").as("span_text"))
-    val bySpanText = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col("span_text")))
-    spans
-      .withColumn("n_same_span", count(lit(1)).over(bySpanText))
-      .select(col("id").as(idCol), col("span_pos_first"), col("span_pos_last"),
-        col("span_len"), col("n_same_span"), col("span_text"))
+          " ")).as("span_hash"))
+    // survivor = rank 1 in (doc id, first-position) order within each
+    // identical-text cluster; everything ranked below it gets cut
+    val bySpanHash = org.apache.spark.sql.expressions.Window
+      .partitionBy("span_hash").orderBy(col("id"), col("first"))
+    val cuts = spans
+      .withColumn("rk", row_number().over(bySpanHash))
+      .filter(col("rk") > 1)
+      .select(col("id"), col("first"), col("last"))
+    val deltas = cuts.select(col("id"), col("first").as("pos"), lit(1L).as("delta"))
+      .unionByName(cuts.select(col("id"), (col("last") + 1).as("pos"),
+        lit(-1L).as("delta")))
+      .groupBy("id", "pos").agg(sum(col("delta")).as("delta"))
+    val marked = flagged.select(col("id"), col("pos"), col("word"))
+      .join(deltas, Seq("id", "pos"), "left")
+      .withColumn("cut",
+        when(sum(coalesce(col("delta"), lit(0L))).over(byDoc) > 0, 1).otherwise(0))
+      .withColumn("cut_start",
+        when(col("cut") === 1 &&
+          coalesce(lag(col("cut"), 1).over(byDoc), lit(0)) === 0, 1).otherwise(0))
+    marked.groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("cut")).cast("long").as("cut_words"),
+        sum(col("cut_start")).cast("long").as("n_cut_spans"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("cut") === 0,
+              struct(col("pos"), col("word"))))),
+            s => s.getField("word")),
+          " ").as("text_kept"))
   }
 
   /** (gram, cnt) occurrence counts of a doc batch under the IDENTICAL gram

@@ -62,7 +62,7 @@ object PipelineQueries {
       |        FROM sid WHERE covered = 1 GROUP BY doc_id, span_id)
       | SELECT doc_id, span_pos_first, span_pos_last, span_len,
       |        COUNT(*) OVER (PARTITION BY md5(span_text)) AS n_same_span,
-      |        span_text
+      |        md5(span_text) AS span_hash, span_text
       | FROM sp ORDER BY doc_id, span_pos_first""".stripMargin
 
   /** The d11 bloom-decontamination oracle: re-derives the bit positions
@@ -3285,6 +3285,57 @@ object PipelineQueries {
           spread(t(s, d, "documents")), spanTokens = 8)
         .orderBy("doc_id", "span_pos_first"),
       SubstringDedupSql),
+
+    // ---- span-level keep-one-survivor cut (Lee et al. production policy) -
+    // d10 cuts EVERY occurrence of duplicated text; d24 keeps exactly ONE —
+    // the lowest-(doc_id, span_pos_first) occurrence of each identical
+    // maximal extent survives, every other occurrence is cut, and the
+    // per-doc kept text is re-emitted. The oracle replays the full chain:
+    // d23's marking + island extents + full-span md5, ROW_NUMBER survivor
+    // ranking, per-position range cut, kept-text re-aggregation.
+    ("d24_span_survivor_cut",
+      (s, d) => graft.llm.Dedup.spanSurvivorCut(
+          spread(t(s, d, "documents")), spanTokens = 8)
+        .orderBy("doc_id"),
+      """WITH w AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS words FROM documents),
+        | wp AS (SELECT doc_id, i - 1 AS pos, words[i] AS word
+        |        FROM w, LATERAL (SELECT unnest(generate_series(1, len(w.words))) AS i) g),
+        | gr AS (SELECT doc_id, i - 1 AS pos, md5(array_to_string(words[i:i+7], ' ')) AS gram
+        |        FROM w, LATERAL (SELECT unnest(generate_series(1,
+        |               greatest(len(w.words) - 7, 0))) AS i) g),
+        | dfx AS (SELECT gram FROM gr GROUP BY gram HAVING COUNT(*) >= 2),
+        | ds AS (SELECT gr.doc_id, gr.pos, 1 AS dup FROM gr JOIN dfx USING (gram)),
+        | fl AS (SELECT wp.doc_id, wp.pos, wp.word, COALESCE(ds.dup, 0) AS dup
+        |        FROM wp LEFT JOIN ds ON wp.doc_id = ds.doc_id AND wp.pos = ds.pos),
+        | cov AS (SELECT doc_id, pos, word,
+        |                MAX(dup) OVER (PARTITION BY doc_id ORDER BY pos
+        |                  RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered
+        |         FROM fl),
+        | isl AS (SELECT *, CASE WHEN covered = 1 AND COALESCE(LAG(covered) OVER (
+        |                 PARTITION BY doc_id ORDER BY pos), 0) = 0 THEN 1 ELSE 0 END AS span_start
+        |         FROM cov),
+        | sid AS (SELECT *, SUM(span_start) OVER (PARTITION BY doc_id ORDER BY pos)
+        |                 AS span_id FROM isl),
+        | sp AS (SELECT doc_id, span_id, MIN(pos) AS f, MAX(pos) AS l,
+        |               md5(string_agg(word, ' ' ORDER BY pos)) AS h
+        |        FROM sid WHERE covered = 1 GROUP BY doc_id, span_id),
+        | rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, f)
+        |               AS r FROM sp),
+        | cut AS (SELECT doc_id, f, l FROM rk WHERE r > 1),
+        | mk AS (SELECT wp.doc_id, wp.pos, wp.word,
+        |               CASE WHEN EXISTS (SELECT 1 FROM cut c
+        |                 WHERE c.doc_id = wp.doc_id AND wp.pos BETWEEN c.f AND c.l)
+        |               THEN 1 ELSE 0 END AS cut
+        |        FROM wp),
+        | agg AS (SELECT doc_id, COUNT(*) AS n_words,
+        |                CAST(SUM(cut) AS BIGINT) AS cut_words,
+        |                COALESCE(string_agg(CASE WHEN cut = 0 THEN word END, ' '
+        |                                    ORDER BY pos), '') AS text_kept
+        |         FROM mk GROUP BY doc_id),
+        | nc AS (SELECT doc_id, COUNT(*) AS n_cut FROM cut GROUP BY doc_id)
+        | SELECT a.doc_id, a.n_words, a.cut_words,
+        |        CAST(COALESCE(nc.n_cut, 0) AS BIGINT) AS n_cut_spans, a.text_kept
+        | FROM agg a LEFT JOIN nc USING (doc_id) ORDER BY a.doc_id""".stripMargin),
 
     // ---- within-doc repetition signals (Gopher-style quality filters) ---
     ("t_repetition_stats",

@@ -116,7 +116,7 @@ class TextPipelineSpec extends AnyFunSuite {
     ).toDF("doc_id", "text")
     val got = Dedup.duplicateSpanExtents(docs, spanTokens = 4).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getString(5))).toSet
+        r.getLong(4), r.getString(6))).toSet
     assert(got == Set(
       (1L, 0L, 4L, 5L, 3L, "a b c d e"),
       (1L, 6L, 10L, 5L, 3L, "a b c d e"),
@@ -138,6 +138,44 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(Dedup.duplicateSpanExtents(uniq, spanTokens = 4).count() == 0L)
   }
 
+  test("duplicateSpanExtents caps carried span_text but counts on the full-span hash") {
+    // the oversized-span shape (round-14 verdict #4): a long verbatim
+    // repeat is ONE maximal span; under maxSpanTextTokens the carried text
+    // truncates at the cap while span_hash stays the FULL-span md5 — so
+    // n_same_span still clusters the two occurrences, and two spans whose
+    // first cap tokens agree but whose tails differ do NOT cluster
+    val tail1 = (1 to 20).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, tail1),                       // 20-token span, copy 1
+      (2L, s"z0 $tail1 z1"),             // copy 2 (offset — same text)
+      (3L, "t1 t2 t3 t4 t5 u6 u7 u8 u9 u10"), // shares the first 5 tokens only
+      (4L, "x1 t1 t2 t3 t4 t5 u6 u7 u8 u9 u10")
+    ).toDF("doc_id", "text")
+    val capped = Dedup.duplicateSpanExtents(docs, spanTokens = 4,
+      maxSpanTextTokens = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getString(5),
+        r.getString(6)))
+    // every carried text is capped at 5 tokens
+    assert(capped.forall(_._5.split(" ").length <= 5))
+    // the two 20-token copies cluster (n_same_span=2) on the FULL hash...
+    val big = capped.filter(_._2 == 20L)
+    assert(big.map(_._1).toSet == Set(1L, 2L) && big.forall(_._3 == 2L))
+    assert(big.map(_._4).distinct.length == 1)
+    // ...and their truncated text equals the 10-token spans' prefix, yet
+    // the hashes differ — counting on truncated text would have merged
+    // all four spans into one bogus n_same_span=4 cluster
+    val small = capped.filter(_._2 == 10L)
+    assert(small.length == 2 && small.forall(_._3 == 2L))
+    assert(small.map(_._5).toSet == big.map(_._5).toSet) // same capped prefix
+    assert(small.map(_._4).toSet != big.map(_._4).toSet) // different identity
+    // uncapped output: span_hash IS md5(span_text) — the identity the
+    // d23 oracle replays
+    val un = Dedup.duplicateSpanExtents(docs, spanTokens = 4).collect()
+    for (r <- un)
+      assert(r.getString(5) == org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(r.getString(6)))
+  }
+
   test("duplicateSpanExtents agrees with removeDuplicateSpans on coverage totals") {
     // both operators derive from the same marking: per doc, the sum of
     // span lengths must equal d10's dup_words and the span count its
@@ -155,6 +193,39 @@ class TextPipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     for ((id, (w, n)) <- stats if w > 0) assert(spans(id) == ((w, n)), s"doc $id")
     assert(spans.keySet == stats.filter(_._2._1 > 0).keySet)
+  }
+
+  test("spanSurvivorCut keeps the lowest-(doc, pos) occurrence and cuts the rest") {
+    // "a b c d e" occurs three times (doc 1 twice, doc 2 once): the policy
+    // keeps ONLY doc 1's first occurrence; doc 1's second copy and doc 2's
+    // copy are cut. Doc 3's mosaic span is unique as a whole -> survivor
+    // of its own cluster -> untouched. Docs 4/5 share "m n o p q"-family
+    // spans but as DIFFERENT maximal texts -> each its own survivor.
+    val docs = Seq(
+      (1L, "a b c d e x a b c d e"),
+      (2L, "q a b c d e r"),
+      (3L, "m n o p q r"),
+      (4L, "m n o p q z"),
+      (5L, "n o p q r w")
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanSurvivorCut(docs, spanTokens = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    assert(got == Set(
+      (1L, 11L, 5L, 1L, "a b c d e x"),   // second in-doc copy cut
+      (2L, 7L, 5L, 1L, "q r"),            // cross-doc copy cut
+      (3L, 6L, 0L, 0L, "m n o p q r"),    // unique mosaic: survivor, kept
+      (4L, 6L, 0L, 0L, "m n o p q z"),
+      (5L, 6L, 0L, 0L, "n o p q r w")))
+    // conservation: total cut words = total span_len of non-survivor spans
+    val spans = Dedup.duplicateSpanExtents(docs, spanTokens = 4)
+    val nonSurvivor = spans.withColumn("rk",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("span_hash")
+            .orderBy(col("doc_id"), col("span_pos_first"))))
+      .filter(col("rk") > 1)
+      .agg(sum("span_len")).collect()(0).getLong(0)
+    assert(got.toSeq.map(_._3).sum == nonSurvivor)
   }
 
   test("spanGramCounts state is additive and definition-identical to the internal marking") {
