@@ -32,7 +32,9 @@ object PlanDump {
     "d21_threshold_sweep", // agreement histogram: ≤ 13 rows, Bounded.guard (PipelineQueries)
     "t_water_fill",        // source-cardinality rows, Bounded.guard nsrc ≤ 10k (PipelineQueries)
     "g_eff_diameter",      // N(t) lag: ≤ maxT+1 = 5 rows, Bounded.guard (GraphQueries)
-    "a13_ams_f2")          // z² median rank: exactly reps = 16 rows, Bounded.guard (GraphQueries)
+    "a13_ams_f2",          // z² median rank: exactly reps = 16 rows, Bounded.guard (GraphQueries)
+    "a17_kll_quantiles",   // sample rank: ≤ KllK rows by the thr guard (GraphQueries.kllQuantilesFrom)
+    "stream_kll_quantiles") // same serving window over the converged folded sample
 
   /** Statically-pinned join strategies: entry → (must-contain substrings,
     * must-NOT-contain substrings) over the physical join operator class

@@ -334,6 +334,151 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  // ---- one-pass mergeable DOUBLE quantiles: hash-deterministic KLL sampler
+  // The dyadic grid (a14) needs a fixed integer universe and its double
+  // lift (a16) needs an exact-bounds PRE-PASS frozen before any per-shard
+  // sketch builds — a real unbounded stream can't freeze bounds a priori
+  // (round-14 verdict #2). This family member drops both requirements:
+  // KLL (Karnin–Lang–Liberty, FOCS 2016) keeps quantile state in
+  // compactors topped by a geometric SAMPLER; for stream length n ≫ k the
+  // sampler carries the estimate, and the sampler — unlike the compactors —
+  // has an ORDER-FREE formulation, which is the property this engine
+  // actually needs: KLL's compaction outcome depends on arrival/merge
+  // order, so under Spark's nondeterministic partition order (and for a
+  // DuckDB oracle that must replay results bit-for-bit) the compactor tier
+  // is inadmissible; the sampler tier realized with the engine-wide md5
+  // discipline is the deterministic member of the family with the same
+  // one-pass, bounded-state, exactly-mergeable contract.
+  //
+  //  - per row: lvl = trailing zero bits of h48(unique row key), capped at
+  //    [[MaxKllLevel]] — P(lvl ≥ ℓ) = 2^-ℓ, fixed by the data, not the run;
+  //  - sketch = (n, thr, sample) where thr = min ℓ with |{lvl ≥ ℓ}| ≤ k
+  //    and sample = the rows with lvl ≥ thr: a deterministic 2^-thr
+  //    "coin-flip" sample whose membership depends ONLY on the row multiset;
+  //  - MERGE IS EXACT: for every part g, thr_g ≤ thr(union) (counts only
+  //    grow), so for ℓ ≥ max_g thr_g the union of samples counts the union
+  //    exactly, and re-thresholding at min{ℓ ≥ max_g thr_g : count ≤ k}
+  //    reproduces thr(union) and the DIRECT whole-input sample bit-for-bit
+  //    — associative and order-free, so per-type/per-batch sketches fold
+  //    to the identical state a single global build yields (the a14
+  //    merge-exactness discipline, now without any frozen config);
+  //  - rank error is sampling error: the sample quantile's rank deviates
+  //    from target by O(n·√(p(1-p)/m)) (m = sample size ∈ (k/2, k]) —
+  //    surfaced as the exact-rank drift guard in the serving query, the
+  //    same executable-tolerance discipline as a14/a16.
+  //
+  // Scale shape (100 TB): lvl is map-side arithmetic on one md5 per row;
+  // the threshold pass is a bounded-cardinality aggregate (map-combines to
+  // ≤ partitions·(MaxKllLevel+1) cells — the countMinCells economics); the
+  // sample filter broadcasts the 1-row-per-grain summary and keeps ≤ k
+  // rows per grain. Nothing data-sized ever shuffles; no pass over the
+  // data depends on another pass's data-derived CONFIG (the property a16
+  // lacked — per-shard builds here need no global coordination at all).
+  // Everything is md5-replayable integer arithmetic except the sample
+  // VALUES themselves, which are carried verbatim (no float ops), so a
+  // SQL oracle rebuilds levels, thresholds, samples and every served
+  // quantile bit-for-bit.
+
+  /** Level cap: P(lvl ≥ 17) ≈ 1.5e-5 per row; levels above the cap fold
+    * into it, which only ever makes thresholds conservative. Bounds the
+    * enumerated level frames at 17 rows per grain.
+    */
+  val MaxKllLevel = 16
+
+  /** (grain…, v, h, lvl) per input row: `h` = [[h48]] of the UNIQUE row
+    * key (uniqueness is the caller's contract — duplicate keys would
+    * correlate the per-row coin flips), `lvl` = trailing zeros of h capped
+    * at [[MaxKllLevel]] (h % 2^ℓ = 0 ⟺ ℓ ≤ tz(h), so the indicator sum
+    * below IS min(tz, cap) — branch-free, same text as the oracle).
+    */
+  def kllLevels(rows: DataFrame, valueCol: String, keyCol: String,
+                grain: Seq[String] = Nil): DataFrame =
+    rows.select((grain.map(col) :+ col(valueCol).as("v") :+
+        h48(col(keyCol)).as("h")): _*)
+      .withColumn("lvl", (1 to MaxKllLevel)
+        .map(l => when(col("h") % lit(1L << l) === 0, 1).otherwise(0))
+        .reduce(_ + _))
+
+  /** Per-grain sketch summary `(grain…, n, thr)` from a [[kllLevels]]
+    * frame: n = row count, thr = min ℓ ∈ [0, cap] with cnt(lvl ≥ ℓ) ≤ k.
+    * The level axis is ENUMERATED per grain (17 rows — a level whose
+    * count vanished must still be eligible as the threshold) and the
+    * guard fails loudly when even the cap level holds > k rows (n beyond
+    * ~k·2^cap: raise k or the cap, never silently serve garbage).
+    */
+  def kllSummary(levels: DataFrame, k: Int, grain: Seq[String] = Nil): DataFrame = {
+    require(k >= 2, s"kllSummary: k must be >= 2: $k")
+    val lvls = levels.sparkSession.range(0, MaxKllLevel + 1)
+      .select(col("id").cast("int").as("l"))
+    val perLvl = levels.groupBy((grain :+ "lvl").map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val base = if (grain.isEmpty) lvls
+      else perLvl.select(grain.map(col): _*).distinct().crossJoin(lvls)
+    val pl = grain.foldLeft(perLvl)((df, g) => df.withColumnRenamed(g, s"__p_$g"))
+    val ge = base.join(pl,
+        grain.map(g => col(g) === col(s"__p_$g"))
+          .foldLeft(col("lvl") >= col("l"))(_ && _), "left")
+      .groupBy((grain :+ "l").map(col): _*)
+      .agg(sum(coalesce(col("__c"), lit(0L))).as("cge"))
+    val g0 = if (grain.isEmpty) ge.groupBy() else ge.groupBy(grain.map(col): _*)
+    // guard on a COALESCEd value: a null thr would let `null + assert`
+    // fold away before the assertion evaluates — the guard must ride a
+    // non-null value to be un-elidable
+    val thrRaw = min(when(col("cge") <= k, col("l")))
+    g0.agg(
+      max(when(col("l") === 0, col("cge"))).as("n"),
+      Bounded.guard(coalesce(thrRaw.cast("long"), lit(-1L)), thrRaw.isNotNull,
+        s"kllSummary: no level in [0, $MaxKllLevel] holds <= $k sample " +
+          "rows — k too small for this input size").as("thr"))
+  }
+
+  /** The kept sample: levels rows with lvl ≥ their grain's threshold.
+    * ≤ k rows per grain by construction of thr.
+    */
+  def kllSample(levels: DataFrame, summary: DataFrame,
+                grain: Seq[String] = Nil): DataFrame = {
+    val sm = broadcast(summary.select((grain :+ "thr").map(col): _*))
+    val joined = if (grain.isEmpty) levels.crossJoin(sm)
+      else levels.join(sm, grain)
+    joined.filter(col("lvl") >= col("thr"))
+      .select((grain.map(col) :+ col("v") :+ col("h") :+ col("lvl")): _*)
+  }
+
+  /** Merge per-part sketches into the global `(n, thr)` (1 row): counts
+    * at ℓ ≥ max part threshold come from the UNION OF SAMPLES alone and
+    * equal the whole-input counts there (see the family note), so the
+    * re-threshold reproduces the direct build's thr exactly. Same loud
+    * guard as [[kllSummary]].
+    */
+  def kllMergedSummary(summaries: DataFrame, samples: DataFrame,
+                       k: Int): DataFrame = {
+    require(k >= 2, s"kllMergedSummary: k must be >= 2: $k")
+    val t0 = summaries.agg(max(col("thr")).as("thr0"), sum(col("n")).as("n"))
+    val lvls = samples.sparkSession.range(0, MaxKllLevel + 1)
+      .select(col("id").cast("int").as("l"))
+    val perLvl = samples.groupBy("lvl").agg(count(lit(1)).as("__c"))
+    val ge = lvls.join(perLvl, col("lvl") >= col("l"), "left")
+      .groupBy("l").agg(sum(coalesce(col("__c"), lit(0L))).as("cge"))
+    val thrRaw = min(when(col("cge") <= k && col("l") >= col("thr0"), col("l")))
+    ge.crossJoin(broadcast(t0))
+      .groupBy()
+      .agg(
+        max(col("n")).as("n"),
+        // coalesce before the guard — see kllSummary's null-fold note
+        Bounded.guard(coalesce(thrRaw.cast("long"), lit(-1L)), thrRaw.isNotNull,
+          s"kllMergedSummary: no level in [max part thr, $MaxKllLevel] " +
+            s"holds <= $k sample rows — k too small for the merged input")
+          .as("thr"))
+  }
+
+  /** The merged global sample: union-of-samples re-filtered at the merged
+    * threshold — bit-identical to the direct whole-input sample.
+    */
+  def kllMergedSample(samples: DataFrame, merged: DataFrame): DataFrame =
+    samples.crossJoin(broadcast(merged.select(col("thr"))))
+      .filter(col("lvl") >= col("thr"))
+      .select(col("v"), col("h"), col("lvl"))
+
   /** Estimated rank table `(vb, rank_le)` for every universe value vb:
     * rank_le = estimated #values ≤ vb = Σ over the dyadic decomposition
     * of [0, vb+1) — node 2·(m >> (b+1)) at level b for each set bit b of

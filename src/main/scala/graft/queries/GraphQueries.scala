@@ -289,6 +289,134 @@ object GraphQueries {
       | CROSS JOIN b
       | ORDER BY 1""".stripMargin
 
+  // ---- a17: ONE-PASS mergeable double quantiles (KLL sampler tier) --------
+  // a16 still needs an exact-bounds pre-pass frozen BEFORE any per-shard
+  // build — inadmissible for a truly unbounded stream (round-14 verdict
+  // #2). a17 serves the same question from the hash-deterministic KLL
+  // sampler ([[graft.ops.Sketches.kllLevels]] family — design note there):
+  // no bounds pass, no frozen config, per-part sketches merge EXACTLY and
+  // order-free, and the served quantile is a verbatim input value (zero
+  // float arithmetic), so every output column replays bit-for-bit in SQL.
+
+  /** Sample budget: thresholds guarantee ≤ KllK kept rows per sketch, so
+    * the serving rank window runs on a provably bounded frame. Rank error
+    * is O(n·√(p(1−p)/m)), m ∈ (KllK/2, KllK] — the 10% drift guard below
+    * sits > 5σ out for every served percentile.
+    */
+  private[queries] val KllK = 1024
+
+  /** Serve percentiles from a merged KLL-sampler sketch `(n, thr)` +
+    * sample `(v, h, lvl)`: target_rank = ⌈p·n/100⌉ on the FULL input,
+    * lifted to the sample as ⌈target/2^thr⌉ (each kept row stands for
+    * 2^thr input rows), picked from the (v, h)-ordered sample —
+    * deterministic ties via the row hash. `q_value` is the sampled input
+    * value verbatim. The exact-rank drift guard re-touches the data the
+    * way a14/a16 do: serving needs only the sketch; the guard (and the
+    * oracle's replay of it) is the executable error bound.
+    */
+  private[queries] def kllQuantilesFrom(s: SparkSession, d: String,
+                                        summary: DataFrame,
+                                        sample: DataFrame): DataFrame = {
+    // global rank over ≤ KllK rows — bounded by the thr guard inside the
+    // summary (kllSummary fails loudly before an oversized sample exists);
+    // audited-benign in PlanDump --audit-windows
+    val ranked = sample.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("v"), col("h"))))
+    val m = sample.agg(count(lit(1)).cast("long").as("m"))
+    val tg = summary
+      .select(explode(array(Seq(25, 50, 75, 90, 99).map(lit(_)): _*)).as("p"),
+        col("n"), col("thr"))
+      .select(col("p").cast("long").as("pct"),
+        expr("(p * n + 99) div 100").as("target_rank"), col("n"), col("thr"))
+      .crossJoin(broadcast(m))
+      .withColumn("sample_rank", least(col("m"), expr(
+        "(target_rank + shiftleft(CAST(1 AS BIGINT), CAST(thr AS INT)) - 1) " +
+          "div shiftleft(CAST(1 AS BIGINT), CAST(thr AS INT))")))
+    val qv = tg.join(broadcast(ranked), col("rn") === col("sample_rank"))
+      .select(col("pct"), col("n"), col("thr"), col("m"), col("target_rank"),
+        col("sample_rank"), col("v").as("q_value"),
+        expr("sample_rank * shiftleft(CAST(1 AS BIGINT), CAST(thr AS INT))")
+          .as("est_rank"))
+    val exact = t(s, d, "events")
+      .crossJoin(broadcast(qv.select(col("pct").as("pct2"),
+        col("q_value").as("qv2"))))
+      .groupBy("pct2")
+      .agg(sum(when(col("value") <= col("qv2"), 1L).otherwise(0L))
+        .as("exact_rank"))
+    qv.join(exact, col("pct") === col("pct2"))
+      .select(col("pct"), col("n"), col("thr"), col("m"), col("target_rank"),
+        col("sample_rank"), col("q_value"), col("est_rank"),
+        graft.ops.Bounded.guard(col("exact_rank"),
+          abs(col("exact_rank") - col("target_rank")) * 10 <= col("n"),
+          "kll quantiles: the served quantile's exact rank drifted beyond " +
+            "10% of N — sample too small for this distribution")
+          .as("exact_rank"))
+      .orderBy("pct")
+  }
+
+  /** The a17 oracle — replays the whole sampler chain (per-row levels from
+    * the 48-bit row-key hash, per-type thresholds, sample union, merged
+    * re-threshold, (v, h)-ordered pick, exact-rank drift) directly in SQL;
+    * a hash match against Spark's per-type-then-merge build IS the
+    * merge-exactness proof (the a14 discipline without any frozen
+    * config). Shared with the streaming twin, whose per-BATCH folds must
+    * converge to the identical state (merge is associative and
+    * order-free).
+    */
+  val KllQuantileSql: String =
+    """WITH r AS (SELECT event_type AS g, value AS v, event_id AS eid,
+      |             CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12)
+      |               AS BIGINT) + 1 AS h
+      |           FROM events),
+      | l16 AS (SELECT unnest(generate_series(1, 16)) AS lb),
+      | rl AS (SELECT g, v, eid, h,
+      |          CAST(SUM(CASE WHEN h % (CAST(1 AS BIGINT) << lb) = 0
+      |            THEN 1 ELSE 0 END) AS INTEGER) AS lvl
+      |        FROM r CROSS JOIN l16 GROUP BY g, v, eid, h),
+      | l0 AS (SELECT unnest(generate_series(0, 16)) AS l),
+      | gs AS (SELECT DISTINCT g FROM rl),
+      | pc AS (SELECT g, lvl, COUNT(*) AS c FROM rl GROUP BY 1, 2),
+      | ge AS (SELECT gs.g, l0.l,
+      |          CAST(COALESCE(SUM(CASE WHEN pc.lvl >= l0.l THEN pc.c END), 0)
+      |            AS BIGINT) AS cge
+      |        FROM gs CROSS JOIN l0 LEFT JOIN pc ON pc.g = gs.g
+      |        GROUP BY gs.g, l0.l),
+      | th AS (SELECT g, MIN(CASE WHEN cge <= 1024 THEN l END) AS thr,
+      |               MAX(CASE WHEN l = 0 THEN cge END) AS n
+      |        FROM ge GROUP BY g),
+      | sm AS (SELECT rl.g, rl.v, rl.h, rl.lvl FROM rl JOIN th USING (g)
+      |        WHERE rl.lvl >= th.thr),
+      | t0 AS (SELECT MAX(thr) AS thr0, CAST(SUM(n) AS BIGINT) AS n FROM th),
+      | spc AS (SELECT lvl, COUNT(*) AS c FROM sm GROUP BY 1),
+      | mge AS (SELECT l0.l,
+      |           CAST(COALESCE(SUM(CASE WHEN spc.lvl >= l0.l THEN spc.c END), 0)
+      |             AS BIGINT) AS cge
+      |         FROM l0 LEFT JOIN spc ON TRUE GROUP BY l0.l),
+      | mth AS (SELECT CAST(MIN(CASE WHEN cge <= 1024 AND l >= thr0 THEN l END)
+      |               AS BIGINT) AS thr, n
+      |         FROM mge CROSS JOIN t0 GROUP BY n),
+      | ms AS (SELECT sm.v, sm.h FROM sm CROSS JOIN mth WHERE sm.lvl >= mth.thr),
+      | rk AS (SELECT v, h, ROW_NUMBER() OVER (ORDER BY v, h) AS rn FROM ms),
+      | mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ms),
+      | tg AS (SELECT CAST(p AS BIGINT) AS pct, (p * n + 99) // 100 AS target_rank,
+      |               n, thr
+      |        FROM (VALUES (25), (50), (75), (90), (99)) t(p) CROSS JOIN mth),
+      | qr AS (SELECT pct, target_rank, n, thr, m,
+      |               LEAST(m, (target_rank + (CAST(1 AS BIGINT) << thr) - 1)
+      |                 // (CAST(1 AS BIGINT) << thr)) AS sample_rank
+      |        FROM tg CROSS JOIN mm),
+      | qv AS (SELECT qr.*, rk.v AS q_value,
+      |               qr.sample_rank * (CAST(1 AS BIGINT) << qr.thr) AS est_rank
+      |        FROM qr JOIN rk ON rk.rn = qr.sample_rank),
+      | er AS (SELECT qv.pct AS pct,
+      |               CAST(SUM(CASE WHEN e.value <= qv.q_value THEN 1 ELSE 0 END)
+      |                 AS BIGINT) AS exact_rank
+      |        FROM events e CROSS JOIN qv GROUP BY 1)
+      | SELECT q.pct, q.n, q.thr, q.m, CAST(q.target_rank AS BIGINT) AS target_rank,
+      |        CAST(q.sample_rank AS BIGINT) AS sample_rank, q.q_value,
+      |        q.est_rank, er.exact_rank
+      | FROM qv q JOIN er ON er.pct = q.pct ORDER BY 1""".stripMargin
+
   // ---- g_louvain / g_louvain2 shared plumbing -----------------------------
 
   /** The successor graph both Louvain entries (and g_label_prop) run on. */
@@ -1437,6 +1565,27 @@ object GraphQueries {
         doubleQuantileFromGrid(s, d, Sketches.dyadicMerge(perType))
       },
       DoubleQuantileSql),
+
+    // ---- ONE-PASS mergeable double quantiles (KLL sampler tier) ----------
+    // retires a16's frozen-bounds prerequisite: Spark builds one sketch
+    // PER EVENT TYPE — each from its rows alone, no global coordination —
+    // and merges them exactly (max-threshold re-filter, see Sketches'
+    // design note); the oracle builds per-type sketches the same way and
+    // merges them too, so the hash match proves both engines agree on the
+    // sampler AND that the merge reproduces the direct build (thr(union)
+    // ≥ every per-type thr by monotonicity of the level counts).
+    ("a17_kll_quantiles",
+      (s, d) => {
+        import graft.ops.Sketches
+        val ev = t(s, d, "events")
+          .select(col("event_type").as("g"), col("value"), col("event_id"))
+        val levels = Sketches.kllLevels(ev, "value", "event_id", Seq("g"))
+        val summ = Sketches.kllSummary(levels, KllK, Seq("g"))
+        val samp = Sketches.kllSample(levels, summ, Seq("g"))
+        val merged = Sketches.kllMergedSummary(summ, samp, KllK)
+        kllQuantilesFrom(s, d, merged, Sketches.kllMergedSample(samp, merged))
+      },
+      KllQuantileSql),
 
     // ---- strongly connected components (directed) -----------------------
     // the structure undirected CC cannot see: 3-cycles ("rings") bridged

@@ -1060,6 +1060,75 @@ object StreamingQueries {
       },
       GraphQueries.DoubleQuantileSql),
 
+    // ---- streaming ONE-PASS KLL quantiles (no frozen config) -------------
+    // the twin a16's stream_double_quantiles could never fully be: that
+    // fold is exact ONLY under bounds frozen before the stream starts —
+    // drift outside the frozen domain is its untested edge. The KLL
+    // sampler state needs NO pre-stream configuration: each micro-batch
+    // builds its own sketch (n, thr, sample) from its rows alone, and the
+    // batchId-keyed fold merges sketches with the max-threshold re-filter,
+    // which is associative and order-free (Sketches' design note), so the
+    // converged state is BIT-IDENTICAL to the direct whole-corpus build —
+    // and must meet a17's oracle, not a weakened stream variant. State per
+    // version is ≤ KllK sample rows + one summary; nothing rescans
+    // history. The combined frame carries (v, h, lvl) sample rows with the
+    // uniform (n, thr) summary columns alongside — one store, one fold.
+    ("stream_kll_quantiles",
+      (s, d) => {
+        import graft.ops.Sketches
+        val staged = stagedEvents(s, d)
+        val base = scratchDir("graft-stream-kll")
+        val (summary, sample) = withStreamShuffle(s, parts = 0) {
+          val in = base.resolve("in")
+          linkBatch(staged.b1, in.resolve("b1"))
+          val schema = s.read.parquet(s"$in/b1").schema
+          val store = base.resolve("sketch").toString
+          def sketchOf(rows: DataFrame): DataFrame = {
+            val levels = Sketches.kllLevels(
+              rows.select(col("value"), col("event_id")), "value", "event_id")
+            val summ = Sketches.kllSummary(levels, GraphQueries.KllK)
+            Sketches.kllSample(levels, summ).crossJoin(broadcast(summ))
+          }
+          val q = s.readStream.schema(schema)
+            .option("recursiveFileLookup", "true").parquet(in.toString)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", base.resolve("ckpt").toString)
+            .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                             batchId: Long) =>
+              if (!batch.isEmpty) {
+                val b = sketchOf(batch.toDF())
+                foldVersionedWith(s, store, batchId) {
+                  case None => b
+                  case Some(prior) =>
+                    // two-part merge: counts at lvl >= max part thr come
+                    // from the sample union alone, so the re-threshold
+                    // reproduces the direct build (associative — a prior
+                    // that is itself a merge is just another valid part)
+                    val parts = prior.select(col("n"), col("thr")).distinct()
+                      .unionByName(b.select(col("n"), col("thr")).distinct())
+                    val samples = prior.select(col("v"), col("h"), col("lvl"))
+                      .unionByName(b.select(col("v"), col("h"), col("lvl")))
+                    val merged = Sketches.kllMergedSummary(parts, samples,
+                      GraphQueries.KllK)
+                    Sketches.kllMergedSample(samples, merged)
+                      .crossJoin(broadcast(merged))
+                }
+              }
+            }
+            .start()
+          try {
+            q.processAllAvailable()
+            linkBatch(staged.b2, in.resolve("b2"))
+            q.processAllAvailable()
+          } finally q.stop()
+          val conv = foldConverged(s, store)
+          (conv.select(col("n"), col("thr")).distinct(),
+            conv.select(col("v"), col("h"), col("lvl")))
+        }
+        GraphQueries.kllQuantilesFrom(s, d, summary, sample)
+      },
+      GraphQueries.KllQuantileSql),
+
     // ---- streaming exact substring dedup (the 30th twin) -----------------
     // the twin of d23, against d23's ORACLE: the global knowledge exact
     // substring dedup needs is the corpus-wide GRAM OCCURRENCE COUNT, and

@@ -202,4 +202,91 @@ class SketchSpec extends AnyFunSuite {
     assert(oob.getMessage.contains("universe") ||
       Option(oob.getCause).exists(_.getMessage.contains("universe")))
   }
+
+  test("KLL sampler: levels are hash-trailing-zeros, sample is bounded, small inputs exact") {
+    val rows = (1L to 300L).map(i => (i.toDouble, i)).toDF("x", "rid")
+    val levels = Sketches.kllLevels(rows, "x", "rid")
+    // lvl = min(trailing zeros of h, cap) — re-derive per row and compare
+    val bad = levels.filter(not(col("lvl") ===
+      (1 to Sketches.MaxKllLevel)
+        .map(l => when(col("h") % (1L << l) === 0, 1).otherwise(0))
+        .reduce(_ + _))).count()
+    assert(bad == 0L)
+    // n <= k: threshold 0, sample = everything -> served quantiles EXACT
+    val summ = Sketches.kllSummary(levels, k = 512)
+    val Array(sr) = summ.collect()
+    assert(sr.getLong(0) == 300L && sr.getLong(1) == 0L)
+    assert(Sketches.kllSample(levels, summ).count() == 300L)
+    // n > k: sample bounded by k, threshold minimal (level thr-1 held > k)
+    val big = (1L to 20000L).map(i => (i.toDouble, i)).toDF("x", "rid")
+    val bl = Sketches.kllLevels(big, "x", "rid")
+    val bs = Sketches.kllSummary(bl, k = 256)
+    val Array(br) = bs.collect()
+    val thr = br.getLong(1)
+    val m = Sketches.kllSample(bl, bs).count()
+    assert(m <= 256L, s"sample $m exceeds k")
+    assert(thr > 0 && bl.filter(col("lvl") >= thr - 1).count() > 256L,
+      "threshold not minimal")
+  }
+
+  test("KLL sampler merge is exact: per-part sketches re-threshold to the direct build") {
+    // 3 parts of very different sizes (thresholds differ), merged two ways:
+    // all-at-once and left-fold — both must equal the direct whole-input
+    // sketch BIT-FOR-BIT (same thr, same sample membership), the property
+    // the a17 oracle hash-proves cross-engine and the streaming twin's
+    // fold relies on (associativity)
+    val k = 128
+    val data = (1L to 9000L).map(i =>
+      (if (i <= 6000) 0 else if (i <= 8500) 1 else 2, i.toDouble * 0.5, i))
+    val rows = data.toDF("part", "x", "rid").repartition(7)
+    val direct = {
+      val l = Sketches.kllLevels(rows, "x", "rid")
+      val su = Sketches.kllSummary(l, k)
+      (su, Sketches.kllSample(l, su))
+    }
+    val perPart = {
+      val l = Sketches.kllLevels(rows, "x", "rid", Seq("part"))
+      val su = Sketches.kllSummary(l, k, Seq("part"))
+      (su, Sketches.kllSample(l, su, Seq("part")))
+    }
+    val merged = Sketches.kllMergedSummary(perPart._1, perPart._2, k)
+    val dRow = direct._1.collect()(0)
+    val mRow = merged.collect()(0)
+    assert(mRow.getLong(0) == dRow.getLong(0) && mRow.getLong(1) == dRow.getLong(1),
+      s"merged (n, thr) ${mRow.toSeq} != direct ${dRow.toSeq}")
+    val ms = Sketches.kllMergedSample(perPart._2, merged).select("v", "h")
+    val ds = direct._2.select("v", "h")
+    assert(ms.except(ds).count() == 0 && ds.except(ms).count() == 0)
+    // left-fold (the streaming shape): ((p0 + p1) + p2) — same result
+    val parts = (0 to 2).map { p =>
+      val one = rows.filter(col("part") === p)
+      val l = Sketches.kllLevels(one, "x", "rid")
+      val su = Sketches.kllSummary(l, k)
+      (su, Sketches.kllSample(l, su))
+    }
+    val folded = parts.reduce { (a, b) =>
+      val parts2 = a._1.select("n", "thr").unionByName(b._1.select("n", "thr"))
+      val samples = a._2.unionByName(b._2)
+      val mg = Sketches.kllMergedSummary(parts2, samples, k)
+      (mg, Sketches.kllMergedSample(samples, mg))
+    }
+    val fRow = folded._1.collect()(0)
+    assert(fRow.getLong(0) == dRow.getLong(0) && fRow.getLong(1) == dRow.getLong(1))
+    assert(folded._2.select("v", "h").except(ds).count() == 0 &&
+      ds.except(folded._2.select("v", "h")).count() == 0)
+  }
+
+  test("KLL summary guard fails loudly when k cannot hold the input") {
+    // the guard trips iff even the cap level holds > k rows; adversarial
+    // hash inputs for that are not constructible deterministically, so
+    // build a synthetic levels frame pinned at the cap (the guard is on
+    // the summary arithmetic, not the hash)
+    val fake = (1L to 50L).map(i => (i.toDouble, i, Sketches.MaxKllLevel))
+      .toDF("v", "h", "lvl")
+    val ex = intercept[Exception] {
+      Sketches.kllSummary(fake, k = 2).collect()
+    }
+    assert(ex.toString.contains("k too small") ||
+      Option(ex.getCause).exists(_.toString.contains("k too small")))
+  }
 }
