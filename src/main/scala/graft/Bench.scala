@@ -354,7 +354,15 @@ object Bench {
     // events land before the diff). Draining after EVERY query would
     // serialize the bench against the appStatus queue, which lags seconds
     // behind task-heavy queries — measured as a ~2x whole-suite slowdown.
-    def runBattery(dir: String): Seq[(String, Double, Double, Option[String], Seq[String])] =
+    // SPARK_GRAFT_ROWS_OUT=1 (probe legs): record each query's OUTPUT
+    // cardinality via an untimed count() after the timed noop write, so a
+    // probe's super-linear wall ratio is adjudicable against its output
+    // growth in the record itself (round-14 verdict #7: the >10x dedup
+    // ratios were a measured ~979x output explosion — the next reader
+    // shouldn't have to re-derive that). Off by default: the count is a
+    // second execution and must never ride inside official timings.
+    val recordRowsOut = sys.env.getOrElse("SPARK_GRAFT_ROWS_OUT", "0") == "1"
+    def runBattery(dir: String): Seq[(String, Double, Double, Option[String], Seq[String], Option[Long])] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // plan construction is TIMED (its own clock, added to the execution
       // time below): for ordinary queries it is milliseconds of analysis,
@@ -396,7 +404,11 @@ object Bench {
         Seq(jstr("_attribution_degraded") + ":true") else Seq.empty
       val metrics = newKeys.toArray(Array.empty[String]).sorted
         .map(k => jstr(k) + ":" + observed.get(k)) ++ degraded
-      (name, elapsed, execSec, err, metrics)
+      val rowsOut =
+        if (!recordRowsOut || err.isDefined) None
+        else prep.toOption.map { case (df, _) =>
+          try df.count() catch { case _: Throwable => -1L } }
+      (name, elapsed, execSec, err, metrics, rowsOut)
     }
     // Untimed warm pass (env-gated; set by the parent's isolated
     // flag-rerun): execute every selected entry once before the timed
@@ -406,6 +418,44 @@ object Bench {
       for ((_, fn) <- selected.toSeq.sortBy(_._1))
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case _: Throwable => () } // the timed battery reports it
+    // ---- calibration gate (round-14 verdict #1) -------------------------
+    // Three consecutive official closes landed on a loaded box (r14: cal
+    // 1.59-2.35) and no record said whether anyone waited for quiet. The
+    // gate polls the SAME fixed calibration workload the record reports
+    // and starts the timed battery only once it reads <= threshold — or
+    // the bounded wait expires, in which case the battery runs anyway and
+    // the record STATES the box never quieted (quiet:false + every
+    // attempt), turning "was this close contended?" into a recorded fact.
+    // Disabled for child legs (SPARK_GRAFT_AB=0 — their defense is
+    // symmetry, not quiet) and --only profiling runs; SPARK_GRAFT_CAL_GATE
+    // sets the max wait in seconds ("0" disables, default 600), threshold
+    // via SPARK_GRAFT_CAL_GATE_THR (default 1.35).
+    val calGateJson: String = {
+      val conf = sys.env.getOrElse("SPARK_GRAFT_CAL_GATE", "")
+      val disabled = conf == "0" ||
+        sys.env.getOrElse("SPARK_GRAFT_AB", "1") == "0" || args.nonEmpty
+      if (disabled) "null"
+      else {
+        val thr = sys.env.get("SPARK_GRAFT_CAL_GATE_THR").map(_.toDouble)
+          .getOrElse(1.35)
+        val maxWaitSec = if (conf.nonEmpty) conf.toLong else 600L
+        val attempts = scala.collection.mutable.ListBuffer.empty[Double]
+        val t0 = System.nanoTime()
+        var c = calibrate(spark)
+        attempts += c
+        while (c > thr && (System.nanoTime() - t0) / 1e9 < maxWaitSec) {
+          Thread.sleep(30000)
+          c = calibrate(spark)
+          attempts += c
+        }
+        System.err.println(s"bench: calibration gate ${if (c <= thr) "quiet"
+          else "NEVER QUIET"} after ${attempts.size} attempt(s): " +
+          attempts.map(jnum).mkString(", "))
+        s"""{"threshold":${jnum(thr)},"maxWaitSec":$maxWaitSec,""" +
+          s""""attempts":[${attempts.map(jnum).mkString(",")}],""" +
+          s""""quiet":${c <= thr},"waited":${jnum((System.nanoTime() - t0) / 1e9)}}"""
+      }
+    }
     val results = runBattery(sfDir)
     // box-speed constant + same-session prior-commit A/B (see scaladocs):
     // the calibration always runs; the A/B runs unless disabled
@@ -481,20 +531,25 @@ object Bench {
     }
     // failed queries are reported with negative elapsed time AND in an errors
     // map, so a crash can never masquerade as a fast success in bench totals
-    val qs = results.map { case (k, v, _, err, _) =>
+    val qs = results.map { case (k, v, _, err, _, _) =>
       jstr(k) + ":" + (if (err.isDefined) -v else v)
     }.mkString("{", ",", "}")
     // execution-only seconds (total minus plan construction): the
     // like-for-like channel when comparing against a pre-r8 harness whose
     // "queries" map excluded construction (see runAb's methodology bridge)
-    val execQs = results.map { case (k, _, v, err, _) =>
+    val execQs = results.map { case (k, _, v, err, _, _) =>
       jstr(k) + ":" + (if (err.isDefined) -v else v)
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(e), _) =>
+    val errs = results.collect { case (k, _, _, Some(e), _, _) =>
       jstr(k) + ":" + jstr(e)
     }.mkString("{", ",", "}")
-    val om = results.collect { case (k, _, _, _, ms) if ms.nonEmpty =>
+    val om = results.collect { case (k, _, _, _, ms, _) if ms.nonEmpty =>
       jstr(k) + ":" + ms.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    // probe-leg output cardinalities (SPARK_GRAFT_ROWS_OUT=1) — empty map
+    // in official runs
+    val rowsOutJson = results.collect { case (k, _, _, _, _, Some(r)) =>
+      jstr(k) + ":" + r
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val nErr = results.count(_._4.isDefined)
@@ -567,13 +622,13 @@ object Bench {
           } catch { case _: Throwable => () }
         }
         val ratios = results.collect {
-          case (name, sec, _, None, _) if sec > 0.5 && histRaw.contains(name) &&
+          case (name, sec, _, None, _, _) if sec > 0.5 && histRaw.contains(name) &&
               median(histRaw(name)) > 0.1 => sec / median(histRaw(name))
         }
         if (ratios.length >= 5) sentinel = math.max(1.0, median(ratios.toList))
         // (name, current sec, hist median scaled-by-cal, hist median raw)
         val prelim = results.collect {
-          case (name, sec, _, None, _) if sec > 1.0 && hist.contains(name) &&
+          case (name, sec, _, None, _, _) if sec > 1.0 && hist.contains(name) &&
               sec / calibration > 2 * median(hist(name)) &&
               sec / sentinel > 2 * median(histRaw(name)) =>
             (name, sec, median(hist(name)), median(histRaw(name)))
@@ -667,13 +722,13 @@ object Bench {
     // (round-13 verdict #1); persisting the normalized values — the same
     // scaling the regression flagger already applies internally — makes
     // BENCH_rN self-comparable. Failed queries keep the negative marker.
-    val normQs = results.map { case (k, v, _, err, _) =>
+    val normQs = results.map { case (k, v, _, err, _, _) =>
       jstr(k) + ":" + jnum(if (err.isDefined) -v / calibration else v / calibration)
     }.mkString("{", ",", "}")
     // stdout gets the COMPACT line (fits any tail window: totals + errors +
     // regressions + a pointer); the file gets the full per-query detail.
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","nQueries":${results.size},"errors":$errs,"nErrors":$nErr,"regressions":$regressions,"phantom_flags":$phantomFlags,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},"normalized_total":${jnum(total / calibration)},"sentinel":${jnum(sentinel)},"ab":$abJson,"perQuery":${jstr(outPath)}}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"normalized":$normQs,"normalized_total":${jnum(total / calibration)},"execSeconds":$execQs,"warmupSeconds":${jnum(warmupSec)},"errors":$errs,"regressions":$regressions,"phantom_flags":$phantomFlags,"observedMetrics":$om,"sharedStores":$shared,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},"sentinel":${jnum(sentinel)},"ab":$abJson,"abPerQuery":$abPerQueryJson}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"normalized":$normQs,"normalized_total":${jnum(total / calibration)},"execSeconds":$execQs,"warmupSeconds":${jnum(warmupSec)},"rowsOut":$rowsOutJson,"errors":$errs,"regressions":$regressions,"phantom_flags":$phantomFlags,"observedMetrics":$om,"sharedStores":$shared,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},"sentinel":${jnum(sentinel)},"calGate":$calGateJson,"ab":$abJson,"abPerQuery":$abPerQueryJson}"""
     // ONE bare line on the process's real stdout: java.io.FileDescriptor.out
     // bypasses sbt's System.out capture (whose "[info] " prefix breaks
     // line-oriented JSON parsing downstream) and IS System.out everywhere
