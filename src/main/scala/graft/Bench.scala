@@ -346,6 +346,12 @@ object Bench {
     try if (selected.contains("pipeline_flagship"))
       graft.queries.FlagshipQueries.warmStore(spark)
     catch { case e: Throwable => System.err.println(s"bench: flagship warmup failed: $e") }
+    // shared two-batch replay stagings: cross-entry stores paid by the
+    // alphabetically-first twin otherwise (measured ~75 s inside
+    // stream_double_quantiles at the 100× probe) — pre-pay untimed
+    try if (selected.keys.exists(_.startsWith("stream_")))
+      graft.queries.StreamingQueries.warmStagedReplays(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"bench: staging warmup failed: $e") }
     val warmupSec = (System.nanoTime() - tWarm0) / 1e9
     // Attribution contract: only queries whose plans carry CollectMetrics
     // can contribute to `observed`, so only THOSE pay a bus drain — once

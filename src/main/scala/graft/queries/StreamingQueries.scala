@@ -91,6 +91,8 @@ object StreamingQueries {
 
   private def stagedEvents(s: SparkSession, d: String): StagedEvents =
     stagedEventsCache.computeIfAbsent(d, _ => {
+      PipelineQueries.sharedStoreMaterializers.putIfAbsent("staged_events",
+        PipelineQueries.currentEntry.value)
       val base = java.nio.file.Files.createTempDirectory(stagedRoot, "events")
       val raw = TemporalOps.loadEvents(s, d)
       val evTs = raw.withColumn("ts", TemporalOps.asTimestamp(raw, "ts")).drop("ts_us")
@@ -113,6 +115,8 @@ object StreamingQueries {
   private def stagedPair(d: String, key: String)
                         (mk: => (DataFrame, DataFrame)): StagedEvents =
     stagedPairCache.computeIfAbsent((d, key), _ => {
+      PipelineQueries.sharedStoreMaterializers.putIfAbsent(s"staged_$key",
+        PipelineQueries.currentEntry.value)
       val base = java.nio.file.Files.createTempDirectory(stagedRoot, key)
       val (b1, b2) = mk
       b1.coalesce(4).write.parquet(s"$base/b1")
@@ -172,6 +176,24 @@ object StreamingQueries {
       val docs = s.read.parquet(s"$d/documents.parquet")
       val cut = docs.stat.approxQuantile("doc_id", Array(0.5), 0.0)(0).toLong
       (docs.filter(col("doc_id") <= cut), docs.filter(col("doc_id") > cut))
+    }
+
+  /** Materialize all three shared two-batch stagings in the bench's
+    * UNTIMED warmup window (round-14 verdict #5). The staging — a full
+    * scan + median cut + two-batch parquet write per source table — is a
+    * cross-entry shared store like the shingle/BM25 caches, yet it was
+    * paid inside whichever twin ran FIRST: measured at the 100× probe,
+    * stream_double_quantiles carried ~75 s of staging that belongs to no
+    * operator (its own exec is 2.8 s), and an --only probe of ANY single
+    * events twin re-pays it in that entry's window, biasing every
+    * isolated adjudication. Warming all three when any stream twin is
+    * selected over-stages for narrow --only subsets — untimed, recorded
+    * in warmupSeconds, and preferable to a per-entry consumer map that
+    * would rot as twins are added.
+    */
+  def warmStagedReplays(s: SparkSession, d: String): Unit =
+    PipelineQueries.currentEntry.withValue("_warmup") {
+      stagedEvents(s, d); stagedLineitem(s, d); stagedDocs(s, d); ()
     }
 
   /** Row bound for [[pinBoundedStore]] in the foreachBatch-MERGE twin: the
