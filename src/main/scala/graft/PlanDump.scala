@@ -59,6 +59,15 @@ object PlanDump {
     "a7_approx" -> (Seq("BroadcastNestedLoopJoin"), Seq("CartesianProduct")), // 1-row sketch side
     "u9_bitemporal_pit" -> (Seq("BroadcastNestedLoopJoin"), Seq("CartesianProduct")), // 3-row probe side, non-equi
     "j8_bloom_prune_join" -> (Seq("Join"), Seq("CartesianProduct")),
+    // KLL sampler: every sketch-frame join broadcasts (summary 1-row,
+    // level frames ≤ grains×17 at ANY input size); a SortMergeJoin here
+    // means a bounded frame lost its hint. The BNLJ is the 17-row
+    // cumulative-count theta join — sketch-sized by construction.
+    "a17_kll_quantiles" -> (Seq("BroadcastHashJoin"), Seq("SortMergeJoin", "CartesianProduct")),
+    "stream_kll_quantiles" -> (Seq("BroadcastHashJoin"), Seq("SortMergeJoin", "CartesianProduct")),
+    // d24: the (doc, pos) delta-mark join is corpus-scale on both sides —
+    // a shuffle join IS the right plan; pin only the absence of a Cartesian
+    "d24_span_survivor_cut" -> (Seq("Join"), Seq("CartesianProduct")),
     "j6_range_join" -> (Seq("Join"), Seq("CartesianProduct")),
     // the Q5 star: EVERY join must broadcast (one fact scan, zero
     // pre-aggregate shuffles) — an SMJ here means a dim stopped fitting

@@ -415,7 +415,10 @@ object Sketches {
     val base = if (grain.isEmpty) lvls
       else perLvl.select(grain.map(col): _*).distinct().crossJoin(lvls)
     val pl = grain.foldLeft(perLvl)((df, g) => df.withColumnRenamed(g, s"__p_$g"))
-    val ge = base.join(pl,
+    // perLvl is grains×(cap+1) rows at ANY input size — broadcast, so the
+    // cumulative-count theta-join never sorts (the level frames are the
+    // sketch, not the data)
+    val ge = base.join(broadcast(pl),
         grain.map(g => col(g) === col(s"__p_$g"))
           .foldLeft(col("lvl") >= col("l"))(_ && _), "left")
       .groupBy((grain :+ "l").map(col): _*)
@@ -457,7 +460,7 @@ object Sketches {
     val lvls = samples.sparkSession.range(0, MaxKllLevel + 1)
       .select(col("id").cast("int").as("l"))
     val perLvl = samples.groupBy("lvl").agg(count(lit(1)).as("__c"))
-    val ge = lvls.join(perLvl, col("lvl") >= col("l"), "left")
+    val ge = lvls.join(broadcast(perLvl), col("lvl") >= col("l"), "left")
       .groupBy("l").agg(sum(coalesce(col("__c"), lit(0L))).as("cge"))
     val thrRaw = min(when(col("cge") <= k && col("l") >= col("thr0"), col("l")))
     ge.crossJoin(broadcast(t0))

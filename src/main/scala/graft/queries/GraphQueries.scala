@@ -343,7 +343,7 @@ object GraphQueries {
       .groupBy("pct2")
       .agg(sum(when(col("value") <= col("qv2"), 1L).otherwise(0L))
         .as("exact_rank"))
-    qv.join(exact, col("pct") === col("pct2"))
+    qv.join(broadcast(exact), col("pct") === col("pct2"))
       .select(col("pct"), col("n"), col("thr"), col("m"), col("target_rank"),
         col("sample_rank"), col("q_value"), col("est_rank"),
         graft.ops.Bounded.guard(col("exact_rank"),
