@@ -930,6 +930,198 @@ object Similarity {
     * streamed pairing (OrderedPairsExpr) keeps it ONE shuffle at constant
     * memory per bucket (see Dedup.lshCandidates for why not a self-join).
     */
+  // ---- deterministic k-NN graph: NN-descent (the HNSW-family member) -----
+  // HNSW itself is inadmissible in this engine: its insert order IS the
+  // graph (each insertion greedily wires into the graph built so far), so
+  // under Spark's nondeterministic partition order two runs disagree and no
+  // replaying oracle can exist. The admissible family member (round-14
+  // verdict #8) is NN-DESCENT (Dong, Moses & Li, "Efficient k-nearest
+  // neighbor graph construction for generic similarity measures", WWW
+  // 2011): the k-NN graph is improved by a fixed number of
+  // neighbors-of-neighbors rounds, and each round is a PURE SET FUNCTION
+  // of the previous graph — initial candidates from the deterministic
+  // md5-plane LSH buckets plus an id-ring (so every node always has ≥ k
+  // candidates), candidate generation a self-join, selection a top-k
+  // window with (cosine DESC, id) tie-breaks. No randomness, no order
+  // dependence: the graph is a function of the vector multiset, replayable
+  // row-for-row in SQL. Layering for the search tier reuses the KLL/HNSW
+  // trick — level(id) from the id hash — so the hierarchy too is
+  // order-free (hnswLayerOf / layeredSearch below).
+  //
+  // Scale shape (100 TB): init is the lshTopK shape (bucket equi-join;
+  // bucket size is controlled by plane count and the documented multi-band
+  // production path); each round's candidate volume is ≤ (2k)²·|V| rows
+  // (out-degree k by construction, REVERSE degree capped to k by a
+  // per-node window before expansion — the ρ-sampling of the paper made
+  // deterministic), scored by the native integer-dot kernel and reduced by
+  // the bucketed two-phase top-k window on (id). Rounds are a fixed small
+  // constant (the paper's convergence is geometric); nothing is ever
+  // all-pairs and no step needs a driver structure.
+
+  /** One deterministic NN-descent improvement round over `edges`
+    * (id, neighbor_id, cosine; ≤ k rows per id): symmetrize with the
+    * reverse-degree cap, expand neighbors-of-neighbors, score the distinct
+    * candidate union (old edges included — the round can only improve),
+    * keep top-k per node.
+    */
+  private def nnDescentRound(edges: DataFrame, qvecs: DataFrame, k: Int): DataFrame = {
+    val fwd = edges.select(col("id"), col("neighbor_id"))
+    val rev = edges
+      .withColumn("rr", row_number().over(
+        Window.partitionBy(col("neighbor_id"))
+          .orderBy(col("cosine").desc, col("id"))))
+      .filter(col("rr") <= k)
+      .select(col("neighbor_id").as("id"), col("id").as("neighbor_id"))
+    val sym = fwd.unionByName(rev).distinct()
+    val cand = sym.as("a")
+      .join(sym.select(col("id").as("mid"), col("neighbor_id").as("nb2")).as("b"),
+        col("a.neighbor_id") === col("b.mid"))
+      .select(col("a.id").as("id"), col("nb2").as("neighbor_id"))
+      .filter(col("id") =!= col("neighbor_id"))
+      .unionByName(sym)
+      .distinct()
+    val scored = cand
+      .join(qvecs.select(col("vid").as("id"), col("qv")), Seq("id"))
+      .join(qvecs.select(col("vid").as("neighbor_id"), col("qv").as("cv")),
+        Seq("neighbor_id"))
+      .withColumn("cosine", cosineQ(col("qv"), col("cv")))
+      .select("id", "neighbor_id", "cosine")
+    rankTopKById(scored, k)
+  }
+
+  /** Per-node top-k on an (id, neighbor_id, cosine) frame — the rankTopK
+    * two-phase window keyed by `id` instead of `query_id`. */
+  private def rankTopKById(scored: DataFrame, k: Int): DataFrame =
+    rankTopK(scored.withColumnRenamed("id", "query_id"), k,
+        Seq(col("cosine").desc, col("neighbor_id")))
+      .withColumnRenamed("query_id", "id")
+
+  /** Deterministic k-NN graph: LSH-bucket + id-ring init, `rounds`
+    * NN-descent rounds. Output (id, neighbor_id, cosine, rank ≤ k). */
+  def nnDescentGraph(vectors: DataFrame, k: Int, rounds: Int,
+                     numPlanes: Int = 4, ring: Int = 2,
+                     idCol: String = "vec_id", embCol: String = "embedding",
+                     scale: Int = 1000): DataFrame = {
+    require(k >= 1 && rounds >= 0 && ring >= 1, s"bad k/rounds/ring: $k/$rounds/$ring")
+    val qvecs = vectors.select(col(idCol).as("vid"),
+      quantize(col(embCol), scale).as("qv"),
+      lshBucket(col(embCol), numPlanes).as("bucket"))
+    // init candidates: same-LSH-bucket pairs (quality) ∪ id-ring (coverage
+    // floor — a node in a singleton bucket still seeds candidates). The
+    // ring is RAW id arithmetic (id ± 1..ring, equi-join) — map-side
+    // scalable, no global ordering anywhere; it assumes the standard dense
+    // contiguous row-id layout, and a sparse id space simply leans on the
+    // LSH side (more planes/bands), losing only the floor, never
+    // correctness
+    val ringCand = (1 to ring).flatMap { dlt =>
+      Seq(
+        qvecs.select(col("vid").as("id"), (col("vid") + dlt).as("mid")),
+        qvecs.select(col("vid").as("id"), (col("vid") - dlt).as("mid")))
+    }.reduce(_ unionByName _)
+      .join(qvecs.select(col("vid").as("mid"), col("vid").as("neighbor_id")),
+        Seq("mid"))
+      .select("id", "neighbor_id")
+    val bucketCand = qvecs.select(col("vid").as("id"), col("bucket"))
+      .join(qvecs.select(col("vid").as("neighbor_id"), col("bucket")), Seq("bucket"))
+      .filter(col("id") =!= col("neighbor_id"))
+      .select("id", "neighbor_id")
+    val cand0 = ringCand.unionByName(bucketCand).distinct()
+    val scored0 = cand0
+      .join(qvecs.select(col("vid").as("id"), col("qv")), Seq("id"))
+      .join(qvecs.select(col("vid").as("neighbor_id"), col("qv").as("cv")),
+        Seq("neighbor_id"))
+      .withColumn("cosine", cosineQ(col("qv"), col("cv")))
+      .select("id", "neighbor_id", "cosine")
+    // per-round lineage truncation (the iterative-operator discipline):
+    // each round consumes the previous graph THREE times (forward, reverse,
+    // and in the candidate union) — lazy reuse recomputes the whole prefix
+    // per consumer, a 3^rounds blowup
+    val ckpt = graft.ops.Checkpointer.Auto
+    var g = ckpt(rankTopKById(scored0, k))
+    for (_ <- 1 to rounds)
+      g = ckpt(nnDescentRound(g, qvecs.select(col("vid"), col("qv")), k))
+    g.select(col("id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** HNSW-style layer assignment WITHOUT insert-time randomness: level(id)
+    * = Σ_{j=1..maxLevel} [h48(id) mod 4^j = 0] — P(level ≥ j) = 4^-j, the
+    * geometric layer decay of HNSW drawn from the ID HASH instead of a
+    * per-insert RNG (the KLL-sampler trick), so the hierarchy is a pure
+    * function of the id set and replays in SQL.
+    */
+  def hnswLayerOf(idc: Column, maxLevel: Int): Column = {
+    val h = graft.ops.Sketches.h48(idc)
+    (1 to maxLevel).map(j =>
+      when(h % lit(math.pow(4, j).toLong) === 0, 1).otherwise(0)).reduce(_ + _)
+  }
+
+  /** Deterministic layered graph-ANN search — the serving half of the
+    * HNSW-family tier: walk from a deterministic entry point (max level,
+    * then min id) down the layer graphs, greedy (width 1, `upperHops`
+    * steps) on each upper layer, then beam search (width `beam`,
+    * `baseHops` steps) on the base graph, returning each query's top-k of
+    * the final beam (self excluded). Every step is candidates = beam ∪
+    * neighbors-of-beam, scored with exact integer-quantized cosine,
+    * selected by a (cosine DESC, id) window — a pure function of the
+    * graphs and the query set, so the whole search unrolls into SQL.
+    *
+    * Scale shape (100 TB): per query per hop the candidate set is ≤
+    * width·(k+1) rows; the hop is one equi-join against the layer graph
+    * (co-partitionable on node id) plus one broadcast-scored window —
+    * queries are embarrassingly parallel and nothing rescans the corpus;
+    * the corpus appears only through the (id → quantized vector) lookup
+    * join, bucketable by id.
+    */
+  def layeredSearch(queries: DataFrame, layers: Seq[DataFrame],
+                    corpus: DataFrame, k: Int, beam: Int,
+                    upperHops: Int = 2, baseHops: Int = 3,
+                    idCol: String = "vec_id", embCol: String = "embedding",
+                    scale: Int = 1000): DataFrame = {
+    require(layers.nonEmpty && beam >= k && k >= 1,
+      s"layeredSearch: need layers, beam >= k >= 1 (got ${layers.size}/$beam/$k)")
+    val maxL = layers.size - 1
+    val cvec = corpus.select(col(idCol).as("node"),
+      quantize(col(embCol), scale).as("cv"))
+    val qs = queries.select(col(idCol).as("query_id"),
+      quantize(col(embCol), scale).as("qv"))
+    val entry = corpus
+      .select(col(idCol).as("node"), hnswLayerOf(col(idCol), maxL).as("lvl"))
+      .orderBy(col("lvl").desc, col("node")).limit(1).select("node")
+    val ckpt = graft.ops.Checkpointer.Auto
+    // (query_id, node, cosine): the entry scored per query
+    def score(cand: DataFrame): DataFrame =
+      cand.join(qs, Seq("query_id")).join(cvec, Seq("node"))
+        .withColumn("cosine", cosineQ(col("qv"), col("cv")))
+        .select("query_id", "node", "cosine")
+    def hop(cur: DataFrame, graph: DataFrame, width: Int): DataFrame = {
+      val cand = cur.select("query_id", "node")
+        .unionByName(cur.select(col("query_id"), col("node"))
+          .join(graph.select(col("id").as("node"),
+            col("neighbor_id")), Seq("node"))
+          .select(col("query_id"), col("neighbor_id").as("node")))
+        .distinct()
+      val scored = score(cand)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cosine").desc, col("node"))))
+        .filter(col("rn") <= width)
+        .select("query_id", "node", "cosine")
+      ckpt(scored)
+    }
+    var cur = ckpt(score(qs.select("query_id").crossJoin(broadcast(entry))))
+    for (l <- maxL to 1 by -1; _ <- 1 to upperHops)
+      cur = hop(cur, layers(l), width = 1)
+    for (_ <- 1 to baseHops)
+      cur = hop(cur, layers(0), width = beam)
+    cur.filter(col("node") =!= col("query_id"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("node"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("node").as("neighbor_id"),
+        col("cosine"))
+  }
+
   def cosineDupPairs(vectors: DataFrame, tau: Double, bands: Int = 4,
                      planesPerBand: Int = 16,
                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {

@@ -553,6 +553,154 @@ object PipelineQueries {
       bm25ScoresShared(s, d).count()
     }
 
+  /** md5-hyperplane CTEs shared by the NN-descent oracles: `plv(p, plane)`
+    * — the [[graft.llm.Similarity.planeComponent]] family in-database
+    * (the sim_lsh_buckets replay, factored for reuse).
+    */
+  private def nnPlanesCtes(numPlanes: Int): String =
+    s"""planes AS (
+       |   SELECT p, dd,
+       |          ((strpos('0123456789abcdef', substr(h,1,1))-1)*4096
+       |         + (strpos('0123456789abcdef', substr(h,2,1))-1)*256
+       |         + (strpos('0123456789abcdef', substr(h,3,1))-1)*16
+       |         + (strpos('0123456789abcdef', substr(h,4,1))-1) - 32768) / 4096.0 AS comp
+       |   FROM (SELECT p, dd, substr(md5('plane' || p || ':' || dd), 1, 4) AS h
+       |         FROM (SELECT unnest(generate_series(0,${numPlanes - 1})) AS p),
+       |              (SELECT unnest(generate_series(0,63)) AS dd))),
+       | plv AS (SELECT p, list(comp ORDER BY dd) AS plane FROM planes GROUP BY p)""".stripMargin
+
+  /** CTE chain replaying [[graft.llm.Similarity.nnDescentGraph]] over
+    * `embeddings` rows satisfying `filter` (numPlanes = 4, ring = 2,
+    * scale = 1000, dims = 64): init = LSH-bucket ∪ id-ring candidates,
+    * then `rounds` unrolled NN-descent rounds (reverse-degree cap k,
+    * neighbors-of-neighbors expansion, exact integer-quantized cosine,
+    * top-k with (cosine DESC, id) ties). Final CTE: `g$rounds$tag`
+    * (id, neighbor_id, cosine, rank). Requires [[nnPlanesCtes]] in scope.
+    * `tag` suffixes every CTE so per-layer constructions compose in one
+    * WITH clause.
+    */
+  private def nnDescentSqlGraph(k: Int, rounds: Int, tag: String = "",
+                                filter: String = "TRUE"): String = {
+    val sb = new StringBuilder
+    sb ++= s"""qv$tag AS MATERIALIZED (SELECT vec_id AS vid,
+       |          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv,
+       |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+       |        FROM embeddings WHERE $filter),
+       | bk$tag AS MATERIALIZED (SELECT vid, CAST(SUM(CASE WHEN list_dot_product(ev, plane) >= 0
+       |            THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+       |        FROM qv$tag, plv GROUP BY vid),
+       | c0$tag AS MATERIALIZED (SELECT DISTINCT id, neighbor_id FROM (
+       |    SELECT a.vid AS id, b.vid AS neighbor_id FROM qv$tag a JOIN qv$tag b
+       |      ON b.vid IN (a.vid - 2, a.vid - 1, a.vid + 1, a.vid + 2)
+       |    UNION ALL
+       |    SELECT a.vid AS id, b.vid AS neighbor_id
+       |    FROM bk$tag a JOIN bk$tag b USING (bucket) WHERE a.vid <> b.vid)),
+       | g0$tag AS MATERIALIZED (SELECT id, neighbor_id, cosine, rank FROM (
+       |    SELECT s.*, ROW_NUMBER() OVER (PARTITION BY id
+       |                  ORDER BY cosine DESC, neighbor_id) AS rank
+       |    FROM (SELECT c.id, c.neighbor_id,
+       |            list_dot_product(a.qv, b.qv) /
+       |            (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) AS cosine
+       |          FROM c0$tag c JOIN qv$tag a ON a.vid = c.id
+       |               JOIN qv$tag b ON b.vid = c.neighbor_id) s)
+       |    WHERE rank <= $k)""".stripMargin
+    for (r <- 1 to rounds) {
+      val p = s"g${r - 1}$tag"
+      sb ++= s""",
+       | sym$r$tag AS MATERIALIZED (SELECT DISTINCT id, neighbor_id FROM (
+       |    SELECT id, neighbor_id FROM $p
+       |    UNION ALL
+       |    SELECT neighbor_id AS id, id AS neighbor_id FROM (
+       |      SELECT *, ROW_NUMBER() OVER (PARTITION BY neighbor_id
+       |                  ORDER BY cosine DESC, id) AS rr FROM $p) WHERE rr <= $k)),
+       | cd$r$tag AS MATERIALIZED (SELECT DISTINCT id, neighbor_id FROM (
+       |    SELECT a.id, b.neighbor_id FROM sym$r$tag a JOIN sym$r$tag b
+       |      ON a.neighbor_id = b.id WHERE a.id <> b.neighbor_id
+       |    UNION ALL SELECT id, neighbor_id FROM sym$r$tag)),
+       | g$r$tag AS MATERIALIZED (SELECT id, neighbor_id, cosine, rank FROM (
+       |    SELECT s.*, ROW_NUMBER() OVER (PARTITION BY id
+       |                  ORDER BY cosine DESC, neighbor_id) AS rank
+       |    FROM (SELECT c.id, c.neighbor_id,
+       |            list_dot_product(a.qv, b.qv) /
+       |            (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) AS cosine
+       |          FROM cd$r$tag c JOIN qv$tag a ON a.vid = c.id
+       |               JOIN qv$tag b ON b.vid = c.neighbor_id) s)
+       |    WHERE rank <= $k)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** The knng oracle's full CTE prefix (planes + untagged graph chain). */
+  private def nnDescentSqlCtes(k: Int, rounds: Int): String =
+    nnPlanesCtes(4) + ",\n " + nnDescentSqlGraph(k, rounds)
+
+  /** One search hop as a CTE: candidates = `prev` ∪ its `graph` neighbors,
+    * rescored, top-`width` per query. Mirrors
+    * [[graft.llm.Similarity.layeredSearch]]'s hop exactly.
+    */
+  private def hnswHopSql(prev: String, graph: String, out: String,
+                         width: Int): String =
+    s""" $out AS MATERIALIZED (SELECT query_id, node, cosine FROM (
+       |    SELECT s.*, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                  ORDER BY cosine DESC, node) AS rn
+       |    FROM (SELECT c.query_id, c.node,
+       |            list_dot_product(q.qv, v.qv) /
+       |            (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(v.qv, v.qv))) AS cosine
+       |          FROM (SELECT DISTINCT query_id, node FROM (
+       |              SELECT query_id, node FROM $prev
+       |              UNION ALL
+       |              SELECT p.query_id, g.neighbor_id AS node
+       |              FROM $prev p JOIN $graph g ON g.id = p.node)) c
+       |          JOIN qs q ON q.query_id = c.query_id
+       |          JOIN qv v ON v.vid = c.node) s)
+       |   WHERE rn <= $width)""".stripMargin
+
+  /** The sim_hnsw_search oracle: planes + hash layers + THREE unrolled
+    * NN-descent constructions (base k=12×3 rounds, two layer graphs
+    * k=8×2 over the lvl≥1 / lvl≥2 subsets) + the unrolled layered walk
+    * (2 greedy hops per upper layer, 3 beam-8 hops on the base graph) +
+    * the final top-5 (self excluded). Entirely generated so the SQL can
+    * never drift from the Spark operator's parameters.
+    */
+  private def hnswSearchSql: String = {
+    val lv =
+      """lv AS MATERIALIZED (SELECT vid,
+        |          (CASE WHEN h % 4 = 0 THEN 1 ELSE 0 END
+        |         + CASE WHEN h % 16 = 0 THEN 1 ELSE 0 END) AS lvl
+        |        FROM (SELECT vec_id AS vid,
+        |                CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12)
+        |                  AS BIGINT) + 1 AS h
+        |              FROM embeddings))""".stripMargin
+    val graphs = Seq(
+      nnDescentSqlGraph(k = 12, rounds = 3),
+      nnDescentSqlGraph(k = 8, rounds = 2, tag = "_l1",
+        filter = "vec_id IN (SELECT vid FROM lv WHERE lvl >= 1)"),
+      nnDescentSqlGraph(k = 8, rounds = 2, tag = "_l2",
+        filter = "vec_id IN (SELECT vid FROM lv WHERE lvl >= 2)"))
+    val head =
+      """ ep AS (SELECT vid FROM lv ORDER BY lvl DESC, vid LIMIT 1),
+        | qs AS MATERIALIZED (SELECT vid AS query_id, qv FROM qv WHERE vid < 20),
+        | h0 AS MATERIALIZED (SELECT q.query_id, v.vid AS node,
+        |          list_dot_product(q.qv, v.qv) /
+        |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(v.qv, v.qv))) AS cosine
+        |        FROM qs q CROSS JOIN ep e JOIN qv v ON v.vid = e.vid)""".stripMargin
+    val hops = (Seq(
+      ("h0", "g2_l2", "h1", 1), ("h1", "g2_l2", "h2", 1),
+      ("h2", "g2_l1", "h3", 1), ("h3", "g2_l1", "h4", 1)) ++
+      (5 to 9).map(i => (s"h${i - 1}", "g3", s"h$i", 24)))
+      .map { case (p, g, o, w) => hnswHopSql(p, g, o, w) }
+    s"""WITH ${nnPlanesCtes(4)},
+       | $lv,
+       | ${graphs.mkString(",\n ")},
+       |${head},
+       |${hops.mkString(",\n")}
+       | SELECT query_id, CAST(rnk AS INTEGER) AS rank, node AS neighbor_id, cosine
+       | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                   ORDER BY cosine DESC, node) AS rnk
+       |       FROM h9 WHERE node <> query_id)
+       | WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   val all: Seq[Entry] = Seq(
 
     // ---- exact dedup ----------------------------------------------------
@@ -1182,6 +1330,54 @@ object PipelineQueries {
         |   FROM '__EMB__' e, plv pl)
         | SELECT vec_id, CAST(SUM(CASE WHEN dot >= 0 THEN CAST(power(2,p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
         | FROM dots GROUP BY vec_id ORDER BY vec_id""".replace("'__EMB__'", "embeddings").stripMargin),
+
+    // ---- deterministic k-NN graph: NN-descent (HNSW-family, round 15) ---
+    // HNSW's insert-order-defined graph is inadmissible (order-dependent →
+    // unreplayable); the admissible family member is NN-descent (Dong et
+    // al. WWW'11): md5-plane LSH buckets + id-ring seed the graph, then a
+    // fixed number of neighbors-of-neighbors rounds — each a pure set
+    // function of the previous graph — converge it. k=16, 4 rounds reads
+    // recall@5 = 0.966 vs exact brute force on this corpus (vs 0.85 for
+    // the IVF tier at nProbe=4), measured in LlmOpsSpec. The oracle
+    // replays the ENTIRE iterative construction (init, every round's
+    // reverse-cap/expand/score/select) unrolled in SQL — the g_pagerank
+    // discipline applied to graph ANN; output is the converged adjacency
+    // of the first 40 nodes (the probe-subset hash discipline — the rows
+    // still depend on the whole corpus-wide construction).
+    ("sim_nndescent_knng",
+      (s, d) => Similarity.nnDescentGraph(t(s, d, "embeddings"), k = 16, rounds = 4)
+        .filter(col("id") < 40)
+        .orderBy("id", "rank"),
+      s"""WITH ${nnDescentSqlCtes(k = 16, rounds = 4)}
+         | SELECT id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+         | FROM g4 WHERE id < 40 ORDER BY id, rank""".stripMargin),
+
+    // ---- deterministic layered graph-ANN search (HNSW-family serving) ---
+    // the serving half: hash-assigned layers (P(lvl ≥ j) = 4^-j from the
+    // id hash — HNSW's geometric decay without insert-time randomness),
+    // NN-descent graphs per layer, then the canonical walk — greedy on the
+    // upper layers from a deterministic entry point (max level, min id),
+    // beam-24 on the base graph, top-5 of the final beam. Every hop is a
+    // pure set function, so the ENTIRE pipeline — three graph
+    // constructions plus the 7-hop walk — unrolls into one generated SQL
+    // oracle; a hash match means both engines agree on every graph edge
+    // AND every routing decision. Recall vs exact brute force is pinned in
+    // LlmOpsSpec: 0.97 recall@5 — beam search over the base graph
+    // recovers its construction misses by exploring ~beam·k candidates
+    // per query, ~6% of this corpus per query and O(beam·k·hops) at any
+    // corpus size.
+    ("sim_hnsw_search",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val lvl = Similarity.hnswLayerOf(col("vec_id"), 2)
+        val g0 = Similarity.nnDescentGraph(e, k = 12, rounds = 3)
+        val g1 = Similarity.nnDescentGraph(e.filter(lvl >= 1), k = 8, rounds = 2)
+        val g2 = Similarity.nnDescentGraph(e.filter(lvl >= 2), k = 8, rounds = 2)
+        Similarity.layeredSearch(e.filter(col("vec_id") < 20),
+            Seq(g0, g1, g2), e, k = 5, beam = 24, baseHops = 5)
+          .orderBy("query_id", "rank")
+      },
+      hnswSearchSql),
 
     // ---- IVF approximate top-k (steady-state offline-quantizer path) ----
     // The registry exercises [[Similarity.ivfTopKWithQuantizedCentroids]] —

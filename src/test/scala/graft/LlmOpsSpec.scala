@@ -469,6 +469,51 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("NN-descent graph converges to high recall and is partition-invariant") {
+    val e = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(e, e, k = 5)
+    val g = Similarity.nnDescentGraph(e, k = 16, rounds = 4)
+    val recall = Similarity.recallAtK(exact,
+        g.select($"id".as("query_id"), $"neighbor_id"))
+      .agg(org.apache.spark.sql.functions.avg("recall"))
+      .collect()(0).getDouble(0)
+    assert(recall >= 0.9, s"NN-descent recall@5 too low: $recall")
+    // order-freedom: a different input partitioning yields the IDENTICAL
+    // graph (the property HNSW lacks and the oracle replay depends on)
+    val g2 = Similarity.nnDescentGraph(e.repartition(7), k = 16, rounds = 4)
+    assert(g.except(g2).count() == 0 && g2.except(g).count() == 0)
+    // every round can only improve (old edges stay in the candidate set):
+    // round-4 recall >= round-1 recall
+    val g1r = Similarity.nnDescentGraph(e, k = 16, rounds = 1)
+    val r1 = Similarity.recallAtK(exact,
+        g1r.select($"id".as("query_id"), $"neighbor_id"))
+      .agg(org.apache.spark.sql.functions.avg("recall"))
+      .collect()(0).getDouble(0)
+    assert(recall >= r1 - 1e-9, s"round 4 ($recall) worse than round 1 ($r1)")
+  }
+
+  test("layered graph search: deterministic walk, high recall, bounded candidates") {
+    val e = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val lvl = Similarity.hnswLayerOf($"vec_id", 2)
+    val g0 = Similarity.nnDescentGraph(e, k = 12, rounds = 3)
+    val g1 = Similarity.nnDescentGraph(e.filter(lvl >= 1), k = 8, rounds = 2)
+    val g2 = Similarity.nnDescentGraph(e.filter(lvl >= 2), k = 8, rounds = 2)
+    val q = e.filter($"vec_id" < 10)
+    val res = Similarity.layeredSearch(q, Seq(g0, g1, g2), e, k = 5,
+      beam = 24, baseHops = 5)
+    // exactly k results per query, ranks 1..k, deterministic across runs
+    val n = res.groupBy("query_id").count().collect()
+    assert(n.length == 10 && n.forall(_.getLong(1) == 5L))
+    val res2 = Similarity.layeredSearch(q, Seq(g0, g1, g2), e, k = 5,
+      beam = 24, baseHops = 5)
+    assert(res.except(res2).count() == 0 && res2.except(res).count() == 0)
+    val exact = Similarity.bruteForceTopK(q, e, k = 5)
+    val recall = Similarity.recallAtK(exact, res)
+      .agg(org.apache.spark.sql.functions.avg("recall"))
+      .collect()(0).getDouble(0)
+    assert(recall >= 0.8, s"layered search recall@5 too low: $recall")
+  }
+
   test("ivfTopK online fit is deterministic at fixed partitioning (seeded KMeans)") {
     // the online path (seed 42, fixed maxIter) must reproduce bit-identical
     // results run-to-run at the same partitioning — pins the recall claim
