@@ -346,6 +346,17 @@ object Bench {
     try if (selected.contains("pipeline_flagship"))
       graft.queries.FlagshipQueries.warmStore(spark)
     catch { case e: Throwable => System.err.println(s"bench: flagship warmup failed: $e") }
+    // k-NN graph stores: the hnsw serving walk and the append patch read
+    // frozen graphs — build them untimed (attribution `knng_*`/`_warmup`
+    // via sharedStores) so the timed entries measure serving, not index
+    // construction (round-15 verdict #3); sim_nndescent_knng/
+    // sim_knng_capped remain the timed build entries
+    try {
+      if (selected.contains("sim_hnsw_search"))
+        graft.queries.PipelineQueries.warmHnswLayers(spark, sfDir)
+      if (selected.contains("sim_knng_append"))
+        graft.queries.PipelineQueries.warmKnngAppendBase(spark, sfDir)
+    } catch { case e: Throwable => System.err.println(s"bench: knng warmup failed: $e") }
     // shared two-batch replay stagings: cross-entry stores paid by the
     // alphabetically-first twin otherwise (measured ~75 s inside
     // stream_double_quantiles at the 100× probe) — pre-pay untimed
@@ -436,14 +447,27 @@ object Bench {
     // symmetry, not quiet) and --only profiling runs; SPARK_GRAFT_CAL_GATE
     // sets the max wait in seconds ("0" disables, default 600), threshold
     // via SPARK_GRAFT_CAL_GATE_THR (default 1.35).
+    // START-of-battery calibration (round-15 verdict #2): the r15 close
+    // recorded calibration 11.99 AFTER a gate that went quiet at <= 1.35 —
+    // one number cannot say whether the battery itself ran on a loaded
+    // box. The record now carries the gate's LAST pre-battery attempt as
+    // calibration_start and the post-battery read as calibration (the
+    // legacy key, still what history normalization scales by), and is
+    // MARKED CONTAMINATED when either side breaches the gate threshold —
+    // a contaminated record's normalized_total is null (raw + per-query
+    // values remain, flagged), it is excluded from history medians, and
+    // tools/bench_compare.py refuses normalized cross-record comparisons
+    // involving it.
+    var calStart: Option[Double] = None
+    val calGateThr = sys.env.get("SPARK_GRAFT_CAL_GATE_THR").map(_.toDouble)
+      .getOrElse(1.35)
     val calGateJson: String = {
       val conf = sys.env.getOrElse("SPARK_GRAFT_CAL_GATE", "")
       val disabled = conf == "0" ||
         sys.env.getOrElse("SPARK_GRAFT_AB", "1") == "0" || args.nonEmpty
       if (disabled) "null"
       else {
-        val thr = sys.env.get("SPARK_GRAFT_CAL_GATE_THR").map(_.toDouble)
-          .getOrElse(1.35)
+        val thr = calGateThr
         val maxWaitSec = if (conf.nonEmpty) conf.toLong else 600L
         val attempts = scala.collection.mutable.ListBuffer.empty[Double]
         val t0 = System.nanoTime()
@@ -454,6 +478,7 @@ object Bench {
           c = calibrate(spark)
           attempts += c
         }
+        calStart = Some(c)
         System.err.println(s"bench: calibration gate ${if (c <= thr) "quiet"
           else "NEVER QUIET"} after ${attempts.size} attempt(s): " +
           attempts.map(jnum).mkString(", "))
@@ -467,6 +492,10 @@ object Bench {
     // the calibration always runs; the A/B runs unless disabled
     // (SPARK_GRAFT_AB=0) or a query-name filter was passed (profiling mode).
     val calibration = calibrate(spark)
+    // contamination verdict: only adjudicable when the gate ran (official
+    // records); start-quiet + end-quiet is the comparable regime
+    val calContaminated: Option[Boolean] =
+      calStart.map(cs => cs > calGateThr || calibration > calGateThr)
     val abEnabled = sys.env.getOrElse("SPARK_GRAFT_AB", "1") != "0" && args.isEmpty
     var abPerQueryJson: String = "{}"
     val abJson: String = if (!abEnabled) "null" else {
@@ -613,8 +642,11 @@ object Bench {
             val root = omap.readTree(java.nio.file.Files.readAllBytes(f.toPath))
             val cal = Option(root.get("calibration")).map(_.asDouble()).getOrElse(0.0)
             val sfOk = Option(root.get("sf")).exists(_.asText() == sfDir)
+            // contaminated records (end-cal breached the gate) never feed
+            // history medians — their walls measure the box, not the code
+            val contam = Option(root.get("cal_contaminated")).exists(_.asBoolean())
             val q = root.get("queries")
-            if (sfOk && cal > 0 && q != null) {
+            if (sfOk && cal > 0 && q != null && !contam) {
               histCals += cal
               val it = q.fields()
               while (it.hasNext) {
@@ -731,10 +763,22 @@ object Bench {
     val normQs = results.map { case (k, v, _, err, _, _) =>
       jstr(k) + ":" + jnum(if (err.isDefined) -v / calibration else v / calibration)
     }.mkString("{", ",", "}")
+    // contamination fields (see calStart above): normalized_total is NULL
+    // on a contaminated record — the number the r15 close published at
+    // end-cal 11.99 flattered by ~6x and was meaningless; raw seconds and
+    // per-query walls stay, explicitly flagged
+    val contamJson = calContaminated.map(_.toString).getOrElse("null")
+    val calStartJson = calStart.map(jnum).getOrElse("null")
+    val normTotalJson =
+      if (calContaminated.contains(true)) "null" else jnum(total / calibration)
+    val contamFields =
+      s""""calibration_start":$calStartJson,"cal_contaminated":$contamJson,""" +
+        (if (calContaminated.contains(true))
+          s""""normalized_total_suspect":${jnum(total / calibration)},""" else "")
     // stdout gets the COMPACT line (fits any tail window: totals + errors +
     // regressions + a pointer); the file gets the full per-query detail.
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","nQueries":${results.size},"errors":$errs,"nErrors":$nErr,"regressions":$regressions,"phantom_flags":$phantomFlags,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},"normalized_total":${jnum(total / calibration)},"sentinel":${jnum(sentinel)},"ab":$abJson,"perQuery":${jstr(outPath)}}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"normalized":$normQs,"normalized_total":${jnum(total / calibration)},"execSeconds":$execQs,"warmupSeconds":${jnum(warmupSec)},"rowsOut":$rowsOutJson,"errors":$errs,"regressions":$regressions,"phantom_flags":$phantomFlags,"observedMetrics":$om,"sharedStores":$shared,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},"sentinel":${jnum(sentinel)},"calGate":$calGateJson,"ab":$abJson,"abPerQuery":$abPerQueryJson}"""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","nQueries":${results.size},"errors":$errs,"nErrors":$nErr,"regressions":$regressions,"phantom_flags":$phantomFlags,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},$contamFields"normalized_total":$normTotalJson,"sentinel":${jnum(sentinel)},"ab":$abJson,"perQuery":${jstr(outPath)}}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"normalized":$normQs,"normalized_total":$normTotalJson,"execSeconds":$execQs,"warmupSeconds":${jnum(warmupSec)},"rowsOut":$rowsOutJson,"errors":$errs,"regressions":$regressions,"phantom_flags":$phantomFlags,"observedMetrics":$om,"sharedStores":$shared,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},$contamFields"sentinel":${jnum(sentinel)},"calGate":$calGateJson,"ab":$abJson,"abPerQuery":$abPerQueryJson}"""
     // ONE bare line on the process's real stdout: java.io.FileDescriptor.out
     // bypasses sbt's System.out capture (whose "[info] " prefix breaks
     // line-oriented JSON parsing downstream) and IS System.out everywhere
@@ -755,8 +799,31 @@ object Bench {
         .fold(_ => "unknown", _.trim)
       val sfBase = new java.io.File(sfDir).getName
       histDir.mkdirs()
+      // filename carries the calibration regime (round-15 verdict #7) so
+      // a directory listing alone shows which records are comparable:
+      // cal to 2 decimals + the gate verdict (quiet / dirty = gate never
+      // quieted or no gate / contam = end-cal breached the gate)
+      val verdict =
+        if (calContaminated.contains(true)) "contam"
+        else if (calStart.exists(_ <= calGateThr) && calibration <= calGateThr) "quiet"
+        else "dirty"
+      val calTag = String.format(java.util.Locale.ROOT, "cal%.2f", Double.box(calibration))
+      // near-one record per (commit, sf): the cal/verdict suffix varies
+      // run to run, so sweep this commit's older records — but only those
+      // whose verdict is EQUAL-OR-WORSE than the new one (a quiet record
+      // must never be displaced by a contaminated rerun; legacy
+      // unsuffixed names rank as dirty). A better old record coexisting
+      // with the new one is fine: medians exclude contam, and the
+      // filenames say which is which.
+      def rankOf(n: String): Int =
+        if (n.contains("_quiet")) 0 else if (n.contains("_contam")) 2 else 1
+      val newRank = rankOf(s"_$verdict")
+      histDir.listFiles()
+        .filter(f => f.getName.startsWith(s"bench_${sha}_$sfBase") &&
+          rankOf(f.getName) >= newRank)
+        .foreach(_.delete())
       java.nio.file.Files.write(
-        new java.io.File(histDir, s"bench_${sha}_$sfBase.json").toPath,
+        new java.io.File(histDir, s"bench_${sha}_${sfBase}_${calTag}_$verdict.json").toPath,
         (full + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"bench: history write failed: $e") }
     spark.stop()

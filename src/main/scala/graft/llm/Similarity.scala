@@ -19,6 +19,15 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** Globally-unique observed-metric names (observation names must be
+    * unique per query; a fixed name would collide when one plan uses the
+    * capped init twice) — the [[Dedup]] discipline: consumers match by
+    * prefix.
+    */
+  private val metricSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def metricName(prefix: String): String =
+    s"${prefix}_${metricSeq.incrementAndGet()}"
+
   /** Quantize an array<float> to array<long> by round(x * scale), with the
     * multiply in DOUBLE. Without the cast Spark multiplies float32×int in
     * FLOAT, and a value like 0.31949999928474426f × 1000f rounds to exactly
@@ -966,12 +975,19 @@ object Similarity {
     */
   private def nnDescentRound(edges: DataFrame, qvecs: DataFrame, k: Int): DataFrame = {
     val fwd = edges.select(col("id"), col("neighbor_id"))
-    val rev = edges
-      .withColumn("rr", row_number().over(
-        Window.partitionBy(col("neighbor_id"))
-          .orderBy(col("cosine").desc, col("id"))))
-      .filter(col("rr") <= k)
-      .select(col("neighbor_id").as("id"), col("id").as("neighbor_id"))
+    // reverse cap through the bucketed two-phase top-k (rankTopK with
+    // neighbor_id as the partition key): out-degree is k-bounded but
+    // IN-degree is not — a hub node's in-edges (up to O(|V|) rows) would
+    // funnel through a single reducer under a flat
+    // Window.partitionBy(neighbor_id), the exact fat-key shape rankTopK
+    // was built to avoid. Same rows as the flat window (any per-key top-k
+    // row is top-k in its own hash sub-bucket), so the unrolled SQL
+    // oracle — which keeps the flat form for readability — is unchanged.
+    val rev = rankTopK(
+        edges.select(col("neighbor_id").as("query_id"),
+          col("id").as("neighbor_id"), col("cosine")),
+        k, Seq(col("cosine").desc, col("neighbor_id")))
+      .select(col("query_id").as("id"), col("neighbor_id"))
     val sym = fwd.unionByName(rev).distinct()
     val cand = sym.as("a")
       .join(sym.select(col("id").as("mid"), col("neighbor_id").as("nb2")).as("b"),
@@ -997,9 +1013,24 @@ object Similarity {
       .withColumnRenamed("query_id", "id")
 
   /** Deterministic k-NN graph: LSH-bucket + id-ring init, `rounds`
-    * NN-descent rounds. Output (id, neighbor_id, cosine, rank ≤ k). */
+    * NN-descent rounds. Output (id, neighbor_id, cosine, rank ≤ k).
+    *
+    * `maxBucket` caps the INIT's same-LSH-bucket pair generation: without
+    * it the init joins ALL same-bucket pairs — quadratic in bucket size,
+    * i.e. ~(n/2^numPlanes)² pairs at uniform occupancy and far worse on a
+    * near-duplicate-heavy corpus where one hot bucket holds a whole dup
+    * cluster (round-15 verdict #1: the 100x probe leg had to be cut off).
+    * Buckets above the cap are DROPPED from the init — their nodes keep
+    * the id-ring floor and the NN-descent rounds (k²-bounded) recover
+    * their neighborhoods — and the drop count is published as observed
+    * metric `knng_maxbucket_<n>` (the [[Dedup.lshCandidates]] no-silent-
+    * caps discipline). At scale, pair `maxBucket` with a `numPlanes`
+    * that grows as log₂(n / targetBucketSize) so the cap trims only the
+    * skewed tail instead of the whole init.
+    */
   def nnDescentGraph(vectors: DataFrame, k: Int, rounds: Int,
                      numPlanes: Int = 4, ring: Int = 2,
+                     maxBucket: Long = Long.MaxValue,
                      idCol: String = "vec_id", embCol: String = "embedding",
                      scale: Int = 1000): DataFrame = {
     require(k >= 1 && rounds >= 0 && ring >= 1, s"bad k/rounds/ring: $k/$rounds/$ring")
@@ -1021,8 +1052,23 @@ object Similarity {
       .join(qvecs.select(col("vid").as("mid"), col("vid").as("neighbor_id")),
         Seq("mid"))
       .select("id", "neighbor_id")
-    val bucketCand = qvecs.select(col("vid").as("id"), col("bucket"))
-      .join(qvecs.select(col("vid").as("neighbor_id"), col("bucket")), Seq("bucket"))
+    // the capped projection both sides of the bucket self-join read: the
+    // keep-set is ≤ 2^numPlanes rows — broadcast semi-filter, no shuffle
+    val bkt = {
+      val all = qvecs.select(col("vid"), col("bucket"))
+      if (maxBucket == Long.MaxValue) all
+      else {
+        val keep = all.groupBy("bucket").agg(count(lit(1)).as("__bn"))
+          .observe(metricName("knng_maxbucket"),
+            coalesce(sum(when(col("__bn") > maxBucket, 1L).otherwise(0L)),
+              lit(0L)).as("dropped_buckets"))
+          .filter(col("__bn") <= maxBucket)
+          .select("bucket")
+        all.join(broadcast(keep), Seq("bucket"))
+      }
+    }
+    val bucketCand = bkt.select(col("vid").as("id"), col("bucket"))
+      .join(bkt.select(col("vid").as("neighbor_id"), col("bucket")), Seq("bucket"))
       .filter(col("id") =!= col("neighbor_id"))
       .select("id", "neighbor_id")
     val cand0 = ringCand.unionByName(bucketCand).distinct()
@@ -1038,8 +1084,18 @@ object Similarity {
     // per consumer, a 3^rounds blowup
     val ckpt = graft.ops.Checkpointer.Auto
     var g = ckpt(rankTopKById(scored0, k))
-    for (_ <- 1 to rounds)
-      g = ckpt(nnDescentRound(g, qvecs.select(col("vid"), col("qv")), k))
+    for (_ <- 1 to rounds) {
+      // release the superseded round once the new one has materialized
+      // (eager checkpoint) — under the Local strategy unreleased per-round
+      // blocks (k·|V| rows each) pin non-evictable storage for the JVM,
+      // the cross-query contamination class (the GraphTraversal /
+      // ConnectedComponents discipline). The FINAL graph stays pinned: it
+      // is the operator's result and callers (layeredSearch, the bench
+      // shared stores) read it.
+      val prev = g
+      g = ckpt(nnDescentRound(prev, qvecs.select(col("vid"), col("qv")), k))
+      ckpt.release(prev)
+    }
     g.select(col("id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
@@ -1109,10 +1165,18 @@ object Similarity {
       ckpt(scored)
     }
     var cur = ckpt(score(qs.select("query_id").crossJoin(broadcast(entry))))
+    // release each superseded beam frame once the next hop materializes
+    // (eager checkpoints) — the nnDescentGraph round discipline; without
+    // it every hop's |Q|·width-row frame stays pinned for the JVM
+    def advance(graph: DataFrame, width: Int): Unit = {
+      val prev = cur
+      cur = hop(prev, graph, width)
+      ckpt.release(prev)
+    }
     for (l <- maxL to 1 by -1; _ <- 1 to upperHops)
-      cur = hop(cur, layers(l), width = 1)
+      advance(layers(l), width = 1)
     for (_ <- 1 to baseHops)
-      cur = hop(cur, layers(0), width = beam)
+      advance(layers(0), width = beam)
     cur.filter(col("node") =!= col("query_id"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
@@ -1120,6 +1184,105 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("node").as("neighbor_id"),
         col("cosine"))
+  }
+
+  /** Incremental k-NN graph maintenance — the steady-state ingest shape at
+    * 100 TB, where vector corpora APPEND (round-15 verdict #4, the
+    * `sim_ivf_append` sibling): new vectors find their neighbors by
+    * SEARCHING the frozen graph (the [[layeredSearch]] hop kernel — a
+    * deterministic beam walk from the min-old-id entry point) plus a
+    * same-LSH-bucket pass WITHIN the new batch (so intra-batch near-dups
+    * see each other without any old-graph path between them), and old
+    * nodes absorb the reverse edges under the same (cosine DESC, id)
+    * selection the fresh build uses.
+    *
+    * Contract (the documented bounded delta, NOT bit-identity with a fresh
+    * build): every node's adjacency is the exact top-k of
+    * `old edges ∪ new-node candidates ∪ their reversals` — a superset of
+    * the old graph's candidate evidence, so an OLD node's neighborhood can
+    * only improve (its rank-j cosine is monotonically non-decreasing, the
+    * NN-descent can-only-improve argument), and a NEW node's adjacency is
+    * the true top-k of O(beam·(k+1)·hops + bucket) searched candidates.
+    * A fresh build re-derives candidates for all n vectors; the append
+    * touches O(|new|·beam·k) graph rows and |new| bucket rows — no pass
+    * over the old corpus except the id→vector lookup join. Deterministic
+    * and order-free like everything in this family, so the whole
+    * append unrolls into a SQL oracle (`sim_knng_append`).
+    *
+    * `graph` = frozen adjacency (id, neighbor_id, cosine) over `oldVectors`;
+    * ids of `newVectors` must be disjoint from `oldVectors`.
+    */
+  def knngAppend(graph: DataFrame, oldVectors: DataFrame, newVectors: DataFrame,
+                 k: Int, beam: Int, hops: Int = 3,
+                 numPlanes: Int = 4, maxBucket: Long = Long.MaxValue,
+                 idCol: String = "vec_id", embCol: String = "embedding",
+                 scale: Int = 1000): DataFrame = {
+    require(k >= 1 && beam >= k && hops >= 1, s"bad k/beam/hops: $k/$beam/$hops")
+    val lookup = oldVectors.select(col(idCol), col(embCol))
+      .unionByName(newVectors.select(col(idCol), col(embCol)))
+      .select(col(idCol).as("node"), quantize(col(embCol), scale).as("cv"))
+    val qs = newVectors.select(col(idCol).as("query_id"),
+      quantize(col(embCol), scale).as("qv"),
+      lshBucket(col(embCol), numPlanes).as("bucket"))
+    // deterministic entry point into the frozen graph: min old id (the
+    // layeredSearch discipline without layers — the base graph IS the
+    // only layer here; callers with a layered store can search per layer
+    // and feed the union as extra hops)
+    val entry = oldVectors.select(min(col(idCol)).as("node"))
+    def score(cand: DataFrame): DataFrame =
+      cand.join(qs.select("query_id", "qv"), Seq("query_id"))
+        .join(lookup, Seq("node"))
+        .withColumn("cosine", cosineQ(col("qv"), col("cv")))
+        .select("query_id", "node", "cosine")
+    val ckpt = graft.ops.Checkpointer.Auto
+    var cur = ckpt(score(qs.select("query_id").crossJoin(broadcast(entry))))
+    for (_ <- 1 to hops) {
+      val prev = cur
+      cur = ckpt(score(prev.select("query_id", "node")
+          .unionByName(prev.select(col("query_id"), col("node"))
+            .join(graph.select(col("id").as("node"), col("neighbor_id")),
+              Seq("node"))
+            .select(col("query_id"), col("neighbor_id").as("node")))
+          .distinct())
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cosine").desc, col("node"))))
+        .filter(col("rn") <= beam)
+        .select("query_id", "node", "cosine"))
+      ckpt.release(prev)
+    }
+    // (per-query windows here are beam-bounded — candidates ≤
+    // beam·(k+1) per query before the window, the layeredSearch shape)
+    // within-batch candidates: same-bucket pairs among the NEW vectors
+    // (both directions), capped like the fresh build's init
+    val nbkt = {
+      val all = qs.select(col("query_id").as("vid"), col("bucket"))
+      if (maxBucket == Long.MaxValue) all
+      else {
+        val keep = all.groupBy("bucket").agg(count(lit(1)).as("__bn"))
+          .observe(metricName("knng_append_maxbucket"),
+            coalesce(sum(when(col("__bn") > maxBucket, 1L).otherwise(0L)),
+              lit(0L)).as("dropped_buckets"))
+          .filter(col("__bn") <= maxBucket)
+          .select("bucket")
+        all.join(broadcast(keep), Seq("bucket"))
+      }
+    }
+    val batchCand = nbkt.select(col("vid").as("query_id"), col("bucket"))
+      .join(nbkt.select(col("vid").as("node"), col("bucket")), Seq("bucket"))
+      .filter(col("query_id") =!= col("node"))
+      .select("query_id", "node")
+    val newFwd = cur.filter(col("node") =!= col("query_id"))
+      .unionByName(score(batchCand))
+      .select(col("query_id").as("id"), col("node").as("neighbor_id"),
+        col("cosine"))
+      .distinct()
+    val rev = newFwd.select(col("neighbor_id").as("id"),
+      col("id").as("neighbor_id"), col("cosine"))
+    val all = graph.select(col("id"), col("neighbor_id"), col("cosine"))
+      .unionByName(newFwd).unionByName(rev).distinct()
+    rankTopKById(all, k)
+      .select(col("id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
   def cosineDupPairs(vectors: DataFrame, tau: Double, bands: Int = 4,

@@ -354,6 +354,111 @@ object GraphQueries {
       .orderBy("pct")
   }
 
+  /** Per-GRAIN serving from unmerged per-type sketches — the production
+    * per-tenant shape (round-15 verdict #5): a17 serves only the GLOBAL
+    * quantiles of the merged sketch; real pipelines ask "p99 per tenant".
+    * [[graft.ops.Sketches.kllSummary]]/[[graft.ops.Sketches.kllSample]]
+    * already carry `grain` columns; this serves each grain's percentiles
+    * from its own sketch with the same exact-rank drift guard per
+    * (grain, pct) row. Bounded shapes throughout: the rank window is
+    * partitioned BY GRAIN over ≤ KllK rows each (never global), the
+    * summary/target frames are grains×5 rows (broadcast), and the guard's
+    * exact pass is one aggregate over events joined to the broadcast
+    * served values.
+    */
+  private[queries] def kllGroupedQuantilesFrom(s: SparkSession, d: String,
+                                               summary: DataFrame,
+                                               sample: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = sample.withColumn("rn", row_number().over(
+      Window.partitionBy(col("g")).orderBy(col("v"), col("h"))))
+    val m = sample.groupBy("g").agg(count(lit(1)).cast("long").as("m"))
+    val tg = summary
+      .select(col("g"), explode(array(Seq(25, 50, 75, 90, 99).map(lit(_)): _*)).as("p"),
+        col("n"), col("thr"))
+      .select(col("g"), col("p").cast("long").as("pct"),
+        expr("(p * n + 99) div 100").as("target_rank"), col("n"), col("thr"))
+      .join(broadcast(m), Seq("g"))
+      .withColumn("sample_rank", least(col("m"), expr(
+        "(target_rank + shiftleft(CAST(1 AS BIGINT), CAST(thr AS INT)) - 1) " +
+          "div shiftleft(CAST(1 AS BIGINT), CAST(thr AS INT))")))
+    val qv = tg.join(broadcast(ranked),
+        tg("g") === ranked("g") && col("rn") === col("sample_rank"))
+      .select(tg("g"), col("pct"), col("n"), col("thr"), col("m"),
+        col("target_rank"), col("sample_rank"), col("v").as("q_value"),
+        expr("sample_rank * shiftleft(CAST(1 AS BIGINT), CAST(thr AS INT))")
+          .as("est_rank"))
+    val exact = t(s, d, "events")
+      .join(broadcast(qv.select(col("g").as("g2"), col("pct").as("pct2"),
+          col("q_value").as("qv2"))),
+        col("event_type") === col("g2"))
+      .groupBy("g2", "pct2")
+      .agg(sum(when(col("value") <= col("qv2"), 1L).otherwise(0L))
+        .as("exact_rank"))
+    qv.join(broadcast(exact),
+        col("g") === col("g2") && col("pct") === col("pct2"))
+      .select(col("g"), col("pct"), col("n"), col("thr"), col("m"),
+        col("target_rank"), col("sample_rank"), col("q_value"),
+        col("est_rank"),
+        graft.ops.Bounded.guard(col("exact_rank"),
+          abs(col("exact_rank") - col("target_rank")) * 10 <= col("n"),
+          "grouped kll quantiles: a grain's served quantile drifted " +
+            "beyond 10% of its n — sample too small for this grain")
+          .as("exact_rank"))
+      .orderBy("g", "pct")
+  }
+
+  /** The a18 oracle — the a17 sampler chain WITHOUT the merge: per-type
+    * thresholds and samples (identical CTEs), then per-grain rank pick and
+    * per-grain exact-rank drift replayed in SQL.
+    */
+  val KllGroupedQuantileSql: String =
+    """WITH r AS (SELECT event_type AS g, value AS v, event_id AS eid,
+      |             CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12)
+      |               AS BIGINT) + 1 AS h
+      |           FROM events),
+      | l16 AS (SELECT unnest(generate_series(1, 16)) AS lb),
+      | rl AS (SELECT g, v, eid, h,
+      |          CAST(SUM(CASE WHEN h % (CAST(1 AS BIGINT) << lb) = 0
+      |            THEN 1 ELSE 0 END) AS INTEGER) AS lvl
+      |        FROM r CROSS JOIN l16 GROUP BY g, v, eid, h),
+      | l0 AS (SELECT unnest(generate_series(0, 16)) AS l),
+      | gs AS (SELECT DISTINCT g FROM rl),
+      | pc AS (SELECT g, lvl, COUNT(*) AS c FROM rl GROUP BY 1, 2),
+      | ge AS (SELECT gs.g, l0.l,
+      |          CAST(COALESCE(SUM(CASE WHEN pc.lvl >= l0.l THEN pc.c END), 0)
+      |            AS BIGINT) AS cge
+      |        FROM gs CROSS JOIN l0 LEFT JOIN pc ON pc.g = gs.g
+      |        GROUP BY gs.g, l0.l),
+      | th AS (SELECT g, CAST(MIN(CASE WHEN cge <= 1024 THEN l END) AS BIGINT) AS thr,
+      |               MAX(CASE WHEN l = 0 THEN cge END) AS n
+      |        FROM ge GROUP BY g),
+      | sm AS (SELECT rl.g, rl.v, rl.h, rl.lvl FROM rl JOIN th USING (g)
+      |        WHERE rl.lvl >= th.thr),
+      | rk AS (SELECT g, v, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, h) AS rn
+      |        FROM sm),
+      | mm AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS m FROM sm GROUP BY g),
+      | tg AS (SELECT th.g, CAST(p AS BIGINT) AS pct,
+      |               (p * n + 99) // 100 AS target_rank, n, thr
+      |        FROM (VALUES (25), (50), (75), (90), (99)) t(p) CROSS JOIN th),
+      | qr AS (SELECT tg.g, tg.pct, tg.target_rank, tg.n, tg.thr, mm.m,
+      |               LEAST(mm.m, (tg.target_rank + (CAST(1 AS BIGINT) << tg.thr) - 1)
+      |                 // (CAST(1 AS BIGINT) << tg.thr)) AS sample_rank
+      |        FROM tg JOIN mm USING (g)),
+      | qv AS (SELECT qr.*, rk.v AS q_value,
+      |               qr.sample_rank * (CAST(1 AS BIGINT) << qr.thr) AS est_rank
+      |        FROM qr JOIN rk ON rk.g = qr.g AND rk.rn = qr.sample_rank),
+      | er AS (SELECT qv.g AS g, qv.pct AS pct,
+      |               CAST(SUM(CASE WHEN e.value <= qv.q_value THEN 1 ELSE 0 END)
+      |                 AS BIGINT) AS exact_rank
+      |        FROM events e JOIN qv ON e.event_type = qv.g GROUP BY 1, 2)
+      | SELECT q.g, q.pct, q.n, q.thr, q.m,
+      |        CAST(q.target_rank AS BIGINT) AS target_rank,
+      |        CAST(q.sample_rank AS BIGINT) AS sample_rank, q.q_value,
+      |        q.est_rank, er.exact_rank
+      | FROM qv q JOIN er ON er.g = q.g AND er.pct = q.pct
+      | ORDER BY 1, 2""".stripMargin
+
   /** The a17 oracle — replays the whole sampler chain (per-row levels from
     * the 48-bit row-key hash, per-type thresholds, sample union, merged
     * re-threshold, (v, h)-ordered pick, exact-rank drift) directly in SQL;
@@ -1586,6 +1691,26 @@ object GraphQueries {
         kllQuantilesFrom(s, d, merged, Sketches.kllMergedSample(samp, merged))
       },
       KllQuantileSql),
+
+    // ---- per-grain KLL serving (the per-tenant production shape) --------
+    // a17 proves merge-exactness and serves the GLOBAL quantiles; this
+    // entry serves each event type's OWN percentiles from its unmerged
+    // sketch — the "p99 per tenant" question — with a per-(grain, pct)
+    // exact-rank drift guard (the a15 grained-serving discipline applied
+    // to the no-frozen-config family member). Build is the identical
+    // kllLevels/kllSummary/kllSample chain, so the state a17 merges IS
+    // the state a18 serves: one sketch store answers both questions.
+    ("a18_kll_grouped",
+      (s, d) => {
+        import graft.ops.Sketches
+        val ev = t(s, d, "events")
+          .select(col("event_type").as("g"), col("value"), col("event_id"))
+        val levels = Sketches.kllLevels(ev, "value", "event_id", Seq("g"))
+        val summ = Sketches.kllSummary(levels, KllK, Seq("g"))
+        val samp = Sketches.kllSample(levels, summ, Seq("g"))
+        kllGroupedQuantilesFrom(s, d, summ, samp)
+      },
+      KllGroupedQuantileSql),
 
     // ---- strongly connected components (directed) -----------------------
     // the structure undirected CC cannot see: 3-cycles ("rings") bridged

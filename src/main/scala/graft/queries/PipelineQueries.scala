@@ -553,6 +553,59 @@ object PipelineQueries {
       bm25ScoresShared(s, d).count()
     }
 
+  // ---- k-NN graph stores (round-15 verdict #3/#4) ------------------------
+  // nnDescentGraph's rounds run DRIVER-side during plan construction
+  // (eager checkpoints), so the CacheManager plan-matching trick cannot
+  // share them — like the louvain level-1, the RESULT frames are memoized
+  // per (session, dir). Before this, sim_hnsw_search re-built its THREE
+  // graph constructions inside every timed execution (13.0 s at sf0.1 for
+  // a walk that costs ~1 s — the bench measured the wrong thing);
+  // sim_nndescent_knng remains the TIMED build entry. Keyed by session
+  // because the frames are localCheckpoint-backed (the louvainL1Cache
+  // rationale), with the same stopped-session eviction.
+  private val knngCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), Seq[DataFrame]]()
+  private def knngShared(s: SparkSession, d: String, tag: String)
+                        (build: => Seq[DataFrame]): Seq[DataFrame] = {
+    val it = knngCache.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    knngCache.computeIfAbsent((s, d, tag), _ => {
+      sharedStoreMaterializers.putIfAbsent(s"knng_$tag", currentEntry.value)
+      build
+    })
+  }
+
+  /** The three layer graphs sim_hnsw_search serves from — the frozen ANN
+    * index, built once per (session, corpus).
+    */
+  private[queries] def hnswLayersShared(s: SparkSession, d: String): Seq[DataFrame] =
+    knngShared(s, d, "hnsw_layers") {
+      val e = t(s, d, "embeddings")
+      val lvl = Similarity.hnswLayerOf(col("vec_id"), 2)
+      Seq(
+        Similarity.nnDescentGraph(e, k = 12, rounds = 3),
+        Similarity.nnDescentGraph(e.filter(lvl >= 1), k = 8, rounds = 2),
+        Similarity.nnDescentGraph(e.filter(lvl >= 2), k = 8, rounds = 2))
+    }
+
+  /** The frozen base graph sim_knng_append patches (old corpus =
+    * vec_id >= 50; the < 50 rows play the append batch).
+    */
+  private[queries] def knngAppendBaseShared(s: SparkSession, d: String): Seq[DataFrame] =
+    knngShared(s, d, "append_base") {
+      Seq(Similarity.nnDescentGraph(
+        t(s, d, "embeddings").filter(col("vec_id") >= 50), k = 12, rounds = 2))
+    }
+
+  /** Materialize a k-NN graph store in the bench's UNTIMED warmup window
+    * (called per selected consumer), so the timed entries measure SERVING
+    * — the walk / the append patch — not index construction.
+    */
+  def warmHnswLayers(s: SparkSession, d: String): Unit =
+    currentEntry.withValue("_warmup") { hnswLayersShared(s, d); () }
+  def warmKnngAppendBase(s: SparkSession, d: String): Unit =
+    currentEntry.withValue("_warmup") { knngAppendBaseShared(s, d); () }
+
   /** md5-hyperplane CTEs shared by the NN-descent oracles: `plv(p, plane)`
     * — the [[graft.llm.Similarity.planeComponent]] family in-database
     * (the sim_lsh_buckets replay, factored for reuse).
@@ -580,8 +633,17 @@ object PipelineQueries {
     * WITH clause.
     */
   private def nnDescentSqlGraph(k: Int, rounds: Int, tag: String = "",
-                                filter: String = "TRUE"): String = {
+                                filter: String = "TRUE",
+                                maxBucket: Long = Long.MaxValue): String = {
     val sb = new StringBuilder
+    // the capped init reads bucket rows through the keep-set semi-join —
+    // [[graft.llm.Similarity.nnDescentGraph]]'s maxBucket routing replayed
+    // as a HAVING filter (bucket membership is a pure function of the
+    // data, so "which buckets are dropped" replays exactly)
+    val bkSrc = if (maxBucket == Long.MaxValue) s"bk$tag"
+      else s"""(SELECT b.vid, b.bucket FROM bk$tag b JOIN
+       |      (SELECT bucket FROM bk$tag GROUP BY bucket
+       |       HAVING COUNT(*) <= $maxBucket) kb USING (bucket))""".stripMargin
     sb ++= s"""qv$tag AS MATERIALIZED (SELECT vec_id AS vid,
        |          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv,
        |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
@@ -594,7 +656,7 @@ object PipelineQueries {
        |      ON b.vid IN (a.vid - 2, a.vid - 1, a.vid + 1, a.vid + 2)
        |    UNION ALL
        |    SELECT a.vid AS id, b.vid AS neighbor_id
-       |    FROM bk$tag a JOIN bk$tag b USING (bucket) WHERE a.vid <> b.vid)),
+       |    FROM $bkSrc a JOIN $bkSrc b USING (bucket) WHERE a.vid <> b.vid)),
        | g0$tag AS MATERIALIZED (SELECT id, neighbor_id, cosine, rank FROM (
        |    SELECT s.*, ROW_NUMBER() OVER (PARTITION BY id
        |                  ORDER BY cosine DESC, neighbor_id) AS rank
@@ -699,6 +761,62 @@ object PipelineQueries {
        |                   ORDER BY cosine DESC, node) AS rnk
        |       FROM h9 WHERE node <> query_id)
        | WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** The sim_knng_append oracle: planes + the frozen base graph (one
+    * unrolled NN-descent construction over vec_id >= 50, k=12×2 rounds) +
+    * the new batch's unrolled beam walk (3 beam-16 hops from the
+    * min-old-id entry) + within-batch bucket pairs + the reverse patch +
+    * the final exact top-k per node. Entirely generated from the same
+    * building blocks as the operator's parameters — the hnswSearchSql
+    * discipline applied to incremental maintenance.
+    */
+  private def knngAppendSql: String = {
+    val head =
+      """ qv AS MATERIALIZED (SELECT vec_id AS vid,
+        |          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+        |        FROM embeddings),
+        | qs AS MATERIALIZED (SELECT vid AS query_id, qv FROM qv WHERE vid < 50),
+        | ep AS (SELECT MIN(vec_id) AS vid FROM embeddings WHERE vec_id >= 50),
+        | h0 AS MATERIALIZED (SELECT q.query_id, v.vid AS node,
+        |          list_dot_product(q.qv, v.qv) /
+        |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(v.qv, v.qv))) AS cosine
+        |        FROM qs q CROSS JOIN ep e JOIN qv v ON v.vid = e.vid)""".stripMargin
+    val hops = (1 to 4).map(i =>
+      hnswHopSql(s"h${i - 1}", "g2_b", s"h$i", 24)).mkString(",\n")
+    val batch =
+      """ qe AS (SELECT vec_id AS vid,
+        |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |        FROM embeddings WHERE vec_id < 50),
+        | bkn AS MATERIALIZED (SELECT vid, CAST(SUM(CASE WHEN list_dot_product(ev, plane) >= 0
+        |          THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |        FROM qe, plv GROUP BY vid),
+        | bbs AS (SELECT c.query_id, c.node,
+        |          list_dot_product(q.qv, v.qv) /
+        |          (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(v.qv, v.qv))) AS cosine
+        |        FROM (SELECT a.vid AS query_id, b.vid AS node
+        |              FROM bkn a JOIN bkn b USING (bucket) WHERE a.vid <> b.vid) c
+        |        JOIN qs q ON q.query_id = c.query_id
+        |        JOIN qv v ON v.vid = c.node),
+        | nf AS (SELECT DISTINCT query_id AS id, node AS neighbor_id, cosine FROM (
+        |          SELECT query_id, node, cosine FROM h4 WHERE node <> query_id
+        |          UNION ALL SELECT query_id, node, cosine FROM bbs)),
+        | rv AS (SELECT neighbor_id AS id, id AS neighbor_id, cosine FROM nf),
+        | al AS (SELECT DISTINCT id, neighbor_id, cosine FROM (
+        |          SELECT id, neighbor_id, cosine FROM g2_b
+        |          UNION ALL SELECT id, neighbor_id, cosine FROM nf
+        |          UNION ALL SELECT id, neighbor_id, cosine FROM rv))""".stripMargin
+    s"""WITH ${nnPlanesCtes(4)},
+       | ${nnDescentSqlGraph(k = 12, rounds = 2, tag = "_b",
+            filter = "vec_id >= 50")},
+       |${head},
+       |${hops},
+       |${batch}
+       | SELECT id, CAST(rnk AS INTEGER) AS rank, neighbor_id, cosine
+       | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+       |                   ORDER BY cosine DESC, neighbor_id) AS rnk
+       |       FROM al)
+       | WHERE rnk <= 12 AND id < 60 ORDER BY id, rank""".stripMargin
   }
 
   val all: Seq[Entry] = Seq(
@@ -1367,17 +1485,69 @@ object PipelineQueries {
     // per query, ~6% of this corpus per query and O(beam·k·hops) at any
     // corpus size.
     ("sim_hnsw_search",
+      // the three graph builds come from the per-(session, dir) shared
+      // store ([[hnswLayersShared]], warmed untimed by the bench): the
+      // SERVING WALK is the operator this entry showcases, and before the
+      // staging it timed three full index constructions around a ~1 s walk
+      // (round-15 verdict #3). sim_nndescent_knng remains the timed BUILD
+      // entry. The oracle still replays builds + walk end-to-end, so the
+      // hash match continues to pin every graph edge and routing decision.
       (s, d) => {
         val e = t(s, d, "embeddings")
-        val lvl = Similarity.hnswLayerOf(col("vec_id"), 2)
-        val g0 = Similarity.nnDescentGraph(e, k = 12, rounds = 3)
-        val g1 = Similarity.nnDescentGraph(e.filter(lvl >= 1), k = 8, rounds = 2)
-        val g2 = Similarity.nnDescentGraph(e.filter(lvl >= 2), k = 8, rounds = 2)
         Similarity.layeredSearch(e.filter(col("vec_id") < 20),
-            Seq(g0, g1, g2), e, k = 5, beam = 24, baseHops = 5)
+            hnswLayersShared(s, d), e, k = 5, beam = 24, baseHops = 5)
           .orderBy("query_id", "rank")
       },
       hnswSearchSql),
+
+    // ---- capped-init k-NN graph build (the d17/d19-style routing twin) --
+    // sim_nndescent_knng's init joins ALL same-LSH-bucket pairs — the
+    // round-15 scale-killer: quadratic in bucket size, and real corpora
+    // put whole near-duplicate clusters in one bucket. This entry routes
+    // the IDENTICAL build (k=16, 4 rounds) through the maxBucket cap
+    // (32 here: at sf0.01 it genuinely drops 7 of 16 buckets — both code
+    // paths execute at the correctness SF) with the drop count published
+    // as observed metric `knng_maxbucket_*`; nodes in dropped buckets
+    // fall back on the id-ring floor and the k²-bounded rounds recover
+    // their neighborhoods — measured recall@5 0.9608 capped vs 0.9660
+    // uncapped (LlmOpsSpec), i.e. the cap removes the quadratic init at
+    // ~zero quality cost. The oracle replays the cap as a HAVING filter —
+    // bucket membership is a pure data function, so which buckets drop
+    // replays exactly.
+    ("sim_knng_capped",
+      (s, d) => Similarity.nnDescentGraph(t(s, d, "embeddings"), k = 16,
+          rounds = 4, maxBucket = 32)
+        .filter(col("id") < 40)
+        .orderBy("id", "rank"),
+      s"""WITH ${nnPlanesCtes(4)},
+         | ${nnDescentSqlGraph(k = 16, rounds = 4, maxBucket = 32)}
+         | SELECT id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+         | FROM g4 WHERE id < 40 ORDER BY id, rank""".stripMargin),
+
+    // ---- incremental k-NN graph maintenance (append) --------------------
+    // the steady-state ingest shape (round-15 verdict #4): the corpus
+    // APPENDS, and rebuilding the NN-descent graph per batch would rescan
+    // everything. New vectors (vec_id < 50) search the FROZEN base graph
+    // (built over vec_id >= 50, staged like the hnsw layers) via the
+    // deterministic beam walk, add same-bucket pairs within the batch,
+    // and every node's adjacency becomes the exact top-k of old edges ∪
+    // new candidates ∪ their reversals — old neighborhoods can only
+    // improve (the documented bounded-delta contract vs a fresh build;
+    // bit-identity is impossible because a fresh build sees bucket pairs
+    // ACROSS the old/new boundary that no append-time search replays —
+    // the delta is pinned by recall + monotonicity specs in LlmOpsSpec).
+    // The whole append — entry point, every hop's routing, the reverse
+    // patch — unrolls into the generated SQL oracle below.
+    ("sim_knng_append",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.knngAppend(knngAppendBaseShared(s, d).head,
+            e.filter(col("vec_id") >= 50), e.filter(col("vec_id") < 50),
+            k = 12, beam = 24, hops = 4)
+          .filter(col("id") < 60)
+          .orderBy("id", "rank")
+      },
+      knngAppendSql),
 
     // ---- IVF approximate top-k (steady-state offline-quantizer path) ----
     // The registry exercises [[Similarity.ivfTopKWithQuantizedCentroids]] —

@@ -1103,9 +1103,14 @@ object StreamingQueries {
     // which is associative and order-free (Sketches' design note), so the
     // converged state is BIT-IDENTICAL to the direct whole-corpus build —
     // and must meet a17's oracle, not a weakened stream variant. State per
-    // version is ≤ KllK sample rows + one summary; nothing rescans
-    // history. The combined frame carries (v, h, lvl) sample rows with the
-    // uniform (n, thr) summary columns alongside — one store, one fold.
+    // version is ≤ KllK sample rows + ONE MARKER ROW carrying the (n, thr)
+    // summary (is_sum = true) — one store, one fold. The marker row (not
+    // the earlier ride-along columns on sample rows) is load-bearing
+    // (round-15 ADVICE): a part whose kept sample is EMPTY — level counts
+    // CAN drop from > k straight to 0, making thr point at a vanished
+    // level — must still contribute its n to every later merge, and with
+    // the summary only aboard sample rows an empty sample silently
+    // dropped it (undercounting n) instead of carrying it structurally.
     ("stream_kll_quantiles",
       (s, d) => {
         import graft.ops.Sketches
@@ -1116,11 +1121,25 @@ object StreamingQueries {
           linkBatch(staged.b1, in.resolve("b1"))
           val schema = s.read.parquet(s"$in/b1").schema
           val store = base.resolve("sketch").toString
+          // sample rows (is_sum=false, null summary cols) + the 1-row
+          // summary marker (is_sum=true, null sample cols) in one frame
+          def pack(samp: DataFrame, summ: DataFrame): DataFrame = {
+            val vt = samp.schema("v").dataType
+            samp
+              .withColumn("n", lit(null).cast("long"))
+              .withColumn("thr", lit(null).cast("long"))
+              .withColumn("is_sum", lit(false))
+              .unionByName(summ.select(
+                lit(null).cast(vt).as("v"), lit(null).cast("long").as("h"),
+                lit(null).cast("int").as("lvl"),
+                col("n").cast("long"), col("thr").cast("long"),
+                lit(true).as("is_sum")))
+          }
           def sketchOf(rows: DataFrame): DataFrame = {
             val levels = Sketches.kllLevels(
               rows.select(col("value"), col("event_id")), "value", "event_id")
             val summ = Sketches.kllSummary(levels, GraphQueries.KllK)
-            Sketches.kllSample(levels, summ).crossJoin(broadcast(summ))
+            pack(Sketches.kllSample(levels, summ), summ)
           }
           val q = s.readStream.schema(schema)
             .option("recursiveFileLookup", "true").parquet(in.toString)
@@ -1136,15 +1155,21 @@ object StreamingQueries {
                     // two-part merge: counts at lvl >= max part thr come
                     // from the sample union alone, so the re-threshold
                     // reproduces the direct build (associative — a prior
-                    // that is itself a merge is just another valid part)
-                    val parts = prior.select(col("n"), col("thr")).distinct()
-                      .unionByName(b.select(col("n"), col("thr")).distinct())
-                    val samples = prior.select(col("v"), col("h"), col("lvl"))
-                      .unionByName(b.select(col("v"), col("h"), col("lvl")))
+                    // that is itself a merge is just another valid part).
+                    // Summaries come from the MARKER rows — present even
+                    // when a part's sample is empty
+                    val parts = prior.filter(col("is_sum"))
+                      .select(col("n"), col("thr"))
+                      .unionByName(b.filter(col("is_sum"))
+                        .select(col("n"), col("thr")))
+                    val samples = prior.filter(!col("is_sum"))
+                      .select(col("v"), col("h"), col("lvl"))
+                      .unionByName(b.filter(!col("is_sum"))
+                        .select(col("v"), col("h"), col("lvl")))
                     val merged = Sketches.kllMergedSummary(parts, samples,
                       GraphQueries.KllK)
-                    Sketches.kllMergedSample(samples, merged)
-                      .crossJoin(broadcast(merged))
+                    pack(Sketches.kllMergedSample(samples, merged),
+                      merged.select(col("n"), col("thr")))
                 }
               }
             }
@@ -1155,8 +1180,10 @@ object StreamingQueries {
             q.processAllAvailable()
           } finally q.stop()
           val conv = foldConverged(s, store)
-          (conv.select(col("n"), col("thr")).distinct(),
-            conv.select(col("v"), col("h"), col("lvl")))
+          // serving reads the marker row — a missing marker is a loud
+          // empty-summary failure downstream, never a silently-empty frame
+          (conv.filter(col("is_sum")).select(col("n"), col("thr")),
+            conv.filter(!col("is_sum")).select(col("v"), col("h"), col("lvl")))
         }
         GraphQueries.kllQuantilesFrom(s, d, summary, sample)
       },

@@ -1887,4 +1887,63 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("bounded top-k list")),
       s"expected the rrfFuse bound message, got: ${msgs(e).mkString(" | ")}")
   }
+
+  test("nnDescentGraph maxBucket cap: routing drops hot buckets, ring floor keeps coverage") {
+    val e = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // cap 32 at this corpus genuinely drops buckets (measured: 16 buckets
+    // of size 23-42 at numPlanes=4) — both code paths execute
+    val capped = Similarity.nnDescentGraph(e, k = 16, rounds = 4, maxBucket = 32)
+    // coverage floor: EVERY node still has k neighbors (ring + rounds
+    // recover nodes whose bucket was dropped)
+    val n = e.count()
+    val perNode = capped.groupBy("id").count().collect()
+    assert(perNode.length == n && perNode.forall(_.getLong(1) == 16L),
+      s"capped graph lost coverage: ${perNode.length} nodes of $n")
+    // the cap is a candidate-routing change, not a semantics change: an
+    // unreachable cap reproduces the uncapped build bit-for-bit
+    val uncapped = Similarity.nnDescentGraph(e, k = 16, rounds = 2)
+    val hiCap = Similarity.nnDescentGraph(e, k = 16, rounds = 2, maxBucket = Long.MaxValue - 1)
+    assert(hiCap.except(uncapped).count() == 0 && uncapped.except(hiCap).count() == 0)
+    // recall survives the cap (rounds recover the dropped init
+    // candidates): measured 0.9608 capped vs 0.9660 uncapped at rounds=4
+    val exact = Similarity.bruteForceTopK(e, e, k = 5)
+    val recall = Similarity.recallAtK(exact,
+        capped.select($"id".as("query_id"), $"neighbor_id"))
+      .agg(org.apache.spark.sql.functions.avg("recall"))
+      .collect()(0).getDouble(0)
+    assert(recall >= 0.9, s"capped NN-descent recall@5 too low: $recall")
+  }
+
+  test("knngAppend: deterministic, bounded delta — old nodes only improve, new nodes recall") {
+    val e = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val old = e.filter($"vec_id" >= 50)
+    val nw = e.filter($"vec_id" < 50)
+    val g = Similarity.nnDescentGraph(old, k = 12, rounds = 2)
+    val app = Similarity.knngAppend(g, old, nw, k = 12, beam = 24, hops = 4)
+    // order-freedom: repartitioned inputs yield the identical result (the
+    // property the SQL oracle replay depends on)
+    val app2 = Similarity.knngAppend(g, old.repartition(7), nw.repartition(5),
+      k = 12, beam = 24, hops = 4)
+    assert(app.except(app2).count() == 0 && app2.except(app).count() == 0)
+    // every node (old and new) has exactly k neighbors
+    val n = e.count()
+    val perNode = app.groupBy("id").count().collect()
+    assert(perNode.length == n && perNode.forall(_.getLong(1) == 12L))
+    // monotonicity half of the bounded-delta contract: an OLD node's
+    // rank-j cosine can only improve (the append adds candidate evidence,
+    // never removes any)
+    val worse = g.select($"id", $"rank", $"cosine".as("c_old"))
+      .join(app.select($"id", $"rank", $"cosine".as("c_new")), Seq("id", "rank"))
+      .filter($"c_new" < $"c_old" - 1e-12)
+      .count()
+    assert(worse == 0, s"$worse old (id, rank) slots got WORSE after append")
+    // recall half: a new node's appended adjacency finds its true
+    // neighbors (within the full corpus) at useful rates
+    val exact = Similarity.bruteForceTopK(nw, e, k = 5)
+    val recall = Similarity.recallAtK(exact,
+        app.filter($"id" < 50).select($"id".as("query_id"), $"neighbor_id"))
+      .agg(org.apache.spark.sql.functions.avg("recall"))
+      .collect()(0).getDouble(0)
+    assert(recall >= 0.7, s"appended-node recall@5 too low: $recall")
+  }
 }
