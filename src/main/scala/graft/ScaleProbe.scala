@@ -1221,6 +1221,58 @@ object ScaleProbe {
           graft.queries.PipelineQueries.sourceWordCounts(docs)).count()
       }
     }
+    if (Seq("knngBuild", "hnswWalk").exists(enabled)) {
+      val baseV = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .repartition(spark.sparkContext.defaultParallelism)
+      val vecStride = baseV.agg(max(col("vec_id"))).head.getLong(0) + 1L
+      if (enabled("knngBuild")) {
+        // the round-15 cut-off leg, re-runnable to completion: the capped
+        // init with numPlanes scaled as log2(n / targetBucket) — the
+        // production pairing the operator scaladoc prescribes. Half-exact
+        // copies (even k) collapse into hot buckets — the worst case the
+        // cap exists for; the observed knng_maxbucket metric carries the
+        // drop count. Expect ~linear wall in |V| (rounds are k²-bounded
+        // per node; the init is bucket-bounded by the cap).
+        val vecs = (0 until mult).map { k =>
+          val shifted = baseV.withColumn("vec_id",
+            col("vec_id") + lit(k.toLong * vecStride))
+          if (k % 2 == 1)
+            shifted.withColumn("embedding",
+              transform(col("embedding"), x => x + lit(k * 0.001f)))
+          else shifted
+        }.reduce(_ union _).cache()
+        val n = vecs.count()
+        val np = math.max(4, (math.log(n / 64.0) / math.log(2)).ceil.toInt)
+        timed(s"knngBuild capped (np=$np mb=64 k=16 r=2)") {
+          graft.llm.Similarity.nnDescentGraph(vecs, k = 16, rounds = 2,
+            numPlanes = np, maxBucket = 64).count()
+        }
+        vecs.unpersist()
+      }
+      if (enabled("hnswWalk")) {
+        // serving-walk linearity in |Q| (round-15 verdict #6): the index
+        // (three layer graphs over the BASE corpus) is built once,
+        // untimed — the bench's staged-store shape — and only the query
+        // set scales. The walk is O(beam·k·hops) per query, so wall must
+        // track |Q|.
+        val lvl = graft.llm.Similarity.hnswLayerOf(col("vec_id"), 2)
+        val layers = Seq(
+          graft.llm.Similarity.nnDescentGraph(baseV, k = 12, rounds = 3),
+          graft.llm.Similarity.nnDescentGraph(baseV.filter(lvl >= 1), k = 8, rounds = 2),
+          graft.llm.Similarity.nnDescentGraph(baseV.filter(lvl >= 2), k = 8, rounds = 2))
+        layers.foreach(_.count()) // stage untimed
+        val qs = (0 until mult).map(k =>
+            baseV.filter(col("vec_id") < 20)
+              .withColumn("vec_id", col("vec_id") + lit(k.toLong * vecStride)))
+          .reduce(_ union _).cache()
+        val nq = qs.count()
+        timed(s"hnswWalk (beam=24, $nq queries, staged index)") {
+          graft.llm.Similarity.layeredSearch(qs, layers, baseV, k = 5,
+            beam = 24, baseHops = 5).count()
+        }
+        qs.unpersist()
+      }
+    }
     if (enabled("kTruss")) {
       // triangle-chain successor graph over fresh keys x mult (every vertex
       // in 2 path + 1 skip triangle): constant degree, so wedge volume and

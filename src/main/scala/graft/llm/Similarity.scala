@@ -620,6 +620,58 @@ object Similarity {
     (0 until numSubspaces).map(m => rows.map(_.slice(m * sub, (m + 1) * sub)))
   }
 
+  /** TRAINED per-subspace PQ codebooks (round-15 verdict #8): `rounds` of
+    * exact-integer Lloyd's k-means INSIDE each contiguous subspace, seeded
+    * by the corpus-prefix slices ([[collectPqCodebooks]] — the previous
+    * codebooks are round 0 of these). Every piece is the [[kmeansLloyd]]
+    * determinism kit: integer argmin assignment with ties to the lowest
+    * codeword, truncating-division centroid updates, emptied codewords
+    * keep their value, early stop at the fixpoint — so the trained
+    * codebooks are a pure function of the vector multiset and the whole
+    * training replays in SQL (the sim_kmeans_lloyd discipline per
+    * subspace).
+    *
+    * Scale shape: ONE aggregate pass per round — each row contributes its
+    * M subvectors' (subspace, cell, pos, value) cells to a map-side-
+    * combinable sum over ≤ M·k·(d/M) = k·d groups, collected as a bounded
+    * model artifact (the kmeansLloyd economics, M-plexed); assignment
+    * rides the scan as literal codebooks, no join, no shuffle of vectors.
+    */
+  def trainPqCodebooks(vectors: DataFrame, numCodewords: Int, numSubspaces: Int,
+                       rounds: Int,
+                       idCol: String = "vec_id", embCol: String = "embedding",
+                       scale: Int = 1000): Seq[Seq[Seq[Long]]] = {
+    require(rounds >= 0, s"rounds must be >= 0: $rounds")
+    var cbs = collectPqCodebooks(vectors, numCodewords, numSubspaces, idCol, embCol, scale)
+    val sub = cbs.head.head.length
+    val q = vectors.select(quantize(col(embCol), scale).as("qv"))
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      val subCols = cbs.zipWithIndex.map { case (cbm, m) =>
+        val v = slice(col("qv"), m * sub + 1, sub)
+        struct(lit(m).as("m"),
+          graft.functions.CellAssign.assignCol(v, cbm).as("cell"), v.as("v"))
+      }
+      val sums = q.select(explode(array(subCols: _*)).as("s"))
+        .select(col("s.m"), col("s.cell"), posexplode(col("s.v")).as(Seq("pos", "x")))
+        .groupBy("m", "cell", "pos")
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect() // ≤ k·d rows — bounded model artifact, never corpus-sized
+      val byKey = sums.map(row => ((row.getInt(0), row.getInt(1), row.getInt(2)),
+        (row.getLong(3), row.getLong(4)))).toMap
+      val next = cbs.zipWithIndex.map { case (cbm, m) =>
+        cbm.zipWithIndex.map { case (cw, j) =>
+          if (byKey.contains((m, j, 0)))
+            (0 until sub).map { p => val (sx, n) = byKey((m, j, p)); sx / n }
+          else cw // emptied codeword keeps its value
+        }
+      }
+      if (next == cbs) converged = true else { cbs = next; r += 1 }
+    }
+    cbs
+  }
+
   /** PQ encode (Jégou et al., TPAMI 2011): (idCol, codes) where codes[m] =
     * index of the nearest codeword (exact integer squared-L2 argmin, tie →
     * lowest index — the [[graft.functions.CellAssign]] contract) of the

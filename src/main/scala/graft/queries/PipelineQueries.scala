@@ -819,6 +819,57 @@ object PipelineQueries {
        | WHERE rnk <= 12 AND id < 60 ORDER BY id, rank""".stripMargin
   }
 
+  /** The sim_pq_trained oracle: seeds = prefix subvector slices (cw0),
+    * then `rounds` unrolled per-subspace Lloyd rounds (integer argmin with
+    * ties to the lowest codeword, truncating-division updates, emptied
+    * codewords carried), then encode + ADC top-5 with the FINAL codebooks.
+    * Mirrors [[graft.llm.Similarity.trainPqCodebooks]] +
+    * [[graft.llm.Similarity.pqTopKWithCodebooks]] parameter-for-parameter
+    * (16 codewords × 8 subspaces × 8 dims, queries vec_id < 20).
+    */
+  private def pqTrainedSql(rounds: Int): String = {
+    def argmin(src: String, cb: String, out: String): String =
+      s""" $out AS MATERIALIZED (SELECT vec_id, m, j, v FROM (
+         |    SELECT s.vec_id, s.m, c.j, s.v,
+         |           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+         |             list_dot_product(s.v, s.v) - 2*list_dot_product(s.v, c.c)
+         |               + list_dot_product(c.c, c.c), c.j) AS rn
+         |    FROM $src s JOIN $cb c USING (m)) WHERE rn = 1)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      argmin("csub", s"cw${r - 1}", s"a$r") + s""",
+         | u$r AS (SELECT m, j, i AS pos, CAST(SUM(v[i]) AS BIGINT) AS sx, COUNT(*) AS n
+         |         FROM a$r, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) g
+         |         GROUP BY m, j, i),
+         | n$r AS (SELECT m, j, list(sx // n ORDER BY pos) AS c FROM u$r GROUP BY m, j),
+         | cw$r AS MATERIALIZED (SELECT p.m, p.j, COALESCE(n$r.c, p.c) AS c
+         |         FROM cw${r - 1} p LEFT JOIN n$r ON n$r.m = p.m AND n$r.j = p.j)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH corp AS (SELECT vec_id,
+       |          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+       |        FROM embeddings),
+       | ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+       | csub AS MATERIALIZED (SELECT vec_id, m, qv[m*8+1 : m*8+8] AS v FROM corp, ms),
+       | cw0 AS MATERIALIZED (SELECT m, ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS j,
+       |          v AS c
+       |        FROM csub WHERE vec_id < 16),
+       |$roundCtes,
+       |${argmin("csub", s"cw$rounds", "asg")},
+       | qsub AS (SELECT vec_id AS query_id, m, v FROM csub WHERE vec_id < 20),
+       | adcp AS (SELECT qs.query_id, a.vec_id AS neighbor_id,
+       |                 CAST(SUM(list_dot_product(qs.v, qs.v)
+       |                   - 2*list_dot_product(qs.v, c.c)
+       |                   + list_dot_product(c.c, c.c)) AS BIGINT) AS adc
+       |          FROM qsub qs
+       |          JOIN asg a ON qs.m = a.m
+       |          JOIN cw$rounds c ON c.m = a.m AND c.j = a.j
+       |          WHERE qs.query_id <> a.vec_id
+       |          GROUP BY 1, 2)
+       | SELECT query_id, neighbor_id, adc, CAST(rank AS INTEGER) AS rank
+       | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                    ORDER BY adc, neighbor_id) AS rank FROM adcp)
+       | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   val all: Seq[Entry] = Seq(
 
     // ---- exact dedup ----------------------------------------------------
@@ -4342,6 +4393,24 @@ object PipelineQueries {
         | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |                                    ORDER BY adc, neighbor_id) AS rank FROM adcp)
         | WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    // ---- PQ with TRAINED codebooks (per-subspace Lloyd's) ---------------
+    // the production PQ path: codebooks k-means-trained inside each
+    // subspace (seeded by the prefix slices — sim_pq_topk's codebooks ARE
+    // round 0 of this training), exact-integer throughout, so the WHOLE
+    // pipeline — 2 unrolled training rounds per subspace, encode, ADC —
+    // replays in the generated SQL below (the sim_kmeans_lloyd discipline
+    // applied per subspace). Recall vs the prefix codebooks is pinned in
+    // LlmOpsSpec (training must not lose recall on this corpus).
+    ("sim_pq_trained",
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cbs = Similarity.trainPqCodebooks(e, numCodewords = 16,
+          numSubspaces = 8, rounds = 2)
+        Similarity.pqTopKWithCodebooks(e.filter(col("vec_id") < 20), e, k = 5, cbs)
+          .orderBy("query_id", "rank")
+      },
+      pqTrainedSql(rounds = 2)),
 
     // ---- IVF-PQ: coarse pruning + residual codes (the FAISS shape) ------
     // 4 coarse cells (first-4-vector centroids), nProbe=2; residual PQ

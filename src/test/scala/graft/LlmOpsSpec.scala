@@ -1888,6 +1888,29 @@ class LlmOpsSpec extends AnyFunSuite {
       s"expected the rrfFuse bound message, got: ${msgs(e).mkString(" | ")}")
   }
 
+  test("trained PQ codebooks: deterministic, partition-invariant, no recall loss vs prefix") {
+    val e = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(q, e, k = 5)
+    def recallOf(cbs: Seq[Seq[Seq[Long]]]): Double =
+      Similarity.recallAtK(exact,
+          Similarity.pqTopKWithCodebooks(q, e, k = 5, cbs)
+            .select("query_id", "neighbor_id"))
+        .agg(org.apache.spark.sql.functions.avg("recall"))
+        .collect()(0).getDouble(0)
+    val prefix = Similarity.collectPqCodebooks(e, 16, 8)
+    val trained = Similarity.trainPqCodebooks(e, 16, 8, rounds = 2)
+    assert(trained != prefix, "training did not move the codebooks at all")
+    // order-freedom: sums are associative, argmin/truncation exact — the
+    // trained books are a pure function of the vector multiset
+    val trained2 = Similarity.trainPqCodebooks(e.repartition(7), 16, 8, rounds = 2)
+    assert(trained == trained2)
+    val rp = recallOf(prefix)
+    val rt = recallOf(trained)
+    info(s"PQ recall@5: prefix=$rp trained=$rt")
+    assert(rt >= rp - 0.02, s"trained codebooks LOST recall: $rt vs prefix $rp")
+  }
+
   test("nnDescentGraph maxBucket cap: routing drops hot buckets, ring floor keeps coverage") {
     val e = TestSpark.spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     // cap 32 at this corpus genuinely drops buckets (measured: 16 buckets
