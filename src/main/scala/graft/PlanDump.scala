@@ -65,6 +65,20 @@ object PlanDump {
     // cumulative-count theta join — sketch-sized by construction.
     "a17_kll_quantiles" -> (Seq("BroadcastHashJoin"), Seq("SortMergeJoin", "CartesianProduct")),
     "stream_kll_quantiles" -> (Seq("BroadcastHashJoin"), Seq("SortMergeJoin", "CartesianProduct")),
+    // a18 grained serving: same broadcast discipline as a17 — every
+    // sketch-frame join broadcasts, the BNLJ is the enumerated-level
+    // cumulative-count theta join (grains×17 rows by construction)
+    "a18_kll_grouped" -> (Seq("BroadcastHashJoin"), Seq("SortMergeJoin", "CartesianProduct")),
+    // knng append: graph hops, vector lookups, and batch-bucket pairs are
+    // all equi-joins (broadcast at audit SF, shuffled-hash on node id at
+    // scale); any BNLJ/Cartesian here means a hop lost its equi-key
+    "sim_knng_append" -> (Seq("BroadcastHashJoin"),
+      Seq("CartesianProduct", "BroadcastNestedLoop")),
+    // trained PQ: the one BNLJ is the broadcast query-LUT × corpus-codes
+    // scan — the ADC memory-bound shape (the corpus side is never
+    // shuffled); an equi-join appearing here would mean the LUT stopped
+    // riding the scan
+    "sim_pq_trained" -> (Seq("BroadcastNestedLoopJoin"), Seq("CartesianProduct")),
     // d24: the (doc, pos) delta-mark join is corpus-scale on both sides —
     // a shuffle join IS the right plan; pin only the absence of a Cartesian
     "d24_span_survivor_cut" -> (Seq("Join"), Seq("CartesianProduct")),
