@@ -771,7 +771,7 @@ object PipelineQueries {
     * building blocks as the operator's parameters — the hnswSearchSql
     * discipline applied to incremental maintenance.
     */
-  private def knngAppendSql: String = {
+  private[queries] def knngAppendSql: String = {
     val head =
       """ qv AS MATERIALIZED (SELECT vec_id AS vid,
         |          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv

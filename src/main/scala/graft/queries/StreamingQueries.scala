@@ -191,6 +191,17 @@ object StreamingQueries {
     * in warmupSeconds, and preferable to a per-entry consumer map that
     * would rot as twins are added.
     */
+  /** embeddings split at the batch-entry boundary (old = vec_id >= 50
+    * first, append batch = vec_id < 50 second) — sim_knng_append's twin
+    * must replay the SAME old/new partition its oracle unrolls, so the
+    * cut is the entry's contract, not a median.
+    */
+  private def stagedEmbeddings(s: SparkSession, d: String): StagedEvents =
+    stagedPair(d, "emb-cut") {
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+      (e.filter(col("vec_id") >= 50), e.filter(col("vec_id") < 50))
+    }
+
   /** orders split at the median o_orderkey — the SCD twin's staging. */
   private def stagedOrders(s: SparkSession, d: String): StagedEvents =
     stagedPair(d, "ord-cut") {
@@ -1188,6 +1199,64 @@ object StreamingQueries {
         GraphQueries.kllQuantilesFrom(s, d, summary, sample)
       },
       GraphQueries.KllQuantileSql),
+
+    // ---- streaming k-NN graph maintenance (the 32nd twin) ----------------
+    // the twin of sim_knng_append, against its EXACT oracle: the
+    // steady-state ANN ingest — vector shards land as micro-batches, the
+    // first batch builds the NN-descent graph, every later batch patches
+    // it via the frozen-graph beam search + reverse-edge top-k
+    // ([[graft.llm.Similarity.knngAppend]]). State per version is the
+    // k·|V| graph + the landed vectors (overwrite keyed by batchId beside
+    // the fold — the stream_substring_dedup shape); nothing rebuilds, and
+    // because build and append are pure order-free set functions with the
+    // same (cosine DESC, id) selection, the converged graph after the
+    // old/new staged split is BIT-IDENTICAL to the batch entry's — one
+    // generated SQL oracle pins both. Replay-safe: an at-least-once
+    // redelivery re-derives the same append from the same `< b` prior
+    // and the same stored vector batches.
+    ("stream_knng_append",
+      (s, d) => {
+        import graft.llm.Similarity
+        val staged = stagedEmbeddings(s, d)
+        val base = scratchDir("graft-stream-knng")
+        val graph = withStreamShuffle(s, parts = 0) {
+          val in = base.resolve("in")
+          linkBatch(staged.b1, in.resolve("b1"))
+          val schema = s.read.parquet(s"$in/b1").schema
+          val gstore = base.resolve("graph").toString
+          val vstore = base.resolve("vecs").toString
+          val q = s.readStream.schema(schema)
+            .option("recursiveFileLookup", "true").parquet(in.toString)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", base.resolve("ckpt").toString)
+            .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                             batchId: Long) =>
+              if (!batch.isEmpty) {
+                batch.toDF().select("vec_id", "embedding")
+                  .write.mode("overwrite").parquet(s"$vstore/batch=$batchId")
+                foldVersionedWith(s, gstore, batchId) {
+                  case None =>
+                    Similarity.nnDescentGraph(batch.toDF(), k = 12, rounds = 2)
+                  case Some(prior) =>
+                    val old = s.read.parquet(vstore)
+                      .where(col("batch") < batchId).drop("batch")
+                    Similarity.knngAppend(prior, old, batch.toDF(),
+                      k = 12, beam = 24, hops = 4)
+                }
+              }
+            }
+            .start()
+          try {
+            q.processAllAvailable()
+            linkBatch(staged.b2, in.resolve("b2"))
+            q.processAllAvailable()
+          } finally q.stop()
+          foldConverged(s, gstore)
+        }
+        graph.filter(col("id") < 60).orderBy("id", "rank")
+          .localCheckpoint(true)
+      },
+      PipelineQueries.knngAppendSql),
 
     // ---- streaming exact substring dedup (the 30th twin) -----------------
     // the twin of d23, against d23's ORACLE: the global knowledge exact
