@@ -54,8 +54,18 @@ object EntityResolution {
                        broadcastSizes: Boolean = true): DataFrame = {
     require(blockCols.nonEmpty, "blockedNamePairs needs at least one blocking column")
     require(minSim >= 0.0 && minSim <= 1.0, s"minSim must be in [0,1]: $minSim")
+    // The probe side is REDISTRIBUTED before pairing: the quadratic
+    // within-block work happens in whatever tasks stream this side, and a
+    // single-split scan (or an AQE byte-coalesced exchange — bytes are
+    // small here, the EXPLOSION is downstream where AQE cannot see it)
+    // would run Σ|block|² similarity kernels in one task (profiled r16:
+    // j9's scoring ran as one 5.8 s task on a 32-core box). A round-robin
+    // spread of the linear input is a near-no-op relative to the pair
+    // work at any scale, and broadcast/SMJ strategy choice is unaffected.
+    val para = df.sparkSession.sparkContext.defaultParallelism
     val a = df.select(
-      blockCols.map(col) :+ col(keyCol).as("key_a") :+ col(nameCol).as("name_a"): _*)
+        blockCols.map(col) :+ col(keyCol).as("key_a") :+ col(nameCol).as("name_a"): _*)
+      .repartition(para)
     val b = df.select(
       blockCols.map(col) :+ col(keyCol).as("key_b") :+ col(nameCol).as("name_b"): _*)
     val aGuarded = maxBlockRows match {

@@ -54,6 +54,28 @@ object SkewOps {
       .join(small, Seq(key))
   }
 
+  /** Materialization fence between an expensive subtree and a global sort.
+    *
+    * `orderBy` plans as a range exchange, and a range exchange computes its
+    * partition bounds by SAMPLING its child — a separate job that executes
+    * the child subtree once, before the real output pass executes it AGAIN
+    * (profiled r16: j9's 32M-pair Jaro-Winkler scoring and m_png's
+    * ImageIO decode each ran twice, 2 × ~6 s jobs per entry). Under AQE
+    * every exchange is a materialized query stage, so inserting a
+    * round-robin exchange here makes the sampling and the output pass both
+    * READ the materialized rows instead of recomputing the subtree — the
+    * guide's "materialize an intermediate to truncate the plan" move
+    * (optimization guide §3.3), paid with one shuffle of the RESULT rows
+    * (already the small end of these plans). Results are bit-identical:
+    * same rows, and the caller's orderBy still imposes the total order.
+    *
+    * Use when the subtree above the final orderBy is the expensive part;
+    * pointless (one wasted small exchange) when the sort input is already
+    * a materialized exchange/aggregate output.
+    */
+  def sortFence(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** One-row key-skew report: exact median/p99/max of the per-key row-count
     * distribution via the cumulative-HISTOGRAM shape (the s15 registry
     * entry's machinery, shared with Dedup.dfSkewStats). The only window

@@ -28,6 +28,14 @@ object PipelineQueries {
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** [[graft.ops.SkewOps.sortFence]]: materialize an expensive subtree
+    * before a final global sort — the range exchange's boundary sampling
+    * otherwise re-executes the subtree (r16 profiling: the image/audio
+    * decode kernels and pair scorers under a bare `.orderBy` each ran as
+    * TWO full jobs per entry; the fence cuts the second).
+    */
+  private def fence(df: DataFrame): DataFrame = graft.ops.SkewOps.sortFence(df)
+
   /** The d23 maximal-run substring-dedup oracle — replays the whole chain
     * (k-gram marking, coverage, island numbering, per-island extents +
     * text, same-text window count) directly in SQL. Shared verbatim by
@@ -3174,8 +3182,8 @@ object PipelineQueries {
 
     // ---- multimodal plumbing: binary payloads + stub features ----------
     ("m_media_features",
-      (s, d) => Multimodal.extractFeatures(Multimodal.documentsAsMedia(spread(t(s, d, "documents"))))
-        .select("media_id", "byte_len", "content_hash", "frame_count")
+      (s, d) => fence(Multimodal.extractFeatures(Multimodal.documentsAsMedia(spread(t(s, d, "documents"))))
+        .select("media_id", "byte_len", "content_hash", "frame_count"))
         .orderBy("media_id"),
       """SELECT doc_id AS media_id,
         |        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
@@ -3191,9 +3199,9 @@ object PipelineQueries {
     // detail hash-mismatches. decoded=true proves no row fell back to the
     // stub.
     ("m_image_decode",
-      (s, d) => Multimodal.extractFeatures(
+      (s, d) => fence(Multimodal.extractFeatures(
           Multimodal.syntheticBmps(spread(t(s, d, "documents"))))
-        .select("media_id", "img_w", "img_h", "px_sum", "decoded")
+        .select("media_id", "img_w", "img_h", "px_sum", "decoded"))
         .orderBy("media_id"),
       ImageDecodeSql),
 
@@ -3203,9 +3211,9 @@ object PipelineQueries {
     // BMP oracle arithmetic transfers verbatim — raw (BMP), lossless (PNG)
     // and lossy (JPEG, fixture-golden) image paths are now all real.
     ("m_png_decode",
-      (s, d) => Multimodal.extractFeatures(
+      (s, d) => fence(Multimodal.extractFeatures(
           Multimodal.syntheticPngs(spread(t(s, d, "documents"))))
-        .select("media_id", "img_w", "img_h", "px_sum", "decoded")
+        .select("media_id", "img_w", "img_h", "px_sum", "decoded"))
         .orderBy("media_id"),
       ImageDecodeSql),
 
@@ -3217,11 +3225,11 @@ object PipelineQueries {
     // synthetic-BMP channel formula (channel k of pixel i =
     // (doc_id·31 + i·7 + k·13) mod 256).
     ("m_image_channel_stats",
-      (s, d) => Multimodal.imageChannelStats(
+      (s, d) => fence(Multimodal.imageChannelStats(
           Multimodal.syntheticBmps(spread(t(s, d, "documents"))))
         .toDF()
         .select("media_id", "n_px", "r_sum", "g_sum", "b_sum",
-          "r_sq", "g_sq", "b_sq", "decoded")
+          "r_sq", "g_sq", "b_sq", "decoded"))
         .orderBy("media_id"),
       """WITH p AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h
         |           FROM documents),
@@ -3248,8 +3256,8 @@ object PipelineQueries {
     // the synthetic-BMP pixel formula. Identical hashes downstream are
     // duplicate candidates (the d1 groupBy shape on a perceptual key).
     ("m_image_ahash",
-      (s, d) => Multimodal.imageAHash(
-          Multimodal.syntheticBmps(spread(t(s, d, "documents"))))
+      (s, d) => fence(Multimodal.imageAHash(
+          Multimodal.syntheticBmps(spread(t(s, d, "documents")))))
         .orderBy("media_id"),
       """WITH p AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h
         |           FROM documents),
@@ -3276,10 +3284,10 @@ object PipelineQueries {
     // decode→resize→encode→decode cycle bit-exact, because the oracle
     // recomputes each sampled source pixel from doc_id alone.
     ("m_image_resize",
-      (s, d) => Multimodal.extractFeatures(
+      (s, d) => fence(Multimodal.extractFeatures(
           Multimodal.resizeImages(
             Multimodal.syntheticBmps(spread(t(s, d, "documents"))), 3, 2))
-        .select("media_id", "img_w", "img_h", "px_sum", "decoded")
+        .select("media_id", "img_w", "img_h", "px_sum", "decoded"))
         .orderBy("media_id"),
       """WITH p AS (SELECT doc_id, 4 + doc_id % 5 AS w0, 3 + doc_id % 3 AS h0
         |           FROM documents),
@@ -3346,8 +3354,8 @@ object PipelineQueries {
     // Complements m_image_ahash: spatial mean-threshold vs frequency
     // envelope on the SAME real-decode plumbing.
     ("m_image_whash",
-      (s, d) => Multimodal.imageSpectralHash(
-          Multimodal.syntheticBmps(spread(t(s, d, "documents"))))
+      (s, d) => fence(Multimodal.imageSpectralHash(
+          Multimodal.syntheticBmps(spread(t(s, d, "documents")))))
         .orderBy("media_id"),
       """WITH p AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h
         |           FROM documents),
@@ -3375,10 +3383,10 @@ object PipelineQueries {
     // the oracle recomputes frame count and the exact signed-sample sum
     // from the construction. decoded=true proves no row fell back.
     ("m_audio_decode",
-      (s, d) => Multimodal.extractAudioFeatures(
+      (s, d) => fence(Multimodal.extractAudioFeatures(
           Multimodal.syntheticWavs(spread(t(s, d, "documents"))))
         .select("media_id", "sample_rate", "n_channels", "n_frames",
-          "sample_sum", "decoded")
+          "sample_sum", "decoded"))
         .orderBy("media_id"),
       """WITH p AS (SELECT doc_id, 40 + doc_id % 25 AS n FROM documents),
         | sm AS (SELECT doc_id, n,
@@ -3397,9 +3405,9 @@ object PipelineQueries {
     // recomputes every window from the synthetic waveform formula, so the
     // decode + windowing + integer kernels are all under the hash.
     ("m_audio_energy",
-      (s, d) => Multimodal.audioEnergyWindows(
+      (s, d) => fence(Multimodal.audioEnergyWindows(
           Multimodal.syntheticWavs(spread(t(s, d, "documents"))), 16)
-        .toDF().orderBy("media_id", "win_idx"),
+        .toDF()).orderBy("media_id", "win_idx"),
       """WITH p AS (SELECT doc_id, 40 + doc_id % 25 AS n FROM documents),
         | s AS (SELECT doc_id, i // 16 AS win_idx,
         |              (doc_id * 31 + i * 7) % 65536 - 32768 AS v
@@ -3417,11 +3425,11 @@ object PipelineQueries {
     // sample_sum proves the whole decode→decimate→encode→decode cycle
     // bit-exact: the oracle recomputes each kept sample from doc_id alone.
     ("m_audio_decimate",
-      (s, d) => Multimodal.extractAudioFeatures(
+      (s, d) => fence(Multimodal.extractAudioFeatures(
           Multimodal.decimateAudio(
             Multimodal.syntheticWavs(spread(t(s, d, "documents"))), 2))
         .select("media_id", "sample_rate", "n_channels", "n_frames",
-          "sample_sum", "decoded")
+          "sample_sum", "decoded"))
         .orderBy("media_id"),
       """WITH p AS (SELECT doc_id, 40 + doc_id % 25 AS n FROM documents),
         | sm AS (SELECT doc_id, (n + 1) // 2 AS nk,
@@ -3537,9 +3545,9 @@ object PipelineQueries {
     // construction. fakeDecode now covers ONLY H.264-class codecs the
     // sandbox JDK cannot have.
     ("m_gif_frames",
-      (s, d) => Multimodal.decodeGifFrames(
+      (s, d) => fence(Multimodal.decodeGifFrames(
           Multimodal.syntheticGifs(spread(t(s, d, "documents"))))
-        .toDF().orderBy("media_id", "frame_idx"),
+        .toDF()).orderBy("media_id", "frame_idx"),
       """WITH p AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h,
         |                  2 + doc_id % 3 AS n FROM documents),
         | fr AS (SELECT doc_id, w, h, f

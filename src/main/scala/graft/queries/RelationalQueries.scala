@@ -339,11 +339,12 @@ object RelationalQueries {
     // scalar — no aggregation-order hazard. maxBlockRows exercises the
     // runtime block-size guard on the real data.
     ("j9_blocked_er",
-      (s, d) => graft.ops.EntityResolution.blockedNamePairs(
-          t(s, d, "part").select("p_partkey", "p_name", "p_brand"),
-          blockCols = Seq("p_brand"), keyCol = "p_partkey", nameCol = "p_name",
-          minSim = 0.9, maxBlockRows = Some(100000L))
-        .select("p_brand", "key_a", "key_b", "name_a", "name_b", "sim")
+      (s, d) => graft.ops.SkewOps.sortFence(
+          graft.ops.EntityResolution.blockedNamePairs(
+            t(s, d, "part").select("p_partkey", "p_name", "p_brand"),
+            blockCols = Seq("p_brand"), keyCol = "p_partkey", nameCol = "p_name",
+            minSim = 0.9, maxBlockRows = Some(100000L))
+          .select("p_brand", "key_a", "key_b", "name_a", "name_b", "sim"))
         .orderBy("key_a", "key_b"),
       """SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
         |       a.p_name AS name_a, b.p_name AS name_b,
