@@ -40,6 +40,7 @@ object HeadroomProbe {
     val hadActive = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession).exists(!_.sparkContext.isStopped)
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

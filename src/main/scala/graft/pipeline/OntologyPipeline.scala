@@ -38,6 +38,7 @@ object OntologyPipeline {
     val lastWins = flags.contains("--last-wins")
     val pattern = if (pos.length >= 3) pos(2) else "cl\\.owl"
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-ontology-pipeline")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))

@@ -8,6 +8,7 @@ object TestSpark {
     val wh = java.nio.file.Files.createTempDirectory("graft-warehouse")
     System.setProperty("derby.system.home", wh.toString)
     val s = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
