@@ -123,7 +123,8 @@ object Bench {
   private def runChildBench(classpath: String, cwd: java.io.File, abSf: String,
                             cpus: String,
                             onlyQueries: Seq[String] = Nil,
-                            extraEnv: Map[String, String] = Map.empty): Either[String, LegTimes] = {
+                            extraEnv: Map[String, String] = Map.empty,
+                            timeoutSec: Long = 900): Either[String, LegTimes] = {
     val benchOut = java.io.File.createTempFile("bench_ab_", ".json")
     benchOut.deleteOnExit()
     val javaBin = new java.io.File(new java.io.File(sys.props("java.home"), "bin"), "java").getPath
@@ -137,8 +138,10 @@ object Bench {
       "SPARK_GRAFT_CPUS" -> cpus,
       "SPARK_GRAFT_AB" -> "0",
       // child batteries never adjudicate their own flags — the parent's
-      // A/B legs and isolated reruns must stay leaf processes
-      "SPARK_GRAFT_FLAG_RERUN" -> "0") ++ extraEnv, 900).flatMap { _ =>
+      // A/B legs and isolated reruns must stay leaf processes — and never
+      // write round-stamped history records (the parent's record is the run)
+      "SPARK_GRAFT_FLAG_RERUN" -> "0",
+      "SPARK_GRAFT_HISTORY" -> "0") ++ extraEnv, timeoutSec).flatMap { _ =>
       if (!benchOut.isFile || benchOut.length() == 0) Left("child bench wrote no output")
       else {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -186,7 +189,16 @@ object Bench {
     * SPARK_GRAFT_AB=0 in the child env; failures degrade to Left(msg) —
     * the official bench numbers never depend on the A/B succeeding.
     */
-  private def runAb(abSf: String, cpus: String): Either[String, AbResult] =
+  /** `remainingSec` is the run's wall-clock budget accessor (round-16
+    * forensics: both driver bench runs were killed on timeout mid-A/B, so
+    * the one-line JSON never printed). Each phase checks it BEFORE starting:
+    * the prior-worktree compile needs >= 720 s headroom, each child leg
+    * >= 300 s, and leg timeouts are clamped to the remaining budget. Pairs
+    * that never ran are reported in `pairs_skipped_budget` by the caller —
+    * a partial A/B (1-2 pairs) beats a killed run with no numbers at all.
+    */
+  private def runAb(abSf: String, cpus: String,
+                    remainingSec: () => Double): Either[String, AbResult] =
     try {
       val repo = new java.io.File(".").getCanonicalFile
       val nPairs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_AB_PAIRS", "3").toInt)
@@ -207,7 +219,11 @@ object Bench {
             else exec(Seq("git", "worktree", "add", "--detach", wt.getPath, sha),
               repo, Map.empty, 60)
           added.flatMap { _ =>
-            exec(Seq("sbt", "-batch", "compile"), wt, Map.empty, 600)
+            if (remainingSec() < 720)
+              Left(f"budget: ${remainingSec()}%.0f s left before prior compile (need 720)")
+            else
+              exec(Seq("sbt", "-batch", "compile"), wt, Map.empty,
+                math.min(600L, math.max(60L, remainingSec().toLong - 120)))
           }.flatMap { _ =>
             val priorCp = s"${wt.getPath}/target/scala-2.13/classes:/opt/spark/jars/*"
             // NOT sys.props("java.class.path"): under `sbt runMain` that is
@@ -219,18 +235,35 @@ object Bench {
             val priorRuns = Seq.newBuilder[LegTimes]
             val curRuns = Seq.newBuilder[LegTimes]
             var failed: Option[String] = None
-            for (i <- 0 until nPairs if failed.isEmpty) {
+            var pairsRun = 0
+            // a COMPLETE pair needs both legs; start one only when the
+            // budget plausibly covers two legs (each leg's floor estimate:
+            // the slowest completed leg so far, else 300 s)
+            var slowestLeg = 300.0
+            for (i <- 0 until nPairs if failed.isEmpty
+                 && remainingSec() > 2 * slowestLeg + 60) {
               val legs =
                 if (i % 2 == 0) Seq(("prior", priorCp, wt), ("cur", curCp, repo))
                 else Seq(("cur", curCp, repo), ("prior", priorCp, wt))
-              for ((side, cp, cwd) <- legs if failed.isEmpty)
-                runChildBench(cp, cwd, abSf, cpus) match {
-                  case Left(msg) => failed = Some(s"pair ${i + 1} $side leg: $msg")
+              var pairOk = true
+              for ((side, cp, cwd) <- legs if failed.isEmpty) {
+                val legT0 = System.nanoTime()
+                val legTimeout = math.min(900L, math.max(120L, remainingSec().toLong - 60))
+                runChildBench(cp, cwd, abSf, cpus, timeoutSec = legTimeout) match {
+                  case Left(msg) =>
+                    failed = Some(s"pair ${i + 1} $side leg: $msg"); pairOk = false
                   case Right(m) =>
+                    slowestLeg = math.max(slowestLeg, (System.nanoTime() - legT0) / 1e9)
                     if (side == "prior") priorRuns += m else curRuns += m
                 }
+              }
+              if (pairOk) pairsRun += 1
             }
-            failed.toLeft(()).map { _ =>
+            // legs from a half-failed or budget-stopped pair are kept only
+            // in matched counts (zip below pairs them positionally)
+            if (pairsRun == 0)
+              Left(failed.getOrElse("budget: no complete A/B pair ran"))
+            else Right(()).map { _ =>
               val priorLegs = priorRuns.result(); val curLegs = curRuns.result()
               // Methodology bridge: a prior harness WITHOUT execSeconds
               // timed execution only (plan construction — where iterative
@@ -280,6 +313,20 @@ object Bench {
     } catch { case e: Throwable => Left(e.toString.takeWhile(_ != '\n').take(200)) }
 
   def main(args: Array[String]): Unit = {
+    // ---- wall-clock budget (round-16 forensics) -------------------------
+    // Both r16 driver runs were rc=124: the battery finished but the
+    // UNBOUNDED post-battery phases (calibration-gate wait on a loud box,
+    // prior-worktree compile, up to 6 full A/B legs, flag rerun) pushed the
+    // process past the driver's kill, and the one-line JSON — printed last —
+    // never appeared. Every phase after the battery now checks this budget,
+    // and the compact line prints BEFORE the A/B instead of after it.
+    // SPARK_GRAFT_TIME_BUDGET: seconds from main() start ("0" = unlimited).
+    val tMain0 = System.nanoTime()
+    val timeBudget: Double = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET", "2400") match {
+      case "0" => Double.MaxValue
+      case s => s.toDouble
+    }
+    def remainingSec: Double = timeBudget - (System.nanoTime() - tMain0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -469,12 +516,19 @@ object Bench {
       if (disabled) "null"
       else {
         val thr = calGateThr
-        val maxWaitSec = if (conf.nonEmpty) conf.toLong else 600L
+        // default wait 600 -> 240 s (r16: the gate burned its full wait on a
+        // box that never quieted, starving the phases after it); an explicit
+        // SPARK_GRAFT_CAL_GATE still sets any wait
+        val maxWaitSec = if (conf.nonEmpty) conf.toLong else 240L
         val attempts = scala.collection.mutable.ListBuffer.empty[Double]
         val t0 = System.nanoTime()
         var c = calibrate(spark)
         attempts += c
-        while (c > thr && (System.nanoTime() - t0) / 1e9 < maxWaitSec) {
+        // fast exit at > 2x threshold: a box reading cal 2-4 against a 1.35
+        // gate never quiets inside any reasonable wait (r16 measured 2-4 for
+        // the whole session) — record the attempt and move on instead of
+        // sleeping the full window
+        while (c > thr && c <= 2 * thr && (System.nanoTime() - t0) / 1e9 < maxWaitSec) {
           Thread.sleep(30000)
           c = calibrate(spark)
           attempts += c
@@ -499,7 +553,11 @@ object Bench {
       calStart.map(cs => cs > calGateThr || calibration > calGateThr)
     val abEnabled = sys.env.getOrElse("SPARK_GRAFT_AB", "1") != "0" && args.isEmpty
     var abPerQueryJson: String = "{}"
-    val abJson: String = if (!abEnabled) "null" else {
+    // DEFERRED past the compact-line print (round-16 verdict #1): the A/B is
+    // adjudication detail, not the headline — it now runs after stdout has
+    // its line, under the wall-clock budget, and is amended into the
+    // bench-out file and the history record when it completes.
+    def computeAb(): String = if (!abEnabled) "null" else {
       // A/B at a smaller SF than the official number: both sides pay one
       // full-battery pass there (bounded minutes), and the ratio carries
       // the regression signal — sibling sf0.01 when the official dir is
@@ -508,7 +566,7 @@ object Bench {
         val sib = sfDir.replaceAll("sf0\\.1/?$", "sf0.01")
         if (sib != sfDir && new java.io.File(sib).isDirectory) sib else sfDir
       })
-      runAb(abSf, cpus) match {
+      runAb(abSf, cpus, () => remainingSec) match {
         case Left(msg) => s"""{"error":${jstr(msg)}}"""
         case Right(ab) =>
           val c = ab.perQuery.map(_._2).sum
@@ -689,6 +747,11 @@ object Bench {
             sys.env.getOrElse("SPARK_GRAFT_FLAG_RERUN", "1") == "0")
           prelim.map(flagJson(_, Seq(""""isolated":"skipped"""")))
             .mkString("{", ",", "}")
+        // budget cut: an unadjudicated flag on the record beats a timed-out
+        // run with no record (the rerun is a fresh-JVM child battery)
+        else if (remainingSec < 420)
+          prelim.map(flagJson(_, Seq(""""isolated":"skipped_budget"""")))
+            .mkString("{", ",", "}")
         else {
           val repoDir = new java.io.File(".").getCanonicalFile
           // sbt-layout classes dir when present; java.class.path as the
@@ -708,7 +771,8 @@ object Bench {
           // flagged entry's own window and is biased toward CONFIRMING
           // flags that are actually phantom.
           runChildBench(cp, repoDir, sfDir, cpus, prelim.map(_._1).toSeq,
-              extraEnv = Map("SPARK_GRAFT_WARM_PASS" -> "1")) match {
+              extraEnv = Map("SPARK_GRAFT_WARM_PASS" -> "1"),
+              timeoutSec = math.min(900L, math.max(120L, remainingSec.toLong - 60))) match {
             case Left(msg) => // unverifiable: keep every flag, say why
               prelim.map(flagJson(_,
                   Seq(s""""isolated_error":${jstr(msg.take(200))}""")))
@@ -778,55 +842,67 @@ object Bench {
           s""""normalized_total_suspect":${jnum(total / calibration)},""" else "")
     // stdout gets the COMPACT line (fits any tail window: totals + errors +
     // regressions + a pointer); the file gets the full per-query detail.
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","nQueries":${results.size},"errors":$errs,"nErrors":$nErr,"regressions":$regressions,"phantom_flags":$phantomFlags,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},$contamFields"normalized_total":$normTotalJson,"sentinel":${jnum(sentinel)},"ab":$abJson,"perQuery":${jstr(outPath)}}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"normalized":$normQs,"normalized_total":$normTotalJson,"execSeconds":$execQs,"warmupSeconds":${jnum(warmupSec)},"rowsOut":$rowsOutJson,"errors":$errs,"regressions":$regressions,"phantom_flags":$phantomFlags,"observedMetrics":$om,"sharedStores":$shared,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},$contamFields"sentinel":${jnum(sentinel)},"calGate":$calGateJson,"ab":$abJson,"abPerQuery":$abPerQueryJson}"""
+    // The line prints BEFORE the A/B (round-16 verdict #1: both driver runs
+    // were killed mid-A/B and the line — previously printed last — never
+    // appeared); the A/B result is amended into the bench-out file and the
+    // history record afterwards, so the stdout line carries "deferred".
+    val abPlaceholder = if (abEnabled) """{"deferred":true}""" else "null"
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","nQueries":${results.size},"errors":$errs,"nErrors":$nErr,"regressions":$regressions,"phantom_flags":$phantomFlags,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},$contamFields"normalized_total":$normTotalJson,"sentinel":${jnum(sentinel)},"ab":$abPlaceholder,"perQuery":${jstr(outPath)}}"""
+    def fullJson(ab: String): String = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"normalized":$normQs,"normalized_total":$normTotalJson,"execSeconds":$execQs,"warmupSeconds":${jnum(warmupSec)},"rowsOut":$rowsOutJson,"errors":$errs,"regressions":$regressions,"phantom_flags":$phantomFlags,"observedMetrics":$om,"sharedStores":$shared,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},$contamFields"sentinel":${jnum(sentinel)},"calGate":$calGateJson,"ab":$ab,"abPerQuery":$abPerQueryJson}"""
     // ONE bare line on the process's real stdout: java.io.FileDescriptor.out
     // bypasses sbt's System.out capture (whose "[info] " prefix breaks
     // line-oriented JSON parsing downstream) and IS System.out everywhere
     // else — never a duplicate.
     val fd = new java.io.PrintStream(new java.io.FileOutputStream(java.io.FileDescriptor.out), true, "UTF-8")
     fd.println(compact)
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (full + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"bench: could not write $outPath: $e") }
-    // round-stamped copy so next round's judge can diff per-query numbers
-    // (r7's "which queries regressed" question was unanswerable because
-    // bench_out.json is overwritten each round). Skipped for child A/B legs
-    // (their SPARK_GRAFT_BENCH_OUT points at a temp file, but the real
-    // guard is SPARK_GRAFT_AB=0) and for --only profiling runs.
-    if (abEnabled) try {
-      val sha = exec(Seq("git", "rev-parse", "--short=12", "HEAD"),
-        new java.io.File(".").getCanonicalFile, Map.empty, 30)
-        .fold(_ => "unknown", _.trim)
-      val sfBase = new java.io.File(sfDir).getName
-      histDir.mkdirs()
-      // filename carries the calibration regime (round-15 verdict #7) so
-      // a directory listing alone shows which records are comparable:
-      // cal to 2 decimals + the gate verdict (quiet / dirty = gate never
-      // quieted or no gate / contam = end-cal breached the gate)
-      val verdict =
-        if (calContaminated.contains(true)) "contam"
-        else if (calStart.exists(_ <= calGateThr) && calibration <= calGateThr) "quiet"
-        else "dirty"
-      val calTag = String.format(java.util.Locale.ROOT, "cal%.2f", Double.box(calibration))
-      // near-one record per (commit, sf): the cal/verdict suffix varies
-      // run to run, so sweep this commit's older records — but only those
-      // whose verdict is EQUAL-OR-WORSE than the new one (a quiet record
-      // must never be displaced by a contaminated rerun; legacy
-      // unsuffixed names rank as dirty). A better old record coexisting
-      // with the new one is fine: medians exclude contam, and the
-      // filenames say which is which.
-      def rankOf(n: String): Int =
-        if (n.contains("_quiet")) 0 else if (n.contains("_contam")) 2 else 1
-      val newRank = rankOf(s"_$verdict")
-      histDir.listFiles()
-        .filter(f => f.getName.startsWith(s"bench_${sha}_$sfBase") &&
-          rankOf(f.getName) >= newRank)
-        .foreach(_.delete())
-      java.nio.file.Files.write(
-        new java.io.File(histDir, s"bench_${sha}_${sfBase}_${calTag}_$verdict.json").toPath,
+    // round-stamped history copy so next round's judge can diff per-query
+    // numbers. Decoupled from SPARK_GRAFT_AB (round-16 verdict: measurement
+    // batteries run with AB=0 left NO per-query record anywhere); child legs
+    // opt out via SPARK_GRAFT_HISTORY=0 set by runChildBench, and --only
+    // profiling runs never write history.
+    val historyEnabled = args.isEmpty &&
+      sys.env.getOrElse("SPARK_GRAFT_HISTORY", "1") != "0"
+    def writeOutputs(ab: String): Unit = {
+      val full = fullJson(ab)
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (full + "\n").getBytes("UTF-8"))
-    } catch { case e: Throwable => System.err.println(s"bench: history write failed: $e") }
+      catch { case e: Throwable => System.err.println(s"bench: could not write $outPath: $e") }
+      if (historyEnabled) try {
+        val sha = exec(Seq("git", "rev-parse", "--short=12", "HEAD"),
+          new java.io.File(".").getCanonicalFile, Map.empty, 30)
+          .fold(_ => "unknown", _.trim)
+        val sfBase = new java.io.File(sfDir).getName
+        histDir.mkdirs()
+        // filename carries the calibration regime (round-15 verdict #7) so
+        // a directory listing alone shows which records are comparable:
+        // cal to 2 decimals + the gate verdict (quiet / dirty = gate never
+        // quieted or no gate / contam = end-cal breached the gate)
+        val verdict =
+          if (calContaminated.contains(true)) "contam"
+          else if (calStart.exists(_ <= calGateThr) && calibration <= calGateThr) "quiet"
+          else "dirty"
+        val calTag = String.format(java.util.Locale.ROOT, "cal%.2f", Double.box(calibration))
+        // near-one record per (commit, sf): the cal/verdict suffix varies
+        // run to run, so sweep this commit's older records — but only those
+        // whose verdict is EQUAL-OR-WORSE than the new one (a quiet record
+        // must never be displaced by a contaminated rerun; legacy
+        // unsuffixed names rank as dirty). A better old record coexisting
+        // with the new one is fine: medians exclude contam, and the
+        // filenames say which is which.
+        def rankOf(n: String): Int =
+          if (n.contains("_quiet")) 0 else if (n.contains("_contam")) 2 else 1
+        val newRank = rankOf(s"_$verdict")
+        histDir.listFiles()
+          .filter(f => f.getName.startsWith(s"bench_${sha}_$sfBase") &&
+            rankOf(f.getName) >= newRank)
+          .foreach(_.delete())
+        java.nio.file.Files.write(
+          new java.io.File(histDir, s"bench_${sha}_${sfBase}_${calTag}_$verdict.json").toPath,
+          (full + "\n").getBytes("UTF-8"))
+      } catch { case e: Throwable => System.err.println(s"bench: history write failed: $e") }
+    }
+    writeOutputs(abPlaceholder)
+    if (abEnabled) writeOutputs(computeAb())
     spark.stop()
   }
 }
