@@ -1,10 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** TEMPORARY diagnostic (r16 optimization round, not committed): run the
+/** Committed diagnostic main, outside the driver contract: run the
   * battery in bench order and sample the calibration workload + storage /
-  * GC state every `stride` queries to locate the session-degradation
-  * source (end-of-battery calibration 18.45 s vs 3.48 s fresh).
+  * GC state every `stride` queries to locate a session-degradation
+  * source. r16 observed end-of-battery calibration 18.45 s vs 3.48 s
+  * fresh; the r17 re-run of this probe read a FLAT calibration
+  * (1.4-2.0 s second reading at every stride), 14 MB total cached blocks,
+  * and 7 s cumulative GC across the whole battery — adjudicating the r16
+  * observation as external box load, not storage-memory pressure
+  * (OPTIMIZATION_r17.md §degradation).
   */
 object DegradeProbe {
   def main(args: Array[String]): Unit = {

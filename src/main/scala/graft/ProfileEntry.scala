@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
-/** TEMPORARY r16 profiling aid (not part of the driver contract): run one
+/** Committed profiling main, outside the driver contract: run one
   * or more registry entries in a fresh session and print every Spark job's
   * wall time + description, plus the entry's prep/exec split — the
   * job-level attribution the Bench totals can't show.

@@ -2,11 +2,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution._
 
-/** TEMPORARY r16 audit (not part of the driver contract): find entries
+/** Committed diagnostic main, outside the driver contract: find entries
   * whose final global sort's range exchange feeds directly off expensive
   * compute (join / generate / object map / window) with no materialized
-  * exchange in between — the boundary-sampling double-execution shape
-  * fixed in batch 1. Prints entry name + the offending node kinds.
+  * exchange in between — the boundary-sampling double-execution shape.
+  * Uses [[graft.functions.SortSampleFenceRule.expensiveBelow]], the same
+  * predicate the (default-off) session fence rule applies, so an audit hit
+  * is exactly a shape the rule would fence — a CANDIDATE for a manual
+  * [[graft.ops.SkewOps.sortFence]], to be adopted only when a battery-mode
+  * A/B shows the subtree's recompute beats the fence's extra shuffle
+  * (round 17 measured most candidates as fence losses; see
+  * OPTIMIZATION_r17.md). Prints entry name + the offending node kinds.
   */
 object SortAudit {
   def main(args: Array[String]): Unit = {
@@ -23,17 +29,16 @@ object SortAudit {
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftExtensions.register(spark)
     // below a range exchange, collect expensive node names reachable
-    // WITHOUT crossing another exchange (those are materialized stages)
+    // WITHOUT crossing another exchange (those are materialized stages) —
+    // membership delegated to the rule's shared predicate so audit and
+    // rule can never disagree
     def expensiveBelow(p: SparkPlan): Seq[String] = p match {
       case _: exchange.Exchange => Nil
       case _ =>
-        val here = p.getClass.getSimpleName match {
-          case n if n.contains("Join") || n.contains("Generate") ||
-            n.contains("MapPartitions") || n.contains("MapElements") ||
-            n.contains("Window") || n.contains("Expand") ||
-            n.contains("Aggregate") => Seq(n)
-          case _ => Nil
-        }
+        val here =
+          if (graft.functions.SortSampleFenceRule.expensiveNode(p))
+            Seq(p.getClass.getSimpleName)
+          else Nil
         here ++ p.children.flatMap(expensiveBelow)
     }
     def rangeExchangeChildren(p: SparkPlan): Seq[SparkPlan] = {

@@ -33,24 +33,28 @@ import org.apache.spark.sql.execution.exchange.{Exchange, REPARTITION_BY_NUM, Sh
   * left alone. Results are bit-identical: the logical plan (and every
   * oracle) is untouched; only the physical exchange layout changes.
   *
-  * Applied via [[GraftExtensions]] (`injectQueryStagePrepRule`); disable
-  * with `spark.graft.sortSampleFence=false`.
+  * DEFAULT OFF since round 17. The round-17 battery-mode A/B
+  * (`spark.graft.sortSampleFence` on vs off, fresh JVMs, sf0.1) measured
+  * the blanket rule as a consistent 10-20% LOSS on every rule-only
+  * beneficiary with a cheap subtree (d16 8.5→7.5 s, d8 6.4→5.6,
+  * t_dsir_select 5.5→4.4, stream_substring_dedup 6.2→5.3, d20 7.2→6.6,
+  * d24 5.6→5.4): their recompute-under-sampling costs less than the full
+  * extra shuffle the fence inserts. The subtrees where the fence wins big
+  * (j9's quadratic pair scoring, the m_* decode kernels — the only
+  * profiled 2x+ double-execution shapes) carry an EXPLICIT
+  * [[graft.ops.SkewOps.sortFence]] at the call site, which also survives
+  * sessions that never load the extensions. One mechanism: manual fences
+  * where measured; this rule stays available as the measurement lever
+  * (`spark.graft.sortSampleFence=true`).
+  *
+  * Applied via [[GraftExtensions]] (`injectQueryStagePrepRule`).
   */
 case class SortSampleFenceRule(session: SparkSession) extends Rule[SparkPlan] {
 
-  private def expensiveBelow(p: SparkPlan): Boolean = p match {
-    case _: Exchange => false
-    case _: QueryStageExec => false
-    case _ =>
-      val n = p.getClass.getSimpleName
-      val hit = n.contains("Join") || n.contains("Generate") ||
-        n.contains("MapPartitions") || n.contains("MapElements") ||
-        n.contains("Window") || n.contains("Expand")
-      hit || p.children.exists(expensiveBelow)
-  }
+  import SortSampleFenceRule.expensiveBelow
 
   override def apply(plan: SparkPlan): SparkPlan = {
-    val enabled = session.conf.get("spark.graft.sortSampleFence", "true") == "true"
+    val enabled = session.conf.get("spark.graft.sortSampleFence", "false") == "true"
     if (!enabled) plan
     else plan.transformUp {
       case e @ ShuffleExchangeExec(r: RangePartitioning, child, _, _)
@@ -60,5 +64,28 @@ case class SortSampleFenceRule(session: SparkSession) extends Rule[SparkPlan] {
         e.withNewChildren(Seq(
           ShuffleExchangeExec(RoundRobinPartitioning(n), child, REPARTITION_BY_NUM)))
     }
+  }
+}
+
+object SortSampleFenceRule {
+  /** The ONE expensive-node predicate, shared with [[graft.SortAudit]] so
+    * the audit reports exactly the shapes the rule would fence (round-16
+    * ADVICE: the audit's private copy additionally matched `Aggregate`,
+    * over-reporting entries the rule never acts on — a final aggregate's
+    * recompute-under-sampling reads the already-materialized shuffle, which
+    * the round-17 A/B showed is cheaper than fencing).
+    */
+  /** Node-level membership: is `p` ITSELF an expensive-to-recompute node? */
+  def expensiveNode(p: SparkPlan): Boolean = {
+    val n = p.getClass.getSimpleName
+    n.contains("Join") || n.contains("Generate") ||
+      n.contains("MapPartitions") || n.contains("MapElements") ||
+      n.contains("Window") || n.contains("Expand")
+  }
+
+  def expensiveBelow(p: SparkPlan): Boolean = p match {
+    case _: Exchange => false
+    case _: QueryStageExec => false
+    case _ => expensiveNode(p) || p.children.exists(expensiveBelow)
   }
 }

@@ -51,7 +51,8 @@ object EntityResolution {
   def blockedNamePairs(df: DataFrame, blockCols: Seq[String], keyCol: String,
                        nameCol: String, minSim: Double,
                        maxBlockRows: Option[Long] = None,
-                       broadcastSizes: Boolean = true): DataFrame = {
+                       broadcastSizes: Boolean = true,
+                       spreadProbe: Boolean = true): DataFrame = {
     require(blockCols.nonEmpty, "blockedNamePairs needs at least one blocking column")
     require(minSim >= 0.0 && minSim <= 1.0, s"minSim must be in [0,1]: $minSim")
     // The probe side is REDISTRIBUTED before pairing: the quadratic
@@ -62,10 +63,12 @@ object EntityResolution {
     // j9's scoring ran as one 5.8 s task on a 32-core box). A round-robin
     // spread of the linear input is a near-no-op relative to the pair
     // work at any scale, and broadcast/SMJ strategy choice is unaffected.
+    // `spreadProbe = false` skips the shuffle for callers whose input is
+    // already spread to cluster parallelism (round-16 ADVICE).
     val para = df.sparkSession.sparkContext.defaultParallelism
-    val a = df.select(
-        blockCols.map(col) :+ col(keyCol).as("key_a") :+ col(nameCol).as("name_a"): _*)
-      .repartition(para)
+    val aSlim = df.select(
+      blockCols.map(col) :+ col(keyCol).as("key_a") :+ col(nameCol).as("name_a"): _*)
+    val a = if (spreadProbe) aSlim.repartition(para) else aSlim
     val b = df.select(
       blockCols.map(col) :+ col(keyCol).as("key_b") :+ col(nameCol).as("name_b"): _*)
     val aGuarded = maxBlockRows match {
