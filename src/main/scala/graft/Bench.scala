@@ -388,6 +388,12 @@ object Bench {
     try if (Seq("g_louvain", "g_louvain2", "g_leiden").exists(selected.contains))
       graft.queries.GraphQueries.warmShared(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"bench: louvain warmup failed: $e") }
+    // duplicate-cluster CC labeling: one fixpoint, three consumers — same
+    // discipline (attribution `cc_labels`/`_warmup` via sharedStores)
+    try if (Seq("d8_cc_components", "d16_cluster_sizes", "d20_cluster_keep_best")
+        .exists(selected.contains))
+      graft.queries.PipelineQueries.warmCcLabels(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"bench: cc-labels warmup failed: $e") }
     // flagship store: built once per JVM from the FIXED fixture corpus —
     // pre-pay it untimed when its consumer is selected (attribution
     // `_warmup` via sharedStores, the louvain-cache discipline)

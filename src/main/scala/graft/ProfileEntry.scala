@@ -46,6 +46,9 @@ object ProfileEntry {
     try graft.queries.PipelineQueries.warmSharedStores(spark, sfDir) catch { case _: Throwable => () }
     try if (names.exists(Seq("g_louvain", "g_louvain2", "g_leiden").contains))
       graft.queries.GraphQueries.warmShared(spark, sfDir) catch { case _: Throwable => () }
+    try if (names.exists(Seq("d8_cc_components", "d16_cluster_sizes",
+        "d20_cluster_keep_best").contains))
+      graft.queries.PipelineQueries.warmCcLabels(spark, sfDir) catch { case _: Throwable => () }
     try if (names.contains("pipeline_flagship")) graft.queries.FlagshipQueries.warmStore(spark) catch { case _: Throwable => () }
     try if (names.contains("sim_hnsw_search")) graft.queries.PipelineQueries.warmHnswLayers(spark, sfDir) catch { case _: Throwable => () }
     try if (names.contains("sim_knng_append")) graft.queries.PipelineQueries.warmKnngAppendBase(spark, sfDir) catch { case _: Throwable => () }

@@ -228,6 +228,16 @@ object ConnectedComponents {
                                 cp: Checkpointer = Checkpointer.Auto): DataFrame = {
     val comp = components(pairs, pairACol, pairBCol, cp = cp,
       vertices = Some(docs.select(col(idCol).as("id"))))
+    keepBestByComponents(docs, comp, priorityCol, idCol)
+  }
+
+  /** The keep-best selection alone, over an ALREADY-COMPUTED vertex-closed
+    * labeling (`id`, `component`) — for callers that share one CC run
+    * across several consumers instead of re-running the fixpoint per call.
+    */
+  def keepBestByComponents(docs: DataFrame, comp: DataFrame,
+                           priorityCol: String,
+                           idCol: String = "doc_id"): DataFrame = {
     val w = Window.partitionBy(col("component"))
       .orderBy(col(priorityCol).desc, col(idCol))
     docs

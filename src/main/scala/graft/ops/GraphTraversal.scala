@@ -990,8 +990,21 @@ object GraphTraversal {
         }
       }
       if (nRem > 0) {
-        val fwd = minPropagate(rem, remV, reversed = false, maxProp, cp)
+        // The forward and backward fixpoints are INDEPENDENT — both only
+        // read the frozen (checkpointed) rem/remV frames — so they run
+        // CONCURRENTLY from two driver threads (optimization guide §2.6,
+        // overlap independent jobs): each propagation round is a tiny
+        // shuffle plus fixed driver latency that leaves most of the
+        // cluster idle, and the two fixpoints' jobs back-fill each other.
+        // Spark's FIFO scheduler interleaves them; results are unchanged
+        // (each fixpoint is deterministic and shares no mutable state —
+        // Checkpointer strategies are stateless objects).
+        val fwdF = scala.concurrent.Future(
+          minPropagate(rem, remV, reversed = false, maxProp, cp))(
+          scala.concurrent.ExecutionContext.global)
         val bwd = minPropagate(rem, remV, reversed = true, maxProp, cp)
+        val fwd = scala.concurrent.Await.result(
+          fwdF, scala.concurrent.duration.Duration.Inf)
         val assigned = cp(fwd.join(bwd.withColumnsRenamed(Map("lab" -> "blab")), Seq("id"))
           .filter(col("lab") === col("blab"))
           .select(col("id"), col("lab").as("scc")))
