@@ -408,7 +408,8 @@ object Bench {
     try {
       if (selected.contains("sim_hnsw_search"))
         graft.queries.PipelineQueries.warmHnswLayers(spark, sfDir)
-      if (selected.contains("sim_knng_append"))
+      if (selected.contains("sim_knng_append") ||
+          selected.contains("stream_knng_append"))
         graft.queries.PipelineQueries.warmKnngAppendBase(spark, sfDir)
     } catch { case e: Throwable => System.err.println(s"bench: knng warmup failed: $e") }
     // shared two-batch replay stagings: cross-entry stores paid by the

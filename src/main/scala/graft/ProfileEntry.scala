@@ -51,7 +51,8 @@ object ProfileEntry {
       graft.queries.PipelineQueries.warmCcLabels(spark, sfDir) catch { case _: Throwable => () }
     try if (names.contains("pipeline_flagship")) graft.queries.FlagshipQueries.warmStore(spark) catch { case _: Throwable => () }
     try if (names.contains("sim_hnsw_search")) graft.queries.PipelineQueries.warmHnswLayers(spark, sfDir) catch { case _: Throwable => () }
-    try if (names.contains("sim_knng_append")) graft.queries.PipelineQueries.warmKnngAppendBase(spark, sfDir) catch { case _: Throwable => () }
+    try if (names.contains("sim_knng_append") || names.contains("stream_knng_append"))
+      graft.queries.PipelineQueries.warmKnngAppendBase(spark, sfDir) catch { case _: Throwable => () }
     try if (names.exists(_.startsWith("stream_"))) graft.queries.StreamingQueries.warmStagedReplays(spark, sfDir) catch { case _: Throwable => () }
     for (name <- names) {
       val fn = SparkEntry.queries(name)

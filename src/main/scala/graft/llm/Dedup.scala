@@ -804,8 +804,7 @@ object Dedup {
     */
   def removeDuplicateSpans(docs: DataFrame, spanTokens: Int = 10,
                            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val flagged = coveredPositions(docs, spanTokens, textCol, idCol,
-      "removeDuplicateSpans")
+    val flagged = coveredPositions(docs, spanTokens, textCol, idCol)
     flagged.groupBy(col("id").as(idCol))
       .agg(
         count(lit(1)).as("n_words"),
@@ -835,12 +834,16 @@ object Dedup {
     */
   private def coveredPositions(docs: DataFrame, spanTokens: Int,
                                textCol: String, idCol: String,
-                               what: String,
                                dupGramsOverride: Option[DataFrame] = None): DataFrame = {
     require(spanTokens >= 2, s"spanTokens must be >= 2: got $spanTokens")
     val k = spanTokens
+    // the error text is deliberately CALLER-INDEPENDENT: the three batch
+    // span ops build this exact subtree over the same corpus frame, and an
+    // op-specific literal here would defeat the CacheManager plan match
+    // that lets one persisted marking pass serve all of them (the
+    // d3/BM25 shared-store pattern — see PipelineQueries.coveredSpansShared)
     val id = when(col(idCol).isNull, raise_error(lit(
-      s"$what: null $idCol — span dedup needs non-null document ids")))
+      s"span dedup: null $idCol — span dedup needs non-null document ids")))
       .otherwise(col(idCol))
     val text = coalesce(col(textCol), lit(""))
     val wp = docs.select(id.as("id"),
@@ -872,6 +875,18 @@ object Dedup {
         when(col("covered") === 1 &&
           coalesce(lag(col("covered"), 1).over(byDoc), lit(0)) === 0, 1).otherwise(0))
   }
+
+  /** The duplicated-position marking frame, exposed so a multi-tier span
+    * dedup pass can persist ONE marking run for every span op:
+    * [[removeDuplicateSpans]], [[duplicateSpanExtents]] and
+    * [[spanSurvivorCut]] each build this IDENTICAL subtree internally, and
+    * Spark's CacheManager plan match serves all of them from one persisted
+    * copy (the d3/BM25 shared-store pattern).
+    */
+  def spanCoveredPositions(docs: DataFrame, spanTokens: Int = 10,
+                           textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame =
+    coveredPositions(docs, spanTokens, textCol, idCol)
 
   /** ARBITRARY-LENGTH exact substring dedup — the suffix-array/LCP tier of
     * the dedup matrix (Lee et al. 2022's ExactSubstr criterion), realized
@@ -927,8 +942,7 @@ object Dedup {
                            maxSpanTextTokens: Int = Int.MaxValue): DataFrame = {
     require(maxSpanTextTokens >= 1,
       s"maxSpanTextTokens must be >= 1: got $maxSpanTextTokens")
-    val flagged = coveredPositions(docs, spanTokens, textCol, idCol,
-      "duplicateSpanExtents", dupGrams)
+    val flagged = coveredPositions(docs, spanTokens, textCol, idCol, dupGrams)
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
     val spans = flagged
       .withColumn("span_id", sum(col("span_start")).over(byDoc))
@@ -980,8 +994,7 @@ object Dedup {
   def spanSurvivorCut(docs: DataFrame, spanTokens: Int = 10,
                       textCol: String = "text", idCol: String = "doc_id",
                       dupGrams: Option[DataFrame] = None): DataFrame = {
-    val flagged = coveredPositions(docs, spanTokens, textCol, idCol,
-      "spanSurvivorCut", dupGrams)
+    val flagged = coveredPositions(docs, spanTokens, textCol, idCol, dupGrams)
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
     val spans = flagged
       .withColumn("span_id", sum(col("span_start")).over(byDoc))

@@ -27,6 +27,16 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache backs every read/write call with a
+  // CREATED-AND-DELETED TEMP FILE; at 32 concurrent tasks the filesystem
+  // churn dominates tiny-payload codec work (measured r17: the 5000-image
+  // synth+decode pass drops 3.05 s → 0.23 s under local[32] with the
+  // memory cache). Payloads here are KB-scale, so the in-memory stream
+  // cache is strictly better. JVM-global, set once at object init — every
+  // decode/encode call site lives in this object, so executors flip it
+  // before their first codec task.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** One media row: opaque payload + typed metadata. */
   final case class MediaRow(
       media_id: Long,
@@ -993,8 +1003,16 @@ object Multimodal {
                         maxBucket: Int = 64): DataFrame = {
     require(maxHamming < nBands,
       s"completeness needs maxHamming < nBands: $maxHamming >= $nBands")
+    // Materialize the decode+hash subtree behind ONE round-robin exchange
+    // before fanning out: the banding gate aggregate and BOTH self-join
+    // sides otherwise re-execute the whole decode kernel per consumer
+    // (profiled r17: three ~1 s decode jobs per run). The exchange carries
+    // only (media_id, ahash) — 16 bytes/row — and AQE's exchange reuse
+    // serves all three consumers from the one materialized stage
+    // (optimization guide §2.4 / §3.3 "materialize an intermediate").
     val hashed = imageAHash(media).filter(col("decoded"))
       .select(col("media_id"), col("ahash"))
+      .repartition(media.sparkSession.sparkContext.defaultParallelism)
     val bands = hashed.select(col("media_id"), col("ahash"), explode(array(
         (0 until nBands).map(b => struct(lit(b).as("band"),
           shiftright(col("ahash"), b * bandBits)
