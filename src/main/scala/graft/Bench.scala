@@ -388,6 +388,11 @@ object Bench {
     try if (Seq("g_louvain", "g_louvain2", "g_leiden").exists(selected.contains))
       graft.queries.GraphQueries.warmShared(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"bench: louvain warmup failed: $e") }
+    // LPA labeling: one fixpoint, two consumers (g_label_prop emits it,
+    // g_louvain's baseline guard reads it) — same discipline
+    try if (Seq("g_label_prop", "g_louvain").exists(selected.contains))
+      graft.queries.GraphQueries.warmLpa(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"bench: lpa warmup failed: $e") }
     // duplicate-cluster CC labeling: one fixpoint, three consumers — same
     // discipline (attribution `cc_labels`/`_warmup` via sharedStores)
     try if (Seq("d8_cc_components", "d16_cluster_sizes", "d20_cluster_keep_best")
@@ -854,7 +859,11 @@ object Bench {
     // appeared); the A/B result is amended into the bench-out file and the
     // history record afterwards, so the stdout line carries "deferred".
     val abPlaceholder = if (abEnabled) """{"deferred":true}""" else "null"
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","nQueries":${results.size},"errors":$errs,"nErrors":$nErr,"regressions":$regressions,"phantom_flags":$phantomFlags,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},$contamFields"normalized_total":$normTotalJson,"sentinel":${jnum(sentinel)},"ab":$abPlaceholder,"perQuery":${jstr(outPath)}}"""
+    // "queries" stays INLINE in the stdout line — the driver contract names
+    // it explicitly ({"metric",...,"queries":{name:sec},...}); ~10 KB for
+    // 337 entries, still one line. Everything else heavy (normalized,
+    // execSeconds, plans pointers) lives only in the file.
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"nQueries":${results.size},"errors":$errs,"nErrors":$nErr,"regressions":$regressions,"phantom_flags":$phantomFlags,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},$contamFields"normalized_total":$normTotalJson,"sentinel":${jnum(sentinel)},"ab":$abPlaceholder,"perQuery":${jstr(outPath)}}"""
     def fullJson(ab: String): String = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"normalized":$normQs,"normalized_total":$normTotalJson,"execSeconds":$execQs,"warmupSeconds":${jnum(warmupSec)},"rowsOut":$rowsOutJson,"errors":$errs,"regressions":$regressions,"phantom_flags":$phantomFlags,"observedMetrics":$om,"sharedStores":$shared,"sf":${jstr(sfDir)},"calibration":${jnum(calibration)},$contamFields"sentinel":${jnum(sentinel)},"calGate":$calGateJson,"ab":$ab,"abPerQuery":$abPerQueryJson}"""
     // ONE bare line on the process's real stdout: java.io.FileDescriptor.out
     // bypasses sbt's System.out capture (whose "[info] " prefix breaks

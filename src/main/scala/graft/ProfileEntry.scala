@@ -46,6 +46,8 @@ object ProfileEntry {
     try graft.queries.PipelineQueries.warmSharedStores(spark, sfDir) catch { case _: Throwable => () }
     try if (names.exists(Seq("g_louvain", "g_louvain2", "g_leiden").contains))
       graft.queries.GraphQueries.warmShared(spark, sfDir) catch { case _: Throwable => () }
+    try if (names.exists(Seq("g_label_prop", "g_louvain").contains))
+      graft.queries.GraphQueries.warmLpa(spark, sfDir) catch { case _: Throwable => () }
     try if (names.exists(Seq("d8_cc_components", "d16_cluster_sizes",
         "d20_cluster_keep_best").contains))
       graft.queries.PipelineQueries.warmCcLabels(spark, sfDir) catch { case _: Throwable => () }

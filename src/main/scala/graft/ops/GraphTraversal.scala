@@ -947,9 +947,11 @@ object GraphTraversal {
       idCol: String = "id", maxOuter: Int = 20, maxProp: Int = 60,
       cp: Checkpointer = Checkpointer.Auto, maxTrim: Int = 64,
       stats: Option[SccStats] = None): DataFrame = {
-    var rem = cp(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // lazy pair, materialized together by the vertex count (no truncated
+    // input is released before it, so the lazy-cp contract holds)
+    var rem = cp.lazily(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull).distinct())
-    var remV = cp(rem.select(col("src").as("id"))
+    var remV = cp.lazily(rem.select(col("src").as("id"))
       .union(rem.select(col("dst").as("id"))).distinct())
     var nRem = remV.count()
     val done = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -970,7 +972,14 @@ object GraphTraversal {
       var t = 0
       var peeled = true
       while (peeled && t < maxTrim && nRem > 0) {
-        val triv = cp(remV
+        // LAZY checkpoints, materialized inside the two counts this
+        // iteration already needs (triv size; nextE before the releases) —
+        // 2 driver jobs per peel instead of 4 eager-cp+count jobs (the
+        // ConnectedComponents batched-round discipline; ~60 ms fixed
+        // latency per job dominates these fringe-sized frames, and trim
+        // iterations are the bulk of this operator's job count — profiled
+        // r17: 218 jobs / 7.5 s at sf0.1)
+        val triv = cp.lazily(remV
           .join(rem.select(col("dst").as("id")), Seq("id"), "left_anti")
           .union(remV.join(rem.select(col("src").as("id")), Seq("id"), "left_anti"))
           .distinct())
@@ -978,10 +987,14 @@ object GraphTraversal {
         if (nTriv == 0) { cp.release(triv); peeled = false }
         else {
           done += triv.select(col("id"), col("id").as("scc"))
-          val nextV = cp(remV.join(triv, Seq("id"), "left_anti"))
-          val nextE = cp(rem
+          val nextV = cp.lazily(remV.join(triv, Seq("id"), "left_anti"))
+          val nextE = cp.lazily(rem
             .join(nextV.select(col("id").as("src")), Seq("src"), "left_semi")
             .join(nextV.select(col("id").as("dst")), Seq("dst"), "left_semi"))
+          // one all-partition action materializes nextV and nextE BEFORE
+          // their truncated-lineage inputs are released (the lazy-cp
+          // safety contract)
+          nextE.count()
           cp.release(remV); cp.release(rem)
           remV = nextV; rem = nextE
           nRem -= nTriv
@@ -1005,14 +1018,19 @@ object GraphTraversal {
         val bwd = minPropagate(rem, remV, reversed = true, maxProp, cp)
         val fwd = scala.concurrent.Await.result(
           fwdF, scala.concurrent.duration.Duration.Inf)
-        val assigned = cp(fwd.join(bwd.withColumnsRenamed(Map("lab" -> "blab")), Seq("id"))
-          .filter(col("lab") === col("blab"))
-          .select(col("id"), col("lab").as("scc")))
+        // same 2-action batching as the trim loop: nextE's count
+        // materializes assigned → nextV → nextE before any release; the
+        // remaining-vertex count then reads nextV's materialized blocks
+        val assigned = cp.lazily(
+          fwd.join(bwd.withColumnsRenamed(Map("lab" -> "blab")), Seq("id"))
+            .filter(col("lab") === col("blab"))
+            .select(col("id"), col("lab").as("scc")))
         done += assigned
-        val nextV = cp(remV.join(assigned, Seq("id"), "left_anti"))
-        val nextE = cp(rem
+        val nextV = cp.lazily(remV.join(assigned, Seq("id"), "left_anti"))
+        val nextE = cp.lazily(rem
           .join(nextV.select(col("id").as("src")), Seq("src"), "left_semi")
           .join(nextV.select(col("id").as("dst")), Seq("dst"), "left_semi"))
+        nextE.count()
         cp.release(fwd); cp.release(bwd); cp.release(remV); cp.release(rem)
         remV = nextV
         rem = nextE
@@ -1047,6 +1065,14 @@ object GraphTraversal {
   private def minPropagate(e: DataFrame, verts: DataFrame, reversed: Boolean,
                            maxProp: Int, cp: Checkpointer): DataFrame = {
     val ed = if (reversed) e.select(col("dst").as("src"), col("src").as("dst")) else e
+    // (r17 note: pre-hash-partitioning `ed` on the join key once per
+    // fixpoint — guide §2.4, one exchange for the fixed side — was tried
+    // and REVERTED: measured 9.1 → 11.3 s on g_scc at sf0.1 over three
+    // reps. The explicit repartition pins the partition count, defeating
+    // AQE's per-round coalescing of these fringe-sized frames, and adds a
+    // materialization per fixpoint; the broadcast-sized label side never
+    // paid an edge re-exchange to begin with once AQE plans the round's
+    // join as broadcast.)
     var labels = cp(verts.withColumn("lab", col("id")))
     def fp(df: DataFrame): BigDecimal = BigDecimal(
       df.agg(coalesce(sum(xxhash64(col("id"), col("lab"))

