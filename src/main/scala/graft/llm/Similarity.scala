@@ -121,6 +121,23 @@ object Similarity {
     dotLong(qa, qb).cast("double") /
       (sqrt(dotLong(qa, qa).cast("double")) * sqrt(dotLong(qb, qb).cast("double")))
 
+  /** The per-vector norm factor of [[cosineQ]]: sqrt of the exact integer
+    * self-dot. Precompute it ONCE per vector in the projection BELOW a
+    * pair-scale join and feed [[cosineQN]] — [[cosineQ]] inlined at a join
+    * output recomputes both self-dots for EVERY pair (candidate-scale ×
+    * 2 extra dot kernels, the dominant expression cost of the ANN tier).
+    */
+  def normQ(q: Column): Column = sqrt(dotLong(q, q).cast("double"))
+
+  /** [[cosineQ]] with the two norm factors precomputed ([[normQ]]): the
+    * same IEEE operations on the same values in the same order — sqrt per
+    * side, one multiply, one divide — so results are BIT-IDENTICAL to
+    * [[cosineQ]]; only where the sqrt evaluates moves (per vector, not per
+    * pair).
+    */
+  def cosineQN(qa: Column, qb: Column, na: Column, nb: Column): Column =
+    dotLong(qa, qb).cast("double") / (na * nb)
+
   /** Per-label centroid aggregation in quantized space: one row per
     * (label, dimension) with the exact integer component sum, member count,
     * and the mean component (`sum/count` — one double division on exact
@@ -184,10 +201,12 @@ object Similarity {
                      idCol: String = "vec_id", embCol: String = "embedding",
                      scale: Int = 1000): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), quantize(col(embCol), scale).as("qv"))
+      .withColumn("__nq", normQ(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(embCol), scale).as("cv"))
+      .withColumn("__nc", normQ(col("cv")))
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosineQ(col("qv"), col("cv")))
+      .withColumn("cosine", cosineQN(col("qv"), col("cv"), col("__nq"), col("__nc")))
     rankTopK(scored, k, Seq(col("cosine").desc, col("neighbor_id")))
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
@@ -230,11 +249,13 @@ object Similarity {
                     labelCol: String = "label", scale: Int = 1000): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(labelCol).as("q_label"),
       quantize(col(embCol), scale).as("qv"))
+      .withColumn("__nq", normQ(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("n_label"),
       quantize(col(embCol), scale).as("cv"))
+      .withColumn("__nc", normQ(col("cv")))
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id") && col("q_label") =!= col("n_label"))
-      .withColumn("cosine", cosineQ(col("qv"), col("cv")))
+      .withColumn("cosine", cosineQN(col("qv"), col("cv"), col("__nq"), col("__nc")))
     rankTopK(scored, k, Seq(col("cosine").desc, col("neighbor_id")))
       .select("query_id", "q_label", "neighbor_id", "n_label", "cosine", "rank")
   }
@@ -338,11 +359,13 @@ object Similarity {
               scale: Int = 1000): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), quantize(col(embCol), scale).as("qv"),
       lshBucket(col(embCol), numPlanes).as("bucket"))
+      .withColumn("__nq", normQ(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(embCol), scale).as("cv"),
       lshBucket(col(embCol), numPlanes).as("bucket"))
+      .withColumn("__nc", normQ(col("cv")))
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosineQ(col("qv"), col("cv")))
+      .withColumn("cosine", cosineQN(col("qv"), col("cv"), col("__nq"), col("__nc")))
     rankTopK(scored, k, Seq(col("cosine").desc, col("neighbor_id")))
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
@@ -857,9 +880,11 @@ object Similarity {
     val short = pqTopKWithCodebooks(queries, corpus, shortlist, codebooks, idCol, embCol, scale)
       .select("query_id", "neighbor_id")
     val qv = queries.select(col(idCol).as("query_id"), quantize(col(embCol), scale).as("qv"))
+      .withColumn("__nq", normQ(col("qv")))
     val cv = corpus.select(col(idCol).as("neighbor_id"), quantize(col(embCol), scale).as("cv"))
+      .withColumn("__nc", normQ(col("cv")))
     val scored = broadcast(short.join(qv, "query_id")).join(cv, "neighbor_id")
-      .withColumn("cosine", cosineQ(col("qv"), col("cv")))
+      .withColumn("cosine", cosineQN(col("qv"), col("cv"), col("__nq"), col("__nc")))
     rankTopK(scored, k, Seq(col("cosine").desc, col("neighbor_id")))
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
@@ -898,12 +923,15 @@ object Similarity {
     // once a checkpoint dir is configured.
     val assigned = cp(vectors
       .select(col(idCol).as("id"), quantize(col(embCol), scale).as("qv"))
-      .withColumn("cell", graft.functions.CellAssign.assignCol(col("qv"), centroidsQ)))
-    val left = assigned.select(col("cell"), col("id").as("id_a"), col("qv").as("qa"))
-    val right = assigned.select(col("cell"), col("id").as("id_b"), col("qv").as("qb"))
+      .withColumn("cell", graft.functions.CellAssign.assignCol(col("qv"), centroidsQ))
+      .withColumn("__nv", normQ(col("qv"))))
+    val left = assigned.select(col("cell"), col("id").as("id_a"),
+      col("qv").as("qa"), col("__nv").as("__na"))
+    val right = assigned.select(col("cell"), col("id").as("id_b"),
+      col("qv").as("qb"), col("__nv").as("__nb"))
     val drops = left.join(right.hint("merge"), Seq("cell"))
       .filter(col("id_a") < col("id_b"))
-      .filter(cosineQ(col("qa"), col("qb")) >= tau)
+      .filter(cosineQN(col("qa"), col("qb"), col("__na"), col("__nb")) >= tau)
       .select(col("id_b").as("id")).distinct()
     assigned.join(drops.hint("merge"), Seq("id"), "left_anti")
       .select(col("id").as(idCol), col("cell"))
@@ -931,7 +959,8 @@ object Similarity {
       .withColumn("dist2", dist2)
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nProbe)
-      .select("query_id", "qv", "cell")
+      .withColumn("__nq", normQ(col("qv")))
+      .select("query_id", "qv", "__nq", "cell")
   }
 
   /** Shared IVF tail: probe each query's `nProbe` nearest cells
@@ -942,9 +971,13 @@ object Similarity {
                            centroidsQ: Seq[Seq[Long]], k: Int, nProbe: Int,
                            idCol: String, embCol: String, scale: Int): DataFrame = {
     val probed = probeCells(queries, centroidsQ, nProbe, idCol, embCol, scale)
-    val scored = probed.join(assigned, Seq("cell"))
+    // norm below the join: `assigned` may be an external postings table
+    // (ivfTopKFromPostings), so the corpus-side norm is derived here, once
+    // per posting row, not per probed pair
+    val scored = probed.join(assigned.withColumn("__nc", normQ(col("cv"))),
+        Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosineQ(col("qv"), col("cv")))
+      .withColumn("cosine", cosineQN(col("qv"), col("cv"), col("__nq"), col("__nc")))
     rankTopK(scored, k, Seq(col("cosine").desc, col("neighbor_id")))
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
@@ -1049,10 +1082,10 @@ object Similarity {
       .unionByName(sym)
       .distinct()
     val scored = cand
-      .join(qvecs.select(col("vid").as("id"), col("qv")), Seq("id"))
-      .join(qvecs.select(col("vid").as("neighbor_id"), col("qv").as("cv")),
-        Seq("neighbor_id"))
-      .withColumn("cosine", cosineQ(col("qv"), col("cv")))
+      .join(qvecs.select(col("vid").as("id"), col("qv"), col("__nq")), Seq("id"))
+      .join(qvecs.select(col("vid").as("neighbor_id"), col("qv").as("cv"),
+        col("__nq").as("__nc")), Seq("neighbor_id"))
+      .withColumn("cosine", cosineQN(col("qv"), col("cv"), col("__nq"), col("__nc")))
       .select("id", "neighbor_id", "cosine")
     rankTopKById(scored, k)
   }
@@ -1089,6 +1122,7 @@ object Similarity {
     val qvecs = vectors.select(col(idCol).as("vid"),
       quantize(col(embCol), scale).as("qv"),
       lshBucket(col(embCol), numPlanes).as("bucket"))
+      .withColumn("__nq", normQ(col("qv")))
     // init candidates: same-LSH-bucket pairs (quality) ∪ id-ring (coverage
     // floor — a node in a singleton bucket still seeds candidates). The
     // ring is RAW id arithmetic (id ± 1..ring, equi-join) — map-side
@@ -1125,10 +1159,10 @@ object Similarity {
       .select("id", "neighbor_id")
     val cand0 = ringCand.unionByName(bucketCand).distinct()
     val scored0 = cand0
-      .join(qvecs.select(col("vid").as("id"), col("qv")), Seq("id"))
-      .join(qvecs.select(col("vid").as("neighbor_id"), col("qv").as("cv")),
-        Seq("neighbor_id"))
-      .withColumn("cosine", cosineQ(col("qv"), col("cv")))
+      .join(qvecs.select(col("vid").as("id"), col("qv"), col("__nq")), Seq("id"))
+      .join(qvecs.select(col("vid").as("neighbor_id"), col("qv").as("cv"),
+        col("__nq").as("__nc")), Seq("neighbor_id"))
+      .withColumn("cosine", cosineQN(col("qv"), col("cv"), col("__nq"), col("__nc")))
       .select("id", "neighbor_id", "cosine")
     // per-round lineage truncation (the iterative-operator discipline):
     // each round consumes the previous graph THREE times (forward, reverse,
@@ -1145,7 +1179,8 @@ object Similarity {
       // is the operator's result and callers (layeredSearch, the bench
       // shared stores) read it.
       val prev = g
-      g = ckpt(nnDescentRound(prev, qvecs.select(col("vid"), col("qv")), k))
+      g = ckpt(nnDescentRound(prev,
+        qvecs.select(col("vid"), col("qv"), col("__nq")), k))
       ckpt.release(prev)
     }
     g.select(col("id"), col("rank"), col("neighbor_id"), col("cosine"))
@@ -1190,8 +1225,10 @@ object Similarity {
     val maxL = layers.size - 1
     val cvec = corpus.select(col(idCol).as("node"),
       quantize(col(embCol), scale).as("cv"))
+      .withColumn("__nc", normQ(col("cv")))
     val qs = queries.select(col(idCol).as("query_id"),
       quantize(col(embCol), scale).as("qv"))
+      .withColumn("__nq", normQ(col("qv")))
     val entry = corpus
       .select(col(idCol).as("node"), hnswLayerOf(col(idCol), maxL).as("lvl"))
       .orderBy(col("lvl").desc, col("node")).limit(1).select("node")
@@ -1199,7 +1236,7 @@ object Similarity {
     // (query_id, node, cosine): the entry scored per query
     def score(cand: DataFrame): DataFrame =
       cand.join(qs, Seq("query_id")).join(cvec, Seq("node"))
-        .withColumn("cosine", cosineQ(col("qv"), col("cv")))
+        .withColumn("cosine", cosineQN(col("qv"), col("cv"), col("__nq"), col("__nc")))
         .select("query_id", "node", "cosine")
     def hop(cur: DataFrame, graph: DataFrame, width: Int): DataFrame = {
       val cand = cur.select("query_id", "node")
@@ -1273,18 +1310,20 @@ object Similarity {
     val lookup = oldVectors.select(col(idCol), col(embCol))
       .unionByName(newVectors.select(col(idCol), col(embCol)))
       .select(col(idCol).as("node"), quantize(col(embCol), scale).as("cv"))
+      .withColumn("__nc", normQ(col("cv")))
     val qs = newVectors.select(col(idCol).as("query_id"),
       quantize(col(embCol), scale).as("qv"),
       lshBucket(col(embCol), numPlanes).as("bucket"))
+      .withColumn("__nq", normQ(col("qv")))
     // deterministic entry point into the frozen graph: min old id (the
     // layeredSearch discipline without layers — the base graph IS the
     // only layer here; callers with a layered store can search per layer
     // and feed the union as extra hops)
     val entry = oldVectors.select(min(col(idCol)).as("node"))
     def score(cand: DataFrame): DataFrame =
-      cand.join(qs.select("query_id", "qv"), Seq("query_id"))
+      cand.join(qs.select("query_id", "qv", "__nq"), Seq("query_id"))
         .join(lookup, Seq("node"))
-        .withColumn("cosine", cosineQ(col("qv"), col("cv")))
+        .withColumn("cosine", cosineQN(col("qv"), col("cv"), col("__nq"), col("__nc")))
         .select("query_id", "node", "cosine")
     val ckpt = graft.ops.Checkpointer.Auto
     var cur = ckpt(score(qs.select("query_id").crossJoin(broadcast(entry))))
@@ -1346,13 +1385,17 @@ object Similarity {
       .select(col(idCol).as("id"), quantize(col(embCol)).as("qv"),
         explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("qv"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // norm rides INSIDE the collected struct (per vector-band row, not per
+    // pair); `id` is unique, so sort_array's lexicographic order — and
+    // therefore the emitted pair order — is unchanged by the extra field
     val buckets = v.groupBy("band", "bucket")
-      .agg(sort_array(collect_list(struct(col("id"), col("qv")))).as("vs"))
+      .agg(sort_array(collect_list(struct(col("id"), col("qv"),
+        normQ(col("qv")).as("nq")))).as("vs"))
       .filter(size(col("vs")) > 1)
     buckets
       .select(graft.functions.OrderedPairs.orderedPairs(col("vs")).as(Seq("pa", "pb")))
       .select(col("pa.id").as("id_a"), col("pb.id").as("id_b"),
-        cosineQ(col("pa.qv"), col("pb.qv")).as("cosine"))
+        cosineQN(col("pa.qv"), col("pb.qv"), col("pa.nq"), col("pb.nq")).as("cosine"))
       .filter(col("cosine") >= tau)
       .distinct()
   }
